@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.core.{Pipeline, Tables}
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Every gate-checked query, grouped by area. */
+  def catalog: Seq[OracleQuery] = Relational.queries ++ Curation.queries
+
+  /** Flagship: the reference's canonical text-curation pipeline
+    * (configs/example_commoncrawl.yaml — url filter → length filter →
+    * exact dedup) run over the documents fixture. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.operators.dedup.TextExactDedup
+    import graft.operators.text.{TextLengthFilter, UrlFilter}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("url", concat(lit("https://"), col("source"), lit(".example.com/"), col("doc_id").cast("string")))
+    val pipeline = Pipeline("flagship", Seq(
+      new UrlFilter(blockedDomains = Seq("src3.example.com")),
+      new TextLengthFilter(minLength = 10, maxLength = None, textCol = "text", lengthCol = Some("n_chars")),
+      TextExactDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id")))
+    pipeline.run(docs).passed
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    catalog.collect { case OracleQuery(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hashing used by dedup / fingerprint operators.
+  *
+  * The reference picks xxhash64 > md5 > sha256
+  * (reference: operators/dedup/text_exact_dedup.py:74-83). We expose the
+  * same choices; Spark's `xxhash64` is the production default (codegen'd,
+  * 64-bit, no allocation).
+  *
+  * `portableHash64` exists for cross-engine differential testing: the
+  * DuckDB oracle cannot reproduce Spark's xxhash64 seed, but md5 is
+  * bit-identical everywhere, so oracle-checked queries hash with the first
+  * 60 bits of md5. Semantics are identical; only the hash family differs,
+  * and the operator takes the hash as a parameter.
+  */
+object HashFunctions {
+
+  /** Production 64-bit hash (Spark built-in xxhash64, whole-stage codegen). */
+  def fastHash64(cols: Column*): Column = xxhash64(cols: _*)
+
+  /** Cross-engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
+    * Bit-identical in Spark and DuckDB (`CAST(('0x'||substring(md5(x),1,15)) AS BIGINT)`).
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL text computing exactly `portableHash64(expr)`. */
+  def portableHash64Sql(expr: String): String =
+    s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
+
+  def hashByName(algorithm: String)(c: Column): Column = algorithm match {
+    case "xxhash64" => fastHash64(c)
+    case "md5"      => md5(c.cast("string").cast("binary"))
+    case "sha256"   => sha2(c.cast("string").cast("binary"), 256)
+    case "portable" => portableHash64(c)
+    case other      => throw new IllegalArgumentException(s"unknown hash: $other")
+  }
+}

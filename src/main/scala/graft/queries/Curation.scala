@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.operators.dedup.{ExactDedup, TextExactDedup}
+import graft.operators.text.{TextLengthFilter, UrlFilter}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curation-operator queries over the `documents` fixture table. Each query
+  * instantiates the real library operator; the oracle SQL is generated from
+  * the same operator config, so the gate checks the operator's actual
+  * decision logic.
+  */
+object Curation {
+
+  // --- deterministic synthetic URL (documents has no url column; both
+  // engines derive the same one from doc fields) ---
+  private def urlCol: Column = {
+    val host = when(pmod(col("doc_id"), lit(10)) === 3, concat(col("source"), lit(".badsite.example")))
+      .when(pmod(col("doc_id"), lit(10)) === 7, lit("en.wikipedia.org"))
+      .otherwise(concat(col("source"), lit(".example.com")))
+    val slug = when(pmod(col("doc_id"), lit(9)) === 0, lit("casino-poker"))
+      .when(pmod(col("doc_id"), lit(9)) === 4, lit("buy-now"))
+      .otherwise(lit("article"))
+    concat(lit("https://"), host, lit("/"), col("lang"), lit("/"), slug,
+      lit("/"), col("doc_id").cast("string"))
+  }
+
+  private val urlSql: String =
+    "('https://' || (CASE WHEN doc_id % 10 = 3 THEN source || '.badsite.example' " +
+      "WHEN doc_id % 10 = 7 THEN 'en.wikipedia.org' " +
+      "ELSE source || '.example.com' END) || '/' || lang || '/' || " +
+      "(CASE WHEN doc_id % 9 = 0 THEN 'casino-poker' " +
+      "WHEN doc_id % 9 = 4 THEN 'buy-now' ELSE 'article' END) " +
+      "|| '/' || CAST(doc_id AS VARCHAR))"
+
+  private val urlFilterOp = new UrlFilter(
+    blockedDomains = Seq("badsite.example"),
+    excludeQualitySources = true)
+
+  private val lengthOp = new TextLengthFilter(
+    minLength = 100, maxLength = Some(400), textCol = "text", lengthCol = Some("n_chars"))
+
+  private val exactDedupOp = TextExactDedup(
+    textCol = "text", idCol = "doc_id", orderCol = "doc_id", hashAlgorithm = "portable")
+
+  /** First-wins dedup on a normalized 30-char text prefix — produces real
+    * duplicate groups on the fixtures, exercising reject provenance.
+    */
+  private val prefixDedupOp = new ExactDedup("prefix_dedup",
+    df => TextFunctions.normalizeText(substring(col("text"), 1, 30)),
+    orderCol = "doc_id", repCol = "doc_id")
+
+  private val prefixKeySql =
+    TextFunctions.normalizeTextSql("substring(text, 1, 30)")
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("text_length_filter",
+      (s, dir) => lengthOp(docs(s, dir))
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, n_chars FROM documents
+              |WHERE ${lengthOp.keepSql} ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("text_length_rejected",
+      (s, dir) => lengthOp.rejected(docs(s, dir))
+        .select(col("doc_id"),
+          col("_rejection_details.reason").as("reason"),
+          col("_rejection_details.operator").as("operator"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, 'filtered' AS reason, 'text_length_filter' AS operator
+              |FROM documents WHERE NOT ${lengthOp.keepSql} ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("url_filter",
+      (s, dir) => {
+        val withUrl = docs(s, dir).withColumn("url", urlCol)
+        urlFilterOp(withUrl).select(col("doc_id"), col("url")).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents)
+              |SELECT doc_id, url FROM u WHERE ${urlFilterOp.keepSql("url")}
+              |ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("url_score",
+      (s, dir) => docs(s, dir).withColumn("url", urlCol)
+        .select(col("doc_id"), round(urlFilterOp.score(col("url")), 6).as("url_score"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents)
+              |SELECT doc_id, round(${urlFilterOp.scoreSql("url")}, 6) AS url_score
+              |FROM u ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("text_exact_dedup",
+      (s, dir) => exactDedupOp(docs(s, dir)).select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id FROM (
+              |  SELECT doc_id, row_number() OVER (
+              |    PARTITION BY ${TextExactDedup.keySql("text", "doc_id")} ORDER BY doc_id) AS rn
+              |  FROM documents) t
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("dedup_prefix_keep",
+      (s, dir) => prefixDedupOp(docs(s, dir)).select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id FROM (
+              |  SELECT doc_id, row_number() OVER (PARTITION BY $prefixKeySql ORDER BY doc_id) AS rn
+              |  FROM documents) t
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("dedup_prefix_rejected",
+      (s, dir) => prefixDedupOp.rejected(docs(s, dir))
+        .select(col("doc_id"),
+          col("_rejection_details.dedup_key").as("dedup_key"),
+          col("_rejection_details.representative_id").as("representative_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH k AS (SELECT doc_id, $prefixKeySql AS kk FROM documents),
+              |w AS (SELECT doc_id, kk,
+              |        row_number() OVER (PARTITION BY kk ORDER BY doc_id) AS rn,
+              |        min(doc_id) OVER (PARTITION BY kk) AS rep
+              |      FROM k)
+              |SELECT doc_id, kk AS dedup_key, CAST(rep AS VARCHAR) AS representative_id
+              |FROM w WHERE rn > 1 ORDER BY doc_id""".stripMargin)))
+}

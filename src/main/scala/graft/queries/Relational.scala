@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** General relational query surface over the fixture star schema —
+  * aggregation, filter+projection pushdown, broadcast joins, windows,
+  * top-k, semi/anti joins, event-time bucketing. These exercise the
+  * engine's query capabilities end-to-end and double as bench headliners.
+  *
+  * Portability rules (driver hash-compares against DuckDB):
+  * computed ints cast to long, float aggregates rounded, timestamps
+  * formatted to strings, deterministic ORDER BY on both sides.
+  */
+object Relational {
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("q1_agg",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Predicate + column pushdown: the scan must read 4 columns and carry
+    // PushedFilters for both predicates (verified in PlanSpec).
+    OracleQuery("q2_filter_prune",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45.0 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity >= 45.0 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Star join: fact + two broadcast dims (no shuffle on the dims).
+    OracleQuery("q3_join_agg",
+      (s, dir) => Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Ranking window, deterministic tiebreak, top-3 per customer.
+    OracleQuery("q4_window_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+          .orderBy(col("o_custkey"), col("rnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rnk FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) t
+             |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
+
+    // Global top-k (TakeOrderedAndProject — no full sort at scale).
+    OracleQuery("q5_topk",
+      (s, dir) => Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Event-time tumbling window aggregation (batch twin of the
+    // streaming query in graft.streaming).
+    OracleQuery("q6_events_hourly",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
+    // Left-semi join (EXISTS): customers having a large order.
+    OracleQuery("q7_semijoin",
+      (s, dir) => {
+        val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        Tables(s, dir, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Left-anti join (NOT EXISTS): customers with no large order.
+    OracleQuery("q8_antijoin",
+      (s, dir) => Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)))
+}
