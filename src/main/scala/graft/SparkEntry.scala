@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Every gate-checked query, grouped by area. */
-  def catalog: Seq[OracleQuery] = Relational.queries ++ Curation.queries
+  def catalog: Seq[OracleQuery] =
+    Relational.queries ++ Curation.queries ++ NearDup.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

@@ -31,6 +31,32 @@ object HashFunctions {
   def portableHash64Sql(expr: String): String =
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** Derived hash family for MinHash: one base hash per value, then
+    * `h_j = a_j*(h & 2^30-1) + b_j*(h >> 30) + c_j` with per-seed constants
+    * in [1, 2^30) — products stay under 2^60, the sum under 2^62, so the
+    * arithmetic never overflows a signed 64-bit in either engine (both
+    * Spark ANSI and DuckDB error on overflow rather than wrap). One md5
+    * instead of `numHashes` md5s per shingle.
+    */
+  def mixConstants(j: Int): (Long, Long, Long) = {
+    val rnd = new scala.util.Random(0x9E3779B9L + j)
+    val m = (1L << 30) - 1
+    (math.abs(rnd.nextLong()) & m | 1L, math.abs(rnd.nextLong()) & m | 1L,
+      math.abs(rnd.nextLong()) & m)
+  }
+
+  private val Mask30 = (1L << 30) - 1
+
+  def mixed(h: Column, j: Int): Column = {
+    val (a, b, c) = mixConstants(j)
+    lit(a) * h.bitwiseAND(lit(Mask30)) + lit(b) * shiftright(h, 30) + lit(c)
+  }
+
+  def mixedSql(hExpr: String, j: Int): String = {
+    val (a, b, c) = mixConstants(j)
+    s"($a * ($hExpr & $Mask30) + $b * ($hExpr >> 30) + $c)"
+  }
+
   def hashByName(algorithm: String)(c: Column): Column = algorithm match {
     case "xxhash64" => fastHash64(c)
     case "md5"      => md5(c.cast("string").cast("binary"))

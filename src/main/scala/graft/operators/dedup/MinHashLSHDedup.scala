@@ -1,0 +1,146 @@
+package graft.operators.dedup
+
+import graft.core.{Operator, Rejection}
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate deduplication (the standard
+  * shingle → minhash signature → band → bucket-join pipeline used for
+  * web-scale training corpora; cf. RefinedWeb §G.3 fuzzy dedup and the
+  * reference's semantic-dedup design notes, framework/backend.py:89-93).
+  *
+  * Semantics: a row is DROPPED when an LSH candidate row with a smaller
+  * `idCol` (earlier arrival) has exact shingle-set Jaccard ≥ `threshold`.
+  * Candidates are pairs agreeing on all `rowsPerBand` minhashes of at
+  * least one band — pairs never probed cannot be dropped (the usual LSH
+  * false-negative tradeoff); verified Jaccard is exact, so no false drops.
+  * Rows with fewer than `shingleWidth` tokens have no shingles and are
+  * always kept.
+  *
+  * Note: drop-vs-earlier-candidate is pairwise, not transitive-closure
+  * clustering. Full connected components would need an iterative
+  * convergence loop; at 100 TB the standard practice is exactly this
+  * pairwise form (each duplicate cluster keeps its minimum id because the
+  * minimum is a candidate of most members; chains longer than one LSH hop
+  * may keep >1 representative — acceptable and deterministic).
+  *
+  * Scale shape: signatures are computed per row without exploding shingles
+  * (array transform, no shuffle); the only shuffles are the band-key join
+  * (the LSH bucketing — this IS the reference's bucketed dedup state) and
+  * the final left_anti. Band-key hot spots (many docs in one bucket) are
+  * AQE-skew-split; `maxBucketSize` caps pathological buckets.
+  */
+final class MinHashLSHDedup(
+    textCol: String = "text",
+    idCol: String = "id",
+    shingleWidth: Int = 3,
+    numHashes: Int = 16,
+    numBands: Int = 4,
+    threshold: Double = 0.8,
+    portableHashes: Boolean = false,
+    maxBucketSize: Option[Int] = None) extends Operator {
+
+  require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
+  private val rowsPerBand = numHashes / numBands
+
+  val name = "minhash_lsh_dedup"
+
+  /** doc → (id, distinct shingle set). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col(idCol).as("_id"),
+      array_distinct(TextFunctions.shingles(TextFunctions.tokensOf(col(textCol)), shingleWidth)).as("_s"))
+
+  /** MinHash signature as an array of `numHashes` longs — one JVM loop per
+    * row (kernels.MinHashSignature): one md5 base hash per shingle + the
+    * per-seed integer mix, instead of `numHashes` hash exprs per shingle.
+    */
+  def signature(shingleSet: Column): Column =
+    graft.plans.kernels.minhash_signature(shingleSet, numHashes, portableHashes)
+
+  /** Verified duplicate pairs (d1 < d2, Jaccard ≥ threshold).
+    *
+    * Shuffle posture: shingle sets travel as distinct hashed longs (8 B
+    * fixed-width, not text); pair dedup is on (d1, d2) ids only; Jaccard
+    * verification is a single hash-set loop per surviving pair.
+    */
+  def verifiedPairs(df: DataFrame): DataFrame = {
+    val base = shingled(df).filter(size(col("_s")) > 0)
+      .withColumn("_m", signature(col("_s")))
+      .withColumn("_h", array_distinct(graft.plans.kernels.hash_array(col("_s"))))
+    val bandKeys = array((0 until numBands).map(b =>
+      concat_ws("_", (lit(b) +: (0 until rowsPerBand).map(i =>
+        element_at(col("_m"), b * rowsPerBand + i + 1))): _*)): _*)
+    val bands0 = base.select(col("_id"), col("_h"), posexplode(bandKeys).as(Seq("_b", "_bkey")))
+    val bands = maxBucketSize match {
+      case Some(cap) =>
+        // drop pathological buckets (e.g. empty-ish texts all colliding)
+        import org.apache.spark.sql.expressions.Window
+        bands0.withColumn("_bn", count(lit(1)).over(
+            Window.partitionBy(col("_b"), col("_bkey"))))
+          .filter(col("_bn") <= cap).drop("_bn")
+      case None => bands0
+    }
+    val left = bands.select(col("_b"), col("_bkey"), col("_id").as("d1"), col("_h").as("h1"))
+    val right = bands.select(col("_b"), col("_bkey"), col("_id").as("d2"), col("_h").as("h2"))
+    val cand = left.join(right, Seq("_b", "_bkey")).filter(col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+    cand.withColumn("_j", graft.plans.kernels.array_jaccard(col("h1"), col("h2")))
+      .filter(col("_j") >= threshold)
+      .select(col("d1"), col("d2"), col("_j").as("jaccard"))
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Dropped rows with the first-seen similar row as representative. */
+  def rejected(df: DataFrame): DataFrame = {
+    val reps = verifiedPairs(df).groupBy(col("d2"))
+      .agg(min(col("d1")).as("_rep"))
+      .withColumnRenamed("d2", idCol)
+    df.join(reps, Seq(idCol))
+      .withColumn(Rejection.ColName,
+        Rejection.duplicate(name, lit(null).cast("string"), col("_rep")))
+      .drop("_rep")
+  }
+
+  /** Per-row MinHash signatures, for inspection/testing: (id, sig array). */
+  def signatures(df: DataFrame): DataFrame =
+    shingled(df).filter(size(col("_s")) > 0)
+      .select(col("_id"), signature(col("_s")).as("_m"))
+
+  // ---- DuckDB twin (portable hashes only) ----
+
+  private def sigCtes(table: String): String = {
+    require(portableHashes, "oracle requires the portable hash family")
+    s"""sh AS (SELECT $idCol AS id,
+       |    list_distinct(${TextFunctions.shinglesSql("t", shingleWidth)}) AS s
+       |  FROM (SELECT $idCol, ${TextFunctions.tokensOfSql(textCol)} AS t FROM $table)),
+       |hv AS (SELECT id, list_distinct(list_transform(s, x -> ${HashFunctions.portableHash64Sql("x")})) AS h
+       |  FROM sh WHERE len(s) > 0),
+       |sig AS (SELECT id, h, [${(0 until numHashes).map(j =>
+            s"list_min(list_transform(h, x -> ${HashFunctions.mixedSql("x", j)}))").mkString(", ")}] AS m
+       |  FROM hv)""".stripMargin
+  }
+
+  /** Oracle SQL returning (id, m1..mTake) signature prefixes, ORDER BY id. */
+  def signatureSql(table: String, take: Int): String =
+    s"""WITH ${sigCtes(table)}
+       |SELECT id AS $idCol, ${(1 to take).map(i => s"m[$i] AS m$i").mkString(", ")}
+       |FROM sig ORDER BY id""".stripMargin
+
+  /** Oracle SQL returning kept ids, ORDER BY id. Requires portableHashes. */
+  def keepSql(table: String): String =
+    s"""WITH ${sigCtes(table)},
+       |bands AS (SELECT id, s, b,
+       |    CAST(b AS VARCHAR) ${(0 until rowsPerBand).map(i =>
+            s"|| '_' || CAST(m[b*$rowsPerBand+${i + 1}] AS VARCHAR)").mkString(" ")} AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $numBands)) AS b) bs),
+       |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2, a.s AS s1, b.s AS s2
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id),
+       |ver AS (SELECT d1, d2 FROM cand
+       |  WHERE CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+       |      / (CAST(len(s1) + len(s2) AS DOUBLE) - CAST(len(list_intersect(s1, s2)) AS DOUBLE)) >= $threshold)
+       |SELECT $idCol FROM $table WHERE $idCol NOT IN (SELECT d2 FROM ver)
+       |ORDER BY $idCol""".stripMargin
+}

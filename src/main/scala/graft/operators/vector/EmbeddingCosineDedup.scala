@@ -1,0 +1,68 @@
+package graft.operators.vector
+
+import graft.core.{Operator, Rejection}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-cosine near-duplicate dedup: a row is DROPPED when an earlier
+  * row (smaller `idCol`) has cosine similarity ≥ `threshold`.
+  *
+  * This is the semantic-dedup operator the reference designed but never
+  * shipped (framework/backend.py:89-93 "cluster-id as bucket id",
+  * models/kmeans trainer tree) — here complete, with two candidate strategies:
+  *
+  *  - brute force (default): all-pairs block-nested join. Exact; O(n²) —
+  *    right for ≤10⁵ vectors or within pre-bucketed groups.
+  *  - bucketed: pass `bucketCol` (e.g. a KMeans cluster id from
+  *    [[graft.operators.ml.KMeansBuckets]], or an LSH bucket from
+  *    [[AnnSearch.signBucket]]) and only pairs within a bucket are
+  *    compared — the 100 TB path; the shuffle is on the bucket id, exactly
+  *    the reference's cluster-bucketed dedup design.
+  */
+final class EmbeddingCosineDedup(
+    vecCol: String = "embedding",
+    idCol: String = "id",
+    threshold: Double = 0.95,
+    bucketCol: Option[String] = None) extends Operator {
+
+  val name = "embedding_cosine_dedup"
+
+  /** Duplicate pairs (d1 < d2, cosine ≥ threshold). */
+  def verifiedPairs(df: DataFrame): DataFrame = {
+    val baseCols = Seq(col(idCol), col(vecCol)) ++ bucketCol.map(col)
+    val v = df.select(baseCols: _*)
+    val left = v.toDF((Seq("d1", "v1") ++ bucketCol.map(_ => "bk")): _*)
+    val right = v.toDF((Seq("d2", "v2") ++ bucketCol.map(_ => "bk")): _*)
+    val joined = bucketCol match {
+      case Some(_) => left.join(right, Seq("bk")).filter(col("d1") < col("d2"))
+      case None    => left.crossJoin(right).filter(col("d1") < col("d2"))
+    }
+    joined.withColumn("_cos", VectorFunctions.cosine(col("v1"), col("v2")))
+      .filter(col("_cos") >= threshold)
+      .select(col("d1"), col("d2"), col("_cos").as("cosine"))
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  def rejected(df: DataFrame): DataFrame = {
+    val reps = verifiedPairs(df).groupBy(col("d2")).agg(min(col("d1")).as("_rep"))
+      .withColumnRenamed("d2", idCol)
+    df.join(reps, Seq(idCol))
+      .withColumn(Rejection.ColName,
+        Rejection.duplicate(name, lit(null).cast("string"), col("_rep")))
+      .drop("_rep")
+  }
+
+  /** Oracle SQL returning kept ids (brute-force variant only). */
+  def keepSql(table: String): String = {
+    require(bucketCol.isEmpty, "oracle covers the brute-force variant")
+    s"""WITH v AS (SELECT $idCol AS id, $vecCol AS e FROM $table),
+       |ver AS (SELECT a.id AS d1, b.id AS d2
+       |  FROM v a JOIN v b ON a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.e", "b.e")} >= $threshold)
+       |SELECT $idCol FROM $table WHERE $idCol NOT IN (SELECT d2 FROM ver)
+       |ORDER BY $idCol""".stripMargin
+  }
+}

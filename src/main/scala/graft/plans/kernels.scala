@@ -1,0 +1,217 @@
+package graft.plans
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the similarity/fingerprint hot loops.
+  *
+  * The declarative forms (aggregate/zip_with/transform in
+  * [[graft.functions.VectorFunctions]] and the dedup operators) are
+  * evaluated per-element by interpreted HigherOrderFunctions — fine for
+  * correctness, ~10-30× too slow in the inner loop of an O(n²) similarity
+  * join. These expressions evaluate the whole array in one tight JVM loop
+  * per row. Accumulation order is identical to the declarative fold
+  * (left-to-right, double precision), so results are bit-identical to both
+  * the HOF form and the DuckDB oracle twin.
+  *
+  * CodegenFallback costs one virtual call per ROW (the loop body is plain
+  * JVM code that JITs well) — unlike interpreted HOFs which pay the
+  * interpreter per ELEMENT.
+  */
+object kernels {
+
+  private def arrayDouble(a: ArrayData, dt: DataType, i: Int): Double =
+    dt match {
+      case FloatType  => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case LongType   => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case other      => throw new IllegalStateException(s"bad element type $other")
+    }
+
+  /** Cosine similarity of two numeric arrays; null if either norm is 0
+    * (DuckDB's x/0 NULL — Spark ANSI would throw on the declarative form).
+    */
+  case class ArrayCosine(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def elemType(e: Expression) = e.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val at = elemType(left); val bt = elemType(right)
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = arrayDouble(a, at, i); val y = arrayDouble(b, bt, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** 60-bit portable base hash of a UTF8String: first 15 hex chars of md5
+    * as a long — bit-identical to `HashFunctions.portableHash64` (Spark
+    * conv(substring(md5..)) path) and the DuckDB twin, but one MessageDigest
+    * call instead of an interpreted cast→md5→substring→conv chain.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  @inline private[graft] def portableHashJvm(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xFFL); i += 1 }
+    v >>> 4 // 64 bits -> first 15 hex digits (60 bits)
+  }
+
+  @inline private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over an array of shingle STRINGS (hashing inlined).
+    *
+    * portable=true: base = 60-bit md5-prefix hash, then the overflow-free
+    * integer mix of [[HashFunctions.mixConstants]] per seed — matches the
+    * DuckDB twin exactly. portable=false: splitmix64 finalization of
+    * `base ^ const_j` over the same md5 base (production family, no SQL
+    * twin needed).
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int, portable: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val consts = (0 until numHashes).map(HashFunctions.mixConstants).toArray
+
+    override def nullSafeEval(v: Any): Any = {
+      val ss = v.asInstanceOf[ArrayData]
+      val n = ss.numElements()
+      if (n == 0) return null
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = portableHashJvm(ss.getUTF8String(i))
+        var j = 0
+        while (j < numHashes) {
+          val m =
+            if (portable) {
+              val (a, b, c) = consts(j)
+              a * (h & ((1L << 30) - 1)) + b * (h >>> 30) + c
+            } else splitmix64(h ^ (0xC2B2AE3D27D4EB4FL * (j + 1)))
+          if (m < mins(j)) mins(j) = m
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override def nullable: Boolean = true
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** 60-bit portable hash of each string in an array (for hashed posting
+    * lists / hashed shingle sets — shuffles fixed-width longs, not text).
+    */
+  case class HashArray(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val ss = v.asInstanceOf[ArrayData]
+      val out = new Array[Long](ss.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = portableHashJvm(ss.getUTF8String(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** SimHash fingerprint over an array of distinct token STRINGS:
+    * bit b set iff Σ±1 over token-hash bit b is positive. Empty → 0L.
+    * Token hash = the portable 60-bit md5 prefix.
+    */
+  case class SimHash(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(v: Any): Any = {
+      val ss = v.asInstanceOf[ArrayData]
+      val n = ss.numElements()
+      val votes = new Array[Int](bits)
+      var i = 0
+      while (i < n) {
+        val h = portableHashJvm(ss.getUTF8String(i))
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Exact Jaccard of two arrays (string or long elements) via hash sets —
+    * the verification step of the near-dup joins.
+    */
+  case class ArrayJaccard(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def elemType(e: Expression) = e.dataType.asInstanceOf[ArrayType].elementType
+
+    private def toSet(a: ArrayData, dt: DataType): java.util.HashSet[Any] = {
+      val s = new java.util.HashSet[Any]()
+      var i = 0
+      dt match {
+        case LongType => while (i < a.numElements()) { s.add(a.getLong(i)); i += 1 }
+        case _        => while (i < a.numElements()) { s.add(a.getUTF8String(i)); i += 1 }
+      }
+      s
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val sa = toSet(l.asInstanceOf[ArrayData], elemType(left))
+      val sb = toSet(r.asInstanceOf[ArrayData], elemType(right))
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
+      val union = sa.size() + sb.size() - inter
+      if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  // Column wrappers
+  def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
+  def minhash_signature(hs: Column, numHashes: Int, portable: Boolean): Column =
+    expr2col(MinHashSignature(colExpr(hs), numHashes, portable))
+  def simhash_bits(hs: Column, bits: Int): Column = expr2col(SimHash(colExpr(hs), bits))
+  def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
+  def array_jaccard(a: Column, b: Column): Column = expr2col(ArrayJaccard(colExpr(a), colExpr(b)))
+
+  private def colExpr(c: Column): Expression = org.apache.spark.sql.graftshim.Shim.expression(c)
+  private def expr2col(e: Expression): Column = org.apache.spark.sql.graftshim.Shim.column(e)
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.dedup.{MinHashLSHDedup, NgramJaccardDedup, SimHashDedup}
+import graft.operators.vector.{AnnSearch, EmbeddingCosineDedup}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection + similarity search queries — the
+  * training-data-pipeline operator family (dedup: MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding cosine; ANN: brute-force + LSH-bucketed).
+  * All thresholds chosen to produce non-vacuous drop sets on the fixtures.
+  */
+object NearDup {
+
+  private val minhashOp = new MinHashLSHDedup(
+    textCol = "text", idCol = "doc_id",
+    shingleWidth = 3, numHashes = 16, numBands = 4,
+    threshold = 0.8, portableHashes = true)
+
+  private val jaccardOp = new NgramJaccardDedup(
+    textCol = "text", idCol = "doc_id", shingleWidth = 3, threshold = 0.8)
+
+  private val simhashOp = new SimHashDedup(
+    textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
+
+  private val cosineDedupOp = new EmbeddingCosineDedup(
+    vecCol = "embedding", idCol = "vec_id", threshold = 0.35)
+
+  // 4 sign bits → 16 buckets over the fixture's 500-2000 vectors: buckets
+  // stay large enough that top-5 within the query's bucket is non-vacuous.
+  private val lshCoords = 0 until 4
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("minhash_signature",
+      (s, dir) => minhashOp.signatures(Tables(s, dir, "documents"))
+        .select(col("_id").as("doc_id") +:
+          (1 to 4).map(i => element_at(col("_m"), i).as(s"m$i")): _*)
+        .orderBy(col("doc_id")),
+      Some(minhashOp.signatureSql("documents", take = 4))),
+
+    OracleQuery("minhash_lsh_dedup",
+      (s, dir) => minhashOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(minhashOp.keepSql("documents"))),
+
+    OracleQuery("ngram_jaccard_dedup",
+      (s, dir) => jaccardOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(jaccardOp.keepSql("documents"))),
+
+    OracleQuery("simhash_signature",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), simhashOp.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, ${simhashOp.simhashSql("text")} AS simhash
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("simhash_dedup",
+      (s, dir) => simhashOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id FROM (
+              |  SELECT doc_id, row_number() OVER (
+              |    PARTITION BY ${simhashOp.simhashSql("text")} ORDER BY doc_id) AS rn
+              |  FROM documents) t
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("embedding_cosine_dedup",
+      (s, dir) => cosineDedupOp(Tables(s, dir, "embeddings"))
+        .select(col("vec_id")).orderBy(col("vec_id")),
+      Some(cosineDedupOp.keepSql("embeddings"))),
+
+    OracleQuery("ann_bruteforce_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnSearch.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+            "embedding", "vec_id", k = 10)
+          .withColumn("cosine", round(col("cosine"), 6))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              |c AS (SELECT vec_id,
+              |   ${graft.functions.VectorFunctions.cosineSql("embedding", "qe")} AS cos
+              | FROM embeddings, q)
+              |SELECT vec_id, round(cos, 6) AS cosine FROM c
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    OracleQuery("ann_lsh_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnSearch.lshTopK(emb, emb.filter(col("vec_id") === 0),
+            "embedding", "vec_id", k = 5, coords = lshCoords)
+          .withColumn("cosine", round(col("cosine"), 6))
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+              |    ${AnnSearch.signBucketSql("embedding", lshCoords)} AS bk FROM embeddings),
+              |q AS (SELECT embedding AS qe,
+              |    ${AnnSearch.signBucketSql("embedding", lshCoords)} AS qb
+              |  FROM embeddings WHERE vec_id = 0),
+              |c AS (SELECT vec_id,
+              |    ${graft.functions.VectorFunctions.cosineSql("b.embedding", "qe")} AS cos
+              |  FROM b, q WHERE b.bk = q.qb)
+              |SELECT vec_id, round(cos, 6) AS cosine FROM c
+              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)))
+}
