@@ -46,17 +46,20 @@ final class MinHashLSHDedup(
 
   val name = "minhash_lsh_dedup"
 
-  /** doc → (id, distinct shingle set). */
+  /** doc → (id, distinct hashed shingle set) via the fused
+    * kernels.ShingleHashes loop — tokenize+shingle+hash once per row (the
+    * round-1 declarative form re-ran the tokenization tree per shingle
+    * element inside interpreted HOFs: ~30× slower, measured).
+    */
   private def shingled(df: DataFrame): DataFrame =
     df.select(col(idCol).as("_id"),
-      array_distinct(TextFunctions.shingles(TextFunctions.tokensOf(col(textCol)), shingleWidth)).as("_s"))
+      graft.plans.kernels.shingle_hashes(col(textCol), shingleWidth).as("_h"))
 
-  /** MinHash signature as an array of `numHashes` longs — one JVM loop per
-    * row (kernels.MinHashSignature): one md5 base hash per shingle + the
-    * per-seed integer mix, instead of `numHashes` hash exprs per shingle.
+  /** MinHash signature (array of `numHashes` longs) from the hashed
+    * shingle set — per-seed integer mix over the precomputed base hashes.
     */
-  def signature(shingleSet: Column): Column =
-    graft.plans.kernels.minhash_signature(shingleSet, numHashes, portableHashes)
+  def signature(hashedShingles: Column): Column =
+    graft.plans.kernels.minhash_from_hashes(hashedShingles, numHashes, portableHashes)
 
   /** Verified duplicate pairs (d1 < d2, Jaccard ≥ threshold).
     *
@@ -65,9 +68,8 @@ final class MinHashLSHDedup(
     * verification is a single hash-set loop per surviving pair.
     */
   def verifiedPairs(df: DataFrame): DataFrame = {
-    val base = shingled(df).filter(size(col("_s")) > 0)
-      .withColumn("_m", signature(col("_s")))
-      .withColumn("_h", array_distinct(graft.plans.kernels.hash_array(col("_s"))))
+    val base = shingled(df).filter(size(col("_h")) > 0)
+      .withColumn("_m", signature(col("_h")))
     val bandKeys = array((0 until numBands).map(b =>
       concat_ws("_", (lit(b) +: (0 until rowsPerBand).map(i =>
         element_at(col("_m"), b * rowsPerBand + i + 1))): _*)): _*)
@@ -106,8 +108,8 @@ final class MinHashLSHDedup(
 
   /** Per-row MinHash signatures, for inspection/testing: (id, sig array). */
   def signatures(df: DataFrame): DataFrame =
-    shingled(df).filter(size(col("_s")) > 0)
-      .select(col("_id"), signature(col("_s")).as("_m"))
+    shingled(df).filter(size(col("_h")) > 0)
+      .select(col("_id"), signature(col("_h")).as("_m"))
 
   // ---- DuckDB twin (portable hashes only) ----
 
@@ -129,18 +131,25 @@ final class MinHashLSHDedup(
        |SELECT id AS $idCol, ${(1 to take).map(i => s"m[$i] AS m$i").mkString(", ")}
        |FROM sig ORDER BY id""".stripMargin
 
-  /** Oracle SQL returning kept ids, ORDER BY id. Requires portableHashes. */
-  def keepSql(table: String): String =
+  /** Oracle SQL returning kept ids, ORDER BY id. Requires portableHashes.
+    * Verification is on the hashed shingle sets `h` — exactly what the
+    * Spark side verifies (kernels.ArrayJaccard over ShingleHashes output).
+    * The QUALIFY clause mirrors the Spark-side `maxBucketSize` window cap.
+    */
+  def keepSql(table: String): String = {
+    val cap = maxBucketSize.map(c =>
+      s"\n  QUALIFY count(*) OVER (PARTITION BY b, bkey) <= $c").getOrElse("")
     s"""WITH ${sigCtes(table)},
-       |bands AS (SELECT id, s, b,
+       |bands AS (SELECT id, h, b,
        |    CAST(b AS VARCHAR) ${(0 until rowsPerBand).map(i =>
             s"|| '_' || CAST(m[b*$rowsPerBand+${i + 1}] AS VARCHAR)").mkString(" ")} AS bkey
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $numBands)) AS b) bs),
-       |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2, a.s AS s1, b.s AS s2
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $numBands)) AS b) bs$cap),
+       |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2, a.h AS h1, b.h AS h2
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id),
        |ver AS (SELECT d1, d2 FROM cand
-       |  WHERE CAST(len(list_intersect(s1, s2)) AS DOUBLE)
-       |      / (CAST(len(s1) + len(s2) AS DOUBLE) - CAST(len(list_intersect(s1, s2)) AS DOUBLE)) >= $threshold)
+       |  WHERE CAST(len(list_intersect(h1, h2)) AS DOUBLE)
+       |      / (CAST(len(h1) + len(h2) AS DOUBLE) - CAST(len(list_intersect(h1, h2)) AS DOUBLE)) >= $threshold)
        |SELECT $idCol FROM $table WHERE $idCol NOT IN (SELECT d2 FROM ver)
        |ORDER BY $idCol""".stripMargin
+  }
 }

@@ -34,9 +34,12 @@ final class NgramJaccardDedup(
 
   val name = "ngram_jaccard_dedup"
 
+  /** doc → (id, distinct hashed shingle set) via the fused
+    * kernels.ShingleHashes loop (tokenize+shingle+hash once per row).
+    */
   private def shingled(df: DataFrame): DataFrame =
     df.select(col(idCol).as("_id"),
-      array_distinct(TextFunctions.shingles(TextFunctions.tokensOf(col(textCol)), shingleWidth)).as("_s"))
+      graft.plans.kernels.shingle_hashes(col(textCol), shingleWidth).as("_hs"))
 
   /** Verified duplicate pairs (d1 < d2, exact Jaccard ≥ threshold).
     * Posting lists carry the 60-bit hash of each shingle, not the string —
@@ -44,7 +47,6 @@ final class NgramJaccardDedup(
     */
   def verifiedPairs(df: DataFrame): DataFrame = {
     val sh = shingled(df)
-      .withColumn("_hs", array_distinct(graft.plans.kernels.hash_array(col("_s"))))
     val sizes = sh.select(col("_id"), size(col("_hs")).as("_n"))
     val postings0 = sh.select(col("_id"), explode(col("_hs")).as("_g"))
     val postings = maxDocFreq match {

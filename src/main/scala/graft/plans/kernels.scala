@@ -142,6 +142,101 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Tokenize exactly like `TextFunctions.tokensOf` (regexp_replace \s+→' ',
+    * trim, lower, split on ' ') but in one JVM pass. trim/lower go through
+    * UTF8String so non-ASCII behavior is bit-identical to Catalyst's
+    * `trim`/`lower` expressions (String.trim would differ on control chars).
+    */
+  private[graft] def tokenizeJvm(text: org.apache.spark.unsafe.types.UTF8String): Array[String] = {
+    val replaced = wsPattern.matcher(text.toString).replaceAll(" ")
+    val norm = org.apache.spark.unsafe.types.UTF8String
+      .fromString(replaced).trim().toLowerCase.toString
+    if (norm.isEmpty) Array.empty[String] else norm.split(' ')
+  }
+
+  /** Fused tokenize → word w-shingle → 60-bit portable hash → distinct.
+    * One JVM loop per row; equals
+    * `array_distinct(HashArray(shingles(tokensOf(text), w)))` bit-for-bit
+    * (first-occurrence order; set-equal is all downstream ops need).
+    * Fewer than w tokens (incl. null/empty text after normalize) → empty
+    * array, mirroring `TextFunctions.shingles`.
+    *
+    * This is the near-dup hot path: the declarative form re-evaluated the
+    * tokenization tree per shingle element inside interpreted HOF lambdas
+    * (~30× slowdown, measured round 1); here tokenization runs once per row.
+    */
+  case class ShingleHashes(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokenizeJvm(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      val n = toks.length
+      if (n < w) return new GenericArrayData(Array.empty[Long])
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= n - w) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(portableHashJvm(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+        i += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** MinHash signature from an ALREADY-HASHED shingle array (the output of
+    * [[ShingleHashes]]): per seed j, min over elements of the mixed hash.
+    * Same hash families as [[MinHashSignature]] (portable: overflow-free
+    * integer mix matching the DuckDB twin; else splitmix64) — base values
+    * are identical because ShingleHashes uses the same 60-bit md5 prefix.
+    * Empty array → null (a doc with no shingles has no signature).
+    */
+  case class MinHashFromHashes(child: Expression, numHashes: Int, portable: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    private val consts = (0 until numHashes).map(HashFunctions.mixConstants).toArray
+
+    override def nullSafeEval(v: Any): Any = {
+      val hs = v.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      if (n == 0) return null
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val m =
+            if (portable) {
+              val (a, b, c) = consts(j)
+              a * (h & ((1L << 30) - 1)) + b * (h >>> 30) + c
+            } else splitmix64(h ^ (0xC2B2AE3D27D4EB4FL * (j + 1)))
+          if (m < mins(j)) mins(j) = m
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** SimHash fingerprint over an array of distinct token STRINGS:
     * bit b set iff Σ±1 over token-hash bit b is positive. Empty → 0L.
     * Token hash = the portable 60-bit md5 prefix.
@@ -208,6 +303,9 @@ object kernels {
   def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
   def minhash_signature(hs: Column, numHashes: Int, portable: Boolean): Column =
     expr2col(MinHashSignature(colExpr(hs), numHashes, portable))
+  def minhash_from_hashes(hs: Column, numHashes: Int, portable: Boolean): Column =
+    expr2col(MinHashFromHashes(colExpr(hs), numHashes, portable))
+  def shingle_hashes(text: Column, w: Int): Column = expr2col(ShingleHashes(colExpr(text), w))
   def simhash_bits(hs: Column, bits: Int): Column = expr2col(SimHash(colExpr(hs), bits))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
   def array_jaccard(a: Column, b: Column): Column = expr2col(ArrayJaccard(colExpr(a), colExpr(b)))
