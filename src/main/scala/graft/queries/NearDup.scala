@@ -20,6 +20,19 @@ object NearDup {
   private val jaccardOp = new NgramJaccardDedup(
     textCol = "text", idCol = "doc_id", shingleWidth = 3, threshold = 0.8)
 
+  // Guarded configurations — the scale knobs that bound the quadratic
+  // candidate blowup (hot posting lists / pathological LSH buckets) ON,
+  // with the oracle applying the identical caps. At 100 TB these are the
+  // configs you'd actually run.
+  private val minhashCappedOp = new MinHashLSHDedup(
+    textCol = "text", idCol = "doc_id",
+    shingleWidth = 3, numHashes = 16, numBands = 4,
+    threshold = 0.8, portableHashes = true, maxBucketSize = Some(4))
+
+  private val jaccardCappedOp = new NgramJaccardDedup(
+    textCol = "text", idCol = "doc_id", shingleWidth = 3, threshold = 0.8,
+    maxDocFreq = Some(5))
+
   private val simhashOp = new SimHashDedup(
     textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
 
@@ -44,10 +57,20 @@ object NearDup {
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashOp.keepSql("documents"))),
 
+    OracleQuery("minhash_lsh_dedup_capped",
+      (s, dir) => minhashCappedOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(minhashCappedOp.keepSql("documents"))),
+
     OracleQuery("ngram_jaccard_dedup",
       (s, dir) => jaccardOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(jaccardOp.keepSql("documents"))),
+
+    OracleQuery("ngram_jaccard_dedup_capped",
+      (s, dir) => jaccardCappedOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(jaccardCappedOp.keepSql("documents"))),
 
     OracleQuery("simhash_signature",
       (s, dir) => Tables(s, dir, "documents")
