@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.dedup.{MinHashLSHDedup, NgramJaccardDedup, SimHashDedup, TextExactDedup}
+import graft.operators.text.TextLengthFilter
+import graft.operators.vector.{AnnSearch, EmbeddingCosineDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic properties of the dedup/filter family on the fixture tables:
+  * containment between the approximate and exact near-dup operators,
+  * idempotence, and complement partitioning. These are the invariants the
+  * operators' scaladocs promise.
+  */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ids(df: DataFrame, c: String = "doc_id"): Set[Long] =
+    df.select(col(c).cast("long")).collect().map(_.getLong(0)).toSet
+
+  private lazy val docs = table("documents")
+  private lazy val allIds = ids(docs)
+
+  test("minhash LSH drops are a subset of exact n-gram Jaccard drops (same threshold)") {
+    val minhash = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8, portableHashes = true)
+    val jaccard = new NgramJaccardDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, threshold = 0.8)
+    val minhashDrops = allIds -- ids(minhash(docs))
+    val jaccardDrops = allIds -- ids(jaccard(docs))
+    assert(minhashDrops.subsetOf(jaccardDrops),
+      s"LSH dropped non-duplicates: ${minhashDrops -- jaccardDrops}")
+    assert(jaccardDrops.nonEmpty, "fixture has no near-dups — vacuous test")
+  }
+
+  test("capped near-dup configs only ever keep MORE rows (caps remove candidates)") {
+    val capped = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
+      portableHashes = true, maxBucketSize = Some(3))
+    val uncapped = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8, portableHashes = true)
+    assert(ids(uncapped(docs)).subsetOf(ids(capped(docs))))
+
+    val jCapped = new NgramJaccardDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, threshold = 0.8, maxDocFreq = Some(3))
+    val jUncapped = new NgramJaccardDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, threshold = 0.8)
+    assert(ids(jUncapped(docs)).subsetOf(ids(jCapped(docs))))
+  }
+
+  test("exact dedup is idempotent") {
+    val op = TextExactDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id")
+    val once = op(docs)
+    assert(ids(op(once)) == ids(once))
+  }
+
+  test("dedup passed/rejected partition the input, first-wins keeps the smallest order") {
+    val op = TextExactDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id")
+    val kept = ids(op(docs))
+    val rej = op.rejected(docs)
+    assert(kept ++ ids(rej) == allIds)
+    assert((kept & ids(rej)).isEmpty)
+    // every reject's representative is a kept row with a smaller id
+    val bad = rej.select(col("doc_id").cast("long"),
+        col("_rejection_details.representative_id").cast("long").as("rep"))
+      .filter(col("rep") >= col("doc_id")).count()
+    assert(bad == 0)
+  }
+
+  test("rejection provenance carries reason/operator for dedup rejects") {
+    val op = TextExactDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id")
+    val r = op.rejected(docs).select(
+      col("_rejection_details.reason"), col("_rejection_details.operator")).distinct().collect()
+    assert(r.forall(row => row.getString(0) == "duplicate" && row.getString(1) == "text_exact_dedup"))
+  }
+
+  test("filter keep/rejected partition the input") {
+    val f = new TextLengthFilter(minLength = 100, maxLength = Some(400),
+      textCol = "text", lengthCol = Some("n_chars"))
+    val kept = ids(f(docs))
+    val rejected = ids(f.rejected(docs))
+    assert(kept ++ rejected == allIds)
+    assert((kept & rejected).isEmpty)
+    assert(kept.nonEmpty && rejected.nonEmpty, "degenerate filter config")
+  }
+
+  test("simhash dedup keeps exactly one row per fingerprint") {
+    val op = new SimHashDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
+    val kept = op(docs)
+    val fps = kept.select(op.simhash(col("text")).as("fp"))
+    assert(fps.count() == fps.distinct().count())
+    // complement partition holds here too
+    assert(ids(kept) ++ ids(op.rejected(docs)) == allIds)
+  }
+
+  test("bucketed cosine dedup keeps a superset of brute-force (bucketing prunes candidates)") {
+    val emb = table("embeddings")
+    val brute = new EmbeddingCosineDedup(vecCol = "embedding", idCol = "vec_id", threshold = 0.35)
+    val withBucket = emb.withColumn("bk",
+      AnnSearch.signBucket(col("embedding"), 0 until 4))
+    val bucketed = new EmbeddingCosineDedup(vecCol = "embedding", idCol = "vec_id",
+      threshold = 0.35, bucketCol = Some("bk"))
+    assert(ids(brute(emb), "vec_id").subsetOf(ids(bucketed(withBucket), "vec_id")))
+  }
+
+  test("ann lsh top-k results are a subset of brute-force top-k candidates by construction") {
+    val emb = table("embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+    val brute = AnnSearch.bruteForceTopK(emb, q, "embedding", "vec_id", k = 50)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = AnnSearch.lshTopK(emb, q, "embedding", "vec_id", k = 5, coords = 0 until 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.nonEmpty)
+    // lsh results all score within the brute-force top-50 (bucket contains the query itself)
+    assert(lsh.subsetOf(brute), s"${lsh -- brute}")
+  }
+}

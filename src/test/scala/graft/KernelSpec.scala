@@ -1,0 +1,157 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.plans.kernels
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fused kernel expressions must be bit-identical to the declarative
+  * Catalyst forms they replace (that's the whole contract that lets the
+  * DuckDB oracles keep passing after the swap). Checked two ways: direct
+  * expression eval with ScalaCheck generators, and whole-column parity on
+  * the fixture documents table.
+  */
+class KernelSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Minimal ScalaCheck bridge (scalatestplus isn't in the offline cache). */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def evalLongArray(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Long] = {
+    val r = e.eval(null)
+    if (r == null) null
+    else r.asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
+  // ---- direct eval properties (no Spark jobs) ----
+
+  test("tokenizeJvm: no empty tokens, no surrounding whitespace, lowercase result") {
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "), Gen.const("\t"),
+      Gen.const("\n"), Gen.const("MiXeD"))).map(_.mkString)
+    check(Prop.forAll(gen) { s =>
+      val toks = kernels.tokenizeJvm(UTF8String.fromString(s))
+      toks.forall(t => t.nonEmpty && t == t.toLowerCase && t.trim == t)
+    })
+  }
+
+  test("ShingleHashes equals hash(shingle strings) computed by hand") {
+    val text = "  The quick\tbrown Fox  jumps over\nthe lazy dog "
+    val toks = "the quick brown fox jumps over the lazy dog".split(' ')
+    val expected = toks.sliding(3).map(_.mkString(" "))
+      .map(s => kernels.portableHashJvm(UTF8String.fromString(s))).toSeq.distinct
+    val got = evalLongArray(kernels.ShingleHashes(Literal(UTF8String.fromString(text), StringType), 3))
+    assert(got == expected)
+  }
+
+  test("ShingleHashes: fewer than w tokens yields an empty array, not null") {
+    val got = evalLongArray(kernels.ShingleHashes(Literal(UTF8String.fromString("one two"), StringType), 3))
+    assert(got == Seq.empty)
+  }
+
+  test("MinHashFromHashes: signature of a union is the element-wise min of signatures") {
+    val genArr = Gen.nonEmptyListOf(Gen.choose(0L, 1L << 59)).map(_.distinct)
+    check(Prop.forAll(genArr, genArr) { (a, b) =>
+      def sig(xs: Seq[Long]): Seq[Long] = evalLongArray(kernels.MinHashFromHashes(
+        Literal.create(xs, ArrayType(LongType, containsNull = false)), 8, true))
+      val u = sig((a ++ b).distinct)
+      val m = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+      u == m
+    })
+  }
+
+  test("MinHashFromHashes on empty input is null (no signature for shingle-less docs)") {
+    val r = kernels.MinHashFromHashes(
+      Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)), 8, true).eval(null)
+    assert(r == null)
+  }
+
+  test("ArrayJaccard: identity=1, disjoint=0, symmetric") {
+    val t = ArrayType(LongType, containsNull = false)
+    def jac(a: Seq[Long], b: Seq[Long]): Any =
+      kernels.ArrayJaccard(Literal.create(a, t), Literal.create(b, t)).eval(null)
+    assert(jac(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 1.0)
+    assert(jac(Seq(1L, 2L), Seq(3L, 4L)) == 0.0)
+    val genArr = Gen.nonEmptyListOf(Gen.choose(0L, 64L)).map(_.distinct)
+    check(Prop.forAll(genArr, genArr) { (a, b) => jac(a, b) == jac(b, a) })
+  }
+
+  test("SimHash of a single token equals that token's hash bit pattern") {
+    val tok = UTF8String.fromString("hello")
+    val h = kernels.portableHashJvm(tok)
+    val got = kernels.SimHash(Literal.create(Seq("hello"),
+      ArrayType(StringType, containsNull = false)), 32).eval(null)
+    assert(got == (h & 0xFFFFFFFFL))
+  }
+
+  test("ArrayCosine: cos(v,v)=1 for nonzero v, zero vector yields null") {
+    val t = ArrayType(DoubleType, containsNull = false)
+    def cos(a: Seq[Double], b: Seq[Double]): Any =
+      kernels.ArrayCosine(Literal.create(a, t), Literal.create(b, t)).eval(null)
+    val c = cos(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)).asInstanceOf[Double]
+    assert(math.abs(c - 1.0) < 1e-12)
+    assert(cos(Seq(0.0, 0.0), Seq(1.0, 2.0)) == null)
+  }
+
+  // ---- whole-column parity against the declarative Catalyst forms ----
+
+  private lazy val docs = table("documents").select(col("doc_id"), col("text"))
+
+  test("fused ShingleHashes set-equals the declarative tokensOf→shingles→hash chain") {
+    val declarative = array_sort(array_distinct(kernels.hash_array(
+      TextFunctions.shingles(TextFunctions.tokensOf(col("text")), 3))))
+    val fused = array_sort(kernels.shingle_hashes(col("text"), 3))
+    val diff = docs.select(declarative.as("a"), fused.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("fused MinHashFromHashes equals MinHashSignature over shingle strings") {
+    val strings = array_distinct(TextFunctions.shingles(TextFunctions.tokensOf(col("text")), 3))
+    val viaStrings = kernels.minhash_signature(strings, 16, portable = true)
+    val viaHashes = kernels.minhash_from_hashes(kernels.shingle_hashes(col("text"), 3), 16, portable = true)
+    val diff = docs.select(viaStrings.as("a"), viaHashes.as("b"))
+      .filter(size(col("b")) > 0)
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("tokenizeJvm matches the Catalyst tokensOf column on every fixture text") {
+    val rows = docs.select(col("text"), TextFunctions.tokensOf(col("text")).as("toks")).collect()
+    rows.foreach { r =>
+      val jvm = kernels.tokenizeJvm(UTF8String.fromString(
+        if (r.isNullAt(0)) "" else r.getString(0))).toSeq
+      val catalyst = r.getSeq[String](1)
+      assert(jvm == catalyst, s"text=${r.get(0)}")
+    }
+  }
+
+  test("portableHashJvm matches the portableHash64 Catalyst column") {
+    val rows = docs.limit(200)
+      .select(col("text"), HashFunctions.portableHash64(col("text")).as("h"))
+      .filter(col("text").isNotNull).collect()
+    rows.foreach { r =>
+      assert(kernels.portableHashJvm(UTF8String.fromString(r.getString(0))) == r.getLong(1))
+    }
+  }
+
+  test("ArrayCosine column matches the declarative dot/norm form") {
+    val emb = table("embeddings")
+    val declarative = graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")) /
+      (graft.functions.VectorFunctions.norm2(col("embedding")) *
+        graft.functions.VectorFunctions.norm2(col("embedding")))
+    val diff = emb.select(
+        kernels.array_cosine(col("embedding"), col("embedding")).as("a"),
+        declarative.as("b"))
+      .filter(abs(col("a") - col("b")) > 1e-12).count()
+    assert(diff == 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.queries.{NearDup, Relational}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the optimizations the engine's 100 TB
+  * posture depends on must actually appear in the executed plan — pushed
+  * scan filters, pruned scan schemas, broadcast joins for small dims,
+  * top-k without a global sort, and exactly one shuffle per dedup.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val byName = (Relational.queries ++ NearDup.queries).map(q => q.name -> q).toMap
+  private def plan(name: String): String = planOf(byName(name).run(spark, sfDir))
+  private def fmtPlan(name: String): String = planFormatted(byName(name).run(spark, sfDir))
+
+  test("q2 scan carries both pushed filters") {
+    val p = fmtPlan("q2_filter_prune")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q2 scan schema is pruned to the 5 needed columns") {
+    val p = fmtPlan("q2_filter_prune")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+    // untouched wide columns must NOT be scanned
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("q3 star join broadcasts both dimension tables") {
+    val p = plan("q3_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q3 aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg\n" + p)
+  }
+
+  test("q5 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q5_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q7 plans a broadcast or shuffled semi join") {
+    assert(plan("q7_semijoin").contains("LeftSemi"), plan("q7_semijoin"))
+  }
+
+  test("q8 plans an anti join") {
+    assert(plan("q8_antijoin").contains("LeftAnti"), plan("q8_antijoin"))
+  }
+
+  test("exact dedup shuffles exactly once (the key exchange IS the bucketed state)") {
+    val dedup = graft.operators.dedup.TextExactDedup(
+      textCol = "text", idCol = "doc_id", orderCol = "doc_id")
+    val p = planOf(dedup(table("documents")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
+  }
+
+  test("simhash dedup fingerprint rides a single projection + one exchange") {
+    val op = new graft.operators.dedup.SimHashDedup(
+      textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
+    val p = planOf(op(table("documents")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
+    val emb = table("embeddings")
+    val df = graft.operators.vector.AnnSearch.bruteForceTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0),
+      "embedding", "vec_id", k = 10)
+    val p = planOf(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("flagship pipeline fuses filters into the scan stage (no mid-chain exchange)") {
+    val df = SparkEntry.entry(spark)
+    val p = planOf(df)
+    // url filter + length filter are narrow; only the dedup key exchange shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+}
