@@ -267,6 +267,44 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Index (0-based) of the nearest centroid by squared L2 distance —
+    * the assignment step of k-means bucketing (broadcast centroids, one
+    * pass per row, no k-way row blowup). Accumulation is left-to-right in
+    * double, matching the DuckDB list_reduce twin bit-for-bit; ties keep
+    * the lowest centroid index (strict `<`), matching the twin's
+    * `ORDER BY dist, cid` first-wins.
+    */
+  case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    require(centroids.nonEmpty)
+    override def dataType: DataType = IntegerType
+    private val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val at = elemType
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        val n = math.min(a.numElements(), cent.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val diff = arrayDouble(a, at, i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Exact Jaccard of two arrays (string or long elements) via hash sets —
     * the verification step of the near-dup joins.
     */
@@ -307,6 +345,8 @@ object kernels {
     expr2col(MinHashFromHashes(colExpr(hs), numHashes, portable))
   def shingle_hashes(text: Column, w: Int): Column = expr2col(ShingleHashes(colExpr(text), w))
   def simhash_bits(hs: Column, bits: Int): Column = expr2col(SimHash(colExpr(hs), bits))
+  def nearest_centroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    expr2col(NearestCentroid(colExpr(vec), centroids))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
   def array_jaccard(a: Column, b: Column): Column = expr2col(ArrayJaccard(colExpr(a), colExpr(b)))
 

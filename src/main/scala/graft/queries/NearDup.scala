@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.dedup.{MinHashLSHDedup, NgramJaccardDedup, SimHashDedup}
+import graft.operators.ml.KMeansBuckets
 import graft.operators.vector.{AnnSearch, EmbeddingCosineDedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection + similarity search queries — the
@@ -38,6 +40,30 @@ object NearDup {
 
   private val cosineDedupOp = new EmbeddingCosineDedup(
     vecCol = "embedding", idCol = "vec_id", threshold = 0.35)
+
+  // The 100 TB semantic-dedup path: k-means cluster id as the dedup bucket
+  // (the reference's cluster-bucketed design, framework/backend.py:89-93).
+  // Centroids = first-k embeddings: deterministic, hence oracle-checkable.
+  private val kmeansOp = new KMeansBuckets(
+    vecCol = "embedding", outputCol = "cluster_id", k = 8)
+
+  private val cosineBucketedOp = new EmbeddingCosineDedup(
+    vecCol = "embedding", idCol = "vec_id", threshold = 0.35,
+    bucketCol = Some("cluster_id"))
+
+  /** embeddings + deterministic first-k cluster assignment (cluster_id =
+    * the centroid row's vec_id, matching the SQL twin's `_cid`).
+    */
+  private def withClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cents = emb.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+    val ids = cents.map(_.getLong(0)).toSeq
+    val vecs = cents.map(_.getSeq[Double](1).toSeq).toSeq
+    emb.withColumn("cluster_id",
+      element_at(typedLit(ids), kmeansOp.assignFixed(col("embedding"), vecs) + 1))
+  }
 
   // 4 sign bits → 16 buckets over the fixture's 500-2000 vectors: buckets
   // stay large enough that top-5 within the query's bucket is non-vacuous.
@@ -92,6 +118,25 @@ object NearDup {
       (s, dir) => cosineDedupOp(Tables(s, dir, "embeddings"))
         .select(col("vec_id")).orderBy(col("vec_id")),
       Some(cosineDedupOp.keepSql("embeddings"))),
+
+    OracleQuery("kmeans_assign",
+      (s, dir) => withClusters(s, dir)
+        .select(col("vec_id"), col("cluster_id")).orderBy(col("vec_id")),
+      Some(s"""WITH ${kmeansOp.assignCteSql("embeddings", "vec_id")}
+              |SELECT id AS vec_id, cluster_id FROM _assigned
+              |ORDER BY vec_id""".stripMargin)),
+
+    OracleQuery("embedding_cosine_dedup_bucketed",
+      (s, dir) => cosineBucketedOp(withClusters(s, dir))
+        .select(col("vec_id")).orderBy(col("vec_id")),
+      Some(s"""WITH ${kmeansOp.assignCteSql("embeddings", "vec_id")},
+              |v AS (SELECT e.vec_id AS id, e.embedding AS emb, a.cluster_id AS bk
+              |  FROM embeddings e JOIN _assigned a ON a.id = e.vec_id),
+              |ver AS (SELECT a.id AS d1, b.id AS d2
+              |  FROM v a JOIN v b ON a.bk = b.bk AND a.id < b.id
+              |  WHERE ${graft.functions.VectorFunctions.cosineSql("a.emb", "b.emb")} >= 0.35)
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT d2 FROM ver) ORDER BY vec_id""".stripMargin)),
 
     OracleQuery("ann_bruteforce_topk",
       (s, dir) => {
