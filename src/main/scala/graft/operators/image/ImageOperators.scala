@@ -1,0 +1,109 @@
+package graft.operators.image
+
+import graft.core.{Deduplicator, Operator, RowFilter}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Adds `image_width`, `image_height`, `image_file_size_bytes`,
+  * `image_format` from the HF-style image struct column (`{bytes}`).
+  * Decode failure → (0, 0, len, "ERROR"); missing image → (0, 0, 0,
+  * "ERROR") — exact failure semantics of the reference's
+  * ImageMetadataRefiner (image_metadata.py:35-58).
+  *
+  * One decode per row (the metadata tuple comes from a single UDF call —
+  * Catalyst keeps non-cheap expressions in their own Project, so the
+  * struct is evaluated once and field-extracted); file size is native
+  * `octet_length`, no decode at all.
+  */
+final class ImageMetadataRefiner(imageCol: String = "image") extends Operator {
+  val name = "image_metadata"
+
+  def apply(df: DataFrame): DataFrame = {
+    val bytes = col(s"$imageCol.bytes")
+    df.withColumn("_meta", ImageOps.metadataUdf(bytes))
+      .withColumn("image_width", col("_meta._1"))
+      .withColumn("image_height", col("_meta._2"))
+      .withColumn("image_file_size_bytes",
+        coalesce(octet_length(bytes).cast("long"), lit(0L)))
+      .withColumn("image_format", col("_meta._3"))
+      .drop("_meta")
+  }
+}
+
+/** Adds `image_compression_artifacts` and `image_information_entropy`
+  * (blockiness/compression formula + mean per-channel Shannon entropy,
+  * ported from image_ops.rs:13-146; refiners/image_technical_quality.py
+  * declares the same outputs). Failure → (0.0, 0.0). Also exposes
+  * `image_blockiness` — the pixel-pure component, oracle-checkable
+  * independently of encoder byte sizes.
+  */
+final class ImageTechnicalQualityRefiner(imageCol: String = "image") extends Operator {
+  val name = "image_technical_quality"
+
+  def apply(df: DataFrame): DataFrame = {
+    val bytes = col(s"$imageCol.bytes")
+    df.withColumn("_q", ImageOps.qualityUdf(bytes))
+      .withColumn("image_compression_artifacts", col("_q._1"))
+      .withColumn("image_information_entropy", col("_q._2"))
+      .drop("_q")
+  }
+
+  def blockinessCol(df: DataFrame): Column = ImageOps.blockinessUdf(col(s"$imageCol.bytes"))
+}
+
+/** Keep if `width ≥ minWidth ∧ height ≥ minHeight ∧ artifacts ≤
+  * maxCompressionArtifacts ∧ entropy ≥ minInformationEntropy`; missing
+  * columns default to 0 — reference ImageQualityFilter semantics
+  * (image_quality_filter.py:19-56; defaults 256/256/0.8/3.0, configs use
+  * smaller mins, configs/z_image.yaml:16-20). Consumes the refiners'
+  * columns: pure Catalyst conjunction, no decode.
+  */
+final class ImageQualityFilter(
+    minWidth: Int = 256,
+    minHeight: Int = 256,
+    maxCompressionArtifacts: Double = 0.8,
+    minInformationEntropy: Double = 3.0) extends RowFilter {
+
+  val name = "image_quality_filter"
+
+  def keep(df: DataFrame): Column = {
+    def c(n: String, default: Double): Column =
+      if (df.columns.contains(n)) coalesce(col(n).cast("double"), lit(default)) else lit(default)
+    c("image_width", 0) >= minWidth &&
+      c("image_height", 0) >= minHeight &&
+      c("image_compression_artifacts", 0.0) <= maxCompressionArtifacts &&
+      c("image_information_entropy", 0.0) >= minInformationEntropy
+  }
+
+  /** DuckDB twin over a table already carrying the four quality columns. */
+  def keepSql: String =
+    s"(coalesce(image_width, 0) >= $minWidth AND coalesce(image_height, 0) >= $minHeight" +
+      s" AND coalesce(image_compression_artifacts, 0.0) <= $maxCompressionArtifacts" +
+      s" AND coalesce(image_information_entropy, 0.0) >= $minInformationEntropy)"
+}
+
+/** First-wins dedup on the perceptual hash; undecodable images fall back
+  * to the record id as key (kept — reference behavior,
+  * image_phash_dedup.py:78-84). Exact-match on the hash string, like the
+  * reference (no hamming-distance search — its own NOTE at
+  * image_phash_dedup.py:30); near-identical images map to equal hashes
+  * through the DCT low-frequency construction (asserted in ImageSpec).
+  * A precomputed `phash` column is reused when present
+  * (image_phash_dedup.py:47-51).
+  */
+final class ImagePhashDedup(
+    imageCol: String = "image",
+    idCol: String = "id",
+    orderCol: String = "id") extends Deduplicator {
+
+  override val name = "image_phash_dedup"
+
+  def key(df: DataFrame): Column = {
+    val computed =
+      if (df.columns.contains("phash")) col("phash")
+      else ImageOps.phashUdf(col(s"$imageCol.bytes"))
+    coalesce(computed, col(idCol).cast("string"))
+  }
+  def order(df: DataFrame): Column = col(orderCol)
+  def representative(df: DataFrame): Column = col(idCol)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.image.{ImageMetadataRefiner, ImageOps, ImagePhashDedup, ImageQualityFilter, ImageTechnicalQualityRefiner}
+import graft.sources.SyntheticImages
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Image kernel + operator behavior the oracle gate can't see: lossless
+  * decode roundtrip (the premise of the numpy-parity oracle), file-size
+  * semantics, total-function failure behavior, and the perceptual-hash
+  * robustness/discrimination properties that justify exact-match dedup.
+  */
+class ImageSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("PNG roundtrip is lossless: decoded pixels equal the generator spec") {
+    for (id <- Seq(1L, 2L, 3L, 7L)) {
+      val (w, h, px) = SyntheticImages.pixels(id)
+      val d = ImageOps.decode(SyntheticImages.encode(id)).get
+      assert(d.width == w && d.height == h && d.format == "PNG")
+      assert(d.rgb.sameElements(px), s"pixel drift for id=$id")
+    }
+  }
+
+  test("decode is total: garbage and empty input yield None, never throw") {
+    assert(ImageOps.decode(SyntheticImages.encode(54L)).isEmpty)
+    assert(ImageOps.decode(Array.empty[Byte]).isEmpty)
+    assert(ImageOps.decode(null).isEmpty)
+    assert(ImageOps.decode(Array.fill(256)(0x42.toByte)).isEmpty)
+  }
+
+  test("JPEG decodes with correct dims and format (pixels lossy, not asserted)") {
+    val d = ImageOps.decode(SyntheticImages.encode(58L)).get
+    assert(d.width == 138 && d.height == 104 && d.format == "JPEG")
+  }
+
+  test("image_file_size_bytes is the byte length; 0 for missing image") {
+    val out = new ImageMetadataRefiner("image")(SyntheticImages.df(spark))
+      .select(col("id"), col("image_file_size_bytes"), octet_length(col("image.bytes")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    out.foreach { case (id, size, len) =>
+      if (SyntheticImages.NullIds(id)) assert(size == 0L)
+      else assert(size == len && size > 0L, s"id=$id")
+    }
+  }
+
+  test("compression artifacts = clamp(blockiness*0.6 + compression*0.4) consistency") {
+    for (id <- Seq(1L, 3L, 2L, 0L)) {
+      val bytes = SyntheticImages.encode(id)
+      val d = ImageOps.decode(bytes).get
+      val ratio = bytes.length.toDouble / (d.width.toLong * d.height * 3)
+      val expected = math.min(1.0, math.max(0.0,
+        ImageOps.blockiness(d) * 0.6 + (1.0 - math.min(1.0, ratio * 2.0)) * 0.4))
+      assert(ImageOps.compressionArtifacts(d, bytes.length) == expected)
+    }
+  }
+
+  test("phash: identical pixels → identical hash; dups drop with provenance") {
+    val op = new ImagePhashDedup("image", idCol = "id", orderCol = "id")
+    val fix = SyntheticImages.df(spark).filter(col("id") <= 57)
+    val rejected = op.rejected(fix)
+      .select(col("id"), col("_rejection_details.representative_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rejected == Map(50L -> 1L, 51L -> 2L, 52L -> 3L, 53L -> 6L))
+  }
+
+  test("phash is perturbation-robust: lightly noised image stays near, other images far") {
+    // robustness is meaningful on broad-spectrum content (id 3, noise
+    // pattern): a smooth gradient's low-freq block is mostly ±ε floats
+    // whose signs are chaotic under perturbation — degenerate for ANY
+    // DCT hash (the reference's exact-match phash shares this), so the
+    // smooth case is covered by exact-duplicate tests only.
+    val (w, h, px) = SyntheticImages.pixels(3L)
+    // nudge ~2% of pixels by +4 per channel — visually identical image
+    val perturbed = px.zipWithIndex.map { case (p, i) =>
+      if (i % 53 == 0) {
+        val r = math.min(((p >> 16) & 0xFF) + 4, 255)
+        val g = math.min(((p >> 8) & 0xFF) + 4, 255)
+        val b = math.min((p & 0xFF) + 4, 255)
+        (r << 16) | (g << 8) | b
+      } else p
+    }
+    val near = ImageOps.hamming(
+      ImageOps.phash(SyntheticImages.encode(3L)).get,
+      ImageOps.phash(SyntheticImages.encodeAs(w, h, perturbed, "png")).get)
+    val far = ImageOps.hamming(
+      ImageOps.phash(SyntheticImages.encode(3L)).get,
+      ImageOps.phash(SyntheticImages.encode(7L)).get)
+    assert(near < 48 && far > 64, s"near=$near far=$far")
+  }
+
+  test("phash discriminates: distinct noise images have distant hashes") {
+    def ph(id: Long) = ImageOps.phash(SyntheticImages.encode(id)).get
+    val d = ImageOps.hamming(ph(3L), ph(7L))
+    assert(d > 64, s"noise-vs-noise hamming $d — hash is degenerate")
+  }
+
+  test("quality filter keeps/rejects partition the fixture; ERROR rows rejected") {
+    val f = new ImageQualityFilter(64, 64, 0.8, 3.0)
+    val enriched = new ImageTechnicalQualityRefiner("image")(
+      new ImageMetadataRefiner("image")(SyntheticImages.df(spark).filter(col("id") <= 57)))
+    val kept = f(enriched).select(col("id")).collect().map(_.getLong(0)).toSet
+    val rej = f.rejected(enriched).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert((kept & rej).isEmpty && (kept ++ rej).size == 58)
+    assert((SyntheticImages.GarbageIds ++ SyntheticImages.NullIds).forall(rej))
+  }
+}
