@@ -10,7 +10,8 @@ object SparkEntry {
 
   /** Every gate-checked query, grouped by area. */
   def catalog: Seq[OracleQuery] =
-    Relational.queries ++ Curation.queries ++ NearDup.queries ++ ImageQueries.queries
+    Relational.queries ++ Curation.queries ++ NearDup.queries ++
+      ImageQueries.queries ++ MetricsQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

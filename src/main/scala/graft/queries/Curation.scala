@@ -16,7 +16,7 @@ object Curation {
 
   // --- deterministic synthetic URL (documents has no url column; both
   // engines derive the same one from doc fields) ---
-  private def urlCol: Column = {
+  private[queries] def urlCol: Column = {
     val host = when(pmod(col("doc_id"), lit(10)) === 3, concat(col("source"), lit(".badsite.example")))
       .when(pmod(col("doc_id"), lit(10)) === 7, lit("en.wikipedia.org"))
       .otherwise(concat(col("source"), lit(".example.com")))
@@ -27,7 +27,7 @@ object Curation {
       lit("/"), col("doc_id").cast("string"))
   }
 
-  private val urlSql: String =
+  private[queries] val urlSql: String =
     "('https://' || (CASE WHEN doc_id % 10 = 3 THEN source || '.badsite.example' " +
       "WHEN doc_id % 10 = 7 THEN 'en.wikipedia.org' " +
       "ELSE source || '.example.com' END) || '/' || lang || '/' || " +
@@ -35,14 +35,14 @@ object Curation {
       "WHEN doc_id % 9 = 4 THEN 'buy-now' ELSE 'article' END) " +
       "|| '/' || CAST(doc_id AS VARCHAR))"
 
-  private val urlFilterOp = new UrlFilter(
+  private[queries] val urlFilterOp = new UrlFilter(
     blockedDomains = Seq("badsite.example"),
     excludeQualitySources = true)
 
-  private val lengthOp = new TextLengthFilter(
+  private[queries] val lengthOp = new TextLengthFilter(
     minLength = 100, maxLength = Some(400), textCol = "text", lengthCol = Some("n_chars"))
 
-  private val exactDedupOp = TextExactDedup(
+  private[queries] val exactDedupOp = TextExactDedup(
     textCol = "text", idCol = "doc_id", orderCol = "doc_id", hashAlgorithm = "portable")
 
   /** First-wins dedup on a normalized 30-char text prefix — produces real
