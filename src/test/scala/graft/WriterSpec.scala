@@ -1,0 +1,96 @@
+package graft
+
+import graft.core.Pipeline
+import graft.io.{ParquetDataWriter, RejectedWriter}
+import graft.metrics.{HtmlReport, MetricsRollup, OperatorCounts}
+import graft.operators.dedup.TextExactDedup
+import graft.operators.text.TextLengthFilter
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** W1 writer semantics (partition layout, nested/JSON key extraction,
+  * sanitization, unknown fallback) and the end-to-end pipeline → passed +
+  * rejected write → read-back complement check.
+  */
+class WriterSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_writer").toString
+
+  test("partitioned write produces sanitized hive-style directories") {
+    val dir = tmp()
+    val df = spark.range(6).toDF("id")
+      .withColumn("src", concat(lit("s rc/"), (col("id") % 2).cast("string")))
+    new ParquetDataWriter(dir, "docs", partitionBy = Some("src")).write(df)
+    val parts = new java.io.File(s"$dir/docs").listFiles().map(_.getName)
+      .filter(_.startsWith("src=")).sorted
+    assert(parts.toSeq == Seq("src=s_rc_0", "src=s_rc_1"))
+    assert(spark.read.parquet(s"$dir/docs").count() == 6)
+  }
+
+  test("nested struct extractor and null → unknown") {
+    val dir = tmp()
+    val df = spark.range(4).toDF("id")
+      .withColumn("meta", when(col("id") < 3,
+        struct(concat(lit("op"), (col("id") % 2).cast("string")).as("operator"))))
+    new ParquetDataWriter(dir, "t", partitionBy = Some("op"),
+      partitionKeyExtractor = Some("meta.operator")).write(df)
+    val parts = new java.io.File(s"$dir/t").listFiles().map(_.getName)
+      .filter(_.startsWith("op=")).sorted
+    assert(parts.toSeq == Seq("op=op0", "op=op1", "op=unknown"))
+  }
+
+  test("JSON-string column mid-path is parsed with get_json_object") {
+    val dir = tmp()
+    val df = spark.range(2).toDF("id")
+      .withColumn("payload", concat(lit("""{"kind":{"name":"k"""),
+        col("id").cast("string"), lit(""""}}""")))
+    new ParquetDataWriter(dir, "t", partitionBy = Some("k"),
+      partitionKeyExtractor = Some("payload.kind.name")).write(df)
+    val parts = new java.io.File(s"$dir/t").listFiles().map(_.getName)
+      .filter(_.startsWith("k=")).sorted
+    assert(parts.toSeq == Seq("k=k0", "k=k1"))
+  }
+
+  test("end-to-end: pipeline run → passed + rejected writes → complement reads back") {
+    val dir = tmp()
+    val docs = table("documents")
+    // prefix dedup guarantees duplicate groups on the tiny fixture
+    val prefixDedup = new graft.operators.dedup.ExactDedup("prefix_dedup",
+      d => graft.functions.TextFunctions.normalizeText(substring(col("text"), 1, 30)),
+      orderCol = "doc_id", repCol = "doc_id")
+    val pipeline = Pipeline("p", Seq(
+      new TextLengthFilter(minLength = 100, maxLength = Some(400),
+        textCol = "text", lengthCol = Some("n_chars")),
+      prefixDedup))
+    val result = pipeline.run(docs)
+    new ParquetDataWriter(dir, "docs").write(result.passed)
+    RejectedWriter.write(result, dir, "docs")
+
+    val passed = spark.read.parquet(s"$dir/docs")
+    val rejected = spark.read.parquet(s"${dir}_rejected/docs_rejected")
+    assert(passed.count() + rejected.count() == docs.count())
+    // rejects partitioned by rejecting operator; expect one partition per
+    // operator that actually rejected rows, and at least the filter + dedup
+    val expected = result.rejected.collect { case (n, df) if df.count() > 0 => n }.toSet
+    assert(expected == Set("text_length_filter", "prefix_dedup"))
+    val ops = rejected.select(col("operator")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ops == expected)
+    val dirs = new java.io.File(s"${dir}_rejected/docs_rejected").listFiles()
+      .map(_.getName).filter(_.startsWith("operator=")).toSet
+    assert(dirs == expected.map("operator=" + _))
+  }
+
+  test("html report renders counts and escapes content") {
+    val run = MetricsRollup.run("run_x<y>", Seq(MetricsRollup.stage("s&1", Seq(
+      OperatorCounts(0, "op<a>", 100, 60, 1.5)))), 2.0)
+    val html = HtmlReport.render(run)
+    assert(html.contains("run_x&lt;y&gt;") && html.contains("s&amp;1") && html.contains("op&lt;a&gt;"))
+    assert(html.contains("<td>100</td>") && html.contains("<td>60</td>"))
+    val f = tmp() + "/report.html"
+    HtmlReport.write(run, f)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(f)) > 0)
+  }
+}
