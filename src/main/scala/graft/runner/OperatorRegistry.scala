@@ -1,0 +1,102 @@
+package graft.runner
+
+import graft.core.Operator
+import graft.operators.dedup._
+import graft.operators.image._
+import graft.operators.text._
+import graft.operators.vector.EmbeddingCosineDedup
+
+/** Name → factory registry, the reference's extension contract
+  * (framework/registry.py:13-57; README "subclass, register, reference
+  * from YAML by snake_case name"). Built-in operators are pre-registered;
+  * users add their own with [[register]].
+  */
+object OperatorRegistry {
+
+  type Factory = Params => Operator
+
+  private val factories =
+    scala.collection.concurrent.TrieMap.empty[String, Factory]
+
+  def register(name: String, factory: Factory): Unit = factories.put(name, factory)
+
+  def create(name: String, params: Params): Operator =
+    factories.get(name) match {
+      case Some(f) => f(params)
+      case None => throw new IllegalArgumentException(
+        s"Operator '$name' not found in registry. Available operators: ${listOperators.mkString(", ")}")
+    }
+
+  def listOperators: Seq[String] = factories.keys.toSeq.sorted
+
+  // ---- built-ins (names match the reference's YAML vocabulary where an
+  // equivalent exists: configs/example_commoncrawl.yaml, z_image.yaml) ----
+
+  register("url_filter", p => new UrlFilter(
+    blockedDomains = p.strList("blocked_domains"),
+    scoreThreshold = p.double("score_threshold", 0.5),
+    checkSubdomains = p.bool("check_subdomains", true),
+    excludeQualitySources = p.bool("exclude_quality_sources", false),
+    urlCol = p.str("url_field", "url")))
+
+  register("text_length_filter", p => new TextLengthFilter(
+    minLength = p.long("min_length", 0L),
+    maxLength = p.long("max_length"),
+    textCol = p.str("text_field", "text"),
+    lengthCol = p.str("length_field")))
+
+  register("text_exact_deduplicator", p => TextExactDedup(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    orderCol = p.str("order_field").getOrElse(p.str("id_field", "id")),
+    hashAlgorithm = p.str("hash_algorithm", "xxhash64"),
+    normalizeWhitespace = p.bool("normalize_whitespace", true),
+    lowercase = p.bool("lowercase", true),
+    includeUrl = p.bool("include_url", false),
+    urlCol = p.str("url_field", "url")))
+
+  register("minhash_lsh_deduplicator", p => new MinHashLSHDedup(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    shingleWidth = p.int("shingle_width", 3),
+    numHashes = p.int("num_hashes", 16),
+    numBands = p.int("num_bands", 4),
+    threshold = p.double("threshold", 0.8),
+    maxBucketSize = p.long("max_bucket_size").map(_.toInt)))
+
+  register("ngram_jaccard_deduplicator", p => new NgramJaccardDedup(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    shingleWidth = p.int("shingle_width", 3),
+    threshold = p.double("threshold", 0.8),
+    maxDocFreq = p.long("max_doc_freq").map(_.toInt)))
+
+  register("simhash_deduplicator", p => new SimHashDedup(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    orderCol = p.str("order_field").getOrElse(p.str("id_field", "id")),
+    bits = p.int("bits", 32)))
+
+  register("embedding_cosine_deduplicator", p => new EmbeddingCosineDedup(
+    vecCol = p.str("embedding_field", "embedding"),
+    idCol = p.str("id_field", "id"),
+    threshold = p.double("threshold", 0.95),
+    bucketCol = p.str("bucket_field")))
+
+  register("image_metadata", p => new ImageMetadataRefiner(
+    imageCol = p.str("image_field", "image")))
+
+  register("image_technical_quality", p => new ImageTechnicalQualityRefiner(
+    imageCol = p.str("image_field", "image")))
+
+  register("image_quality_filter", p => new ImageQualityFilter(
+    minWidth = p.int("min_width", 256),
+    minHeight = p.int("min_height", 256),
+    maxCompressionArtifacts = p.double("max_compression_artifacts", 0.8),
+    minInformationEntropy = p.double("min_information_entropy", 3.0)))
+
+  register("image_phash_deduplicator", p => new ImagePhashDedup(
+    imageCol = p.str("image_field", "image"),
+    idCol = p.str("id_field", "id"),
+    orderCol = p.str("order_field").getOrElse(p.str("id_field", "id"))))
+}

@@ -1,0 +1,95 @@
+package graft.runner
+
+import graft.core.{Pipeline, PipelineResult}
+import graft.io.{ParquetDataWriter, RejectedWriter}
+import graft.metrics._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** YAML config → DataFrame chain → one terminal write, with optional
+  * rejected routing and metrics. The reference's whole executor topology
+  * (loader actors, stage pools, ObjectRef chaining, backpressure —
+  * framework/executor.py) collapses into Catalyst planning plus the DAG
+  * scheduler; the only shuffles are dedup key exchanges and the write
+  * (SURVEY.md §3.1).
+  */
+object PipelineRunner {
+
+  /** Source loaders (S1): sorted-file parquet/csv/jsonl — the
+    * HuggingFaceLoader's format surface (loaders/huggingface_loader.py:
+    * 42-74; deterministic sharding/resume come from the Spark source +
+    * checkpointing). `max_samples` maps to limit pushdown.
+    */
+  def load(spark: SparkSession, conf: LoaderConf): DataFrame = {
+    val p = conf.params
+    conf.tpe match {
+      case "ParquetLoader" | "HuggingFaceLoader" =>
+        p.str("format", "parquet") match {
+          case "parquet" => spark.read.parquet(p.str("path").get)
+          case "csv" => spark.read.option("header", p.bool("header", true).toString)
+            .option("inferSchema", "true").csv(p.str("path").get)
+          case "jsonl" | "json" => spark.read.json(p.str("path").get)
+          case other => throw new IllegalArgumentException(s"unknown format: $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown loader type: $other (supported: ParquetLoader, HuggingFaceLoader)")
+    }
+  }
+
+  final case class RunResult(run: RunRollup, outputPath: String, tableName: String)
+
+  def run(spark: SparkSession, conf: PipelineConf): RunResult = {
+    val t0 = System.nanoTime()
+    var df = load(spark, conf.loader)
+    conf.executor.maxSamples.foreach(n => df = df.limit(n.toInt))
+
+    // Instrument every stage's operator boundaries; the single terminal
+    // write below fills all counts in one pass.
+    val instrumented = conf.stages.map { st =>
+      val ops = st.operators.map(o => OperatorRegistry.create(o.name, o.params))
+      val metered = new MeteredPipeline(st.name, ops)
+      val (out, counts) = metered.instrument(df)
+      val pipeline = Pipeline(st.name, ops)
+      df = out
+      (st.name, counts, pipeline)
+    }
+
+    val wp = conf.writer.params
+    val outputPath = wp.str("output_path", "output")
+    val tableName = wp.str("table_name", "default")
+    val writer = conf.writer.tpe match {
+      case "ParquetDataWriter" => new ParquetDataWriter(
+        outputPath, tableName,
+        partitionBy = wp.str("partition_by"),
+        partitionKeyExtractor = wp.str("partition_key_extractor"),
+        compression = wp.str("compression", "snappy"))
+      case other => throw new IllegalArgumentException(s"unknown writer type: $other")
+    }
+    writer.write(df) // the one action — fills every observation
+
+    val stages = instrumented.map { case (name, counts, _) =>
+      MetricsRollup.stage(name, counts())
+    }
+
+    // Rejected branches: recompute per-operator complements and route
+    // them partitioned by operator (reference writes rejects eagerly per
+    // stage too, framework/worker.py:113-118).
+    if (conf.executor.rejectedEnabled) {
+      var cur = load(spark, conf.loader)
+      conf.executor.maxSamples.foreach(n => cur = cur.limit(n.toInt))
+      instrumented.foreach { case (_, _, pipeline) =>
+        val result: PipelineResult = pipeline.run(cur)
+        RejectedWriter.write(result, outputPath, tableName)
+        cur = result.passed
+      }
+    }
+
+    val durationSec = (System.nanoTime() - t0) / 1e9
+    val run = MetricsRollup.run(MetricsWriter.newRunId(), stages, durationSec)
+    if (conf.executor.metricsEnabled) {
+      val mp = conf.executor.metricsPath.getOrElse(s"$outputPath/_metrics")
+      MetricsWriter.write(spark, run, mp)
+      conf.executor.reportPath.foreach(rp => HtmlReport.write(run, rp))
+    }
+    RunResult(run, outputPath, tableName)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.runner.{OperatorRegistry, Params, PipelineConf, PipelineRunner}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** YAML config → registry → runner end-to-end: the reference's
+  * `mdf run -c config.yaml` lifecycle (SURVEY.md §3.1) on the fixture.
+  */
+class RunnerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def yaml(out: String): String =
+    s"""data_loader:
+       |  type: ParquetLoader
+       |  params:
+       |    format: parquet
+       |    path: "$sfDir/documents.parquet"
+       |stages:
+       |  - name: content_filtering
+       |    operators:
+       |      - name: text_length_filter
+       |        params:
+       |          min_length: 100
+       |          max_length: 400
+       |          text_field: "text"
+       |          length_field: "n_chars"
+       |      - name: text_exact_deduplicator
+       |        params:
+       |          text_field: "text"
+       |          id_field: "doc_id"
+       |data_writer:
+       |  type: ParquetDataWriter
+       |  params:
+       |    output_path: "$out"
+       |    table_name: "docs"
+       |    partition_by: "lang"
+       |executor:
+       |  rejected_samples:
+       |    enabled: true
+       |  metrics:
+       |    enabled: true
+       |    output_path: "$out/_metrics"
+       |    report_path: "$out/report.html"
+       |""".stripMargin
+
+  test("yaml parses into the config tree") {
+    val conf = PipelineConf.fromYaml(yaml("/tmp/x"))
+    assert(conf.loader.tpe == "ParquetLoader")
+    assert(conf.stages.map(_.name) == Seq("content_filtering"))
+    assert(conf.stages.head.operators.map(_.name) ==
+      Seq("text_length_filter", "text_exact_deduplicator"))
+    assert(conf.stages.head.operators.head.params.long("min_length") == Some(100L))
+    assert(conf.executor.rejectedEnabled && conf.executor.metricsEnabled)
+  }
+
+  test("end-to-end run: output + rejects + metrics + report, counts consistent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_run").toString + "/o"
+    val res = PipelineRunner.run(spark, PipelineConf.fromYaml(yaml(out)))
+
+    val docs = table("documents")
+    val written = spark.read.parquet(s"$out/docs")
+    val rejected = spark.read.parquet(s"${out}_rejected/docs_rejected")
+    assert(written.count() == res.run.output)
+    assert(written.count() + rejected.count() == docs.count())
+    assert(res.run.input == docs.count())
+    // partitioned by lang
+    assert(new java.io.File(s"$out/docs").listFiles()
+      .exists(_.getName.startsWith("lang=")))
+    // metrics written with counts matching the rollup
+    val runs = spark.read.parquet(s"$out/_metrics/runs")
+    val r = runs.select(col("total_input_records"), col("total_output_records")).head()
+    assert(r.getLong(0) == res.run.input && r.getLong(1) == res.run.output)
+    assert(spark.read.parquet(s"$out/_metrics/operators").count() == 2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/report.html")))
+  }
+
+  test("registry rejects unknown operators with the available list") {
+    val e = intercept[IllegalArgumentException] {
+      OperatorRegistry.create("nope", Params(Map.empty))
+    }
+    assert(e.getMessage.contains("not found in registry"))
+    assert(e.getMessage.contains("text_length_filter"))
+    assert(OperatorRegistry.listOperators.size >= 10)
+  }
+
+  test("cli runs the shipped example config") {
+    // the shipped example writes to /tmp/graft_out; clear between runs
+    val outDir = new java.io.File("/tmp/graft_out")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    if (outDir.exists()) rm(outDir)
+    rm(new java.io.File("/tmp/graft_out_rejected"))
+    val conf = PipelineConf.fromYamlFile("configs/example_pipeline.yaml")
+    val res = PipelineRunner.run(spark, conf)
+    assert(res.run.output > 0)
+    assert(new java.io.File("/tmp/graft_out/documents_curated").exists())
+  }
+}
