@@ -12,11 +12,9 @@ import org.apache.spark.sql.functions._
   * fingerprint bit b is 1 iff the sum is positive. Documents with equal
   * fingerprints are near-duplicates; first occurrence (by `orderCol`) wins.
   *
-  * This implementation dedups on EXACT fingerprint equality. The
-  * hamming-distance ≤ k extension is the standard block-permutation trick:
-  * split the fingerprint into k+1 blocks and LSH-join on each block
-  * (duplicates within distance k agree on ≥1 block) — same band-join shape
-  * as [[MinHashLSHDedup]]; exact-equality is the k=0 case.
+  * This implementation dedups on EXACT fingerprint equality; the
+  * hamming-distance ≤ k variant is [[SimHashNearDedup]] (block-permutation
+  * join — exact-equality is its k=0 case).
   *
   * The whole fingerprint is one Catalyst expression (unrolled over bit
   * positions at plan-build time — `shiftright` needs literal shifts), so it

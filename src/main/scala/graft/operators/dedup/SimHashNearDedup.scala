@@ -1,0 +1,78 @@
+package graft.operators.dedup
+
+import graft.core.{Operator, Rejection}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate dedup at hamming distance ≤ k — the
+  * block-permutation extension sketched in [[SimHashDedup]] (Manku et al.
+  * WWW'07): split the `bits`-wide fingerprint into k+1 equal blocks; two
+  * fingerprints within distance k must agree EXACTLY on at least one
+  * block (pigeonhole), so the per-block equality join finds every
+  * qualifying pair — no false negatives — and `bit_count(xor) ≤ k`
+  * verifies exactly. A row is DROPPED when an earlier row (smaller
+  * `idCol`) verifies within distance k; pairwise like [[MinHashLSHDedup]],
+  * not transitive closure.
+  *
+  * Scale shape: one fingerprint kernel pass, then the only shuffle is the
+  * (block-index, block-value) join — the same banded-LSH form as MinHash,
+  * with 8-byte keys. Exact-equality dedup is the k=0 special case.
+  */
+final class SimHashNearDedup(
+    textCol: String = "text",
+    idCol: String = "id",
+    bits: Int = 32,
+    k: Int = 3,
+    portableHashes: Boolean = true) extends Operator {
+
+  require(k >= 0 && bits % (k + 1) == 0,
+    s"bits ($bits) must divide into k+1 (${k + 1}) equal blocks")
+  private val numBlocks = k + 1
+  private val blockWidth = bits / numBlocks
+  private val mask = (1L << blockWidth) - 1
+
+  val name = "simhash_near_dedup"
+
+  private val fingerprint = new SimHashDedup(textCol, idCol, idCol, bits, portableHashes)
+
+  /** Verified pairs (d1 < d2, hamming(fp1, fp2) ≤ k). */
+  def verifiedPairs(df: DataFrame): DataFrame = {
+    val base = df.select(col(idCol).as("_id"),
+      fingerprint.simhash(col(textCol)).as("_fp"))
+    val blockVals = array((0 until numBlocks).map(b =>
+      shiftright(col("_fp"), b * blockWidth).bitwiseAND(lit(mask))): _*)
+    val bl = base.select(col("_id"), col("_fp"), posexplode(blockVals).as(Seq("_b", "_bv")))
+    val left = bl.select(col("_b"), col("_bv"), col("_id").as("d1"), col("_fp").as("f1"))
+    val right = bl.select(col("_b"), col("_bv"), col("_id").as("d2"), col("_fp").as("f2"))
+    left.join(right, Seq("_b", "_bv")).filter(col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+      .filter(bit_count(col("f1").bitwiseXOR(col("f2"))) <= k)
+      .select(col("d1"), col("d2"))
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  def rejected(df: DataFrame): DataFrame = {
+    val reps = verifiedPairs(df).groupBy(col("d2")).agg(min(col("d1")).as("_rep"))
+      .withColumnRenamed("d2", idCol)
+    df.join(reps, Seq(idCol))
+      .withColumn(Rejection.ColName,
+        Rejection.duplicate(name, lit(null).cast("string"), col("_rep")))
+      .drop("_rep")
+  }
+
+  // ---- DuckDB twin ----
+
+  def keepSql(table: String): String = {
+    require(portableHashes)
+    s"""WITH f AS (SELECT $idCol AS id, ${fingerprint.simhashSql(textCol)} AS fp FROM $table),
+       |bl AS (SELECT id, fp, b, (fp >> (b * $blockWidth)) & $mask AS bv
+       |  FROM f CROSS JOIN (SELECT unnest(range(0, $numBlocks)) AS b) bs),
+       |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2, a.fp AS f1, b.fp AS f2
+       |  FROM bl a JOIN bl b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id),
+       |ver AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(f1, f2)) <= $k)
+       |SELECT $idCol FROM $table WHERE $idCol NOT IN (SELECT d2 FROM ver)
+       |ORDER BY $idCol""".stripMargin
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.dedup.{MinHashLSHDedup, NgramJaccardDedup, SimHashDedup}
+import graft.operators.dedup.{MinHashLSHDedup, NgramJaccardDedup, SimHashDedup, SimHashNearDedup}
 import graft.operators.ml.KMeansBuckets
 import graft.operators.vector.{AnnSearch, EmbeddingCosineDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -37,6 +37,10 @@ object NearDup {
 
   private val simhashOp = new SimHashDedup(
     textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
+
+  // hamming ≤ 3 at 32 bits via 4-block permutation join
+  private val simhashNearOp = new SimHashNearDedup(
+    textCol = "text", idCol = "doc_id", bits = 32, k = 3)
 
   private val cosineDedupOp = new EmbeddingCosineDedup(
     vecCol = "embedding", idCol = "vec_id", threshold = 0.35)
@@ -113,6 +117,11 @@ object NearDup {
               |    PARTITION BY ${simhashOp.simhashSql("text")} ORDER BY doc_id) AS rn
               |  FROM documents) t
               |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("simhash_near_dedup",
+      (s, dir) => simhashNearOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(simhashNearOp.keepSql("documents"))),
 
     OracleQuery("embedding_cosine_dedup",
       (s, dir) => cosineDedupOp(Tables(s, dir, "embeddings"))

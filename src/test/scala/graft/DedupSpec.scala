@@ -84,6 +84,16 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.nonEmpty && rejected.nonEmpty, "degenerate filter config")
   }
 
+  test("simhash near-dedup (hamming<=k) drops a superset of exact-equality drops") {
+    import graft.operators.dedup.SimHashNearDedup
+    val exact = new SimHashDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
+    val near = new SimHashNearDedup(textCol = "text", idCol = "doc_id", bits = 32, k = 3)
+    val exactDrops = allIds -- ids(exact(docs))
+    val nearDrops = allIds -- ids(near(docs))
+    assert(exactDrops.subsetOf(nearDrops), s"${exactDrops -- nearDrops}")
+    assert(nearDrops.size > exactDrops.size, "k=3 found nothing beyond k=0 — vacuous fixture")
+  }
+
   test("simhash dedup keeps exactly one row per fingerprint") {
     val op = new SimHashDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
     val kept = op(docs)
