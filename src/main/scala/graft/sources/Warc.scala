@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CommonCrawl WARC source (S2) + HTML text extraction (S3).
+  *
+  * Reproduces the record semantics of the reference's CommonCrawlLoader
+  * (loaders/commoncrawl_loader.py:66-145): iterate WARC records, keep
+  * `WARC-Type: response` with `Content-Type: text/html` and ≥100 chars of
+  * body, extract readable text, reject extractions under 50 chars, and
+  * yield `(crawl_id, warc_path, url, warc_date, title, text,
+  * text_length)`. Extraction is a readability-style boilerplate strip
+  * (the reference uses a readability.js port, src/text_ops.rs:16-29 —
+  * exact DOM scoring is library-internal; ours removes
+  * script/style/nav/header/footer/aside subtrees, breaks on block tags,
+  * strips tags, and decodes common entities).
+  *
+  * Packaging is the SURVEY §7.3 disposition: `binaryFile` scan +
+  * `flatMap` — each WARC file is one task, parallelism = file count, no
+  * driver involvement. (Web-scale fetch/backoff is an ingest concern; the
+  * engine reads already-mirrored archives.)
+  */
+object Warc {
+
+  final case class WarcDoc(
+      crawl_id: String, warc_path: String, url: String, warc_date: String,
+      title: String, text: String, text_length: Long)
+
+  /** One parsed WARC record: headers + raw content block. */
+  final case class Record(headers: Map[String, String], content: Array[Byte])
+
+  private def maybeGunzip(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length > 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } else bytes
+
+  private val CrLfCrLf = "\r\n\r\n".getBytes("US-ASCII")
+  private val Magic = "WARC/".getBytes("US-ASCII")
+
+  /** Iterate WARC records (Content-Length framed, per ISO 28500). */
+  def records(fileBytes: Array[Byte]): Iterator[Record] = new Iterator[Record] {
+    private val bytes = maybeGunzip(fileBytes)
+    private var pos = 0
+    private var nextRec: Record = advance()
+
+    private def indexOf(pattern: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i <= bytes.length - pattern.length) {
+        var j = 0
+        while (j < pattern.length && bytes(i + j) == pattern(j)) j += 1
+        if (j == pattern.length) return i
+        i += 1
+      }
+      -1
+    }
+
+    private def advance(): Record = {
+      val start = indexOf(Magic, pos)
+      if (start < 0) return null
+      val headerEnd = indexOf(CrLfCrLf, start)
+      if (headerEnd < 0) return null
+      val headerText = new String(bytes, start, headerEnd - start, "UTF-8")
+      val headers = headerText.split("\r\n").drop(1).flatMap { line =>
+        val i = line.indexOf(':')
+        if (i > 0) Some(line.take(i).trim -> line.drop(i + 1).trim) else None
+      }.toMap
+      val len = headers.get("Content-Length").flatMap(_.toLongOption).getOrElse(0L).toInt
+      val contentStart = headerEnd + 4
+      val contentEnd = math.min(contentStart + len, bytes.length)
+      pos = contentEnd
+      Record(headers, java.util.Arrays.copyOfRange(bytes, contentStart, contentEnd))
+    }
+
+    def hasNext: Boolean = nextRec != null
+    def next(): Record = { val r = nextRec; nextRec = advance(); r }
+  }
+
+  /** Split an HTTP response payload into (headers, body). */
+  private[sources] def httpParts(content: Array[Byte]): (Map[String, String], Array[Byte]) = {
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
+    var i = 0
+    var found = -1
+    while (found < 0 && i <= content.length - sep.length) {
+      var j = 0
+      while (j < sep.length && content(i + j) == sep(j)) j += 1
+      if (j == sep.length) found = i else i += 1
+    }
+    if (found < 0) (Map.empty, content)
+    else {
+      val head = new String(content, 0, found, "UTF-8")
+      val headers = head.split("\r\n").drop(1).flatMap { line =>
+        val k = line.indexOf(':')
+        if (k > 0) Some(line.take(k).trim.toLowerCase -> line.drop(k + 1).trim) else None
+      }.toMap
+      (headers, java.util.Arrays.copyOfRange(content, found + 4, content.length))
+    }
+  }
+
+  private val entities = Seq(
+    "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
+
+  /** Readability-style main-content extraction: (title, text), or None
+    * when the remaining text is under 50 chars (text_ops.rs:24-27).
+    */
+  def htmlExtractText(html: String): Option[(String, String)] = {
+    val title = "(?is)<title[^>]*>(.*?)</title>".r
+      .findFirstMatchIn(html).map(_.group(1).trim).getOrElse("")
+    var s = html
+    s = s.replaceAll("(?is)<!--.*?-->", " ")
+    s = s.replaceAll("(?is)<(script|style|noscript|nav|header|footer|aside|form)[^>]*>.*?</\\1>", " ")
+    s = s.replaceAll("(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/section|/article)[^>]*>", "\n")
+    s = s.replaceAll("(?s)<[^>]+>", " ")
+    s = entities.foldLeft(s) { case (acc, (e, r)) => acc.replace(e, r) }
+    val text = s.linesIterator.map(_.replaceAll("\\s+", " ").trim)
+      .filter(_.nonEmpty).mkString("\n")
+    if (text.trim.isEmpty || text.length < 50) None else Some((title, text))
+  }
+
+  /** The loader: WARC files under `pathGlob` → text records. */
+  def load(spark: SparkSession, pathGlob: String, crawlId: String): Dataset[WarcDoc] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => extractDocs(crawlId, path, bytes) }
+  }
+
+  /** Pure per-file extraction (also the unit-test surface). */
+  def extractDocs(crawlId: String, path: String, bytes: Array[Byte]): Iterator[WarcDoc] =
+    records(bytes)
+      .filter(_.headers.get("WARC-Type").contains("response"))
+      .flatMap { rec =>
+        val url = rec.headers.getOrElse("WARC-Target-URI", "")
+        val date = rec.headers.getOrElse("WARC-Date", "")
+        val (http, body) = httpParts(rec.content)
+        val contentType = http.getOrElse("content-type", "")
+        if (!contentType.toLowerCase.contains("text/html")) None
+        else {
+          val html = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+          if (html.length < 100) None
+          else htmlExtractText(html).map { case (title, text) =>
+            WarcDoc(crawlId, path, url, date, title, text, text.length.toLong)
+          }
+        }
+      }
+}

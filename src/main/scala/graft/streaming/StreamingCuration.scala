@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incremental/streaming execution (SURVEY.md §2.9). The reference's
+  * "streaming" is pull-based incremental batch: loader actors pulling
+  * bounded batches (backpressure via max_in_flight), checkpoint =
+  * (shard, records_processed), and an unbounded global dedup key-set
+  * (framework/loader_worker.py:83-234, backend.py:39-66). Structured
+  * Streaming gives each a strictly stronger native form:
+  *
+  *  - incremental scan  → file source with `maxFilesPerTrigger`
+  *  - checkpoint/resume → `checkpointLocation` (exactly-once offsets)
+  *  - global dedup set  → `dropDuplicates` over the keyed state store
+  *    (hash-partitioned state = the reference's bucketed set actors;
+  *    use RocksDB state store at 100 B-key scale)
+  *
+  * Refiners and filters are narrow transformations, so the SAME operator
+  * objects run unchanged on a streaming frame — asserted in
+  * StreamingSpec.
+  */
+object StreamingCuration {
+
+  /** Incremental file source over a directory of parquet shards —
+    * `maxFilesPerTrigger` is the backpressure bound (the reference's
+    * max_in_flight batches).
+    */
+  def incrementalSource(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Global first-seen dedup on `key` across ALL triggers (unbounded
+    * keyed state) — the streaming twin of the batch window dedup.
+    */
+  def dedupByKey(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("_dedup_key", key).dropDuplicates("_dedup_key").drop("_dedup_key")
+
+  /** Event-time tumbling-window counts with a watermark (late data beyond
+    * `watermark` dropped) — the streaming twin of the q6_events_hourly
+    * batch query in [[graft.queries.Relational]].
+    */
+  def hourlyEventCounts(events: DataFrame, tsCol: String, typeCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.text.TextLengthFilter
+import graft.streaming.StreamingCuration
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.9 incremental mode: file-source backpressure, unbounded keyed dedup
+  * state across triggers, operator reuse on streaming frames, and
+  * watermarked event-time windows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def copyPart(fromDir: String, to: java.nio.file.Path): Unit = {
+    val part = new java.io.File(fromDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, to,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("incremental dedup: global first-seen state across triggers, filter ops reused") {
+    val docs = table("documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_stream")
+    val srcDir = base.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val stage = base.resolve("stage").toString
+
+    // two shards with overlapping dedup keys (same text prefixes recur)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("overwrite").parquet(s"$stage/1")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("overwrite").parquet(s"$stage/2")
+    copyPart(s"$stage/1", srcDir.resolve("shard1.parquet"))
+
+    val lengthFilter = new TextLengthFilter(minLength = 50, maxLength = None,
+      textCol = "text", lengthCol = Some("n_chars"))
+    val key = TextFunctions.normalizeText(substring(col("text"), 1, 30))
+
+    val stream = StreamingCuration.dedupByKey(
+      lengthFilter(StreamingCuration.incrementalSource(
+        spark, srcDir.toString, docs.schema, maxFilesPerTrigger = 1)),
+      key)
+    val q = stream.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("dedup_out").count()
+
+      copyPart(s"$stage/2", srcDir.resolve("shard2.parquet"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+
+      // ground truth: batch first-wins over the union with the same filter
+      val expected = lengthFilter(docs).withColumn("_k", key)
+        .select(col("_k")).distinct().count()
+      assert(out.count() == expected, s"stream=${out.count()} batch=$expected")
+      assert(out.count() > afterFirst, "second shard contributed no new keys — vacuous")
+      // no key emitted twice despite overlap across shards
+      val dupKeys = out.withColumn("_k", key).groupBy(col("_k"))
+        .count().filter(col("count") > 1).count()
+      assert(dupKeys == 0)
+    } finally q.stop()
+  }
+
+  test("watermarked hourly window counts over an event stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingCuration.hourlyEventCounts(events, "ts", "event_type")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("update").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:$m%02d:00")
+      mem.addData((t(10, 5), "click"), (t(10, 40), "click"), (t(10, 50), "view"),
+        (t(11, 10), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select(col("window.start").cast("string"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-06-01 10:00:00", "click", 2L)))
+      assert(rows.contains(("2024-06-01 10:00:00", "view", 1L)))
+      assert(rows.contains(("2024-06-01 11:00:00", "click", 1L)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.Warc
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC parsing + HTML extraction semantics (S2/S3): response-only,
+  * text/html-only, ≥100-char bodies, ≥50-char extractions, boilerplate
+  * removal, and the distributed binaryFile+flatMap load path.
+  */
+class WarcSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def httpHtml(html: String): String =
+    s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n$html"
+
+  private def warcRecord(tpe: String, uri: String, content: String): String = {
+    val c = content.getBytes("UTF-8")
+    s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2024-12-01T00:00:00Z\r\nContent-Length: ${c.length}\r\n\r\n" +
+      content + "\r\n\r\n"
+  }
+
+  private val goodHtml =
+    """<html><head><title>Sample Article</title>
+      |<script>var tracking = "should never appear";</script>
+      |<style>.x{color:red}</style></head>
+      |<body><nav>Home | About | Contact</nav>
+      |<h1>Sample Article</h1>
+      |<p>This is the first paragraph of the readable main content, with
+      |enough words to clear the fifty character extraction minimum.</p>
+      |<p>Second paragraph with &amp; entity and &quot;quotes&quot;.</p>
+      |<footer>Copyright notice that should be stripped</footer>
+      |</body></html>""".stripMargin
+
+  private def warcFile: Array[Byte] =
+    (warcRecord("warcinfo", "", "software: test") +
+      warcRecord("request", "http://ex.com/a", "GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n") +
+      warcRecord("response", "http://ex.com/a", httpHtml(goodHtml)) +
+      warcRecord("response", "http://ex.com/tiny", httpHtml("<html>x</html>")) + // <100 chars
+      warcRecord("response", "http://ex.com/img",
+        "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n" + "P" * 200) + // not html
+      warcRecord("response", "http://ex.com/thin", httpHtml(
+        "<html><body><nav>only boilerplate navigation html padding padding padding</nav></body></html>"))
+      ).getBytes("UTF-8")
+
+  test("record framing: all records parsed, typed, content-length sliced") {
+    val recs = Warc.records(warcFile).toSeq
+    assert(recs.size == 6)
+    assert(recs.map(_.headers("WARC-Type")) ==
+      Seq("warcinfo", "request", "response", "response", "response", "response"))
+  }
+
+  test("extraction keeps only qualifying html responses with readable text") {
+    val docs = Warc.extractDocs("CC-TEST", "f.warc", warcFile).toSeq
+    assert(docs.map(_.url) == Seq("http://ex.com/a"))
+    val d = docs.head
+    assert(d.title == "Sample Article")
+    assert(d.text.contains("first paragraph") && d.text.contains("& entity"))
+    assert(!d.text.contains("tracking") && !d.text.contains("color:red"))
+    assert(!d.text.contains("Copyright") && !d.text.contains("Home | About"))
+    assert(d.text_length == d.text.length.toLong)
+    assert(d.crawl_id == "CC-TEST" && d.warc_date == "2024-12-01T00:00:00Z")
+  }
+
+  test("gzipped warc parses identically") {
+    val baos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write(warcFile); gz.close()
+    val a = Warc.extractDocs("c", "f", baos.toByteArray).toSeq
+    val b = Warc.extractDocs("c", "f", warcFile).toSeq
+    assert(a.map(_.text) == b.map(_.text) && a.nonEmpty)
+  }
+
+  test("distributed load path: binaryFile + flatMap over a directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    java.nio.file.Files.write(dir.resolve("a.warc"), warcFile)
+    java.nio.file.Files.write(dir.resolve("b.warc"), warcFile)
+    val ds = Warc.load(spark, dir.toString + "/*.warc", "CC-TEST")
+    assert(ds.count() == 2)
+    assert(ds.collect().forall(_.title == "Sample Article"))
+  }
+}
