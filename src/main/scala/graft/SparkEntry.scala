@@ -11,7 +11,8 @@ object SparkEntry {
   /** Every gate-checked query, grouped by area. */
   def catalog: Seq[OracleQuery] =
     Relational.queries ++ Curation.queries ++ NearDup.queries ++
-      ImageQueries.queries ++ MetricsQueries.queries ++ InferenceQueries.queries
+      ImageQueries.queries ++ MetricsQueries.queries ++ InferenceQueries.queries ++
+      TextAnalysisQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.text.{TextAnalysis, TextAnalysisRefiner}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis gates: language-ID, quality scoring, tokenizer-style
+  * counting, rolling-hash fingerprints — each recomputed from scratch by
+  * the DuckDB twin over the same staged token/normalized columns.
+  */
+object TextAnalysisQueries {
+
+  private val langs = TextAnalysis.languageProfiles.keys.toSeq.sorted
+  private val refiner = new TextAnalysisRefiner("text")
+
+  private val toksCte =
+    s"tk AS (SELECT doc_id, text, ${TextFunctions.tokensOfSql("text")} AS toks FROM documents)"
+
+  private val scoresCte =
+    s"""$toksCte,
+       |sc AS (SELECT doc_id, text, toks, ${langs.map(l =>
+          s"${TextAnalysis.languageScoreSql("toks", l)} AS score_$l").mkString(", ")}
+       |  FROM tk)""".stripMargin
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("text_language_scores",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("_toks", TextFunctions.tokensOf(col("text")))
+        docs.select(col("doc_id") +: langs.map(l =>
+            round(TextAnalysis.languageScore(col("_toks"), l), 6).as(s"score_$l")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $scoresCte
+              |SELECT doc_id, ${langs.map(l => s"round(score_$l, 6) AS score_$l").mkString(", ")}
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("text_language_id",
+      (s, dir) => refiner(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_id")).orderBy(col("doc_id")),
+      Some(s"""WITH $scoresCte
+              |SELECT doc_id, ${TextAnalysis.languageIdFromScoresSql(
+                langs.map(l => l -> s"score_$l"))} AS lang_id
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("text_quality_score",
+      (s, dir) => refiner(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score")).orderBy(col("doc_id")),
+      Some(s"""WITH $toksCte
+              |SELECT doc_id, ${TextAnalysis.qualityScoreSql("text", "toks")} AS quality_score
+              |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("text_bpe_token_count",
+      (s, dir) => refiner(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("bpe_token_count")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, ${TextAnalysis.bpeTokenCountSql("text")} AS bpe_token_count
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("text_fingerprint",
+      (s, dir) => refiner(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("doc_fingerprint")).orderBy(col("doc_id")),
+      Some(s"""WITH nm AS (SELECT doc_id,
+              |    ${TextFunctions.normalizeTextSql("coalesce(text, '')")} AS norm FROM documents)
+              |SELECT doc_id, ${TextAnalysis.rollingFingerprintSql("norm")} AS doc_fingerprint
+              |FROM nm ORDER BY doc_id""".stripMargin)))
+}
