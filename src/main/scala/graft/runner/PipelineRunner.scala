@@ -56,15 +56,18 @@ object PipelineRunner {
     val wp = conf.writer.params
     val outputPath = wp.str("output_path", "output")
     val tableName = wp.str("table_name", "default")
-    val writer = conf.writer.tpe match {
+    conf.writer.tpe match {
       case "ParquetDataWriter" => new ParquetDataWriter(
         outputPath, tableName,
         partitionBy = wp.str("partition_by"),
         partitionKeyExtractor = wp.str("partition_key_extractor"),
-        compression = wp.str("compression", "snappy"))
+        compression = wp.str("compression", "snappy")).write(df)
+      case "IcebergDataWriter" | "CatalogTableWriter" =>
+        new graft.io.CatalogTableWriter(
+          wp.str("table").getOrElse(tableName),
+          partitionBy = wp.strList("partition_by")).write(df)
       case other => throw new IllegalArgumentException(s"unknown writer type: $other")
-    }
-    writer.write(df) // the one action — fills every observation
+    } // the one action — fills every observation
 
     val stages = instrumented.map { case (name, counts, _) =>
       MetricsRollup.stage(name, counts())

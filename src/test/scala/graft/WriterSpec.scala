@@ -83,6 +83,19 @@ class WriterSpec extends AnyFunSuite {
     assert(dirs == expected.map("operator=" + _))
   }
 
+  test("catalog table writer: writeTo create-then-append round trip") {
+    val tbl = s"default.graft_w2_${System.nanoTime()}"
+    val w = new graft.io.CatalogTableWriter(tbl)
+    try {
+      val df = spark.range(5).toDF("id")
+      w.write(df)
+      assert(w.read(spark).count() == 5)
+      w.write(df) // second write must APPEND, not replace
+      assert(w.read(spark).count() == 10)
+      assert(spark.catalog.tableExists(tbl))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("html report renders counts and escapes content") {
     val run = MetricsRollup.run("run_x<y>", Seq(MetricsRollup.stage("s&1", Seq(
       OperatorCounts(0, "op<a>", 100, 60, 1.5)))), 2.0)
