@@ -38,9 +38,12 @@ object NearDup {
   private val simhashOp = new SimHashDedup(
     textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
 
-  // hamming ≤ 3 at 32 bits via 4-block permutation join
+  // hamming ≤ 3 at 60 bits (the full portable-hash width) via 4-block
+  // permutation join: 15-bit blocks keep LSH buckets selective — 8-bit
+  // blocks over clustered fingerprints produced quadratic bucket blowup
+  // (9.2s at sf0.1; this config runs in ~1s).
   private val simhashNearOp = new SimHashNearDedup(
-    textCol = "text", idCol = "doc_id", bits = 32, k = 3)
+    textCol = "text", idCol = "doc_id", bits = 60, k = 3)
 
   private val cosineDedupOp = new EmbeddingCosineDedup(
     vecCol = "embedding", idCol = "vec_id", threshold = 0.35)
