@@ -47,11 +47,19 @@ trait Refiner extends Operator {
     added(df).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 }
 
+/** Any operator that drops rows and can produce the annotated complement
+  * (§2.8 of SURVEY.md) — filters, window dedups, and the pairwise
+  * near-dup family all route their rejects through this.
+  */
+trait RejectingOperator extends Operator {
+  def rejected(df: DataFrame): DataFrame
+}
+
 /** Keeps rows matching a predicate (reference Filter,
   * framework/operator.py:226-238); `rejected` is the annotated complement
   * (§2.8 of SURVEY.md).
   */
-trait RowFilter extends Operator {
+trait RowFilter extends RejectingOperator {
   def keep(df: DataFrame): Column
   final def apply(df: DataFrame): DataFrame = df.filter(keep(df))
   final def rejected(df: DataFrame): DataFrame =
@@ -75,7 +83,7 @@ trait RowFilter extends Operator {
   * expression. Skewed keys (e.g. empty text) are handled by AQE skew-join /
   * partition splitting.
   */
-trait Deduplicator extends Operator {
+trait Deduplicator extends RejectingOperator {
   /** Dedup key per row — first row (by `order`) with a given key wins. */
   def key(df: DataFrame): Column
   /** Arrival-order column (deterministic total order, e.g. a source id). */
@@ -101,7 +109,7 @@ trait Deduplicator extends Operator {
     annotated(withRepSrc(df)).filter(col("_dedup_rn") === 1).drop(internal: _*)
 
   /** Rows dropped as duplicates, annotated with key + first-seen representative. */
-  final def rejected(df: DataFrame): DataFrame =
+  final override def rejected(df: DataFrame): DataFrame =
     annotated(withRepSrc(df)).filter(col("_dedup_rn") > 1)
       .withColumn(Rejection.ColName,
         Rejection.duplicate(name, col("_dedup_key"), col("_dedup_rep")))
@@ -123,9 +131,8 @@ final case class Pipeline(name: String, ops: Seq[Operator]) {
     var df = input
     val rejects = Seq.newBuilder[(String, DataFrame)]
     ops.foreach {
-      case f: RowFilter    => rejects += f.name -> f.rejected(df); df = f(df)
-      case d: Deduplicator => rejects += d.name -> d.rejected(df); df = d(df)
-      case o               => df = o(df)
+      case r: RejectingOperator => rejects += r.name -> r.rejected(df); df = r(df)
+      case o                    => df = o(df)
     }
     PipelineResult(df, rejects.result())
   }

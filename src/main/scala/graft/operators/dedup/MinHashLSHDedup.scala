@@ -39,7 +39,7 @@ final class MinHashLSHDedup(
     numBands: Int = 4,
     threshold: Double = 0.8,
     portableHashes: Boolean = false,
-    maxBucketSize: Option[Int] = None) extends Operator {
+    maxBucketSize: Option[Int] = None) extends graft.core.RejectingOperator {
 
   require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
   private val rowsPerBand = numHashes / numBands

@@ -23,7 +23,7 @@ final class SimHashNearDedup(
     idCol: String = "id",
     bits: Int = 32,
     k: Int = 3,
-    portableHashes: Boolean = true) extends Operator {
+    portableHashes: Boolean = true) extends graft.core.RejectingOperator {
 
   require(k >= 0 && bits % (k + 1) == 0,
     s"bits ($bits) must divide into k+1 (${k + 1}) equal blocks")

@@ -24,7 +24,7 @@ final class EmbeddingCosineDedup(
     vecCol: String = "embedding",
     idCol: String = "id",
     threshold: Double = 0.95,
-    bucketCol: Option[String] = None) extends Operator {
+    bucketCol: Option[String] = None) extends graft.core.RejectingOperator {
 
   val name = "embedding_cosine_dedup"
 

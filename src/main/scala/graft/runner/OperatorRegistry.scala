@@ -99,4 +99,42 @@ object OperatorRegistry {
     imageCol = p.str("image_field", "image"),
     idCol = p.str("id_field", "id"),
     orderCol = p.str("order_field").getOrElse(p.str("id_field", "id"))))
+
+  register("simhash_near_deduplicator", p => new SimHashNearDedup(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    bits = p.int("bits", 60),
+    k = p.int("k", 3)))
+
+  register("text_analysis", p => new TextAnalysisRefiner(
+    textCol = p.str("text_field", "text")))
+
+  register("image_aesthetic_quality", p => new AestheticScoreRefiner(
+    embCol = p.str("embedding_field", "image_clip_emb"),
+    mlp = graft.ml.Mlp.seeded(
+      Seq(p.int("input_dim", 768), p.int("hidden_dim", 16), 1),
+      seed = p.long("seed", 11L),
+      hiddenActivation = "identity", lastActivation = "identity")))
+
+  register("image_aigc_detector", p => new AigcDetectorRefiner(
+    embCol = p.str("embedding_field", "image_siglip_emb"),
+    mlp = graft.ml.Mlp.seeded(
+      Seq(p.int("input_dim", 1152), p.int("hidden_dim", 16), 1),
+      seed = p.long("seed", 23L), lastActivation = "sigmoid"),
+    threshold = p.double("threshold", 0.5)))
+
+  register("image_clip_embedding", p => new ImageEmbeddingRefiner(
+    new HashProjectionEncoder(p.str("model", "vit_l14_stub"), p.int("dim", 768)),
+    imageCol = p.str("image_field", "image"), family = "clip",
+    batchSize = p.int("batch_size", 32),
+    l2Normalize = p.bool("l2_normalize", true)))
+
+  register("image_siglip_embedding", p => new ImageEmbeddingRefiner(
+    new HashProjectionEncoder(p.str("model", "so400m_stub"), p.int("dim", 1152)),
+    imageCol = p.str("image_field", "image"), family = "siglip",
+    batchSize = p.int("batch_size", 32),
+    l2Normalize = p.bool("l2_normalize", true)))
+
+  register("image_visual_degradations", p => new VisualDegradationsRefiner(
+    imageCol = p.str("image_field", "image"), model = None))
 }

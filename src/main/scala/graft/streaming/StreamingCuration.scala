@@ -48,4 +48,38 @@ object StreamingCuration {
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
       .agg(count(lit(1)).as("n_events"))
+
+  /** One dedup decision per record: kept = first occurrence of its key,
+    * rejects carry the first-seen row's id — provenance identical to the
+    * batch Deduplicator's reject annotation.
+    */
+  final case class DedupDecision(key: String, id: String, kept: Boolean,
+      representativeId: String)
+
+  /** Streaming first-wins dedup WITH representative tracking — the
+    * reference's `batch_mark_seen_with_ids` set-actor RPC
+    * (framework/backend.py:49-66) as `flatMapGroupsWithState`: state per
+    * key = the first-seen id, unbounded (NoTimeout), hash-partitioned by
+    * Spark's state store exactly like the reference's key buckets.
+    * `dropDuplicates` ([[dedupByKey]]) is the plain-membership fast path;
+    * this variant exists for reject provenance.
+    */
+  def markSeenWithIds(pairs: org.apache.spark.sql.Dataset[(String, String)])
+      : org.apache.spark.sql.Dataset[DedupDecision] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[String, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[String]) =>
+          val batch = rows.toList
+          var rep = state.getOption.orNull
+          val out = batch.map { case (_, id) =>
+            if (rep == null) { rep = id; DedupDecision(key, id, kept = true, id) }
+            else DedupDecision(key, id, kept = false, rep)
+          }
+          if (rep != null) state.update(rep)
+          out.iterator
+      }
+  }
 }

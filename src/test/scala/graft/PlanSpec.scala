@@ -80,6 +80,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("fused shingle kernel appears once per projection (no lambda re-inlining)") {
+    val op = new graft.operators.dedup.MinHashLSHDedup(
+      textCol = "text", idCol = "doc_id", portableHashes = true)
+    val p = planOf(op.signatures(table("documents")))
+    // PushDownPredicate legitimately duplicates the kernel into the
+    // size() filter (pushdown > recompute); the round-1 regression shape
+    // was N copies inside ONE projection's transform lambdas — assert
+    // each Project evaluates the kernel at most once.
+    p.linesIterator.filter(_.contains("Project")).foreach { line =>
+      val evals = "shinglehashes".r.findAllIn(line.toLowerCase).size
+      assert(evals <= 1, s"kernel re-inlined within a projection:\n$line")
+    }
+    assert(p.toLowerCase.contains("shinglehashes"))
+  }
+
   test("flagship pipeline fuses filters into the scan stage (no mid-chain exchange)") {
     val df = SparkEntry.entry(spark)
     val p = planOf(df)

@@ -63,6 +63,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful dedup tracks first-seen representative across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingCuration.markSeenWithIds(mem.toDS())
+      .writeStream.format("memory").queryName("markseen_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("k1", "a"), ("k2", "b"))
+      q.processAllAvailable()
+      // k1 recurs in a LATER trigger: its reject must point back at "a"
+      mem.addData(("k1", "c"), ("k3", "d"), ("k3", "e"))
+      q.processAllAvailable()
+      val out = spark.table("markseen_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+      assert(out.toSet.contains(("k1", "a", true, "a")))
+      assert(out.toSet.contains(("k1", "c", false, "a")), "state lost across triggers")
+      val k3 = out.filter(_._1 == "k3")
+      assert(k3.count(_._3) == 1 && k3.count(!_._3) == 1)
+      assert(k3.forall(_._4 == k3.find(_._3).get._2))
+    } finally q.stop()
+  }
+
   test("watermarked hourly window counts over an event stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
