@@ -45,6 +45,13 @@ object Curation {
   private[queries] val exactDedupOp = TextExactDedup(
     textCol = "text", idCol = "doc_id", orderCol = "doc_id", hashAlgorithm = "portable")
 
+  // FineWeb-style URL+content key (reference include_url,
+  // text_exact_dedup.py:100-106): same text under different URLs is NOT
+  // a duplicate.
+  private val urlDedupOp = TextExactDedup(
+    textCol = "text", idCol = "doc_id", orderCol = "doc_id",
+    hashAlgorithm = "portable", includeUrl = true, urlCol = "url")
+
   /** First-wins dedup on a normalized 30-char text prefix — produces real
     * duplicate groups on the fixtures, exercising reject provenance.
     */
@@ -98,6 +105,20 @@ object Curation {
               |    PARTITION BY ${TextExactDedup.keySql("text", "doc_id")} ORDER BY doc_id) AS rn
               |  FROM documents) t
               |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("text_url_dedup",
+      (s, dir) => urlDedupOp(docs(s, dir).withColumn("url", urlCol))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some {
+        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        val keySql = "(CASE WHEN text IS NULL OR text = '' THEN CAST(doc_id AS VARCHAR) " +
+          s"ELSE CAST(${HashFunctions.portableHash64Sql(s"(coalesce(url, '') || '|' || $norm)")} AS VARCHAR) END)"
+        s"""WITH u AS (SELECT doc_id, text, $urlSql AS url FROM documents)
+           |SELECT doc_id FROM (
+           |  SELECT doc_id, row_number() OVER (PARTITION BY $keySql ORDER BY doc_id) AS rn
+           |  FROM u) t
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      }),
 
     OracleQuery("dedup_prefix_keep",
       (s, dir) => prefixDedupOp(docs(s, dir)).select(col("doc_id")).orderBy(col("doc_id")),

@@ -95,6 +95,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("shinglehashes"))
   }
 
+  test("bucketed cosine dedup joins on the bucket key — no cartesian/nested-loop") {
+    val p = plan("embedding_cosine_dedup_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // brute force, by contrast, is the declared all-pairs tier
+    val brute = plan("embedding_cosine_dedup")
+    assert(brute.contains("CartesianProduct") || brute.contains("BroadcastNestedLoopJoin"), brute)
+  }
+
+  test("kmeans assignment is a pure per-row map — no join, no shuffle") {
+    val p = plan("kmeans_assign")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("flagship pipeline fuses filters into the scan stage (no mid-chain exchange)") {
     val df = SparkEntry.entry(spark)
     val p = planOf(df)
