@@ -95,6 +95,14 @@ class ImageSpec extends AnyFunSuite {
     assert(d > 64, s"noise-vs-noise hamming $d — hash is degenerate")
   }
 
+  test("rejection envelope produced by operators matches the declared Records schema") {
+    val op = new ImagePhashDedup("image", idCol = "id", orderCol = "id")
+    val rej = op.rejected(SyntheticImages.df(spark).filter(col("id") <= 57))
+    val produced = rej.schema("_rejection_details").dataType
+    assert(produced.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      graft.core.Records.rejectionDetailsSchema.fieldNames.toSeq)
+  }
+
   test("quality filter keeps/rejects partition the fixture; ERROR rows rejected") {
     val f = new ImageQualityFilter(64, 64, 0.8, 3.0)
     val enriched = new ImageTechnicalQualityRefiner("image")(
