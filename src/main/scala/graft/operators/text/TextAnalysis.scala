@@ -26,13 +26,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "dans", "une"),
     "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "con", "una"))
 
-  /** Fraction of tokens found in `lang`'s profile (0 for empty docs). */
+  /** Fraction of tokens found in `lang`'s profile (0 for empty docs).
+    * Single-language declarative form; for all profiles at once use
+    * [[allLanguageScores]] (one kernel pass instead of per-token
+    * interpreted filters per language).
+    */
   def languageScore(toks: Column, lang: String): Column = {
     val profile = languageProfiles(lang)
     val hits = size(filter(toks, t => profile.map(w => t === w).reduce(_ || _)))
     when(size(toks) === 0, lit(0.0))
       .otherwise(hits.cast("double") / size(toks).cast("double"))
   }
+
+  private lazy val sortedLangs = languageProfiles.keys.toSeq.sorted
+
+  /** All profile scores in one kernel pass: array<double> in sorted-
+    * language order (bit-identical to [[languageScore]] per language —
+    * asserted in KernelSpec).
+    */
+  def allLanguageScores(toks: Column): Column =
+    graft.plans.kernels.stopword_scores(toks, sortedLangs.map(languageProfiles))
 
   def languageScoreSql(toksExpr: String, lang: String): String = {
     val inList = languageProfiles(lang).map(w => s"'$w'").mkString(", ")
@@ -103,7 +116,8 @@ object TextAnalysis {
     * token column (stage it once; see [[languageIdFromScores]] note).
     */
   def qualityScore(text: Column, toks: Column): Column = {
-    val stop = greatest(languageProfiles.keys.toSeq.sorted.map(l => languageScore(toks, l)): _*)
+    val scores = allLanguageScores(toks)
+    val stop = greatest(sortedLangs.indices.map(i => element_at(scores, i + 1)): _*)
     val mtl = meanTokenLength(toks)
     val mtlBand = when(mtl >= 3.0 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.0))
     round(alphaRatio(text) * 0.4 + least(stop * lit(5.0), lit(1.0)) * 0.3 + mtlBand * 0.3, 9)
@@ -168,9 +182,11 @@ final class TextAnalysisRefiner(textCol: String = "text") extends Operator {
   val name = "text_analysis"
   def apply(df: DataFrame): DataFrame = {
     val langs = TextAnalysis.languageProfiles.keys.toSeq.sorted
-    val staged = langs.foldLeft(
-      df.withColumn("_toks", TextFunctions.tokensOf(col(textCol)))) { (d, l) =>
-      d.withColumn(s"_score_$l", TextAnalysis.languageScore(col("_toks"), l))
+    val staged = langs.zipWithIndex.foldLeft(
+      df.withColumn("_toks", TextFunctions.tokensOf(col(textCol)))
+        .withColumn("_lang_scores", TextAnalysis.allLanguageScores(col("_toks")))) {
+      case (d, (l, i)) =>
+        d.withColumn(s"_score_$l", element_at(col("_lang_scores"), i + 1))
     }
     staged
       .withColumn("lang_id", TextAnalysis.languageIdFromScores(
@@ -178,6 +194,6 @@ final class TextAnalysisRefiner(textCol: String = "text") extends Operator {
       .withColumn("quality_score", TextAnalysis.qualityScore(col(textCol), col("_toks")))
       .withColumn("bpe_token_count", TextAnalysis.bpeTokenCount(col(textCol)))
       .withColumn("doc_fingerprint", TextAnalysis.rollingFingerprint(col(textCol)))
-      .drop(("_toks" +: langs.map(l => s"_score_$l")): _*)
+      .drop(("_toks" +: "_lang_scores" +: langs.map(l => s"_score_$l")): _*)
   }
 }

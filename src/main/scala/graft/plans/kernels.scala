@@ -305,6 +305,47 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Per-profile stopword-hit fractions over a token array in ONE pass —
+    * the language-ID / quality-score hot loop (the declarative
+    * filter+size form pays the interpreted-HOF cost per token per
+    * profile). Output: array<double>, one fraction per profile in input
+    * order; empty token array → all zeros, matching the declarative
+    * guard. Bit-identical: hits/size division in the same order.
+    */
+  case class StopwordScores(child: Expression, profiles: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private val sets: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+      profiles.map { p =>
+        val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+        p.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+        s
+      }.toArray
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val hits = new Array[Int](sets.length)
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        var p = 0
+        while (p < sets.length) {
+          if (sets(p).contains(t)) hits(p) += 1
+          p += 1
+        }
+        i += 1
+      }
+      val out = new Array[Double](sets.length)
+      if (n > 0) {
+        var p = 0
+        while (p < sets.length) { out(p) = hits(p).toDouble / n.toDouble; p += 1 }
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Exact Jaccard of two arrays (string or long elements) via hash sets —
     * the verification step of the near-dup joins.
     */
@@ -347,6 +388,8 @@ object kernels {
   def simhash_bits(hs: Column, bits: Int): Column = expr2col(SimHash(colExpr(hs), bits))
   def nearest_centroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     expr2col(NearestCentroid(colExpr(vec), centroids))
+  def stopword_scores(toks: Column, profiles: Seq[Seq[String]]): Column =
+    expr2col(StopwordScores(colExpr(toks), profiles))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
   def array_jaccard(a: Column, b: Column): Column = expr2col(ArrayJaccard(colExpr(a), colExpr(b)))
 

@@ -29,8 +29,9 @@ object TextAnalysisQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
           .withColumn("_toks", TextFunctions.tokensOf(col("text")))
-        docs.select(col("doc_id") +: langs.map(l =>
-            round(TextAnalysis.languageScore(col("_toks"), l), 6).as(s"score_$l")): _*)
+          .withColumn("_ls", TextAnalysis.allLanguageScores(col("_toks")))
+        docs.select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
+            round(element_at(col("_ls"), i + 1), 6).as(s"score_$l") }: _*)
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH $scoresCte

@@ -143,6 +143,18 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("StopwordScores kernel matches the declarative per-language filter form") {
+    import graft.operators.text.TextAnalysis
+    val langs = TextAnalysis.languageProfiles.keys.toSeq.sorted
+    val toks = TextFunctions.tokensOf(col("text"))
+    val kernel = TextAnalysis.allLanguageScores(toks)
+    val diff = docs.select(
+        array(langs.map(l => TextAnalysis.languageScore(toks, l)): _*).as("a"),
+        kernel.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("ArrayCosine column matches the declarative dot/norm form") {
     val emb = table("embeddings")
     val declarative = graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")) /
