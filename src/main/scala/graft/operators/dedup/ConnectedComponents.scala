@@ -1,0 +1,64 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a duplicate-pair graph — the transitive-
+  * closure upgrade to the pairwise near-dup operators (their scaladocs
+  * document the pairwise tradeoff; this is the full-clustering option:
+  * keep exactly the minimum id of every duplicate component).
+  *
+  * Algorithm: min-label propagation — each node repeatedly takes the
+  * minimum label among itself and its neighbors until fixpoint (≤
+  * component-diameter iterations, capped). Each iteration is one
+  * shuffle-join Spark job; intermediate labels are cached and lineage is
+  * kept flat, the standard iterative-graph pattern (GraphX CC is the
+  * same computation). Duplicate components in dedup workloads are small
+  * and shallow, so convergence is fast; the `maxIter` cap bounds runaway
+  * graphs.
+  */
+object ConnectedComponents {
+
+  /** (id, comp) for every node appearing in `pairs` (d1, d2 columns);
+    * comp = minimum id reachable through the pair graph.
+    */
+  def assign(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** DuckDB twin: recursive reachability, min over reached nodes. The
+    * caller's WITH must be declared RECURSIVE; `pairsCte` must expose
+    * (d1, d2).
+    */
+  def assignSql(pairsCte: String): String =
+    s"""_edges AS (SELECT d1 AS a, d2 AS b FROM $pairsCte
+       |  UNION SELECT d2, d1 FROM $pairsCte),
+       |_reach(src, node) AS (
+       |  SELECT a, a FROM _edges
+       |  UNION
+       |  SELECT r.src, e.b FROM _reach r JOIN _edges e ON r.node = e.a),
+       |_comp AS (SELECT src AS id, min(node) AS comp FROM _reach GROUP BY src)""".stripMargin
+}

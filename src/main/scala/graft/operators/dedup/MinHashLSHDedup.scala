@@ -95,6 +95,26 @@ final class MinHashLSHDedup(
   def apply(df: DataFrame): DataFrame =
     df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Transitive-closure variant: connected components over the verified
+    * pair graph, keeping exactly the minimum id of every component
+    * ([[ConnectedComponents]]; the default `apply` is the pairwise form —
+    * see the class note on that tradeoff).
+    */
+  def applyTransitive(df: DataFrame): DataFrame = {
+    val drop = ConnectedComponents.assign(verifiedPairs(df))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Oracle SQL for [[applyTransitive]] (kept ids, ORDER BY id). */
+  def keepTransitiveSql(table: String): String =
+    s"""WITH RECURSIVE ${verCtes(table)},
+       |${ConnectedComponents.assignSql("ver")}
+       |SELECT $idCol FROM $table
+       |WHERE $idCol NOT IN (SELECT id FROM _comp WHERE id <> comp)
+       |ORDER BY $idCol""".stripMargin
+
   /** Dropped rows with the first-seen similar row as representative. */
   def rejected(df: DataFrame): DataFrame = {
     val reps = verifiedPairs(df).groupBy(col("d2"))
@@ -136,10 +156,11 @@ final class MinHashLSHDedup(
     * Spark side verifies (kernels.ArrayJaccard over ShingleHashes output).
     * The QUALIFY clause mirrors the Spark-side `maxBucketSize` window cap.
     */
-  def keepSql(table: String): String = {
+  /** CTE chain ending in `ver(d1, d2)` — the verified duplicate pairs. */
+  private def verCtes(table: String): String = {
     val cap = maxBucketSize.map(c =>
       s"\n  QUALIFY count(*) OVER (PARTITION BY b, bkey) <= $c").getOrElse("")
-    s"""WITH ${sigCtes(table)},
+    s"""${sigCtes(table)},
        |bands AS (SELECT id, h, b,
        |    CAST(b AS VARCHAR) ${(0 until rowsPerBand).map(i =>
             s"|| '_' || CAST(m[b*$rowsPerBand+${i + 1}] AS VARCHAR)").mkString(" ")} AS bkey
@@ -148,8 +169,11 @@ final class MinHashLSHDedup(
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id),
        |ver AS (SELECT d1, d2 FROM cand
        |  WHERE CAST(len(list_intersect(h1, h2)) AS DOUBLE)
-       |      / (CAST(len(h1) + len(h2) AS DOUBLE) - CAST(len(list_intersect(h1, h2)) AS DOUBLE)) >= $threshold)
+       |      / (CAST(len(h1) + len(h2) AS DOUBLE) - CAST(len(list_intersect(h1, h2)) AS DOUBLE)) >= $threshold)""".stripMargin
+  }
+
+  def keepSql(table: String): String =
+    s"""WITH ${verCtes(table)}
        |SELECT $idCol FROM $table WHERE $idCol NOT IN (SELECT d2 FROM ver)
        |ORDER BY $idCol""".stripMargin
-  }
 }

@@ -90,6 +90,11 @@ object NearDup {
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashOp.keepSql("documents"))),
 
+    OracleQuery("minhash_lsh_dedup_transitive",
+      (s, dir) => minhashOp.applyTransitive(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(minhashOp.keepTransitiveSql("documents"))),
+
     OracleQuery("minhash_lsh_dedup_capped",
       (s, dir) => minhashCappedOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),

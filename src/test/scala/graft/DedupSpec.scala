@@ -84,6 +84,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.nonEmpty && rejected.nonEmpty, "degenerate filter config")
   }
 
+  test("connected components: chains collapse to the minimum id") {
+    import graft.operators.dedup.ConnectedComponents
+    // 1-2-3 is a chain (1 and 3 never paired directly); 5-6 separate
+    val pairs = spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (5L, 6L))).toDF("d1", "d2")
+    val comps = ConnectedComponents.assign(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("transitive minhash dedup keeps a subset of pairwise (closure only adds drops)") {
+    val op = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8, portableHashes = true)
+    assert(ids(op.applyTransitive(docs)).subsetOf(ids(op(docs))))
+  }
+
   test("simhash near-dedup (hamming<=k) drops a superset of exact-equality drops") {
     import graft.operators.dedup.SimHashNearDedup
     val exact = new SimHashDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
