@@ -82,6 +82,26 @@ final class ImageQualityFilter(
       s" AND coalesce(image_information_entropy, 0.0) >= $minInformationEntropy)"
 }
 
+/** Normalizes images to a fixed (width, height) via deterministic RGB box
+  * resize, re-encoded PNG under `image_resized.bytes` — the standard
+  * pre-inference resize step (the reference resizes inside its model
+  * preprocess, e.g. 224×224 at image_visual_degradations.py; here it is
+  * a first-class column op so downstream stages can prune the ORIGINAL
+  * bytes, which is the 100 TB win). Undecodable input → null struct.
+  */
+final class ImageResizeRefiner(
+    imageCol: String = "image",
+    width: Int = 224,
+    height: Int = 224,
+    outputCol: String = "image_resized") extends Operator {
+  val name = "image_resize"
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(outputCol,
+      when(col(s"$imageCol.bytes").isNotNull,
+        struct(ImageOps.resizeUdf(width, height)(col(s"$imageCol.bytes")).as("bytes")))
+        .otherwise(lit(null)))
+}
+
 /** First-wins dedup on the perceptual hash; undecodable images fall back
   * to the record id as key (kept — reference behavior,
   * image_phash_dedup.py:78-84). Exact-match on the hash string, like the

@@ -246,6 +246,53 @@ object ImageOps {
     sb.toString
   }
 
+  /** RGB box resize (per-channel mean over the source box — the color
+    * version of the phash gray resize; deterministic integer boxes).
+    */
+  def boxResize(d: Decoded, ow: Int, oh: Int): Decoded = {
+    val out = new Array[Int](ow * oh)
+    var by = 0
+    while (by < oh) {
+      val y0 = by * d.height / oh
+      val y1 = math.max((by + 1) * d.height / oh, y0 + 1)
+      var bx = 0
+      while (bx < ow) {
+        val x0 = bx * d.width / ow
+        val x1 = math.max((bx + 1) * d.width / ow, x0 + 1)
+        var r = 0L; var g = 0L; var b = 0L; var cnt = 0
+        var y = y0
+        while (y < math.min(y1, d.height)) {
+          var x = x0
+          while (x < math.min(x1, d.width)) {
+            val p = d.rgb(y * d.width + x)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(by * ow + bx) =
+          if (cnt == 0) 0
+          else (((r / cnt).toInt << 16) | ((g / cnt).toInt << 8) | (b / cnt).toInt)
+        bx += 1
+      }
+      by += 1
+    }
+    Decoded(ow, oh, "PNG", out)
+  }
+
+  /** Resize to (w, h) and re-encode as PNG; undecodable input → null. */
+  def resizeUdf(w: Int, h: Int) = udf((bytes: Array[Byte]) =>
+    decode(bytes).map { d =>
+      val r = boxResize(d, w, h)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, r.rgb, 0, w)
+      val baos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }.orNull)
+
   def hamming(hexA: String, hexB: String): Int =
     hexA.zip(hexB).map { case (a, b) =>
       java.lang.Integer.bitCount(Integer.parseInt(a.toString, 16) ^ Integer.parseInt(b.toString, 16))

@@ -137,4 +137,12 @@ object OperatorRegistry {
 
   register("image_visual_degradations", p => new VisualDegradationsRefiner(
     imageCol = p.str("image_field", "image"), model = None))
+
+  register("image_resize", p => new ImageResizeRefiner(
+    imageCol = p.str("image_field", "image"),
+    width = p.int("width", 224), height = p.int("height", 224),
+    outputCol = p.str("output_field", "image_resized")))
+
+  register("audio_metadata", p => new graft.operators.media.AudioMetadataRefiner(
+    audioCol = p.str("audio_field", "audio")))
 }

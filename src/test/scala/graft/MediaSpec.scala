@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.media.{AudioMetadataRefiner, AudioOps}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Audio binary-column metadata: real RIFF/WAV parsing, magic-number
+  * codec detection, total-function failure behavior, refiner plumbing.
+  */
+class MediaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("wav header round trip: synth → parse recovers the exact parameters") {
+    val m = AudioOps.parse(AudioOps.synthWav(seed = 7L, channels = 2,
+      sampleRate = 16000, nSamples = 8000)).get
+    assert(m == AudioOps.AudioMeta("WAV", 2, 16000, 16, 8000L, 0.5))
+  }
+
+  test("parse is total: garbage/null/truncated yield None; codec magics detected") {
+    assert(AudioOps.parse(null).isEmpty)
+    assert(AudioOps.parse(Array.fill(64)(0x13.toByte)).isEmpty)
+    assert(AudioOps.parse(AudioOps.synthWav(1L, 1, 8000, 100).take(10)).isEmpty)
+    assert(AudioOps.parse("ID3xxxxxxx".getBytes).get.format == "MP3")
+    assert(AudioOps.parse("fLaCxxxxxx".getBytes).get.format == "FLAC")
+  }
+
+  test("image resize refiner normalizes dims, keeps solids solid, nulls undecodable") {
+    import graft.operators.image.{ImageOps, ImageResizeRefiner}
+    import graft.sources.SyntheticImages
+    val df = SyntheticImages.df(spark).filter(col("id").isin(0L, 3L, 54L, 56L))
+    val out = new ImageResizeRefiner("image", 32, 32)(df)
+      .select(col("id"), col("image_resized.bytes")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))).toMap
+    // decodable rows come back as 32x32 PNG
+    for (id <- Seq(0L, 3L)) {
+      val d = ImageOps.decode(out(id)).get
+      assert(d.width == 32 && d.height == 32 && d.format == "PNG")
+    }
+    // solid image stays a single color after box resize
+    val solid = ImageOps.decode(out(0L)).get
+    assert(solid.rgb.distinct.length == 1)
+    // garbage and null-image rows → null
+    assert(out(54L) == null && out(56L) == null)
+  }
+
+  test("refiner adds typed metadata columns over the audio struct") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("audio", StructType(Seq(StructField("bytes", BinaryType))))))
+    val rows = Seq(
+      Row(0L, Row(AudioOps.synthWav(0L, 1, 44100, 44100))),
+      Row(1L, Row(AudioOps.synthWav(1L, 2, 8000, 4000))),
+      Row(2L, Row(Array.fill[Byte](16)(0))),
+      Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = new AudioMetadataRefiner("audio")(df)
+      .select(col("id"), col("audio_format"), col("audio_sample_rate"),
+        col("audio_duration_sec"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(0L) == (("WAV", 44100, 1.0)))
+    assert(out(1L) == (("WAV", 8000, 0.5)))
+    assert(out(2L) == (("ERROR", 0, 0.0)))
+    assert(out(3L) == (("ERROR", 0, 0.0)))
+  }
+}
