@@ -75,6 +75,46 @@ class RunnerSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/report.html")))
   }
 
+  test("csv and jsonl loaders read what parquet wrote (S1 format surface)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val docs = table("documents").select(col("doc_id"), col("text"), col("n_chars"))
+    docs.coalesce(1).write.option("header", "true").csv(s"$base/csv")
+    docs.coalesce(1).write.json(s"$base/jsonl")
+    val fromCsv = PipelineRunner.load(spark, graft.runner.LoaderConf("ParquetLoader",
+      Params(Map("format" -> "csv", "path" -> s"$base/csv"))))
+    val fromJson = PipelineRunner.load(spark, graft.runner.LoaderConf("ParquetLoader",
+      Params(Map("format" -> "jsonl", "path" -> s"$base/jsonl"))))
+    assert(fromCsv.count() == docs.count() && fromJson.count() == docs.count())
+    assert(fromJson.columns.toSet == Set("doc_id", "text", "n_chars"))
+  }
+
+  test("multi-stage pipeline: serial stages roll up first-in/last-out") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ms").toString + "/o"
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$sfDir/documents.parquet"}
+         |stages:
+         |  - name: filtering
+         |    operators:
+         |      - name: text_length_filter
+         |        params: {min_length: 100, max_length: 400, text_field: "text", length_field: "n_chars"}
+         |  - name: dedup
+         |    operators:
+         |      - name: text_exact_deduplicator
+         |        params: {text_field: "text", id_field: "doc_id"}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$out", table_name: "docs"}
+         |executor: {}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    assert(res.run.stages.map(_.stageName) == Seq("filtering", "dedup"))
+    assert(res.run.input == table("documents").count())
+    assert(res.run.stages.head.output == res.run.stages.last.input)
+    assert(res.run.output == spark.read.parquet(s"$out/docs").count())
+  }
+
   test("registry rejects unknown operators with the available list") {
     val e = intercept[IllegalArgumentException] {
       OperatorRegistry.create("nope", Params(Map.empty))

@@ -41,6 +41,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(prose > 0.8, s"prose=$prose")
   }
 
+  test("fingerprint stays in [0, 2^31) and token counts are non-negative on random input") {
+    val gen = org.scalacheck.Gen.listOfN(200,
+      org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+        org.scalacheck.Gen.alphaNumStr, org.scalacheck.Gen.const(" "),
+        org.scalacheck.Gen.const("\t"), org.scalacheck.Gen.const("!?.,"),
+        org.scalacheck.Gen.const("Ünïcode"))).map(_.mkString))
+    val samples = gen.sample.get
+    val df = spark.createDataFrame(samples.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val rows = new TextAnalysisRefiner("text")(df)
+      .select(col("doc_fingerprint"), col("bpe_token_count")).collect()
+    rows.foreach { r =>
+      val fp = r.getLong(0)
+      assert(fp >= 0L && fp < 2147483647L, s"fingerprint out of field: $fp")
+      assert(r.getLong(1) >= 0L)
+    }
+  }
+
   test("refiner drops its staging columns") {
     val out = new TextAnalysisRefiner("text")(table("documents"))
     assert(!out.columns.exists(_.startsWith("_")))
