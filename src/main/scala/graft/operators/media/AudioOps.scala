@@ -58,9 +58,18 @@ object AudioOps {
     } catch { case _: Throwable => None }
   }
 
-  /** Deterministic synthetic WAV (16-bit PCM square-ish wave) for tests. */
+  /** Deterministic synthetic WAV (16-bit PCM, seeded LCG samples). */
   def synthWav(seed: Long, channels: Int, sampleRate: Int, nSamples: Int): Array[Byte] = {
-    val dataLen = nSamples * channels * 2
+    var s = seed
+    synthWavSamples(channels, sampleRate, Array.fill(nSamples * channels) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 48) & 0xFFFF).toShort
+    })
+  }
+
+  /** WAV container around caller-supplied 16-bit PCM samples. */
+  def synthWavSamples(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
     val out = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -69,13 +78,52 @@ object AudioOps {
       .putShort(1).putShort(channels.toShort).putInt(sampleRate)
       .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var s = seed
-    (0 until nSamples * channels).foreach { _ =>
-      s = s * 6364136223846793005L + 1442695040888963407L
-      out.putShort(((s >>> 48) & 0xFFFF).toShort)
-    }
+    samples.foreach(out.putShort)
     out.array()
   }
+
+  final case class PcmStats(rms: Double, clippingRatio: Double, silenceRatio: Double)
+
+  /** Content metrics over real 16-bit PCM: normalized RMS level, fraction
+    * of near-full-scale samples (clipping), fraction of near-zero samples
+    * (silence) — the standard cheap audio-quality signals for training-
+    * data filtering. None for non-WAV or malformed input.
+    */
+  def pcmStats(bytes: Array[Byte]): Option[PcmStats] =
+    parse(bytes).filter(m => m.format == "WAV" && m.bitsPerSample == 16).flatMap { m =>
+      try {
+        // locate the data chunk again and walk the samples
+        var pos = 12
+        var dataPos = -1; var dataLen = 0
+        while (pos + 8 <= bytes.length && dataPos < 0) {
+          val id = new String(bytes, pos, 4, "US-ASCII")
+          val len = le32(bytes, pos + 4).toInt
+          if (id == "data") { dataPos = pos + 8; dataLen = math.min(len, bytes.length - dataPos) }
+          pos += 8 + len + (len & 1)
+        }
+        if (dataPos < 0) return None
+        val n = dataLen / 2
+        if (n == 0) return Some(PcmStats(0.0, 0.0, 1.0))
+        var sumSq = 0.0
+        var clipped = 0L; var silent = 0L
+        var i = 0
+        while (i < n) {
+          val v = (le16(bytes, dataPos + i * 2).toShort).toInt
+          val x = v / 32768.0
+          sumSq += x * x
+          if (math.abs(v) >= 32700) clipped += 1
+          if (math.abs(v) < 328) silent += 1
+          i += 1
+        }
+        Some(PcmStats(math.sqrt(sumSq / n), clipped.toDouble / n, silent.toDouble / n))
+      } catch { case _: Throwable => None }
+    }
+
+  val pcmStatsUdf = udf((bytes: Array[Byte]) =>
+    pcmStats(bytes) match {
+      case Some(s) => (s.rms, s.clippingRatio, s.silenceRatio)
+      case None    => (0.0, 0.0, 0.0)
+    })
 
   val metaUdf = udf((bytes: Array[Byte]) =>
     parse(bytes) match {
@@ -83,6 +131,19 @@ object AudioOps {
         m.durationSec)
       case None    => ("ERROR", 0, 0, 0, 0L, 0.0)
     })
+}
+
+/** Adds `audio_rms`, `audio_clipping_ratio`, `audio_silence_ratio` from
+  * real PCM decode of WAV payloads; non-decodable input → zeros (total).
+  */
+final class AudioQualityRefiner(audioCol: String = "audio") extends Operator {
+  val name = "audio_quality"
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("_aq", AudioOps.pcmStatsUdf(col(s"$audioCol.bytes")))
+      .withColumn("audio_rms", col("_aq._1"))
+      .withColumn("audio_clipping_ratio", col("_aq._2"))
+      .withColumn("audio_silence_ratio", col("_aq._3"))
+      .drop("_aq")
 }
 
 /** Adds `audio_format/_channels/_sample_rate/_bits_per_sample/_n_samples/

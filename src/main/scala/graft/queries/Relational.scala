@@ -100,6 +100,35 @@ object Relational {
              |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
+    // Distinct aggregation: per-nation distinct customers with orders
+    // (partial-distinct expansion under the hood; exact, not HLL — the
+    // approx_count_distinct tier exists as a builtin for 100 TB funnels).
+    OracleQuery("q9_count_distinct",
+      (s, dir) => Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ROLLUP grouping sets: order totals by (status, priority) with
+    // subtotal and grand-total rows.
+    OracleQuery("q10_rollup",
+      (s, dir) => Tables(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // Left-semi join (EXISTS): customers having a large order.
     OracleQuery("q7_semijoin",
       (s, dir) => {

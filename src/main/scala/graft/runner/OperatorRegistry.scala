@@ -145,4 +145,7 @@ object OperatorRegistry {
 
   register("audio_metadata", p => new graft.operators.media.AudioMetadataRefiner(
     audioCol = p.str("audio_field", "audio")))
+
+  register("audio_quality", p => new graft.operators.media.AudioQualityRefiner(
+    audioCol = p.str("audio_field", "audio")))
 }

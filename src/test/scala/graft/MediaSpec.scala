@@ -45,6 +45,25 @@ class MediaSpec extends AnyFunSuite {
     assert(out(54L) == null && out(56L) == null)
   }
 
+  test("pcm stats: silence, clipping, and uniform-noise RMS behave as constructed") {
+    val silent = AudioOps.synthWavSamples(1, 8000, Array.fill[Short](1000)(0))
+    val sS = AudioOps.pcmStats(silent).get
+    assert(sS.rms == 0.0 && sS.silenceRatio == 1.0 && sS.clippingRatio == 0.0)
+
+    val clipped = AudioOps.synthWavSamples(1, 8000, Array.fill[Short](1000)(32767))
+    val sC = AudioOps.pcmStats(clipped).get
+    assert(sC.clippingRatio == 1.0 && sC.silenceRatio == 0.0)
+    assert(math.abs(sC.rms - 32767.0 / 32768.0) < 1e-9)
+
+    // uniform full-range noise: RMS ~= 1/sqrt(3), ~1% silent, ~0.1% clipped
+    val noise = AudioOps.pcmStats(AudioOps.synthWav(3L, 1, 8000, 50000)).get
+    assert(math.abs(noise.rms - 1.0 / math.sqrt(3.0)) < 0.01, noise.toString)
+    assert(noise.silenceRatio > 0.005 && noise.silenceRatio < 0.02)
+    assert(noise.clippingRatio < 0.01)
+
+    assert(AudioOps.pcmStats("ID3xxxxxxx".getBytes).isEmpty) // non-WAV
+  }
+
   test("refiner adds typed metadata columns over the audio struct") {
     val schema = StructType(Seq(
       StructField("id", LongType),
