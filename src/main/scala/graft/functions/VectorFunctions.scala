@@ -42,4 +42,21 @@ object VectorFunctions {
 
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${norm2Sql(a)} * ${norm2Sql(b)}))"
+
+  /** Squared L2 with the kernel's left-to-right double fold (matches
+    * kernels.NearestCentroid and the JVM [[l2sq]] bit-for-bit). */
+  def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      s"(acc, x) -> acc + x)"
+
+  /** Driver-side twin of [[l2sqSql]] (ascending accumulation). */
+  def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
 }

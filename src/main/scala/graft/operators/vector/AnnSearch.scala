@@ -47,6 +47,33 @@ object AnnSearch {
       s"(CASE WHEN $vecExpr[${c + 1}] >= 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** IVF top-k: coarse-quantize the corpus to `centroids` (k-means cells,
+    * the learned counterpart of [[signBucket]]), probe the `nprobe` cells
+    * nearest the query, exact cosine within — the standard
+    * inverted-file ANN layout. At 100 TB the table is written partitioned
+    * by the cell id ([[graft.io.BucketedTableWriter]]), so a query reads
+    * `nprobe` partitions instead of the corpus; recall is tuned by
+    * `nprobe` alone. Cell assignment reuses the NearestCentroid kernel;
+    * probe selection is a driver-side argsort over k centroid distances
+    * (tiny), tie-broken by cell index like the kernel.
+    */
+  def ivfTopK(df: DataFrame, queryDf: DataFrame, vecCol: String, idCol: String,
+      k: Int, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    val q = queryDf.select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (VectorFunctions.l2sq(q, c), i) }
+      .sorted.take(nprobe).map(_._2)
+    val cell = graft.plans.kernels.nearest_centroid(col(vecCol), centroids)
+    val qv = broadcast(queryDf.select(col(vecCol).as("_qv")))
+    df.withColumn("_cell", cell)
+      .filter(col("_cell").isin(probes: _*))
+      .crossJoin(qv)
+      .withColumn("cosine", VectorFunctions.cosine(col(vecCol), col("_qv")))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k within the query's LSH bucket (exact cosine as refinement). */
   def lshTopK(df: DataFrame, queryDf: DataFrame, vecCol: String,
       idCol: String, k: Int, coords: Seq[Int]): DataFrame = {

@@ -169,6 +169,29 @@ object NearDup {
               |SELECT vec_id, round(cos, 6) AS cosine FROM c
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    OracleQuery("ann_ivf_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cents = emb.orderBy(col("vec_id")).limit(8)
+          .select(col("embedding").cast("array<double>")).collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
+        AnnSearch.ivfTopK(emb, emb.filter(col("vec_id") === 0),
+            "embedding", "vec_id", k = 5, cents, nprobe = 3)
+          .withColumn("cosine", round(col("cosine"), 6))
+      },
+      Some(s"""WITH ${kmeansOp.assignCteSql("embeddings", "vec_id")},
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              |probes AS (SELECT _cid FROM (
+              |    SELECT c._cid, row_number() OVER (
+              |      ORDER BY ${graft.functions.VectorFunctions.l2sqSql("c._ce", "qe")}, c._cid) AS rn
+              |    FROM _cent c CROSS JOIN q) t WHERE rn <= 3),
+              |cand AS (SELECT e.vec_id,
+              |    ${graft.functions.VectorFunctions.cosineSql("e.embedding", "qe")} AS cos
+              |  FROM embeddings e JOIN _assigned a ON a.id = e.vec_id CROSS JOIN q
+              |  WHERE a.cluster_id IN (SELECT _cid FROM probes))
+              |SELECT vec_id, round(cos, 6) AS cosine FROM cand
+              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
+
     OracleQuery("ann_lsh_topk",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
