@@ -106,6 +106,23 @@ object Curation {
               |  FROM documents) t
               |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    OracleQuery("domain_blocklist_filter",
+      (s, dir) => {
+        import graft.operators.text.DomainBlocklistFilter
+        val blocklist = s.createDataFrame(Seq(
+          Tuple1("badsite.example"), Tuple1("en.wikipedia.org"))).toDF("domain")
+        val op = new DomainBlocklistFilter(blocklist, idCol = "doc_id")
+        op(docs(s, dir).withColumn("url", urlCol))
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some {
+        val op = new graft.operators.text.DomainBlocklistFilter(null, idCol = "doc_id")
+        s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents)
+           |SELECT doc_id FROM u
+           |WHERE ${op.keepSql("u", "url", Seq("badsite.example", "en.wikipedia.org"))}
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     OracleQuery("text_url_dedup",
       (s, dir) => urlDedupOp(docs(s, dir).withColumn("url", urlCol))
         .select(col("doc_id")).orderBy(col("doc_id")),

@@ -124,6 +124,17 @@ class RunnerSpec extends AnyFunSuite {
     assert(OperatorRegistry.listOperators.size >= 10)
   }
 
+  test("config validation: missing sections and unknown types fail loudly") {
+    val noLoader = intercept[IllegalArgumentException] {
+      PipelineConf.fromYaml("data_writer:\n  type: ParquetDataWriter\n")
+    }
+    assert(noLoader.getMessage.contains("data_loader"))
+    val badLoader = intercept[IllegalArgumentException] {
+      PipelineRunner.load(spark, graft.runner.LoaderConf("NopeLoader", Params(Map.empty)))
+    }
+    assert(badLoader.getMessage.contains("unknown loader type"))
+  }
+
   test("cli runs the shipped example config") {
     // the shipped example writes to /tmp/graft_out; clear between runs
     val outDir = new java.io.File("/tmp/graft_out")
