@@ -103,7 +103,7 @@ def r6(v):
 
 
 def main():
-    meta_rows, ent_rows, blk_rows, keep_ids = [], [], [], []
+    meta_rows, ent_rows, blk_rows, keep_ids, vd_rows = [], [], [], [], []
     for i in range(N):
         if i in GARBAGE or i in NULLS:
             meta_rows.append((i, 0, 0, "ERROR"))
@@ -118,6 +118,15 @@ def main():
             b = blockiness(w, h, px)
             ent_rows.append((i, e))
             blk_rows.append((i, b))
+            if i <= 53:
+                # VisualDegradationsRefiner stub heads: (e/8, b, 0, 1-e/8);
+                # overall = 0.2*h0 + 0.3*h1 + 0.25*h2 + 0.25*h3 — the exact
+                # FP expression order of InferenceRefiners.scala
+                h0 = e / 8.0
+                h1 = b
+                h2 = 0.0
+                h3 = 1.0 - e / 8.0
+                vd_rows.append((i, 0.2 * h0 + 0.3 * h1 + 0.25 * h2 + 0.25 * h3))
             # filter config 64/64/0.8/3.0; artifacts never reaches 0.8 on
             # this fixture (max blockiness*0.6 + 0.4 < 0.8), so the
             # decision is width/height/entropy
@@ -135,6 +144,9 @@ def main():
         f"  (CAST({i} AS BIGINT), CAST({r6(b)} AS DOUBLE))" for i, b in blk_rows))
     print("-- image_quality_filter keep ids")
     print(",\n".join(f"  (CAST({i} AS BIGINT))" for i in keep_ids))
+    print("-- image_degradations overall (id <= 53)")
+    print(",\n".join(
+        f"  (CAST({i} AS BIGINT), CAST({r6(v)} AS DOUBLE))" for i, v in vd_rows))
 
 
 if __name__ == "__main__":
