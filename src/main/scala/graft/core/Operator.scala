@@ -47,12 +47,34 @@ trait Refiner extends Operator {
     added(df).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 }
 
+/** Mark-don't-drop result of one [[RejectingOperator]] in disposition
+  * mode: `stillAlive` / `newlyRejected` are flags local to this operator
+  * (the chain guards them with the accumulated alive flag), `details` is
+  * the provenance struct to stamp on newly rejected rows, and
+  * `internalCols` are scratch columns the chain drops after consuming the
+  * flag expressions.
+  */
+final case class Marked(
+    df: DataFrame,
+    stillAlive: Column,
+    newlyRejected: Column,
+    details: Column,
+    internalCols: Seq[String] = Nil)
+
 /** Any operator that drops rows and can produce the annotated complement
   * (§2.8 of SURVEY.md) — filters, window dedups, and the pairwise
   * near-dup family all route their rejects through this.
   */
 trait RejectingOperator extends Operator {
   def rejected(df: DataFrame): DataFrame
+
+  /** Disposition twin of `apply`/`rejected`: mark rows instead of dropping
+    * them, so passed AND every operator's rejects come out of ONE scan
+    * (the runner's single-pass reject routing). `alive` is the accumulated
+    * survival flag — only alive rows may compete or be rejected; `tag`
+    * uniquifies any scratch columns.
+    */
+  def mark(df: DataFrame, alive: Column, tag: String): Marked
 }
 
 /** Keeps rows matching a predicate (reference Filter,
@@ -64,6 +86,11 @@ trait RowFilter extends RejectingOperator {
   final def apply(df: DataFrame): DataFrame = df.filter(keep(df))
   final def rejected(df: DataFrame): DataFrame =
     df.filter(!keep(df)).withColumn(Rejection.ColName, Rejection.filtered(name))
+
+  final def mark(df: DataFrame, alive: Column, tag: String): Marked = {
+    val k = keep(df)
+    Marked(df, k, !k, Rejection.filtered(name))
+  }
 }
 
 /** Global first-wins deduplication (reference Deduplicator +
@@ -114,6 +141,88 @@ trait Deduplicator extends RejectingOperator {
       .withColumn(Rejection.ColName,
         Rejection.duplicate(name, col("_dedup_key"), col("_dedup_rep")))
       .drop(internal: _*)
+
+  /** Disposition mode: dead rows stay in the frame, so the first-wins
+    * window sorts alive rows first — the winner is the first ALIVE row by
+    * arrival order, exactly the sequential semantics where rows rejected
+    * upstream never reached this operator.
+    */
+  final def mark(df: DataFrame, alive: Column, tag: String): Marked = {
+    val aC = s"_dal$tag"; val kC = s"_dk$tag"; val oC = s"_do$tag"
+    val rnC = s"_drn$tag"; val repC = s"_drep$tag"; val repSrcC = s"_dreps$tag"
+    var d = df.withColumn(aC, alive)
+    d = d.withColumn(kC, key(d)).withColumn(oC, order(d))
+      .withColumn(repSrcC, representative(d))
+    val w = Window.partitionBy(col(kC)).orderBy(col(aC).desc, col(oC))
+    d = d.withColumn(rnC, row_number().over(w))
+      .withColumn(repC, first(col(repSrcC)).over(w))
+    Marked(d, col(rnC) === 1, col(rnC) > 1,
+      Rejection.duplicate(name, col(kC), col(repC)),
+      Seq(aC, kC, oC, rnC, repC, repSrcC))
+  }
+}
+
+/** Disposition `mark` for the pairwise drop-set dedup family (MinHash
+  * LSH, n-gram Jaccard, SimHash-near, embedding-cosine): duplicate pairs
+  * are computed over the ALIVE subset only — rows rejected upstream never
+  * compete, exactly the sequential semantics — then one left join stamps
+  * the representative back onto the chain.
+  */
+object PairwiseMark {
+  def apply(
+      df: DataFrame, alive: Column, tag: String, idCol: String, opName: String,
+      pairs: DataFrame => DataFrame): Marked = {
+    val repC = s"_prep$tag"
+    val reps = pairs(df.filter(alive)).groupBy(col("d2"))
+      .agg(min(col("d1")).as(repC))
+      .withColumnRenamed("d2", idCol)
+    val d = df.join(reps, Seq(idCol), "left")
+    Marked(d, col(repC).isNull, col(repC).isNotNull,
+      Rejection.duplicate(opName, lit(null).cast("string"), col(repC)), Seq(repC))
+  }
+}
+
+/** Single-pass reject disposition (SURVEY.md §2.8's own disposition): the
+  * chain carries an alive flag plus the FIRST rejecting operator's
+  * provenance instead of dropping rows, so the passed output and every
+  * operator's annotated rejects are two filters over one lineage — one
+  * source scan total. The reference replays the chain per stage
+  * (framework/executor.py:100-124); at 100 TB that multiplies full scans
+  * by the stage count, which is the one scale-killer this avoids.
+  */
+object Disposition {
+  val AliveCol = "_graft_alive"
+  private val DetailsType =
+    "struct<reason:string,operator:string,dedup_key:string,representative_id:string>"
+
+  def init(df: DataFrame): DataFrame =
+    df.withColumn(AliveCol, lit(true))
+      .withColumn(Rejection.ColName, lit(null).cast(DetailsType))
+
+  /** Apply one operator in mark-don't-drop mode. Refiners run on every
+    * row (their columns also annotate rejects); rejecting operators only
+    * update flags for currently-alive rows.
+    */
+  def step(df: DataFrame, op: Operator, tag: String): DataFrame = op match {
+    case r: RejectingOperator =>
+      val m = r.mark(df, col(AliveCol), tag)
+      m.df.withColumns(Map(
+        Rejection.ColName -> when(col(AliveCol) && m.newlyRejected, m.details)
+          .otherwise(col(Rejection.ColName)),
+        AliveCol -> (col(AliveCol) && m.stillAlive)))
+        .drop(m.internalCols: _*)
+    case o => o(df)
+  }
+
+  /** The surviving rows, with disposition scaffolding removed. */
+  def passed(df: DataFrame): DataFrame =
+    df.filter(col(AliveCol)).drop(AliveCol, Rejection.ColName)
+
+  /** Every operator's annotated complement in one frame (route it with a
+    * single write partitioned by `_rejection_details.operator`).
+    */
+  def rejected(df: DataFrame): DataFrame =
+    df.filter(!col(AliveCol)).drop(AliveCol)
 }
 
 /** Result of running a pipeline: the passed rows plus each row-dropping

@@ -81,4 +81,13 @@ object RejectedWriter {
       partitionKeyExtractor = Some(s"${Rejection.ColName}.operator"))
     result.rejected.foreach { case (_, df) => w.write(df) }
   }
+
+  /** Disposition-mode sink: ALL operators' rejects arrive in one frame
+    * (uniform schema, provenance struct set) — one partitioned append.
+    */
+  def writeAll(rejected: DataFrame, outputPath: String, tableName: String): Unit =
+    new ParquetDataWriter(s"${outputPath}_rejected", s"${tableName}_rejected",
+      partitionBy = Some("operator"),
+      partitionKeyExtractor = Some(s"${Rejection.ColName}.operator"))
+      .write(rejected)
 }

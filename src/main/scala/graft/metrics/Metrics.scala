@@ -97,6 +97,37 @@ final class MeteredPipeline(val stageName: String, val ops: Seq[Operator]) {
     (cs, MetricsRollup.stage(stageName, cs))
   }
 
+  /** Disposition-mode twin of `instrument`: operators MARK rows dead
+    * (graft.core.Disposition) instead of dropping them, so the boundary
+    * observations count alive rows only. Same single-pass contract: the
+    * thunk is valid after one action on the returned frame.
+    */
+  def instrumentDisposition(
+      input: DataFrame, tagPrefix: String): (DataFrame, () => Seq[OperatorCounts]) = {
+    import graft.core.Disposition
+    def aliveCount = sum(when(col(Disposition.AliveCol), 1L).otherwise(0L)).as("n")
+    def obsCount(o: Observation): Long =
+      o.get("n") match { case null => 0L; case n => n.asInstanceOf[Long] }
+    val inObs = Observation()
+    var df = input.observe(inObs, aliveCount)
+    val boundary = ops.zipWithIndex.map { case (op, i) =>
+      df = Disposition.step(df, op, s"$tagPrefix$i")
+      val obs = Observation()
+      df = df.observe(obs, aliveCount)
+      op.name -> obs
+    }
+    def counts(): Seq[OperatorCounts] = {
+      var prev = obsCount(inObs)
+      boundary.zipWithIndex.map { case ((name, obs), i) =>
+        val out = obsCount(obs)
+        val c = OperatorCounts(i, name, prev, out, 0.0)
+        prev = out
+        c
+      }
+    }
+    (df, counts)
+  }
+
   /** Instrumented-mode run: one action per boundary so wall time is
     * attributable per operator (the reference's per-operator total_time).
     * Costs recomputation — use for profiling, not production.

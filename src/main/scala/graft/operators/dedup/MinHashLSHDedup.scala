@@ -95,6 +95,9 @@ final class MinHashLSHDedup(
   def apply(df: DataFrame): DataFrame =
     df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  def mark(df: DataFrame, alive: org.apache.spark.sql.Column, tag: String): graft.core.Marked =
+    graft.core.PairwiseMark(df, alive, tag, idCol, name, verifiedPairs)
+
   /** Transitive-closure variant: connected components over the verified
     * pair graph, keeping exactly the minimum id of every component
     * ([[ConnectedComponents]]; the default `apply` is the pairwise form —

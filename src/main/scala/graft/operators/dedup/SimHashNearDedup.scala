@@ -53,6 +53,9 @@ final class SimHashNearDedup(
   def apply(df: DataFrame): DataFrame =
     df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  def mark(df: DataFrame, alive: org.apache.spark.sql.Column, tag: String): graft.core.Marked =
+    graft.core.PairwiseMark(df, alive, tag, idCol, name, verifiedPairs)
+
   def rejected(df: DataFrame): DataFrame = {
     val reps = verifiedPairs(df).groupBy(col("d2")).agg(min(col("d1")).as("_rep"))
       .withColumnRenamed("d2", idCol)

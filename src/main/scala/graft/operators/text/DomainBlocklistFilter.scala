@@ -50,6 +50,16 @@ final class DomainBlocklistFilter(
     df.join(blockedIds(df), Seq(idCol), "left_semi")
       .withColumn(Rejection.ColName, Rejection.filtered(name))
 
+  /** Disposition mode: the blocked set is row-local (URL only), so one
+    * left join stamps a blocked flag instead of anti/semi-joining twice.
+    */
+  def mark(df: DataFrame, alive: Column, tag: String): graft.core.Marked = {
+    val bC = s"_blk$tag"
+    val d = df.join(blockedIds(df).withColumn(bC, lit(true)), Seq(idCol), "left")
+    graft.core.Marked(d, col(bC).isNull, col(bC).isNotNull,
+      Rejection.filtered(name), Seq(bC))
+  }
+
   /** DuckDB twin: kept-id predicate over `table` given a VALUES blocklist. */
   def keepSql(table: String, urlExpr: String, blockedDomains: Seq[String]): String = {
     val values = blockedDomains.map(d => s"('${d.toLowerCase}')").mkString(", ")

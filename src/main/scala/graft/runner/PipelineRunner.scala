@@ -1,9 +1,10 @@
 package graft.runner
 
-import graft.core.{Pipeline, PipelineResult}
+import graft.core.Disposition
 import graft.io.{ParquetDataWriter, RejectedWriter}
 import graft.metrics._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** YAML config → DataFrame chain → one terminal write, with optional
   * rejected routing and metrics. The reference's whole executor topology
@@ -42,48 +43,57 @@ object PipelineRunner {
     var df = load(spark, conf.loader)
     conf.executor.maxSamples.foreach(n => df = df.limit(n.toInt))
 
-    // Instrument every stage's operator boundaries; the single terminal
-    // write below fills all counts in one pass.
-    val instrumented = conf.stages.map { st =>
+    val rejects = conf.executor.rejectedEnabled
+    if (rejects) df = Disposition.init(df)
+
+    // Instrument every stage's operator boundaries; the terminal write
+    // below fills all counts in one pass. With reject routing on, the
+    // chain runs in disposition (mark-don't-drop) mode so passed rows AND
+    // every operator's annotated complement come from ONE source scan —
+    // the reference replays the chain per stage instead
+    // (framework/executor.py:100-124), which multiplies full scans by the
+    // stage count at 100 TB.
+    val instrumented = conf.stages.zipWithIndex.map { case (st, si) =>
       val ops = st.operators.map(o => OperatorRegistry.create(o.name, o.params))
       val metered = new MeteredPipeline(st.name, ops)
-      val (out, counts) = metered.instrument(df)
-      val pipeline = Pipeline(st.name, ops)
+      val (out, counts) =
+        if (rejects) metered.instrumentDisposition(df, s"_s${si}o")
+        else metered.instrument(df)
       df = out
-      (st.name, counts, pipeline)
+      (st.name, counts)
     }
 
     val wp = conf.writer.params
     val outputPath = wp.str("output_path", "output")
     val tableName = wp.str("table_name", "default")
-    conf.writer.tpe match {
+    val writer: DataFrame => Unit = conf.writer.tpe match {
       case "ParquetDataWriter" => new ParquetDataWriter(
         outputPath, tableName,
         partitionBy = wp.str("partition_by"),
         partitionKeyExtractor = wp.str("partition_key_extractor"),
-        compression = wp.str("compression", "snappy")).write(df)
+        compression = wp.str("compression", "snappy")).write
       case "IcebergDataWriter" | "CatalogTableWriter" =>
         new graft.io.CatalogTableWriter(
           wp.str("table").getOrElse(tableName),
-          partitionBy = wp.strList("partition_by")).write(df)
+          partitionBy = wp.strList("partition_by")).write
       case other => throw new IllegalArgumentException(s"unknown writer type: $other")
-    } // the one action — fills every observation
-
-    val stages = instrumented.map { case (name, counts, _) =>
-      MetricsRollup.stage(name, counts())
     }
 
-    // Rejected branches: recompute per-operator complements and route
-    // them partitioned by operator (reference writes rejects eagerly per
-    // stage too, framework/worker.py:113-118).
-    if (conf.executor.rejectedEnabled) {
-      var cur = load(spark, conf.loader)
-      conf.executor.maxSamples.foreach(n => cur = cur.limit(n.toInt))
-      instrumented.foreach { case (_, _, pipeline) =>
-        val result: PipelineResult = pipeline.run(cur)
-        RejectedWriter.write(result, outputPath, tableName)
-        cur = result.passed
-      }
+    if (rejects) {
+      // One materialization of the annotated chain feeds both filtered
+      // writes; the reject write is a single parquet append partitioned
+      // by the rejecting operator.
+      val annotated = df.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        writer(Disposition.passed(annotated)) // fills every observation
+        RejectedWriter.writeAll(Disposition.rejected(annotated), outputPath, tableName)
+      } finally annotated.unpersist()
+    } else {
+      writer(df) // the one action — fills every observation
+    }
+
+    val stages = instrumented.map { case (name, counts) =>
+      MetricsRollup.stage(name, counts())
     }
 
     val durationSec = (System.nanoTime() - t0) / 1e9

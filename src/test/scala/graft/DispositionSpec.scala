@@ -1,0 +1,75 @@
+package graft
+
+import graft.core.{Disposition, Rejection}
+import graft.operators.dedup.TextExactDedup
+import graft.operators.text.TextLengthFilter
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Single-pass reject disposition (core.Disposition + the runner's
+  * rejectedEnabled path): mark-don't-drop must agree row-for-row with the
+  * sequential apply/rejected chain, and the whole passed+rejected lineage
+  * must read the source exactly once (the reference replays the chain per
+  * stage — the scale defect this mode removes).
+  */
+class DispositionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val filterOp = new TextLengthFilter(100L, Some(400L), "text", Some("n_chars"))
+  private val dedupOp = TextExactDedup("text", idCol = "doc_id", orderCol = "doc_id")
+
+  private def chain(docs: DataFrame): DataFrame = {
+    var df = Disposition.init(docs)
+    df = Disposition.step(df, filterOp, "_t0")
+    Disposition.step(df, dedupOp, "_t1")
+  }
+
+  test("disposition passed equals the sequential chain") {
+    val docs = table("documents")
+    val sequential = dedupOp(filterOp(docs)).select("doc_id")
+    val disposition = Disposition.passed(chain(docs)).select("doc_id")
+    assert(disposition.exceptAll(sequential).isEmpty &&
+      sequential.exceptAll(disposition).isEmpty)
+  }
+
+  test("disposition rejects equal the union of sequential complements") {
+    // plant exact-text duplicates under fresh ids so BOTH operators reject
+    val base = table("documents")
+    val docs = base.unionByName(
+      base.limit(40).withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val seqFilter = filterOp.rejected(docs)
+    val seqDedup = dedupOp.rejected(filterOp(docs))
+    val disp = Disposition.rejected(chain(docs)).persist()
+    try {
+      val dispByOp = disp
+        .groupBy(col(s"${Rejection.ColName}.operator").as("op")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = Map(
+        filterOp.name -> seqFilter.count(), dedupOp.name -> seqDedup.count())
+        .filter(_._2 > 0)
+      assert(expected.size == 2, "fixture must reject through both operators")
+      assert(dispByOp == expected)
+      // dedup rejects carry the kept row's id as representative
+      val reps = disp.filter(col(s"${Rejection.ColName}.reason") === "duplicate")
+        .select(col(s"${Rejection.ColName}.representative_id"))
+      val seqReps = seqDedup.select(col(s"${Rejection.ColName}.representative_id"))
+      assert(reps.exceptAll(seqReps).isEmpty && seqReps.exceptAll(reps).isEmpty)
+    } finally disp.unpersist()
+  }
+
+  test("passed + rejected cover the input exactly once per row") {
+    val docs = table("documents")
+    val annotated = chain(docs)
+    val total = Disposition.passed(annotated).count() +
+      Disposition.rejected(annotated).count()
+    assert(total == docs.count())
+  }
+
+  test("single source scan: the annotated chain has one relation leaf") {
+    val leaves = chain(table("documents")).queryExecution.optimizedPlan
+      .collect { case l: LeafNode => l }
+    assert(leaves.size == 1, s"expected 1 scan leaf, got: $leaves")
+  }
+}
