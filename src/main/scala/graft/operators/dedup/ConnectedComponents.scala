@@ -34,12 +34,18 @@ object ConnectedComponents {
     while (iter < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      // convergence probe rides the same pass as the label update (an
+      // observe on the change flag) — no extra join+count job per round
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
         .select(labels("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp"),
+          (coalesce(col("ncomp"), labels("comp")) < labels("comp")).as("_chg"))
+        .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("chg"))
+        .drop("_chg")
         .persist()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") < col("old")).limit(1).count()
+      next.count() // one job: materializes the cache and fills the observation
+      val changed = obs.get("chg") match { case null => 0L; case n => n.asInstanceOf[Long] }
       labels.unpersist()
       labels = next
       converged = changed == 0
