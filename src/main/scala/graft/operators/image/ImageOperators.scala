@@ -127,3 +127,85 @@ final class ImagePhashDedup(
   def order(df: DataFrame): Column = col(orderCol)
   def representative(df: DataFrame): Column = col(idCol)
 }
+
+/** Near-duplicate image dedup at phash hamming distance ≤ k — the
+  * hamming-search upgrade the reference's own NOTE wishes for
+  * (image_phash_dedup.py:30: exact-match only "due to the complexity of
+  * distributed hamming-distance search"). Same pigeonhole
+  * block-permutation join as [[graft.operators.dedup.SimHashNearDedup]],
+  * over the 256-bit (64-hex-char) DCT phash: the hash splits into k+1
+  * contiguous hex substrings (sizes differ by ≤ 1 — any k+1-way
+  * partition pigeonholes), candidates agree exactly on ≥ 1 block, and
+  * `bit_count(xor)` over eight 32-bit chunks verifies exactly — every
+  * expression past the phash UDF is a codegen'd builtin. Undecodable
+  * images (null phash) never join and are kept, like the exact operator.
+  * A row is DROPPED when an earlier row (smaller `idCol`) verifies
+  * within distance k; a precomputed `phash` column is reused when
+  * present.
+  *
+  * Scale shape: one phash kernel pass, then one shuffle on
+  * (block-index, block-substring) ≤ 9-byte keys; the verify filter runs
+  * inside the join stage. Default k=8 sits under the measured minimum
+  * cross-image distance (10) and above the perturbation band (≤ 8) on
+  * the fixture corpus.
+  */
+final class ImagePhashNearDedup(
+    imageCol: String = "image",
+    idCol: String = "id",
+    k: Int = 8) extends graft.core.RejectingOperator {
+
+  require(k >= 0 && k < 64, s"k ($k) must be in [0, 64)")
+  val name = "image_phash_near_dedup"
+
+  private val hexLen = 64
+  private val numBlocks = k + 1
+  /** (1-based start, length) of each contiguous hex block. */
+  private val bounds: Seq[(Int, Int)] = {
+    val base = hexLen / numBlocks; val rem = hexLen % numBlocks
+    var pos = 1
+    (0 until numBlocks).map { i =>
+      val len = base + (if (i < rem) 1 else 0)
+      val r = (pos, len); pos += len; r
+    }
+  }
+
+  private def phashCol(df: DataFrame): Column =
+    if (df.columns.contains("phash")) col("phash")
+    else ImageOps.phashUdf(col(s"$imageCol.bytes"))
+
+  /** Exact hamming distance over eight 32-bit hex chunks (builtins only). */
+  private def hammingExpr(a: Column, b: Column): Column =
+    (0 until 8).map { i =>
+      bit_count(conv(substring(a, i * 8 + 1, 8), 16, 10).cast("long")
+        .bitwiseXOR(conv(substring(b, i * 8 + 1, 8), 16, 10).cast("long")))
+    }.reduce(_ + _)
+
+  /** Verified pairs (d1 < d2, hamming(phash1, phash2) ≤ k). */
+  def verifiedPairs(df: DataFrame): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), phashCol(df).as("_ph"))
+      .filter(col("_ph").isNotNull)
+    val blockVals = array(bounds.map { case (p, l) => substring(col("_ph"), p, l) }: _*)
+    val bl = base.select(col("_id"), col("_ph"), posexplode(blockVals).as(Seq("_b", "_bv")))
+    val left = bl.select(col("_b"), col("_bv"), col("_id").as("d1"), col("_ph").as("p1"))
+    val right = bl.select(col("_b"), col("_bv"), col("_id").as("d2"), col("_ph").as("p2"))
+    left.join(right, Seq("_b", "_bv")).filter(col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+      .filter(hammingExpr(col("p1"), col("p2")) <= k)
+      .select(col("d1"), col("d2"))
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  def mark(df: DataFrame, alive: Column, tag: String): graft.core.Marked =
+    graft.core.PairwiseMark(df, alive, tag, idCol, name, verifiedPairs)
+
+  def rejected(df: DataFrame): DataFrame = {
+    val reps = verifiedPairs(df).groupBy(col("d2")).agg(min(col("d1")).as("_rep"))
+      .withColumnRenamed("d2", idCol)
+    df.join(reps, Seq(idCol))
+      .withColumn(graft.core.Rejection.ColName,
+        graft.core.Rejection.duplicate(name, lit(null).cast("string"), col("_rep")))
+      .drop("_rep")
+  }
+}

@@ -27,8 +27,22 @@ object ImageQueries {
     minWidth = 64, minHeight = 64,
     maxCompressionArtifacts = 0.8, minInformationEntropy = 3.0)
   private val phashOp = new ImagePhashDedup("image", idCol = "id", orderCol = "id")
+  private val phashNearOp = new ImagePhashNearDedup("image", idCol = "id", k = 8)
 
   private def fixture(s: SparkSession): DataFrame = SyntheticImages.df(s)
+
+  /** Fixture plus two perturbed near-duplicates of id 3 (phash hamming 2
+    * and 8 — inside k, below the ≥ 10 cross-image floor), so the near
+    * gate distinguishes hamming search from exact matching.
+    */
+  private def nearFixture(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val extra = Seq(
+      Row(100L, Row(SyntheticImages.perturbed(3L, 53, 4))),
+      Row(101L, Row(SyntheticImages.perturbed(3L, 23, 12))))
+    fixture(s).filter(col("id") <= 57).unionByName(
+      s.createDataFrame(s.sparkContext.parallelize(extra, 1), SyntheticImages.schema))
+  }
 
   private val metadataValues = """  (CAST(0 AS BIGINT), 48, 48, 'PNG'),
   (CAST(1 AS BIGINT), 78, 104, 'PNG'),
@@ -319,5 +333,16 @@ object ImageQueries {
   (CAST(55 AS BIGINT)),
   (CAST(56 AS BIGINT)),
   (CAST(57 AS BIGINT))
+              |) AS t(id) ORDER BY id""".stripMargin)),
+
+    // keep-set: everything except the exact pixel dups (50-53, hamming 0)
+    // and the planted perturbed near-dups of id 3 (100-101, hamming 2/8);
+    // undecodable (54,55) and null (56,57) rows never join and are kept.
+    // Regenerate via `sbt "Test/runMain graft.PrintPhashKeep"`.
+    OracleQuery("phash_near_dedup",
+      (s, _) => phashNearOp(nearFixture(s))
+        .select(col("id")).orderBy(col("id")),
+      Some(s"""SELECT * FROM (VALUES
+              |${((0L to 49L) ++ (54L to 57L)).map(i => s"  (CAST($i AS BIGINT))").mkString(",\n")}
               |) AS t(id) ORDER BY id""".stripMargin)))
 }

@@ -100,6 +100,11 @@ object OperatorRegistry {
     idCol = p.str("id_field", "id"),
     orderCol = p.str("order_field").getOrElse(p.str("id_field", "id"))))
 
+  register("image_phash_near_deduplicator", p => new ImagePhashNearDedup(
+    imageCol = p.str("image_field", "image"),
+    idCol = p.str("id_field", "id"),
+    k = p.long("max_hamming_distance", 8L).toInt))
+
   register("simhash_near_deduplicator", p => new SimHashNearDedup(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

@@ -78,6 +78,24 @@ object SyntheticImages {
     encodeAs(w, h, px, if (JpegIds(id)) "jpg" else "png")
   }
 
+  /** Perturbed near-duplicate of a drawable id: every `step`-th pixel
+    * nudged +`delta` per channel (clamped) — visually identical; phash
+    * hamming lands in the 2–8 band on fixture content (measured), below
+    * the ≥ 10 cross-image floor.
+    */
+  def perturbed(id: Long, step: Int, delta: Int): Array[Byte] = {
+    val (w, h, px) = pixels(id)
+    val p2 = px.zipWithIndex.map { case (p, i) =>
+      if (i % step == 0) {
+        val r = math.min(((p >> 16) & 0xFF) + delta, 255)
+        val g = math.min(((p >> 8) & 0xFF) + delta, 255)
+        val b = math.min((p & 0xFF) + delta, 255)
+        (r << 16) | (g << 8) | b
+      } else p
+    }
+    encodeAs(w, h, p2, "png")
+  }
+
   /** Encode arbitrary packed-RGB pixels (test helper for perturbations). */
   def encodeAs(w: Int, h: Int, px: Array[Int], format: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.image.{ImageMetadataRefiner, ImageOps, ImagePhashDedup, ImageQualityFilter, ImageTechnicalQualityRefiner}
+import graft.operators.image.{ImageMetadataRefiner, ImageOps, ImagePhashDedup, ImagePhashNearDedup, ImageQualityFilter, ImageTechnicalQualityRefiner}
 import graft.sources.SyntheticImages
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -87,6 +87,27 @@ class ImageSpec extends AnyFunSuite {
       ImageOps.phash(SyntheticImages.encode(3L)).get,
       ImageOps.phash(SyntheticImages.encode(7L)).get)
     assert(near < 48 && far > 64, s"near=$near far=$far")
+  }
+
+  test("phash near-dedup drops perturbed copies that exact dedup keeps") {
+    import org.apache.spark.sql.Row
+    val extra = Seq(
+      Row(100L, Row(SyntheticImages.perturbed(3L, 53, 4))),   // hamming 2
+      Row(101L, Row(SyntheticImages.perturbed(3L, 23, 12))))  // hamming 8
+    val input = SyntheticImages.df(spark).filter(col("id") <= 57).unionByName(
+      spark.createDataFrame(spark.sparkContext.parallelize(extra, 1), SyntheticImages.schema))
+    val exactKept = new ImagePhashDedup("image", idCol = "id", orderCol = "id")(input)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(exactKept.contains(100L) && exactKept.contains(101L),
+      "perturbed copies hash to different exact phash values")
+    val near = new ImagePhashNearDedup("image", idCol = "id", k = 8)
+    val nearKept = near(input).select("id").collect().map(_.getLong(0)).toSet
+    assert(!nearKept.contains(100L) && !nearKept.contains(101L))
+    assert(nearKept.contains(3L) && nearKept.contains(54L) && nearKept.contains(56L))
+    val reps = near.rejected(input)
+      .select(col("id"), col("_rejection_details.representative_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reps(100L) == "3" && reps(101L) == "3")
   }
 
   test("phash discriminates: distinct noise images have distant hashes") {

@@ -19,6 +19,11 @@ object PrintPhashKeep {
     println("PHASH_KEEP_START")
     println(kept.map(i => s"  (CAST($i AS BIGINT))").mkString(",\n"))
     println("PHASH_KEEP_END")
+    val nearQ = graft.queries.ImageQueries.queries.find(_.name == "phash_near_dedup").get
+    val nearKept = nearQ.run(spark, "").collect().map(_.getLong(0))
+    println("PHASH_NEAR_KEEP_START")
+    println(nearKept.map(i => s"  (CAST($i AS BIGINT))").mkString(",\n"))
+    println("PHASH_NEAR_KEEP_END")
     spark.stop()
   }
 }
