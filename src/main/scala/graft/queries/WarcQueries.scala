@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 /** S2/S3 gate: the WARC loader + HTML extractor run end-to-end over an
   * archive GENERATED from the documents fixture (each doc wrapped in a
   * minimal HTML page inside an HTTP response record), and the DuckDB twin
-  * predicts the extractor's exact output from the wrapper's algebra:
-  * title and body merge into one whitespace-collapsed line, records keep
-  * only ≥100-char HTML bodies and ≥50-char extractions. Fixture text is
-  * verified ASCII with no markup characters, so no entity/tag edge cases
-  * apply.
+  * predicts the extractor's exact output from the wrapper's algebra: the
+  * body paragraph becomes one whitespace-collapsed line (the title is
+  * its own field, never part of `text`), records keep only ≥100-char
+  * HTML bodies and ≥50-char extractions. Fixture text is verified ASCII
+  * with no markup characters, so no entity/tag edge cases apply.
   */
 object WarcQueries {
 
@@ -49,8 +49,7 @@ object WarcQueries {
       Some(s"""WITH c AS (SELECT doc_id,
               |    trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS ct
               |  FROM documents),
-              |e AS (SELECT 'http://fixture/' || CAST(doc_id AS VARCHAR) AS url,
-              |    trim(regexp_replace('t' || CAST(doc_id AS VARCHAR) || ' ' || ct, '\\s+', ' ', 'g')) AS text
+              |e AS (SELECT 'http://fixture/' || CAST(doc_id AS VARCHAR) AS url, ct AS text
               |  FROM c
               |  WHERE $htmlOverhead + length('t' || CAST(doc_id AS VARCHAR)) + length(ct) >= 100)
               |SELECT url, text, CAST(length(text) AS BIGINT) AS text_length

@@ -106,19 +106,76 @@ object Warc {
     "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
     "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
 
-  /** Readability-style main-content extraction: (title, text), or None
-    * when the remaining text is under 50 chars (text_ops.rs:24-27).
+  private def decodeEntities(s: String): String =
+    entities.foldLeft(s) { case (acc, (e, r)) => acc.replace(e, r) }
+
+  /** Tags that terminate a text block (boilerpipe-style segmentation). */
+  private val BlockTags = Set(
+    "p", "div", "section", "article", "main", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "ul", "ol", "dl", "dt", "dd", "tr", "td", "th", "table", "thead", "tbody",
+    "blockquote", "pre", "br", "hr", "figure", "figcaption", "center")
+
+  /** A kept block must have at most this fraction of its words inside
+    * anchors (boilerpipe's low-link-density content rule; readability.js
+    * penalizes by the same ratio).
+    */
+  private val MaxLinkDensity = 0.34
+
+  /** Readability-grade main-content extraction: (title, text), or None
+    * when the remaining text is under 50 chars — the capability of the
+    * reference's readability.js-class extractor (src/text_ops.rs:16-29).
+    *
+    * Three-stage scorer instead of a bare tag strip:
+    *  1. subtree exclusion — head, script/style/noscript/svg/template,
+    *     and the semantic boilerplate containers nav/header/footer/
+    *     aside/form are removed whole;
+    *  2. block segmentation — remaining text splits into blocks at
+    *     block-level tags, tracking per block the word count and the
+    *     words inside `<a>` anchors;
+    *  3. link-density scoring — blocks whose anchor-word fraction
+    *     exceeds [[MaxLinkDensity]] (link lists, sidebars, related-post
+    *     widgets that live in plain divs) are dropped; survivors join
+    *     with newlines, whitespace-collapsed per block.
+    * The title comes from `<title>` and is NOT part of `text`.
     */
   def htmlExtractText(html: String): Option[(String, String)] = {
     val title = "(?is)<title[^>]*>(.*?)</title>".r
       .findFirstMatchIn(html).map(_.group(1).trim).getOrElse("")
     var s = html
     s = s.replaceAll("(?is)<!--.*?-->", " ")
-    s = s.replaceAll("(?is)<(script|style|noscript|nav|header|footer|aside|form)[^>]*>.*?</\\1>", " ")
-    s = s.replaceAll("(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/section|/article)[^>]*>", "\n")
-    s = s.replaceAll("(?s)<[^>]+>", " ")
-    s = entities.foldLeft(s) { case (acc, (e, r)) => acc.replace(e, r) }
-    val text = s.linesIterator.map(_.replaceAll("\\s+", " ").trim)
+    s = s.replaceAll("(?is)<head[^>]*>.*?</head>", " ")
+    s = s.replaceAll("(?is)<(script|style|noscript|svg|template|form|nav|header|footer|aside)[^>]*>.*?</\\1>", " ")
+
+    final class Block {
+      val text = new StringBuilder; var words = 0; var linkWords = 0
+      def linkDensity: Double = if (words == 0) 0.0 else linkWords.toDouble / words
+    }
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    var cur = new Block
+    var inA = 0
+    def flush(): Unit = if (cur.words > 0) { blocks += cur; cur = new Block }
+    "(?s)<[^>]*>|[^<]+".r.findAllIn(s).foreach { t =>
+      if (t.startsWith("<")) {
+        val body = t.stripPrefix("<").stripSuffix(">")
+        val closing = body.startsWith("/")
+        val name = body.dropWhile(_ == '/').takeWhile(_.isLetterOrDigit).toLowerCase
+        if (name == "a") {
+          inA = math.max(0, inA + (if (closing) -1 else 1)); cur.text.append(' ')
+        } else if (BlockTags(name)) flush()
+        else cur.text.append(' ')
+      } else {
+        val txt = decodeEntities(t)
+        val w = txt.split("\\s+").count(_.nonEmpty)
+        cur.words += w
+        if (inA > 0) cur.linkWords += w
+        cur.text.append(txt)
+      }
+    }
+    flush()
+
+    val text = blocks.iterator
+      .filter(_.linkDensity <= MaxLinkDensity)
+      .map(_.text.toString.replaceAll("\\s+", " ").trim)
       .filter(_.nonEmpty).mkString("\n")
     if (text.trim.isEmpty || text.length < 50) None else Some((title, text))
   }

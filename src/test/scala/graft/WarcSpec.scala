@@ -62,6 +62,30 @@ class WarcSpec extends AnyFunSuite {
     assert(d.crawl_id == "CC-TEST" && d.warc_date == "2024-12-01T00:00:00Z")
   }
 
+  test("link-dense blocks drop even outside semantic containers") {
+    // a sidebar built from a PLAIN div of links — invisible to
+    // container-name rules, caught only by link-density scoring
+    val html =
+      """<html><body>
+        |<div class="sidebar"><a href="/1">Recent post one</a>
+        |<a href="/2">Another older post</a> <a href="/3">More archive links</a></div>
+        |<ul><li><a href="/t1">tag cloud entry</a></li><li><a href="/t2">second tag</a></li></ul>
+        |<p>The actual article body has plenty of plain prose words and
+        |<a href="/ref">one inline reference link</a> inside a long paragraph,
+        |so its link density stays comfortably under the content threshold.</p>
+        |</body></html>""".stripMargin
+    val (_, text) = Warc.htmlExtractText(html).get
+    assert(text.contains("actual article body") && text.contains("one inline reference link"))
+    assert(!text.contains("Recent post one") && !text.contains("tag cloud entry"))
+  }
+
+  test("title stays out of the extracted text") {
+    val html = "<html><head><title>The Title</title></head><body><p>" +
+      "Body content long enough to clear the fifty character minimum easily.</p></body></html>"
+    val (title, text) = Warc.htmlExtractText(html).get
+    assert(title == "The Title" && !text.contains("The Title"))
+  }
+
   test("gzipped warc parses identically") {
     val baos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(baos)
