@@ -23,7 +23,8 @@ final case class LoaderConf(tpe: String, params: Params)
 final case class WriterConf(tpe: String, params: Params)
 final case class ExecutorConf(
     maxSamples: Option[Long], rejectedEnabled: Boolean,
-    metricsEnabled: Boolean, metricsPath: Option[String], reportPath: Option[String])
+    metricsEnabled: Boolean, metricsPath: Option[String], reportPath: Option[String],
+    checkpointPath: Option[String] = None)
 
 /** The engine's only IR, exactly like the reference: a config tree
   * `data_loader → stages[{operators[]}] → data_writer → executor`
@@ -66,12 +67,14 @@ object PipelineConf {
     val execM = root.get("executor").map(asMap).getOrElse(Map.empty[String, Any])
     val rejM = execM.get("rejected_samples").map(asMap).getOrElse(Map.empty[String, Any])
     val metM = execM.get("metrics").map(asMap).getOrElse(Map.empty[String, Any])
+    val ckptM = execM.get("checkpoint").map(asMap).getOrElse(Map.empty[String, Any])
     val executor = ExecutorConf(
       maxSamples = execM.get("max_samples").map(_.asInstanceOf[Number].longValue()),
       rejectedEnabled = rejM.get("enabled").exists(_.asInstanceOf[Boolean]),
       metricsEnabled = metM.get("enabled").exists(_.asInstanceOf[Boolean]),
       metricsPath = metM.get("output_path").map(_.toString),
-      reportPath = metM.get("report_path").map(_.toString))
+      reportPath = metM.get("report_path").map(_.toString),
+      checkpointPath = ckptM.get("path").map(_.toString))
 
     PipelineConf(
       LoaderConf(loaderM("type").toString, params(loaderM)),

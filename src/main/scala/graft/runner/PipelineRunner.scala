@@ -36,11 +36,50 @@ object PipelineRunner {
     }
   }
 
+  /** Load an explicit file list (resume path: planning-time pruning, not
+    * a post-scan filter — skipped files are never opened).
+    */
+  private def loadFiles(spark: SparkSession, conf: LoaderConf, files: Seq[String]): DataFrame = {
+    val p = conf.params
+    p.str("format", "parquet") match {
+      case "parquet" => spark.read.parquet(files: _*)
+      case "csv" => spark.read.option("header", p.bool("header", true).toString)
+        .option("inferSchema", "true").csv(files: _*)
+      case "jsonl" | "json" => spark.read.json(files: _*)
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+  }
+
   final case class RunResult(run: RunRollup, outputPath: String, tableName: String)
 
   def run(spark: SparkSession, conf: PipelineConf): RunResult = {
     val t0 = System.nanoTime()
+    val wpEarly = conf.writer.params
+    val outputPathEarly = wpEarly.str("output_path", "output")
+    val tableNameEarly = wpEarly.str("table_name", "default")
+
     var df = load(spark, conf.loader)
+
+    // Batch resume (executor.checkpoint.path): prune input files already
+    // committed by previous runs; record this run's file set on success.
+    // File-granular — filters/refiners compose exactly across resumes;
+    // GLOBAL dedup state is per-increment in batch mode (use streaming
+    // mode's stateful dedup for cross-increment state).
+    val ckpt = conf.executor.checkpointPath
+    val thisRunFiles: Seq[String] = ckpt match {
+      case Some(cp) =>
+        val done = ResumeManifest.processed(spark, cp)
+        val all = df.inputFiles.toSeq.sorted
+        val remaining = all.filterNot(done)
+        if (remaining.isEmpty) {
+          val run = MetricsRollup.run(MetricsWriter.newRunId(), Seq.empty,
+            (System.nanoTime() - t0) / 1e9)
+          return RunResult(run, outputPathEarly, tableNameEarly)
+        }
+        if (remaining.size != all.size) df = loadFiles(spark, conf.loader, remaining)
+        remaining
+      case None => Nil
+    }
     conf.executor.maxSamples.foreach(n => df = df.limit(n.toInt))
 
     val rejects = conf.executor.rejectedEnabled
@@ -95,6 +134,9 @@ object PipelineRunner {
     val stages = instrumented.map { case (name, counts) =>
       MetricsRollup.stage(name, counts())
     }
+
+    // writes committed — mark this run's input files as processed
+    ckpt.foreach(cp => ResumeManifest.record(spark, cp, thisRunFiles))
 
     val durationSec = (System.nanoTime() - t0) / 1e9
     val run = MetricsRollup.run(MetricsWriter.newRunId(), stages, durationSec)

@@ -115,6 +115,47 @@ class RunnerSpec extends AnyFunSuite {
     assert(res.run.output == spark.read.parquet(s"$out/docs").count())
   }
 
+  test("batch resume: interrupted run + resume equals one-shot run") {
+    val base = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val docs = table("documents").select(col("doc_id"), col("text"), col("n_chars"))
+    // two-file input corpus
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$base/in/even")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$base/in/odd")
+    def conf(inPath: String, out: String, ckpt: Option[String]): PipelineConf =
+      PipelineConf.fromYaml(
+        s"""data_loader:
+           |  type: ParquetLoader
+           |  params: {format: parquet, path: "$inPath"}
+           |stages:
+           |  - name: filtering
+           |    operators:
+           |      - name: text_length_filter
+           |        params: {min_length: 100, max_length: 400, text_field: "text", length_field: "n_chars"}
+           |data_writer:
+           |  type: ParquetDataWriter
+           |  params: {output_path: "$out", table_name: "docs"}
+           |executor:${ckpt.map(c => s"\n  checkpoint: {path: \"$c\"}").getOrElse(" {}")}
+           |""".stripMargin)
+
+    // one-shot reference run over the whole corpus
+    PipelineRunner.run(spark, conf(s"$base/in/*/", s"$base/oneshot", None))
+    val oneShot = spark.read.parquet(s"$base/oneshot/docs")
+
+    // "interrupted" run: only the even file was processed and committed
+    val cp = s"$base/ckpt"
+    PipelineRunner.run(spark, conf(s"$base/in/even", s"$base/resumed", Some(cp)))
+    // resume over the FULL corpus: plans only the odd file
+    val r2 = PipelineRunner.run(spark, conf(s"$base/in/*/", s"$base/resumed", Some(cp)))
+    val resumed = spark.read.parquet(s"$base/resumed/docs")
+    assert(r2.run.input < oneShot.count() || r2.run.input == resumed.count() - r2.run.output)
+    assert(resumed.count() == oneShot.count())
+    assert(resumed.select("doc_id").exceptAll(oneShot.select("doc_id")).isEmpty)
+
+    // a third run is a no-op: everything already committed
+    val r3 = PipelineRunner.run(spark, conf(s"$base/in/*/", s"$base/resumed", Some(cp)))
+    assert(r3.run.stages.isEmpty && spark.read.parquet(s"$base/resumed/docs").count() == oneShot.count())
+  }
+
   test("registry rejects unknown operators with the available list") {
     val e = intercept[IllegalArgumentException] {
       OperatorRegistry.create("nope", Params(Map.empty))
