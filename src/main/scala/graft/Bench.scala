@@ -25,7 +25,38 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // 10x scale probe (promoted from the dev-only graft.ScaleProbe): the
+    // documents table replicated 10x under re-keyed ids (≈90% duplicate
+    // rate, raw-CommonCrawl shape) drives the shuffle-bound dedup paths
+    // at 10x volume, so the round-over-round trend tracks the scale
+    // shape, not only sf-sized absolutes.
+    val probe = {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val big = (0 until 10).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = big.count() // materialize once; probes measure compute, not scan
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tFilter = time(new graft.operators.text.TextLengthFilter(
+        minLength = 100, maxLength = Some(400),
+        textCol = "text", lengthCol = Some("n_chars"))(big).count())
+      val tExact = time(graft.operators.dedup.TextExactDedup(
+        textCol = "text", idCol = "doc_id", orderCol = "doc_id")(big).count())
+      val tLsh = time(new graft.operators.dedup.MinHashLSHDedup(
+        textCol = "text", idCol = "doc_id",
+        shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
+        maxBucketSize = Some(50))(big).count())
+      big.unpersist()
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f}"""
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scale_probe":$probe}""")
     spark.stop()
   }
 }
