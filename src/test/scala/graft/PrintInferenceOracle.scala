@@ -21,7 +21,7 @@ object PrintInferenceOracle {
       case other             => other.toString
     }
 
-    for (name <- Seq("image_clip_embed", "image_degradations")) {
+    for (name <- Seq("image_clip_embed", "image_siglip_embed", "image_degradations")) {
       val q = InferenceQueries.queries.find(_.name == name).get
       val rows = q.run(spark, "").collect()
       println(s"${name.toUpperCase}_START")
