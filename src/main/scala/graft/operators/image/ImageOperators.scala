@@ -180,10 +180,16 @@ final class ImagePhashNearDedup(
         .bitwiseXOR(conv(substring(b, i * 8 + 1, 8), 16, 10).cast("long")))
     }.reduce(_ + _)
 
-  /** Verified pairs (d1 < d2, hamming(phash1, phash2) ≤ k). */
+  /** Verified pairs (d1 < d2, hamming(phash1, phash2) ≤ k).
+    *
+    * No isNotNull pre-filter on the phash: predicate pushdown would
+    * duplicate the decode+DCT UDF into the filter (2× per row —
+    * plan-checked in PlanSpec); a null hash yields null block keys,
+    * which never match an equi-join, so undecodable rows drop out of
+    * candidate generation for free.
+    */
   def verifiedPairs(df: DataFrame): DataFrame = {
     val base = df.select(col(idCol).as("_id"), phashCol(df).as("_ph"))
-      .filter(col("_ph").isNotNull)
     val blockVals = array(bounds.map { case (p, l) => substring(col("_ph"), p, l) }: _*)
     val bl = base.select(col("_id"), col("_ph"), posexplode(blockVals).as(Seq("_b", "_bv")))
     val left = bl.select(col("_b"), col("_bv"), col("_id").as("d1"), col("_ph").as("p1"))

@@ -70,6 +70,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("phash near-dedup evaluates the decode+DCT UDF once per join side") {
+    // an isNotNull pre-filter on the hash gets pushed below the
+    // projection and doubles the UDF; null block keys drop out of the
+    // equi-join instead (ImagePhashNearDedup.verifiedPairs scaladoc)
+    val op = new graft.operators.image.ImagePhashNearDedup("image", idCol = "id", k = 8)
+    val p = op.verifiedPairs(graft.sources.SyntheticImages.df(spark))
+      .queryExecution.optimizedPlan.toString
+    val udfs = "UDF\\(".r.findAllIn(p).size
+    assert(udfs == 2, s"expected 1 UDF eval per join side, got $udfs\n$p")
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(
