@@ -1,6 +1,7 @@
 package graft
 
 import graft.runner.{OperatorRegistry, Params, PipelineConf, PipelineRunner}
+import graft.sources.SyntheticImages
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -154,6 +155,57 @@ class RunnerSpec extends AnyFunSuite {
     // a third run is a no-op: everything already committed
     val r3 = PipelineRunner.run(spark, conf(s"$base/in/*/", s"$base/resumed", Some(cp)))
     assert(r3.run.stages.isEmpty && spark.read.parquet(s"$base/resumed/docs").count() == oneShot.count())
+  }
+
+  test("image pipeline e2e: refiners + filter + near-dedup through YAML with rejects") {
+    val base = java.nio.file.Files.createTempDirectory("graft_img").toString
+    // fixture plus two perturbed near-copies of id 7 (hamming 2 and 6;
+    // id 7 passes the 64x64 quality filter, unlike id 3) as parquet source
+    val input = SyntheticImages.df(spark).filter(col("id") <= 57).unionByName(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(100L, org.apache.spark.sql.Row(SyntheticImages.perturbed(7L, 53, 4))),
+        org.apache.spark.sql.Row(101L, org.apache.spark.sql.Row(SyntheticImages.perturbed(7L, 23, 12)))), 1),
+        SyntheticImages.schema))
+    input.write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: image_curation
+         |    operators:
+         |      - name: image_metadata
+         |        params: {image_field: "image"}
+         |      - name: image_technical_quality
+         |        params: {image_field: "image"}
+         |      - name: image_quality_filter
+         |        params: {min_width: 64, min_height: 64, max_compression_artifacts: 0.8, min_information_entropy: 3.0}
+         |      - name: image_phash_near_deduplicator
+         |        params: {image_field: "image", id_field: "id", max_hamming_distance: 8}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "images"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/images")
+    val rejected = spark.read.parquet(s"$base/out_rejected/images_rejected")
+    assert(written.count() + rejected.count() == input.count())
+    assert(res.run.input == input.count() && res.run.output == written.count())
+    // refiner columns flow to the output
+    assert(written.columns.contains("image_width") && written.columns.contains("image_information_entropy"))
+    // the perturbed copies reject as duplicates of id 7 (disposition mark
+    // path of the pairwise family), quality rejects carry "filtered"
+    val rejByOp = rejected.groupBy(col("operator")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rejByOp.contains("image_quality_filter") && rejByOp.contains("image_phash_near_dedup"))
+    val dupIds = rejected
+      .filter(col("_rejection_details.reason") === "duplicate")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dupIds.contains(100L) && dupIds.contains(101L))
+    // kept ids pass quality AND are near-dup representatives only
+    assert(!written.select("id").collect().map(_.getLong(0)).toSet.exists(Set(100L, 101L)))
   }
 
   test("registry rejects unknown operators with the available list") {
