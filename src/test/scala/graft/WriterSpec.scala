@@ -102,6 +102,9 @@ class WriterSpec extends AnyFunSuite {
     val html = HtmlReport.render(run)
     assert(html.contains("run_x&lt;y&gt;") && html.contains("s&amp;1") && html.contains("op&lt;a&gt;"))
     assert(html.contains("<td>100</td>") && html.contains("<td>60</td>"))
+    // funnel svg with input + boundary segments; bottleneck row for the 40 dropped
+    assert(html.contains("<svg") && html.contains("s&amp;1/op&lt;a&gt;"))
+    assert(html.contains("Bottlenecks") && html.contains("<td>40</td>"))
     val f = tmp() + "/report.html"
     HtmlReport.write(run, f)
     assert(java.nio.file.Files.size(java.nio.file.Paths.get(f)) > 0)
