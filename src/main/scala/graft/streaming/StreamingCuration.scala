@@ -39,6 +39,18 @@ object StreamingCuration {
   def dedupByKey(df: DataFrame, key: Column): DataFrame =
     df.withColumn("_dedup_key", key).dropDuplicates("_dedup_key").drop("_dedup_key")
 
+  /** Streaming NEAR-dup twin: global first-seen dedup keyed by a content
+    * fingerprint (SimHash over tokens) instead of an exact content hash —
+    * lightly reworded re-crawls collide on the fingerprint and dedup
+    * across triggers through the same unbounded keyed state. True
+    * hamming ≤ k search needs candidate self-joins and stays batch
+    * ([[graft.operators.dedup.SimHashNearDedup]]); the fingerprint key is
+    * the streaming-compatible form (state = one entry per fingerprint).
+    */
+  def dedupByFingerprint(df: DataFrame, textCol: String, bits: Int = 32): DataFrame =
+    dedupByKey(df, new graft.operators.dedup.SimHashDedup(
+      textCol, textCol, textCol, bits).simhash(col(textCol)))
+
   /** Event-time tumbling-window counts with a watermark (late data beyond
     * `watermark` dropped) — the streaming twin of the q6_events_hourly
     * batch query in [[graft.queries.Relational]].

@@ -63,6 +63,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fingerprint dedup drops a reworded near-duplicate across triggers") {
+    import spark.implicits._
+    val original = ("d1", "the quick brown fox jumps over the lazy dog while " +
+      "seventeen curious researchers watch from a distant hill recording every " +
+      "single movement with their battered field notebooks and cheap pencils")
+    // formatting-variant re-crawl: same token stream, different raw text
+    // (case, punctuation, whitespace) — an exact content hash misses it
+    val reworded = ("d2", original._2.toUpperCase.replace(" ", "  ").replace("dog", "dog,"))
+    val different = ("d3", "completely unrelated text about compiling scala " +
+      "spark pipelines with catalyst expressions and whole stage codegen enabled " +
+      "for fast columnar execution across many worker nodes tonight")
+    // precondition: the variant keeps the token fingerprint, the
+    // different doc moves it
+    val fp = new graft.operators.dedup.SimHashDedup("text", "id", "id").simhash(col("text"))
+    val fps = Seq(original, reworded, different).toDF("id", "text")
+      .select(col("id"), fp.as("f")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps("d1") == fps("d2") && fps("d1") != fps("d3"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_fpdedup")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingCuration.dedupByFingerprint(mem.toDF().toDF("id", "text"), "text")
+      .writeStream.format("memory").queryName("fp_out")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      mem.addData(original)
+      q.processAllAvailable()
+      mem.addData(reworded, different) // later trigger: near-dup + new doc
+      q.processAllAvailable()
+      val out = spark.table("fp_out").select("id").as[String].collect().toSet
+      assert(out == Set("d1", "d3"), s"got $out")
+    } finally q.stop()
+  }
+
   test("stateful dedup tracks first-seen representative across triggers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
