@@ -24,7 +24,14 @@ final case class WriterConf(tpe: String, params: Params)
 final case class ExecutorConf(
     maxSamples: Option[Long], rejectedEnabled: Boolean,
     metricsEnabled: Boolean, metricsPath: Option[String], reportPath: Option[String],
-    checkpointPath: Option[String] = None)
+    checkpointPath: Option[String] = None,
+    /** "cache" (default): persist the annotated chain once and serve both
+      * writes from it — best when the chain is compute-heavy (decode,
+      * inference). "recompute": no cache, two source scans — best when
+      * the chain is cheap and caching 100 TB of annotated rows costs
+      * more than a second scan.
+      */
+    rejectedMaterialize: String = "cache")
 
 /** The engine's only IR, exactly like the reference: a config tree
   * `data_loader → stages[{operators[]}] → data_writer → executor`
@@ -74,7 +81,8 @@ object PipelineConf {
       metricsEnabled = metM.get("enabled").exists(_.asInstanceOf[Boolean]),
       metricsPath = metM.get("output_path").map(_.toString),
       reportPath = metM.get("report_path").map(_.toString),
-      checkpointPath = ckptM.get("path").map(_.toString))
+      checkpointPath = ckptM.get("path").map(_.toString),
+      rejectedMaterialize = rejM.get("materialize").map(_.toString).getOrElse("cache"))
 
     PipelineConf(
       LoaderConf(loaderM("type").toString, params(loaderM)),

@@ -119,14 +119,18 @@ object PipelineRunner {
     }
 
     if (rejects) {
-      // One materialization of the annotated chain feeds both filtered
-      // writes; the reject write is a single parquet append partitioned
-      // by the rejecting operator.
-      val annotated = df.persist(StorageLevel.MEMORY_AND_DISK)
+      // Both filtered writes come from the one annotated lineage; the
+      // reject write is a single parquet append partitioned by the
+      // rejecting operator. materialize=cache persists the chain once
+      // (right for compute-heavy chains); materialize=recompute trades a
+      // second source scan for zero cache storage (right when caching
+      // the full annotated frame costs more than re-scanning).
+      val cache = conf.executor.rejectedMaterialize != "recompute"
+      val annotated = if (cache) df.persist(StorageLevel.MEMORY_AND_DISK) else df
       try {
         writer(Disposition.passed(annotated)) // fills every observation
         RejectedWriter.writeAll(Disposition.rejected(annotated), outputPath, tableName)
-      } finally annotated.unpersist()
+      } finally if (cache) annotated.unpersist()
     } else {
       writer(df) // the one action — fills every observation
     }

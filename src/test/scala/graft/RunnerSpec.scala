@@ -116,6 +116,19 @@ class RunnerSpec extends AnyFunSuite {
     assert(res.run.output == spark.read.parquet(s"$out/docs").count())
   }
 
+  test("reject routing with materialize=recompute matches the cached path") {
+    val out = java.nio.file.Files.createTempDirectory("graft_rc").toString + "/o"
+    val conf = PipelineConf.fromYaml(yaml(out).replace(
+      "  rejected_samples:\n    enabled: true",
+      "  rejected_samples:\n    enabled: true\n    materialize: recompute"))
+    assert(conf.executor.rejectedMaterialize == "recompute")
+    val res = PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$out/docs")
+    val rejected = spark.read.parquet(s"${out}_rejected/docs_rejected")
+    assert(written.count() + rejected.count() == table("documents").count())
+    assert(res.run.output == written.count())
+  }
+
   test("batch resume: interrupted run + resume equals one-shot run") {
     val base = java.nio.file.Files.createTempDirectory("graft_resume").toString
     val docs = table("documents").select(col("doc_id"), col("text"), col("n_chars"))
