@@ -133,6 +133,14 @@ final class MeteredPipeline(val stageName: String, val ops: Seq[Operator]) {
     * Costs recomputation — use for profiling, not production.
     */
   def timedRun(input: DataFrame): (Seq[OperatorCounts], StageRollup) = {
+    val (_, cs, rollup) = timedRunThrough(input)
+    (cs, rollup)
+  }
+
+  /** [[timedRun]] that also returns the stage's output frame, so a
+    * runner can continue the chain (profiling mode).
+    */
+  def timedRunThrough(input: DataFrame): (DataFrame, Seq[OperatorCounts], StageRollup) = {
     var df = input
     var prev = df.count()
     val cs = ops.zipWithIndex.map { case (op, i) =>
@@ -144,7 +152,7 @@ final class MeteredPipeline(val stageName: String, val ops: Seq[Operator]) {
       prev = out
       c
     }
-    (cs, MetricsRollup.stage(stageName, cs))
+    (df, cs, MetricsRollup.stage(stageName, cs))
   }
 }
 

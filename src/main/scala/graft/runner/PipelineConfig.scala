@@ -31,7 +31,13 @@ final case class ExecutorConf(
       * the chain is cheap and caching 100 TB of annotated rows costs
       * more than a second scan.
       */
-    rejectedMaterialize: String = "cache")
+    rejectedMaterialize: String = "cache",
+    /** metrics.timed: profile mode — one action per operator boundary so
+      * wall time is attributable per operator (the reference's
+      * per-operator total_time). Costs recomputation; ignored when
+      * reject routing is on (the disposition pass is single-action).
+      */
+    metricsTimed: Boolean = false)
 
 /** The engine's only IR, exactly like the reference: a config tree
   * `data_loader → stages[{operators[]}] → data_writer → executor`
@@ -82,7 +88,8 @@ object PipelineConf {
       metricsPath = metM.get("output_path").map(_.toString),
       reportPath = metM.get("report_path").map(_.toString),
       checkpointPath = ckptM.get("path").map(_.toString),
-      rejectedMaterialize = rejM.get("materialize").map(_.toString).getOrElse("cache"))
+      rejectedMaterialize = rejM.get("materialize").map(_.toString).getOrElse("cache"),
+      metricsTimed = metM.get("timed").exists(_.asInstanceOf[Boolean]))
 
     PipelineConf(
       LoaderConf(loaderM("type").toString, params(loaderM)),

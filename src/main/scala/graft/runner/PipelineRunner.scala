@@ -92,12 +92,17 @@ object PipelineRunner {
     // the reference replays the chain per stage instead
     // (framework/executor.py:100-124), which multiplies full scans by the
     // stage count at 100 TB.
+    val timed = conf.executor.metricsTimed && !rejects
     val instrumented = conf.stages.zipWithIndex.map { case (st, si) =>
       val ops = st.operators.map(o => OperatorRegistry.create(o.name, o.params))
       val metered = new MeteredPipeline(st.name, ops)
       val (out, counts) =
         if (rejects) metered.instrumentDisposition(df, s"_s${si}o")
-        else metered.instrument(df)
+        else if (timed) {
+          // profiling mode: actions per boundary run NOW; counts are fixed
+          val (through, cs, _) = metered.timedRunThrough(df)
+          (through, () => cs)
+        } else metered.instrument(df)
       df = out
       (st.name, counts)
     }

@@ -116,6 +116,36 @@ class RunnerSpec extends AnyFunSuite {
     assert(res.run.output == spark.read.parquet(s"$out/docs").count())
   }
 
+  test("metrics.timed profiling mode attributes per-operator wall time") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tm").toString + "/o"
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$sfDir/documents.parquet"}
+         |stages:
+         |  - name: filtering
+         |    operators:
+         |      - name: text_length_filter
+         |        params: {min_length: 100, max_length: 400, text_field: "text", length_field: "n_chars"}
+         |      - name: text_exact_deduplicator
+         |        params: {text_field: "text", id_field: "doc_id"}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$out", table_name: "docs"}
+         |executor:
+         |  metrics: {enabled: true, timed: true, output_path: "$out/_metrics"}
+         |""".stripMargin)
+    assert(conf.executor.metricsTimed)
+    val res = PipelineRunner.run(spark, conf)
+    val ops = res.run.stages.head.operators
+    assert(ops.forall(_.timeSec > 0.0), s"profiling mode must attribute time: $ops")
+    assert(res.run.output == spark.read.parquet(s"$out/docs").count())
+    // metrics parquet carries the attributed times
+    val written = spark.read.parquet(s"$out/_metrics/operators")
+      .select(col("total_time")).collect().map(_.getDouble(0))
+    assert(written.forall(_ > 0.0))
+  }
+
   test("reject routing with materialize=recompute matches the cached path") {
     val out = java.nio.file.Files.createTempDirectory("graft_rc").toString + "/o"
     val conf = PipelineConf.fromYaml(yaml(out).replace(
