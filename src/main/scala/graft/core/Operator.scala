@@ -34,6 +34,16 @@ object Rejection {
 trait Operator {
   def name: String
   def apply(df: DataFrame): DataFrame
+
+  /** Disposition-mode apply: `alive` is the chain's survival flag.
+    * Operators with expensive per-row work (decode, inference) override
+    * this to gate that work with `when(alive, …)` — a row rejected
+    * upstream never reached this operator in the sequential chain, so
+    * skipping it both restores sequential semantics (null enrichment on
+    * rejects) and avoids the compute; CaseWhen short-circuits per row in
+    * interpreted and codegen paths alike. Default: ungated.
+    */
+  def applyGated(df: DataFrame, alive: Column): DataFrame = apply(df)
 }
 
 /** Adds columns, never drops rows (reference Refiner,
@@ -199,9 +209,13 @@ object Disposition {
     df.withColumn(AliveCol, lit(true))
       .withColumn(Rejection.ColName, lit(null).cast(DetailsType))
 
-  /** Apply one operator in mark-don't-drop mode. Refiners run on every
-    * row (their columns also annotate rejects); rejecting operators only
-    * update flags for currently-alive rows.
+  /** Apply one operator in mark-don't-drop mode. Rejecting operators
+    * only update flags for currently-alive rows. Refiner columns are
+    * guarded with `when(alive, …)` — a row rejected upstream never
+    * reached this refiner in the sequential chain, so its enrichment is
+    * null AND the (possibly decode/inference-heavy) expression is never
+    * evaluated for dead rows; CaseWhen short-circuits per row in both
+    * interpreted and codegen paths.
     */
   def step(df: DataFrame, op: Operator, tag: String): DataFrame = op match {
     case r: RejectingOperator =>
@@ -211,7 +225,11 @@ object Disposition {
           .otherwise(col(Rejection.ColName)),
         AliveCol -> (col(AliveCol) && m.stillAlive)))
         .drop(m.internalCols: _*)
-    case o => o(df)
+    case r: Refiner =>
+      r.added(df).foldLeft(df) { case (d, (n, c)) =>
+        d.withColumn(n, when(col(AliveCol), c))
+      }
+    case o => o.applyGated(df, col(AliveCol))
   }
 
   /** The surviving rows, with disposition scaffolding removed. */

@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
 final class ImageMetadataRefiner(imageCol: String = "image") extends Operator {
   val name = "image_metadata"
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = build(df, lit(true))
+
+  override def applyGated(df: DataFrame, alive: Column): DataFrame = build(df, alive)
+
+  private def build(df: DataFrame, alive: Column): DataFrame = {
     val bytes = col(s"$imageCol.bytes")
-    df.withColumn("_meta", ImageOps.metadataUdf(bytes))
+    df.withColumn("_meta", when(alive, ImageOps.metadataUdf(bytes)))
       .withColumn("image_width", col("_meta._1"))
       .withColumn("image_height", col("_meta._2"))
       .withColumn("image_file_size_bytes",
-        coalesce(octet_length(bytes).cast("long"), lit(0L)))
+        when(alive, coalesce(octet_length(bytes).cast("long"), lit(0L))))
       .withColumn("image_format", col("_meta._3"))
       .drop("_meta")
   }
@@ -40,9 +44,13 @@ final class ImageMetadataRefiner(imageCol: String = "image") extends Operator {
 final class ImageTechnicalQualityRefiner(imageCol: String = "image") extends Operator {
   val name = "image_technical_quality"
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = build(df, lit(true))
+
+  override def applyGated(df: DataFrame, alive: Column): DataFrame = build(df, alive)
+
+  private def build(df: DataFrame, alive: Column): DataFrame = {
     val bytes = col(s"$imageCol.bytes")
-    df.withColumn("_q", ImageOps.qualityUdf(bytes))
+    df.withColumn("_q", when(alive, ImageOps.qualityUdf(bytes)))
       .withColumn("image_compression_artifacts", col("_q._1"))
       .withColumn("image_information_entropy", col("_q._2"))
       .drop("_q")
@@ -95,9 +103,13 @@ final class ImageResizeRefiner(
     height: Int = 224,
     outputCol: String = "image_resized") extends Operator {
   val name = "image_resize"
-  def apply(df: DataFrame): DataFrame =
+  def apply(df: DataFrame): DataFrame = build(df, lit(true))
+
+  override def applyGated(df: DataFrame, alive: Column): DataFrame = build(df, alive)
+
+  private def build(df: DataFrame, alive: Column): DataFrame =
     df.withColumn(outputCol,
-      when(col(s"$imageCol.bytes").isNotNull,
+      when(alive && col(s"$imageCol.bytes").isNotNull,
         struct(ImageOps.resizeUdf(width, height)(col(s"$imageCol.bytes")).as("bytes")))
         .otherwise(lit(null)))
 }

@@ -19,12 +19,17 @@ final class AestheticScoreRefiner(
     outputCol: String = "image_aesthetic_score") extends Operator {
   val name = "image_aesthetic_quality"
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = build(df, lit(true))
+
+  override def applyGated(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame =
+    build(df, alive)
+
+  private def build(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame = {
     val m = mlp // localize: the closure must not capture the refiner
     val dim = m.inputDim
     val scoreUdf = udf((emb: Seq[Double]) =>
       if (emb == null || emb.size != dim) 0.0 else m.score(emb.toArray))
-    df.withColumn(outputCol, scoreUdf(col(embCol).cast("array<double>")))
+    df.withColumn(outputCol, when(alive, scoreUdf(col(embCol).cast("array<double>"))))
   }
 }
 
@@ -41,12 +46,17 @@ final class AigcDetectorRefiner(
     flagCol: String = "image_is_aigc") extends Operator {
   val name = "image_aigc_detector"
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = build(df, lit(true))
+
+  override def applyGated(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame =
+    build(df, alive)
+
+  private def build(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame = {
     val m = mlp // localize: the closure must not capture the refiner
     val dim = m.inputDim
     val scoreUdf = udf((emb: Seq[Double]) =>
       if (emb == null || emb.size != dim) 0.0 else m.score(emb.toArray))
-    df.withColumn(scoreCol, scoreUdf(col(embCol).cast("array<double>")))
+    df.withColumn(scoreCol, when(alive, scoreUdf(col(embCol).cast("array<double>"))))
       .withColumn(flagCol, col(scoreCol) > threshold)
   }
 }
@@ -107,30 +117,47 @@ final class ImageEmbeddingRefiner(
   val name = s"image_${family}_embedding"
   val outputCol = s"image_${family}_emb_${encoder.modelName}"
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = build(df, None)
+
+  /** Disposition mode: dead rows get a null embedding and, crucially,
+    * never reach the encoder — skipped rows also don't occupy mini-batch
+    * slots, so batches stay full of real work.
+    */
+  override def applyGated(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame = {
+    val tagged = df.withColumn("_emb_alive", alive)
+    build(tagged, Some("_emb_alive")).drop("_emb_alive")
+  }
+
+  private def build(df: DataFrame, aliveCol: Option[String]): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField(outputCol, ArrayType(FloatType, containsNull = false)))
     val bytesIdx = df.schema.fieldIndex(imageCol)
+    val aliveIdx = aliveCol.map(df.schema.fieldIndex)
     val imgField = df.schema(imageCol).dataType
     val enc = encoder
     val bs = batchSize
     val norm = l2Normalize
     df.mapPartitions { rows =>
       rows.grouped(bs).flatMap { batch =>
-        val bytes = batch.map { r =>
+        val live = batch.map(r => aliveIdx.forall(i => !r.isNullAt(i) && r.getBoolean(i)))
+        val bytes = batch.zip(live).collect { case (r, true) =>
           if (r.isNullAt(bytesIdx)) null
           else imgField match {
             case _: StructType => Option(r.getStruct(bytesIdx).getAs[Array[Byte]]("bytes")).orNull
             case _             => r.getAs[Array[Byte]](bytesIdx)
           }
         }
-        val vecs = enc.encodeBatch(bytes)
-        batch.zip(vecs).map { case (r, v0) =>
-          val v = if (!norm) v0 else {
-            val n = math.sqrt(v0.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
-            if (n == 0f) v0 else v0.map(_ / n)
+        val vecs = enc.encodeBatch(bytes).iterator
+        batch.zip(live).map { case (r, isLive) =>
+          if (!isLive) Row.fromSeq(r.toSeq :+ null)
+          else {
+            val v0 = vecs.next()
+            val v = if (!norm) v0 else {
+              val n = math.sqrt(v0.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+              if (n == 0f) v0 else v0.map(_ / n)
+            }
+            Row.fromSeq(r.toSeq :+ v.toSeq)
           }
-          Row.fromSeq(r.toSeq :+ v.toSeq)
         }
       }
     }(Encoders.row(outSchema))
@@ -157,7 +184,12 @@ final class VisualDegradationsRefiner(
   private val cols = Seq("img_vd_color_cast", "img_vd_blurriness",
     "img_vd_watermark", "img_vd_noise", "img_vd_overall_quality")
 
-  def apply(df: DataFrame): DataFrame = model match {
+  def apply(df: DataFrame): DataFrame = build(df, lit(true))
+
+  override def applyGated(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame =
+    build(df, alive)
+
+  private def build(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame = model match {
     case None =>
       cols.foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("double")))
     case Some(m) =>
@@ -166,7 +198,7 @@ final class VisualDegradationsRefiner(
         val overall = 0.2 * h(0) + 0.3 * h(1) + 0.25 * h(2) + 0.25 * h(3)
         h :+ overall
       })
-      df.withColumn("_vd", headsUdf(col(s"$imageCol.bytes")))
+      df.withColumn("_vd", when(alive, headsUdf(col(s"$imageCol.bytes"))))
         .withColumns(cols.zipWithIndex.map { case (c, i) =>
           c -> element_at(col("_vd"), i + 1)
         }.toMap)

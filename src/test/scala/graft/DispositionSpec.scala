@@ -67,6 +67,27 @@ class DispositionSpec extends AnyFunSuite {
     assert(total == docs.count())
   }
 
+  test("refiners after a reject are gated: dead rows keep null enrichment") {
+    import graft.sources.SyntheticImages
+    val idFilter = new graft.core.RowFilter {
+      val name = "keep_small_ids"
+      def keep(df: DataFrame) = col("id") < 30
+    }
+    var d = Disposition.init(SyntheticImages.df(spark))
+    d = Disposition.step(d, idFilter, "_g0")
+    d = Disposition.step(d, new graft.operators.image.ImageMetadataRefiner("image"), "_g1")
+    // alive rows carry computed metadata, identical to the sequential chain
+    val passed = Disposition.passed(d)
+    val seq = new graft.operators.image.ImageMetadataRefiner("image")(
+      SyntheticImages.df(spark).filter(col("id") < 30))
+    assert(passed.select("id", "image_width", "image_format")
+      .exceptAll(seq.select("id", "image_width", "image_format")).isEmpty)
+    // dead rows never reached the refiner: enrichment is null, decode skipped
+    val deadMeta = Disposition.rejected(d)
+      .select(col("image_width"), col("image_format")).collect()
+    assert(deadMeta.nonEmpty && deadMeta.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("single source scan: the annotated chain has one relation leaf") {
     val leaves = chain(table("documents")).queryExecution.optimizedPlan
       .collect { case l: LeafNode => l }
