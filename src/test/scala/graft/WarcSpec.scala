@@ -79,6 +79,21 @@ class WarcSpec extends AnyFunSuite {
     assert(!text.contains("Recent post one") && !text.contains("tag cloud entry"))
   }
 
+  test("extraction is total on malformed html") {
+    val pad = "sufficient plain words to clear the fifty character extraction floor here"
+    val cases = Seq(
+      s"<p>unclosed everywhere <div><a href='x'>$pad",
+      s"<<<>>>< not <html at all $pad",
+      s"<p>$pad <a>link never closed",
+      "<head><title>only a head, no body</title></head>",
+      "", "<>", "plain text without any markup " + pad)
+    cases.foreach { html =>
+      val r = Warc.htmlExtractText(html) // must never throw
+      r.foreach { case (_, text) => assert(text.length >= 50) }
+    }
+    assert(Warc.htmlExtractText(s"<p>$pad</p>").isDefined)
+  }
+
   test("title stays out of the extracted text") {
     val html = "<html><head><title>The Title</title></head><body><p>" +
       "Body content long enough to clear the fifty character minimum easily.</p></body></html>"
