@@ -44,9 +44,13 @@ final class SimHashNearDedup(
     val bl = base.select(col("_id"), col("_fp"), posexplode(blockVals).as(Seq("_b", "_bv")))
     val left = bl.select(col("_b"), col("_bv"), col("_id").as("d1"), col("_fp").as("f1"))
     val right = bl.select(col("_b"), col("_bv"), col("_id").as("d2"), col("_fp").as("f2"))
-    left.join(right, Seq("_b", "_bv")).filter(col("d1") < col("d2"))
+    // verify BEFORE dedup: bit_count(xor) is near-free inside the join
+    // stage, so only TRUE pairs reach the dropDuplicates shuffle (the
+    // candidate multiset from multiple agreeing blocks never moves)
+    left.join(right, Seq("_b", "_bv"))
+      .filter(col("d1") < col("d2") &&
+        bit_count(col("f1").bitwiseXOR(col("f2"))) <= k)
       .dropDuplicates("d1", "d2")
-      .filter(bit_count(col("f1").bitwiseXOR(col("f2"))) <= k)
       .select(col("d1"), col("d2"))
   }
 

@@ -206,9 +206,11 @@ final class ImagePhashNearDedup(
     val bl = base.select(col("_id"), col("_ph"), posexplode(blockVals).as(Seq("_b", "_bv")))
     val left = bl.select(col("_b"), col("_bv"), col("_id").as("d1"), col("_ph").as("p1"))
     val right = bl.select(col("_b"), col("_bv"), col("_id").as("d2"), col("_ph").as("p2"))
-    left.join(right, Seq("_b", "_bv")).filter(col("d1") < col("d2"))
+    // verify before dedup (see SimHashNearDedup): the chunked bit_count
+    // verify is builtins inside the join stage; only true pairs shuffle
+    left.join(right, Seq("_b", "_bv"))
+      .filter(col("d1") < col("d2") && hammingExpr(col("p1"), col("p2")) <= k)
       .dropDuplicates("d1", "d2")
-      .filter(hammingExpr(col("p1"), col("p2")) <= k)
       .select(col("d1"), col("d2"))
   }
 
