@@ -85,11 +85,15 @@ final class MinHashLSHDedup(
     }
     val left = bands.select(col("_b"), col("_bkey"), col("_id").as("d1"), col("_h").as("h1"))
     val right = bands.select(col("_b"), col("_bkey"), col("_id").as("d2"), col("_h").as("h2"))
-    val cand = left.join(right, Seq("_b", "_bkey")).filter(col("d1") < col("d2"))
-      .dropDuplicates("d1", "d2")
-    cand.withColumn("_j", graft.plans.kernels.array_jaccard(col("h1"), col("h2")))
+    // verify inside the join stage, BEFORE the pair-dedup shuffle: the
+    // candidate multiset (≤ numBands copies per pair) re-verifies, but
+    // the full shingle-hash arrays never ride an exchange — only
+    // (d1, d2, jaccard) of TRUE pairs reaches dropDuplicates
+    left.join(right, Seq("_b", "_bkey")).filter(col("d1") < col("d2"))
+      .withColumn("_j", graft.plans.kernels.array_jaccard(col("h1"), col("h2")))
       .filter(col("_j") >= threshold)
       .select(col("d1"), col("d2"), col("_j").as("jaccard"))
+      .dropDuplicates("d1", "d2")
   }
 
   def apply(df: DataFrame): DataFrame =
