@@ -46,10 +46,13 @@ final class SimHashNearDedup(
     val right = bl.select(col("_b"), col("_bv"), col("_id").as("d2"), col("_fp").as("f2"))
     // verify BEFORE dedup: bit_count(xor) is near-free inside the join
     // stage, so only TRUE pairs reach the dropDuplicates shuffle (the
-    // candidate multiset from multiple agreeing blocks never moves)
+    // candidate multiset from multiple agreeing blocks never moves).
+    // The null-safe coalesce keeps constraint inference from pushing an
+    // isnotnull(fingerprint) filter below the projection, which would
+    // re-evaluate the fingerprint kernel per row (plan-checked).
     left.join(right, Seq("_b", "_bv"))
       .filter(col("d1") < col("d2") &&
-        bit_count(col("f1").bitwiseXOR(col("f2"))) <= k)
+        coalesce(bit_count(col("f1").bitwiseXOR(col("f2"))) <= k, lit(false)))
       .dropDuplicates("d1", "d2")
       .select(col("d1"), col("d2"))
   }

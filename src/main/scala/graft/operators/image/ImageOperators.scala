@@ -207,9 +207,12 @@ final class ImagePhashNearDedup(
     val left = bl.select(col("_b"), col("_bv"), col("_id").as("d1"), col("_ph").as("p1"))
     val right = bl.select(col("_b"), col("_bv"), col("_id").as("d2"), col("_ph").as("p2"))
     // verify before dedup (see SimHashNearDedup): the chunked bit_count
-    // verify is builtins inside the join stage; only true pairs shuffle
+    // verify is builtins inside the join stage; only true pairs shuffle.
+    // coalesce = null-safety barrier against inferred isnotnull filters
+    // that would duplicate the decode+DCT UDF (plan-checked in PlanSpec).
     left.join(right, Seq("_b", "_bv"))
-      .filter(col("d1") < col("d2") && hammingExpr(col("p1"), col("p2")) <= k)
+      .filter(col("d1") < col("d2") &&
+        coalesce(hammingExpr(col("p1"), col("p2")) <= k, lit(false)))
       .dropDuplicates("d1", "d2")
       .select(col("d1"), col("d2"))
   }

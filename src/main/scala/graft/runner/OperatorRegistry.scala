@@ -153,4 +153,7 @@ object OperatorRegistry {
 
   register("audio_quality", p => new graft.operators.media.AudioQualityRefiner(
     audioCol = p.str("audio_field", "audio")))
+
+  register("video_metadata", p => new graft.operators.media.VideoMetadataRefiner(
+    videoCol = p.str("video_field", "video")))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.media.{AudioMetadataRefiner, AudioOps}
+import graft.operators.media.{AudioMetadataRefiner, AudioOps, FrameDecoder, FrameSampleRefiner, VideoMetadataRefiner, VideoOps}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -83,5 +83,77 @@ class MediaSpec extends AnyFunSuite {
     assert(out(1L) == (("WAV", 8000, 0.5)))
     assert(out(2L) == (("ERROR", 0, 0.0)))
     assert(out(3L) == (("ERROR", 0, 0.0)))
+  }
+
+  // ---- video: hand-built ISO-BMFF fixture ----
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val size = payload.length + 8
+    val out = new Array[Byte](size)
+    out(0) = ((size >> 24) & 0xFF).toByte; out(1) = ((size >> 16) & 0xFF).toByte
+    out(2) = ((size >> 8) & 0xFF).toByte; out(3) = (size & 0xFF).toByte
+    tpe.getBytes("US-ASCII").copyToArray(out, 4)
+    payload.copyToArray(out, 8)
+    out
+  }
+  private def be32b(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64b(v: Long): Array[Byte] = be32b(v >>> 32) ++ be32b(v & 0xFFFFFFFFL)
+
+  private def mp4(version: Int, timescale: Long, duration: Long, tracks: Int): Array[Byte] = {
+    val mvhdPayload =
+      if (version == 0)
+        Array[Byte](0, 0, 0, 0) ++ be32b(0) ++ be32b(0) ++ be32b(timescale) ++ be32b(duration)
+      else
+        Array[Byte](1, 0, 0, 0) ++ be64b(0) ++ be64b(0) ++ be32b(timescale) ++ be64b(duration)
+    val moov = box("moov",
+      box("mvhd", mvhdPayload) ++
+        Array.fill(tracks)(box("trak", Array.empty[Byte])).flatten)
+    box("ftyp", "isom".getBytes ++ be32b(0)) ++ moov
+  }
+
+  test("mp4 box walk recovers brand, duration, and track count (v0 and v1 mvhd)") {
+    val v0 = VideoOps.parse(mp4(0, 600, 3000, 2)).get
+    assert(v0.majorBrand == "isom" && v0.timescale == 600 &&
+      v0.durationSec == 5.0 && v0.trackCount == 2)
+    val v1 = VideoOps.parse(mp4(1, 90000, 90000L * 7, 1)).get
+    assert(v1.durationSec == 7.0 && v1.trackCount == 1)
+  }
+
+  test("video parse is total: garbage, truncation, and lying sizes yield None") {
+    assert(VideoOps.parse(null).isEmpty)
+    assert(VideoOps.parse(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(VideoOps.parse(mp4(0, 600, 3000, 1).take(20)).isEmpty) // truncated moov
+    val lying = mp4(0, 600, 3000, 1)
+    lying(0) = 0x7F // first box claims a size beyond the buffer
+    assert(VideoOps.parse(lying).isEmpty)
+  }
+
+  test("video refiner + frame-sample SPI plumbing over the video struct") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("video", StructType(Seq(StructField("bytes", BinaryType))))))
+    val rows = Seq(
+      Row(0L, Row(mp4(0, 600, 1200, 2))),
+      Row(1L, Row("not a video at all".getBytes)),
+      Row(2L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val meta = new VideoMetadataRefiner("video")(df)
+      .select(col("id"), col("video_brand"), col("video_duration_sec"), col("video_track_count"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(meta(0L) == "isom" && meta(1L) == null && meta(2L) == null)
+
+    // deterministic fake decoder: frame i = first 4 bytes ++ [i]
+    val fake = new FrameDecoder {
+      val decoderName = "fake"
+      def sample(video: Array[Byte], count: Int): Seq[Array[Byte]] =
+        (0 until count).map(i => video.take(4) :+ i.toByte)
+    }
+    val frames = new FrameSampleRefiner(fake, "video", count = 3)(df)
+      .select(col("id"), col("video_frames")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Array[Byte]](1))).toMap
+    assert(frames(2L) == null)
+    assert(frames(0L).size == 3 && frames(0L)(2).last == 2.toByte)
   }
 }

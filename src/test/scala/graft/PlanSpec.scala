@@ -81,6 +81,14 @@ class PlanSpec extends AnyFunSuite {
     assert(udfs == 2, s"expected 1 UDF eval per join side, got $udfs\n$p")
   }
 
+  test("simhash near-dedup evaluates the fingerprint kernel once per join side") {
+    val op = new graft.operators.dedup.SimHashNearDedup("text", "doc_id", bits = 60, k = 3)
+    val p = op.verifiedPairs(table("documents"))
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    val kernels = "simhash".r.findAllIn(p).size
+    assert(kernels == 2, s"expected 1 kernel eval per join side, got $kernels")
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(
