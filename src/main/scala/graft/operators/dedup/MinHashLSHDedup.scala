@@ -51,9 +51,15 @@ final class MinHashLSHDedup(
     * round-1 declarative form re-ran the tokenization tree per shingle
     * element inside interpreted HOFs: ~30× slower, measured).
     */
+  /** The `_pb` barrier column is nondeterministic so the empty-shingle
+    * filter CANNOT be pushed below this projection — pushdown would
+    * substitute the alias and re-run the tokenize+shingle kernel per row
+    * in the filter (2× the dominant CPU cost; plan-checked in PlanSpec).
+    */
   private def shingled(df: DataFrame): DataFrame =
     df.select(col(idCol).as("_id"),
-      graft.plans.kernels.shingle_hashes(col(textCol), shingleWidth).as("_h"))
+      graft.plans.kernels.shingle_hashes(col(textCol), shingleWidth).as("_h"),
+      monotonically_increasing_id().as("_pb"))
 
   /** MinHash signature (array of `numHashes` longs) from the hashed
     * shingle set — per-seed integer mix over the precomputed base hashes.
@@ -68,7 +74,10 @@ final class MinHashLSHDedup(
     * verification is a single hash-set loop per surviving pair.
     */
   def verifiedPairs(df: DataFrame): DataFrame = {
-    val base = shingled(df).filter(size(col("_h")) > 0)
+    // `_pb >= 0` is always true (monotonic ids are non-negative) but
+    // keeps the barrier column referenced, so column pruning can't erase
+    // it before the pushdown check — see [[shingled]]
+    val base = shingled(df).filter(size(col("_h")) > 0 && col("_pb") >= 0).drop("_pb")
       .withColumn("_m", signature(col("_h")))
     val bandKeys = array((0 until numBands).map(b =>
       concat_ws("_", (lit(b) +: (0 until rowsPerBand).map(i =>
@@ -135,7 +144,7 @@ final class MinHashLSHDedup(
 
   /** Per-row MinHash signatures, for inspection/testing: (id, sig array). */
   def signatures(df: DataFrame): DataFrame =
-    shingled(df).filter(size(col("_h")) > 0)
+    shingled(df).filter(size(col("_h")) > 0 && col("_pb") >= 0)
       .select(col("_id"), signature(col("_h")).as("_m"))
 
   // ---- DuckDB twin (portable hashes only) ----

@@ -89,6 +89,14 @@ class PlanSpec extends AnyFunSuite {
     assert(kernels == 2, s"expected 1 kernel eval per join side, got $kernels")
   }
 
+  test("minhash shingle kernel evaluates once per join side (filter barrier holds)") {
+    val op = new graft.operators.dedup.MinHashLSHDedup(textCol = "text", idCol = "doc_id")
+    val p = op.verifiedPairs(table("documents"))
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    val kernels = "shinglehashes".r.findAllIn(p).size
+    assert(kernels == 2, s"expected 1 shingle eval per join side, got $kernels")
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(
