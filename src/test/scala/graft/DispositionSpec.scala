@@ -67,6 +67,25 @@ class DispositionSpec extends AnyFunSuite {
     assert(total == docs.count())
   }
 
+  test("blocklist filter marks via left join, agreeing with apply/rejected") {
+    import spark.implicits._
+    val docs = table("documents").withColumn("url",
+      concat(lit("http://"),
+        when(col("doc_id") % 3 === 0, lit("sub.spam.net")).otherwise(lit("ok.org")),
+        lit("/page")))
+    val blocklist = Seq("example.com", "spam.net").toDF("domain")
+    val op = new graft.operators.text.DomainBlocklistFilter(blocklist, idCol = "doc_id")
+    var d = Disposition.init(docs)
+    d = Disposition.step(d, op, "_b0")
+    val passedIds = Disposition.passed(d).select("doc_id").as[Long].collect().toSet
+    val seqIds = op(docs).select("doc_id").as[Long].collect().toSet
+    assert(passedIds == seqIds)
+    val rejected = Disposition.rejected(d)
+    assert(rejected.count() == op.rejected(docs).count())
+    assert(rejected.select(col(s"${Rejection.ColName}.reason")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("filtered"))
+  }
+
   test("refiners after a reject are gated: dead rows keep null enrichment") {
     import graft.sources.SyntheticImages
     val idFilter = new graft.core.RowFilter {
