@@ -126,13 +126,19 @@ final class ImageResizeRefiner(
 final class ImagePhashDedup(
     imageCol: String = "image",
     idCol: String = "id",
-    orderCol: String = "id") extends Deduplicator {
+    orderCol: String = "id",
+    algorithm: String = "dct") extends Deduplicator {
+
+  require(algorithm == "dct" || algorithm == "double_gradient",
+    s"unknown phash algorithm: $algorithm (dct | double_gradient)")
 
   override val name = "image_phash_dedup"
 
   def key(df: DataFrame): Column = {
     val computed =
       if (df.columns.contains("phash")) col("phash")
+      else if (algorithm == "double_gradient")
+        ImageOps.doubleGradientUdf(col(s"$imageCol.bytes"))
       else ImageOps.phashUdf(col(s"$imageCol.bytes"))
     coalesce(computed, col(idCol).cast("string"))
   }

@@ -246,6 +246,45 @@ object ImageOps {
     sb.toString
   }
 
+  /** Double-gradient hash — the reference's PRIMARY phash algorithm
+    * class (image_hasher DoubleGradient, src/image_ops.rs:149-174):
+    * horizontal dHash over a 9×8 gray resize plus vertical dHash over
+    * 8×9, 64+64 = 128 bits as a 32-hex-char string. Same algorithm
+    * FAMILY as the crate; exact bit parity with its output is out of
+    * scope because the crate's resize interpolation differs from our
+    * deterministic integer box resize (documented deviation, SURVEY
+    * §7.4 — use one system's hashes consistently).
+    */
+  def doubleGradientHash(bytes: Array[Byte]): Option[String] =
+    decode(bytes).map { d =>
+      def grayResize(ow: Int, oh: Int): Array[Int] = {
+        val r = boxResize(d, ow, oh)
+        r.rgb.map(gray)
+      }
+      val sb = new StringBuilder(32)
+      var nibble = 0; var bitsIn = 0
+      @inline def push(bit: Boolean): Unit = {
+        nibble = (nibble << 1) | (if (bit) 1 else 0)
+        bitsIn += 1
+        if (bitsIn == 4) { sb.append("0123456789abcdef".charAt(nibble)); nibble = 0; bitsIn = 0 }
+      }
+      val hz = grayResize(9, 8) // horizontal gradients: 8 bits per row
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { push(hz(y * 9 + x) < hz(y * 9 + x + 1)); x += 1 }
+        y += 1
+      }
+      val vt = grayResize(8, 9) // vertical gradients: 8 bits per column
+      var x = 0
+      while (x < 8) {
+        var yy = 0
+        while (yy < 8) { push(vt(yy * 8 + x) < vt((yy + 1) * 8 + x)); yy += 1 }
+        x += 1
+      }
+      sb.toString
+    }
+
   /** RGB box resize (per-channel mean over the source box — the color
     * version of the phash gray resize; deterministic integer boxes).
     */
@@ -321,4 +360,7 @@ object ImageOps {
 
   /** Hex phash or null for undecodable input (callers fall back to id). */
   val phashUdf = udf((bytes: Array[Byte]) => phash(bytes).orNull)
+
+  /** Hex double-gradient hash or null for undecodable input. */
+  val doubleGradientUdf = udf((bytes: Array[Byte]) => doubleGradientHash(bytes).orNull)
 }

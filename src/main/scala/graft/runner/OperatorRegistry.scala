@@ -98,7 +98,8 @@ object OperatorRegistry {
   register("image_phash_deduplicator", p => new ImagePhashDedup(
     imageCol = p.str("image_field", "image"),
     idCol = p.str("id_field", "id"),
-    orderCol = p.str("order_field").getOrElse(p.str("id_field", "id"))))
+    orderCol = p.str("order_field").getOrElse(p.str("id_field", "id")),
+    algorithm = p.str("hash_algorithm", "dct")))
 
   register("image_phash_near_deduplicator", p => new ImagePhashNearDedup(
     imageCol = p.str("image_field", "image"),

@@ -110,6 +110,20 @@ class ImageSpec extends AnyFunSuite {
     assert(reps(100L) == "3" && reps(101L) == "3")
   }
 
+  test("double-gradient hash: exact dups collide, distinct images differ, dedup agrees") {
+    def dg(id: Long) = ImageOps.doubleGradientHash(SyntheticImages.encode(id)).get
+    assert(dg(50L) == dg(1L) && dg(51L) == dg(2L)) // planted pixel dups
+    assert(dg(1L) != dg(2L) && dg(3L) != dg(7L))
+    assert(dg(1L).length == 32 && dg(1L).forall("0123456789abcdef".contains(_)))
+    assert(ImageOps.doubleGradientHash(SyntheticImages.encode(54L)).isEmpty) // garbage
+    val op = new ImagePhashDedup("image", idCol = "id", orderCol = "id",
+      algorithm = "double_gradient")
+    val rejected = op.rejected(SyntheticImages.df(spark).filter(col("id") <= 57))
+      .select(col("id"), col("_rejection_details.representative_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rejected.toSet.intersect(Set(50L -> 1L, 51L -> 2L, 52L -> 3L, 53L -> 6L)).size == 4)
+  }
+
   test("phash discriminates: distinct noise images have distant hashes") {
     def ph(id: Long) = ImageOps.phash(SyntheticImages.encode(id)).get
     val d = ImageOps.hamming(ph(3L), ph(7L))
