@@ -25,7 +25,8 @@ import org.apache.spark.sql.types._
   *  - id 50..53: exact pixel duplicates of ids 1, 2, 3, 6 (planted dups)
   *  - id 54,55: undecodable garbage bytes ((i*31+id)%256 over 100 bytes)
   *  - id 56,57: null image struct
-  *  - id 58,59: JPEG-encoded (solid pattern); everything else PNG
+  *  - id 58,59: JPEG-encoded (checkerboard (58) / noise (59) patterns
+  *    per id % 4); everything else PNG
   */
 object SyntheticImages {
 
