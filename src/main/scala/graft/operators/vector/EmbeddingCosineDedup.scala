@@ -69,3 +69,45 @@ final class EmbeddingCosineDedup(
        |ORDER BY $idCol""".stripMargin
   }
 }
+
+/** YAML-safe semantic dedup: trains a seeded k-means bucketing over the
+  * embedding column, then runs the BUCKETED cosine dedup within each
+  * cluster — never the O(n²) crossJoin. This is the registry's fallback
+  * when no `bucket_field` is configured, so a config file cannot reach
+  * the brute-force tier (that tier stays API-only, for ≤10⁵-row use);
+  * the reference's own design is exactly "cluster-id as bucket id"
+  * (framework/backend.py:89-93).
+  *
+  * Scale shape: one Spark ML k-means fit (distributed Lloyd's), a pure
+  * per-row assignment, then the pairwise join shuffles on the cluster
+  * id. Cross-bucket near-dup pairs are missed by construction — the
+  * standard recall trade of cluster-bucketed semantic dedup; raise
+  * `numBuckets` quality by training on more iterations, or pre-compute
+  * a bucket column and pass `bucket_field` to control it explicitly.
+  */
+final class AutoBucketedCosineDedup(
+    vecCol: String = "embedding",
+    idCol: String = "id",
+    threshold: Double = 0.95,
+    numBuckets: Int = 16,
+    seed: Long = 42L) extends graft.core.RejectingOperator {
+
+  val name = "embedding_cosine_dedup"
+  private val bucketCol = "_auto_bucket"
+  private val inner = new EmbeddingCosineDedup(vecCol, idCol, threshold, Some(bucketCol))
+
+  private def withBuckets(df: DataFrame): DataFrame =
+    new graft.operators.ml.KMeansBuckets(vecCol, bucketCol, numBuckets, seed)
+      .fitTransform(df)
+
+  def apply(df: DataFrame): DataFrame = inner(withBuckets(df)).drop(bucketCol)
+
+  def rejected(df: DataFrame): DataFrame =
+    inner.rejected(withBuckets(df)).drop(bucketCol)
+
+  def mark(df: DataFrame, alive: org.apache.spark.sql.Column, tag: String): graft.core.Marked = {
+    val m = graft.core.PairwiseMark(
+      withBuckets(df), alive, tag, idCol, name, inner.verifiedPairs)
+    m.copy(internalCols = m.internalCols :+ bucketCol)
+  }
+}

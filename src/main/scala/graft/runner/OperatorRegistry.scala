@@ -77,11 +77,24 @@ object OperatorRegistry {
     orderCol = p.str("order_field").getOrElse(p.str("id_field", "id")),
     bits = p.int("bits", 32)))
 
-  register("embedding_cosine_deduplicator", p => new EmbeddingCosineDedup(
-    vecCol = p.str("embedding_field", "embedding"),
-    idCol = p.str("id_field", "id"),
-    threshold = p.double("threshold", 0.95),
-    bucketCol = p.str("bucket_field")))
+  // No YAML path reaches the O(n²) brute-force crossJoin tier: with an
+  // explicit `bucket_field` pairs are compared within that bucket;
+  // without one, a seeded k-means auto-bucketing is trained first
+  // (`num_buckets`, default 16). Brute force stays API-only
+  // (`new EmbeddingCosineDedup(...)` with bucketCol = None).
+  register("embedding_cosine_deduplicator", p => p.str("bucket_field") match {
+    case Some(bucket) => new EmbeddingCosineDedup(
+      vecCol = p.str("embedding_field", "embedding"),
+      idCol = p.str("id_field", "id"),
+      threshold = p.double("threshold", 0.95),
+      bucketCol = Some(bucket))
+    case None => new graft.operators.vector.AutoBucketedCosineDedup(
+      vecCol = p.str("embedding_field", "embedding"),
+      idCol = p.str("id_field", "id"),
+      threshold = p.double("threshold", 0.95),
+      numBuckets = p.int("num_buckets", 16),
+      seed = p.long("kmeans_seed", 42L))
+  })
 
   register("image_metadata", p => new ImageMetadataRefiner(
     imageCol = p.str("image_field", "image")))
@@ -129,14 +142,36 @@ object OperatorRegistry {
       seed = p.long("seed", 23L), lastActivation = "sigmoid"),
     threshold = p.double("threshold", 0.5)))
 
+  /** Encoder selection for the embedding refiners: `model_path` (a
+    * driver-local .onnx file) or `model_resource` (a classpath resource,
+    * e.g. "/graft/tiny_encoder.onnx") builds the real ONNX-session
+    * encoder; with neither, the deterministic stub stands in. The model
+    * bytes are read once on the driver and ride the task closure.
+    */
+  private def imageEncoder(p: Params, defaultModel: String, defaultDim: Int): ImageEncoder = {
+    val side = p.int("input_side", 16)
+    (p.str("model_path"), p.str("model_resource")) match {
+      case (Some(path), _) =>
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        new graft.ml.OnnxImageEncoder(p.str("model", defaultModel), bytes, side)
+      case (None, Some(res)) =>
+        val in = getClass.getResourceAsStream(res)
+        require(in != null, s"model_resource '$res' not found on the classpath")
+        val bytes = try in.readAllBytes() finally in.close()
+        new graft.ml.OnnxImageEncoder(p.str("model", defaultModel), bytes, side)
+      case (None, None) =>
+        new HashProjectionEncoder(p.str("model", defaultModel), p.int("dim", defaultDim))
+    }
+  }
+
   register("image_clip_embedding", p => new ImageEmbeddingRefiner(
-    new HashProjectionEncoder(p.str("model", "vit_l14_stub"), p.int("dim", 768)),
+    imageEncoder(p, "vit_l14_stub", 768),
     imageCol = p.str("image_field", "image"), family = "clip",
     batchSize = p.int("batch_size", 32),
     l2Normalize = p.bool("l2_normalize", true)))
 
   register("image_siglip_embedding", p => new ImageEmbeddingRefiner(
-    new HashProjectionEncoder(p.str("model", "so400m_stub"), p.int("dim", 1152)),
+    imageEncoder(p, "so400m_stub", 1152),
     imageCol = p.str("image_field", "image"), family = "siglip",
     batchSize = p.int("batch_size", 32),
     l2Normalize = p.bool("l2_normalize", true)))

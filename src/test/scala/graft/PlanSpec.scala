@@ -130,6 +130,17 @@ class PlanSpec extends AnyFunSuite {
     assert(brute.contains("CartesianProduct") || brute.contains("BroadcastNestedLoopJoin"), brute)
   }
 
+  test("registry-built cosine dedup can NOT produce a cartesian plan") {
+    // no bucket_field in the config → the registry auto-buckets via
+    // seeded k-means instead of falling back to the O(n²) crossJoin
+    val op = graft.runner.OperatorRegistry.create("embedding_cosine_deduplicator",
+      graft.runner.Params(Map(
+        "embedding_field" -> "embedding", "id_field" -> "vec_id",
+        "threshold" -> 0.95, "num_buckets" -> 4)))
+    val p = planOf(op(table("embeddings")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("kmeans assignment is a pure per-row map — no join, no shuffle") {
     val p = plan("kmeans_assign")
     assert(!p.contains("Join"), p)

@@ -251,6 +251,59 @@ class RunnerSpec extends AnyFunSuite {
     assert(!written.select("id").collect().map(_.getLong(0)).toSet.exists(Set(100L, 101L)))
   }
 
+  test("yaml pipeline runs a real ONNX session via model_resource") {
+    val base = java.nio.file.Files.createTempDirectory("graft_onnx").toString
+    SyntheticImages.df(spark).write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: embed
+         |    operators:
+         |      - name: image_siglip_embedding
+         |        params: {image_field: "image", model: "tiny_onnx", model_resource: "/graft/tiny_encoder.onnx", input_side: 16}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "images"}
+         |executor: {}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    assert(res.run.output == SyntheticImages.N)
+    val written = spark.read.parquet(s"$base/out/images")
+    val embCol = "image_siglip_emb_tiny_onnx"
+    assert(written.columns.contains(embCol))
+    // the session's output dim (tiny_encoder.onnx: 256 → 8 → 12), L2-normed
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val stats = written
+      .select(size(col(embCol)).as("d"),
+        sqrt(agg_(col(embCol).cast("array<double>"), lit(0.0),
+          (a, x) => a + x * x)).as("n"))
+      .groupBy(col("d")).agg(count(lit(1)).as("c"), max(col("n")).as("mx"), min(col("n")).as("mn"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(stats.keySet == Set(12), stats)
+    // drawable ids L2-normalize to 1; garbage/null ids keep the zero vector
+    assert(math.abs(stats(12)._2 - 1.0) < 1e-5 && stats(12)._3 == 0.0, stats)
+  }
+
+  test("model_path param loads a driver-local onnx file; bad resource fails loudly") {
+    // copy the resource to a temp file and load through model_path
+    val tmp = java.nio.file.Files.createTempFile("graft_enc", ".onnx")
+    val in = getClass.getResourceAsStream("/graft/tiny_encoder.onnx")
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING) finally in.close()
+    val op = OperatorRegistry.create("image_siglip_embedding",
+      Params(Map("image_field" -> "image", "model" -> "tiny_onnx",
+        "model_path" -> tmp.toString)))
+    val out = op(SyntheticImages.df(spark).filter(col("id") === 0L))
+    assert(out.select(size(col("image_siglip_emb_tiny_onnx"))).head().getInt(0) == 12)
+    val e = intercept[IllegalArgumentException] {
+      OperatorRegistry.create("image_clip_embedding",
+        Params(Map("model_resource" -> "/graft/nope.onnx")))
+    }
+    assert(e.getMessage.contains("not found on the classpath"))
+  }
+
   test("registry rejects unknown operators with the available list") {
     val e = intercept[IllegalArgumentException] {
       OperatorRegistry.create("nope", Params(Map.empty))
