@@ -12,15 +12,26 @@ object Bench {
       // Catalyst prune the computed columns and fake the numbers)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-    // Deterministic order + full warmup pass: without these, the first
-    // Map-ordered query eats JVM/codegen warmup (~9s in round 1) and
-    // round-over-round per-query deltas are meaningless.
+    // Deterministic order + full warmup pass + WARM MEDIANS of n>=3:
+    // without the warmup the first Map-ordered query eats JVM/codegen
+    // warmup (~9s in round 1); without medians a single cold run can't
+    // distinguish variance from regression (r2→r3 flagged two ±15%
+    // "regressions" that were noise), so round-over-round per-query
+    // deltas are only signal as warm medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (n, fn) => runOne(n, fn) }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      runOne(name, fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        runOne(name, fn)
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -56,7 +67,16 @@ object Bench {
       f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scale_probe":$probe}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir","scale_probe":$probe}"""
+    // The driver captures only a log tail, which has truncated this line
+    // mid-value two rounds running — write the whole record to a file so
+    // the bench output is self-contained, then print it LAST (after
+    // spark.stop()) so no executor-shutdown logging interleaves with it.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }
