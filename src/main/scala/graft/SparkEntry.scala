@@ -12,7 +12,7 @@ object SparkEntry {
   def catalog: Seq[OracleQuery] =
     Relational.queries ++ Curation.queries ++ NearDup.queries ++
       ImageQueries.queries ++ MetricsQueries.queries ++ InferenceQueries.queries ++
-      TextAnalysisQueries.queries ++ WarcQueries.queries
+      TextAnalysisQueries.queries ++ WarcQueries.queries ++ MediaQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

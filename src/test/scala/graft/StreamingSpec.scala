@@ -98,6 +98,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fingerprint dedup runs under the RocksDB state store provider") {
+    // SURVEY §7.4's 100 TB posture: at real scale the dedup state no
+    // longer fits the default in-memory HDFS-backed store; the same
+    // query must run unchanged under RocksDB (incremental checkpoints,
+    // state spills to local disk).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_rocks")
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingCuration.dedupByFingerprint(mem.toDF().toDF("id", "text"), "text")
+      .writeStream.format("memory").queryName("rocks_out")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      val original = ("r1", "the quick brown fox jumps over the lazy dog while " +
+        "seventeen curious researchers watch from a distant hill recording every " +
+        "single movement with their battered field notebooks and cheap pencils")
+      val reworded = ("r2", original._2.toUpperCase.replace(" ", "  "))
+      val different = ("r3", "completely unrelated text about compiling scala " +
+        "spark pipelines with catalyst expressions and whole stage codegen enabled " +
+        "for fast columnar execution across many worker nodes tonight")
+      mem.addData(original)
+      q.processAllAvailable()
+      mem.addData(reworded, different)
+      q.processAllAvailable()
+      val out = spark.table("rocks_out").select("id").as[String].collect().toSet
+      assert(out == Set("r1", "r3"), s"got $out")
+      // the provider actually engaged: RocksDB custom metrics appear in
+      // the state operator progress
+      assert(q.lastProgress.json.contains("rocksdb"), q.lastProgress.json)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful dedup tracks first-seen representative across triggers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

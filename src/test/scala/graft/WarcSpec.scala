@@ -94,6 +94,42 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.htmlExtractText(s"<p>$pad</p>").isDefined)
   }
 
+  test("adversarial html: embedded close tags, nested tables, hostile attributes") {
+    val prose = "The genuinely readable article prose carries well over fifty " +
+      "characters of plain connected words for the extraction floor."
+    // escaped close tag inside a JS string (the valid-JS form "<\/script>"):
+    // the whole script must strip — the escape does not terminate script data
+    val escaped = "<html><body><script>var a = \"<\\/script>\"; trackUser();</script>" +
+      s"<p>$prose</p></body></html>"
+    val t1 = Warc.htmlExtractText(escaped).get._2
+    assert(t1.contains("readable article prose") && !t1.contains("trackUser"))
+    // UNescaped close tag inside a JS string: per the HTML5 spec script
+    // data ends at the FIRST </script> even mid-string (browsers agree),
+    // so the JS tail legitimately becomes text — extraction must stay
+    // total and keep the prose
+    val unescaped = "<html><body><script>var a = \"</script>\"; leak();</script>" +
+      s"<p>$prose</p></body></html>"
+    assert(Warc.htmlExtractText(unescaped).exists(_._2.contains("readable article prose")))
+    // nested tables (the classic 2000s layout-table page)
+    val nested = "<html><body><table><tr><td><table><tr><td>" +
+      s"<p>$prose</p></td></tr><tr><td><a href='/x'>nav link one</a> " +
+      "<a href='/y'>nav link two</a></td></tr></table></td></tr></table></body></html>"
+    val t3 = Warc.htmlExtractText(nested).get._2
+    assert(t3.contains("readable article prose") && !t3.contains("nav link one"))
+    // a '>' inside a quoted attribute truncates that tag token — the
+    // spilled fragment must not break extraction of the real content
+    val hostile = s"""<html><body><div title="a > b"><p>$prose</p></div></body></html>"""
+    assert(Warc.htmlExtractText(hostile).exists(_._2.contains("readable article prose")))
+    // unclosed blocks at 10k nesting depth: linear scan, no recursion blowup
+    val deep = "<div>" * 10000 + s"<p>$prose"
+    assert(Warc.htmlExtractText(deep).exists(_._2.contains("readable article prose")))
+    // conditional comments and CDATA strip with the comment pass
+    val cond = "<html><body><!--[if IE]><div>ie only junk</div><![endif]-->" +
+      s"<p>$prose</p></body></html>"
+    val t6 = Warc.htmlExtractText(cond).get._2
+    assert(t6.contains("readable article prose") && !t6.contains("ie only junk"))
+  }
+
   test("title stays out of the extracted text") {
     val html = "<html><head><title>The Title</title></head><body><p>" +
       "Body content long enough to clear the fifty character minimum easily.</p></body></html>"
