@@ -144,21 +144,23 @@ object OperatorRegistry {
 
   /** Encoder selection for the embedding refiners: `model_path` (a
     * driver-local .onnx file) or `model_resource` (a classpath resource,
-    * e.g. "/graft/tiny_encoder.onnx") builds the real ONNX-session
-    * encoder; with neither, the deterministic stub stands in. The model
-    * bytes are read once on the driver and ride the task closure.
+    * e.g. "/graft/tiny_encoder.onnx") builds the real ONNX path —
+    * onnxruntime when its jar is on the classpath, the pure-Scala
+    * interpreter otherwise (graft.ml.ImageEncoders.onnx); with neither
+    * param, the deterministic stub stands in. The model bytes are read
+    * once on the driver and ride the task closure.
     */
   private def imageEncoder(p: Params, defaultModel: String, defaultDim: Int): ImageEncoder = {
     val side = p.int("input_side", 16)
+    def onnx(bytes: Array[Byte]): ImageEncoder = graft.ml.ImageEncoders.onnx(
+      p.str("model", defaultModel), bytes, side, p.int("dim", defaultDim))
     (p.str("model_path"), p.str("model_resource")) match {
       case (Some(path), _) =>
-        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-        new graft.ml.OnnxImageEncoder(p.str("model", defaultModel), bytes, side)
+        onnx(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
       case (None, Some(res)) =>
         val in = getClass.getResourceAsStream(res)
         require(in != null, s"model_resource '$res' not found on the classpath")
-        val bytes = try in.readAllBytes() finally in.close()
-        new graft.ml.OnnxImageEncoder(p.str("model", defaultModel), bytes, side)
+        onnx(try in.readAllBytes() finally in.close())
       case (None, None) =>
         new HashProjectionEncoder(p.str("model", defaultModel), p.int("dim", defaultDim))
     }

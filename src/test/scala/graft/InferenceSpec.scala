@@ -67,6 +67,34 @@ class InferenceSpec extends AnyFunSuite {
     assert(rows(50L) == rows(1L) && rows(51L) == rows(2L))
   }
 
+
+  test("onnxruntime bridge: selection logic and graceful failure without the jar") {
+    import graft.ml.{ImageEncoders, OnnxImageEncoder, OnnxRuntimeEncoder}
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/tiny_encoder.onnx")
+      try in.readAllBytes() finally in.close()
+    }
+    // this environment ships no onnxruntime jar: the factory must fall
+    // back to the pure-Scala interpreter and still run the model
+    assert(!ImageEncoders.runtimeAvailable)
+    val enc = ImageEncoders.onnx("tiny_onnx", bytes, side = 16, dim = 12)
+    assert(enc.isInstanceOf[OnnxImageEncoder])
+    assert(enc.encodeBatch(Seq(SyntheticImages.encode(0L))).head.length == 12)
+    // constructing the runtime encoder directly fails LOUDLY at first
+    // use, naming the missing class - never silently wrong
+    val rt = new OnnxRuntimeEncoder("tiny_onnx", bytes, side = 16, dim = 12)
+    val e = intercept[IllegalStateException] {
+      rt.encodeBatch(Seq(SyntheticImages.encode(0L)))
+    }
+    assert(e.getMessage.contains("onnxruntime not on the classpath"))
+    // decode failures never touch the session: zero vector at the declared dim
+    assert(rt.encodeBatch(Seq(null)).head.sameElements(new Array[Float](12)))
+    // the dim contract is enforced at construction
+    intercept[IllegalArgumentException] {
+      new OnnxRuntimeEncoder("x", bytes, 16, 0)
+    }
+  }
+
   test("visual degradations: missing model yields nulls; fake model fills 5 columns") {
     val df = SyntheticImages.df(spark).filter(col("id") <= 5)
     val nulls = new VisualDegradationsRefiner("image", None)(df)
