@@ -12,7 +12,8 @@ object SparkEntry {
   def catalog: Seq[OracleQuery] =
     Relational.queries ++ Curation.queries ++ NearDup.queries ++
       ImageQueries.queries ++ MetricsQueries.queries ++ InferenceQueries.queries ++
-      TextAnalysisQueries.queries ++ WarcQueries.queries ++ MediaQueries.queries
+      TextAnalysisQueries.queries ++ WarcQueries.queries ++ MediaQueries.queries ++
+      CurationOpsQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

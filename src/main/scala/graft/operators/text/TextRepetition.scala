@@ -1,0 +1,51 @@
+package graft.operators.text
+
+import graft.core.{Operator, Refiner}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style repetition signals — the standard cheap detectors for
+  * degenerate/boilerplate documents in web-scale training data (beyond
+  * the reference's operator set, like the rest of the training-data
+  * family): the fraction of repeated tokens and of repeated word
+  * 2-grams. Pure Catalyst array algebra over the staged token column
+  * (codegen'd, zero shuffle), with an exact DuckDB list-function twin.
+  */
+object TextRepetition {
+
+  /** 1 − distinct/total over a token array (0 for empty). */
+  def dupTokenRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+
+  /** 1 − distinct/total over word 2-grams (0 when fewer than 2 tokens). */
+  def dup2gramRatio(toks: Column): Column = {
+    val grams = TextFunctions.shingles(toks, 2)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
+
+  def dupTokenRatioSql(toksCol: String): String =
+    s"(CASE WHEN len($toksCol) = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      s"CAST(1.0 AS DOUBLE) - CAST(len(list_distinct($toksCol)) AS DOUBLE) / CAST(len($toksCol) AS DOUBLE) END)"
+
+  def dup2gramRatioSql(toksCol: String): String = {
+    val grams = TextFunctions.shinglesSql(toksCol, 2)
+    s"(CASE WHEN len($grams) = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      s"CAST(1.0 AS DOUBLE) - CAST(len(list_distinct($grams)) AS DOUBLE) / CAST(len($grams) AS DOUBLE) END)"
+  }
+}
+
+/** Adds `text_dup_token_ratio` and `text_dup_2gram_ratio` from one
+  * staged tokenization pass.
+  */
+final class TextRepetitionRefiner(textCol: String = "text") extends Operator {
+  val name = "text_repetition"
+  def apply(df: DataFrame): DataFrame = {
+    val d = df.withColumn("_rep_toks", TextFunctions.tokensOf(col(textCol)))
+    d.withColumn("text_dup_token_ratio", TextRepetition.dupTokenRatio(col("_rep_toks")))
+      .withColumn("text_dup_2gram_ratio", TextRepetition.dup2gramRatio(col("_rep_toks")))
+      .drop("_rep_toks")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.text.{BenchmarkDecontaminationFilter, PiiRedaction, PiiRedactionRefiner, TextRepetition, TextRepetitionRefiner}
+import org.apache.spark.sql.functions._
+
+/** Gates for the round-5 training-data curation additions: benchmark
+  * decontamination (n-gram leak removal), PII redaction, and Gopher
+  * repetition signals. Each oracle RECOMPUTES the semantics in DuckDB
+  * from the same raw tables — list-function shingle algebra for
+  * decontamination/repetition, DuckDB's own RE2 engine for the PII
+  * regexes — so nothing is pinned from the implementation.
+  */
+object CurationOpsQueries {
+
+  // Held-out "benchmark" = every 97th document; the training corpus is
+  // the full table, so benchmark members self-contaminate and any doc
+  // sharing an 8-gram with one leaks — both must drop.
+  private val decontam = new BenchmarkDecontaminationFilter(
+    _ => sys.error("oracle template only"), "doc_id", "text",
+    ngramWidth = 8, hashName = "portable")
+
+  // Deterministic PII augmentation, built identically on both sides so
+  // the counts/redaction run over text KNOWN to carry each kind.
+  private def augSql =
+    "(text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.1.2.' || " +
+      "CAST(doc_id % 200 AS VARCHAR) || ' or 415-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end')"
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("benchmark_decontamination",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+        BenchmarkDecontaminationFilter(bench, "doc_id", "text",
+          ngramWidth = 8, hashName = "portable")(docs)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id FROM documents
+              |WHERE ${decontam.keepSql("documents",
+                "SELECT text FROM documents WHERE doc_id % 97 = 0")}
+              |ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("pii_redaction",
+      (s, dir) => {
+        val aug = Tables(s, dir, "documents").withColumn("text2",
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.1.2."), (col("doc_id") % 200).cast("string"),
+            lit(" or 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" end")))
+        new PiiRedactionRefiner("text2")(aug)
+          .select(col("doc_id"), col("pii_email_count"), col("pii_ipv4_count"),
+            col("pii_phone_count"), col("text_redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  ${PiiRedaction.countOfSql(augSql, "email")} AS pii_email_count,
+              |  ${PiiRedaction.countOfSql(augSql, "ipv4")} AS pii_ipv4_count,
+              |  ${PiiRedaction.countOfSql(augSql, "phone")} AS pii_phone_count,
+              |  ${PiiRedaction.redactSql(augSql)} AS text_redacted
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("text_repetition",
+      (s, dir) => new TextRepetitionRefiner("text")(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          round(col("text_dup_token_ratio"), 6).as("text_dup_token_ratio"),
+          round(col("text_dup_2gram_ratio"), 6).as("text_dup_2gram_ratio"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, ${TextFunctions.tokensOfSql("text")} AS toks
+              |           FROM documents)
+              |SELECT doc_id,
+              |  round(${TextRepetition.dupTokenRatioSql("toks")}, 6) AS text_dup_token_ratio,
+              |  round(${TextRepetition.dup2gramRatioSql("toks")}, 6) AS text_dup_2gram_ratio
+              |FROM tk ORDER BY doc_id""".stripMargin)))
+}

@@ -128,6 +128,23 @@ object OperatorRegistry {
   register("text_analysis", p => new TextAnalysisRefiner(
     textCol = p.str("text_field", "text")))
 
+  register("benchmark_decontamination", p => BenchmarkDecontaminationFilter.fromPath(
+    path = p.str("benchmark_path").getOrElse(
+      throw new IllegalArgumentException("benchmark_decontamination needs benchmark_path")),
+    format = p.str("benchmark_format", "parquet"),
+    idCol = p.str("id_field", "id"),
+    textCol = p.str("text_field", "text"),
+    ngramWidth = p.int("ngram_width", 13),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    benchTextCol = p.str("benchmark_text_field", "text")))
+
+  register("pii_redaction", p => new PiiRedactionRefiner(
+    textCol = p.str("text_field", "text"),
+    redactedCol = p.str("redacted_field", "text_redacted")))
+
+  register("text_repetition", p => new TextRepetitionRefiner(
+    textCol = p.str("text_field", "text")))
+
   register("image_aesthetic_quality", p => new AestheticScoreRefiner(
     embCol = p.str("embedding_field", "image_clip_emb"),
     mlp = graft.ml.Mlp.seeded(

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.text.{BenchmarkDecontaminationFilter, PiiRedaction, PiiRedactionRefiner, TextRepetitionRefiner}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics of the training-data curation additions: benchmark
+  * decontamination, PII redaction, repetition signals.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val benchText = "the held out benchmark question asks about prime factorization " +
+    "of large composite numbers under time pressure"
+
+  private def corpus = Seq(
+    (1L, "a perfectly clean training document discussing cooking techniques " +
+      "for seasonal vegetables and slow fermentation"),
+    (2L, "students often struggle when a benchmark question asks about prime " +
+      "factorization of large composite numbers under exam conditions"), // 8-gram overlap
+    (3L, "another clean document on distributed systems consensus protocols " +
+      "and quorum intersection proofs"),
+    (4L, "short doc")) // < 8 tokens: no shingles, never contaminated
+    .toDF("id", "text")
+
+  test("decontamination drops docs sharing an n-gram with the benchmark") {
+    val bench = Seq(benchText).toDF("text")
+    val op = BenchmarkDecontaminationFilter(bench, "id", "text", ngramWidth = 8)
+    val kept = op(corpus).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"got $kept")
+    val rej = op.rejected(corpus)
+    assert(rej.select("id").as[Long].collect().toSet == Set(2L))
+    assert(rej.select(col("_rejection_details.reason")).head().getString(0) == "filtered")
+  }
+
+  test("decontamination disposition mark matches the drop path") {
+    val bench = Seq(benchText).toDF("text")
+    val op = BenchmarkDecontaminationFilter(bench, "id", "text", ngramWidth = 8)
+    val m = op.mark(corpus, lit(true), "t")
+    val out = m.df.withColumn("_alive", m.stillAlive)
+      .select(col("id"), col("_alive")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("decontamination broadcasts the benchmark side") {
+    val bench = Seq(benchText).toDF("text")
+    val plan = BenchmarkDecontaminationFilter(bench, "id", "text", ngramWidth = 8)(corpus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("pii counts and redaction on crafted text") {
+    val df = Seq(
+      (1L, "mail alice@example.com and bob.smith@sub.domain.org from 10.0.0.1 " +
+        "or call 415-555-0199 then 650.555.0100"),
+      (2L, "no pii in this entirely ordinary sentence"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = new PiiRedactionRefiner("text")(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 2 && out(1L).getLong(3) == 1 && out(1L).getLong(4) == 2)
+    val red = out(1L).getString(5)
+    assert(red.contains("[EMAIL]") && red.contains("[IP]") && red.contains("[PHONE]"))
+    assert(!red.contains("alice") && !red.contains("10.0.0.1") && !red.contains("0199"))
+    assert(out(2L).getLong(2) == 0 && out(2L).getString(5).contains("ordinary"))
+    assert(out(3L).getLong(2) == 0 && out(3L).isNullAt(5))
+  }
+
+  test("repetition ratios on crafted token streams") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),            // 4 toks 1 distinct; 3 2grams 1 distinct
+      (2L, "all words here are unique okay"), // 0 and 0
+      (3L, "one"),                            // single token: no 2-grams
+      (4L, "")).toDF("id", "text")
+    val out = new TextRepetitionRefiner("text")(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((0.75, 1.0 - 1.0 / 3.0)))
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0)))
+  }
+}
