@@ -74,6 +74,63 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** k-NN JOIN: exact cosine top-k corpus neighbors for EVERY query row —
+    * the batch form of [[bruteForceTopK]] (retrieval evaluation, nearest-
+    * neighbor labeling, and dedup candidate mining all need per-query
+    * neighbor sets, not one lookup).
+    *
+    * Scale shape: the query side broadcasts (queries are small by
+    * construction, ≲10⁵ rows); cosine scoring runs inside whole-stage
+    * codegen on the fact scan; a bounded-heap mapPartitions pass then
+    * reduces each input partition to at most `k` candidates PER QUERY,
+    * so the only shuffle carries `partitions × queries × k` rows — never
+    * the `corpus × queries` candidate stream. (The heap pass is the one
+    * deliberate mapPartitions here: Catalyst has no bounded partial
+    * top-k aggregate, and an unbounded `collect_list` would ship every
+    * candidate through the exchange.) Final per-query rank is a window
+    * over the pruned rows. Ids must be long-typed (the repo's id
+    * convention); ties break by ascending id like every top-k gate.
+    */
+  def knnJoin(df: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      qIdCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(qIdCol).as("_qid"), col(vecCol).as("_qv")))
+    val cand = df.crossJoin(q)
+      .select(col("_qid").cast("long"), col(idCol).cast("long"),
+        VectorFunctions.cosine(col(vecCol), col("_qv")).cast("double"))
+      .toDF("_1", "_2", "_3")
+      .as[(Long, Long, Double)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val kk = k
+    val pruned = cand.mapPartitions { iter =>
+      // worst-first heap per query id: keep the k best (cosine desc, id asc)
+      val worstFirst = Ordering.by[(Long, Double), (Double, Long)] {
+        case (id, c) => (c, -id)
+      }
+      val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+      iter.foreach { case (qid, id, c) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worstFirst.reverse))
+        if (h.size < kk) h.enqueue((id, c))
+        else {
+          val (wid, wc) = h.head
+          if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((id, c)) }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (id, c) => (qid, id, c) } }
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaDouble))
+      .toDF("_qid", "_id", "cosine")
+    val w = Window.partitionBy(col("_qid")).orderBy(col("cosine").desc, col("_id"))
+    pruned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= kk)
+      .select(col("_qid").as("query_id"), col("_id").as(idCol), col("cosine"))
+  }
+
   /** Top-k within the query's LSH bucket (exact cosine as refinement). */
   def lshTopK(df: DataFrame, queryDf: DataFrame, vecCol: String,
       idCol: String, k: Int, coords: Seq[Int]): DataFrame = {

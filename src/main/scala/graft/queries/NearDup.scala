@@ -208,5 +208,24 @@ object NearDup {
               |    ${graft.functions.VectorFunctions.cosineSql("b.embedding", "qe")} AS cos
               |  FROM b, q WHERE b.bk = q.qb)
               |SELECT vec_id, round(cos, 6) AS cosine FROM c
-              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)))
+              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
+
+    OracleQuery("ann_knn_join",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnSearch.knnJoin(emb, emb.filter(col("vec_id") < 5),
+            "embedding", "vec_id", "vec_id", k = 5)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("query_id"), col("vec_id"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+              |          FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT q.query_id, e.vec_id,
+              |    ${graft.functions.VectorFunctions.cosineSql("e.embedding", "qe")} AS cos
+              |  FROM embeddings e, q),
+              |r AS (SELECT query_id, vec_id, cos,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id) AS rn FROM c)
+              |SELECT query_id, vec_id, round(cos, 6) AS cosine FROM r
+              |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin)))
 }

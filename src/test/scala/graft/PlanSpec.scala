@@ -107,6 +107,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("knn join: broadcast queries, one exchange carrying only pruned candidates") {
+    val emb = table("embeddings")
+    val df = graft.operators.vector.AnnSearch.knnJoin(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "embedding", "vec_id", "vec_id", k = 5)
+    val p = planOf(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the corpus-side candidate stream must NOT shuffle: the only hash
+    // exchange is the per-query window over the heap-pruned rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("fused shingle kernel appears once per projection (no lambda re-inlining)") {
     val op = new graft.operators.dedup.MinHashLSHDedup(
       textCol = "text", idCol = "doc_id", portableHashes = true)
