@@ -37,6 +37,90 @@ object HtmlReport {
     sb.toString
   }
 
+  /** Stage duration waterfall (reporter.py's `_generate_duration_waterfall`
+    * :1058): each stage's wall time as a bar offset by the cumulative time
+    * before it, so the longest bar IS the bottleneck stage.
+    */
+  private def waterfallSvg(run: RunRollup): String = {
+    val stages = run.stages.filter(_.timeSec > 0)
+    if (stages.isEmpty) return ""
+    val total = stages.map(_.timeSec).sum
+    val w = 640; val rowH = 30; val labelW = 200
+    val scale = (w - labelW - 90) / math.max(total, 1e-9)
+    val h = stages.size * rowH + 8
+    val sb = new StringBuilder(
+      "<h2>Stage duration waterfall</h2>\n" +
+        s"""<svg width="$w" height="$h" role="img">""")
+    var off = 0.0
+    stages.zipWithIndex.foreach { case (s, i) =>
+      val y = i * rowH + 4
+      val x = labelW + off * scale
+      val bw = math.max(s.timeSec * scale, 2.0)
+      sb ++= f"""<rect x="$x%.1f" y="$y" width="$bw%.1f" height="${rowH - 10}" fill="#e8a33d" opacity="0.9"/>"""
+      sb ++= s"""<text x="${labelW - 8}" y="${y + 15}" text-anchor="end" font-size="12">${esc(s.stageName)}</text>"""
+      sb ++= f"""<text x="${x + bw + 6}%.1f" y="${y + 15}" font-size="12">${s.timeSec}%.2fs</text>"""
+      off += s.timeSec
+    }
+    sb ++= "</svg>"
+    sb.toString
+  }
+
+  /** Per-operator throughput bars (reporter.py's bottleneck chart second
+    * panel, :949-989) — records/s from the timed profiling mode; empty
+    * when the run wasn't timed.
+    */
+  private def throughputSvg(run: RunRollup): String = {
+    val ops = run.stages.flatMap(s => s.operators.filter(_.timeSec > 0)
+      .map(c => (s"${s.stageName}/${c.name}", c.input / c.timeSec)))
+    if (ops.isEmpty) return ""
+    val w = 640; val rowH = 26; val labelW = 260
+    val maxV = ops.map(_._2).max
+    val h = ops.size * rowH + 8
+    val sb = new StringBuilder(
+      "<h2>Operator throughput (records/s)</h2>\n" +
+        s"""<svg width="$w" height="$h" role="img">""")
+    ops.zipWithIndex.foreach { case ((name, v), i) =>
+      val y = i * rowH + 4
+      val bw = math.max((w - labelW - 90) * v / maxV, 2.0)
+      sb ++= f"""<rect x="$labelW" y="$y" width="$bw%.1f" height="${rowH - 8}" fill="#5cb85c" opacity="0.9"/>"""
+      sb ++= s"""<text x="${labelW - 8}" y="${y + 14}" text-anchor="end" font-size="12">${esc(name)}</text>"""
+      sb ++= f"""<text x="${labelW + bw + 6}%.1f" y="${y + 14}" font-size="12">$v%.0f</text>"""
+    }
+    sb ++= "</svg>"
+    sb.toString
+  }
+
+  /** Record-flow diagram (the sankey of reporter.py:753-905, simplified
+    * to the pipeline's linear topology): a blue band whose height tracks
+    * surviving rows flows left→right across operator boundaries; each
+    * boundary sheds a red wedge sized to its rejected rows.
+    */
+  private def flowSvg(run: RunRollup): String = {
+    val boundaries = run.stages.flatMap(s =>
+      s.operators.map(c => (s"${s.stageName}/${c.name}", c.input, c.output)))
+    if (boundaries.isEmpty) return ""
+    val w = 640; val bandH = 90; val h = bandH + 70
+    val maxV = math.max(run.input, 1L)
+    val n = boundaries.size
+    val segW = (w - 20).toDouble / n
+    def hOf(v: Long): Double = bandH.toDouble * v / maxV
+    val sb = new StringBuilder(
+      "<h2>Record flow</h2>\n" + s"""<svg width="$w" height="$h" role="img">""")
+    boundaries.zipWithIndex.foreach { case ((name, in, out), i) =>
+      val x0 = 10 + i * segW; val x1 = x0 + segW
+      val hi = hOf(in); val ho = hOf(out)
+      sb ++= f"""<polygon points="$x0%.1f,4 $x1%.1f,4 $x1%.1f,${4 + ho}%.1f $x0%.1f,${4 + hi}%.1f" fill="#4a90d9" opacity="0.8"/>"""
+      if (in > out) {
+        val hd = hi - ho
+        sb ++= f"""<polygon points="$x1%.1f,${4 + ho}%.1f $x1%.1f,${4 + hi}%.1f ${x1 - 14}%.1f,${bandH + 22}%.1f" fill="#d9534f" opacity="0.8"/>"""
+        sb ++= f"""<text x="${x1 - 14}%.1f" y="${bandH + 36}" text-anchor="middle" font-size="11">-${in - out}</text>"""
+      }
+      sb ++= f"""<text x="${(x0 + x1) / 2}%.1f" y="${bandH + 52}" text-anchor="middle" font-size="11">${esc(name.split('/').last)}</text>"""
+    }
+    sb ++= "</svg>"
+    sb.toString
+  }
+
   /** Operators ranked by rows dropped — the bottleneck view. */
   private def bottleneckTable(run: RunRollup): String = {
     val drops = run.stages.flatMap(s => s.operators.map(c =>
@@ -74,6 +158,9 @@ object HtmlReport {
       |<h2>Retention funnel</h2>
       |""".stripMargin
     sb ++= funnelSvg(run)
+    sb ++= flowSvg(run)
+    sb ++= waterfallSvg(run)
+    sb ++= throughputSvg(run)
     sb ++= bottleneckTable(run)
     run.stages.foreach { s =>
       sb ++= s"<h2>Stage: ${esc(s.stageName)}</h2>\n"

@@ -105,6 +105,11 @@ class WriterSpec extends AnyFunSuite {
     // funnel svg with input + boundary segments; bottleneck row for the 40 dropped
     assert(html.contains("<svg") && html.contains("s&amp;1/op&lt;a&gt;"))
     assert(html.contains("Bottlenecks") && html.contains("<td>40</td>"))
+    // the reporter.py chart family rendered as dependency-free svg:
+    // record flow (sankey), duration waterfall, throughput (timed ops)
+    assert(html.contains("Record flow") && html.contains("-40"))
+    assert(html.contains("Stage duration waterfall"))
+    assert(html.contains("Operator throughput"))
     val f = tmp() + "/report.html"
     HtmlReport.write(run, f)
     assert(java.nio.file.Files.size(java.nio.file.Paths.get(f)) > 0)
