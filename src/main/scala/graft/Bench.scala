@@ -64,7 +64,37 @@ object Bench {
         shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
         maxBucketSize = Some(50))(big).count())
       big.unpersist()
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f}"""
+
+      // Multimodal legs at replication: 10x vectors through the
+      // auto-bucketed semantic dedup and the knn join; 100x images
+      // (re-keyed, bytes reused) through phash near-dedup — so the
+      // round-over-round scale trend covers the vector and image paths,
+      // not just text.
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val bigEmb = (0 until 10).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nv = bigEmb.count()
+      val tSem = time(new graft.operators.vector.AutoBucketedCosineDedup(
+        vecCol = "embedding", idCol = "vec_id", threshold = 0.95,
+        numBuckets = 32)(bigEmb).count())
+      val tKnn = time(graft.operators.vector.AnnSearch.knnJoin(
+        bigEmb, emb.limit(100), "embedding", "vec_id", "vec_id", k = 10).count())
+      bigEmb.unpersist()
+
+      val img = graft.sources.SyntheticImages.df(spark)
+      val bigImg = (0 until 100).map(i =>
+        img.withColumn("id", col("id") + lit(i * 1000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ni = bigImg.count()
+      val tPhash = time(new graft.operators.image.ImagePhashNearDedup(
+        imageCol = "image", idCol = "id", k = 8)(bigImg).count())
+      bigImg.unpersist()
+
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_near_dedup_sec":$tPhash%.3f,"phash_images_per_sec":${ni / tPhash}%.0f}"""
     }
 
     val json =
