@@ -170,7 +170,8 @@ final class ImagePhashDedup(
 final class ImagePhashNearDedup(
     imageCol: String = "image",
     idCol: String = "id",
-    k: Int = 8) extends graft.core.RejectingOperator {
+    k: Int = 8,
+    maxBucketSize: Option[Int] = None) extends graft.core.RejectingOperator {
 
   require(k >= 0 && k < 64, s"k ($k) must be in [0, 64)")
   val name = "image_phash_near_dedup"
@@ -209,7 +210,21 @@ final class ImagePhashNearDedup(
   def verifiedPairs(df: DataFrame): DataFrame = {
     val base = df.select(col(idCol).as("_id"), phashCol(df).as("_ph"))
     val blockVals = array(bounds.map { case (p, l) => substring(col("_ph"), p, l) }: _*)
-    val bl = base.select(col("_id"), col("_ph"), posexplode(blockVals).as(Seq("_b", "_bv")))
+    val bl0 = base.select(col("_id"), col("_ph"), posexplode(blockVals).as(Seq("_b", "_bv")))
+    // Pathological-bucket cap, mirroring MinHashLSHDedup.maxBucketSize:
+    // a corpus with large EXACT-duplicate masses puts whole groups into
+    // identical block values across all k+1 blocks, turning the band
+    // join quadratic (measured 100× replication probe: 14 s for 6k
+    // images uncapped). Production order runs exact phash dedup first,
+    // so surviving buckets are small; the cap bounds the worst case.
+    val bl = maxBucketSize match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        bl0.withColumn("_bn", count(lit(1)).over(
+            Window.partitionBy(col("_b"), col("_bv"))))
+          .filter(col("_bn") <= cap).drop("_bn")
+      case None => bl0
+    }
     val left = bl.select(col("_b"), col("_bv"), col("_id").as("d1"), col("_ph").as("p1"))
     val right = bl.select(col("_b"), col("_bv"), col("_id").as("d2"), col("_ph").as("p2"))
     // verify before dedup (see SimHashNearDedup): the chunked bit_count

@@ -117,7 +117,8 @@ object OperatorRegistry {
   register("image_phash_near_deduplicator", p => new ImagePhashNearDedup(
     imageCol = p.str("image_field", "image"),
     idCol = p.str("id_field", "id"),
-    k = p.long("max_hamming_distance", 8L).toInt))
+    k = p.long("max_hamming_distance", 8L).toInt,
+    maxBucketSize = p.long("max_bucket_size").map(_.toInt)))
 
   register("simhash_near_deduplicator", p => new SimHashNearDedup(
     textCol = p.str("text_field", "text"),

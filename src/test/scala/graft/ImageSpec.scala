@@ -110,6 +110,21 @@ class ImageSpec extends AnyFunSuite {
     assert(reps(100L) == "3" && reps(101L) == "3")
   }
 
+  test("phash near-dedup maxBucketSize drops pathological buckets whole") {
+    import org.apache.spark.sql.Row
+    // an exact-duplicate mass: 6 byte-identical copies of id 7 — every
+    // block bucket for the group has 6 members, so cap=4 must skip them
+    // all (the documented LSH-style semantics: run exact dedup first)
+    val copies = (100L to 105L).map(i => Row(i, Row(SyntheticImages.encode(7L))))
+    val input = SyntheticImages.df(spark).filter(col("id") === 7L).unionByName(
+      spark.createDataFrame(spark.sparkContext.parallelize(copies, 1), SyntheticImages.schema))
+    val capped = new ImagePhashNearDedup("image", idCol = "id", k = 8,
+      maxBucketSize = Some(4))(input).count()
+    assert(capped == input.count(), "capped run must skip the oversized buckets")
+    val uncapped = new ImagePhashNearDedup("image", idCol = "id", k = 8)(input).count()
+    assert(uncapped == 1, "uncapped run dedups the mass to its representative")
+  }
+
   test("double-gradient hash: exact dups collide, distinct images differ, dedup agrees") {
     def dg(id: Long) = ImageOps.doubleGradientHash(SyntheticImages.encode(id)).get
     assert(dg(50L) == dg(1L) && dg(51L) == dg(2L)) // planted pixel dups
