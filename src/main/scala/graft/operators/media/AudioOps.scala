@@ -138,8 +138,17 @@ object AudioOps {
   */
 final class AudioQualityRefiner(audioCol: String = "audio") extends Operator {
   val name = "audio_quality"
-  def apply(df: DataFrame): DataFrame =
-    df.withColumn("_aq", AudioOps.pcmStatsUdf(col(s"$audioCol.bytes")))
+
+  def apply(df: DataFrame): DataFrame = build(df, lit(true))
+
+  /** Disposition mode: the full-payload PCM walk is the expensive part —
+    * rows already rejected upstream skip it (CaseWhen short-circuits).
+    */
+  override def applyGated(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame =
+    build(df, alive)
+
+  private def build(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("_aq", when(alive, AudioOps.pcmStatsUdf(col(s"$audioCol.bytes"))))
       .withColumn("audio_rms", col("_aq._1"))
       .withColumn("audio_clipping_ratio", col("_aq._2"))
       .withColumn("audio_silence_ratio", col("_aq._3"))
@@ -152,8 +161,14 @@ final class AudioQualityRefiner(audioCol: String = "audio") extends Operator {
   */
 final class AudioMetadataRefiner(audioCol: String = "audio") extends Operator {
   val name = "audio_metadata"
-  def apply(df: DataFrame): DataFrame =
-    df.withColumn("_am", AudioOps.metaUdf(col(s"$audioCol.bytes")))
+
+  def apply(df: DataFrame): DataFrame = build(df, lit(true))
+
+  override def applyGated(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame =
+    build(df, alive)
+
+  private def build(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("_am", when(alive, AudioOps.metaUdf(col(s"$audioCol.bytes"))))
       .withColumn("audio_format", col("_am._1"))
       .withColumn("audio_channels", col("_am._2"))
       .withColumn("audio_sample_rate", col("_am._3"))
