@@ -93,9 +93,33 @@ object AnnSearch {
     */
   def knnJoin(df: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
       qIdCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(qIdCol).as("_qid"), col(vecCol).as("_qv")))
-    val cand = df.crossJoin(q)
+    perQueryTopK(df.crossJoin(q), vecCol, idCol, k)
+  }
+
+  /** LSH-bucketed k-NN join — the large-query-set scale path: candidates
+    * are restricted to the query's sign-pattern bucket (a broadcast HASH
+    * join on the bucket id instead of the full cross product), then the
+    * same bounded-heap prune + window. Approximate like [[lshTopK]]:
+    * recall is governed by the bucket resolution (`coords`).
+    */
+  def knnJoinLsh(df: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      qIdCol: String, k: Int, coords: Seq[Int]): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("_qid"), col(vecCol).as("_qv"))
+      .withColumn("_qb", signBucket(col("_qv"), coords)))
+    val cand = df.withColumn("_qb", signBucket(col(vecCol), coords))
+      .join(q, Seq("_qb"))
+    perQueryTopK(cand, vecCol, idCol, k)
+  }
+
+  /** Shared tail of the k-NN joins: codegen cosine scoring, worst-first
+    * bounded heap per (partition, query), final rank window over the
+    * pruned rows.
+    */
+  private def perQueryTopK(cand0: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = cand0
       .select(col("_qid").cast("long"), col(idCol).cast("long"),
         VectorFunctions.cosine(col(vecCol), col("_qv")).cast("double"))
       .toDF("_1", "_2", "_3")

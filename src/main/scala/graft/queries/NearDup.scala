@@ -227,5 +227,27 @@ object NearDup {
               |    row_number() OVER (PARTITION BY query_id
               |      ORDER BY cos DESC, vec_id) AS rn FROM c)
               |SELECT query_id, vec_id, round(cos, 6) AS cosine FROM r
+              |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin)),
+
+    OracleQuery("ann_knn_join_lsh",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnSearch.knnJoinLsh(emb, emb.filter(col("vec_id") < 5),
+            "embedding", "vec_id", "vec_id", k = 5, coords = lshCoords)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("query_id"), col("vec_id"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+              |    ${AnnSearch.signBucketSql("embedding", lshCoords)} AS qb
+              |  FROM embeddings WHERE vec_id < 5),
+              |b AS (SELECT vec_id, embedding,
+              |    ${AnnSearch.signBucketSql("embedding", lshCoords)} AS bk FROM embeddings),
+              |c AS (SELECT q.query_id, b.vec_id,
+              |    ${graft.functions.VectorFunctions.cosineSql("b.embedding", "qe")} AS cos
+              |  FROM b JOIN q ON b.bk = q.qb),
+              |r AS (SELECT query_id, vec_id, cos,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id) AS rn FROM c)
+              |SELECT query_id, vec_id, round(cos, 6) AS cosine FROM r
               |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin)))
 }
