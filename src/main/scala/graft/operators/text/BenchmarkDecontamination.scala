@@ -26,15 +26,17 @@ final class BenchmarkDecontaminationFilter(
     idCol: String,
     textCol: String = "text",
     ngramWidth: Int = 8,
-    hashName: String = "xxhash64",
     benchTextCol: String = "text") extends RejectingOperator {
 
   val name = "benchmark_decontamination"
 
+  // The fused single-pass kernel (tokenize + shingle + hash in one JVM
+  // loop, 60-bit md5-prefix portable hashes) — NOT transform(shingles(
+  // tokensOf(...))): interpreted HOFs re-inline the tokenization tree
+  // per shingle element (the measured round-1 ~30× trap; this exact
+  // form cost 55 s at sf0.1 before the switch, 1.4 s after).
   private def ngramHashes(text: Column): Column =
-    transform(
-      TextFunctions.shingles(TextFunctions.tokensOf(text), ngramWidth),
-      s => HashFunctions.hashByName(hashName)(s))
+    graft.plans.kernels.shingle_hashes(text, ngramWidth)
 
   /** Distinct benchmark n-gram hashes (the broadcast side). */
   private def benchmarkHashes(spark: SparkSession): DataFrame =
@@ -63,11 +65,11 @@ final class BenchmarkDecontaminationFilter(
       Rejection.filtered(name), Seq(cC))
   }
 
-  /** DuckDB twin (portable hash family): kept ids of `table` given the
-    * benchmark as a SQL query selecting one `text` column.
+  /** DuckDB twin: kept ids of `table` given the benchmark as a SQL query
+    * selecting one `text` column (the kernel's hashes are the portable
+    * md5-prefix family, so the twin recomputes them exactly).
     */
   def keepSql(table: String, benchmarkSql: String): String = {
-    require(hashName == "portable", "oracle covers the portable hash family")
     def hashListSql(toksCol: String) =
       s"list_transform(${TextFunctions.shinglesSql(toksCol, ngramWidth)}, " +
         s"x -> ${HashFunctions.portableHash64Sql("x")})"
@@ -85,15 +87,14 @@ final class BenchmarkDecontaminationFilter(
 object BenchmarkDecontaminationFilter {
   /** Benchmark already loaded as a DataFrame (API path). */
   def apply(benchmark: DataFrame, idCol: String, textCol: String = "text",
-      ngramWidth: Int = 8, hashName: String = "xxhash64",
+      ngramWidth: Int = 8,
       benchTextCol: String = "text"): BenchmarkDecontaminationFilter =
     new BenchmarkDecontaminationFilter(
-      _ => benchmark, idCol, textCol, ngramWidth, hashName, benchTextCol)
+      _ => benchmark, idCol, textCol, ngramWidth, benchTextCol)
 
   /** Benchmark loaded lazily from a path (the YAML/registry path). */
   def fromPath(path: String, format: String, idCol: String,
       textCol: String = "text", ngramWidth: Int = 8,
-      hashName: String = "xxhash64",
       benchTextCol: String = "text"): BenchmarkDecontaminationFilter =
     new BenchmarkDecontaminationFilter(
       spark => format match {
@@ -102,5 +103,5 @@ object BenchmarkDecontaminationFilter {
         case "csv"     => spark.read.option("header", "true").csv(path)
         case other     => throw new IllegalArgumentException(s"unknown benchmark format: $other")
       },
-      idCol, textCol, ngramWidth, hashName, benchTextCol)
+      idCol, textCol, ngramWidth, benchTextCol)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.text.{BenchmarkDecontaminationFilter, PiiRedaction, PiiRedactionRefiner, TextRepetition, TextRepetitionRefiner}
+import graft.operators.text.{BenchmarkDecontaminationFilter, DeterministicSampleFilter, PiiRedaction, PiiRedactionRefiner, TextRepetition, TextRepetitionRefiner}
 import org.apache.spark.sql.functions._
 
 /** Gates for the round-5 training-data curation additions: benchmark
@@ -18,8 +18,7 @@ object CurationOpsQueries {
   // the full table, so benchmark members self-contaminate and any doc
   // sharing an 8-gram with one leaks — both must drop.
   private val decontam = new BenchmarkDecontaminationFilter(
-    _ => sys.error("oracle template only"), "doc_id", "text",
-    ngramWidth = 8, hashName = "portable")
+    _ => sys.error("oracle template only"), "doc_id", "text", ngramWidth = 8)
 
   // Deterministic PII augmentation, built identically on both sides so
   // the counts/redaction run over text KNOWN to carry each kind.
@@ -34,8 +33,7 @@ object CurationOpsQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
         val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
-        BenchmarkDecontaminationFilter(bench, "doc_id", "text",
-          ngramWidth = 8, hashName = "portable")(docs)
+        BenchmarkDecontaminationFilter(bench, "doc_id", "text", ngramWidth = 8)(docs)
           .select(col("doc_id")).orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id FROM documents
@@ -61,6 +59,19 @@ object CurationOpsQueries {
               |  ${PiiRedaction.countOfSql(augSql, "phone")} AS pii_phone_count,
               |  ${PiiRedaction.redactSql(augSql)} AS text_redacted
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("deterministic_sample",
+      (s, dir) => {
+        val op = new DeterministicSampleFilter(
+          fraction = 0.8, idCol = "doc_id", hashName = "portable", salt = "r5")
+        op(Tables(s, dir, "documents")).select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some({
+        val op = new DeterministicSampleFilter(
+          fraction = 0.8, idCol = "doc_id", hashName = "portable", salt = "r5")
+        s"""SELECT doc_id FROM documents
+           |WHERE ${op.keepSql("doc_id")} ORDER BY doc_id""".stripMargin
+      })),
 
     OracleQuery("text_repetition",
       (s, dir) => new TextRepetitionRefiner("text")(Tables(s, dir, "documents"))

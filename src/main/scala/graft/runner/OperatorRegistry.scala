@@ -136,8 +136,13 @@ object OperatorRegistry {
     idCol = p.str("id_field", "id"),
     textCol = p.str("text_field", "text"),
     ngramWidth = p.int("ngram_width", 13),
-    hashName = p.str("hash_algorithm", "xxhash64"),
     benchTextCol = p.str("benchmark_text_field", "text")))
+
+  register("deterministic_sample", p => new DeterministicSampleFilter(
+    fraction = p.double("fraction", 1.0),
+    idCol = p.str("id_field", "id"),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    salt = p.str("salt", "")))
 
   register("pii_redaction", p => new PiiRedactionRefiner(
     textCol = p.str("text_field", "text"),

@@ -67,6 +67,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(3L).getLong(2) == 0 && out(3L).isNullAt(5))
   }
 
+  test("deterministic sample: reproducible, partition-independent, salt-independent") {
+    import graft.operators.text.DeterministicSampleFilter
+    val ids = (0L until 2000L).toDF("id")
+    val op = new DeterministicSampleFilter(0.5, "id", salt = "a")
+    val a = op(ids).as[Long].collect().toSet
+    // same rows again, and identical when the data is partitioned differently
+    assert(op(ids.repartition(13)).as[Long].collect().toSet == a)
+    // roughly the requested fraction
+    assert(math.abs(a.size / 2000.0 - 0.5) < 0.05, s"${a.size}")
+    // a different salt draws an (almost surely) different sample
+    val b = new DeterministicSampleFilter(0.5, "id", salt = "b")(ids).as[Long].collect().toSet
+    assert(a != b)
+    // fraction bounds enforced; 0 and 1 are exact
+    assert(new DeterministicSampleFilter(1.0, "id")(ids).count() == 2000)
+    assert(new DeterministicSampleFilter(0.0, "id")(ids).count() == 0)
+    intercept[IllegalArgumentException] { new DeterministicSampleFilter(1.5, "id") }
+  }
+
   test("repetition ratios on crafted token streams") {
     val df = Seq(
       (1L, "spam spam spam spam"),            // 4 toks 1 distinct; 3 2grams 1 distinct
