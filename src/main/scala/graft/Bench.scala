@@ -84,16 +84,24 @@ object Bench {
         bigEmb, emb.limit(100), "embedding", "vec_id", "vec_id", k = 10).count())
       bigEmb.unpersist()
 
-      // Realistic image-dedup order: exact phash dedup absorbs the
-      // replication mass first; capped near-dedup then runs over a
-      // corpus whose buckets are small (uncapped near-dedup straight on
-      // the 100x corpus measured 14 s — the cap exists for exactly this).
+      // Realistic image-dedup shape: decode+DCT is the expensive step,
+      // so production stages the `phash` column ONCE (both dedup
+      // operators pick up a precomputed `phash`) and persists it — the
+      // lazy self-join would otherwise recompute the decode per join
+      // branch (measured: 17 s vs ~6 s at 100x). Legs: the hash pass
+      // itself, then exact dedup and capped near-dedup over the staged
+      // hashes.
       val img = graft.sources.SyntheticImages.df(spark)
       val bigImg = (0 until 100).map(i =>
         img.withColumn("id", col("id") + lit(i * 1000L)))
         .reduce(_ unionByName _)
+        // the 100-way union leaves 400 tiny partitions — task overhead
+        // would swamp the measurement; coalesce to the thread count
+        .repartition(32)
+        .withColumn("phash", graft.operators.image.ImageOps.phashUdf(col("image.bytes")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ni = bigImg.count()
+      var ni = 0L
+      val tPhashHash = time { ni = bigImg.count(); ni }
       val tPhashExact = time(new graft.operators.image.ImagePhashDedup(
         imageCol = "image", idCol = "id", orderCol = "id")(bigImg).count())
       val tPhashNear = time(new graft.operators.image.ImagePhashNearDedup(
@@ -101,7 +109,7 @@ object Bench {
         maxBucketSize = Some(50))(bigImg).count())
       bigImg.unpersist()
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
     }
 
     val json =

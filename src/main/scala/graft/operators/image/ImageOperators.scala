@@ -188,6 +188,11 @@ final class ImagePhashNearDedup(
     }
   }
 
+  /** Precomputed `phash` column wins: decode+DCT is the expensive step
+    * and the lazy self-join computes its input once per join branch —
+    * at scale, stage `phash` once (one decode pass) and persist it
+    * before near-dedup, as the bench probe does.
+    */
   private def phashCol(df: DataFrame): Column =
     if (df.columns.contains("phash")) col("phash")
     else ImageOps.phashUdf(col(s"$imageCol.bytes"))

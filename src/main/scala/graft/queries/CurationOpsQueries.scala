@@ -6,11 +6,12 @@ import graft.operators.text.{BenchmarkDecontaminationFilter, DeterministicSample
 import org.apache.spark.sql.functions._
 
 /** Gates for the round-5 training-data curation additions: benchmark
-  * decontamination (n-gram leak removal), PII redaction, and Gopher
-  * repetition signals. Each oracle RECOMPUTES the semantics in DuckDB
-  * from the same raw tables — list-function shingle algebra for
-  * decontamination/repetition, DuckDB's own RE2 engine for the PII
-  * regexes — so nothing is pinned from the implementation.
+  * decontamination (n-gram leak removal), PII redaction, deterministic
+  * sampling, and Gopher repetition signals. Each oracle RECOMPUTES the
+  * semantics in DuckDB from the same raw tables — list-function shingle
+  * algebra for decontamination/repetition, DuckDB's own RE2 engine for
+  * the PII regexes, md5-prefix hashing for the sampler — so nothing is
+  * pinned from the implementation.
   */
 object CurationOpsQueries {
 
