@@ -9,12 +9,16 @@ import graft.operators.image.{ImageEncoder, ImageOps}
   * format is protobuf, whose encoding and the onnx.proto field numbers
   * are public spec).
   *
-  * Supported ops: MatMul (2-D), Add (row-broadcast bias or same-shape),
-  * Relu, Sigmoid, Tanh, Identity. Initializers may carry weights in
-  * `float_data` or little-endian `raw_data`. Graphs are evaluated in
+  * Supported ops: MatMul (2-D), Gemm (alpha/beta/transB — the form
+  * torch exports nn.Linear as), Add/Sub/Mul/Div (row-broadcast or
+  * same-shape), Relu, Sigmoid, Tanh, Erf, Exp, Sqrt, Neg, Softmax
+  * (last axis), LayerNormalization (last axis), Identity. Initializers
+  * may carry weights in `float_data` or little-endian `raw_data`;
+  * numeric node attributes (f/i) are parsed. Graphs are evaluated in
   * node order (ONNX requires topological order). Anything outside this
   * subset fails loudly at load — a real onnxruntime-backed encoder
-  * plugs in behind the same [[ImageEncoder]] trait when available.
+  * ([[OnnxRuntimeEncoder]]) plugs in behind the same [[ImageEncoder]]
+  * trait when available.
   */
 object Onnx {
 
@@ -53,7 +57,8 @@ object Onnx {
   }
 
   final case class Tensor(dims: Seq[Int], data: Array[Float])
-  final case class Node(opType: String, inputs: Seq[String], outputs: Seq[String])
+  final case class Node(opType: String, inputs: Seq[String], outputs: Seq[String],
+      attrs: Map[String, Double] = Map.empty)
   final case class Graph(
       nodes: Seq[Node], initializers: Map[String, Tensor],
       inputName: String, outputName: String)
@@ -87,18 +92,35 @@ object Onnx {
       n
     }
 
+    // AttributeProto: name = 1, f = 2 (fixed32 float), i = 3 (varint int64)
+    def parseAttr(r: Reader): Option[(String, Double)] = {
+      var name = ""; var value: Option[Double] = None
+      while (r.hasMore) {
+        val (f, w) = r.tag()
+        (f, w) match {
+          case (1, 2) => name = new String(r.bytes(), "UTF-8")
+          case (2, 5) => value = Some(java.lang.Float.intBitsToFloat(r.fixed32()).toDouble)
+          case (3, 0) => value = Some(r.varint().toDouble)
+          case _      => r.skip(w)
+        }
+      }
+      value.filter(_ => name.nonEmpty).map(name -> _)
+    }
+
     def parseNode(r: Reader): Node = {
       val ins = Seq.newBuilder[String]; val outs = Seq.newBuilder[String]; var op = ""
+      val attrs = Map.newBuilder[String, Double]
       while (r.hasMore) {
         val (f, w) = r.tag()
         (f, w) match {
           case (1, 2) => ins += new String(r.bytes(), "UTF-8")
           case (2, 2) => outs += new String(r.bytes(), "UTF-8")
           case (4, 2) => op = new String(r.bytes(), "UTF-8")
+          case (5, 2) => parseAttr(r.sub()).foreach(attrs += _)
           case _      => r.skip(w)
         }
       }
-      Node(op, ins.result(), outs.result())
+      Node(op, ins.result(), outs.result(), attrs.result())
     }
 
     def parseTensor(r: Reader): (String, Tensor) = {
@@ -152,15 +174,24 @@ object Onnx {
 
   /** A loaded, runnable MLP-class session. */
   final class Session(val graph: Graph) extends Serializable {
-    private val supported = Set("MatMul", "Add", "Relu", "Sigmoid", "Tanh", "Identity")
+    private val supported = Set("MatMul", "Gemm", "Add", "Sub", "Mul", "Div",
+      "Relu", "Sigmoid", "Tanh", "Erf", "Exp", "Sqrt", "Neg",
+      "Softmax", "LayerNormalization", "Identity")
     graph.nodes.foreach(n => require(supported(n.opType),
       s"unsupported op ${n.opType} (supported: ${supported.mkString(", ")})"))
 
-    /** Output width of the final MatMul/Add (for dim checks). */
+    /** Output width of the final weighted layer (for dim checks) —
+      * a Gemm with transB carries its weight as (out × in), so the
+      * output width is dims.head there, dims.last everywhere else.
+      */
     lazy val outputDim: Int = {
-      val last = graph.nodes.reverseIterator
-        .flatMap(n => n.inputs.flatMap(graph.initializers.get)).next()
-      last.dims.last
+      graph.nodes.reverseIterator.flatMap { n =>
+        n.inputs.flatMap(graph.initializers.get).headOption.map { t =>
+          if (n.opType == "Gemm" && n.attrs.getOrElse("transB", 0.0) != 0.0 && t.dims.size == 2)
+            t.dims.head
+          else t.dims.last
+        }
+      }.next()
     }
 
     /** Evaluate one batch: (B × inDim) → (B × outDim), row-major. */
@@ -173,29 +204,89 @@ object Onnx {
           case Some(t)                     => Array(t.data)
           case None => throw new IllegalArgumentException(s"unbound tensor $name")
         })
+      def matmul(a: Array[Array[Float]], b: Array[Array[Float]], alpha: Float): Array[Array[Float]] = {
+        val k = b.length; val m = b.head.length
+        a.map { row =>
+          require(row.length == k, s"MatMul dim mismatch: ${row.length} vs $k")
+          val o = new Array[Float](m)
+          var j = 0
+          while (j < m) {
+            var acc = 0.0f; var i = 0
+            while (i < k) { acc += row(i) * b(i)(j); i += 1 }
+            o(j) = alpha * acc; j += 1
+          }
+          o
+        }
+      }
+      // same-shape or row-broadcast (1×m) elementwise combine
+      def elementwise(a: Array[Array[Float]], b: Array[Array[Float]],
+          f: (Float, Float) => Float): Array[Array[Float]] =
+        if (b.length == 1) a.map(row => row.indices.map(i => f(row(i), b(0)(i))).toArray)
+        else a.zip(b).map { case (x, y) => x.indices.map(i => f(x(i), y(i))).toArray }
+      // Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 ≈ 1 float32 ulp)
+      def erf(x: Double): Double = {
+        val s = if (x < 0) -1.0 else 1.0
+        val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+        val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+          - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+        s * y
+      }
       graph.nodes.foreach { n =>
         val out = n.opType match {
           case "MatMul" =>
-            val a = resolve(n.inputs.head); val b = resolve(n.inputs(1))
-            val k = b.length; val m = b.head.length
-            a.map { row =>
-              require(row.length == k, s"MatMul dim mismatch: ${row.length} vs $k")
-              val o = new Array[Float](m)
-              var j = 0
-              while (j < m) {
-                var acc = 0.0f; var i = 0
-                while (i < k) { acc += row(i) * b(i)(j); i += 1 }
-                o(j) = acc; j += 1
-              }
-              o
-            }
-          case "Add" =>
-            val a = resolve(n.inputs.head); val b = resolve(n.inputs(1))
-            if (b.length == 1) a.map(row => row.indices.map(i => row(i) + b(0)(i)).toArray)
-            else a.zip(b).map { case (x, y) => x.indices.map(i => x(i) + y(i)).toArray }
+            matmul(resolve(n.inputs.head), resolve(n.inputs(1)), 1.0f)
+          case "Gemm" =>
+            // Y = alpha·A·B(ᵀ) + beta·C — torch's nn.Linear export shape
+            // (transB = 1, C = bias). transA unsupported: A is the batch.
+            require(n.attrs.getOrElse("transA", 0.0) == 0.0, "Gemm transA unsupported")
+            val alpha = n.attrs.getOrElse("alpha", 1.0).toFloat
+            val beta = n.attrs.getOrElse("beta", 1.0).toFloat
+            val b0 = resolve(n.inputs(1))
+            val b = if (n.attrs.getOrElse("transB", 0.0) != 0.0) {
+              Array.tabulate(b0.head.length, b0.length)((i, j) => b0(j)(i))
+            } else b0
+            val ab = matmul(resolve(n.inputs.head), b, alpha)
+            if (n.inputs.size > 2 && n.inputs(2).nonEmpty)
+              elementwise(ab, resolve(n.inputs(2)), (x, c) => x + beta * c)
+            else ab
+          case "Add" => elementwise(resolve(n.inputs.head), resolve(n.inputs(1)), _ + _)
+          case "Sub" => elementwise(resolve(n.inputs.head), resolve(n.inputs(1)), _ - _)
+          case "Mul" => elementwise(resolve(n.inputs.head), resolve(n.inputs(1)), _ * _)
+          case "Div" => elementwise(resolve(n.inputs.head), resolve(n.inputs(1)), _ / _)
           case "Relu" => resolve(n.inputs.head).map(_.map(v => if (v > 0f) v else 0f))
           case "Sigmoid" => resolve(n.inputs.head).map(_.map(v => (1.0 / (1.0 + math.exp(-v))).toFloat))
           case "Tanh" => resolve(n.inputs.head).map(_.map(v => math.tanh(v).toFloat))
+          case "Erf" => resolve(n.inputs.head).map(_.map(v => erf(v).toFloat))
+          case "Exp" => resolve(n.inputs.head).map(_.map(v => math.exp(v).toFloat))
+          case "Sqrt" => resolve(n.inputs.head).map(_.map(v => math.sqrt(v).toFloat))
+          case "Neg" => resolve(n.inputs.head).map(_.map(v => -v))
+          case "Softmax" =>
+            // 2-D row vectors: only the last axis makes sense here
+            val axis = n.attrs.getOrElse("axis", -1.0)
+            require(axis == -1.0 || axis == 1.0, s"Softmax axis $axis unsupported (last only)")
+            resolve(n.inputs.head).map { row =>
+              val mx = row.max
+              val exps = row.map(v => math.exp((v - mx).toDouble))
+              val sum = exps.sum
+              exps.map(e => (e / sum).toFloat)
+            }
+          case "LayerNormalization" =>
+            // last-axis normalization: (x − mean)/sqrt(var + eps)·scale + bias
+            val axis = n.attrs.getOrElse("axis", -1.0)
+            require(axis == -1.0 || axis == 1.0, s"LayerNormalization axis $axis unsupported (last only)")
+            val eps = n.attrs.getOrElse("epsilon", 1e-5)
+            val scale = resolve(n.inputs(1)).head
+            val bias = if (n.inputs.size > 2 && n.inputs(2).nonEmpty)
+              Some(resolve(n.inputs(2)).head) else None
+            resolve(n.inputs.head).map { row =>
+              val m = row.foldLeft(0.0)(_ + _) / row.length
+              val va = row.foldLeft(0.0)((a, x) => a + (x - m) * (x - m)) / row.length
+              val inv = 1.0 / math.sqrt(va + eps)
+              Array.tabulate(row.length) { i =>
+                val v = (row(i) - m) * inv * scale(i)
+                (bias.map(b => v + b(i)).getOrElse(v)).toFloat
+              }
+            }
           case "Identity" => resolve(n.inputs.head)
         }
         env += n.outputs.head -> out

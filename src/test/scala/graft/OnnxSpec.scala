@@ -48,9 +48,22 @@ object OnnxTestModel {
     w.str(8, name)
   }
 
-  def node(op: String, ins: Seq[String], outs: Seq[String]): W = {
+  def node(op: String, ins: Seq[String], outs: Seq[String],
+      fAttrs: Seq[(String, Float)] = Nil, iAttrs: Seq[(String, Long)] = Nil): W = {
     val w = new W
     ins.foreach(w.str(1, _)); outs.foreach(w.str(2, _)); w.str(4, op)
+    fAttrs.foreach { case (n, v) =>
+      val a = new W().str(1, n)
+      a.tag(2, 5)
+      val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(v)
+      a.out.write(bb.array(), 0, 4)
+      a.tag(20, 0).varint(1) // type = FLOAT
+      w.msg(5, a)
+    }
+    iAttrs.foreach { case (n, v) =>
+      w.msg(5, new W().str(1, n).tag(3, 0).varint(v).tag(20, 0).varint(2)) // type = INT
+    }
+    w
   }
 
   def valueInfo(name: String): W = new W().str(1, name)
@@ -123,6 +136,91 @@ class OnnxSpec extends AnyFunSuite {
     val want = batch.map(x => OnnxTestModel.reference(x, w1, b1, w2, b2))
     got.zip(want).foreach { case (g2, w) =>
       g2.zip(w).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5f) }
+    }
+  }
+
+  test("gemm(transB, alpha, bias) + layernorm + softmax head matches direct computation") {
+    import OnnxTestModel._
+    // the shape torch exports: nn.Linear -> Gemm(transB=1) with (out x in) weight
+    val w = Array(
+      Array(0.2f, -0.5f, 0.7f, 0.1f),
+      Array(-0.3f, 0.4f, 0.05f, -0.6f),
+      Array(0.9f, 0.2f, -0.1f, 0.3f))
+    val c = Array(0.1f, -0.2f, 0.3f)
+    val scale = Array(1.5f, 0.8f, -1.1f)
+    val lnBias = Array(0.05f, -0.1f, 0.2f)
+    val g = new W
+    g.msg(1, node("Gemm", Seq("x", "w", "c"), Seq("h0"),
+      fAttrs = Seq("alpha" -> 0.5f, "beta" -> 1.0f), iAttrs = Seq("transB" -> 1L)))
+    g.msg(1, node("LayerNormalization", Seq("h0", "s", "lb"), Seq("h1"),
+      fAttrs = Seq("epsilon" -> 1e-5f), iAttrs = Seq("axis" -> -1L)))
+    g.msg(1, node("Softmax", Seq("h1"), Seq("y"), iAttrs = Seq("axis" -> -1L)))
+    g.msg(5, tensor("w", Seq(3, 4), w.flatten, raw = true))
+    g.msg(5, tensor("c", Seq(3), c, raw = false))
+    g.msg(5, tensor("s", Seq(3), scale, raw = false))
+    g.msg(5, tensor("lb", Seq(3), lnBias, raw = false))
+    g.msg(11, valueInfo("x")); g.msg(12, valueInfo("y"))
+    val model = new W; model.tag(1, 0).varint(8); model.msg(7, g)
+    val sess = Onnx.load(model.result)
+    assert(sess.outputDim == 3) // Gemm transB: dims.head of the (3 x 4) weight
+
+    val x = Array(0.5f, -1.0f, 2.0f, 0.25f)
+    // direct float32/double mirror of the op semantics
+    val h0 = Array.tabulate(3) { j =>
+      var acc = 0.0f
+      for (i <- 0 until 4) acc += x(i) * w(j)(i)
+      0.5f * acc + 1.0f * c(j)
+    }
+    val mean = h0.foldLeft(0.0)(_ + _) / 3
+    val va = h0.foldLeft(0.0)((a, v) => a + (v - mean) * (v - mean)) / 3
+    val inv = 1.0 / math.sqrt(va + 1e-5f)
+    val h1 = Array.tabulate(3)(i => ((h0(i) - mean) * inv * scale(i) + lnBias(i)).toFloat)
+    val mx = h1.max
+    val exps = h1.map(v => math.exp((v - mx).toDouble))
+    val want = exps.map(e => (e / exps.sum).toFloat)
+
+    val got = sess.run(Array(x)).head
+    assert(got.length == 3)
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6f, s"$a vs $b") }
+    assert(math.abs(got.sum - 1.0f) < 1e-6f) // softmax row sums to 1
+  }
+
+  test("elementwise ops and erf evaluate correctly") {
+    import OnnxTestModel._
+    val g = new W
+    // y = Neg(Div(Mul(Sub(Exp(x), one), x), Sqrt(four))) then Erf
+    g.msg(1, node("Exp", Seq("x"), Seq("e")))
+    g.msg(1, node("Sub", Seq("e", "one"), Seq("s")))
+    g.msg(1, node("Mul", Seq("s", "x"), Seq("m")))
+    g.msg(1, node("Sqrt", Seq("four"), Seq("r")))
+    g.msg(1, node("Div", Seq("m", "r"), Seq("d")))
+    g.msg(1, node("Neg", Seq("d"), Seq("n")))
+    g.msg(1, node("Erf", Seq("n"), Seq("y")))
+    g.msg(5, tensor("one", Seq(1, 3), Array(1f, 1f, 1f), raw = false))
+    g.msg(5, tensor("four", Seq(1, 3), Array(4f, 4f, 4f), raw = false))
+    g.msg(11, valueInfo("x")); g.msg(12, valueInfo("y"))
+    val model = new W; model.tag(1, 0).varint(8); model.msg(7, g)
+    val sess = Onnx.load(model.result)
+    val x = Array(0.0f, 1.0f, -0.5f)
+    val inner = x.map { v =>
+      val d = (math.exp(v).toFloat - 1f) * v / 2f
+      -d
+    }
+    val got = sess.run(Array(x)).head
+    // erf reference values (true function; the A&S approximation is
+    // within 1.5e-7, ~1 float32 ulp)
+    def erfTrue(v: Double): Double = v match {
+      case 0.0 => 0.0
+      case _ =>
+        // compare against high-precision series for the specific inputs
+        val t = math.abs(v)
+        val series = (0 to 30).map(n =>
+          math.pow(-1, n) * math.pow(t, 2 * n + 1) / (fact(n) * (2 * n + 1))).sum
+        math.signum(v) * 2.0 / math.sqrt(math.Pi) * series
+    }
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    got.zip(inner).foreach { case (a, in) =>
+      assert(math.abs(a - erfTrue(in)) < 2e-6, s"erf($in): $a")
     }
   }
 
