@@ -37,6 +37,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 FIXTURES = os.path.join(HERE, "fixture_images")
 ONNX_PATH = os.path.join(REPO, "src", "main", "resources", "graft", "tiny_encoder.onnx")
+HEAD_PATH = os.path.join(REPO, "src", "main", "resources", "graft", "tiny_head.onnx")
 QUERIES = os.path.join(REPO, "src", "main", "scala", "graft", "queries", "InferenceQueries.scala")
 
 N = 60
@@ -243,8 +244,26 @@ def parse_onnx(model):
                 r.skip(w)
         return n
 
+    def parse_attr(r):
+        # AttributeProto: name = 1, f = 2 (fixed32 float), i = 3 (varint int64)
+        name, value = "", None
+        while r.has_more():
+            f, w = r.tag()
+            if f == 1 and w == 2:
+                name = r.bytes_().decode("utf-8")
+            elif f == 2 and w == 5:
+                value = float(r.fixed32f())
+            elif f == 3 and w == 0:
+                v = r.varint()
+                if v >= 1 << 63:
+                    v -= 1 << 64  # int64 two's complement (e.g. axis = -1)
+                value = float(v)
+            else:
+                r.skip(w)
+        return (name, value) if name and value is not None else None
+
     def parse_node(r):
-        ins, outs, op = [], [], ""
+        ins, outs, op, attrs = [], [], "", {}
         while r.has_more():
             f, w = r.tag()
             if f == 1 and w == 2:
@@ -253,9 +272,13 @@ def parse_onnx(model):
                 outs.append(r.bytes_().decode("utf-8"))
             elif f == 4 and w == 2:
                 op = r.bytes_().decode("utf-8")
+            elif f == 5 and w == 2:
+                a = parse_attr(r.sub())
+                if a:
+                    attrs[a[0]] = a[1]
             else:
                 r.skip(w)
-        return op, ins, outs
+        return op, ins, outs, attrs
 
     def parse_tensor(r):
         tdims, floats, raw, name, dtype = [], [], None, "", 1
@@ -307,8 +330,8 @@ def parse_onnx(model):
             graph.skip(w)
 
     if not input_name or input_name in inits:
-        produced = {o for _, _, outs in nodes for o in outs}
-        for _, ins, _ in nodes:
+        produced = {o for _, _, outs, _ in nodes for o in outs}
+        for _, ins, _, _ in nodes:
             for n in ins:
                 if n not in inits and n not in produced:
                     input_name = n
@@ -329,20 +352,49 @@ def onnx_forward(nodes, inits, input_name, output_name, x):
             return env[n]
         return inits[n]
 
-    for op, ins, outs in nodes:
+    def matmul(a, bm, alpha):
+        k, m = bm.shape
+        assert a.shape[0] == k, "MatMul dim mismatch"
+        acc = np.zeros(m, dtype=np.float32)
+        for i in range(k):
+            acc = (acc + a[i] * bm[i, :]).astype(np.float32)
+        # interpreter spec: alpha multiplies AFTER accumulation, in f32
+        return (np.float32(alpha) * acc).astype(np.float32)
+
+    def rowvec(b):
+        return b.reshape(-1) if b.ndim > 1 else b
+
+    def erf_as(x):
+        # Abramowitz-Stegun 7.1.26 in float64, EXACT constant/op order of
+        # the interpreter (part of the spec)
+        sgn = -1.0 if x < 0 else 1.0
+        t = 1.0 / (1.0 + 0.3275911 * abs(x))
+        y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+                    - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+        return sgn * y
+
+    for op, ins, outs, attrs in nodes:
         if op == "MatMul":
-            a = resolve(ins[0])
-            bm = resolve(ins[1])
-            k, m = bm.shape
-            assert a.shape[0] == k, "MatMul dim mismatch"
-            acc = np.zeros(m, dtype=np.float32)
-            for i in range(k):
-                acc = (acc + a[i] * bm[i, :]).astype(np.float32)
-            out = acc
+            out = matmul(resolve(ins[0]), resolve(ins[1]), 1.0)
+        elif op == "Gemm":
+            assert attrs.get("transA", 0.0) == 0.0, "Gemm transA unsupported"
+            alpha = attrs.get("alpha", 1.0)
+            beta = np.float32(attrs.get("beta", 1.0))
+            b0 = resolve(ins[1])
+            bm = b0.T.copy() if attrs.get("transB", 0.0) != 0.0 else b0
+            ab = matmul(resolve(ins[0]), bm, alpha)
+            if len(ins) > 2 and ins[2]:
+                c = rowvec(resolve(ins[2]))
+                ab = (ab + (beta * c).astype(np.float32)).astype(np.float32)
+            out = ab
         elif op == "Add":
-            a = resolve(ins[0])
-            b = resolve(ins[1])
-            out = (a + b.reshape(-1)[: a.shape[0]] if b.ndim > 1 else a + b).astype(np.float32)
+            out = (resolve(ins[0]) + rowvec(resolve(ins[1]))).astype(np.float32)
+        elif op == "Sub":
+            out = (resolve(ins[0]) - rowvec(resolve(ins[1]))).astype(np.float32)
+        elif op == "Mul":
+            out = (resolve(ins[0]) * rowvec(resolve(ins[1]))).astype(np.float32)
+        elif op == "Div":
+            out = (resolve(ins[0]) / rowvec(resolve(ins[1]))).astype(np.float32)
         elif op == "Relu":
             out = np.maximum(resolve(ins[0]), np.float32(0))
         elif op == "Sigmoid":
@@ -350,6 +402,51 @@ def onnx_forward(nodes, inits, input_name, output_name, x):
             out = (1.0 / (1.0 + np.exp(-v))).astype(np.float32)
         elif op == "Tanh":
             out = np.tanh(resolve(ins[0]).astype(np.float64)).astype(np.float32)
+        elif op == "Erf":
+            out = np.array([np.float32(erf_as(float(v))) for v in resolve(ins[0])],
+                           dtype=np.float32)
+        elif op == "Exp":
+            out = np.array([np.float32(math.exp(float(v))) for v in resolve(ins[0])],
+                           dtype=np.float32)
+        elif op == "Sqrt":
+            out = np.array([np.float32(math.sqrt(float(v))) for v in resolve(ins[0])],
+                           dtype=np.float32)
+        elif op == "Neg":
+            out = (-resolve(ins[0])).astype(np.float32)
+        elif op == "Softmax":
+            axis = attrs.get("axis", -1.0)
+            assert axis in (-1.0, 1.0), "Softmax axis unsupported"
+            row = resolve(ins[0])
+            mx = np.float32(row.max())
+            # interpreter spec: (v - mx) subtracts in FLOAT32, exp in f64
+            exps = [math.exp(float(np.float32(v) - mx)) for v in row]
+            sm = 0.0
+            for e in exps:
+                sm += e
+            out = np.array([np.float32(e / sm) for e in exps], dtype=np.float32)
+        elif op == "LayerNormalization":
+            axis = attrs.get("axis", -1.0)
+            assert axis in (-1.0, 1.0), "LayerNormalization axis unsupported"
+            eps = attrs.get("epsilon", 1e-5)
+            row = resolve(ins[0])
+            scale = rowvec(resolve(ins[1]))
+            bias = rowvec(resolve(ins[2])) if len(ins) > 2 and ins[2] else None
+            m = 0.0
+            for v in row:
+                m += float(v)
+            m /= len(row)
+            va = 0.0
+            for v in row:
+                va += (float(v) - m) * (float(v) - m)
+            va /= len(row)
+            inv = 1.0 / math.sqrt(va + eps)
+            vals = []
+            for i in range(len(row)):
+                v = (float(row[i]) - m) * inv * float(scale[i])
+                if bias is not None:
+                    v = v + float(bias[i])
+                vals.append(np.float32(v))
+            out = np.array(vals, dtype=np.float32)
         elif op == "Identity":
             out = resolve(ins[0])
         else:
@@ -403,17 +500,12 @@ def clip_values():
     return ",\n".join(rows)
 
 
-def siglip_values():
-    with open(ONNX_PATH, "rb") as f:
+def model_values(path):
+    with open(path, "rb") as f:
         nodes, inits, input_name, output_name = parse_onnx(f.read())
-    out_dim = None
-    for _, ins, _ in reversed(nodes):
-        for n in ins:
-            if n in inits and inits[n].ndim == 2:
-                out_dim = inits[n].shape[1]
-                break
-        if out_dim:
-            break
+    # output width: probe with a zero row (dims follow the graph)
+    out_dim = len(onnx_forward(nodes, inits, input_name, output_name,
+                               np.zeros(256, dtype=np.float32)))
     rows = []
     for i in range(N):
         d = decoded_pixels(i)
@@ -436,12 +528,16 @@ def embedded_block(src, var):
 
 def main():
     clip = clip_values()
-    siglip = siglip_values()
+    siglip = model_values(ONNX_PATH)
+    head = model_values(HEAD_PATH) if os.path.exists(HEAD_PATH) else None
     if "--check" in sys.argv:
         with open(QUERIES) as f:
             src = f.read()
         ok = True
-        for name, mine in (("clipEmbedValues", clip), ("siglipEmbedValues", siglip)):
+        blocks = [("clipEmbedValues", clip), ("siglipEmbedValues", siglip)]
+        if head is not None:
+            blocks.append(("headEmbedValues", head))
+        for name, mine in blocks:
             theirs = embedded_block(src, name)
             if theirs.strip() != mine.strip():
                 ok = False
@@ -460,6 +556,9 @@ def main():
     print(clip)
     print("-- image_siglip_embed")
     print(siglip)
+    if head is not None:
+        print("-- image_gelu_head_embed")
+        print(head)
 
 
 if __name__ == "__main__":
