@@ -94,4 +94,46 @@ object StreamingCuration {
           out.iterator
       }
   }
+
+  /** [[markSeenWithIds]] with BOUNDED state: a key's first-seen
+    * representative expires after `ttl` of processing-time inactivity
+    * (ProcessingTimeTimeout), so dedup state stays O(keys active within
+    * the TTL window) instead of O(every key ever seen) — the 100 TB
+    * posture for an unbounded stream, where exact forever-dedup state
+    * grows without limit. A key re-arriving after expiry dedups afresh
+    * (standard TTL-dedup semantics). Expiry is evaluated lazily at the
+    * next trigger, per the GroupState contract: a key whose data
+    * arrives in the same trigger its timeout would fire keeps its old
+    * representative for that batch.
+    */
+  def markSeenWithIdsTtl(pairs: org.apache.spark.sql.Dataset[(String, String)],
+      ttl: String): org.apache.spark.sql.Dataset[DedupDecision] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[String, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout)(ttlDedupFunc(ttl))
+  }
+
+  /** The TTL-dedup state transition, exposed for direct unit testing
+    * with `TestGroupState` (driving real processing-time timers through
+    * a live query is nondeterministic: processing-time timeouts make
+    * the engine schedule continuous batches).
+    */
+  private[graft] def ttlDedupFunc(ttl: String)(
+      key: String, rows: Iterator[(String, String)],
+      state: org.apache.spark.sql.streaming.GroupState[String]): Iterator[DedupDecision] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val batch = rows.toList
+      var rep = state.getOption.orNull
+      val out = batch.map { case (_, id) =>
+        if (rep == null) { rep = id; DedupDecision(key, id, kept = true, id) }
+        else DedupDecision(key, id, kept = false, rep)
+      }
+      if (rep != null) { state.update(rep); state.setTimeoutDuration(ttl) }
+      out.iterator
+    }
 }

@@ -164,6 +164,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ttl-bounded dedup state: expiry frees the key, re-arrival dedups afresh") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val fn = StreamingCuration.ttlDedupFunc("1 hours") _
+    // batch 1: first-seen kept, duplicate rejected, TTL timer registered
+    val s1 = TestGroupState.create[String](org.apache.spark.api.java.Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    val out1 = fn("k1", Iterator(("k1", "a"), ("k1", "b")), s1).toList
+    assert(out1 == List(
+      StreamingCuration.DedupDecision("k1", "a", kept = true, "a"),
+      StreamingCuration.DedupDecision("k1", "b", kept = false, "a")))
+    assert(s1.get == "a" && s1.getTimeoutTimestampMs.isPresent)
+    // batch 2 within TTL: duplicate still rejected against the stored rep
+    val s2 = TestGroupState.create[String](org.apache.spark.api.java.Optional.of("a"),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    assert(fn("k1", Iterator(("k1", "c")), s2).toList ==
+      List(StreamingCuration.DedupDecision("k1", "c", kept = false, "a")))
+    // timeout fires: state removed, nothing emitted
+    val s3 = TestGroupState.create[String](org.apache.spark.api.java.Optional.of("a"),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 9999999L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = true)
+    assert(fn("k1", Iterator.empty, s3).isEmpty && s3.isRemoved)
+    // post-expiry re-arrival: fresh first-seen with a NEW representative
+    val s4 = TestGroupState.create[String](org.apache.spark.api.java.Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 10000000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    assert(fn("k1", Iterator(("k1", "c")), s4).toList ==
+      List(StreamingCuration.DedupDecision("k1", "c", kept = true, "c")))
+    assert(s4.get == "c")
+  }
+
   test("watermarked hourly window counts over an event stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
