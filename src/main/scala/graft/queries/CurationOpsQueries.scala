@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.text.{BenchmarkDecontaminationFilter, DeterministicSampleFilter, PiiRedaction, PiiRedactionRefiner, TextRepetition, TextRepetitionRefiner}
+import graft.operators.text.{BenchmarkDecontaminationFilter, DeterministicSampleFilter, LineDedupRefiner, PiiRedaction, PiiRedactionRefiner, TextRepetition, TextRepetitionRefiner}
 import org.apache.spark.sql.functions._
 
 /** Gates for the round-5 training-data curation additions: benchmark
@@ -72,6 +72,32 @@ object CurationOpsQueries {
           fraction = 0.8, idCol = "doc_id", hashName = "portable", salt = "r5")
         s"""SELECT doc_id FROM documents
            |WHERE ${op.keepSql("doc_id")} ORDER BY doc_id""".stripMargin
+      })),
+
+    OracleQuery("line_dedup",
+      (s, dir) => {
+        // multi-line docs with PLANTED cross-document boilerplate: every
+        // doc in a doc_id % 7 class shares that class's line — only the
+        // first doc of each class keeps it; the unique line survives
+        val aug = Tables(s, dir, "documents").withColumn("text2",
+          concat(col("text"), lit("\nshared boilerplate line "),
+            (col("doc_id") % 7).cast("string"),
+            lit("\nunique line "), col("doc_id").cast("string")))
+        new LineDedupRefiner("text2", "doc_id", "doc_id",
+          minLineLength = 1, hashName = "portable")(aug)
+          .select(col("doc_id"), col("text_line_deduped").as("text_clean"),
+            col("lines_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some({
+        val op = new LineDedupRefiner("text2", "doc_id", "doc_id",
+          minLineLength = 1, hashName = "portable")
+        val augSql = "(SELECT doc_id, (text || chr(10) || 'shared boilerplate line ' || " +
+          "CAST(doc_id % 7 AS VARCHAR) || chr(10) || 'unique line ' || " +
+          "CAST(doc_id AS VARCHAR)) AS text2 FROM documents)"
+        s"""WITH ${op.rebuildCteSql(augSql, "text2")}
+           |SELECT id AS doc_id, text_clean, lines_removed FROM _ld
+           |ORDER BY doc_id""".stripMargin
       })),
 
     OracleQuery("text_repetition",

@@ -144,6 +144,13 @@ object OperatorRegistry {
     hashName = p.str("hash_algorithm", "xxhash64"),
     salt = p.str("salt", "")))
 
+  register("line_dedup", p => new LineDedupRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    orderCol = p.str("order_field").getOrElse(p.str("id_field", "id")),
+    minLineLength = p.int("min_line_length", 15),
+    hashName = p.str("hash_algorithm", "xxhash64")))
+
   register("pii_redaction", p => new PiiRedactionRefiner(
     textCol = p.str("text_field", "text"),
     redactedCol = p.str("redacted_field", "text_redacted")))

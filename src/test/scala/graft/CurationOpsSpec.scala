@@ -85,6 +85,29 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new DeterministicSampleFilter(1.5, "id") }
   }
 
+  test("line dedup: first doc keeps the shared line, later docs lose it") {
+    import graft.operators.text.LineDedupRefiner
+    val df = Seq(
+      (1L, "alpha unique first\nshared boilerplate footer\nok"),
+      (2L, "shared boilerplate footer\nbeta unique second\nok"),
+      (3L, "gamma only content here")).toDF("id", "text")
+    val out = new LineDedupRefiner("text", "id", "id", minLineLength = 5)(df)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("text_line_deduped"), r.getAs[Long]("lines_removed"))).toMap
+    // doc 1 arrives first: keeps everything
+    assert(out(1L)._1 == "alpha unique first\nshared boilerplate footer\nok")
+    assert(out(1L)._2 == 0L)
+    // doc 2 loses the shared line; the short "ok" line is EXEMPT
+    // (< minLineLength) despite appearing in doc 1 too
+    assert(out(2L)._1 == "beta unique second\nok", out(2L)._1)
+    assert(out(2L)._2 == 1L)
+    assert(out(3L) == (("gamma only content here", 0L)))
+    // null text is total
+    val nulls = new LineDedupRefiner("text", "id", "id")(
+      Seq((9L, null.asInstanceOf[String])).toDF("id", "text")).collect()
+    assert(nulls.head.getAs[String]("text_line_deduped") == "")
+  }
+
   test("repetition ratios on crafted token streams") {
     val df = Seq(
       (1L, "spam spam spam spam"),            // 4 toks 1 distinct; 3 2grams 1 distinct
