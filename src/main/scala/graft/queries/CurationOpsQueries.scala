@@ -100,6 +100,27 @@ object CurationOpsQueries {
            |ORDER BY doc_id""".stripMargin
       })),
 
+    OracleQuery("url_canonicalize",
+      (s, dir) => {
+        // deterministic messy URLs: mixed-case scheme/host, default port,
+        // tracking params around a kept one, fragment
+        val aug = Tables(s, dir, "documents").withColumn("url2",
+          concat(lit("HTTPS://Example"), (col("doc_id") % 5).cast("string"),
+            lit(".COM:443/Path"), col("doc_id").cast("string"),
+            lit("/?utm_source=feed&id="), col("doc_id").cast("string"),
+            lit("&gclid=x17&q=Keep#sec"), (col("doc_id") % 3).cast("string")))
+        new graft.operators.text.UrlCanonicalizeRefiner("url2")(aug)
+          .select(col("doc_id"), col("url_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some({
+        val augSql = "('HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR) || " +
+          "'.COM:443/Path' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&id=' || " +
+          "CAST(doc_id AS VARCHAR) || '&gclid=x17&q=Keep#sec' || CAST(doc_id % 3 AS VARCHAR))"
+        s"""SELECT doc_id, ${graft.operators.text.UrlCanonicalize.canonicalSql(augSql)} AS url_canonical
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })),
+
     OracleQuery("text_repetition",
       (s, dir) => new TextRepetitionRefiner("text")(Tables(s, dir, "documents"))
         .select(col("doc_id"),

@@ -144,6 +144,10 @@ object OperatorRegistry {
     hashName = p.str("hash_algorithm", "xxhash64"),
     salt = p.str("salt", "")))
 
+  register("url_canonicalize", p => new UrlCanonicalizeRefiner(
+    urlCol = p.str("url_field", "url"),
+    outputCol = p.str("output_field", "url_canonical")))
+
   register("line_dedup", p => new LineDedupRefiner(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

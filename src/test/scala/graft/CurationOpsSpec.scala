@@ -108,6 +108,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(nulls.head.getAs[String]("text_line_deduped") == "")
   }
 
+  test("url canonicalization: case, ports, tracking params, fragments, slashes") {
+    import graft.operators.text.UrlCanonicalizeRefiner
+    val df = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/Deep/Path/?utm_source=x&q=Keep&utm_medium=y#frag"),
+      (2L, "http://host.org:80/a?utm_campaign=z"),
+      (3L, "http://host.org:8080/a"),   // non-default port survives
+      (4L, "https://example.com/"),     // bare root slash trims
+      (5L, "no scheme at all"),
+      (6L, null.asInstanceOf[String])).toDF("id", "url")
+    val out = new UrlCanonicalizeRefiner("url")(df)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "https://www.example.com/Deep/Path?q=Keep", out(1L))
+    assert(out(2L) == "http://host.org/a", out(2L))
+    assert(out(3L) == "http://host.org:8080/a")
+    assert(out(4L) == "https://example.com")
+    assert(out(5L) == "no scheme at all")
+    assert(out(6L) == null)
+  }
+
   test("repetition ratios on crafted token streams") {
     val df = Seq(
       (1L, "spam spam spam spam"),            // 4 toks 1 distinct; 3 2grams 1 distinct
