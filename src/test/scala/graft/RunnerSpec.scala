@@ -304,6 +304,70 @@ class RunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found on the classpath"))
   }
 
+  test("yaml pipeline runs the full curation-operator family with rejects") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    // input: documents with a planted url and multi-line text; benchmark
+    // corpus = a few held-out docs
+    val docs = table("documents")
+      .withColumn("url", concat(lit("HTTPS://Site"), col("doc_id") % 7,
+        lit(".COM:443/doc/"), col("doc_id"), lit("?utm_source=x&k=v#top")))
+      .withColumn("text", concat(col("text"), lit("\nshared boilerplate footer line"),
+        lit("\nunique tail "), col("doc_id")))
+    docs.write.parquet(s"$base/in")
+    docs.filter(col("doc_id") % 101 === 0).select(col("text"))
+      .write.parquet(s"$base/bench")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: curation
+         |    operators:
+         |      - name: deterministic_sample
+         |        params: {fraction: 0.9, id_field: "doc_id", salt: "e2e"}
+         |      - name: benchmark_decontamination
+         |        params: {benchmark_path: "$base/bench", id_field: "doc_id", text_field: "text", ngram_width: 8}
+         |      - name: url_canonicalize
+         |        params: {url_field: "url"}
+         |      - name: pii_redaction
+         |        params: {text_field: "text"}
+         |      - name: text_repetition
+         |        params: {text_field: "text"}
+         |      - name: line_dedup
+         |        params: {text_field: "text", id_field: "doc_id", min_line_length: 10}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/docs")
+    val rejected = spark.read.parquet(s"$base/out_rejected/docs_rejected")
+    assert(written.count() + rejected.count() == docs.count())
+    assert(res.run.output == written.count() && written.count() > 0)
+    // every new refiner's columns flow to the output
+    Seq("url_canonical", "pii_email_count", "text_redacted",
+      "text_dup_token_ratio", "text_line_deduped", "lines_removed")
+      .foreach(c => assert(written.columns.contains(c), c))
+    // both dropping operators actually rejected rows, with provenance
+    val rejOps = rejected.select(col("_rejection_details.operator"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(rejOps.contains("deterministic_sample"), rejOps)
+    assert(rejOps.contains("benchmark_decontamination"), rejOps)
+    // the shared boilerplate line survives in AT MOST one kept document
+    // (its global first-wins keeper may itself have been sampled or
+    // decontaminated away — line dedup ranks over the whole input)
+    assert(written.filter(col("text_line_deduped")
+      .contains("shared boilerplate footer line")).count() <= 1)
+    // ...but every kept doc keeps its own unique tail line
+    assert(written.filter(col("text_line_deduped").contains("unique tail")).count()
+      == written.count())
+    // canonicalized urls: lowercase host, no tracking, no fragment
+    val u = written.select("url_canonical").head().getString(0)
+    assert(u.startsWith("https://site") && !u.contains("utm_") && !u.contains("#"), u)
+  }
+
   test("registry rejects unknown operators with the available list") {
     val e = intercept[IllegalArgumentException] {
       OperatorRegistry.create("nope", Params(Map.empty))
