@@ -142,6 +142,17 @@ class PlanSpec extends AnyFunSuite {
     assert(brute.contains("CartesianProduct") || brute.contains("BroadcastNestedLoopJoin"), brute)
   }
 
+  test("line dedup shuffles on the line HASH, never the raw line text") {
+    val df = new graft.operators.text.LineDedupRefiner(
+      "text", "doc_id", "doc_id")(table("documents"))
+    val p = planOf(df)
+    val windowExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("_ld_")).toSeq
+    assert(windowExchanges.exists(_.contains("_ld_k")), p)
+    assert(!windowExchanges.exists(_.contains("_ld_line")),
+      s"raw line text must not be a shuffle key:\n${windowExchanges.mkString("\n")}")
+  }
+
   test("registry-built cosine dedup can NOT produce a cartesian plan") {
     // no bucket_field in the config → the registry auto-buckets via
     // seeded k-means instead of falling back to the O(n²) crossJoin
