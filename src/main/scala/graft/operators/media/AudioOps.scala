@@ -50,12 +50,96 @@ object AudioOps {
       } else if (bytes.length > 3 &&
           ((bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
             ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xE0) == 0xE0))) {
-        Some(AudioMeta("MP3", 0, 0, 0, 0L, 0.0)) // magic only; decode via SPI
+        // real MPEG frame-header parse (public spec): skip an ID3v2 tag
+        // (syncsafe 28-bit size at bytes 6-9), find the first frame
+        // sync, read samplerate/channel-mode from the header. Sample
+        // counts need a full frame walk (decode SPI); zeros there.
+        Some(parseMp3Header(bytes).getOrElse(AudioMeta("MP3", 0, 0, 0, 0L, 0.0)))
       } else if (bytes.length > 3 && bytes(0) == 'f' && bytes(1) == 'L' &&
           bytes(2) == 'a' && bytes(3) == 'C') {
-        Some(AudioMeta("FLAC", 0, 0, 0, 0L, 0.0))
+        // real STREAMINFO parse (public spec): rate (20 bits), channels
+        // (3 bits + 1), bits/sample (5 bits + 1), total samples (36 bits)
+        Some(parseFlacStreamInfo(bytes).getOrElse(AudioMeta("FLAC", 0, 0, 0, 0L, 0.0)))
       } else None
     } catch { case _: Throwable => None }
+  }
+
+  // MPEG-1 Layer III tables (public spec)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  private def parseMp3Header(bytes: Array[Byte]): Option[AudioMeta] = {
+    var pos = 0
+    if (bytes.length > 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      // ID3v2 size: 4 syncsafe bytes (7 bits each) at offset 6
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      pos = 10 + size
+    }
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xFF) == 0xFF && (bytes(pos + 1) & 0xE0) == 0xE0) {
+        val version = (bytes(pos + 1) >> 3) & 0x3 // 3 = MPEG-1
+        val layer = (bytes(pos + 1) >> 1) & 0x3   // 1 = Layer III
+        val srIdx = (bytes(pos + 2) >> 2) & 0x3
+        val mode = (bytes(pos + 3) >> 6) & 0x3    // 3 = mono
+        if (version == 3 && layer == 1 && srIdx < 3) {
+          val channels = if (mode == 3) 1 else 2
+          return Some(AudioMeta("MP3", channels, Mp3SampleRates(srIdx), 0, 0L, 0.0))
+        }
+        return None // sync found but not a supported MPEG-1 L3 header
+      }
+      pos += 1
+    }
+    None
+  }
+
+  private def parseFlacStreamInfo(bytes: Array[Byte]): Option[AudioMeta] = {
+    // metadata block header at 4: 1 byte (last-bit | type), 3-byte length;
+    // STREAMINFO (type 0) payload: 10 bytes of block/frame sizes, then
+    // rate/channels/bps/totals packed into the next 8 bytes
+    if (bytes.length < 8 + 34) return None
+    if ((bytes(4) & 0x7F) != 0) return None
+    val len = ((bytes(5) & 0xFF) << 16) | ((bytes(6) & 0xFF) << 8) | (bytes(7) & 0xFF)
+    if (len < 34) return None
+    val p = 8 + 10
+    val rate = ((bytes(p) & 0xFF) << 12) | ((bytes(p + 1) & 0xFF) << 4) |
+      ((bytes(p + 2) & 0xFF) >> 4)
+    val channels = ((bytes(p + 2) >> 1) & 0x7) + 1
+    val bps = (((bytes(p + 2) & 0x1) << 4) | ((bytes(p + 3) & 0xFF) >> 4)) + 1
+    val total = ((bytes(p + 3) & 0xFL) << 32) |
+      ((bytes(p + 4) & 0xFFL) << 24) | ((bytes(p + 5) & 0xFFL) << 16) |
+      ((bytes(p + 6) & 0xFFL) << 8) | (bytes(p + 7) & 0xFFL)
+    if (rate <= 0) return None
+    Some(AudioMeta("FLAC", channels, rate, bps, total, total.toDouble / rate))
+  }
+
+  /** Minimal valid MP3: 10-byte empty ID3v2 tag + one MPEG-1 Layer III
+    * frame header (sampleRate from the spec table, stereo/mono mode).
+    */
+  def synthMp3(sampleRate: Int, mono: Boolean): Array[Byte] = {
+    val srIdx = Mp3SampleRates.indexOf(sampleRate)
+    require(srIdx >= 0, s"unsupported mp3 rate $sampleRate")
+    val h1 = 0xFB // MPEG-1, Layer III, no CRC
+    val h2 = (9 << 4) | (srIdx << 2) // bitrate idx 9 (128k), srIdx, no pad
+    val h3 = if (mono) 0xC0 else 0x00
+    "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 0) ++
+      Array(0xFF.toByte, h1.toByte, h2.toByte, h3.toByte) ++ new Array[Byte](16)
+  }
+
+  /** Minimal valid FLAC: magic + last-block STREAMINFO with the given
+    * stream parameters (zeros for the block/frame-size fields and md5).
+    */
+  def synthFlac(sampleRate: Int, channels: Int, bps: Int, totalSamples: Long): Array[Byte] = {
+    val info = new Array[Byte](34)
+    info(10) = ((sampleRate >> 12) & 0xFF).toByte
+    info(11) = ((sampleRate >> 4) & 0xFF).toByte
+    info(12) = (((sampleRate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bps - 1) >> 4) & 0x1)).toByte
+    info(13) = ((((bps - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF)).toInt.toByte
+    info(14) = ((totalSamples >> 24) & 0xFF).toByte
+    info(15) = ((totalSamples >> 16) & 0xFF).toByte
+    info(16) = ((totalSamples >> 8) & 0xFF).toByte
+    info(17) = (totalSamples & 0xFF).toByte
+    "fLaC".getBytes("US-ASCII") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ info
   }
 
   /** Deterministic synthetic WAV (16-bit PCM, seeded LCG samples). */

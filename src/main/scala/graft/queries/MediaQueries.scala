@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
 object MediaQueries {
 
   // Audio spec: channels = 1 + id%2, rate = {8000,10000,40000}(id%3),
-  // frames = (id+1)*rate/100 → duration = (id+1)/100 exactly.
+  // frames = (id+1)*rate/100 → duration = (id+1)/100 exactly. MP3 row:
+  // the fixture header encodes rate index 0 (44100) in stereo mode;
+  // FLAC row: STREAMINFO literally encodes 22050/1ch/16bps/44100
+  // samples → 2.0 s. All hand-derived from the container specs.
   private val audioMetaValues = """  (CAST(0 AS BIGINT), 'WAV', 1, 8000, 16, CAST(80 AS BIGINT), CAST(0.01 AS DOUBLE)),
   (CAST(1 AS BIGINT), 'WAV', 2, 10000, 16, CAST(200 AS BIGINT), CAST(0.02 AS DOUBLE)),
   (CAST(2 AS BIGINT), 'WAV', 1, 40000, 16, CAST(1200 AS BIGINT), CAST(0.03 AS DOUBLE)),
   (CAST(3 AS BIGINT), 'WAV', 2, 8000, 16, CAST(320 AS BIGINT), CAST(0.04 AS DOUBLE)),
   (CAST(4 AS BIGINT), 'WAV', 1, 10000, 16, CAST(500 AS BIGINT), CAST(0.05 AS DOUBLE)),
   (CAST(5 AS BIGINT), 'WAV', 2, 40000, 16, CAST(2400 AS BIGINT), CAST(0.06 AS DOUBLE)),
-  (CAST(6 AS BIGINT), 'MP3', 0, 0, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
-  (CAST(7 AS BIGINT), 'FLAC', 0, 0, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  (CAST(6 AS BIGINT), 'MP3', 2, 44100, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  (CAST(7 AS BIGINT), 'FLAC', 1, 22050, 16, CAST(44100 AS BIGINT), CAST(2.0 AS DOUBLE)),
   (CAST(8 AS BIGINT), 'ERROR', 0, 0, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
   (CAST(9 AS BIGINT), 'ERROR', 0, 0, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))"""
 

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   *  - id 0..5: channels = 1 + id % 2, sampleRate = {8000, 10000, 40000}(id % 3),
   *    frames = (id + 1) * sampleRate / 100  → duration = (id + 1)/100 s exactly
   *    (sample content: seeded LCG noise, irrelevant to metadata)
-  *  - id 6: MP3 magic ("ID3" + zeros) — detected by magic, zero fields
-  *  - id 7: FLAC magic ("fLaC" + zeros) — detected by magic, zero fields
+  *  - id 6: minimal MP3 (empty ID3v2 tag + MPEG-1 Layer III frame
+  *    header: 44100 Hz stereo) — frame-header fields parsed for real
+  *  - id 7: minimal FLAC (STREAMINFO: 22050 Hz, 1 ch, 16 bps,
+  *    44100 samples → 2.0 s) — STREAMINFO parsed for real
   *  - id 8: garbage bytes ((i*17 + 3) % 256 over 64 bytes) → ERROR row
   *  - id 9: null audio struct → ERROR row
   *
@@ -49,8 +51,9 @@ object SyntheticMedia {
       val rate = audioRates(i)
       AudioOps.synthWav(seed = i * 31 + 7, channels = 1 + (i % 2).toInt,
         sampleRate = rate, nSamples = ((i + 1) * rate / 100).toInt)
-    case 6 => "ID3".getBytes("US-ASCII") ++ new Array[Byte](10)
-    case 7 => "fLaC".getBytes("US-ASCII") ++ new Array[Byte](8)
+    case 6 => AudioOps.synthMp3(sampleRate = 44100, mono = false)
+    case 7 => AudioOps.synthFlac(sampleRate = 22050, channels = 1, bps = 16,
+      totalSamples = 44100L)
     case 8 => Array.tabulate(64)(i => ((i * 17 + 3) % 256).toByte)
     case _ => null
   }

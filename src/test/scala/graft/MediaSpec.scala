@@ -26,6 +26,20 @@ class MediaSpec extends AnyFunSuite {
     assert(AudioOps.parse("fLaCxxxxxx".getBytes).get.format == "FLAC")
   }
 
+  test("mp3 frame header and flac streaminfo round-trip through parse") {
+    val mp3 = AudioOps.parse(AudioOps.synthMp3(48000, mono = true)).get
+    assert(mp3.format == "MP3" && mp3.channels == 1 && mp3.sampleRate == 48000)
+    val stereo = AudioOps.parse(AudioOps.synthMp3(32000, mono = false)).get
+    assert(stereo.channels == 2 && stereo.sampleRate == 32000)
+    val flac = AudioOps.parse(AudioOps.synthFlac(96000, 2, 24, 960000L)).get
+    assert(flac.format == "FLAC" && flac.channels == 2 && flac.sampleRate == 96000)
+    assert(flac.bitsPerSample == 24 && flac.nSamples == 960000L)
+    assert(math.abs(flac.durationSec - 10.0) < 1e-12)
+    // magic-only inputs (no parseable header) keep the zero-field row
+    assert(AudioOps.parse("ID3xxxxxxx".getBytes).get.sampleRate == 0)
+    assert(AudioOps.parse("fLaCxxxxxx".getBytes).get.sampleRate == 0)
+  }
+
   test("image resize refiner normalizes dims, keeps solids solid, nulls undecodable") {
     import graft.operators.image.{ImageOps, ImageResizeRefiner}
     import graft.sources.SyntheticImages
