@@ -69,7 +69,19 @@ object Onnx {
   // .op_type = 4; TensorProto.dims = 1, .data_type = 2, .float_data = 4,
   // .name = 8, .raw_data = 9; ValueInfoProto.name = 1.
 
-  def parse(model: Array[Byte]): Graph = {
+  def parse(model: Array[Byte]): Graph =
+    try parse0(model)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+                _: java.nio.BufferUnderflowException) =>
+        // truncated or non-protobuf input walks off the buffer — surface
+        // one clear configuration error instead of a raw index crash
+        throw new IllegalArgumentException(
+          s"malformed ONNX model (${model.length} bytes): ${e.getClass.getSimpleName}", e)
+    }
+
+  private def parse0(model: Array[Byte]): Graph = {
     var graph: Reader = null
     val top = new Reader(model, 0, model.length)
     while (top.hasMore) {

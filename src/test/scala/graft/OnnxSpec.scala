@@ -224,6 +224,21 @@ class OnnxSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed model bytes fail with a clear error, not an index crash") {
+    val garbage = Array.tabulate[Byte](50)(i => ((i * 37 + 5) % 256).toByte)
+    val e1 = intercept[IllegalArgumentException](Onnx.parse(garbage))
+    assert(e1.getMessage.contains("malformed ONNX model") ||
+      e1.getMessage.contains("no graph") ||
+      e1.getMessage.contains("unsupported wire type"), e1.getMessage)
+    val truncated = {
+      val (full, _, _, _, _) = OnnxTestModel.mlpModel(4, 3, 2, seed = 1L)
+      full.take(full.length / 2)
+    }
+    val e2 = intercept[IllegalArgumentException](Onnx.parse(truncated))
+    assert(e2.getMessage.contains("malformed") || e2.getMessage.contains("no graph") ||
+      e2.getMessage.contains("unsupported wire type"), e2.getMessage)
+  }
+
   test("unsupported ops fail loudly at load") {
     val g = new OnnxTestModel.W
     g.msg(1, OnnxTestModel.node("Conv", Seq("x", "k"), Seq("y")))
