@@ -1,0 +1,109 @@
+package graft.operators.text
+
+import graft.core.RowFilter
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style page cleaning (Raffel et al. 2020, §2.2 of the T5 paper) —
+  * the classic rule set every web-scale text pipeline applies before
+  * dedup, beyond the reference's own operator set like the rest of the
+  * training-data family:
+  *
+  *  - keep only lines that end in a terminal punctuation mark
+  *    (`.` `!` `?` or a closing double quote),
+  *  - keep only lines with at least `minWordsPerLine` words (paper: 5),
+  *  - drop lines containing the word "javascript" (case-insensitive),
+  *  - drop the whole page if it contains "lorem ipsum" or a curly
+  *    brace `{` (code), or if the CLEANED text has fewer than
+  *    `minSentences` sentences (paper: 3).
+  *
+  * Everything is pure Catalyst array/regex algebra over the split line
+  * list (codegen'd, zero shuffle), with an exact DuckDB list-function
+  * twin per expression so the operator is oracle-gated. The 3-sentence
+  * span dedup from the same paper is covered corpus-globally by
+  * [[LineDedupRefiner]].
+  */
+object C4Clean {
+
+  private val TerminalRe = "[.!?\"]\\s*$"
+
+  /** Per-line keep predicate over one line value. */
+  def lineKeep(l: Column, minWordsPerLine: Int): Column = {
+    val words = size(filter(split(trim(l), " "), w => w =!= ""))
+    l.rlike(TerminalRe) && words >= minWordsPerLine &&
+      !lower(l).contains("javascript")
+  }
+
+  /** Kept lines of a text column (split on newline). */
+  def keptLines(text: Column, minWordsPerLine: Int): Column =
+    filter(split(text, "\n", -1), l => lineKeep(l, minWordsPerLine))
+
+  /** DuckDB twin of [[keptLines]] over a text expression. */
+  def keptLinesSql(textExpr: String, minWordsPerLine: Int): String = {
+    val words = "len(list_filter(string_split(trim(l), ' '), w -> w != ''))"
+    s"list_filter(string_split($textExpr, chr(10)), l -> " +
+      s"regexp_matches(l, '[.!?\"]\\s*$$') AND $words >= $minWordsPerLine " +
+      s"AND NOT contains(lower(l), 'javascript'))"
+  }
+
+  /** Sentence count of a cleaned text value: terminal-mark occurrences. */
+  def sentenceCount(clean: Column): Column =
+    regexp_count(clean, lit("[.!?]")).cast("long")
+
+  def sentenceCountSql(cleanExpr: String): String =
+    s"CAST(len(regexp_extract_all($cleanExpr, '[.!?]')) AS BIGINT)"
+
+  /** Page-level keep given the ORIGINAL text and the staged sentence
+    * count of the cleaned text.
+    */
+  def docKeep(text: Column, sentences: Column, minSentences: Int): Column =
+    !lower(text).contains("lorem ipsum") && !text.contains("{") &&
+      sentences >= minSentences
+
+  def docKeepSql(textExpr: String, sentencesExpr: String, minSentences: Int): String =
+    s"(NOT contains(lower($textExpr), 'lorem ipsum') AND " +
+      s"NOT contains($textExpr, '{') AND $sentencesExpr >= $minSentences)"
+}
+
+/** Adds `text_c4_clean` (kept lines rejoined), `c4_lines_kept`,
+  * `c4_lines_removed`, `c4_sentences` (over the cleaned text) and
+  * `c4_keep` (page-level verdict) from one staged line-filter pass
+  * (scratch columns dropped; CollapseProject keeps the non-cheap line
+  * filter single-evaluation, same idiom as [[TextRepetitionRefiner]]).
+  */
+final class C4CleanRefiner(
+    textCol: String = "text",
+    minWordsPerLine: Int = 5,
+    minSentences: Int = 3) extends graft.core.Operator {
+
+  val name = "c4_clean"
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("_c4_total", size(split(col(textCol), "\n", -1)).cast("long"))
+      .withColumn("_c4_kept", C4Clean.keptLines(col(textCol), minWordsPerLine))
+      .withColumn("text_c4_clean", array_join(col("_c4_kept"), "\n"))
+      .withColumn("c4_lines_kept", size(col("_c4_kept")).cast("long"))
+      .withColumn("c4_lines_removed", col("_c4_total") - size(col("_c4_kept")).cast("long"))
+      .withColumn("c4_sentences", C4Clean.sentenceCount(col("text_c4_clean")))
+      .withColumn("c4_keep",
+        C4Clean.docKeep(col(textCol), col("c4_sentences"), minSentences))
+      .drop("_c4_total", "_c4_kept")
+}
+
+/** Page-level C4 filter: drops pages the cleaned view rejects (lorem
+  * ipsum / code brace / too few surviving sentences). Stage the columns
+  * with [[C4CleanRefiner]] upstream when the cleaned text should also be
+  * kept; this standalone form recomputes only what the predicate needs.
+  */
+final class C4QualityFilter(
+    textCol: String = "text",
+    minWordsPerLine: Int = 5,
+    minSentences: Int = 3) extends RowFilter {
+
+  val name = "c4_quality_filter"
+
+  def keep(df: DataFrame): Column = {
+    val clean = array_join(C4Clean.keptLines(col(textCol), minWordsPerLine), "\n")
+    C4Clean.docKeep(col(textCol), C4Clean.sentenceCount(clean), minSentences)
+  }
+}

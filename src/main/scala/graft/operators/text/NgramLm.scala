@@ -1,0 +1,104 @@
+package graft.operators.text
+
+import graft.core.Operator
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language-model scoring, CCNet-style (Wenzek et al.
+  * 2020 score with a KenLM 5-gram model; the corpus-trained n-gram LM
+  * here is the self-supervised equivalent): train add-alpha-smoothed
+  * n-gram counts over the WHOLE corpus, then score every document by
+  * its mean token log10-probability. Low scores flag outlier/degenerate
+  * documents (gibberish, boilerplate soup); high scores flag natural,
+  * corpus-typical text — the standard perplexity-bucket signal used to
+  * partition web data by quality.
+  *
+  * Scale shape: n-grams are hashed to 64-bit keys immediately, so every
+  * shuffle carries fixed-width longs, never strings. Doc-term counts
+  * aggregate first keyed `(doc, hash)` (map-side combine collapses
+  * repeated tokens), the global term count rides a window over the hash
+  * key (no join against a separate LM table), and the per-doc score is
+  * one final fixed-width aggregation. The compact doc-term table is
+  * persisted once and reused by the corpus-stats pass and the scoring
+  * pass, so the source is scanned exactly once.
+  */
+final class NgramLmScoreRefiner(
+    textCol: String = "text",
+    idCol: String = "id",
+    ngramWidth: Int = 1,
+    alpha: Double = 1.0,
+    hashName: String = "portable") extends Operator {
+
+  require(ngramWidth >= 1, s"ngramWidth $ngramWidth must be >= 1")
+  require(alpha > 0.0, s"alpha $alpha must be > 0 (smoothing)")
+  val name = "ngram_lm_score"
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val toks = TextFunctions.tokensOf(col(textCol))
+    val grams = if (ngramWidth == 1) toks else TextFunctions.shingles(toks, ngramWidth)
+
+    // doc-term counts on hashed keys; persisted — both the stats action
+    // and the scoring plan read this compact (long, long, long) table,
+    // a vocabulary-bounded fraction of the corpus size.
+    val pairs = df
+      .select(col(idCol).as("_lm_id"), explode(grams).as("_lm_tok"))
+      .select(col("_lm_id"),
+        HashFunctions.hashByName(hashName)(col("_lm_tok")).as("_lm_h"))
+      .groupBy("_lm_id", "_lm_h").agg(count(lit(1)).as("_lm_c"))
+      .persist()
+
+    // corpus totals as driver scalars (two longs — the same bounded pull
+    // as the k-means centroid fetch); materializes the cache.
+    val stats = pairs.agg(
+      sum(col("_lm_c")).as("total"), count_distinct(col("_lm_h")).as("vocab")).head()
+    val total = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val vocab = stats.getLong(1)
+    val denom = total.toDouble + alpha * vocab.toDouble
+
+    // global term count via a window over the hash key — one compact
+    // shuffle, no LM-table join.
+    val tc = sum(col("_lm_c")).over(Window.partitionBy(col("_lm_h")))
+    val logp = log10((col("_lm_tc") + lit(alpha)) / lit(denom))
+    val scores = pairs
+      .withColumn("_lm_tc", tc)
+      .groupBy("_lm_id")
+      .agg((sum(col("_lm_c") * logp) / sum(col("_lm_c"))).as("_lm_avg"))
+
+    df.join(scores, col(idCol) === col("_lm_id"), "left")
+      .withColumn("lm_logprob_avg", coalesce(col("_lm_avg"), lit(0.0)))
+      .withColumn("lm_perplexity", pow(lit(10.0), -col("lm_logprob_avg")))
+      .drop("_lm_id", "_lm_avg")
+  }
+
+  /** DuckDB twin: the same algebra as CTEs. `_lm` ends with
+    * `(id, lm_logprob_avg, lm_perplexity)` per document.
+    */
+  def scoreCteSql(docsSql: String, idExpr: String): String = {
+    require(hashName == "portable", "oracle covers the portable hash family")
+    val toksSql = TextFunctions.tokensOfSql(textCol)
+    val gramsCol =
+      if (ngramWidth == 1) "_toks"
+      else TextFunctions.shinglesSql("_toks", ngramWidth)
+    s"""_lm_toks AS (
+       |  SELECT $idExpr AS id, unnest($gramsCol) AS tok FROM (
+       |    SELECT *, $toksSql AS _toks FROM $docsSql)),
+       |_lm_pairs AS (
+       |  SELECT id, ${HashFunctions.portableHash64Sql("tok")} AS h, count(*) AS c
+       |  FROM _lm_toks GROUP BY 1, 2),
+       |_lm_stats AS (
+       |  SELECT coalesce(sum(c), 0) AS total, count(DISTINCT h) AS vocab
+       |  FROM _lm_pairs),
+       |_lm_tc AS (
+       |  SELECT id, c, sum(c) OVER (PARTITION BY h) AS tc FROM _lm_pairs),
+       |_lm AS (
+       |  SELECT id,
+       |    sum(c * log10((tc + $alpha) / (total + $alpha * vocab))) / sum(c)
+       |      AS lm_logprob_avg,
+       |    pow(10.0, -(sum(c * log10((tc + $alpha) / (total + $alpha * vocab))) / sum(c)))
+       |      AS lm_perplexity
+       |  FROM _lm_tc CROSS JOIN _lm_stats GROUP BY id)""".stripMargin
+  }
+}

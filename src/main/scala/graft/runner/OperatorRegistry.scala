@@ -162,6 +162,43 @@ object OperatorRegistry {
   register("text_repetition", p => new TextRepetitionRefiner(
     textCol = p.str("text_field", "text")))
 
+  register("c4_clean", p => new C4CleanRefiner(
+    textCol = p.str("text_field", "text"),
+    minWordsPerLine = p.int("min_words_per_line", 5),
+    minSentences = p.int("min_sentences", 3)))
+
+  register("c4_quality_filter", p => new C4QualityFilter(
+    textCol = p.str("text_field", "text"),
+    minWordsPerLine = p.int("min_words_per_line", 5),
+    minSentences = p.int("min_sentences", 3)))
+
+  register("source_weighted_sample", p => new SourceWeightedSampleFilter(
+    weights = p.doubleMap("weights"),
+    defaultFraction = p.double("default_fraction", 1.0),
+    sourceCol = p.str("source_field", "source"),
+    idCol = p.str("id_field", "id"),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    salt = p.str("salt", "")))
+
+  register("ngram_lm_score", p => new NgramLmScoreRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    ngramWidth = p.int("ngram_width", 1),
+    alpha = p.double("alpha", 1.0),
+    hashName = p.str("hash_algorithm", "xxhash64")))
+
+  register("dup_ngram", p => new DupNgramRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    ngramWidth = p.int("ngram_width", 8),
+    minCount = p.int("min_count", 2),
+    hashName = p.str("hash_algorithm", "xxhash64")))
+
+  register("cross_modal_alignment", p => new graft.operators.vector.CrossModalAlignmentRefiner(
+    embACol = p.str("embedding_a_field", "image_embedding"),
+    embBCol = p.str("embedding_b_field", "text_embedding"),
+    outCol = p.str("output_field", "cross_modal_cosine")))
+
   register("image_aesthetic_quality", p => new AestheticScoreRefiner(
     embCol = p.str("embedding_field", "image_clip_emb"),
     mlp = graft.ml.Mlp.seeded(

@@ -15,6 +15,14 @@ final case class Params(m: Map[String, Any]) {
     m.get(k).map(_.asInstanceOf[Boolean].booleanValue()).getOrElse(d)
   def strList(k: String): Seq[String] =
     m.get(k).map(_.asInstanceOf[java.util.List[Any]].asScala.toSeq.map(_.toString)).getOrElse(Nil)
+  def doubleMap(k: String): Map[String, Double] = m.get(k) match {
+    case Some(jm: java.util.Map[_, _]) =>
+      jm.asScala.map { case (kk, vv) =>
+        kk.toString -> vv.asInstanceOf[Number].doubleValue() }.toMap
+    case Some(sm: Map[_, _]) =>
+      sm.map { case (kk, vv) => kk.toString -> vv.asInstanceOf[Number].doubleValue() }
+    case _ => Map.empty
+  }
 }
 
 final case class OperatorConf(name: String, params: Params)
