@@ -34,9 +34,14 @@ object C4Clean {
       !lower(l).contains("javascript")
   }
 
-  /** Kept lines of a text column (split on newline). */
+  /** Kept lines of a text column (split on newline). Null text is treated
+    * as empty — it must flow through deterministically (an empty page has
+    * zero kept lines and is rejected by the sentence minimum) rather than
+    * poisoning the keep predicate with NULL, which would drop the row from
+    * BOTH the passed and rejected outputs.
+    */
   def keptLines(text: Column, minWordsPerLine: Int): Column =
-    filter(split(text, "\n", -1), l => lineKeep(l, minWordsPerLine))
+    filter(split(coalesce(text, lit("")), "\n", -1), l => lineKeep(l, minWordsPerLine))
 
   /** DuckDB twin of [[keptLines]] over a text expression. */
   def keptLinesSql(textExpr: String, minWordsPerLine: Int): String = {
@@ -56,9 +61,11 @@ object C4Clean {
   /** Page-level keep given the ORIGINAL text and the staged sentence
     * count of the cleaned text.
     */
-  def docKeep(text: Column, sentences: Column, minSentences: Int): Column =
-    !lower(text).contains("lorem ipsum") && !text.contains("{") &&
+  def docKeep(text: Column, sentences: Column, minSentences: Int): Column = {
+    val t = coalesce(text, lit(""))
+    !lower(t).contains("lorem ipsum") && !t.contains("{") &&
       sentences >= minSentences
+  }
 
   def docKeepSql(textExpr: String, sentencesExpr: String, minSentences: Int): String =
     s"(NOT contains(lower($textExpr), 'lorem ipsum') AND " +
