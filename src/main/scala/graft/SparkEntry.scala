@@ -13,7 +13,7 @@ object SparkEntry {
     Relational.queries ++ Curation.queries ++ NearDup.queries ++
       ImageQueries.queries ++ MetricsQueries.queries ++ InferenceQueries.queries ++
       TextAnalysisQueries.queries ++ WarcQueries.queries ++ MediaQueries.queries ++
-      CurationOpsQueries.queries
+      CurationOpsQueries.queries ++ TrainingMixQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

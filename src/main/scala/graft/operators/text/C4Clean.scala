@@ -43,10 +43,12 @@ object C4Clean {
   def keptLines(text: Column, minWordsPerLine: Int): Column =
     filter(split(coalesce(text, lit("")), "\n", -1), l => lineKeep(l, minWordsPerLine))
 
-  /** DuckDB twin of [[keptLines]] over a text expression. */
+  /** DuckDB twin of [[keptLines]] over a text expression (same
+    * null-as-empty coalesce as the Spark column).
+    */
   def keptLinesSql(textExpr: String, minWordsPerLine: Int): String = {
     val words = "len(list_filter(string_split(trim(l), ' '), w -> w != ''))"
-    s"list_filter(string_split($textExpr, chr(10)), l -> " +
+    s"list_filter(string_split(coalesce($textExpr, ''), chr(10)), l -> " +
       s"regexp_matches(l, '[.!?\"]\\s*$$') AND $words >= $minWordsPerLine " +
       s"AND NOT contains(lower(l), 'javascript'))"
   }
@@ -68,8 +70,8 @@ object C4Clean {
   }
 
   def docKeepSql(textExpr: String, sentencesExpr: String, minSentences: Int): String =
-    s"(NOT contains(lower($textExpr), 'lorem ipsum') AND " +
-      s"NOT contains($textExpr, '{') AND $sentencesExpr >= $minSentences)"
+    s"(NOT contains(lower(coalesce($textExpr, '')), 'lorem ipsum') AND " +
+      s"NOT contains(coalesce($textExpr, ''), '{') AND $sentencesExpr >= $minSentences)"
 }
 
 /** Adds `text_c4_clean` (kept lines rejoined), `c4_lines_kept`,
@@ -86,7 +88,8 @@ final class C4CleanRefiner(
   val name = "c4_clean"
 
   def apply(df: DataFrame): DataFrame =
-    df.withColumn("_c4_total", size(split(col(textCol), "\n", -1)).cast("long"))
+    df.withColumn("_c4_total",
+        size(split(coalesce(col(textCol), lit("")), "\n", -1)).cast("long"))
       .withColumn("_c4_kept", C4Clean.keptLines(col(textCol), minWordsPerLine))
       .withColumn("text_c4_clean", array_join(col("_c4_kept"), "\n"))
       .withColumn("c4_lines_kept", size(col("_c4_kept")).cast("long"))
