@@ -2,8 +2,8 @@ package graft.operators.text
 
 import graft.core.Operator
 import graft.functions.{HashFunctions, TextFunctions}
+import graft.plans.kernels
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-global duplicated n-gram span detection and removal — the
@@ -18,12 +18,21 @@ import org.apache.spark.sql.functions._
   * text rebuilt from uncovered (normalized) tokens, and the number of
   * tokens removed.
   *
-  * Scale shape: gram instances shuffle as `(id, pos, hash64)` — fixed
-  * width, never text; the corpus occurrence count rides a window over
-  * the hash key (no self-join); covered positions come back as one
+  * Scale shape: the fused [[kernels.ShingleHashesPositional]] kernel
+  * turns each document into an array of gram hashes in ONE JVM pass, so
+  * gram instances explode as `(id, pos, hash64)` — fixed width, never
+  * text. The corpus-duplicated hash set comes from a partial-aggregated
+  * `groupBy(hash).count` (map-side combine collapses repeats; the
+  * singleton majority dies at the `>= minCount` filter), and instances
+  * semi-join against that small set — AQE broadcasts it when small and
+  * skew-splits the probe when one boilerplate gram runs hot, so no
+  * single hash key ever buffers a whole partition (the window form this
+  * replaces buffered every instance of the hottest gram in one
+  * partition — skew death at scale). Covered positions come back as one
   * sorted int array per document (bounded by document length), and the
-  * span mask is evaluated as codegen'd array algebra on the document
-  * row. One source scan, two compact shuffles, one id-keyed join.
+  * span mask is the O(tokens + dups) two-pointer
+  * [[kernels.CoverageMask]] sweep on the document row — the declarative
+  * HOF mask was O(tokens × dups) per row, quadratic on repetitive text.
   */
 final class DupNgramRefiner(
     textCol: String = "text",
@@ -39,43 +48,54 @@ final class DupNgramRefiner(
   private val w = ngramWidth
 
   def apply(df: DataFrame): DataFrame = {
-    val toks = TextFunctions.tokensOf(col(textCol))
-    val grams = TextFunctions.shingles(toks, w)
+    // gram instances as (id, pos, hash) — hashed before the explode, so
+    // nothing downstream ever shuffles a string. The fused kernel covers
+    // the long-keyed families; md5/sha256 (string hashes) fall back to
+    // the declarative path, same semantics.
+    val gramHashes = hashName match {
+      case "portable" | "xxhash64" =>
+        kernels.shingle_hashes_positional(col(textCol), w, hashName)
+      case _ =>
+        transform(
+          TextFunctions.shingles(TextFunctions.tokensOf(col(textCol)), w),
+          g => HashFunctions.hashByName(hashName)(g))
+    }
+    val inst = df.select(col(idCol).as("_dn_id"),
+      posexplode(gramHashes).as(Seq("_dn_pos", "_dn_h")))
 
-    val inst = df
-      .select(col(idCol).as("_dn_id"), posexplode(grams).as(Seq("_dn_pos", "_dn_tok")))
-      .select(col("_dn_id"), col("_dn_pos"),
-        HashFunctions.hashByName(hashName)(col("_dn_tok")).as("_dn_h"))
-    val tc = count(lit(1)).over(Window.partitionBy(col("_dn_h")))
-    val dups = inst
-      .withColumn("_dn_tc", tc)
+    val dupHashes = inst
+      .groupBy("_dn_h").agg(count(lit(1)).as("_dn_tc"))
       .filter(col("_dn_tc") >= minCount)
+      .select("_dn_h")
+    val dups = inst.join(dupHashes, "_dn_h")
       .groupBy("_dn_id")
       .agg(sort_array(collect_list(col("_dn_pos"))).as("_dn_dups"),
         count(lit(1)).as("_dn_cnt"))
 
+    // tokens staged ONCE as a scratch column (regexp work is non-cheap,
+    // so CollapseProject will not inline it into its three consumers)
     val joined = df.join(dups, col(idCol) === col("_dn_id"), "left")
-    val n = size(toks)
+      .withColumn("_dn_toks", TextFunctions.tokensOf(col(textCol)))
+      .withColumn("_dn_kept", kernels.coverage_mask(col("_dn_toks"),
+        coalesce(col("_dn_dups"), array().cast("array<int>")), w))
+    val n = size(col("_dn_toks"))
     val total = when(n >= w, (n - w + 1).cast("long")).otherwise(lit(0L))
-    val dupsArr = coalesce(col("_dn_dups"), array().cast("array<int>"))
-    // token j is covered iff some duplicated gram start i has i <= j < i+w
-    val kept = filter(toks, (t, j) =>
-      !exists(dupsArr, i => i <= j && j < i + w))
     joined
       .withColumn("_dn_total", total)
       .withColumn("dup_ngram_count", coalesce(col("_dn_cnt"), lit(0L)))
       .withColumn("dup_ngram_fraction",
         when(col("_dn_total") === 0L, lit(0.0))
           .otherwise(col("dup_ngram_count").cast("double") / col("_dn_total").cast("double")))
-      .withColumn("_dn_kept", kept)
       .withColumn("text_dedup_spans", array_join(col("_dn_kept"), " "))
       .withColumn("dup_tokens_removed", (n - size(col("_dn_kept"))).cast("long"))
-      .drop("_dn_id", "_dn_dups", "_dn_cnt", "_dn_total", "_dn_kept")
+      .drop("_dn_id", "_dn_dups", "_dn_cnt", "_dn_total", "_dn_toks", "_dn_kept")
   }
 
   /** DuckDB twin as CTEs; `_dn` ends with one row per duplicated-gram
     * document: `(id, dups, dup_cnt)`. The caller left-joins and applies
-    * [[maskSql]] / [[statsSql]] over the token list.
+    * [[maskSql]] / [[statsSql]] over the token list. Mirrors the
+    * groupBy-then-semi-join shape (duplicated hash set first, instances
+    * joined against it) rather than a window, like the Spark plan.
     */
   def dupCteSql(docsSql: String, idExpr: String): String = {
     require(hashName == "portable", "oracle covers the portable hash family")
@@ -89,11 +109,11 @@ final class DupNgramRefiner(
        |_dn_h AS (
        |  SELECT id, pos, ${HashFunctions.portableHash64Sql("_grams[pos + 1]")} AS h
        |  FROM _dn_inst),
-       |_dn_tc AS (
-       |  SELECT id, pos, count(*) OVER (PARTITION BY h) AS tc FROM _dn_h),
+       |_dn_dup_h AS (
+       |  SELECT h FROM _dn_h GROUP BY h HAVING count(*) >= $minCount),
        |_dn AS (
        |  SELECT id, list_sort(list(pos)) AS dups, count(*) AS dup_cnt
-       |  FROM _dn_tc WHERE tc >= $minCount GROUP BY id)""".stripMargin
+       |  FROM _dn_h JOIN _dn_dup_h USING (h) GROUP BY id)""".stripMargin
   }
 
   /** Uncovered-token list over `toksCol` given the (possibly NULL)

@@ -3,7 +3,6 @@ package graft.operators.text
 import graft.core.Operator
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus n-gram language-model scoring, CCNet-style (Wenzek et al.
@@ -18,11 +17,18 @@ import org.apache.spark.sql.functions._
   * Scale shape: n-grams are hashed to 64-bit keys immediately, so every
   * shuffle carries fixed-width longs, never strings. Doc-term counts
   * aggregate first keyed `(doc, hash)` (map-side combine collapses
-  * repeated tokens), the global term count rides a window over the hash
-  * key (no join against a separate LM table), and the per-doc score is
-  * one final fixed-width aggregation. The compact doc-term table is
-  * persisted once and reused by the corpus-stats pass and the scoring
-  * pass, so the source is scanned exactly once.
+  * repeated tokens); the global per-term count is a second
+  * `groupBy(hash)` over that compact table joined back by hash — NOT a
+  * window over the hash key, so a hot token is one post-combine row on
+  * the build side instead of a whole buffered window partition, and AQE
+  * skew-splits the probe if a key still runs hot. Corpus totals (two
+  * scalars) ride a broadcast single-row cross join, exactly like the
+  * DuckDB twin's `CROSS JOIN _lm_stats`. The whole operator is LAZY —
+  * no driver action, no persist — and the three consumers of the
+  * doc-term aggregate share one identical exchange subtree, which
+  * Spark's ReuseExchange collapses to a single scan + shuffle at
+  * runtime (no cache pinned in executor memory for the session's life,
+  * which the r8 `persist()` form leaked).
   */
 final class NgramLmScoreRefiner(
     textCol: String = "text",
@@ -36,34 +42,31 @@ final class NgramLmScoreRefiner(
   val name = "ngram_lm_score"
 
   def apply(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
     val toks = TextFunctions.tokensOf(col(textCol))
     val grams = if (ngramWidth == 1) toks else TextFunctions.shingles(toks, ngramWidth)
 
-    // doc-term counts on hashed keys; persisted — both the stats action
-    // and the scoring plan read this compact (long, long, long) table,
-    // a vocabulary-bounded fraction of the corpus size.
+    // doc-term counts on hashed keys — the compact (long, long, long)
+    // table every downstream branch reads through one reused exchange.
     val pairs = df
       .select(col(idCol).as("_lm_id"), explode(grams).as("_lm_tok"))
       .select(col("_lm_id"),
         HashFunctions.hashByName(hashName)(col("_lm_tok")).as("_lm_h"))
       .groupBy("_lm_id", "_lm_h").agg(count(lit(1)).as("_lm_c"))
-      .persist()
 
-    // corpus totals as driver scalars (two longs — the same bounded pull
-    // as the k-means centroid fetch); materializes the cache.
+    // corpus totals as a single broadcast row (sum coalesced so an empty
+    // corpus yields 0, matching the old driver-side fold).
     val stats = pairs.agg(
-      sum(col("_lm_c")).as("total"), count_distinct(col("_lm_h")).as("vocab")).head()
-    val total = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
-    val vocab = stats.getLong(1)
-    val denom = total.toDouble + alpha * vocab.toDouble
+      coalesce(sum(col("_lm_c")), lit(0L)).as("_lm_total"),
+      count_distinct(col("_lm_h")).as("_lm_vocab"))
 
-    // global term count via a window over the hash key — one compact
-    // shuffle, no LM-table join.
-    val tc = sum(col("_lm_c")).over(Window.partitionBy(col("_lm_h")))
-    val logp = log10((col("_lm_tc") + lit(alpha)) / lit(denom))
+    // global term count: groupBy + equi-join on the hash, not a window.
+    val termTotals = pairs.groupBy("_lm_h").agg(sum(col("_lm_c")).as("_lm_tc"))
+
+    val denom = col("_lm_total").cast("double") + lit(alpha) * col("_lm_vocab").cast("double")
+    val logp = log10((col("_lm_tc") + lit(alpha)) / denom)
     val scores = pairs
-      .withColumn("_lm_tc", tc)
+      .join(termTotals, "_lm_h")
+      .crossJoin(broadcast(stats))
       .groupBy("_lm_id")
       .agg((sum(col("_lm_c") * logp) / sum(col("_lm_c"))).as("_lm_avg"))
 
@@ -92,13 +95,13 @@ final class NgramLmScoreRefiner(
        |  SELECT coalesce(sum(c), 0) AS total, count(DISTINCT h) AS vocab
        |  FROM _lm_pairs),
        |_lm_tc AS (
-       |  SELECT id, c, sum(c) OVER (PARTITION BY h) AS tc FROM _lm_pairs),
+       |  SELECT h, sum(c) AS tc FROM _lm_pairs GROUP BY h),
        |_lm AS (
        |  SELECT id,
        |    sum(c * log10((tc + $alpha) / (total + $alpha * vocab))) / sum(c)
        |      AS lm_logprob_avg,
        |    pow(10.0, -(sum(c * log10((tc + $alpha) / (total + $alpha * vocab))) / sum(c)))
        |      AS lm_perplexity
-       |  FROM _lm_tc CROSS JOIN _lm_stats GROUP BY id)""".stripMargin
+       |  FROM _lm_pairs JOIN _lm_tc USING (h) CROSS JOIN _lm_stats GROUP BY id)""".stripMargin
   }
 }

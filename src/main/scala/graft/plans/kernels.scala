@@ -237,6 +237,90 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Fused tokenize → word w-shingle → 64-bit hash, POSITIONAL: output
+    * element i is the hash of the gram starting at token i, duplicates
+    * kept (unlike [[ShingleHashes]], whose distinct-set form serves the
+    * MinHash path). Fewer than w tokens → empty array. This is the
+    * dup-ngram instance extractor: `posexplode` of the result yields
+    * `(pos, hash)` gram instances without the gram STRINGS ever leaving
+    * the row — the downstream shuffles carry fixed-width longs only.
+    *
+    * Hash families: `portable` = the 60-bit md5-prefix
+    * ([[graft.functions.HashFunctions.portableHash64]] twin, for
+    * oracle-gated runs); `xxhash64` = Spark's builtin seed-42 XXH64,
+    * bit-identical to `xxhash64(gram)` (the production default).
+    */
+  case class ShingleHashesPositional(child: Expression, w: Int, family: String)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 1)
+    require(family == "portable" || family == "xxhash64",
+      s"unsupported hash family '$family' (portable | xxhash64)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokenizeJvm(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      val n = toks.length
+      if (n < w) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](n - w + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= n - w) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        out(i) =
+          if (family == "portable") portableHashJvm(s)
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Tokens NOT covered by any duplicated-gram span: token j is covered
+    * iff some start position i in `dups` (sorted ascending) has
+    * i <= j < i + w. The declarative form
+    * `filter(toks, (t, j) => !exists(dups, i => i <= j && j < i + w))`
+    * is O(tokens × dups) per row in interpreted HOF evaluation —
+    * quadratic on repetitive text where dups ≈ tokens. This two-pointer
+    * sweep is O(tokens + dups): walk j left-to-right, fold every dup
+    * start ≤ j into a running coverage horizon `max(i + w)`, keep j iff
+    * it is past the horizon. Output is bit-identical to the HOF form
+    * (same elements, same order).
+    */
+  case class CoverageMask(left: Expression, right: Expression, w: Int)
+      extends BinaryExpression with CodegenFallback {
+    require(w >= 1)
+    override def dataType: DataType = left.dataType
+    override def nullSafeEval(t: Any, d: Any): Any = {
+      val toks = t.asInstanceOf[ArrayData]
+      val dups = d.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val nd = dups.numElements()
+      val kept = new java.util.ArrayList[AnyRef](n)
+      var p = 0
+      var horizon = -1L // exclusive end of the covered prefix seen so far
+      var j = 0
+      while (j < n) {
+        while (p < nd && dups.getInt(p) <= j) {
+          val end = dups.getInt(p).toLong + w
+          if (end > horizon) horizon = end
+          p += 1
+        }
+        if (j >= horizon) kept.add(toks.get(j, StringType))
+        j += 1
+      }
+      new GenericArrayData(kept.toArray)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** SimHash fingerprint over an array of distinct token STRINGS:
     * bit b set iff Σ±1 over token-hash bit b is positive. Empty → 0L.
     * Token hash = the portable 60-bit md5 prefix.
@@ -385,6 +469,10 @@ object kernels {
   def minhash_from_hashes(hs: Column, numHashes: Int, portable: Boolean): Column =
     expr2col(MinHashFromHashes(colExpr(hs), numHashes, portable))
   def shingle_hashes(text: Column, w: Int): Column = expr2col(ShingleHashes(colExpr(text), w))
+  def shingle_hashes_positional(text: Column, w: Int, family: String): Column =
+    expr2col(ShingleHashesPositional(colExpr(text), w, family))
+  def coverage_mask(toks: Column, dups: Column, w: Int): Column =
+    expr2col(CoverageMask(colExpr(toks), colExpr(dups), w))
   def simhash_bits(hs: Column, bits: Int): Column = expr2col(SimHash(colExpr(hs), bits))
   def nearest_centroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     expr2col(NearestCentroid(colExpr(vec), centroids))

@@ -166,4 +166,58 @@ class KernelSpec extends AnyFunSuite {
       .filter(abs(col("a") - col("b")) > 1e-12).count()
     assert(diff == 0)
   }
+
+  test("ShingleHashesPositional equals the declarative shingles→hashByName chain (both families)") {
+    for (family <- Seq("portable", "xxhash64")) {
+      val declarative = transform(
+        TextFunctions.shingles(TextFunctions.tokensOf(col("text")), 5),
+        g => HashFunctions.hashByName(family)(g))
+      val fused = kernels.shingle_hashes_positional(col("text"), 5, family)
+      val diff = docs.select(declarative.as("a"), fused.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"family=$family")
+    }
+  }
+
+  test("ShingleHashesPositional keeps within-document duplicate grams in position order") {
+    val text = "a b a b a b" // 3-gram "a b a" at 0 and 2, "b a b" at 1 and 3
+    val got = evalLongArray(kernels.ShingleHashesPositional(
+      Literal(UTF8String.fromString(text), StringType), 3, "portable"))
+    assert(got.length == 4)
+    assert(got(0) == got(2) && got(1) == got(3) && got(0) != got(1))
+  }
+
+  test("CoverageMask equals the declarative filter/exists HOF mask") {
+    // duplicated 8-gram tails on doc_id%4 give realistic non-empty masks
+    val toks = TextFunctions.tokensOf(col("text"))
+    val dups = when(col("doc_id") % 4 === 0,
+        array(lit(0), lit(3), lit(11)))
+      .when(col("doc_id") % 7 === 0, array().cast("array<int>"))
+      .otherwise(array(lit(2)))
+    val w = 8
+    val declarative = filter(toks, (t, j) =>
+      !exists(dups, i => i <= j && j < i + w))
+    val diff = docs
+      .select(declarative.as("a"), kernels.coverage_mask(toks, dups, w).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("CoverageMask: overlapping and out-of-range spans, empty dups, empty toks") {
+    def mask(toks: Seq[String], dups: Seq[Int], w: Int): Seq[String] = {
+      val e = kernels.CoverageMask(
+        Literal(new GenericArrayData(toks.map(UTF8String.fromString).toArray),
+          ArrayType(StringType)),
+        Literal(new GenericArrayData(dups.toArray), ArrayType(IntegerType)), w)
+      e.eval(null).asInstanceOf[ArrayData].toObjectArray(StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+    }
+    val toks = (0 until 10).map(i => s"t$i")
+    assert(mask(toks, Seq(), 3) == toks)
+    assert(mask(toks, Seq(0), 3) == toks.drop(3))
+    assert(mask(toks, Seq(0, 1), 3) == toks.drop(4)) // overlap extends horizon
+    assert(mask(toks, Seq(8), 3) == toks.take(8))    // span past the end clips
+    assert(mask(Seq(), Seq(0, 5), 3) == Seq())
+    assert(mask(toks, Seq(0, 7), 2) == toks.slice(2, 7) ++ Seq(toks(9)))
+  }
 }

@@ -201,4 +201,53 @@ class PlanSpec extends AnyFunSuite {
     // url filter + length filter are narrow; only the dedup key exchange shuffles
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("dup_ngram: no window rides the gram-instance set, mask is the O(n+d) kernel") {
+    val op = new graft.operators.text.DupNgramRefiner(
+      "text", "doc_id", ngramWidth = 8)
+    val df = op(table("documents"))
+    val p = planOf(df)
+    // the r8 plan put count(*) over Window.partitionBy(gram hash) across
+    // EVERY gram instance — one hot boilerplate gram = one giant buffered
+    // partition. The rewrite must carry no Window at all.
+    assert(!p.contains("Window"), s"window over gram instances is back:\n$p")
+    // coverage mask is the fused kernel, not the interpreted HOF pair
+    val low = p.toLowerCase
+    assert(low.contains("coveragemask"), p)
+    assert(!low.contains("arrayexists"), s"interpreted HOF mask is back:\n$p")
+    // gram hashing is fused: gram STRINGS never appear post-tokenize
+    assert(low.contains("shinglehashespositional"), p)
+  }
+
+  test("dup_ngram stages the token split once per projection") {
+    val op = new graft.operators.text.DupNgramRefiner(
+      "text", "doc_id", ngramWidth = 8)
+    val p = planOf(op(table("documents")))
+    // exactly one Project materializes the split as the scratch column;
+    // every consumer (mask, size, array_join) references the attribute.
+    // (The split expression itself mentions regexp_replace three times
+    // across when/otherwise branches — codegen CSE collapses those; the
+    // regression shape is a SECOND projection recomputing the split.)
+    val splitLines = p.linesIterator.filter(l =>
+      l.contains("Project") && l.contains("regexp_replace")).toSeq
+    assert(splitLines.size == 1, s"token split evaluated in ${splitLines.size} projections:\n$p")
+    assert(splitLines.head.contains("AS _dn_toks"), splitLines.head)
+  }
+
+  test("ngram_lm: term totals ride groupBy+join, not a window over the hash key") {
+    val op = new graft.operators.text.NgramLmScoreRefiner("text", "doc_id")
+    val p = planOf(op(table("documents")))
+    assert(!p.contains("Window"), s"window over the term hash is back:\n$p")
+    // corpus totals broadcast as a single row
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("ngram_lm leaves no cached RDDs behind (the r8 persist leak)") {
+    val op = new graft.operators.text.NgramLmScoreRefiner("text", "doc_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    op(table("documents")).write.format("noop").mode("overwrite").save()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"operator pinned RDDs in the cache: ${after -- before}")
+  }
 }
