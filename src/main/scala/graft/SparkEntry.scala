@@ -13,7 +13,8 @@ object SparkEntry {
     Relational.queries ++ Curation.queries ++ NearDup.queries ++
       ImageQueries.queries ++ MetricsQueries.queries ++ InferenceQueries.queries ++
       TextAnalysisQueries.queries ++ WarcQueries.queries ++ MediaQueries.queries ++
-      CurationOpsQueries.queries ++ TrainingMixQueries.queries
+      CurationOpsQueries.queries ++ TrainingMixQueries.queries ++
+      GopherQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

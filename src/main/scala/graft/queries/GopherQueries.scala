@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.text.{GopherQuality, GopherQualityFilter, GopherQualityRefiner}
+import org.apache.spark.sql.functions._
+
+/** Gates for the Gopher document-quality rule set (Rae et al. 2021
+  * appendix A1.1). The fixture augments the `documents` table so EVERY
+  * rule fires somewhere: doc_id%19 pages are too short (rule 1), %17
+  * pages drown in numeric tokens (rule 6), %13 pages end lines in
+  * ellipses (rule 5), %11 pages are bullet lists (rule 4), %5 pages
+  * carry a hash-symbol run (rule 3); everything else gets a
+  * stopword-carrying suffix so the base population passes, including
+  * the distinct-stopword minimum (rule 7). The oracle RECOMPUTES every
+  * signal in DuckDB from the same raw table via the operator's own SQL
+  * twins — list-lambda token algebra, RE2 line regexes — so nothing is
+  * pinned from the implementation.
+  */
+object GopherQueries {
+
+  private val gqStop =
+    " and that the data rows flow with plenty of good signal here"
+  private val gqBullets =
+    Array.fill(10)("• bullet item line").mkString("", "\n", "\n")
+  private val gqNums = " 11 22 33 44 55 66 77 88 99 00" * 4
+  private val gqHashes = " " + "#" * 30
+  private val gqEllipsis = "\nto be continued...\nmore to come soon..."
+
+  private def gqAug(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("text2",
+      when(col("doc_id") % 19 === 0, lit("tiny doc"))
+        .when(col("doc_id") % 17 === 0, concat(col("text"), lit(gqStop), lit(gqNums)))
+        .when(col("doc_id") % 13 === 0, concat(col("text"), lit(gqStop), lit(gqEllipsis)))
+        .when(col("doc_id") % 11 === 0, concat(lit(gqBullets), col("text"), lit(gqStop)))
+        .when(col("doc_id") % 5 === 0, concat(col("text"), lit(gqStop), lit(gqHashes)))
+        .otherwise(concat(col("text"), lit(gqStop))))
+
+  private val gqAugSql =
+    s"""(SELECT doc_id, CASE
+       |  WHEN doc_id % 19 = 0 THEN 'tiny doc'
+       |  WHEN doc_id % 17 = 0 THEN text || '$gqStop' || repeat(' 11 22 33 44 55 66 77 88 99 00', 4)
+       |  WHEN doc_id % 13 = 0 THEN text || '$gqStop' || chr(10) || 'to be continued...' || chr(10) || 'more to come soon...'
+       |  WHEN doc_id % 11 = 0 THEN repeat('• bullet item line' || chr(10), 10) || text || '$gqStop'
+       |  WHEN doc_id % 5 = 0 THEN text || '$gqStop' || ' ' || repeat('#', 30)
+       |  ELSE text || '$gqStop' END AS text2 FROM documents)""".stripMargin
+
+  private val minWords = 10L
+  private val maxWords = 100000L
+  private val minStop = 2
+
+  private val refiner =
+    new GopherQualityRefiner("text2", minWords, maxWords, minStop)
+  private val filter =
+    new GopherQualityFilter("text2", minWords, maxWords, minStop)
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("gopher_quality",
+      (s, dir) => refiner(gqAug(Tables(s, dir, "documents")))
+        .select(col("doc_id"), col("gopher_word_count"),
+          round(col("gopher_mean_word_len"), 6).as("gopher_mean_word_len"),
+          round(col("gopher_symbol_ratio"), 6).as("gopher_symbol_ratio"),
+          round(col("gopher_bullet_line_frac"), 6).as("gopher_bullet_line_frac"),
+          round(col("gopher_ellipsis_line_frac"), 6).as("gopher_ellipsis_line_frac"),
+          round(col("gopher_alpha_word_frac"), 6).as("gopher_alpha_word_frac"),
+          col("gopher_stopword_hits"), col("gopher_keep"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH aug AS $gqAugSql,
+              |tk AS (SELECT doc_id, text2,
+              |  ${TextFunctions.tokensOfSql("text2")} AS toks FROM aug)
+              |SELECT doc_id,
+              |  ${GopherQuality.wordCountSql("toks")} AS gopher_word_count,
+              |  round(${graft.operators.text.TextAnalysis.meanTokenLengthSql("toks")}, 6) AS gopher_mean_word_len,
+              |  round(${GopherQuality.symbolRatioSql("text2", "toks")}, 6) AS gopher_symbol_ratio,
+              |  round(${GopherQuality.bulletLineFracSql("text2")}, 6) AS gopher_bullet_line_frac,
+              |  round(${GopherQuality.ellipsisLineFracSql("text2")}, 6) AS gopher_ellipsis_line_frac,
+              |  round(${GopherQuality.alphaWordFracSql("toks")}, 6) AS gopher_alpha_word_frac,
+              |  ${GopherQuality.stopwordHitsSql("toks")} AS gopher_stopword_hits,
+              |  ${GopherQuality.keepSql("text2", "toks", minWords, maxWords, minStop)} AS gopher_keep
+              |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("gopher_quality_filter",
+      (s, dir) => {
+        val aug = gqAug(Tables(s, dir, "documents"))
+        aug.where(filter.keep(aug)).select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS $gqAugSql,
+              |tk AS (SELECT doc_id, text2,
+              |  ${TextFunctions.tokensOfSql("text2")} AS toks FROM aug)
+              |SELECT doc_id FROM tk
+              |WHERE ${GopherQuality.keepSql("text2", "toks", minWords, maxWords, minStop)}
+              |ORDER BY doc_id""".stripMargin)))
+}

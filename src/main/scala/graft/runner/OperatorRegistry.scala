@@ -172,6 +172,18 @@ object OperatorRegistry {
     minWordsPerLine = p.int("min_words_per_line", 5),
     minSentences = p.int("min_sentences", 3)))
 
+  register("gopher_quality", p => new GopherQualityRefiner(
+    textCol = p.str("text_field", "text"),
+    minWords = p.long("min_words", 50L),
+    maxWords = p.long("max_words", 100000L),
+    minStopwords = p.int("min_stopwords", 2)))
+
+  register("gopher_quality_filter", p => new GopherQualityFilter(
+    textCol = p.str("text_field", "text"),
+    minWords = p.long("min_words", 50L),
+    maxWords = p.long("max_words", 100000L),
+    minStopwords = p.int("min_stopwords", 2)))
+
   register("source_weighted_sample", p => new SourceWeightedSampleFilter(
     weights = p.doubleMap("weights"),
     defaultFraction = p.double("default_fraction", 1.0),

@@ -368,6 +368,41 @@ class RunnerSpec extends AnyFunSuite {
     assert(u.startsWith("https://site") && !u.contains("utm_") && !u.contains("#"), u)
   }
 
+  test("yaml pipeline stages gopher signals then filters on them with rejects") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    table("documents").write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: quality
+         |    operators:
+         |      - name: gopher_quality
+         |        params: {text_field: "text", min_words: 10, min_stopwords: 1}
+         |      - name: gopher_quality_filter
+         |        params: {text_field: "text", min_words: 10, min_stopwords: 1}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/docs")
+    val rejected = spark.read.parquet(s"$base/out_rejected/docs_rejected")
+    assert(written.count() + rejected.count() == table("documents").count())
+    assert(res.run.output == written.count() && written.count() > 0)
+    assert(rejected.count() > 0, "fixture must reject some documents")
+    // refiner signals flow to the output; every kept row passed the battery
+    assert(written.columns.contains("gopher_word_count") &&
+      written.columns.contains("gopher_keep"))
+    assert(written.filter(!col("gopher_keep")).count() == 0)
+    // rejects carry the filter's provenance
+    assert(rejected.select(col("_rejection_details.operator")).distinct()
+      .collect().map(_.getString(0)).toSet == Set("gopher_quality_filter"))
+  }
+
   test("registry rejects unknown operators with the available list") {
     val e = intercept[IllegalArgumentException] {
       OperatorRegistry.create("nope", Params(Map.empty))
