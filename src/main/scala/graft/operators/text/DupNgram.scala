@@ -3,7 +3,7 @@ package graft.operators.text
 import graft.core.Operator
 import graft.functions.{HashFunctions, TextFunctions}
 import graft.plans.kernels
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-global duplicated n-gram span detection and removal — the
@@ -47,7 +47,19 @@ final class DupNgramRefiner(
 
   private val w = ngramWidth
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = build(df, df, None)
+
+  /** Disposition mode: corpus gram counts come from ALIVE rows only —
+    * a page rejected upstream never contributed grams in the sequential
+    * chain, so it must not push a gram over `minCount` here either.
+    * Dead rows keep null outputs and skip the (regexp-heavy) token
+    * split entirely.
+    */
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    build(df, df.filter(alive), Some(alive))
+
+  private def build(
+      df: DataFrame, corpus: DataFrame, alive: Option[Column]): DataFrame = {
     // gram instances as (id, pos, hash) — hashed before the explode, so
     // nothing downstream ever shuffles a string. The fused kernel covers
     // the long-keyed families; md5/sha256 (string hashes) fall back to
@@ -60,7 +72,7 @@ final class DupNgramRefiner(
           TextFunctions.shingles(TextFunctions.tokensOf(col(textCol)), w),
           g => HashFunctions.hashByName(hashName)(g))
     }
-    val inst = df.select(col(idCol).as("_dn_id"),
+    val inst = corpus.select(col(idCol).as("_dn_id"),
       posexplode(gramHashes).as(Seq("_dn_pos", "_dn_h")))
 
     val dupHashes = inst
@@ -72,22 +84,23 @@ final class DupNgramRefiner(
       .agg(sort_array(collect_list(col("_dn_pos"))).as("_dn_dups"),
         count(lit(1)).as("_dn_cnt"))
 
+    def gated(c: Column): Column = alive.fold(c)(a => when(a, c))
     // tokens staged ONCE as a scratch column (regexp work is non-cheap,
     // so CollapseProject will not inline it into its three consumers)
     val joined = df.join(dups, col(idCol) === col("_dn_id"), "left")
-      .withColumn("_dn_toks", TextFunctions.tokensOf(col(textCol)))
+      .withColumn("_dn_toks", gated(TextFunctions.tokensOf(col(textCol))))
       .withColumn("_dn_kept", kernels.coverage_mask(col("_dn_toks"),
         coalesce(col("_dn_dups"), array().cast("array<int>")), w))
     val n = size(col("_dn_toks"))
     val total = when(n >= w, (n - w + 1).cast("long")).otherwise(lit(0L))
     joined
       .withColumn("_dn_total", total)
-      .withColumn("dup_ngram_count", coalesce(col("_dn_cnt"), lit(0L)))
-      .withColumn("dup_ngram_fraction",
+      .withColumn("dup_ngram_count", gated(coalesce(col("_dn_cnt"), lit(0L))))
+      .withColumn("dup_ngram_fraction", gated(
         when(col("_dn_total") === 0L, lit(0.0))
-          .otherwise(col("dup_ngram_count").cast("double") / col("_dn_total").cast("double")))
-      .withColumn("text_dedup_spans", array_join(col("_dn_kept"), " "))
-      .withColumn("dup_tokens_removed", (n - size(col("_dn_kept"))).cast("long"))
+          .otherwise(col("dup_ngram_count").cast("double") / col("_dn_total").cast("double"))))
+      .withColumn("text_dedup_spans", gated(array_join(col("_dn_kept"), " ")))
+      .withColumn("dup_tokens_removed", gated((n - size(col("_dn_kept"))).cast("long")))
       .drop("_dn_id", "_dn_dups", "_dn_cnt", "_dn_total", "_dn_toks", "_dn_kept")
   }
 

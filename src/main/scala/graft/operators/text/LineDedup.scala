@@ -34,8 +34,20 @@ final class LineDedupRefiner(
 
   val name = "line_dedup"
 
-  def apply(df: DataFrame): DataFrame = {
-    val lines = df.select(
+  def apply(df: DataFrame): DataFrame = build(df, df, None)
+
+  /** Disposition mode: line frequency and first-wins ranking run over
+    * ALIVE rows only — a document rejected upstream never contributed its
+    * lines in the sequential chain, so it must neither claim a keeper
+    * slot nor push a line into boilerplate territory. Dead rows keep
+    * null outputs.
+    */
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    build(df, df.filter(alive), Some(alive))
+
+  private def build(
+      df: DataFrame, corpus: DataFrame, alive: Option[Column]): DataFrame = {
+    val lines = corpus.select(
       col(idCol).as("_ld_id"), col(orderCol).as("_ld_ord"),
       posexplode(split(coalesce(col(textCol), lit("")), "\n"))
         .as(Seq("_ld_idx", "_ld_line")))
@@ -54,11 +66,12 @@ final class LineDedupRefiner(
       .select(col("_ld_id"),
         concat_ws("\n", transform(col("_ls"), x => x("_ld_line"))).as(outputCol),
         col("_ld_kept"))
+    def gated(c: Column): Column = alive.fold(c)(a => when(a, c))
     df.join(rebuilt, col(idCol) === col("_ld_id"), "left")
-      .withColumn(outputCol, coalesce(col(outputCol), lit("")))
-      .withColumn(removedCol,
+      .withColumn(outputCol, gated(coalesce(col(outputCol), lit(""))))
+      .withColumn(removedCol, gated(
         (size(split(coalesce(col(textCol), lit("")), "\n")) - coalesce(col("_ld_kept"), lit(0L)))
-          .cast("long"))
+          .cast("long")))
       .drop("_ld_id", "_ld_kept")
   }
 

@@ -2,7 +2,7 @@ package graft.operators.text
 
 import graft.core.Operator
 import graft.functions.{HashFunctions, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus n-gram language-model scoring, CCNet-style (Wenzek et al.
@@ -41,13 +41,24 @@ final class NgramLmScoreRefiner(
   require(alpha > 0.0, s"alpha $alpha must be > 0 (smoothing)")
   val name = "ngram_lm_score"
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = build(df, df, None)
+
+  /** Disposition mode: the LM trains on ALIVE rows only — a document
+    * rejected upstream never contributed counts in the sequential chain,
+    * so it must not shift the corpus distribution here either. Dead rows
+    * keep null scores.
+    */
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    build(df, df.filter(alive), Some(alive))
+
+  private def build(
+      df: DataFrame, corpus: DataFrame, alive: Option[Column]): DataFrame = {
     val toks = TextFunctions.tokensOf(col(textCol))
     val grams = if (ngramWidth == 1) toks else TextFunctions.shingles(toks, ngramWidth)
 
     // doc-term counts on hashed keys — the compact (long, long, long)
     // table every downstream branch reads through one reused exchange.
-    val pairs = df
+    val pairs = corpus
       .select(col(idCol).as("_lm_id"), explode(grams).as("_lm_tok"))
       .select(col("_lm_id"),
         HashFunctions.hashByName(hashName)(col("_lm_tok")).as("_lm_h"))
@@ -70,9 +81,10 @@ final class NgramLmScoreRefiner(
       .groupBy("_lm_id")
       .agg((sum(col("_lm_c") * logp) / sum(col("_lm_c"))).as("_lm_avg"))
 
+    def gated(c: Column): Column = alive.fold(c)(a => when(a, c))
     df.join(scores, col(idCol) === col("_lm_id"), "left")
-      .withColumn("lm_logprob_avg", coalesce(col("_lm_avg"), lit(0.0)))
-      .withColumn("lm_perplexity", pow(lit(10.0), -col("lm_logprob_avg")))
+      .withColumn("lm_logprob_avg", gated(coalesce(col("_lm_avg"), lit(0.0))))
+      .withColumn("lm_perplexity", gated(pow(lit(10.0), -col("lm_logprob_avg"))))
       .drop("_lm_id", "_lm_avg")
   }
 

@@ -107,6 +107,53 @@ class DispositionSpec extends AnyFunSuite {
     assert(deadMeta.nonEmpty && deadMeta.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("corpus-global refiners train on alive rows only, matching sequential") {
+    import spark.implicits._
+    // doc 0 and doc 10 share a tail (and a boilerplate line); doc 0 is
+    // filtered upstream. Sequentially, the survivors' corpus holds ONE
+    // copy: dup_ngram must not remove the tail from doc 10, line_dedup
+    // must keep the shared line in doc 10 (not award it to dead doc 0),
+    // and the LM trains without doc 0's tokens.
+    val tail = " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, "drop me" + tail + "\nshared boilerplate line of text"),
+      (10L, "keep me around here" + tail + "\nshared boilerplate line of text"),
+      (20L, "another surviving document with plain words\nunique line twenty"),
+      (30L, "a third surviving document full of words\nunique line thirty"))
+      .toDF("doc_id", "text")
+    val idFilter = new graft.core.RowFilter {
+      val name = "drop_doc_zero"
+      def keep(df: DataFrame) = col("doc_id") =!= 0L
+    }
+    val dupOp = new graft.operators.text.DupNgramRefiner(
+      "text", "doc_id", ngramWidth = 8, minCount = 2)
+    val lineOp = new graft.operators.text.LineDedupRefiner(
+      "text", "doc_id", "doc_id", minLineLength = 5, hashName = "portable")
+    val lmOp = new graft.operators.text.NgramLmScoreRefiner("text", "doc_id")
+
+    val seq = lmOp(lineOp(dupOp(idFilter(docs))))
+      .select("doc_id", "dup_ngram_count", "text_dedup_spans",
+        "text_line_deduped", "lines_removed", "lm_logprob_avg")
+    var d = Disposition.init(docs)
+    d = Disposition.step(d, idFilter, "_c0")
+    d = Disposition.step(d, dupOp, "_c1")
+    d = Disposition.step(d, lineOp, "_c2")
+    d = Disposition.step(d, lmOp, "_c3")
+    val disp = Disposition.passed(d)
+      .select("doc_id", "dup_ngram_count", "text_dedup_spans",
+        "text_line_deduped", "lines_removed", "lm_logprob_avg")
+    assert(disp.exceptAll(seq).isEmpty && seq.exceptAll(disp).isEmpty,
+      s"disposition:\n${disp.collect().mkString("\n")}\nsequential:\n${seq.collect().mkString("\n")}")
+    // the dead doc's tail must NOT have been counted: doc 10 keeps it
+    val d10 = disp.filter(col("doc_id") === 10L).head()
+    assert(d10.getAs[Long]("dup_ngram_count") == 0L, d10)
+    assert(d10.getAs[String]("text_line_deduped").contains("shared boilerplate"), d10)
+    // dead rows carry null corpus outputs (never computed)
+    val dead = Disposition.rejected(d)
+      .select("dup_ngram_count", "text_line_deduped", "lm_logprob_avg").head()
+    assert(dead.isNullAt(0) && dead.isNullAt(1) && dead.isNullAt(2), dead)
+  }
+
   test("single source scan: the annotated chain has one relation leaf") {
     val leaves = chain(table("documents")).queryExecution.optimizedPlan
       .collect { case l: LeafNode => l }
