@@ -14,7 +14,7 @@ object SparkEntry {
       ImageQueries.queries ++ MetricsQueries.queries ++ InferenceQueries.queries ++
       TextAnalysisQueries.queries ++ WarcQueries.queries ++ MediaQueries.queries ++
       CurationOpsQueries.queries ++ TrainingMixQueries.queries ++
-      GopherQueries.queries
+      GopherQueries.queries ++ CurationStackQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →
