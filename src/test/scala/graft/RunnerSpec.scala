@@ -368,6 +368,42 @@ class RunnerSpec extends AnyFunSuite {
     assert(u.startsWith("https://site") && !u.contains("utm_") && !u.contains("#"), u)
   }
 
+  test("tools/export_onnx.py tiny-head export loads through model_path") {
+    // the dependency-free export mode emits the reference quality model's
+    // exact head architecture (channel-attention gate + 3-layer sigmoid
+    // head); loading it through the registry proves the export format is
+    // SPI-compatible end-to-end
+    val tmp = java.nio.file.Files.createTempFile("graft_export", ".onnx")
+    val proc = new ProcessBuilder("python3", "tools/export_onnx.py", "tiny-head",
+      "--in-dim", "256", "--hidden", "16", "--out-dim", "12",
+      "--seed", "7", "--out", tmp.toString)
+      .redirectErrorStream(true).start()
+    val log = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0, s"export failed:\n$log")
+    val op = OperatorRegistry.create("image_clip_embedding",
+      Params(Map("image_field" -> "image", "model" -> "exported_head",
+        "model_path" -> tmp.toString, "input_side" -> 16, "dim" -> 12)))
+    val out = op(SyntheticImages.df(spark).filter(col("id") <= 10L))
+      .select(col("id"), col("image_clip_emb_exported_head").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // decodable images embed to the head's output dim, L2-normalized
+    val good = out.filter(_._2.nonEmpty)
+    assert(good.nonEmpty, out)
+    good.values.foreach { e =>
+      assert(e.size == 12, e.size)
+      val norm = math.sqrt(e.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, norm)
+    }
+    // deterministic: a second run through a fresh operator instance agrees
+    val again = OperatorRegistry.create("image_clip_embedding",
+      Params(Map("image_field" -> "image", "model" -> "exported_head",
+        "model_path" -> tmp.toString, "input_side" -> 16, "dim" -> 12)))(
+      SyntheticImages.df(spark).filter(col("id") <= 10L))
+      .select(col("id"), col("image_clip_emb_exported_head").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == out)
+  }
+
   test("yaml pipeline stages gopher signals then filters on them with rejects") {
     val base = java.nio.file.Files.createTempDirectory("graft_gopher").toString
     table("documents").write.parquet(s"$base/in")
