@@ -51,8 +51,23 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
+    // Sever the iterative lineage and RELEASE every loop cache before
+    // returning: the raw `labels` plan is `iter` joins deep and pinned
+    // its cache for the session's life (nobody downstream can know when
+    // to unpersist a lazily-consumed operator output — the r8 ngram_lm
+    // leak, same shape). The checkpoint is one flat, small table (only
+    // nodes that appear in duplicate pairs) whose blocks live and die
+    // with the consumer's plan under ContextCleaner. With a configured
+    // checkpoint dir the copy is reliable (survives executor loss, the
+    // GraphFrames-CC requirement); otherwise a local checkpoint — an
+    // executor loss then fails-and-retries the operator, the standard
+    // iterative-graph tradeoff.
+    val flat =
+      if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined) labels.checkpoint(true)
+      else labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    flat
   }
 
   /** DuckDB twin: recursive reachability, min over reached nodes. The

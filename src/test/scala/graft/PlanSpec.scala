@@ -250,4 +250,19 @@ class PlanSpec extends AnyFunSuite {
     assert((after -- before).isEmpty,
       s"operator pinned RDDs in the cache: ${after -- before}")
   }
+
+  test("transitive dedup releases its loop caches; only the flat label checkpoint survives") {
+    val op = new graft.operators.dedup.MinHashLSHDedup(
+      "text", "doc_id", shingleWidth = 3, numHashes = 16, numBands = 4,
+      threshold = 0.8)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    op.applyTransitive(table("documents"))
+      .write.format("noop").mode("overwrite").save()
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the edges cache and every per-iteration labels cache are released;
+    // the one survivor is the checkpointed (small, flat) component table
+    // whose blocks ContextCleaner frees with the consumer's plan
+    assert(survivors.size <= 1,
+      s"loop caches leaked: $survivors")
+  }
 }
