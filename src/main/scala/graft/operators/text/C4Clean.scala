@@ -76,9 +76,14 @@ object C4Clean {
 
 /** Adds `text_c4_clean` (kept lines rejoined), `c4_lines_kept`,
   * `c4_lines_removed`, `c4_sentences` (over the cleaned text) and
-  * `c4_keep` (page-level verdict) from one staged line-filter pass
-  * (scratch columns dropped; CollapseProject keeps the non-cheap line
-  * filter single-evaluation, same idiom as [[TextRepetitionRefiner]]).
+  * `c4_keep` (page-level verdict) from ONE fused kernel pass
+  * ([[graft.plans.kernels.C4Signals]]; the struct is staged as a scratch
+  * column so CollapseProject keeps it single-evaluation — the
+  * declarative per-line filter lambda was interpreted-HOF work the
+  * composed curation stack re-paid on every consumer of the alive flag).
+  * The [[C4Clean]] column/SQL forms remain the documented semantics +
+  * oracle twins; TrainingMixSpec and the `c4_clean` gate pin the kernel
+  * to them.
   */
 final class C4CleanRefiner(
     textCol: String = "text",
@@ -88,22 +93,20 @@ final class C4CleanRefiner(
   val name = "c4_clean"
 
   def apply(df: DataFrame): DataFrame =
-    df.withColumn("_c4_total",
-        size(split(coalesce(col(textCol), lit("")), "\n", -1)).cast("long"))
-      .withColumn("_c4_kept", C4Clean.keptLines(col(textCol), minWordsPerLine))
-      .withColumn("text_c4_clean", array_join(col("_c4_kept"), "\n"))
-      .withColumn("c4_lines_kept", size(col("_c4_kept")).cast("long"))
-      .withColumn("c4_lines_removed", col("_c4_total") - size(col("_c4_kept")).cast("long"))
-      .withColumn("c4_sentences", C4Clean.sentenceCount(col("text_c4_clean")))
-      .withColumn("c4_keep",
-        C4Clean.docKeep(col(textCol), col("c4_sentences"), minSentences))
-      .drop("_c4_total", "_c4_kept")
+    df.withColumn("_c4", graft.plans.kernels.c4_signals(
+        col(textCol), minWordsPerLine, minSentences))
+      .withColumn("text_c4_clean", col("_c4.text_clean"))
+      .withColumn("c4_lines_kept", col("_c4.lines_kept"))
+      .withColumn("c4_lines_removed", col("_c4.lines_total") - col("_c4.lines_kept"))
+      .withColumn("c4_sentences", col("_c4.sentences"))
+      .withColumn("c4_keep", col("_c4.keep"))
+      .drop("_c4")
 }
 
 /** Page-level C4 filter: drops pages the cleaned view rejects (lorem
-  * ipsum / code brace / too few surviving sentences). Stage the columns
-  * with [[C4CleanRefiner]] upstream when the cleaned text should also be
-  * kept; this standalone form recomputes only what the predicate needs.
+  * ipsum / code brace / too few surviving sentences) — the verdict field
+  * of one fused kernel evaluation per row. Stage the columns with
+  * [[C4CleanRefiner]] upstream when the cleaned text should also be kept.
   */
 final class C4QualityFilter(
     textCol: String = "text",
@@ -112,8 +115,7 @@ final class C4QualityFilter(
 
   val name = "c4_quality_filter"
 
-  def keep(df: DataFrame): Column = {
-    val clean = array_join(C4Clean.keptLines(col(textCol), minWordsPerLine), "\n")
-    C4Clean.docKeep(col(textCol), C4Clean.sentenceCount(clean), minSentences)
-  }
+  def keep(df: DataFrame): Column =
+    graft.plans.kernels.c4_signals(col(textCol), minWordsPerLine, minSentences)
+      .getField("keep")
 }

@@ -117,9 +117,13 @@ object GopherQuality {
       s"${stopwordHitsSql(toksCol)} >= $minStopwords)"
 }
 
-/** Adds every Gopher signal plus the page verdict from ONE staged token
-  * split (scratch column dropped; CollapseProject keeps the split
-  * single-evaluation, same idiom as [[TextRepetitionRefiner]]).
+/** Adds every Gopher signal plus the page verdict from ONE fused kernel
+  * pass ([[graft.plans.kernels.GopherSignals]] — tokenize once, every
+  * signal off that walk; the struct is staged as a scratch column so
+  * CollapseProject keeps it single-evaluation, same idiom as
+  * [[TextRepetitionRefiner]]). The declarative columns in
+  * [[GopherQuality]] remain the documented semantics + oracle twins;
+  * GopherSpec and the `gopher_quality` gate pin the kernel to them.
   */
 final class GopherQualityRefiner(
     textCol: String = "text",
@@ -129,26 +133,23 @@ final class GopherQualityRefiner(
 
   val name = "gopher_quality"
 
-  def apply(df: DataFrame): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("_gq_toks", TextFunctions.tokensOf(t))
-      .withColumn("gopher_word_count", GopherQuality.wordCount(col("_gq_toks")))
-      .withColumn("gopher_mean_word_len",
-        TextAnalysis.meanTokenLength(col("_gq_toks")))
-      .withColumn("gopher_symbol_ratio", GopherQuality.symbolRatio(t, col("_gq_toks")))
-      .withColumn("gopher_bullet_line_frac", GopherQuality.bulletLineFrac(t))
-      .withColumn("gopher_ellipsis_line_frac", GopherQuality.ellipsisLineFrac(t))
-      .withColumn("gopher_alpha_word_frac", GopherQuality.alphaWordFrac(col("_gq_toks")))
-      .withColumn("gopher_stopword_hits", GopherQuality.stopwordHits(col("_gq_toks")))
-      .withColumn("gopher_keep", GopherQuality.keep(
-        t, col("_gq_toks"), minWords, maxWords, minStopwords))
-      .drop("_gq_toks")
-  }
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("_gq", graft.plans.kernels.gopher_signals(
+        col(textCol), GopherQuality.StopWords, minWords, maxWords, minStopwords))
+      .withColumn("gopher_word_count", col("_gq.word_count"))
+      .withColumn("gopher_mean_word_len", col("_gq.mean_word_len"))
+      .withColumn("gopher_symbol_ratio", col("_gq.symbol_ratio"))
+      .withColumn("gopher_bullet_line_frac", col("_gq.bullet_line_frac"))
+      .withColumn("gopher_ellipsis_line_frac", col("_gq.ellipsis_line_frac"))
+      .withColumn("gopher_alpha_word_frac", col("_gq.alpha_word_frac"))
+      .withColumn("gopher_stopword_hits", col("_gq.stopword_hits"))
+      .withColumn("gopher_keep", col("_gq.keep"))
+      .drop("_gq")
 }
 
-/** Drops pages failing any Gopher rule; the standalone form recomputes
-  * only the predicate (stage the signals with [[GopherQualityRefiner]]
-  * when they should also be kept as columns).
+/** Drops pages failing any Gopher rule — the verdict field of one fused
+  * kernel evaluation per row (the declarative predicate re-evaluated the
+  * tokenize tree per signal: ~7× per row, interpreted).
   */
 final class GopherQualityFilter(
     textCol: String = "text",
@@ -159,6 +160,7 @@ final class GopherQualityFilter(
   val name = "gopher_quality_filter"
 
   def keep(df: DataFrame): Column =
-    GopherQuality.keep(col(textCol), TextFunctions.tokensOf(col(textCol)),
-      minWords, maxWords, minStopwords)
+    graft.plans.kernels.gopher_signals(
+      col(textCol), GopherQuality.StopWords, minWords, maxWords, minStopwords)
+      .getField("keep")
 }

@@ -430,6 +430,170 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** The full Gopher document-quality battery (Rae et al. 2021 A1.1) in
+    * ONE JVM pass per row: tokenize once, then every signal plus the keep
+    * verdict from that single token walk. The declarative form
+    * ([[graft.operators.text.GopherQuality]]) re-evaluates the tokenize
+    * tree per signal inside interpreted HOF lambdas (`aggregate` for mean
+    * length, `filter`+rlike for the alpha fraction) — the filter form
+    * paid it ~7× per row. Bit-identical to the declarative columns:
+    * token lengths are code-point counts (Catalyst `length`), regex
+    * counting/matching uses the same java.util.regex patterns and
+    * non-overlapping `find` semantics as `regexp_count`/`rlike`, and
+    * every ratio divides the same exact integers in double. NULL input
+    * must be coalesced to '' by the wrapper (the declarative form is
+    * null-tolerant, not null-propagating).
+    */
+  case class GopherSignals(
+      child: Expression, stopwords: Seq[String],
+      minWords: Long, maxWords: Long, minStopwords: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("word_count", LongType, nullable = false),
+      StructField("mean_word_len", DoubleType, nullable = false),
+      StructField("symbol_ratio", DoubleType, nullable = false),
+      StructField("bullet_line_frac", DoubleType, nullable = false),
+      StructField("ellipsis_line_frac", DoubleType, nullable = false),
+      StructField("alpha_word_frac", DoubleType, nullable = false),
+      StructField("stopword_hits", LongType, nullable = false),
+      StructField("keep", BooleanType, nullable = false)))
+
+    private val hashRun = java.util.regex.Pattern.compile("#")
+    private val ellipsisRun = java.util.regex.Pattern.compile("\\.{3}|…")
+    private val bulletLine = java.util.regex.Pattern.compile("^\\s*[•\\-\\*‣▪]")
+    private val ellipsisLine = java.util.regex.Pattern.compile("(\\.{3}|…)\\s*$")
+    private val alphaChar = java.util.regex.Pattern.compile("[a-z]")
+    private val stopSet = {
+      val s = new java.util.HashSet[String]()
+      stopwords.foreach(s.add)
+      s
+    }
+
+    private def countMatches(p: java.util.regex.Pattern, s: String): Int = {
+      val m = p.matcher(s)
+      var c = 0
+      while (m.find()) c += 1
+      c
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val raw = text.toString
+      val toks = tokenizeJvm(text)
+      val n = toks.length
+
+      var lenSum = 0L
+      var alphaHits = 0
+      val stopsSeen = new java.util.HashSet[String]()
+      var i = 0
+      while (i < n) {
+        val t = toks(i)
+        lenSum += t.codePointCount(0, t.length)
+        if (alphaChar.matcher(t).find()) alphaHits += 1
+        if (stopSet.contains(t)) stopsSeen.add(t)
+        i += 1
+      }
+      val meanLen = if (n == 0) 0.0 else lenSum.toDouble / n.toDouble
+      val alphaFrac = if (n == 0) 0.0 else alphaHits.toDouble / n.toDouble
+
+      val syms = countMatches(hashRun, raw) + countMatches(ellipsisRun, raw)
+      val symbolRatio = if (n == 0) 0.0 else syms.toDouble / n.toDouble
+
+      val lines = raw.split("\n", -1)
+      var bullets = 0
+      var ellipses = 0
+      var j = 0
+      while (j < lines.length) {
+        if (bulletLine.matcher(lines(j)).find()) bullets += 1
+        if (ellipsisLine.matcher(lines(j)).find()) ellipses += 1
+        j += 1
+      }
+      val nl = lines.length
+      val bulletFrac = if (nl == 0) 0.0 else bullets.toDouble / nl.toDouble
+      val ellipsisFrac = if (nl == 0) 0.0 else ellipses.toDouble / nl.toDouble
+      val stopHits = stopsSeen.size().toLong
+
+      val keep = n >= minWords && n <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopHits >= minStopwords
+      new GenericInternalRow(Array[Any](
+        n.toLong, meanLen, symbolRatio, bulletFrac, ellipsisFrac,
+        alphaFrac, stopHits, keep))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** C4 page cleaning (Raffel et al. 2020 §2.2) in ONE JVM pass per row:
+    * line split, per-line keep (terminal punctuation + word minimum + no
+    * "javascript"), rebuilt clean text, sentence count over the clean
+    * text, and the page verdict (no "lorem ipsum"/brace, sentence
+    * minimum). The declarative form's per-line keep is a filter lambda
+    * with a nested split+filter per LINE — interpreted HOF cost the
+    * composed curation stack re-pays on every branch that consumes the
+    * alive flag. Bit-identical to
+    * [[graft.operators.text.C4Clean]]'s columns (same java regexes as
+    * rlike/regexp_count, trim is UTF8String trim, words split on single
+    * space). NULL input must be coalesced to '' by the wrapper.
+    */
+  case class C4Signals(child: Expression, minWordsPerLine: Int, minSentences: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("text_clean", StringType, nullable = false),
+      StructField("lines_kept", LongType, nullable = false),
+      StructField("lines_total", LongType, nullable = false),
+      StructField("sentences", LongType, nullable = false),
+      StructField("keep", BooleanType, nullable = false)))
+
+    private val terminal = java.util.regex.Pattern.compile("[.!?\"]\\s*$")
+    private val sentenceMark = java.util.regex.Pattern.compile("[.!?]")
+
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val raw = text.toString
+      val lines = raw.split("\n", -1)
+      val kept = new java.lang.StringBuilder(raw.length)
+      var nKept = 0L
+      var i = 0
+      while (i < lines.length) {
+        val l = lines(i)
+        if (terminal.matcher(l).find()) {
+          // word count: split the trimmed line on single spaces, count
+          // non-empty — same algebra as the declarative nested filter
+          val trimmed = org.apache.spark.unsafe.types.UTF8String
+            .fromString(l).trim().toString
+          var words = 0
+          var p = 0
+          val len = trimmed.length
+          while (p < len) {
+            val q = trimmed.indexOf(' ', p)
+            val end = if (q < 0) len else q
+            if (end > p) words += 1
+            p = end + 1
+          }
+          if (words >= minWordsPerLine &&
+              !org.apache.spark.unsafe.types.UTF8String.fromString(l)
+                .toLowerCase.toString.contains("javascript")) {
+            if (nKept > 0) kept.append('\n')
+            kept.append(l)
+            nKept += 1
+          }
+        }
+        i += 1
+      }
+      val clean = kept.toString
+      val m = sentenceMark.matcher(clean)
+      var sentences = 0L
+      while (m.find()) sentences += 1
+      val keep = !text.toLowerCase.toString.contains("lorem ipsum") &&
+        !raw.contains("{") && sentences >= minSentences
+      new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(clean),
+        nKept, lines.length.toLong, sentences, keep))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Exact Jaccard of two arrays (string or long elements) via hash sets —
     * the verification step of the near-dup joins.
     */
@@ -480,6 +644,20 @@ object kernels {
     expr2col(StopwordScores(colExpr(toks), profiles))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
   def array_jaccard(a: Column, b: Column): Column = expr2col(ArrayJaccard(colExpr(a), colExpr(b)))
+  /** Gopher battery struct; coalesces NULL text to '' (the declarative
+    * form is null-tolerant). */
+  def gopher_signals(text: Column, stopwords: Seq[String],
+      minWords: Long, maxWords: Long, minStopwords: Int): Column =
+    expr2col(GopherSignals(
+      colExpr(org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))),
+      stopwords, minWords, maxWords, minStopwords))
+  /** C4 page-cleaning struct; coalesces NULL text to ''. */
+  def c4_signals(text: Column, minWordsPerLine: Int, minSentences: Int): Column =
+    expr2col(C4Signals(
+      colExpr(org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))),
+      minWordsPerLine, minSentences))
 
   private def colExpr(c: Column): Expression = org.apache.spark.sql.graftshim.Shim.expression(c)
   private def expr2col(e: Expression): Column = org.apache.spark.sql.graftshim.Shim.column(e)

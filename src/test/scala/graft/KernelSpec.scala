@@ -203,6 +203,72 @@ class KernelSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("GopherSignals kernel is bit-identical to the declarative battery") {
+    import graft.operators.text.{GopherQuality, TextAnalysis}
+    import spark.implicits._
+    // fixture docs plus adversarial rows: null, empty, unicode bullets,
+    // ellipsis both forms, numeric floods, overlong hash runs, stopword-free
+    val edge = Seq(
+      null.asInstanceOf[String], "", "   ", "tiny doc",
+      "• one\n- two\n* three\n‣ four\n▪ five\nplain line with the stop and that",
+      "ends with unicode ellipsis…\nends with dots...\nno ending here",
+      "### #### ##### have the of and that be to with words",
+      "11 22 33 44 55 66 the of",
+      "a a a a a a a a a a",
+      "The data pipeline runs well and we have that covered with care today.")
+      .zipWithIndex.map { case (t, i) => (i.toLong + 1000000L, t) }
+    val docs = table("documents").select(col("doc_id"), col("text"))
+      .unionByName(edge.toDF("doc_id", "text"))
+    val t = col("text")
+    val toks = TextFunctions.tokensOf(t)
+    val (minW, maxW, minS) = (10L, 100000L, 2)
+    val k = kernels.gopher_signals(t, GopherQuality.StopWords, minW, maxW, minS)
+    val diff = docs.select(
+      struct(
+        GopherQuality.wordCount(toks).as("word_count"),
+        TextAnalysis.meanTokenLength(toks).as("mean_word_len"),
+        GopherQuality.symbolRatio(t, toks).as("symbol_ratio"),
+        GopherQuality.bulletLineFrac(t).as("bullet_line_frac"),
+        GopherQuality.ellipsisLineFrac(t).as("ellipsis_line_frac"),
+        GopherQuality.alphaWordFrac(toks).as("alpha_word_frac"),
+        GopherQuality.stopwordHits(toks).as("stopword_hits"),
+        GopherQuality.keep(t, toks, minW, maxW, minS).as("keep")).as("a"),
+      k.as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
+  }
+
+  test("C4Signals kernel is bit-identical to the declarative clean columns") {
+    import graft.operators.text.C4Clean
+    import spark.implicits._
+    val edge = Seq(
+      null.asInstanceOf[String], "", "no terminal punctuation line",
+      "Short ok.\nenable javascript to view this content now please.",
+      "Lorem ipsum dolor sit amet obviously removes this whole page today.",
+      "Contains a { brace but three good sentences follow here today. " +
+        "Another good one lands right here. And a third one closes it out.",
+      "One good sentence with enough words to pass easily.\n\n\n" +
+        "  trailing spaces after the mark.   \nshort.",
+      "Ends with a quote mark with plenty of words here\"")
+      .zipWithIndex.map { case (t, i) => (i.toLong + 2000000L, t) }
+    val docs = table("documents").select(col("doc_id"), col("text"))
+      .unionByName(edge.toDF("doc_id", "text"))
+    val t = col("text")
+    val kept = C4Clean.keptLines(t, 5)
+    val clean = array_join(kept, "\n")
+    val k = kernels.c4_signals(t, 5, 3)
+    val diff = docs.select(
+      struct(
+        clean.as("text_clean"),
+        size(kept).cast("long").as("lines_kept"),
+        size(split(coalesce(t, lit("")), "\n", -1)).cast("long").as("lines_total"),
+        C4Clean.sentenceCount(clean).as("sentences"),
+        C4Clean.docKeep(t, C4Clean.sentenceCount(clean), 3).as("keep")).as("a"),
+      k.as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
+  }
+
   test("CoverageMask: overlapping and out-of-range spans, empty dups, empty toks") {
     def mask(toks: Seq[String], dups: Seq[Int], w: Int): Seq[String] = {
       val e = kernels.CoverageMask(
