@@ -14,7 +14,8 @@ object SparkEntry {
       ImageQueries.queries ++ MetricsQueries.queries ++ InferenceQueries.queries ++
       TextAnalysisQueries.queries ++ WarcQueries.queries ++ MediaQueries.queries ++
       CurationOpsQueries.queries ++ TrainingMixQueries.queries ++
-      GopherQueries.queries ++ CurationStackQueries.queries
+      GopherQueries.queries ++ CurationStackQueries.queries ++
+      TrainingExportQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

@@ -192,6 +192,21 @@ object OperatorRegistry {
     hashName = p.str("hash_algorithm", "xxhash64"),
     salt = p.str("salt", "")))
 
+  register("sequence_pack", p => new SequencePackRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    maxTokens = p.long("max_tokens", 2048L),
+    numShards = p.int("num_shards", 16),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    salt = p.str("salt", "")))
+
+  register("ccnet_bucket", p => new CcnetBucketRefiner(
+    scoreCol = p.str("score_field", "lm_perplexity"),
+    bucketCol = p.str("bucket_field", "ccnet_bucket"),
+    headFraction = p.double("head_fraction", 1.0 / 3.0),
+    middleFraction = p.double("middle_fraction", 2.0 / 3.0),
+    exact = p.bool("exact", true)))
+
   register("ngram_lm_score", p => new NgramLmScoreRefiner(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),
