@@ -242,6 +242,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("sequence_pack: both windows ride ONE exchange on the shard key") {
+    val op = new graft.operators.text.SequencePackRefiner(
+      "text", "doc_id", maxTokens = 256, numShards = 4,
+      hashName = "portable", salt = "p")
+    val p = planOf(op(table("documents")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shard-key exchange, got $exchanges:\n$p")
+    // no global sort: every Sort is partition-local (the window sorts)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("ccnet_bucket: thresholds broadcast as one row, assignment shuffle-free") {
+    val op = new graft.operators.text.CcnetBucketRefiner("score")
+    val p = planOf(op(table("documents")
+      .withColumn("score", org.apache.spark.sql.functions.col("n_chars").cast("double"))))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the probe side carries no hash exchange — bucketing is a map
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("ngram_lm leaves no cached RDDs behind (the r8 persist leak)") {
     val op = new graft.operators.text.NgramLmScoreRefiner("text", "doc_id")
     val before = spark.sparkContext.getPersistentRDDs.keySet
