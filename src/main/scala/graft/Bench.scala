@@ -55,9 +55,14 @@ object Bench {
         .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = big.count() // materialize once; probes measure compute, not scan
-      def time(f: => Long): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
+      // median of 3 per leg, like the queries: single-shot probe legs
+      // swung up to 9x run-to-run under host CPU contention (measured
+      // 5s..36s on the identical LSH leg), which would read as phantom
+      // regressions in the round-over-round trend
+      def time(f: => Long): Double =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
       val tFilter = time(new graft.operators.text.TextLengthFilter(
         minLength = 100, maxLength = Some(400),
         textCol = "text", lengthCol = Some("n_chars"))(big).count())
@@ -112,7 +117,13 @@ object Bench {
         .withColumn("phash", graft.operators.image.ImageOps.phashUdf(col("image.bytes")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ni = 0L
-      val tPhashHash = time { ni = bigImg.count(); ni }
+      // single-shot ON PURPOSE: this leg measures the decode+DCT
+      // materialization of the persisted phash column — repeat counts
+      // would hit the cache and time nothing
+      val tPhashHash = {
+        val t0 = System.nanoTime(); ni = bigImg.count()
+        (System.nanoTime() - t0) / 1e9
+      }
       val tPhashExact = time(new graft.operators.image.ImagePhashDedup(
         imageCol = "image", idCol = "id", orderCol = "id")(bigImg).count())
       val tPhashNear = time(new graft.operators.image.ImagePhashNearDedup(
