@@ -269,6 +269,53 @@ class KernelSpec extends AnyFunSuite {
     assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
   }
 
+  test("battery kernels match the declarative forms on seeded random text") {
+    import graft.operators.text.{C4Clean, GopherQuality, TextAnalysis}
+    import spark.implicits._
+    // seeded generator biased toward the signals' trigger characters:
+    // bullets, ellipses, hashes, braces, newlines, digits, unicode,
+    // terminal marks, stopwords — 400 rows of adversarial soup
+    val rnd = new scala.util.Random(20260813L)
+    val atoms = Seq("the", "of", "and", "that", "with", "have", "be", "to",
+      "word", "Data", "Lorem", "ipsum", "javascript", "läßt", "日本語",
+      "•", "-", "*", "‣", "▪", "...", "…", "##", "####", "{", "}",
+      "11", "2048", "x9", ".", "!", "?", "\"", "\n", "\r", "\t", "  ", "")
+    def doc(): String =
+      (0 until rnd.nextInt(60)).map(_ => atoms(rnd.nextInt(atoms.size)))
+        .mkString(rnd.nextInt(4) match {
+          case 0 => "" case 1 => " " case _ => if (rnd.nextBoolean()) " " else "\n"
+        })
+    val docs = (1 to 400).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+
+    val t = col("text")
+    val toks = TextFunctions.tokensOf(t)
+    val g = kernels.gopher_signals(t, GopherQuality.StopWords, 5L, 1000L, 2)
+    val gDiff = docs.select(
+      struct(
+        GopherQuality.wordCount(toks).as("word_count"),
+        TextAnalysis.meanTokenLength(toks).as("mean_word_len"),
+        GopherQuality.symbolRatio(t, toks).as("symbol_ratio"),
+        GopherQuality.bulletLineFrac(t).as("bullet_line_frac"),
+        GopherQuality.ellipsisLineFrac(t).as("ellipsis_line_frac"),
+        GopherQuality.alphaWordFrac(toks).as("alpha_word_frac"),
+        GopherQuality.stopwordHits(toks).as("stopword_hits"),
+        GopherQuality.keep(t, toks, 5L, 1000L, 2).as("keep")).as("a"),
+      g.as("b")).filter(col("a") =!= col("b"))
+    assert(gDiff.count() == 0, gDiff.collect().take(3).mkString("\n"))
+
+    val kept = C4Clean.keptLines(t, 3)
+    val clean = array_join(kept, "\n")
+    val cDiff = docs.select(
+      struct(
+        clean.as("text_clean"),
+        size(kept).cast("long").as("lines_kept"),
+        size(split(coalesce(t, lit("")), "\n", -1)).cast("long").as("lines_total"),
+        C4Clean.sentenceCount(clean).as("sentences"),
+        C4Clean.docKeep(t, C4Clean.sentenceCount(clean), 2).as("keep")).as("a"),
+      kernels.c4_signals(t, 3, 2).as("b")).filter(col("a") =!= col("b"))
+    assert(cDiff.count() == 0, cDiff.collect().take(3).mkString("\n"))
+  }
+
   test("CoverageMask: overlapping and out-of-range spans, empty dups, empty toks") {
     def mask(toks: Seq[String], dups: Seq[Int], w: Int): Seq[String] = {
       val e = kernels.CoverageMask(
