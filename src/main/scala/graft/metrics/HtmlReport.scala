@@ -184,4 +184,24 @@ object HtmlReport {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, render(run))
   }
+
+  /** Publish the rendered report as `index.html` under `target` — the
+    * engine twin of the reference's HuggingFace-Space publish
+    * (framework/metrics/reporter.py:1258-1315 uploads report.html as a
+    * static space's index.html). Spark-native equivalent: `target` is
+    * any Hadoop-compatible URI (s3a:// website bucket, hdfs://, file:/),
+    * so the same call publishes to whatever static host the cluster
+    * serves; an HTTP-API publisher (HF hub, GCS signed upload) plugs in
+    * at the same seam without touching the runner. Returns the
+    * published file's URI.
+    */
+  def publish(run: RunRollup, target: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): String = {
+    val dst = new org.apache.hadoop.fs.Path(target, "index.html")
+    val fs = dst.getFileSystem(hadoopConf)
+    val out = fs.create(dst, true)
+    try out.write(render(run).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    dst.toString
+  }
 }

@@ -32,6 +32,10 @@ final case class WriterConf(tpe: String, params: Params)
 final case class ExecutorConf(
     maxSamples: Option[Long], rejectedEnabled: Boolean,
     metricsEnabled: Boolean, metricsPath: Option[String], reportPath: Option[String],
+    /** metrics.publish_path: publish the report as index.html under this
+      * Hadoop-compatible URI (the reference's HF-Space static publish,
+      * reporter.py:1258). */
+    reportPublishPath: Option[String] = None,
     checkpointPath: Option[String] = None,
     /** "cache" (default): persist the annotated chain once and serve both
       * writes from it — best when the chain is compute-heavy (decode,
@@ -95,6 +99,7 @@ object PipelineConf {
       metricsEnabled = metM.get("enabled").exists(_.asInstanceOf[Boolean]),
       metricsPath = metM.get("output_path").map(_.toString),
       reportPath = metM.get("report_path").map(_.toString),
+      reportPublishPath = metM.get("publish_path").map(_.toString),
       checkpointPath = ckptM.get("path").map(_.toString),
       rejectedMaterialize = rejM.get("materialize").map(_.toString).getOrElse("cache"),
       metricsTimed = metM.get("timed").exists(_.asInstanceOf[Boolean]))

@@ -153,6 +153,8 @@ object PipelineRunner {
       val mp = conf.executor.metricsPath.getOrElse(s"$outputPath/_metrics")
       MetricsWriter.write(spark, run, mp)
       conf.executor.reportPath.foreach(rp => HtmlReport.write(run, rp))
+      conf.executor.reportPublishPath.foreach(pp =>
+        HtmlReport.publish(run, pp, spark.sparkContext.hadoopConfiguration))
     }
     RunResult(run, outputPath, tableName)
   }

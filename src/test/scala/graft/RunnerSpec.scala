@@ -76,6 +76,23 @@ class RunnerSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/report.html")))
   }
 
+  test("metrics.publish_path publishes the report as index.html (HF-Space twin)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pub").toString + "/o"
+    val pub = java.nio.file.Files.createTempDirectory("graft_site").toString
+    val conf = PipelineConf.fromYaml(yaml(out).replace(
+      s"""report_path: "$out/report.html"""",
+      s"""report_path: "$out/report.html"\n    publish_path: "$pub""""))
+    assert(conf.executor.reportPublishPath.contains(pub))
+    PipelineRunner.run(spark, conf)
+    val idx = java.nio.file.Paths.get(pub, "index.html")
+    assert(java.nio.file.Files.exists(idx), s"no index.html under $pub")
+    val html = java.nio.file.Files.readString(idx)
+    // the published page IS the rendered report
+    assert(html == java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/report.html")))
+    assert(html.contains("<html") && html.contains("content_filtering"))
+  }
+
   test("csv and jsonl loaders read what parquet wrote (S1 format surface)") {
     val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val docs = table("documents").select(col("doc_id"), col("text"), col("n_chars"))
