@@ -79,6 +79,14 @@ object Bench {
           textCol = "text", idCol = "doc_id", ngramWidth = 8, minCount = 2)(big)
           .write.format("noop").mode("overwrite").save(); n
       }
+      // the fused quality batteries (C4 + Gopher kernels) as one chained
+      // filter pass — the pre-dedup cleaning stage's raw throughput
+      val tQuality = time {
+        val g = new graft.operators.text.GopherQualityFilter(
+          "text", minWords = 10, minStopwords = 1)
+        val c = new graft.operators.text.C4QualityFilter("text")
+        g(c(big)).count()
+      }
       big.unpersist()
 
       // Multimodal legs at replication: 10x vectors through the
@@ -131,7 +139,7 @@ object Bench {
         maxBucketSize = Some(50))(bigImg).count())
       bigImg.unpersist()
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"dup_ngram_sec":$tDup%.3f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"dup_ngram_sec":$tDup%.3f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
     }
 
     val json =
