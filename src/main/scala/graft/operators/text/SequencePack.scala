@@ -66,6 +66,32 @@ final class SequencePackRefiner(
     df.join(p, col(idCol) === col("_sp_id"), "left").drop("_sp_id")
   }
 
+  /** Materialized training rows: one row per (shard, bin) with the
+    * member documents concatenated in pack order — the terminal export
+    * form (what actually ships to a trainer as a shard file). Output:
+    * `pack_shard`, `pack_bin`, `pack_doc_count`, `pack_token_count`,
+    * `pack_doc_ids` (in pack order), `pack_text` (documents joined by a
+    * blank line). One groupBy shuffle on the (shard, bin) key; bin
+    * contents are bounded by `maxTokens`, so no group outgrows memory.
+    *
+    * An aggregation boundary ends per-document reject tracking — run it
+    * as the last stage (the disposition chain restarts clean after it:
+    * all output bins alive).
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val p = packed(df)
+    p.groupBy(col("pack_shard"), col("pack_bin"))
+      .agg(
+        count(lit(1)).as("pack_doc_count"),
+        sum(col("pack_tokens")).as("pack_token_count"),
+        sort_array(collect_list(struct(col("pack_pos"), col(idCol).as("_id"),
+          col(textCol).as("_t")))).as("_m"))
+      .withColumn("pack_doc_ids", transform(col("_m"), m => m.getField("_id")))
+      .withColumn("pack_text",
+        concat_ws("\n\n", transform(col("_m"), m => coalesce(m.getField("_t"), lit("")))))
+      .drop("_m")
+  }
+
   /** DuckDB twin (portable hash family): CTE exposing
     * `_pack(id, pack_tokens, pack_shard, pack_bin, pack_pos)`.
     */
@@ -86,4 +112,30 @@ final class SequencePackRefiner(
        |      ORDER BY id) AS INT) AS pack_pos
        |  FROM _pw)""".stripMargin
   }
+}
+
+/** Registry form of [[SequencePackRefiner.materialize]]: one output row
+  * per (shard, bin) — the terminal export stage. In disposition mode the
+  * bins build from ALIVE documents only and the chain restarts clean
+  * (every bin alive): an aggregation boundary inherently ends
+  * per-document reject tracking, so place it last and route rejects in
+  * the stages before it.
+  */
+final class SequencePackMaterializer(
+    textCol: String = "text",
+    idCol: String = "id",
+    maxTokens: Long = 2048,
+    numShards: Int = 16,
+    hashName: String = "xxhash64",
+    salt: String = "") extends Operator {
+
+  val name = "sequence_pack_materialize"
+
+  private val pack = new SequencePackRefiner(
+    textCol, idCol, maxTokens, numShards, hashName, salt)
+
+  def apply(df: DataFrame): DataFrame = pack.materialize(df)
+
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    graft.core.Disposition.init(pack.materialize(df.filter(alive)))
 }

@@ -31,6 +31,24 @@ object TrainingExportQueries {
               |SELECT id AS doc_id, pack_tokens, pack_shard, pack_bin, pack_pos
               |FROM _pack ORDER BY doc_id""".stripMargin)),
 
+    OracleQuery("sequence_pack_materialize",
+      (s, dir) => new graft.operators.text.SequencePackMaterializer(
+        "text", "doc_id", maxTokens = 512, numShards = 8,
+        hashName = "portable", salt = "r9")(Tables(s, dir, "documents"))
+        .select(col("pack_shard"), col("pack_bin"), col("pack_doc_count"),
+          col("pack_token_count"),
+          concat_ws(",", col("pack_doc_ids")).as("pack_doc_ids"), col("pack_text"))
+        .orderBy(col("pack_shard"), col("pack_bin")),
+      Some(s"""WITH ${packOp.packCteSql("documents")}
+              |SELECT pack_shard, pack_bin,
+              |  CAST(count(*) AS BIGINT) AS pack_doc_count,
+              |  CAST(sum(pack_tokens) AS BIGINT) AS pack_token_count,
+              |  string_agg(CAST(p.id AS VARCHAR), ',' ORDER BY pack_pos) AS pack_doc_ids,
+              |  string_agg(coalesce(d.text, ''), chr(10) || chr(10) ORDER BY pack_pos) AS pack_text
+              |FROM _pack p JOIN documents d ON p.id = d.doc_id
+              |GROUP BY pack_shard, pack_bin
+              |ORDER BY pack_shard, pack_bin""".stripMargin)),
+
     OracleQuery("ccnet_bucket",
       (s, dir) => bucketOp(lmOp(Tables(s, dir, "documents")))
         .select(col("doc_id"),

@@ -200,6 +200,14 @@ object OperatorRegistry {
     hashName = p.str("hash_algorithm", "xxhash64"),
     salt = p.str("salt", "")))
 
+  register("sequence_pack_materialize", p => new SequencePackMaterializer(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    maxTokens = p.long("max_tokens", 2048L),
+    numShards = p.int("num_shards", 16),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    salt = p.str("salt", "")))
+
   register("ccnet_bucket", p => new CcnetBucketRefiner(
     scoreCol = p.str("score_field", "lm_perplexity"),
     bucketCol = p.str("bucket_field", "ccnet_bucket"),

@@ -89,6 +89,51 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(dead.isNullAt(0) && dead.isNullAt(1), dead)
   }
 
+  test("materialized packs agree with the per-document labels") {
+    val labels = packOp(table("documents"))
+      .select("doc_id", "pack_shard", "pack_bin", "pack_tokens").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap // doc_id -> (shard, bin, tokens)
+    val bins = packOp.materialize(table("documents")).collect()
+    assert(bins.nonEmpty)
+    var docsSeen = 0L
+    bins.foreach { b =>
+      val shard = b.getAs[Long]("pack_shard"); val bin = b.getAs[Long]("pack_bin")
+      val ids = b.getSeq[Long](b.fieldIndex("pack_doc_ids")).toList
+      docsSeen += ids.size
+      assert(b.getAs[Long]("pack_doc_count") == ids.size)
+      // ids are in pack (= id) order and carry the right labels
+      assert(ids == ids.sorted, s"bin ($shard,$bin) not in pack order")
+      ids.foreach(id => assert(labels(id)._1 == shard && labels(id)._2 == bin))
+      assert(b.getAs[Long]("pack_token_count") == ids.map(labels(_)._3).sum)
+      // text joins with a blank line per document boundary
+      assert(b.getAs[String]("pack_text").split("\n\n", -1).length >= ids.size)
+    }
+    assert(docsSeen == labels.size, "every document lands in exactly one bin")
+  }
+
+  test("materializer in disposition mode packs alive rows and restarts the chain") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, Array.fill(8)(s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val dropBig = new graft.core.RowFilter {
+      val name = "drop_big"
+      def keep(df: org.apache.spark.sql.DataFrame) = col("doc_id") <= 20
+    }
+    val mat = new graft.operators.text.SequencePackMaterializer(
+      "text", "doc_id", maxTokens = 30, numShards = 2,
+      hashName = "portable", salt = "m")
+    val seq_ = mat(dropBig(docs))
+      .select("pack_shard", "pack_bin", "pack_doc_count", "pack_token_count")
+    var d = Disposition.init(docs)
+    d = Disposition.step(d, dropBig, "_m0")
+    d = Disposition.step(d, mat, "_m1")
+    val disp = Disposition.passed(d)
+      .select("pack_shard", "pack_bin", "pack_doc_count", "pack_token_count")
+    assert(disp.exceptAll(seq_).isEmpty && seq_.exceptAll(disp).isEmpty)
+    assert(Disposition.rejected(d).count() == 0, "aggregation boundary restarts clean")
+  }
+
   test("both operators build from the registry with YAML params") {
     import graft.runner.{OperatorRegistry, Params}
     val p = OperatorRegistry.create("sequence_pack", Params(Map(
