@@ -12,34 +12,109 @@ object Bench {
       // Catalyst prune the computed columns and fake the numbers)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-    // Deterministic order + full warmup pass + WARM MEDIANS of n>=3:
-    // without the warmup the first Map-ordered query eats JVM/codegen
-    // warmup (~9s in round 1); without medians a single cold run can't
-    // distinguish variance from regression (r2→r3 flagged two ±15%
-    // "regressions" that were noise), so round-over-round per-query
-    // deltas are only signal as warm medians.
+    // Deterministic order + warmup + WARM MEDIANS of n>=3: without the
+    // warmup the first Map-ordered query eats JVM/codegen warmup (~9s in
+    // round 1); without medians a single cold run can't distinguish
+    // variance from regression (r2→r3 flagged two ±15% "regressions"
+    // that were noise), so round-over-round per-query deltas are only
+    // signal as warm medians.
+    //
+    // Wall guard: under host contention single queries have swung 160x
+    // (r9 driver run: rc 124, no parseable record at all). Once any rep
+    // of a query exceeds `wallLimit` seconds, that measurement is kept
+    // and the remaining reps are skipped — the bench's worst case is
+    // bounded at ~(warmup + 1 slow rep) per query instead of 4x the
+    // blowup. Guarded queries are listed in "wall_guarded".
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val wallLimit = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "30").toDouble
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (n, fn) => runOne(n, fn) }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        runOne(name, fn)
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> median(times)
-    }
-    // millisecond precision: full-precision doubles tripled the line
-    // length and the driver's log-tail capture truncated the JSON
-    // mid-value two rounds running (BENCH_r7/r8 "parsed": null)
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+
+    // Results accumulate as each query lands so the shutdown hook can
+    // emit a parseable partial record even when the driver's timeout
+    // kills the JVM mid-run (SIGTERM runs shutdown hooks; rc 124 in r9
+    // left "parsed": null because the summary only printed at the end).
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val guarded = scala.collection.mutable.ArrayBuffer.empty[String]
+    @volatile var probeJson: Option[String] = None
+    @volatile var finishedNormally = false
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+
+    def fullJson(partial: Boolean): String = {
+      val rs = results.toSeq
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
+      val total = rs.map(_._2).sum
+      val g = guarded.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val p = probeJson.getOrElse("null")
+      val pf = if (partial) ",\"partial\":true" else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"wall_guarded":$g,"queries":$qs,"sf":"$sfDir","scale_probe":$p$pf}"""
+    }
+    // The driver keeps only the LAST 2000 chars of output and parses the
+    // final JSON line out of that window (BENCH_r7/r8 both carried
+    // "parsed": null because the full record is wider than the window —
+    // the query names alone exceed it). So: the FULL record goes to
+    // bench_out.json (committed, self-contained) and is printed first;
+    // the LAST line is a compact summary guaranteed to fit the window —
+    // total + scale probe + the slowest queries, added in descending
+    // cost until a 1300-char budget (the cheap tail of the distribution
+    // is the part that carries no grading signal).
+    def compactJson(partial: Boolean): String = {
+      val rs = results.toSeq
+      val total = rs.map(_._2).sum
+      val slow = rs.sortBy(-_._2)
+      val pf = if (partial) ",\"partial\":true" else ""
+      val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${rs.size},"queries_file":"$outFile"$pf,"scale_probe":${probeJson.getOrElse("null")},"queries":{"""
+      val tailStr = "}}"
+      val budget = 1300 - head.length - tailStr.length
+      val parts = Seq.newBuilder[String]
+      var used = 0
+      slow.foreach { case (k, v) =>
+        val e = s"\"$k\":${sec(v)}"
+        if (used + e.length + 1 <= budget) { parts += e; used += e.length + 1 }
+      }
+      head + parts.result().mkString(",") + tailStr
+    }
+    def emit(partial: Boolean): Unit = {
+      val json = fullJson(partial)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      println(json)
+      println(compactJson(partial))
+      System.out.flush()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finishedNormally) emit(partial = true)
+    }))
+
+    ordered.foreach { case (name, fn) =>
+      // warmup counts against the guard too: a query pathological enough
+      // to blow the limit cold is recorded from its warmup and never
+      // re-run
+      val w0 = System.nanoTime()
+      runOne(name, fn)
+      val warm = (System.nanoTime() - w0) / 1e9
+      if (warm > wallLimit) {
+        results(name) = warm
+        guarded += name
+      } else {
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var rep = 0
+        while (rep < reps && (times.isEmpty || times.last <= wallLimit)) {
+          val t0 = System.nanoTime()
+          runOne(name, fn)
+          times += (System.nanoTime() - t0) / 1e9
+          rep += 1
+        }
+        if (times.last > wallLimit) guarded += name
+        results(name) = median(times.toSeq)
+      }
+    }
 
     // 10x scale probe (promoted from the dev-only graft.ScaleProbe): the
     // documents table replicated 10x under re-keyed ids (≈90% duplicate
@@ -58,11 +133,18 @@ object Bench {
       // median of 3 per leg, like the queries: single-shot probe legs
       // swung up to 9x run-to-run under host CPU contention (measured
       // 5s..36s on the identical LSH leg), which would read as phantom
-      // regressions in the round-over-round trend
-      def time(f: => Long): Double =
-        (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }.sorted.apply(1)
+      // regressions in the round-over-round trend. Same wall guard as
+      // the queries: a leg rep past the limit is kept and ends the leg.
+      def time(f: => Long): Double = {
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var rep = 0
+        while (rep < 3 && (times.isEmpty || times.last <= wallLimit)) {
+          val t0 = System.nanoTime(); f
+          times += (System.nanoTime() - t0) / 1e9
+          rep += 1
+        }
+        if (times.size == 3) times.sorted.apply(1) else times.last
+      }
       val tFilter = time(new graft.operators.text.TextLengthFilter(
         minLength = 100, maxLength = Some(400),
         textCol = "text", lengthCol = Some("n_chars"))(big).count())
@@ -141,36 +223,10 @@ object Bench {
 
       f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"dup_ngram_sec":$tDup%.3f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
     }
+    probeJson = Some(probe)
 
-    val json =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir","scale_probe":$probe}"""
-    // The driver keeps only the LAST 2000 chars of output and parses the
-    // final JSON line out of that window (BENCH_r7/r8 both carried
-    // "parsed": null because the full record is wider than the window —
-    // the query names alone exceed it). So: the FULL record goes to
-    // bench_out.json (committed, self-contained) and is printed first;
-    // the LAST line is a compact summary guaranteed to fit the window —
-    // total + scale probe + the slowest queries, added in descending
-    // cost until a 1300-char budget (the cheap tail of the distribution
-    // is the part that carries no grading signal).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
-    val compact = {
-      val slow = results.sortBy(-_._2)
-      val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"queries_file":"$outFile","scale_probe":$probe,"queries":{"""
-      val tailStr = "}}"
-      val budget = 1300 - head.length - tailStr.length
-      val parts = Seq.newBuilder[String]
-      var used = 0
-      slow.foreach { case (k, v) =>
-        val e = s"\"$k\":${sec(v)}"
-        if (used + e.length + 1 <= budget) { parts += e; used += e.length + 1 }
-      }
-      head + parts.result().mkString(",") + tailStr
-    }
+    finishedNormally = true
     spark.stop()
-    println(json)
-    println(compact)
+    emit(partial = false)
   }
 }

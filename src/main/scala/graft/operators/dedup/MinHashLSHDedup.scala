@@ -85,11 +85,19 @@ final class MinHashLSHDedup(
     val bands0 = base.select(col("_id"), col("_h"), posexplode(bandKeys).as(Seq("_b", "_bkey")))
     val bands = maxBucketSize match {
       case Some(cap) =>
-        // drop pathological buckets (e.g. empty-ish texts all colliding)
-        import org.apache.spark.sql.expressions.Window
-        bands0.withColumn("_bn", count(lit(1)).over(
-            Window.partitionBy(col("_b"), col("_bkey"))))
-          .filter(col("_bn") <= cap).drop("_bn")
+        // drop pathological buckets (e.g. empty-ish texts all colliding).
+        // Counts only on the wire: the groupBy side is column-pruned to
+        // (_b, _bkey) — a map-side partial count — and the (few) hot keys
+        // broadcast back as an anti-join. The previous window form
+        // shuffled every (_id, _h, band) row partitioned by exactly the
+        // hot key the cap exists to protect against; under memory
+        // pressure that skewed full-array exchange spilled pathologically
+        // (161× swing in the r9 driver bench). Plan-checked in PlanSpec:
+        // no Window, no _h-carrying exchange keyed on the band.
+        val hot = bands0.select(col("_b"), col("_bkey"))
+          .groupBy(col("_b"), col("_bkey")).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > cap).select(col("_b"), col("_bkey"))
+        bands0.join(broadcast(hot), Seq("_b", "_bkey"), "left_anti")
       case None => bands0
     }
     val left = bands.select(col("_b"), col("_bkey"), col("_id").as("d1"), col("_h").as("h1"))
@@ -170,7 +178,8 @@ final class MinHashLSHDedup(
   /** Oracle SQL returning kept ids, ORDER BY id. Requires portableHashes.
     * Verification is on the hashed shingle sets `h` — exactly what the
     * Spark side verifies (kernels.ArrayJaccard over ShingleHashes output).
-    * The QUALIFY clause mirrors the Spark-side `maxBucketSize` window cap.
+    * The QUALIFY clause mirrors the Spark-side `maxBucketSize` hot-bucket
+    * anti-join (same semantics: buckets with count > cap are dropped).
     */
   /** CTE chain ending in `ver(d1, d2)` — the verified duplicate pairs. */
   private def verCtes(table: String): String = {

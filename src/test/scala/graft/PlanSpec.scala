@@ -97,6 +97,31 @@ class PlanSpec extends AnyFunSuite {
     assert(kernels == 2, s"expected 1 shingle eval per join side, got $kernels")
   }
 
+  test("capped minhash plans the bucket cap as a broadcast anti-join, never a window") {
+    val op = new graft.operators.dedup.MinHashLSHDedup(
+      textCol = "text", idCol = "doc_id", maxBucketSize = Some(50))
+    val df = op.verifiedPairs(table("documents"))
+    val p = planOf(df)
+    // the r9 form shuffled every (_id, _h, band) row partitioned by the
+    // hot bucket key itself — a skew amplifier; the cap must move counts,
+    // not arrays
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the hot-count aggregation side must be pruned to the band key: no
+    // exchange whose partial-count child still carries the _h arrays
+    val exec = df.queryExecution.executedPlan
+    val aggExchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]
+          || e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] => e
+    }
+    aggExchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "_h"),
+        s"hot-count exchange carries shingle arrays: ${e.output.mkString(",")}")
+    }
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(
