@@ -33,19 +33,58 @@ object WarcQueries {
     sb.toString.getBytes("UTF-8")
   }
 
+  /** Shard count for the generated archive: one WARC file per shard, so
+    * the `binaryFile` scan in [[Warc.load]] gets that many tasks. (The
+    * r9 form collected the whole table driver-side into ONE file — a
+    * zero-parallelism scan and the repo's only full-table collect; it
+    * swung 0.77 s → 37 s under host contention in the driver bench.)
+    */
+  private val NumShards = 16
+
+  /** Materialize the fixture archive for `dir` ONCE (atomic publish,
+    * reused across bench reps and Verify runs): each task writes its own
+    * shard file from a distributed `foreachPartition` — doc rows never
+    * visit the driver. Record order inside a shard is made deterministic
+    * by sorting on doc_id within partitions; the gate's final
+    * `ORDER BY url` makes shard assignment irrelevant to the result.
+    */
+  private[queries] def fixtureDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val key = Integer.toHexString(dir.hashCode)
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_warc_fixture_$key")
+    if (!java.nio.file.Files.isDirectory(out)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_build")
+      val tmpStr = tmp.toString
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(NumShards, pmod(col("doc_id"), lit(NumShards)))
+        .sortWithinPartitions(col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val rows = it.map(r =>
+            (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+          if (rows.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmpStr, f"shard-$pid%05d.warc"),
+              buildWarc(rows))
+            ()
+          }
+        }
+      try java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the publish race: another run's fixture is in place
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    }
+    out.toString
+  }
+
   val queries: Seq[OracleQuery] = Seq(
     OracleQuery("warc_extract",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-          .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
-        val file = java.nio.file.Files.createTempDirectory("graft_warc_gate")
-          .resolve("fixture.warc")
-        java.nio.file.Files.write(file, buildWarc(docs.toSeq))
-        Warc.load(s, file.toString, "CC-FIX")
+      (s, dir) =>
+        Warc.load(s, fixtureDir(s, dir), "CC-FIX")
           .select(col("url"), col("text"), col("text_length"))
-          .orderBy(col("url"))
-      },
+          .orderBy(col("url")),
       Some(s"""WITH c AS (SELECT doc_id,
               |    trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS ct
               |  FROM documents),
