@@ -169,6 +169,22 @@ object Bench {
         val c = new graft.operators.text.C4QualityFilter("text")
         g(c(big)).count()
       }
+      // the full composed curation order (clean → filter → quality →
+      // corpus-global span removal → exact dedup) as ONE leg — the r9
+      // driver run blew up exactly here (3.7 s → 61 s) and per-operator
+      // legs can't see cross-stage recompute/spill amplification
+      val tStack = time {
+        val cleaned = new graft.operators.text.C4CleanRefiner("text")(big)
+        val f1 = new graft.operators.text.C4QualityFilter("text")(cleaned)
+        val f2 = new graft.operators.text.GopherQualityFilter(
+          "text_c4_clean", minWords = 10, minStopwords = 2)(f1)
+        val dup = new graft.operators.text.DupNgramRefiner(
+          "text_c4_clean", "doc_id", ngramWidth = 8, minCount = 3,
+          hashName = "portable")(f2)
+        graft.operators.dedup.TextExactDedup(
+          textCol = "text_dedup_spans", idCol = "doc_id",
+          orderCol = "doc_id")(dup).count()
+      }
       big.unpersist()
 
       // Multimodal legs at replication: 10x vectors through the
@@ -221,7 +237,7 @@ object Bench {
         maxBucketSize = Some(50))(bigImg).count())
       bigImg.unpersist()
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"dup_ngram_sec":$tDup%.3f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
     }
     probeJson = Some(probe)
 

@@ -72,8 +72,20 @@ final class DupNgramRefiner(
           TextFunctions.shingles(TextFunctions.tokensOf(col(textCol)), w),
           g => HashFunctions.hashByName(hashName)(g))
     }
-    val inst = corpus.select(col(idCol).as("_dn_id"),
-      posexplode(gramHashes).as(Seq("_dn_pos", "_dn_h")))
+    // The instance stream has two consumers (the corpus gram count and
+    // the per-document dup join); left lazy, each downstream ACTION
+    // re-ran the tokenize+shingle kernel twice over the whole corpus —
+    // under memory pressure that recompute amplified into the r9
+    // curation_stack blowup (3.7 s → 61 s contended). Stage the per-doc
+    // hash ARRAYS once (compact: ~8 B/token, the pre-explode form),
+    // materialize the small per-document dup state eagerly, and release
+    // the scratch cache before returning — the ConnectedComponents
+    // idiom; a plain persist of a lazily-consumed output would leak for
+    // the session's life (the r8 ngram_lm lesson).
+    val hashed = corpus.select(col(idCol).as("_dn_id"), gramHashes.as("_dn_hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inst = hashed.select(col("_dn_id"),
+      posexplode(col("_dn_hs")).as(Seq("_dn_pos", "_dn_h")))
 
     val dupHashes = inst
       .groupBy("_dn_h").agg(count(lit(1)).as("_dn_tc"))
@@ -83,6 +95,11 @@ final class DupNgramRefiner(
       .groupBy("_dn_id")
       .agg(sort_array(collect_list(col("_dn_pos"))).as("_dn_dups"),
         count(lit(1)).as("_dn_cnt"))
+      // one flat (id, positions, count) table — the dedup state a real
+      // cluster would checkpoint to shared storage; eager so the scratch
+      // cache can be dropped NOW instead of on an unknowable consumer
+      .localCheckpoint(true)
+    hashed.unpersist()
 
     def gated(c: Column): Column = alive.fold(c)(a => when(a, c))
     // tokens staged ONCE as a scratch column (regexp work is non-cheap,
