@@ -30,7 +30,7 @@ final class NgramJaccardDedup(
     idCol: String = "id",
     shingleWidth: Int = 3,
     threshold: Double = 0.8,
-    maxDocFreq: Option[Int] = None) extends graft.core.RejectingOperator {
+    val maxDocFreq: Option[Int] = None) extends graft.core.RejectingOperator {
 
   val name = "ngram_jaccard_dedup"
 

@@ -64,12 +64,18 @@ object OperatorRegistry {
     threshold = p.double("threshold", 0.8),
     maxBucketSize = p.long("max_bucket_size").map(_.toInt)))
 
+  // The exact-Jaccard posting self-join is quadratic in a shingle's doc
+  // frequency — one boilerplate shingle in f docs contributes f² join
+  // rows. The YAML path therefore always plans with a doc-frequency cap
+  // (default 1000, same spirit as the cosine no-cartesian invariant
+  // below); the genuinely-unbounded exact tier stays API-only
+  // (`new NgramJaccardDedup(..., maxDocFreq = None)`).
   register("ngram_jaccard_deduplicator", p => new NgramJaccardDedup(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),
     shingleWidth = p.int("shingle_width", 3),
     threshold = p.double("threshold", 0.8),
-    maxDocFreq = p.long("max_doc_freq").map(_.toInt)))
+    maxDocFreq = Some(p.int("max_doc_freq", 1000))))
 
   register("simhash_deduplicator", p => new SimHashDedup(
     textCol = p.str("text_field", "text"),

@@ -189,6 +189,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("registry-built ngram-jaccard always plans with a doc-frequency cap") {
+    // no max_doc_freq in the config → default cap of 1000, so no YAML
+    // can plan the unbounded posting self-join (f² rows per hot
+    // shingle); the uncapped exact tier stays API-only
+    val op = graft.runner.OperatorRegistry.create("ngram_jaccard_deduplicator",
+      graft.runner.Params(Map("text_field" -> "text", "id_field" -> "doc_id")))
+      .asInstanceOf[graft.operators.dedup.NgramJaccardDedup]
+    assert(op.maxDocFreq.contains(1000))
+    val explicit = graft.runner.OperatorRegistry.create("ngram_jaccard_deduplicator",
+      graft.runner.Params(Map("text_field" -> "text", "id_field" -> "doc_id",
+        "max_doc_freq" -> 50)))
+      .asInstanceOf[graft.operators.dedup.NgramJaccardDedup]
+    assert(explicit.maxDocFreq.contains(50))
+    // and the capped plan carries the hot-shingle anti-join
+    val p = planOf(op(table("documents")))
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("kmeans assignment is a pure per-row map — no join, no shuffle") {
     val p = plan("kmeans_assign")
     assert(!p.contains("Join"), p)
