@@ -594,6 +594,70 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** PII battery: per-kind match counts over the ORIGINAL text plus the
+    * chained redaction, one fused evaluation per row. The declarative
+    * form ran 2 independent regexp expressions per kind (count +
+    * replace), each materializing the row's UTF8String separately — 6
+    * conversions and 6 uncached matcher setups per row; fused, the raw
+    * string materializes once and the patterns are compiled once per
+    * operator instance. Counts are per-kind over the original text and
+    * redaction chains in pattern order (later patterns see earlier
+    * replacements) — EXACTLY the declarative/DuckDB algebra; a single
+    * alternation scan would diverge on spans where a lower-priority
+    * match starts before an overlapping higher-priority one.
+    */
+  case class PiiSignals(child: Expression, patterns: Seq[(String, String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(
+      patterns.map { case (k, _, _) =>
+        StructField(s"${k}_count", LongType, nullable = false)
+      } :+ StructField("redacted", StringType, nullable = false))
+
+    @transient private lazy val compiled = patterns.map { case (_, p, r) =>
+      (java.util.regex.Pattern.compile(p),
+        java.util.regex.Matcher.quoteReplacement(r))
+    }.toArray
+
+    override def nullSafeEval(v: Any): Any = {
+      val raw = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val out = new Array[Any](compiled.length + 1)
+      var red = raw
+      var i = 0
+      while (i < compiled.length) {
+        val (p, r) = compiled(i)
+        if (red eq raw) {
+          // count and replace see the same text (no earlier pattern has
+          // replaced anything yet) — one matcher pass does both
+          val m = p.matcher(raw)
+          var c = 0L
+          var sb: java.lang.StringBuilder = null
+          while (m.find()) {
+            if (sb == null) sb = new java.lang.StringBuilder(raw.length)
+            c += 1
+            m.appendReplacement(sb, r)
+          }
+          out(i) = c
+          if (sb != null) { m.appendTail(sb); red = sb.toString }
+        } else {
+          val m = p.matcher(raw)
+          var c = 0L
+          while (m.find()) c += 1
+          out(i) = c
+          // the replace pass must run even when the ORIGINAL text has no
+          // matches: a replacement token ends in a non-word char, so it
+          // can CREATE a \b context that didn't exist in the original
+          // ("a@b.cc1.2.3.4" → "[EMAIL]1.2.3.4" births an ipv4 match)
+          red = p.matcher(red).replaceAll(r)
+        }
+        i += 1
+      }
+      out(compiled.length) =
+        org.apache.spark.unsafe.types.UTF8String.fromString(red)
+      new GenericInternalRow(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Exact Jaccard of two arrays (string or long elements) via hash sets —
     * the verification step of the near-dup joins.
     */
@@ -643,6 +707,10 @@ object kernels {
   def stopword_scores(toks: Column, profiles: Seq[Seq[String]]): Column =
     expr2col(StopwordScores(colExpr(toks), profiles))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
+  /** PII battery struct; null text → null struct (callers coalesce the
+    * counts to 0 and leave the redaction null, the declarative contract). */
+  def pii_signals(text: Column, patterns: Seq[(String, String, String)]): Column =
+    expr2col(PiiSignals(colExpr(text), patterns))
   def array_jaccard(a: Column, b: Column): Column = expr2col(ArrayJaccard(colExpr(a), colExpr(b)))
   /** Gopher battery struct; coalesces NULL text to '' (the declarative
     * form is null-tolerant). */

@@ -155,6 +155,41 @@ class KernelSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("PiiSignals matches the declarative count/redact columns, fixture + crafted spans") {
+    import graft.operators.text.PiiRedaction
+    // crafted rows cover the divergence-prone shapes: ipv4 inside an
+    // email domain (counted on original, redacted as email), a phone
+    // whose span overlaps a later email start (chained order keeps the
+    // email), adjacency after replacement, and null text
+    val crafted = Seq(
+      "reach me at bob.smith+tag@mail.example.org or 555-867-5309 x12",
+      "host a@1.2.3.4.com and raw 10.0.0.255 plus 999.1.1.1",
+      "123 456 7890@x.yy overlap case",
+      "a@b.cc1.2.3.4 adjacency",
+      "plain text, no pii at all.",
+      null)
+    val craftedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(crafted.zipWithIndex.map {
+        case (t, i) => org.apache.spark.sql.Row(i.toLong, t) }),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+    for (df <- Seq(docs, craftedDf)) {
+      val declarative = struct(
+        (PiiRedaction.patterns.map { case (kind, _, _) =>
+          PiiRedaction.countOf(col("text"), kind).as(s"${kind}_count")
+        } :+ PiiRedaction.redact(col("text")).as("redacted")): _*)
+      val fused = struct(
+        (PiiRedaction.patterns.map { case (kind, _, _) =>
+          coalesce(kernels.pii_signals(col("text"), PiiRedaction.patterns)
+            .getField(s"${kind}_count"), lit(0L)).as(s"${kind}_count")
+        } :+ kernels.pii_signals(col("text"), PiiRedaction.patterns)
+          .getField("redacted").as("redacted")): _*)
+      val diff = df.select(declarative.as("a"), fused.as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff == 0)
+    }
+  }
+
   test("ArrayCosine column matches the declarative dot/norm form") {
     val emb = table("embeddings")
     val declarative = graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")) /

@@ -207,6 +207,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("pii battery evaluates the fused kernel exactly once per row") {
+    val df = new graft.operators.text.PiiRedactionRefiner("text")(table("documents"))
+    val p = df.queryExecution.optimizedPlan.toString.toLowerCase
+    val evals = "piisignals".r.findAllIn(p).size
+    assert(evals == 1, s"expected 1 fused eval, got $evals\n$p")
+  }
+
   test("kmeans assignment is a pure per-row map — no join, no shuffle") {
     val p = plan("kmeans_assign")
     assert(!p.contains("Join"), p)
