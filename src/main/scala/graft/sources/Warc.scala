@@ -180,6 +180,55 @@ object Warc {
     if (text.trim.isEmpty || text.length < 50) None else Some((title, text))
   }
 
+  /** CommonCrawl manifest → WARC file list — the acquisition step of the
+    * reference's CommonCrawlLoader (loaders/commoncrawl_loader.py:38-64)
+    * against a local/HDFS mirror instead of the HTTP origin: reads
+    * `<mirrorRoot>/crawl-data/<crawlId>/warc.paths.gz` (gzip, one
+    * relative path per line; a plain `warc.paths` also works), resolves
+    * each entry against the mirror root, and caps the list — `numFiles`
+    * wins; otherwise `maxSamples` derives the count at the reference's
+    * ~5000-records-per-file heuristic, floored at `numWorkers`. Fetch
+    * retry/backoff is an ingest-mirror concern, not the engine's.
+    */
+  def pathsFor(
+      crawlId: String,
+      mirrorRoot: String,
+      numFiles: Option[Int] = None,
+      maxSamples: Option[Long] = None,
+      numWorkers: Int = 1): Seq[String] = {
+    val root = mirrorRoot.stripSuffix("/")
+    val dir = s"$root/crawl-data/$crawlId"
+    val gz = new java.io.File(s"$dir/warc.paths.gz")
+    val plain = new java.io.File(s"$dir/warc.paths")
+    val in: java.io.InputStream =
+      if (gz.isFile) new java.util.zip.GZIPInputStream(new java.io.FileInputStream(gz))
+      else if (plain.isFile) new java.io.FileInputStream(plain)
+      else throw new java.io.FileNotFoundException(
+        s"no warc.paths[.gz] manifest under $dir")
+    val cap = numFiles.orElse(maxSamples.map(ms =>
+      math.max(numWorkers.toLong, ms / 5000L + 1L).toInt))
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).map(p => s"$root/$p")
+      cap.fold(lines.toList)(c => lines.take(c).toList)
+    } finally in.close()
+  }
+
+  /** Manifest-driven load: resolve the crawl's file list, then scan. */
+  def loadCrawl(
+      spark: SparkSession,
+      crawlId: String,
+      mirrorRoot: String,
+      numFiles: Option[Int] = None,
+      maxSamples: Option[Long] = None): Dataset[WarcDoc] = {
+    val paths = pathsFor(crawlId, mirrorRoot, numFiles, maxSamples)
+    import spark.implicits._
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => extractDocs(crawlId, path, bytes) }
+  }
+
   /** The loader: WARC files under `pathGlob` → text records. */
   def load(spark: SparkSession, pathGlob: String, crawlId: String): Dataset[WarcDoc] = {
     import spark.implicits._

@@ -154,4 +154,45 @@ class WarcSpec extends AnyFunSuite {
     assert(ds.count() == 2)
     assert(ds.collect().forall(_.title == "Sample Article"))
   }
+
+  test("manifest: pathsFor resolves warc.paths.gz, caps, and drives loadCrawl") {
+    val crawl = "CC-TEST-2024-01"
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_mirror")
+    val crawlDir = root.resolve(s"crawl-data/$crawl")
+    java.nio.file.Files.createDirectories(crawlDir.resolve("segments"))
+    java.nio.file.Files.write(
+      crawlDir.resolve("segments").resolve("a.warc"), warcFile)
+    java.nio.file.Files.write(
+      crawlDir.resolve("segments").resolve("b.warc"), warcFile)
+    val manifest = Seq("a", "b").map(n =>
+      s"crawl-data/$crawl/segments/$n.warc").mkString("", "\n", "\n")
+    val baos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write(manifest.getBytes("UTF-8")); gz.close()
+    java.nio.file.Files.write(crawlDir.resolve("warc.paths.gz"), baos.toByteArray)
+
+    val all = Warc.pathsFor(crawl, root.toString)
+    assert(all == Seq(
+      s"$root/crawl-data/$crawl/segments/a.warc",
+      s"$root/crawl-data/$crawl/segments/b.warc"))
+    // explicit numFiles wins; maxSamples derives at ~5000 records/file
+    assert(Warc.pathsFor(crawl, root.toString, numFiles = Some(1)).size == 1)
+    assert(Warc.pathsFor(crawl, root.toString,
+      maxSamples = Some(4000L)).size == 1)
+    assert(Warc.pathsFor(crawl, root.toString,
+      maxSamples = Some(6000L)).size == 2)
+    // trailing-slash root and a plain (non-gz) manifest behave the same
+    java.nio.file.Files.write(crawlDir.resolve("warc.paths"),
+      manifest.getBytes("UTF-8"))
+    java.nio.file.Files.delete(crawlDir.resolve("warc.paths.gz"))
+    assert(Warc.pathsFor(crawl, root.toString + "/") == all)
+    intercept[java.io.FileNotFoundException] {
+      Warc.pathsFor("CC-NOPE-2024", root.toString)
+    }
+
+    val ds = Warc.loadCrawl(spark, crawl, root.toString)
+    assert(ds.count() == 2)
+    assert(Warc.loadCrawl(spark, crawl, root.toString,
+      numFiles = Some(1)).count() == 1)
+  }
 }
