@@ -96,6 +96,33 @@ class WriterSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("catalog table writer against a REAL Iceberg catalog (optional jar)") {
+    // Exercised only when iceberg-spark-runtime is on the classpath;
+    // otherwise the test is CANCELED (visible as such in the report),
+    // never silently green. With the jar, the identical writeTo calls
+    // must produce a real Iceberg table: one snapshot per append.
+    val icebergPresent =
+      try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+      catch { case _: ClassNotFoundException => false }
+    if (!icebergPresent)
+      cancel("iceberg-spark-runtime jar not on the classpath — skipped")
+    val cat = "graft_ice"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp())
+    val tbl = s"$cat.db.w2_${System.nanoTime()}"
+    val w = new graft.io.CatalogTableWriter(tbl, format = "iceberg")
+    try {
+      val df = spark.range(5).toDF("id")
+      w.write(df)
+      w.write(df)
+      assert(w.read(spark).count() == 10)
+      // snapshot isolation: each append is its own Iceberg snapshot
+      assert(spark.sql(s"SELECT * FROM $tbl.snapshots").count() == 2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("html report renders counts and escapes content") {
     val run = MetricsRollup.run("run_x<y>", Seq(MetricsRollup.stage("s&1", Seq(
       OperatorCounts(0, "op<a>", 100, 60, 1.5)))), 2.0)
