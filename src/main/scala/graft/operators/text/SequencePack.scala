@@ -37,6 +37,12 @@ final class SequencePackRefiner(
 
   require(maxTokens >= 1, s"maxTokens $maxTokens must be >= 1")
   require(numShards >= 1, s"numShards $numShards must be >= 1")
+  // string-digest families (md5/sha256) would reach pmod as hex text,
+  // cast to bigint as NULL, and silently collapse every row into one
+  // NULL shard — only the long-valued families are legal here
+  require(hashName == "xxhash64" || hashName == "portable",
+    s"sequence packing shards on a LONG hash; got '$hashName' " +
+      "(md5/sha256 digests are strings and would pmod to null)")
   val name = "sequence_pack"
 
   private def packed(df: DataFrame): DataFrame = {

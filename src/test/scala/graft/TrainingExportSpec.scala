@@ -153,4 +153,22 @@ class TrainingExportSpec extends AnyFunSuite {
     val out = new CcnetBucketRefiner("score", exact = false)(scored)
     assert(out.select("ccnet_bucket").distinct().count() == 3)
   }
+
+  test("string-digest hash families are rejected at construction") {
+    // md5/sha256 digests are hex STRINGS: pmod would cast them to
+    // bigint as NULL and silently pack every row into one NULL shard
+    for (bad <- Seq("md5", "sha256")) {
+      intercept[IllegalArgumentException] {
+        new graft.operators.text.SequencePackRefiner(hashName = bad)
+      }
+      intercept[IllegalArgumentException] {
+        new graft.operators.text.SequencePackMaterializer(hashName = bad)
+      }
+      intercept[IllegalArgumentException] {
+        graft.runner.OperatorRegistry.create("sequence_pack", graft.runner.Params(Map(
+          "text_field" -> "text", "id_field" -> "doc_id",
+          "hash_algorithm" -> bad)))
+      }
+    }
+  }
 }

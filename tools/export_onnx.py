@@ -59,8 +59,12 @@ import sys
 
 # ---------------- protobuf wire-format writer (pure stdlib) ----------------
 # onnx.proto field numbers (public schema): ModelProto.ir_version = 1,
-# .graph = 7; GraphProto.node = 1, .name = 2, .initializer = 5,
-# .input = 11, .output = 12; NodeProto.input = 1, .output = 2,
+# .graph = 7, .opset_import = 8 (OperatorSetIdProto.domain = 1,
+# .version = 2); GraphProto.node = 1, .name = 2, .initializer = 5,
+# .input = 11, .output = 12; ValueInfoProto.name = 1, .type = 2;
+# TypeProto.tensor_type = 1 (Tensor.elem_type = 1, .shape = 2;
+# TensorShapeProto.dim = 1, Dimension.dim_value = 1, .dim_param = 3);
+# NodeProto.input = 1, .output = 2,
 # .op_type = 4, .attribute = 5; AttributeProto.name = 1, .f = 2, .i = 3,
 # .type = 20 (FLOAT=1, INT=2); TensorProto.dims = 1, .data_type = 2
 # (FLOAT=1), .float_data = 4 (packed), .name = 8, .raw_data = 9.
@@ -120,17 +124,38 @@ def node(op, ins, outs, f_attrs=(), i_attrs=()):
     return w
 
 
-def model_bytes(graph_name, nodes, initializers, in_name, out_name):
+def value_info(name, dims):
+    """ValueInfoProto with a full tensor TypeProto — onnxruntime rejects
+    graph inputs/outputs without elem_type+shape at session creation, so
+    typed ValueInfos are required for the runtime-bridge deployments (the
+    pure-JVM interpreter only reads the name and skips the rest).
+    dims entries: int -> dim_value, str -> dim_param (symbolic batch)."""
+    shape = W()
+    for d in dims:
+        if isinstance(d, str):
+            shape.msg(1, W().str_(3, d))   # Dimension.dim_param = 3
+        else:
+            shape.msg(1, W().tag(1, 0).varint(d))  # Dimension.dim_value = 1
+    tt = W()
+    tt.tag(1, 0).varint(1)  # Tensor.elem_type = FLOAT
+    tt.msg(2, shape)        # Tensor.shape
+    return W().str_(1, name).msg(2, W().msg(1, tt))  # type.tensor_type
+
+
+def model_bytes(graph_name, nodes, initializers, in_name, in_dims, out_name, out_dims):
     g = W()
     for n in nodes:
         g.msg(1, n)
     g.str_(2, graph_name)
     for t in initializers:
         g.msg(5, t)
-    g.msg(11, W().str_(1, in_name))
-    g.msg(12, W().str_(1, out_name))
+    g.msg(11, value_info(in_name, in_dims))
+    g.msg(12, value_info(out_name, out_dims))
     m = W()
     m.tag(1, 0).varint(8)  # ir_version
+    # opset_import {domain: "" (default), version: 13} — mandatory per the
+    # ONNX spec; onnxruntime refuses models without it
+    m.msg(8, W().tag(2, 0).varint(13))
     m.msg(7, g)
     return bytes(m.buf)
 
@@ -170,7 +195,8 @@ def head_graph(name, aw1, ab1, aw2, ab2, w1, b1, w2, b2, w3, b3):
         tensor("w3", [len(w3), len(w3[0])], [v for r in w3 for v in r]),
         tensor("b3", [len(b3)], b3),
     ]
-    return model_bytes(name, nodes, inits, "x", "y")
+    return model_bytes(name, nodes, inits,
+                       "x", ["N", len(aw1[0])], "y", ["N", len(b3)])
 
 
 def cmd_tiny_head(args):
@@ -195,7 +221,10 @@ def cmd_quality(args):
         import torch
     except ImportError:
         sys.exit("quality mode reads a .pth checkpoint and needs torch installed")
-    sd = torch.load(args.checkpoint, map_location="cpu")
+    # weights_only=True (torch >= 1.13): never unpickle arbitrary code from
+    # the checkpoint. Full-checkpoint forms (tensors + primitive metadata)
+    # load fine under it; the model_state_dict is extracted after.
+    sd = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model_state_dict" in sd:
         sd = sd["model_state_dict"]  # full-checkpoint form (inference.py:224)
     head = f"head_{args.head}"
