@@ -58,12 +58,12 @@ final class DupNgramRefiner(
   override def applyGated(df: DataFrame, alive: Column): DataFrame =
     build(df, df.filter(alive), Some(alive))
 
-  private def build(
-      df: DataFrame, corpus: DataFrame, alive: Option[Column]): DataFrame = {
-    // gram instances as (id, pos, hash) — hashed before the explode, so
-    // nothing downstream ever shuffles a string. The fused kernel covers
-    // the long-keyed families; md5/sha256 (string hashes) fall back to
-    // the declarative path, same semantics.
+  /** Per-document gram-hash arrays `(id, hashes)` — hashed before any
+    * explode, so nothing downstream ever shuffles a string. The fused
+    * kernel covers the long-keyed families; md5/sha256 (string hashes)
+    * fall back to the declarative path, same semantics.
+    */
+  private[graft] def staged(corpus: DataFrame): DataFrame = {
     val gramHashes = hashName match {
       case "portable" | "xxhash64" =>
         kernels.shingle_hashes_positional(col(textCol), w, hashName)
@@ -72,6 +72,29 @@ final class DupNgramRefiner(
           TextFunctions.shingles(TextFunctions.tokensOf(col(textCol)), w),
           g => HashFunctions.hashByName(hashName)(g))
     }
+    corpus.select(col(idCol).as("_dn_id"), gramHashes.as("_dn_hs"))
+  }
+
+  /** The lazy corpus-global dup state `(_dn_id, _dn_dups, _dn_cnt)` over
+    * staged gram-hash arrays — exposed (pre-materialization) so PlanSpec
+    * can assert its shape: duplicated hashes from a partial-aggregated
+    * groupBy, instances semi-joined against that set, NO window.
+    */
+  private[graft] def dupState(hashed: DataFrame): DataFrame = {
+    val inst = hashed.select(col("_dn_id"),
+      posexplode(col("_dn_hs")).as(Seq("_dn_pos", "_dn_h")))
+    val dupHashes = inst
+      .groupBy("_dn_h").agg(count(lit(1)).as("_dn_tc"))
+      .filter(col("_dn_tc") >= minCount)
+      .select("_dn_h")
+    inst.join(dupHashes, "_dn_h")
+      .groupBy("_dn_id")
+      .agg(sort_array(collect_list(col("_dn_pos"))).as("_dn_dups"),
+        count(lit(1)).as("_dn_cnt"))
+  }
+
+  private def build(
+      df: DataFrame, corpus: DataFrame, alive: Option[Column]): DataFrame = {
     // The instance stream has two consumers (the corpus gram count and
     // the per-document dup join); left lazy, each downstream ACTION
     // re-ran the tokenize+shingle kernel twice over the whole corpus —
@@ -82,23 +105,12 @@ final class DupNgramRefiner(
     // the scratch cache before returning — the ConnectedComponents
     // idiom; a plain persist of a lazily-consumed output would leak for
     // the session's life (the r8 ngram_lm lesson).
-    val hashed = corpus.select(col(idCol).as("_dn_id"), gramHashes.as("_dn_hs"))
+    val hashed = staged(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inst = hashed.select(col("_dn_id"),
-      posexplode(col("_dn_hs")).as(Seq("_dn_pos", "_dn_h")))
-
-    val dupHashes = inst
-      .groupBy("_dn_h").agg(count(lit(1)).as("_dn_tc"))
-      .filter(col("_dn_tc") >= minCount)
-      .select("_dn_h")
-    val dups = inst.join(dupHashes, "_dn_h")
-      .groupBy("_dn_id")
-      .agg(sort_array(collect_list(col("_dn_pos"))).as("_dn_dups"),
-        count(lit(1)).as("_dn_cnt"))
-      // one flat (id, positions, count) table — the dedup state a real
-      // cluster would checkpoint to shared storage; eager so the scratch
-      // cache can be dropped NOW instead of on an unknowable consumer
-      .localCheckpoint(true)
+    // one flat (id, positions, count) table — the dedup state a real
+    // cluster would checkpoint to shared storage; eager so the scratch
+    // cache can be dropped NOW instead of on an unknowable consumer
+    val dups = dupState(hashed).localCheckpoint(true)
     hashed.unpersist()
 
     def gated(c: Column): Column = alive.fold(c)(a => when(a, c))

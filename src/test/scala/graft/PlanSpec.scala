@@ -255,18 +255,22 @@ class PlanSpec extends AnyFunSuite {
   test("dup_ngram: no window rides the gram-instance set, mask is the O(n+d) kernel") {
     val op = new graft.operators.text.DupNgramRefiner(
       "text", "doc_id", ngramWidth = 8)
-    val df = op(table("documents"))
-    val p = planOf(df)
+    // the dup state materializes eagerly (r10: staged once, checkpointed,
+    // scratch released) — assert its plan shape PRE-materialization
+    val statePlan = planOf(op.dupState(op.staged(table("documents"))))
     // the r8 plan put count(*) over Window.partitionBy(gram hash) across
     // EVERY gram instance — one hot boilerplate gram = one giant buffered
     // partition. The rewrite must carry no Window at all.
-    assert(!p.contains("Window"), s"window over gram instances is back:\n$p")
+    assert(!statePlan.contains("Window"),
+      s"window over gram instances is back:\n$statePlan")
+    // gram hashing is fused: gram STRINGS never appear post-tokenize
+    assert(statePlan.toLowerCase.contains("shinglehashespositional"), statePlan)
+    val p = planOf(op(table("documents")))
+    assert(!p.contains("Window"), s"window in the mask-side plan:\n$p")
     // coverage mask is the fused kernel, not the interpreted HOF pair
     val low = p.toLowerCase
     assert(low.contains("coveragemask"), p)
     assert(!low.contains("arrayexists"), s"interpreted HOF mask is back:\n$p")
-    // gram hashing is fused: gram STRINGS never appear post-tokenize
-    assert(low.contains("shinglehashespositional"), p)
   }
 
   test("dup_ngram stages the token split once per projection") {
