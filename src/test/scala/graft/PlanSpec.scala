@@ -207,6 +207,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("ngram-jaccard candidates come from prefix postings, verified by the array kernel") {
+    val op = new graft.operators.dedup.NgramJaccardDedup(
+      textCol = "text", idCol = "doc_id", threshold = 0.8)
+    val p = planOf(op.verifiedPairs(table("documents"))).toLowerCase
+    // the prefix filter indexes slice(_hs, 1, _p), not the full set
+    assert(p.contains("slice"), p)
+    // exact verification is one fused pass over the two hash sets
+    assert(p.contains("arrayjaccard"), p)
+    // no full posting-list self-join output feeds a pair-count shuffle:
+    // the old shape aggregated count(1) per (d1, d2) — the new one
+    // verifies candidates against the staged arrays instead
+    assert(!p.contains("count(1)") || op.maxDocFreq.isEmpty, p)
+  }
+
   test("pii battery evaluates the fused kernel exactly once per row") {
     val df = new graft.operators.text.PiiRedactionRefiner("text")(table("documents"))
     val p = df.queryExecution.optimizedPlan.toString.toLowerCase
