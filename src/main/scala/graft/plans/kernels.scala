@@ -690,6 +690,61 @@ object kernels {
       copy(left = l, right = r)
   }
 
+  /** fastText-style hashed linear text classifier (Joulin et al. 2017,
+    * "Bag of Tricks for Efficient Text Classification"): features are the
+    * word unigrams of the token-array child plus (when `bigrams`) their
+    * space-joined adjacent bigrams, hashed into `buckets` weight slots
+    * with the portable 60-bit hash; the score is
+    * sigmoid(bias + mean slot weight). This is the model-based quality
+    * filtering stage of the modern curation pipelines (CCNet/DCLM/
+    * fineweb-edu) with the model swapped for a weight table — the Spark
+    * plumbing (hash-trick lookup, broadcast table, one JVM pass per row)
+    * is the production shape; training happens offline.
+    *
+    * Weights resolve through [[graft.ml.ClassifierWeights]] so a
+    * production-sized table rides a broadcast, not the task closure.
+    */
+  case class LinearClassifierScore(
+      child: Expression,
+      bias: Double,
+      buckets: Int,
+      bigrams: Boolean,
+      weights: graft.ml.ClassifierWeights)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    @transient private lazy val w = {
+      val arr = weights.get
+      require(arr.length == buckets, s"weight table ${arr.length} != buckets $buckets")
+      arr
+    }
+    @transient private lazy val space =
+      org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val d = buckets
+      var sum = 0.0
+      var cnt = 0L
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        sum += w((((portableHashJvm(t) % d) + d) % d).toInt)
+        cnt += 1
+        if (bigrams && i + 1 < n) {
+          val bg = org.apache.spark.unsafe.types.UTF8String.concat(
+            t, space, toks.getUTF8String(i + 1))
+          sum += w((((portableHashJvm(bg) % d) + d) % d).toInt)
+          cnt += 1
+        }
+        i += 1
+      }
+      val s = bias + (if (cnt > 0) sum / cnt else 0.0)
+      1.0 / (1.0 + math.exp(-s))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
   def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
   def minhash_signature(hs: Column, numHashes: Int, portable: Boolean): Column =
@@ -712,6 +767,10 @@ object kernels {
   def pii_signals(text: Column, patterns: Seq[(String, String, String)]): Column =
     expr2col(PiiSignals(colExpr(text), patterns))
   def array_jaccard(a: Column, b: Column): Column = expr2col(ArrayJaccard(colExpr(a), colExpr(b)))
+  /** Hashed-linear classifier probability over a token-array column. */
+  def linear_classifier_score(toks: Column, bias: Double, buckets: Int,
+      bigrams: Boolean, weights: graft.ml.ClassifierWeights): Column =
+    expr2col(LinearClassifierScore(colExpr(toks), bias, buckets, bigrams, weights))
   /** Gopher battery struct; coalesces NULL text to '' (the declarative
     * form is null-tolerant). */
   def gopher_signals(text: Column, stopwords: Seq[String],

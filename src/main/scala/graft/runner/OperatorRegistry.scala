@@ -190,6 +190,26 @@ object OperatorRegistry {
     maxWords = p.long("max_words", 100000L),
     minStopwords = p.int("min_stopwords", 2)))
 
+  register("quality_classifier", p => new graft.operators.ml.QualityClassifierRefiner(
+    textCol = p.str("text_field", "text"),
+    outputCol = p.str("output_field", "clf_score"),
+    buckets = p.int("buckets", 1 << 12),
+    bias = p.double("bias", 0.0),
+    bigrams = p.bool("bigrams", true),
+    weights = p.str("weights_file")
+      .map(graft.ml.ClassifierWeights.fromFile)
+      .getOrElse(graft.ml.ClassifierWeights.deterministic(p.int("buckets", 1 << 12)))))
+
+  register("quality_classifier_filter", p => new graft.operators.ml.QualityClassifierFilter(
+    textCol = p.str("text_field", "text"),
+    threshold = p.double("threshold", 0.5),
+    buckets = p.int("buckets", 1 << 12),
+    bias = p.double("bias", 0.0),
+    bigrams = p.bool("bigrams", true),
+    weights = p.str("weights_file")
+      .map(graft.ml.ClassifierWeights.fromFile)
+      .getOrElse(graft.ml.ClassifierWeights.deterministic(p.int("buckets", 1 << 12)))))
+
   register("source_weighted_sample", p => new SourceWeightedSampleFilter(
     weights = p.doubleMap("weights"),
     defaultFraction = p.double("default_fraction", 1.0),
