@@ -1,0 +1,105 @@
+package graft.operators.dedup
+
+import graft.core.{Marked, Rejection, RejectingOperator}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-snapshot incremental exact dedup: drop rows of the INCREMENT
+  * whose content key already exists in a PRIOR corpus snapshot — the
+  * "new crawl against last month's corpus" operation. At 100 TB the
+  * alternative (union prior + increment, re-dedup everything) rescans
+  * the whole corpus per increment; this touches the increment once and
+  * the prior's keys once.
+  *
+  * Key semantics are [[TextExactDedup]]'s (normalize → hash → id
+  * fallback), so "already in the prior" agrees exactly with what a full
+  * re-dedup would drop.
+  *
+  * Two membership backends:
+  *   - **exact** (default): `left_anti` join of the increment's keys
+  *     against the prior's distinct keys. Shuffles fixed-width key
+  *     strings; AQE turns it into a broadcast join whenever the prior's
+  *     key side fits.
+  *   - **bloom**: a Bloom filter built over the prior keys in one
+  *     distributed aggregate ([[DataFrame.stat.bloomFilter]]), broadcast
+  *     once per executor; the increment is then filtered with zero
+  *     shuffle and zero join. False positives (over-dropping) are
+  *     bounded by `bloomFpp` — the right trade at 100 TB prior where
+  *     even the key table is too big to join cheaply. No false
+  *     negatives: every exact drop is a bloom drop (asserted in
+  *     DedupSpec).
+  */
+final class IncrementalExactDedup(
+    priorPath: Option[String] = None,
+    prior: Option[DataFrame] = None,
+    textCol: String = "text",
+    idCol: String = "id",
+    hashAlgorithm: String = "xxhash64",
+    normalizeWhitespace: Boolean = true,
+    lowercase: Boolean = true,
+    useBloom: Boolean = false,
+    bloomExpectedItems: Option[Long] = None,
+    bloomFpp: Double = 1e-6) extends RejectingOperator {
+
+  require(priorPath.isDefined || prior.isDefined,
+    "incremental dedup needs a prior snapshot (priorPath or prior)")
+
+  val name = "incremental_exact_dedup"
+
+  private def keyOf(df: DataFrame): Column =
+    TextExactDedup(textCol = textCol, idCol = idCol, orderCol = idCol,
+      hashAlgorithm = hashAlgorithm, normalizeWhitespace = normalizeWhitespace,
+      lowercase = lowercase).key(df)
+
+  private def priorDf(df: DataFrame): DataFrame =
+    prior.getOrElse(df.sparkSession.read.parquet(priorPath.get))
+
+  private def priorKeys(df: DataFrame): DataFrame =
+    priorDf(df).select(keyOf(priorDf(df)).as("_ik")).distinct()
+
+  /** Bloom over the prior's keys: one distributed aggregate, then a
+    * broadcast handle the filter kernel probes per row. */
+  private def bloomOf(df: DataFrame) = {
+    val pk = priorKeys(df)
+    val n = bloomExpectedItems.getOrElse(pk.count())
+    val bf = pk.stat.bloomFilter("_ik", math.max(n, 1L), bloomFpp)
+    df.sparkSession.sparkContext.broadcast(bf)
+  }
+
+  /** keep-condition as a pure column (bloom mode only). */
+  private def bloomKeep(df: DataFrame): Column =
+    !graft.plans.kernels.bloom_might_contain(keyOf(df).cast("string"), bloomOf(df))
+
+  def apply(df: DataFrame): DataFrame =
+    if (useBloom) df.filter(bloomKeep(df))
+    else df.withColumn("_ik", keyOf(df))
+      .join(priorKeys(df), Seq("_ik"), "left_anti").drop("_ik")
+
+  def rejected(df: DataFrame): DataFrame =
+    if (useBloom) df.filter(!bloomKeep(df))
+      .withColumn(Rejection.ColName,
+        Rejection.duplicate(name, keyOf(df), lit(null).cast("string")))
+    else df.withColumn("_ik", keyOf(df))
+      .join(priorKeys(df).withColumn("_ihit", lit(true)), Seq("_ik"), "left")
+      .filter(col("_ihit").isNotNull)
+      .withColumn(Rejection.ColName,
+        Rejection.duplicate(name, col("_ik"), lit(null).cast("string")))
+      .drop("_ik", "_ihit")
+
+  /** Prior-membership is independent of upstream survival, so `alive`
+    * does not change who hits — dead rows just keep their earlier
+    * rejection (Disposition.step only stamps alive rows). */
+  def mark(df: DataFrame, alive: Column, tag: String): Marked =
+    if (useBloom) {
+      val k = bloomKeep(df)
+      Marked(df, k, !k,
+        Rejection.duplicate(name, keyOf(df), lit(null).cast("string")))
+    } else {
+      val kC = s"_ik$tag"; val hC = s"_ihit$tag"
+      val d = df.withColumn(kC, keyOf(df))
+        .join(priorKeys(df).withColumnRenamed("_ik", kC).withColumn(hC, lit(true)),
+          Seq(kC), "left")
+      Marked(d, col(hC).isNull, col(hC).isNotNull,
+        Rejection.duplicate(name, col(kC), lit(null).cast("string")), Seq(kC, hC))
+    }
+}

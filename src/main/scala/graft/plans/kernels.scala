@@ -745,6 +745,25 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Broadcast-Bloom membership probe: true iff the filter MIGHT contain
+    * the UTF-8 bytes of the (string) child. The probe agrees with how
+    * `DataFrame.stat.bloomFilter` inserted string keys (both sides hash
+    * the UTF-8 byte form), so there are no false negatives by
+    * construction. One virtual call + murmur per row, no shuffle — the
+    * membership side of [[graft.operators.dedup.IncrementalExactDedup]]'s
+    * bloom mode.
+    */
+  case class BloomMightContain(
+      child: Expression,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any =
+      bf.value.mightContainBinary(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
   def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
   def minhash_signature(hs: Column, numHashes: Int, portable: Boolean): Column =
@@ -767,6 +786,9 @@ object kernels {
   def pii_signals(text: Column, patterns: Seq[(String, String, String)]): Column =
     expr2col(PiiSignals(colExpr(text), patterns))
   def array_jaccard(a: Column, b: Column): Column = expr2col(ArrayJaccard(colExpr(a), colExpr(b)))
+  def bloom_might_contain(key: Column,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    expr2col(BloomMightContain(colExpr(key), bf))
   /** Hashed-linear classifier probability over a token-array column. */
   def linear_classifier_score(toks: Column, bias: Double, buckets: Int,
       bigrams: Boolean, weights: graft.ml.ClassifierWeights): Column =

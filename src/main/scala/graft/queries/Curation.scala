@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{HashFunctions, TextFunctions}
-import graft.operators.dedup.{ExactDedup, TextExactDedup}
+import graft.operators.dedup.{ExactDedup, IncrementalExactDedup, TextExactDedup}
 import graft.operators.text.{TextLengthFilter, UrlFilter}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -105,6 +105,24 @@ object Curation {
               |    PARTITION BY ${TextExactDedup.keySql("text", "doc_id")} ORDER BY doc_id) AS rn
               |  FROM documents) t
               |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("incremental_exact_dedup",
+      // the prior snapshot is every 5th doc: the increment (the full
+      // table) drops those rows plus any doc whose normalized content
+      // collides with a prior doc's — exactly what a full re-dedup
+      // would have dropped against that corpus
+      (s, dir) => {
+        val d = docs(s, dir)
+        new IncrementalExactDedup(
+          prior = Some(d.filter(col("doc_id") % 5 === 0)),
+          textCol = "text", idCol = "doc_id", hashAlgorithm = "portable")(d)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id FROM documents
+              |WHERE ${TextExactDedup.keySql("text", "doc_id")} NOT IN (
+              |  SELECT DISTINCT ${TextExactDedup.keySql("text", "doc_id")}
+              |  FROM documents WHERE doc_id % 5 = 0)
+              |ORDER BY doc_id""".stripMargin)),
 
     OracleQuery("domain_blocklist_filter",
       (s, dir) => {

@@ -190,6 +190,17 @@ object OperatorRegistry {
     maxWords = p.long("max_words", 100000L),
     minStopwords = p.int("min_stopwords", 2)))
 
+  register("incremental_exact_dedup", p => new IncrementalExactDedup(
+    priorPath = p.str("prior_path"),
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    hashAlgorithm = p.str("hash_algorithm", "xxhash64"),
+    normalizeWhitespace = p.bool("normalize_whitespace", true),
+    lowercase = p.bool("lowercase", true),
+    useBloom = p.str("mode", "exact") == "bloom",
+    bloomExpectedItems = p.long("bloom_expected_items"),
+    bloomFpp = p.double("bloom_fpp", 1e-6)))
+
   register("quality_classifier", p => new graft.operators.ml.QualityClassifierRefiner(
     textCol = p.str("text_field", "text"),
     outputCol = p.str("output_field", "clf_score"),
