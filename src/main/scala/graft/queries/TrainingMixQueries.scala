@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
-import graft.operators.text.{C4Clean, C4CleanRefiner, C4QualityFilter, DupNgramRefiner, NgramLmScoreRefiner, SourceWeightedSampleFilter}
+import graft.operators.text.{C4Clean, C4CleanRefiner, C4QualityFilter, DupNgramRefiner, NgramLmScoreRefiner, SourceWeightedSampleFilter, StratifiedSampleFilter}
 import graft.operators.vector.CrossModalAlignmentRefiner
 import org.apache.spark.sql.functions._
 
@@ -152,6 +152,26 @@ object TrainingMixQueries {
       Some(s"""SELECT doc_id, source FROM documents
               |WHERE ${mixOp.keepSql("doc_id", "source")}
               |ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("stratified_sample",
+      // exact 10 docs per source (fixture strata hold 25), ranked by
+      // salted portable hash — the per-source-cap / balanced-eval-set
+      // operation; both engines recompute the identical window
+      (s, dir) => {
+        val op = new StratifiedSampleFilter(
+          k = 10, stratumCol = "source", idCol = "doc_id",
+          hashName = "portable", salt = "r10")
+        op(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+      },
+      Some({
+        val op = new StratifiedSampleFilter(
+          k = 10, stratumCol = "source", idCol = "doc_id",
+          hashName = "portable", salt = "r10")
+        s"""SELECT doc_id, source FROM documents
+           |WHERE doc_id IN ${op.keepSql("documents", "source", "doc_id")}
+           |ORDER BY doc_id""".stripMargin
+      })),
 
     OracleQuery("cross_modal_alignment",
       (s, dir) => {

@@ -190,6 +190,13 @@ object OperatorRegistry {
     maxWords = p.long("max_words", 100000L),
     minStopwords = p.int("min_stopwords", 2)))
 
+  register("stratified_sample", p => new StratifiedSampleFilter(
+    k = p.int("k", 1000),
+    stratumCol = p.str("stratum_field", "source"),
+    idCol = p.str("id_field", "id"),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    salt = p.str("salt", "")))
+
   register("incremental_exact_dedup", p => new IncrementalExactDedup(
     priorPath = p.str("prior_path"),
     textCol = p.str("text_field", "text"),
