@@ -154,6 +154,12 @@ object Bench {
         textCol = "text", idCol = "doc_id",
         shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
         maxBucketSize = Some(50))(big).count())
+      // exact-collapse-first LSH: full uncapped semantics at replicated
+      // scale (the production order — exact dedup folded into near-dedup)
+      val tLshPre = time(new graft.operators.dedup.MinHashLSHDedup(
+        textCol = "text", idCol = "doc_id",
+        shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
+        preCollapseExact = true)(big).count())
       // span removal must materialize its OUTPUT columns (count() would
       // prune the coverage-mask projection and measure only the joins)
       val tDup = time {
@@ -237,7 +243,7 @@ object Bench {
         maxBucketSize = Some(50))(bigImg).count())
       bigImg.unpersist()
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
     }
     probeJson = Some(probe)
 

@@ -30,6 +30,21 @@ import org.apache.spark.sql.functions._
   * (the LSH bucketing — this IS the reference's bucketed dedup state) and
   * the final left_anti. Band-key hot spots (many docs in one bucket) are
   * AQE-skew-split; `maxBucketSize` caps pathological buckets.
+  *
+  * `preCollapseExact` runs the LSH pipeline over one representative (min
+  * id) per exact-text group instead of every row — the standard
+  * production order at corpus scale (exact dedup before near-dedup;
+  * RefinedWeb §G.2→G.3 runs exactly this sequence). It is provably
+  * output-identical to the uncapped direct form: exact duplicates have
+  * identical signatures, so every member always shares all bands with its
+  * group's representative and verifies at Jaccard 1.0 (dropped), and any
+  * cross-doc candidate of a member is a candidate of its representative
+  * with the same Jaccard. Web corpora are ~30-50% exact duplicates, so
+  * this cuts the candidate-pair space roughly quadratically in the
+  * duplication factor. With `maxBucketSize` also set, the cap applies to
+  * collapsed (representative) buckets — the more useful semantics, but
+  * not the one `keepSql`'s QUALIFY mirrors, so the oracle twin rejects
+  * that combination.
   */
 final class MinHashLSHDedup(
     textCol: String = "text",
@@ -39,7 +54,8 @@ final class MinHashLSHDedup(
     numBands: Int = 4,
     threshold: Double = 0.8,
     portableHashes: Boolean = false,
-    maxBucketSize: Option[Int] = None) extends graft.core.RejectingOperator {
+    maxBucketSize: Option[Int] = None,
+    preCollapseExact: Boolean = false) extends graft.core.RejectingOperator {
 
   require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
   private val rowsPerBand = numHashes / numBands
@@ -73,7 +89,41 @@ final class MinHashLSHDedup(
     * fixed-width, not text); pair dedup is on (d1, d2) ids only; Jaccard
     * verification is a single hash-set loop per surviving pair.
     */
-  def verifiedPairs(df: DataFrame): DataFrame = {
+  def verifiedPairs(df: DataFrame): DataFrame =
+    if (preCollapseExact) collapsedPairs(df) else lshPairs(df)
+
+  /** Exact-collapse wrapper around [[lshPairs]]: LSH over one
+    * representative per exact-text group, then expand representative
+    * pairs back to members. The returned pair set differs from the
+    * direct form only in pairs where BOTH sides are non-representatives —
+    * those are redundant for every consumer: `apply` needs the d2 set
+    * (identical: every non-representative appears as d2 of its
+    * within-group pair; representatives appear iff a smaller-id
+    * representative matches), `rejected` needs min(d1) per d2 (the
+    * minimum candidate of any row is always a representative, since a
+    * group's representative is its minimum id and shares all its
+    * members' bands), and the transitive variant needs components (each
+    * group is connected through its representative).
+    *
+    * Shuffle posture: one groupBy on a 64-bit text hash (no arrays, no
+    * text on that exchange beyond the representative `first`), then the
+    * full pipeline over representatives only.
+    */
+  private def collapsedPairs(df: DataFrame): DataFrame = {
+    val keyed = df.select(xxhash64(col(textCol)).as("_tk"), col(idCol).as("_mid"))
+    val reps = df.groupBy(xxhash64(col(textCol)).as("_tk"))
+      .agg(min(col(idCol)).as("_rid"), first(col(textCol)).as("_rtxt"))
+    val memberMap = keyed.join(reps.select(col("_tk"), col("_rid")), Seq("_tk"))
+      .select(col("_mid"), col("_rid"))
+    val repPairs = lshPairs(reps.select(col("_rid").as(idCol), col("_rtxt").as(textCol)))
+    val within = memberMap.filter(col("_mid") =!= col("_rid"))
+      .select(col("_rid").as("d1"), col("_mid").as("d2"), lit(1.0).as("jaccard"))
+    val cross = repPairs.join(memberMap, repPairs("d2") === memberMap("_rid"))
+      .select(repPairs("d1"), col("_mid").as("d2"), col("jaccard"))
+    within.unionByName(cross).dropDuplicates("d1", "d2")
+  }
+
+  private def lshPairs(df: DataFrame): DataFrame = {
     // `_pb >= 0` is always true (monotonic ids are non-negative) but
     // keeps the barrier column referenced, so column pruning can't erase
     // it before the pushdown check — see [[shingled]]
@@ -132,12 +182,15 @@ final class MinHashLSHDedup(
   }
 
   /** Oracle SQL for [[applyTransitive]] (kept ids, ORDER BY id). */
-  def keepTransitiveSql(table: String): String =
+  def keepTransitiveSql(table: String): String = {
+    require(!(preCollapseExact && maxBucketSize.isDefined),
+      "oracle QUALIFY counts raw rows; cap-over-collapsed-buckets has no SQL twin")
     s"""WITH RECURSIVE ${verCtes(table)},
        |${ConnectedComponents.assignSql("ver")}
        |SELECT $idCol FROM $table
        |WHERE $idCol NOT IN (SELECT id FROM _comp WHERE id <> comp)
        |ORDER BY $idCol""".stripMargin
+  }
 
   /** Dropped rows with the first-seen similar row as representative. */
   def rejected(df: DataFrame): DataFrame = {
@@ -197,8 +250,11 @@ final class MinHashLSHDedup(
        |      / (CAST(len(h1) + len(h2) AS DOUBLE) - CAST(len(list_intersect(h1, h2)) AS DOUBLE)) >= $threshold)""".stripMargin
   }
 
-  def keepSql(table: String): String =
+  def keepSql(table: String): String = {
+    require(!(preCollapseExact && maxBucketSize.isDefined),
+      "oracle QUALIFY counts raw rows; cap-over-collapsed-buckets has no SQL twin")
     s"""WITH ${verCtes(table)}
        |SELECT $idCol FROM $table WHERE $idCol NOT IN (SELECT d2 FROM ver)
        |ORDER BY $idCol""".stripMargin
+  }
 }

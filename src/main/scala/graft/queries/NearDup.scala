@@ -26,6 +26,15 @@ object NearDup {
   // candidate blowup (hot posting lists / pathological LSH buckets) ON,
   // with the oracle applying the identical caps. At 100 TB these are the
   // configs you'd actually run.
+  // Exact-collapse-first variant: LSH over one representative per exact
+  // text group (the production order at corpus scale). Provably
+  // output-identical to minhashOp — the gate reuses minhashOp's oracle
+  // SQL verbatim, so the DuckDB hash-match IS the equivalence proof.
+  private val minhashPreCollapseOp = new MinHashLSHDedup(
+    textCol = "text", idCol = "doc_id",
+    shingleWidth = 3, numHashes = 16, numBands = 4,
+    threshold = 0.8, portableHashes = true, preCollapseExact = true)
+
   private val minhashCappedOp = new MinHashLSHDedup(
     textCol = "text", idCol = "doc_id",
     shingleWidth = 3, numHashes = 16, numBands = 4,
@@ -87,6 +96,11 @@ object NearDup {
 
     OracleQuery("minhash_lsh_dedup",
       (s, dir) => minhashOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(minhashOp.keepSql("documents"))),
+
+    OracleQuery("minhash_lsh_dedup_precollapse",
+      (s, dir) => minhashPreCollapseOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashOp.keepSql("documents"))),
 

@@ -62,7 +62,8 @@ object OperatorRegistry {
     numHashes = p.int("num_hashes", 16),
     numBands = p.int("num_bands", 4),
     threshold = p.double("threshold", 0.8),
-    maxBucketSize = p.long("max_bucket_size").map(_.toInt)))
+    maxBucketSize = p.long("max_bucket_size").map(_.toInt),
+    preCollapseExact = p.bool("pre_collapse_exact", false)))
 
   // The exact-Jaccard posting self-join is quadratic in a shingle's doc
   // frequency — one boilerplate shingle in f docs contributes f² join

@@ -33,6 +33,24 @@ class DedupSpec extends AnyFunSuite {
     assert(jaccardDrops.nonEmpty, "fixture has no near-dups — vacuous test")
   }
 
+  test("preCollapseExact minhash is output-identical to the direct form, incl. under replication") {
+    def op(collapse: Boolean) = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
+      portableHashes = true, preCollapseExact = collapse)
+    // fixture as-is
+    assert(ids(op(true)(docs)) == ids(op(false)(docs)))
+    // 3x exact replication (the case the collapse exists for): kept set,
+    // rejected representative attribution, and transitive components all match
+    val big = (0 until 3).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    assert(ids(op(true)(big)) == ids(op(false)(big)))
+    assert(ids(op(true).applyTransitive(big)) == ids(op(false).applyTransitive(big)))
+    def repOf(o: MinHashLSHDedup) = o.rejected(big)
+      .select(col("doc_id").cast("long"), col(graft.core.Rejection.ColName)("representative_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repOf(op(true)) == repOf(op(false)))
+  }
+
   test("capped near-dup configs only ever keep MORE rows (caps remove candidates)") {
     val capped = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
       shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,

@@ -23,9 +23,10 @@ object TimeMinhash {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"TIMEMH $name%-28s $dt%7.2f s  (result $r)")
     }
-    def op(cap: Option[Int]) = new graft.operators.dedup.MinHashLSHDedup(
+    def op(cap: Option[Int], collapse: Boolean = false) = new graft.operators.dedup.MinHashLSHDedup(
       textCol = "text", idCol = "doc_id", shingleWidth = 3,
-      numHashes = 16, numBands = 4, threshold = 0.8, maxBucketSize = cap)
+      numHashes = 16, numBands = 4, threshold = 0.8, maxBucketSize = cap,
+      preCollapseExact = collapse)
 
     time("kernel_only") {
       big.select(graft.plans.kernels.shingle_hashes(col("text"), 3).as("_h"))
@@ -39,6 +40,8 @@ object TimeMinhash {
     time("pairs_uncapped") { op(None).verifiedPairs(big).count() }
     time("pairs_capped") { op(Some(50)).verifiedPairs(big).count() }
     time("apply_capped") { op(Some(50))(big).count() }
+    time("apply_precollapse") { op(None, collapse = true)(big).count() }
+    time("apply_uncapped") { op(None)(big).count() }
     time("exact_then_capped") {
       val survivors = graft.operators.dedup.TextExactDedup(
         textCol = "text", idCol = "doc_id", orderCol = "doc_id")(big)
