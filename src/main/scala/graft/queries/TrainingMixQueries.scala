@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
-import graft.operators.text.{C4Clean, C4CleanRefiner, C4QualityFilter, DupNgramRefiner, NgramLmScoreRefiner, SourceWeightedSampleFilter, StratifiedSampleFilter}
+import graft.operators.text.{C4Clean, C4CleanRefiner, C4QualityFilter, DupNgramRefiner, NgramLmScoreRefiner, SourceWeightedSampleFilter, StratifiedSampleFilter, TokenBudgetSampleFilter}
 import graft.operators.vector.CrossModalAlignmentRefiner
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,30 @@ object TrainingMixQueries {
         val op = new StratifiedSampleFilter(
           k = 10, stratumCol = "source", idCol = "doc_id",
           hashName = "portable", salt = "r10")
+        s"""SELECT doc_id, source FROM documents
+           |WHERE doc_id IN ${op.keepSql("documents", "source", "doc_id")}
+           |ORDER BY doc_id""".stripMargin
+      })),
+
+    OracleQuery("token_budget_sample",
+      // per-source TOKEN budgets (how training mixes are specified):
+      // default 700, src0 capped at 300, src1 at 2000 — the map and the
+      // default both bite at every scale factor. The Spark side runs the
+      // distributed two-level prefix sum; the oracle runs the
+      // single-window form, so the hash-match proves the decomposition.
+      (s, dir) => {
+        val op = new TokenBudgetSampleFilter(
+          budgets = Map("src0" -> 300L, "src1" -> 2000L),
+          defaultBudget = 700L, sourceCol = "source", idCol = "doc_id",
+          textCol = "text", numBuckets = 8, hashName = "portable", salt = "tb")
+        op(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+      },
+      Some({
+        val op = new TokenBudgetSampleFilter(
+          budgets = Map("src0" -> 300L, "src1" -> 2000L),
+          defaultBudget = 700L, sourceCol = "source", idCol = "doc_id",
+          textCol = "text", numBuckets = 8, hashName = "portable", salt = "tb")
         s"""SELECT doc_id, source FROM documents
            |WHERE doc_id IN ${op.keepSql("documents", "source", "doc_id")}
            |ORDER BY doc_id""".stripMargin

@@ -198,6 +198,17 @@ object OperatorRegistry {
     hashName = p.str("hash_algorithm", "xxhash64"),
     salt = p.str("salt", "")))
 
+  register("token_budget_sample", p => new TokenBudgetSampleFilter(
+    budgets = p.longMap("budgets"),
+    defaultBudget = p.long("default_budget", Long.MaxValue),
+    sourceCol = p.str("source_field", "source"),
+    idCol = p.str("id_field", "id"),
+    textCol = p.str("text_field", "text"),
+    tokenCol = p.str("token_field"),
+    numBuckets = p.int("num_buckets", 256),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    salt = p.str("salt", "")))
+
   register("incremental_exact_dedup", p => new IncrementalExactDedup(
     priorPath = p.str("prior_path"),
     textCol = p.str("text_field", "text"),

@@ -15,6 +15,14 @@ final case class Params(m: Map[String, Any]) {
     m.get(k).map(_.asInstanceOf[Boolean].booleanValue()).getOrElse(d)
   def strList(k: String): Seq[String] =
     m.get(k).map(_.asInstanceOf[java.util.List[Any]].asScala.toSeq.map(_.toString)).getOrElse(Nil)
+  def longMap(k: String): Map[String, Long] = m.get(k) match {
+    case Some(jm: java.util.Map[_, _]) =>
+      jm.asScala.map { case (kk, vv) =>
+        kk.toString -> vv.asInstanceOf[Number].longValue() }.toMap
+    case Some(sm: Map[_, _]) =>
+      sm.map { case (kk, vv) => kk.toString -> vv.asInstanceOf[Number].longValue() }
+    case _ => Map.empty
+  }
   def doubleMap(k: String): Map[String, Double] = m.get(k) match {
     case Some(jm: java.util.Map[_, _]) =>
       jm.asScala.map { case (kk, vv) =>
