@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * back on docId. Lines shorter than `minLineLength` are exempt
   * (always kept) — blank lines and stray punctuation are not
   * boilerplate evidence, per CCNet.
+  *
+  * `separator` selects the dedup unit: "\n" (default) is CCNet line
+  * dedup; "\n\n" is Dolma-style PARAGRAPH dedup — same first-wins
+  * corpus-global machinery over coarser units. The separator is a
+  * literal (regex-quoted for the split), and units re-join with the
+  * same literal.
   */
 final class LineDedupRefiner(
     textCol: String = "text",
@@ -30,9 +36,15 @@ final class LineDedupRefiner(
     minLineLength: Int = 1,
     hashName: String = "xxhash64",
     outputCol: String = "text_line_deduped",
-    removedCol: String = "lines_removed") extends Operator {
+    removedCol: String = "lines_removed",
+    separator: String = "\n") extends Operator {
 
-  val name = "line_dedup"
+  require(separator.nonEmpty, "separator must be non-empty")
+  val name = if (separator == "\n") "line_dedup" else "paragraph_dedup"
+
+  private val sepRegex = java.util.regex.Pattern.quote(separator)
+  /** The separator as a DuckDB expression (chr-composed, quote-safe). */
+  private def sepSql: String = separator.map(ch => s"chr(${ch.toInt})").mkString(" || ")
 
   def apply(df: DataFrame): DataFrame = build(df, df, None)
 
@@ -49,7 +61,7 @@ final class LineDedupRefiner(
       df: DataFrame, corpus: DataFrame, alive: Option[Column]): DataFrame = {
     val lines = corpus.select(
       col(idCol).as("_ld_id"), col(orderCol).as("_ld_ord"),
-      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+      posexplode(split(coalesce(col(textCol), lit("")), sepRegex))
         .as(Seq("_ld_idx", "_ld_line")))
     val eligible = length(col("_ld_line")) >= minLineLength
     val ranked = lines
@@ -64,13 +76,13 @@ final class LineDedupRefiner(
         sort_array(collect_list(struct(col("_ld_idx"), col("_ld_line")))).as("_ls"),
         count(lit(1)).as("_ld_kept"))
       .select(col("_ld_id"),
-        concat_ws("\n", transform(col("_ls"), x => x("_ld_line"))).as(outputCol),
+        concat_ws(separator, transform(col("_ls"), x => x("_ld_line"))).as(outputCol),
         col("_ld_kept"))
     def gated(c: Column): Column = alive.fold(c)(a => when(a, c))
     df.join(rebuilt, col(idCol) === col("_ld_id"), "left")
       .withColumn(outputCol, gated(coalesce(col(outputCol), lit(""))))
       .withColumn(removedCol, gated(
-        (size(split(coalesce(col(textCol), lit("")), "\n")) - coalesce(col("_ld_kept"), lit(0L)))
+        (size(split(coalesce(col(textCol), lit("")), sepRegex)) - coalesce(col("_ld_kept"), lit(0L)))
           .cast("long")))
       .drop("_ld_id", "_ld_kept")
   }
@@ -82,7 +94,7 @@ final class LineDedupRefiner(
   def rebuildCteSql(table: String, textExpr: String): String = {
     require(hashName == "portable", "oracle covers the portable hash family")
     s"""_src AS (SELECT $idCol AS id, $orderCol AS ord,
-       |    string_split(coalesce($textExpr, ''), chr(10)) AS ls FROM $table),
+       |    string_split(coalesce($textExpr, ''), $sepSql) AS ls FROM $table),
        |_lines AS (SELECT id, ord,
        |    unnest(list_transform(range(1, len(ls) + 1), i -> i)) AS idx,
        |    unnest(ls) AS line FROM _src),
@@ -98,7 +110,7 @@ final class LineDedupRefiner(
        |    coalesce(r.text_clean, '') AS text_clean,
        |    len(s.ls) - coalesce(r.kept, 0) AS lines_removed
        |  FROM _src s LEFT JOIN (
-       |    SELECT id, string_agg(line, chr(10) ORDER BY idx) AS text_clean,
+       |    SELECT id, string_agg(line, $sepSql ORDER BY idx) AS text_clean,
        |           count(*) AS kept
        |    FROM _ranked WHERE k IS NULL OR rn = 1 GROUP BY id) r
        |  ON s.id = r.id)""".stripMargin

@@ -100,6 +100,38 @@ object CurationOpsQueries {
            |ORDER BY doc_id""".stripMargin
       })),
 
+    OracleQuery("paragraph_dedup",
+      (s, dir) => {
+        // paragraph units ("\n\n"-separated): every doc_id % 5 class
+        // shares a boilerplate paragraph (first doc of the class keeps
+        // it); each doc also has a unique paragraph that must survive
+        val aug = Tables(s, dir, "documents").withColumn("text2",
+          concat(col("text"), lit("\n\nshared footer paragraph number "),
+            (col("doc_id") % 5).cast("string"),
+            lit("\n\nunique closing paragraph "), col("doc_id").cast("string")))
+        new LineDedupRefiner("text2", "doc_id", "doc_id",
+          minLineLength = 1, hashName = "portable",
+          outputCol = "text_paragraph_deduped",
+          removedCol = "paragraphs_removed", separator = "\n\n")(aug)
+          .select(col("doc_id"), col("text_paragraph_deduped").as("text_clean"),
+            col("paragraphs_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some({
+        val op = new LineDedupRefiner("text2", "doc_id", "doc_id",
+          minLineLength = 1, hashName = "portable",
+          outputCol = "text_paragraph_deduped",
+          removedCol = "paragraphs_removed", separator = "\n\n")
+        val augSql = "(SELECT doc_id, (text || chr(10) || chr(10) || " +
+          "'shared footer paragraph number ' || CAST(doc_id % 5 AS VARCHAR) || " +
+          "chr(10) || chr(10) || 'unique closing paragraph ' || " +
+          "CAST(doc_id AS VARCHAR)) AS text2 FROM documents)"
+        s"""WITH ${op.rebuildCteSql(augSql, "text2")}
+           |SELECT id AS doc_id, text_clean,
+           |  lines_removed AS paragraphs_removed FROM _ld
+           |ORDER BY doc_id""".stripMargin
+      })),
+
     OracleQuery("url_canonicalize",
       (s, dir) => {
         // deterministic messy URLs: mixed-case scheme/host, default port,

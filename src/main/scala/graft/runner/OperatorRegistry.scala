@@ -160,7 +160,18 @@ object OperatorRegistry {
     idCol = p.str("id_field", "id"),
     orderCol = p.str("order_field").getOrElse(p.str("id_field", "id")),
     minLineLength = p.int("min_line_length", 15),
-    hashName = p.str("hash_algorithm", "xxhash64")))
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    separator = p.str("separator", "\n")))
+
+  register("paragraph_dedup", p => new LineDedupRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    orderCol = p.str("order_field").getOrElse(p.str("id_field", "id")),
+    minLineLength = p.int("min_paragraph_length", 30),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    outputCol = p.str("output_field", "text_paragraph_deduped"),
+    removedCol = p.str("removed_field", "paragraphs_removed"),
+    separator = p.str("separator", "\n\n")))
 
   register("pii_redaction", p => new PiiRedactionRefiner(
     textCol = p.str("text_field", "text"),

@@ -108,6 +108,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(nulls.head.getAs[String]("text_line_deduped") == "")
   }
 
+  test("paragraph dedup: \\n\\n units dedup whole paragraphs, inner newlines intact") {
+    import graft.operators.text.LineDedupRefiner
+    val shared = "shared footer paragraph\nwith an inner newline"
+    val df = Seq(
+      (1L, s"alpha first paragraph\n\n$shared"),
+      (2L, s"$shared\n\nbeta own paragraph"),
+      (3L, "single paragraph\nwith inner newline only")).toDF("id", "text")
+    val op = new LineDedupRefiner("text", "id", "id", minLineLength = 5,
+      outputCol = "text_paragraph_deduped", removedCol = "paragraphs_removed",
+      separator = "\n\n")
+    val out = op(df).collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("text_paragraph_deduped"), r.getAs[Long]("paragraphs_removed"))).toMap
+    // doc 1 first: keeps both paragraphs, inner \n untouched (a LINE
+    // dedup would have cut "with an inner newline" as its own unit)
+    assert(out(1L)._1 == s"alpha first paragraph\n\n$shared")
+    assert(out(1L)._2 == 0L)
+    // doc 2 loses only the shared paragraph as one unit
+    assert(out(2L)._1 == "beta own paragraph", out(2L)._1)
+    assert(out(2L)._2 == 1L)
+    assert(out(3L) == (("single paragraph\nwith inner newline only", 0L)))
+    assert(op.name == "paragraph_dedup")
+  }
+
   test("url canonicalization: case, ports, tracking params, fragments, slashes") {
     import graft.operators.text.UrlCanonicalizeRefiner
     val df = Seq(
