@@ -709,7 +709,9 @@ object kernels {
       bias: Double,
       buckets: Int,
       bigrams: Boolean,
-      weights: graft.ml.ClassifierWeights)
+      weights: graft.ml.ClassifierWeights,
+      normalize: Boolean = true,
+      squash: Boolean = true)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     @transient private lazy val w = {
@@ -739,8 +741,44 @@ object kernels {
         }
         i += 1
       }
-      val s = bias + (if (cnt > 0) sum / cnt else 0.0)
-      1.0 / (1.0 + math.exp(-s))
+      val s = bias + (if (normalize) { if (cnt > 0) sum / cnt else 0.0 } else sum)
+      if (squash) 1.0 / (1.0 + math.exp(-s)) else s
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Hashed n-gram bucket ids WITH multiplicity: one entry per word
+    * unigram (and, when `bigrams`, per space-joined adjacent bigram) of
+    * the token-array child — the same gram enumeration and
+    * portable-hash bucketing as [[LinearClassifierScore]], exposed as
+    * the id array so `explode → groupBy(bucket).count` can fit
+    * bag-of-hashed-ngram models distributedly (the DSIR fit pass).
+    */
+  case class HashedNgramBuckets(child: Expression, buckets: Int, bigrams: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val space =
+      org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val d = buckets
+      val out = new Array[Int](if (bigrams && n > 0) 2 * n - 1 else n)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        out(k) = (((portableHashJvm(t) % d) + d) % d).toInt
+        k += 1
+        if (bigrams && i + 1 < n) {
+          val bg = org.apache.spark.unsafe.types.UTF8String.concat(
+            t, space, toks.getUTF8String(i + 1))
+          out(k) = (((portableHashJvm(bg) % d) + d) % d).toInt
+          k += 1
+        }
+        i += 1
+      }
+      ArrayData.toArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
@@ -793,6 +831,15 @@ object kernels {
   def linear_classifier_score(toks: Column, bias: Double, buckets: Int,
       bigrams: Boolean, weights: graft.ml.ClassifierWeights): Column =
     expr2col(LinearClassifierScore(colExpr(toks), bias, buckets, bigrams, weights))
+  /** Raw hashed-ngram log-weight sum (no mean, no sigmoid) — the DSIR
+    * importance score Σ_grams w[bucket(gram)]. */
+  def hashed_ngram_logweight(toks: Column, buckets: Int, bigrams: Boolean,
+      weights: graft.ml.ClassifierWeights): Column =
+    expr2col(LinearClassifierScore(colExpr(toks), 0.0, buckets, bigrams, weights,
+      normalize = false, squash = false))
+  /** Hashed n-gram bucket ids with multiplicity (the DSIR fit pass). */
+  def hashed_ngram_buckets(toks: Column, buckets: Int, bigrams: Boolean): Column =
+    expr2col(HashedNgramBuckets(colExpr(toks), buckets, bigrams))
   /** Gopher battery struct; coalesces NULL text to '' (the declarative
     * form is null-tolerant). */
   def gopher_signals(text: Column, stopwords: Seq[String],

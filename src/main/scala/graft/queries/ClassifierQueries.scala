@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.functions.{HashFunctions, TextFunctions}
 import graft.ml.ClassifierWeights
-import graft.operators.ml.{QualityClassifierFilter, QualityClassifierRefiner}
+import graft.operators.ml.{DsirScoreRefiner, QualityClassifierFilter, QualityClassifierRefiner}
 import org.apache.spark.sql.functions._
 
 /** Learned-quality-classifier gates: the Spark side scores through the
@@ -34,6 +34,14 @@ object ClassifierQueries {
        |    1.0 / (1.0 + exp(-coalesce(ag.s / ag.c, 0.0))) AS clf_score
        |  FROM tk LEFT JOIN ag ON tk.doc_id = ag.doc_id)""".stripMargin
 
+  private def dsirOp(s: org.apache.spark.sql.SparkSession, dir: String) =
+    new DsirScoreRefiner(
+      sess => Tables(sess, dir, "documents").where(col("source") === "src0"),
+      textCol = "text", buckets = D)
+
+  private val dsirCte = new DsirScoreRefiner(_ => null, buckets = D)
+    .scoreCteSql("documents", "doc_id", "SELECT text FROM documents WHERE source = 'src0'")
+
   val queries: Seq[OracleQuery] = Seq(
 
     OracleQuery("quality_classifier_score",
@@ -44,6 +52,30 @@ object ClassifierQueries {
       Some(s"""WITH $scoreCte
               |SELECT doc_id, round(clf_score, 6) AS clf_score
               |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("dsir_score",
+      // DSIR (Xie et al. 2023): target = the src0 slice of the corpus
+      // itself (a "give me more like this domain" fit). The twin refits
+      // BOTH bag-of-hashed-ngram models and the smoothed log-ratio
+      // table from scratch in SQL.
+      (s, dir) => dsirOp(s, dir)(Tables(s, dir, "documents"))
+        .select(col("doc_id"), round(col("dsir_logw"), 6).as("dsir_logw"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $dsirCte
+              |SELECT id AS doc_id, round(logw, 6) AS dsir_logw
+              |FROM _dsir ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("dsir_top_k",
+      // argmax-k selection on the 6-decimal-rounded score (rounding
+      // makes the cross-engine order stable; ties break by doc_id)
+      (s, dir) => dsirOp(s, dir)(Tables(s, dir, "documents"))
+        .withColumn("dsir_logw", round(col("dsir_logw"), 6))
+        .orderBy(col("dsir_logw").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("dsir_logw")),
+      Some(s"""WITH $dsirCte
+              |SELECT id AS doc_id, round(logw, 6) AS dsir_logw
+              |FROM _dsir ORDER BY round(logw, 6) DESC, id LIMIT 50""".stripMargin)),
 
     OracleQuery("quality_classifier_filter",
       // 0.52, not 0.5: sigmoid(0) is the exact no-feature score, so a 0.5

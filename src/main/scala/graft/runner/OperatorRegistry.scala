@@ -251,6 +251,17 @@ object OperatorRegistry {
       .map(graft.ml.ClassifierWeights.fromFile)
       .getOrElse(graft.ml.ClassifierWeights.deterministic(p.int("buckets", 1 << 12)))))
 
+  register("dsir_score", p => graft.operators.ml.DsirScoreRefiner.fromPath(
+    path = p.str("target_path").getOrElse(
+      throw new IllegalArgumentException("dsir_score requires target_path")),
+    format = p.str("target_format", "parquet"),
+    textCol = p.str("text_field", "text"),
+    outputCol = p.str("output_field", "dsir_logw"),
+    buckets = p.int("buckets", 1 << 12),
+    bigrams = p.bool("bigrams", true),
+    alpha = p.double("alpha", 1.0),
+    targetTextCol = p.str("target_text_field", "text")))
+
   register("source_weighted_sample", p => new SourceWeightedSampleFilter(
     weights = p.doubleMap("weights"),
     defaultFraction = p.double("default_fraction", 1.0),
