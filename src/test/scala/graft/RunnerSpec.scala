@@ -385,6 +385,65 @@ class RunnerSpec extends AnyFunSuite {
     assert(u.startsWith("https://site") && !u.contains("utm_") && !u.contains("#"), u)
   }
 
+  test("yaml pipeline runs the training-mix family: dsir + paragraph dedup + token budget") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    val docs = table("documents").withColumn("text",
+      concat(col("text"), lit("\n\nshared mix footer paragraph"),
+        lit("\n\nunique mix tail "), col("doc_id")))
+    docs.write.parquet(s"$base/in")
+    // DSIR target: the src0 domain slice
+    docs.filter(col("source") === "src0").select(col("text"))
+      .write.parquet(s"$base/target")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: mix
+         |    operators:
+         |      - name: dsir_score
+         |        params: {target_path: "$base/target", text_field: "text", buckets: 1024}
+         |      - name: paragraph_dedup
+         |        params: {text_field: "text", id_field: "doc_id", min_paragraph_length: 10}
+         |      - name: token_budget_sample
+         |        params:
+         |          budgets: {src0: 200, src1: 900}
+         |          default_budget: 400
+         |          source_field: "source"
+         |          id_field: "doc_id"
+         |          text_field: "text"
+         |          num_buckets: 8
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/docs")
+    val rejected = spark.read.parquet(s"$base/out_rejected/docs_rejected")
+    assert(written.count() + rejected.count() == docs.count())
+    assert(res.run.output == written.count() && written.count() > 0)
+    // refiner columns flow through
+    Seq("dsir_logw", "text_paragraph_deduped", "paragraphs_removed")
+      .foreach(c => assert(written.columns.contains(c), c))
+    // the sampler rejected with provenance
+    val rejOps = rejected.select(col("_rejection_details.operator"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(rejOps == Set("token_budget_sample"), rejOps)
+    // budgets hold on the RAW text tokens (the sampler's weight)
+    val toks = size(split(trim(col("text")), "\\s+"))
+    written.groupBy("source").agg(sum(toks).as("t"))
+      .collect().foreach { r =>
+        val budget = r.getString(0) match {
+          case "src0" => 200L; case "src1" => 900L; case _ => 400L }
+        assert(r.getLong(1) <= budget, s"${r.getString(0)}: ${r.getLong(1)}")
+      }
+    // the shared paragraph survives in at most one kept doc
+    assert(written.filter(col("text_paragraph_deduped")
+      .contains("shared mix footer paragraph")).count() <= 1)
+  }
+
   test("tools/export_onnx.py tiny-head export loads through model_path") {
     // the dependency-free export mode emits the reference quality model's
     // exact head architecture (channel-attention gate + 3-layer sigmoid
