@@ -103,3 +103,73 @@ final class IncrementalExactDedup(
         Rejection.duplicate(name, col(kC), lit(null).cast("string")), Seq(kC, hC))
     }
 }
+
+/** Cross-snapshot incremental NEAR-dedup: drop rows of the INCREMENT
+  * whose shingle-set Jaccard against SOME row of a PRIOR corpus
+  * snapshot reaches `threshold` through a MinHash-LSH band collision —
+  * the fuzzy twin of [[IncrementalExactDedup]] ("new crawl against last
+  * month's corpus", reworded re-crawls included). Within-increment
+  * near-dups are deliberately NOT dropped here: compose with
+  * [[MinHashLSHDedup]] for that, exactly as the exact variant composes
+  * with [[TextExactDedup]].
+  *
+  * Scale shape: the prior side reduces to (id, shingle-hash set, band
+  * keys) — at 100 TB you'd materialize that signature table once per
+  * snapshot and reuse it across increments; here it is derived on the
+  * fly from the prior's text. The only shuffle is the band-key
+  * equi-join (increment bands × prior bands), verification runs inside
+  * the join stage, and every prior row is "earlier" by construction so
+  * no id-order coupling exists between the corpora.
+  */
+final class IncrementalMinHashDedup(
+    priorPath: Option[String] = None,
+    prior: Option[DataFrame] = None,
+    textCol: String = "text",
+    idCol: String = "id",
+    shingleWidth: Int = 3,
+    numHashes: Int = 16,
+    numBands: Int = 4,
+    threshold: Double = 0.8,
+    portableHashes: Boolean = false) extends RejectingOperator {
+
+  require(priorPath.isDefined || prior.isDefined,
+    "incremental near-dedup needs a prior snapshot (priorPath or prior)")
+
+  val name = "incremental_minhash_dedup"
+
+  private[dedup] val lsh = new MinHashLSHDedup(
+    textCol = textCol, idCol = idCol, shingleWidth = shingleWidth,
+    numHashes = numHashes, numBands = numBands, threshold = threshold,
+    portableHashes = portableHashes)
+
+  private def priorDf(df: DataFrame): DataFrame =
+    prior.getOrElse(df.sparkSession.read.parquet(priorPath.get))
+
+  /** Increment ids with a verified prior near-dup, with the smallest
+    * matching prior id as representative. */
+  private def hits(df: DataFrame): DataFrame =
+    lsh.pairsAgainst(df, priorDf(df))
+      .groupBy(col("d2").as(idCol)).agg(min(col("d1")).as("_rep"))
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(hits(df).select(col(idCol)), Seq(idCol), "left_anti")
+
+  def rejected(df: DataFrame): DataFrame =
+    df.join(hits(df), Seq(idCol))
+      .withColumn(Rejection.ColName,
+        Rejection.duplicate(name, lit(null).cast("string"), col("_rep")))
+      .drop("_rep")
+
+  /** Prior-membership is independent of upstream survival (the prior is
+    * a separate frozen corpus), so `alive` does not change who hits. */
+  def mark(df: DataFrame, alive: Column, tag: String): Marked = {
+    val rC = s"_imr$tag"
+    val d = df.join(hits(df).withColumnRenamed("_rep", rC), Seq(idCol), "left")
+    Marked(d, col(rC).isNull, col(rC).isNotNull,
+      Rejection.duplicate(name, lit(null).cast("string"), col(rC)), Seq(rC))
+  }
+
+  /** Oracle SQL: increment ids kept, ORDER BY id (portable hashes). */
+  def keepSql(incTable: String, priorTable: String): String =
+    lsh.keepAgainstSql(incTable, priorTable)
+}

@@ -123,7 +123,8 @@ final class MinHashLSHDedup(
     within.unionByName(cross).dropDuplicates("d1", "d2")
   }
 
-  private def lshPairs(df: DataFrame): DataFrame = {
+  /** (_id, _h, _b, _bkey) band rows of `df` — the LSH bucketing frame. */
+  private def banded(df: DataFrame): DataFrame = {
     // `_pb >= 0` is always true (monotonic ids are non-negative) but
     // keeps the barrier column referenced, so column pruning can't erase
     // it before the pushdown check — see [[shingled]]
@@ -132,7 +133,29 @@ final class MinHashLSHDedup(
     val bandKeys = array((0 until numBands).map(b =>
       concat_ws("_", (lit(b) +: (0 until rowsPerBand).map(i =>
         element_at(col("_m"), b * rowsPerBand + i + 1))): _*)): _*)
-    val bands0 = base.select(col("_id"), col("_h"), posexplode(bandKeys).as(Seq("_b", "_bkey")))
+    base.select(col("_id"), col("_h"), posexplode(bandKeys).as(Seq("_b", "_bkey")))
+  }
+
+  /** Verified cross-corpus duplicate pairs: increment rows whose
+    * shingle-set Jaccard against SOME prior row reaches `threshold`
+    * through an LSH band collision — no id-order constraint (every
+    * prior row is "earlier" by construction). Returns
+    * (d1 = prior id, d2 = increment id, jaccard). Same shuffle posture
+    * as [[lshPairs]]: the band-key equi-join, verification inside the
+    * join stage, only true pairs reach the pair-dedup.
+    */
+  def pairsAgainst(increment: DataFrame, prior: DataFrame): DataFrame = {
+    val left = banded(prior).select(col("_b"), col("_bkey"), col("_id").as("d1"), col("_h").as("h1"))
+    val right = banded(increment).select(col("_b"), col("_bkey"), col("_id").as("d2"), col("_h").as("h2"))
+    left.join(right, Seq("_b", "_bkey"))
+      .withColumn("_j", graft.plans.kernels.array_jaccard(col("h1"), col("h2")))
+      .filter(col("_j") >= threshold)
+      .select(col("d1"), col("d2"), col("_j").as("jaccard"))
+      .dropDuplicates("d1", "d2")
+  }
+
+  private def lshPairs(df: DataFrame): DataFrame = {
+    val bands0 = banded(df)
     val bands = maxBucketSize match {
       case Some(cap) =>
         // drop pathological buckets (e.g. empty-ish texts all colliding).
@@ -210,16 +233,40 @@ final class MinHashLSHDedup(
 
   // ---- DuckDB twin (portable hashes only) ----
 
-  private def sigCtes(table: String): String = {
+  private def sigCtes(table: String, pfx: String = ""): String = {
     require(portableHashes, "oracle requires the portable hash family")
-    s"""sh AS (SELECT $idCol AS id,
+    s"""${pfx}sh AS (SELECT $idCol AS id,
        |    list_distinct(${TextFunctions.shinglesSql("t", shingleWidth)}) AS s
        |  FROM (SELECT $idCol, ${TextFunctions.tokensOfSql(textCol)} AS t FROM $table)),
-       |hv AS (SELECT id, list_distinct(list_transform(s, x -> ${HashFunctions.portableHash64Sql("x")})) AS h
-       |  FROM sh WHERE len(s) > 0),
-       |sig AS (SELECT id, h, [${(0 until numHashes).map(j =>
+       |${pfx}hv AS (SELECT id, list_distinct(list_transform(s, x -> ${HashFunctions.portableHash64Sql("x")})) AS h
+       |  FROM ${pfx}sh WHERE len(s) > 0),
+       |${pfx}sig AS (SELECT id, h, [${(0 until numHashes).map(j =>
             s"list_min(list_transform(h, x -> ${HashFunctions.mixedSql("x", j)}))").mkString(", ")}] AS m
-       |  FROM hv)""".stripMargin
+       |  FROM ${pfx}hv)""".stripMargin
+  }
+
+  /** `${pfx}bands(id, h, b, bkey)` CTE over `${pfx}sig` (no cap). */
+  private def bandsCte(pfx: String): String =
+    s"""${pfx}bands AS (SELECT id, h, b,
+       |    CAST(b AS VARCHAR) ${(0 until rowsPerBand).map(i =>
+            s"|| '_' || CAST(m[b*$rowsPerBand+${i + 1}] AS VARCHAR)").mkString(" ")} AS bkey
+       |  FROM ${pfx}sig CROSS JOIN (SELECT unnest(range(0, $numBands)) AS b) ${pfx}bs)""".stripMargin
+
+  /** Oracle SQL for [[IncrementalMinHashDedup]]: increment ids KEPT
+    * given the prior table (kept = no verified prior near-dup through a
+    * band collision), ORDER BY id. */
+  def keepAgainstSql(incTable: String, priorTable: String): String = {
+    val jac = s"CAST(len(list_intersect(p.h, q.h)) AS DOUBLE) / " +
+      s"(CAST(len(p.h) + len(q.h) AS DOUBLE) - CAST(len(list_intersect(p.h, q.h)) AS DOUBLE))"
+    s"""WITH ${sigCtes(priorTable, "p")},
+       |${sigCtes(incTable, "q")},
+       |${bandsCte("p")},
+       |${bandsCte("q")},
+       |xver AS (SELECT DISTINCT q.id AS d2
+       |  FROM pbands p JOIN qbands q ON p.b = q.b AND p.bkey = q.bkey
+       |  WHERE $jac >= $threshold)
+       |SELECT $idCol FROM $incTable WHERE $idCol NOT IN (SELECT d2 FROM xver)
+       |ORDER BY $idCol""".stripMargin
   }
 
   /** Oracle SQL returning (id, m1..mTake) signature prefixes, ORDER BY id. */

@@ -114,6 +114,26 @@ object NearDup {
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashCappedOp.keepSql("documents"))),
 
+    OracleQuery("incremental_minhash_dedup",
+      // fuzzy twin of incremental_exact_dedup: prior snapshot = every
+      // 5th doc; the increment (the full table) drops rows with a
+      // verified near-dup in the prior — prior members themselves match
+      // at Jaccard 1.0, rewordings through band collisions
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        new graft.operators.dedup.IncrementalMinHashDedup(
+          prior = Some(d.filter(col("doc_id") % 5 === 0)),
+          textCol = "text", idCol = "doc_id",
+          shingleWidth = 3, numHashes = 16, numBands = 4,
+          threshold = 0.8, portableHashes = true)(d)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(new graft.operators.dedup.IncrementalMinHashDedup(
+          prior = Some(null), textCol = "text", idCol = "doc_id",
+          shingleWidth = 3, numHashes = 16, numBands = 4,
+          threshold = 0.8, portableHashes = true)
+        .keepSql("documents", "(SELECT * FROM documents WHERE doc_id % 5 = 0)"))),
+
     OracleQuery("ngram_jaccard_dedup",
       (s, dir) => jaccardOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),

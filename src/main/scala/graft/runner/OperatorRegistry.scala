@@ -231,6 +231,16 @@ object OperatorRegistry {
     bloomExpectedItems = p.long("bloom_expected_items"),
     bloomFpp = p.double("bloom_fpp", 1e-6)))
 
+  register("incremental_minhash_dedup", p => new IncrementalMinHashDedup(
+    priorPath = Some(p.str("prior_path").getOrElse(
+      throw new IllegalArgumentException("incremental_minhash_dedup requires prior_path"))),
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    shingleWidth = p.int("shingle_width", 3),
+    numHashes = p.int("num_hashes", 16),
+    numBands = p.int("num_bands", 4),
+    threshold = p.double("threshold", 0.8)))
+
   register("quality_classifier", p => new graft.operators.ml.QualityClassifierRefiner(
     textCol = p.str("text_field", "text"),
     outputCol = p.str("output_field", "clf_score"),

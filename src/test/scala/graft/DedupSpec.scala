@@ -66,6 +66,35 @@ class DedupSpec extends AnyFunSuite {
     assert(ids(jUncapped(docs)).subsetOf(ids(jCapped(docs))))
   }
 
+  test("incremental minhash dedup: prior near-dups drop, novel content survives") {
+    import spark.implicits._
+    val prior = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "completely different prior content about distributed database systems design"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      // 20: reworded re-crawl of 10 (shares almost every 3-shingle)
+      (20L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      // 21: exact copy of 11
+      (21L, "completely different prior content about distributed database systems design"),
+      // 22: novel
+      (22L, "unrelated fresh document covering alpine meadow ecology and pollinators"),
+      // 23: near-dup of 22 — WITHIN-increment near-dups must survive
+      (23L, "unrelated fresh document covering alpine meadow ecology and pollinators yes"))
+      .toDF("doc_id", "text")
+    val op = new graft.operators.dedup.IncrementalMinHashDedup(
+      prior = Some(prior), textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.7)
+    val kept = ids(op(inc))
+    assert(kept == Set(22L, 23L), kept)
+    // rejected carry the matching prior id as representative
+    val reps = op.rejected(inc)
+      .select(col("doc_id"), col(graft.core.Rejection.ColName)("representative_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(reps == Map(20L -> 10L, 21L -> 11L), reps)
+    assert(op(inc).count() + op.rejected(inc).count() == inc.count())
+  }
+
   test("exact dedup is idempotent") {
     val op = TextExactDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id")
     val once = op(docs)
