@@ -61,3 +61,53 @@ object TextExactDedup {
       s"ELSE CAST(${HashFunctions.portableHash64Sql(norm)} AS VARCHAR) END)"
   }
 }
+
+/** Soft dedup (SoftDeDup): instead of DROPPING exact duplicates, keep
+  * every row and attach `weightCol` = 1 / (duplicate-group size) and
+  * `countCol` = group size, so the trainer downweights repeated content
+  * in the loss rather than discarding it — repeated text often signals
+  * quality, and hard dropping throws that signal away. Key semantics
+  * are [[TextExactDedup]]'s exactly (normalize → hash → id fallback),
+  * so weight 1.0 ⇔ the row would have survived a hard first-wins dedup
+  * with no casualties in its group.
+  *
+  * Scale shape: ONE shuffle — a window count over the fixed-width key —
+  * against hard dedup's identical shuffle; no row is dropped, so the
+  * operator composes anywhere a refiner does.
+  */
+final class SoftExactDedup(
+    textCol: String = "text",
+    idCol: String = "id",
+    hashAlgorithm: String = "xxhash64",
+    normalizeWhitespace: Boolean = true,
+    lowercase: Boolean = true,
+    weightCol: String = "dedup_weight",
+    countCol: String = "dup_count") extends graft.core.Operator {
+
+  val name = "soft_exact_dedup"
+
+  private def keyOf(df: DataFrame): Column =
+    TextExactDedup(textCol = textCol, idCol = idCol, orderCol = idCol,
+      hashAlgorithm = hashAlgorithm, normalizeWhitespace = normalizeWhitespace,
+      lowercase = lowercase).key(df)
+
+  def apply(df: DataFrame): DataFrame = build(df, None)
+
+  /** Disposition mode: group sizes count ALIVE rows only (a dead row is
+    * not a training duplicate); dead rows keep null outputs. */
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    build(df, Some(alive))
+
+  private def build(df: DataFrame, alive: Option[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_sdk"))
+    val n = alive match {
+      case None    => count(lit(1)).over(w)
+      case Some(a) => sum(when(a, 1L).otherwise(0L)).over(w)
+    }
+    def gated(c: Column): Column = alive.fold(c)(a => when(a, c))
+    df.withColumn("_sdk", keyOf(df))
+      .withColumn(countCol, gated(n))
+      .withColumn(weightCol, gated(lit(1.0) / col(countCol)))
+      .drop("_sdk")
+  }
+}

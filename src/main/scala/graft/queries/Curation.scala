@@ -106,6 +106,20 @@ object Curation {
               |  FROM documents) t
               |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    OracleQuery("soft_exact_dedup",
+      // drop-free dedup: every row kept, weighted 1/group-size for loss
+      // reweighting (weight 1.0 <=> a hard dedup would keep it with no
+      // casualties in its group)
+      (s, dir) => new graft.operators.dedup.SoftExactDedup(
+          textCol = "text", idCol = "doc_id", hashAlgorithm = "portable")(docs(s, dir))
+        .select(col("doc_id"), col("dup_count"),
+          round(col("dedup_weight"), 6).as("dedup_weight"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  count(*) OVER (PARTITION BY ${TextExactDedup.keySql("text", "doc_id")}) AS dup_count,
+              |  round(1.0 / count(*) OVER (PARTITION BY ${TextExactDedup.keySql("text", "doc_id")}), 6) AS dedup_weight
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     OracleQuery("incremental_exact_dedup",
       // the prior snapshot is every 5th doc: the increment (the full
       // table) drops those rows plus any doc whose normalized content

@@ -220,6 +220,15 @@ object OperatorRegistry {
     hashName = p.str("hash_algorithm", "xxhash64"),
     salt = p.str("salt", "")))
 
+  register("soft_exact_dedup", p => new SoftExactDedup(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    hashAlgorithm = p.str("hash_algorithm", "xxhash64"),
+    normalizeWhitespace = p.bool("normalize_whitespace", true),
+    lowercase = p.bool("lowercase", true),
+    weightCol = p.str("weight_field", "dedup_weight"),
+    countCol = p.str("count_field", "dup_count")))
+
   register("incremental_exact_dedup", p => new IncrementalExactDedup(
     priorPath = p.str("prior_path"),
     textCol = p.str("text_field", "text"),

@@ -95,6 +95,30 @@ class DedupSpec extends AnyFunSuite {
     assert(op(inc).count() + op.rejected(inc).count() == inc.count())
   }
 
+  test("soft dedup: weights sum to 1 per duplicate group, nothing dropped") {
+    import spark.implicits._
+    // plant exact duplicates: doc_id % 3 == 0 rows share their class text
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(lit("planted duplicate class "), (col("doc_id") % 9).cast("string")))
+        .otherwise(col("text")))
+    val op = new graft.operators.dedup.SoftExactDedup(
+      textCol = "text", idCol = "doc_id")
+    val out = op(planted)
+    assert(out.count() == planted.count())
+    // per-group weight mass is exactly 1
+    val masses = out.groupBy("text").agg(sum("dedup_weight").as("m"))
+      .select("m").as[Double].collect()
+    masses.foreach(m => assert(math.abs(m - 1.0) < 1e-9, m))
+    // every hard-dedup casualty sits in a dup_count > 1 group
+    val plantedAll = ids(planted)
+    val hardKept = ids(TextExactDedup(
+      textCol = "text", idCol = "doc_id", orderCol = "doc_id")(planted))
+    val softDupIds = ids(out.filter(col("dup_count") > 1))
+    assert((plantedAll -- hardKept).subsetOf(softDupIds))
+    assert(softDupIds.nonEmpty, "fixture has no exact dups — vacuous")
+  }
+
   test("exact dedup is idempotent") {
     val op = TextExactDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id")
     val once = op(docs)
