@@ -97,6 +97,47 @@ class PlanSpec extends AnyFunSuite {
     assert(kernels == 2, s"expected 1 shingle eval per join side, got $kernels")
   }
 
+  test("precollapse minhash: no window, text hashed into the collapse groupBy, LSH over reps") {
+    val op = new graft.operators.dedup.MinHashLSHDedup(
+      textCol = "text", idCol = "doc_id", preCollapseExact = true)
+    val df = op.verifiedPairs(table("documents"))
+    val p = planOf(df)
+    // the collapse is a hash aggregate on xxhash64(text), never a window
+    assert(!p.contains("Window"), p)
+    assert(p.toLowerCase.contains("xxhash64"), p)
+    // the LSH join still evaluates the shingle kernel once per side, on
+    // the collapsed rep frame (2 evals), not per member
+    val op2 = df.queryExecution.optimizedPlan.toString.toLowerCase
+    val kernels = "shinglehashes".r.findAllIn(op2).size
+    assert(kernels == 2, s"expected 1 shingle eval per join side, got $kernels")
+  }
+
+  test("incremental minhash: band equi-join between corpora, no cartesian, no id coupling") {
+    val docs = table("documents")
+    val op = new graft.operators.dedup.IncrementalMinHashDedup(
+      prior = Some(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)),
+      textCol = "text", idCol = "doc_id")
+    val p = planOf(op(docs))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // one kernel eval per corpus side
+    val kernels = "shinglehashes".r.findAllIn(p.toLowerCase).size
+    assert(kernels == 2, s"expected 1 shingle eval per corpus, got $kernels")
+  }
+
+  test("token budget sample: offsets broadcast back, slice windows keyed by (source, bucket)") {
+    val op = new graft.operators.text.TokenBudgetSampleFilter(
+      budgets = Map("src0" -> 100L), defaultBudget = 500L,
+      sourceCol = "source", idCol = "doc_id", textCol = "text", numBuckets = 8)
+    val p = planOf(op(table("documents")))
+    // the tiny offset aggregate rides a broadcast, not a row-data shuffle
+    assert(p.contains("BroadcastExchange"), p)
+    // every window partitions by (source, bucket) — never source alone,
+    // which would serialize a whole source through one task
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(l => !l.contains("partitionBy") || l.contains("_tbb")),
+      windowLines.mkString("\n"))
+  }
+
   test("capped minhash plans the bucket cap as a broadcast anti-join, never a window") {
     val op = new graft.operators.dedup.MinHashLSHDedup(
       textCol = "text", idCol = "doc_id", maxBucketSize = Some(50))
