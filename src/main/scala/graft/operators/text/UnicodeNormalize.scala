@@ -1,0 +1,42 @@
+package graft.operators.text
+
+import graft.core.Operator
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unicode normalization refiner — the cleanup pass every pipeline runs
+  * BEFORE any hashing, tokenizing, or dedup so that canonically-equal
+  * strings ("é" composed vs "e"+U+0301 decomposed) hash identically
+  * (beyond the reference's operator set, like the rest of the
+  * training-data family). Adds `outputCol` = the normalized text and
+  * `changedCol` = whether normalization altered the string (a cheap
+  * mojibake-rate signal to aggregate per source).
+  *
+  * Forms: NFC (default — canonical composition, the web-text standard),
+  * NFKC (also folds compatibility chars: ligatures, full-width forms —
+  * more aggressive, useful pre-tokenization), NFD/NFKD (decompositions).
+  * `stripControls` removes Cc/Cf control and format characters except
+  * tab/newline/CR — zero-width joiners, BOMs, and direction marks that
+  * survive HTML extraction.
+  *
+  * Scale shape: stateless per-row kernel map — no shuffle, no state,
+  * runs at scan speed; one JVM pass per row
+  * ([[graft.plans.kernels.UnicodeNormalize]]).
+  */
+final class UnicodeNormalizeRefiner(
+    textCol: String = "text",
+    form: String = "NFC",
+    stripControls: Boolean = false,
+    outputCol: String = "text_normalized",
+    changedCol: String = "unicode_changed") extends Operator {
+
+  require(Set("NFC", "NFKC", "NFD", "NFKD")(form), s"unknown form $form")
+  val name = "unicode_normalize"
+
+  private def normalized: Column =
+    graft.plans.kernels.unicode_normalize(col(textCol), form, stripControls)
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(outputCol, normalized)
+      .withColumn(changedCol, col(outputCol) =!= col(textCol))
+}

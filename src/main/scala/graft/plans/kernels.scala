@@ -802,8 +802,46 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Unicode normalization (java.text.Normalizer) with optional control
+    * character stripping — the mojibake/combining-char cleanup every
+    * text pipeline runs before hashing or tokenizing. NFC is the form
+    * with a DuckDB twin (`nfc_normalize`); both implement the Unicode
+    * canonical-composition spec, so they agree on every assigned
+    * codepoint. `stripControls` removes Cc/Cf controls except \t \n \r
+    * (the whitespace the tokenizer understands).
+    */
+  case class UnicodeNormalize(child: Expression, form: String, stripControls: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val n = java.text.Normalizer.normalize(s, nf)
+      val out =
+        if (!stripControls) n
+        else {
+          val b = new java.lang.StringBuilder(n.length)
+          var i = 0
+          while (i < n.length) {
+            val cp = n.codePointAt(i)
+            val t = Character.getType(cp)
+            val keep = (t != Character.CONTROL && t != Character.FORMAT) ||
+              cp == '\t' || cp == '\n' || cp == '\r'
+            if (keep) b.appendCodePoint(cp)
+            i += Character.charCount(cp)
+          }
+          b.toString
+        }
+      org.apache.spark.unsafe.types.UTF8String.fromString(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
   def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
+  def unicode_normalize(text: Column, form: String = "NFC",
+      stripControls: Boolean = false): Column =
+    expr2col(UnicodeNormalize(colExpr(text), form, stripControls))
   def minhash_signature(hs: Column, numHashes: Int, portable: Boolean): Column =
     expr2col(MinHashSignature(colExpr(hs), numHashes, portable))
   def minhash_from_hashes(hs: Column, numHashes: Int, portable: Boolean): Column =

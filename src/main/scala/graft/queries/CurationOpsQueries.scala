@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.text.{BenchmarkDecontaminationFilter, DeterministicSampleFilter, LineDedupRefiner, PiiRedaction, PiiRedactionRefiner, TextRepetition, TextRepetitionRefiner}
+import graft.operators.text.{BenchmarkDecontaminationFilter, DeterministicSampleFilter, LineDedupRefiner, PiiRedaction, PiiRedactionRefiner, TextRepetition, TextRepetitionRefiner, UnicodeNormalizeRefiner}
 import org.apache.spark.sql.functions._
 
 /** Gates for the round-5 training-data curation additions: benchmark
@@ -99,6 +99,26 @@ object CurationOpsQueries {
            |SELECT id AS doc_id, text_clean, lines_removed FROM _ld
            |ORDER BY doc_id""".stripMargin
       })),
+
+    OracleQuery("unicode_normalize",
+      // docs with doc_id % 3 == 0 get a DECOMPOSED suffix (e + combining
+      // acute, i + combining diaeresis): NFC must compose them, flag the
+      // row changed, and leave already-composed rows untouched
+      (s, dir) => {
+        val aug = Tables(s, dir, "documents").withColumn("text2",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" cafe\u0301 na\u0131\u0308ve")))
+            .otherwise(col("text")))
+        new UnicodeNormalizeRefiner("text2")(aug)
+          .select(col("doc_id"), col("text_normalized"), col("unicode_changed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+              |  THEN (text || ' caf' || 'e' || chr(769) || ' na' || chr(305) || chr(776) || 've')
+              |  ELSE text END AS text2 FROM documents)
+              |SELECT doc_id, nfc_normalize(text2) AS text_normalized,
+              |  (nfc_normalize(text2) <> text2) AS unicode_changed
+              |FROM aug ORDER BY doc_id""".stripMargin)),
 
     OracleQuery("paragraph_dedup",
       (s, dir) => {

@@ -173,6 +173,13 @@ object OperatorRegistry {
     removedCol = p.str("removed_field", "paragraphs_removed"),
     separator = p.str("separator", "\n\n")))
 
+  register("unicode_normalize", p => new UnicodeNormalizeRefiner(
+    textCol = p.str("text_field", "text"),
+    form = p.str("form", "NFC"),
+    stripControls = p.bool("strip_controls", false),
+    outputCol = p.str("output_field", "text_normalized"),
+    changedCol = p.str("changed_field", "unicode_changed")))
+
   register("pii_redaction", p => new PiiRedactionRefiner(
     textCol = p.str("text_field", "text"),
     redactedCol = p.str("redacted_field", "text_redacted")))

@@ -108,6 +108,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(nulls.head.getAs[String]("text_line_deduped") == "")
   }
 
+  test("unicode normalize: NFC composes, NFKC folds compatibility, controls strip") {
+    import graft.operators.text.UnicodeNormalizeRefiner
+    val df = Seq(
+      (1L, "cafe\u0301"),            // decomposed acute -> composed e-acute
+      (2L, "caf\u00e9"),             // already composed: unchanged
+      (3L, "\ufb01le \uff41bc"),    // fi-ligature + full-width a (NFKC-only folds)
+      (4L, "a\u200bb c\td\u0000")) // ZWSP (Cf) + NUL (Cc) strip, tab kept
+      .toDF("id", "text")
+    def run(form: String, strip: Boolean = false) =
+      new UnicodeNormalizeRefiner("text", form, stripControls = strip)(df)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[String]("text_normalized"), r.getAs[Boolean]("unicode_changed"))).toMap
+    val nfc = run("NFC")
+    assert(nfc(1L) == (("caf\u00e9", true)))
+    assert(nfc(2L) == (("caf\u00e9", false)))
+    assert(nfc(3L)._1 == "\ufb01le \uff41bc") // NFC keeps compatibility chars
+    val nfkc = run("NFKC")
+    assert(nfkc(3L) == (("file abc", true)))
+    val stripped = run("NFC", strip = true)
+    assert(stripped(4L) == (("ab c\td", true)))
+  }
+
   test("paragraph dedup: \\n\\n units dedup whole paragraphs, inner newlines intact") {
     import graft.operators.text.LineDedupRefiner
     val shared = "shared footer paragraph\nwith an inner newline"
