@@ -51,6 +51,58 @@ object StreamingCuration {
     dedupByKey(df, new graft.operators.dedup.SimHashDedup(
       textCol, textCol, textCol, bits).simhash(col(textCol)))
 
+  /** Streaming MinHash near-dedup as a micro-batch loop: each trigger's
+    * batch drops (1) near-dups of everything accepted in PREVIOUS
+    * triggers — [[graft.operators.dedup.IncrementalMinHashDedup]]
+    * against the accumulating prior store — and (2) within-batch
+    * near-dups ([[graft.operators.dedup.MinHashLSHDedup]], full verified
+    * Jaccard); survivors append to both the output and the prior store.
+    * This is the production Kafka→micro-batch near-dedup shape: LSH
+    * banding with EXACT set verification needs a candidate join, which
+    * keyed per-row state can't express (a doc must meet candidates
+    * across all its bands) — `foreachBatch` gives each trigger the full
+    * batch-join machinery while the prior store carries cross-trigger
+    * state. [[dedupByFingerprint]] remains the keyed-state alternative
+    * (simhash equality, no join, weaker recall).
+    *
+    * At scale, point `priorDir` at the signature table you'd persist
+    * anyway; restart-safety comes from the checkpointed source offsets
+    * plus idempotent parquet appends per epoch.
+    */
+  def nearDedupForeachBatch(
+      stream: DataFrame,
+      outDir: String,
+      priorDir: String,
+      textCol: String = "text",
+      idCol: String = "id",
+      shingleWidth: Int = 3,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lsh = new graft.operators.dedup.MinHashLSHDedup(
+      textCol = textCol, idCol = idCol, shingleWidth = shingleWidth,
+      numHashes = numHashes, numBands = numBands, threshold = threshold)
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(priorDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasPrior = fs.exists(new org.apache.hadoop.fs.Path(priorDir))
+      val selfDeduped = lsh(batch)
+      val kept =
+        if (!hasPrior) selfDeduped
+        else new graft.operators.dedup.IncrementalMinHashDedup(
+          priorPath = Some(priorDir), textCol = textCol, idCol = idCol,
+          shingleWidth = shingleWidth, numHashes = numHashes,
+          numBands = numBands, threshold = threshold)(selfDeduped)
+      val out = kept.persist()
+      try {
+        out.write.mode("append").parquet(outDir)
+        out.select(col(idCol), col(textCol)).write.mode("append").parquet(priorDir)
+      } finally out.unpersist()
+      ()
+    }
+  }
+
   /** Event-time tumbling-window counts with a watermark (late data beyond
     * `watermark` dropped) — the streaming twin of the q6_events_hourly
     * batch query in [[graft.queries.Relational]].

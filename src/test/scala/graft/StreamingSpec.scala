@@ -98,6 +98,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch minhash near-dedup: cross-trigger AND within-batch drops, prior store grows") {
+    import spark.implicits._
+    val a = ("a1", "the quick brown fox jumps over the lazy dog near the wide " +
+      "river bank while herons stalk the shallows hunting silver minnows at dawn")
+    // later-trigger rewording of a1: most 3-shingles shared, fingerprint
+    // NOT necessarily equal — only LSH+Jaccard catches it
+    val aReworded = ("a2", "the quick brown fox jumps over the lazy dog near the wide " +
+      "river bank while herons stalk the shallows hunting silver minnows")
+    val b = ("b1", "an entirely different document describing catalyst expression " +
+      "trees whole stage codegen and shuffle exchanges inside spark executors")
+    // same-trigger near-dup pair: only the first survives
+    val c1 = ("c1", "measuring tokenizer throughput across byte pair encodings " +
+      "with large multilingual corpora under strict latency budgets today")
+    val c2 = ("c2", "measuring tokenizer throughput across byte pair encodings " +
+      "with large multilingual corpora under strict latency budgets")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_nbdedup")
+    val outDir = base.resolve("out").toString
+    val priorDir = base.resolve("prior").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingCuration.nearDedupForeachBatch(
+        mem.toDF().toDF("id", "text"), outDir, priorDir,
+        textCol = "text", idCol = "id", threshold = 0.7)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      mem.addData(a, c1, c2)       // trigger 1: within-batch pair c1/c2
+      q.processAllAvailable()
+      mem.addData(aReworded, b)    // trigger 2: cross-trigger near-dup + novel
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir).select("id").as[String].collect().toSet
+      assert(out == Set("a1", "c1", "b1"), s"got $out")
+      // the prior store accumulated exactly the accepted docs
+      val prior = spark.read.parquet(priorDir).select("id").as[String].collect().toSet
+      assert(prior == out, s"prior=$prior out=$out")
+    } finally q.stop()
+  }
+
   test("fingerprint dedup runs under the RocksDB state store provider") {
     // SURVEY §7.4's 100 TB posture: at real scale the dedup state no
     // longer fits the default in-memory HDFS-backed store; the same
