@@ -49,3 +49,24 @@ final class TextRepetitionRefiner(textCol: String = "text") extends Operator {
       .drop("_rep_toks")
   }
 }
+
+/** The FULL Gopher within-document repetition battery (Rae et al. 2021
+  * Table A1), complementing [[TextRepetitionRefiner]]'s token ratios:
+  * duplicate line / paragraph fractions (by unit count and by character
+  * mass) and the character fraction covered by the most frequent word
+  * n-gram for n = 2, 3, 4 — the signals Gopher thresholds to drop
+  * machine-generated/boilerplate pages. One fused kernel pass per row
+  * ([[graft.plans.kernels.RepetitionSignals]]); stateless map, no
+  * shuffle, scan speed.
+  */
+final class GopherRepetitionRefiner(textCol: String = "text") extends Operator {
+  val name = "gopher_repetition"
+  def apply(df: DataFrame): DataFrame = {
+    val d = df.withColumn("_grs", graft.plans.kernels.repetition_signals(col(textCol)))
+    Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+      "top_4gram_char_frac")
+      .foldLeft(d) { (acc, c) => acc.withColumn(c, col("_grs")(c)) }
+      .drop("_grs")
+  }
+}

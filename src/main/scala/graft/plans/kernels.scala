@@ -802,6 +802,88 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** The Gopher within-document repetition battery (Rae et al. 2021
+    * Table A1) in one JVM pass: duplicate line / paragraph fractions
+    * (unit count and character mass of beyond-first occurrences) plus
+    * the character fraction covered by the single most frequent word
+    * n-gram for n = 2, 3, 4. Deterministic top-gram tie-break: highest
+    * count, then lexicographically smallest gram — mirrored exactly by
+    * the DuckDB twin's ROW_NUMBER ordering. Line/paragraph units split
+    * on "\n" / "\n\n" literally (split(-1) semantics, matching
+    * DuckDB's string_split); character denominators are the unit-char
+    * total for line/para fractions and the normalized-text length for
+    * the n-gram fractions. Empty text → all zeros.
+    */
+  case class RepetitionSignals(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("dup_line_frac", DoubleType, nullable = false),
+      StructField("dup_line_char_frac", DoubleType, nullable = false),
+      StructField("dup_para_frac", DoubleType, nullable = false),
+      StructField("dup_para_char_frac", DoubleType, nullable = false),
+      StructField("top_2gram_char_frac", DoubleType, nullable = false),
+      StructField("top_3gram_char_frac", DoubleType, nullable = false),
+      StructField("top_4gram_char_frac", DoubleType, nullable = false)))
+
+    private def dupFracs(units: Array[String]): (Double, Double) = {
+      if (units.isEmpty) return (0.0, 0.0)
+      val counts = new java.util.HashMap[String, Integer]()
+      var totChars = 0L
+      units.foreach { u =>
+        val prev = counts.get(u)
+        counts.put(u, if (prev == null) 1 else prev + 1)
+        totChars += u.length
+      }
+      var dupUnits = 0L
+      var dupChars = 0L
+      counts.forEach { (u, c) =>
+        if (c > 1) { dupUnits += c - 1; dupChars += u.length.toLong * (c - 1) }
+      }
+      (dupUnits.toDouble / units.length,
+        if (totChars == 0) 0.0 else dupChars.toDouble / totChars)
+    }
+
+    private def topGramFrac(toks: Array[String], n: Int, denom: Long): Double = {
+      if (toks.length < n || denom == 0) return 0.0
+      val counts = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        val g = sb.toString
+        val prev = counts.get(g)
+        counts.put(g, if (prev == null) 1 else prev + 1)
+        i += 1
+      }
+      var bestGram: String = null
+      var bestCnt = 0
+      counts.forEach { (g, c) =>
+        if (c > bestCnt || (c == bestCnt && (bestGram == null || g.compareTo(bestGram) < 0))) {
+          bestGram = g; bestCnt = c
+        }
+      }
+      bestGram.length.toDouble * bestCnt / denom
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val lines = s.split("\n", -1)
+      val paras = s.split("\n\n", -1)
+      val (dlf, dlcf) = dupFracs(lines)
+      val (dpf, dpcf) = dupFracs(paras)
+      val toks = tokenizeJvm(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      var denom = 0L
+      toks.foreach(t => denom += t.length)
+      if (toks.length > 1) denom += toks.length - 1 // normalized text length
+      org.apache.spark.sql.catalyst.InternalRow(
+        dlf, dlcf, dpf, dpcf,
+        topGramFrac(toks, 2, denom), topGramFrac(toks, 3, denom),
+        topGramFrac(toks, 4, denom))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Unicode normalization (java.text.Normalizer) with optional control
     * character stripping — the mojibake/combining-char cleanup every
     * text pipeline runs before hashing or tokenizing. NFC is the form
@@ -842,6 +924,11 @@ object kernels {
   def unicode_normalize(text: Column, form: String = "NFC",
       stripControls: Boolean = false): Column =
     expr2col(UnicodeNormalize(colExpr(text), form, stripControls))
+  /** Gopher repetition battery struct; coalesces NULL text to ''. */
+  def repetition_signals(text: Column): Column =
+    expr2col(RepetitionSignals(colExpr(
+      org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit("")))))
   def minhash_signature(hs: Column, numHashes: Int, portable: Boolean): Column =
     expr2col(MinHashSignature(colExpr(hs), numHashes, portable))
   def minhash_from_hashes(hs: Column, numHashes: Int, portable: Boolean): Column =

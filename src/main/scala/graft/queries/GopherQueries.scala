@@ -54,7 +54,78 @@ object GopherQueries {
   private val filter =
     new GopherQualityFilter("text2", minWords, maxWords, minStop)
 
+  // ---- gopher_repetition fixture: %3 docs get a repeated line pair,
+  // %4 docs a repeated paragraph, %7 docs a "spam spam spam spam" tail
+  // so every battery signal is non-zero somewhere.
+  private def repAug(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("text2", concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nrepeated boiler line\nrepeated boiler line")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit("\n\nrepeated footer para\n\nrepeated footer para")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" spam spam spam spam")).otherwise(lit(""))))
+
+  private val repAugSql =
+    """(SELECT doc_id, (text ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN (chr(10) || 'repeated boiler line' || chr(10) || 'repeated boiler line') ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN (chr(10) || chr(10) || 'repeated footer para' || chr(10) || chr(10) || 'repeated footer para') ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN ' spam spam spam spam' ELSE '' END)) AS text2
+      |FROM documents)""".stripMargin
+
+  /** dup-unit fraction CTEs over a literal separator. */
+  private def dupUnitCtes(pfx: String, sepSql: String): String =
+    s"""${pfx}x AS (SELECT doc_id, unnest(string_split(coalesce(text2, ''), $sepSql)) AS u FROM aug),
+       |${pfx}c AS (SELECT doc_id, u, count(*) AS c FROM ${pfx}x GROUP BY doc_id, u),
+       |${pfx}a AS (SELECT doc_id,
+       |    CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS uf,
+       |    CASE WHEN sum(len(u) * c) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(sum(len(u) * (c - 1)) AS DOUBLE) / CAST(sum(len(u) * c) AS DOUBLE) END AS cf
+       |  FROM ${pfx}c GROUP BY doc_id)""".stripMargin
+
+  /** top word-n-gram char-mass CTEs (ties: highest count, smallest gram). */
+  private def topGramCtes(n: Int): String =
+    s"""g${n}x AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("t", n)}) AS g FROM tk),
+       |g${n}c AS (SELECT doc_id, g, count(*) AS c FROM g${n}x GROUP BY doc_id, g),
+       |g${n}t AS (SELECT doc_id, CAST(len(g) AS DOUBLE) * c AS mass FROM (
+       |    SELECT doc_id, g, c, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g${n}c)
+       |  WHERE rn = 1)""".stripMargin
+
   val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("gopher_repetition",
+      (s, dir) => new graft.operators.text.GopherRepetitionRefiner("text2")(
+          repAug(Tables(s, dir, "documents")))
+        .select(col("doc_id") +: Seq("dup_line_frac", "dup_line_char_frac",
+          "dup_para_frac", "dup_para_char_frac", "top_2gram_char_frac",
+          "top_3gram_char_frac", "top_4gram_char_frac")
+          .map(c => round(col(c), 6).as(c)): _*)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH aug AS $repAugSql,
+              |${dupUnitCtes("l", "chr(10)")},
+              |${dupUnitCtes("p", "chr(10) || chr(10)")},
+              |tk AS (SELECT doc_id, ${TextFunctions.tokensOfSql("text2")} AS t FROM aug),
+              |dn AS (SELECT doc_id, CAST(length(${TextFunctions.normalizeTextSql("text2")}) AS DOUBLE) AS d FROM aug),
+              |${topGramCtes(2)},
+              |${topGramCtes(3)},
+              |${topGramCtes(4)}
+              |SELECT aug.doc_id,
+              |  round(la.uf, 6) AS dup_line_frac,
+              |  round(la.cf, 6) AS dup_line_char_frac,
+              |  round(pa.uf, 6) AS dup_para_frac,
+              |  round(pa.cf, 6) AS dup_para_char_frac,
+              |  round(CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g2t.mass, 0.0) / dn.d END, 6) AS top_2gram_char_frac,
+              |  round(CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g3t.mass, 0.0) / dn.d END, 6) AS top_3gram_char_frac,
+              |  round(CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g4t.mass, 0.0) / dn.d END, 6) AS top_4gram_char_frac
+              |FROM aug
+              |JOIN la ON aug.doc_id = la.doc_id
+              |JOIN pa ON aug.doc_id = pa.doc_id
+              |JOIN dn ON aug.doc_id = dn.doc_id
+              |LEFT JOIN g2t ON aug.doc_id = g2t.doc_id
+              |LEFT JOIN g3t ON aug.doc_id = g3t.doc_id
+              |LEFT JOIN g4t ON aug.doc_id = g4t.doc_id
+              |ORDER BY aug.doc_id""".stripMargin)),
 
     OracleQuery("gopher_quality",
       (s, dir) => refiner(gqAug(Tables(s, dir, "documents")))

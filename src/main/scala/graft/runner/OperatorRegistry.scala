@@ -173,6 +173,9 @@ object OperatorRegistry {
     removedCol = p.str("removed_field", "paragraphs_removed"),
     separator = p.str("separator", "\n\n")))
 
+  register("gopher_repetition", p => new GopherRepetitionRefiner(
+    textCol = p.str("text_field", "text")))
+
   register("unicode_normalize", p => new UnicodeNormalizeRefiner(
     textCol = p.str("text_field", "text"),
     form = p.str("form", "NFC"),

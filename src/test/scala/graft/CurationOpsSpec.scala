@@ -108,6 +108,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(nulls.head.getAs[String]("text_line_deduped") == "")
   }
 
+  test("gopher repetition battery on crafted documents") {
+    import graft.operators.text.GopherRepetitionRefiner
+    val df = Seq(
+      // 4 lines, one repeated once: dup_line_frac = 1/4; the repeated
+      // line is 'dup' (3 chars) of 3+3+6+5=17 line chars -> 3/17
+      (1L, "dup\ndup\nunique\nother"),
+      // two identical paragraphs
+      (2L, "same para here\n\nsame para here"),
+      // 'spam spam spam spam': top 2-gram "spam spam" occurs 3x,
+      // len 9 -> 27 / 19 chars normalized... >1 is fine (overlapping
+      // grams can cover more mass than the doc holds)
+      (3L, "spam spam spam spam"),
+      (4L, ""))
+      .toDF("id", "text")
+    val out = new GopherRepetitionRefiner("text")(df).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(math.abs(out(1L).getAs[Double]("dup_line_frac") - 0.25) < 1e-9)
+    assert(math.abs(out(1L).getAs[Double]("dup_line_char_frac") - 3.0 / 17) < 1e-9)
+    assert(math.abs(out(2L).getAs[Double]("dup_para_frac") - 0.5) < 1e-9)
+    assert(math.abs(out(2L).getAs[Double]("dup_para_char_frac") - 0.5) < 1e-9)
+    assert(math.abs(out(3L).getAs[Double]("top_2gram_char_frac") - 27.0 / 19) < 1e-9)
+    // empty doc: all zeros
+    Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+      "top_4gram_char_frac").foreach(c =>
+      assert(out(4L).getAs[Double](c) == 0.0, c))
+  }
+
   test("unicode normalize: NFC composes, NFKC folds compatibility, controls strip") {
     import graft.operators.text.UnicodeNormalizeRefiner
     val df = Seq(
