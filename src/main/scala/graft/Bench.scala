@@ -175,6 +175,17 @@ object Bench {
         val c = new graft.operators.text.C4QualityFilter("text")
         g(c(big)).count()
       }
+      // DSIR scoring at replication: two bounded model fits + the
+      // broadcast-table scoring scan (the data-selection stage)
+      val tDsir = time {
+        new graft.operators.ml.DsirScoreRefiner(
+          s => s.read.parquet(s"$sfDir/documents.parquet")
+            .filter(org.apache.spark.sql.functions.col("source") === "src0")
+            .select(org.apache.spark.sql.functions.col("text")),
+          textCol = "text")(big)
+          .select(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("dsir_logw"))).head(); n
+      }
       // the full composed curation order (clean → filter → quality →
       // corpus-global span removal → exact dedup) as ONE leg — the r9
       // driver run blew up exactly here (3.7 s → 61 s) and per-operator
@@ -243,7 +254,7 @@ object Bench {
         maxBucketSize = Some(50))(bigImg).count())
       bigImg.unpersist()
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f}"""
     }
     probeJson = Some(probe)
 

@@ -70,3 +70,33 @@ final class GopherRepetitionRefiner(textCol: String = "text") extends Operator {
       .drop("_grs")
   }
 }
+
+/** Thresholded filter over the repetition battery with Gopher's
+  * published cutoffs as defaults (Rae et al. 2021 A1.1: drop when
+  * dup line frac > 0.30, dup para frac > 0.30, dup line chars > 0.20,
+  * dup para chars > 0.20, top 2/3/4-gram char frac > 0.20/0.18/0.16).
+  * One kernel pass; all thresholds are inclusive keeps (`≤`).
+  */
+final class GopherRepetitionFilter(
+    textCol: String = "text",
+    maxDupLineFrac: Double = 0.30,
+    maxDupParaFrac: Double = 0.30,
+    maxDupLineCharFrac: Double = 0.20,
+    maxDupParaCharFrac: Double = 0.20,
+    maxTop2gramCharFrac: Double = 0.20,
+    maxTop3gramCharFrac: Double = 0.18,
+    maxTop4gramCharFrac: Double = 0.16) extends graft.core.RowFilter {
+
+  val name = "gopher_repetition_filter"
+
+  def keep(df: DataFrame): Column = {
+    val s = graft.plans.kernels.repetition_signals(col(textCol))
+    s("dup_line_frac") <= maxDupLineFrac &&
+      s("dup_para_frac") <= maxDupParaFrac &&
+      s("dup_line_char_frac") <= maxDupLineCharFrac &&
+      s("dup_para_char_frac") <= maxDupParaCharFrac &&
+      s("top_2gram_char_frac") <= maxTop2gramCharFrac &&
+      s("top_3gram_char_frac") <= maxTop3gramCharFrac &&
+      s("top_4gram_char_frac") <= maxTop4gramCharFrac
+  }
+}

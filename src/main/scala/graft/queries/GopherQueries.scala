@@ -92,6 +92,29 @@ object GopherQueries {
        |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g${n}c)
        |  WHERE rn = 1)""".stripMargin
 
+  /** Shared WITH chain + joined row set for the repetition twins. */
+  private val repJoinedSql =
+    s"""WITH aug AS $repAugSql,
+       |${dupUnitCtes("l", "chr(10)")},
+       |${dupUnitCtes("p", "chr(10) || chr(10)")},
+       |tk AS (SELECT doc_id, ${TextFunctions.tokensOfSql("text2")} AS t FROM aug),
+       |dn AS (SELECT doc_id, CAST(length(${TextFunctions.normalizeTextSql("text2")}) AS DOUBLE) AS d FROM aug),
+       |${topGramCtes(2)},
+       |${topGramCtes(3)},
+       |${topGramCtes(4)},
+       |joined AS (SELECT aug.doc_id,
+       |    la.uf AS dlf, la.cf AS dlcf, pa.uf AS dpf, pa.cf AS dpcf,
+       |    (CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g2t.mass, 0.0) / dn.d END) AS t2,
+       |    (CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g3t.mass, 0.0) / dn.d END) AS t3,
+       |    (CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g4t.mass, 0.0) / dn.d END) AS t4
+       |  FROM aug
+       |  JOIN la ON aug.doc_id = la.doc_id
+       |  JOIN pa ON aug.doc_id = pa.doc_id
+       |  JOIN dn ON aug.doc_id = dn.doc_id
+       |  LEFT JOIN g2t ON aug.doc_id = g2t.doc_id
+       |  LEFT JOIN g3t ON aug.doc_id = g3t.doc_id
+       |  LEFT JOIN g4t ON aug.doc_id = g4t.doc_id)""".stripMargin
+
   val queries: Seq[OracleQuery] = Seq(
 
     OracleQuery("gopher_repetition",
@@ -102,30 +125,30 @@ object GopherQueries {
           "top_3gram_char_frac", "top_4gram_char_frac")
           .map(c => round(col(c), 6).as(c)): _*)
         .orderBy(col("doc_id")),
-      Some(s"""WITH aug AS $repAugSql,
-              |${dupUnitCtes("l", "chr(10)")},
-              |${dupUnitCtes("p", "chr(10) || chr(10)")},
-              |tk AS (SELECT doc_id, ${TextFunctions.tokensOfSql("text2")} AS t FROM aug),
-              |dn AS (SELECT doc_id, CAST(length(${TextFunctions.normalizeTextSql("text2")}) AS DOUBLE) AS d FROM aug),
-              |${topGramCtes(2)},
-              |${topGramCtes(3)},
-              |${topGramCtes(4)}
-              |SELECT aug.doc_id,
-              |  round(la.uf, 6) AS dup_line_frac,
-              |  round(la.cf, 6) AS dup_line_char_frac,
-              |  round(pa.uf, 6) AS dup_para_frac,
-              |  round(pa.cf, 6) AS dup_para_char_frac,
-              |  round(CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g2t.mass, 0.0) / dn.d END, 6) AS top_2gram_char_frac,
-              |  round(CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g3t.mass, 0.0) / dn.d END, 6) AS top_3gram_char_frac,
-              |  round(CASE WHEN dn.d = 0 THEN 0.0 ELSE coalesce(g4t.mass, 0.0) / dn.d END, 6) AS top_4gram_char_frac
-              |FROM aug
-              |JOIN la ON aug.doc_id = la.doc_id
-              |JOIN pa ON aug.doc_id = pa.doc_id
-              |JOIN dn ON aug.doc_id = dn.doc_id
-              |LEFT JOIN g2t ON aug.doc_id = g2t.doc_id
-              |LEFT JOIN g3t ON aug.doc_id = g3t.doc_id
-              |LEFT JOIN g4t ON aug.doc_id = g4t.doc_id
-              |ORDER BY aug.doc_id""".stripMargin)),
+      Some(s"""$repJoinedSql
+              |SELECT doc_id,
+              |  round(dlf, 6) AS dup_line_frac,
+              |  round(dlcf, 6) AS dup_line_char_frac,
+              |  round(dpf, 6) AS dup_para_frac,
+              |  round(dpcf, 6) AS dup_para_char_frac,
+              |  round(t2, 6) AS top_2gram_char_frac,
+              |  round(t3, 6) AS top_3gram_char_frac,
+              |  round(t4, 6) AS top_4gram_char_frac
+              |FROM joined ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("gopher_repetition_filter",
+      // the actionable form with Gopher's published A1.1 cutoffs: the
+      // planted repeated lines/paragraphs push their docs over 0.30
+      (s, dir) => {
+        val aug = repAug(Tables(s, dir, "documents"))
+        val f = new graft.operators.text.GopherRepetitionFilter("text2")
+        aug.where(f.keep(aug)).select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""$repJoinedSql
+              |SELECT doc_id FROM joined
+              |WHERE dlf <= 0.30 AND dpf <= 0.30 AND dlcf <= 0.20 AND dpcf <= 0.20
+              |  AND t2 <= 0.20 AND t3 <= 0.18 AND t4 <= 0.16
+              |ORDER BY doc_id""".stripMargin)),
 
     OracleQuery("gopher_quality",
       (s, dir) => refiner(gqAug(Tables(s, dir, "documents")))

@@ -176,6 +176,16 @@ object OperatorRegistry {
   register("gopher_repetition", p => new GopherRepetitionRefiner(
     textCol = p.str("text_field", "text")))
 
+  register("gopher_repetition_filter", p => new GopherRepetitionFilter(
+    textCol = p.str("text_field", "text"),
+    maxDupLineFrac = p.double("max_dup_line_frac", 0.30),
+    maxDupParaFrac = p.double("max_dup_para_frac", 0.30),
+    maxDupLineCharFrac = p.double("max_dup_line_char_frac", 0.20),
+    maxDupParaCharFrac = p.double("max_dup_para_char_frac", 0.20),
+    maxTop2gramCharFrac = p.double("max_top_2gram_char_frac", 0.20),
+    maxTop3gramCharFrac = p.double("max_top_3gram_char_frac", 0.18),
+    maxTop4gramCharFrac = p.double("max_top_4gram_char_frac", 0.16)))
+
   register("unicode_normalize", p => new UnicodeNormalizeRefiner(
     textCol = p.str("text_field", "text"),
     form = p.str("form", "NFC"),
