@@ -15,7 +15,8 @@ object SparkEntry {
       TextAnalysisQueries.queries ++ WarcQueries.queries ++ MediaQueries.queries ++
       CurationOpsQueries.queries ++ TrainingMixQueries.queries ++
       GopherQueries.queries ++ CurationStackQueries.queries ++
-      TrainingExportQueries.queries ++ ClassifierQueries.queries
+      TrainingExportQueries.queries ++ ClassifierQueries.queries ++
+      CorpusStatsQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

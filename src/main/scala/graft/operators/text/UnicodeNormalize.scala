@@ -40,3 +40,26 @@ final class UnicodeNormalizeRefiner(
     df.withColumn(outputCol, normalized)
       .withColumn(changedCol, col(outputCol) =!= col(textCol))
 }
+
+/** Accent-folding refiner — NFD → strip combining marks → NFC, the
+  * diacritic normalization step multilingual pipelines run before
+  * language-agnostic dedup or matching ("café" and "cafe" should hash
+  * together; CCNet's fastText preprocessing does exactly this fold).
+  * Letters without a canonical decomposition (ø, ł, ß) are untouched —
+  * this is accent REMOVAL, not transliteration.
+  *
+  * Scale shape: stateless per-row kernel map
+  * ([[graft.plans.kernels.StripAccents]]) — no shuffle, runs at scan
+  * speed. The DuckDB oracle twin is `strip_accents(...)`; both sides
+  * implement the same Unicode decomposition tables (verified over
+  * Latin/Greek/Vietnamese/Hangul/multi-mark probes).
+  */
+final class StripAccentsRefiner(
+    textCol: String = "text",
+    outputCol: String = "text_folded") extends Operator {
+
+  val name = "strip_accents"
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(outputCol, graft.plans.kernels.strip_accents(col(textCol)))
+}

@@ -919,11 +919,39 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Accent folding: NFD-decompose, drop combining marks (Mn), recompose
+    * NFC — "café"→"cafe", "Ångström"→"Angstrom", while letters WITHOUT a
+    * canonical decomposition (ø, ł, ß) pass through unchanged and Hangul
+    * recomposes intact. Verified codepoint-for-codepoint against DuckDB's
+    * `strip_accents` (utf8proc) across Latin, Greek, Vietnamese,
+    * multi-mark, and Hangul probes — both implement the same Unicode
+    * decomposition tables, which is what makes the oracle gate possible.
+    */
+  case class StripAccents(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      val b = new java.lang.StringBuilder(d.length)
+      var i = 0
+      while (i < d.length) {
+        val cp = d.codePointAt(i)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK) b.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(b.toString, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
   def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
   def unicode_normalize(text: Column, form: String = "NFC",
       stripControls: Boolean = false): Column =
     expr2col(UnicodeNormalize(colExpr(text), form, stripControls))
+  def strip_accents(text: Column): Column = expr2col(StripAccents(colExpr(text)))
   /** Gopher repetition battery struct; coalesces NULL text to ''. */
   def repetition_signals(text: Column): Column =
     expr2col(RepetitionSignals(colExpr(

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.text.{DocumentChunker, DomainStatsFilter, StripAccentsRefiner, TfIdfTopTerms, VocabularyBuilder}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics gates: vocabulary, TF-IDF keywords, domain-level
+  * stats filtering, fixed-window chunking, accent folding — each
+  * recomputed from scratch by the DuckDB twin.
+  */
+object CorpusStatsQueries {
+
+  private val vocab = new VocabularyBuilder(minDocFreq = 2, topK = 200)
+  private val tfidf = new TfIdfTopTerms(topK = 3)
+  private val domainFilter = new DomainStatsFilter(minDocs = 5L, minMeanQuality = 0.3)
+  private val chunker = new DocumentChunker(chunkSize = 32, stride = 24, minTokens = 4)
+
+  /** Accent fixture: the sf fixtures are ASCII-heavy, so plant
+    * diacritics deterministically (identical CASE chain both engines —
+    * first match wins) to exercise the fold on every class: strippable
+    * Latin/Greek/Vietnamese marks, unstrippable ø/ł/ß, Hangul
+    * recomposition, multi-mark ḹ.
+    */
+  private val augA = " café Ångström Việt ḹǖ Ełłáñ øß"
+  private val augB = "Zürich naïve São 한국어 Ελληνικά "
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("vocab_top_k",
+      (s, dir) => vocab.build(Tables(s, dir, "documents")),
+      Some(vocab.sql("documents"))),
+
+    OracleQuery("tfidf_top_terms",
+      (s, dir) => tfidf.topTerms(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rank")),
+      Some(tfidf.sql("documents") + "\nORDER BY doc_id, rank")),
+
+    OracleQuery("domain_stats_filter",
+      (s, dir) => domainFilter(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+      Some(s"""WITH ${domainFilter.passingDomainsCteSql("documents")}
+              |SELECT doc_id, source FROM documents
+              |WHERE source IN (SELECT dom FROM _ds)
+              |ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("chunk_documents",
+      (s, dir) => chunker.chunks(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(chunker.sql("documents") + "\nORDER BY doc_id, chunk_idx")),
+
+    OracleQuery("strip_accents",
+      (s, dir) => {
+        val t = coalesce(col("text"), lit(""))
+        val aug = when(col("doc_id") % 7 === 0, concat(t, lit(augA)))
+          .when(col("doc_id") % 5 === 0, concat(lit(augB), t))
+          .otherwise(t)
+        new StripAccentsRefiner(textCol = "_aug")(
+          Tables(s, dir, "documents").withColumn("_aug", aug))
+          .select(col("doc_id"), col("text_folded")).orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, strip_accents(
+              |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || '$augA'
+              |         WHEN doc_id % 5 = 0 THEN '$augB' || coalesce(text, '')
+              |         ELSE coalesce(text, '') END) AS text_folded
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

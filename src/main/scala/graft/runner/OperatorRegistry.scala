@@ -193,6 +193,23 @@ object OperatorRegistry {
     outputCol = p.str("output_field", "text_normalized"),
     changedCol = p.str("changed_field", "unicode_changed")))
 
+  register("strip_accents", p => new StripAccentsRefiner(
+    textCol = p.str("text_field", "text"),
+    outputCol = p.str("output_field", "text_folded")))
+
+  register("domain_stats_filter", p => new DomainStatsFilter(
+    domainCol = p.str("domain_field", "source"),
+    textCol = p.str("text_field", "text"),
+    minDocs = p.long("min_docs", 2L),
+    minMeanQuality = p.double("min_mean_quality", 0.3)))
+
+  register("chunk_documents", p => new DocumentChunker(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    chunkSize = p.int("chunk_size", 64),
+    stride = p.int("stride", 48),
+    minTokens = p.int("min_tokens", 8)))
+
   register("pii_redaction", p => new PiiRedactionRefiner(
     textCol = p.str("text_field", "text"),
     redactedCol = p.str("redacted_field", "text_redacted")))

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.text.{DocumentChunker, DomainStatsFilter, StripAccentsRefiner, TfIdfTopTerms, VocabularyBuilder}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusStatsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs = table("documents")
+
+  // ---- vocabulary ----
+
+  test("vocabulary: term_freq >= doc_freq, doc_freq cap respected, sorted") {
+    val v = new VocabularyBuilder(minDocFreq = 2, topK = 50).build(docs)
+      .as[(String, Long, Long)].collect()
+    assert(v.nonEmpty && v.length <= 50)
+    v.foreach { case (tok, tf, df) =>
+      assert(tf >= df, s"$tok: term_freq $tf < doc_freq $df")
+      assert(df >= 2, s"$tok: doc_freq $df below minDocFreq")
+    }
+    val freqs = v.map(_._2)
+    assert(freqs.sameElements(freqs.sortBy(-_)), "not sorted by term_freq desc")
+  }
+
+  test("vocabulary: hand-built corpus") {
+    val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val v = new VocabularyBuilder(minDocFreq = 1, topK = 10).build(tiny)
+      .as[(String, Long, Long)].collect().toList
+    assert(v == List(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  // ---- tf-idf ----
+
+  test("tfidf: rank dense 1..k per doc, scores non-increasing within a doc") {
+    val t = new TfIdfTopTerms(topK = 3).topTerms(docs)
+      .select("doc_id", "rank", "tfidf").as[(Long, Long, Double)].collect()
+    val byDoc = t.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toList == (1L to sorted.length).toList, s"doc $id ranks not dense")
+      val scores = sorted.map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $id scores increase")
+    }
+  }
+
+  test("tfidf: a corpus-unique term outranks a ubiquitous one") {
+    val tiny = Seq((1L, "common rare"), (2L, "common x"), (3L, "common y")).toDF("doc_id", "text")
+    val t = new TfIdfTopTerms(topK = 2).topTerms(tiny)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("term").as[String].collect().toList
+    assert(t == List("rare", "common"))
+  }
+
+  // ---- domain stats filter ----
+
+  test("domain filter: surviving rows' domains all meet count + quality cuts") {
+    val f = new DomainStatsFilter(minDocs = 5L, minMeanQuality = 0.0)
+    val kept = f(docs)
+    val keptDomains = kept.select("source").distinct().as[String].collect().toSet
+    val counts = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    keptDomains.foreach(d => assert(counts(d) >= 5L, s"$d kept with only ${counts(d)} docs"))
+    // kept + rejected partition the corpus
+    assert(kept.count() + f.rejected(docs).count() == docs.count())
+  }
+
+  test("domain filter: a thin domain is dropped whole") {
+    val tiny = Seq(
+      (1L, "solid english text with the and of", "big"),
+      (2L, "more english text with the and of", "big"),
+      (3L, "lonely", "thin")).toDF("doc_id", "text", "source")
+    val f = new DomainStatsFilter(minDocs = 2L, minMeanQuality = 0.0)
+    val kept = f(tiny).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    val rej = f.rejected(tiny).select("doc_id").as[Long].collect().toSet
+    assert(rej == Set(3L))
+  }
+
+  test("domain filter: no exchange carries document rows keyed by domain") {
+    // scale guard: the verdict must arrive via broadcast of the (tiny)
+    // passing-domain list — a hashpartitioning(source) exchange over the
+    // full corpus would be the skew-prone shape this operator avoids
+    val f = new DomainStatsFilter(minDocs = 5L, minMeanQuality = 0.0)
+    val plan = planOf(f(docs))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast semi-join, got:\n$plan")
+  }
+
+  // ---- chunking ----
+
+  test("chunks: full coverage, correct windowing, idx dense") {
+    val ch = new DocumentChunker(chunkSize = 8, stride = 4, minTokens = 1)
+    val one = Seq((1L, (1 to 19).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = ch.chunks(one).orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toList
+    // 19 tokens, windows at 0,4,8,12,16 → sizes 8,8,8,7,3
+    assert(rows.map(r => (r._1, r._2)) == List((0L, 8L), (1L, 8L), (2L, 8L), (3L, 7L), (4L, 3L)))
+    assert(rows.head._3 == (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(rows.last._3 == (17 to 19).map(i => s"t$i").mkString(" "))
+  }
+
+  test("chunks: minTokens drops short trailing windows; empty docs vanish") {
+    val ch = new DocumentChunker(chunkSize = 8, stride = 4, minTokens = 4)
+    val df = Seq((1L, (1 to 19).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = ch.chunks(df).select("doc_id", "chunk_idx").as[(Long, Long)].collect()
+    assert(rows.forall(_._1 == 1L))
+    assert(rows.map(_._2).sorted.toList == List(0L, 1L, 2L, 3L)) // the 3-token tail is gone
+  }
+
+  test("chunks: disjoint split when stride == chunkSize reconstructs the doc") {
+    val ch = new DocumentChunker(chunkSize = 5, stride = 5, minTokens = 1)
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val rebuilt = ch.chunks(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect().mkString(" ")
+    assert(rebuilt == text)
+  }
+
+  // ---- strip accents ----
+
+  test("strip_accents: folds marks, keeps non-decomposable letters, recomposes Hangul") {
+    val in = Seq(
+      (1L, "café Ångström"), (2L, "ø Ø ß ł"), (3L, "한국어 Ελληνικά"),
+      (4L, "Việt ḹǖ"), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = new StripAccentsRefiner()(in)
+      .select("doc_id", "text_folded").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("cafe Angstrom"))
+    assert(out(2L).contains("ø Ø ß ł"))
+    assert(out(3L).contains("한국어 Ελληνικα"))
+    assert(out(4L).contains("Viet lu"))
+    assert(out(5L).isEmpty)
+  }
+
+  test("strip_accents: idempotent and equal on composed vs decomposed input") {
+    val composed = "café"          // é
+    val decomposed = "café"       // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+    val out = new StripAccentsRefiner()(df)
+      .select("text_folded").as[String].collect().toSet
+    assert(out == Set("cafe"))
+  }
+}
