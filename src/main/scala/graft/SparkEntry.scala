@@ -16,7 +16,8 @@ object SparkEntry {
       CurationOpsQueries.queries ++ TrainingMixQueries.queries ++
       GopherQueries.queries ++ CurationStackQueries.queries ++
       TrainingExportQueries.queries ++ ClassifierQueries.queries ++
-      CorpusStatsQueries.queries
+      CorpusStatsQueries.queries ++ ResampleQueries.queries ++
+      VectorTransformQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

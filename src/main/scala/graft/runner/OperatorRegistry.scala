@@ -257,6 +257,36 @@ object OperatorRegistry {
     hashName = p.str("hash_algorithm", "xxhash64"),
     salt = p.str("salt", "")))
 
+  register("temperature_sample", p => new TemperatureSampleFilter(
+    alpha = p.double("alpha", 0.5),
+    sourceCol = p.str("source_field", "source"),
+    idCol = p.str("id_field", "id"),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    salt = p.str("salt", "")))
+
+  register("holdout_split", p => new HoldoutSplitRefiner(
+    valFraction = p.double("val_fraction", 0.01),
+    idCol = p.str("id_field", "id"),
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    salt = p.str("salt", ""),
+    outputCol = p.str("output_field", "split")))
+
+  register("length_percentile_clip", p => new LengthPercentileClipFilter(
+    pLow = p.double("p_low", 0.05),
+    pHigh = p.double("p_high", 0.95),
+    textCol = p.str("text_field", "text"),
+    exact = p.bool("exact", true)))
+
+  register("embedding_quantize", p => new graft.operators.vector.EmbeddingQuantizer(
+    vecCol = p.str("embedding_field", "embedding"),
+    codesCol = p.str("codes_field", "codes"),
+    scaleCol = p.str("scale_field", "scale")))
+
+  register("matryoshka_truncate", p => new graft.operators.vector.MatryoshkaTruncate(
+    vecCol = p.str("embedding_field", "embedding"),
+    dims = p.int("dims", 8),
+    outputCol = p.str("output_field", "embedding_truncated")))
+
   register("soft_exact_dedup", p => new SoftExactDedup(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

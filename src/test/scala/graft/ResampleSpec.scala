@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.text.{HoldoutSplitRefiner, LengthPercentileClipFilter, TemperatureSampleFilter}
+import graft.operators.vector.{EmbeddingQuantizer, MatryoshkaTruncate}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResampleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs = table("documents")
+  private def embs = table("embeddings")
+
+  // ---- temperature sampling ----
+
+  test("temperature: alpha=1 keeps everything, alpha=0 equalizes toward the smallest source") {
+    val n = docs.count()
+    assert(new TemperatureSampleFilter(alpha = 1.0, idCol = "doc_id")(docs).count() == n)
+    val eq = new TemperatureSampleFilter(alpha = 0.0, idCol = "doc_id")(docs)
+    val perSource = eq.groupBy("source").count().as[(String, Long)].collect().toMap
+    val minSource = docs.groupBy("source").count().as[(String, Long)].collect().map(_._2).min
+    // each source's kept count is binomial around the smallest source's size
+    perSource.values.foreach(c => assert(c <= minSource * 2 && c >= minSource / 2,
+      s"alpha=0 kept $c, expected ≈$minSource"))
+  }
+
+  test("temperature: smallest source survives whole; kept set is salt-stable") {
+    val smallest = docs.groupBy("source").count().orderBy(col("count"), col("source"))
+      .select("source").as[String].first()
+    val op = new TemperatureSampleFilter(alpha = 0.3, idCol = "doc_id", salt = "s")
+    val kept = op(docs)
+    assert(kept.filter(col("source") === smallest).count() ==
+      docs.filter(col("source") === smallest).count())
+    val again = op(docs).select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    // kept + rejected partition the corpus
+    assert(kept.count() + op.rejected(docs).count() == docs.count())
+  }
+
+  test("temperature: verdict arrives by broadcast, not a document shuffle") {
+    val plan = planOf(new TemperatureSampleFilter(alpha = 0.5, idCol = "doc_id")(docs))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast threshold join, got:\n$plan")
+  }
+
+  // ---- holdout split ----
+
+  test("holdout: fraction lands near target, tags are stable, salts independent") {
+    val op = new HoldoutSplitRefiner(valFraction = 0.2, idCol = "doc_id", salt = "a")
+    val out = op(docs)
+    val valN = out.filter(col("split") === "val").count().toDouble
+    val frac = valN / out.count()
+    assert(frac > 0.1 && frac < 0.3, s"val fraction $frac far from 0.2")
+    // same salt => same carve; different salt => (almost surely) different
+    val v1 = op(docs).filter(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    val v2 = new HoldoutSplitRefiner(valFraction = 0.2, idCol = "doc_id", salt = "b")(docs)
+      .filter(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    assert(op(docs).filter(col("split") === "val")
+      .select("doc_id").as[Long].collect().toSet == v1)
+    assert(v1 != v2, "independent salts produced the identical carve")
+  }
+
+  // ---- length percentile clip ----
+
+  test("length clip: band respects corpus quantiles; extremes are dropped") {
+    val op = new LengthPercentileClipFilter(pLow = 0.1, pHigh = 0.9)
+    val kept = op(docs)
+    val counts = docs.select(graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .as[Long].collect().sorted
+    val keptCounts = kept.select(graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .as[Long].collect()
+    assert(keptCounts.min >= counts.head && keptCounts.max <= counts.last)
+    assert(kept.count() < docs.count(), "nothing clipped — vacuous for this fixture")
+    assert(kept.count() + op.rejected(docs).count() == docs.count())
+    // shortest doc in the corpus must be gone at p10
+    assert(keptCounts.min > counts.head || counts.head == counts(counts.length / 10))
+  }
+
+  // ---- embedding quantization ----
+
+  test("quantize: codes bounded, zero/null vectors safe, dequant error within scale/2") {
+    val out = new EmbeddingQuantizer()(embs)
+      .select(col("vec_id"), col("embedding"), col("scale"), col("codes"))
+      .as[(Long, Seq[Float], Double, Seq[Int])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, emb, scale, codes) =>
+      assert(codes.length == emb.length)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
+      emb.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-9,
+          s"vec $id dequant error beyond scale/2")
+      }
+    }
+    val degenerate = Seq((1L, Seq(0f, 0f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val d = new EmbeddingQuantizer()(degenerate)
+      .select("vec_id", "codes").as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(d(1L).contains(Seq(0, 0)))
+    assert(d(2L).isEmpty)
+  }
+
+  // ---- matryoshka truncation ----
+
+  test("matryoshka: output is unit-norm in the truncated space, prefix-proportional") {
+    val out = new MatryoshkaTruncate(dims = 8)(embs)
+      .select(col("vec_id"), col("embedding"), col("embedding_truncated"))
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, emb, tr) =>
+      assert(tr.length == math.min(8, emb.length))
+      val norm = math.sqrt(tr.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"vec $id norm $norm (rounded to 6dp upstream)")
+      // direction preserved: truncated[i]/truncated[j] == emb[i]/emb[j]
+      val i = emb.indexWhere(math.abs(_) > 1e-3)
+      val j = emb.lastIndexWhere(math.abs(_) > 1e-3, 7)
+      if (i >= 0 && j >= 0 && i != j)
+        assert(math.abs(tr(i) / tr(j) - emb(i).toDouble / emb(j)) < 1e-2, s"vec $id direction bent")
+    }
+  }
+
+  test("matryoshka: dims beyond the vector length clamps; zero vector maps to null") {
+    val tiny = Seq((1L, Seq(3f, 4f)), (2L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val out = new MatryoshkaTruncate(dims = 8)(tiny)
+      .select("vec_id", "embedding_truncated").as[(Long, Option[Seq[Double]])].collect().toMap
+    assert(out(1L).contains(Seq(0.6, 0.8)))
+    assert(out(2L).isEmpty)
+  }
+}
