@@ -17,6 +17,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // kernel SQL functions + the opt-in vector-cartesian guard rule
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
