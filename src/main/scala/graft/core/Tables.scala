@@ -20,8 +20,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
+    // integer DIV, not `/`: epoch nanos (~1.7e18) exceed double's 53-bit
+    // mantissa, so float division is off by ±1 µs; DuckDB truncates the
+    // same way when it reads TIMESTAMP_NANOS as TIMESTAMP
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
   }
 }

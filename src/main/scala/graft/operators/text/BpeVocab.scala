@@ -1,0 +1,136 @@
+package graft.operators.text
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE pair statistics — round 1 of byte-pair-encoding vocabulary
+  * induction: every word becomes its character symbols plus an
+  * end-of-word marker, and adjacent symbol pairs are counted weighted
+  * by corpus word frequency. The most frequent pair is the first BPE
+  * merge; the full iterative trainer is [[BpeVocabInduction]].
+  *
+  * Scale shape: word frequencies via the two-level aggregation
+  * (map-side combine bounds shuffle volume by distinct words, not
+  * corpus tokens); pair generation then runs over the DISTINCT-word
+  * table — orders of magnitude smaller than the corpus — so the
+  * per-character explode never touches full-corpus row counts.
+  */
+final class BpePairCounts(
+    textCol: String = "text",
+    topK: Int = 20) {
+
+  require(topK >= 1, s"topK must be >= 1, got $topK")
+
+  /** `(pair, pair_count)` — "a b" symbol pairs, top-K by weighted
+    * count (pair string as deterministic tiebreak).
+    */
+  def pairCounts(df: DataFrame): DataFrame = {
+    val words = df
+      .select(explode(TextFunctions.tokensOf(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val syms = concat(split(col("w"), ""), array(lit("</w>")))
+    words
+      .withColumn("pair", explode(transform(sequence(lit(0), size(syms) - 2),
+        i => concat(element_at(syms, i + 1), lit(" "), element_at(syms, i + 2)))))
+      .groupBy("pair").agg(sum("freq").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin over `table` (same symbolization and weighting). */
+  def sql(table: String): String =
+    s"""WITH wf AS (SELECT w, count(*) AS freq FROM
+       |    (SELECT unnest(${TextFunctions.tokensOfSql(textCol)}) AS w FROM $table) GROUP BY 1),
+       |sy AS (SELECT freq, list_append(string_split(w, ''), '</w>') AS syms FROM wf),
+       |pr AS (SELECT freq, unnest(list_transform(range(1, len(syms)),
+       |         i -> syms[i] || ' ' || syms[i + 1])) AS pair FROM sy)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM pr
+       |GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT $topK""".stripMargin
+}
+
+/** Iterative BPE vocabulary induction (Sennrich et al. 2016): start
+  * from characters, repeatedly merge the most frequent adjacent symbol
+  * pair (count desc, pair asc as the deterministic tiebreak), stop
+  * after `numMerges` merges or when no pair repeats.
+  *
+  * Scale split, the same pattern as the reference's offline k-means
+  * trainer: the CORPUS pass — word frequency counting — is fully
+  * distributed (two-level aggregation, shuffle bounded by distinct
+  * words); the merge loop then runs driver-side over the frequency-
+  * capped vocabulary (`maxVocabWords` most frequent words, `minWordFreq`
+  * floor) — exactly how production tokenizer trainers work (they train
+  * from a word-count table, not from raw text), so the driver holds at
+  * most `maxVocabWords` short arrays regardless of corpus size.
+  */
+final class BpeVocabInduction(
+    textCol: String = "text",
+    numMerges: Int = 50,
+    maxVocabWords: Int = 100000,
+    minWordFreq: Long = 1L) {
+
+  require(numMerges >= 1 && maxVocabWords >= 1 && minWordFreq >= 1)
+
+  /** Distributed word-frequency table, capped for the driver loop. */
+  def wordFrequencies(df: DataFrame): DataFrame =
+    df.select(explode(TextFunctions.tokensOf(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minWordFreq)
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxVocabWords)
+
+  /** The ordered merge list learned from the corpus. */
+  def train(df: DataFrame): Seq[(String, String)] = {
+    import scala.collection.mutable
+    var words: Array[(Array[String], Long)] = wordFrequencies(df)
+      .collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>", r.getLong(1)))
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some((pair, c)) if c >= 2 =>
+          merges += pair
+          words = words.map { case (syms, f) => (mergePair(syms, pair), f) }
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply one merge left-to-right (the BPE application order). */
+  private def mergePair(syms: Array[String], pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Tokenize one word with a learned merge list (merges applied in
+    * learned order — the standard BPE encode).
+    */
+  def encode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Array[String] = word.split("").filter(_.nonEmpty) :+ "</w>"
+    merges.foreach(m => syms = mergePair(syms, m))
+    syms.toSeq
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.events.Sessionize
+import graft.operators.text.{BpePairCounts, BpeVocabInduction, CorpusOverlapReport}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- sessionization ----
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize: gap splits sessions, idx dense per user, aggregates correct") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, 2.0),  // 10 min  -> same session
+      (3L, ts("2024-01-01 11:00:00"), 7L, 4.0),  // 50 min  -> new session
+      (4L, ts("2024-01-01 11:29:59"), 7L, 8.0),  // 29:59   -> same session
+      (5L, ts("2024-01-01 10:05:00"), 9L, 1.0)   // other user
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = new Sessionize(gapMinutes = 30).sessions(ev)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out == List((7L, 1L, 2L, 3.0), (7L, 2L, 2L, 12.0), (9L, 1L, 1L, 1.0)))
+  }
+
+  test("sessionize: a boundary event exactly at the gap stays in-session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, 1.0)) // exactly 30 min: NOT > gap
+      .toDF("event_id", "ts", "user_id", "value")
+    val n = new Sessionize(gapMinutes = 30).sessions(ev).count()
+    assert(n == 1)
+  }
+
+  test("sessionize: window and rollup share one user-keyed exchange") {
+    val plan = planOf(new Sessionize().sessions(table("events")
+      .withColumn("ts", col("ts").cast("timestamp"))))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected the groupBy to reuse the window's partitioning:\n$plan")
+  }
+
+  // ---- BPE ----
+
+  test("bpe pair counts: weighted by word frequency, includes end-of-word pairs") {
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val pairs = new BpePairCounts(topK = 10).pairCounts(tiny)
+      .as[(String, Long)].collect().toMap
+    assert(pairs("a b") == 2L)      // ab occurs twice
+    assert(pairs("b </w>") == 2L)
+    assert(pairs("c d") == 1L)
+    assert(pairs("d </w>") == 1L)
+  }
+
+  test("bpe trainer reproduces the canonical Sennrich merges") {
+    // low:5 lower:2 newest:6 widest:3 — the worked example from the paper
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    val bpe = new BpeVocabInduction(numMerges = 5)
+    val merges = bpe.train(corpus)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+    // the learned merges generalize to an unseen word
+    assert(bpe.encode("lowest", merges) == Seq("low", "est</w>"))
+  }
+
+  test("bpe trainer stops when no pair repeats") {
+    val corpus = Seq((1L, "xy")).toDF("doc_id", "text")
+    val merges = new BpeVocabInduction(numMerges = 10).train(corpus)
+    assert(merges.isEmpty) // every pair occurs once — merging singletons is noise
+  }
+
+  // ---- corpus overlap ----
+
+  test("overlap report: counts docs whose text appears in another source") {
+    val docs = Seq(
+      (1L, "shared text", "a"),
+      (2L, "shared text", "b"),   // cross-source dup
+      (3L, "only in a", "a"),
+      (4L, "b private", "b"),
+      (5L, "shared text", "a")    // same-source second copy still overlaps via b
+    ).toDF("doc_id", "text", "source")
+    val rep = new CorpusOverlapReport().report(docs)
+      .orderBy("source")
+      .select("source", "n_docs", "n_overlap")
+      .as[(String, Long, Long)].collect().toList
+    assert(rep == List(("a", 3L, 2L), ("b", 2L, 1L)))
+  }
+
+  test("overlap report: zero when sources are disjoint") {
+    val docs = Seq((1L, "x", "a"), (2L, "y", "b")).toDF("doc_id", "text", "source")
+    val rep = new CorpusOverlapReport().report(docs)
+      .agg(sum("n_overlap")).as[Long].first()
+    assert(rep == 0L)
+  }
+}
