@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** General relational query surface over the fixture star schema —
@@ -141,6 +142,58 @@ object Relational {
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
     // Exact percentiles (continuous interpolation) per group.
+    // Correlated scalar subquery through the SQL front-end: Catalyst
+    // decorrelates the per-customer max into an aggregate + left outer
+    // join — the rewrite IS what makes this shape scale (no per-row
+    // re-execution, one shuffle on the correlation key).
+    OracleQuery("q13_correlated_scalar",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey, c_name,
+                 |  (SELECT round(max(o_totalprice), 2) FROM orders
+                 |   WHERE o_custkey = c_custkey) AS max_price
+                 |FROM customer ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT round(max(o_totalprice), 2) FROM orders
+             |   WHERE o_custkey = c_custkey) AS max_price
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Row-grain running total per user (ordered window, rows-unbounded
+    // frame) — the cumulative-metric shape; one user-keyed exchange.
+    OracleQuery("q14_running_total",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("running_value", round(sum(col("value")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id")),
+      Some("""SELECT event_id, user_id,
+             |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // Pivot as conditional aggregation (the scale-stable form: a known
+    // column set compiles to one pass of sum(CASE …), no distinct-value
+    // discovery job the way df.pivot() without values would plan).
+    OracleQuery("q15_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val counts = types.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+        Tables.events(s, dir)
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+          .agg(counts.head, counts.tail: _*)
+          .orderBy(col("hour_start"))
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           |  ${types.map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")}
+           |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin
+      }),
+
     OracleQuery("q12_percentile",
       (s, dir) => Tables(s, dir, "orders")
         .groupBy(col("o_orderstatus"))

@@ -113,6 +113,24 @@ object StreamingCuration {
       .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Event-time gap sessionization with a watermark — the streaming
+    * twin of the batch [[graft.operators.events.Sessionize]] (same gap
+    * semantics via Spark's native `session_window`: a session closes
+    * once the watermark passes its end + gap). Emits one row per
+    * closed session: user, window start/end, n_events, sum_value.
+    * State is per (user, open session) and bounded by the watermark —
+    * the scale posture Structured Streaming is built for.
+    */
+  def sessionizeStream(events: DataFrame, tsCol: String, userCol: String,
+      valueCol: String, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** One dedup decision per record: kept = first occurrence of its key,
     * rejects carry the first-seen row's id — provenance identical to the
     * batch Deduplicator's reject annotation.

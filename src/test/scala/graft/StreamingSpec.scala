@@ -235,6 +235,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(s4.get == "c")
   }
 
+  test("watermarked session windows close by gap and emit on watermark advance") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingCuration.sessionizeStream(events, "ts", "user_id", "value")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 7: two events 10 min apart (one session), then 50 min gap (new session)
+      mem.addData(
+        (t("2024-06-01 10:00:00"), 7L, 1.0),
+        (t("2024-06-01 10:10:00"), 7L, 2.0),
+        (t("2024-06-01 11:00:00"), 7L, 4.0))
+      q.processAllAvailable()
+      // push the watermark far past every session's end + gap
+      mem.addData((t("2024-06-02 10:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-06-03 10:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select(col("user_id"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((7L, 2L, 3.0)), s"first session missing from $rows")
+      assert(rows.contains((7L, 1L, 4.0)), s"second session missing from $rows")
+    } finally q.stop()
+  }
+
   test("watermarked hourly window counts over an event stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
