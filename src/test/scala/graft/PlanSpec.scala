@@ -394,4 +394,44 @@ class PlanSpec extends AnyFunSuite {
     assert(survivors.size <= 1,
       s"loop caches leaked: $survivors")
   }
+
+  test("chunk_documents is a pure generate — zero exchanges") {
+    val op = new graft.operators.text.DocumentChunker(
+      "text", "doc_id", chunkSize = 32, stride = 24, minTokens = 4)
+    val p = planOf(op.chunks(table("documents")))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("vocabulary aggregates map-side before the token exchange") {
+    val p = planOf(new graft.operators.text.VocabularyBuilder(
+      minDocFreq = 2, topK = 100).build(table("documents")))
+    // both levels plan partial_count — shuffle volume is bounded by
+    // distinct (doc, token) / tokens, not corpus token occurrences
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no partial aggregation in:\n$p")
+    // the top-K is TakeOrdered, not a global sort exchange
+    assert(p.contains("TakeOrderedAndProject"), s"top-K planned as a global sort:\n$p")
+  }
+
+  test("tfidf corpus size rides a broadcast, not a per-row subquery") {
+    val p = planOf(new graft.operators.text.TfIdfTopTerms(topK = 3)
+      .topTerms(table("documents")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("temperature thresholds and domain verdicts broadcast; no document shuffle by source") {
+    val tp = planOf(new graft.operators.text.TemperatureSampleFilter(
+      alpha = 0.5, idCol = "doc_id")(table("documents")))
+    assert(tp.contains("BroadcastExchange") || tp.contains("BroadcastHashJoin"), tp)
+    val lp = planOf(new graft.operators.text.LengthPercentileClipFilter(
+      pLow = 0.1, pHigh = 0.9)(table("documents")))
+    assert(lp.contains("BroadcastNestedLoopJoin") || lp.contains("BroadcastExchange"), lp)
+  }
+
+  test("embedding transforms are shuffle-free per-row maps") {
+    val qp = planOf(new graft.operators.vector.EmbeddingQuantizer()(table("embeddings")))
+    assert(!qp.contains("Exchange"), s"quantize must not shuffle:\n$qp")
+    val mp = planOf(new graft.operators.vector.MatryoshkaTruncate(dims = 8)(table("embeddings")))
+    assert(!mp.contains("Exchange"), s"truncate must not shuffle:\n$mp")
+  }
 }
