@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.vector.{EmbeddingQuantizer, MatryoshkaTruncate}
+import graft.operators.vector.{EmbeddingQuantizer, EmbeddingSimHash, MatryoshkaTruncate}
 import org.apache.spark.sql.functions._
 
 /** Embedding-transform gates: int8 scalar quantization and Matryoshka
@@ -12,6 +12,9 @@ object VectorTransformQueries {
 
   private val quantOp = new EmbeddingQuantizer()
   private val mtOp = new MatryoshkaTruncate(dims = 8)
+  private val eshOp = new EmbeddingSimHash(
+    vecCol = "embedding", idCol = "vec_id", orderCol = "vec_id",
+    bits = 12, dims = 64, seed = 7L)
 
   val queries: Seq[OracleQuery] = Seq(
 
@@ -34,6 +37,22 @@ object VectorTransformQueries {
         .orderBy(col("vec_id")),
       Some(s"""WITH ${mtOp.cteSql("embeddings", "vec_id")}
               |SELECT id AS vec_id, ${(1 to 8).map(i => s"truncated[$i] AS e$i").mkString(", ")}
-              |FROM _mt ORDER BY vec_id""".stripMargin))
+              |FROM _mt ORDER BY vec_id""".stripMargin)),
+
+    OracleQuery("embedding_simhash_signature",
+      (s, dir) => Tables(s, dir, "embeddings")
+        .select(col("vec_id"), eshOp.signature(col("embedding")).as("sig"))
+        .orderBy(col("vec_id")),
+      Some(s"""SELECT vec_id, ${eshOp.signatureSql("embedding")} AS sig
+              |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    OracleQuery("embedding_simhash_dedup",
+      (s, dir) => eshOp(Tables(s, dir, "embeddings"))
+        .select(col("vec_id")).orderBy(col("vec_id")),
+      Some(s"""WITH sg AS (SELECT vec_id, ${eshOp.signatureSql("embedding")} AS sig
+              |  FROM embeddings)
+              |SELECT vec_id FROM (SELECT vec_id, row_number() OVER
+              |    (PARTITION BY sig ORDER BY vec_id) AS rn FROM sg) t
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 }

@@ -277,6 +277,14 @@ object OperatorRegistry {
     textCol = p.str("text_field", "text"),
     exact = p.bool("exact", true)))
 
+  register("embedding_simhash_deduplicator", p => new graft.operators.vector.EmbeddingSimHash(
+    vecCol = p.str("embedding_field", "embedding"),
+    idCol = p.str("id_field", "id"),
+    orderCol = p.str("order_field").getOrElse(p.str("id_field", "id")),
+    bits = p.int("bits", 16),
+    dims = p.int("dims", 64),
+    seed = p.long("seed", 7L)))
+
   register("embedding_quantize", p => new graft.operators.vector.EmbeddingQuantizer(
     vecCol = p.str("embedding_field", "embedding"),
     codesCol = p.str("codes_field", "codes"),

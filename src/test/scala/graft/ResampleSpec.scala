@@ -119,6 +119,34 @@ class ResampleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- embedding simhash ----
+
+  test("embedding simhash: parallel vectors share a signature, opposite vectors don't") {
+    val op = new graft.operators.vector.EmbeddingSimHash(
+      vecCol = "v", idCol = "id", orderCol = "id", bits = 16, dims = 4, seed = 7L)
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(2f, 4f, 6f, 8f)),      // same direction => same signs everywhere
+      (3L, Seq(-1f, -2f, -3f, -4f))   // antipodal => every bit flips
+    ).toDF("id", "v")
+    val sig = df.select(col("id"), op.signature(col("v")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L), "parallel vectors must collide")
+    assert(sig(1L) == (~sig(3L) & ((1L << 16) - 1)), "antipodal must be the bit complement")
+    // dedup keeps the first of the colliding pair
+    val kept = op(df).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("embedding simhash: hyperplanes are seed-deterministic and bounded") {
+    val a = new graft.operators.vector.EmbeddingSimHash(bits = 8, dims = 16, seed = 42L)
+    val b = new graft.operators.vector.EmbeddingSimHash(bits = 8, dims = 16, seed = 42L)
+    val c = new graft.operators.vector.EmbeddingSimHash(bits = 8, dims = 16, seed = 43L)
+    assert(a.planes.flatten.toSeq == b.planes.flatten.toSeq)
+    assert(a.planes.flatten.toSeq != c.planes.flatten.toSeq)
+    assert(a.planes.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
   test("matryoshka: dims beyond the vector length clamps; zero vector maps to null") {
     val tiny = Seq((1L, Seq(3f, 4f)), (2L, Seq(0f, 0f))).toDF("vec_id", "embedding")
     val out = new MatryoshkaTruncate(dims = 8)(tiny)
