@@ -17,7 +17,8 @@ object SparkEntry {
       GopherQueries.queries ++ CurationStackQueries.queries ++
       TrainingExportQueries.queries ++ ClassifierQueries.queries ++
       CorpusStatsQueries.queries ++ ResampleQueries.queries ++
-      VectorTransformQueries.queries ++ AnalyticsQueries.queries
+      VectorTransformQueries.queries ++ AnalyticsQueries.queries ++
+      EventJoinQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

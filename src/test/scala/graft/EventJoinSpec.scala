@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.events.{AsofJoin, IntervalJoinBucketed}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- as-of join ----
+
+  private def asof(inclusive: Boolean) = new AsofJoin(
+    keyCol = "k", leftTsCol = "t", rightTsCol = "rt",
+    rightOrderCol = Some("rid"), inclusive = inclusive)
+
+  private val left = Seq((1L, 5L, "a"), (1L, 10L, "b"), (2L, 7L, "c"), (3L, 1L, "d"))
+    .toDF("k", "t", "lv")
+  private val right = Seq((1L, 5L, 100L), (1L, 8L, 101L), (2L, 9L, 102L))
+    .toDF("k", "rt", "rid")
+
+  test("asof inclusive: latest right at-or-before each left; no-match keeps nulls") {
+    val out = asof(inclusive = true)(left, right)
+      .select("lv", "rid").as[(String, Option[Long])].collect().toMap
+    // t=5 matches rt=5 (inclusive); t=10 matches rt=8; k=2 t=7 has only rt=9 (after);
+    // k=3 has no right rows at all
+    assert(out == Map("a" -> Some(100L), "b" -> Some(101L), "c" -> None, "d" -> None))
+  }
+
+  test("asof strict: equal timestamps do NOT match") {
+    val out = asof(inclusive = false)(left, right)
+      .select("lv", "rid").as[(String, Option[Long])].collect().toMap
+    assert(out == Map("a" -> None, "b" -> Some(101L), "c" -> None, "d" -> None))
+  }
+
+  test("asof: right-side ties at one (key, ts) resolve to greatest rightOrderCol") {
+    val dupRight = Seq((1L, 5L, 100L), (1L, 5L, 107L), (1L, 5L, 103L)).toDF("k", "rt", "rid")
+    val out = asof(inclusive = true)(left.where($"lv" === "a"), dupRight)
+      .select("rid").as[Long].collect().toList
+    assert(out == List(107L))
+  }
+
+  test("asof: exactly one hash exchange, no join node in the plan") {
+    val p = asof(inclusive = true)(left, right)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("asof: clashing payload names are rejected, not silently suffixed") {
+    val bad = Seq((1L, 5L, "x")).toDF("k", "rt", "lv")
+    intercept[IllegalArgumentException](asof(inclusive = true)(left, bad))
+  }
+
+  // ---- interval join ----
+
+  private val iv = new IntervalJoinBucketed(bucketWidthUs = 10L,
+    startCol = "s", endCol = "e", pointCol = "p")
+
+  test("interval join: half-open boundaries, multi-bucket spans, empty intervals") {
+    val intervals = Seq(
+      (1L, 10L, 20L),   // [10,20): catches 10..19
+      (2L, 5L, 35L),    // spans buckets 0..3
+      (3L, 40L, 40L),   // empty -> matches nothing
+      (4L, 50L, 45L)    // negative length -> matches nothing
+    ).toDF("iid", "s", "e")
+    val points = Seq((10L, 9L), (11L, 10L), (12L, 19L), (13L, 20L), (14L, 34L))
+      .toDF("pid", "p")
+    val pairs = iv.pairs(intervals, points)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(pairs == Set(
+      (1L, 11L), (1L, 12L),                       // 10 and 19 in; 9 and 20 (end) out
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L), (2L, 14L)))
+  }
+
+  test("interval join: each qualifying pair emitted exactly once (no bucket dedup pass)") {
+    // one interval spanning many buckets, points sprinkled across them
+    val intervals = Seq((1L, 0L, 100L)).toDF("iid", "s", "e")
+    val points = (0L until 100L by 7L).map(t => (t, t)).toDF("pid", "p")
+    val out = iv.pairs(intervals, points).groupBy("pid").count()
+      .where($"count" =!= 1L).count()
+    assert(out == 0L)
+  }
+
+  test("interval join: plans a hash join on the bucket, not a nested loop") {
+    val intervals = Seq((1L, 10L, 20L)).toDF("iid", "s", "e")
+    val points = Seq((10L, 12L)).toDF("pid", "p")
+    val p = iv.pairs(intervals, points).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+}
