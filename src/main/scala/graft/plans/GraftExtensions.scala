@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   *   1. The kernel expressions become native SQL functions
   *      (`strip_accents`, `array_cosine`, `unicode_normalize`,
-  *      `shingle_hashes`) — `spark.sql("SELECT strip_accents(text) …")`
+  *      `shingle_hashes`, plus the `kmv_distinct` sketch aggregate) —
+  *      `spark.sql("SELECT strip_accents(text) …")`
   *      plans the same Catalyst expression as the Column API, zero UDF
   *      overhead, and the names deliberately match the DuckDB oracle
   *      dialect so gate SQL reads the same on both engines.
@@ -64,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(str, w) - xxhash64 of the w-token shingles"),
       (args: Seq[Expression]) => kernels.ShingleHashes(args(0), intLit(args(1), "shingle width"))))
+
+    ext.injectFunction((FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct", "kmv_distinct(hash64, k) - KMV distinct-count sketch over a pre-hashed column"),
+      (args: Seq[Expression]) => graft.functions.KmvSketch(
+        args(0), intLit(args(1), "k")).toAggregateExpression()))
 
     ext.injectOptimizerRule(session => new VectorCartesianGuard(session))
   }

@@ -40,6 +40,24 @@ object AnalyticsQueries {
       (s, dir) => bpeOp.pairCounts(Tables(s, dir, "documents")),
       Some(bpeOp.sql("documents"))),
 
+    // KMV sketch estimate vs the oracle recomputing the SAME sketch from
+    // the k-th smallest distinct hash — checks the sketch, not just the
+    // neighborhood of the true count.
+    OracleQuery("kmv_distinct",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(graft.functions.KmvSketch.kmvDistinct(
+            graft.functions.HashFunctions.portableHash64(col("l_partkey")), 128), 6)
+            .as("est_partkeys"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""WITH ${graft.functions.KmvSketch.sqlCte("l_returnflag",
+                 graft.functions.HashFunctions.portableHash64Sql("CAST(l_partkey AS VARCHAR)"),
+                 "lineitem", 128)},
+              |cnt AS (SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1)
+              |SELECT cnt.l_returnflag, cnt.n_rows, round(_kmv.est, 6) AS est_partkeys
+              |FROM cnt JOIN _kmv USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)),
+
     OracleQuery("corpus_overlap_report",
       (s, dir) => overlapOp.report(
         Tables(s, dir, "documents").withColumn("text", overlapAugSpark(col("text"))))

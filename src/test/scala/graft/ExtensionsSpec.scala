@@ -47,6 +47,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"), s"kernel fn planned as a UDF:\n$plan")
   }
 
+  test("kmv_distinct aggregates from SQL and matches the Column API") {
+    val df = (1 to 5000).map(i => i % 900).toDF("v")
+    df.createOrReplaceTempView("ext_kmv")
+    val viaSql = spark.sql(
+      "SELECT kmv_distinct(CAST(conv(substring(md5(CAST(CAST(v AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT), 64) AS e FROM ext_kmv")
+      .as[Double].first()
+    val viaCol = df.agg(graft.functions.KmvSketch.kmvDistinct(
+      graft.functions.HashFunctions.portableHash64(col("v")), 64).as("e"))
+      .as[Double].first()
+    assert(viaSql == viaCol)
+    // k=64 → ~13% expected relative error; this fixture draws +29% (≈2σ)
+    assert(viaSql > 500 && viaSql < 1400, s"estimate $viaSql far from 900")
+  }
+
   test("vector cartesian guard: off by default, fails the plan when enabled") {
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "v")
     // off: the cross join plans and runs
