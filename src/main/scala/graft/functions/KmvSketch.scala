@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
   * aggregate — the mergeable sketch behind `COUNT(DISTINCT)` at 100 TB:
@@ -32,6 +32,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 final case class KmvSketch(
     child: Expression,
     k: Int,
+    emitSketch: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
@@ -39,8 +40,9 @@ final case class KmvSketch(
 
   require(k >= 2, s"k must be >= 2, got $k")
 
-  override def prettyName: String = "kmv_distinct"
-  override def dataType: DataType = DoubleType
+  override def prettyName: String = if (emitSketch) "kmv_sketch" else "kmv_distinct"
+  override def dataType: DataType =
+    if (emitSketch) ArrayType(LongType, containsNull = false) else DoubleType
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -70,11 +72,16 @@ final case class KmvSketch(
     buf
   }
 
-  /** 2^60 — the portable hash's exclusive upper bound, exact as a double. */
-  private val HashSpace = 1152921504606846976.0
+  private val HashSpace = KmvSketch.HashSpace
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toDouble
+    if (emitSketch) {
+      val arr = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 } // ascending
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    } else if (buf.size < k) buf.size.toDouble
     else ((k - 1).toDouble * HashSpace) / buf.last().toDouble
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
@@ -104,9 +111,41 @@ final case class KmvSketch(
 
 object KmvSketch {
 
+  /** 2^60 — the portable hash's exclusive upper bound, exact as a double. */
+  val HashSpace = 1152921504606846976.0
+
   /** `kmvDistinct(portableHash64(col), k)` as an aggregate Column. */
   def kmvDistinct(hashed: Column, k: Int): Column =
     Shim.column(KmvSketch(Shim.expression(hashed), k).toAggregateExpression())
+
+  /** The raw sketch (ascending long array, ≤ k entries) — persistable,
+    * mergeable with another sketch via [[overlap]]/array union. This is
+    * the 100 TB artifact shape: a corpus's distinct-count state in k·8
+    * bytes, combinable across sources/snapshots without re-scanning.
+    */
+  def kmvSketchArr(hashed: Column, k: Int): Column =
+    Shim.column(KmvSketch(Shim.expression(hashed), k, emitSketch = true).toAggregateExpression())
+
+  /** Overlap estimators from two SKETCH columns (no corpus join):
+    * `(est_jaccard, est_union, est_overlap)`. Uses the classic KMV set
+    * algebra (Beyer et al. 2007): the k smallest of `K(A) ∪ K(B)` IS
+    * `K(A ∪ B)`, and an element of it belongs to A iff it is in
+    * `K(A)` — so Jaccard is estimated by membership counting inside
+    * the union sketch and the intersection size by `jaccard × union`.
+    */
+  def overlap(skA: Column, skB: Column, k: Int): (Column, Column, Column) = {
+    import org.apache.spark.sql.functions._
+    val unionAll = array_sort(array_union(skA, skB))
+    val dFull = size(unionAll).cast("long")
+    val kk = least(dFull, lit(k.toLong))
+    val unionK = slice(unionAll, 1, k)
+    val inter = size(array_intersect(array_intersect(unionK, skA), skB)).cast("long")
+    val estJ = inter.cast("double") / kk.cast("double")
+    val estU = when(dFull < k, dFull.cast("double"))
+      .otherwise((lit((k - 1).toDouble) * lit(HashSpace)) /
+        element_at(unionAll, k).cast("double"))
+    (estJ, estU, estJ * estU)
+  }
 
   /** DuckDB twin: estimate over `hvExpr` (the portable-hash SQL of the
     * key) for rows of `fromSql`, one row per `groupCol`. Emits a CTE

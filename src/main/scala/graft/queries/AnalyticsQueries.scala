@@ -58,6 +58,55 @@ object AnalyticsQueries {
               |SELECT cnt.l_returnflag, cnt.n_rows, round(_kmv.est, 6) AS est_partkeys
               |FROM cnt JOIN _kmv USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)),
 
+    // Sketch-only cross-source overlap: per-source KMV sketches (k·8
+    // bytes each) estimate pairwise Jaccard / union / intersection with
+    // NO corpus join — the oracle rebuilds the identical estimates from
+    // the raw hash sets. Exact twin: `corpus_overlap_report`.
+    OracleQuery("kmv_overlap",
+      (s, dir) => {
+        val k = 32
+        val aug = Tables(s, dir, "documents")
+          .withColumn("text", overlapAugSpark(col("text")))
+        val sk = aug.groupBy(col("source"))
+          .agg(graft.functions.KmvSketch.kmvSketchArr(
+            graft.functions.HashFunctions.portableHash64(col("text")), k).as("sk"))
+        val a = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+        val b = sk.select(col("source").as("source_b"), col("sk").as("skb"))
+        val (ej, eu, eo) = graft.functions.KmvSketch.overlap(col("ska"), col("skb"), k)
+        a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            round(ej, 6).as("est_jaccard"), round(eu, 6).as("est_union"),
+            round(eo, 6).as("est_overlap"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      {
+        val k = 32
+        val hv = graft.functions.HashFunctions.portableHash64Sql("text")
+        Some(s"""WITH aug AS (SELECT doc_id, $overlapAugSql AS text, source FROM documents),
+                |h AS (SELECT DISTINCT source, $hv AS hv FROM aug),
+                |srcs AS (SELECT DISTINCT source FROM h),
+                |pr AS (SELECT a.source AS source_a, b.source AS source_b
+                |       FROM srcs a JOIN srcs b ON a.source < b.source),
+                |uh AS (SELECT pr.source_a, pr.source_b, h.hv,
+                |         max(CASE WHEN h.source = pr.source_a THEN 1 ELSE 0 END) AS in_a,
+                |         max(CASE WHEN h.source = pr.source_b THEN 1 ELSE 0 END) AS in_b
+                |       FROM pr JOIN h ON h.source IN (pr.source_a, pr.source_b)
+                |       GROUP BY 1, 2, 3),
+                |rk AS (SELECT *,
+                |         row_number() OVER (PARTITION BY source_a, source_b ORDER BY hv) AS rn,
+                |         count(*) OVER (PARTITION BY source_a, source_b) AS d_full FROM uh),
+                |est AS (SELECT source_a, source_b,
+                |    CAST(sum(CASE WHEN rn <= $k AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                |      / CAST(CASE WHEN max(d_full) < $k THEN max(d_full) ELSE $k END AS DOUBLE) AS ej,
+                |    CASE WHEN max(d_full) < $k THEN CAST(max(d_full) AS DOUBLE)
+                |         ELSE (CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+                |              / CAST(max(CASE WHEN rn = $k THEN hv END) AS DOUBLE) END AS eu
+                |  FROM rk GROUP BY 1, 2)
+                |SELECT source_a, source_b, round(ej, 6) AS est_jaccard,
+                |       round(eu, 6) AS est_union, round(ej * eu, 6) AS est_overlap
+                |FROM est ORDER BY source_a, source_b""".stripMargin)
+      }),
+
     OracleQuery("corpus_overlap_report",
       (s, dir) => overlapOp.report(
         Tables(s, dir, "documents").withColumn("text", overlapAugSpark(col("text"))))

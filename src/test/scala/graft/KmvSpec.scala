@@ -48,6 +48,43 @@ class KmvSpec extends AnyFunSuite {
     assert("partial_kmv_distinct".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("kmv sketch: ascending, capped at k, and exact below k") {
+    val sk = (1 to 1000).toDF("v")
+      .agg(KmvSketch.kmvSketchArr(HashFunctions.portableHash64(col("v")), 16).as("s"))
+      .as[Seq[Long]].head()
+    assert(sk.length == 16 && sk == sk.sorted)
+    val small = (1 to 5).toDF("v")
+      .agg(KmvSketch.kmvSketchArr(HashFunctions.portableHash64(col("v")), 16).as("s"))
+      .as[Seq[Long]].head()
+    assert(small.length == 5)
+  }
+
+  test("kmv overlap: exact tier (k above all counts) reproduces true jaccard/union/overlap") {
+    // A = 1..60, B = 41..100 -> |inter|=20, |union|=100, J=0.2
+    val df = ((1 to 60).map(("a", _)) ++ (41 to 100).map(("b", _))).toDF("src", "v")
+    val sk = df.groupBy("src")
+      .agg(KmvSketch.kmvSketchArr(HashFunctions.portableHash64(col("v")), 128).as("sk"))
+    val a = sk.where($"src" === "a").select($"sk".as("ska"))
+    val b = sk.where($"src" === "b").select($"sk".as("skb"))
+    val (ej, eu, eo) = KmvSketch.overlap(col("ska"), col("skb"), 128)
+    val (j, u, o) = a.crossJoin(b).select(ej, eu, eo).as[(Double, Double, Double)].head()
+    assert(j == 0.2 && u == 100.0 && o == 20.0)
+  }
+
+  test("kmv overlap: sketch tier estimates a 50% jaccard within 35%") {
+    val df = ((1 to 20000).map(("a", _)) ++ (10001 to 30000).map(("b", _))).toDF("src", "v")
+    val sk = df.groupBy("src")
+      .agg(KmvSketch.kmvSketchArr(HashFunctions.portableHash64(col("v")), 256).as("sk"))
+    val a = sk.where($"src" === "a").select($"sk".as("ska"))
+    val b = sk.where($"src" === "b").select($"sk".as("skb"))
+    val (ej, eu, eo) = KmvSketch.overlap(col("ska"), col("skb"), 256)
+    val (j, u, o) = a.crossJoin(b).select(ej, eu, eo).as[(Double, Double, Double)].head()
+    // truth: inter 10000, union 30000, J = 1/3
+    assert(math.abs(j - 1.0 / 3) < 1.0 / 3 * 0.35, s"jaccard $j")
+    assert(math.abs(u - 30000) < 30000 * 0.25, s"union $u")
+    assert(math.abs(o - 10000) < 10000 * 0.45, s"overlap $o")
+  }
+
   test("kmv: non-long child is rejected at analysis") {
     intercept[org.apache.spark.sql.AnalysisException] {
       Seq("x").toDF("v").agg(KmvSketch.kmvDistinct(col("v"), 8)).collect()
