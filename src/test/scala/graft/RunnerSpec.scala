@@ -515,6 +515,44 @@ class RunnerSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("gopher_quality_filter"))
   }
 
+  test("yaml pipeline runs the vector family: quantize + simhash dedup with rejects") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vec").toString
+    val vecs = table("embeddings")
+    vecs.write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: vec
+         |    operators:
+         |      - name: embedding_quantize
+         |        params: {embedding_field: "embedding", codes_field: "codes"}
+         |      - name: embedding_simhash_deduplicator
+         |        params: {embedding_field: "embedding", id_field: "vec_id", bits: 12, dims: 64}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "vecs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/vecs")
+    val rejected = spark.read.parquet(s"$base/out_rejected/vecs_rejected")
+    assert(written.count() + rejected.count() == vecs.count())
+    assert(res.run.output == written.count() && written.count() > 0)
+    assert(written.columns.contains("codes"))
+    // dedup actually collapsed something at 12 bits over this fixture
+    assert(rejected.count() > 0)
+    // kept set matches the operator applied directly
+    val direct = new graft.operators.vector.EmbeddingSimHash(
+      vecCol = "embedding", idCol = "vec_id", orderCol = "vec_id",
+      bits = 12, dims = 64, seed = 7L)(vecs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = written.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == direct)
+  }
+
   test("registry rejects unknown operators with the available list") {
     val e = intercept[IllegalArgumentException] {
       OperatorRegistry.create("nope", Params(Map.empty))
