@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.events.Sessionize
-import graft.operators.text.{BpePairCounts, CorpusOverlapReport}
+import graft.operators.text.{BpePairCounts, CorpusDiff, CorpusOverlapReport}
 import org.apache.spark.sql.functions._
 
 /** Analytics gates: gap sessionization over the events stream, BPE
@@ -57,6 +57,49 @@ object AnalyticsQueries {
               |cnt AS (SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1)
               |SELECT cnt.l_returnflag, cnt.n_rows, round(_kmv.est, 6) AS est_partkeys
               |FROM cnt JOIN _kmv USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)),
+
+    // Semi-structured extraction: the events `props` JSON column parsed
+    // with the codegen'd path expression (no UDF), aggregated per type.
+    OracleQuery("events_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k").isNull, 1)).as("n_null"))
+        .orderBy(col("event_type")),
+      Some("""WITH x AS (SELECT event_type,
+             |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+             |SELECT event_type, count(*) AS n, round(avg(k), 6) AS avg_k,
+             |  max(k) AS max_k,
+             |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+             |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Snapshot diff: crawl-N vs derived crawl-N+1 (drops, edits, adds by
+    // deterministic id rules mirrored in both engines), statused by a
+    // hash-only full-outer join.
+    OracleQuery("corpus_diff",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val neu = docs.where(col("doc_id") % 17 =!= 0)
+          .withColumn("text", when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.where(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" new")).as("text")))
+        new CorpusDiff("doc_id", "text", "portable").diff(docs, neu)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH newt AS (
+              |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+              |  FROM documents WHERE doc_id % 17 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+              |  FROM documents WHERE doc_id % 19 = 0)
+              |SELECT * FROM (${new CorpusDiff("doc_id", "text", "portable")
+                 .sql("SELECT doc_id, text FROM documents", "SELECT doc_id, text FROM newt")})
+              |ORDER BY doc_id""".stripMargin)),
 
     // Sketch-only cross-source overlap: per-source KMV sketches (k·8
     // bytes each) estimate pairwise Jaccard / union / intersection with
