@@ -131,6 +131,28 @@ object StreamingCuration {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream attribution join — the streaming twin of the batch
+    * [[graft.operators.events.AsofJoin]]/[[graft.operators.events.IntervalJoinBucketed]]
+    * family: every left event (purchase) joined to the same key's right
+    * events (clicks) inside the trailing `windowSpec` interval, as a
+    * watermarked stream-stream LEFT OUTER join. Both watermarks bound
+    * the buffered state: a right row is droppable once the watermark
+    * passes its timestamp + window, a left row once its own watermark
+    * passes — Spark derives both bounds from the time-range predicate,
+    * which is why the condition must be expressed on raw event time.
+    * Unmatched left rows emit with nulls AFTER the watermark closes
+    * their window (outer-join completeness needs the lateness bound —
+    * the stream can't know "no click will come" until then).
+    */
+  def attributionJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightKeyCol: String, rightTsCol: String,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    left.withWatermark(leftTsCol, watermark)
+      .join(right.withWatermark(rightTsCol, watermark),
+        expr(s"$keyCol = $rightKeyCol AND " +
+          s"$rightTsCol >= $leftTsCol - interval $window AND $rightTsCol < $leftTsCol"),
+        "leftOuter")
+
   /** One dedup decision per record: kept = first occurrence of its key,
     * rejects carry the first-seen row's id — provenance identical to the
     * batch Deduplicator's reject annotation.

@@ -264,6 +264,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches clicks in the trailing window, outer-emits after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val cMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val purchases = pMem.toDF().toDF("ts", "user_id", "p_id")
+    val clicks = cMem.toDF().toDF("cts", "c_user", "click_id")
+    val q = StreamingCuration.attributionJoinStream(
+      purchases, clicks, "user_id", "ts", "c_user", "cts")
+      .select(col("p_id"), col("click_id"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      cMem.addData(
+        (t("2024-06-01 09:30:00"), 7L, 100L),  // inside p1's 1h window
+        (t("2024-06-01 08:30:00"), 7L, 101L),  // too early for p1
+        (t("2024-06-01 09:40:00"), 8L, 102L))  // other user
+      pMem.addData(
+        (t("2024-06-01 10:00:00"), 7L, 1L),
+        (t("2024-06-01 10:00:00"), 9L, 2L))    // user 9: no clicks at all
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the windows so the unmatched
+      // left row is released by the outer join
+      cMem.addData((t("2024-06-02 10:00:00"), 99L, 999L))
+      pMem.addData((t("2024-06-02 10:00:00"), 99L, 99L))
+      q.processAllAvailable()
+      cMem.addData((t("2024-06-03 10:00:00"), 99L, 998L))
+      pMem.addData((t("2024-06-03 10:00:00"), 99L, 98L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 100L)), s"in-window click missing: $rows")
+      assert(!rows.contains((1L, 101L)) && !rows.contains((1L, 102L)), rows)
+      assert(rows.contains((2L, -1L)), s"unmatched purchase not outer-emitted: $rows")
+    } finally q.stop()
+  }
+
   test("watermarked hourly window counts over an event stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
