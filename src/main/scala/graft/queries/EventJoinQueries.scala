@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.events.{AsofJoin, IntervalJoinBucketed}
+import graft.operators.events.{AsofJoin, CohortRetention, Funnel, IntervalJoinBucketed}
 import org.apache.spark.sql.functions._
 
 /** Event-join gates: the as-of (point-in-time attribution) join and
@@ -78,6 +78,21 @@ object EventJoinQueries {
              |       count(DISTINCT c.c_user) AS n_users,
              |       coalesce(round(sum(c.c_value), 2), CAST(0 AS DOUBLE)) AS click_value
              |FROM p LEFT JOIN c ON p.start_us <= c.pt_us AND c.pt_us < p.end_us
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Ordered signup → view → click → purchase funnel; the chained
+    // per-step window minimums cost one user-keyed exchange total.
+    OracleQuery("funnel", {
+      val op = new Funnel(Seq("signup", "view", "click", "purchase"))
+      (s, dir) => op(Tables.events(s, dir)).orderBy(col("step_idx"))
+    },
+      Some(new Funnel(Seq("signup", "view", "click", "purchase")).sql("events") +
+        "\nORDER BY step_idx")),
+
+    OracleQuery("cohort_retention",
+      (s, dir) => new CohortRetention()(Tables.events(s, dir))
+        .orderBy(col("cohort_week"), col("week_offset")),
+      Some(new CohortRetention().sql("events") +
+        "\nORDER BY cohort_week, week_offset"))
   )
 }

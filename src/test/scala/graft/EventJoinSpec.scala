@@ -82,6 +82,42 @@ class EventJoinSpec extends AnyFunSuite {
     assert(out == 0L)
   }
 
+  test("funnel: order matters, and the step chain costs one exchange") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:05:00"), "click"),
+      (1L, t("2024-01-01 10:10:00"), "purchase"),
+      // user 2: purchase BEFORE click — must not count as completing
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      (2L, t("2024-01-01 10:01:00"), "purchase"),
+      (2L, t("2024-01-01 10:02:00"), "click"),
+      // user 3: stops at view
+      (3L, t("2024-01-01 11:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = new graft.operators.events.Funnel(Seq("view", "click", "purchase"))(ev)
+    val counts = out.select("step", "n_users").as[(String, Long)].collect().toMap
+    assert(counts == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+    val p = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("cohort retention: offsets count distinct returning users") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-09 10:00:00")), // w0 + w1
+      (1L, t("2024-01-09 11:00:00")),                                 // same week, once
+      (2L, t("2024-01-02 10:00:00")),                                 // w0 only
+      (3L, t("2024-01-10 10:00:00"))                                  // cohort w1
+    ).toDF("user_id", "ts")
+    val out = new graft.operators.events.CohortRetention()(ev)
+      .select("week_offset", "n_users")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // offset 0: all 3 users in their own cohort week; offset 1: user 1 returns
+    assert(out == Map(0L -> 3L, 1L -> 1L))
+  }
+
   test("interval join: plans a hash join on the bucket, not a nested loop") {
     val intervals = Seq((1L, 10L, 20L)).toDF("iid", "s", "e")
     val points = Seq((10L, 12L)).toDF("pid", "p")
