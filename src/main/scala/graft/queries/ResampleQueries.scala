@@ -19,7 +19,20 @@ object ResampleQueries {
 
   private val clipOp = new LengthPercentileClipFilter(pLow = 0.05, pHigh = 0.95)
 
+  private val upsampleOp = new graft.operators.text.EpochUpsample(
+    epochs = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0))
+
   val queries: Seq[OracleQuery] = Seq(
+
+    // Fractional-epoch mixing: src0 ~2.5 epochs, src1 downsampled to
+    // 0.4, src2 dropped, rest 1 epoch — copy ordinals oracle-checked.
+    OracleQuery("epoch_upsample",
+      (s, dir) => upsampleOp(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("epoch_copy"))
+        .orderBy(col("doc_id"), col("epoch_copy")),
+      Some(s"""SELECT doc_id, source, epoch_copy
+              |FROM (${upsampleOp.sql("(SELECT doc_id, source FROM documents)")})
+              |ORDER BY doc_id, epoch_copy""".stripMargin)),
 
     OracleQuery("temperature_sample",
       (s, dir) => tempOp(Tables(s, dir, "documents"))

@@ -356,6 +356,13 @@ object OperatorRegistry {
     alpha = p.double("alpha", 1.0),
     targetTextCol = p.str("target_text_field", "text")))
 
+  register("epoch_upsample", p => new graft.operators.text.EpochUpsample(
+    epochs = p.doubleMap("epochs"),
+    defaultEpochs = p.double("default_epochs", 1.0),
+    sourceCol = p.str("source_field", "source"),
+    idCol = p.str("id_field", "id"),
+    copyCol = p.str("copy_field", "epoch_copy")))
+
   register("source_weighted_sample", p => new SourceWeightedSampleFilter(
     weights = p.doubleMap("weights"),
     defaultFraction = p.double("default_fraction", 1.0),

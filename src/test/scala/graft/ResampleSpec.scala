@@ -119,6 +119,41 @@ class ResampleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- epoch upsample ----
+
+  test("epoch upsample: floor copies + deterministic fractional extras, zero drops") {
+    val docs = (1L to 1000L).map(i => (i, if (i % 2 == 0) "hot" else "cold"))
+      .toDF("doc_id", "source")
+    val op = new graft.operators.text.EpochUpsample(
+      epochs = Map("hot" -> 2.5, "cold" -> 0.0), defaultEpochs = 1.0)
+    val out = op(docs)
+    // cold gone entirely
+    assert(out.filter(col("source") === "cold").count() == 0)
+    // hot: every doc gets 2 or 3 copies; total within binomial range of 2.5x
+    val perDoc = out.filter(col("source") === "hot")
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(perDoc.forall(c => c == 2L || c == 3L))
+    val total = perDoc.sum
+    assert(total > 500 * 2.25 && total < 500 * 2.75, s"total $total")
+    // copy ordinals are dense from 0 for every expanded doc
+    val ord = out.filter(col("source") === "hot").groupBy("doc_id")
+      .agg(min(col("epoch_copy")).as("mn"), max(col("epoch_copy")).as("mx"),
+        count(lit(1)).as("c"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("c") - 1).count()
+    assert(ord == 0L)
+    // determinism: a second run emits the identical multiset
+    val again = op(docs)
+    assert(out.groupBy("doc_id").count().collect().toSet ==
+      again.groupBy("doc_id").count().collect().toSet)
+  }
+
+  test("epoch upsample: pure generate — no exchange in the plan") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "source")
+    val p = new graft.operators.text.EpochUpsample(Map("a" -> 2.5))(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   // ---- embedding simhash ----
 
   test("embedding simhash: parallel vectors share a signature, opposite vectors don't") {
