@@ -24,11 +24,18 @@ object PipelineRunner {
     val p = conf.params
     conf.tpe match {
       case "ParquetLoader" | "HuggingFaceLoader" =>
+        // `mode` (PERMISSIVE default / DROPMALFORMED / FAILFAST) is the
+        // malformed-record policy for the text formats: raw web-scale
+        // jsonl ALWAYS contains broken lines, and the permissive read
+        // surfaces them as `_corrupt_record` rows instead of killing
+        // the job — RunnerSpec pins both policies.
         p.str("format", "parquet") match {
           case "parquet" => spark.read.parquet(p.str("path").get)
           case "csv" => spark.read.option("header", p.bool("header", true).toString)
+            .option("mode", p.str("mode", "PERMISSIVE"))
             .option("inferSchema", "true").csv(p.str("path").get)
-          case "jsonl" | "json" => spark.read.json(p.str("path").get)
+          case "jsonl" | "json" => spark.read
+            .option("mode", p.str("mode", "PERMISSIVE")).json(p.str("path").get)
           case other => throw new IllegalArgumentException(s"unknown format: $other")
         }
       case other => throw new IllegalArgumentException(
@@ -44,8 +51,10 @@ object PipelineRunner {
     p.str("format", "parquet") match {
       case "parquet" => spark.read.parquet(files: _*)
       case "csv" => spark.read.option("header", p.bool("header", true).toString)
+        .option("mode", p.str("mode", "PERMISSIVE"))
         .option("inferSchema", "true").csv(files: _*)
-      case "jsonl" | "json" => spark.read.json(files: _*)
+      case "jsonl" | "json" => spark.read
+        .option("mode", p.str("mode", "PERMISSIVE")).json(files: _*)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.runner.{OperatorRegistry, Params, PipelineConf, PipelineRunner}
+import graft.runner.{LoaderConf, OperatorRegistry, Params, PipelineConf, PipelineRunner}
 import graft.sources.SyntheticImages
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -551,6 +551,28 @@ class RunnerSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val kept = written.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == direct)
+  }
+
+  test("jsonl loader: permissive mode surfaces corrupt lines, failfast raises") {
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/docs.jsonl"),
+      ("""{"doc_id": 1, "text": "good one"}""" + "\n" +
+       """{"doc_id": 2, "text": "also fine"}""" + "\n" +
+       """{"doc_id": 3, "text": "broken""" + "\n").getBytes("UTF-8"))
+    // cache(): Spark refuses corrupt-column-only queries straight off
+    // raw json (SPARK-21610) — materializing first is the documented use
+    val permissive = PipelineRunner.load(spark, LoaderConf("ParquetLoader",
+      Params(Map("format" -> "jsonl", "path" -> s"$base/docs.jsonl")))).cache()
+    assert(permissive.count() == 3)
+    assert(permissive.columns.contains("_corrupt_record"))
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter(col("doc_id").isNotNull).count() == 2)
+    // FAILFAST raises during eager schema inference, inside load itself
+    intercept[org.apache.spark.SparkException] {
+      PipelineRunner.load(spark, LoaderConf("ParquetLoader",
+        Params(Map("format" -> "jsonl", "path" -> s"$base/docs.jsonl",
+          "mode" -> "FAILFAST")))).collect()
+    }
   }
 
   test("registry rejects unknown operators with the available list") {
