@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input robustness: at 100 TB an operator regularly sees an
+  * empty slice (a filtered-out partition, a source with no rows today,
+  * an empty increment) — corpus-global statistics (percentiles, idf,
+  * thresholds) computed over zero rows are the classic crash site.
+  * Every family must return an EMPTY result, not throw.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val noDocs: DataFrame =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+  private val noVecs: DataFrame =
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+  private def noEvents: DataFrame =
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def zero(name: String)(df: => DataFrame): Unit =
+    assert(df.count() == 0L, s"$name emitted rows from empty input")
+
+  test("dedup family survives empty input") {
+    zero("exact")(graft.operators.dedup.TextExactDedup(
+      textCol = "text", idCol = "doc_id", orderCol = "doc_id")(noDocs))
+    zero("minhash")(new graft.operators.dedup.MinHashLSHDedup(
+      textCol = "text", idCol = "doc_id", shingleWidth = 3,
+      numHashes = 16, numBands = 4, threshold = 0.8)(noDocs))
+    zero("simhash near")(new graft.operators.dedup.SimHashNearDedup(
+      textCol = "text", idCol = "doc_id", k = 3)(noDocs))
+    zero("line dedup")(new graft.operators.text.LineDedupRefiner(
+      textCol = "text", idCol = "doc_id", orderCol = "doc_id")(noDocs))
+    zero("embedding simhash")(new graft.operators.vector.EmbeddingSimHash(
+      idCol = "vec_id", orderCol = "vec_id", dims = 8)(noVecs))
+  }
+
+  test("corpus-global statistics survive empty input") {
+    zero("dup ngram")(new graft.operators.text.DupNgramRefiner(
+      textCol = "text", idCol = "doc_id", ngramWidth = 3, minCount = 2)(noDocs))
+    zero("length clip")(new graft.operators.text.LengthPercentileClipFilter(
+      pLow = 0.05, pHigh = 0.95)(noDocs))
+    zero("ccnet")(new graft.operators.text.CcnetBucketRefiner()(
+      noDocs.withColumn("lm_perplexity", lit(1.0))))
+    zero("tfidf")(new graft.operators.text.TfIdfTopTerms(
+      textCol = "text", idCol = "doc_id", topK = 3).topTerms(noDocs))
+    zero("vocab")(new graft.operators.text.VocabularyBuilder(topK = 5).build(noDocs))
+    zero("temperature")(new graft.operators.text.TemperatureSampleFilter(
+      alpha = 0.5, sourceCol = "source", idCol = "doc_id")(noDocs))
+    zero("epoch upsample")(new graft.operators.text.EpochUpsample(
+      Map("a" -> 2.5))(noDocs))
+  }
+
+  test("event analytics survive empty input") {
+    zero("sessionize")(new graft.operators.events.Sessionize().sessions(noEvents))
+    zero("funnel non-rows")(new graft.operators.events.Funnel(
+      Seq("view", "click"))(noEvents).where(col("n_users") =!= 0L))
+    zero("cohort")(new graft.operators.events.CohortRetention()(noEvents))
+    val asof = new graft.operators.events.AsofJoin(
+      keyCol = "user_id", leftTsCol = "ts", rightTsCol = "cts")
+    zero("asof empty right keeps nulls... or no left rows")(
+      asof(noEvents.select("user_id", "ts", "event_id"),
+        noEvents.select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))))
+    zero("interval")(new graft.operators.events.IntervalJoinBucketed(3600000000L)
+      .pairs(
+        noEvents.select(col("event_id").as("iid"),
+          lit(0L).as("start_us"), lit(1L).as("end_us")),
+        noEvents.select(col("user_id").as("pid"), lit(0L).as("pt_us"))))
+  }
+
+  test("sketches and diff survive empty input") {
+    val est = noDocs.agg(graft.functions.KmvSketch.kmvDistinct(
+      graft.functions.HashFunctions.portableHash64(col("text")), 16).as("e"))
+      .as[Double].head()
+    assert(est == 0.0)
+    zero("diff")(new graft.operators.text.CorpusDiff()
+      .diff(noDocs.select("doc_id", "text"), noDocs.select("doc_id", "text")))
+  }
+}
