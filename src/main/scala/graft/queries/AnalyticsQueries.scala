@@ -101,6 +101,17 @@ object AnalyticsQueries {
                  .sql("SELECT doc_id, text FROM documents", "SELECT doc_id, text FROM newt")})
               |ORDER BY doc_id""".stripMargin)),
 
+    // Z-order codes for (user, day) layout — every Morton code
+    // hash-checked against the identical magic-mask pipeline in DuckDB.
+    OracleQuery("zorder_code",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), graft.functions.ZOrder.morton(
+          col("user_id"), expr("unix_micros(ts) DIV 86400000000")).as("z"))
+        .orderBy(col("event_id")),
+      Some(s"""SELECT event_id, ${graft.functions.ZOrder.mortonSql(
+                 "user_id", "(epoch_us(ts) // 86400000000)")} AS z
+              |FROM events ORDER BY event_id""".stripMargin)),
+
     // Sketch-only cross-source overlap: per-source KMV sketches (k·8
     // bytes each) estimate pairwise Jaccard / union / intersection with
     // NO corpus join — the oracle rebuilds the identical estimates from
