@@ -101,6 +101,21 @@ object AnalyticsQueries {
                  .sql("SELECT doc_id, text FROM documents", "SELECT doc_id, text FROM newt")})
               |ORDER BY doc_id""".stripMargin)),
 
+    // Mergeable top-k aggregate vs the all-rows rank window it replaces
+    // (the window IS the oracle — same multiset of extreme values).
+    OracleQuery("topk_per_group",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.TopKAgg.topKValues(col("l_extendedprice"), 5).as("tv"))
+        .select(col("l_returnflag"), posexplode(col("tv")).as(Seq("pos", "value")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"), col("value"))
+        .orderBy(col("l_returnflag"), col("rank")),
+      Some("""SELECT l_returnflag, CAST(rn AS BIGINT) AS rank, v AS value FROM (
+             |  SELECT l_returnflag, l_extendedprice AS v, row_number() OVER (
+             |    PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rn
+             |  FROM lineitem) t
+             |WHERE rn <= 5 ORDER BY l_returnflag, rank""".stripMargin)),
+
     // Z-order codes for (user, day) layout — every Morton code
     // hash-checked against the identical magic-mask pipeline in DuckDB.
     OracleQuery("zorder_code",
