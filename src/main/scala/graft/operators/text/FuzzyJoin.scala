@@ -1,0 +1,86 @@
+package graft.operators.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution fuzzy join: match rows of two tables whose
+  * strings are within `maxDistance` edits — record linkage across
+  * catalogs/crawls where ids don't line up. Vanilla Spark offers only
+  * `levenshtein()` in an all-pairs cross join: O(|L|·|R|) distance
+  * computations.
+  *
+  * Banded shape: candidates are pairs sharing at least one length-`q`
+  * character gram after the HOT grams are dropped — grams occurring in
+  * more than `maxGramKeys` keys (the "Customer#0000…" shared-prefix
+  * failure mode) carry no discriminating signal and would square the
+  * candidate count, so both sides anti-join a (small, broadcast) hot
+  * list; the [[graft.operators.dedup.NgramJaccardDedup]] idiom.
+  * Survivor pairs get one exact `levenshtein` verify. Q-gram recall
+  * bound: ≤ `maxDistance`·q grams are destroyed by that many edits, so
+  * strings with more than `maxDistance·q + q − 1` chars of rare grams
+  * always reach the verify; dropping hot grams trades recall on
+  * non-discriminative content for the quadratic blowup — documented,
+  * and the oracle mirrors the exact same semantics.
+  */
+final class FuzzyJoin(
+    leftKeyCol: String, leftStrCol: String,
+    rightKeyCol: String, rightStrCol: String,
+    maxDistance: Int = 2,
+    q: Int = 3,
+    maxGramKeys: Int = 200) {
+
+  require(maxDistance >= 0 && q >= 2 && maxGramKeys >= 1)
+
+  private def grams(df: DataFrame, keyCol: String, strCol: String): DataFrame =
+    df.where(length(col(strCol)) >= q)
+      .select(col(keyCol), col(strCol), explode(expr(
+        s"transform(sequence(1, length($strCol) - ${q - 1}), i -> substring($strCol, i, $q))"))
+        .as("_g"))
+      .distinct() // one (key, gram) row even when a gram repeats in-string
+
+  /** Verified pairs `(leftKey, rightKey, dist)`. */
+  def pairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val lg = grams(left, leftKeyCol, leftStrCol)
+    val rg = grams(right, rightKeyCol, rightStrCol)
+    val freq = lg.select(col("_g")).unionByName(rg.select(col("_g")))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_f"))
+    val hot = freq.where(col("_f") > maxGramKeys).select(col("_g"))
+    val cand = lg.join(broadcast(hot), Seq("_g"), "left_anti")
+      .join(rg.join(broadcast(hot), Seq("_g"), "left_anti"), Seq("_g"))
+      .select(col(leftKeyCol), col(leftStrCol), col(rightKeyCol), col(rightStrCol))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col(leftStrCol), col(rightStrCol)).cast("long"))
+      .where(col("dist") <= maxDistance)
+      .select(col(leftKeyCol), col(rightKeyCol), col("dist"))
+  }
+
+  /** DuckDB twin of [[pairs]] as a CTE chain whose last member,
+    * `_fjout`, holds `(leftKey, rightKey, dist)` — use as
+    * `WITH ${pairsSql(...)} SELECT … FROM _fjout`. Same gram window,
+    * same hot-gram cap, same verify. `maxLen` bounds the unnested gram
+    * positions (any value ≥ the longest string is exact).
+    */
+  def pairsSql(leftSql: String, rightSql: String, maxLen: Int = 512): String =
+    s"""_fjl AS (SELECT $leftKeyCol, $leftStrCol FROM ($leftSql)),
+       |_fjr AS (SELECT $rightKeyCol, $rightStrCol FROM ($rightSql)),
+       |_fjlg AS (SELECT DISTINCT $leftKeyCol, $leftStrCol,
+       |    substring($leftStrCol, g, $q) AS _g
+       |  FROM _fjl, (SELECT unnest(range(1, $maxLen)) AS g) gs
+       |  WHERE length($leftStrCol) >= $q AND g <= length($leftStrCol) - ${q - 1}),
+       |_fjrg AS (SELECT DISTINCT $rightKeyCol, $rightStrCol,
+       |    substring($rightStrCol, g, $q) AS _g
+       |  FROM _fjr, (SELECT unnest(range(1, $maxLen)) AS g) gs
+       |  WHERE length($rightStrCol) >= $q AND g <= length($rightStrCol) - ${q - 1}),
+       |_fjf AS (SELECT _g, count(*) AS _f FROM (
+       |    SELECT _g FROM _fjlg UNION ALL SELECT _g FROM _fjrg) GROUP BY 1),
+       |_fjhot AS (SELECT _g FROM _fjf WHERE _f > $maxGramKeys),
+       |_fjc AS (SELECT DISTINCT l.$leftKeyCol, l.$leftStrCol, r.$rightKeyCol, r.$rightStrCol
+       |  FROM _fjlg l JOIN _fjrg r USING (_g)
+       |  WHERE l._g NOT IN (SELECT _g FROM _fjhot)),
+       |_fjp AS (SELECT $leftKeyCol, $rightKeyCol,
+       |    levenshtein($leftStrCol, $rightStrCol) AS dist
+       |  FROM _fjc),
+       |_fjout AS (SELECT $leftKeyCol, $rightKeyCol, CAST(dist AS BIGINT) AS dist
+       |  FROM _fjp WHERE dist <= $maxDistance)""".stripMargin
+}

@@ -101,6 +101,35 @@ object AnalyticsQueries {
                  .sql("SELECT doc_id, text FROM documents", "SELECT doc_id, text FROM newt")})
               |ORDER BY doc_id""".stripMargin)),
 
+    // Entity-resolution fuzzy join: customers vs a perturbed copy
+    // (append / prepend edits), q-gram banding with the hot-gram cap
+    // active (every name shares the "customer#0000…" prefix grams),
+    // levenshtein-verified; aggregated per left key.
+    OracleQuery("fuzzy_join", {
+      val op = new graft.operators.text.FuzzyJoin(
+        "lkey", "lname", "rkey", "rname", maxDistance = 2, q = 3, maxGramKeys = 200)
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+        val left = cust.select(col("c_custkey").as("lkey"), lower(col("c_name")).as("lname"))
+        val right = cust.select((col("c_custkey") + 100000L).as("rkey"),
+          when(col("c_custkey") % 2 === 0, concat(lower(col("c_name")), lit("x")))
+            .otherwise(concat(lit("zz"), lower(col("c_name")))).as("rname"))
+        op.pairs(left, right)
+          .groupBy(col("lkey"))
+          .agg(count(lit(1)).as("n_matches"), min(col("dist")).as("best_dist"))
+          .orderBy(col("lkey"))
+      }
+    },
+      Some(s"""WITH ${new graft.operators.text.FuzzyJoin(
+                 "lkey", "lname", "rkey", "rname", maxDistance = 2, q = 3, maxGramKeys = 200)
+                 .pairsSql(
+                   "SELECT c_custkey AS lkey, lower(c_name) AS lname FROM customer",
+                   "SELECT c_custkey + 100000 AS rkey, CASE WHEN c_custkey % 2 = 0 " +
+                     "THEN lower(c_name) || 'x' ELSE 'zz' || lower(c_name) END AS rname " +
+                     "FROM customer")}
+              |SELECT lkey, count(*) AS n_matches, min(dist) AS best_dist
+              |FROM _fjout GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Mergeable top-k aggregate vs the all-rows rank window it replaces
     // (the window IS the oracle — same multiset of extreme values).
     OracleQuery("topk_per_group",
