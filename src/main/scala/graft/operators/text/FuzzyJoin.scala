@@ -45,11 +45,19 @@ final class FuzzyJoin(
     val freq = lg.select(col("_g")).unionByName(rg.select(col("_g")))
       .groupBy(col("_g")).agg(count(lit(1)).as("_f"))
     val hot = freq.where(col("_f") > maxGramKeys).select(col("_g"))
+    // candidate dedup on BARE KEYS: a pair sharing g grams would ride
+    // the distinct exchange g times — dropping the strings before it
+    // cuts the exchange to two longs per row; names re-attach after
+    // via two key joins against the (narrow) input projections
     val cand = lg.join(broadcast(hot), Seq("_g"), "left_anti")
-      .join(rg.join(broadcast(hot), Seq("_g"), "left_anti"), Seq("_g"))
-      .select(col(leftKeyCol), col(leftStrCol), col(rightKeyCol), col(rightStrCol))
+      .select(col(leftKeyCol), col("_g"))
+      .join(rg.join(broadcast(hot), Seq("_g"), "left_anti")
+        .select(col(rightKeyCol), col("_g")), Seq("_g"))
+      .select(col(leftKeyCol), col(rightKeyCol))
       .distinct()
     cand
+      .join(left.select(col(leftKeyCol), col(leftStrCol)), Seq(leftKeyCol))
+      .join(right.select(col(rightKeyCol), col(rightStrCol)), Seq(rightKeyCol))
       .withColumn("dist", levenshtein(col(leftStrCol), col(rightStrCol)).cast("long"))
       .where(col("dist") <= maxDistance)
       .select(col(leftKeyCol), col(rightKeyCol), col("dist"))
