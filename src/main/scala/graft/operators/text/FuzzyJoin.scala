@@ -31,9 +31,12 @@ final class FuzzyJoin(
 
   require(maxDistance >= 0 && q >= 2 && maxGramKeys >= 1)
 
+  // bare (key, gram) rows — the string is functionally dependent on the
+  // key, so keeping it through the distinct exchange only fattens the
+  // shuffle; names re-attach by key after the candidate join
   private def grams(df: DataFrame, keyCol: String, strCol: String): DataFrame =
     df.where(length(col(strCol)) >= q)
-      .select(col(keyCol), col(strCol), explode(expr(
+      .select(col(keyCol), explode(expr(
         s"transform(sequence(1, length($strCol) - ${q - 1}), i -> substring($strCol, i, $q))"))
         .as("_g"))
       .distinct() // one (key, gram) row even when a gram repeats in-string

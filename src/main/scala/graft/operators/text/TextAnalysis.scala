@@ -115,7 +115,18 @@ object TextAnalysis {
     * token length in the [3,12] band. `toks` must be a MATERIALIZED
     * token column (stage it once; see [[languageIdFromScores]] note).
     */
-  def qualityScore(text: Column, toks: Column): Column = {
+  def qualityScore(text: Column, toks: Column): Column =
+    round(graft.plans.kernels.quality_score_raw(
+      text, sortedLangs.map(languageProfiles)), 9)
+
+  /** The pre-r11 declarative tree, kept as the parity pin for the fused
+    * kernel (KernelSpec): the `greatest(element_at(scores, i))` form
+    * duplicated the StopwordScores kernel per language and the tokenize
+    * tree ~6× per row inside Filter/Aggregate operators (no
+    * subexpression elimination there) — the r10 driver bench's
+    * domain_stats_filter cost.
+    */
+  private[graft] def qualityScoreDeclarative(text: Column, toks: Column): Column = {
     val scores = allLanguageScores(toks)
     val stop = greatest(sortedLangs.indices.map(i => element_at(scores, i + 1)): _*)
     val mtl = meanTokenLength(toks)

@@ -89,14 +89,13 @@ final class GopherRepetitionFilter(
 
   val name = "gopher_repetition_filter"
 
-  def keep(df: DataFrame): Column = {
-    val s = graft.plans.kernels.repetition_signals(col(textCol))
-    s("dup_line_frac") <= maxDupLineFrac &&
-      s("dup_para_frac") <= maxDupParaFrac &&
-      s("dup_line_char_frac") <= maxDupLineCharFrac &&
-      s("dup_para_char_frac") <= maxDupParaCharFrac &&
-      s("top_2gram_char_frac") <= maxTop2gramCharFrac &&
-      s("top_3gram_char_frac") <= maxTop3gramCharFrac &&
-      s("top_4gram_char_frac") <= maxTop4gramCharFrac
-  }
+  // ONE battery evaluation per row: 7 struct-field reads of the signals
+  // kernel inside a Filter predicate would re-run the per-row counting
+  // pass 7× (FilterExec has no subexpression elimination) — the r10
+  // driver bench's gopher_repetition_filter blowup.
+  def keep(df: DataFrame): Column =
+    graft.plans.kernels.repetition_keep(col(textCol), Seq(
+      maxDupLineFrac, maxDupLineCharFrac, maxDupParaFrac,
+      maxDupParaCharFrac, maxTop2gramCharFrac, maxTop3gramCharFrac,
+      maxTop4gramCharFrac))
 }

@@ -430,6 +430,77 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** The composite quality score's raw (unrounded) value in ONE JVM pass:
+    * 0.4·alpha_ratio + 0.3·min(5·max stopword fraction, 1) + 0.3·mean-
+    * token-length-in-[3,12] band. The declarative form
+    * ([[graft.operators.text.TextAnalysis.qualityScore]] pre-r11)
+    * duplicated the StopwordScores kernel once per language profile via
+    * `greatest(element_at(scores, i))` and the tokenize tree ~6× per row
+    * (the r10 driver bench's domain_stats_filter cost). Bit-parity with
+    * the declarative tree (KernelSpec): character counts are code points
+    * (Catalyst `length`), whitespace is Java regex `\s` (ASCII, same
+    * class DuckDB's RE2 strips), tokens come from the shared
+    * [[tokenizeJvm]], and the combination order matches the Column form
+    * left-to-right. Callers wrap in Catalyst `round(_, 9)` so rounding
+    * semantics stay the engine's own. Null text → null.
+    */
+  case class QualityScoreRaw(child: Expression, profiles: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    @transient private lazy val sets: Array[java.util.HashSet[String]] =
+      profiles.map { p =>
+        val s = new java.util.HashSet[String]()
+        p.foreach(s.add)
+        s
+      }.toArray
+
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val s = text.toString
+      // alpha ratio over non-whitespace code points
+      var stripped = 0L; var alpha = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+          cp == '\f' || cp == '\r'
+        if (!ws) {
+          stripped += 1
+          if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) alpha += 1
+        }
+        i += Character.charCount(cp)
+      }
+      val alphaRatio = if (stripped == 0L) 0.0 else alpha.toDouble / stripped.toDouble
+      // token walk: stopword hits per profile + summed code-point lengths
+      val toks = tokenizeJvm(text)
+      val hits = new Array[Int](sets.length)
+      var lenSum = 0L
+      toks.foreach { t =>
+        lenSum += t.codePointCount(0, t.length)
+        var p = 0
+        while (p < sets.length) {
+          if (sets(p).contains(t)) hits(p) += 1
+          p += 1
+        }
+      }
+      var stop = 0.0
+      if (toks.length > 0) {
+        var p = 0
+        while (p < sets.length) {
+          val f = hits(p).toDouble / toks.length.toDouble
+          if (f > stop) stop = f
+          p += 1
+        }
+      }
+      val mtl = if (toks.isEmpty) 0.0 else lenSum.toDouble / toks.length.toDouble
+      val band = if (mtl >= 3.0 && mtl <= 12.0) 1.0 else 0.0
+      java.lang.Double.valueOf(
+        alphaRatio * 0.4 + math.min(stop * 5.0, 1.0) * 0.3 + band * 0.3)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** The full Gopher document-quality battery (Rae et al. 2021 A1.1) in
     * ONE JVM pass per row: tokenize once, then every signal plus the keep
     * verdict from that single token walk. The declarative form
@@ -825,6 +896,16 @@ object kernels {
       StructField("top_3gram_char_frac", DoubleType, nullable = false),
       StructField("top_4gram_char_frac", DoubleType, nullable = false)))
 
+    override def nullSafeEval(v: Any): Any = {
+      val s = RepetitionSignals.compute(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      org.apache.spark.sql.catalyst.InternalRow(
+        s(0), s(1), s(2), s(3), s(4), s(5), s(6))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  object RepetitionSignals {
     private def dupFracs(units: Array[String]): (Double, Double) = {
       if (units.isEmpty) return (0.0, 0.0)
       val counts = new java.util.HashMap[String, Integer]()
@@ -866,8 +947,10 @@ object kernels {
       bestGram.length.toDouble * bestCnt / denom
     }
 
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    /** The 7 battery signals in declaration order — shared by the struct
+      * kernel and the single-pass boolean [[RepetitionKeep]].
+      */
+    private[kernels] def compute(s: String): Array[Double] = {
       val lines = s.split("\n", -1)
       val paras = s.split("\n\n", -1)
       val (dlf, dlcf) = dupFracs(lines)
@@ -876,10 +959,34 @@ object kernels {
       var denom = 0L
       toks.foreach(t => denom += t.length)
       if (toks.length > 1) denom += toks.length - 1 // normalized text length
-      org.apache.spark.sql.catalyst.InternalRow(
-        dlf, dlcf, dpf, dpcf,
+      Array(dlf, dlcf, dpf, dpcf,
         topGramFrac(toks, 2, denom), topGramFrac(toks, 3, denom),
         topGramFrac(toks, 4, denom))
+    }
+  }
+
+  /** Thresholded repetition verdict in ONE battery pass per row. The
+    * filter form needs all 7 signals compared against cutoffs; doing
+    * that as 7 GetStructField reads of [[RepetitionSignals]] inside a
+    * Filter predicate duplicates the (hash-counting, per-row-expensive)
+    * kernel 7× — FilterExec has no subexpression elimination. Thresholds
+    * are inclusive keeps (`<=`), matching the declarative form and the
+    * DuckDB twin.
+    */
+  case class RepetitionKeep(child: Expression, maxes: Seq[Double])
+      extends UnaryExpression with CodegenFallback {
+    require(maxes.length == 7, s"need 7 thresholds, got ${maxes.length}")
+    override def dataType: DataType = BooleanType
+    // signal order: dlf, dlcf, dpf, dpcf, t2, t3, t4
+    override def nullSafeEval(v: Any): Any = {
+      val s = RepetitionSignals.compute(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      var i = 0
+      while (i < 7) {
+        if (s(i) > maxes(i)) return false
+        i += 1
+      }
+      true
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
@@ -957,6 +1064,14 @@ object kernels {
     expr2col(RepetitionSignals(colExpr(
       org.apache.spark.sql.functions.coalesce(
         text, org.apache.spark.sql.functions.lit("")))))
+  /** One-pass thresholded repetition verdict (order: dup line frac,
+    * dup line char frac, dup para frac, dup para char frac, top-2/3/4
+    * gram char frac); coalesces NULL text to ''.
+    */
+  def repetition_keep(text: Column, maxes: Seq[Double]): Column =
+    expr2col(RepetitionKeep(colExpr(
+      org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))), maxes))
   def minhash_signature(hs: Column, numHashes: Int, portable: Boolean): Column =
     expr2col(MinHashSignature(colExpr(hs), numHashes, portable))
   def minhash_from_hashes(hs: Column, numHashes: Int, portable: Boolean): Column =
@@ -971,6 +1086,9 @@ object kernels {
     expr2col(NearestCentroid(colExpr(vec), centroids))
   def stopword_scores(toks: Column, profiles: Seq[Seq[String]]): Column =
     expr2col(StopwordScores(colExpr(toks), profiles))
+  /** Unrounded composite quality score (wrap in `round(_, 9)`). */
+  def quality_score_raw(text: Column, profiles: Seq[Seq[String]]): Column =
+    expr2col(QualityScoreRaw(colExpr(text), profiles))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
   /** PII battery struct; null text → null struct (callers coalesce the
     * counts to 0 and leave the redaction null, the declarative contract). */

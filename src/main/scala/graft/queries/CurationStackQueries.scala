@@ -89,15 +89,37 @@ object CurationStackQueries {
   private val dupOp = new DupNgramRefiner(
     "text_c4_clean", "doc_id", ngramWidth = 8, minCount = minCount, hashName = "portable")
 
+  /** Materialize the augmented input for `dir` ONCE (atomic publish,
+    * reused across bench reps and Verify runs — the WarcQueries idiom);
+    * re-writing it per invocation doubled the gate's job count per rep.
+    */
+  private def fixtureInDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val key = Integer.toHexString(dir.hashCode)
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stack_fixture_$key")
+    if (!java.nio.file.Files.isDirectory(out)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stack_build")
+      stackAug(Tables(s, dir, "documents")).write.mode("overwrite")
+        .parquet(s"$tmp/in")
+      try java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the publish race: another run's fixture is in place
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    }
+    s"$out/in"
+  }
+
   val queries: Seq[OracleQuery] = Seq(
     OracleQuery("curation_stack",
       (s, dir) => {
+        val in = fixtureInDir(s, dir)
         val base = java.nio.file.Files.createTempDirectory("graft_stack").toString
-        stackAug(Tables(s, dir, "documents")).write.mode("overwrite").parquet(s"$base/in")
         val conf = PipelineConf.fromYaml(
           s"""data_loader:
              |  type: ParquetLoader
-             |  params: {format: parquet, path: "$base/in"}
+             |  params: {format: parquet, path: "$in"}
              |stages:
              |  - name: curation
              |    operators:

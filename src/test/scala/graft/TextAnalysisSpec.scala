@@ -41,6 +41,64 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(prose > 0.8, s"prose=$prose")
   }
 
+  test("fused quality-score kernel is bit-identical to the declarative tree") {
+    val fixtures = Seq(
+      "The quick brown fox jumps over the lazy dog and it is fine.",
+      "der hund ist nicht mit der katze und das haus",
+      "", "   \t\n  ", "11 22 33 44 55 66 77 88 99 00",
+      "short", "Ünïcode café Ångström 한국어 text the and of to",
+      "a b c d e f g h i j k l m n o p", // mtl below band
+      "supercalifragilisticexpialidocious antidisestablishmentarianism", // mtl above band
+      "!!! ??? ,,, ... ;;;", null)
+    val df = spark.createDataFrame(
+      fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val toks = graft.functions.TextFunctions.tokensOf(col("text"))
+    val rows = df.select(
+      TextAnalysis.qualityScore(col("text"), toks).as("fused"),
+      TextAnalysis.qualityScoreDeclarative(col("text"), toks).as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(r.getDouble(0) == r.getDouble(1), s"value mismatch: $r")
+    }
+  }
+
+  test("one-pass repetition_keep equals the 7-field thresholded struct form") {
+    val fixtures = Seq(
+      "dup\ndup\ndup\ndup\nunique",             // dup-line reject
+      "same para here\n\nsame para here",       // dup-para reject
+      "spam spam spam spam",                    // top-gram reject
+      // clean keep — long enough that any single-occurrence top gram is
+      // a small char fraction (short docs fail the t3/t4 cutoffs on
+      // their first gram alone)
+      ("The quick brown fox jumps over the lazy dog while the sun sets " +
+        "slowly behind distant purple mountains and rivers wind their way " +
+        "through quiet green valleys toward a calm silver sea at dusk."),
+      "", null)
+    val df = spark.createDataFrame(
+      fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val maxes = Seq(0.30, 0.20, 0.30, 0.20, 0.20, 0.18, 0.16)
+    val s = graft.plans.kernels.repetition_signals(col("text"))
+    val declarative = s("dup_line_frac") <= maxes(0) &&
+      s("dup_line_char_frac") <= maxes(1) &&
+      s("dup_para_frac") <= maxes(2) &&
+      s("dup_para_char_frac") <= maxes(3) &&
+      s("top_2gram_char_frac") <= maxes(4) &&
+      s("top_3gram_char_frac") <= maxes(5) &&
+      s("top_4gram_char_frac") <= maxes(6)
+    val rows = df.select(
+      graft.plans.kernels.repetition_keep(col("text"), maxes).as("fused"),
+      declarative.as("decl")).collect()
+    rows.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), s"$r"))
+    // the crafted rejects actually reject and the clean doc keeps
+    val verdicts = df.orderBy("doc_id").select(
+      graft.plans.kernels.repetition_keep(col("text"), maxes)).collect().map(_.getBoolean(0))
+    assert(verdicts.toSeq == Seq(false, false, false, true, true, true))
+  }
+
   test("fingerprint stays in [0, 2^31) and token counts are non-negative on random input") {
     val gen = org.scalacheck.Gen.listOfN(200,
       org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
