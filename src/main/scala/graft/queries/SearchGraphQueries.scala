@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{CmsSketch, HashFunctions, TextFunctions}
+import graft.operators.graph.FixedPointPageRank
+import graft.operators.text.Bm25Retrieval
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gates for the retrieval/sketch/graph family: BM25 ranked search,
+  * Count-Min-Sketch frequency estimates, fixed-point PageRank, and the
+  * time-range moving-window aggregate. Each has a full DuckDB recompute
+  * twin.
+  */
+object SearchGraphQueries {
+
+  private val bm25 = new Bm25Retrieval(
+    queryTerms = Seq("spark", "join", "window"), topK = 50)
+
+  private val CmsDepth = 3
+  private val CmsWidth = 1024
+  private val cmsProbes = Seq("data", "spark", "join", "table", "agg", "zzz_absent")
+
+  private val pagerank = new FixedPointPageRank(iterations = 5)
+
+  private val HourUs = 3600000000L
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("bm25_topk",
+      (s, dir) => bm25(Tables(s, dir, "documents")),
+      Some(bm25.sql("documents"))),
+
+    OracleQuery("cms_word_counts",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents")
+          .select(explode(TextFunctions.tokensOf(col("text"))).as("_w"))
+          .select(col("_w"), HashFunctions.portableHash64(col("_w")).as("_h"))
+        val aggCols = Seq(
+          CmsSketch.cmsSketch(col("_h"), CmsDepth, CmsWidth).as("_sk")) ++
+          cmsProbes.map(t =>
+            sum(when(col("_w") === t, 1L).otherwise(0L)).as(s"_true_$t"))
+        words.agg(aggCols.head, aggCols.tail: _*)
+          .select(explode(array(cmsProbes.map(t => struct(
+            lit(t).as("term"),
+            CmsSketch.estimate(col("_sk"),
+              HashFunctions.portableHash64(lit(t)), CmsDepth, CmsWidth)
+              .as("est_count"),
+            col(s"_true_$t").as("true_count"))): _*)).as("_p"))
+          .select(col("_p.term"), col("_p.est_count"), col("_p.true_count"))
+          .orderBy(col("term"))
+      },
+      Some {
+        val probeRows = cmsProbes.map { t =>
+          s"""SELECT '$t' AS term,
+             |  ${CmsSketch.estimateSql(HashFunctions.portableHash64Sql(s"'$t'"), CmsDepth, CmsWidth)} AS est_count,
+             |  (SELECT count(*) FROM _cms_words WHERE w = '$t') AS true_count""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH _cms_words AS (
+           |  SELECT unnest(${TextFunctions.tokensOfSql("text")}) AS w FROM documents),
+           |${CmsSketch.rebuildCteSql(
+              HashFunctions.portableHash64Sql("w"), "_cms_words", CmsDepth, CmsWidth)}
+           |$probeRows
+           |ORDER BY term""".stripMargin
+      }),
+
+    OracleQuery("domain_pagerank",
+      // deterministic synthetic link graph over doc ids (every node has
+      // out-degree 2; both engines derive it from the same CASE-free
+      // modular algebra), 5 fixed-point iterations
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val n = docs.count()
+        val nodes = docs.select(col("doc_id").as("id"))
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 2 + 1) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 3 + 7) % n).as("dst")))
+        pagerank.ranks(nodes, edges)
+          .select(col("id").as("doc_id"), col("rank_scaled"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val nodesSql = "SELECT doc_id AS id FROM documents"
+        val edgesSql =
+          """SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+            |UNION ALL
+            |SELECT doc_id AS src, (doc_id * 3 + 7) % (SELECT count(*) FROM documents) AS dst FROM documents""".stripMargin
+        s"""WITH ${pagerank.sqlCte(nodesSql, edgesSql)}
+           |SELECT id AS doc_id, rk AS rank_scaled FROM _pr5 ORDER BY doc_id""".stripMargin
+      }),
+
+    OracleQuery("events_moving_window",
+      // per-user trailing-1-hour frame over event time: RANGE, not ROWS,
+      // so equal-timestamp peers are in-frame in both engines; values
+      // floor-scaled to micros-longs so every aggregate is exact integer
+      // arithmetic (a double sum's order-dependence would break the
+      // cross-engine hash)
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("_us"),
+            expr("CAST(floor(value * 1000000) AS BIGINT)").as("_vs"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("_us"))
+          .rangeBetween(-HourUs, 0)
+        ev.select(col("event_id"),
+            count(lit(1)).over(w).as("cnt_1h"),
+            sum(col("_vs")).over(w).as("sum_scaled_1h"),
+            min(col("_vs")).over(w).as("min_scaled_1h"),
+            max(col("_vs")).over(w).as("max_scaled_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id,
+              |  count(*) OVER w AS cnt_1h,
+              |  CAST(sum(_vs) OVER w AS BIGINT) AS sum_scaled_1h,
+              |  min(_vs) OVER w AS min_scaled_1h,
+              |  max(_vs) OVER w AS max_scaled_1h
+              |FROM (SELECT event_id, user_id, epoch_us(ts) AS _us,
+              |        CAST(floor(value * 1000000) AS BIGINT) AS _vs FROM events)
+              |WINDOW w AS (PARTITION BY user_id ORDER BY _us
+              |  RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin))
+  )
+}

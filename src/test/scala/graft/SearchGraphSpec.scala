@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{CmsSketch, HashFunctions}
+import graft.operators.graph.FixedPointPageRank
+import graft.operators.text.Bm25Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the retrieval/sketch/graph family (the oracle
+  * gates cover cross-engine equality; these pin the intended behavior
+  * and the plan shapes).
+  */
+class SearchGraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- BM25 ----
+
+  test("bm25: docs containing the query terms outrank docs without them") {
+    val df = Seq(
+      (1L, "spark joins the window functions with spark aggregates"),
+      (2L, "nothing relevant here about cooking pasta tonight"),
+      (3L, "a single mention of spark in a long unrelated sentence " +
+        "about gardens flowers trees and rivers flowing far away"))
+      .toDF("doc_id", "text")
+    val out = new Bm25Retrieval(Seq("spark", "window"), topK = 10)(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), out.mkString(", "))
+    assert(out(0)._2 > out(1)._2)
+  }
+
+  test("bm25: top-k plans as TakeOrderedAndProject with a broadcast stats row, no explode") {
+    val plan = planOf(new Bm25Retrieval(Seq("spark"), topK = 5)(table("documents")))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("Generate"), s"posting-list explode in the BM25 plan:\n$plan")
+  }
+
+  // ---- Count-Min Sketch ----
+
+  test("cms: estimates upper-bound true counts and are exact for unique-bucket keys") {
+    val words = Seq.tabulate(2000)(i => s"w${i % 97}").toDF("w")
+      .select(col("w"), HashFunctions.portableHash64(col("w")).as("h"))
+    val sk = words.agg(CmsSketch.cmsSketch(col("h"), 3, 256).as("sk"))
+    val probes = Seq("w0", "w1", "w96", "absent")
+    val ests = sk.select(probes.map(t => CmsSketch.estimate(col("sk"),
+      HashFunctions.portableHash64(lit(t)), 3, 256).as(t)): _*).head()
+    val truth = Map("w0" -> 21L, "w1" -> 21L, "w96" -> 20L, "absent" -> 0L)
+    probes.zipWithIndex.foreach { case (t, i) =>
+      assert(ests.getLong(i) >= truth(t), s"$t underestimated")
+    }
+  }
+
+  test("cms: sketch is invariant to partitioning (merge order)") {
+    val words = Seq.tabulate(500)(i => s"tok$i").toDF("w")
+      .select(HashFunctions.portableHash64(col("w")).as("h"))
+    def sketch(parts: Int): Seq[Long] =
+      words.repartition(parts).agg(CmsSketch.cmsSketch(col("h"), 3, 64).as("sk"))
+        .head().getSeq[Long](0)
+    assert(sketch(1) == sketch(7))
+  }
+
+  test("cms: aggregate plans as ObjectHashAggregate (mergeable partials)") {
+    val words = table("documents")
+      .select(HashFunctions.portableHash64(col("text")).as("h"))
+    val plan = planOf(words.agg(CmsSketch.cmsSketch(col("h"), 3, 64)))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  // ---- fixed-point PageRank ----
+
+  test("pagerank: symmetric 2-cycle converges to equal ranks, sinks drain") {
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    // 0 <-> 1 cycle; 2 points at 0 but nothing points at 2
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    // the 2-cycle oscillates with parity and decays by damping² per
+    // double-step; 40 iterations puts the residual far below the
+    // steady-state gap (r0−r1 ≈ 0.069·scale)
+    val out = new FixedPointPageRank(iterations = 40)
+      .ranks(nodes, edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) > out(1L)) // 0 also receives 2's mass
+    assert(out(1L) > out(2L)) // 2 only ever holds the base
+    assert(out(2L) == 150000L)
+  }
+
+  test("pagerank: ranks are invariant to input partitioning") {
+    val nodes = spark.range(0, 200).select(col("id"))
+    val edges = nodes.select(col("id").as("src"), ((col("id") * 3 + 1) % 200).as("dst"))
+    val pr = new FixedPointPageRank(iterations = 4)
+    val a = pr.ranks(nodes, edges).orderBy("id").collect().map(_.getLong(1)).toSeq
+    val b = pr.ranks(nodes.repartition(13), edges.repartition(7))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(a == b)
+  }
+
+  test("pagerank: loop leaves no cached RDDs behind beyond the final checkpoint") {
+    val nodes = spark.range(0, 50).select(col("id"))
+    val edges = nodes.select(col("id").as("src"), ((col("id") + 1) % 50).as("dst"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = new FixedPointPageRank(iterations = 3).ranks(nodes, edges)
+    out.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // final ranks + the one-time edges-with-outdeg table
+    assert(after - before <= 2, s"leaked caches: ${after - before}")
+  }
+}
