@@ -42,17 +42,36 @@ final class Bm25Retrieval(
 
   private def dfCol(t: String): String = s"_df_${t}"
 
+  /** The refiner form: every input row with a `bm25_score` column
+    * appended (0 when no term matches) — the YAML-registrable shape; the
+    * ranked top-k is [[apply]]. `corpus` supplies the rows the N/avgdl/df
+    * statistics come from (disposition mode passes the alive subset).
+    */
+  def scored(df: DataFrame, corpus: DataFrame): DataFrame =
+    withScore(df.withColumn("_toks", TextFunctions.tokensOf(col(textCol))),
+        corpus.withColumn("_toks", TextFunctions.tokensOf(col(textCol))))
+      .withColumn("bm25_score", round(col("_score"), 6))
+      .drop("_toks", "_score")
+
   /** `(id, bm25_score)` for docs matching ≥1 term, best-first (score
     * desc, id asc), at most `topK` rows.
     */
   def apply(df: DataFrame): DataFrame = {
     val toks = df.select(col(idCol), TextFunctions.tokensOf(col(textCol)).as("_toks"))
+    withScore(toks, toks)
+      .where(col("_score") > 0.0)
+      .orderBy(col("_score").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("_score"), 6).as("bm25_score"))
+  }
+
+  private def withScore(toks: DataFrame, corpus: DataFrame): DataFrame = {
     val aggCols = Seq(
       count(lit(1)).as("_n"),
       sum(size(col("_toks")).cast("long")).as("_sumdl")) ++
       queryTerms.map(t =>
         sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).as(dfCol(t)))
-    val stats = toks.agg(aggCols.head, aggCols.tail: _*)
+    val stats = corpus.agg(aggCols.head, aggCols.tail: _*)
     val n = col("_n").cast("double")
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
     val dl = size(col("_toks")).cast("double")
@@ -66,11 +85,16 @@ final class Bm25Retrieval(
     val score = queryTerms.map(termScore).reduce(_ + _)
     toks.crossJoin(broadcast(stats))
       .withColumn("_score", score)
-      .where(col("_score") > 0.0)
-      .orderBy(col("_score").desc, col(idCol))
-      .limit(topK)
-      .select(col(idCol), round(col("_score"), 6).as("bm25_score"))
+      .drop("_n", "_sumdl")
+      .drop(queryTerms.map(dfCol): _*)
   }
+
+  /** Disposition-mode scoring: corpus statistics from ALIVE rows only —
+    * a page rejected upstream contributed no document frequency in the
+    * sequential chain, so it must not dilute idf here either.
+    */
+  private[text] def scoredGated(df: DataFrame, alive: Column): DataFrame =
+    scored(df, df.filter(alive))
 
   /** DuckDB twin: identical stats CTE, per-term tf over the token list,
     * same association order, same tie-break and limit.
@@ -94,4 +118,22 @@ final class Bm25Retrieval(
        |SELECT $idCol, round(_score, 6) AS bm25_score FROM _bm_sc
        |WHERE _score > 0.0 ORDER BY _score DESC, $idCol LIMIT $topK""".stripMargin
   }
+}
+
+/** YAML-registrable refiner: appends `bm25_score` to every row (corpus
+  * statistics from the whole — or, under disposition, the alive — input).
+  */
+final class Bm25ScoreRefiner(
+    queryTerms: Seq[String],
+    textCol: String = "text",
+    idCol: String = "doc_id",
+    k1: Double = 1.2,
+    b: Double = 0.75) extends Operator {
+
+  val name = "bm25_scorer"
+  private val inner = new Bm25Retrieval(queryTerms, textCol, idCol, k1, b)
+
+  def apply(df: DataFrame): DataFrame = inner.scored(df, df)
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    inner.scoredGated(df, alive)
 }

@@ -94,3 +94,66 @@ final class MatryoshkaTruncate(
        |  FROM _nm)""".stripMargin
   }
 }
+
+/** Random-projection dimensionality reduction (Johnson–Lindenstrauss;
+  * Achlioptas 2003 shows dense iid projections preserve pairwise
+  * distances at k = O(log n / ε²)) — the cheap embedding shrink a
+  * 100 TB vector corpus runs before ANN indexing when matryoshka
+  * truncation isn't available (models not trained with nested dims).
+  *
+  * The projection matrix is NOT runtime randomness (resume-safety and
+  * oracle parity forbid it — the [[graft.operators.vector.EmbeddingSimHash]]
+  * discipline): components come from a splitmix64 stream seeded by
+  * (seed, out-dim, in-dim), materialized at plan-build time as typed
+  * literals into BOTH engines, and each output component is the
+  * left-to-right double dot fold both engines share.
+  *
+  * Scale shape: stateless per-row map, no shuffle; output vectors are
+  * `outDims`-wide, shrinking every downstream exchange.
+  */
+final class RandomProjection(
+    vecCol: String = "embedding",
+    inDims: Int = 16,
+    outDims: Int = 8,
+    seed: Long = 11L,
+    outputCol: String = "embedding_projected") extends Operator {
+
+  require(outDims >= 1 && inDims >= 1, s"dims must be >= 1")
+  val name = "random_projection"
+
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** `planes(j)(i)` in [-1, 1) scaled by 1/√outDims (the JL norm
+    * factor), deterministic in (seed, j, i).
+    */
+  val planes: Array[Array[Double]] = {
+    val s = 1.0 / math.sqrt(outDims.toDouble)
+    Array.tabulate(outDims, inDims) { (j, i) =>
+      (((splitmix(seed + j.toLong * 65537L + i) >>> 11).toDouble /
+        (1L << 53).toDouble) * 2.0 - 1.0) * s
+    }
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(outputCol, array(planes.map(p =>
+      VectorFunctions.dot(col(vecCol), typedlit(p.toSeq))): _*))
+
+  /** DuckDB twin: CTE `_rp(id, projected)` over `table`'s `vecCol`.
+    * Plane components go in as `CAST('…' AS DOUBLE)` — a bare decimal
+    * literal parses as DECIMAL and the decimal→double conversion can be
+    * 1 ulp off the shortest-round-trip text parse the Spark literal is.
+    */
+  def cteSql(table: String, idExpr: String): String = {
+    val comps = planes.map { p =>
+      val lit = p.map(d => s"CAST('${d.toString}' AS DOUBLE)")
+        .mkString("([", ", ", "])")
+      VectorFunctions.dotSql(vecCol, lit)
+    }.mkString("[", ", ", "]")
+    s"""_rp AS (SELECT $idExpr AS id, $comps AS projected FROM $table)""".stripMargin
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.vector.{EmbeddingQuantizer, EmbeddingSimHash, MatryoshkaTruncate}
+import graft.operators.vector.{EmbeddingQuantizer, EmbeddingSimHash, MatryoshkaTruncate, RandomProjection}
 import org.apache.spark.sql.functions._
 
 /** Embedding-transform gates: int8 scalar quantization and Matryoshka
@@ -15,6 +15,8 @@ object VectorTransformQueries {
   private val eshOp = new EmbeddingSimHash(
     vecCol = "embedding", idCol = "vec_id", orderCol = "vec_id",
     bits = 12, dims = 64, seed = 7L)
+  private val rpOp = new RandomProjection(
+    vecCol = "embedding", inDims = 64, outDims = 8, seed = 11L)
 
   val queries: Seq[OracleQuery] = Seq(
 
@@ -38,6 +40,18 @@ object VectorTransformQueries {
       Some(s"""WITH ${mtOp.cteSql("embeddings", "vec_id")}
               |SELECT id AS vec_id, ${(1 to 8).map(i => s"truncated[$i] AS e$i").mkString(", ")}
               |FROM _mt ORDER BY vec_id""".stripMargin)),
+
+    // same scalar-column projection as matryoshka: doubles agree
+    // bit-for-bit (shared literal planes + same fold order) but don't
+    // FORMAT identically, so no array-to-string
+    OracleQuery("random_projection",
+      (s, dir) => rpOp(Tables(s, dir, "embeddings"))
+        .select(col("vec_id") +:
+          (1 to 8).map(i => element_at(col("embedding_projected"), i).as(s"p$i")): _*)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH ${rpOp.cteSql("embeddings", "vec_id")}
+              |SELECT id AS vec_id, ${(1 to 8).map(i => s"projected[$i] AS p$i").mkString(", ")}
+              |FROM _rp ORDER BY vec_id""".stripMargin)),
 
     OracleQuery("embedding_simhash_signature",
       (s, dir) => Tables(s, dir, "embeddings")

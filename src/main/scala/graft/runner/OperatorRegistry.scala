@@ -479,4 +479,18 @@ object OperatorRegistry {
 
   register("video_metadata", p => new graft.operators.media.VideoMetadataRefiner(
     videoCol = p.str("video_field", "video")))
+
+  register("random_projection", p => new graft.operators.vector.RandomProjection(
+    vecCol = p.str("embedding_field", "embedding"),
+    inDims = p.int("in_dims", 16),
+    outDims = p.int("out_dims", 8),
+    seed = p.long("seed", 11L),
+    outputCol = p.str("output_field", "embedding_projected")))
+
+  register("bm25_scorer", p => new Bm25ScoreRefiner(
+    queryTerms = p.strList("query_terms"),
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    k1 = p.double("k1", 1.2),
+    b = p.double("b", 0.75)))
 }

@@ -553,6 +553,43 @@ class RunnerSpec extends AnyFunSuite {
     assert(kept == direct)
   }
 
+  test("yaml pipeline scores with bm25 after a filter; stats come from alive rows only") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val docs = table("documents")
+    docs.write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: search
+         |    operators:
+         |      - name: text_length_filter
+         |        params: {min_length: 100, text_field: "text"}
+         |      - name: bm25_scorer
+         |        params: {query_terms: ["spark", "join"], text_field: "text", id_field: "doc_id"}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/docs")
+    assert(written.columns.contains("bm25_score"))
+    // disposition semantics == sequential: scores equal the operator
+    // applied directly to the filter survivors
+    val survivors = docs.where(org.apache.spark.sql.functions.length(
+      org.apache.spark.sql.functions.col("text")) >= 100)
+    val direct = new graft.operators.text.Bm25Retrieval(
+      Seq("spark", "join"), "text", "doc_id").scored(survivors, survivors)
+      .select("doc_id", "bm25_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = written.select("doc_id", "bm25_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == direct)
+  }
+
   test("jsonl loader: permissive mode surfaces corrupt lines, failfast raises") {
     val base = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/docs.jsonl"),
