@@ -15,7 +15,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object PipelineRunner {
 
-  /** Source loaders (S1): sorted-file parquet/csv/jsonl — the
+  /** Source loaders (S1): sorted-file parquet/csv/jsonl/orc — the
     * HuggingFaceLoader's format surface (loaders/huggingface_loader.py:
     * 42-74; deterministic sharding/resume come from the Spark source +
     * checkpointing). `max_samples` maps to limit pushdown.
@@ -36,6 +36,7 @@ object PipelineRunner {
             .option("inferSchema", "true").csv(p.str("path").get)
           case "jsonl" | "json" => spark.read
             .option("mode", p.str("mode", "PERMISSIVE")).json(p.str("path").get)
+          case "orc" => spark.read.orc(p.str("path").get)
           case other => throw new IllegalArgumentException(s"unknown format: $other")
         }
       case other => throw new IllegalArgumentException(
@@ -55,6 +56,7 @@ object PipelineRunner {
         .option("inferSchema", "true").csv(files: _*)
       case "jsonl" | "json" => spark.read
         .option("mode", p.str("mode", "PERMISSIVE")).json(files: _*)
+      case "orc" => spark.read.orc(files: _*)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }

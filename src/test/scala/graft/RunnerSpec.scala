@@ -104,6 +104,12 @@ class RunnerSpec extends AnyFunSuite {
       Params(Map("format" -> "jsonl", "path" -> s"$base/jsonl"))))
     assert(fromCsv.count() == docs.count() && fromJson.count() == docs.count())
     assert(fromJson.columns.toSet == Set("doc_id", "text", "n_chars"))
+    // orc round-trips schema exactly (columnar like parquet, no inference)
+    docs.coalesce(1).write.orc(s"$base/orc")
+    val fromOrc = PipelineRunner.load(spark, graft.runner.LoaderConf("ParquetLoader",
+      Params(Map("format" -> "orc", "path" -> s"$base/orc"))))
+    assert(fromOrc.count() == docs.count())
+    assert(fromOrc.schema == docs.schema)
   }
 
   test("multi-stage pipeline: serial stages roll up first-in/last-out") {

@@ -123,6 +123,33 @@ class WriterSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("bucketed tables join with ZERO shuffle exchanges (co-located layout)") {
+    import org.apache.spark.sql.functions._
+    val docs = table("documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val meta = table("documents").select(col("doc_id"), col("lang"))
+    graft.io.BucketedTables.write(docs, "bkt_docs", "doc_id", buckets = 8)
+    graft.io.BucketedTables.write(meta, "bkt_meta", "doc_id", buckets = 8)
+    // force the sort-merge path so the assertion is about bucketing, not
+    // a broadcast hiding the exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.io.BucketedTables.join(spark, "bkt_docs", "bkt_meta", "doc_id")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == docs.count())
+      // and the same join over path-based reads DOES shuffle — the spec
+      // is the thing doing the work, not the data layout on disk
+      val unbucketed = docs.join(meta, Seq("doc_id"))
+      assert(planOf(unbucketed).contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS bkt_meta")
+    }
+  }
+
   test("html report renders counts and escapes content") {
     val run = MetricsRollup.run("run_x<y>", Seq(MetricsRollup.stage("s&1", Seq(
       OperatorCounts(0, "op<a>", 100, 60, 1.5)))), 2.0)
