@@ -23,9 +23,29 @@ final class ParquetDataWriter(
     tableName: String,
     partitionBy: Option[String] = None,
     partitionKeyExtractor: Option[String] = None,
-    compression: String = "snappy") {
+    compression: String = "snappy",
+    targetFileMb: Option[Int] = None) {
 
   private def tablePath = s"$outputPath/$tableName"
+
+  /** Small-files compaction: coalesce the write to
+    * `ceil(plan size / targetFileMb)` output tasks. A 100 TB pipeline's
+    * default write inherits the shuffle partition count — thousands of
+    * KB-scale files per table that grind any metadata layer (HMS,
+    * Iceberg manifests, S3 listings); sizing file count from the plan's
+    * own size estimate at write time fixes it without a shuffle
+    * (`coalesce`, not `repartition`). Estimate source: Catalyst
+    * `sizeInBytes` (same stats AQE plans with) — a target, not a
+    * guarantee; skew in upstream partitions shifts real file sizes.
+    */
+  private def compacted(df: DataFrame): DataFrame = targetFileMb match {
+    case None => df
+    case Some(mb) =>
+      require(mb >= 1, s"target_file_mb must be >= 1, got $mb")
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val n = ((bytes + (mb.toLong << 20) - 1) / (mb.toLong << 20)).max(1)
+      df.coalesce(n.min(BigInt(10000)).toInt)
+  }
 
   /** Resolve the dotted extractor path against the schema: nested struct
     * fields directly; a string column mid-path is treated as JSON and the
@@ -58,11 +78,12 @@ final class ParquetDataWriter(
 
   def write(df: DataFrame): Unit = partitionBy match {
     case Some(p) =>
-      df.withColumn(p, keyColumn(df))
+      compacted(df.withColumn(p, keyColumn(df)))
         .write.mode("append").option("compression", compression)
         .partitionBy(p).parquet(tablePath)
     case None =>
-      df.write.mode("append").option("compression", compression).parquet(tablePath)
+      compacted(df).write.mode("append")
+        .option("compression", compression).parquet(tablePath)
   }
 
   def read(spark: org.apache.spark.sql.SparkSession): DataFrame =

@@ -90,6 +90,30 @@ object SearchGraphQueries {
            |SELECT id AS doc_id, rk AS rank_scaled FROM _pr5 ORDER BY doc_id""".stripMargin
       }),
 
+    OracleQuery("salted_join",
+      // the skew-mitigation path as a GATE: 70% of events collapse onto
+      // one hot key, the salted join spreads it over 8 salt tasks, and
+      // the oracle is the PLAIN join — salting must be invisible in the
+      // result (exact long counts/sums; the salt never reaches the
+      // aggregate keys)
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(when(col("user_id") % 10 < 7, 0L)
+            .otherwise(col("user_id")).as("k"))
+        val dim = ev.select(col("k")).distinct()
+          .withColumn("v", col("k") * 3 + 1)
+        graft.core.Skew.saltedJoin(ev, dim, "k", salts = 8)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("vsum"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH ev AS (SELECT CASE WHEN user_id % 10 < 7 THEN 0
+             |    ELSE user_id END AS k FROM events),
+             |dim AS (SELECT k, k * 3 + 1 AS v FROM (SELECT DISTINCT k FROM ev))
+             |SELECT ev.k, count(*) AS n, CAST(sum(v) AS BIGINT) AS vsum
+             |FROM ev JOIN dim ON ev.k = dim.k
+             |GROUP BY ev.k ORDER BY ev.k""".stripMargin)),
+
     OracleQuery("events_moving_window",
       // per-user trailing-1-hour frame over event time: RANGE, not ROWS,
       // so equal-timestamp peers are in-frame in both engines; values

@@ -126,7 +126,8 @@ object PipelineRunner {
         outputPath, tableName,
         partitionBy = wp.str("partition_by"),
         partitionKeyExtractor = wp.str("partition_key_extractor"),
-        compression = wp.str("compression", "snappy")).write
+        compression = wp.str("compression", "snappy"),
+        targetFileMb = wp.long("target_file_mb").map(_.toInt)).write
       case "IcebergDataWriter" | "CatalogTableWriter" =>
         new graft.io.CatalogTableWriter(
           wp.str("table").getOrElse(tableName),

@@ -123,6 +123,22 @@ class WriterSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("target_file_mb compacts the write to a size-derived file count") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = table("documents").repartition(16)
+    def files(dir: String): Int =
+      new java.io.File(dir).listFiles((_, n) => n.endsWith(".parquet")).length
+    // uncompacted: one file per input partition
+    new graft.io.ParquetDataWriter(base, "raw").write(docs)
+    assert(files(s"$base/raw") == 16)
+    // a target far above the table's size → everything in ONE file
+    new graft.io.ParquetDataWriter(base, "one", targetFileMb = Some(1024)).write(docs)
+    assert(files(s"$base/one") == 1)
+    // written content identical either way
+    assert(spark.read.parquet(s"$base/one").count() == docs.count())
+  }
+
   test("bucketed tables join with ZERO shuffle exchanges (co-located layout)") {
     import org.apache.spark.sql.functions._
     val docs = table("documents").select(col("doc_id"), col("source"), col("n_chars"))
