@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.operators.dedup.{MinHashLSHDedup, NgramJaccardDedup, SimHashDedup, SimHashNearDedup}
 import graft.operators.ml.KMeansBuckets
-import graft.operators.vector.{AnnSearch, EmbeddingCosineDedup}
+import graft.operators.vector.{AnnSearch, EmbeddingCosineDedup, IncrementalEmbeddingDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,26 @@ object NearDup {
       (s, dir) => simhashNearOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(simhashNearOp.keepSql("documents"))),
+
+    OracleQuery("incremental_embedding_dedup",
+      // semantic twin of the incremental exact/minhash dedups: prior =
+      // every 5th vector; the increment (the full table) drops rows
+      // whose hyperplane bucket holds a prior vector at cosine ≥ 0.99 —
+      // prior members themselves match at ~1.0, near-identicals through
+      // the shared signature. The ORACLE recomputes the bucketing too
+      // (plan-literal planes), not just the verify.
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        new IncrementalEmbeddingDedup(
+          prior = Some(e.filter(col("vec_id") % 5 === 0)),
+          vecCol = "embedding", idCol = "vec_id",
+          threshold = 0.99, bits = 8, dims = 64, seed = 7L)(e)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some(new IncrementalEmbeddingDedup(
+          prior = Some(null), vecCol = "embedding", idCol = "vec_id",
+          threshold = 0.99, bits = 8, dims = 64, seed = 7L)
+        .keepSql("embeddings", "SELECT * FROM embeddings WHERE vec_id % 5 = 0"))),
 
     OracleQuery("embedding_cosine_dedup",
       (s, dir) => cosineDedupOp(Tables(s, dir, "embeddings"))

@@ -57,6 +57,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(alive == kept)
   }
 
+  test("embedding mode: prior members drop (cosine 1.0 through their own bucket), disjoint survive") {
+    val vecs = table("embeddings")
+    val ep = vecs.filter(col("vec_id") % 5 === 0)
+    val op = new graft.operators.vector.IncrementalEmbeddingDedup(
+      prior = Some(ep), vecCol = "embedding", idCol = "vec_id",
+      threshold = 0.99, bits = 8, dims = 64, seed = 7L)
+    val kept = op(vecs).select("vec_id").as[Long].collect().toSet
+    val priorIds = ep.select("vec_id").as[Long].collect().toSet
+    // identical vectors share their signature, so every prior member's
+    // own row in the increment is found and dropped
+    assert(priorIds.intersect(kept).isEmpty)
+    assert(kept.nonEmpty)
+    // empty prior → identity
+    val noop = new graft.operators.vector.IncrementalEmbeddingDedup(
+      prior = None, vecCol = "embedding", idCol = "vec_id")
+    assert(noop(vecs).count() == vecs.count())
+  }
+
   test("registry builds the operator against a parquet prior snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("incprior").toString
     prior.write.mode("overwrite").parquet(s"$dir/prior")
