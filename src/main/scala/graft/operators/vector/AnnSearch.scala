@@ -112,6 +112,25 @@ object AnnSearch {
     perQueryTopK(cand, vecCol, idCol, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query row, the k corpus vectors MOST similar to it that carry a
+    * DIFFERENT label (and are not the query row itself) — semantically
+    * close yet differently-labeled examples, the negatives that actually
+    * move a contrastive loss (easy random negatives saturate; see e.g.
+    * the in-batch-negatives literature). Same scale shape as [[knnJoin]]:
+    * queries broadcast, label filter runs BEFORE the bounded heap so
+    * rejected candidates never occupy heap slots, top-k per query from
+    * map-side heaps + one rank window.
+    */
+  def hardNegatives(df: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, qIdCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("_qid"), col(vecCol).as("_qv"),
+      col(labelCol).as("_qlab")))
+    val cand = df.crossJoin(q)
+      .filter(col(labelCol) =!= col("_qlab") && col(idCol) =!= col("_qid"))
+    perQueryTopK(cand, vecCol, idCol, k)
+  }
+
   /** Shared tail of the k-NN joins: codegen cosine scoring, worst-first
     * bounded heap per (partition, query), final rank window over the
     * pruned rows.

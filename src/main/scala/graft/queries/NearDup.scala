@@ -165,6 +165,29 @@ object NearDup {
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(simhashNearOp.keepSql("documents"))),
 
+    OracleQuery("hard_negative_mining",
+      // contrastive-training op: per query, the 5 most-similar vectors
+      // with a DIFFERENT label (self excluded) — semantically close,
+      // differently labeled = the negatives that move a contrastive loss
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnSearch.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+            "embedding", "vec_id", "vec_id", "label", k = 5)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("query_id"), col("vec_id"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlab
+              |          FROM embeddings WHERE vec_id < 8),
+              |c AS (SELECT q.query_id, e.vec_id,
+              |    ${graft.functions.VectorFunctions.cosineSql("e.embedding", "qe")} AS cos
+              |  FROM embeddings e, q
+              |  WHERE e.label <> q.qlab AND e.vec_id <> q.query_id),
+              |r AS (SELECT query_id, vec_id, cos,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id) AS rn FROM c)
+              |SELECT query_id, vec_id, round(cos, 6) AS cosine FROM r
+              |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin)),
+
     OracleQuery("incremental_embedding_dedup",
       // semantic twin of the incremental exact/minhash dedups: prior =
       // every 5th vector; the increment (the full table) drops rows

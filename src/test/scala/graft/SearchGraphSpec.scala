@@ -67,6 +67,22 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("hard negatives: never the query's own label, never the query itself, at most k") {
+    val emb = table("embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val out = graft.operators.vector.AnnSearch.hardNegatives(
+      emb, queries, "embedding", "vec_id", "vec_id", "label", k = 4)
+    val labels = emb.select(col("vec_id").as("vid"), col("label"))
+    val joined = out
+      .join(labels.withColumnRenamed("vid", "query_id")
+        .withColumnRenamed("label", "qlab"), "query_id")
+      .join(labels.withColumnRenamed("vid", "vec_id"), "vec_id")
+    assert(joined.where(col("label") === col("qlab")).count() == 0)
+    assert(out.where(col("query_id") === col("vec_id")).count() == 0)
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) <= 4))
+  }
+
   // ---- fixed-point PageRank ----
 
   test("pagerank: symmetric 2-cycle converges to equal ranks, sinks drain") {
