@@ -186,6 +186,10 @@ object Bench {
           .select(org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.col("dsir_logw"))).head(); n
       }
+      // BM25 at replication: the two corpus scans (stats + score) plus
+      // the TakeOrdered top-k — the retrieval stage's raw throughput
+      val tBm25 = time(new graft.operators.text.Bm25Retrieval(
+        Seq("spark", "join", "window"), "text", "doc_id", topK = 50)(big).count())
       // the full composed curation order (clean → filter → quality →
       // corpus-global span removal → exact dedup) as ONE leg — the r9
       // driver run blew up exactly here (3.7 s → 61 s) and per-operator
@@ -201,6 +205,17 @@ object Bench {
         graft.operators.dedup.TextExactDedup(
           textCol = "text_dedup_spans", idCol = "doc_id",
           orderCol = "doc_id")(dup).count()
+      }
+      // fixed-point PageRank over a 10x-node synthetic graph (2 edges
+      // per node): 5 iterations × 2 exchanges — the iterative-join
+      // scale shape, long keys only on the wire
+      val nNodes = n
+      val tPr = time {
+        val nodes = big.select(col("doc_id").as("id"))
+        val edges = nodes.select(col("id").as("src"), ((col("id") * 2 + 1) % nNodes).as("dst"))
+          .unionByName(nodes.select(col("id").as("src"), ((col("id") * 3 + 7) % nNodes).as("dst")))
+        new graft.operators.graph.FixedPointPageRank(iterations = 5)
+          .ranks(nodes, edges).count()
       }
       big.unpersist()
 
@@ -277,7 +292,7 @@ object Bench {
       }
       bigEv.unpersist()
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"bm25_sec":$tBm25%.3f,"bm25_docs_per_sec":${n / tBm25}%.0f,"pagerank5_sec":$tPr%.3f,"pagerank_nodes_per_sec":${n / tPr}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f}"""
     }
     probeJson = Some(probe)
 

@@ -434,4 +434,20 @@ class PlanSpec extends AnyFunSuite {
     val mp = planOf(new graft.operators.vector.MatryoshkaTruncate(dims = 8)(table("embeddings")))
     assert(!mp.contains("Exchange"), s"truncate must not shuffle:\n$mp")
   }
+
+  test("NO gate query plans a CartesianProduct — the whole-surface scale audit") {
+    // every crossJoin in the repo is against a broadcast single-row
+    // stats frame or a broadcast query set (BroadcastNestedLoopJoin,
+    // bounded); an unkeyed big-big CartesianProduct anywhere is a scale
+    // bug by definition. Building the physical plan runs the query
+    // FUNCTIONS (some stage fixtures / checkpoints at sf0.001) but not
+    // the final actions — cheap enough for the blanket sweep.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+      } catch { case e: Throwable => Some(s"$name: build failed: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
