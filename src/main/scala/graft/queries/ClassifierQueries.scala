@@ -44,6 +44,24 @@ object ClassifierQueries {
 
   val queries: Seq[OracleQuery] = Seq(
 
+    OracleQuery("classifier_auc",
+      // exact rank-sum ROC-AUC of the composite quality score against
+      // the lang=='en' label — the scale-shaped eval loop for every
+      // model-based curation signal (one global rank, no pairwise join)
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.operators.ml.BinaryAuc.auc(docs,
+          graft.operators.text.TextAnalysis.qualityScore(
+            col("text"), TextFunctions.tokensOf(col("text"))),
+          col("lang") === "en")
+      },
+      Some {
+        val tkFrom = s"(SELECT lang, ${TextFunctions.tokensOfSql("text")} AS toks, text FROM documents)"
+        graft.operators.ml.BinaryAuc.sql(
+          graft.operators.text.TextAnalysis.qualityScoreSql("text", "toks"),
+          "lang = 'en'", tkFrom)
+      }),
+
     OracleQuery("quality_classifier_score",
       (s, dir) => new QualityClassifierRefiner(
           "text", "clf_score", D, 0.0, true, weights)(Tables(s, dir, "documents"))

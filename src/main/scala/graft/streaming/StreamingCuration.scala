@@ -103,6 +103,48 @@ object StreamingCuration {
     }
   }
 
+  /** Streaming SEMANTIC dedup — the embedding twin of
+    * [[nearDedupForeachBatch]]: each micro-batch first collapses its own
+    * exact-signature duplicates (hyperplane LSH first-wins), then drops
+    * rows whose bucket holds a prior-corpus vector at cosine ≥
+    * `threshold`, and appends survivors to both the output and the
+    * prior store. Same restart story: checkpointed source offsets +
+    * idempotent parquet appends; the prior store is the (id, vector)
+    * table a production pipeline persists anyway.
+    */
+  def semanticDedupForeachBatch(
+      stream: DataFrame,
+      outDir: String,
+      priorDir: String,
+      vecCol: String = "embedding",
+      idCol: String = "id",
+      threshold: Double = 0.95,
+      bits: Int = 8,
+      dims: Int = 64,
+      seed: Long = 7L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val self = new graft.operators.vector.EmbeddingSimHash(
+      vecCol, idCol, idCol, bits, dims, seed)
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(priorDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasPrior = fs.exists(new org.apache.hadoop.fs.Path(priorDir))
+      val selfDeduped = self(batch)
+      val kept =
+        if (!hasPrior) selfDeduped
+        else new graft.operators.vector.IncrementalEmbeddingDedup(
+          prior = Some(spark.read.parquet(priorDir)), vecCol = vecCol,
+          idCol = idCol, threshold = threshold, bits = bits, dims = dims,
+          seed = seed)(selfDeduped)
+      val out = kept.persist()
+      try {
+        out.write.mode("append").parquet(outDir)
+        out.select(col(idCol), col(vecCol)).write.mode("append").parquet(priorDir)
+      } finally out.unpersist()
+      ()
+    }
+  }
+
   /** Event-time tumbling-window counts with a watermark (late data beyond
     * `watermark` dropped) — the streaming twin of the q6_events_hourly
     * batch query in [[graft.queries.Relational]].

@@ -67,6 +67,18 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("auc: perfect separation 1.0, all-tied 0.5, inverted 0.0, ties averaged") {
+    import graft.operators.ml.BinaryAuc
+    def one(rows: Seq[(Double, Boolean)]): Double =
+      BinaryAuc.auc(rows.toDF("s", "y"), col("s"), col("y")).head().getDouble(0)
+    assert(one(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))) == 1.0)
+    assert(one(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false))) == 0.0)
+    assert(one(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))) == 0.5)
+    // one tie straddling the classes contributes half a concordant pair:
+    // pos {0.5, 0.9}, neg {0.5, 0.1} -> (1 + 0.5 + 1 + 1) / 4 = 0.875
+    assert(one(Seq((0.9, true), (0.5, true), (0.5, false), (0.1, false))) == 0.875)
+  }
+
   test("hard negatives: never the query's own label, never the query itself, at most k") {
     val emb = table("embeddings")
     val queries = emb.where(col("vec_id") < 10)

@@ -137,6 +137,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch semantic dedup: identical vector drops cross-trigger, novel survives") {
+    import spark.implicits._
+    val dims = 8
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(dims)(i => math.sin(seed * 31 + i).toFloat)
+    val base = java.nio.file.Files.createTempDirectory("graft_semdedup")
+    val outDir = base.resolve("out").toString
+    val priorDir = base.resolve("prior").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingCuration.semanticDedupForeachBatch(
+        mem.toDF().toDF("id", "embedding"), outDir, priorDir,
+        vecCol = "embedding", idCol = "id",
+        threshold = 0.99, bits = 6, dims = dims)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      // id 2 = −v1: every sign bit flips, so its signature is the exact
+      // complement of v1's — never a first-wins casualty of a chance
+      // bucket collision (vec(2) collided at 6 bits over 8 dims)
+      mem.addData((1L, vec(1)), (2L, vec(1).map(-_)), (3L, vec(1))) // 3 dups 1 in-batch
+      q.processAllAvailable()
+      mem.addData((4L, vec(1)), (5L, vec(9)))               // 4 dups prior 1, 5 novel
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir).select("id").as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 5L), s"got $out")
+      val prior = spark.read.parquet(priorDir).select("id").as[Long].collect().toSet
+      assert(prior == out, s"prior=$prior out=$out")
+    } finally q.stop()
+  }
+
   test("fingerprint dedup runs under the RocksDB state store provider") {
     // SURVEY §7.4's 100 TB posture: at real scale the dedup state no
     // longer fits the default in-memory HDFS-backed store; the same
