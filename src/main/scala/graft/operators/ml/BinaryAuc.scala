@@ -29,22 +29,47 @@ object BinaryAuc {
   /** One row: `(auc, n_pos, n_neg)` over `scoreCol` against boolean
     * `labelCol` (true = positive). Rows with null score or label are
     * excluded (both engines).
+    *
+    * Distributed rank shape: a partition-less `rank().over(orderBy(s))`
+    * would pull every row into ONE window task — the single-partition
+    * trap. Instead: (1) collapse to one row per DISTINCT score with its
+    * row/positive counts (a normal shuffle), (2) range-partition those
+    * by score, (3) per-partition running sums plus broadcast partition
+    * offsets give each score group its global count-below — the
+    * [[graft.operators.text.TokenBudgetSample]] two-level prefix-sum
+    * decomposition, exact regardless of where the range boundaries
+    * land. The tie-averaged rank algebra
+    * `avgRank(s) = cntBelow(s) + (cnt(s)+1)/2` then folds into the
+    * final single-row aggregate.
     */
   def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
     val base = df.select(scoreCol.cast("double").as("_s"), labelCol.as("_y"))
       .filter(col("_s").isNotNull && col("_y").isNotNull)
-    // average rank of each tied score group: rank() gives the group's
-    // first position, the per-score count gives the tie width
-    val w = Window.orderBy(col("_s"))
-    val wt = Window.partitionBy(col("_s"))
-    val ranked = base
-      .withColumn("_r", rank().over(w))
-      .withColumn("_t", count(lit(1)).over(wt))
-      .withColumn("_ar", col("_r").cast("double") + (col("_t") - 1).cast("double") / 2.0)
+    val grouped = base.groupBy(col("_s")).agg(
+      count(lit(1)).as("_c"),
+      sum(when(col("_y"), 1L).otherwise(0L)).as("_p"))
+    val parts = grouped
+      .repartitionByRange(col("_s"))
+      .sortWithinPartitions(col("_s"))
+      .withColumn("_pid", spark_partition_id())
+    val offsets = parts.groupBy(col("_pid")).agg(sum(col("_c")).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum"))
+        .over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid").as("_opid"), col("_off"))
+    // the offsets window IS partition-less, but over one row per range
+    // partition — bounded by the shuffle partition count, not the data
+    val sliceW = Window.partitionBy(col("_pid")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = parts
+      .join(broadcast(offsets), parts("_pid") === offsets("_opid"))
+      .withColumn("_below", col("_off") + sum(col("_c")).over(sliceW) - col("_c"))
+      .withColumn("_ar",
+        col("_below").cast("double") + (col("_c") + 1).cast("double") / 2.0)
     ranked.agg(
-      sum(when(col("_y"), col("_ar"))).as("_rp"),
-      sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
-      sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg"))
+      sum(col("_p").cast("double") * col("_ar")).as("_rp"),
+      sum(col("_p")).as("n_pos"),
+      sum(col("_c") - col("_p")).as("n_neg"))
       .select(
         round(((col("_rp") - col("n_pos").cast("double") *
           (col("n_pos") + 1).cast("double") / 2.0) /

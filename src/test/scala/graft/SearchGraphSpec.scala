@@ -79,6 +79,21 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(one(Seq((0.9, true), (0.5, true), (0.5, false), (0.1, false))) == 0.875)
   }
 
+  test("auc: two-level distributed rank equals the pairwise definition on seeded data") {
+    import graft.operators.ml.BinaryAuc
+    val rnd = new scala.util.Random(42)
+    // heavy ties on purpose: 9 distinct scores over 400 rows
+    val rows = Seq.fill(400)((math.floor(rnd.nextDouble() * 9) / 9.0,
+      rnd.nextDouble() < 0.4))
+    val got = BinaryAuc.auc(rows.toDF("s", "y").repartition(7), col("s"), col("y"))
+      .head().getDouble(0)
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val pairwise = pos.map(p => neg.map(q =>
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum).sum / (pos.size * neg.size)
+    assert(math.abs(got - pairwise) < 1e-9, s"got $got pairwise $pairwise")
+  }
+
   test("hard negatives: never the query's own label, never the query itself, at most k") {
     val emb = table("embeddings")
     val queries = emb.where(col("vec_id") < 10)
