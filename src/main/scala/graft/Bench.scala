@@ -186,6 +186,17 @@ object Bench {
           .select(org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.col("dsir_logw"))).head(); n
       }
+      // URLFilter at replication — the BASELINE.md bottleneck stage
+      // (20,362 rec/s on 8 cores, regex scoring): urls synthesized from
+      // the fixture (host from source, pathword planted per id) so the
+      // blocklist, the lexicon regex, and the subdomain check all fire
+      val tUrl = time {
+        val urls = big.select(concat(lit("http://src"), col("doc_id") % 10,
+          lit(".example.com/page/"), col("doc_id") % 97,
+          when(col("doc_id") % 13 === 0, lit("/casino")).otherwise(lit("/a"))).as("url"))
+        new graft.operators.text.UrlFilter(
+          blockedDomains = Seq("src3.example.com"))(urls).count()
+      }
       // BM25 at replication: the two corpus scans (stats + score) plus
       // the TakeOrdered top-k — the retrieval stage's raw throughput
       val tBm25 = time(new graft.operators.text.Bm25Retrieval(
@@ -292,7 +303,7 @@ object Bench {
       }
       bigEv.unpersist()
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"bm25_sec":$tBm25%.3f,"bm25_docs_per_sec":${n / tBm25}%.0f,"pagerank5_sec":$tPr%.3f,"pagerank_nodes_per_sec":${n / tPr}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"url_filter_sec":$tUrl%.3f,"url_filter_docs_per_sec":${n / tUrl}%.0f,"bm25_sec":$tBm25%.3f,"bm25_docs_per_sec":${n / tBm25}%.0f,"pagerank5_sec":$tPr%.3f,"pagerank_nodes_per_sec":${n / tPr}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f}"""
     }
     probeJson = Some(probe)
 
