@@ -63,7 +63,13 @@ object OperatorRegistry {
     numBands = p.int("num_bands", 4),
     threshold = p.double("threshold", 0.8),
     maxBucketSize = p.long("max_bucket_size").map(_.toInt),
-    preCollapseExact = p.bool("pre_collapse_exact", false)))
+    // default ON for the YAML path: provably identical kept-set to the
+    // direct uncapped form (the minhash_lsh_dedup_precollapse gate
+    // reuses the direct form's oracle), and at raw-crawl duplicate
+    // rates it is the difference between 96k docs/s and 2.3k docs/s
+    // (50x-replication probe: 2.6 s vs 110.6 s) — identical copies
+    // collapse BEFORE banding instead of flooding the pair verify
+    preCollapseExact = p.bool("pre_collapse_exact", true)))
 
   // The exact-Jaccard posting self-join is quadratic in a shingle's doc
   // frequency — one boilerplate shingle in f docs contributes f² join

@@ -42,6 +42,11 @@ object ScaleProbe {
       new MinHashLSHDedup(textCol = "text", idCol = "doc_id")
         .signatures(docs).count()
     }
+    time("minhash_precollapse") {
+      new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
+        shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
+        preCollapseExact = true)(docs).count()
+    }
     spark.stop()
   }
 }
