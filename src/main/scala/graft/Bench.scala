@@ -206,7 +206,17 @@ object Bench {
       // driver run blew up exactly here (3.7 s → 61 s) and per-operator
       // legs can't see cross-stage recompute/spill amplification
       val tStack = time {
-        val cleaned = new graft.operators.text.C4CleanRefiner("text")(big)
+        // the raw fixture text has no sentence punctuation, so C4's
+        // doc rule would reject EVERYTHING and the downstream stages
+        // would measure an empty corpus (observed: 0 survivors).
+        // Suffix three sentence-shaped lines (stopwords included) so a
+        // realistic fraction survives into dup-ngram + exact dedup —
+        // and the shared suffix makes span removal actually work.
+        val stackIn = big.withColumn("text", concat(col("text"),
+          lit(". This sentence keeps the cleaner happy for the probe today.\n" +
+            "Another full sentence follows with plenty of the usual words.\n" +
+            "A third one closes the document for the quality rules.")))
+        val cleaned = new graft.operators.text.C4CleanRefiner("text")(stackIn)
         val f1 = new graft.operators.text.C4QualityFilter("text")(cleaned)
         val f2 = new graft.operators.text.GopherQualityFilter(
           "text_c4_clean", minWords = 10, minStopwords = 2)(f1)
