@@ -215,6 +215,28 @@ final class MinHashLSHDedup(
        |ORDER BY $idCol""".stripMargin
   }
 
+  /** Duplicate-component size table `(comp, size)` — the dedup AUDIT
+    * view: the size distribution of near-dup clusters is what drives
+    * policy (a heavy tail means boilerplate/template content that
+    * deserves its own filter; a flat head means organic near-dups).
+    * Components come from the same verified pair graph as
+    * [[applyTransitive]]; only true clusters appear (every component
+    * has ≥ 2 members by construction).
+    */
+  def clusterStats(df: DataFrame): DataFrame =
+    ConnectedComponents.assign(verifiedPairs(df))
+      .groupBy(col("comp")).agg(count(lit(1)).as("size"))
+
+  /** Oracle SQL for [[clusterStats]] (ORDER BY comp). */
+  def clusterStatsSql(table: String): String = {
+    require(!(preCollapseExact && maxBucketSize.isDefined),
+      "oracle QUALIFY counts raw rows; cap-over-collapsed-buckets has no SQL twin")
+    s"""WITH RECURSIVE ${verCtes(table)},
+       |${ConnectedComponents.assignSql("ver")}
+       |SELECT comp, count(*) AS size FROM _comp
+       |GROUP BY comp ORDER BY comp""".stripMargin
+  }
+
   /** Dropped rows with the first-seen similar row as representative. */
   def rejected(df: DataFrame): DataFrame = {
     val reps = verifiedPairs(df).groupBy(col("d2"))

@@ -109,6 +109,14 @@ object NearDup {
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashOp.keepTransitiveSql("documents"))),
 
+    OracleQuery("dedup_cluster_stats",
+      // the dedup AUDIT view: near-dup component sizes from the same
+      // verified pair graph as the transitive dedup — the size
+      // distribution (boilerplate tail vs organic head) drives policy
+      (s, dir) => minhashOp.clusterStats(Tables(s, dir, "documents"))
+        .orderBy(col("comp")),
+      Some(minhashOp.clusterStatsSql("documents"))),
+
     OracleQuery("minhash_lsh_dedup_capped",
       (s, dir) => minhashCappedOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
