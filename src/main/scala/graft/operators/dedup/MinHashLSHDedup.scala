@@ -124,7 +124,7 @@ final class MinHashLSHDedup(
   }
 
   /** (_id, _h, _b, _bkey) band rows of `df` — the LSH bucketing frame. */
-  private def banded(df: DataFrame): DataFrame = {
+  private[dedup] def banded(df: DataFrame): DataFrame = {
     // `_pb >= 0` is always true (monotonic ids are non-negative) but
     // keeps the barrier column referenced, so column pruning can't erase
     // it before the pushdown check — see [[shingled]]
@@ -255,7 +255,7 @@ final class MinHashLSHDedup(
 
   // ---- DuckDB twin (portable hashes only) ----
 
-  private def sigCtes(table: String, pfx: String = ""): String = {
+  private[dedup] def sigCtes(table: String, pfx: String = ""): String = {
     require(portableHashes, "oracle requires the portable hash family")
     s"""${pfx}sh AS (SELECT $idCol AS id,
        |    list_distinct(${TextFunctions.shinglesSql("t", shingleWidth)}) AS s
@@ -268,7 +268,7 @@ final class MinHashLSHDedup(
   }
 
   /** `${pfx}bands(id, h, b, bkey)` CTE over `${pfx}sig` (no cap). */
-  private def bandsCte(pfx: String): String =
+  private[dedup] def bandsCte(pfx: String): String =
     s"""${pfx}bands AS (SELECT id, h, b,
        |    CAST(b AS VARCHAR) ${(0 until rowsPerBand).map(i =>
             s"|| '_' || CAST(m[b*$rowsPerBand+${i + 1}] AS VARCHAR)").mkString(" ")} AS bkey

@@ -109,6 +109,18 @@ object NearDup {
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashOp.keepTransitiveSql("documents"))),
 
+    OracleQuery("lsh_recall_report",
+      // the banding TUNER: of all pairs at exact Jaccard >= 0.8, how
+      // many does (16 hashes, 4 bands) actually probe — measured on
+      // this corpus, not the S-curve formula
+      (s, dir) => new graft.operators.dedup.LshRecall(
+          "text", "doc_id", shingleWidth = 3, numHashes = 16,
+          numBands = 4, threshold = 0.8)
+        .report(Tables(s, dir, "documents")),
+      Some(new graft.operators.dedup.LshRecall(
+          "text", "doc_id", shingleWidth = 3, numHashes = 16,
+          numBands = 4, threshold = 0.8).sql("documents"))),
+
     OracleQuery("dedup_cluster_stats",
       // the dedup AUDIT view: near-dup component sizes from the same
       // verified pair graph as the transitive dedup — the size
