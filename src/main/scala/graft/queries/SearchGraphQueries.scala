@@ -90,6 +90,31 @@ object SearchGraphQueries {
            |SELECT id AS doc_id, rk AS rank_scaled FROM _pr5 ORDER BY doc_id""".stripMargin
       }),
 
+    OracleQuery("events_debounce",
+      // telemetry dedup: drop an event when the PREVIOUS event of the
+      // same (user, type) is within 30min — the at-least-once-delivery
+      // cleanup every event pipeline runs. lag-based, one user-keyed
+      // exchange; kept = first of each burst. Ties on (ts) are ordered
+      // by event_id in both engines, so the kept set is deterministic.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("_us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("_us"), col("event_id"))
+        ev.withColumn("_prev", lag(col("_us"), 1).over(w))
+          .where(col("_prev").isNull || col("_us") - col("_prev") > 1800000000L)
+          .select(col("event_id")).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id FROM (
+             |  SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |    PARTITION BY user_id, event_type
+             |    ORDER BY epoch_us(ts), event_id) AS gap
+             |  FROM events) t
+             |WHERE gap IS NULL OR gap > 1800000000
+             |ORDER BY event_id""".stripMargin)),
+
     OracleQuery("salted_join",
       // the skew-mitigation path as a GATE: 70% of events collapse onto
       // one hot key, the salted join spreads it over 8 salt tasks, and
