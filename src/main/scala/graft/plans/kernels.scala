@@ -1053,6 +1053,53 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Deflate compression ratio of the UTF-8 text bytes:
+    * `compressed/raw` in (0, ~1.03] — the classic cheap
+    * boilerplate/repetition signal (highly repetitive or templated text
+    * compresses far below prose; random/binary-ish text sits near or
+    * above 1). Level is pinned (BEST_SPEED) and zlib output for a given
+    * (input, level, strategy) is deterministic within a JVM lineage, so
+    * the column is stable across partitionings and reruns — but there is
+    * no DuckDB zlib, so this signal is spec-pinned rather than
+    * oracle-hashed (its gate records the weaker rows-only check).
+    * Empty/null-coalesced text → 1.0 (no evidence either way).
+    */
+  case class DeflateRatio(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      if (bytes.isEmpty) return java.lang.Double.valueOf(1.0)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        java.lang.Double.valueOf(total.toDouble / bytes.length.toDouble)
+      } finally d.end()
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Thresholded deflate-ratio verdict in ONE compression pass per row
+    * (two struct-free comparisons of [[DeflateRatio]] in a Filter
+    * predicate would deflate every row twice — FilterExec has no
+    * subexpression elimination, the RepetitionKeep lesson). Inclusive
+    * bounds.
+    */
+  case class DeflateKeep(child: Expression, minRatio: Double, maxRatio: Double)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    private val inner = DeflateRatio(child)
+    override def nullSafeEval(v: Any): Any = {
+      val r = inner.nullSafeEval(v).asInstanceOf[java.lang.Double].doubleValue()
+      r >= minRatio && r <= maxRatio
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
   def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
   def unicode_normalize(text: Column, form: String = "NFC",
@@ -1089,6 +1136,16 @@ object kernels {
   /** Unrounded composite quality score (wrap in `round(_, 9)`). */
   def quality_score_raw(text: Column, profiles: Seq[Seq[String]]): Column =
     expr2col(QualityScoreRaw(colExpr(text), profiles))
+  /** Deflate compression ratio of the text; NULL text → 1.0. */
+  def deflate_ratio(text: Column): Column =
+    expr2col(DeflateRatio(colExpr(
+      org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit("")))))
+  /** One-pass thresholded deflate-ratio verdict; NULL text → ratio 1.0. */
+  def deflate_keep(text: Column, minRatio: Double, maxRatio: Double): Column =
+    expr2col(DeflateKeep(colExpr(
+      org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))), minRatio, maxRatio))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
   /** PII battery struct; null text → null struct (callers coalesce the
     * counts to 0 and leave the redaction null, the declarative contract). */

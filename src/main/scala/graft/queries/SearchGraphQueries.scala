@@ -90,6 +90,16 @@ object SearchGraphQueries {
            |SELECT id AS doc_id, rk AS rank_scaled FROM _pr5 ORDER BY doc_id""".stripMargin
       }),
 
+    OracleQuery("compression_ratio",
+      // rows-only gate (no DuckDB zlib): the signal itself is
+      // spec-pinned — determinism across partitionings, monotonicity on
+      // crafted repetition, bounds
+      (s, dir) => new graft.operators.text.CompressionRatioRefiner()(
+          Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("compression_ratio"))
+        .orderBy(col("doc_id")),
+      None),
+
     OracleQuery("events_debounce",
       // telemetry dedup: drop an event when the PREVIOUS event of the
       // same (user, type) is within 30min — the at-least-once-delivery

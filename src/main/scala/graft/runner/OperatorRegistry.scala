@@ -493,6 +493,15 @@ object OperatorRegistry {
     seed = p.long("seed", 11L),
     outputCol = p.str("output_field", "embedding_projected")))
 
+  register("compression_ratio", p => new CompressionRatioRefiner(
+    textCol = p.str("text_field", "text"),
+    outputCol = p.str("output_field", "compression_ratio")))
+
+  register("compression_ratio_filter", p => new CompressionRatioFilter(
+    textCol = p.str("text_field", "text"),
+    minRatio = p.double("min_ratio", 0.25),
+    maxRatio = p.double("max_ratio", 0.95)))
+
   register("bm25_scorer", p => new Bm25ScoreRefiner(
     queryTerms = p.strList("query_terms"),
     textCol = p.str("text_field", "text"),

@@ -99,6 +99,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(verdicts.toSeq == Seq(false, false, false, true, true, true))
   }
 
+  test("compression ratio: repetition compresses below prose, bounds hold, partition-invariant") {
+    import graft.operators.text.{CompressionRatioFilter, CompressionRatioRefiner}
+    val prose = ("The quick brown fox jumps over the lazy dog while seventeen " +
+      "curious researchers watch from a distant hill recording every single " +
+      "movement with battered field notebooks and cheap pencils at dusk.") * 3
+    val boiler = "click here to subscribe now " * 40
+    // high MIXED bits, not a modular cycle — `i*c % 93` is periodic and
+    // compresses BETTER than prose
+    val noise = Seq.tabulate(600)(i =>
+      (((i * 0x9E3779B97F4A7C15L) >>> 41) % 94 + 33).toChar).mkString
+    val df = spark.createDataFrame(Seq(
+      (1L, prose), (2L, boiler), (3L, noise), (4L, ""), (5L, null)))
+      .toDF("doc_id", "text")
+    val out = new CompressionRatioRefiner()(df)
+      .select("doc_id", "compression_ratio")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) < out(1L), s"boilerplate ${out(2L)} not below prose ${out(1L)}")
+    assert(out(1L) < out(3L), s"prose ${out(1L)} not below noise ${out(3L)}")
+    assert(out(4L) == 1.0 && out(5L) == 1.0)
+    out.values.foreach(r => assert(r > 0.0 && r < 1.2, s"ratio $r out of range"))
+    // filter: one-pass verdict equals the ratio-column comparison
+    val f = new CompressionRatioFilter(minRatio = 0.25, maxRatio = 0.95)
+    val kept = df.where(f.keep(df)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = out.filter { case (_, r) => r >= 0.25 && r <= 0.95 }.keySet
+    assert(kept == expected)
+    // partition-invariant (deterministic zlib, stateless per row)
+    val repart = new CompressionRatioRefiner()(df.repartition(5))
+      .select("doc_id", "compression_ratio")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(repart == out)
+  }
+
   test("fingerprint stays in [0, 2^31) and token counts are non-negative on random input") {
     val gen = org.scalacheck.Gen.listOfN(200,
       org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
