@@ -100,6 +100,33 @@ object CurationOpsQueries {
            |ORDER BY doc_id""".stripMargin
       })),
 
+    OracleQuery("boilerplate_line_removal",
+      (s, dir) => {
+        // cross-doc template lines: the %7-class line sits in ~n/7 docs
+        // (over any threshold → removed from EVERY doc, unlike
+        // line_dedup's first-survivor), the unique line survives
+        val aug = Tables(s, dir, "documents").withColumn("text2",
+          concat(col("text"), lit("\nshared boilerplate line "),
+            (col("doc_id") % 7).cast("string"),
+            lit("\nunique line "), col("doc_id").cast("string")))
+        new graft.operators.text.BoilerplateLineRemoval("text2", "doc_id",
+          maxDocFreq = 5, minLineLength = 1, hashName = "portable")(aug)
+          .select(col("doc_id"),
+            col("text_boilerplate_removed").as("text_clean"),
+            col("boilerplate_lines_removed").as("lines_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some({
+        val op = new graft.operators.text.BoilerplateLineRemoval("text2", "doc_id",
+          maxDocFreq = 5, minLineLength = 1, hashName = "portable")
+        val augSql = "(SELECT doc_id, (text || chr(10) || 'shared boilerplate line ' || " +
+          "CAST(doc_id % 7 AS VARCHAR) || chr(10) || 'unique line ' || " +
+          "CAST(doc_id AS VARCHAR)) AS text2 FROM documents)"
+        s"""WITH ${op.rebuildCteSql(augSql, "text2")}
+           |SELECT id AS doc_id, text_clean, lines_removed FROM _bl
+           |ORDER BY doc_id""".stripMargin
+      })),
+
     OracleQuery("unicode_normalize",
       // docs with doc_id % 3 == 0 get a DECOMPOSED suffix (e + combining
       // acute, i + combining diaeresis): NFC must compose them, flag the

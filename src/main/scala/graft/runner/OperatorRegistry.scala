@@ -493,6 +493,13 @@ object OperatorRegistry {
     seed = p.long("seed", 11L),
     outputCol = p.str("output_field", "embedding_projected")))
 
+  register("boilerplate_line_removal", p => new BoilerplateLineRemoval(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    maxDocFreq = p.int("max_doc_freq", 5),
+    minLineLength = p.int("min_line_length", 1),
+    hashName = p.str("hash_algorithm", "portable")))
+
   register("compression_ratio", p => new CompressionRatioRefiner(
     textCol = p.str("text_field", "text"),
     outputCol = p.str("output_field", "compression_ratio")))
