@@ -18,7 +18,8 @@ object SparkEntry {
       TrainingExportQueries.queries ++ ClassifierQueries.queries ++
       CorpusStatsQueries.queries ++ ResampleQueries.queries ++
       VectorTransformQueries.queries ++ AnalyticsQueries.queries ++
-      EventJoinQueries.queries ++ SearchGraphQueries.queries
+      EventJoinQueries.queries ++ SearchGraphQueries.queries ++
+      MaintenanceQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

@@ -204,6 +204,43 @@ final class MinHashLSHDedup(
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-ranked representative selection: like [[applyTransitive]]
+    * but each near-dup component keeps its BEST member — max `scoreCol`,
+    * ties to the smallest id — instead of the smallest id. This is the
+    * curation-grade policy (of N near-identical crawls keep the longest /
+    * highest-quality capture, not the one with the lowest key). Same
+    * component assignment, then one `max_by` argmax per component —
+    * the tiny (clustered-docs-only) table shuffles, never the corpus.
+    */
+  def applyBestRepresentative(df: DataFrame, scoreCol: String): DataFrame = {
+    val comp = ConnectedComponents.assign(verifiedPairs(df))
+    val scored = comp.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("_sc")), Seq("id"))
+    val reps = scored.groupBy(col("comp"))
+      // lexicographic struct max: highest score, then highest -id = lowest id
+      .agg(max_by(col("id"), struct(col("_sc"), (-col("id")).as("_ni"))).as("keep_id"))
+    val drop = scored
+      .join(reps, scored("id") === reps("keep_id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Oracle SQL for [[applyBestRepresentative]] (kept ids, ORDER BY id). */
+  def keepBestRepresentativeSql(table: String, scoreCol: String): String = {
+    require(!(preCollapseExact && maxBucketSize.isDefined),
+      "oracle QUALIFY counts raw rows; cap-over-collapsed-buckets has no SQL twin")
+    s"""WITH RECURSIVE ${verCtes(table)},
+       |${ConnectedComponents.assignSql("ver")},
+       |_sc AS (SELECT c.id, c.comp, t.$scoreCol AS sc
+       |        FROM _comp c JOIN $table t ON c.id = t.$idCol),
+       |_reps AS (SELECT id FROM _sc
+       |          QUALIFY row_number() OVER (PARTITION BY comp
+       |                                     ORDER BY sc DESC, id ASC) = 1)
+       |SELECT $idCol FROM $table
+       |WHERE $idCol NOT IN (SELECT id FROM _sc WHERE id NOT IN (SELECT id FROM _reps))
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** Oracle SQL for [[applyTransitive]] (kept ids, ORDER BY id). */
   def keepTransitiveSql(table: String): String = {
     require(!(preCollapseExact && maxBucketSize.isDefined),

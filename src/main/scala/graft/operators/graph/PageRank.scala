@@ -66,12 +66,22 @@ final class FixedPointPageRank(
           (lit(base) + expr(s"($dampNum * coalesce(_cs, CAST(0 AS BIGINT))) DIV $dampDen"))
             .as("rank_scaled"))
         .localCheckpoint(true)
-      ranks.unpersist()
+      // DataFrame.unpersist is a no-op for a localCheckpoint (the
+      // persist lives on the LogicalRDD's internal RDD, not in the
+      // CacheManager) — release the block explicitly or every
+      // iteration's ranks pin executor memory until a GC lets the
+      // ContextCleaner find them
+      releaseCheckpoint(ranks)
       ranks = next
       i += 1
     }
     ranks
   }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** DuckDB twin: CTE chain unrolling the same integer recurrence;
     * the final member `_pr$iterations` holds `(id, rank_scaled)`.

@@ -210,6 +210,17 @@ object AnalyticsQueries {
         Tables(s, dir, "documents").withColumn("text", overlapAugSpark(col("text"))))
         .orderBy(col("source")),
       Some(s"""WITH aug AS (SELECT doc_id, $overlapAugSql AS text, source FROM documents)
-              |SELECT * FROM (${overlapOp.sql("aug")}) ORDER BY source""".stripMargin))
+              |SELECT * FROM (${overlapOp.sql("aug")}) ORDER BY source""".stripMargin)),
+
+    // Mergeable fixed-width-histogram quantile sketch — the bounded-
+    // memory quantile path (vs the exact q12_percentile tier): sketch
+    // size = range/width however many rows feed it, estimates bracket
+    // the true inverted-CDF quantile within one bin width.
+    OracleQuery("histogram_quantile",
+      (s, dir) => graft.operators.stats.HistogramQuantile.quantiles(
+        Tables(s, dir, "lineitem"), "l_extendedprice", 1000.0,
+        Seq(0.5, 0.9, 0.99)),
+      Some(graft.operators.stats.HistogramQuantile.sql(
+        "lineitem", "l_extendedprice", 1000.0, Seq(0.5, 0.9, 0.99))))
   )
 }

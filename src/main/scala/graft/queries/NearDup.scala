@@ -109,6 +109,15 @@ object NearDup {
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashOp.keepTransitiveSql("documents"))),
 
+    OracleQuery("neardup_best_representative",
+      // curation-grade representative policy: each near-dup component
+      // keeps its LONGEST member (max n_chars, ties to min id) instead
+      // of the min id — same component assignment as the transitive gate
+      (s, dir) => minhashOp.applyBestRepresentative(
+          Tables(s, dir, "documents"), scoreCol = "n_chars")
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(minhashOp.keepBestRepresentativeSql("documents", "n_chars"))),
+
     OracleQuery("lsh_recall_report",
       // the banding TUNER: of all pairs at exact Jaccard >= 0.8, how
       // many does (16 hashes, 4 bands) actually probe — measured on
