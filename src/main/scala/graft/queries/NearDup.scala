@@ -44,6 +44,10 @@ object NearDup {
     textCol = "text", idCol = "doc_id", shingleWidth = 3, threshold = 0.8,
     maxDocFreq = Some(5))
 
+  private val containmentOp = new graft.operators.dedup.NgramContainmentDedup(
+    textCol = "text", idCol = "doc_id", shingleWidth = 3,
+    threshold = 0.8, maxDocFreq = 5)
+
   private val simhashOp = new SimHashDedup(
     textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
 
@@ -172,6 +176,14 @@ object NearDup {
       (s, dir) => jaccardCappedOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(jaccardCappedOp.keepSql("documents"))),
+
+    OracleQuery("ngram_containment_dedup",
+      // the asymmetric tier: drops later docs mostly CONTAINED in an
+      // earlier doc (quotes/excerpts Jaccard can't see) — exact
+      // |∩|/|B| over the stop-shingle-filtered universe
+      (s, dir) => containmentOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(containmentOp.keepSql("documents"))),
 
     OracleQuery("simhash_signature",
       (s, dir) => Tables(s, dir, "documents")

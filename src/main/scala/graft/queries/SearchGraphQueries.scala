@@ -149,6 +149,38 @@ object SearchGraphQueries {
              |FROM ev JOIN dim ON ev.k = dim.k
              |GROUP BY ev.k ORDER BY ev.k""".stripMargin)),
 
+    OracleQuery("bloom_semi_join",
+      // the runtime-filter path as a GATE: a bloom sketch built over the
+      // (selective) orders build side prunes lineitem BEFORE its shuffle;
+      // false positives are caught by the exact semi join behind it, so
+      // the oracle is the PLAIN semi join — the prune must be invisible
+      (s, dir) => {
+        import graft.functions.BloomSketch
+        val bits = 1 << 16; val k = 4
+        val build = Tables(s, dir, "orders")
+          .where(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"))
+        val sketch = build.agg(BloomSketch.bloomSketch(
+          HashFunctions.portableHash64(col("o_orderkey")), bits, k).as("_bf"))
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val pruned = li.crossJoin(broadcast(sketch))
+          .where(BloomSketch.mightContain(col("_bf"),
+            HashFunctions.portableHash64(col("l_orderkey")), bits, k))
+          .drop("_bf")
+        pruned.join(build, pruned("l_orderkey") === build("o_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_totalprice > 400000)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     OracleQuery("events_moving_window",
       // per-user trailing-1-hour frame over event time: RANGE, not ROWS,
       // so equal-timestamp peers are in-frame in both engines; values

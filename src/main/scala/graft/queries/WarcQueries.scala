@@ -93,5 +93,43 @@ object WarcQueries {
               |  WHERE $htmlOverhead + length('t' || CAST(doc_id AS VARCHAR)) + length(ct) >= 100)
               |SELECT url, text, CAST(length(text) AS BIGINT) AS text_length
               |FROM e WHERE length(text) >= 50
-              |ORDER BY url""".stripMargin)))
+              |ORDER BY url""".stripMargin)),
+
+    OracleQuery("html_outlinks",
+      // S3 → graph bridge: href targets pulled from page HTML (builtin
+      // regexp, no UDF), reduced to hosts, aggregated into the weighted
+      // host→host edge list that seeds domain link-authority. Pages are
+      // the documents fixture wrapped with doc_id-deterministic anchors
+      // (two absolute links + one relative link that must be dropped),
+      // so the oracle can rebuild the identical pages in SQL.
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val to1 = concat(lit("https://src"),
+          pmod(col("doc_id") * 7 + 1, lit(20)).cast("string"),
+          lit(".example.com/p"), pmod(col("doc_id"), lit(100)).cast("string"))
+        val to2 = concat(lit("https://src"),
+          pmod(col("doc_id") * 13 + 3, lit(20)).cast("string"),
+          lit(".example.com/p"), pmod(col("doc_id") * 3, lit(100)).cast("string"))
+        val pages = d.select(
+          concat(col("source"), lit(".example.com")).as("src_host"),
+          concat(lit("<p>body</p><a href=\""), to1,
+            lit("\">a</a><a href=\""), to2,
+            lit("\">b</a><a href=\"/relative/skip\">c</a>")).as("html"))
+        graft.operators.text.OutlinkGraph.edges(pages, "html", "src_host")
+          .orderBy(col("src_host"), col("dst_host"))
+      },
+      Some {
+        // NB: no line of the pages SQL may start with `||` — the
+        // composing templates' stripMargin would eat one pipe
+        val pagesSql =
+          """SELECT source || '.example.com' AS src_host,
+            |  '<p>body</p><a href="https://src' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR) ||
+            |  '.example.com/p' || CAST(doc_id % 100 AS VARCHAR) ||
+            |  '">a</a><a href="https://src' || CAST((doc_id * 13 + 3) % 20 AS VARCHAR) ||
+            |  '.example.com/p' || CAST((doc_id * 3) % 100 AS VARCHAR) ||
+            |  '">b</a><a href="/relative/skip">c</a>' AS html
+            |FROM documents""".stripMargin
+        s"SELECT * FROM (${graft.operators.text.OutlinkGraph.edgesSql(pagesSql)})\n" +
+          "ORDER BY src_host, dst_host"
+      }))
 }

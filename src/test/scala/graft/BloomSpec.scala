@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{BloomSketch, HashFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BloomSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Bits = 1 << 14
+  private val K = 4
+
+  private def sketchOf(ids: Seq[Long]) =
+    ids.toDF("id").agg(BloomSketch.bloomSketch(
+      HashFunctions.portableHash64(col("id")), Bits, K).as("bf"))
+
+  test("bloom: zero false negatives — every inserted key probes true") {
+    val ids = (0L until 2000L).map(_ * 7919L)
+    val hits = ids.toDF("id").crossJoin(sketchOf(ids))
+      .where(BloomSketch.mightContain(col("bf"),
+        HashFunctions.portableHash64(col("id")), Bits, K))
+      .count()
+    assert(hits == ids.size)
+  }
+
+  test("bloom: false-positive rate is near theory for a sized filter") {
+    val inserted = (0L until 1000L).map(_ * 7919L)
+    val absent = (1L to 20000L).map(_ * 104729L + 13L)
+    val fp = absent.toDF("id").crossJoin(sketchOf(inserted))
+      .where(BloomSketch.mightContain(col("bf"),
+        HashFunctions.portableHash64(col("id")), Bits, K))
+      .count()
+    // n=1000, m=2^14, k=4 → (1-e^(-kn/m))^k ≈ 0.0024; allow 4× slack
+    assert(fp.toDouble / absent.size < 0.01, s"fp rate ${fp.toDouble / absent.size}")
+  }
+
+  test("bloom: sketch is invariant to partitioning (OR-merge order)") {
+    val df = spark.range(0, 5000).select((col("id") * 2654435761L).as("id"))
+    val a = df.agg(BloomSketch.bloomSketch(
+      HashFunctions.portableHash64(col("id")), Bits, K)).head.getSeq[Long](0)
+    val b = df.repartition(13).agg(BloomSketch.bloomSketch(
+      HashFunctions.portableHash64(col("id")), Bits, K)).head.getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("bloom prune + exact semi join ≡ plain semi join (pruning is sound)") {
+    val probe = spark.range(0, 10000).select(col("id").as("k"))
+    val build = spark.range(0, 10000).where(col("id") % 97 === 0).select(col("id").as("bk"))
+    val sketch = build.agg(BloomSketch.bloomSketch(
+      HashFunctions.portableHash64(col("bk")), Bits, K).as("bf"))
+    val pruned = probe.crossJoin(broadcast(sketch))
+      .where(BloomSketch.mightContain(col("bf"),
+        HashFunctions.portableHash64(col("k")), Bits, K))
+      .drop("bf")
+      .join(build, col("k") === col("bk"), "left_semi")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    val plain = probe.join(build, col("k") === col("bk"), "left_semi")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(pruned == plain)
+  }
+
+  test("bloom: the probe-side filter sits under the semi join's exchange") {
+    val probe = spark.range(0, 1000).select(col("id").as("k"))
+    val build = spark.range(0, 1000).where(col("id") % 97 === 0).select(col("id").as("bk"))
+    val sketch = build.agg(BloomSketch.bloomSketch(
+      HashFunctions.portableHash64(col("bk")), Bits, K).as("bf"))
+    val q = probe.crossJoin(broadcast(sketch))
+      .where(BloomSketch.mightContain(col("bf"),
+        HashFunctions.portableHash64(col("k")), Bits, K))
+      .drop("bf")
+      .join(build.hint("merge"), col("k") === col("bk"), "left_semi")
+    val plan = TestSpark.planOf(q)
+    // shape: SortMergeJoin above, the bloom Filter strictly below the
+    // probe side's Exchange — i.e. pruned rows never ride the shuffle
+    val joinAt = plan.indexOf("SortMergeJoin")
+    val filterAt = plan.indexOf("bloom_sketch")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"expected bloom probe below the join:\n$plan")
+  }
+}
