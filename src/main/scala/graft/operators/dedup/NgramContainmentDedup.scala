@@ -31,7 +31,7 @@ final class NgramContainmentDedup(
     idCol: String = "id",
     shingleWidth: Int = 3,
     threshold: Double = 0.8,
-    maxDocFreq: Int = 5) {
+    maxDocFreq: Int = 5) extends graft.core.RejectingOperator {
 
   require(threshold > 0.0 && threshold <= 1.0,
     s"threshold $threshold must be in (0, 1] (prefix filtering needs t > 0)")
@@ -77,6 +77,9 @@ final class NgramContainmentDedup(
 
   def apply(df: DataFrame): DataFrame =
     df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  def mark(df: DataFrame, alive: org.apache.spark.sql.Column, tag: String): graft.core.Marked =
+    graft.core.PairwiseMark(df, alive, tag, idCol, name, verifiedPairs)
 
   /** Dropped rows annotated with their smallest containing doc. */
   def rejected(df: DataFrame): DataFrame = {

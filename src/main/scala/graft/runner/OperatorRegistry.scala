@@ -84,6 +84,15 @@ object OperatorRegistry {
     threshold = p.double("threshold", 0.8),
     maxDocFreq = Some(p.int("max_doc_freq", 1000))))
 
+  // containment tier: max_doc_freq is a REQUIRED-with-default cap, same
+  // no-unbounded-posting-join invariant as the Jaccard tier above
+  register("ngram_containment_deduplicator", p => new NgramContainmentDedup(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    shingleWidth = p.int("shingle_width", 3),
+    threshold = p.double("threshold", 0.8),
+    maxDocFreq = p.int("max_doc_freq", 1000)))
+
   register("simhash_deduplicator", p => new SimHashDedup(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

@@ -651,4 +651,37 @@ class RunnerSpec extends AnyFunSuite {
     assert(res.run.output > 0)
     assert(new java.io.File("/tmp/graft_out/documents_curated").exists())
   }
+
+  test("yaml pipeline runs the containment deduplicator with rejects") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val excerpt = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    import spark.implicits._
+    Seq((1L, long), (2L, excerpt), (3L, "wholly different content entirely"))
+      .toDF("doc_id", "text").write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: dedup
+         |    operators:
+         |      - name: ngram_containment_deduplicator
+         |        params: {text_field: "text", id_field: "doc_id", shingle_width: 3, threshold: 0.8, max_doc_freq: 100}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    PipelineRunner.run(spark, conf)
+    val kept = spark.read.parquet(s"$base/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    val rej = spark.read.parquet(s"$base/out_rejected/docs_rejected")
+    assert(rej.select("doc_id").head().getLong(0) == 2L)
+    assert(rej.select(col("_rejection_details.operator")).head().getString(0)
+      == "ngram_containment_dedup")
+  }
 }
