@@ -71,17 +71,12 @@ final class FixedPointPageRank(
       // CacheManager) — release the block explicitly or every
       // iteration's ranks pin executor memory until a GC lets the
       // ContextCleaner find them
-      releaseCheckpoint(ranks)
+      IterativeGraph.releaseCheckpoint(ranks)
       ranks = next
       i += 1
     }
     ranks
   }
-
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
 
   /** DuckDB twin: CTE chain unrolling the same integer recurrence;
     * the final member `_pr$iterations` holds `(id, rank_scaled)`.

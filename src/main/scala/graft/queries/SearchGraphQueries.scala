@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{CmsSketch, HashFunctions, TextFunctions}
-import graft.operators.graph.FixedPointPageRank
+import graft.operators.graph.{FixedPointPageRank, LabelPropagation}
 import graft.operators.text.Bm25Retrieval
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -88,6 +88,35 @@ object SearchGraphQueries {
             |SELECT doc_id AS src, (doc_id * 3 + 7) % (SELECT count(*) FROM documents) AS dst FROM documents""".stripMargin
         s"""WITH ${pagerank.sqlCte(nodesSql, edgesSql)}
            |SELECT id AS doc_id, rk AS rank_scaled FROM _pr5 ORDER BY doc_id""".stripMargin
+      }),
+
+    OracleQuery("label_propagation",
+      // community detection over a planted block graph (dense 10-node
+      // blocks, one weak cross-block link per block): 4 synchronized
+      // weighted-LPA rounds, ties to the smallest label — deterministic,
+      // so the oracle unrolls the identical recurrence
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val n = docs.count()
+        val intra = docs.select(col("doc_id").as("src"),
+          (expr("doc_id DIV 10") * 10 + (col("doc_id") * 3 + 1) % 10).as("dst"),
+          (col("doc_id") % 5 + 1).as("n"))
+        val cross = docs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("src"), ((col("doc_id") + 10) % n).as("dst"),
+            lit(1L).as("n"))
+        new LabelPropagation(iterations = 4)
+          .communities(intra.unionByName(cross))
+          .orderBy(col("id"))
+      },
+      Some {
+        val edgesSql =
+          """SELECT doc_id AS src, (doc_id // 10) * 10 + (doc_id * 3 + 1) % 10 AS dst,
+            |       doc_id % 5 + 1 AS n FROM documents
+            |UNION ALL
+            |SELECT doc_id AS src, (doc_id + 10) % (SELECT count(*) FROM documents) AS dst,
+            |       1 AS n FROM documents WHERE doc_id % 10 = 0""".stripMargin
+        s"""WITH ${new LabelPropagation(iterations = 4).sqlCte(edgesSql)}
+           |SELECT id, lbl AS community FROM _lp4 ORDER BY id""".stripMargin
       }),
 
     OracleQuery("compression_ratio",

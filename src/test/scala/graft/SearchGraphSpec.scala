@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CmsSketch, HashFunctions}
-import graft.operators.graph.FixedPointPageRank
+import graft.operators.graph.{FixedPointPageRank, LabelPropagation}
 import graft.operators.text.Bm25Retrieval
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -145,5 +145,41 @@ class SearchGraphSpec extends AnyFunSuite {
     val after = spark.sparkContext.getPersistentRDDs.size
     // final ranks + the one-time edges-with-outdeg table
     assert(after - before <= 2, s"leaked caches: ${after - before}")
+  }
+
+  // ---- Label propagation ----
+
+  test("lpa: planted dense blocks each collapse to one community, blocks stay apart") {
+    // two 5-cliques (heavy weights) joined by one weak edge
+    val cliqueA = for (i <- 0L until 5L; j <- 0L until 5L if i < j) yield (i, j, 10L)
+    val cliqueB = for (i <- 5L until 10L; j <- 5L until 10L if i < j) yield (i, j, 10L)
+    val bridge = Seq((4L, 5L, 1L))
+    val edges = (cliqueA ++ cliqueB ++ bridge).toDF("src", "dst", "n")
+    val out = new LabelPropagation(iterations = 4).communities(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val commA = (0L until 5L).map(out).toSet
+    val commB = (5L until 10L).map(out).toSet
+    assert(commA.size == 1, s"block A split: $commA")
+    assert(commB.size == 1, s"block B split: $commB")
+    assert(commA != commB, "weak bridge fused the blocks")
+  }
+
+  test("lpa: result is invariant to input partitioning") {
+    val edges = (0 until 120).map { i =>
+      (i.toLong, ((i * 7 + 3) % 120).toLong, (i % 4 + 1).toLong)
+    }.toDF("src", "dst", "n")
+    val lpa = new LabelPropagation(iterations = 3)
+    val a = lpa.communities(edges).orderBy("id").collect().map(_.toSeq).toSeq
+    val b = lpa.communities(edges.repartition(13)).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("lpa: loop leaves no cached RDDs behind beyond the final checkpoint") {
+    val edges = (0L until 60L).map(i => (i, (i + 1) % 60, 1L)).toDF("src", "dst", "n")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = new LabelPropagation(iterations = 3).communities(edges)
+    out.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked caches: ${after - before}")
   }
 }
