@@ -134,3 +134,59 @@ final class BpeVocabInduction(
     syms.toSeq
   }
 }
+
+/** Distributed BPE ENCODE with a fixed learned merge list — the apply
+  * side of [[BpeVocabInduction]] (train once, encode the corpus): the
+  * per-document token count a budgeted sampler or packer actually
+  * consumes. Implemented ENTIRELY with builtin string expressions
+  * (whole-stage codegen, no UDF): each word becomes a control-char-
+  * delimited symbol string, each merge is one `replace` — Java and
+  * DuckDB `replace` share the exact non-overlapping left-to-right scan
+  * (both resume AFTER the replacement, so `aaaa` under merge (a,a)
+  * gives `[aa, aa]` in both) — and the final token count is the
+  * surviving open-delimiter count. The delimiters (U+0001/U+0002)
+  * cannot appear in whitespace-normalized fixture text; the JVM
+  * reference semantics live in [[BpeVocabInduction.encode]]
+  * (spec-pinned equal).
+  *
+  * Scale shape: stateless per-row map, the merge list is a plan-time
+  * literal (the tokenizer vocab IS a constant at encode time) — no
+  * broadcast, no shuffle, scan speed.
+  */
+object BpeEncode {
+  private val O = "\u0001"
+  private val C = "\u0002"
+
+  private def wrap(sym: String): String = O + sym + C
+
+  /** Per-document total encoded-token count over all words. */
+  def tokenCount(text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val words = TextFunctions.tokensOf(text)
+    val perWord = transform(words, w => {
+      val chars = filter(split(w, ""), c => c =!= "")
+      val base = concat(
+        concat_ws("", transform(chars, ch => concat(lit(O), ch, lit(C)))),
+        lit(wrap("</w>")))
+      val merged = merges.foldLeft(base) { case (s, (a, b)) =>
+        call_function("replace", s, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
+      }
+      (length(merged) -
+        length(call_function("replace", merged, lit(O), lit("")))).cast("long")
+    })
+    aggregate(perWord, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** DuckDB twin of [[tokenCount]] over `expr` (a text column). */
+  def tokenCountSql(expr: String, merges: Seq[(String, String)]): String = {
+    def wrapSql(sym: String) = s"chr(1) || '$sym' || chr(2)"
+    val base = s"array_to_string(list_transform(string_split(w, ''), " +
+      s"c -> chr(1) || c || chr(2)), '') || ${wrapSql("</w>")}"
+    val merged = merges.foldLeft(base) { case (s, (a, b)) =>
+      s"replace($s, ${wrapSql(a)} || ${wrapSql(b)}, ${wrapSql(a + b)})"
+    }
+    val perWord = s"list_transform(${TextFunctions.tokensOfSql(expr)}, " +
+      s"w -> CAST(length($merged) - length(replace($merged, chr(1), '')) AS BIGINT))"
+    s"CAST(coalesce(list_aggregate($perWord, 'sum'), 0) AS BIGINT)"
+  }
+}

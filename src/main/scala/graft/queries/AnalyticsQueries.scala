@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  // fixed encode vocab for the bpe_encode_count gate (20 merges tuned
+  // to the fixture lexicon so every rule actually fires)
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> "</w>",
+    "s" -> "p", "sp" -> "a", "spa" -> "r", "spar" -> "k", "spark" -> "</w>",
+    "j" -> "o", "jo" -> "i", "joi" -> "n", "join" -> "</w>",
+    "d" -> "a", "da" -> "t", "dat" -> "a", "data" -> "</w>",
+    "e" -> "r", "er" -> "</w>", "i" -> "n", "in" -> "</w>")
+
   private val sessionOp = new Sessionize(gapMinutes = 30)
   private val bpeOp = new BpePairCounts(topK = 40)
   private val overlapOp = new CorpusOverlapReport(hashName = "portable")
@@ -211,6 +220,22 @@ object AnalyticsQueries {
         .orderBy(col("source")),
       Some(s"""WITH aug AS (SELECT doc_id, $overlapAugSql AS text, source FROM documents)
               |SELECT * FROM (${overlapOp.sql("aug")}) ORDER BY source""".stripMargin)),
+
+    // Distributed BPE encode under a FIXED learned merge list (training
+    // itself is spec-pinned on the Sennrich worked example; the oracle
+    // needs a plan-time-constant vocab): per-doc encoded token counts,
+    // the number a token-budget sampler or sequence packer consumes.
+    OracleQuery("bpe_encode_count",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokensOf(col("text"))).cast("long").as("n_words"),
+          graft.operators.text.BpeEncode.tokenCount(col("text"), bpeMerges).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some(
+        s"""SELECT doc_id,
+           |  CAST(len(${graft.functions.TextFunctions.tokensOfSql("text")}) AS BIGINT) AS n_words,
+           |  ${graft.operators.text.BpeEncode.tokenCountSql("text", bpeMerges)} AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Mergeable fixed-width-histogram quantile sketch — the bounded-
     // memory quantile path (vs the exact q12_percentile tier): sketch

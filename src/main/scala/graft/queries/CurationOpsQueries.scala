@@ -100,6 +100,31 @@ object CurationOpsQueries {
            |ORDER BY doc_id""".stripMargin
       })),
 
+    OracleQuery("intra_doc_line_dedup",
+      (s, dir) => {
+        // planted WITHIN-doc repeats: a footer line appears twice plus a
+        // doc-unique line between them — first occurrence survives in
+        // place, the second is dropped; corpus-global state untouched
+        val aug = Tables(s, dir, "documents").withColumn("text2",
+          concat(col("text"), lit("\nfooter line"),
+            lit("\nunique line "), (col("doc_id") % 13).cast("string"),
+            lit("\nfooter line\nfooter line")))
+        new graft.operators.text.IntraDocLineDedup("text2")(aug)
+          .select(col("doc_id"),
+            col("text_intra_deduped").as("text_clean"),
+            col("intra_lines_removed").as("lines_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val (textExpr, removedExpr) =
+          new graft.operators.text.IntraDocLineDedup("text2").sqlExprs
+        val augSql = "(SELECT doc_id, (text || chr(10) || 'footer line' || " +
+          "chr(10) || 'unique line ' || CAST(doc_id % 13 AS VARCHAR) || " +
+          "chr(10) || 'footer line' || chr(10) || 'footer line') AS text2 FROM documents)"
+        s"""SELECT doc_id, $textExpr AS text_clean, $removedExpr AS lines_removed
+           |FROM $augSql ORDER BY doc_id""".stripMargin
+      }),
+
     OracleQuery("boilerplate_line_removal",
       (s, dir) => {
         // cross-doc template lines: the %7-class line sits in ~n/7 docs

@@ -502,6 +502,9 @@ object OperatorRegistry {
     seed = p.long("seed", 11L),
     outputCol = p.str("output_field", "embedding_projected")))
 
+  register("intra_doc_line_dedup", p => new IntraDocLineDedup(
+    textCol = p.str("text_field", "text")))
+
   register("boilerplate_line_removal", p => new BoilerplateLineRemoval(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

@@ -141,4 +141,31 @@ class CorpusStatsSpec extends AnyFunSuite {
       .select("text_folded").as[String].collect().toSet
     assert(out == Set("cafe"))
   }
+
+  test("bpe encode expression matches the JVM reference encode word-by-word") {
+    import spark.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e", "the" -> "</w>", "a" -> "a",
+      "e" -> "r", "er" -> "</w>", "aa" -> "aa")
+    val trainer = new graft.operators.text.BpeVocabInduction()
+    val docs = Seq(
+      (1L, "the weather thermals aether"),
+      (2L, "aaaa aaa aa a"),          // overlap/run edge cases
+      (3L, ""),                        // empty doc -> 0 tokens
+      (4L, "  the   the  "))           // whitespace normalization
+      .toDF("id", "text")
+    val got = docs.select($"id",
+      graft.operators.text.BpeEncode.tokenCount($"text", merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(text: String): Long = {
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (norm.isEmpty) 0L
+      else norm.split(" ").map(w => trainer.encode(w, merges).size.toLong).sum
+    }
+    assert(got(1L) == ref("the weather thermals aether"))
+    assert(got(2L) == ref("aaaa aaa aa a"))
+    assert(got(3L) == 0L)
+    assert(got(4L) == ref("the the"))
+    // and the merges actually compress: 'the' is one token + </w> merges
+    assert(got(1L) < "the weather thermals aether".count(_ != ' ') + 4)
+  }
 }

@@ -213,4 +213,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0.0, 0.0)))
     assert(out(4L) == ((0.0, 0.0)))
   }
+
+  test("intra-doc line dedup keeps first occurrences in order, counts removals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb\na"),
+      (2L, "x\ny"),
+      (3L, "")).toDF("id", "text")
+    val out = new graft.operators.text.IntraDocLineDedup("text")(df)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a\nb\nc", 3L)))
+    assert(out(2L) == (("x\ny", 0L)))
+    assert(out(3L) == (("", 0L)))
+  }
+
+  test("intra-doc line dedup is a pure map: no exchange in the plan") {
+    val df = TestSpark.table("documents")
+    val plan = TestSpark.planOf(new graft.operators.text.IntraDocLineDedup("text")(df))
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
