@@ -128,6 +128,10 @@ object PipelineRunner {
         partitionKeyExtractor = wp.str("partition_key_extractor"),
         compression = wp.str("compression", "snappy"),
         targetFileMb = wp.long("target_file_mb").map(_.toInt)).write
+      case "JsonlDataWriter" => new graft.io.JsonlDataWriter(
+        outputPath, tableName,
+        compression = wp.str("compression", "gzip"),
+        targetFileMb = wp.long("target_file_mb").map(_.toInt)).write
       case "IcebergDataWriter" | "CatalogTableWriter" =>
         new graft.io.CatalogTableWriter(
           wp.str("table").getOrElse(tableName),
