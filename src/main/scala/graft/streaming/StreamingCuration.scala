@@ -145,6 +145,57 @@ object StreamingCuration {
     }
   }
 
+  /** Streaming CDC upsert — the table-maintenance twin of the batch
+    * [[graft.operators.table.CdcMerge]]: each micro-batch nets its own
+    * changes (latest per key by `(tsCol, seqCol)`), folds them into the
+    * versioned snapshot (delete op removes the key, upsert sets the
+    * value, untouched keys carry over), and publishes the new snapshot
+    * as `snapshot=<epoch>` under `snapshotDir` with a `_LATEST` pointer
+    * file written last — readers follow the pointer, so a crash between
+    * writes leaves the previous snapshot fully intact (write-ahead
+    * publish, the lakehouse commit shape in miniature). Restart safety:
+    * checkpointed source offsets + epoch-named snapshot dirs make the
+    * fold idempotent per epoch.
+    */
+  def cdcUpsertForeachBatch(
+      stream: DataFrame,
+      snapshotDir: String,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      opCol: String,
+      deleteOp: String,
+      payloadCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cdc = new graft.operators.table.CdcMerge(
+      keyCol, tsCol, seqCol, opCol, deleteOp, payloadCol)
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val root = new org.apache.hadoop.fs.Path(snapshotDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val latestPtr = new org.apache.hadoop.fs.Path(root, "_LATEST")
+      val base: DataFrame =
+        if (!fs.exists(latestPtr))
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(keyCol,
+                batch.schema(keyCol).dataType),
+              org.apache.spark.sql.types.StructField("value",
+                batch.schema(payloadCol).dataType))))
+        else {
+          val in = fs.open(latestPtr)
+          val prev = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+          spark.read.parquet(s"$snapshotDir/$prev").select(col(keyCol), col("value"))
+        }
+      val merged = cdc.merge(base, batch, baseValueCol = "value")
+        .select(col(keyCol), col("value"))
+      val name = f"snapshot=$epoch%012d"
+      merged.write.mode("overwrite").parquet(s"$snapshotDir/$name")
+      val out = fs.create(latestPtr, true)
+      try out.write(name.getBytes("UTF-8")) finally out.close()
+      ()
+    }
+  }
+
   /** Event-time tumbling-window counts with a watermark (late data beyond
     * `watermark` dropped) — the streaming twin of the q6_events_hourly
     * batch query in [[graft.queries.Relational]].

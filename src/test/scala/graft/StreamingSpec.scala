@@ -354,4 +354,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains(("2024-06-01 11:00:00", "click", 1L)))
     } finally q.stop()
   }
+
+  test("streaming cdc upsert: snapshots fold per trigger, _LATEST pointer wins") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    // (key, tsMicros, seq, op, value)
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val changes = mem.toDF().toDF("k", "tsl", "seq", "op", "v")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"tsl")).drop("tsl")
+    val q = StreamingCuration.cdcUpsertForeachBatch(
+        changes, snap, "k", "ts", "seq", "op", "D", "v")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, 10L, 1L, "U", 1.0), (2L, 10L, 1L, "U", 2.0), (2L, 20L, 2L, "U", 2.5))
+      q.processAllAvailable()
+      def snapshot(): Map[Long, Double] = {
+        val ptr = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$snap/_LATEST")), "UTF-8").trim
+        spark.read.parquet(s"$snap/$ptr")
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      assert(snapshot() == Map(1L -> 1.0, 2L -> 2.5)) // within-batch netting
+      mem.addData((1L, 30L, 1L, "U", 9.0), (2L, 30L, 1L, "D", 0.0), (3L, 30L, 1L, "U", 3.0))
+      q.processAllAvailable()
+      assert(snapshot() == Map(1L -> 9.0, 3L -> 3.0)) // update, delete, insert
+    } finally q.stop()
+  }
 }
