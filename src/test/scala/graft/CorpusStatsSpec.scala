@@ -168,4 +168,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     // and the merges actually compress: 'the' is one token + </w> merges
     assert(got(1L) < "the weather thermals aether".count(_ != ' ') + 4)
   }
+
+  test("bpe kernel == declarative replace-chain on the fixture corpus") {
+    val merges = Seq("t" -> "h", "th" -> "e", "the" -> "</w>",
+      "e" -> "r", "er" -> "</w>", "i" -> "n", "in" -> "</w>")
+    val docs = TestSpark.table("documents")
+    val mismatch = docs.select(
+      graft.operators.text.BpeEncode.tokenCount(
+        org.apache.spark.sql.functions.col("text"), merges).as("k"),
+      graft.operators.text.BpeEncode.tokenCountDeclarative(
+        org.apache.spark.sql.functions.col("text"), merges).as("d"))
+      .where(org.apache.spark.sql.functions.col("k") =!=
+        org.apache.spark.sql.functions.col("d"))
+      .count()
+    assert(mismatch == 0)
+  }
 }
