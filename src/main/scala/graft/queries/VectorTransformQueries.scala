@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.vector.{EmbeddingQuantizer, EmbeddingSimHash, MatryoshkaTruncate, RandomProjection}
+import graft.operators.vector.{EmbeddingQuantizer, EmbeddingSimHash, MatryoshkaTruncate, ProductQuantizer, RandomProjection}
 import org.apache.spark.sql.functions._
 
 /** Embedding-transform gates: int8 scalar quantization and Matryoshka
@@ -17,6 +17,10 @@ object VectorTransformQueries {
     bits = 12, dims = 64, seed = 7L)
   private val rpOp = new RandomProjection(
     vecCol = "embedding", inDims = 64, outDims = 8, seed = 11L)
+
+  private val pqOp = new ProductQuantizer(
+    vecCol = "embedding", dims = 64, numSubspaces = 8,
+    numCentroids = 16, seed = 23L)
 
   val queries: Seq[OracleQuery] = Seq(
 
@@ -52,6 +56,35 @@ object VectorTransformQueries {
       Some(s"""WITH ${rpOp.cteSql("embeddings", "vec_id")}
               |SELECT id AS vec_id, ${(1 to 8).map(i => s"projected[$i] AS p$i").mkString(", ")}
               |FROM _rp ORDER BY vec_id""".stripMargin)),
+
+    // PQ encode: 64 floats -> one packed long (8 subspaces x 16
+    // centroids), argmin ties to the smallest centroid id in both
+    // engines via lexicographic struct-min
+    OracleQuery("pq_encode",
+      (s, dir) => pqOp(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("pq_code"))
+        .orderBy(col("vec_id")),
+      Some(s"""WITH ${pqOp.cteSql("embeddings", "vec_id")}
+              |SELECT id AS vec_id, code AS pq_code FROM _pq
+              |ORDER BY vec_id""".stripMargin)),
+
+    // ADC ranking over the codes: per-query lookup table as plan-time
+    // literals, top-20 by (distance, id) — ordering on FULL precision,
+    // rounding only in the projection
+    OracleQuery("ann_pq_adc_topk",
+      (s, dir) => {
+        val q = pqOp.syntheticQuery(qseed = 101L)
+        pqOp(Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), pqOp.adcDistance(col("pq_code"), q).as("adc"))
+          .orderBy(col("adc"), col("vec_id")).limit(20)
+          .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+      },
+      Some {
+        val q = pqOp.syntheticQuery(qseed = 101L)
+        s"""WITH ${pqOp.cteSql("embeddings", "vec_id")}
+           |SELECT id AS vec_id, round(${pqOp.adcSql("code", q)}, 6) AS adc
+           |FROM _pq ORDER BY ${pqOp.adcSql("code", q)}, id LIMIT 20""".stripMargin
+      }),
 
     OracleQuery("embedding_simhash_signature",
       (s, dir) => Tables(s, dir, "embeddings")

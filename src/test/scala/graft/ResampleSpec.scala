@@ -189,4 +189,56 @@ class ResampleSpec extends AnyFunSuite {
     assert(out(1L).contains(Seq(0.6, 0.8)))
     assert(out(2L).isEmpty)
   }
+
+  // ---- Product quantization ----
+
+  test("pq: a vector assembled from centroids encodes to exactly those codes, ADC 0") {
+    import spark.implicits._
+    val pq = new graft.operators.vector.ProductQuantizer(
+      vecCol = "v", dims = 64, numSubspaces = 8, numCentroids = 16, seed = 23L)
+    val ks = Array(3, 0, 15, 7, 9, 1, 12, 5)
+    val vec = (0 until 8).flatMap(m => pq.codebook(m)(ks(m)).map(_.toFloat))
+    val df = Seq((1L, vec)).toDF("id", "v")
+    val packed = pq(df).select("pq_code").head().getLong(0)
+    val expected = (0 until 8).map(m => ks(m).toLong * math.pow(16, m).toLong).sum
+    assert(packed == expected)
+    // ADC of the query equal to that same assembled vector is exactly 0
+    val q = (0 until 8).flatMap(m => pq.codebook(m)(ks(m))).toArray
+    val adc = pq(df).select(pq.adcDistance(org.apache.spark.sql.functions.col("pq_code"), q))
+      .head().getDouble(0)
+    assert(adc == 0.0)
+  }
+
+  test("pq: encode is partition-invariant and codes stay in range") {
+    val pq = new graft.operators.vector.ProductQuantizer(
+      vecCol = "embedding", dims = 64, numSubspaces = 8, numCentroids = 16, seed = 23L)
+    val emb = TestSpark.table("embeddings")
+    val a = pq(emb).select("vec_id", "pq_code").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = pq(emb.repartition(7)).select("vec_id", "pq_code").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    val lim = math.pow(16, 8).toLong
+    assert(a.forall { case (_, c) => c >= 0L && c < lim })
+  }
+
+  test("pq: ADC top-k recalls the exact-distance neighbor for a planted near-dup") {
+    import spark.implicits._
+    val pq = new graft.operators.vector.ProductQuantizer(
+      vecCol = "v", dims = 64, numSubspaces = 8, numCentroids = 16, seed = 23L)
+    // target = centroid-assembled vector; distractors = other centroids
+    val ks = Array(2, 4, 6, 8, 10, 12, 14, 1)
+    val target = (0 until 8).flatMap(m => pq.codebook(m)(ks(m)).map(_.toFloat))
+    val rows = (0 until 16).map { j =>
+      val v = (0 until 8).flatMap(m => pq.codebook(m)((ks(m) + j) % 16).map(_.toFloat))
+      (j.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    val q = (0 until 8).flatMap(m => pq.codebook(m)(ks(m))).toArray
+    val top = pq(df)
+      .select(org.apache.spark.sql.functions.col("id"),
+        pq.adcDistance(org.apache.spark.sql.functions.col("pq_code"), q).as("adc"))
+      .orderBy("adc", "id").limit(1).head()
+    assert(top.getLong(0) == 0L && top.getDouble(1) == 0.0)
+  }
 }
