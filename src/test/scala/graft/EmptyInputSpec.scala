@@ -80,4 +80,38 @@ class EmptyInputSpec extends AnyFunSuite {
     zero("diff")(new graft.operators.text.CorpusDiff()
       .diff(noDocs.select("doc_id", "text"), noDocs.select("doc_id", "text")))
   }
+
+  test("round-11 additions survive empty input") {
+    val noChanges = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("k", "ts", "seq", "op", "v")
+    val cdc = new graft.operators.table.CdcMerge("k", "ts", "seq", "op", "D", "v")
+    zero("cdc latest")(cdc.latest(noChanges))
+    // empty changes over a non-empty base: pure passthrough
+    val base = Seq((1L, 10.0)).toDF("k", "bal")
+    val merged = cdc.merge(base, noChanges, "bal").collect()
+    assert(merged.length == 1 && merged(0).getString(2) == "unchanged")
+    zero("scd2")(cdc.scd2(noChanges))
+    zero("profiler")(graft.operators.table.ColumnProfiler.profile(
+      noDocs, Seq("doc_id", "text")).where(col("n_rows") > 0))
+    zero("histogram quantile")(graft.operators.stats.HistogramQuantile.quantiles(
+      Seq.empty[Double].toDF("v"), "v", 10.0, Seq(0.5)))
+    zero("containment")(new graft.operators.dedup.NgramContainmentDedup(
+      textCol = "text", idCol = "doc_id", maxDocFreq = 5)(noDocs))
+    zero("intra-doc lines")(new graft.operators.text.IntraDocLineDedup("text")(noDocs))
+    zero("lpa")(new graft.operators.graph.LabelPropagation()
+      .communities(Seq.empty[(String, String, Long)].toDF("src", "dst", "n")))
+    zero("outlinks")(graft.operators.text.OutlinkGraph.edges(
+      Seq.empty[(String, String)].toDF("src_host", "html"), "html", "src_host"))
+    zero("pq")(new graft.operators.vector.ProductQuantizer()(noVecs))
+    // bloom sketch over zero rows: empty bit array, probe rejects everything
+    val sk = noVecs.agg(graft.functions.BloomSketch.bloomSketch(
+      graft.functions.HashFunctions.portableHash64(col("vec_id")), 1 << 10, 3).as("bf"))
+    val probed = Seq(1L, 2L).toDF("id").crossJoin(sk)
+      .where(graft.functions.BloomSketch.mightContain(col("bf"),
+        graft.functions.HashFunctions.portableHash64(col("id")), 1 << 10, 3))
+      .count()
+    assert(probed == 0L, "empty bloom filter accepted a key")
+    zero("bpe count")(noDocs.select(graft.operators.text.BpeEncode.tokenCount(
+      col("text"), Seq("t" -> "h")).as("n")).where(col("n") > 0))
+  }
 }
