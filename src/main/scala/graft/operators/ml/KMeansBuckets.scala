@@ -70,6 +70,29 @@ final class KMeansBuckets(
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
 
+  /** ONE distributed Lloyd's update step over an already-assigned frame —
+    * the map/reduce recompute at the heart of the reference's 547-line
+    * distributed trainer (distributed_trainer.py:199-240: per-cluster
+    * sum/count partials, driver merge): per cluster, member count and the
+    * mean of the first `outDims` embedding components. Components are
+    * floor-scaled to integers (`floor(x·scale)`) BEFORE summing so the
+    * per-cluster sums are exact BIGINTs — order- and partition-invariant,
+    * hence reproducible by any engine; the mean is one fixed-shape double
+    * division at the end. Scale shape: one partial-aggregated shuffle of
+    * k×outDims longs — the exact wire format of the reference's partials.
+    */
+  def updateCentroids(df: DataFrame, clusterCol: String, outDims: Int,
+      scale: Double = 1e7): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val aggs = (1 to outDims).map(i =>
+      sum(floor(element_at(v, i) * lit(scale)).cast("long")).as(s"_s$i"))
+    val grouped = df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    grouped.select(col(clusterCol) +: col("n") +: (1 to outDims).map(i =>
+      round(col(s"_s$i").cast("double") / (col("n").cast("double") * lit(scale)), 6)
+        .as(s"c$i")): _*)
+  }
+
   // ---- DuckDB twin ----
 
   /** Squared-L2 distance with the kernel's exact left-to-right double fold. */
@@ -91,4 +114,19 @@ final class KMeansBuckets(
        |  FROM $table t CROSS JOIN _cent c),
        |_assigned AS (SELECT id, CAST(_cid AS BIGINT) AS $outputCol
        |  FROM _dists WHERE _rn = 1)""".stripMargin
+
+  /** Twin of [[updateCentroids]] over `_assigned`-joined rows; compose
+    * after [[assignCteSql]] in the same WITH.
+    */
+  def updateSql(table: String, idCol: String, outDims: Int,
+      scale: Double = 1e7): String = {
+    val comps = (1 to outDims).map { i =>
+      s"""round(CAST(CAST(sum(CAST(floor(CAST($vecCol[$i] AS DOUBLE) * $scale) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * $scale), 6) AS c$i""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT a.$outputCol, count(*) AS n,
+       |  $comps
+       |FROM $table t JOIN _assigned a ON a.id = t.$idCol
+       |GROUP BY a.$outputCol ORDER BY a.$outputCol""".stripMargin
+  }
 }

@@ -75,9 +75,18 @@ final class ProductQuantizer(
       .getField("k")
 
   /** All `numSubspaces` codes packed into one long (radix
-    * `numCentroids`, subspace 0 least significant).
+    * `numCentroids`, subspace 0 least significant) — the one-pass JVM
+    * kernel; [[packedCodeDeclarative]] is the Catalyst-tree semantics
+    * reference it is spec-pinned against (KernelSpec).
     */
   def packedCode(vec: Column): Column =
+    graft.plans.kernels.pq_encode_packed(vec,
+      codebook.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** The declarative argmin/pack tree (~1k nodes/row at the default
+    * config — kept as the semantics reference, not the production path).
+    */
+  def packedCodeDeclarative(vec: Column): Column =
     (0 until numSubspaces).map(m =>
       codeExpr(vec, m) * lit(math.pow(numCentroids, m).toLong))
       .reduce(_ + _)

@@ -389,6 +389,42 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Squared-L2 distance to the NEAREST of the fixed centroids — the
+    * companion of [[NearestCentroid]] (same left-to-right double fold,
+    * same strict-`<` tie policy) returning the distance instead of the
+    * index. Exactly the value DuckDB's `min(l2sq)` over the same fold
+    * computes, so distance-based outlier rules stay oracle-checkable.
+    */
+  case class NearestCentroidDist(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    require(centroids.nonEmpty)
+    override def dataType: DataType = DoubleType
+    private val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val at = elemType
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        val n = math.min(a.numElements(), cent.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val diff = arrayDouble(a, at, i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      java.lang.Double.valueOf(bestD)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Per-profile stopword-hit fractions over a token array in ONE pass —
     * the language-ID / quality-score hot loop (the declarative
     * filter+size form pays the interpreted-HOF cost per token per
@@ -1162,6 +1198,57 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Packed product-quantization code in ONE JVM pass per row: for each
+    * subspace m, argmin-centroid squared-L2 (ties to the smallest k via
+    * strict `<` over ascending k), packed radix-numCentroids with
+    * subspace 0 least significant. Bit-identical to the declarative
+    * `array_min(struct(d, k))` tree in [[graft.operators.vector
+    * .ProductQuantizer.packedCodeDeclarative]] (same left-to-right
+    * distance fold), which that class keeps as the semantics reference —
+    * the declarative form is ~1k Catalyst nodes per row (8 subspaces ×
+    * 16 centroids × 8 dims) and paid ~3 s/20k rows mostly in codegen.
+    */
+  case class PqEncodePacked(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    require(codebook.nonEmpty && codebook.head.nonEmpty && codebook.head.head.nonEmpty)
+    override def dataType: DataType = LongType
+    private val cb: Array[Array[Array[Double]]] =
+      codebook.map(_.map(_.toArray).toArray).toArray
+    private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val at = elemType
+      val dsub = cb(0)(0).length
+      var packed = 0L
+      var radix = 1L
+      var m = 0
+      while (m < cb.length) {
+        val cents = cb(m)
+        var best = 0L
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < cents.length) {
+          val cent = cents(k)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = arrayDouble(a, at, m * dsub + i) - cent(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        packed += best * radix
+        radix *= cents.length
+        m += 1
+      }
+      java.lang.Long.valueOf(packed)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     expr2col(BpeTokenCount(colExpr(text), merges))
@@ -1195,6 +1282,8 @@ object kernels {
   def simhash_bits(hs: Column, bits: Int): Column = expr2col(SimHash(colExpr(hs), bits))
   def nearest_centroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     expr2col(NearestCentroid(colExpr(vec), centroids))
+  def nearest_centroid_dist(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    expr2col(NearestCentroidDist(colExpr(vec), centroids))
   def stopword_scores(toks: Column, profiles: Seq[Seq[String]]): Column =
     expr2col(StopwordScores(colExpr(toks), profiles))
   /** Unrounded composite quality score (wrap in `round(_, 9)`). */
@@ -1211,6 +1300,9 @@ object kernels {
       org.apache.spark.sql.functions.coalesce(
         text, org.apache.spark.sql.functions.lit(""))), minRatio, maxRatio))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
+  /** Packed PQ code (radix numCentroids, subspace 0 least significant). */
+  def pq_encode_packed(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    expr2col(PqEncodePacked(colExpr(vec), codebook))
   /** PII battery struct; null text → null struct (callers coalesce the
     * counts to 0 and leave the redaction null, the declarative contract). */
   def pii_signals(text: Column, patterns: Seq[(String, String, String)]): Column =

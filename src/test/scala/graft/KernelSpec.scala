@@ -143,6 +143,24 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncodePacked kernel is bit-identical to the declarative argmin/pack tree") {
+    val pq = new graft.operators.vector.ProductQuantizer()
+    val emb = table("embeddings").select(col("vec_id"), col("embedding"))
+    val diff = emb.select(
+        pq.packedCodeDeclarative(col("embedding")).as("a"),
+        pq.packedCode(col("embedding")).as("b"))
+      .filter(col("a") =!= col("b") ||
+        (col("a").isNull =!= col("b").isNull))
+    assert(diff.count() == 0)
+    // centroid-exact vector encodes to exactly those codes through the kernel
+    val ks = Seq(3, 0, 15, 7, 1, 9, 12, 5)
+    val vec = (0 until 8).flatMap(m => pq.codebook(m)(ks(m)).map(_.toFloat))
+    val df = spark.createDataFrame(Seq(Tuple1(vec))).toDF("embedding")
+    val packed = df.select(pq.packedCode(col("embedding"))).head().getLong(0)
+    val expected = ks.zipWithIndex.map { case (k, m) => k * math.pow(16, m).toLong }.sum
+    assert(packed == expected)
+  }
+
   test("StopwordScores kernel matches the declarative per-language filter form") {
     import graft.operators.text.TextAnalysis
     val langs = TextAnalysis.languageProfiles.keys.toSeq.sorted

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.ml.KMeansBuckets
+import graft.operators.stats.LinearFit
+import graft.operators.text.{MixPlan, NgramNovelty}
+import graft.operators.vector.EmbeddingOutliers
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics for the round-11 statistics/model operators (the
+  * DuckDB gates pin engine parity; these pin the MATH on crafted
+  * inputs where the right answer is known by construction).
+  */
+class ModelStatsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("novelty: an exact copy of an earlier doc scores 0, the original 1") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val out = new NgramNovelty("text", "doc_id", 3)(df)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 0.0, 1.0))
+  }
+
+  test("novelty: a doc half-built from an earlier doc's text scores in (0,1)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta brand new words entirely here")).toDF("doc_id", "text")
+    val nov = new NgramNovelty("text", "doc_id", 3)(df)
+      .filter($"doc_id" === 2).head().getDouble(3)
+    assert(nov > 0.0 && nov < 1.0)
+  }
+
+  test("linear fit recovers exact integer-coefficient planes") {
+    // y = 7 + 3*x1 + 5*x2 exactly — Cramer must return the plane
+    val rows = for (x1 <- 1 to 20; x2 <- 1 to 7)
+      yield (7L + 3L * x1 + 5L * x2, x1.toLong, x2.toLong)
+    val df = rows.toDF("y", "x1", "x2")
+    val r = new LinearFit("y", "x1", "x2").fit(df).head()
+    assert(r.getLong(0) == rows.size)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) == ((7.0, 3.0, 5.0)))
+  }
+
+  test("linear fit is partition-invariant (exact integer moments)") {
+    val df = table("documents").select(
+      col("n_chars").cast("long").as("y"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("x1"),
+      size(array_distinct(graft.functions.TextFunctions.tokensOf(col("text"))))
+        .cast("long").as("x2"))
+    val op = new LinearFit("y", "x1", "x2")
+    val a = op.fit(df.repartition(1)).head()
+    val b = op.fit(df.repartition(17, col("y"))).head()
+    assert(a == b)
+  }
+
+  test("correlation: a feature correlates with itself at exactly 1") {
+    val df = (1 to 50).map(i => (i.toLong, i.toLong, (51 - i).toLong))
+      .toDF("y", "x1", "x2")
+    val r = new LinearFit("y", "x1", "x2").corr(df).head()
+    assert(r.getDouble(2) == 1.0)  // r_f1_y: x1 == y
+    assert(r.getDouble(1) == -1.0) // r_f1_f2: exact negative linear
+  }
+
+  test("kmeans update: counts cover every row once; a centroid-only cluster keeps its centroid") {
+    val k = new KMeansBuckets("embedding", "cluster_id", k = 2)
+    // two tight groups around (0,0) and (10,10); centroids = first of each
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.25f, 0.0f)), (2L, Seq(0.0f, 0.25f)),
+      (3L, Seq(10.0f, 10.0f)), (4L, Seq(10.25f, 10.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val assigned = df.withColumn("cluster_id", k.assignFixed(col("embedding"), cents))
+    val out = k.updateCentroids(assigned, "cluster_id", outDims = 2)
+      .orderBy("cluster_id").collect()
+    assert(out.map(_.getLong(1)).sum == 5)
+    // cluster 0 mean of dim1: (0 + 0.25 + 0) / 3
+    assert(math.abs(out(0).getDouble(2) - 0.25 / 3) < 1e-6)
+    assert(math.abs(out(1).getDouble(2) - 10.125) < 1e-6)
+  }
+
+  test("mix plan: rates cap at 1, epochs are the uncapped ratio, shares follow weights") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "big"),      // 10 tokens
+      (2L, "a b c d e f g h i j", "big"),      // big: 20 tokens
+      (3L, "a b", "small"))                    // small: 2 tokens
+      .toDF("doc_id", "text", "source")
+    val op = new MixPlan("source", budget = 20L, rawWeights = Map("big" -> 3L))
+    val out = op(docs, graft.functions.TextFunctions.tokenCount(col("text")))
+      .orderBy("source").collect()
+    val big = out(0); val small = out(1)
+    assert(big.getString(0) == "big" && small.getString(0) == "small")
+    // weights 3:1 → big target 15 of 20 avail (rate .75), small target 5 of 2 (rate 1, epochs 2.5)
+    assert(big.getDouble(3) == 15.0 && small.getDouble(3) == 5.0)
+    assert(big.getDouble(4) == 0.75 && small.getDouble(4) == 1.0)
+    assert(small.getDouble(5) == 2.5)
+  }
+
+  test("embedding outliers: a far-away vector is flagged, tight cluster members are not") {
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.1f, 0.0f)), (2L, Seq(0.0f, 0.1f)),
+      (3L, Seq(0.1f, 0.1f)), (4L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
+    val op = new EmbeddingOutliers("embedding", "vec_id",
+      centroids = Seq(Seq(0.0, 0.0)), ratio = 2L)
+    val out = op(df).orderBy("vec_id").collect()
+    assert(out.map(r => r.getLong(3)).toSeq == Seq(0L, 0L, 0L, 0L, 1L))
+  }
+
+  test("embedding outliers: flag set is partition-invariant") {
+    val emb = table("embeddings")
+    val cents = new KMeansBuckets("embedding", "cluster_id", k = 8)
+      .firstKCentroids(emb, "vec_id")
+    val op = new EmbeddingOutliers("embedding", "vec_id", centroids = cents)
+    val a = op(emb.repartition(1)).orderBy("vec_id").collect().toSeq
+    val b = op(emb.repartition(13, col("vec_id"))).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+}
