@@ -1,7 +1,7 @@
 package graft.operators.text
 
 import graft.functions.{HashFunctions, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-document n-gram novelty: the fraction of a document's distinct
@@ -59,4 +59,25 @@ final class NgramNovelty(
        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
        |FROM ex JOIN fst ON fst.g = ex.g
        |GROUP BY ex.id ORDER BY $idCol""".stripMargin
+}
+
+/** YAML-registrable refiner: appends `(n_shingles, n_novel, novelty)`
+  * to every row. Corpus first-occurrence state comes from the whole —
+  * or, under disposition, the alive — input (a row rejected upstream
+  * must not claim first occurrence of a shingle); shingle-less rows
+  * keep nulls.
+  */
+final class NgramNoveltyRefiner(
+    textCol: String = "text",
+    idCol: String = "doc_id",
+    shingleWidth: Int = 3) extends graft.core.Operator {
+
+  val name = "ngram_novelty"
+  private val inner = new NgramNovelty(textCol, idCol, shingleWidth)
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(inner(df), Seq(idCol), "left")
+
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    df.join(inner(df.filter(alive)), Seq(idCol), "left")
 }

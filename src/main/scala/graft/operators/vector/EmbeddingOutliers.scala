@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * bit-equal to the DuckDB list_reduce twin); the CLUSTER statistics use
   * `floor(dist·scale)` BIGINTs so the mean is an exact integer sum, and
   * the outlier rule itself is pure integer arithmetic
-  * (`scaled · n > ratio · Σscaled`) — no floating-point reduction
+  * (`scaled·n·ratioDen > ratioNum·Σscaled`, i.e. dist² beyond
+  * ratioNum/ratioDen × the cluster mean — rational so sub-2× tails are
+  * expressible; in high dimension distances concentrate and the far
+  * tail sits ~1.2× the mean) — no floating-point reduction
   * anywhere, so the flagged set is partition-invariant and
   * engine-portable.
   *
@@ -29,7 +32,8 @@ final class EmbeddingOutliers(
     vecCol: String = "embedding",
     idCol: String = "vec_id",
     centroids: Seq[Seq[Double]],
-    ratio: Long = 2L,
+    ratioNum: Long = 11L,
+    ratioDen: Long = 10L,
     scale: Double = 1e9) {
 
   val name = "embedding_outliers"
@@ -46,7 +50,8 @@ final class EmbeddingOutliers(
     assigned.join(stats, Seq("cluster_id"))
       .select(col("_id").as(idCol), col("cluster_id"),
         round(col("_ds").cast("double") / lit(scale), 6).as("dist2"),
-        (col("_ds") * col("_n") > lit(ratio) * col("_sum")).cast("long").as("is_outlier"))
+        (col("_ds") * col("_n") * lit(ratioDen) > lit(ratioNum) * col("_sum"))
+          .cast("long").as("is_outlier"))
   }
 
   // ---- DuckDB twin ----
@@ -76,8 +81,48 @@ final class EmbeddingOutliers(
        |  FROM _a GROUP BY cluster_id)
        |SELECT a.id AS $idCol, a.cluster_id,
        |  round(CAST(a.ds AS DOUBLE) / $scale, 6) AS dist2,
-       |  CAST(a.ds * st.n > $ratio * st.s AS BIGINT) AS is_outlier
+       |  CAST(a.ds * st.n * $ratioDen > $ratioNum * st.s AS BIGINT) AS is_outlier
        |FROM _a a JOIN _st st ON st.cluster_id = a.cluster_id
        |ORDER BY $idCol""".stripMargin
+  }
+}
+
+/** YAML-registrable filter: DROPS the flagged outliers. Centroids are
+  * derived from the corpus itself (first `k` rows by `idCol`, the
+  * deterministic seeded-sample init of [[graft.operators.ml
+  * .KMeansBuckets.firstKCentroids]]); under disposition both the
+  * centroids and the cluster statistics come from alive rows only.
+  */
+final class EmbeddingOutlierFilter(
+    vecCol: String = "embedding",
+    idCol: String = "vec_id",
+    k: Int = 8,
+    ratioNum: Long = 11L,
+    ratioDen: Long = 10L,
+    scale: Double = 1e9) extends graft.core.RejectingOperator {
+
+  val name = "embedding_outlier_filter"
+
+  private def outlierIds(corpus: DataFrame): DataFrame = {
+    val cents = new graft.operators.ml.KMeansBuckets(vecCol, "_eo_cid", k)
+      .firstKCentroids(corpus, idCol)
+    if (cents.isEmpty) corpus.select(col(idCol)).limit(0)
+    else new EmbeddingOutliers(vecCol, idCol, cents, ratioNum, ratioDen, scale)(corpus)
+      .filter(col("is_outlier") === 1L).select(col(idCol))
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(outlierIds(df), Seq(idCol), "left_anti")
+
+  def rejected(df: DataFrame): DataFrame =
+    df.join(outlierIds(df), Seq(idCol), "left_semi")
+      .withColumn(graft.core.Rejection.ColName, graft.core.Rejection.filtered(name))
+
+  def mark(df: DataFrame, alive: Column, tag: String): graft.core.Marked = {
+    val flagCol = s"_eo_bad$tag"
+    val bad = outlierIds(df.filter(alive)).withColumn(flagCol, lit(true))
+    val joined = df.join(bad, Seq(idCol), "left_outer")
+    graft.core.Marked(joined, col(flagCol).isNull, col(flagCol).isNotNull,
+      graft.core.Rejection.filtered(name), Seq(flagCol))
   }
 }

@@ -527,4 +527,16 @@ object OperatorRegistry {
     idCol = p.str("id_field", "id"),
     k1 = p.double("k1", 1.2),
     b = p.double("b", 0.75)))
+
+  register("ngram_novelty", p => new NgramNoveltyRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    shingleWidth = p.int("shingle_width", 3)))
+
+  register("embedding_outlier_filter", p => new graft.operators.vector.EmbeddingOutlierFilter(
+    vecCol = p.str("vector_field", "embedding"),
+    idCol = p.str("id_field", "id"),
+    k = p.int("num_clusters", 8),
+    ratioNum = p.long("ratio_num", 11L),
+    ratioDen = p.long("ratio_den", 10L)))
 }

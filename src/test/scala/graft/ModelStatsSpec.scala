@@ -102,7 +102,7 @@ class ModelStatsSpec extends AnyFunSuite {
       (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.1f, 0.0f)), (2L, Seq(0.0f, 0.1f)),
       (3L, Seq(0.1f, 0.1f)), (4L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
     val op = new EmbeddingOutliers("embedding", "vec_id",
-      centroids = Seq(Seq(0.0, 0.0)), ratio = 2L)
+      centroids = Seq(Seq(0.0, 0.0)), ratioNum = 2L, ratioDen = 1L)
     val out = op(df).orderBy("vec_id").collect()
     assert(out.map(r => r.getLong(3)).toSeq == Seq(0L, 0L, 0L, 0L, 1L))
   }

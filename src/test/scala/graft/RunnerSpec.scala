@@ -596,6 +596,70 @@ class RunnerSpec extends AnyFunSuite {
     assert(got == direct)
   }
 
+  test("yaml pipeline drops embedding outliers with rejects; kept set matches direct") {
+    val base = java.nio.file.Files.createTempDirectory("graft_outlier").toString
+    val vecs = table("embeddings")
+    vecs.write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: clean
+         |    operators:
+         |      - name: embedding_outlier_filter
+         |        params: {vector_field: "embedding", id_field: "vec_id", num_clusters: 8}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "vecs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/vecs")
+    val rejected = spark.read.parquet(s"$base/out_rejected/vecs_rejected")
+    assert(written.count() + rejected.count() == vecs.count())
+    val direct = new graft.operators.vector.EmbeddingOutlierFilter(
+      "embedding", "vec_id", k = 8)(vecs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = written.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == direct && kept.nonEmpty)
+  }
+
+  test("yaml pipeline scores novelty after a filter; first-occurrence state is alive-rows-only") {
+    val base = java.nio.file.Files.createTempDirectory("graft_novelty").toString
+    val docs = table("documents")
+    docs.write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: score
+         |    operators:
+         |      - name: text_length_filter
+         |        params: {min_length: 100, text_field: "text"}
+         |      - name: ngram_novelty
+         |        params: {text_field: "text", id_field: "doc_id", shingle_width: 3}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/docs")
+    assert(written.columns.contains("novelty"))
+    // disposition == sequential: novelty equals the op on the survivors
+    val survivors = docs.where(org.apache.spark.sql.functions.length(
+      org.apache.spark.sql.functions.col("text")) >= 100)
+    val direct = new graft.operators.text.NgramNovelty("text", "doc_id", 3)(survivors)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val got = written.select("doc_id", "novelty")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == direct)
+  }
+
   test("jsonl loader: permissive mode surfaces corrupt lines, failfast raises") {
     val base = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/docs.jsonl"),
