@@ -11,7 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val byName = (Relational.queries ++ NearDup.queries).map(q => q.name -> q).toMap
+  private val byName = (Relational.queries ++ NearDup.queries ++
+    graft.queries.ModelStatsQueries.queries).map(q => q.name -> q).toMap
   private def plan(name: String): String = planOf(byName(name).run(spark, sfDir))
   private def fmtPlan(name: String): String = planFormatted(byName(name).run(spark, sfDir))
 
@@ -433,6 +434,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!qp.contains("Exchange"), s"quantize must not shuffle:\n$qp")
     val mp = planOf(new graft.operators.vector.MatryoshkaTruncate(dims = 8)(table("embeddings")))
     assert(!mp.contains("Exchange"), s"truncate must not shuffle:\n$mp")
+  }
+
+  test("novelty: long-keyed exchanges only (no text on the wire), no window") {
+    val p = plan("ngram_novelty")
+    assert(!p.contains("Window"), p)
+    // every hash exchange keys on the shingle hash or the doc id — the
+    // raw text column never rides an exchange
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty && exch.forall(l =>
+      l.contains("hashpartitioning(_g") || l.contains("hashpartitioning(_id")), p)
+  }
+
+  test("linear fit: ONE partial-aggregated moment pass, no join, no key shuffle") {
+    val p = plan("linear_fit")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+  }
+
+  test("kmeans update: one cluster-key exchange carrying only partial sums") {
+    val p = plan("kmeans_update")
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("embedding outliers: cluster stats broadcast back, single stats exchange, no window") {
+    val p = plan("embedding_outliers")
+    assert(!p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
   test("NO gate query plans a CartesianProduct — the whole-surface scale audit") {
