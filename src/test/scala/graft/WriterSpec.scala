@@ -29,6 +29,39 @@ class WriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/docs").count() == 6)
   }
 
+  test("partitioned layout prunes at the scan: filter becomes a PartitionFilter, other dirs unread") {
+    val dir = tmp()
+    new ParquetDataWriter(dir, "docs", partitionBy = Some("source"))
+      .write(table("documents").select(col("doc_id"), col("text"), col("source")))
+    val rd = spark.read.parquet(s"$dir/docs").filter(col("source") === "src3")
+    // the predicate must land in the scan's PartitionFilters (pruning at
+    // file-listing time — at 100 TB this is the difference between
+    // reading one directory and reading the corpus)
+    val fmt = planFormatted(rd)
+    assert(fmt.contains("PartitionFilters") &&
+      fmt.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("src3")), fmt)
+    // and the executed scan actually reads only the src3 directory's
+    // file (Dataset.inputFiles would lie here — it lists the whole
+    // relation pre-pruning; the scan's own numFiles metric is truth)
+    // collect() runs THIS Dataset's queryExecution (count() would build
+    // a fresh one and leave these metrics empty)
+    assert(rd.collect().length ==
+      table("documents").filter(col("source") === "src3").count())
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    val scan = unwrap(rd.queryExecution.executedPlan)
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    val totalParts = new java.io.File(s"$dir/docs").listFiles()
+      .count(_.getName.startsWith("source="))
+    assert(totalParts > 1, s"fixture should span partitions, got $totalParts")
+    assert(scan.metrics("numFiles").value == 1,
+      s"pruned scan read ${scan.metrics("numFiles").value} files of $totalParts partitions")
+  }
+
   test("nested struct extractor and null → unknown") {
     val dir = tmp()
     val df = spark.range(4).toDF("id")
