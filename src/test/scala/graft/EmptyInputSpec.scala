@@ -114,4 +114,22 @@ class EmptyInputSpec extends AnyFunSuite {
     zero("bpe count")(noDocs.select(graft.operators.text.BpeEncode.tokenCount(
       col("text"), Seq("t" -> "h")).as("n")).where(col("n") > 0))
   }
+
+  test("stats/model family survives empty input") {
+    zero("novelty")(new graft.operators.text.NgramNovelty("text", "doc_id")(noDocs))
+    zero("novelty refiner")(new graft.operators.text.NgramNoveltyRefiner(
+      "text", "doc_id")(noDocs))
+    zero("mix plan")(new graft.operators.text.MixPlan(
+      "source", budget = 1000L, rawWeights = Map("a" -> 2L))(
+      noDocs, graft.functions.TextFunctions.tokenCount(col("text"))))
+    zero("outlier filter")(new graft.operators.vector.EmbeddingOutlierFilter(
+      "embedding", "vec_id")(noVecs))
+    // OLS over zero rows: one row of (n=0, null betas) — not a throw
+    val fit = new graft.operators.stats.LinearFit("y", "x1", "x2").fit(
+      Seq.empty[(Long, Long, Long)].toDF("y", "x1", "x2")).head()
+    assert(fit.getLong(0) == 0L && fit.isNullAt(1) && fit.isNullAt(2) && fit.isNullAt(3))
+    // Lloyd update over an empty assigned frame: zero clusters out
+    zero("kmeans update")(new graft.operators.ml.KMeansBuckets("embedding", "cid", 2)
+      .updateCentroids(noVecs.withColumn("cid", lit(0L)), "cid", outDims = 2))
+  }
 }
