@@ -33,24 +33,38 @@ final class LinearFit(
 
   val name = "linear_fit"
 
-  private def sums(df: DataFrame): DataFrame = {
+  private def sums(df: DataFrame, groupCol: Option[String] = None): DataFrame = {
     val x1 = col("_x1"); val x2 = col("_x2"); val y = col("_y")
-    df.select(col(f1Col).cast("long").as("_x1"),
-        col(f2Col).cast("long").as("_x2"),
-        col(targetCol).cast("long").as("_y"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
-        sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
-        sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"),
-        sum(y * y).as("syy"))
+    val proj = df.select(
+      (groupCol.map(col).toSeq :+
+        col(f1Col).cast("long").as("_x1")) ++
+        Seq(col(f2Col).cast("long").as("_x2"),
+          col(targetCol).cast("long").as("_y")): _*)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+      sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"),
+      sum(y * y).as("syy"))
+    groupCol match {
+      case Some(g) => proj.groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+      case None => proj.agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   /** One row: `(n, beta0, beta1, beta2)` for
     * `target ≈ beta0 + beta1·f1 + beta2·f2`, rounded to 6 decimals.
     */
-  def fit(df: DataFrame): DataFrame = {
-    val s = sums(df)
+  def fit(df: DataFrame): DataFrame = solve(sums(df), Nil)
+
+  /** Per-group fits — grouped normal equations (one keyed exchange of
+    * 10 longs per group per partition; the "model per domain" loop of
+    * per-source quality trend analysis). One row per `groupCol` value.
+    */
+  def fitBy(df: DataFrame, groupCol: String): DataFrame =
+    solve(sums(df, Some(groupCol)), Seq(col(groupCol))).orderBy(col(groupCol))
+
+  private def solve(s: DataFrame, keyCols: Seq[Column]): DataFrame = {
     val n = col("n").cast("double")
     val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
     val sy = col("sy").cast("double")
@@ -66,10 +80,10 @@ final class LinearFit(
       sx2 * (sx1 * s2y - s1y * sx2)
     val det2 = n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) +
       sy * (sx1 * s12 - s11 * sx2)
-    s.select(col("n"),
+    s.select(keyCols ++ Seq(col("n"),
       round(det0 / det, 6).as("beta0"),
       round(det1 / det, 6).as("beta1"),
-      round(det2 / det, 6).as("beta2"))
+      round(det2 / det, 6).as("beta2")): _*)
   }
 
   /** One row: pairwise Pearson r over `(f1, f2, target)`, rounded to 6. */
@@ -90,22 +104,29 @@ final class LinearFit(
 
   // ---- DuckDB twins (expression shape mirrors the Column forms) ----
 
-  /** `_lfsums` CTE over feature/target EXPRESSIONS (must yield integers). */
-  private def sumsCte(table: String, x1E: String, x2E: String, yE: String): String =
-    s"""_lfr AS (SELECT CAST($x1E AS BIGINT) AS x1, CAST($x2E AS BIGINT) AS x2,
+  /** `_lfsums` CTE over feature/target EXPRESSIONS (must yield
+    * integers); optional per-group variant.
+    */
+  private def sumsCte(table: String, x1E: String, x2E: String, yE: String,
+      group: Option[String] = None): String = {
+    val gSel = group.map(g => s"$g, ").getOrElse("")
+    val gBy = group.map(g => s" GROUP BY $g").getOrElse("")
+    s"""_lfr AS (SELECT $gSel CAST($x1E AS BIGINT) AS x1, CAST($x2E AS BIGINT) AS x2,
        |    CAST($yE AS BIGINT) AS y FROM $table),
-       |_lfsums AS (SELECT count(*) AS n,
+       |_lfsums AS (SELECT $gSel count(*) AS n,
        |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
        |    CAST(sum(y) AS BIGINT) AS sy,
        |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
        |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y,
        |    CAST(sum(y * y) AS BIGINT) AS syy
-       |  FROM _lfr)""".stripMargin
+       |  FROM _lfr$gBy)""".stripMargin
+  }
 
   private def d(c: String): String = s"CAST($c AS DOUBLE)"
 
-  def fitSql(table: String, x1E: String, x2E: String, yE: String): String = {
+  def fitSql(table: String, x1E: String, x2E: String, yE: String,
+      group: Option[String] = None): String = {
     val (n, sx1, sx2, sy) = (d("n"), d("sx1"), d("sx2"), d("sy"))
     val (s11, s12, s22) = (d("s11"), d("s12"), d("s22"))
     val (s1y, s2y) = (d("s1y"), d("s2y"))
@@ -117,11 +138,13 @@ final class LinearFit(
       s"$sx2 * ($sx1 * $s2y - $s1y * $sx2)"
     val det2 = s"$n * ($s11 * $s2y - $s1y * $s12) - $sx1 * ($sx1 * $s2y - $s1y * $sx2) + " +
       s"$sy * ($sx1 * $s12 - $s11 * $sx2)"
-    s"""WITH ${sumsCte(table, x1E, x2E, yE)}
-       |SELECT n, round(($det0) / ($det), 6) AS beta0,
+    val gSel = group.map(g => s"$g, ").getOrElse("")
+    val order = group.map(g => s" ORDER BY $g").getOrElse("")
+    s"""WITH ${sumsCte(table, x1E, x2E, yE, group)}
+       |SELECT $gSel n, round(($det0) / ($det), 6) AS beta0,
        |  round(($det1) / ($det), 6) AS beta1,
        |  round(($det2) / ($det), 6) AS beta2
-       |FROM _lfsums""".stripMargin
+       |FROM _lfsums$order""".stripMargin
   }
 
   def corrSql(table: String, x1E: String, x2E: String, yE: String): String = {

@@ -36,6 +36,13 @@ object ModelStatsQueries {
   private val utokCountSql =
     s"CAST(len(list_distinct(${TextFunctions.tokensOfSql("text")})) AS BIGINT)"
 
+  private def featurizedSrc(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("source"),
+      col("n_chars").cast("long").as("n_chars"),
+      TextFunctions.tokenCount(col("text")).as("n_tok"),
+      size(array_distinct(TextFunctions.tokensOf(col("text")))).cast("long").as("n_utok"))
+
   private val kOp = new KMeansBuckets("embedding", "cluster_id", k = 8)
 
   private val mixOp = new MixPlan(
@@ -68,6 +75,27 @@ object ModelStatsQueries {
       (s, dir) => fitOp.fit(featurized(s, dir)),
       Some(fitOp.fitSql("documents",
         TextFunctions.tokenCountSql("text"), utokCountSql, "n_chars"))),
+
+    OracleQuery("linear_fit_by_source",
+      // grouped normal equations: one model per source from ONE keyed
+      // exchange of 10 longs per group per partition
+      (s, dir) => fitOp.fitBy(featurizedSrc(s, dir), "source"),
+      Some(fitOp.fitSql("documents",
+        TextFunctions.tokenCountSql("text"), utokCountSql, "n_chars",
+        group = Some("source")))),
+
+    OracleQuery("classifier_calibration",
+      // reliability table of the composite quality score against the
+      // lang=='en' label — score-decile buckets, exact integer stats
+      (s, dir) => graft.operators.ml.Calibration.table(
+        Tables(s, dir, "documents"),
+        graft.operators.text.TextAnalysis.qualityScore(
+          col("text"), TextFunctions.tokensOf(col("text"))),
+        col("lang") === "en"),
+      Some(graft.operators.ml.Calibration.sql(
+        graft.operators.text.TextAnalysis.qualityScoreSql("text", "toks"),
+        "lang = 'en'",
+        s"(SELECT lang, ${TextFunctions.tokensOfSql("text")} AS toks, text FROM documents)"))),
 
     OracleQuery("feature_correlation",
       (s, dir) => fitOp.corr(featurized(s, dir)),

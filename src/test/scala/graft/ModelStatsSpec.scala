@@ -56,6 +56,38 @@ class ModelStatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("grouped fit recovers a different exact plane per group") {
+    val rows =
+      (for (x1 <- 1 to 15; x2 <- 1 to 5)
+        yield ("a", 7L + 3L * x1 + 5L * x2, x1.toLong, x2.toLong)) ++
+      (for (x1 <- 1 to 15; x2 <- 1 to 5)
+        yield ("b", 100L - 2L * x1 + 9L * x2, x1.toLong, x2.toLong))
+    val df = rows.toDF("g", "y", "x1", "x2")
+    val out = new LinearFit("y", "x1", "x2").fitBy(df, "g").collect()
+    assert(out.length == 2)
+    assert((out(0).getDouble(2), out(0).getDouble(3), out(0).getDouble(4)) == ((7.0, 3.0, 5.0)))
+    assert((out(1).getDouble(2), out(1).getDouble(3), out(1).getDouble(4)) == ((100.0, -2.0, 9.0)))
+  }
+
+  test("calibration: crafted scores land in the right buckets with exact stats") {
+    import graft.operators.ml.Calibration
+    val df = Seq(
+      (0.05, 0L), (0.08, 1L),           // bucket 0: 2 rows, 1 pos
+      (0.55, 1L), (0.58, 1L), (0.51, 0L), // bucket 5: 3 rows, 2 pos
+      (1.0, 1L))                         // right edge -> bucket 10
+      .toDF("score", "lab")
+    val out = Calibration.table(df, col("score"), col("lab")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 5L, 10L))
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 1L), (3L, 2L), (1L, 1L)))
+    val b5 = out(1)
+    assert(b5.getDouble(3) == math.round(2.0 / 3.0 * 1e6) / 1e6)
+    val expMean = BigDecimal(
+        (math.floor(0.55 * 1e6) + math.floor(0.58 * 1e6) + math.floor(0.51 * 1e6)) / (3.0 * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(b5.getDouble(4) == expMean)
+  }
+
   test("correlation: a feature correlates with itself at exactly 1") {
     val df = (1 to 50).map(i => (i.toLong, i.toLong, (51 - i).toLong))
       .toDF("y", "x1", "x2")
