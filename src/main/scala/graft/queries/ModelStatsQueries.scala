@@ -110,6 +110,14 @@ object ModelStatsQueries {
       Some(s"""WITH ${kOp.assignCteSql("embeddings", "vec_id")}
               |${kOp.updateSql("embeddings", "vec_id", outDims = 4)}""".stripMargin)),
 
+    OracleQuery("welch_ttest",
+      // the A/B readout: does 'purchase' move value vs 'click' — one
+      // single-pass aggregate of exact scaled moments, Welch t + df
+      (s, dir) => new graft.operators.stats.WelchTTest(
+        "value", "event_type", "click", "purchase")(Tables(s, dir, "events")),
+      Some(new graft.operators.stats.WelchTTest(
+        "value", "event_type", "click", "purchase").sql("events"))),
+
     OracleQuery("mix_plan",
       (s, dir) => mixOp(Tables(s, dir, "documents"),
         TextFunctions.tokenCount(col("text"))),

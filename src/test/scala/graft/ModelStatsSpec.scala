@@ -88,6 +88,26 @@ class ModelStatsSpec extends AnyFunSuite {
     assert(b5.getDouble(4) == expMean)
   }
 
+  test("welch t-test matches the hand-computed statistic on a known sample") {
+    // a = [1,2,3]: mean 2, var 1; b = [2,4,6,8]: mean 5, var 20/3
+    // se² = 1/3 + 5/3 = 2 → t = -3/√2; df = 4/(1/18 + 25/27) = 216/53
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 4.0, 6.0, 8.0).map(("b", _)))
+      .toDF("grp", "v")
+    val r = new graft.operators.stats.WelchTTest("v", "grp", "a", "b")(df).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 4L)))
+    assert((r.getDouble(2), r.getDouble(3)) == ((2.0, 5.0)))
+    assert(r.getDouble(4) == BigDecimal(-3.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(5) == BigDecimal(216.0 / 53.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("welch t-test is partition-invariant (exact scaled moments)") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val op = new graft.operators.stats.WelchTTest("value", "event_type", "click", "purchase")
+    assert(op(ev.repartition(1)).head() == op(ev.repartition(11, col("user_id"))).head())
+  }
+
   test("correlation: a feature correlates with itself at exactly 1") {
     val df = (1 to 50).map(i => (i.toLong, i.toLong, (51 - i).toLong))
       .toDF("y", "x1", "x2")
