@@ -716,6 +716,25 @@ class RunnerSpec extends AnyFunSuite {
     assert(new java.io.File("/tmp/graft_out/documents_curated").exists())
   }
 
+  test("cli runs the shipped curation-stack and vector example configs") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    Seq("/tmp/graft_stack_out", "/tmp/graft_stack_out_rejected",
+      "/tmp/graft_vec_out", "/tmp/graft_vec_out_rejected")
+      .foreach(p => rm(new java.io.File(p)))
+    val stack = PipelineRunner.run(spark,
+      PipelineConf.fromYamlFile("configs/example_curation_stack.yaml"))
+    assert(stack.run.output > 0)
+    val curated = spark.read.parquet("/tmp/graft_stack_out/documents_curated")
+    assert(curated.columns.contains("novelty"))
+    assert(new java.io.File("/tmp/graft_stack_out/report.html").exists())
+    val vec = PipelineRunner.run(spark,
+      PipelineConf.fromYamlFile("configs/example_vectors.yaml"))
+    assert(vec.run.output > 0 && vec.run.output < vec.run.input)
+    assert(new java.io.File("/tmp/graft_vec_out/embeddings_curated/manifest.json").exists())
+  }
+
   test("yaml pipeline runs the containment deduplicator with rejects") {
     val base = java.nio.file.Files.createTempDirectory("graft_cont").toString
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
