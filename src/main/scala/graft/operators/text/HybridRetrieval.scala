@@ -1,0 +1,64 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the standard
+  * hybrid-search combiner: given two already-ranked candidate lists
+  * (here: lexical BM25 and dense ANN over the same id space), each
+  * document's fused score is `Σ 1/(kRrf + rank_i)` over the lists it
+  * appears in. Rank-based, so the incomparable raw scores (BM25 vs
+  * cosine) never mix — the whole reason RRF beats score interpolation
+  * without tuning.
+  *
+  * Scale shape: the inputs are top-k lists (k rows each — the upstream
+  * operators already did the corpus-scale work with bounded exchanges),
+  * so the unpartitioned rank windows and the full-outer join here touch
+  * O(k) rows regardless of corpus size.
+  *
+  * Determinism: ranks come from `(rounded score DESC, id)` — computed
+  * identically by the oracle over the same rounded lists — and the
+  * fused score is a two-term double sum in fixed shape.
+  */
+object HybridRetrieval {
+
+  /** Fuse two ranked lists `(idCol, scoreCol)` into
+    * `(id, rrf_score)`, best-first, at most `topK` rows.
+    */
+  def rrf(a: DataFrame, aId: String, aScore: String,
+      b: DataFrame, bId: String, bScore: String,
+      kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    def ranked(df: DataFrame, id: String, score: String, rank: String): DataFrame =
+      df.select(col(id).as("id"),
+        row_number().over(Window.orderBy(col(score).desc, col(id))).as(rank))
+    val ra = ranked(a, aId, aScore, "_ra")
+    val rb = ranked(b, bId, bScore, "_rb")
+    val contrib = (r: String) =>
+      coalesce(lit(1.0) / (lit(kRrf) + col(r)).cast("double"), lit(0.0))
+    ra.join(rb, Seq("id"), "full_outer")
+      .select(col("id"), (contrib("_ra") + contrib("_rb")).as("_s"))
+      .orderBy(col("_s").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), round(col("_s"), 6).as("rrf_score"))
+  }
+
+  /** DuckDB twin: `aSql`/`bSql` are complete SELECTs producing the same
+    * rounded `(id, score)` lists the Spark side fuses.
+    */
+  def rrfSql(aSql: String, aId: String, aScore: String,
+      bSql: String, bId: String, bScore: String,
+      kRrf: Int = 60, topK: Int = 10): String = {
+    def contrib(r: String) =
+      s"coalesce(CAST(1.0 AS DOUBLE) / CAST($kRrf + $r AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    s"""WITH _ha AS ($aSql),
+       |_hb AS ($bSql),
+       |_ra AS (SELECT $aId AS id, row_number() OVER (ORDER BY $aScore DESC, $aId) AS ra FROM _ha),
+       |_rb AS (SELECT $bId AS id, row_number() OVER (ORDER BY $bScore DESC, $bId) AS rb FROM _hb),
+       |_f AS (SELECT coalesce(_ra.id, _rb.id) AS id,
+       |    ${contrib("ra")} + ${contrib("rb")} AS s
+       |  FROM _ra FULL OUTER JOIN _rb ON _ra.id = _rb.id)
+       |SELECT id, round(s, 6) AS rrf_score FROM _f
+       |ORDER BY s DESC, id LIMIT $topK""".stripMargin
+  }
+}

@@ -23,6 +23,20 @@ object SearchGraphQueries {
 
   private val pagerank = new FixedPointPageRank(iterations = 5)
 
+  private val bm25Hybrid = new Bm25Retrieval(
+    queryTerms = Seq("spark", "join", "window"), topK = 20)
+
+  private val invIndex = new graft.operators.text.InvertedIndex(
+    minDocFreq = 2L, topTerms = 50, postingsCap = 10)
+
+  private def annTop20Sql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id,
+       |   ${graft.functions.VectorFunctions.cosineSql("embedding", "qe")} AS cos
+       | FROM embeddings, q)
+       |SELECT vec_id, round(cos, 6) AS cosine FROM c
+       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+
   private val HourUs = 3600000000L
 
   val queries: Seq[OracleQuery] = Seq(
@@ -30,6 +44,31 @@ object SearchGraphQueries {
     OracleQuery("bm25_topk",
       (s, dir) => bm25(Tables(s, dir, "documents")),
       Some(bm25.sql("documents"))),
+
+    OracleQuery("hybrid_rrf_search",
+      // lexical BM25 + dense cosine top-20 lists fused by reciprocal-
+      // rank fusion over the shared id space — hybrid search's standard
+      // no-tuning combiner; O(k) work after the bounded upstream top-ks
+      (s, dir) => {
+        val dense = graft.operators.vector.AnnSearch.bruteForceTopK(
+            Tables(s, dir, "embeddings"),
+            Tables(s, dir, "embeddings").filter(col("vec_id") === 0),
+            "embedding", "vec_id", k = 20)
+          .withColumn("cosine", round(col("cosine"), 6))
+        graft.operators.text.HybridRetrieval.rrf(
+          bm25Hybrid(Tables(s, dir, "documents")), "doc_id", "bm25_score",
+          dense, "vec_id", "cosine")
+      },
+      Some(graft.operators.text.HybridRetrieval.rrfSql(
+        bm25Hybrid.sql("documents"), "doc_id", "bm25_score",
+        annTop20Sql, "vec_id", "cosine"))),
+
+    OracleQuery("inverted_index",
+      // (term, doc_freq, capped postings CSV) for the hottest terms —
+      // posting lists via the bounded mergeable TopKAgg, never an
+      // unbounded collect of a stop-word's full document list
+      (s, dir) => invIndex(Tables(s, dir, "documents")),
+      Some(invIndex.sql("documents"))),
 
     OracleQuery("cms_word_counts",
       (s, dir) => {

@@ -182,4 +182,43 @@ class SearchGraphSpec extends AnyFunSuite {
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after - before <= 1, s"leaked caches: ${after - before}")
   }
+
+  test("rrf: a doc ranked in both lists beats single-list docs; scores are 1/(k+r) sums") {
+    import graft.operators.text.HybridRetrieval
+    val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "s")
+    val b = Seq((20L, 0.99), (40L, 0.5)).toDF("id", "s")
+    val out = HybridRetrieval.rrf(a, "id", "s", b, "id", "s", kRrf = 60, topK = 10)
+      .collect()
+    // 20 is rank 2 in a, rank 1 in b → 1/62 + 1/61; others single-list
+    assert(out.head.getLong(0) == 20L)
+    val exp20 = BigDecimal(1.0 / 62.0 + 1.0 / 61.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(1) == exp20)
+    assert(out.map(_.getLong(0)).toSet == Set(10L, 20L, 30L, 40L))
+    // 10 (rank 1 in a alone, 1/61) beats 40 (rank 2 in b alone, 1/62)
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(10L) > byId(40L))
+  }
+
+  test("inverted index: hot-term postings cap to the smallest ids; partition-invariant") {
+    val docs = (1L to 30L).map(i =>
+        (i, if (i % 2 == 0) "common filler words here" else s"rare$i solo"))
+      .toDF("doc_id", "text")
+    val op = new graft.operators.text.InvertedIndex(
+      minDocFreq = 2L, topTerms = 10, postingsCap = 5)
+    val out = op(docs).collect()
+    // 'common'/'filler'/'words'/'here' appear in the 15 even docs;
+    // postings cap at the 5 smallest ids
+    val common = out.find(_.getString(0) == "common").get
+    assert(common.getLong(1) == 15L)
+    assert(common.getString(2) == "2,4,6,8,10")
+    // rare terms fall under min_doc_freq
+    assert(!out.exists(_.getString(0).startsWith("rare")))
+    val b = op(docs.repartition(7, col("doc_id"))).collect()
+    assert(out.toSeq == b.toSeq)
+    // the posting aggregate must be map-side bounded, not a collect_list
+    val p = planOf(op(docs))
+    assert(p.contains("partial_topk_values"), p)
+    assert(!p.contains("collect_list"), p)
+  }
 }
