@@ -63,6 +63,24 @@ object SearchGraphQueries {
         bm25Hybrid.sql("documents"), "doc_id", "bm25_score",
         annTop20Sql, "vec_id", "cosine"))),
 
+    OracleQuery("retrieval_ndcg",
+      // the ranker eval loop: nDCG@10 + precision@10 of the BM25 top-20
+      // against the lang=='en' relevance label — DCG via an
+      // ascending-rank list fold (bit-identical to DuckDB list_reduce),
+      // never an order-dependent float sum
+      (s, dir) => {
+        val lex = bm25Hybrid(Tables(s, dir, "documents"))
+        val rel = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("lang") === "en").as("rel"))
+        graft.operators.ml.RankingMetrics.ndcgAtK(
+          lex.join(rel, Seq("doc_id")), "doc_id", "bm25_score", "rel", k = 10)
+      },
+      Some(graft.operators.ml.RankingMetrics.ndcgSql(
+        s"""SELECT b.doc_id, b.bm25_score, d.lang = 'en' AS rel
+           |FROM (${bm25Hybrid.sql("documents")}) b
+           |JOIN documents d ON d.doc_id = b.doc_id""".stripMargin,
+        "doc_id", "bm25_score", "rel", k = 10))),
+
     OracleQuery("inverted_index",
       // (term, doc_freq, capped postings CSV) for the hottest terms —
       // posting lists via the bounded mergeable TopKAgg, never an

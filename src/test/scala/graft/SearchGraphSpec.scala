@@ -200,6 +200,27 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(byId(10L) > byId(40L))
   }
 
+  test("ndcg: hand-computed on a crafted ranking; perfect ranking scores 1") {
+    import graft.operators.ml.RankingMetrics
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // ranks 1..5 (score desc): rel = 1,0,1,1,0
+    val df = Seq((1L, 0.9, 1L), (2L, 0.8, 0L), (3L, 0.7, 1L), (4L, 0.6, 1L), (5L, 0.5, 0L))
+      .toDF("id", "s", "rel")
+    val r = RankingMetrics.ndcgAtK(df, "id", "s", "rel", k = 5).head()
+    val dcg = 1.0 / lg2(2) + 1.0 / lg2(4) + 1.0 / lg2(5)
+    val idcg = 1.0 / lg2(2) + 1.0 / lg2(3) + 1.0 / lg2(4)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 0.6)
+    assert(r.getDouble(3) == r6(dcg) && r.getDouble(4) == r6(idcg))
+    assert(r.getDouble(5) == r6(dcg / idcg))
+    // relevant docs ranked first => ndcg exactly 1
+    val perfect = Seq((1L, 0.9, 1L), (2L, 0.8, 1L), (3L, 0.7, 0L)).toDF("id", "s", "rel")
+    assert(RankingMetrics.ndcgAtK(perfect, "id", "s", "rel", k = 3).head().getDouble(5) == 1.0)
+    // no relevant docs => ndcg defined as 0, no division blowup
+    val none = Seq((1L, 0.9, 0L)).toDF("id", "s", "rel")
+    assert(RankingMetrics.ndcgAtK(none, "id", "s", "rel", k = 3).head().getDouble(5) == 0.0)
+  }
+
   test("inverted index: hot-term postings cap to the smallest ids; partition-invariant") {
     val docs = (1L to 30L).map(i =>
         (i, if (i % 2 == 0) "common filler words here" else s"rare$i solo"))
