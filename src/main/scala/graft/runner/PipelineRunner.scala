@@ -39,8 +39,14 @@ object PipelineRunner {
           case "orc" => spark.read.orc(p.str("path").get)
           case other => throw new IllegalArgumentException(s"unknown format: $other")
         }
+      case "CommonCrawlLoader" | "WarcLoader" =>
+        // S2: the DSv2 warc source — one partition per (unsplittable)
+        // warc file, record parse + readability extraction in the scan
+        spark.read.format("warc")
+          .option("crawl_id", p.str("crawl_id", ""))
+          .load(p.str("path").get)
       case other => throw new IllegalArgumentException(
-        s"unknown loader type: $other (supported: ParquetLoader, HuggingFaceLoader)")
+        s"unknown loader type: $other (supported: ParquetLoader, HuggingFaceLoader, CommonCrawlLoader)")
     }
   }
 

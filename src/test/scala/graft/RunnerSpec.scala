@@ -716,6 +716,40 @@ class RunnerSpec extends AnyFunSuite {
     assert(new java.io.File("/tmp/graft_out/documents_curated").exists())
   }
 
+  test("yaml pipeline loads CommonCrawl warc through the DSv2 source end-to-end") {
+    val base = java.nio.file.Files.createTempDirectory("graft_warcpipe")
+    def rec(tpe: String, uri: String, content: String): String = {
+      val c = content.getBytes("UTF-8")
+      s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2024-12-01T00:00:00Z\r\nContent-Length: ${c.length}\r\n\r\n" +
+        content + "\r\n\r\n"
+    }
+    val html = "<html><head><title>T</title></head><body><p>" +
+      "Readable paragraph with plenty of ordinary words to clear the extractor minimum today." +
+      "</p></body></html>"
+    val bytes = rec("response", "http://ex.com/a",
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html").getBytes("UTF-8")
+    java.nio.file.Files.write(base.resolve("a.warc"), bytes)
+    java.nio.file.Files.write(base.resolve("b.warc"), bytes)
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: CommonCrawlLoader
+         |  params: {path: "$base/*.warc", crawl_id: "CC-TEST"}
+         |stages:
+         |  - name: clean
+         |    operators:
+         |      - name: text_length_filter
+         |        params: {min_length: 50, text_field: "text"}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    assert(res.run.output == 2)
+    val out = spark.read.parquet(s"$base/out/docs")
+    assert(out.columns.contains("url") && out.count() == 2)
+  }
+
   test("cli runs the shipped curation-stack and vector example configs") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
