@@ -84,16 +84,25 @@ private final class WarcTable(options: CaseInsensitiveStringMap)
 }
 
 private final class WarcScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var required: StructType = WarcDataSource.Schema
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new WarcScan(options, required)
+  // per-partition limit (the DSv2 contract — Spark still applies the
+  // global LIMIT): a `.limit(n)` / max_samples read stops parsing each
+  // warc file after n extracted rows instead of draining it
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
+  override def build(): Scan = new WarcScan(options, required, limit)
 }
 
-private final class WarcScan(options: CaseInsensitiveStringMap, required: StructType)
-    extends Scan with Batch {
+private final class WarcScan(options: CaseInsensitiveStringMap, required: StructType,
+    limit: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"warc required=[${required.fieldNames.mkString(",")}]" +
+      limit.map(n => s" PushedLimit=$n").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val paths = Option(options.get("paths"))
@@ -114,17 +123,17 @@ private final class WarcScan(options: CaseInsensitiveStringMap, required: Struct
   override def createReaderFactory(): PartitionReaderFactory = {
     val crawlId = Option(options.get("crawl_id")).getOrElse("")
     val fields = required.fieldNames.toSeq
-    WarcReaderFactory(crawlId, fields)
+    WarcReaderFactory(crawlId, fields, limit)
   }
 }
 
 private final case class WarcInputPartition(file: String) extends InputPartition
 
-private final case class WarcReaderFactory(crawlId: String, fields: Seq[String])
-    extends PartitionReaderFactory {
+private final case class WarcReaderFactory(crawlId: String, fields: Seq[String],
+    limit: Option[Int]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].file, crawlId, fields)
+      partition.asInstanceOf[WarcInputPartition].file, crawlId, fields, limit)
 }
 
 /** Streams one WARC file: gunzip-if-needed, record iterate, HTML
@@ -134,8 +143,10 @@ private final case class WarcReaderFactory(crawlId: String, fields: Seq[String])
   * SerializableConfiguration through the factory.)
   */
 private final class WarcPartitionReader(
-    file: String, crawlId: String, fields: Seq[String])
+    file: String, crawlId: String, fields: Seq[String], limit: Option[Int])
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val docs: Iterator[Warc.WarcDoc] = {
     val path = new Path(file)
@@ -153,7 +164,9 @@ private final class WarcPartitionReader(
   private var current: Warc.WarcDoc = _
 
   override def next(): Boolean =
-    if (docs.hasNext) { current = docs.next(); true } else false
+    if (limit.exists(emitted >= _)) false
+    else if (docs.hasNext) { current = docs.next(); emitted += 1; true }
+    else false
 
   override def get(): InternalRow = {
     val vals = fields.map {

@@ -179,6 +179,10 @@ class WarcSpec extends AnyFunSuite {
     // whole test used format("warc")); SQL sees it through a view
     df.createOrReplaceTempView("warc_docs")
     assert(spark.sql("SELECT count(*) FROM warc_docs").head().getLong(0) == df.count())
+    // limit pushdown: a .limit(1) read stops each file's parse at 1 row
+    // (per-partition contract; Spark applies the global limit on top)
+    assert(df.limit(1).collect().length == 1)
+    assert(planFormatted(df.limit(1)).contains("PushedLimit"))
   }
 
   test("manifest: pathsFor resolves warc.paths.gz, caps, and drives loadCrawl") {
