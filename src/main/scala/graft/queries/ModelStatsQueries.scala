@@ -123,6 +123,14 @@ object ModelStatsQueries {
         TextFunctions.tokenCount(col("text"))),
       Some(mixOp.sql("documents", "text"))),
 
+    OracleQuery("dp_noisy_counts",
+      // privacy export: per-source counts + deterministic-stream
+      // Laplace(1/eps) noise, tiny groups suppressed (k-anonymity guard)
+      (s, dir) => new graft.operators.stats.DpExport(
+        "source", epsilon = 1.0, minGroupSize = 10L)(Tables(s, dir, "documents")),
+      Some(new graft.operators.stats.DpExport(
+        "source", epsilon = 1.0, minGroupSize = 10L).sql("documents"))),
+
     OracleQuery("embedding_outliers",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

@@ -108,6 +108,25 @@ class ModelStatsSpec extends AnyFunSuite {
     assert(op(ev.repartition(1)).head() == op(ev.repartition(11, col("user_id"))).head())
   }
 
+  test("dp export: noise perturbs, tiny groups suppressed, deterministic across partitionings") {
+    import graft.operators.stats.DpExport
+    val df = ((1 to 40).map(i => (s"row$i", "big")) ++ Seq(("x", "tiny"), ("y", "tiny")))
+      .toDF("id", "grp")
+    val op = new DpExport("grp", epsilon = 1.0, minGroupSize = 10L)
+    val out = op(df).collect()
+    // tiny (n=2) suppressed entirely; big present with a perturbed count
+    assert(out.map(_.getString(0)).toSeq == Seq("big"))
+    val noisy = out.head.getDouble(1)
+    assert(noisy != 40.0 && math.abs(noisy - 40.0) < 15.0,
+      s"Laplace(1) noise should perturb but stay plausible: $noisy")
+    // deterministic: same seed, any partitioning
+    assert(op(df.repartition(7, col("id"))).collect().head.getDouble(1) == noisy)
+    // tighter epsilon → more noise for the same group/seed
+    val loose = new DpExport("grp", epsilon = 0.1, minGroupSize = 10L)(df)
+      .collect().head.getDouble(1)
+    assert(math.abs(loose - 40.0) > math.abs(noisy - 40.0))
+  }
+
   test("correlation: a feature correlates with itself at exactly 1") {
     val df = (1 to 50).map(i => (i.toLong, i.toLong, (51 - i).toLong))
       .toDF("y", "x1", "x2")
