@@ -121,6 +121,24 @@ object SearchGraphQueries {
            |ORDER BY term""".stripMargin
       }),
 
+    OracleQuery("triangle_count",
+      // per-vertex triangle counts on the circulant graph C(n;1,2) over
+      // doc ids (every consecutive id triple closes a triangle) — the
+      // degree-ordered wedge join, two hash joins, exact BIGINTs
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 2) % n).as("dst")))
+        new graft.operators.graph.TriangleCount().counts(edges)
+      },
+      Some(new graft.operators.graph.TriangleCount().countsSql(
+        """SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+          |UNION ALL
+          |SELECT doc_id AS src, (doc_id + 2) % (SELECT count(*) FROM documents) AS dst FROM documents""".stripMargin))),
+
     OracleQuery("domain_pagerank",
       // deterministic synthetic link graph over doc ids (every node has
       // out-degree 2; both engines derive it from the same CASE-free

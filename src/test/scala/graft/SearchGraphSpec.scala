@@ -200,6 +200,22 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(byId(10L) > byId(40L))
   }
 
+  test("triangles: K4 has 4 (3 per vertex); stars have none; dups/loops/reversals collapse") {
+    import graft.operators.graph.TriangleCount
+    val tc = new TriangleCount()
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toDF("src", "dst")
+    val out = tc.counts(k4).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 3L, 3L, 3L))
+    assert(tc.totalTriangles(k4).head().getLong(0) == 4L)
+    // star graph: many wedges, zero closures
+    val star = (1L to 10L).map((0L, _)).toDF("src", "dst")
+    assert(tc.counts(star).count() == 0)
+    // duplicates, reversed duplicates, and self-loops change nothing
+    val noisy = k4.unionAll(k4.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(Seq((2L, 2L)).toDF("src", "dst"))
+    assert(tc.totalTriangles(noisy).head().getLong(0) == 4L)
+  }
+
   test("ndcg: hand-computed on a crafted ranking; perfect ranking scores 1") {
     import graft.operators.ml.RankingMetrics
     def lg2(x: Double) = math.log(x) / math.log(2.0)
