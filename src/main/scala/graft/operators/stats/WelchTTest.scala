@@ -36,8 +36,8 @@ final class WelchTTest(
     val s = df.filter(col(groupCol).isin(groupA, groupB))
       .select(isA.as("_a"), vs.as("_v"))
       .agg(
-        sum(when(col("_a"), 1L).otherwise(0L)).as("na"),
-        sum(when(!col("_a"), 1L).otherwise(0L)).as("nb"),
+        count(when(col("_a"), lit(1))).as("na"),
+        count(when(!col("_a"), lit(1))).as("nb"),
         sum(when(col("_a"), col("_v")).otherwise(0L)).as("sa"),
         sum(when(!col("_a"), col("_v")).otherwise(0L)).as("sb"),
         sum(when(col("_a"), col("_v") * col("_v")).otherwise(0L)).as("ssa"),
@@ -54,9 +54,16 @@ final class WelchTTest(
     val t = (ma - mb) / sqrt(sea + seb)
     val dfw = (sea + seb) * (sea + seb) /
       (sea * sea / (d("na") - lit(1.0)) + seb * seb / (d("nb") - lit(1.0)))
+    // guards (lazily evaluated — CaseWhen skips the division entirely,
+    // which matters under ANSI mode AND for the streaming readout,
+    // where an early trigger legitimately has 0- or 1-row groups):
+    // means need n>0, the test needs both n>1 AND nonzero pooled SE
+    val bothVar = col("na") > 1 && col("nb") > 1
     s.select(col("na"), col("nb"),
-      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
-      round(t, 6).as("t_stat"), round(dfw, 6).as("df_welch"))
+      when(col("na") > 0, round(ma, 6)).as("mean_a"),
+      when(col("nb") > 0, round(mb, 6)).as("mean_b"),
+      when(bothVar, when(sea + seb > lit(0.0), round(t, 6))).as("t_stat"),
+      when(bothVar, when(sea + seb > lit(0.0), round(dfw, 6))).as("df_welch"))
   }
 
   // ---- DuckDB twin (same expression shapes) ----
@@ -73,19 +80,23 @@ final class WelchTTest(
     val t = s"(($ma - $mb) / sqrt($sea + $seb))"
     val dfw = s"(($sea + $seb) * ($sea + $seb) / " +
       s"($sea * $sea / (${d("na")} - 1.0) + $seb * $seb / (${d("nb")} - 1.0)))"
+    val bothVar = "na > 1 AND nb > 1"
     s"""WITH _tt AS (SELECT $groupCol = '$groupA' AS a,
        |    CAST(floor($valueCol * $sc) AS BIGINT) AS v
        |  FROM $table WHERE $groupCol IN ('$groupA', '$groupB')),
        |_ts AS (SELECT
-       |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
-       |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    count(CASE WHEN a THEN 1 END) AS na,
+       |    count(CASE WHEN NOT a THEN 1 END) AS nb,
        |    CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS BIGINT) AS sa,
        |    CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS BIGINT) AS sb,
        |    CAST(sum(CASE WHEN a THEN v * v ELSE 0 END) AS BIGINT) AS ssa,
        |    CAST(sum(CASE WHEN NOT a THEN v * v ELSE 0 END) AS BIGINT) AS ssb
        |  FROM _tt)
-       |SELECT na, nb, round($ma, 6) AS mean_a, round($mb, 6) AS mean_b,
-       |  round($t, 6) AS t_stat, round($dfw, 6) AS df_welch
+       |SELECT na, nb,
+       |  CASE WHEN na > 0 THEN round($ma, 6) END AS mean_a,
+       |  CASE WHEN nb > 0 THEN round($mb, 6) END AS mean_b,
+       |  CASE WHEN $bothVar THEN (CASE WHEN $sea + $seb > 0.0 THEN round($t, 6) END) END AS t_stat,
+       |  CASE WHEN $bothVar THEN (CASE WHEN $sea + $seb > 0.0 THEN round($dfw, 6) END) END AS df_welch
        |FROM _ts""".stripMargin
   }
 }

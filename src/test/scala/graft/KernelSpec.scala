@@ -143,6 +143,29 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncodePacked matches a by-hand argmin on random vectors (direct eval)") {
+    val pq = new graft.operators.vector.ProductQuantizer()
+    val gen = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
+    check(Prop.forAll(gen) { vec =>
+      val arr = new GenericArrayData(vec.toArray)
+      val got = kernels.PqEncodePacked(
+        Literal.create(arr, ArrayType(DoubleType)), pq.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+        .eval(null).asInstanceOf[Long]
+      // by-hand: per subspace, argmin of the same left-to-right fold
+      var expected = 0L
+      var radix = 1L
+      for (m <- 0 until 8) {
+        val best = (0 until 16).minBy { k =>
+          var d = 0.0
+          for (i <- 0 until 8) { val x = vec(m * 8 + i) - pq.codebook(m)(k)(i); d += x * x }
+          (d, k)
+        }
+        expected += best * radix; radix *= 16
+      }
+      got == expected
+    })
+  }
+
   test("PqEncodePacked kernel is bit-identical to the declarative argmin/pack tree") {
     val pq = new graft.operators.vector.ProductQuantizer()
     val emb = table("embeddings").select(col("vec_id"), col("embedding"))

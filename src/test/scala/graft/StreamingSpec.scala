@@ -382,4 +382,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(snapshot() == Map(1L -> 9.0, 3L -> 3.0)) // update, delete, insert
     } finally q.stop()
   }
+
+  test("streaming A/B readout: WelchTTest over a stream converges to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_abstream")
+    val op = new graft.operators.stats.WelchTTest("v", "grp", "a", "b")
+    val mem = MemoryStream[(String, Double)]
+    // the batch operator IS the streaming operator: its one aggregate
+    // becomes incremental streaming state, the t projection recomputes
+    // per trigger (complete mode — the readout is a single row)
+    val q = op(mem.toDF().toDF("grp", "v"))
+      .writeStream.format("memory").queryName("ab_out")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("complete").start()
+    val batch1 = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0))
+    val batch2 = Seq(("a", 3.0), ("b", 4.0), ("b", 6.0), ("b", 8.0))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ab_out").collect().last
+      val batch = op((batch1 ++ batch2).toDF("grp", "v")).head()
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }

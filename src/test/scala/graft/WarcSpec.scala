@@ -185,6 +185,26 @@ class WarcSpec extends AnyFunSuite {
     assert(planFormatted(df.limit(1)).contains("PushedLimit"))
   }
 
+  test("corrupt input is survived, not crashed: truncated, garbage, and empty warc bytes") {
+    // truncated mid-record: the complete leading records still parse
+    val full = warcFile
+    val truncated = full.take(full.length / 2)
+    assert(Warc.extractDocs("CC", "t.warc", truncated).size <= 1) // no throw
+    // pure garbage and empty: zero records, zero docs
+    assert(Warc.extractDocs("CC", "g.warc", Array.fill[Byte](512)(0x41)).isEmpty)
+    assert(Warc.extractDocs("CC", "e.warc", Array.emptyByteArray).isEmpty)
+    // a content-length lying PAST the end of file must not throw
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/a\r\n" +
+      "Content-Length: 999999\r\n\r\nshort").getBytes("UTF-8")
+    assert(Warc.extractDocs("CC", "l.warc", lying).isEmpty)
+    // and the DSv2 scan tolerates a corrupt file alongside a good one
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_bad")
+    java.nio.file.Files.write(dir.resolve("good.warc"), full)
+    java.nio.file.Files.write(dir.resolve("bad.warc"), Array.fill[Byte](256)(0x00))
+    val df = spark.read.format("warc").load(dir.toString + "/*.warc")
+    assert(df.count() == 1)
+  }
+
   test("manifest: pathsFor resolves warc.paths.gz, caps, and drives loadCrawl") {
     val crawl = "CC-TEST-2024-01"
     val root = java.nio.file.Files.createTempDirectory("graft_cc_mirror")
