@@ -49,6 +49,15 @@ object AnalyticsQueries {
       (s, dir) => bpeOp.pairCounts(Tables(s, dir, "documents")),
       Some(bpeOp.sql("documents"))),
 
+    OracleQuery("unigram_seed_counts",
+      // unigram-LM round 0: the distributed seed-substring counts
+      // (every 1..4-gram of every distinct word, weighted by word
+      // frequency) the EM trainer prunes from — exact BIGINTs
+      (s, dir) => new graft.operators.text.UnigramLmInduction("text")
+        .seedCounts(Tables(s, dir, "documents"), topK = 40),
+      Some(new graft.operators.text.UnigramLmInduction("text")
+        .seedCountsSql("documents", topK = 40))),
+
     // KMV sketch estimate vs the oracle recomputing the SAME sketch from
     // the k-th smallest distinct hash — checks the sketch, not just the
     // neighborhood of the true count.

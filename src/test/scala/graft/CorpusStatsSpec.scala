@@ -142,6 +142,41 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out == Set("cafe"))
   }
 
+  test("unigram viterbi: picks the max-logprob segmentation, longest piece on ties") {
+    val u = new graft.operators.text.UnigramLmInduction()
+    // "ab" (-1) beats "a"+"b" (-4); "c" forced as a single char
+    val lp = Map("ab" -> -1.0, "a" -> -2.0, "b" -> -2.0, "c" -> -5.0)
+    assert(u.segment("abc", lp) == Seq("ab", "c"))
+    assert(u.segment("ba", lp) == Seq("b", "a"))
+    // exact tie between "ab" and "a"+"b": the single longer piece wins
+    val tie = Map("ab" -> -4.0, "a" -> -2.0, "b" -> -2.0)
+    assert(u.segment("ab", tie) == Seq("ab"))
+    assert(u.segment("", lp).isEmpty)
+  }
+
+  test("unigram trainer: char coverage, frequent substrings promoted, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+        (i, "internationalization nation national internal ization " + s"rare$i"))
+      .toDF("doc_id", "text")
+    val u = new graft.operators.text.UnigramLmInduction(
+      "text", seedMaxLen = 6, seedSize = 500, vocabSize = 40, emIters = 2)
+    val vocab = u.train(docs)
+    val pieces = vocab.map(_._1).toSet
+    // every character of the corpus is segmentable
+    val chars = "internationalizationrare0123456789".toSet.map((c: Char) => c.toString)
+    assert(chars.subsetOf(pieces))
+    // the shared stems earn multi-char pieces
+    assert(pieces.exists(p => p.length >= 3 && "nation".contains(p)))
+    // encode reconstructs the word exactly
+    val toks = u.encode("internationalization", vocab)
+    assert(toks.mkString == "internationalization")
+    assert(toks.size < "internationalization".length) // actually compresses
+    // training is invariant to partitioning (exact counts end to end)
+    val again = u.train(docs.repartition(7, $"doc_id"))
+    assert(vocab == again)
+  }
+
   test("bpe encode expression matches the JVM reference encode word-by-word") {
     import spark.implicits._
     val merges = Seq("t" -> "h", "th" -> "e", "the" -> "</w>", "a" -> "a",
