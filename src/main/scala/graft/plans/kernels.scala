@@ -1249,9 +1249,87 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Token count under a FIXED unigram-LM vocabulary in one JVM pass
+    * per row: normalize (the shared `TextFunctions.normalizeText`
+    * algebra), whitespace-split, Viterbi-segment each word under the
+    * piece log-probs (max Σ log p, longest piece on ties — the exact
+    * [[graft.operators.text.UnigramLmInduction.segment]] semantics,
+    * spec-pinned equal), sum the piece counts. Per-partition word memo
+    * as in [[BpeTokenCount]]. Unsegmentable words (chars outside the
+    * vocab) fall back to char count, mirroring the trainer's coverage
+    * fallback.
+    */
+  case class UnigramTokenCount(child: Expression, vocab: Seq[(String, Double)],
+      maxPieceLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    @transient private lazy val logp: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double]()
+      vocab.foreach { case (p, lp) => m.put(p, java.lang.Double.valueOf(lp)) }
+      m
+    }
+    @transient private lazy val memo = new java.util.HashMap[String, java.lang.Long]()
+    private val MaxMemo = 1 << 16
+
+    private def segCount(word: String): Long = {
+      val n = word.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val cnt = new Array[Long](n + 1)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var l = 1
+        while (l <= math.min(i, maxPieceLen)) {
+          if (best(i - l) > Double.NegativeInfinity) {
+            val p = logp.get(word.substring(i - l, i))
+            if (p != null && best(i - l) + p.doubleValue() >= best(i)) {
+              best(i) = best(i - l) + p.doubleValue()
+              cnt(i) = cnt(i - l) + 1
+            }
+          }
+          l += 1
+        }
+        i += 1
+      }
+      if (best(n) == Double.NegativeInfinity) n.toLong else cnt(n)
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val norm = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+      if (norm.isEmpty) java.lang.Long.valueOf(0L)
+      else {
+        var total = 0L
+        var from = 0
+        while (from <= norm.length) {
+          val sp = norm.indexOf(' ', from)
+          val end = if (sp < 0) norm.length else sp
+          if (end > from) {
+            val w = norm.substring(from, end)
+            val cached = memo.get(w)
+            val c = if (cached != null) cached.longValue()
+            else {
+              val n = segCount(w)
+              if (memo.size < MaxMemo) memo.put(w, java.lang.Long.valueOf(n))
+              n
+            }
+            total += c
+          }
+          from = end + 1
+        }
+        java.lang.Long.valueOf(total)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     expr2col(BpeTokenCount(colExpr(text), merges))
+  /** Unigram-LM token count under a fixed trained vocab. */
+  def unigram_token_count(text: Column, vocab: Seq[(String, Double)],
+      maxPieceLen: Int): Column =
+    expr2col(UnigramTokenCount(colExpr(text), vocab, maxPieceLen))
   def array_cosine(a: Column, b: Column): Column = expr2col(ArrayCosine(colExpr(a), colExpr(b)))
   def unicode_normalize(text: Column, form: String = "NFC",
       stripControls: Boolean = false): Column =
