@@ -71,6 +71,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.KmvSketch(
         args(0), intLit(args(1), "k")).toAggregateExpression()))
 
+    ext.injectFunction((FunctionIdentifier("topk_values"),
+      info("topk_values",
+        "topk_values(v, k[, largest]) - mergeable bounded top-k aggregate (map-side k-element heaps)"),
+      (args: Seq[Expression]) => graft.functions.TopKAgg(
+        args(0), intLit(args(1), "k"),
+        if (args.length > 2) args(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"largest must be a boolean literal, got $other")
+        } else true).toAggregateExpression()))
+
     ext.injectOptimizerRule(session => new VectorCartesianGuard(session))
   }
 }

@@ -61,6 +61,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql > 500 && viaSql < 1400, s"estimate $viaSql far from 900")
   }
 
+  test("topk_values aggregates from SQL: bounded partials, both directions") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    df.createOrReplaceTempView("ext_topk")
+    val hi = spark.sql("SELECT topk_values(v, 3) AS t FROM ext_topk")
+      .head().getSeq[Double](0)
+    assert(hi == Seq(1000.0, 999.0, 998.0))
+    val lo = spark.sql("SELECT topk_values(v, 3, false) AS t FROM ext_topk")
+      .head().getSeq[Double](0)
+    assert(lo == Seq(1.0, 2.0, 3.0))
+    val p = spark.sql("SELECT topk_values(v, 3) FROM ext_topk")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_values"), p)
+  }
+
   test("vector cartesian guard: off by default, fails the plan when enabled") {
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "v")
     // off: the cross join plans and runs
