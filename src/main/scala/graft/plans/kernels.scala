@@ -35,28 +35,44 @@ object kernels {
     }
 
   /** Cosine similarity of two numeric arrays; null if either norm is 0
-    * (DuckDB's x/0 NULL — Spark ANSI would throw on the declarative form).
+    * (DuckDB's x/0 NULL — Spark ANSI would throw on the declarative
+    * form). The ONE kernel with real `doGenCode` (not CodegenFallback):
+    * it sits inside the pair-verify inner loops of every cosine-dedup /
+    * ANN gate, where the fallback's per-row boxed eval was measurable;
+    * generated code is a static call into [[KernelOps]] with
+    * codegen-time element-type tags.
     */
   case class ArrayCosine(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     private def elemType(e: Expression) = e.dataType.asInstanceOf[ArrayType].elementType
-
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-      val at = elemType(left); val bt = elemType(right)
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = arrayDouble(a, at, i); val y = arrayDouble(b, bt, i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+    private def typeTag(e: Expression): Int = elemType(e) match {
+      case FloatType => KernelOps.TFloat
+      case DoubleType => KernelOps.TDouble
+      case LongType => KernelOps.TLong
+      case IntegerType => KernelOps.TInt
+      case other => throw new IllegalStateException(s"bad element type $other")
     }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      KernelOps.arrayCosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        typeTag(left), typeTag(right))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("cosine")
+        s"""
+           |java.lang.Double $tmp = graft.plans.KernelOps.arrayCosine(
+           |  $a, $b, ${typeTag(left)}, ${typeTag(right)});
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
