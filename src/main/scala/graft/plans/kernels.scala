@@ -4,7 +4,6 @@ import graft.functions.HashFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -19,11 +18,65 @@ import org.apache.spark.sql.types._
   * (left-to-right, double precision), so results are bit-identical to both
   * the HOF form and the DuckDB oracle twin.
   *
-  * CodegenFallback costs one virtual call per ROW (the loop body is plain
-  * JVM code that JITs well) — unlike interpreted HOFs which pay the
-  * interpreter per ELEMENT.
+  * Codegen: every kernel implements real `doGenCode` through
+  * [[kernels.UnaryRefCodegen]]/[[kernels.BinaryRefCodegen]] — generated
+  * code calls the kernel instance directly with the unboxed child value
+  * (one virtual call per ROW into a loop body that JITs well), instead
+  * of CodegenFallback's per-row InternalRow construction; the stateless
+  * ArrayCosine goes further with a fully static call.
   */
 object kernels {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  private def unboxCode(dt: DataType, tmp: String): String = dt match {
+    case DoubleType => s"((java.lang.Double) $tmp).doubleValue()"
+    case LongType => s"((java.lang.Long) $tmp).longValue()"
+    case IntegerType => s"((java.lang.Integer) $tmp).intValue()"
+    case BooleanType => s"((java.lang.Boolean) $tmp).booleanValue()"
+    case StringType => s"(org.apache.spark.unsafe.types.UTF8String) $tmp"
+    case _: ArrayType => s"(org.apache.spark.sql.catalyst.util.ArrayData) $tmp"
+    case _: StructType => s"(org.apache.spark.sql.catalyst.InternalRow) $tmp"
+    case other => throw new IllegalStateException(s"no unbox for $other")
+  }
+
+  /** Real codegen for the kernel expressions: generated code calls the
+    * kernel instance (carried in the plan's references array) directly
+    * with the UNBOXED child value — skipping CodegenFallback's per-row
+    * InternalRow construction + interpreted dispatch. The kernel's own
+    * `nullSafeEval` stays the single source of semantics (interpreted
+    * and generated paths share it), so the DuckDB-oracle parity pins
+    * hold identically under both.
+    */
+  trait UnaryRefCodegen extends UnaryExpression {
+    /** Public bridge so generated Java can invoke the protected eval. */
+    def refEval(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("kernel", this)
+        val tmp = ctx.freshName("kres")
+        s"""
+           |Object $tmp = $ref.refEval($c);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${unboxCode(dataType, tmp)}; }
+         """.stripMargin
+      })
+  }
+
+  /** Binary twin of [[UnaryRefCodegen]]. */
+  trait BinaryRefCodegen extends BinaryExpression {
+    def refEval(l: Any, r: Any): Any = nullSafeEval(l, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val ref = ctx.addReferenceObj("kernel", this)
+        val tmp = ctx.freshName("kres")
+        s"""
+           |Object $tmp = $ref.refEval($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${unboxCode(dataType, tmp)}; }
+         """.stripMargin
+      })
+  }
 
   private def arrayDouble(a: ArrayData, dt: DataType, i: Int): Double =
     dt match {
@@ -36,10 +89,9 @@ object kernels {
 
   /** Cosine similarity of two numeric arrays; null if either norm is 0
     * (DuckDB's x/0 NULL — Spark ANSI would throw on the declarative
-    * form). The ONE kernel with real `doGenCode` (not CodegenFallback):
+    * form). Fully static codegen (no reference-object indirection):
     * it sits inside the pair-verify inner loops of every cosine-dedup /
-    * ANN gate, where the fallback's per-row boxed eval was measurable;
-    * generated code is a static call into [[KernelOps]] with
+    * ANN gate; generated code is a static call into [[KernelOps]] with
     * codegen-time element-type tags.
     */
   case class ArrayCosine(left: Expression, right: Expression)
@@ -112,7 +164,7 @@ object kernels {
     * twin needed).
     */
   case class MinHashSignature(child: Expression, numHashes: Int, portable: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private val consts = (0 until numHashes).map(HashFunctions.mixConstants).toArray
 
@@ -146,7 +198,7 @@ object kernels {
     * lists / hashed shingle sets — shuffles fixed-width longs, not text).
     */
   case class HashArray(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val ss = v.asInstanceOf[ArrayData]
@@ -184,7 +236,7 @@ object kernels {
     * (~30× slowdown, measured round 1); here tokenization runs once per row.
     */
   case class ShingleHashes(child: Expression, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     require(w >= 1)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
@@ -223,7 +275,7 @@ object kernels {
     * Empty array → null (a doc with no shingles has no signature).
     */
   case class MinHashFromHashes(child: Expression, numHashes: Int, portable: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
     private val consts = (0 until numHashes).map(HashFunctions.mixConstants).toArray
@@ -267,7 +319,7 @@ object kernels {
     * bit-identical to `xxhash64(gram)` (the production default).
     */
   case class ShingleHashesPositional(child: Expression, w: Int, family: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     require(w >= 1)
     require(family == "portable" || family == "xxhash64",
       s"unsupported hash family '$family' (portable | xxhash64)")
@@ -310,7 +362,7 @@ object kernels {
     * (same elements, same order).
     */
   case class CoverageMask(left: Expression, right: Expression, w: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with BinaryRefCodegen {
     require(w >= 1)
     override def dataType: DataType = left.dataType
     override def nullSafeEval(t: Any, d: Any): Any = {
@@ -342,7 +394,7 @@ object kernels {
     * Token hash = the portable 60-bit md5 prefix.
     */
   case class SimHash(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = LongType
 
     override def nullSafeEval(v: Any): Any = {
@@ -375,7 +427,7 @@ object kernels {
     * `ORDER BY dist, cid` first-wins.
     */
   case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     require(centroids.nonEmpty)
     override def dataType: DataType = IntegerType
     private val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
@@ -412,7 +464,7 @@ object kernels {
     * computes, so distance-based outlier rules stay oracle-checkable.
     */
   case class NearestCentroidDist(child: Expression, centroids: Seq[Seq[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     require(centroids.nonEmpty)
     override def dataType: DataType = DoubleType
     private val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
@@ -449,7 +501,7 @@ object kernels {
     * guard. Bit-identical: hits/size division in the same order.
     */
   case class StopwordScores(child: Expression, profiles: Seq[Seq[String]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     private val sets: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
       profiles.map { p =>
@@ -497,7 +549,7 @@ object kernels {
     * semantics stay the engine's own. Null text → null.
     */
   case class QualityScoreRaw(child: Expression, profiles: Seq[Seq[String]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     @transient private lazy val sets: Array[java.util.HashSet[String]] =
@@ -570,7 +622,7 @@ object kernels {
   case class GopherSignals(
       child: Expression, stopwords: Seq[String],
       minWords: Long, maxWords: Long, minStopwords: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = StructType(Seq(
       StructField("word_count", LongType, nullable = false),
       StructField("mean_word_len", DoubleType, nullable = false),
@@ -660,7 +712,7 @@ object kernels {
     * space). NULL input must be coalesced to '' by the wrapper.
     */
   case class C4Signals(child: Expression, minWordsPerLine: Int, minSentences: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = StructType(Seq(
       StructField("text_clean", StringType, nullable = false),
       StructField("lines_kept", LongType, nullable = false),
@@ -730,7 +782,7 @@ object kernels {
     * match starts before an overlapping higher-priority one.
     */
   case class PiiSignals(child: Expression, patterns: Seq[(String, String, String)])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = StructType(
       patterns.map { case (k, _, _) =>
         StructField(s"${k}_count", LongType, nullable = false)
@@ -785,7 +837,7 @@ object kernels {
     * the verification step of the near-dup joins.
     */
   case class ArrayJaccard(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with BinaryRefCodegen {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     private def elemType(e: Expression) = e.dataType.asInstanceOf[ArrayType].elementType
@@ -835,7 +887,7 @@ object kernels {
       weights: graft.ml.ClassifierWeights,
       normalize: Boolean = true,
       squash: Boolean = true)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = DoubleType
     @transient private lazy val w = {
       val arr = weights.get
@@ -878,7 +930,7 @@ object kernels {
     * bag-of-hashed-ngram models distributedly (the DSIR fit pass).
     */
   case class HashedNgramBuckets(child: Expression, buckets: Int, bigrams: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     @transient private lazy val space =
       org.apache.spark.unsafe.types.UTF8String.fromString(" ")
@@ -917,7 +969,7 @@ object kernels {
   case class BloomMightContain(
       child: Expression,
       bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = BooleanType
     override def nullSafeEval(v: Any): Any =
       bf.value.mightContainBinary(
@@ -938,7 +990,7 @@ object kernels {
     * the n-gram fractions. Empty text → all zeros.
     */
   case class RepetitionSignals(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = StructType(Seq(
       StructField("dup_line_frac", DoubleType, nullable = false),
       StructField("dup_line_char_frac", DoubleType, nullable = false),
@@ -1026,7 +1078,7 @@ object kernels {
     * DuckDB twin.
     */
   case class RepetitionKeep(child: Expression, maxes: Seq[Double])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     require(maxes.length == 7, s"need 7 thresholds, got ${maxes.length}")
     override def dataType: DataType = BooleanType
     // signal order: dlf, dlcf, dpf, dpcf, t2, t3, t4
@@ -1052,7 +1104,7 @@ object kernels {
     * (the whitespace the tokenizer understands).
     */
   case class UnicodeNormalize(child: Expression, form: String, stripControls: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = StringType
     @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
     override def nullSafeEval(v: Any): Any = {
@@ -1087,7 +1139,7 @@ object kernels {
     * decomposition tables, which is what makes the oracle gate possible.
     */
   case class StripAccents(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
@@ -1117,7 +1169,7 @@ object kernels {
     * Empty/null-coalesced text → 1.0 (no evidence either way).
     */
   case class DeflateRatio(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(v: Any): Any = {
       val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
@@ -1142,7 +1194,7 @@ object kernels {
     * bounds.
     */
   case class DeflateKeep(child: Expression, minRatio: Double, maxRatio: Double)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = BooleanType
     private val inner = DeflateRatio(child)
     override def nullSafeEval(v: Any): Any = {
@@ -1165,7 +1217,7 @@ object kernels {
     * bound memory on adversarial vocabularies.
     */
   case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = LongType
     @transient private lazy val memo = new java.util.HashMap[String, java.lang.Long]()
     private val MaxMemo = 1 << 16
@@ -1225,7 +1277,7 @@ object kernels {
     * 16 centroids × 8 dims) and paid ~3 s/20k rows mostly in codegen.
     */
   case class PqEncodePacked(child: Expression, codebook: Seq[Seq[Seq[Double]]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     require(codebook.nonEmpty && codebook.head.nonEmpty && codebook.head.head.nonEmpty)
     override def dataType: DataType = LongType
     private val cb: Array[Array[Array[Double]]] =
@@ -1277,7 +1329,7 @@ object kernels {
     */
   case class UnigramTokenCount(child: Expression, vocab: Seq[(String, Double)],
       maxPieceLen: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = LongType
     @transient private lazy val logp: java.util.HashMap[String, java.lang.Double] = {
       val m = new java.util.HashMap[String, java.lang.Double]()
