@@ -46,29 +46,12 @@ final class TriangleCount(srcCol: String = "src", dstCol: String = "dst") {
       .select(col("e.u").as("a"), col("e.v").as("b"))
   }
 
-  /** `(vertex, triangles)` for every vertex in ≥1 triangle, plus the
-    * closing logic: a wedge a→b, a→c (b < c) closes iff oriented edge
-    * b→c or c→b exists — checked against the oriented set, which holds
-    * each undirected edge exactly once.
+  /** One row per triangle `(a, b, c)` — a wedge a→b, a→c (b < c)
+    * closes iff undirected edge {b, c} exists; the closing set holds
+    * each undirected edge exactly once in id-ascending form, so no
+    * dedup pass is needed after the join.
     */
-  def counts(edges: DataFrame): DataFrame = {
-    val e = oriented(edges)
-    val wedges = e.select(col("a"), col("b").as("w1"))
-      .join(e.select(col("a"), col("b").as("w2")), Seq("a"))
-      .filter(col("w1") < col("w2"))
-    val closing = e.select(col("a").as("c1"), col("b").as("c2"))
-      .unionAll(e.select(col("b").as("c1"), col("a").as("c2")))
-      .filter(col("c1") < col("c2"))
-    val tris = wedges.join(closing,
-      col("w1") === col("c1") && col("w2") === col("c2"))
-      .select(col("a"), col("w1").as("b"), col("w2").as("c"))
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
-      .groupBy(col("vertex")).agg(count(lit(1)).as("triangles"))
-      .orderBy(col("vertex"))
-  }
-
-  /** Single-row total (each triangle counted once). */
-  def totalTriangles(edges: DataFrame): DataFrame = {
+  private def triangles(edges: DataFrame): DataFrame = {
     val e = oriented(edges)
     val wedges = e.select(col("a"), col("b").as("w1"))
       .join(e.select(col("a"), col("b").as("w2")), Seq("a"))
@@ -77,8 +60,19 @@ final class TriangleCount(srcCol: String = "src", dstCol: String = "dst") {
       .unionAll(e.select(col("b").as("c1"), col("a").as("c2")))
       .filter(col("c1") < col("c2"))
     wedges.join(closing, col("w1") === col("c1") && col("w2") === col("c2"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("a"), col("w1").as("b"), col("w2").as("c"))
   }
+
+  /** `(vertex, triangles)` for every vertex in ≥1 triangle. */
+  def counts(edges: DataFrame): DataFrame =
+    triangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("vertex"))
+
+  /** Single-row total (each triangle counted once). */
+  def totalTriangles(edges: DataFrame): DataFrame =
+    triangles(edges).agg(count(lit(1)).as("n_triangles"))
 
   // ---- DuckDB twin: same orientation, same wedge close ----
 

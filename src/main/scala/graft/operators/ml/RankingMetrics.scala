@@ -48,12 +48,17 @@ object RankingMetrics {
       lit(0.0),
       (acc, p) => acc + p.getField("g").cast("double") /
         (log(p.getField("r").cast("double") + lit(1.0)) / log(lit(2.0))))
+    // empty ranked list → NULL dcg/idcg (matching the twin, where
+    // list() over zero rows is NULL — Spark's aggregate over the empty
+    // collect_list would otherwise say 0.0) and ndcg 0.0 in both;
+    // the guard also keeps sequence(1, 0)'s count-DOWN surprise out
+    val hasRows = size(col("_ps")) > 0
     pairs.select(
       lit(k).as("k"), col("n_relevant"),
       round(col("n_relevant").cast("double") / lit(k.toDouble), 6).as("precision_at_k"),
-      round(dcg, 6).as("dcg"),
-      round(idcg, 6).as("idcg"),
-      round(when(idcg > lit(0.0), dcg / idcg).otherwise(lit(0.0)), 6).as("ndcg"))
+      when(hasRows, round(dcg, 6)).as("dcg"),
+      when(hasRows, round(idcg, 6)).as("idcg"),
+      round(when(hasRows && idcg > lit(0.0), dcg / idcg).otherwise(lit(0.0)), 6).as("ndcg"))
   }
 
   /** DuckDB twin over a complete ranked-list SELECT producing

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * anywhere, so the flagged set is partition-invariant and
   * engine-portable.
   *
+  * Overflow headroom (the [[graft.operators.stats.WelchTTest]]
+  * discipline): the rule's largest product is `scaled·n·ratioDen` —
+  * with the default `scale` 10⁶, unit-norm-ish embeddings (dist² ≤
+  * ~10²) and ratioDen ≤ 10 it stays under 2⁶³ to ~10⁹ rows per
+  * cluster; bigger clusters drop a scale digit.
+  *
   * Scale shape: per-row map (centroids ride the closure) + one
   * partial-aggregated groupBy on cluster id (two longs per cluster per
   * partition on the wire) + one broadcast-sized join back. No windows,
@@ -34,7 +40,7 @@ final class EmbeddingOutliers(
     centroids: Seq[Seq[Double]],
     ratioNum: Long = 11L,
     ratioDen: Long = 10L,
-    scale: Double = 1e9) {
+    scale: Double = 1e6) {
 
   val name = "embedding_outliers"
 
@@ -99,7 +105,7 @@ final class EmbeddingOutlierFilter(
     k: Int = 8,
     ratioNum: Long = 11L,
     ratioDen: Long = 10L,
-    scale: Double = 1e9) extends graft.core.RejectingOperator {
+    scale: Double = 1e6) extends graft.core.RejectingOperator {
 
   val name = "embedding_outlier_filter"
 

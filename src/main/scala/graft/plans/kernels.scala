@@ -48,6 +48,28 @@ object kernels {
     * and generated paths share it), so the DuckDB-oracle parity pins
     * hold identically under both.
     */
+  /** The null-result branch may only write `ev.isNull` when the
+    * expression is NULLABLE — `nullSafeCodeGen`'s non-nullable branch
+    * never declares that variable, and an assignment to it is
+    * uncompilable generated Java (Janino "not an rvalue"), which under
+    * the default `spark.sql.codegen.fallback=true` silently demotes
+    * the whole stage to interpreted execution. A non-nullable kernel
+    * returning null is a kernel bug — surface it loudly instead.
+    */
+  private def resultCode(nullable: Boolean, dt: DataType,
+      ev: ExprCode, tmp: String): String =
+    if (nullable)
+      s"""
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${unboxCode(dt, tmp)}; }
+       """.stripMargin
+    else
+      s"""
+         |if ($tmp == null) { throw new IllegalStateException(
+         |  "kernel returned null for a non-nullable expression"); }
+         |${ev.value} = ${unboxCode(dt, tmp)};
+       """.stripMargin
+
   trait UnaryRefCodegen extends UnaryExpression {
     /** Public bridge so generated Java can invoke the protected eval. */
     def refEval(v: Any): Any = nullSafeEval(v)
@@ -57,8 +79,7 @@ object kernels {
         val tmp = ctx.freshName("kres")
         s"""
            |Object $tmp = $ref.refEval($c);
-           |if ($tmp == null) { ${ev.isNull} = true; }
-           |else { ${ev.value} = ${unboxCode(dataType, tmp)}; }
+           |${resultCode(nullable, dataType, ev, tmp)}
          """.stripMargin
       })
   }
@@ -72,8 +93,7 @@ object kernels {
         val tmp = ctx.freshName("kres")
         s"""
            |Object $tmp = $ref.refEval($a, $b);
-           |if ($tmp == null) { ${ev.isNull} = true; }
-           |else { ${ev.value} = ${unboxCode(dataType, tmp)}; }
+           |${resultCode(nullable, dataType, ev, tmp)}
          """.stripMargin
       })
   }
@@ -1280,12 +1300,17 @@ object kernels {
       extends UnaryExpression with UnaryRefCodegen {
     require(codebook.nonEmpty && codebook.head.nonEmpty && codebook.head.head.nonEmpty)
     override def dataType: DataType = LongType
+    // a too-short vector encodes to null (the fixed-offset reads below
+    // must never run past the array — a truncated embedding row is a
+    // data problem to surface downstream, not memory to misread)
+    override def nullable: Boolean = true
     private val cb: Array[Array[Array[Double]]] =
       codebook.map(_.map(_.toArray).toArray).toArray
     private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
 
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() < cb.length * cb(0)(0).length) return null
       val at = elemType
       val dsub = cb(0)(0).length
       var packed = 0L

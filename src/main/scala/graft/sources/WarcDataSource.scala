@@ -55,10 +55,12 @@ object WarcDataSource {
     StructField("text", StringType, nullable = false),
     StructField("text_length", LongType, nullable = false)))
 
-  /** Expand `paths` (comma-separated globs) into concrete file paths. */
-  private[sources] def listFiles(paths: String,
+  /** Expand path globs into concrete file paths (each entry is ONE
+    * glob — commas/braces inside a Hadoop glob are preserved).
+    */
+  private[sources] def listFiles(paths: Seq[String],
       hadoopConf: org.apache.hadoop.conf.Configuration): Seq[String] =
-    paths.split(",").map(_.trim).filter(_.nonEmpty).flatMap { p =>
+    paths.map(_.trim).filter(_.nonEmpty).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(hadoopConf)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
@@ -66,7 +68,7 @@ object WarcDataSource {
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
       }.map(_.getPath.toString)
-    }.toSeq.sorted
+    }.sorted
 }
 
 private final class WarcTable(options: CaseInsensitiveStringMap)
@@ -105,18 +107,22 @@ private final class WarcScan(options: CaseInsensitiveStringMap, required: Struct
       limit.map(n => s" PushedLimit=$n").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val paths = Option(options.get("paths"))
+    val raw = Option(options.get("paths"))
       .orElse(Option(options.get("path")))
       .getOrElse(throw new IllegalArgumentException(
         "warc source needs a path: spark.read.format(\"warc\").load(glob)"))
-    // load("a.warc") arrives as a JSON array string in "paths"
-    val cleaned =
-      if (paths.startsWith("[")) paths.stripPrefix("[").stripSuffix("]")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).mkString(",")
-      else paths
+    // load(...) serializes its varargs as a JSON array into "paths" —
+    // parse it as JSON (NOT comma-split: Hadoop brace-globs like
+    // {CC-2024-01,CC-2024-02} legitimately contain commas)
+    val globs: Seq[String] =
+      if (raw.startsWith("[")) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(raw)
+        (0 until node.size()).map(node.get(_).asText())
+      } else Seq(raw)
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    WarcDataSource.listFiles(cleaned, conf)
+    WarcDataSource.listFiles(globs, conf)
       .map(f => WarcInputPartition(f): InputPartition).toArray
   }
 
@@ -151,10 +157,17 @@ private final class WarcPartitionReader(
   private val docs: Iterator[Warc.WarcDoc] = {
     val path = new Path(file)
     val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(path).getLen
+    // the record framer works over one in-memory byte array (like
+    // Spark's own binaryFile source, capped at Int.MaxValue): a >2 GiB
+    // member must fail LOUDLY — an Int cast would allocate a negative
+    // or truncated buffer and silently mis-parse
+    require(len <= Int.MaxValue - 16,
+      s"warc file $file is $len bytes — beyond the 2 GiB single-buffer " +
+        "limit; split the archive (CommonCrawl ships ~1 GiB members)")
     val in = fs.open(path)
     val bytes = try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val buf = new Array[Byte](len)
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()

@@ -143,6 +143,34 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel codegen COMPILES with fallback disabled — nullable and non-nullable children") {
+    // spark.sql.codegen.fallback=true (the default) silently demotes a
+    // failed compile to interpreted execution — this pin is what keeps
+    // the ref-codegen traits honest (the non-nullable branch once
+    // emitted a write to an undeclared isNull variable)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = table("documents")
+      // deflate_keep coalesces text to '' => NON-nullable child
+      assert(docs.select(kernels.deflate_keep(col("text"), 0.05, 0.999).as("k"))
+        .filter(col("k")).count() > 0)
+      // repetition battery struct over the coalesced (non-nullable) child
+      assert(docs.select(kernels.repetition_signals(col("text")).as("r"))
+        .select(col("r.dup_line_frac")).count() > 0)
+      // nullable children across return types: array, double, long
+      assert(docs.select(kernels.shingle_hashes(col("text"), 3).as("h"))
+        .select(org.apache.spark.sql.functions.size(col("h"))).count() > 0)
+      assert(docs.select(graft.operators.text.TextAnalysis.qualityScore(
+        col("text"), TextFunctions.tokensOf(col("text")))).count() > 0)
+      val emb = table("embeddings")
+      assert(emb.select(kernels.array_cosine(col("embedding"), col("embedding"))).count() > 0)
+      assert(emb.select(kernels.pq_encode_packed(col("embedding"),
+        new graft.operators.vector.ProductQuantizer().codebook
+          .map(_.map(_.toSeq).toSeq).toSeq)).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("PqEncodePacked matches a by-hand argmin on random vectors (direct eval)") {
     val pq = new graft.operators.vector.ProductQuantizer()
     val gen = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
