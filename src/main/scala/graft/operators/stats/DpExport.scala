@@ -54,7 +54,48 @@ final class DpExport(
       .orderBy(col(groupCol))
   }
 
+  /** DP noisy SUM of an integer metric with per-record CLIPPING — the
+    * other half of the mechanism: a sum's sensitivity is unbounded
+    * until each record's contribution is clamped to `clip`, after
+    * which Laplace(clip/ε) calibrates to the worst-case single-record
+    * influence. Clipped totals stay exact BIGINTs; the noise stream is
+    * the same portable hash (salted differently so count and sum noise
+    * are independent draws).
+    */
+  def noisySums(df: DataFrame, metric: Column, clip: Long): DataFrame = {
+    require(clip > 0, s"clip must be positive, got $clip")
+    val u = (HashFunctions.portableHash64(
+        concat(lit(seed.toString), lit("|sum|"), col(groupCol).cast("string")))
+      .bitwiseAND(lit(Mask53)).cast("double") / lit(Mask53.toDouble + 1.0))
+    val centered = u - lit(0.5)
+    val b = lit(clip.toDouble / epsilon)
+    val noise = -b * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(least(metric.cast("long"), lit(clip))).as("_s"))
+      .filter(col("_n") >= minGroupSize)
+      .select(col(groupCol),
+        round(greatest(lit(0.0), col("_s").cast("double") + noise), 3)
+          .as("noisy_sum"))
+      .orderBy(col(groupCol))
+  }
+
   // ---- DuckDB twin (same hash, same fixed-shape transform) ----
+
+  def noisySumsSql(table: String, metricExpr: String, clip: Long): String = {
+    val h = HashFunctions.portableHash64Sql(
+      s"('${seed}' || '|sum|' || CAST($groupCol AS VARCHAR))")
+    val u = s"(CAST(($h) & $Mask53 AS DOUBLE) / ${Mask53.toDouble + 1.0})"
+    val centered = s"($u - 0.5)"
+    val noise =
+      s"(-(${clip.toDouble} / $epsilon) * sign($centered) * ln(1.0 - 2.0 * abs($centered)))"
+    s"""WITH _dsg AS (SELECT $groupCol, count(*) AS n,
+       |    CAST(sum(least(CAST($metricExpr AS BIGINT), $clip)) AS BIGINT) AS s
+       |  FROM $table GROUP BY $groupCol HAVING count(*) >= $minGroupSize)
+       |SELECT $groupCol,
+       |  round(greatest(CAST(0.0 AS DOUBLE), CAST(s AS DOUBLE) + $noise), 3) AS noisy_sum
+       |FROM _dsg ORDER BY $groupCol""".stripMargin
+  }
 
   def sql(table: String): String = {
     val h = HashFunctions.portableHash64Sql(

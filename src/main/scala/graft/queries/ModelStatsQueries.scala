@@ -131,6 +131,17 @@ object ModelStatsQueries {
       Some(new graft.operators.stats.DpExport(
         "source", epsilon = 1.0, minGroupSize = 10L).sql("documents"))),
 
+    OracleQuery("dp_noisy_token_sums",
+      // the sum half of the DP export: per-source token totals with
+      // per-doc clipping at 500 (sensitivity bound) + Laplace(clip/eps)
+      (s, dir) => new graft.operators.stats.DpExport(
+        "source", epsilon = 1.0, minGroupSize = 10L)
+        .noisySums(Tables(s, dir, "documents"),
+          TextFunctions.tokenCount(col("text")), clip = 500L),
+      Some(new graft.operators.stats.DpExport(
+        "source", epsilon = 1.0, minGroupSize = 10L)
+        .noisySumsSql("documents", TextFunctions.tokenCountSql("text"), clip = 500L))),
+
     OracleQuery("embedding_outliers",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

@@ -99,12 +99,32 @@ private final class WarcScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 private final class WarcScan(options: CaseInsensitiveStringMap, required: StructType,
-    limit: Option[Int]) extends Scan with Batch {
+    limit: Option[Int]) extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"warc required=[${required.fieldNames.mkString(",")}]" +
       limit.map(n => s" PushedLimit=$n").getOrElse("")
+
+  /** Size estimate for the optimizer (join-side selection): the summed
+    * archive bytes — conservative (extracted text is smaller) but
+    * enough to keep a warc scan off the broadcast side of a join.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: java.util.OptionalLong = {
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration
+      val total = partitions.map { p =>
+        val path = new Path(p.asInstanceOf[WarcInputPartition].file)
+        path.getFileSystem(conf).getFileStatus(path).getLen
+      }.sum
+      java.util.OptionalLong.of(total)
+    }
+    override def sizeInBytes(): java.util.OptionalLong = bytes
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  private lazy val partitions: Array[InputPartition] = planInputPartitions()
 
   override def planInputPartitions(): Array[InputPartition] = {
     val raw = Option(options.get("paths"))

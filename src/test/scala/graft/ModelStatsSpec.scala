@@ -127,6 +127,28 @@ class ModelStatsSpec extends AnyFunSuite {
     assert(math.abs(loose - 40.0) > math.abs(noisy - 40.0))
   }
 
+  test("dp noisy sums: clipping bounds a whale's influence, noise scales with clip/eps") {
+    import graft.operators.stats.DpExport
+    // 39 docs of ~10 tokens + one 10k-token whale: clipped at 20, the
+    // whale moves the published total by AT MOST the clip
+    def doc(words: Int) = (1 to words).map(i => s"w$i").mkString(" ")
+    val normal = (1 to 39).map(i => (s"d$i", doc(10), "g"))
+    val whale = Seq(("whale", doc(10000), "g"))
+    val op = new DpExport("grp", epsilon = 1.0, minGroupSize = 10L)
+    val metric = graft.functions.TextFunctions.tokenCount(col("text"))
+    val withWhale = op.noisySums((normal ++ whale).toDF("id", "text", "grp"),
+      metric, clip = 20L).head().getDouble(1)
+    val without = op.noisySums(normal.toDF("id", "text", "grp"),
+      metric, clip = 20L).head().getDouble(1)
+    assert(withWhale - without == 20.0) // exactly the clip, not 10k
+    // same seed/group: larger clip → proportionally larger noise draw
+    val df = (normal ++ whale).toDF("id", "text", "grp")
+    val trueSum = 39.0 * 10 + 20 // clipped total
+    val n20 = op.noisySums(df, metric, 20L).head().getDouble(1) - trueSum
+    val n200 = op.noisySums(df, metric, 200L).head().getDouble(1) - (39.0 * 10 + 200)
+    assert(math.abs(n200) > math.abs(n20))
+  }
+
   test("correlation: a feature correlates with itself at exactly 1") {
     val df = (1 to 50).map(i => (i.toLong, i.toLong, (51 - i).toLong))
       .toDF("y", "x1", "x2")
