@@ -238,6 +238,32 @@ object Warc {
       .flatMap { case (path, bytes) => extractDocs(crawlId, path, bytes) }
   }
 
+  /** Streaming twin of [[load]]: new WARC files landing under
+    * `pathGlob` flow through the same per-file parse + extraction as a
+    * Structured Streaming source (file-source semantics: exactly-once
+    * per file via the checkpointed file log; `maxFilesPerTrigger`
+    * bounds a trigger — the reference's loader backpressure).
+    */
+  def loadStream(spark: SparkSession, pathGlob: String, crawlId: String,
+      maxFilesPerTrigger: Int = 8): Dataset[WarcDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // streaming file sources require an explicit schema — binaryFile's
+    // is fixed
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => extractDocs(crawlId, path, bytes) }
+  }
+
   /** Pure per-file extraction (also the unit-test surface). */
   def extractDocs(crawlId: String, path: String, bytes: Array[Byte]): Iterator[WarcDoc] =
     records(bytes)

@@ -383,6 +383,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming warc ingestion: files landing across triggers extract exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_warcstream")
+    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
+    def rec(uri: String, html: String): Array[Byte] = {
+      val body = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+      val c = body.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2024-12-01T00:00:00Z\r\nContent-Length: ${c.length}\r\n\r\n" +
+        body + "\r\n\r\n").getBytes("UTF-8")
+    }
+    def page(tag: String) = s"<html><body><p>Document $tag carries plenty of " +
+      "perfectly ordinary readable words to clear the extraction minimum.</p></body></html>"
+    java.nio.file.Files.write(srcDir.resolve("a.warc"), rec("http://x/a", page("alpha")))
+    val q = graft.sources.Warc.loadStream(spark, srcDir.toString, "CC-S")
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 1)
+      // second trigger: one NEW file; the old one is not re-extracted
+      java.nio.file.Files.write(srcDir.resolve("b.warc"), rec("http://x/b", page("beta")))
+      q.processAllAvailable()
+      val urls = spark.table("warc_stream").select("url")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(urls == Seq("http://x/a", "http://x/b"))
+    } finally q.stop()
+  }
+
   test("streaming A/B readout: WelchTTest over a stream converges to the batch answer") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
