@@ -61,6 +61,54 @@ object RankingMetrics {
       round(when(hasRows && idcg > lit(0.0), dcg / idcg).otherwise(lit(0.0)), 6).as("ndcg"))
   }
 
+  /** Mean reciprocal rank over a MULTI-QUERY ranked table
+    * `(queryCol, idCol, scoreCol, relCol)`: per query, 1/rank of the
+    * first relevant candidate within the top `k` (0 when none); the
+    * mean folds the per-query RRs in query-id order (sorted list
+    * fold — same determinism discipline as [[ndcgAtK]]). One row:
+    * `(k, n_queries, mrr)`.
+    */
+  def mrrAtK(ranked: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_q")).orderBy(col(scoreCol).desc, col(idCol))
+    val firstRel = ranked
+      .select(col(queryCol).as("_q"), col(idCol), col(scoreCol),
+        col(relCol).cast("long").as("_rel"))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .groupBy(col("_q"))
+      .agg(min(when(col("_rel") === 1L, col("_r"))).as("_fr"))
+    val rrs = firstRel.agg(
+      count(lit(1)).as("n_queries"),
+      sort_array(collect_list(struct(col("_q").as("q"),
+        coalesce(lit(1.0) / col("_fr").cast("double"), lit(0.0)).as("rr")))).as("_rs"))
+    rrs.select(lit(k).as("k"), col("n_queries"),
+      round(aggregate(col("_rs"), lit(0.0),
+          (acc, p) => acc + p.getField("rr")) / col("n_queries").cast("double"), 6)
+        .as("mrr"))
+  }
+
+  /** Twin of [[mrrAtK]] over a ranked-table SELECT. */
+  def mrrSql(rankedSql: String, queryCol: String, idCol: String,
+      scoreCol: String, relCol: String, k: Int): String =
+    s"""WITH _mrk AS ($rankedSql),
+       |_mtop AS (SELECT $queryCol AS q, CAST($relCol AS BIGINT) AS rel,
+       |    row_number() OVER (PARTITION BY $queryCol
+       |      ORDER BY $scoreCol DESC, $idCol) AS r
+       |  FROM _mrk QUALIFY r <= $k),
+       |_mfr AS (SELECT q, min(CASE WHEN rel = 1 THEN r END) AS fr
+       |  FROM _mtop GROUP BY q),
+       |_mrs AS (SELECT count(*) AS n_queries,
+       |    list_sort(list({'q': q,
+       |      'rr': coalesce(CAST(1.0 AS DOUBLE) / CAST(fr AS DOUBLE), CAST(0.0 AS DOUBLE))})) AS rs
+       |  FROM _mfr)
+       |SELECT $k AS k, n_queries,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(rs, p -> p.rr)), (acc, x) -> acc + x)
+       |    / CAST(n_queries AS DOUBLE), 6) AS mrr
+       |FROM _mrs""".stripMargin
+
   /** DuckDB twin over a complete ranked-list SELECT producing
     * `(idCol, scoreCol, relCol)`.
     */

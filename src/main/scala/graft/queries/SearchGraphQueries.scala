@@ -81,6 +81,33 @@ object SearchGraphQueries {
            |JOIN documents d ON d.doc_id = b.doc_id""".stripMargin,
         "doc_id", "bm25_score", "rel", k = 10))),
 
+    OracleQuery("retrieval_mrr",
+      // multi-query eval: MRR@10 of dense retrieval against same-label
+      // relevance, self-matches excluded — the mean folds per-query RRs
+      // in query order (never an order-dependent float sum)
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("_qe"),
+            col("label").as("_qlab"))
+        val scored = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(graft.functions.VectorFunctions.cosine(
+              col("embedding"), col("_qe")), 6).as("cosine"),
+            (col("label") === col("_qlab")).as("rel"))
+        graft.operators.ml.RankingMetrics.mrrAtK(
+          scored, "query_id", "vec_id", "cosine", "rel", k = 10)
+      },
+      Some(graft.operators.ml.RankingMetrics.mrrSql(
+        s"""SELECT q.query_id, e.vec_id,
+           |  round(${graft.functions.VectorFunctions.cosineSql("e.embedding", "q.qe")}, 6) AS cosine,
+           |  e.label = q.qlab AS rel
+           |FROM embeddings e, (SELECT vec_id AS query_id, embedding AS qe, label AS qlab
+           |  FROM embeddings WHERE vec_id < 5) q
+           |WHERE e.vec_id <> q.query_id""".stripMargin,
+        "query_id", "vec_id", "cosine", "rel", k = 10))),
+
     OracleQuery("inverted_index",
       // (term, doc_freq, capped postings CSV) for the hottest terms —
       // posting lists via the bounded mergeable TopKAgg, never an

@@ -237,6 +237,24 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(RankingMetrics.ndcgAtK(none, "id", "s", "rel", k = 3).head().getDouble(5) == 0.0)
   }
 
+  test("mrr: first-relevant reciprocal ranks, misses count 0, hand-checked mean") {
+    import graft.operators.ml.RankingMetrics
+    // q1: relevant at rank 2 (rr 1/2); q2: at rank 1 (rr 1); q3: none in top-k (rr 0)
+    val df = Seq(
+      (1L, 10L, 0.9, 0L), (1L, 11L, 0.8, 1L), (1L, 12L, 0.7, 0L),
+      (2L, 20L, 0.9, 1L), (2L, 21L, 0.8, 1L),
+      (3L, 30L, 0.9, 0L), (3L, 31L, 0.8, 0L))
+      .toDF("q", "id", "s", "rel")
+    val r = RankingMetrics.mrrAtK(df, "q", "id", "s", "rel", k = 3).head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.5) // (0.5 + 1 + 0) / 3
+    // k truncation: relevant at rank 3 vanishes under k=2
+    val late = Seq((1L, 10L, 0.9, 0L), (1L, 11L, 0.8, 0L), (1L, 12L, 0.7, 1L))
+      .toDF("q", "id", "s", "rel")
+    assert(RankingMetrics.mrrAtK(late, "q", "id", "s", "rel", k = 2)
+      .head().getDouble(2) == 0.0)
+  }
+
   test("inverted index: hot-term postings cap to the smallest ids; partition-invariant") {
     val docs = (1L to 30L).map(i =>
         (i, if (i % 2 == 0) "common filler words here" else s"rare$i solo"))
