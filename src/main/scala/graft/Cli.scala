@@ -36,10 +36,27 @@ object Cli {
     case "list-operators" :: Nil =>
       OperatorRegistry.listOperators.foreach(println)
 
+    case "analyze" :: inPath :: outDir :: rest =>
+      def opt(flag: String, default: String) =
+        rest.sliding(2).collectFirst { case `flag` :: v :: Nil => v }.getOrElse(default)
+      val spark = GraftSession.local()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val s = graft.runner.CorpusAnalyze.run(spark,
+          spark.read.parquet(inPath), outDir,
+          textCol = opt("--text-field", "text"),
+          idCol = opt("--id-field", "doc_id"),
+          sourceCol = opt("--source-field", "source"))
+        println(s"""{"rows":${s.rows},"sources":${s.sources},""" +
+          s""""tokens_total":${s.tokensTotal},"novelty_modal_decile":${s.noveltyMedianBucket},""" +
+          s""""reports":"$outDir/{source_inventory,column_profile,length_percentiles,novelty_deciles}"}""")
+      } finally spark.stop()
+
     case _ =>
       System.err.println(
         """usage:
           |  graft.Cli run -c <config.yaml> [--max-samples N]
+          |  graft.Cli analyze <corpus.parquet> <outDir> [--text-field F] [--id-field F] [--source-field F]
           |  graft.Cli list-operators""".stripMargin)
       sys.exit(2)
   }

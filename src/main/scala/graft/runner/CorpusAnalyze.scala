@@ -1,0 +1,64 @@
+package graft.runner
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `graft.Cli analyze` — the one-shot corpus health report a curation
+  * run starts from: column profile, per-source inventory (docs /
+  * tokens / mean quality), length percentiles, and the novelty
+  * distribution (how much of the corpus is recombined boilerplate).
+  * Each report writes as parquet under `outDir`; the returned summary
+  * feeds the CLI's JSON line. All aggregations are the bounded,
+  * partial-aggregated shapes used by the gated operators — the report
+  * runs at any corpus size.
+  */
+object CorpusAnalyze {
+
+  final case class Summary(
+      rows: Long, sources: Long, tokensTotal: Long, noveltyMedianBucket: Long)
+
+  def run(spark: SparkSession, df: DataFrame, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): Summary = {
+    val toks = TextFunctions.tokenCount(col(textCol))
+
+    // per-source inventory: docs, tokens, mean quality (rounded-mean
+    // broadcast discipline of DomainStatsFilter)
+    val inventory = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(toks).as("tokens"),
+        round(avg(graft.operators.text.TextAnalysis.qualityScore(
+          col(textCol), TextFunctions.tokensOf(col(textCol)))), 6).as("mean_quality"))
+      .orderBy(col(sourceCol))
+    inventory.write.mode("overwrite").parquet(s"$outDir/source_inventory")
+
+    // column profile (exact tier of the table-maintenance profiler)
+    val profile = graft.operators.table.ColumnProfiler.profile(
+      df, df.columns.toSeq.take(6))
+    profile.write.mode("overwrite").parquet(s"$outDir/column_profile")
+
+    // length distribution: exact percentiles of the token count
+    val lengths = df.select(toks.as("n_tok"))
+      .agg(expr("percentile(n_tok, array(0.1, 0.5, 0.9, 0.99))").as("p"))
+      .select((0 until 4).map(i => element_at(col("p"), i + 1)
+        .as(Seq("p10", "p50", "p90", "p99")(i))): _*)
+    lengths.write.mode("overwrite").parquet(s"$outDir/length_percentiles")
+
+    // novelty decile histogram: the recombined-boilerplate fingerprint
+    val novelty = new graft.operators.text.NgramNovelty(textCol, idCol)(df)
+      .select(floor(col("novelty") * 10).cast("long").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("docs"))
+      .orderBy(col("decile"))
+    novelty.write.mode("overwrite").parquet(s"$outDir/novelty_deciles")
+
+    val inv = spark.read.parquet(s"$outDir/source_inventory")
+    val nov = spark.read.parquet(s"$outDir/novelty_deciles")
+      .orderBy(col("docs").desc, col("decile")).limit(1).collect()
+    Summary(
+      rows = df.count(),
+      sources = inv.count(),
+      tokensTotal = inv.agg(sum("tokens")).head().getLong(0),
+      noveltyMedianBucket = if (nov.isEmpty) -1L else nov.head.getLong(0))
+  }
+}

@@ -716,6 +716,22 @@ class RunnerSpec extends AnyFunSuite {
     assert(new java.io.File("/tmp/graft_out/documents_curated").exists())
   }
 
+  test("corpus analyze writes the four reports with consistent totals") {
+    val out = java.nio.file.Files.createTempDirectory("graft_analyze").toString
+    val docs = table("documents")
+    val s = graft.runner.CorpusAnalyze.run(spark, docs, out)
+    assert(s.rows == docs.count())
+    assert(s.sources == 20 && s.tokensTotal > 0)
+    val inv = spark.read.parquet(s"$out/source_inventory")
+    assert(inv.agg(org.apache.spark.sql.functions.sum("docs")).head().getLong(0) == s.rows)
+    assert(inv.columns.toSeq == Seq("source", "docs", "tokens", "mean_quality"))
+    assert(spark.read.parquet(s"$out/column_profile").count() > 0)
+    val lp = spark.read.parquet(s"$out/length_percentiles").head()
+    assert(lp.getDouble(0) <= lp.getDouble(1) && lp.getDouble(1) <= lp.getDouble(3))
+    val nov = spark.read.parquet(s"$out/novelty_deciles")
+    assert(nov.agg(org.apache.spark.sql.functions.sum("docs")).head().getLong(0) <= s.rows)
+  }
+
   test("yaml pipeline loads CommonCrawl warc through the DSv2 source end-to-end") {
     val base = java.nio.file.Files.createTempDirectory("graft_warcpipe")
     def rec(tpe: String, uri: String, content: String): String = {
