@@ -83,9 +83,12 @@ object RankingMetrics {
       count(lit(1)).as("n_queries"),
       sort_array(collect_list(struct(col("_q").as("q"),
         coalesce(lit(1.0) / col("_fr").cast("double"), lit(0.0)).as("rr")))).as("_rs"))
+    // zero queries → NULL mrr (the guarded CaseWhen skips the division
+    // entirely — ANSI mode would otherwise throw on 0.0/0.0)
     rrs.select(lit(k).as("k"), col("n_queries"),
-      round(aggregate(col("_rs"), lit(0.0),
-          (acc, p) => acc + p.getField("rr")) / col("n_queries").cast("double"), 6)
+      when(col("n_queries") > 0,
+        round(aggregate(col("_rs"), lit(0.0),
+          (acc, p) => acc + p.getField("rr")) / col("n_queries").cast("double"), 6))
         .as("mrr"))
   }
 
@@ -104,9 +107,10 @@ object RankingMetrics {
        |      'rr': coalesce(CAST(1.0 AS DOUBLE) / CAST(fr AS DOUBLE), CAST(0.0 AS DOUBLE))})) AS rs
        |  FROM _mfr)
        |SELECT $k AS k, n_queries,
-       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |      list_transform(rs, p -> p.rr)), (acc, x) -> acc + x)
-       |    / CAST(n_queries AS DOUBLE), 6) AS mrr
+       |  CASE WHEN n_queries > 0 THEN
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(rs, p -> p.rr)), (acc, x) -> acc + x)
+       |      / CAST(n_queries AS DOUBLE), 6) END AS mrr
        |FROM _mrs""".stripMargin
 
   /** DuckDB twin over a complete ranked-list SELECT producing

@@ -132,4 +132,25 @@ class EmptyInputSpec extends AnyFunSuite {
     zero("kmeans update")(new graft.operators.ml.KMeansBuckets("embedding", "cid", 2)
       .updateCentroids(noVecs.withColumn("cid", lit(0L)), "cid", outDims = 2))
   }
+
+  test("retrieval/graph/tokenizer family survives empty input") {
+    zero("triangles")(new graft.operators.graph.TriangleCount()
+      .counts(Seq.empty[(Long, Long)].toDF("src", "dst")))
+    zero("inverted index")(new graft.operators.text.InvertedIndex()(noDocs))
+    zero("unigram seeds")(new graft.operators.text.UnigramLmInduction("text")
+      .seedCounts(noDocs, topK = 10))
+    zero("dp counts")(new graft.operators.stats.DpExport("source")(noDocs))
+    zero("rrf")(graft.operators.text.HybridRetrieval.rrf(
+      Seq.empty[(Long, Double)].toDF("id", "s"), "id", "s",
+      Seq.empty[(Long, Double)].toDF("id", "s"), "id", "s"))
+    // the scalar evals return one DEFINED row on empty input, not a throw
+    val mrr = graft.operators.ml.RankingMetrics.mrrAtK(
+      Seq.empty[(Long, Long, Double, Long)].toDF("q", "id", "s", "rel"),
+      "q", "id", "s", "rel", k = 5).head()
+    assert(mrr.getLong(1) == 0L && mrr.isNullAt(2))
+    val ndcg = graft.operators.ml.RankingMetrics.ndcgAtK(
+      Seq.empty[(Long, Double, Long)].toDF("id", "s", "rel"),
+      "id", "s", "rel", k = 5).head()
+    assert(ndcg.isNullAt(3) && ndcg.isNullAt(4) && ndcg.getDouble(5) == 0.0)
+  }
 }
