@@ -267,10 +267,14 @@ object Bench {
           .ranks(nodes, edges).count()
       }
       // triangle counting over the 10x circulant C(n;1,2): the
-      // degree-ordered wedge join's two hash joins at 10x nodes
+      // degree-ordered wedge join's two hash joins at 10x nodes.
+      // Dense 0..n-1 ids via spark.range — big's re-keyed doc_ids
+      // modulo n would fold the replicas onto the low range and the
+      // measured graph would be skew-hubbed, not the claimed circulant
       val tTri = time {
-        val tedges = big.select(col("doc_id").as("src"), ((col("doc_id") + 1) % nNodes).as("dst"))
-          .unionByName(big.select(col("doc_id").as("src"), ((col("doc_id") + 2) % nNodes).as("dst")))
+        val ids = spark.range(nNodes).toDF("id")
+        val tedges = ids.select(col("id").as("src"), ((col("id") + 1) % nNodes).as("dst"))
+          .unionByName(ids.select(col("id").as("src"), ((col("id") + 2) % nNodes).as("dst")))
         new graft.operators.graph.TriangleCount().counts(tedges).count()
       }
       // inverted index at 10x docs: distinct-term explode + the bounded

@@ -37,18 +37,31 @@ object Cli {
       OperatorRegistry.listOperators.foreach(println)
 
     case "analyze" :: inPath :: outDir :: rest =>
-      def opt(flag: String, default: String) =
-        rest.sliding(2).collectFirst { case `flag` :: v :: Nil => v }.getOrElse(default)
+      // strict flag parse: unknown flags, missing values, and a flag in
+      // a value slot all FAIL (a silently-defaulted field would profile
+      // the wrong columns with no diagnostic)
+      val known = Set("--text-field", "--id-field", "--source-field")
+      def parseFlags(args: List[String], acc: Map[String, String]): Map[String, String] =
+        args match {
+          case Nil => acc
+          case flag :: value :: tail if known(flag) && !value.startsWith("--") =>
+            parseFlags(tail, acc + (flag -> value))
+          case bad :: _ =>
+            System.err.println(s"analyze: bad or incomplete flag near '$bad' " +
+              s"(known: ${known.toSeq.sorted.mkString(", ")}, each needs a value)")
+            sys.exit(2)
+        }
+      val flags = parseFlags(rest, Map.empty)
       val spark = GraftSession.local()
       spark.sparkContext.setLogLevel("WARN")
       try {
         val s = graft.runner.CorpusAnalyze.run(spark,
           spark.read.parquet(inPath), outDir,
-          textCol = opt("--text-field", "text"),
-          idCol = opt("--id-field", "doc_id"),
-          sourceCol = opt("--source-field", "source"))
+          textCol = flags.getOrElse("--text-field", "text"),
+          idCol = flags.getOrElse("--id-field", "doc_id"),
+          sourceCol = flags.getOrElse("--source-field", "source"))
         println(s"""{"rows":${s.rows},"sources":${s.sources},""" +
-          s""""tokens_total":${s.tokensTotal},"novelty_modal_decile":${s.noveltyMedianBucket},""" +
+          s""""tokens_total":${s.tokensTotal},"novelty_modal_decile":${s.noveltyModalDecile},""" +
           s""""reports":"$outDir/{source_inventory,column_profile,length_percentiles,novelty_deciles}"}""")
       } finally spark.stop()
 

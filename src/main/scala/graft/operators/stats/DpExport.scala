@@ -56,8 +56,10 @@ final class DpExport(
 
   /** DP noisy SUM of an integer metric with per-record CLIPPING — the
     * other half of the mechanism: a sum's sensitivity is unbounded
-    * until each record's contribution is clamped to `clip`, after
-    * which Laplace(clip/ε) calibrates to the worst-case single-record
+    * until each record's contribution is clamped into [0, clip] (BOTH
+    * bounds — an unclipped negative record would shift the total
+    * arbitrarily while the noise stays calibrated to `clip`), after
+    * which Laplace(clip/ε) covers the worst-case single-record
     * influence. Clipped totals stay exact BIGINTs; the noise stream is
     * the same portable hash (salted differently so count and sum noise
     * are independent draws).
@@ -72,7 +74,7 @@ final class DpExport(
     val noise = -b * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("_n"),
-        sum(least(metric.cast("long"), lit(clip))).as("_s"))
+        sum(greatest(least(metric.cast("long"), lit(clip)), lit(0L))).as("_s"))
       .filter(col("_n") >= minGroupSize)
       .select(col(groupCol),
         round(greatest(lit(0.0), col("_s").cast("double") + noise), 3)
@@ -90,7 +92,7 @@ final class DpExport(
     val noise =
       s"(-(${clip.toDouble} / $epsilon) * sign($centered) * ln(1.0 - 2.0 * abs($centered)))"
     s"""WITH _dsg AS (SELECT $groupCol, count(*) AS n,
-       |    CAST(sum(least(CAST($metricExpr AS BIGINT), $clip)) AS BIGINT) AS s
+       |    CAST(sum(greatest(least(CAST($metricExpr AS BIGINT), $clip), 0)) AS BIGINT) AS s
        |  FROM $table GROUP BY $groupCol HAVING count(*) >= $minGroupSize)
        |SELECT $groupCol,
        |  round(greatest(CAST(0.0 AS DOUBLE), CAST(s AS DOUBLE) + $noise), 3) AS noisy_sum

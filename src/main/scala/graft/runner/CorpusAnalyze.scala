@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object CorpusAnalyze {
 
   final case class Summary(
-      rows: Long, sources: Long, tokensTotal: Long, noveltyMedianBucket: Long)
+      rows: Long, sources: Long, tokensTotal: Long, noveltyModalDecile: Long)
 
   def run(spark: SparkSession, df: DataFrame, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
@@ -46,19 +46,27 @@ object CorpusAnalyze {
     lengths.write.mode("overwrite").parquet(s"$outDir/length_percentiles")
 
     // novelty decile histogram: the recombined-boilerplate fingerprint
+    // (fully-novel docs score exactly 1.0 — clamp them into decile 9,
+    // not a phantom 11th bucket)
     val novelty = new graft.operators.text.NgramNovelty(textCol, idCol)(df)
-      .select(floor(col("novelty") * 10).cast("long").as("decile"))
+      .select(least(floor(col("novelty") * 10), lit(9)).cast("long").as("decile"))
       .groupBy(col("decile")).agg(count(lit(1)).as("docs"))
       .orderBy(col("decile"))
     novelty.write.mode("overwrite").parquet(s"$outDir/novelty_deciles")
 
+    // totals reconcile from the (tiny) inventory report — not a fifth
+    // full-corpus scan; coalesce covers the zero-row corpus (SUM over
+    // nothing is NULL)
     val inv = spark.read.parquet(s"$outDir/source_inventory")
+    val totals = inv.agg(
+      coalesce(sum("docs"), lit(0L)).as("rows"),
+      coalesce(sum("tokens"), lit(0L)).as("tokens")).head()
     val nov = spark.read.parquet(s"$outDir/novelty_deciles")
       .orderBy(col("docs").desc, col("decile")).limit(1).collect()
     Summary(
-      rows = df.count(),
+      rows = totals.getLong(0),
       sources = inv.count(),
-      tokensTotal = inv.agg(sum("tokens")).head().getLong(0),
-      noveltyMedianBucket = if (nov.isEmpty) -1L else nov.head.getLong(0))
+      tokensTotal = totals.getLong(1),
+      noveltyModalDecile = if (nov.isEmpty) -1L else nov.head.getLong(0))
   }
 }

@@ -243,9 +243,15 @@ object Warc {
     * Structured Streaming source (file-source semantics: exactly-once
     * per file via the checkpointed file log; `maxFilesPerTrigger`
     * bounds a trigger — the reference's loader backpressure).
+    *
+    * FILES MUST LAND ATOMICALLY (write to a temp name, then rename into
+    * the watched directory): exactly-once is per FILE — a half-copied
+    * archive picked up mid-write is parsed once from truncated bytes
+    * and its remaining records are permanently skipped. `globFilter`
+    * (default `*.warc*`) keeps temp-suffixed in-flight files invisible.
     */
   def loadStream(spark: SparkSession, pathGlob: String, crawlId: String,
-      maxFilesPerTrigger: Int = 8): Dataset[WarcDoc] = {
+      maxFilesPerTrigger: Int = 8, globFilter: String = "*.warc*"): Dataset[WarcDoc] = {
     import spark.implicits._
     import org.apache.spark.sql.types._
     // streaming file sources require an explicit schema — binaryFile's
@@ -258,6 +264,7 @@ object Warc {
     spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("pathGlobFilter", globFilter)
       .load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

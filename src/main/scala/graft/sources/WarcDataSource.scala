@@ -55,11 +55,13 @@ object WarcDataSource {
     StructField("text", StringType, nullable = false),
     StructField("text_length", LongType, nullable = false)))
 
-  /** Expand path globs into concrete file paths (each entry is ONE
-    * glob — commas/braces inside a Hadoop glob are preserved).
+  /** Expand path globs into concrete `(path, length)` pairs (each
+    * entry is ONE glob — commas/braces inside a Hadoop glob are
+    * preserved; lengths ride along from the listing's FileStatus, so
+    * statistics never need per-file RPCs).
     */
   private[sources] def listFiles(paths: Seq[String],
-      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[String] =
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] =
     paths.map(_.trim).filter(_.nonEmpty).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(hadoopConf)
@@ -67,8 +69,8 @@ object WarcDataSource {
       matched.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
-      }.map(_.getPath.toString)
-    }.sorted
+      }.map(st => (st.getPath.toString, st.getLen))
+    }.sortBy(_._1)
 }
 
 private final class WarcTable(options: CaseInsensitiveStringMap)
@@ -107,26 +109,20 @@ private final class WarcScan(options: CaseInsensitiveStringMap, required: Struct
       limit.map(n => s" PushedLimit=$n").getOrElse("")
 
   /** Size estimate for the optimizer (join-side selection): the summed
-    * archive bytes — conservative (extracted text is smaller) but
-    * enough to keep a warc scan off the broadcast side of a join.
+    * archive bytes from the one shared listing — conservative
+    * (extracted text is smaller) but enough to keep a warc scan off
+    * the broadcast side of a join.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val bytes: java.util.OptionalLong = {
-      val conf = org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration
-      val total = partitions.map { p =>
-        val path = new Path(p.asInstanceOf[WarcInputPartition].file)
-        path.getFileSystem(conf).getFileStatus(path).getLen
-      }.sum
-      java.util.OptionalLong.of(total)
-    }
+    private lazy val bytes = java.util.OptionalLong.of(
+      partitions.map(_.asInstanceOf[WarcInputPartition].length).sum)
     override def sizeInBytes(): java.util.OptionalLong = bytes
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  private lazy val partitions: Array[InputPartition] = planInputPartitions()
-
-  override def planInputPartitions(): Array[InputPartition] = {
+  // listed ONCE per scan: Spark's planInputPartitions call and the
+  // statistics estimate share this (a 10k-file S3 glob is expensive)
+  private lazy val partitions: Array[InputPartition] = {
     val raw = Option(options.get("paths"))
       .orElse(Option(options.get("path")))
       .getOrElse(throw new IllegalArgumentException(
@@ -143,8 +139,10 @@ private final class WarcScan(options: CaseInsensitiveStringMap, required: Struct
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     WarcDataSource.listFiles(globs, conf)
-      .map(f => WarcInputPartition(f): InputPartition).toArray
+      .map { case (f, len) => WarcInputPartition(f, len): InputPartition }.toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val crawlId = Option(options.get("crawl_id")).getOrElse("")
@@ -153,13 +151,15 @@ private final class WarcScan(options: CaseInsensitiveStringMap, required: Struct
   }
 }
 
-private final case class WarcInputPartition(file: String) extends InputPartition
+private final case class WarcInputPartition(file: String, length: Long)
+    extends InputPartition
 
 private final case class WarcReaderFactory(crawlId: String, fields: Seq[String],
     limit: Option[Int]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].file, crawlId, fields, limit)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val wp = partition.asInstanceOf[WarcInputPartition]
+    new WarcPartitionReader(wp.file, wp.length, crawlId, fields, limit)
+  }
 }
 
 /** Streams one WARC file: gunzip-if-needed, record iterate, HTML
@@ -169,7 +169,8 @@ private final case class WarcReaderFactory(crawlId: String, fields: Seq[String],
   * SerializableConfiguration through the factory.)
   */
 private final class WarcPartitionReader(
-    file: String, crawlId: String, fields: Seq[String], limit: Option[Int])
+    file: String, fileLength: Long, crawlId: String, fields: Seq[String],
+    limit: Option[Int])
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0
@@ -177,7 +178,7 @@ private final class WarcPartitionReader(
   private val docs: Iterator[Warc.WarcDoc] = {
     val path = new Path(file)
     val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val len = fs.getFileStatus(path).getLen
+    val len = fileLength
     // the record framer works over one in-memory byte array (like
     // Spark's own binaryFile source, capped at Int.MaxValue): a >2 GiB
     // member must fail LOUDLY — an Int cast would allocate a negative
