@@ -412,6 +412,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming calibration: the reliability table over a stream equals the batch table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_calstream")
+    val mem = MemoryStream[(Double, Long)]
+    val q = graft.operators.ml.Calibration.table(
+        mem.toDF().toDF("score", "lab"), col("score"), col("lab"))
+      .writeStream.format("memory").queryName("cal_out")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("complete").start()
+    val b1 = Seq((0.05, 0L), (0.55, 1L), (0.58, 1L))
+    val b2 = Seq((0.08, 1L), (0.51, 0L), (1.0, 1L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("cal_out").orderBy("bucket").collect().toSeq
+      val batch = graft.operators.ml.Calibration.table(
+        (b1 ++ b2).toDF("score", "lab"), col("score"), col("lab")).collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming A/B readout: WelchTTest over a stream converges to the batch answer") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
