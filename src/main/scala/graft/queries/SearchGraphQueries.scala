@@ -29,6 +29,111 @@ object SearchGraphQueries {
   private val invIndex = new graft.operators.text.InvertedIndex(
     minDocFreq = 2L, topTerms = 50, postingsCap = 10)
 
+  // INDEPENDENTLY derived by the zlib twin (tools/gen_compression_oracle.py):
+  // SyntheticTexts re-generated in Python from the integer spec, deflated by
+  // CPython zlib at the kernel's pinned level (BEST_SPEED = 1; Java Deflater
+  // and CPython zlib bind the same madler zlib, verified byte-equal), ratio
+  // rounded like Spark round(col, 6). `python3
+  // tools/gen_compression_oracle.py --check` asserts these blocks match the
+  // twin; regenerate with the same script (no --check).
+  private val compressionRatioValues = """  (CAST(0 AS BIGINT), CAST(223 AS BIGINT), CAST(0.699552 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(798 AS BIGINT), CAST(0.061404 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(274 AS BIGINT), CAST(0.879562 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(121 AS BIGINT), CAST(0.520661 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(1.000000 AS DOUBLE)),
+  (CAST(5 AS BIGINT), CAST(959 AS BIGINT), CAST(0.311783 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(988 AS BIGINT), CAST(0.052632 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(459 AS BIGINT), CAST(0.827887 AS DOUBLE)),
+  (CAST(8 AS BIGINT), CAST(106 AS BIGINT), CAST(0.500000 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(9.000000 AS DOUBLE)),
+  (CAST(10 AS BIGINT), CAST(681 AS BIGINT), CAST(0.396476 AS DOUBLE)),
+  (CAST(11 AS BIGINT), CAST(858 AS BIGINT), CAST(0.057110 AS DOUBLE)),
+  (CAST(12 AS BIGINT), CAST(237 AS BIGINT), CAST(0.898734 AS DOUBLE)),
+  (CAST(13 AS BIGINT), CAST(111 AS BIGINT), CAST(0.495495 AS DOUBLE)),
+  (CAST(14 AS BIGINT), CAST(12 AS BIGINT), CAST(1.666667 AS DOUBLE)),
+  (CAST(15 AS BIGINT), CAST(385 AS BIGINT), CAST(0.633766 AS DOUBLE)),
+  (CAST(16 AS BIGINT), CAST(1053 AS BIGINT), CAST(0.046534 AS DOUBLE)),
+  (CAST(17 AS BIGINT), CAST(422 AS BIGINT), CAST(0.831754 AS DOUBLE)),
+  (CAST(18 AS BIGINT), CAST(112 AS BIGINT), CAST(0.508929 AS DOUBLE)),
+  (CAST(19 AS BIGINT), CAST(12 AS BIGINT), CAST(1.666667 AS DOUBLE)),
+  (CAST(20 AS BIGINT), CAST(1117 AS BIGINT), CAST(0.280215 AS DOUBLE)),
+  (CAST(21 AS BIGINT), CAST(897 AS BIGINT), CAST(0.054627 AS DOUBLE)),
+  (CAST(22 AS BIGINT), CAST(200 AS BIGINT), CAST(0.920000 AS DOUBLE)),
+  (CAST(23 AS BIGINT), CAST(116 AS BIGINT), CAST(0.517241 AS DOUBLE)),
+  (CAST(24 AS BIGINT), CAST(85 AS BIGINT), CAST(1.129412 AS DOUBLE)),
+  (CAST(25 AS BIGINT), CAST(834 AS BIGINT), CAST(0.334532 AS DOUBLE)),
+  (CAST(26 AS BIGINT), CAST(1092 AS BIGINT), CAST(0.047619 AS DOUBLE)),
+  (CAST(27 AS BIGINT), CAST(385 AS BIGINT), CAST(0.844156 AS DOUBLE)),
+  (CAST(28 AS BIGINT), CAST(107 AS BIGINT), CAST(0.485981 AS DOUBLE)),
+  (CAST(29 AS BIGINT), CAST(12 AS BIGINT), CAST(1.666667 AS DOUBLE)),
+  (CAST(30 AS BIGINT), CAST(519 AS BIGINT), CAST(0.489403 AS DOUBLE)),
+  (CAST(31 AS BIGINT), CAST(936 AS BIGINT), CAST(0.052350 AS DOUBLE)),
+  (CAST(32 AS BIGINT), CAST(570 AS BIGINT), CAST(0.815789 AS DOUBLE)),
+  (CAST(33 AS BIGINT), CAST(119 AS BIGINT), CAST(0.512605 AS DOUBLE)),
+  (CAST(34 AS BIGINT), CAST(12 AS BIGINT), CAST(1.666667 AS DOUBLE)),
+  (CAST(35 AS BIGINT), CAST(235 AS BIGINT), CAST(0.685106 AS DOUBLE)),
+  (CAST(36 AS BIGINT), CAST(780 AS BIGINT), CAST(0.060256 AS DOUBLE)),
+  (CAST(37 AS BIGINT), CAST(348 AS BIGINT), CAST(0.850575 AS DOUBLE)),
+  (CAST(38 AS BIGINT), CAST(109 AS BIGINT), CAST(0.504587 AS DOUBLE)),
+  (CAST(39 AS BIGINT), CAST(12 AS BIGINT), CAST(1.666667 AS DOUBLE)),
+  (CAST(40 AS BIGINT), CAST(963 AS BIGINT), CAST(0.308411 AS DOUBLE)),
+  (CAST(41 AS BIGINT), CAST(975 AS BIGINT), CAST(0.050256 AS DOUBLE)),
+  (CAST(42 AS BIGINT), CAST(533 AS BIGINT), CAST(0.818011 AS DOUBLE)),
+  (CAST(43 AS BIGINT), CAST(110 AS BIGINT), CAST(0.509091 AS DOUBLE)),
+  (CAST(44 AS BIGINT), CAST(12 AS BIGINT), CAST(1.666667 AS DOUBLE)),
+  (CAST(45 AS BIGINT), CAST(685 AS BIGINT), CAST(0.389781 AS DOUBLE)),
+  (CAST(46 AS BIGINT), CAST(819 AS BIGINT), CAST(0.059829 AS DOUBLE)),
+  (CAST(47 AS BIGINT), CAST(311 AS BIGINT), CAST(0.858521 AS DOUBLE)),
+  (CAST(48 AS BIGINT), CAST(109 AS BIGINT), CAST(0.477064 AS DOUBLE)),
+  (CAST(49 AS BIGINT), CAST(132 AS BIGINT), CAST(0.227273 AS DOUBLE)),
+  (CAST(50 AS BIGINT), CAST(382 AS BIGINT), CAST(0.636126 AS DOUBLE)),
+  (CAST(51 AS BIGINT), CAST(1014 AS BIGINT), CAST(0.048323 AS DOUBLE)),
+  (CAST(52 AS BIGINT), CAST(496 AS BIGINT), CAST(0.820565 AS DOUBLE)),
+  (CAST(53 AS BIGINT), CAST(107 AS BIGINT), CAST(0.467290 AS DOUBLE)),
+  (CAST(54 AS BIGINT), CAST(12 AS BIGINT), CAST(1.666667 AS DOUBLE)),
+  (CAST(55 AS BIGINT), CAST(1123 AS BIGINT), CAST(0.280499 AS DOUBLE)),
+  (CAST(56 AS BIGINT), CAST(858 AS BIGINT), CAST(0.057110 AS DOUBLE)),
+  (CAST(57 AS BIGINT), CAST(274 AS BIGINT), CAST(0.875912 AS DOUBLE)),
+  (CAST(58 AS BIGINT), CAST(119 AS BIGINT), CAST(0.504202 AS DOUBLE)),
+  (CAST(59 AS BIGINT), CAST(12 AS BIGINT), CAST(1.666667 AS DOUBLE))"""
+
+  private val compressionKeepValues = """  (CAST(0 AS BIGINT)),
+  (CAST(2 AS BIGINT)),
+  (CAST(3 AS BIGINT)),
+  (CAST(5 AS BIGINT)),
+  (CAST(7 AS BIGINT)),
+  (CAST(8 AS BIGINT)),
+  (CAST(10 AS BIGINT)),
+  (CAST(12 AS BIGINT)),
+  (CAST(13 AS BIGINT)),
+  (CAST(15 AS BIGINT)),
+  (CAST(17 AS BIGINT)),
+  (CAST(18 AS BIGINT)),
+  (CAST(20 AS BIGINT)),
+  (CAST(22 AS BIGINT)),
+  (CAST(23 AS BIGINT)),
+  (CAST(25 AS BIGINT)),
+  (CAST(27 AS BIGINT)),
+  (CAST(28 AS BIGINT)),
+  (CAST(30 AS BIGINT)),
+  (CAST(32 AS BIGINT)),
+  (CAST(33 AS BIGINT)),
+  (CAST(35 AS BIGINT)),
+  (CAST(37 AS BIGINT)),
+  (CAST(38 AS BIGINT)),
+  (CAST(40 AS BIGINT)),
+  (CAST(42 AS BIGINT)),
+  (CAST(43 AS BIGINT)),
+  (CAST(45 AS BIGINT)),
+  (CAST(47 AS BIGINT)),
+  (CAST(48 AS BIGINT)),
+  (CAST(50 AS BIGINT)),
+  (CAST(52 AS BIGINT)),
+  (CAST(53 AS BIGINT)),
+  (CAST(55 AS BIGINT)),
+  (CAST(57 AS BIGINT)),
+  (CAST(58 AS BIGINT))"""
+
   private def annTop20Sql =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |c AS (SELECT vec_id,
@@ -222,14 +327,33 @@ object SearchGraphQueries {
       }),
 
     OracleQuery("compression_ratio",
-      // rows-only gate (no DuckDB zlib): the signal itself is
-      // spec-pinned — determinism across partitionings, monotonicity on
-      // crafted repetition, bounds
-      (s, dir) => new graft.operators.text.CompressionRatioRefiner()(
-          Tables(s, dir, "documents"))
-        .select(col("doc_id"), col("compression_ratio"))
+      // hash-matched against the INDEPENDENT zlib twin
+      // (tools/gen_compression_oracle.py) over the SyntheticTexts
+      // fixture — no DuckDB zlib exists, so the oracle is a committed
+      // VALUES block derived without running any Scala. The
+      // documents-table pass keeps its determinism/bounds/monotonicity
+      // spec coverage.
+      (s, _) => new graft.operators.text.CompressionRatioRefiner()(
+          graft.sources.SyntheticTexts.df(s))
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("octet_len"),
+          col("compression_ratio"))
         .orderBy(col("doc_id")),
-      None),
+      Some(s"""SELECT * FROM (VALUES
+              |$compressionRatioValues
+              |) AS t(doc_id, octet_len, compression_ratio) ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("compression_ratio_filter",
+      // the keep verdict at the default [0.25, 0.95] band over the same
+      // fixture; DeflateKeep is ONE deflate pass per row, so this also
+      // pins the fused predicate against the two-sided twin
+      (s, _) => new graft.operators.text.CompressionRatioFilter()(
+          graft.sources.SyntheticTexts.df(s))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT * FROM (VALUES
+              |$compressionKeepValues
+              |) AS t(doc_id) ORDER BY doc_id""".stripMargin)),
 
     OracleQuery("events_debounce",
       // telemetry dedup: drop an event when the PREVIOUS event of the

@@ -49,4 +49,21 @@ class FixtureDriftSpec extends AnyFunSuite {
           "re-run Test/runMain graft.DumpImageFixture AND regenerate the embedding oracles")
     }
   }
+
+  test("SyntheticTexts corpus matches the zlib twin's pinned digest") {
+    // pinned from tools/gen_compression_oracle.py's text(i) over UTF-8
+    // bytes with NUL separators — the compression_ratio VALUES oracle is
+    // derived from the Python re-implementation of this spec, so the two
+    // generators MUST stay byte-identical; a Scala-side tweak fails here,
+    // a Python-side tweak fails `gen_compression_oracle.py --check`.
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    for (i <- 0L until graft.sources.SyntheticTexts.N.toLong) {
+      md.update(graft.sources.SyntheticTexts.text(i).getBytes("UTF-8"))
+      md.update(0.toByte)
+    }
+    val hex = md.digest().map(b => f"$b%02x").mkString
+    assert(hex === "c93d2e337c6ed26ed6c0f48c566e9915d38fbafa8be93a2d269722f8eaac84dc",
+      "SyntheticTexts drift vs the committed compression oracle — " +
+        "regenerate with python3 tools/gen_compression_oracle.py and re-pin")
+  }
 }
