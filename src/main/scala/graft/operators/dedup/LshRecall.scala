@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * committing a banding config to a 100 TB pass — the S-curve math says
   * `P[probe] = 1-(1-j^r)^b`, this measures it on YOUR corpus.
   *
+  * `sampleMod` is REQUIRED (no default): the exact truth tier is
+  * quadratic in hot-shingle doc frequency, so every caller must choose
+  * the deterministic 1-in-m id-sample the tuner runs over (1 = full
+  * corpus, an explicit opt-in to the uncapped join). Sampling is
+  * `idCol % sampleMod == 0` — reproducible, engine-portable, and a pair
+  * survives iff BOTH endpoints do, so measured recall stays an unbiased
+  * estimate of corpus recall (banding probes pairs independently).
+  * With an empty sampled truth set the recall is NULL, not a
+  * divide-by-zero (ANSI).
+  *
   * Scale shape: truth pairs ride the prefix-filtered posting join
   * (output-bounded); band keys are the standard per-row signature
   * explode; the caught set is truth ⋈ bands on both sides — truth is
@@ -23,7 +33,10 @@ final class LshRecall(
     shingleWidth: Int = 3,
     numHashes: Int = 16,
     numBands: Int = 4,
-    threshold: Double = 0.8) {
+    threshold: Double = 0.8,
+    sampleMod: Int) {
+
+  require(sampleMod >= 1, s"sampleMod $sampleMod must be >= 1")
 
   private val truthOp = new NgramJaccardDedup(
     textCol, idCol, shingleWidth, threshold, maxDocFreq = None)
@@ -32,8 +45,9 @@ final class LshRecall(
     portableHashes = true)
 
   def report(df: DataFrame): DataFrame = {
-    val truth = truthOp.verifiedPairs(df).select(col("d1"), col("d2"))
-    val bands = lshOp.banded(df).select(col("_id"), col("_bkey"))
+    val in = if (sampleMod == 1) df else df.filter(col(idCol) % sampleMod === 0)
+    val truth = truthOp.verifiedPairs(in).select(col("d1"), col("d2"))
+    val bands = lshOp.banded(in).select(col("_id"), col("_bkey"))
     val caught = truth
       .join(bands.select(col("_id").as("d1"), col("_bkey")), Seq("d1"))
       .join(bands.select(col("_id").as("d2"), col("_bkey")), Seq("d2", "_bkey"))
@@ -41,13 +55,17 @@ final class LshRecall(
     truth.agg(count(lit(1)).as("true_pairs"))
       .crossJoin(caught.agg(count(lit(1)).as("caught_pairs")))
       .select(col("true_pairs"), col("caught_pairs"),
-        round(col("caught_pairs").cast("double") /
-          col("true_pairs").cast("double"), 6).as("recall"))
+        when(col("true_pairs") > 0,
+          round(col("caught_pairs").cast("double") /
+            col("true_pairs").cast("double"), 6)).as("recall"))
   }
 
   /** DuckDB twin: same truth join, same signature/band algebra. */
   def sql(table: String): String = {
-    val sig = lshOp.sigCtes(table, "lr")
+    val sampled =
+      if (sampleMod == 1) table
+      else s"(SELECT * FROM $table WHERE $idCol % $sampleMod = 0)"
+    val sig = lshOp.sigCtes(sampled, "lr")
     val bands = lshOp.bandsCte("lr")
     s"""WITH $sig,
        |$bands,
@@ -64,7 +82,9 @@ final class LshRecall(
        |  JOIN lrbands y ON y.id = t.d2 AND y.bkey = x.bkey)
        |SELECT (SELECT count(*) FROM lrtruth) AS true_pairs,
        |  (SELECT count(*) FROM lrcaught) AS caught_pairs,
-       |  round(CAST((SELECT count(*) FROM lrcaught) AS DOUBLE) /
-       |    CAST((SELECT count(*) FROM lrtruth) AS DOUBLE), 6) AS recall""".stripMargin
+       |  CASE WHEN (SELECT count(*) FROM lrtruth) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM lrcaught) AS DOUBLE) /
+       |      CAST((SELECT count(*) FROM lrtruth) AS DOUBLE), 6)
+       |  END AS recall""".stripMargin
   }
 }

@@ -125,14 +125,18 @@ object NearDup {
     OracleQuery("lsh_recall_report",
       // the banding TUNER: of all pairs at exact Jaccard >= 0.8, how
       // many does (16 hashes, 4 bands) actually probe — measured on
-      // this corpus, not the S-curve formula
+      // this corpus, not the S-curve formula. sampleMod is REQUIRED on
+      // the API: the uncapped truth join is quadratic in hot-shingle
+      // doc frequency, so the tuner always runs over a deterministic
+      // 1-in-m id-sample (pair survives iff both endpoints do —
+      // unbiased recall estimate)
       (s, dir) => new graft.operators.dedup.LshRecall(
           "text", "doc_id", shingleWidth = 3, numHashes = 16,
-          numBands = 4, threshold = 0.8)
+          numBands = 4, threshold = 0.8, sampleMod = 3)
         .report(Tables(s, dir, "documents")),
       Some(new graft.operators.dedup.LshRecall(
           "text", "doc_id", shingleWidth = 3, numHashes = 16,
-          numBands = 4, threshold = 0.8).sql("documents"))),
+          numBands = 4, threshold = 0.8, sampleMod = 3).sql("documents"))),
 
     OracleQuery("dedup_cluster_stats",
       // the dedup AUDIT view: near-dup component sizes from the same
@@ -168,9 +172,15 @@ object NearDup {
         .keepSql("documents", "(SELECT * FROM documents WHERE doc_id % 5 = 0)"))),
 
     OracleQuery("ngram_jaccard_dedup",
-      (s, dir) => jaccardOp(Tables(s, dir, "documents"))
+      // the uncapped EXACT tier is quadratic in hot-shingle doc
+      // frequency by design (registry paths always cap), so its gate
+      // runs over the deterministic first-1000 ids — full semantics,
+      // bounded cost curve (5000-doc sf0.1 was the slowest gate and
+      // a contention amplifier; 1000 docs pins the same plan)
+      (s, dir) => jaccardOp(
+          Tables(s, dir, "documents").filter(col("doc_id") < 1000))
         .select(col("doc_id")).orderBy(col("doc_id")),
-      Some(jaccardOp.keepSql("documents"))),
+      Some(jaccardOp.keepSql("(SELECT * FROM documents WHERE doc_id < 1000)"))),
 
     OracleQuery("ngram_jaccard_dedup_capped",
       (s, dir) => jaccardCappedOp(Tables(s, dir, "documents"))

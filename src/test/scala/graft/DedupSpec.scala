@@ -210,4 +210,25 @@ class DedupSpec extends AnyFunSuite {
     // lsh results all score within the brute-force top-50 (bucket contains the query itself)
     assert(lsh.subsetOf(brute), s"${lsh -- brute}")
   }
+
+  test("lsh recall tuner: sampleMod is required, sample is endpoint-consistent, empty truth gives null recall") {
+    import graft.operators.dedup.LshRecall
+    def tuner(m: Int) = new LshRecall("text", "doc_id", shingleWidth = 3,
+      numHashes = 16, numBands = 4, threshold = 0.8, sampleMod = m)
+    assertThrows[IllegalArgumentException](tuner(0))
+    // sampled truth pairs == full-corpus truth pairs restricted to sampled ids
+    val full = tuner(1).report(docs).collect()(0)
+    val sampled = tuner(3).report(docs).collect()(0)
+    val jaccard = new NgramJaccardDedup("text", "doc_id", 3, 0.8)
+    val fullPairs = jaccard.verifiedPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = fullPairs.count { case (a, b) => a % 3 == 0 && b % 3 == 0 }
+    assert(sampled.getLong(0) === expect.toLong)
+    assert(full.getLong(0) === fullPairs.size.toLong)
+    // truth-empty input: recall must be NULL, never DIVIDE_BY_ZERO (ANSI)
+    val distinctRows = spark.range(6).selectExpr("id AS doc_id",
+      "concat('unique document number ', id, ' with entirely disjoint words ', id * 7) AS text")
+    val empty = tuner(1).report(distinctRows).collect()(0)
+    assert(empty.getLong(0) === 0L && empty.isNullAt(2))
+  }
 }
