@@ -36,32 +36,217 @@ object ImageOps {
   /** Total decode: None for null/garbage/truncated input. `rgb` is
     * row-major packed 0xRRGGBB.
     */
-  def decode(bytes: Array[Byte]): Option[Decoded] = {
+  def decode(bytes: Array[Byte]): Option[Decoded] = decodeWith(bytes, 1)
+
+  /** Decode for RESOLUTION-INSENSITIVE consumers (the perceptual
+    * hashes): an image whose min dimension is at least `2 * 4 *
+    * targetGrid` (512 px for the 64-grid) decodes at 1/k resolution via
+    * ImageReadParam source subsampling, keeping >= 4x oversampling of
+    * the target grid (>= 16 source samples per box-resize cell — point
+    * subsampling aliases high-frequency content, so don't cut closer).
+    * A 4000 px photo decodes ~7x cheaper.
+    *
+    * Contract: k is a deterministic function of the image dims ALONE,
+    * so identical bytes always hash identically and near-dup pairs
+    * (same dims, tiny pixel deltas) ride the same path — the property
+    * dedup actually needs (pinned in ImageSpec). Equality with the
+    * full-resolution hash is NOT promised: on smooth content most
+    * low-freq DCT coefficients are ±ε with chaotic signs under any
+    * decode change, so hash corpora from different pipeline versions
+    * must not be mixed. Images below the threshold — including the
+    * whole committed fixture corpus, which pins the hash oracles — take
+    * the exact full-resolution path.
+    */
+  def decodeSubsampled(bytes: Array[Byte], targetGrid: Int = 64): Option[Decoded] =
+    decodeWith(bytes, 1, adaptiveDenom = 4 * targetGrid)
+
+  /** (width, height) from the header alone — no pixel decode. */
+  def readDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes == null || bytes.isEmpty) return None
     var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    var cached = false
     try {
       iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
-      try {
-        reader.setInput(iis)
-        val format = reader.getFormatName.toUpperCase match {
-          case "JPG" => "JPEG"
-          case f     => f
-        }
-        val img = reader.read(0)
-        val w = img.getWidth
-        val h = img.getHeight
-        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-        var i = 0
-        while (i < rgb.length) { rgb(i) = rgb(i) & 0xFFFFFF; i += 1 }
-        Some(Decoded(w, h, format, rgb))
-      } finally reader.dispose()
+      val (r, c) = cachedReaderFor(bytes, iis)
+      reader = r
+      cached = c
+      if (reader == null) return None
+      Some((reader.getWidth(0), reader.getHeight(0)))
     } catch {
       case _: Throwable => None
     } finally {
+      if (reader != null && !cached) try reader.dispose() catch { case _: Throwable => () }
       if (iis != null) try iis.close() catch { case _: Throwable => () }
+    }
+  }
+
+  // Reader reuse: ImageIO.getImageReaders walks the service registry per
+  // call (~50 us/img measured); PNG/JPEG magic bytes select a cached
+  // per-thread reader instead. Unknown magics fall back to the registry
+  // (reader disposed after use). ImageReader instances are reusable by
+  // design (setInput replaces the source) but not thread-safe — hence
+  // ThreadLocal.
+  private val cachedReaders =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap
+    }
+
+  private def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8) "jpeg"
+    else null
+  }
+
+  /** Cached reader with input set, or a fresh registry reader (caller
+    * disposes via [[releaseReader]]); null when no reader exists.
+    */
+  private def readerFor(iis: javax.imageio.stream.ImageInputStream): javax.imageio.ImageReader = {
+    val readers = ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) return null
+    val r = readers.next()
+    r.setInput(iis)
+    r
+  }
+
+  private def cachedReaderFor(bytes: Array[Byte],
+      iis: javax.imageio.stream.ImageInputStream): (javax.imageio.ImageReader, Boolean) = {
+    val fmt = sniffFormat(bytes)
+    if (fmt == null) return (readerFor(iis), false)
+    val cache = cachedReaders.get()
+    var r = cache.get(fmt)
+    if (r == null) {
+      val it = ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext) return (readerFor(iis), false)
+      r = it.next()
+      cache.put(fmt, r)
+    }
+    try {
+      r.setInput(iis)
+      (r, true)
+    } catch {
+      case _: Throwable =>
+        // a poisoned cached reader is dropped, not reused
+        cache.remove(fmt)
+        try r.dispose() catch { case _: Throwable => () }
+        (readerFor(iis), false)
+    }
+  }
+
+  /** `adaptiveDenom > 0` derives the subsample factor from the header
+    * dims inside the SAME reader session (k = min(w,h)/denom) — a
+    * separate readDims call would double the stream+reader setup, which
+    * dominates for small images.
+    */
+  private def decodeWith(bytes: Array[Byte], subsample: Int,
+      adaptiveDenom: Int = 0): Option[Decoded] = {
+    if (bytes == null || bytes.isEmpty) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    var cached = false
+    try {
+      iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val (r, c) = cachedReaderFor(bytes, iis)
+      reader = r
+      cached = c
+      if (reader == null) return None
+      val format = reader.getFormatName.toUpperCase match {
+        case "JPG" => "JPEG"
+        case f     => f
+      }
+      val k =
+        if (adaptiveDenom > 0)
+          math.max(1, math.min(reader.getWidth(0), reader.getHeight(0)) / adaptiveDenom)
+        else subsample
+      val img =
+        if (k > 1) {
+          val p = reader.getDefaultReadParam
+          p.setSourceSubsampling(k, k, 0, 0)
+          reader.read(0, p)
+        } else reader.read(0)
+      Some(Decoded(img.getWidth, img.getHeight, format, rgbOf(img)))
+    } catch {
+      case _: Throwable => None
+    } finally {
+      if (reader != null && !cached) try reader.dispose() catch { case _: Throwable => () }
+      if (iis != null) try iis.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Packed 0xRRGGBB pixels, value-identical to getRGB but via direct
+    * raster access for the two layouts the PNG/JPEG readers actually
+    * produce (getRGB's generic per-pixel ColorModel path measured
+    * 187 us on a 100x130 image — the single largest decode cost):
+    *  - TYPE_3BYTE_BGR: interleaved sRGB component bytes — getRGB
+    *    returns exactly those bytes, no conversion;
+    *  - TYPE_INT_RGB: packed ints, mask alpha.
+    * Anything else (palette, gray — gray's getRGB applies a real
+    * CS_GRAY->sRGB conversion) keeps the exact generic path.
+    */
+  private def rgbOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    import java.awt.image.{BufferedImage, DataBufferByte, DataBufferInt, PixelInterleavedSampleModel}
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    img.getType match {
+      case BufferedImage.TYPE_3BYTE_BGR
+        if raster.getSampleModelTranslateX == 0 &&
+          raster.getSampleModelTranslateY == 0 &&
+          raster.getSampleModel.isInstanceOf[PixelInterleavedSampleModel] &&
+          raster.getDataBuffer.isInstanceOf[DataBufferByte] &&
+          raster.getDataBuffer.getNumBanks == 1 =>
+        val sm = raster.getSampleModel.asInstanceOf[PixelInterleavedSampleModel]
+        val db = raster.getDataBuffer.asInstanceOf[DataBufferByte]
+        val data = db.getData
+        val off = db.getOffset
+        val ps = sm.getPixelStride
+        val ss = sm.getScanlineStride
+        val bo = sm.getBandOffsets // bands are R,G,B
+        val (ro, go, bo2) = (bo(0), bo(1), bo(2))
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var p = off + y * ss
+          var i = y * w
+          val end = i + w
+          while (i < end) {
+            out(i) = ((data(p + ro) & 0xFF) << 16) |
+              ((data(p + go) & 0xFF) << 8) | (data(p + bo2) & 0xFF)
+            p += ps
+            i += 1
+          }
+          y += 1
+        }
+        out
+      case BufferedImage.TYPE_INT_RGB
+        if raster.getSampleModelTranslateX == 0 &&
+          raster.getSampleModelTranslateY == 0 &&
+          raster.getDataBuffer.isInstanceOf[DataBufferInt] &&
+          raster.getDataBuffer.getNumBanks == 1 &&
+          raster.getSampleModel.isInstanceOf[java.awt.image.SinglePixelPackedSampleModel] =>
+        val db = raster.getDataBuffer.asInstanceOf[DataBufferInt]
+        val data = db.getData
+        val off = db.getOffset
+        val sm = raster.getSampleModel
+          .asInstanceOf[java.awt.image.SinglePixelPackedSampleModel]
+        val ss = sm.getScanlineStride
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var p = off + y * ss
+          var i = y * w
+          val end = i + w
+          while (i < end) { out(i) = data(p) & 0xFFFFFF; p += 1; i += 1 }
+          y += 1
+        }
+        out
+      case _ =>
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < rgb.length) { rgb(i) = rgb(i) & 0xFFFFFF; i += 1 }
+        rgb
     }
   }
 
@@ -170,13 +355,29 @@ object ImageOps {
   private val PhashResize = 64
   private val PhashBits = 16 // 16×16 low-freq block → 256-bit hash
 
-  private lazy val dctCos: Array[Array[Double]] = {
+  // flat [u * n + x] layout — the 2D tabulate's row indirection cost
+  // ~15% of the DCT loop
+  private lazy val dctCos: Array[Double] = {
     val n = PhashResize
-    Array.tabulate(n, n)((u, x) => math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
+    val a = new Array[Double](n * n)
+    var u = 0
+    while (u < n) {
+      var x = 0
+      while (x < n) {
+        a(u * n + x) = math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n))
+        x += 1
+      }
+      u += 1
+    }
+    a
   }
 
-  /** 256-bit DCT phash as a 64-char hex string; None for undecodable input. */
-  def phash(bytes: Array[Byte]): Option[String] = decode(bytes).map(phashOf)
+  /** 256-bit DCT phash as a 64-char hex string; None for undecodable
+    * input. Large images (min dim >= 256) decode subsampled — see
+    * [[decodeSubsampled]]; the hash only consumes a 64x64 box resize,
+    * so >= 2x oversampling is retained.
+    */
+  def phash(bytes: Array[Byte]): Option[String] = decodeSubsampled(bytes).map(phashOf)
 
   def phashOf(d: Decoded): String = {
     val n = PhashResize
@@ -186,16 +387,19 @@ object ImageOps {
     while (by < n) {
       val y0 = by * d.height / n
       val y1 = math.max((by + 1) * d.height / n, y0 + 1)
+      val yMax = math.min(y1, d.height)
       var bx = 0
       while (bx < n) {
         val x0 = bx * d.width / n
         val x1 = math.max((bx + 1) * d.width / n, x0 + 1)
+        val xMax = math.min(x1, d.width)
         var sum = 0L; var cnt = 0
         var y = y0
-        while (y < math.min(y1, d.height)) {
+        while (y < yMax) {
+          val rowBase = y * d.width
           var x = x0
-          while (x < math.min(x1, d.width)) {
-            sum += gray(d.rgb(y * d.width + x)); cnt += 1
+          while (x < xMax) {
+            sum += gray(d.rgb(rowBase + x)); cnt += 1
             x += 1
           }
           y += 1
@@ -205,16 +409,22 @@ object ImageOps {
       }
       by += 1
     }
-    // separable DCT-II, rows then columns, only the low PhashBits outputs
-    val rows = new Array[Double](n * PhashBits) // rows[y][v]
+    // separable DCT-II, rows then columns, only the low PhashBits
+    // outputs. Intermediate stored TRANSPOSED (rowsT[v][y]) so both
+    // passes stream unit-stride; per-output accumulation order (x asc,
+    // then y asc) is unchanged, so hashes are bit-identical to the
+    // original nested-array form (pinned by the committed oracles).
+    val rowsT = new Array[Double](PhashBits * n) // rowsT[v][y]
     var y = 0
     while (y < n) {
+      val rowBase = y * n
       var v = 0
       while (v < PhashBits) {
+        val cosBase = v * n
         var acc = 0.0
         var x = 0
-        while (x < n) { acc += small(y * n + x) * dctCos(v)(x); x += 1 }
-        rows(y * PhashBits + v) = acc
+        while (x < n) { acc += small(rowBase + x) * dctCos(cosBase + x); x += 1 }
+        rowsT(v * n + y) = acc
         v += 1
       }
       y += 1
@@ -222,17 +432,21 @@ object ImageOps {
     val freq = new Array[Double](PhashBits * PhashBits) // freq[u][v]
     var u = 0
     while (u < PhashBits) {
+      val cosBase = u * n
       var v = 0
       while (v < PhashBits) {
+        val rBase = v * n
         var acc = 0.0
         var yy = 0
-        while (yy < n) { acc += rows(yy * PhashBits + v) * dctCos(u)(yy); yy += 1 }
+        while (yy < n) { acc += rowsT(rBase + yy) * dctCos(cosBase + yy); yy += 1 }
         freq(u * PhashBits + v) = acc
         v += 1
       }
       u += 1
     }
-    val sorted = freq.sorted
+    // primitive sort (Array[Double].sorted boxes through Ordering)
+    val sorted = freq.clone()
+    java.util.Arrays.sort(sorted)
     val median = (sorted(freq.length / 2 - 1) + sorted(freq.length / 2)) / 2.0
     val sb = new StringBuilder(PhashBits * PhashBits / 4)
     var nibble = 0; var bitsIn = 0

