@@ -416,15 +416,21 @@ object Bench {
       // filters earn their keep is a build side too big to broadcast
       // (locally AQE would broadcast 12k keys and the comparison would
       // measure nothing); probe hash is the production xxhash64, not
-      // the oracle-parity md5 path the gate pins. Honest local reading:
-      // with an in-memory single-JVM "shuffle" there are no network
-      // bytes to save, so expect the prune to roughly TIE the plain
-      // join here — the measured pair documents the probe-side cost;
-      // the win condition (exchange bytes cut 500x before a network
-      // hop) is a cluster property, pinned by the BloomSpec plan test
-      // (filter strictly below the probe's exchange).
+      // the oracle-parity md5 path the gate pins. The dim is STAGED
+      // (persisted) before timing, as production would have it — the
+      // r11 leg double-billed the dim scan+distinct inside the bloom
+      // twin. MEASURED VERDICT (r12, staged dim): bloom 0.52 s vs
+      // plain 0.42 s — in a single JVM the probe's exchange+sort cut
+      // (6M rows → ~12k+FP) still cannot pay for the 6M-row hash-probe
+      // scan, because an in-memory "shuffle" moves no network bytes.
+      // That is exactly why graft.core.BloomSemiJoin guards the prune
+      // behind a fact-side size estimate (BloomSpec pins both paths
+      // output-identical and the plan shapes); this leg keeps the
+      // honest local pair on record.
       val bloomBuild = bigLi.select(col("l_orderkey").as("bk"))
         .where(col("bk") % 500 === 0).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bloomBuild.count()
       val tBloomSemi = time {
         val bits = 1 << 20; val kh = 4
         val sk = bloomBuild.agg(graft.functions.BloomSketch.bloomSketch(
@@ -439,6 +445,7 @@ object Bench {
       val tPlainSemi = time(
         bigLi.join(bloomBuild.hint("merge"), col("l_orderkey") === col("bk"), "left_semi")
           .count())
+      bloomBuild.unpersist()
       bigLi.unpersist()
 
       f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"url_filter_sec":$tUrl%.3f,"url_filter_docs_per_sec":${n / tUrl}%.0f,"bm25_sec":$tBm25%.3f,"bm25_docs_per_sec":${n / tBm25}%.0f,"pagerank5_sec":$tPr%.3f,"pagerank_nodes_per_sec":${n / tPr}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f,"html_extract_sec":$tHtml%.3f,"html_extract_docs_per_sec":${n / tHtml}%.0f,"novelty_sec":$tNovelty%.3f,"novelty_docs_per_sec":${n / tNovelty}%.0f,"triangle_sec":$tTri%.3f,"triangle_nodes_per_sec":${nNodes / tTri}%.0f,"inverted_index_sec":$tInv%.3f,"inverted_index_docs_per_sec":${n / tInv}%.0f,"ols_fit_sec":$tOls%.3f,"ols_docs_per_sec":${n / tOls}%.0f,"filter_100x_rows":$n100,"filter_100x_sec":$tFilter100%.3f,"filter_100x_docs_per_sec":${n100 / tFilter100}%.0f,"cdc_merge_sec":$tCdc%.3f,"cdc_events_per_sec":${ne / tCdc}%.0f,"lpa4_sec":$tLpa%.3f,"lpa_nodes_per_sec":${nNodes / tLpa}%.0f,"lineitem_rows":$nl,"profile_sec":$tProfile%.3f,"profile_cells_per_sec":${nl * profCols.size / tProfile}%.0f,"bloom_semi_sec":$tBloomSemi%.3f,"plain_semi_sec":$tPlainSemi%.3f}"""

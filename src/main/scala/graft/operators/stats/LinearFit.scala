@@ -80,10 +80,14 @@ final class LinearFit(
       sx2 * (sx1 * s2y - s1y * sx2)
     val det2 = n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) +
       sy * (sx1 * s12 - s11 * sx2)
+    // Singular normal matrix (collinear/constant features, tiny groups)
+    // → null betas. CASE branches evaluate lazily, so the division never
+    // runs when det = 0 — under ANSI mode x/0.0 would otherwise throw.
+    def safe(num: Column): Column = when(det =!= 0d, round(num / det, 6))
     s.select(keyCols ++ Seq(col("n"),
-      round(det0 / det, 6).as("beta0"),
-      round(det1 / det, 6).as("beta1"),
-      round(det2 / det, 6).as("beta2")): _*)
+      safe(det0).as("beta0"),
+      safe(det1).as("beta1"),
+      safe(det2).as("beta2")): _*)
   }
 
   /** One row: pairwise Pearson r over `(f1, f2, target)`, rounded to 6. */
@@ -94,7 +98,10 @@ final class LinearFit(
       val a = col(sa).cast("double"); val b = col(sb).cast("double")
       val ab = col(sab).cast("double")
       val aa = col(saa).cast("double"); val bb = col(sbb).cast("double")
-      (n * ab - a * b) / sqrt((n * aa - a * a) * (n * bb - b * b))
+      // Zero variance in either column → undefined r → null (lazy CASE
+      // keeps the ANSI divide from ever seeing a 0 denominator).
+      val denomSq = (n * aa - a * a) * (n * bb - b * b)
+      when(denomSq > 0d, (n * ab - a * b) / sqrt(denomSq))
     }
     s.select(col("n"),
       round(r("sx1", "sx2", "s12", "s11", "s22"), 6).as("r_f1_f2"),
@@ -140,10 +147,14 @@ final class LinearFit(
       s"$sy * ($sx1 * $s12 - $s11 * $sx2)"
     val gSel = group.map(g => s"$g, ").getOrElse("")
     val order = group.map(g => s" ORDER BY $g").getOrElse("")
+    // Mirror the Spark-side singular-system guard: null betas when det=0
+    // (DuckDB would return inf instead of throwing — still a divergence).
+    def safe(num: String): String =
+      s"CASE WHEN ($det) <> 0 THEN round(($num) / ($det), 6) END"
     s"""WITH ${sumsCte(table, x1E, x2E, yE, group)}
-       |SELECT $gSel n, round(($det0) / ($det), 6) AS beta0,
-       |  round(($det1) / ($det), 6) AS beta1,
-       |  round(($det2) / ($det), 6) AS beta2
+       |SELECT $gSel n, ${safe(det0)} AS beta0,
+       |  ${safe(det1)} AS beta1,
+       |  ${safe(det2)} AS beta2
        |FROM _lfsums$order""".stripMargin
   }
 
@@ -151,7 +162,8 @@ final class LinearFit(
     val n = d("n")
     def r(sa: String, sb: String, sab: String, saa: String, sbb: String): String = {
       val (a, b, ab, aa, bb) = (d(sa), d(sb), d(sab), d(saa), d(sbb))
-      s"($n * $ab - $a * $b) / sqrt(($n * $aa - $a * $a) * ($n * $bb - $b * $b))"
+      val denomSq = s"($n * $aa - $a * $a) * ($n * $bb - $b * $b)"
+      s"CASE WHEN ($denomSq) > 0 THEN ($n * $ab - $a * $b) / sqrt($denomSq) END"
     }
     s"""WITH ${sumsCte(table, x1E, x2E, yE)}
        |SELECT n, round(${r("sx1", "sx2", "s12", "s11", "s22")}, 6) AS r_f1_f2,

@@ -30,6 +30,11 @@ final class MixPlan(
     rawWeights: Map[String, Long],
     defaultWeight: Long = 1L) {
 
+  // _tw = sum(weight) must be > 0 for the share division; with a
+  // positive default every source weighs ≥ 1, so the total is too.
+  require(defaultWeight >= 1L, "defaultWeight must be >= 1")
+  require(rawWeights.valuesIterator.forall(_ >= 1L), "weights must be >= 1")
+
   val name = "mix_plan"
 
   /** Chained weight CASE — iteration order fixed by sorting keys so the
@@ -51,12 +56,16 @@ final class MixPlan(
       .withColumn("weight", weightCol)
     val tot = avail.agg(sum(col("weight")).as("_tw"))
     val target = lit(budget.toDouble) * col("weight").cast("double") / col("_tw").cast("double")
+    // avail_tokens = 0 is a legal aggregate (a source whose docs all
+    // tokenize empty): rate/epochs are undefined → null. Lazy CASE keeps
+    // ANSI division from seeing the 0.
+    val availD = col("avail_tokens").cast("double")
     avail.crossJoin(broadcast(tot))
       .select(col(sourceCol), col("avail_tokens"), col("weight"),
         round(target, 2).as("target_tokens"),
-        round(least(lit(1.0), target / col("avail_tokens").cast("double")), 6)
+        when(availD > 0d, round(least(lit(1.0), target / availD), 6))
           .as("sample_rate"),
-        round(target / col("avail_tokens").cast("double"), 6).as("epochs"))
+        when(availD > 0d, round(target / availD, 6)).as("epochs"))
       .orderBy(col(sourceCol))
   }
 
@@ -76,8 +85,12 @@ final class MixPlan(
        |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS _tw FROM aw)
        |SELECT $sourceCol, avail_tokens, weight,
        |  round($target, 2) AS target_tokens,
-       |  round(least(CAST(1.0 AS DOUBLE), $target / CAST(avail_tokens AS DOUBLE)), 6) AS sample_rate,
-       |  round($target / CAST(avail_tokens AS DOUBLE), 6) AS epochs
+       |  CASE WHEN avail_tokens > 0
+       |    THEN round(least(CAST(1.0 AS DOUBLE), $target / CAST(avail_tokens AS DOUBLE)), 6)
+       |  END AS sample_rate,
+       |  CASE WHEN avail_tokens > 0
+       |    THEN round($target / CAST(avail_tokens AS DOUBLE), 6)
+       |  END AS epochs
        |FROM aw CROSS JOIN tot ORDER BY $sourceCol""".stripMargin
   }
 }

@@ -127,19 +127,23 @@ object ModelStatsQueries {
       // privacy export: per-source counts + deterministic-stream
       // Laplace(1/eps) noise, tiny groups suppressed (k-anonymity guard)
       (s, dir) => new graft.operators.stats.DpExport(
-        "source", epsilon = 1.0, minGroupSize = 10L)(Tables(s, dir, "documents")),
+        "source", epsilon = 1.0, minGroupSize = 10L,
+        noise = graft.operators.stats.DpExport.HashNoise(42L))(Tables(s, dir, "documents")),
       Some(new graft.operators.stats.DpExport(
-        "source", epsilon = 1.0, minGroupSize = 10L).sql("documents"))),
+        "source", epsilon = 1.0, minGroupSize = 10L,
+        noise = graft.operators.stats.DpExport.HashNoise(42L)).sql("documents"))),
 
     OracleQuery("dp_noisy_token_sums",
       // the sum half of the DP export: per-source token totals with
       // per-doc clipping at 500 (sensitivity bound) + Laplace(clip/eps)
       (s, dir) => new graft.operators.stats.DpExport(
-        "source", epsilon = 1.0, minGroupSize = 10L)
+        "source", epsilon = 1.0, minGroupSize = 10L,
+        noise = graft.operators.stats.DpExport.HashNoise(42L))
         .noisySums(Tables(s, dir, "documents"),
           TextFunctions.tokenCount(col("text")), clip = 500L),
       Some(new graft.operators.stats.DpExport(
-        "source", epsilon = 1.0, minGroupSize = 10L)
+        "source", epsilon = 1.0, minGroupSize = 10L,
+        noise = graft.operators.stats.DpExport.HashNoise(42L))
         .noisySumsSql("documents", TextFunctions.tokenCountSql("text"), clip = 500L))),
 
     OracleQuery("embedding_outliers",

@@ -248,10 +248,14 @@ object Warc {
     * the watched directory): exactly-once is per FILE — a half-copied
     * archive picked up mid-write is parsed once from truncated bytes
     * and its remaining records are permanently skipped. `globFilter`
-    * (default `*.warc*`) keeps temp-suffixed in-flight files invisible.
+    * (default `*.{warc,warc.gz}`) is SUFFIX-ANCHORED so temp-suffixed
+    * in-flight names (`a.warc.tmp`, `a.warc.gz._COPYING_`) stay
+    * invisible until the rename; a trailing-wildcard filter like
+    * `*.warc*` would commit those from truncated bytes.
     */
   def loadStream(spark: SparkSession, pathGlob: String, crawlId: String,
-      maxFilesPerTrigger: Int = 8, globFilter: String = "*.warc*"): Dataset[WarcDoc] = {
+      maxFilesPerTrigger: Int = 8,
+      globFilter: String = "*.{warc,warc.gz}"): Dataset[WarcDoc] = {
     import spark.implicits._
     import org.apache.spark.sql.types._
     // streaming file sources require an explicit schema — binaryFile's

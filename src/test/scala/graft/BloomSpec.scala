@@ -60,6 +60,25 @@ class BloomSpec extends AnyFunSuite {
     assert(pruned == plain)
   }
 
+  test("adaptive bloom semi join: guard picks plain below the threshold, prune above; output identical") {
+    import graft.core.BloomSemiJoin
+    val fact = spark.range(0, 20000).select(col("id").as("k"))
+    val dim = spark.range(0, 20000).where(col("id") % 97 === 0).select(col("id").as("bk"))
+    // the guard reads Catalyst's size estimate — force both sides of it
+    assert(!BloomSemiJoin.wouldPrune(fact, minFactBytes = Long.MaxValue))
+    assert(BloomSemiJoin.wouldPrune(fact, minFactBytes = 1L))
+    val viaPlain = BloomSemiJoin(fact, dim, col("k"), col("bk"),
+        numBits = Bits, numHashes = K, minFactBytes = Long.MaxValue)
+    val viaBloom = BloomSemiJoin(fact, dim, col("k"), col("bk"),
+        numBits = Bits, numHashes = K, minFactBytes = 1L)
+    // path check: only the pruned plan contains the sketch aggregate
+    assert(!TestSpark.planOf(viaPlain).contains("bloom_sketch"))
+    assert(TestSpark.planOf(viaBloom).contains("bloom_sketch"))
+    // performance guard never changes results
+    assert(viaPlain.orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      viaBloom.orderBy("k").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("bloom: the probe-side filter sits under the semi join's exchange") {
     val probe = spark.range(0, 1000).select(col("id").as("k"))
     val build = spark.range(0, 1000).where(col("id") % 97 === 0).select(col("id").as("bk"))

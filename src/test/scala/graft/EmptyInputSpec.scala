@@ -139,7 +139,7 @@ class EmptyInputSpec extends AnyFunSuite {
     zero("inverted index")(new graft.operators.text.InvertedIndex()(noDocs))
     zero("unigram seeds")(new graft.operators.text.UnigramLmInduction("text")
       .seedCounts(noDocs, topK = 10))
-    zero("dp counts")(new graft.operators.stats.DpExport("source")(noDocs))
+    zero("dp counts")(new graft.operators.stats.DpExport("source", noise = graft.operators.stats.DpExport.HashNoise(1L))(noDocs))
     zero("rrf")(graft.operators.text.HybridRetrieval.rrf(
       Seq.empty[(Long, Double)].toDF("id", "s"), "id", "s",
       Seq.empty[(Long, Double)].toDF("id", "s"), "id", "s"))

@@ -112,7 +112,7 @@ class ModelStatsSpec extends AnyFunSuite {
     import graft.operators.stats.DpExport
     val df = ((1 to 40).map(i => (s"row$i", "big")) ++ Seq(("x", "tiny"), ("y", "tiny")))
       .toDF("id", "grp")
-    val op = new DpExport("grp", epsilon = 1.0, minGroupSize = 10L)
+    val op = new DpExport("grp", epsilon = 1.0, minGroupSize = 10L, noise = DpExport.HashNoise(42L))
     val out = op(df).collect()
     // tiny (n=2) suppressed entirely; big present with a perturbed count
     assert(out.map(_.getString(0)).toSeq == Seq("big"))
@@ -122,9 +122,30 @@ class ModelStatsSpec extends AnyFunSuite {
     // deterministic: same seed, any partitioning
     assert(op(df.repartition(7, col("id"))).collect().head.getDouble(1) == noisy)
     // tighter epsilon → more noise for the same group/seed
-    val loose = new DpExport("grp", epsilon = 0.1, minGroupSize = 10L)(df)
+    val loose = new DpExport("grp", epsilon = 0.1, minGroupSize = 10L, noise = DpExport.HashNoise(42L))(df)
       .collect().head.getDouble(1)
     assert(math.abs(loose - 40.0) > math.abs(noisy - 40.0))
+  }
+
+  test("dp export: RandomNoise production path shares the mechanism, draws independently") {
+    import graft.operators.stats.DpExport
+    val df = ((1 to 40).map(i => (s"row$i", "big")) ++ Seq(("x", "tiny"), ("y", "tiny")))
+      .toDF("id", "grp")
+    val op = new DpExport("grp", epsilon = 1.0, minGroupSize = 10L,
+      noise = DpExport.RandomNoise)
+    val out = op(df).collect()
+    // suppression and floor are the shared mechanism, not the noise source
+    assert(out.map(_.getString(0)).toSeq == Seq("big"))
+    val a = out.head.getDouble(1)
+    assert(a >= 0.0 && math.abs(a - 40.0) < 30.0,
+      s"Laplace(1) draw implausibly far from n: $a") // P(|noise|>30) = e^-30
+    // SecureRandom: repeated evaluations are fresh draws (the hash path
+    // would return the identical value every time)
+    val more = Seq(op(df).collect().head.getDouble(1),
+      op(df).collect().head.getDouble(1))
+    assert((a +: more).distinct.size > 1, s"three SecureRandom draws all equal: $a")
+    // and there is deliberately no SQL twin for the nondeterministic path
+    intercept[IllegalStateException](op.sql("documents"))
   }
 
   test("dp noisy sums: clipping bounds a whale's influence, noise scales with clip/eps") {
@@ -134,7 +155,7 @@ class ModelStatsSpec extends AnyFunSuite {
     def doc(words: Int) = (1 to words).map(i => s"w$i").mkString(" ")
     val normal = (1 to 39).map(i => (s"d$i", doc(10), "g"))
     val whale = Seq(("whale", doc(10000), "g"))
-    val op = new DpExport("grp", epsilon = 1.0, minGroupSize = 10L)
+    val op = new DpExport("grp", epsilon = 1.0, minGroupSize = 10L, noise = DpExport.HashNoise(42L))
     val metric = graft.functions.TextFunctions.tokenCount(col("text"))
     val withWhale = op.noisySums((normal ++ whale).toDF("id", "text", "grp"),
       metric, clip = 20L).head().getDouble(1)
@@ -147,6 +168,23 @@ class ModelStatsSpec extends AnyFunSuite {
     val n20 = op.noisySums(df, metric, 20L).head().getDouble(1) - trueSum
     val n200 = op.noisySums(df, metric, 200L).head().getDouble(1) - (39.0 * 10 + 200)
     assert(math.abs(n200) > math.abs(n20))
+  }
+
+  test("linear fit: singular system (constant feature) yields null betas, not an ANSI divide error") {
+    // x1 constant → collinear with the intercept → det = 0
+    val df = (1 to 20).map(i => (i.toLong, 5L, i.toLong)).toDF("y", "x1", "x2")
+    val fitter = new LinearFit("y", "x1", "x2")
+    val r = fitter.fit(df).head()
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    // corr: pairs touching the zero-variance column are null; the live pair isn't
+    val c = fitter.corr(df).head()
+    assert(c.isNullAt(1) && c.isNullAt(2)) // r_f1_f2, r_f1_y
+    assert(c.getDouble(3) == 1.0)          // r_f2_y: x2 == y exactly
+    // grouped path: a 2-row group is underdetermined for 3 parameters
+    val g = (1 to 2).map(i => (i.toLong, i.toLong, (2 * i).toLong, "tiny"))
+      .toDF("y", "x1", "x2", "src")
+    val gr = fitter.fitBy(g, "src").head()
+    assert(gr.isNullAt(2) && gr.isNullAt(3) && gr.isNullAt(4))
   }
 
   test("correlation: a feature correlates with itself at exactly 1") {
@@ -188,6 +226,25 @@ class ModelStatsSpec extends AnyFunSuite {
     assert(big.getDouble(3) == 15.0 && small.getDouble(3) == 5.0)
     assert(big.getDouble(4) == 0.75 && small.getDouble(4) == 1.0)
     assert(small.getDouble(5) == 2.5)
+  }
+
+  test("mix plan: a source whose docs all tokenize empty gets null rate/epochs, not an ANSI error") {
+    val docs = Seq(
+      (1L, "a b c d", "rich"),
+      (2L, "", "empty"), (3L, "   ", "empty"))
+      .toDF("doc_id", "text", "source")
+    val op = new MixPlan("source", budget = 10L, rawWeights = Map.empty)
+    val out = op(docs, graft.functions.TextFunctions.tokenCount(col("text")))
+      .orderBy("source").collect()
+    val empty = out(0); val rich = out(1)
+    assert(empty.getString(0) == "empty" && empty.getLong(1) == 0L)
+    assert(empty.isNullAt(4) && empty.isNullAt(5)) // undefined, suppressed
+    assert(rich.getString(0) == "rich" && !rich.isNullAt(4) && !rich.isNullAt(5))
+    // zero/negative weights would zero the share denominator — rejected early
+    intercept[IllegalArgumentException](
+      new MixPlan("source", budget = 10L, rawWeights = Map.empty, defaultWeight = 0L))
+    intercept[IllegalArgumentException](
+      new MixPlan("source", budget = 10L, rawWeights = Map("x" -> 0L)))
   }
 
   test("embedding outliers: a far-away vector is flagged, tight cluster members are not") {

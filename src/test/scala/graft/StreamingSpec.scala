@@ -403,8 +403,13 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       assert(spark.table("warc_stream").count() == 1)
-      // second trigger: one NEW file; the old one is not re-extracted
+      // second trigger: one NEW file; the old one is not re-extracted.
+      // Temp-suffixed in-flight names (half-copied archives) must stay
+      // invisible — the default glob is suffix-anchored, not *.warc*.
       java.nio.file.Files.write(srcDir.resolve("b.warc"), rec("http://x/b", page("beta")))
+      java.nio.file.Files.write(srcDir.resolve("c.warc.tmp"), rec("http://x/c", page("gamma")))
+      java.nio.file.Files.write(srcDir.resolve("d.warc.gz._COPYING_"),
+        rec("http://x/d", page("delta")))
       q.processAllAvailable()
       val urls = spark.table("warc_stream").select("url")
         .collect().map(_.getString(0)).sorted.toSeq
