@@ -19,7 +19,8 @@ object SparkEntry {
       CorpusStatsQueries.queries ++ ResampleQueries.queries ++
       VectorTransformQueries.queries ++ AnalyticsQueries.queries ++
       EventJoinQueries.queries ++ SearchGraphQueries.queries ++
-      MaintenanceQueries.queries ++ ModelStatsQueries.queries
+      MaintenanceQueries.queries ++ ModelStatsQueries.queries ++
+      DriftQueries.queries
 
   /** Flagship: the reference's canonical text-curation pipeline
     * (configs/example_commoncrawl.yaml — url filter → length filter →

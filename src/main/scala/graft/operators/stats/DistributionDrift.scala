@@ -1,0 +1,178 @@
+package graft.operators.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Population Stability Index between two corpus slices — the standard
+  * distribution-drift monitor (credit-scoring lineage, now the stock
+  * "did this snapshot drift from the baseline" check on any pipeline
+  * metric: document lengths, quality scores, token counts). A new crawl
+  * whose length distribution shifts against last month's baseline shows
+  * up as PSI > 0.1 (industry "watch") / > 0.25 ("act") long before
+  * downstream training feels it.
+  *
+  * Mechanism: the metric is bucketed into `buckets` fixed-width bins
+  * (top bin open-ended, data-independent edges — no quantile pass, so
+  * the same edges apply at any scale and the baseline/current shares
+  * are comparable), counts are exact BIGINTs off ONE conditional
+  * aggregate scan, and shares get add-half smoothing
+  * `(c + ½) / (N + ½·B)` so the log never sees zero (the classic PSI
+  * empty-bin fix). `PSI = Σ_b (p_b − q_b)·ln(p_b / q_b)`.
+  *
+  * Exactness discipline: per-bucket contributions are fixed-shape
+  * double expressions over exact integers; the cross-bucket total is a
+  * floor-scaled BIGINT sum (order-invariant), so the DuckDB twin
+  * reproduces it bit-for-bit.
+  *
+  * Scale shape: one partial-aggregated scan keyed by bucket (B longs
+  * per partition on the wire); totals ride an unbounded window over
+  * the B-row spine so the scan happens exactly once, and the spine
+  * guarantees empty bins appear at any scale.
+  */
+object DistributionDrift {
+
+  /** PSI of EACH group's metric distribution against the whole input —
+    * the corpus-health form ("which source's shape diverges from the
+    * corpus"): one conditional aggregate keyed by (group, bucket), a
+    * broadcast of the B-row corpus histogram, and a groups×B spine so
+    * empty bins count. Returns `(group, n, psi)` per group, ordered.
+    * Same smoothing and floor-scale discipline as the two-slice form.
+    */
+  def psiPerGroup(df: DataFrame, metric: Column, groupCol: String,
+      buckets: Int = 10, width: Long = 60L): DataFrame = {
+    require(buckets >= 2 && width >= 1L, "need buckets >= 2 and width >= 1")
+    val bucket = least(lit(buckets - 1L),
+      greatest(lit(0L), floor(metric.cast("double") / lit(width.toDouble)).cast("long")))
+    val counts = df.select(col(groupCol).as("_g"), bucket.as("_bk"))
+      .groupBy(col("_g"), col("_bk")).agg(count(lit(1)).as("_n"))
+    val spine = counts.select(col("_g")).distinct()
+      .crossJoin(df.sparkSession.range(buckets).toDF("_bk"))
+    val filled = spine.join(counts, Seq("_g", "_bk"), "left")
+      .select(col("_g"), col("_bk"), coalesce(col("_n"), lit(0L)).as("_n"))
+    // all three totals as windows over the (groups×B)-sized frame —
+    // ONE corpus scan instead of one per total
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val withTot = filled
+      .withColumn("_cn", sum(col("_n")).over(
+        Window.partitionBy(col("_bk")).rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("_gt", sum(col("_n")).over(
+        Window.partitionBy(col("_g")).rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("_ct", sum(col("_n")).over(wAll))
+    val half = lit(0.5 * buckets)
+    val p = (col("_n").cast("double") + lit(0.5)) / (col("_gt").cast("double") + half)
+    val q = (col("_cn").cast("double") + lit(0.5)) / (col("_ct").cast("double") + half)
+    val term = (p - q) * log(p / q)
+    withTot
+      .groupBy(col("_g"))
+      .agg(sum(col("_n")).as("n"),
+        round(sum(floor(term * lit(1e9)).cast("long")).cast("double") / lit(1e9), 6)
+          .as("psi"))
+      .select(col("_g").as(groupCol), col("n"), col("psi"))
+      .orderBy(col(groupCol))
+  }
+}
+
+final class DistributionDrift(
+    metricCol: String,
+    groupCol: String,
+    baseVal: String,
+    curVal: String,
+    buckets: Int = 10,
+    width: Long = 60L) {
+
+  require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+  require(width >= 1L, s"width must be positive, got $width")
+  val name = "drift_psi"
+
+  private def bucketOf(m: Column): Column =
+    least(lit(buckets - 1L),
+      greatest(lit(0L), floor(m.cast("double") / lit(width.toDouble)).cast("long")))
+
+  /** Joint shape: spine-completed per-bucket counts plus the broadcast
+    * totals, with smoothed shares and the per-bucket PSI term as
+    * UNROUNDED columns (`_p`, `_q`, `_term`).
+    */
+  private def terms(df: DataFrame): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(baseVal, curVal))
+      .select(bucketOf(col(metricCol)).as("bucket"),
+        (col(groupCol) === baseVal).as("_b"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("_b"), lit(1))).as("base_n"),
+        count(when(!col("_b"), lit(1))).as("cur_n"))
+    val spine = df.sparkSession.range(buckets).toDF("bucket")
+    val filled = spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    // totals via an unbounded window over the B-row spine — the corpus
+    // is scanned/aggregated ONCE (a broadcast-totals formulation would
+    // recompute the count aggregate per consumer)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val withTot = filled
+      .withColumn("_tb", sum(col("base_n")).over(w))
+      .withColumn("_tc", sum(col("cur_n")).over(w))
+    val half = lit(0.5 * buckets)
+    val p = (col("base_n").cast("double") + lit(0.5)) / (col("_tb").cast("double") + half)
+    val q = (col("cur_n").cast("double") + lit(0.5)) / (col("_tc").cast("double") + half)
+    withTot
+      .withColumn("_p", p).withColumn("_q", q)
+      .withColumn("_term", (col("_p") - col("_q")) * log(col("_p") / col("_q")))
+  }
+
+  /** Per-bucket report: `(bucket, base_n, cur_n, base_share, cur_share,
+    * psi_term)` for every bucket including empty ones.
+    */
+  def bucketTable(df: DataFrame): DataFrame =
+    terms(df).select(col("bucket"), col("base_n"), col("cur_n"),
+        round(col("_p"), 6).as("base_share"),
+        round(col("_q"), 6).as("cur_share"),
+        round(col("_term"), 6).as("psi_term"))
+      .orderBy(col("bucket"))
+
+  /** One row: `(n_base, n_cur, psi)` — the headline drift number. */
+  def psi(df: DataFrame): DataFrame =
+    terms(df).agg(
+      sum(col("base_n")).as("n_base"),
+      sum(col("cur_n")).as("n_cur"),
+      round(sum(floor(col("_term") * lit(1e9)).cast("long")).cast("double") / lit(1e9), 6)
+        .as("psi"))
+
+  // ---- DuckDB twins (same spine/smoothing/floor-scale shapes) ----
+
+  private def termsCte(table: String): String = {
+    val b = buckets; val half = 0.5 * b
+    s"""_db AS (SELECT least(${b - 1}, greatest(0,
+       |    CAST(floor(CAST($metricCol AS DOUBLE) / ${width.toDouble}) AS BIGINT))) AS bucket,
+       |    ($groupCol = '$baseVal') AS isb
+       |  FROM $table WHERE $groupCol IN ('$baseVal', '$curVal')),
+       |_dc AS (SELECT bucket, count(CASE WHEN isb THEN 1 END) AS base_n,
+       |    count(CASE WHEN NOT isb THEN 1 END) AS cur_n
+       |  FROM _db GROUP BY bucket),
+       |_sp AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, $b)),
+       |_dj AS (SELECT s.bucket,
+       |    CAST(coalesce(c.base_n, 0) AS BIGINT) AS base_n,
+       |    CAST(coalesce(c.cur_n, 0) AS BIGINT) AS cur_n
+       |  FROM _sp s LEFT JOIN _dc c ON c.bucket = s.bucket),
+       |_dt AS (SELECT CAST(sum(base_n) AS BIGINT) AS tb,
+       |    CAST(sum(cur_n) AS BIGINT) AS tc FROM _dj),
+       |_dterm AS (SELECT bucket, base_n, cur_n,
+       |    (CAST(base_n AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + $half) AS p,
+       |    (CAST(cur_n AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + $half) AS q
+       |  FROM _dj CROSS JOIN _dt)""".stripMargin
+  }
+
+  def bucketTableSql(table: String): String =
+    s"""WITH ${termsCte(table)}
+       |SELECT bucket, base_n, cur_n, round(p, 6) AS base_share,
+       |  round(q, 6) AS cur_share, round((p - q) * ln(p / q), 6) AS psi_term
+       |FROM _dterm ORDER BY bucket""".stripMargin
+
+  def psiSql(table: String): String =
+    s"""WITH ${termsCte(table)}
+       |SELECT CAST(sum(base_n) AS BIGINT) AS n_base,
+       |  CAST(sum(cur_n) AS BIGINT) AS n_cur,
+       |  round(CAST(CAST(sum(CAST(floor((p - q) * ln(p / q) * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9, 6) AS psi
+       |FROM _dterm""".stripMargin
+}

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** `graft.Cli analyze` — the one-shot corpus health report a curation
   * run starts from: column profile, per-source inventory (docs /
-  * tokens / mean quality), length percentiles, and the novelty
-  * distribution (how much of the corpus is recombined boilerplate).
+  * tokens / mean quality), length percentiles, the novelty
+  * distribution (how much of the corpus is recombined boilerplate),
+  * and per-source PSI drift against the corpus-wide length shape.
   * Each report writes as parquet under `outDir`; the returned summary
   * feeds the CLI's JSON line. All aggregations are the bounded,
   * partial-aggregated shapes used by the gated operators — the report
@@ -54,7 +55,14 @@ object CorpusAnalyze {
       .orderBy(col("decile"))
     novelty.write.mode("overwrite").parquet(s"$outDir/novelty_deciles")
 
-    // totals reconcile from the (tiny) inventory report — not a fifth
+    // per-source drift: PSI of each source's token-length distribution
+    // against the whole corpus — the "which source changed shape"
+    // monitor (PSI > 0.1 watch, > 0.25 act)
+    val drift = graft.operators.stats.DistributionDrift.psiPerGroup(
+      df, toks, sourceCol, buckets = 10, width = 20L)
+    drift.write.mode("overwrite").parquet(s"$outDir/source_drift")
+
+    // totals reconcile from the (tiny) inventory report — not a sixth
     // full-corpus scan; coalesce covers the zero-row corpus (SUM over
     // nothing is NULL)
     val inv = spark.read.parquet(s"$outDir/source_inventory")

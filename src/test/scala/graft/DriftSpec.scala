@@ -1,0 +1,228 @@
+package graft
+
+import graft.operators.ml.ClusterSilhouette
+import graft.operators.stats.{DistributionDrift, RaterAgreement}
+import graft.operators.text.JsDivergence
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DriftSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- PSI ----
+
+  private def psiOp = new DistributionDrift(
+    "m", "grp", baseVal = "base", curVal = "cur", buckets = 5, width = 10L)
+
+  test("psi: identical distributions score exactly zero") {
+    val rows = (0 until 100).flatMap(i =>
+      Seq((i.toLong % 50, "base"), (i.toLong % 50, "cur")))
+    val out = psiOp.psi(rows.toDF("m", "grp")).head()
+    assert(out.getLong(0) == 100 && out.getLong(1) == 100)
+    assert(out.getDouble(2) == 0.0) // equal counts ⇒ p = q per bucket exactly
+  }
+
+  test("psi: a shifted distribution crosses the 0.25 'act' line") {
+    val base = (0 until 100).map(i => (i.toLong % 20, "base"))  // bucket 0-1
+    val cur = (0 until 100).map(i => (30L + i % 20, "cur"))     // bucket 3-4
+    val out = psiOp.psi((base ++ cur).toDF("m", "grp")).head()
+    assert(out.getDouble(2) > 0.25, s"expected drift, got ${out.getDouble(2)}")
+  }
+
+  test("psi: bucket table is spine-complete and an empty slice doesn't throw") {
+    val base = (0 until 40).map(i => (i.toLong, "base")) // buckets 0..3 only
+    val t = psiOp.bucketTable(base.toDF("m", "grp")).collect()
+    assert(t.map(_.getLong(0)).toSeq == (0L until 5L)) // all 5 buckets present
+    assert(t.forall(_.getLong(2) == 0L)) // cur slice empty everywhere
+    // smoothing keeps shares positive so the log stays finite under ANSI
+    assert(t.forall(r => r.getDouble(3) > 0 && r.getDouble(4) > 0))
+  }
+
+  test("psi: out-of-range metrics clamp into the edge buckets") {
+    val rows = Seq((-5L, "base"), (9999L, "base"), (1L, "cur"))
+    val t = psiOp.bucketTable(rows.toDF("m", "grp")).collect()
+    assert(t.head.getLong(1) == 1L && t.last.getLong(1) == 1L)
+  }
+
+  // ---- JSD ----
+
+  private def jsdOp = new JsDivergence("text", "grp", "a", "b")
+
+  test("jsd: identical slices diverge by exactly zero bits") {
+    val rows = (0 until 20).flatMap(i =>
+      Seq((s"alpha beta gamma tok$i", "a"), (s"alpha beta gamma tok$i", "b")))
+    val out = jsdOp(rows.toDF("text", "grp")).head()
+    assert(out.getLong(1) == out.getLong(2) && out.getDouble(3) == 0.0)
+  }
+
+  test("jsd: disjoint vocabularies approach the 1-bit bound") {
+    val rows = (0 until 50).flatMap(i =>
+      Seq(("apple orange pear", "a"), ("stone iron copper", "b")))
+    val out = jsdOp(rows.toDF("text", "grp")).head()
+    assert(out.getLong(0) == 6)
+    assert(out.getDouble(3) > 0.9 && out.getDouble(3) <= 1.0)
+  }
+
+  test("jsd: all-empty text yields a null divergence, not an error") {
+    val out = jsdOp(Seq(("", "a"), ("", "b")).toDF("text", "grp")).head()
+    assert(out.getLong(0) == 0 && out.isNullAt(3))
+  }
+
+  // ---- Cohen's kappa ----
+
+  private def rater(aCol: String, bCol: String) =
+    new RaterAgreement(col(aCol), col(bCol))
+
+  test("kappa: perfect agreement is exactly 1, perfect disagreement -1") {
+    val same = (0 until 40).map(i => (i % 2 == 0, i % 2 == 0))
+    assert(rater("a", "b")(same.toDF("a", "b")).head().getDouble(7) == 1.0)
+    val opp = (0 until 40).map(i => (i % 2 == 0, i % 2 != 0))
+    assert(rater("a", "b")(opp.toDF("a", "b")).head().getDouble(7) == -1.0)
+  }
+
+  test("kappa: one constant rater scores exactly 0 (no signal beyond chance)") {
+    val df = (0 until 30).map(i => (true, i % 3 == 0)).toDF("a", "b")
+    val out = rater("a", "b")(df).head()
+    assert(out.getDouble(7) == 0.0)
+  }
+
+  test("kappa: both raters constant → chance agreement is total, kappa null (no ANSI error)") {
+    val df = Seq.fill(25)((true, true)).toDF("a", "b")
+    val out = rater("a", "b")(df).head()
+    assert(out.isNullAt(7))
+    assert(out.getDouble(5) == 1.0 && out.getDouble(6) == 1.0)
+  }
+
+  test("kappa: hand-computed 2x2 table") {
+    // n=100: n11=40, n10=10, n01=15, n00=35 → po=.75
+    // S = (40+10)(40+15) + (35+10)(35+15) = 2750+2250 = 5000
+    // κ = (100·75 − 5000) / (10000 − 5000) = 0.5
+    val rows = Seq.fill(40)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(15)((false, true)) ++ Seq.fill(35)((false, false))
+    val out = rater("a", "b")(rows.toDF("a", "b")).head()
+    assert(out.getLong(1) == 40 && out.getLong(2) == 10 &&
+      out.getLong(3) == 15 && out.getLong(4) == 35)
+    assert(out.getDouble(5) == 0.75 && out.getDouble(6) == 0.5)
+    assert(out.getDouble(7) == 0.5)
+  }
+
+  // ---- KS statistic ----
+
+  private def ksOp = new graft.operators.stats.KsStatistic("m", "grp", "base", "cur")
+
+  test("ks: identical samples score 0, disjoint supports score 1") {
+    val same = (0 until 60).flatMap(i => Seq((i.toLong % 20, "base"), (i.toLong % 20, "cur")))
+    assert(ksOp(same.toDF("m", "grp")).head().getDouble(2) == 0.0)
+    val disjoint = (0 until 30).map(i => (i.toLong, "base")) ++
+      (0 until 30).map(i => (100L + i, "cur"))
+    assert(ksOp(disjoint.toDF("m", "grp")).head().getDouble(2) == 1.0)
+  }
+
+  test("ks: hand-computed gap; empty slice yields null") {
+    // base: {1,1,2,3}; cur: {2,3,3,4} → CDFs at v=1: .5 vs 0 (gap .5)
+    val rows = Seq((1L, "base"), (1L, "base"), (2L, "base"), (3L, "base"),
+      (2L, "cur"), (3L, "cur"), (3L, "cur"), (4L, "cur"))
+    val out = ksOp(rows.toDF("m", "grp")).head()
+    assert(out.getLong(0) == 4 && out.getLong(1) == 4)
+    assert(out.getDouble(2) == 0.5)
+    val onlyBase = ksOp(Seq((1L, "base")).toDF("m", "grp")).head()
+    assert(onlyBase.getLong(1) == 0 && onlyBase.isNullAt(2))
+  }
+
+  // ---- token fertility ----
+
+  test("fertility: known chars/words/subwords; zero-word source guarded") {
+    val op = new graft.operators.text.TokenFertility("text", "src")
+    val df = Seq(("alpha beta", "s1"), ("", "s2")).toDF("text", "src")
+    val out = op(df).collect()
+    val s1 = out(0)
+    assert(s1.getLong(2) == 10 && s1.getLong(3) == 2) // chars, words
+    assert(s1.getLong(4) >= s1.getLong(3)) // subwords never fewer than words
+    assert(!s1.isNullAt(5) && !s1.isNullAt(6))
+    val s2 = out(1)
+    assert(s2.getLong(2) == 0 && s2.isNullAt(5) && s2.isNullAt(6))
+  }
+
+  // ---- n-gram diversity ----
+
+  test("ngram diversity: known tiny corpus") {
+    val op = new graft.operators.text.NgramDiversity("text", maxN = 2)
+    // tokens: a b a b | a b → 1-grams: 6 total {a,b}=2 distinct
+    // 2-grams: "a b","b a","a b" + "a b" → 4 total, 2 distinct
+    val df = Seq("a b a b", "a b").toDF("text")
+    val out = op(df).collect()
+    assert(out(0).getLong(1) == 6 && out(0).getLong(2) == 2)
+    assert(out(1).getLong(1) == 4 && out(1).getLong(2) == 2)
+    assert(out(1).getDouble(3) == 0.5)
+  }
+
+  test("ngram diversity: empty corpus yields zero totals and null ratios") {
+    val op = new graft.operators.text.NgramDiversity("text", maxN = 3)
+    val out = op(Seq("", "").toDF("text")).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+  }
+
+  // ---- Zipf fit ----
+
+  test("zipf: an exact power law fits with slope -1 and r2 near 1") {
+    val op = new graft.operators.stats.ZipfFit("text", topK = 100)
+    // freq(rank r) = 60/r for r = 1..6 → ln(c) = ln60 − 1·ln(r) exactly
+    val docs = (1 to 6).flatMap(r => Seq.fill(60 / r)(s"tok$r")).mkString(" ")
+    val out = op(Seq(docs).toDF("text")).head()
+    assert(out.getLong(0) == 6)
+    assert(math.abs(out.getDouble(1) + 1.0) < 1e-4, s"slope ${out.getDouble(1)}")
+    assert(out.getDouble(3) > 0.9999)
+  }
+
+  test("zipf: constant-frequency vocabulary has ~0 slope and no r2; single token no fit") {
+    val op = new graft.operators.stats.ZipfFit("text", topK = 100)
+    val flat = op(Seq("aa bb cc dd ee").toDF("text")).head()
+    assert(math.abs(flat.getDouble(1)) < 1e-6 && flat.isNullAt(3))
+    val single = op(Seq("aa aa aa").toDF("text")).head()
+    assert(single.getLong(0) == 1 && single.isNullAt(1) && single.isNullAt(3))
+  }
+
+  // ---- PII density ----
+
+  test("pii density: per-source counts, clean docs, zero-token rate guard") {
+    val op = new graft.operators.text.PiiDensity("text", "src")
+    val df = Seq(
+      ("write a@b.co or c@d.io today", "s1"),
+      ("ping 10.0.0.1 now", "s1"),
+      ("totally clean text here", "s1"),
+      ("", "s2")).toDF("text", "src")
+    val out = op(df).collect()
+    val s1 = out(0); val s2 = out(1)
+    assert(s1.getLong(1) == 3 && s1.getLong(2) == 2) // 3 docs, 2 with pii
+    assert(s1.getLong(3) == 2 && s1.getLong(4) == 1 && s1.getLong(5) == 0)
+    assert(!s1.isNullAt(6))
+    assert(s2.getLong(1) == 1 && s2.getLong(2) == 0 && s2.isNullAt(6))
+  }
+
+  // ---- Silhouette ----
+
+  test("silhouette: tight well-separated blobs score near 1, one merged blob near 0") {
+    val op = new ClusterSilhouette("v", k = 2)
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val tight = (0 until 20).map(i =>
+      if (i % 2 == 0) Seq(0.1f * (i % 3), 0.0f) else Seq(10.0f + 0.1f * (i % 3), 10.0f))
+      .toDF("v")
+    val s = op(tight, cents).collect()
+    assert(s.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(s.forall(_.getDouble(2) > 0.95))
+    // points midway between centroids: a ≈ b → silhouette ≈ 0
+    val smeared = (0 until 20).map(i => Seq(5.0f + 0.01f * (i % 5), 5.0f)).toDF("v")
+    val s2 = op(smeared, cents).collect()
+    assert(s2.map(_.getDouble(2)).forall(v => math.abs(v) < 0.05))
+  }
+
+  test("silhouette: clusterIds relabel centroid indices") {
+    val op = new ClusterSilhouette("v", k = 2)
+    val cents = Seq(Seq(0.0), Seq(10.0))
+    val df = Seq(Seq(0.5f), Seq(9.5f)).toDF("v")
+    val out = op(df, cents, Some(Seq(100L, 200L))).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L, 200L))
+  }
+}

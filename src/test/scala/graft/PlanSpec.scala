@@ -12,7 +12,8 @@ class PlanSpec extends AnyFunSuite {
   import TestSpark._
 
   private val byName = (Relational.queries ++ NearDup.queries ++
-    graft.queries.ModelStatsQueries.queries).map(q => q.name -> q).toMap
+    graft.queries.ModelStatsQueries.queries ++
+    graft.queries.DriftQueries.queries).map(q => q.name -> q).toMap
   private def plan(name: String): String = planOf(byName(name).run(spark, sfDir))
   private def fmtPlan(name: String): String = planFormatted(byName(name).run(spark, sfDir))
 
@@ -466,6 +467,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("kappa: one partial-aggregated scan — no shuffle of rows, no join, no window") {
+    val p = plan("filter_agreement_kappa")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("jsd: corpus scanned once — one token exchange, vocab-sized totals window above it") {
+    val p = plan("js_divergence")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("FileScan".r.findAllIn(p).size == 1, s"corpus must be scanned once:\n$p")
+    val windowAt = p.indexOf("Window")
+    assert(windowAt >= 0 && windowAt < p.indexOf("Exchange hashpartitioning"),
+      s"totals window must sit above the token aggregate:\n$p")
+  }
+
+  test("psi drift: corpus scanned once, totals window over the B-row spine") {
+    val p = plan("drift_psi")
+    assert("FileScan".r.findAllIn(p).size == 1, s"corpus must be scanned once:\n$p")
+    // counts keyed by bucket + (possibly) the spine join — never a
+    // corpus-row shuffle beyond the B-row aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    val windowAt = p.indexOf("Window")
+    assert(windowAt >= 0 && windowAt < p.indexOf("Exchange hashpartitioning"),
+      s"totals window must sit above the bucket aggregate:\n$p")
+  }
+
+  test("silhouette: centroids ride the closure — one cluster-keyed exchange, no join") {
+    val p = plan("cluster_silhouette")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("zipf: the rank window is vocabulary-sized (above the token groupBy), not corpus-sized") {
+    val p = plan("zipf_fit")
+    // one corpus-scale exchange: the token count groupBy; the global
+    // rank sort happens on the vocab-sized aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    val windowAt = p.indexOf("Window")
+    val tokAggAt = p.indexOf("Exchange hashpartitioning")
+    assert(windowAt < tokAggAt, s"window must sit above the token aggregate:\n$p")
   }
 
   test("NO gate query plans a CartesianProduct — the whole-surface scale audit") {

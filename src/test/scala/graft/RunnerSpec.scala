@@ -716,7 +716,7 @@ class RunnerSpec extends AnyFunSuite {
     assert(new java.io.File("/tmp/graft_out/documents_curated").exists())
   }
 
-  test("corpus analyze writes the four reports with consistent totals") {
+  test("corpus analyze writes the five reports with consistent totals") {
     val out = java.nio.file.Files.createTempDirectory("graft_analyze").toString
     val docs = table("documents")
     val s = graft.runner.CorpusAnalyze.run(spark, docs, out)
@@ -730,6 +730,11 @@ class RunnerSpec extends AnyFunSuite {
     assert(lp.getDouble(0) <= lp.getDouble(1) && lp.getDouble(1) <= lp.getDouble(3))
     val nov = spark.read.parquet(s"$out/novelty_deciles")
     assert(nov.agg(org.apache.spark.sql.functions.sum("docs")).head().getLong(0) <= s.rows)
+    val drift = spark.read.parquet(s"$out/source_drift")
+    assert(drift.count() == s.sources)
+    assert(drift.columns.toSeq == Seq("source", "n", "psi"))
+    // every per-source PSI is finite and non-negative (p=q ⇒ 0 floor)
+    assert(drift.collect().forall(r => !r.isNullAt(2) && r.getDouble(2) >= -1e-9))
   }
 
   test("yaml pipeline loads CommonCrawl warc through the DSv2 source end-to-end") {
