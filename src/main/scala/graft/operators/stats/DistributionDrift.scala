@@ -89,18 +89,28 @@ final class DistributionDrift(
     least(lit(buckets - 1L),
       greatest(lit(0L), floor(m.cast("double") / lit(width.toDouble)).cast("long")))
 
-  /** Joint shape: spine-completed per-bucket counts plus the broadcast
-    * totals, with smoothed shares and the per-bucket PSI term as
-    * UNROUNDED columns (`_p`, `_q`, `_term`).
+  /** The STREAMABLE half: per-bucket conditional counts — one groupBy,
+    * legal as a complete-mode streaming aggregation. Batch callers
+    * compose it with [[psiFromCounts]]/[[terms]]; a streaming monitor
+    * runs THIS over the stream and finishes each microbatch's
+    * (B-row) counts table batch-side (the Calibration-monitor idiom —
+    * StreamingSpec pins stream == batch).
     */
-  private def terms(df: DataFrame): DataFrame = {
-    val counts = df.filter(col(groupCol).isin(baseVal, curVal))
+  def bucketCounts(df: DataFrame): DataFrame =
+    df.filter(col(groupCol).isin(baseVal, curVal))
       .select(bucketOf(col(metricCol)).as("bucket"),
         (col(groupCol) === baseVal).as("_b"))
       .groupBy(col("bucket"))
       .agg(count(when(col("_b"), lit(1))).as("base_n"),
         count(when(!col("_b"), lit(1))).as("cur_n"))
-    val spine = df.sparkSession.range(buckets).toDF("bucket")
+
+  /** Joint shape: spine-completed per-bucket counts plus windowed
+    * totals, with smoothed shares and the per-bucket PSI term as
+    * UNROUNDED columns (`_p`, `_q`, `_term`). Input must be a
+    * [[bucketCounts]]-shaped frame.
+    */
+  private def finish(counts: DataFrame): DataFrame = {
+    val spine = counts.sparkSession.range(buckets).toDF("bucket")
     val filled = spine.join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
@@ -121,6 +131,18 @@ final class DistributionDrift(
       .withColumn("_term", (col("_p") - col("_q")) * log(col("_p") / col("_q")))
   }
 
+  private def terms(df: DataFrame): DataFrame = finish(bucketCounts(df))
+
+  /** [[psi]] over an already-aggregated [[bucketCounts]] frame — the
+    * finish step a streaming monitor applies per microbatch.
+    */
+  def psiFromCounts(counts: DataFrame): DataFrame =
+    finish(counts).agg(
+      sum(col("base_n")).as("n_base"),
+      sum(col("cur_n")).as("n_cur"),
+      round(sum(floor(col("_term") * lit(1e9)).cast("long")).cast("double") / lit(1e9), 6)
+        .as("psi"))
+
   /** Per-bucket report: `(bucket, base_n, cur_n, base_share, cur_share,
     * psi_term)` for every bucket including empty ones.
     */
@@ -132,12 +154,7 @@ final class DistributionDrift(
       .orderBy(col("bucket"))
 
   /** One row: `(n_base, n_cur, psi)` — the headline drift number. */
-  def psi(df: DataFrame): DataFrame =
-    terms(df).agg(
-      sum(col("base_n")).as("n_base"),
-      sum(col("cur_n")).as("n_cur"),
-      round(sum(floor(col("_term") * lit(1e9)).cast("long")).cast("double") / lit(1e9), 6)
-        .as("psi"))
+  def psi(df: DataFrame): DataFrame = psiFromCounts(bucketCounts(df))
 
   // ---- DuckDB twins (same spine/smoothing/floor-scale shapes) ----
 

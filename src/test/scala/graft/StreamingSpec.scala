@@ -417,6 +417,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: complete-mode bucket counts finish to the batch PSI") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_driftstream")
+    val drift = new graft.operators.stats.DistributionDrift(
+      "m", "grp", baseVal = "base", curVal = "cur", buckets = 5, width = 10L)
+    val mem = MemoryStream[(Long, String)]
+    // the streamable half runs on the stream (complete-mode groupBy);
+    // the spine/window finish reads the maintained counts table
+    // batch-side — the calibration-monitor idiom
+    val q = drift.bucketCounts(mem.toDF().toDF("m", "grp"))
+      .writeStream.format("memory").queryName("drift_counts")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("complete").start()
+    val b1 = Seq((5L, "base"), (15L, "base"), (12L, "cur"))
+    val b2 = Seq((25L, "base"), (44L, "cur"), (47L, "cur"), (31L, "base"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = drift.psiFromCounts(spark.table("drift_counts")).head()
+      val batch = drift.psi((b1 ++ b2).toDF("m", "grp")).head()
+      assert(streamed == batch, s"stream monitor $streamed must equal batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming calibration: the reliability table over a stream equals the batch table") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
