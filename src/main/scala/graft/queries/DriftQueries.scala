@@ -4,7 +4,7 @@ import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators.ml.ClusterSilhouette
 import graft.operators.stats.{DistributionDrift, KsStatistic, RaterAgreement, ZipfFit}
-import graft.operators.text.{C4Clean, C4QualityFilter, GopherQuality, GopherQualityFilter, JsDivergence, NgramDiversity, PiiDensity, TokenFertility}
+import graft.operators.text.{C4Clean, C4QualityFilter, CurriculumBuckets, GopherQuality, GopherQualityFilter, JsDivergence, NgramDiversity, PiiDensity, TokenFertility}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,8 @@ object DriftQueries {
   private val c4KeepSql =
     C4Clean.docKeepSql("text2", C4Clean.sentenceCountSql(c4CleanSql), 3)
 
+  private val curriculumOp = new CurriculumBuckets("text", width = 0.01)
+
   private val ksOp = new KsStatistic("n_chars", "source", "src0", "src1")
 
   private val fertilityOp = new TokenFertility("text", "source")
@@ -119,6 +121,11 @@ object DriftQueries {
       // do the Gopher and C4 quality filters agree beyond chance?
       (s, dir) => kappaOp(kappaAug(Tables(s, dir, "documents"))),
       Some(kappaOp.sql("tk", gopherKeepSql, c4KeepSql, prelude = kappaAugSql))),
+
+    OracleQuery("curriculum_buckets",
+      // quality-quantile tiers: the curriculum-schedule planning table
+      (s, dir) => curriculumOp(Tables(s, dir, "documents")),
+      Some(curriculumOp.sql("documents"))),
 
     OracleQuery("ks_statistic",
       // bucketless drift: the largest CDF gap between the two slices

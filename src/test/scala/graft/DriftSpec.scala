@@ -201,6 +201,21 @@ class DriftSpec extends AnyFunSuite {
     assert(s2.getLong(1) == 1 && s2.getLong(2) == 0 && s2.isNullAt(6))
   }
 
+  // ---- curriculum buckets ----
+
+  test("curriculum: tiers partition the corpus and order by quality") {
+    val op = new graft.operators.text.CurriculumBuckets("text", width = 0.01)
+    val docs = TestSpark.table("documents")
+    val out = op(docs).collect()
+    assert(out.map(_.getLong(1)).sum == docs.count()) // a partition, no loss
+    assert(out.length >= 2, s"expected multiple tiers: ${out.toSeq}")
+    // mean quality strictly increases across tiers (quantile cuts)
+    val means = out.map(_.getDouble(2)).toSeq
+    assert(means == means.sorted, s"tiers out of order: $means")
+    // the top tier holds at most ~25% + bin-width slack of the corpus
+    assert(out.last.getLong(1) <= (docs.count() * 0.40).toLong)
+  }
+
   // ---- Silhouette ----
 
   test("silhouette: tight well-separated blobs score near 1, one merged blob near 0") {
