@@ -62,7 +62,8 @@ object Cli {
           sourceCol = flags.getOrElse("--source-field", "source"))
         println(s"""{"rows":${s.rows},"sources":${s.sources},""" +
           s""""tokens_total":${s.tokensTotal},"novelty_modal_decile":${s.noveltyModalDecile},""" +
-          s""""reports":"$outDir/{source_inventory,column_profile,length_percentiles,novelty_deciles}"}""")
+          s""""card":"$outDir/DATASET_CARD.md",""" +
+          s""""reports":"$outDir/{source_inventory,column_profile,length_percentiles,novelty_deciles,source_drift}"}""")
       } finally spark.stop()
 
     case _ =>

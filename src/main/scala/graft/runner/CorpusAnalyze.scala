@@ -71,10 +71,74 @@ object CorpusAnalyze {
       coalesce(sum("tokens"), lit(0L)).as("tokens")).head()
     val nov = spark.read.parquet(s"$outDir/novelty_deciles")
       .orderBy(col("docs").desc, col("decile")).limit(1).collect()
-    Summary(
+    val summary = Summary(
       rows = totals.getLong(0),
       sources = inv.count(),
       tokensTotal = totals.getLong(1),
       noveltyModalDecile = if (nov.isEmpty) -1L else nov.head.getLong(0))
+
+    // dataset card: the human-facing markdown a curated corpus ships
+    // with (the HF-dataset-card shape), rendered from the already-tiny
+    // reports — top-K source rows only, so the card stays bounded at
+    // any source count
+    writeCard(spark, outDir, summary)
+    summary
+  }
+
+  private val CardTopSources = 20
+
+  private def writeCard(spark: SparkSession, outDir: String, s: Summary): Unit = {
+    val inv = spark.read.parquet(s"$outDir/source_inventory")
+    val drift = spark.read.parquet(s"$outDir/source_drift")
+    val lp = spark.read.parquet(s"$outDir/length_percentiles").collect()
+      .headOption
+    val top = inv.join(drift.select(col("source"), col("psi")), Seq("source"), "left")
+      .orderBy(col("docs").desc, col("source"))
+      .limit(CardTopSources).collect()
+    val omitted = s.sources - top.length
+    val rows = top.map { r =>
+      val psi = if (r.isNullAt(4)) "—" else f"${r.getDouble(4)}%.4f"
+      s"| ${r.getString(0)} | ${r.getLong(1)} | ${r.getLong(2)} | " +
+        f"${r.getDouble(3)}%.4f | $psi |"
+    }.mkString("\n")
+    val watch = drift.where(col("psi") > 0.1)
+      .orderBy(col("psi").desc).collect()
+      .map(r => f"`${r.getString(0)}` (${r.getDouble(2)}%.4f)")
+    val pct = lp.map(r =>
+      f"p10 ${r.getDouble(0)}%.1f · p50 ${r.getDouble(1)}%.1f · " +
+        f"p90 ${r.getDouble(2)}%.1f · p99 ${r.getDouble(3)}%.1f")
+      .getOrElse("n/a (empty corpus)")
+    val card =
+      s"""# Dataset card
+         |
+         |Generated by `graft analyze`.
+         |
+         |## Inventory
+         |
+         |- documents: **${s.rows}**
+         |- sources: **${s.sources}**
+         |- tokens: **${s.tokensTotal}**
+         |- token-length percentiles: $pct
+         |- novelty modal decile: ${s.noveltyModalDecile} / 9
+         |
+         |## Sources (top ${top.length} by documents${
+           if (omitted > 0) s"; $omitted more omitted" else ""})
+         |
+         || source | docs | tokens | mean quality | PSI vs corpus |
+         ||---|---|---|---|---|
+         |$rows
+         |
+         |## Drift flags (PSI > 0.1)
+         |
+         |${if (watch.isEmpty) "None — every source tracks the corpus length shape."
+           else watch.mkString(", ")}
+         |
+         |Reports: `source_inventory/`, `column_profile/`,
+         |`length_percentiles/`, `novelty_deciles/`, `source_drift/`.
+         |""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "DATASET_CARD.md"),
+      card.getBytes("UTF-8"))
   }
 }

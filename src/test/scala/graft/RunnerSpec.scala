@@ -735,6 +735,13 @@ class RunnerSpec extends AnyFunSuite {
     assert(drift.columns.toSeq == Seq("source", "n", "psi"))
     // every per-source PSI is finite and non-negative (p=q ⇒ 0 floor)
     assert(drift.collect().forall(r => !r.isNullAt(2) && r.getDouble(2) >= -1e-9))
+    // dataset card renders the inventory and every (≤20) source row
+    val card = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "DATASET_CARD.md"))
+    assert(card.contains(s"documents: **${s.rows}**"))
+    assert(card.contains(s"sources: **${s.sources}**"))
+    assert(card.contains("| src0 |") && card.contains("PSI vs corpus"))
+    assert(card.contains("Drift flags"))
   }
 
   test("yaml pipeline loads CommonCrawl warc through the DSv2 source end-to-end") {
