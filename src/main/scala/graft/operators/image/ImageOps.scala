@@ -373,7 +373,8 @@ object ImageOps {
   }
 
   /** 256-bit DCT phash as a 64-char hex string; None for undecodable
-    * input. Large images (min dim >= 256) decode subsampled — see
+    * input. Large images (min dim >= 512 = 2·4·targetGrid) decode
+    * subsampled — see
     * [[decodeSubsampled]]; the hash only consumes a 64x64 box resize,
     * so >= 2x oversampling is retained.
     */

@@ -54,10 +54,14 @@ final class ClusterSilhouette(vecCol: String = "embedding", k: Int = 8) {
     val a = element_at(sorted, 1)
     val b = element_at(sorted, 2)
     val s = when(greatest(a, b) > 0d, (b - a) / greatest(a, b)).otherwise(lit(0.0))
-    val idx = graft.plans.kernels.nearest_centroid(v, centroids)
+    // the assigned index comes from the SAME distance array (first
+    // position of the minimum — ties to the lowest index, exactly the
+    // nearest_centroid kernel's rule) so each row pays ONE k×dim
+    // distance pass, not two
+    val idx1 = array_position(dists, a) // 1-based
     val label = clusterIds match {
-      case Some(ids) => element_at(typedlit(ids), idx + 1)
-      case None => idx.cast("long")
+      case Some(ids) => element_at(typedlit(ids), idx1.cast("int"))
+      case None => (idx1 - 1).cast("long")
     }
     df.select(label.as("cluster_id"), s.as("_s"))
       .groupBy(col("cluster_id"))

@@ -43,7 +43,11 @@ object DistributionDrift {
     require(buckets >= 2 && width >= 1L, "need buckets >= 2 and width >= 1")
     val bucket = least(lit(buckets - 1L),
       greatest(lit(0L), floor(metric.cast("double") / lit(width.toDouble)).cast("long")))
-    val counts = df.select(col(groupCol).as("_g"), bucket.as("_bk"))
+    // NULL/NaN metrics carry no bucket — excluded from the population
+    // (a NULL bucket would silently fall off the spine join; NaN would
+    // throw in the ANSI floor cast)
+    val counts = df.where(metric.isNotNull && !isnan(metric.cast("double")))
+      .select(col(groupCol).as("_g"), bucket.as("_bk"))
       .groupBy(col("_g"), col("_bk")).agg(count(lit(1)).as("_n"))
     val spine = counts.select(col("_g")).distinct()
       .crossJoin(df.sparkSession.range(buckets).toDF("_bk"))
@@ -97,7 +101,8 @@ final class DistributionDrift(
     * StreamingSpec pins stream == batch).
     */
   def bucketCounts(df: DataFrame): DataFrame =
-    df.filter(col(groupCol).isin(baseVal, curVal))
+    df.filter(col(groupCol).isin(baseVal, curVal) &&
+        col(metricCol).isNotNull && !isnan(col(metricCol).cast("double")))
       .select(bucketOf(col(metricCol)).as("bucket"),
         (col(groupCol) === baseVal).as("_b"))
       .groupBy(col("bucket"))
@@ -163,7 +168,8 @@ final class DistributionDrift(
     s"""_db AS (SELECT least(${b - 1}, greatest(0,
        |    CAST(floor(CAST($metricCol AS DOUBLE) / ${width.toDouble}) AS BIGINT))) AS bucket,
        |    ($groupCol = '$baseVal') AS isb
-       |  FROM $table WHERE $groupCol IN ('$baseVal', '$curVal')),
+       |  FROM $table WHERE $groupCol IN ('$baseVal', '$curVal')
+       |    AND $metricCol IS NOT NULL AND NOT isnan(CAST($metricCol AS DOUBLE))),
        |_dc AS (SELECT bucket, count(CASE WHEN isb THEN 1 END) AS base_n,
        |    count(CASE WHEN NOT isb THEN 1 END) AS cur_n
        |  FROM _db GROUP BY bucket),

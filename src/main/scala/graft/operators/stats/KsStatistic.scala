@@ -33,10 +33,14 @@ final class KsStatistic(
   val name = "ks_statistic"
 
   /** One row: `(n_base, n_cur, ks)`; null KS when either slice is
-    * empty (no CDF to compare).
+    * empty (no CDF to compare). The metric must be NUMERIC; NULL/NaN
+    * values are excluded from both CDFs (the engines disagree on where
+    * nulls sort, so including them would put their mass at opposite
+    * ends of the distribution).
     */
   def apply(df: DataFrame): DataFrame = {
-    val perVal = df.filter(col(groupCol).isin(baseVal, curVal))
+    val perVal = df.filter(col(groupCol).isin(baseVal, curVal) &&
+        col(metricCol).isNotNull && !isnan(col(metricCol).cast("double")))
       .select(col(metricCol).as("v"), (col(groupCol) === baseVal).as("_b"))
       .groupBy(col("v"))
       .agg(count(when(col("_b"), lit(1))).as("ca"),
@@ -64,7 +68,8 @@ final class KsStatistic(
 
   def sql(table: String): String =
     s"""WITH _kv AS (SELECT $metricCol AS v, ($groupCol = '$baseVal') AS b
-       |  FROM $table WHERE $groupCol IN ('$baseVal', '$curVal')),
+       |  FROM $table WHERE $groupCol IN ('$baseVal', '$curVal')
+       |    AND $metricCol IS NOT NULL AND NOT isnan(CAST($metricCol AS DOUBLE))),
        |_kc AS (SELECT v, count(CASE WHEN b THEN 1 END) AS ca,
        |    count(CASE WHEN NOT b THEN 1 END) AS cb
        |  FROM _kv GROUP BY v),

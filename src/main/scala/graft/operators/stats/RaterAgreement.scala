@@ -40,17 +40,25 @@ final class RaterAgreement(raterA: Column, raterB: Column) {
         count(when(col("_a") && !col("_b"), lit(1))).as("n_only_a"),
         count(when(!col("_a") && col("_b"), lit(1))).as("n_only_b"),
         count(when(!col("_a") && !col("_b"), lit(1))).as("n_both_drop"))
-    val n = col("n"); val n11 = col("n_both_keep"); val n10 = col("n_only_a")
-    val n01 = col("n_only_b"); val n00 = col("n_both_drop")
+    // the quadratic terms (n², the S products) ride decimal(38,0) —
+    // exact up to 10³⁸, so n up to ~10¹⁹ rows cannot overflow (Long
+    // arithmetic would throw past n ≈ 3·10⁹ under ANSI); the DuckDB
+    // twin uses HUGEINT for the same headroom
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val n = d38(col("n")); val n11 = d38(col("n_both_keep"))
+    val n10 = d38(col("n_only_a")); val n01 = d38(col("n_only_b"))
+    val n00 = d38(col("n_both_drop"))
     val sChance = (n11 + n10) * (n11 + n01) + (n00 + n10) * (n00 + n01)
     val kNum = n * (n11 + n00) - sChance
     val kDen = n * n - sChance
-    s.select(n, n11, n10, n01, n00,
-      when(n > 0, round((n11 + n00).cast("double") / n.cast("double"), 6))
+    s.select(col("n"), col("n_both_keep"), col("n_only_a"), col("n_only_b"),
+      col("n_both_drop"),
+      when(col("n") > 0, round((n11 + n00).cast("double") / n.cast("double"), 6))
         .as("observed_agreement"),
-      when(n > 0, round(sChance.cast("double") / (n * n).cast("double"), 6))
+      when(col("n") > 0, round(sChance.cast("double") / (n * n).cast("double"), 6))
         .as("expected_agreement"),
-      when(kDen =!= 0L, round(kNum.cast("double") / kDen.cast("double"), 6))
+      when(kDen =!= lit(0).cast("decimal(38,0)"),
+        round(kNum.cast("double") / kDen.cast("double"), 6))
         .as("kappa"))
   }
 
@@ -64,14 +72,15 @@ final class RaterAgreement(raterA: Column, raterB: Column) {
     val sChance = "((n11 + n10) * (n11 + n01) + (n00 + n10) * (n00 + n01))"
     s"""WITH $prelude
        |_rr AS (SELECT ($aExpr) AS a, ($bExpr) AS b FROM $table),
-       |_rt AS (SELECT count(*) AS n,
-       |    count(CASE WHEN a AND b THEN 1 END) AS n11,
-       |    count(CASE WHEN a AND NOT b THEN 1 END) AS n10,
-       |    count(CASE WHEN NOT a AND b THEN 1 END) AS n01,
-       |    count(CASE WHEN NOT a AND NOT b THEN 1 END) AS n00
+       |_rt AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(count(CASE WHEN a AND b THEN 1 END) AS HUGEINT) AS n11,
+       |    CAST(count(CASE WHEN a AND NOT b THEN 1 END) AS HUGEINT) AS n10,
+       |    CAST(count(CASE WHEN NOT a AND b THEN 1 END) AS HUGEINT) AS n01,
+       |    CAST(count(CASE WHEN NOT a AND NOT b THEN 1 END) AS HUGEINT) AS n00
        |  FROM _rr)
-       |SELECT n, n11 AS n_both_keep, n10 AS n_only_a, n01 AS n_only_b,
-       |  n00 AS n_both_drop,
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n_both_keep,
+       |  CAST(n10 AS BIGINT) AS n_only_a, CAST(n01 AS BIGINT) AS n_only_b,
+       |  CAST(n00 AS BIGINT) AS n_both_drop,
        |  CASE WHEN n > 0
        |    THEN round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
        |  END AS observed_agreement,

@@ -115,7 +115,12 @@ final class C4QualityFilter(
 
   val name = "c4_quality_filter"
 
-  def keep(df: DataFrame): Column =
+  /** The page verdict as a df-free Column (the predicate only reads
+    * `textCol`) — for composition into other operators.
+    */
+  def keepCol: Column =
     graft.plans.kernels.c4_signals(col(textCol), minWordsPerLine, minSentences)
       .getField("keep")
+
+  def keep(df: DataFrame): Column = keepCol
 }

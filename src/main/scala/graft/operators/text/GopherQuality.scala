@@ -159,8 +159,14 @@ final class GopherQualityFilter(
 
   val name = "gopher_quality_filter"
 
-  def keep(df: DataFrame): Column =
+  /** The page verdict as a df-free Column (the predicate only reads
+    * `textCol`) — for composition into other operators, e.g. rater
+    * agreement.
+    */
+  def keepCol: Column =
     graft.plans.kernels.gopher_signals(
       col(textCol), GopherQuality.StopWords, minWords, maxWords, minStopwords)
       .getField("keep")
+
+  def keep(df: DataFrame): Column = keepCol
 }

@@ -29,8 +29,8 @@ object DriftQueries {
   private val silOp = new ClusterSilhouette("embedding", k = 8)
 
   private val kappaOp = new RaterAgreement(
-    new GopherQualityFilter("text2").keep(null), // predicates are columns; df unused
-    new C4QualityFilter("text2").keep(null))
+    new GopherQualityFilter("text2").keepCol,
+    new C4QualityFilter("text2").keepCol)
 
   // Raw fixture text fails BOTH filters everywhere (single line, no
   // terminal punctuation, exactly one stoplist word), which makes the

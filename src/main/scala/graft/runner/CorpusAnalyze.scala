@@ -81,29 +81,32 @@ object CorpusAnalyze {
     // with (the HF-dataset-card shape), rendered from the already-tiny
     // reports — top-K source rows only, so the card stays bounded at
     // any source count
-    writeCard(spark, outDir, summary)
+    writeCard(spark, outDir, summary, sourceCol)
     summary
   }
 
   private val CardTopSources = 20
 
-  private def writeCard(spark: SparkSession, outDir: String, s: Summary): Unit = {
+  private def writeCard(spark: SparkSession, outDir: String, s: Summary,
+      sourceCol: String): Unit = {
     val inv = spark.read.parquet(s"$outDir/source_inventory")
     val drift = spark.read.parquet(s"$outDir/source_drift")
     val lp = spark.read.parquet(s"$outDir/length_percentiles").collect()
       .headOption
-    val top = inv.join(drift.select(col("source"), col("psi")), Seq("source"), "left")
-      .orderBy(col("docs").desc, col("source"))
+    val top = inv.join(drift.select(col(sourceCol), col("psi")), Seq(sourceCol), "left")
+      .orderBy(col("docs").desc, col(sourceCol))
       .limit(CardTopSources).collect()
     val omitted = s.sources - top.length
+    // source values render via toString — the source column need not be
+    // a string (numeric source ids are legal)
     val rows = top.map { r =>
       val psi = if (r.isNullAt(4)) "—" else f"${r.getDouble(4)}%.4f"
-      s"| ${r.getString(0)} | ${r.getLong(1)} | ${r.getLong(2)} | " +
+      s"| ${String.valueOf(r.get(0))} | ${r.getLong(1)} | ${r.getLong(2)} | " +
         f"${r.getDouble(3)}%.4f | $psi |"
     }.mkString("\n")
     val watch = drift.where(col("psi") > 0.1)
       .orderBy(col("psi").desc).collect()
-      .map(r => f"`${r.getString(0)}` (${r.getDouble(2)}%.4f)")
+      .map(r => f"`${String.valueOf(r.get(0))}` (${r.getDouble(2)}%.4f)")
     val pct = lp.map(r =>
       f"p10 ${r.getDouble(0)}%.1f · p50 ${r.getDouble(1)}%.1f · " +
         f"p90 ${r.getDouble(2)}%.1f · p99 ${r.getDouble(3)}%.1f")
@@ -136,9 +139,12 @@ object CorpusAnalyze {
          |Reports: `source_inventory/`, `column_profile/`,
          |`length_percentiles/`, `novelty_deciles/`, `source_drift/`.
          |""".stripMargin
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "DATASET_CARD.md"),
-      card.getBytes("UTF-8"))
+    // Hadoop-aware write so the card lands NEXT TO the reports when
+    // outDir is hdfs://... or s3a://... (java.nio would reinterpret the
+    // URI as a relative local path)
+    val path = new org.apache.hadoop.fs.Path(outDir, "DATASET_CARD.md")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(card.getBytes("UTF-8")) finally out.close()
   }
 }

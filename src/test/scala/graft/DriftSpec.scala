@@ -45,6 +45,19 @@ class DriftSpec extends AnyFunSuite {
     assert(t.head.getLong(1) == 1L && t.last.getLong(1) == 1L)
   }
 
+  test("psi/ks: NULL and NaN metrics are excluded from the population, not dropped silently or thrown") {
+    val dblOp = new DistributionDrift("m", "grp", "base", "cur", buckets = 5, width = 10L)
+    val rows = Seq((Some(5.0), "base"), (None, "base"), (Some(Double.NaN), "base"),
+      (Some(15.0), "cur"), (None, "cur"))
+    val out = dblOp.psi(rows.toDF("m", "grp")).head()
+    assert(out.getLong(0) == 1 && out.getLong(1) == 1) // only the real values count
+    val ksRows = Seq((Some(1.0), "base"), (None, "base"), (Some(1.0), "cur"),
+      (Some(Double.NaN), "cur"))
+    val ks = new graft.operators.stats.KsStatistic("m", "grp", "base", "cur")(
+      ksRows.toDF("m", "grp")).head()
+    assert(ks.getLong(0) == 1 && ks.getLong(1) == 1 && ks.getDouble(2) == 0.0)
+  }
+
   // ---- JSD ----
 
   private def jsdOp = new JsDivergence("text", "grp", "a", "b")

@@ -164,8 +164,8 @@ class ImageSpec extends AnyFunSuite {
   }
 
   test("large images hash via subsampled decode: deterministic, near the full-decode hash, fixtures unaffected") {
-    // 512x512 checkerboard+gradient mix — big enough to cross the
-    // min-dim >= 256 subsampling threshold (k = 512/128 = 4)
+    // 512x512 checkerboard+gradient mix — exactly at the min-dim >= 512
+    // subsampling threshold (k = min(w,h) / (4·64) = 512/256 = 2)
     val w = 512; val h = 512
     val px = Array.tabulate(w * h) { i =>
       val x = i % w; val y = i / w

@@ -108,6 +108,8 @@ def r6(v):
 
 
 def rows():
+    # keep BOTH the raw ratio (the kernel's keep predicate compares the
+    # UNROUNDED value against [0.25, 0.95]) and the rounded display value
     out = []
     for i in range(N):
         b = text(i).encode("utf-8")
@@ -115,18 +117,22 @@ def rows():
             ratio = 1.0
         else:
             ratio = len(zlib.compress(b, 1)) / len(b)
-        out.append((i, len(b), r6(ratio)))
+        out.append((i, len(b), r6(ratio), ratio))
     return out
 
 
 def ratio_block(rs):
     return ",\n".join(
         "  (CAST(%d AS BIGINT), CAST(%d AS BIGINT), CAST(%s AS DOUBLE))"
-        % (i, n, r) for i, n, r in rs)
+        % (i, n, r) for i, n, r, _ in rs)
 
 
-def keep_block(rs, lo=Decimal("0.25"), hi=Decimal("0.95")):
-    kept = [i for i, _, r in rs if lo <= r <= hi]
+def keep_block(rs, lo=0.25, hi=0.95):
+    # decide from the RAW ratio, exactly like DeflateKeep
+    # (kernels.scala: r >= minRatio && r <= maxRatio on the unrounded
+    # double) — deciding from the rounded value would disagree with the
+    # Spark side for any ratio within 5e-7 of a band edge
+    kept = [i for i, _, _, raw in rs if lo <= raw <= hi]
     return ",\n".join("  (CAST(%d AS BIGINT))" % i for i in kept)
 
 
