@@ -98,6 +98,48 @@ final class SequencePackRefiner(
       .drop("_m")
   }
 
+  /** Packing-efficiency report, per shard: how full the bins actually
+    * are — the number a trainer cares about, since every unfilled token
+    * slot is padding (wasted step compute) and every overflowing bin
+    * forces a downstream split. `utilization` counts each bin's tokens
+    * capped at the budget against `bins × maxTokens` capacity (the last
+    * bin per shard is expectedly underfull; a doc longer than the
+    * budget overflows the bin it starts). Exact BIGINT sums, one
+    * fixed-shape division; the two aggregations ride the shard
+    * exchange the packing already paid.
+    */
+  def packStats(df: DataFrame): DataFrame = {
+    val perBin = packed(df)
+      .groupBy(col("pack_shard"), col("pack_bin"))
+      .agg(count(lit(1)).as("_docs"), sum(col("pack_tokens")).as("_btok"))
+    perBin.groupBy(col("pack_shard"))
+      .agg(count(lit(1)).as("bins"),
+        sum(col("_docs")).as("docs"),
+        sum(col("_btok")).as("tokens"),
+        sum(least(col("_btok"), lit(maxTokens))).as("_used"),
+        count(when(col("_btok") > maxTokens, lit(1))).as("overflow_bins"))
+      .select(col("pack_shard"), col("bins"), col("docs"), col("tokens"),
+        round(col("_used").cast("double") /
+          (col("bins").cast("double") * lit(maxTokens.toDouble)), 6)
+          .as("utilization"),
+        col("overflow_bins"))
+      .orderBy(col("pack_shard"))
+  }
+
+  /** DuckDB twin of [[packStats]]; compose after [[packCteSql]]. */
+  def packStatsSql(table: String): String =
+    s"""WITH ${packCteSql(table)},
+       |_pb AS (SELECT pack_shard, pack_bin, count(*) AS docs,
+       |    CAST(sum(pack_tokens) AS BIGINT) AS btok
+       |  FROM _pack GROUP BY pack_shard, pack_bin)
+       |SELECT pack_shard, count(*) AS bins,
+       |  CAST(sum(docs) AS BIGINT) AS docs,
+       |  CAST(sum(btok) AS BIGINT) AS tokens,
+       |  round(CAST(CAST(sum(least(btok, $maxTokens)) AS BIGINT) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * ${maxTokens.toDouble}), 6) AS utilization,
+       |  count(CASE WHEN btok > $maxTokens THEN 1 END) AS overflow_bins
+       |FROM _pb GROUP BY pack_shard ORDER BY pack_shard""".stripMargin
+
   /** DuckDB twin (portable hash family): CTE exposing
     * `_pack(id, pack_tokens, pack_shard, pack_bin, pack_pos)`.
     */

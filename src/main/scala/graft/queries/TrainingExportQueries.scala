@@ -31,6 +31,12 @@ object TrainingExportQueries {
               |SELECT id AS doc_id, pack_tokens, pack_shard, pack_bin, pack_pos
               |FROM _pack ORDER BY doc_id""".stripMargin)),
 
+    OracleQuery("sequence_pack_stats",
+      // packing efficiency per shard: bin utilization (padding waste)
+      // and overflowing bins — what the trainer's step compute costs
+      (s, dir) => packOp.packStats(Tables(s, dir, "documents")),
+      Some(packOp.packStatsSql("documents"))),
+
     OracleQuery("sequence_pack_materialize",
       (s, dir) => new graft.operators.text.SequencePackMaterializer(
         "text", "doc_id", maxTokens = 512, numShards = 8,

@@ -41,6 +41,26 @@ class TrainingExportSpec extends AnyFunSuite {
     }
   }
 
+  test("pack stats reconcile with the per-document packing") {
+    val docs = table("documents")
+    val stats = packOp.packStats(docs).collect()
+    val perDoc = packOp(docs).select("pack_shard", "pack_bin", "pack_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.map(_.getLong(0)).toSeq == stats.map(_.getLong(0)).toSeq.sorted)
+    assert(stats.map(_.getLong(2)).sum == perDoc.length)      // docs
+    assert(stats.map(_.getLong(3)).sum == perDoc.map(_._3).sum) // tokens
+    stats.foreach { r =>
+      val shard = r.getLong(0)
+      val bins = perDoc.filter(_._1 == shard).groupBy(_._2)
+        .map { case (_, rs) => rs.map(_._3).sum }
+      assert(r.getLong(1) == bins.size)
+      val used = bins.map(t => math.min(t, 256L)).sum
+      assert(r.getDouble(4) == math.rint(used.toDouble / (bins.size * 256.0) * 1e6) / 1e6)
+      assert(r.getLong(5) == bins.count(_ > 256L))
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("packing is partition-independent and deterministic") {
     val a = packOp(table("documents"))
       .select("doc_id", "pack_shard", "pack_bin", "pack_pos")
