@@ -47,7 +47,9 @@ final class ClusterSilhouette(vecCol: String = "embedding", k: Int = 8) {
   def apply(df: DataFrame, centroids: Seq[Seq[Double]],
       clusterIds: Option[Seq[Long]] = None): DataFrame = {
     require(centroids.size == k, s"expected $k centroids, got ${centroids.size}")
+    require(centroids.map(_.size).distinct.size == 1, "centroid dims must agree")
     clusterIds.foreach(ids => require(ids.size == k, s"expected $k cluster ids"))
+    val dim = centroids.head.size
     val v = col(vecCol).cast("array<double>")
     val dists = array(centroids.map(c => l2sq(v, c)): _*)
     val sorted = array_sort(dists)
@@ -63,7 +65,11 @@ final class ClusterSilhouette(vecCol: String = "embedding", k: Int = 8) {
       case Some(ids) => element_at(typedlit(ids), idx1.cast("int"))
       case None => (idx1 - 1).cast("long")
     }
-    df.select(label.as("cluster_id"), s.as("_s"))
+    // silhouette of a malformed vector is meaningless, and the engines
+    // disagree on how a dimension-mismatched distance degenerates —
+    // exclude such rows EXPLICITLY on both sides instead
+    df.where(v.isNotNull && size(v) === lit(dim))
+      .select(label.as("cluster_id"), s.as("_s"))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n"),
         round(sum(floor(col("_s") * lit(1e9)).cast("long")).cast("double") /
@@ -81,14 +87,18 @@ final class ClusterSilhouette(vecCol: String = "embedding", k: Int = 8) {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
       s"(acc, x) -> acc + x)"
 
-  def sql(table: String, idCol: String): String =
+  /** `dim` must match the centroid dimensionality the Spark side uses
+    * (rows with a different vector length are excluded on both sides).
+    */
+  def sql(table: String, idCol: String, dim: Int = 64): String =
     s"""WITH _cent AS (SELECT $idCol AS _cid, $vecCol AS _ce FROM $table
        |  ORDER BY $idCol LIMIT $k),
        |_sd AS (SELECT t.$idCol AS id, c._cid,
        |    ${l2sqSql(s"t.$vecCol", "c._ce")} AS d,
        |    row_number() OVER (PARTITION BY t.$idCol
        |      ORDER BY ${l2sqSql(s"t.$vecCol", "c._ce")}, c._cid) AS _rn
-       |  FROM $table t CROSS JOIN _cent c),
+       |  FROM $table t CROSS JOIN _cent c
+       |  WHERE t.$vecCol IS NOT NULL AND len(t.$vecCol) = $dim),
        |_ab AS (SELECT id,
        |    max(CASE WHEN _rn = 1 THEN _cid END) AS cluster_id,
        |    max(CASE WHEN _rn = 1 THEN d END) AS a,

@@ -43,9 +43,11 @@ object DistributionDrift {
     require(buckets >= 2 && width >= 1L, "need buckets >= 2 and width >= 1")
     val bucket = least(lit(buckets - 1L),
       greatest(lit(0L), floor(metric.cast("double") / lit(width.toDouble)).cast("long")))
-    // NULL/NaN metrics carry no bucket — excluded from the population
-    // (a NULL bucket would silently fall off the spine join; NaN would
-    // throw in the ANSI floor cast)
+    // NULL/NaN metrics are excluded from the population. Before this
+    // filter the engines DIVERGED: Spark's greatest() skips nulls, so a
+    // NULL metric landed in bucket 0 and inflated its counts, while the
+    // DuckDB twin's NULL bucket fell off the spine join entirely; NaN
+    // threw in the ANSI floor cast.
     val counts = df.where(metric.isNotNull && !isnan(metric.cast("double")))
       .select(col(groupCol).as("_g"), bucket.as("_bk"))
       .groupBy(col("_g"), col("_bk")).agg(count(lit(1)).as("_n"))

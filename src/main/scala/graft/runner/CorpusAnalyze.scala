@@ -104,9 +104,12 @@ object CorpusAnalyze {
       s"| ${String.valueOf(r.get(0))} | ${r.getLong(1)} | ${r.getLong(2)} | " +
         f"${r.getDouble(3)}%.4f | $psi |"
     }.mkString("\n")
+    // bounded like the source table: worst offenders only, plus a count
+    val watchTotal = drift.where(col("psi") > 0.1).count()
     val watch = drift.where(col("psi") > 0.1)
-      .orderBy(col("psi").desc).collect()
+      .orderBy(col("psi").desc, col(sourceCol)).limit(CardTopSources).collect()
       .map(r => f"`${String.valueOf(r.get(0))}` (${r.getDouble(2)}%.4f)")
+    val watchMore = watchTotal - watch.length
     val pct = lp.map(r =>
       f"p10 ${r.getDouble(0)}%.1f · p50 ${r.getDouble(1)}%.1f · " +
         f"p90 ${r.getDouble(2)}%.1f · p99 ${r.getDouble(3)}%.1f")
@@ -134,7 +137,8 @@ object CorpusAnalyze {
          |## Drift flags (PSI > 0.1)
          |
          |${if (watch.isEmpty) "None — every source tracks the corpus length shape."
-           else watch.mkString(", ")}
+           else watch.mkString(", ") +
+             (if (watchMore > 0) s" — and $watchMore more" else "")}
          |
          |Reports: `source_inventory/`, `column_profile/`,
          |`length_percentiles/`, `novelty_deciles/`, `source_drift/`.

@@ -55,7 +55,11 @@ class TrainingExportSpec extends AnyFunSuite {
         .map { case (_, rs) => rs.map(_._3).sum }
       assert(r.getLong(1) == bins.size)
       val used = bins.map(t => math.min(t, 256L)).sum
-      assert(r.getDouble(4) == math.rint(used.toDouble / (bins.size * 256.0) * 1e6) / 1e6)
+      // Spark round() is HALF_UP over the double's shortest repr —
+      // math.rint (half-even) would flake on exact dyadic .5e-6 ties
+      val expected = BigDecimal(used.toDouble / (bins.size * 256.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == expected)
       assert(r.getLong(5) == bins.count(_ > 256L))
       assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
     }
