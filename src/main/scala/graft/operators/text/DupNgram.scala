@@ -63,16 +63,19 @@ final class DupNgramRefiner(
     * kernel covers the long-keyed families; md5/sha256 (string hashes)
     * fall back to the declarative path, same semantics.
     */
-  private[graft] def staged(corpus: DataFrame): DataFrame = {
-    val gramHashes = hashName match {
-      case "portable" | "xxhash64" =>
-        kernels.shingle_hashes_positional(col(textCol), w, hashName)
-      case _ =>
-        transform(
-          TextFunctions.shingles(TextFunctions.tokensOf(col(textCol)), w),
-          g => HashFunctions.hashByName(hashName)(g))
-    }
-    corpus.select(col(idCol).as("_dn_id"), gramHashes.as("_dn_hs"))
+  private[graft] def staged(corpus: DataFrame): DataFrame = hashName match {
+    case "portable" | "xxhash64" =>
+      corpus.select(col(idCol).as("_dn_id"),
+        kernels.shingle_hashes_positional(col(textCol), w, hashName).as("_dn_hs"))
+    case _ =>
+      // declarative fallback: stage the token array first — the shingle
+      // lambda references it (w+1) times and unstaged tokensOf re-runs
+      // normalize+split per reference (the NgramDiversity lesson)
+      corpus.select(col(idCol).as("_dn_id"),
+          TextFunctions.tokensOf(col(textCol)).as("_dn_toks"))
+        .select(col("_dn_id"),
+          transform(TextFunctions.shingles(col("_dn_toks"), w),
+            g => HashFunctions.hashByName(hashName)(g)).as("_dn_hs"))
   }
 
   /** The lazy corpus-global dup state `(_dn_id, _dn_dups, _dn_cnt)` over

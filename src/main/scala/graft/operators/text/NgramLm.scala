@@ -53,12 +53,20 @@ final class NgramLmScoreRefiner(
 
   private def build(
       df: DataFrame, corpus: DataFrame, alive: Option[Column]): DataFrame = {
-    val toks = TextFunctions.tokensOf(col(textCol))
-    val grams = if (ngramWidth == 1) toks else TextFunctions.shingles(toks, ngramWidth)
+    // STAGE the token array behind a projection boundary for widths > 1:
+    // the shingle lambda references its token expression (w+1) times and
+    // Catalyst does not dedupe subexpressions inside lambdas — unstaged
+    // it re-runs normalize+split per reference (the NgramDiversity 23.5s
+    // → 0.7s lesson; widths > 1 are registry-reachable via ngram_width)
+    val grams = if (ngramWidth == 1) TextFunctions.tokensOf(col(textCol))
+      else TextFunctions.shingles(col("_lm_toks"), ngramWidth)
+    val gramSrc = if (ngramWidth == 1) corpus
+      else corpus.select(col(idCol),
+        TextFunctions.tokensOf(col(textCol)).as("_lm_toks"))
 
     // doc-term counts on hashed keys — the compact (long, long, long)
     // table every downstream branch reads through one reused exchange.
-    val pairs = corpus
+    val pairs = gramSrc
       .select(col(idCol).as("_lm_id"), explode(grams).as("_lm_tok"))
       .select(col("_lm_id"),
         HashFunctions.hashByName(hashName)(col("_lm_tok")).as("_lm_h"))
