@@ -351,9 +351,29 @@ final class MinHashLSHDedup(
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, $numBands)) AS b) bs$cap),
        |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2, a.h AS h1, b.h AS h2
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id),
-       |ver AS (SELECT d1, d2 FROM cand
+       |ver AS (SELECT d1, d2,
+       |    CAST(len(list_intersect(h1, h2)) AS DOUBLE)
+       |      / (CAST(len(h1) + len(h2) AS DOUBLE) - CAST(len(list_intersect(h1, h2)) AS DOUBLE)) AS jacc
+       |  FROM cand
        |  WHERE CAST(len(list_intersect(h1, h2)) AS DOUBLE)
        |      / (CAST(len(h1) + len(h2) AS DOUBLE) - CAST(len(list_intersect(h1, h2)) AS DOUBLE)) >= $threshold)""".stripMargin
+  }
+
+  /** Audit view of the verified pairs: `(d1, d2, jaccard)` rounded to
+    * 6 — the "why was this document dropped" evidence table reviewers
+    * ask for before trusting a dedup pass. Use the DIRECT (non
+    * pre-collapsed) configuration when auditing: the collapsed form
+    * omits redundant non-representative×non-representative pairs.
+    */
+  def auditPairs(df: DataFrame): DataFrame =
+    verifiedPairs(df)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+
+  def auditPairsSql(table: String): String = {
+    require(!preCollapseExact, "audit oracle covers the direct pair form")
+    s"""WITH ${verCtes(table)}
+       |SELECT d1, d2, round(jacc, 6) AS jaccard FROM ver ORDER BY d1, d2""".stripMargin
   }
 
   def keepSql(table: String): String = {

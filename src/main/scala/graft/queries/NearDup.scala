@@ -103,6 +103,12 @@ object NearDup {
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashOp.keepSql("documents"))),
 
+    OracleQuery("neardup_audit_pairs",
+      // the dedup evidence table: every verified pair with its Jaccard —
+      // what a reviewer reads before trusting the drop set
+      (s, dir) => minhashOp.auditPairs(Tables(s, dir, "documents")),
+      Some(minhashOp.auditPairsSql("documents"))),
+
     OracleQuery("minhash_lsh_dedup_precollapse",
       (s, dir) => minhashPreCollapseOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
