@@ -66,11 +66,24 @@ object Cli {
           s""""reports":"$outDir/{source_inventory,column_profile,length_percentiles,novelty_deciles,source_drift}"}""")
       } finally spark.stop()
 
+    case "report" :: name :: inPath :: outDir :: Nil =>
+      val spark = GraftSession.local()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val rows = graft.runner.CorpusReports.run(spark, name,
+          spark.read.parquet(inPath), outDir)
+        println(s"""{"report":"$name","rows":$rows,"path":"$outDir/$name"}""")
+      } finally spark.stop()
+
+    case "list-reports" :: Nil =>
+      graft.runner.CorpusReports.names.foreach(println)
+
     case _ =>
       System.err.println(
         """usage:
           |  graft.Cli run -c <config.yaml> [--max-samples N]
           |  graft.Cli analyze <corpus.parquet> <outDir> [--text-field F] [--id-field F] [--source-field F]
+          |  graft.Cli report <name> <corpus.parquet> <outDir>   (names: graft.Cli list-reports)
           |  graft.Cli list-operators""".stripMargin)
       sys.exit(2)
   }

@@ -1,0 +1,51 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Named corpus-health reports for `graft.Cli report <name>` — the
+  * CLI surface over the round-12 analytics family, so a pipeline
+  * operator can run any single monitor without writing Scala. Each
+  * report uses the documents-table column conventions (`text`,
+  * `source`, `doc_id`, `n_chars` — override via Cli flags) and writes
+  * one parquet table under `outDir/<name>`.
+  *
+  * Only the PARAMETERLESS monitors live here (nothing that needs a
+  * second corpus or a pair of slice names); the two-slice forms
+  * (PSI/KS/JSD between two named sources) remain API-level where the
+  * caller supplies the slices.
+  */
+object CorpusReports {
+
+  final case class Cols(text: String, id: String, source: String, metric: String)
+
+  def names: Seq[String] = Seq("source_drift", "token_fertility",
+    "pii_density", "ngram_diversity", "zipf_fit", "curriculum_buckets")
+
+  def build(name: String, df: DataFrame, c: Cols): DataFrame = name match {
+    case "source_drift" =>
+      graft.operators.stats.DistributionDrift.psiPerGroup(
+        df, graft.functions.TextFunctions.tokenCount(col(c.text)), c.source,
+        buckets = 10, width = 20L)
+    case "token_fertility" =>
+      new graft.operators.text.TokenFertility(c.text, c.source)(df)
+    case "pii_density" =>
+      new graft.operators.text.PiiDensity(c.text, c.source)(df)
+    case "ngram_diversity" =>
+      new graft.operators.text.NgramDiversity(c.text, maxN = 3)(df)
+    case "zipf_fit" =>
+      new graft.operators.stats.ZipfFit(c.text, topK = 1000)(df)
+    case "curriculum_buckets" =>
+      new graft.operators.text.CurriculumBuckets(c.text, width = 0.01)(df)
+    case other => throw new IllegalArgumentException(
+      s"unknown report '$other'; available: ${names.mkString(", ")}")
+  }
+
+  /** Run and write `outDir/<name>`; returns the row count. */
+  def run(spark: SparkSession, name: String, df: DataFrame, outDir: String,
+      cols: Cols = Cols("text", "doc_id", "source", "n_chars")): Long = {
+    val out = build(name, df, cols)
+    out.write.mode("overwrite").parquet(s"$outDir/$name")
+    spark.read.parquet(s"$outDir/$name").count()
+  }
+}

@@ -744,6 +744,21 @@ class RunnerSpec extends AnyFunSuite {
     assert(card.contains("Drift flags"))
   }
 
+  test("named corpus reports all run end-to-end and reject unknown names") {
+    val out = java.nio.file.Files.createTempDirectory("graft_reports").toString
+    val docs = table("documents")
+    graft.runner.CorpusReports.names.foreach { name =>
+      val rows = graft.runner.CorpusReports.run(spark, name, docs, out)
+      assert(rows > 0, s"report $name wrote no rows")
+    }
+    // spot-check shapes: per-source reports have one row per source
+    assert(spark.read.parquet(s"$out/source_drift").count() == 20)
+    assert(spark.read.parquet(s"$out/token_fertility").count() == 20)
+    assert(spark.read.parquet(s"$out/ngram_diversity").count() == 3)
+    intercept[IllegalArgumentException](
+      graft.runner.CorpusReports.run(spark, "nope", docs, out))
+  }
+
   test("yaml pipeline loads CommonCrawl warc through the DSv2 source end-to-end") {
     val base = java.nio.file.Files.createTempDirectory("graft_warcpipe")
     def rec(tpe: String, uri: String, content: String): String = {
