@@ -31,14 +31,22 @@ final class FuzzyJoin(
 
   require(maxDistance >= 0 && q >= 2 && maxGramKeys >= 1)
 
-  // bare (key, gram) rows — the string is functionally dependent on the
-  // key, so keeping it through the distinct exchange only fattens the
-  // shuffle; names re-attach by key after the candidate join
+  // bare (key, gram-HASH) rows — the string is functionally dependent
+  // on the key, so keeping it through the distinct exchange only
+  // fattens the shuffle, and the gram itself rides as a fixed-width
+  // 60-bit portable hash (8 B long vs a UTF8String): every distinct /
+  // groupBy / join downstream keys on longs. A hash collision merely
+  // merges two gram posting lists — extra CANDIDATES that the exact
+  // levenshtein verify filters — so the output is identical, and the
+  // DuckDB twin hashes with the same portable family so its candidate
+  // set (and output) matches bit-for-bit.
   private def grams(df: DataFrame, keyCol: String, strCol: String): DataFrame =
     df.where(length(col(strCol)) >= q)
       .select(col(keyCol), explode(expr(
         s"transform(sequence(1, length($strCol) - ${q - 1}), i -> substring($strCol, i, $q))"))
-        .as("_g"))
+        .as("_gs"))
+      .select(col(keyCol),
+        graft.functions.HashFunctions.portableHash64(col("_gs")).as("_g"))
       .distinct() // one (key, gram) row even when a gram repeats in-string
 
   /** Verified pairs `(leftKey, rightKey, dist)`. */
@@ -76,11 +84,11 @@ final class FuzzyJoin(
     s"""_fjl AS (SELECT $leftKeyCol, $leftStrCol FROM ($leftSql)),
        |_fjr AS (SELECT $rightKeyCol, $rightStrCol FROM ($rightSql)),
        |_fjlg AS (SELECT DISTINCT $leftKeyCol, $leftStrCol,
-       |    substring($leftStrCol, g, $q) AS _g
+       |    ${graft.functions.HashFunctions.portableHash64Sql(s"substring($leftStrCol, g, $q)")} AS _g
        |  FROM _fjl, (SELECT unnest(range(1, $maxLen)) AS g) gs
        |  WHERE length($leftStrCol) >= $q AND g <= length($leftStrCol) - ${q - 1}),
        |_fjrg AS (SELECT DISTINCT $rightKeyCol, $rightStrCol,
-       |    substring($rightStrCol, g, $q) AS _g
+       |    ${graft.functions.HashFunctions.portableHash64Sql(s"substring($rightStrCol, g, $q)")} AS _g
        |  FROM _fjr, (SELECT unnest(range(1, $maxLen)) AS g) gs
        |  WHERE length($rightStrCol) >= $q AND g <= length($rightStrCol) - ${q - 1}),
        |_fjf AS (SELECT _g, count(*) AS _f FROM (
