@@ -355,20 +355,25 @@ final class MinHashLSHDedup(
        |    CAST(len(list_intersect(h1, h2)) AS DOUBLE)
        |      / (CAST(len(h1) + len(h2) AS DOUBLE) - CAST(len(list_intersect(h1, h2)) AS DOUBLE)) AS jacc
        |  FROM cand
-       |  WHERE CAST(len(list_intersect(h1, h2)) AS DOUBLE)
-       |      / (CAST(len(h1) + len(h2) AS DOUBLE) - CAST(len(list_intersect(h1, h2)) AS DOUBLE)) >= $threshold)""".stripMargin
+       |  WHERE jacc >= $threshold)""".stripMargin
   }
 
   /** Audit view of the verified pairs: `(d1, d2, jaccard)` rounded to
     * 6 — the "why was this document dropped" evidence table reviewers
-    * ask for before trusting a dedup pass. Use the DIRECT (non
-    * pre-collapsed) configuration when auditing: the collapsed form
-    * omits redundant non-representative×non-representative pairs.
+    * ask for before trusting a dedup pass. Requires the DIRECT (non
+    * pre-collapsed) configuration: the collapsed form omits redundant
+    * non-representative×non-representative pairs, which is fine for
+    * every dedup consumer but would make the EVIDENCE table silently
+    * incomplete.
     */
-  def auditPairs(df: DataFrame): DataFrame =
+  def auditPairs(df: DataFrame): DataFrame = {
+    require(!preCollapseExact,
+      "auditPairs needs the direct pair form — the pre-collapsed pair set omits " +
+        "redundant member pairs and would render an incomplete evidence table")
     verifiedPairs(df)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
+  }
 
   def auditPairsSql(table: String): String = {
     require(!preCollapseExact, "audit oracle covers the direct pair form")

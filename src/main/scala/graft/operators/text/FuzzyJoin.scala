@@ -27,26 +27,35 @@ final class FuzzyJoin(
     rightKeyCol: String, rightStrCol: String,
     maxDistance: Int = 2,
     q: Int = 3,
-    maxGramKeys: Int = 200) {
+    maxGramKeys: Int = 200,
+    hashName: String = "xxhash64") {
 
   require(maxDistance >= 0 && q >= 2 && maxGramKeys >= 1)
+  // grams must ride as LONGS (the DupNgram/NgramLm hash-parameter
+  // convention: xxhash64 is the codegen'd production default, portable
+  // the oracle-portable family)
+  require(hashName == "xxhash64" || hashName == "portable",
+    s"fuzzy join keys grams on a LONG hash; got '$hashName'")
 
   // bare (key, gram-HASH) rows — the string is functionally dependent
   // on the key, so keeping it through the distinct exchange only
   // fattens the shuffle, and the gram itself rides as a fixed-width
-  // 60-bit portable hash (8 B long vs a UTF8String): every distinct /
-  // groupBy / join downstream keys on longs. A hash collision merely
-  // merges two gram posting lists — extra CANDIDATES that the exact
-  // levenshtein verify filters — so the output is identical, and the
-  // DuckDB twin hashes with the same portable family so its candidate
-  // set (and output) matches bit-for-bit.
+  // long (8 B vs a UTF8String): every distinct / groupBy / join
+  // downstream keys on longs. Collision semantics: a collision merges
+  // two grams' posting lists, which ADDS candidates (filtered by the
+  // exact levenshtein verify) — except that a merged list can cross
+  // `maxGramKeys` and be dropped as hot, losing any pair whose only
+  // shared gram it was. At 60–64 hash bits that event has negligible
+  // probability (~|grams|²/2⁶⁰ per corpus), and the oracle stays exact
+  // because the DuckDB twin hashes with the identical portable family,
+  // so both engines see the same merged lists either way.
   private def grams(df: DataFrame, keyCol: String, strCol: String): DataFrame =
     df.where(length(col(strCol)) >= q)
       .select(col(keyCol), explode(expr(
         s"transform(sequence(1, length($strCol) - ${q - 1}), i -> substring($strCol, i, $q))"))
         .as("_gs"))
       .select(col(keyCol),
-        graft.functions.HashFunctions.portableHash64(col("_gs")).as("_g"))
+        graft.functions.HashFunctions.hashByName(hashName)(col("_gs")).as("_g"))
       .distinct() // one (key, gram) row even when a gram repeats in-string
 
   /** Verified pairs `(leftKey, rightKey, dist)`. */
@@ -80,7 +89,8 @@ final class FuzzyJoin(
     * same hot-gram cap, same verify. `maxLen` bounds the unnested gram
     * positions (any value ≥ the longest string is exact).
     */
-  def pairsSql(leftSql: String, rightSql: String, maxLen: Int = 512): String =
+  def pairsSql(leftSql: String, rightSql: String, maxLen: Int = 512): String = {
+    require(hashName == "portable", "oracle covers the portable hash family")
     s"""_fjl AS (SELECT $leftKeyCol, $leftStrCol FROM ($leftSql)),
        |_fjr AS (SELECT $rightKeyCol, $rightStrCol FROM ($rightSql)),
        |_fjlg AS (SELECT DISTINCT $leftKeyCol, $leftStrCol,
@@ -102,4 +112,5 @@ final class FuzzyJoin(
        |  FROM _fjc),
        |_fjout AS (SELECT $leftKeyCol, $rightKeyCol, CAST(dist AS BIGINT) AS dist
        |  FROM _fjp WHERE dist <= $maxDistance)""".stripMargin
+  }
 }

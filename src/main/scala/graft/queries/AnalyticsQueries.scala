@@ -125,7 +125,8 @@ object AnalyticsQueries {
     // levenshtein-verified; aggregated per left key.
     OracleQuery("fuzzy_join", {
       val op = new graft.operators.text.FuzzyJoin(
-        "lkey", "lname", "rkey", "rname", maxDistance = 2, q = 3, maxGramKeys = 200)
+        "lkey", "lname", "rkey", "rname", maxDistance = 2, q = 3, maxGramKeys = 200,
+        hashName = "portable")
       (s, dir) => {
         val cust = Tables(s, dir, "customer")
         val left = cust.select(col("c_custkey").as("lkey"), lower(col("c_name")).as("lname"))
@@ -139,7 +140,8 @@ object AnalyticsQueries {
       }
     },
       Some(s"""WITH ${new graft.operators.text.FuzzyJoin(
-                 "lkey", "lname", "rkey", "rname", maxDistance = 2, q = 3, maxGramKeys = 200)
+                 "lkey", "lname", "rkey", "rname", maxDistance = 2, q = 3, maxGramKeys = 200,
+                 hashName = "portable")
                  .pairsSql(
                    "SELECT c_custkey AS lkey, lower(c_name) AS lname FROM customer",
                    "SELECT c_custkey + 100000 AS rkey, CASE WHEN c_custkey % 2 = 0 " +

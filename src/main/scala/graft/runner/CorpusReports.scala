@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions.col
 /** Named corpus-health reports for `graft.Cli report <name>` — the
   * CLI surface over the round-12 analytics family, so a pipeline
   * operator can run any single monitor without writing Scala. Each
-  * report uses the documents-table column conventions (`text`,
-  * `source`, `doc_id`, `n_chars` — override via Cli flags) and writes
-  * one parquet table under `outDir/<name>`.
+  * report reads the documents-table column conventions (`text`,
+  * `source`); a corpus with other names must be pre-projected (SELECT
+  * ... AS text/source) before the report — the CLI deliberately takes
+  * no flag surface here. One parquet table lands under
+  * `outDir/<name>`.
   *
   * Only the PARAMETERLESS monitors live here (nothing that needs a
   * second corpus or a pair of slice names); the two-slice forms
@@ -17,7 +19,7 @@ import org.apache.spark.sql.functions.col
   */
 object CorpusReports {
 
-  final case class Cols(text: String, id: String, source: String, metric: String)
+  final case class Cols(text: String, source: String)
 
   def names: Seq[String] = Seq("source_drift", "token_fertility",
     "pii_density", "ngram_diversity", "zipf_fit", "curriculum_buckets")
@@ -43,7 +45,7 @@ object CorpusReports {
 
   /** Run and write `outDir/<name>`; returns the row count. */
   def run(spark: SparkSession, name: String, df: DataFrame, outDir: String,
-      cols: Cols = Cols("text", "doc_id", "source", "n_chars")): Long = {
+      cols: Cols = Cols("text", "source")): Long = {
     val out = build(name, df, cols)
     out.write.mode("overwrite").parquet(s"$outDir/$name")
     spark.read.parquet(s"$outDir/$name").count()

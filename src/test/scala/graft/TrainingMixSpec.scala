@@ -93,6 +93,28 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(math.abs(perp - math.pow(10.0, -avg)) < 1e-9)
   }
 
+  test("ngram LM at width 2: staged-bigram path scores shared bigrams above unique ones, gated and partition-invariant") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the rug"),
+      (2L, "the cat sat on the rug and the dog sat on the mat"),
+      (3L, "zxqv wkjh pqrs mnbv lkjq asdf qwer zxcv tyui ghjk"))
+      .toDF("id", "text")
+    val op = new NgramLmScoreRefiner("text", "id", ngramWidth = 2)
+    val out = op(docs).collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // docs 1/2 share bigrams ("the cat", "sat on", ...); doc 3's are unique
+    assert(out(1L).getAs[Double]("lm_logprob_avg") > out(3L).getAs[Double]("lm_logprob_avg"))
+    assert(out.values.forall(_.getAs[Double]("lm_perplexity") > 0.0))
+    // partition-invariant (the staged projection boundary holds)
+    val re = op(docs.repartition(7)).collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[Double]("lm_logprob_avg")).toMap
+    assert(out.keys.forall(k => re(k) == out(k).getAs[Double]("lm_logprob_avg")))
+    // gated: dead rows keep null LM columns and don't shape the corpus model
+    val gated = op.applyGated(docs, org.apache.spark.sql.functions.col("id") =!= 3L)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(gated(3L).isNullAt(gated(3L).fieldIndex("lm_logprob_avg")))
+    assert(gated(1L).getAs[Double]("lm_logprob_avg") > -10)
+  }
+
   test("source-weighted sampling is deterministic and respects 0/1 fractions") {
     val docs = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
     val op = new SourceWeightedSampleFilter(
