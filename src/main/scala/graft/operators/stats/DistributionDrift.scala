@@ -55,16 +55,21 @@ object DistributionDrift {
       .crossJoin(df.sparkSession.range(buckets).toDF("_bk"))
     val filled = spine.join(counts, Seq("_g", "_bk"), "left")
       .select(col("_g"), col("_bk"), coalesce(col("_n"), lit(0L)).as("_n"))
-    // all three totals as windows over the (groups×B)-sized frame —
-    // ONE corpus scan instead of one per total
+    // per-bucket and per-group totals are PARTITIONED windows over the
+    // (groups×B)-sized frame — bounded frames per window task even with
+    // millions of groups (per-domain PSI). The single GRAND total must
+    // not ride an unpartitioned window over that same frame (one task
+    // holding groups×B rows): it broadcasts as a scalar aggregate over
+    // the counts subtree, whose exchange AQE's stage reuse dedupes — the
+    // corpus is still scanned once (the JsDivergence replan idiom).
     import org.apache.spark.sql.expressions.Window
-    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val totals = counts.agg(sum(col("_n")).as("_ct"))
     val withTot = filled
       .withColumn("_cn", sum(col("_n")).over(
         Window.partitionBy(col("_bk")).rowsBetween(Long.MinValue, Long.MaxValue)))
       .withColumn("_gt", sum(col("_n")).over(
         Window.partitionBy(col("_g")).rowsBetween(Long.MinValue, Long.MaxValue)))
-      .withColumn("_ct", sum(col("_n")).over(wAll))
+      .crossJoin(broadcast(totals))
     val half = lit(0.5 * buckets)
     val p = (col("_n").cast("double") + lit(0.5)) / (col("_gt").cast("double") + half)
     val q = (col("_cn").cast("double") + lit(0.5)) / (col("_ct").cast("double") + half)

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * noise and is identical in both engines.
   *
   * Scale shape: one token-keyed partial aggregate (the word-count
-  * shuffle), then a VOCABULARY-sized global sort for ranks bounded by
-  * `topK` — vocabulary is millions at worst when the corpus is
-  * billions, and the regression reads only the top-K head.
+  * shuffle), then a distributed top-K (`TakeOrderedAndProject`: each
+  * partition keeps its local top-K head, only K rows travel) — the
+  * full vocabulary NEVER transits one partition. Ranks are a
+  * row_number over the K-row result, bit-identical to ranking first
+  * because the order `(count DESC, token ASC)` is total (the
+  * [[graft.operators.ml.BinaryAuc]] no-global-rank discipline).
   */
 final class ZipfFit(textCol: String, topK: Int = 1000) {
 
@@ -38,10 +41,14 @@ final class ZipfFit(textCol: String, topK: Int = 1000) {
     val freqs = df
       .select(explode(TextFunctions.tokensOf(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val ranked = freqs.select(col("c"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("tok").asc)).as("rank"))
-      .where(col("rank") <= topK)
+    // Distributed top-K, then rank the K-row head. An unpartitioned
+    // row_number over the full vocab would funnel every distinct token
+    // through ONE window task just to discard all but topK rows; the
+    // total order makes orderBy().limit() + row_number identical.
+    val top = freqs.orderBy(col("c").desc, col("tok").asc).limit(topK)
+    val ranked = top.select(col("c"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tok").asc)).as("rank"))
     val x = log(col("rank").cast("double"))
     val y = log(col("c").cast("double"))
     val s = ranked.agg(

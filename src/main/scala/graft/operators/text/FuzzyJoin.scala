@@ -51,10 +51,10 @@ final class FuzzyJoin(
   // so both engines see the same merged lists either way.
   private def grams(df: DataFrame, keyCol: String, strCol: String): DataFrame =
     df.where(length(col(strCol)) >= q)
-      .select(col(keyCol), explode(expr(
+      .select(col(keyCol), length(col(strCol)).as("_len"), explode(expr(
         s"transform(sequence(1, length($strCol) - ${q - 1}), i -> substring($strCol, i, $q))"))
         .as("_gs"))
-      .select(col(keyCol),
+      .select(col(keyCol), col("_len"),
         graft.functions.HashFunctions.hashByName(hashName)(col("_gs")).as("_g"))
       .distinct() // one (key, gram) row even when a gram repeats in-string
 
@@ -68,11 +68,17 @@ final class FuzzyJoin(
     // candidate dedup on BARE KEYS: a pair sharing g grams would ride
     // the distinct exchange g times — dropping the strings before it
     // cuts the exchange to two longs per row; names re-attach after
-    // via two key joins against the (narrow) input projections
+    // via two key joins against the (narrow) input projections. The
+    // string LENGTH (one int, functionally dependent on the key) rides
+    // along so the length prune `|len(l) − len(r)| ≤ maxDistance` — a
+    // necessary condition for edit distance ≤ maxDistance, so provably
+    // output-identical — kills impossible pairs BEFORE they fatten the
+    // candidate distinct and the levenshtein verify fan-in.
     val cand = lg.join(broadcast(hot), Seq("_g"), "left_anti")
-      .select(col(leftKeyCol), col("_g"))
+      .select(col(leftKeyCol), col("_len").as("_ll"), col("_g"))
       .join(rg.join(broadcast(hot), Seq("_g"), "left_anti")
-        .select(col(rightKeyCol), col("_g")), Seq("_g"))
+        .select(col(rightKeyCol), col("_len").as("_rl"), col("_g")), Seq("_g"))
+      .where(abs(col("_ll") - col("_rl")) <= maxDistance)
       .select(col(leftKeyCol), col(rightKeyCol))
       .distinct()
     cand
@@ -106,7 +112,8 @@ final class FuzzyJoin(
        |_fjhot AS (SELECT _g FROM _fjf WHERE _f > $maxGramKeys),
        |_fjc AS (SELECT DISTINCT l.$leftKeyCol, l.$leftStrCol, r.$rightKeyCol, r.$rightStrCol
        |  FROM _fjlg l JOIN _fjrg r USING (_g)
-       |  WHERE l._g NOT IN (SELECT _g FROM _fjhot)),
+       |  WHERE l._g NOT IN (SELECT _g FROM _fjhot)
+       |    AND abs(length(l.$leftStrCol) - length(r.$rightStrCol)) <= $maxDistance),
        |_fjp AS (SELECT $leftKeyCol, $rightKeyCol,
        |    levenshtein($leftStrCol, $rightStrCol) AS dist
        |  FROM _fjc),

@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * cosine) never mix — the whole reason RRF beats score interpolation
   * without tuning.
   *
-  * Scale shape: the inputs are top-k lists (k rows each — the upstream
+  * Scale shape: the inputs are top-k lists BY CONTRACT (the upstream
   * operators already did the corpus-scale work with bounded exchanges),
-  * so the unpartitioned rank windows and the full-outer join here touch
-  * O(k) rows regardless of corpus size.
+  * but the API accepts arbitrary frames — so each list is first cut to
+  * its top `maxListSize` rows by the SAME total order the ranks use
+  * (distributed `TakeOrderedAndProject`: per-partition local top-K,
+  * only K rows travel), and the rank windows + full-outer join touch
+  * O(maxListSize) rows no matter what a caller feeds in. For a
+  * conforming top-k input the cut is a no-op (k ≤ maxListSize) and for
+  * an oversized one it keeps exactly the rows whose RRF contribution
+  * survives any sane fusion depth — rank r contributes 1/(kRrf + r).
   *
   * Determinism: ranks come from `(rounded score DESC, id)` — computed
   * identically by the oracle over the same rounded lists — and the
@@ -28,10 +34,15 @@ object HybridRetrieval {
     */
   def rrf(a: DataFrame, aId: String, aScore: String,
       b: DataFrame, bId: String, bScore: String,
-      kRrf: Int = 60, topK: Int = 10): DataFrame = {
+      kRrf: Int = 60, topK: Int = 10,
+      maxListSize: Int = 100000): DataFrame = {
+    require(maxListSize >= topK,
+      s"maxListSize ($maxListSize) must cover topK ($topK)")
     def ranked(df: DataFrame, id: String, score: String, rank: String): DataFrame =
-      df.select(col(id).as("id"),
-        row_number().over(Window.orderBy(col(score).desc, col(id))).as(rank))
+      df.select(col(id).as("id"), col(score).as("_sc"))
+        .orderBy(col("_sc").desc, col("id")).limit(maxListSize)
+        .select(col("id"),
+          row_number().over(Window.orderBy(col("_sc").desc, col("id"))).as(rank))
     val ra = ranked(a, aId, aScore, "_ra")
     val rb = ranked(b, bId, bScore, "_rb")
     val contrib = (r: String) =>

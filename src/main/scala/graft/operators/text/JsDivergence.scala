@@ -40,11 +40,14 @@ final class JsDivergence(
   /** One row: `(vocab, tokens_a, tokens_b, jsd_bits)`. Null JSD only
     * when both slices tokenize to nothing (no distribution to compare).
     *
-    * The union-vocab totals come from an unbounded window OVER THE
-    * VOCABULARY-SIZED aggregate (the [[graft.operators.stats.ZipfFit]]
-    * single-partition idiom) so the corpus is scanned and shuffled
-    * exactly once — a broadcast-totals formulation would recompute the
-    * token aggregate per consumer (PlanSpec pins the single exchange).
+    * The union-vocab totals ride a BROADCAST single row computed by a
+    * scalar aggregate over the same `perTok` subtree; Spark's exchange
+    * reuse (`ReusedExchange`, on under AQE) dedupes the shared
+    * token-aggregate exchange, so the corpus is still scanned and
+    * shuffled exactly once (PlanSpec pins one FileScan + a
+    * ReusedExchange) while the vocabulary never transits one partition
+    * — the r12 verdict's fix for the unbounded no-partition window
+    * this used to funnel the whole vocab through.
     */
   def apply(df: DataFrame): DataFrame = {
     val perTok = df.filter(col(groupCol).isin(aVal, bVal))
@@ -53,12 +56,13 @@ final class JsDivergence(
       .groupBy(col("tok"))
       .agg(count(when(col("_a"), lit(1))).as("ca"),
         count(when(!col("_a"), lit(1))).as("cb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .rowsBetween(Long.MinValue, Long.MaxValue)
-    val withTot = perTok.select(col("ca"), col("cb"),
-      count(lit(1)).over(w).as("vocab"),
-      sum(col("ca")).over(w).as("tokens_a"),
-      sum(col("cb")).over(w).as("tokens_b"))
+    val totals = perTok.agg(
+      count(lit(1)).as("vocab"),
+      sum(col("ca")).as("tokens_a"),
+      sum(col("cb")).as("tokens_b"))
+    val withTot = perTok.crossJoin(broadcast(totals))
+      .select(col("ca"), col("cb"),
+        col("vocab"), col("tokens_a"), col("tokens_b"))
     val halfV = col("vocab").cast("double") * lit(0.5)
     val p = (col("ca").cast("double") + lit(0.5)) / (col("tokens_a").cast("double") + halfV)
     val q = (col("cb").cast("double") + lit(0.5)) / (col("tokens_b").cast("double") + halfV)

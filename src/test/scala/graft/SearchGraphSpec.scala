@@ -200,6 +200,35 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(byId(10L) > byId(40L))
   }
 
+  test("rrf: oversized input lists are guarded — bounded distributed top-K, head-identical fusion") {
+    import graft.operators.text.HybridRetrieval
+    // inputs are top-k lists BY CONTRACT, but the API accepts arbitrary
+    // frames: an oversized list must be cut to its top maxListSize rows
+    // by the same (score DESC, id) order the ranks use, via a
+    // distributed TakeOrderedAndProject — never an unpartitioned rank
+    // window over the full frame
+    val big = (0L until 500L).map(i => (i, 1000.0 - i)).toDF("id", "s")
+    val b = Seq((3L, 0.9), (480L, 0.8)).toDF("id", "s")
+    val out = HybridRetrieval.rrf(big, "id", "s", b, "id", "s",
+      kRrf = 60, topK = 5, maxListSize = 20)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val rows = out.collect()
+    // id 3: rank 4 in big's head + rank 1 in b → the only both-list doc
+    val exp3 = BigDecimal(1.0 / 64.0 + 1.0 / 61.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getLong(0) == 3L && rows.head.getDouble(1) == exp3)
+    // id 480 is beyond big's 20-row head: contributes only its b rank
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp480 = BigDecimal(1.0 / 62.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(480L) == exp480)
+    // maxListSize below topK is a contract violation, not silent truncation
+    intercept[IllegalArgumentException] {
+      HybridRetrieval.rrf(big, "id", "s", b, "id", "s", topK = 10, maxListSize = 5)
+    }
+  }
+
   test("triangles: K4 has 4 (3 per vertex); stars have none; dups/loops/reversals collapse") {
     import graft.operators.graph.TriangleCount
     val tc = new TriangleCount()
