@@ -133,6 +133,82 @@ final class BpeVocabInduction(
     merges.foreach(m => syms = mergePair(syms, m))
     syms.toSeq
   }
+
+  /** DuckDB twin of [[train]]: a WITH-clause fragment (no `WITH`
+    * keyword) that re-derives the SAME ordered merge list from the
+    * same table — so an oracle can replay a gate whose Spark side
+    * trains at runtime, at ANY scale, without baking data-derived
+    * merges as literals. The final CTE `_bpem` is ONE row with columns
+    * `p0,r0 .. p{numMerges-1},r{numMerges-1}`: the wrapped
+    * pattern/replacement for each merge step, with steps past the
+    * "best pair count < 2" stop degraded to a `chr(3)` no-op pattern
+    * (chr(3) never occurs in a wrapped symbol string, so the replace
+    * chain applies exactly the merges [[train]] would return).
+    *
+    * Step semantics mirror [[train]] exactly: pair counts are
+    * per-position (overlaps counted) weighted by word frequency over
+    * the SAME capped word table (`freq DESC, w ASC` total order, so
+    * the cap is deterministic on both engines), the argmax tiebreak is
+    * `(count DESC, a ASC, b ASC)`, and each apply is one non-
+    * overlapping left-to-right `replace`. Orderings agree between
+    * Java and DuckDB for ASCII; non-ASCII ties beyond the BMP could
+    * diverge (UTF-16 vs codepoint order) — the same caveat the whole
+    * BpeEncode family documents.
+    *
+    * Each step's CTEs are `MATERIALIZED`: the chain references each
+    * stage twice (pair count + next apply), and un-materialized CTE
+    * inlining would blow up exponentially in `numMerges`.
+    */
+  def trainSqlCtes(table: String): String = {
+    val toks = TextFunctions.tokensOfSql(textCol)
+    val step = (0 until numMerges).map { i =>
+      s"""_bps$i AS (SELECT freq, list_transform(string_split(repr, chr(2) || chr(1)),
+         |    s -> replace(replace(s, chr(1), ''), chr(2), '')) AS syms FROM _bpw$i),
+         |_bpp$i AS (SELECT pr[1] AS a, pr[2] AS b, freq FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      j -> [syms[j], syms[j + 1]])) AS pr FROM _bps$i)),
+         |_bpm$i AS MATERIALIZED (
+         |  SELECT chr(1) || a || chr(2) || chr(1) || b || chr(2) AS pat,
+         |         chr(1) || a || b || chr(2) AS rep
+         |  FROM _bpp$i GROUP BY a, b HAVING CAST(sum(freq) AS BIGINT) >= 2
+         |  ORDER BY sum(freq) DESC, a, b LIMIT 1),
+         |_bpw${i + 1} AS MATERIALIZED (SELECT freq,
+         |    replace(repr, coalesce((SELECT pat FROM _bpm$i), chr(3)),
+         |      coalesce((SELECT rep FROM _bpm$i), chr(3))) AS repr FROM _bpw$i)""".stripMargin
+    }.mkString(",\n")
+    val mergeCols = (0 until numMerges).map(i =>
+      s"coalesce((SELECT pat FROM _bpm$i), chr(3)) AS p$i, " +
+        s"coalesce((SELECT rep FROM _bpm$i), chr(3)) AS r$i").mkString(",\n    ")
+    s"""_bpw0 AS MATERIALIZED (
+       |  SELECT freq, array_to_string(list_transform(string_split(w, ''),
+       |      c -> chr(1) || c || chr(2)), '') || chr(1) || '</w>' || chr(2) AS repr
+       |  FROM (SELECT w, count(*) AS freq FROM
+       |      (SELECT unnest($toks) AS w FROM $table) GROUP BY w
+       |    HAVING count(*) >= $minWordFreq
+       |    ORDER BY freq DESC, w LIMIT $maxVocabWords)),
+       |$step,
+       |_bpem AS MATERIALIZED (SELECT
+       |    $mergeCols)""".stripMargin
+  }
+
+  /** Per-document BPE token count under the `trainSqlCtes`-derived
+    * vocab — the encode expression for a query that `CROSS JOIN
+    * _bpem`s the merge row in scope (lambdas capture the `p_i`/`r_i`
+    * columns; a scalar subquery can't appear inside a DuckDB lambda).
+    * Same delimited-symbol replace chain as
+    * [[BpeEncode.tokenCountSql]], with derived columns instead of
+    * literal merges.
+    */
+  def tokenCountSqlDerived(expr: String): String = {
+    val base = "array_to_string(list_transform(string_split(w, ''), " +
+      "c -> chr(1) || c || chr(2)), '') || chr(1) || '</w>' || chr(2)"
+    val merged = (0 until numMerges).foldLeft(base) { case (s, i) =>
+      s"replace($s, p$i, r$i)"
+    }
+    val perWord = s"list_transform(${TextFunctions.tokensOfSql(expr)}, " +
+      s"w -> CAST(length($merged) - length(replace($merged, chr(1), '')) AS BIGINT))"
+    s"CAST(coalesce(list_aggregate($perWord, 'sum'), 0) AS BIGINT)"
+  }
 }
 
 /** Distributed BPE ENCODE with a fixed learned merge list — the apply

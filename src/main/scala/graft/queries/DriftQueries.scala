@@ -72,6 +72,13 @@ object DriftQueries {
 
   private val fertilityOp = new TokenFertility("text", "source")
 
+  // induction params for the induced-vocab fertility gate: 8 merges
+  // over the 300 most frequent words (freq >= 2) — small enough that
+  // the DuckDB twin's CTE-chain re-derivation stays cheap, large
+  // enough that every merge is corpus-driven at all three scales
+  private val fertilityInduction = new graft.operators.text.BpeVocabInduction(
+    "text", numMerges = 8, maxVocabWords = 300, minWordFreq = 2L)
+
   private val diversityOp = new NgramDiversity("text", maxN = 3)
 
   private val zipfOp = new ZipfFit("text", topK = 1000)
@@ -136,6 +143,18 @@ object DriftQueries {
       // tokenizer efficiency per source: subwords per word, chars per subword
       (s, dir) => fertilityOp(Tables(s, dir, "documents")),
       Some(fertilityOp.sql("documents"))),
+
+    OracleQuery("token_fertility_induced",
+      // fertility under the ACTUAL induced BPE vocab (not the greedy
+      // stand-in): Spark trains the merge list from the corpus at
+      // runtime (distributed word counts + driver merge loop), the
+      // oracle RE-DERIVES the same merges in pure SQL — so the gate
+      // stays honest at any scale with zero data-derived literals
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        fertilityOp.withMerges(docs, fertilityInduction.train(docs))
+      },
+      Some(fertilityOp.sqlInduced("documents", fertilityInduction))),
 
     OracleQuery("ngram_diversity",
       // distinct-1/2/3 ratios — the mode-collapse alarm

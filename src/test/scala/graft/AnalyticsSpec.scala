@@ -74,6 +74,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(merges.isEmpty) // every pair occurs once — merging singletons is noise
   }
 
+  test("induced-vocab fertility: trained merges drive the count; early stop is a no-op tail") {
+    import graft.operators.text.TokenFertility
+    // Sennrich corpus: train saturates useful merges well before
+    // numMerges=10, so withMerges must apply the SHORT list (the SQL
+    // twin degrades the tail steps to chr(3) no-ops — same result)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((1L, text, "srcA"), (2L, "lowest newest", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val bpe = new BpeVocabInduction(numMerges = 10)
+    val merges = bpe.train(corpus)
+    val out = new TokenFertility("text", "source").withMerges(corpus, merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // reference counts via the driver-side encode (the JVM semantics oracle)
+    def enc(ws: String*) = ws.map(w => bpe.encode(w, merges).length.toLong).sum
+    assert(out("srcA") == ((1L, 16L,
+      enc(Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"): _*))))
+    assert(out("srcB") == ((1L, 2L, enc("lowest", "newest"))))
+  }
+
   // ---- corpus overlap ----
 
   test("overlap report: counts docs whose text appears in another source") {
