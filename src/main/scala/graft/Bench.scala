@@ -29,7 +29,13 @@ object Bench {
     // blowup. Guarded queries are listed in "wall_guarded".
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val wallLimit = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "30").toDouble
+    // Builder-local iteration aid (mirrors Verify's SPARK_GRAFT_ONLY):
+    // restrict the run to a comma-list of query names. The official
+    // driver run never sets it — the full sweep is the record.
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => benchOnly.forall(_(n)) }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     // Results accumulate as each query lands so the shutdown hook can
@@ -119,7 +125,7 @@ object Bench {
     // rate, raw-CommonCrawl shape) drives the shuffle-bound dedup paths
     // at 10x volume, so the round-over-round trend tracks the scale
     // shape, not only sf-sized absolutes.
-    val probe = {
+    val probe = if (benchOnly.isDefined) "null" else {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("n_chars"))

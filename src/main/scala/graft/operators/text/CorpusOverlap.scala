@@ -52,3 +52,67 @@ final class CorpusOverlapReport(
        |FROM dh JOIN ns USING (h) GROUP BY 1""".stripMargin
   }
 }
+
+/** Pairwise cross-source contamination MATRIX — the drill-down behind
+  * [[CorpusOverlapReport]]: for every unordered source pair `(a, b)`
+  * with `a < b`, how many DISTINCT normalized texts the two sources
+  * share. The per-source report says "source X is contaminated"; this
+  * says by WHOM — the table a mixture planner actually reads when
+  * deciding which corpus to drop or down-weight (two mirrors of the
+  * same crawl show up as one bright off-diagonal cell).
+  *
+  * Scale shape: document text never shuffles — only fixed-width
+  * (source, hash) rows reach the distinct exchange, keyed by HASH so
+  * the per-hash source lists are co-located. The pair explosion is
+  * per-hash over that list (≤ S sources per hash, so ≤ S²/2 pairs per
+  * DISTINCT text — bounded by the source count, not by how many
+  * duplicate DOCS share the text), and the rollup is an S²-row
+  * aggregate. No self-join: the hash-grouped source list turns the
+  * quadratic into a per-group in-memory expansion the same way
+  * [[graft.operators.dedup.MinHashLSHDedup]] banding does.
+  */
+final class CorpusOverlapMatrix(
+    textCol: String = "text",
+    sourceCol: String = "source",
+    hashName: String = "xxhash64") {
+
+  private def textHash = HashFunctions.hashByName(hashName)(
+    TextFunctions.normalizeText(coalesce(col(textCol), lit(""))))
+
+  /** `(source_a, source_b, n_shared_texts)` per contaminated pair,
+    * `source_a < source_b`, ordered; pairs sharing nothing are absent.
+    */
+  def matrix(df: DataFrame): DataFrame = {
+    val perHash = df.select(col(sourceCol).as("_src"), textHash.as("_h"))
+      .distinct()
+      .groupBy(col("_h"))
+      .agg(sort_array(collect_set(col("_src"))).as("_srcs"))
+      .where(size(col("_srcs")) >= 2)
+    // per-hash pair expansion: i < j over the sorted source list
+    val pairs = perHash.select(explode(expr(
+      "flatten(transform(_srcs, (a, i) -> " +
+        "transform(slice(_srcs, i + 2, size(_srcs)), b -> struct(a as sa, b as sb))))"))
+      .as("_p"))
+    pairs.select(col("_p.sa").as("source_a"), col("_p.sb").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB twin (portable hash family only). */
+  def sql(table: String): String = {
+    require(hashName == "portable", "oracle covers the portable hash family")
+    val h = HashFunctions.portableHash64Sql(
+      TextFunctions.normalizeTextSql(s"coalesce($textCol, '')"))
+    s"""WITH _omh AS (SELECT DISTINCT $sourceCol AS src, $h AS h FROM $table),
+       |_oms AS (SELECT h, list_sort(list(src)) AS srcs FROM _omh
+       |  GROUP BY h HAVING count(*) >= 2),
+       |_omp AS (SELECT unnest(flatten(list_transform(srcs,
+       |    (a, i) -> list_transform(srcs[i + 1:], b -> {'sa': a, 'sb': b})))) AS p
+       |  FROM _oms)
+       |SELECT p['sa'] AS source_a, p['sb'] AS source_b,
+       |  count(*) AS n_shared_texts
+       |FROM _omp WHERE p['sa'] < p['sb']
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+}

@@ -103,3 +103,147 @@ final class JsDivergence(
        |FROM _js CROSS JOIN _jv""".stripMargin
   }
 }
+
+/** ALL-PAIRS Jensen–Shannon divergence matrix over a fixed source
+  * list — the mixture-planning view [[JsDivergence]] drills into one
+  * cell of: every pair's divergence from ONE corpus scan, so "which
+  * sources are redundant" reads as a table instead of S²/2 separate
+  * jobs (each re-scanning the corpus).
+  *
+  * Mechanism: the per-token conditional-count aggregate carries one
+  * exact BIGINT column per source (the SAME single token-keyed
+  * shuffle a word count pays, S longs wide); per-source token totals
+  * and per-pair union-vocabulary sizes ride ONE broadcast row whose
+  * aggregate reuses the token-aggregate exchange (AQE stage reuse —
+  * the [[JsDivergence]] replan idiom); and all pairs' floor-scaled
+  * contribution sums land in one scalar aggregate, unpivoted to
+  * `(source_a, source_b, …)` rows at the end. Each output row is
+  * BIT-IDENTICAL to running the two-slice [[JsDivergence]] on that
+  * pair (same smoothing, same union-vocab membership, same 10⁻¹²
+  * floor scale) — spec-pinned.
+  *
+  * Scale shape: one corpus scan, one token-keyed exchange whose rows
+  * are S+1 fixed-width columns, one broadcast row, one scalar reduce.
+  * The pair count is `sources.size²/2` plan-time columns — callers
+  * pick the slice set (a mixture's handful of sources), not unbounded
+  * group cardinality.
+  */
+final class JsDivergenceMatrix(
+    textCol: String,
+    sourceCol: String,
+    sources: Seq[String]) {
+
+  require(sources.size >= 2, s"need >= 2 sources, got ${sources.size}")
+  require(sources == sources.distinct, "sources must be distinct")
+  private val srcs = sources.sorted
+  private val pairIdx = for {
+    i <- srcs.indices; j <- (i + 1) until srcs.size
+  } yield (i, j)
+
+  val name = "js_divergence_matrix"
+
+  /** `(source_a, source_b, vocab, tokens_a, tokens_b, jsd_bits)` per
+    * unordered pair, `source_a < source_b`, ordered.
+    */
+  def apply(df: DataFrame): DataFrame = {
+    val perTok = df.filter(col(sourceCol).isin(srcs: _*))
+      .select(explode(TextFunctions.tokensOf(col(textCol))).as("tok"),
+        col(sourceCol).as("_s"))
+      .groupBy(col("tok"))
+      .agg(
+        count(when(col("_s") === srcs.head, lit(1))).as("c0"),
+        srcs.zipWithIndex.tail.map { case (s, i) =>
+          count(when(col("_s") === s, lit(1))).as(s"c$i")
+        }: _*)
+    val totAggs =
+      srcs.indices.map(i => sum(col(s"c$i")).as(s"t$i")) ++
+        pairIdx.map { case (i, j) =>
+          count(when(col(s"c$i") > 0L || col(s"c$j") > 0L, lit(1)))
+            .as(s"v${i}_$j")
+        }
+    val totals = perTok.agg(totAggs.head, totAggs.tail: _*)
+    val withTot = perTok.crossJoin(broadcast(totals))
+    def contrib(i: Int, j: Int): Column = {
+      val halfV = col(s"v${i}_$j").cast("double") * lit(0.5)
+      val p = (col(s"c$i").cast("double") + lit(0.5)) /
+        (col(s"t$i").cast("double") + halfV)
+      val q = (col(s"c$j").cast("double") + lit(0.5)) /
+        (col(s"t$j").cast("double") + halfV)
+      val m = (p + q) * lit(0.5)
+      (p * log(p / m) + q * log(q / m)) * lit(0.5 / math.log(2.0))
+    }
+    // tokens outside a pair's union vocabulary are NOT part of that
+    // pair's distributions — their smoothed pseudo-counts must not
+    // contribute (membership gate, exactly the rows the two-slice
+    // operator's perTok would hold for that pair)
+    val rowAggs =
+      pairIdx.map { case (i, j) =>
+        sum(when(col(s"c$i") > 0L || col(s"c$j") > 0L,
+          floor(contrib(i, j) * lit(1e12)).cast("long"))).as(s"s${i}_$j")
+      } ++
+        srcs.indices.map(i => first(col(s"t$i")).as(s"t$i")) ++
+        pairIdx.map { case (i, j) => first(col(s"v${i}_$j")).as(s"v${i}_$j") }
+    val row = withTot.agg(rowAggs.head, rowAggs.tail: _*)
+    row.select(explode(array(pairIdx.map { case (i, j) =>
+        struct(
+          lit(srcs(i)).as("source_a"),
+          lit(srcs(j)).as("source_b"),
+          coalesce(col(s"v${i}_$j"), lit(0L)).as("vocab"),
+          coalesce(col(s"t$i"), lit(0L)).as("tokens_a"),
+          coalesce(col(s"t$j"), lit(0L)).as("tokens_b"),
+          when(col(s"s${i}_$j").isNotNull,
+            round(col(s"s${i}_$j").cast("double") / lit(1e12), 6)).as("jsd_bits"))
+      }: _*)).as("_r"))
+      .select(col("_r.*"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ---- DuckDB twin (same conditional counts, same shapes) ----
+
+  def sql(table: String): String = {
+    val toks = TextFunctions.tokensOfSql(textCol)
+    val inList = srcs.map(s => s"'$s'").mkString(", ")
+    val cCols = srcs.zipWithIndex.map { case (s, i) =>
+      s"count(CASE WHEN s = '$s' THEN 1 END) AS c$i"
+    }.mkString(",\n    ")
+    val tCols = srcs.indices.map(i =>
+      s"CAST(sum(c$i) AS BIGINT) AS t$i").mkString(",\n    ")
+    val vCols = pairIdx.map { case (i, j) =>
+      s"count(CASE WHEN c$i > 0 OR c$j > 0 THEN 1 END) AS v${i}_$j"
+    }.mkString(",\n    ")
+    def contrib(i: Int, j: Int): String = {
+      val p = s"((CAST(c$i AS DOUBLE) + 0.5) / (CAST(t$i AS DOUBLE) + CAST(v${i}_$j AS DOUBLE) * 0.5))"
+      val q = s"((CAST(c$j AS DOUBLE) + 0.5) / (CAST(t$j AS DOUBLE) + CAST(v${i}_$j AS DOUBLE) * 0.5))"
+      val m = s"(($p + $q) * 0.5)"
+      s"(($p * ln($p / $m) + $q * ln($q / $m)) * ${0.5 / math.log(2.0)})"
+    }
+    val sCols = pairIdx.map { case (i, j) =>
+      s"CAST(sum(CASE WHEN c$i > 0 OR c$j > 0 " +
+        s"THEN CAST(floor(${contrib(i, j)} * 1e12) AS BIGINT) END) AS BIGINT) AS s${i}_$j"
+    }.mkString(",\n    ")
+    val rows = pairIdx.map { case (i, j) =>
+      s"""SELECT '${srcs(i)}' AS source_a, '${srcs(j)}' AS source_b,
+         |    coalesce(v${i}_$j, 0) AS vocab,
+         |    coalesce(t$i, 0) AS tokens_a, coalesce(t$j, 0) AS tokens_b,
+         |    CASE WHEN s${i}_$j IS NOT NULL
+         |      THEN round(CAST(s${i}_$j AS DOUBLE) / 1e12, 6)
+         |    END AS jsd_bits
+         |  FROM _jms CROSS JOIN _jmt""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH _jmm AS MATERIALIZED (SELECT tok,
+       |    $cCols
+       |  FROM (SELECT unnest($toks) AS tok, $sourceCol AS s
+       |      FROM $table WHERE $sourceCol IN ($inList))
+       |  GROUP BY tok),
+       |_jmt AS MATERIALIZED (SELECT
+       |    $tCols,
+       |    $vCols
+       |  FROM _jmm),
+       |_jms AS (SELECT
+       |    $sCols
+       |  FROM _jmm CROSS JOIN _jmt)
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY source_a, source_b""".stripMargin
+  }
+}

@@ -23,6 +23,8 @@ object AnalyticsQueries {
   private val sessionOp = new Sessionize(gapMinutes = 30)
   private val bpeOp = new BpePairCounts(topK = 40)
   private val overlapOp = new CorpusOverlapReport(hashName = "portable")
+  private val overlapMatrixOp =
+    new graft.operators.text.CorpusOverlapMatrix(hashName = "portable")
 
   /** Overlap fixture: the documents fixture has no cross-source dups,
     * so plant three shared-text classes spanning sources (identical
@@ -231,6 +233,15 @@ object AnalyticsQueries {
         .orderBy(col("source")),
       Some(s"""WITH aug AS (SELECT doc_id, $overlapAugSql AS text, source FROM documents)
               |SELECT * FROM (${overlapOp.sql("aug")}) ORDER BY source""".stripMargin)),
+
+    // The pair-level drill-down: WHICH two sources share texts, and how
+    // many distinct texts per pair — per-hash sorted-source-list pair
+    // expansion, no self-join (bounded by S² per distinct text).
+    OracleQuery("corpus_overlap_matrix",
+      (s, dir) => overlapMatrixOp.matrix(
+        Tables(s, dir, "documents").withColumn("text", overlapAugSpark(col("text")))),
+      Some(s"""WITH aug AS (SELECT doc_id, $overlapAugSql AS text, source FROM documents)
+              |SELECT * FROM (${overlapMatrixOp.sql("aug")})""".stripMargin)),
 
     // Distributed BPE encode under a FIXED learned merge list (training
     // itself is spec-pinned on the Sennrich worked example; the oracle

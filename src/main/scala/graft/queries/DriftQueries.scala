@@ -26,6 +26,12 @@ object DriftQueries {
 
   private val jsdOp = new JsDivergence("text", "source", "src0", "src1")
 
+  // all-pairs divergence over a 6-source slice set: 15 pairs from one
+  // corpus scan (the full 20-source matrix is 190 plan-time columns —
+  // a caller choice, not a gate default)
+  private val jsdMatrixOp = new graft.operators.text.JsDivergenceMatrix(
+    "text", "source", (0 until 6).map(i => s"src$i"))
+
   private val silOp = new ClusterSilhouette("embedding", k = 8)
 
   private val kappaOp = new RaterAgreement(
@@ -123,6 +129,12 @@ object DriftQueries {
       // unigram-distribution distance between the two sources, in bits
       (s, dir) => jsdOp(Tables(s, dir, "documents")),
       Some(jsdOp.sql("documents"))),
+
+    OracleQuery("js_divergence_matrix",
+      // every source pair's divergence from ONE corpus scan — the
+      // "which sources are redundant" mixture-planning table
+      (s, dir) => jsdMatrixOp(Tables(s, dir, "documents")),
+      Some(jsdMatrixOp.sql("documents"))),
 
     OracleQuery("filter_agreement_kappa",
       // do the Gopher and C4 quality filters agree beyond chance?

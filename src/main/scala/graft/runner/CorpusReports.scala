@@ -22,7 +22,8 @@ object CorpusReports {
   final case class Cols(text: String, source: String)
 
   def names: Seq[String] = Seq("source_drift", "token_fertility",
-    "pii_density", "ngram_diversity", "zipf_fit", "curriculum_buckets")
+    "pii_density", "ngram_diversity", "zipf_fit", "curriculum_buckets",
+    "overlap_matrix")
 
   def build(name: String, df: DataFrame, c: Cols): DataFrame = name match {
     case "source_drift" =>
@@ -39,6 +40,8 @@ object CorpusReports {
       new graft.operators.stats.ZipfFit(c.text, topK = 1000)(df)
     case "curriculum_buckets" =>
       new graft.operators.text.CurriculumBuckets(c.text, width = 0.01)(df)
+    case "overlap_matrix" =>
+      new graft.operators.text.CorpusOverlapMatrix(c.text, c.source).matrix(df)
     case other => throw new IllegalArgumentException(
       s"unknown report '$other'; available: ${names.mkString(", ")}")
   }

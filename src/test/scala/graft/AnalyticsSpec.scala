@@ -119,4 +119,24 @@ class AnalyticsSpec extends AnyFunSuite {
       .agg(sum("n_overlap")).as[Long].first()
     assert(rep == 0L)
   }
+
+  test("overlap matrix: pair counts are distinct-text, ordered a<b, dup docs don't inflate") {
+    import graft.operators.text.CorpusOverlapMatrix
+    val docs = Seq(
+      (1L, "shared one", "a"), (2L, "shared one", "b"),   // a-b via text 1
+      (3L, "shared one", "b"),                            // dup doc: same text, same src
+      (4L, "shared two", "a"), (5L, "shared two", "b"),   // a-b via text 2
+      (6L, "shared two", "c"),                            // and b-c, a-c
+      (7L, "loner", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = new CorpusOverlapMatrix().matrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("overlap matrix: disjoint sources yield an empty matrix") {
+    import graft.operators.text.CorpusOverlapMatrix
+    val docs = Seq((1L, "x", "a"), (2L, "y", "b")).toDF("doc_id", "text", "source")
+    assert(new CorpusOverlapMatrix().matrix(docs).count() == 0L)
+  }
 }

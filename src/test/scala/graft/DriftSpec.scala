@@ -82,6 +82,39 @@ class DriftSpec extends AnyFunSuite {
     assert(out.getLong(0) == 0 && out.isNullAt(3))
   }
 
+  test("jsd matrix: every cell is bit-identical to the two-slice operator on that pair") {
+    import graft.operators.text.JsDivergenceMatrix
+    val rows =
+      (0 until 30).map(i => (s"alpha beta tok$i shared words here", "a")) ++
+      (0 until 20).map(i => (s"stone iron tok$i copper shared", "b")) ++
+      (0 until 10).map(i => ("entirely different register text", "c")) ++
+      Seq(("", "c"), (null.asInstanceOf[String], "a"),
+        ("ignored slice", "z")) // z is outside the matrix's source list
+    val df = rows.toDF("text", "grp")
+    val out = new JsDivergenceMatrix("text", "grp", Seq("a", "b", "c"))(df)
+      .collect()
+    assert(out.length == 3)
+    for (r <- out) {
+      val two = new JsDivergence("text", "grp", r.getString(0), r.getString(1))(df).head()
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((two.getLong(0), two.getLong(1), two.getLong(2))), s"pair $r vs $two")
+      assert(r.getDouble(5) == two.getDouble(3), s"jsd of pair $r vs $two")
+    }
+  }
+
+  test("jsd matrix: a pair with no tokens on either side is zeroed, not an error") {
+    import graft.operators.text.JsDivergenceMatrix
+    val df = Seq(("", "a"), ("", "b"), ("real text here", "c"))
+      .toDF("text", "grp")
+    val byPair = new JsDivergenceMatrix("text", "grp", Seq("a", "b", "c"))(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = byPair(("a", "b"))
+    assert(ab.getLong(2) == 0 && ab.getLong(3) == 0 && ab.getLong(4) == 0
+      && ab.isNullAt(5))
+    val ac = byPair(("a", "c"))
+    assert(ac.getLong(2) == 3 && ac.getLong(3) == 0 && ac.getLong(4) == 3)
+  }
+
   // ---- Cohen's kappa ----
 
   private def rater(aCol: String, bCol: String) =

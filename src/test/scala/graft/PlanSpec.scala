@@ -502,6 +502,19 @@ class PlanSpec extends AnyFunSuite {
     assert(realTokExchanges == 1, p)
   }
 
+  test("jsd matrix: all 15 pairs from ONE runtime corpus scan — reused token exchange, no window") {
+    val df = byName("js_divergence_matrix").run(spark, sfDir)
+    assert(df.collect().length == 15)
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), full)
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), s"no vocab-sized window allowed:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"totals must reuse the token-aggregate stage, not rescan:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"corpus must be scanned once at runtime:\n$p")
+  }
+
   test("psi drift: corpus scanned once, totals window over the B-row spine") {
     val p = plan("drift_psi")
     assert("FileScan".r.findAllIn(p).size == 1, s"corpus must be scanned once:\n$p")

@@ -749,12 +749,24 @@ class RunnerSpec extends AnyFunSuite {
     val docs = table("documents")
     graft.runner.CorpusReports.names.foreach { name =>
       val rows = graft.runner.CorpusReports.run(spark, name, docs, out)
-      assert(rows > 0, s"report $name wrote no rows")
+      // overlap_matrix on the raw fixture is LEGITIMATELY empty (no
+      // cross-source duplicate texts = clean corpus); everything else
+      // must produce rows
+      if (name != "overlap_matrix") assert(rows > 0, s"report $name wrote no rows")
     }
     // spot-check shapes: per-source reports have one row per source
     assert(spark.read.parquet(s"$out/source_drift").count() == 20)
     assert(spark.read.parquet(s"$out/token_fertility").count() == 20)
     assert(spark.read.parquet(s"$out/ngram_diversity").count() == 3)
+    // the raw fixture is contamination-free; planting one cross-source
+    // duplicate text makes exactly one pair cell light up
+    assert(spark.read.parquet(s"$out/overlap_matrix").count() == 0)
+    val planted = docs.unionByName(
+      docs.limit(1)
+        .withColumn("doc_id", col("doc_id") + 900000L)
+        .withColumn("source", lit("srcX")))
+    val m = graft.runner.CorpusReports.run(spark, "overlap_matrix", planted, out)
+    assert(m == 1L, s"expected exactly one contaminated pair, got $m")
     intercept[IllegalArgumentException](
       graft.runner.CorpusReports.run(spark, "nope", docs, out))
   }
