@@ -1,7 +1,7 @@
 package graft.operators.text
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM tokenizer induction (Kudo 2018, the SentencePiece
@@ -152,4 +152,126 @@ final class UnigramLmInduction(
   /** Tokenize one word with a trained vocab. */
   def encode(word: String, vocab: Seq[(String, Double)]): Seq[String] =
     segment(word, vocab.toMap)
+}
+
+/** Distributed Viterbi token COUNT under a seed unigram-LM vocabulary,
+  * in ORACLE-PORTABLE form: the vocabulary is the top-K seed-substring
+  * counts (the [[UnigramLmInduction.seedCounts]] table — fully
+  * SQL-derivable, so the oracle re-derives it at any scale with zero
+  * data-derived literals) with log-probs integer-scaled to
+  * `floor(10⁶·ln(count/total))`, and the per-word DP is exact packed-
+  * BIGINT arithmetic (`V[i] = max_l V[i−l] + lp·64 − 1`; the ·64−1
+  * packing breaks score ties toward fewer pieces) — no float
+  * COMPARISON ever decides a segmentation, so Spark and DuckDB agree
+  * bit-for-bit. The float-free-ness matters: the trainer-faithful
+  * [[graft.plans.kernels.UnigramTokenCount]] compares summed doubles
+  * and cannot be replayed by a second engine.
+  *
+  * Scale shape: vocab derivation is one distributed substring
+  * aggregate capped at `topK` rows (driver holds K pairs); the count
+  * itself is a stateless codegen'd per-row kernel — scan speed, no
+  * shuffle, no broadcast beyond the plan-literal vocab.
+  */
+final class UnigramViterbiCount(
+    textCol: String = "text",
+    idCol: String = "doc_id",
+    seedMaxLen: Int = 4,
+    topK: Int = 200) {
+
+  require(seedMaxLen >= 2 && topK >= 1)
+  val name = "unigram_viterbi_count"
+  private val induction = new UnigramLmInduction(textCol, seedMaxLen = seedMaxLen)
+
+  /** The scaled vocab the kernel consumes: driver replay of the SQL
+    * twin's `floor(1e6·ln(count/total))` over the seed table.
+    */
+  def vocabScaled(df: DataFrame): Seq[(String, Long)] = {
+    val rows = induction.seedCounts(df, topK).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = rows.map(_._2).sum.toDouble
+    rows.map { case (p, c) =>
+      p -> math.floor(1e6 * math.log(c.toDouble / total)).toLong
+    }.toSeq
+  }
+
+  /** `(idCol, n_words, viterbi_tokens)` per document, ordered. */
+  def apply(df: DataFrame, vocab: Seq[(String, Long)]): DataFrame =
+    df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_words"),
+        graft.plans.kernels.unigram_scaled_token_count(
+          coalesce(col(textCol), lit("")), vocab, seedMaxLen)
+          .as("viterbi_tokens"))
+      .orderBy(col(idCol))
+
+  /** Pure-builtin reference form of the kernel (aggregate/zip_with
+    * over the packed DP) — the semantics bridge: kernel ==
+    * declarative (spec-pinned) and declarative == DuckDB twin (same
+    * expression shapes), so kernel == DuckDB by transitivity. Not the
+    * production path: `element_at` on a literal map is a linear scan
+    * per lookup.
+    */
+  def countDeclarative(text: Column, vocab: Seq[(String, Long)]): Column = {
+    val sent = lit(-(1L << 62))
+    val m = typedLit(vocab.toMap)
+    val toks = TextFunctions.tokensOf(text)
+    def dpLast(w: Column): Column = {
+      val dp = aggregate(
+        sequence(lit(1), length(w)),
+        array(lit(0L)),
+        (acc, i) => {
+          val cands = (1 to seedMaxLen).map { l =>
+            when(i - lit(l) >= 0,
+              coalesce(
+                element_at(acc, (i - lit(l) + 1).cast("int")) +
+                  element_at(m, substring(w, i - lit(l) + 1, lit(l))) * 64L - 1L,
+                sent))
+              .otherwise(sent)
+          }
+          array_append(acc, greatest(cands: _*))
+        })
+      element_at(dp, (length(w) + 1).cast("int"))
+    }
+    val counts = zip_with(toks, transform(toks, dpLast(_)), (w, v) =>
+      when(length(w) > 63 || v <= lit(-(1L << 61)), length(w).cast("long"))
+        .otherwise((-v) % 64L))
+    aggregate(counts, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** DuckDB twin: derives the scaled vocab from the corpus
+    * ([[UnigramLmInduction.seedCountsSql]] + the same floor/ln scale)
+    * and replays the packed DP per word via a list_reduce fold.
+    */
+  def sql(table: String): String = {
+    val sent = s"CAST(${-(1L << 62)} AS BIGINT)"
+    val cands = (1 to seedMaxLen).map { l =>
+      s"""CASE WHEN x[1] - $l >= 0 THEN coalesce(
+         |        acc[CAST(x[1] - $l + 1 AS INT)] +
+         |          mp[substring(w, CAST(x[1] - $l + 1 AS INT), $l)][1] * 64 - 1,
+         |        $sent) ELSE $sent END""".stripMargin
+    }.mkString(",\n      ")
+    val dp =
+      s"""list_reduce(
+         |    [[CAST(0 AS BIGINT)]] ||
+         |      list_transform(range(1, CAST(len(w) AS BIGINT) + 1), i -> [CAST(i AS BIGINT)]),
+         |    (acc, x) -> list_append(acc, greatest(
+         |      $cands)))""".stripMargin
+    val vLast = s"($dp)[CAST(len(w) + 1 AS INT)]"
+    val counts =
+      s"""list_transform(
+         |  list_zip(toks, list_transform(toks, w -> $vLast)),
+         |  z -> CASE WHEN len(z[1]) > 63 OR z[2] <= CAST(${-(1L << 61)} AS BIGINT)
+         |    THEN CAST(len(z[1]) AS BIGINT)
+         |    ELSE (-(z[2])) % 64 END)""".stripMargin
+    s"""WITH _uvs AS MATERIALIZED (${induction.seedCountsSql(table, topK)}),
+       |_uvt AS (SELECT CAST(sum(piece_count) AS BIGINT) AS tot FROM _uvs),
+       |_uvm AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS mp
+       |  FROM (SELECT piece,
+       |      CAST(floor(1e6 * ln(CAST(piece_count AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS lp
+       |    FROM _uvs CROSS JOIN _uvt)),
+       |_uvd AS (SELECT $idCol, ${TextFunctions.tokensOfSql(textCol)} AS toks
+       |  FROM $table)
+       |SELECT $idCol, CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_aggregate($counts, 'sum'), 0) AS BIGINT) AS viterbi_tokens
+       |FROM _uvd CROSS JOIN _uvm ORDER BY $idCol""".stripMargin
+  }
 }

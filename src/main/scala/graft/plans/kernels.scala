@@ -1416,9 +1416,98 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** ORACLE-PORTABLE Viterbi token count: like [[UnigramTokenCount]]
+    * but over INTEGER-scaled piece log-probs with an exact packed-
+    * BIGINT DP, so a SQL engine can replay it bit-for-bit (no float
+    * comparisons decide anything). Per position the DP keeps
+    * `V[i] = max_l candidate(l)` where
+    * `candidate(l) = V[i-l] + lp(w[i-l..i])·64 − 1` when the piece is
+    * in-vocab, else the sentinel `−2⁶²`; the ·64−1 packing makes the
+    * max lexicographic on (score, fewer pieces) — scaled scores are
+    * exact BIGINTs, so ties are decided by piece count, never by float
+    * noise (the tie rule difference vs [[UnigramTokenCount]]'s
+    * trainer-faithful longest-piece rule). Piece count decodes as
+    * `(−V[n]) % 64`; a word longer than 63 chars (pieces wouldn't fit
+    * the packing) or with an out-of-vocab char (V[n] ≤ −2⁶¹ —
+    * unreachable; real scores are ≥ −10¹¹ even at 10¹² corpus tokens)
+    * falls back to char count. The declarative twin is
+    * [[graft.operators.text.UnigramViterbiCount.countDeclarative]]
+    * (spec-pinned equal), which is also the shape of the DuckDB twin.
+    */
+  case class UnigramScaledTokenCount(child: Expression,
+      vocab: Seq[(String, Long)], maxPieceLen: Int)
+      extends UnaryExpression with UnaryRefCodegen {
+    override def dataType: DataType = LongType
+    private val Sent = -(1L << 62)
+    private val Unreach = -(1L << 61)
+    @transient private lazy val logp: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      vocab.foreach { case (p, lp) => m.put(p, java.lang.Long.valueOf(lp)) }
+      m
+    }
+    @transient private lazy val memo = new java.util.HashMap[String, java.lang.Long]()
+    private val MaxMemo = 1 << 16
+
+    private def segCount(word: String): Long = {
+      val n = word.length
+      if (n > 63) return n.toLong
+      val v = new Array[Long](n + 1)
+      var i = 1
+      while (i <= n) {
+        var best = Long.MinValue
+        var l = 1
+        while (l <= maxPieceLen) {
+          val cand =
+            if (l > i) Sent
+            else {
+              val p = logp.get(word.substring(i - l, i))
+              if (p == null) Sent else v(i - l) + p.longValue() * 64L - 1L
+            }
+          if (cand > best) best = cand
+          l += 1
+        }
+        v(i) = best
+        i += 1
+      }
+      if (v(n) <= Unreach) n.toLong else (-v(n)) % 64L
+    }
+
+    override def nullSafeEval(in: Any): Any = {
+      val norm = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+      if (norm.isEmpty) java.lang.Long.valueOf(0L)
+      else {
+        var total = 0L
+        var from = 0
+        while (from <= norm.length) {
+          val sp = norm.indexOf(' ', from)
+          val end = if (sp < 0) norm.length else sp
+          if (end > from) {
+            val w = norm.substring(from, end)
+            val cached = memo.get(w)
+            val c = if (cached != null) cached.longValue()
+            else {
+              val n = segCount(w)
+              if (memo.size < MaxMemo) memo.put(w, java.lang.Long.valueOf(n))
+              n
+            }
+            total += c
+          }
+          from = end + 1
+        }
+        java.lang.Long.valueOf(total)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column wrappers
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     expr2col(BpeTokenCount(colExpr(text), merges))
+  /** Oracle-portable integer-scaled Viterbi token count. */
+  def unigram_scaled_token_count(text: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int): Column =
+    expr2col(UnigramScaledTokenCount(colExpr(text), vocab, maxPieceLen))
   /** Unigram-LM token count under a fixed trained vocab. */
   def unigram_token_count(text: Column, vocab: Seq[(String, Double)],
       maxPieceLen: Int): Column =

@@ -23,6 +23,8 @@ object AnalyticsQueries {
   private val sessionOp = new Sessionize(gapMinutes = 30)
   private val bpeOp = new BpePairCounts(topK = 40)
   private val overlapOp = new CorpusOverlapReport(hashName = "portable")
+  private val viterbiOp = new graft.operators.text.UnigramViterbiCount(
+    "text", "doc_id", seedMaxLen = 4, topK = 200)
   private val overlapMatrixOp =
     new graft.operators.text.CorpusOverlapMatrix(hashName = "portable")
 
@@ -50,6 +52,17 @@ object AnalyticsQueries {
     OracleQuery("bpe_pair_counts",
       (s, dir) => bpeOp.pairCounts(Tables(s, dir, "documents")),
       Some(bpeOp.sql("documents"))),
+
+    OracleQuery("unigram_viterbi_count",
+      // distributed Viterbi segmentation count under the seed unigram
+      // vocab — integer-scaled log-probs + exact packed-BIGINT DP, so
+      // the oracle re-derives the vocab AND replays every
+      // segmentation decision bit-for-bit (no float comparisons)
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        viterbiOp(docs, viterbiOp.vocabScaled(docs))
+      },
+      Some(viterbiOp.sql("documents"))),
 
     OracleQuery("unigram_seed_counts",
       // unigram-LM round 0: the distributed seed-substring counts

@@ -201,6 +201,48 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.values.sum < charToks)
   }
 
+  test("scaled viterbi kernel == declarative packed-DP twin, incl. fallbacks and ties") {
+    import spark.implicits._
+    val op = new graft.operators.text.UnigramViterbiCount(
+      "text", "doc_id", seedMaxLen = 4, topK = 200)
+    // vocab engineered for edges: a score TIE ('abcd' as ab+cd or abc+d
+    // with equal summed logp — packing must prefer fewer pieces on both
+    // paths), an out-of-vocab char ('q'), and full char coverage a-d
+    val vocab: Seq[(String, Long)] = Seq(
+      "a" -> -5L, "b" -> -5L, "c" -> -5L, "d" -> -5L,
+      "ab" -> -6L, "cd" -> -6L, "abc" -> -8L, "abcd" -> -30L)
+    val docs = Seq(
+      (1L, "abcd ab abcd"),          // tie: ab+cd (-12,2) vs abc+d (-13) vs abcd (-30)
+      (2L, "aqa"),                    // 'q' out of vocab -> char fallback (3)
+      (3L, "a" * 70),                 // >63 chars -> char fallback (70)
+      (4L, "  AB\tCd  "),             // normalization: lowercase + ws collapse
+      (5L, null.asInstanceOf[String]),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val both = docs.select($"doc_id",
+        graft.plans.kernels.unigram_scaled_token_count(
+          coalesce($"text", lit("")), vocab, 4).as("k"),
+        op.countDeclarative(coalesce($"text", lit("")), vocab).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(both.values.forall { case (k, d) => k == d }, both.toString)
+    // hand-checked: abcd=2 (ab+cd wins the tie with fewer pieces? no —
+    // ab+cd scores -12 < abc+d -13? larger is better: -12 > -13, so
+    // ab+cd (2 pieces); 'ab'=1; total doc1 = 2+1+2 = 5
+    assert(both(1L)._1 == 5L, both.toString)
+    assert(both(2L)._1 == 3L && both(3L)._1 == 70L, both.toString)
+    assert(both(4L)._1 == 2L, both.toString) // 'ab' + 'cd'
+    assert(both(5L)._1 == 0L && both(6L)._1 == 0L, both.toString)
+    // an exact score tie where piece counts differ: 'aa' via a+a
+    // (-10, 2 pieces) vs a vocab 'aa' at -10 (1 piece) -> packing
+    // prefers 1 piece on BOTH paths
+    val tieVocab = Seq("a" -> -5L, "aa" -> -10L)
+    val tie = Seq((1L, "aa")).toDF("doc_id", "text").select(
+        graft.plans.kernels.unigram_scaled_token_count($"text", tieVocab, 4).as("k"),
+        op.countDeclarative($"text", tieVocab).as("d"))
+      .head()
+    assert(tie.getLong(0) == 1L && tie.getLong(1) == 1L, tie.toString)
+  }
+
   test("bpe encode expression matches the JVM reference encode word-by-word") {
     import spark.implicits._
     val merges = Seq("t" -> "h", "th" -> "e", "the" -> "</w>", "a" -> "a",

@@ -168,6 +168,12 @@ class KernelSpec extends AnyFunSuite {
       assert(emb.select(kernels.pq_encode_packed(col("embedding"),
         new graft.operators.vector.ProductQuantizer().codebook
           .map(_.map(_.toSeq).toSeq).toSeq)).count() > 0)
+      // scaled viterbi count over a coalesced (non-nullable) child
+      assert(docs.select(kernels.unigram_scaled_token_count(
+        org.apache.spark.sql.functions.coalesce(col("text"),
+          org.apache.spark.sql.functions.lit("")),
+        Seq("a" -> -5L, "e" -> -5L, "th" -> -6L), 4).as("v"))
+        .filter(col("v") >= 0L).count() > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
