@@ -381,6 +381,48 @@ final class MinHashLSHDedup(
        |SELECT d1, d2, round(jacc, 6) AS jaccard FROM ver ORDER BY d1, d2""".stripMargin
   }
 
+  /** NEAR-dup contamination matrix: verified pair counts rolled up by
+    * unordered source pair — the fuzzy companion to
+    * [[graft.operators.text.CorpusOverlapMatrix]]'s exact-hash cells
+    * (mirror crawls with boilerplate drift show up HERE, not there).
+    * Diagonal cells (`source_a == source_b`) are within-source
+    * near-dup mass — kept, they're the "this source is internally
+    * redundant" signal a mixture planner weighs separately from
+    * cross-source contamination.
+    *
+    * Scale shape: the pair table is the [[verifiedPairs]] output
+    * (banded + verified, never all-pairs); sources re-attach via two
+    * id-keyed joins against a 2-column projection, and the rollup is
+    * an S²-row aggregate. Requires the direct pair form for the same
+    * completeness reason as [[auditPairs]].
+    */
+  def sourceMatrix(df: DataFrame, sourceCol: String): DataFrame = {
+    require(!preCollapseExact,
+      "sourceMatrix needs the direct pair form — the pre-collapsed set omits " +
+        "redundant member pairs and would undercount pair cells")
+    val src = df.select(col(idCol).as("_smid"), col(sourceCol).as("_smsrc"))
+    verifiedPairs(df)
+      .join(src.select(col("_smid").as("d1"), col("_smsrc").as("_sa")), Seq("d1"))
+      .join(src.select(col("_smid").as("d2"), col("_smsrc").as("_sb")), Seq("d2"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_near_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def sourceMatrixSql(table: String, sourceCol: String): String = {
+    require(!preCollapseExact, "source-matrix oracle covers the direct pair form")
+    s"""WITH ${verCtes(table)},
+       |_smp AS (SELECT least(sa.$sourceCol, sb.$sourceCol) AS source_a,
+       |    greatest(sa.$sourceCol, sb.$sourceCol) AS source_b
+       |  FROM ver
+       |  JOIN $table sa ON ver.d1 = sa.$idCol
+       |  JOIN $table sb ON ver.d2 = sb.$idCol)
+       |SELECT source_a, source_b, count(*) AS n_near_dup_pairs
+       |FROM _smp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def keepSql(table: String): String = {
     require(!(preCollapseExact && maxBucketSize.isDefined),
       "oracle QUALIFY counts raw rows; cap-over-collapsed-buckets has no SQL twin")

@@ -82,6 +82,38 @@ object DistributionDrift {
       .select(col("_g").as(groupCol), col("n"), col("psi"))
       .orderBy(col(groupCol))
   }
+
+  /** DuckDB twin of [[psiPerGroup]] — `metricSql` is the metric
+    * expression over `table`'s columns (same bucketing, smoothing,
+    * spine completion, and floor-scale as the Spark side; the grand
+    * total rides a scalar CTE exactly like the broadcast row).
+    */
+  def psiPerGroupSql(table: String, metricSql: String, groupCol: String,
+      buckets: Int = 10, width: Long = 60L): String = {
+    val m = s"CAST($metricSql AS DOUBLE)"
+    val p = s"((CAST(n AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + ${0.5 * buckets}))"
+    val q = s"((CAST(cn AS DOUBLE) + 0.5) / (CAST(ct AS DOUBLE) + ${0.5 * buckets}))"
+    val term = s"(($p - $q) * ln($p / $q))"
+    s"""WITH _pg AS (SELECT $groupCol AS g,
+       |    least(${buckets - 1}, greatest(0,
+       |      CAST(floor($m / ${width.toDouble}) AS BIGINT))) AS bk
+       |  FROM $table
+       |  WHERE $metricSql IS NOT NULL AND NOT isnan($m)),
+       |_pc AS (SELECT g, bk, count(*) AS n FROM _pg GROUP BY 1, 2),
+       |_ps AS (SELECT g, bk FROM (SELECT DISTINCT g FROM _pc)
+       |  CROSS JOIN (SELECT unnest(range(0, $buckets)) AS bk)),
+       |_pf AS (SELECT g, bk, coalesce(n, 0) AS n
+       |  FROM _ps LEFT JOIN _pc USING (g, bk)),
+       |_pt AS (SELECT CAST(sum(n) AS BIGINT) AS ct FROM _pc),
+       |_pw AS (SELECT g, n,
+       |    sum(n) OVER (PARTITION BY bk) AS cn,
+       |    sum(n) OVER (PARTITION BY g) AS gt,
+       |    ct
+       |  FROM _pf CROSS JOIN _pt)
+       |SELECT g AS $groupCol, CAST(sum(n) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(floor($term * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS psi
+       |FROM _pw GROUP BY g ORDER BY g""".stripMargin
+  }
 }
 
 final class DistributionDrift(

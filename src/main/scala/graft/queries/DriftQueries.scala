@@ -120,6 +120,16 @@ object DriftQueries {
       (s, dir) => driftOp.psi(Tables(s, dir, "documents")),
       Some(driftOp.psiSql("documents"))),
 
+    OracleQuery("drift_psi_per_group",
+      // per-source PSI against the whole corpus — "which source's
+      // length distribution diverges"; the replanned broadcast-total
+      // path now under its own oracle (was CLI/spec-covered only)
+      (s, dir) => DistributionDrift.psiPerGroup(
+        Tables(s, dir, "documents"), col("n_chars"), "source",
+        buckets = 10, width = 60L),
+      Some(DistributionDrift.psiPerGroupSql(
+        "documents", "n_chars", "source", buckets = 10, width = 60L))),
+
     OracleQuery("drift_psi_buckets",
       // the per-bucket drill-down: which length bands moved
       (s, dir) => driftOp.bucketTable(Tables(s, dir, "documents")),

@@ -109,6 +109,12 @@ object NearDup {
       (s, dir) => minhashOp.auditPairs(Tables(s, dir, "documents")),
       Some(minhashOp.auditPairsSql("documents"))),
 
+    OracleQuery("neardup_source_matrix",
+      // near-dup contamination by source pair: the fuzzy companion to
+      // corpus_overlap_matrix (diagonal = within-source redundancy)
+      (s, dir) => minhashOp.sourceMatrix(Tables(s, dir, "documents"), "source"),
+      Some(minhashOp.sourceMatrixSql("documents", "source"))),
+
     OracleQuery("minhash_lsh_dedup_precollapse",
       (s, dir) => minhashPreCollapseOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
