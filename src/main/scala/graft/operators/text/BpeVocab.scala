@@ -162,6 +162,16 @@ final class BpeVocabInduction(
   def trainSqlCtes(table: String): String = {
     val toks = TextFunctions.tokensOfSql(textCol)
     val step = (0 until numMerges).map { i =>
+      // the LAST step's apply output would be dead (consumers read only
+      // the _bpm merge rows plus the _bpw stages that feed later pair
+      // counts), so _bpw{i+1} is emitted only for non-final steps
+      val apply =
+        if (i == numMerges - 1) ""
+        else
+          s""",
+             |_bpw${i + 1} AS MATERIALIZED (SELECT freq,
+             |    replace(repr, coalesce((SELECT pat FROM _bpm$i), chr(3)),
+             |      coalesce((SELECT rep FROM _bpm$i), chr(3))) AS repr FROM _bpw$i)""".stripMargin
       s"""_bps$i AS (SELECT freq, list_transform(string_split(repr, chr(2) || chr(1)),
          |    s -> replace(replace(s, chr(1), ''), chr(2), '')) AS syms FROM _bpw$i),
          |_bpp$i AS (SELECT pr[1] AS a, pr[2] AS b, freq FROM (
@@ -171,10 +181,7 @@ final class BpeVocabInduction(
          |  SELECT chr(1) || a || chr(2) || chr(1) || b || chr(2) AS pat,
          |         chr(1) || a || b || chr(2) AS rep
          |  FROM _bpp$i GROUP BY a, b HAVING CAST(sum(freq) AS BIGINT) >= 2
-         |  ORDER BY sum(freq) DESC, a, b LIMIT 1),
-         |_bpw${i + 1} AS MATERIALIZED (SELECT freq,
-         |    replace(repr, coalesce((SELECT pat FROM _bpm$i), chr(3)),
-         |      coalesce((SELECT rep FROM _bpm$i), chr(3))) AS repr FROM _bpw$i)""".stripMargin
+         |  ORDER BY sum(freq) DESC, a, b LIMIT 1)$apply""".stripMargin
     }.mkString(",\n")
     val mergeCols = (0 until numMerges).map(i =>
       s"coalesce((SELECT pat FROM _bpm$i), chr(3)) AS p$i, " +

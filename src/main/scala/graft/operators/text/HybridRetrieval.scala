@@ -55,15 +55,20 @@ object HybridRetrieval {
   }
 
   /** DuckDB twin: `aSql`/`bSql` are complete SELECTs producing the same
-    * rounded `(id, score)` lists the Spark side fuses.
+    * rounded `(id, score)` lists the Spark side fuses. `maxListSize`
+    * mirrors the Spark side's top-`maxListSize` cut (same
+    * `(score DESC, id)` order), so the twin stays exact even when a
+    * caller feeds an oversized list and the guard actually bites.
     */
   def rrfSql(aSql: String, aId: String, aScore: String,
       bSql: String, bId: String, bScore: String,
-      kRrf: Int = 60, topK: Int = 10): String = {
+      kRrf: Int = 60, topK: Int = 10, maxListSize: Int = 100000): String = {
+    require(maxListSize >= topK,
+      s"maxListSize ($maxListSize) must cover topK ($topK)")
     def contrib(r: String) =
       s"coalesce(CAST(1.0 AS DOUBLE) / CAST($kRrf + $r AS DOUBLE), CAST(0.0 AS DOUBLE))"
-    s"""WITH _ha AS ($aSql),
-       |_hb AS ($bSql),
+    s"""WITH _ha AS (SELECT * FROM ($aSql) ORDER BY $aScore DESC, $aId LIMIT $maxListSize),
+       |_hb AS (SELECT * FROM ($bSql) ORDER BY $bScore DESC, $bId LIMIT $maxListSize),
        |_ra AS (SELECT $aId AS id, row_number() OVER (ORDER BY $aScore DESC, $aId) AS ra FROM _ha),
        |_rb AS (SELECT $bId AS id, row_number() OVER (ORDER BY $bScore DESC, $bId) AS rb FROM _hb),
        |_f AS (SELECT coalesce(_ra.id, _rb.id) AS id,

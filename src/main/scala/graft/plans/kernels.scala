@@ -1449,7 +1449,13 @@ object kernels {
     private val MaxMemo = 1 << 16
 
     private def segCount(word: String): Long = {
-      val n = word.length
+      // DP over CODE POINTS, not UTF-16 units — Spark's length()/
+      // substring() and DuckDB's len()/substring() both count
+      // codepoints, and the vocab derives from them; a code-unit DP
+      // would split surrogate pairs and break the bit-parity contract
+      // on supplementary-plane text
+      val cps = word.codePoints().toArray
+      val n = cps.length
       if (n > 63) return n.toLong
       val v = new Array[Long](n + 1)
       var i = 1
@@ -1460,7 +1466,7 @@ object kernels {
           val cand =
             if (l > i) Sent
             else {
-              val p = logp.get(word.substring(i - l, i))
+              val p = logp.get(new String(cps, i - l, l))
               if (p == null) Sent else v(i - l) + p.longValue() * 64L - 1L
             }
           if (cand > best) best = cand

@@ -254,7 +254,8 @@ object AnalyticsQueries {
       (s, dir) => overlapMatrixOp.matrix(
         Tables(s, dir, "documents").withColumn("text", overlapAugSpark(col("text")))),
       Some(s"""WITH aug AS (SELECT doc_id, $overlapAugSql AS text, source FROM documents)
-              |SELECT * FROM (${overlapMatrixOp.sql("aug")})""".stripMargin)),
+              |SELECT * FROM (${overlapMatrixOp.sql("aug")})
+              |ORDER BY source_a, source_b""".stripMargin)),
 
     // Distributed BPE encode under a FIXED learned merge list (training
     // itself is spec-pinned on the Sennrich worked example; the oracle

@@ -217,7 +217,9 @@ class CorpusStatsSpec extends AnyFunSuite {
       (3L, "a" * 70),                 // >63 chars -> char fallback (70)
       (4L, "  AB\tCd  "),             // normalization: lowercase + ws collapse
       (5L, null.asInstanceOf[String]),
-      (6L, "")
+      (6L, ""),
+      (7L, "😀😀 ab")  // astral chars: kernel must count
+                                           // CODEPOINTS (2, not 4 UTF-16 units)
     ).toDF("doc_id", "text")
     val both = docs.select($"doc_id",
         graft.plans.kernels.unigram_scaled_token_count(
@@ -232,6 +234,9 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(both(2L)._1 == 3L && both(3L)._1 == 70L, both.toString)
     assert(both(4L)._1 == 2L, both.toString) // 'ab' + 'cd'
     assert(both(5L)._1 == 0L && both(6L)._1 == 0L, both.toString)
+    // emoji word: out-of-vocab -> codepoint-count fallback 2 (a UTF-16
+    // code-unit DP would report 4); 'ab' -> 1
+    assert(both(7L)._1 == 3L, both.toString)
     // an exact score tie where piece counts differ: 'aa' via a+a
     // (-10, 2 pieces) vs a vocab 'aa' at -10 (1 piece) -> packing
     // prefers 1 piece on BOTH paths
