@@ -231,10 +231,16 @@ final class DistributionDrift(
        |  round(q, 6) AS cur_share, round((p - q) * ln(p / q), 6) AS psi_term
        |FROM _dterm ORDER BY bucket""".stripMargin
 
-  def psiSql(table: String): String =
-    s"""WITH ${termsCte(table)}
+  /** `prelude`: extra CTEs (no `WITH`) prepended so the drift can run
+    * over a derived frame (e.g. cluster assignments) — the
+    * RaterAgreement prelude convention.
+    */
+  def psiSql(table: String, prelude: String = ""): String = {
+    val pre = if (prelude.isEmpty) "" else prelude + ",\n"
+    s"""WITH $pre${termsCte(table)}
        |SELECT CAST(sum(base_n) AS BIGINT) AS n_base,
        |  CAST(sum(cur_n) AS BIGINT) AS n_cur,
        |  round(CAST(CAST(sum(CAST(floor((p - q) * ln(p / q) * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9, 6) AS psi
        |FROM _dterm""".stripMargin
+  }
 }

@@ -283,6 +283,28 @@ object NearDup {
               |SELECT id AS vec_id, cluster_id FROM _assigned
               |ORDER BY vec_id""".stripMargin)),
 
+    OracleQuery("embedding_cluster_drift",
+      // EMBEDDING-space drift: PSI between two slices' cluster-
+      // assignment distributions — "did the semantic mix move", the
+      // vector-side companion to the token-side drift_psi monitors
+      // (pure composition: kmeans assignment feeding the PSI kernel)
+      (s, dir) => {
+        val sliced = withClusters(s, dir)
+          .select(col("cluster_id"),
+            when(col("vec_id") % 2 === 0, lit("base")).otherwise(lit("cur"))
+              .as("slice"))
+        new graft.operators.stats.DistributionDrift(
+          "cluster_id", "slice", "base", "cur", buckets = 8, width = 1L)
+          .psi(sliced)
+      },
+      Some(new graft.operators.stats.DistributionDrift(
+        "cluster_id", "slice", "base", "cur", buckets = 8, width = 1L)
+        .psiSql("_ecd", prelude =
+          s"""${kmeansOp.assignCteSql("embeddings", "vec_id")},
+             |_ecd AS (SELECT cluster_id,
+             |    CASE WHEN id % 2 = 0 THEN 'base' ELSE 'cur' END AS slice
+             |  FROM _assigned)""".stripMargin))),
+
     OracleQuery("embedding_cosine_dedup_bucketed",
       (s, dir) => cosineBucketedOp(withClusters(s, dir))
         .select(col("vec_id")).orderBy(col("vec_id")),
