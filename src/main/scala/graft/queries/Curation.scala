@@ -64,6 +64,14 @@ object Curation {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
+  // fixture-lexicon blocklist: common enough that hits exist at every
+  // scale, rare enough that the 12%-of-tokens threshold splits the corpus
+  private val flagWords = Seq("slow", "dup", "skew")
+  private val wordlistTagOp =
+    new graft.operators.text.WordlistTagger(flagWords, prefix = "flag")
+  private val wordlistFilterOp = new graft.operators.text.WordlistFilter(
+    flagWords, maxHitFrac = 0.12, maxHits = 40L, prefix = "flag")
+
   val queries: Seq[OracleQuery] = Seq(
 
     OracleQuery("text_length_filter",
@@ -80,6 +88,23 @@ object Curation {
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id, 'filtered' AS reason, 'text_length_filter' AS operator
               |FROM documents WHERE NOT ${lengthOp.keepSql} ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("wordlist_tag",
+      // lexicon tagger (the Dolma-style toxicity/NSFW wordlist slot):
+      // per-doc hit count + fraction over a fixture-lexicon blocklist
+      (s, dir) => wordlistTagOp(docs(s, dir))
+        .select(col("doc_id"), col("flag_hits"), col("flag_hit_frac"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, ${wordlistTagOp.hitsSql} AS flag_hits,
+              |  ${wordlistTagOp.hitFracSql} AS flag_hit_frac
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    OracleQuery("wordlist_filter",
+      // threshold form: fraction AND count bound, no-token docs keep
+      (s, dir) => wordlistFilterOp(docs(s, dir))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id FROM documents
+              |WHERE ${wordlistFilterOp.keepSql} ORDER BY doc_id""".stripMargin)),
 
     OracleQuery("url_filter",
       (s, dir) => {

@@ -39,6 +39,18 @@ object OperatorRegistry {
     excludeQualitySources = p.bool("exclude_quality_sources", false),
     urlCol = p.str("url_field", "url")))
 
+  register("wordlist_tagger", p => new graft.operators.text.WordlistTagger(
+    words = p.strList("words"),
+    prefix = p.str("prefix", "wordlist"),
+    textCol = p.str("text_field", "text")))
+
+  register("wordlist_filter", p => new graft.operators.text.WordlistFilter(
+    words = p.strList("words"),
+    maxHitFrac = p.double("max_hit_frac", 0.1),
+    maxHits = p.long("max_hits").getOrElse(Long.MaxValue),
+    prefix = p.str("prefix", "wordlist"),
+    textCol = p.str("text_field", "text")))
+
   register("text_length_filter", p => new TextLengthFilter(
     minLength = p.long("min_length", 0L),
     maxLength = p.long("max_length"),

@@ -149,6 +149,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("wordlist tagger/filter: exact-token matching, no-token docs keep, dual bound") {
+    import spark.implicits._
+    import graft.operators.text.{WordlistFilter, WordlistTagger}
+    val docs = Seq(
+      (1L, "bad word and more words here"),     // 1 hit of 6 tokens
+      (2L, "bad bad bad"),                      // 3 of 3
+      (3L, "badge abaddon embad"),              // substrings must NOT match
+      (4L, ""),                                 // no tokens -> keeps, null frac
+      (5L, null.asInstanceOf[String]),
+      (6L, "BAD Word")                          // normalization lowercases
+    ).toDF("doc_id", "text")
+    val tagged = new WordlistTagger(Seq("bad", "word"), prefix = "tox")(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(tagged(1L) == ((2L, BigDecimal(2.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(tagged(2L) == ((3L, 1.0)))
+    assert(tagged(3L) == ((0L, 0.0)))
+    assert(tagged(4L) == ((0L, -1.0)) && tagged(5L) == ((0L, -1.0)))
+    assert(tagged(6L) == ((2L, 1.0)))
+    // filter: frac bound keeps doc1 (0.33 <= 0.5) but count bound (<=1) rejects it
+    val kept = new WordlistFilter(Seq("bad", "word"), maxHitFrac = 0.5,
+      maxHits = 1L, prefix = "tox")(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // registry path round-trips the params
+    val fromReg = graft.runner.OperatorRegistry.create("wordlist_filter",
+      graft.runner.Params(Map(
+        "words" -> java.util.Arrays.asList("bad", "word"),
+        "max_hit_frac" -> 0.5, "max_hits" -> 1)))
+    assert(fromReg(docs).count() == 3L)
+    intercept[IllegalArgumentException](new WordlistTagger(Seq("Bad")))
+    intercept[IllegalArgumentException](new WordlistTagger(Seq.empty))
+  }
+
   test("refiner drops its staging columns") {
     val out = new TextAnalysisRefiner("text")(table("documents"))
     assert(!out.columns.exists(_.startsWith("_")))
