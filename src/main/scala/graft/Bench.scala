@@ -32,8 +32,11 @@ object Bench {
     // Builder-local iteration aid (mirrors Verify's SPARK_GRAFT_ONLY):
     // restrict the run to a comma-list of query names. The official
     // driver run never sets it — the full sweep is the record.
+    // an EMPTY value means "no restriction", not "run nothing" — an
+    // empty set would silently emit a plausible-looking all-zero record
     val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => benchOnly.forall(_(n)) }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

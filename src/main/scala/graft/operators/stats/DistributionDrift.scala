@@ -48,20 +48,30 @@ object DistributionDrift {
     // NULL metric landed in bucket 0 and inflated its counts, while the
     // DuckDB twin's NULL bucket fell off the spine join entirely; NaN
     // threw in the ANSI floor cast.
+    //
+    // The counts table is EAGERLY localCheckpoint-ed: it has THREE
+    // consumers (group spine, grand total, the filled join), and left
+    // lazy each one re-scans and re-buckets the whole corpus — AQE
+    // exchange reuse does NOT rescue this (per-consumer column pruning
+    // gives each consumer a differently-pruned aggregate, so the
+    // canonical exchanges never match; measured: 3 FileScans in the
+    // final adaptive plan). Checkpointing the (groups×B)-bounded state
+    // table — tiny relative to the corpus — makes the corpus scan
+    // happen exactly once, here (the DupNgram staging idiom; PlanSpec
+    // pins the returned frame reads no FileScan at all).
     val counts = df.where(metric.isNotNull && !isnan(metric.cast("double")))
       .select(col(groupCol).as("_g"), bucket.as("_bk"))
       .groupBy(col("_g"), col("_bk")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
     val spine = counts.select(col("_g")).distinct()
       .crossJoin(df.sparkSession.range(buckets).toDF("_bk"))
     val filled = spine.join(counts, Seq("_g", "_bk"), "left")
       .select(col("_g"), col("_bk"), coalesce(col("_n"), lit(0L)).as("_n"))
     // per-bucket and per-group totals are PARTITIONED windows over the
     // (groups×B)-sized frame — bounded frames per window task even with
-    // millions of groups (per-domain PSI). The single GRAND total must
-    // not ride an unpartitioned window over that same frame (one task
-    // holding groups×B rows): it broadcasts as a scalar aggregate over
-    // the counts subtree, whose exchange AQE's stage reuse dedupes — the
-    // corpus is still scanned once (the JsDivergence replan idiom).
+    // millions of groups (per-domain PSI); the single GRAND total rides
+    // a broadcast scalar aggregate over the checkpointed counts, never
+    // an unpartitioned window over the groups×B frame.
     import org.apache.spark.sql.expressions.Window
     val totals = counts.agg(sum(col("_n")).as("_ct"))
     val withTot = filled

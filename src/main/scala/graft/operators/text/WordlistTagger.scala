@@ -38,9 +38,16 @@ final class WordlistTagger(
   val name = s"${prefix}_tagger"
   private val lst = typedLit(words)
 
+  /** The single source of truth for matching — the filter reuses these
+    * so tag columns and keep predicate can never drift apart.
+    */
+  private[text] def toksExpr: Column = TextFunctions.tokensOf(col(textCol))
+  private[text] def hitsExpr(toks: Column): Column =
+    size(filter(toks, t => array_contains(lst, t))).cast("long")
+
   def added(df: DataFrame): Seq[(String, Column)] = {
-    val toks = TextFunctions.tokensOf(col(textCol))
-    val hits = size(filter(toks, t => array_contains(lst, t))).cast("long")
+    val toks = toksExpr
+    val hits = hitsExpr(toks)
     val n = size(toks).cast("long")
     Seq(
       s"${prefix}_hits" -> hits,
@@ -82,9 +89,10 @@ final class WordlistFilter(
   private val tagger = new WordlistTagger(words, prefix, textCol)
 
   def keep(df: DataFrame): Column = {
-    val toks = TextFunctions.tokensOf(col(textCol))
-    val hits = size(filter(toks,
-      t => array_contains(typedLit(words), t))).cast("long")
+    // matching expressions come FROM the tagger (one source of truth:
+    // the keep predicate and the audit tag columns cannot drift apart)
+    val toks = tagger.toksExpr
+    val hits = tagger.hitsExpr(toks)
     val n = size(toks).cast("long")
     (n === 0L) ||
       (hits <= maxHits &&

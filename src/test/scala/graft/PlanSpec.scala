@@ -515,6 +515,21 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must be scanned once at runtime:\n$p")
   }
 
+  test("psi per group: corpus scanned once at checkpoint — consumers read NO FileScan") {
+    // psiPerGroup has three consumers of its counts table (spine, grand
+    // total, filled join); per-consumer column pruning defeats AQE
+    // exchange reuse (measured: 3 FileScans when left lazy), so the
+    // operator eagerly checkpoints the (groups×B)-bounded counts and
+    // every consumer must read the checkpoint, not the corpus
+    val df = byName("drift_psi_per_group").run(spark, sfDir)
+    assert(df.collect().length > 0)
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("FileScan"),
+      s"consumers must read the checkpointed counts, not rescan the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("psi drift: corpus scanned once, totals window over the B-row spine") {
     val p = plan("drift_psi")
     assert("FileScan".r.findAllIn(p).size == 1, s"corpus must be scanned once:\n$p")
