@@ -78,6 +78,9 @@ object DriftQueries {
 
   private val fertilityOp = new TokenFertility("text", "source")
 
+  private val heapsOp = new graft.operators.stats.HeapsFit(
+    "text", "doc_id", levels = 12)
+
   // induction params for the induced-vocab fertility gate: 8 merges
   // over the 300 most frequent words (freq >= 2) — small enough that
   // the DuckDB twin's CTE-chain re-derivation stays cheap, large
@@ -187,6 +190,13 @@ object DriftQueries {
       // rank-frequency OLS in log-log space: does the corpus look like language
       (s, dir) => zipfOp(Tables(s, dir, "documents")),
       Some(zipfOp.sql("documents"))),
+
+    OracleQuery("heaps_fit",
+      // vocabulary GROWTH (V ≈ K·n^β over hash-nested subsamples):
+      // does the corpus keep minting types like language, or saturate
+      // (duplication) / explode (ids) — the companion to zipf_fit
+      (s, dir) => heapsOp(Tables(s, dir, "documents")),
+      Some(heapsOp.sql("documents"))),
 
     OracleQuery("pii_density",
       // per-source PII rates over sparsely-injected deterministic PII

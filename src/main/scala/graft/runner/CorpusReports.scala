@@ -22,8 +22,8 @@ object CorpusReports {
   final case class Cols(text: String, source: String)
 
   def names: Seq[String] = Seq("source_drift", "token_fertility",
-    "pii_density", "ngram_diversity", "zipf_fit", "curriculum_buckets",
-    "overlap_matrix")
+    "pii_density", "ngram_diversity", "zipf_fit", "heaps_fit",
+    "curriculum_buckets", "overlap_matrix")
 
   def build(name: String, df: DataFrame, c: Cols): DataFrame = name match {
     case "source_drift" =>
@@ -38,6 +38,8 @@ object CorpusReports {
       new graft.operators.text.NgramDiversity(c.text, maxN = 3)(df)
     case "zipf_fit" =>
       new graft.operators.stats.ZipfFit(c.text, topK = 1000)(df)
+    case "heaps_fit" =>
+      new graft.operators.stats.HeapsFit(c.text, "doc_id")(df)
     case "curriculum_buckets" =>
       new graft.operators.text.CurriculumBuckets(c.text, width = 0.01)(df)
     case "overlap_matrix" =>

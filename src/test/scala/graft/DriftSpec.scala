@@ -115,6 +115,27 @@ class DriftSpec extends AnyFunSuite {
     assert(ac.getLong(2) == 3 && ac.getLong(3) == 0 && ac.getLong(4) == 3)
   }
 
+  test("heaps fit: minting corpora bend high, fixed-vocab corpora bend to zero") {
+    import graft.operators.stats.HeapsFit
+    val op = new HeapsFit("text", "doc_id", levels = 8)
+    // every doc mints 20 brand-new types -> V grows ~linearly in n
+    val minting = (0L until 512L).map(d =>
+      (d, (0 until 20).map(j => s"w${d}_$j").mkString(" "))).toDF("doc_id", "text")
+    val hi = op(minting).head()
+    assert(hi.getLong(0) >= 5, hi.toString)
+    assert(hi.getDouble(1) > 0.9 && hi.getDouble(1) <= 1.05, hi.toString)
+    // fixed 10-word vocabulary -> vocabulary saturates, beta ~ 0
+    val fixed = (0L until 512L).map(d =>
+      (d, (0 until 10).map(j => s"tok$j").mkString(" "))).toDF("doc_id", "text")
+    val lo = op(fixed).head()
+    assert(lo.getDouble(1) >= -0.05 && lo.getDouble(1) < 0.1, lo.toString)
+    // degenerate: all hash levels collapse to one usable point -> null fit
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val row = op(one).head()
+    assert(row.getLong(0) >= 1)
+    if (row.getLong(0) < 2) assert(row.isNullAt(1))
+  }
+
   // ---- Cohen's kappa ----
 
   private def rater(aCol: String, bCol: String) =
