@@ -55,9 +55,12 @@ final class HeapsFit(
     */
   def apply(df: DataFrame): DataFrame = {
     val lvl = levelOf(HashFunctions.hashByName(hashName)(col(idCol).cast("string")))
-    val toks = df.select(col(idCol),
-        explode(TextFunctions.tokensOf(col(textCol))).as("_tok"))
-      .select(col("_tok"), lvl.as("_lvl"))
+    // level computed ALONGSIDE the explode (Generate keeps it via
+    // requiredChildOutput): hash+CASE run once per document, not once
+    // per token occurrence — a projection above the Generate would be
+    // collapsed into it and pay the hash per token
+    val toks = df.select(lvl.as("_lvl"),
+      explode(TextFunctions.tokensOf(col(textCol))).as("_tok"))
     val perType = toks.groupBy(col("_tok")).agg(
       max(col("_lvl")).as("_ml"),
       ks.map(k => count(when(col("_lvl") >= k, lit(1))).as(s"_c$k")): _*)
@@ -74,28 +77,44 @@ final class HeapsFit(
     val staged = row.select(ks.flatMap { k =>
       val i = (nk(k) > 0L && vk(k) > 0L).cast("double")
       Seq(i.as(s"_i$k"),
+        nk(k).as(s"_in$k"), vk(k).as(s"_iv$k"),
         when(i > 0d, log(nk(k).cast("double"))).otherwise(lit(0d)).as(s"_x$k"),
         when(i > 0d, log(vk(k).cast("double"))).otherwise(lit(0d)).as(s"_y$k"))
     }: _*)
     def sumTerms(f: Int => Column): Column = ks.map(f).reduceLeft(_ + _)
+    // degeneracy guards are EXACT-INTEGER: a float sxxN>0 test passes
+    // on >=3 identical points through summation noise (m·sxx and sx²
+    // no longer cancel exactly) and would emit noise-ratio garbage.
+    // "x varies" = two included subsets have different exact token
+    // counts; likewise for y over type counts. Sentinels instead of
+    // nulls: Spark greatest() skips nulls but DuckDB propagates them.
+    def vary(col0: Int => Column, sentMax: Long, sentMin: Long): (Column, Column) = (
+      greatest(ks.map(k => when(col(s"_i$k") > 0d, col0(k)).otherwise(lit(sentMax))): _*),
+      least(ks.map(k => when(col(s"_i$k") > 0d, col0(k)).otherwise(lit(sentMin))): _*))
     val sums = staged.select(
       sumTerms(k => col(s"_i$k")).as("_m"),
       sumTerms(k => col(s"_x$k")).as("_sx"),
       sumTerms(k => col(s"_y$k")).as("_sy"),
       sumTerms(k => col(s"_x$k") * col(s"_y$k")).as("_sxy"),
       sumTerms(k => col(s"_x$k") * col(s"_x$k")).as("_sxx"),
-      sumTerms(k => col(s"_y$k") * col(s"_y$k")).as("_syy"))
+      sumTerms(k => col(s"_y$k") * col(s"_y$k")).as("_syy"),
+      vary(k => col(s"_in$k"), -1L, Long.MaxValue)._1.as("_nmax"),
+      vary(k => col(s"_in$k"), -1L, Long.MaxValue)._2.as("_nmin"),
+      vary(k => col(s"_iv$k"), -1L, Long.MaxValue)._1.as("_vmax"),
+      vary(k => col(s"_iv$k"), -1L, Long.MaxValue)._2.as("_vmin"))
     val m = col("_m")
     val sxxN = m * col("_sxx") - col("_sx") * col("_sx")
     val syyN = m * col("_syy") - col("_sy") * col("_sy")
     val sxyN = m * col("_sxy") - col("_sx") * col("_sy")
     val beta = sxyN / sxxN
+    val variesX = m >= 2d && col("_nmax") > col("_nmin") && sxxN > 0d
+    val variesY = col("_vmax") > col("_vmin") && syyN > 0d
     sums.select(
       m.cast("long").as("points_used"),
-      when(m >= 2d && sxxN > 0d, round(beta, 6)).as("beta"),
-      when(m >= 2d && sxxN > 0d,
+      when(variesX, round(beta, 6)).as("beta"),
+      when(variesX,
         round(exp((col("_sy") - beta * col("_sx")) / m), 6)).as("k_coef"),
-      when(m >= 2d && sxxN > 0d && syyN > 0d,
+      when(variesX && variesY,
         round((sxyN * sxyN) / (sxxN * syyN), 6)).as("r2"))
   }
 
@@ -117,21 +136,35 @@ final class HeapsFit(
     val stagedCols = ks.flatMap { k =>
       val i = s"(CASE WHEN n$k > 0 AND v$k > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
       Seq(s"$i AS i$k",
+        s"n$k AS in$k", s"v$k AS iv$k",
         s"(CASE WHEN $i > 0 THEN ln(CAST(n$k AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END) AS x$k",
         s"(CASE WHEN $i > 0 THEN ln(CAST(v$k AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END) AS y$k")
     }.mkString(",\n    ")
     def sumTerms(f: Int => String): String = ks.map(f).mkString("(", " + ", ")")
+    // exact-integer degeneracy guards via sentinel greatest/least
+    // (mirrors the Spark side; DuckDB greatest propagates NULLs, so
+    // excluded points carry sentinels, never nulls)
+    def varyMax(c: String) = ks.map(k =>
+      s"(CASE WHEN i$k > 0 THEN $c$k ELSE CAST(-1 AS BIGINT) END)")
+      .mkString("greatest(", ", ", ")")
+    def varyMin(c: String) = ks.map(k =>
+      s"(CASE WHEN i$k > 0 THEN $c$k ELSE CAST(${Long.MaxValue} AS BIGINT) END)")
+      .mkString("least(", ", ", ")")
     val sumCols = Seq(
       sumTerms(k => s"i$k") + " AS m",
       sumTerms(k => s"x$k") + " AS sx",
       sumTerms(k => s"y$k") + " AS sy",
       sumTerms(k => s"(x$k * y$k)") + " AS sxy",
       sumTerms(k => s"(x$k * x$k)") + " AS sxx",
-      sumTerms(k => s"(y$k * y$k)") + " AS syy").mkString(",\n    ")
+      sumTerms(k => s"(y$k * y$k)") + " AS syy",
+      varyMax("in") + " AS nmax", varyMin("in") + " AS nmin",
+      varyMax("iv") + " AS vmax", varyMin("iv") + " AS vmin").mkString(",\n    ")
     val sxxN = "(m * sxx - sx * sx)"
     val syyN = "(m * syy - sy * sy)"
     val sxyN = "(m * sxy - sx * sy)"
     val beta = s"($sxyN / $sxxN)"
+    val variesX = s"(m >= 2 AND nmax > nmin AND $sxxN > 0)"
+    val variesY = s"(vmax > vmin AND $syyN > 0)"
     s"""WITH _hl AS (SELECT tok, $lvlCase AS lvl FROM (
        |    SELECT unnest(${TextFunctions.tokensOfSql(textCol)}) AS tok,
        |      $h AS lvl_h FROM $table)),
@@ -149,10 +182,10 @@ final class HeapsFit(
        |    $sumCols
        |  FROM _hx)
        |SELECT CAST(m AS BIGINT) AS points_used,
-       |  CASE WHEN m >= 2 AND $sxxN > 0 THEN round($beta, 6) END AS beta,
-       |  CASE WHEN m >= 2 AND $sxxN > 0
+       |  CASE WHEN $variesX THEN round($beta, 6) END AS beta,
+       |  CASE WHEN $variesX
        |    THEN round(exp((sy - $beta * sx) / m), 6) END AS k_coef,
-       |  CASE WHEN m >= 2 AND $sxxN > 0 AND $syyN > 0
+       |  CASE WHEN $variesX AND $variesY
        |    THEN round(($sxyN * $sxyN) / ($sxxN * $syyN), 6) END AS r2
        |FROM _hs""".stripMargin
   }

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions.col
   * CLI surface over the round-12 analytics family, so a pipeline
   * operator can run any single monitor without writing Scala. Each
   * report reads the documents-table column conventions (`text`,
-  * `source`); a corpus with other names must be pre-projected (SELECT
-  * ... AS text/source) before the report — the CLI deliberately takes
+  * `source`, and for the id-keyed reports `doc_id`); a corpus with
+  * other names must be pre-projected (SELECT ... AS
+  * text/source/doc_id) before the report — the CLI deliberately takes
   * no flag surface here. One parquet table lands under
   * `outDir/<name>`.
   *
@@ -19,7 +20,7 @@ import org.apache.spark.sql.functions.col
   */
 object CorpusReports {
 
-  final case class Cols(text: String, source: String)
+  final case class Cols(text: String, source: String, id: String = "doc_id")
 
   def names: Seq[String] = Seq("source_drift", "token_fertility",
     "pii_density", "ngram_diversity", "zipf_fit", "heaps_fit",
@@ -39,7 +40,7 @@ object CorpusReports {
     case "zipf_fit" =>
       new graft.operators.stats.ZipfFit(c.text, topK = 1000)(df)
     case "heaps_fit" =>
-      new graft.operators.stats.HeapsFit(c.text, "doc_id")(df)
+      new graft.operators.stats.HeapsFit(c.text, c.id)(df)
     case "curriculum_buckets" =>
       new graft.operators.text.CurriculumBuckets(c.text, width = 0.01)(df)
     case "overlap_matrix" =>

@@ -129,11 +129,22 @@ class DriftSpec extends AnyFunSuite {
       (d, (0 until 10).map(j => s"tok$j").mkString(" "))).toDF("doc_id", "text")
     val lo = op(fixed).head()
     assert(lo.getDouble(1) >= -0.05 && lo.getDouble(1) < 0.1, lo.toString)
-    // degenerate: all hash levels collapse to one usable point -> null fit
-    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
-    val row = op(one).head()
-    assert(row.getLong(0) >= 1)
-    if (row.getLong(0) < 2) assert(row.isNullAt(1))
+    // degenerate: a single doc collapses every subset it belongs to
+    // into the SAME (n, V) point — the exact-integer varies guard must
+    // null the fit even when points_used >= 3 (a float sxxN>0 test
+    // passes through summation noise); doc_id 4's portable hash is
+    // whatever it is, so sweep ids to hit a multi-level document
+    for (id <- 0L until 16L) {
+      val row = op(Seq((id, "a b c")).toDF("doc_id", "text")).head()
+      assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3),
+        s"identical points must never fit (id=$id): $row")
+    }
+    // constant VOCABULARY but varying token counts: x varies, y does
+    // not -> beta fits (0), r2 must be null (syy degenerate)
+    val constV = (0L until 64L).map(d => (d, "tok tok tok")).toDF("doc_id", "text")
+    val cv = op(constV).head()
+    assert(!cv.isNullAt(1) && cv.getDouble(1) == 0.0, cv.toString)
+    assert(cv.isNullAt(3), cv.toString)
   }
 
   // ---- Cohen's kappa ----
