@@ -530,6 +530,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("heaps: the doc-level hash is computed BELOW the token explode, once per doc") {
+    // ExtractGenerator hoists non-generator select expressions above
+    // the Generate; unstaged, the md5-level ran once per TOKEN
+    // (measured 3.2 s vs 0.9 s at sf0.1). The staged projection must
+    // keep the hash below the Generate in the planned tree.
+    val p = plan("heaps_fit")
+    val gen = p.indexOf("Generate explode")
+    val hash = p.indexOf("md5")
+    assert(gen >= 0 && hash >= 0, p)
+    assert(gen < hash, // plans print top-down: Generate above = earlier
+      s"level hash must sit below the explode (per doc, not per token):\n$p")
+  }
+
   test("psi drift: corpus scanned once, totals window over the B-row spine") {
     val p = plan("drift_psi")
     assert("FileScan".r.findAllIn(p).size == 1, s"corpus must be scanned once:\n$p")
