@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.table.{CdcMerge, ColumnProfiler}
+import graft.operators.table.{CdcMerge, ColumnProfiler, DataQualityChecks}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance gates: CDC MERGE (upsert/delete fold of a change
@@ -89,5 +89,37 @@ object MaintenanceQueries {
       },
       Some(ColumnProfiler.sql("lineitem", Seq(
         "l_orderkey" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
-        "l_discount" -> true, "l_returnflag" -> false, "l_linestatus" -> false)))))
+        "l_discount" -> true, "l_returnflag" -> false, "l_linestatus" -> false)))),
+
+    // Data-quality firewall: all scan checks ride ONE conditional
+    // aggregate over orders; referential integrity is the one two-table
+    // check (anti-join count against customer). The in_set subset check
+    // on o_orderpriority is deliberately failing (observed ~0.4 vs 0.9)
+    // so the gate exercises both statuses, and the boundary decision is
+    // integer cross-multiplication — never rounded-double compare.
+    OracleQuery("dq_checks",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        DataQualityChecks(orders, dqChecks)
+          .unionAll(DataQualityChecks.refIntegrity(
+            orders, "o_custkey", Tables(s, dir, "customer"), "c_custkey"))
+          .orderBy(col("check"), col("target"))
+      },
+      Some(s"""WITH ${DataQualityChecks.scanCteSql("orders", dqChecks)}
+           |${DataQualityChecks.rowSelectsSql(dqChecks)}
+           |UNION ALL
+           |${DataQualityChecks.refIntegritySql("orders", "o_custkey", "customer", "c_custkey")}
+           |ORDER BY "check", target""".stripMargin)))
+
+  private lazy val dqChecks: Seq[DataQualityChecks.Check] = {
+    import DataQualityChecks._
+    Seq(
+      Completeness("o_custkey"),
+      Completeness("o_orderdate"),
+      Uniqueness("o_orderkey"),
+      InRange("o_totalprice", 0.0, 1.0e7),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      InSet("o_orderpriority", Seq("1-URGENT", "2-HIGH"), minFrac = 0.9),
+      MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$"))
+  }
 }

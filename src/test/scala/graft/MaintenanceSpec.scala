@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.table.{CdcMerge, ColumnProfiler}
+import graft.operators.table.{CdcMerge, ColumnProfiler, DataQualityChecks}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -91,6 +91,51 @@ class MaintenanceSpec extends AnyFunSuite {
     val df = TestSpark.table("lineitem")
     val plan = TestSpark.planOf(
       ColumnProfiler.profile(df, Seq("l_orderkey", "l_quantity", "l_returnflag")))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+  }
+
+  import DataQualityChecks._
+
+  test("dq: planted violations land in the right checks with exact boundary math") {
+    val df = Seq(
+      (Some(1L), Some("A"), 10.0), (Some(2L), Some("A"), 20.0),
+      (Some(2L), Some("B"), -5.0), // dup key + below range
+      (None, Some("Z"), 30.0),     // null key + off-set category
+      (Some(4L), None, 40.0)       // null category (excluded from scoped checks)
+    ).toDF("k", "cat", "v")
+    val out = DataQualityChecks(df, Seq(
+      Completeness("k", 0.8),            // 4/5 = 0.8 — passes exactly AT the boundary
+      Uniqueness("k", 1.0),              // 3 distinct / 5 rows — fails
+      InRange("v", 0.0, 100.0, 1.0),     // 4/5 in range — fails
+      InSet("cat", Seq("A", "B"), 0.75)  // 3/4 non-null in set — passes exactly
+    )).collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getDouble(2), r.getBoolean(4))).toMap
+    assert(out(("completeness", "k")) == (0.8, true))
+    assert(out(("uniqueness", "k")) == (0.6, false))
+    assert(out(("in_range", "v")) == (0.8, false))
+    assert(out(("in_set", "cat")) == (0.75, true))
+  }
+
+  test("dq: empty table yields NULL observed and NULL passed (no evidence)") {
+    val df = Seq.empty[(Option[Long], String)].toDF("k", "s")
+    val out = DataQualityChecks(df, Seq(Completeness("k"))).collect()
+    assert(out.length == 1 && out(0).isNullAt(2) && out(0).isNullAt(4))
+  }
+
+  test("dq: ref integrity counts unresolved non-null fact keys") {
+    val fact = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val r = DataQualityChecks.refIntegrity(fact, "fk", dim, "dk").collect()(0)
+    // 3 non-null keys, 1 unresolved -> observed 2/3, passed false at minFrac 1.0
+    assert(math.abs(r.getDouble(2) - 0.666667) < 1e-9 && !r.getBoolean(4))
+  }
+
+  test("dq: scan checks plan a single scan of the input") {
+    val df = TestSpark.table("orders")
+    val plan = TestSpark.planOf(DataQualityChecks(df, Seq(
+      Completeness("o_custkey"), Uniqueness("o_orderkey"),
+      InRange("o_totalprice", 0, 1e7), InSet("o_orderstatus", Seq("O", "F", "P")))))
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
   }
