@@ -65,5 +65,15 @@ object TextAnalysisQueries {
       Some(s"""WITH nm AS (SELECT doc_id,
               |    ${TextFunctions.normalizeTextSql("coalesce(text, '')")} AS norm FROM documents)
               |SELECT doc_id, ${TextAnalysis.rollingFingerprintSql("norm")} AS doc_fingerprint
-              |FROM nm ORDER BY doc_id""".stripMargin)))
+              |FROM nm ORDER BY doc_id""".stripMargin)),
+
+    // Flesch / Flesch-Kincaid readability per source: exact BIGINT
+    // word/sentence/heuristic-syllable sums through one partial
+    // aggregate, fixed-shape double formulas at the end
+    OracleQuery("readability",
+      (s, dir) => readabilityOp(Tables(s, dir, "documents")),
+      Some(readabilityOp.sql("documents"))))
+
+  private lazy val readabilityOp =
+    new graft.operators.text.Readability("text", "source")
 }

@@ -189,4 +189,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.columns.exists(_.startsWith("_")))
     assert(out.count() == table("documents").count())
   }
+
+  test("readability: hand-derived syllable/sentence/word counts and Flesch") {
+    import spark.implicits._
+    val op = new graft.operators.text.Readability("text", "src")
+    // the cat sat. -> 3 words, 1 sentence, 3 syllables ("the" silent-e
+    //   keeps floor 1); beautiful(3) code(2 runs - silent e = 1)
+    //   example(3; ends 'le' so no subtraction) -> 7 syllables
+    val df = Seq(("a", "the cat sat."), ("b", "beautiful code example!"))
+      .toDF("src", "text")
+    val counts = op.docCounts(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(counts("a") == ((3L, 1L, 3L)))
+    assert(counts("b") == ((3L, 1L, 7L)))
+    val rep = op(df).collect().map(r => r.getString(0) -> r).toMap
+    // flesch(a) = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(rep("a").getDouble(4) - 119.19) < 1e-9)
+    // fk(b) = 0.39*3 + 11.8*(7/3) - 15.59
+    assert(math.abs(rep("b").getDouble(5) - (0.39 * 3 + 11.8 * 7.0 / 3 - 15.59)) < 1e-3)
+  }
+
+  test("readability: empty/whitespace docs yield NULL metrics, not division errors") {
+    import spark.implicits._
+    val op = new graft.operators.text.Readability("text", "src")
+    val rep = op(Seq(("a", ""), ("a", "   ")).toDF("src", "text")).collect()
+    assert(rep.length == 1 && rep(0).getLong(1) == 2 && rep(0).isNullAt(4))
+  }
 }
