@@ -55,6 +55,17 @@ object ResampleQueries {
       Some(s"""WITH ${clipOp.thresholdCteSql("documents")}
               |SELECT doc_id, n_chars FROM documents CROSS JOIN _lc
               |WHERE ${clipOp.keepSql}
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // weighted sampling WITHOUT replacement (priority sampling) as a
+    // distributed top-k: long docs kept ~proportionally to char mass,
+    // ranking by an exact integer priority (no ln/exp/double anywhere)
+    OracleQuery("priority_sample",
+      (s, dir) => priorityOp(Tables(s, dir, "documents")),
+      Some(priorityOp.sql("documents", "doc_id", "n_chars")))
   )
+
+  private lazy val priorityOp = new graft.operators.text.PrioritySample(
+    idCol = "doc_id", weightCol = "n_chars", k = 100,
+    hashName = "portable", salt = "ps13")
 }

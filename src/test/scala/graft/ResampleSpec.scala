@@ -241,4 +241,26 @@ class ResampleSpec extends AnyFunSuite {
       .orderBy("adc", "id").limit(1).head()
     assert(top.getLong(0) == 0L && top.getDouble(1) == 0.0)
   }
+
+  test("priority sample: weight-proportional inclusion, partition-invariant, top-k plan") {
+    import TestSpark.spark.implicits._
+    val op = new graft.operators.text.PrioritySample("id", "w", k = 200, salt = "s")
+    // 1000 light rows (w=10) + 1000 heavy rows (w=1000): heavy rows must
+    // dominate the 200-row sample (E[heavy] ≈ 198)
+    val df = ((0L until 1000L).map(i => (i, 10L)) ++
+      (1000L until 2000L).map(i => (i, 1000L))).toDF("id", "w")
+    val picked = op(df).collect().map(_.getLong(0))
+    assert(picked.length == 200)
+    val heavy = picked.count(_ >= 1000L)
+    assert(heavy > 180, s"heavy rows should dominate, got $heavy/200")
+    // same result whatever the partitioning
+    val re = op(df.repartition(13)).collect().map(_.getLong(0))
+    assert(re.sameElements(picked))
+    // distributed top-k, not a global sort
+    val plan = TestSpark.planOf(op(df))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // zero/null weights only surface when k exceeds the positive rows
+    val tiny = op(Seq((1L, 0L), (2L, 5L)).toDF("id", "w")).collect()
+    assert(tiny.head.getLong(0) == 2L && tiny.length == 2)
+  }
 }
