@@ -282,6 +282,16 @@ object AnalyticsQueries {
         Tables(s, dir, "lineitem"), "l_extendedprice", 1000.0,
         Seq(0.5, 0.9, 0.99)),
       Some(graft.operators.stats.HistogramQuantile.sql(
-        "lineitem", "l_extendedprice", 1000.0, Seq(0.5, 0.9, 0.99))))
+        "lineitem", "l_extendedprice", 1000.0, Seq(0.5, 0.9, 0.99)))),
+
+    // Rolling z-score anomaly detection on the densified per-(type,
+    // hour) count spine: trailing-24h frame excludes the current hour,
+    // all windows ride the spine (|types|x|hours| rows), never the
+    // event stream
+    OracleQuery("events_anomaly",
+      (s, dir) => anomalyOp(Tables.events(s, dir)),
+      Some(anomalyOp.sql("events")))
   )
+
+  private lazy val anomalyOp = new graft.operators.events.EventAnomaly()
 }

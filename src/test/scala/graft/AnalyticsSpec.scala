@@ -139,4 +139,35 @@ class AnalyticsSpec extends AnyFunSuite {
     val docs = Seq((1L, "x", "a"), (2L, "y", "b")).toDF("doc_id", "text", "source")
     assert(new CorpusOverlapMatrix().matrix(docs).count() == 0L)
   }
+
+  test("events_anomaly: planted spike and silent hour both flagged; flat stream clean") {
+    import graft.operators.events.EventAnomaly
+    import spark.implicits._
+    val op = new EventAnomaly(trailing = 24, minPrior = 12, zThreshold = 3.0)
+    // 80 hours of type A: ~10/hour with a deterministic +-1 wobble (so
+    // variance > 0), except hour 30 spikes to 60 and hour 60 is silent
+    // (the outage sits OUTSIDE the spike's 24 h shadow — a z-score
+    // window poisoned by a 6x spike can't flag a same-window outage,
+    // which is the documented non-robust-detector contract)
+    def hourTs(h: Int, i: Int) = h * 3600000000L + i * 1000000L
+    val rows = for {
+      h <- 0 until 80
+      n = if (h == 30) 60 else if (h == 60) 0 else 10 + (h % 3) - 1
+      i <- 0 until n
+    } yield (hourTs(h, i), "A")
+    val df = rows.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = op(df).collect()
+      .map(r => (r.getTimestamp(1).toInstant.getEpochSecond / 3600).toInt -> r.getDouble(4)).toMap
+    assert(out.contains(30) && out(30) > 3.0, s"spike must flag: $out")
+    assert(out.contains(60) && out(60) < -3.0, s"outage must flag: $out")
+    // the spike's aftermath (hours 31..54 see the spike in their trailing
+    // window) must not flood the report: only the two planted hours flag
+    assert(out.keySet == Set(30, 60), s"only planted anomalies: $out")
+    // constant stream: zero variance -> nothing scoreable, nothing thrown
+    val flat = (for { h <- 0 until 48; i <- 0 until 5 } yield (hourTs(h, i), "B"))
+      .toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    assert(op(flat).count() == 0L)
+  }
 }
