@@ -465,6 +465,53 @@ object SearchGraphQueries {
               |        CAST(floor(value * 1000000) AS BIGINT) AS _vs FROM events)
               |WINDOW w AS (PARTITION BY user_id ORDER BY _us
               |  RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW)
-              |ORDER BY event_id""".stripMargin))
+              |ORDER BY event_id""".stripMargin)),
+
+    // Graph health report: degree distribution + assortativity over a
+    // deterministic skewed link graph (a 97-hub layer over a sparse
+    // ring) — decimal(38,0)/HUGEINT moment sums, one degree exchange
+    OracleQuery("graph_degree_stats",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 2 + 1) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            (col("doc_id") % 97).as("dst")))
+          .unionByName(docs.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst")))
+        new graft.operators.graph.DegreeStats().apply(edges)
+      },
+      Some(new graft.operators.graph.DegreeStats().sql(
+        """SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+          |UNION ALL
+          |SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+          |UNION ALL
+          |SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+          |WHERE doc_id % 3 = 0""".stripMargin))),
+
+    // k-core nucleus: 4 peel rounds at k=3 over a mixed-density ring
+    // (~1/3 of nodes peel off through 2-hop cascades); the oracle
+    // unrolls the identical rounds
+    OracleQuery("kcore",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionByName(docs.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"), ((col("doc_id") + 2) % n).as("dst")))
+          .unionByName(docs.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("src"), ((col("doc_id") + 3) % n).as("dst")))
+        new graft.operators.graph.KCore(k = 3, rounds = 4).apply(edges)
+      },
+      Some(new graft.operators.graph.KCore(k = 3, rounds = 4).sql(
+        """SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+          |UNION ALL
+          |SELECT doc_id AS src, (doc_id + 2) % (SELECT count(*) FROM documents) AS dst FROM documents
+          |WHERE doc_id % 2 = 0
+          |UNION ALL
+          |SELECT doc_id AS src, (doc_id + 3) % (SELECT count(*) FROM documents) AS dst FROM documents
+          |WHERE doc_id % 3 = 0""".stripMargin)))
   )
 }

@@ -305,4 +305,38 @@ class SearchGraphSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_values"), p)
     assert(!p.contains("collect_list"), p)
   }
+
+  test("degree stats: star-plus-path known answers; regular graph -> NULL assortativity") {
+    import graft.operators.graph.DegreeStats
+    val op = new DegreeStats()
+    // star 0->{1,2,3} plus path 1->2: total degrees 0:3 1:2 2:2 3:1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val r = op(star).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)     // nodes, edges
+    assert(r.getLong(2) == 3 && r.getLong(3) == 2)     // max out, max in
+    assert(r.getDouble(4) == 2.0)                      // avg total degree = 8/4
+    // edge pairs (x,y): (3,2),(3,2),(3,1),(2,2) — hubs link down: r < 0
+    assert(r.getDouble(5) < 0.0)
+    // directed 2-regular ring: constant degrees -> zero variance -> NULL
+    val n = 6L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+      .union((0L until n).map(i => (i, (i + 2) % n))).toDF("src", "dst")
+    assert(op(ring).head().isNullAt(5))
+  }
+
+  test("kcore: pendant chain peels in cascading rounds, triangle survives") {
+    import graft.operators.graph.KCore
+    // triangle {0,1,2} + chain 2-3-4: at k=2, node 4 peels in round 1,
+    // node 3 only in round 2 (degree drops to 1 AFTER 4 leaves)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val one = new KCore(k = 2, rounds = 1)(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one.keySet == Set(0L, 1L, 2L, 3L) && one(2L) == 3L)
+    val two = new KCore(k = 2, rounds = 2)(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // k above the max degree empties the graph, not throws
+    assert(new KCore(k = 5, rounds = 2)(edges).count() == 0L)
+  }
 }
