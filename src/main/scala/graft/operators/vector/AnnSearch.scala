@@ -174,6 +174,32 @@ object AnnSearch {
       .select(col("_qid").as("query_id"), col("_id").as(idCol), col("cosine"))
   }
 
+  /** Mutual (reciprocal) k-NN pairs within ONE vector set: `(a, b)` with
+    * a < b where b is in a's bucket-restricted top-k AND a is in b's —
+    * the standard alignment/anchor-mining primitive (mutual neighbors
+    * are far more likely true semantic matches than one-directional
+    * ones, cf. reciprocal-rank re-ranking in retrieval). Candidates come
+    * from the SAME sign-bucket equi-join as [[knnJoinLsh]] but WITHOUT
+    * broadcasting (both sides are the full set — the join shuffles on
+    * the bucket id), then the bounded-heap top-k, then a self-join of
+    * the (n·k)-row top-k edge list on the reversed pair key. Nothing
+    * larger than n·k rows ever shuffles after the bucket join.
+    */
+  def mutualKnnLsh(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, coords: Seq[Int]): DataFrame = {
+    val a = df.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      .withColumn("_qb", signBucket(col("_qv"), coords))
+    val b = df.select(col(idCol), col(vecCol))
+      .withColumn("_qb", signBucket(col(vecCol), coords))
+    val cand = b.join(a, Seq("_qb")).filter(col(idCol) =!= col("_qid"))
+    val top = perQueryTopK(cand, vecCol, idCol, k)
+    val fwd = top.select(col("query_id").as("a"), col(idCol).as("b"), col("cosine"))
+    val rev = top.select(col(idCol).as("_ra"), col("query_id").as("_rb"))
+    fwd.join(rev, col("a") === col("_ra") && col("b") === col("_rb"), "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** Top-k within the query's LSH bucket (exact cosine as refinement). */
   def lshTopK(df: DataFrame, queryDf: DataFrame, vecCol: String,
       idCol: String, k: Int, coords: Seq[Int]): DataFrame = {

@@ -411,5 +411,30 @@ object NearDup {
               |    row_number() OVER (PARTITION BY query_id
               |      ORDER BY cos DESC, vec_id) AS rn FROM c)
               |SELECT query_id, vec_id, round(cos, 6) AS cosine FROM r
-              |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin)))
+              |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin)),
+
+    // Mutual k-NN pairs (reciprocal neighbors) within the embedding
+    // set: bucket equi-join candidates (no broadcast of the full set),
+    // bounded-heap top-k, then a pair-key semi-join of the n*k edge
+    // list against its own reverse
+    OracleQuery("mutual_knn_pairs",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnSearch.mutualKnnLsh(emb, "embedding", "vec_id", k = 5,
+            coords = lshCoords)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH mb AS (SELECT vec_id, embedding,
+              |    ${AnnSearch.signBucketSql("embedding", lshCoords)} AS bk FROM embeddings),
+              |mc AS (SELECT q.vec_id AS qid, e.vec_id AS vid,
+              |    ${graft.functions.VectorFunctions.cosineSql("e.embedding", "q.embedding")} AS cos
+              |  FROM mb e JOIN mb q ON e.bk = q.bk AND e.vec_id <> q.vec_id),
+              |mr AS (SELECT qid, vid, cos,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY cos DESC, vid) AS rn FROM mc),
+              |mt AS (SELECT qid, vid, cos FROM mr WHERE rn <= 5)
+              |SELECT t1.qid AS a, t1.vid AS b, round(t1.cos, 6) AS cosine
+              |FROM mt t1 JOIN mt t2 ON t1.qid = t2.vid AND t1.vid = t2.qid
+              |WHERE t1.qid < t1.vid ORDER BY a, b""".stripMargin)))
 }

@@ -231,4 +231,21 @@ class DedupSpec extends AnyFunSuite {
     val empty = tuner(1).report(distinctRows).collect()(0)
     assert(empty.getLong(0) === 0L && empty.isNullAt(2))
   }
+
+  test("mutual kNN: reciprocity required, one-directional neighbors dropped") {
+    import spark.implicits._
+    // chain in angle space: 0 and 1 are each other's top-1; 2's top-1 is
+    // 1 but 1's top-1 is 0 -> at k=1 only (0,1) is mutual
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(1.0f, 0.3f))).toDF("vec_id", "embedding")
+    val m1 = AnnSearch.mutualKnnLsh(vs, "embedding", "vec_id", k = 1, coords = Seq(0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m1.toSet == Set((0L, 1L)))
+    // at k=2 every pair is reciprocal within the 3-point bucket
+    val m2 = AnnSearch.mutualKnnLsh(vs, "embedding", "vec_id", k = 2, coords = Seq(0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m2.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
 }
