@@ -436,5 +436,25 @@ object NearDup {
               |mt AS (SELECT qid, vid, cos FROM mr WHERE rn <= 5)
               |SELECT t1.qid AS a, t1.vid AS b, round(t1.cos, 6) AS cosine
               |FROM mt t1 JOIN mt t2 ON t1.qid = t2.vid AND t1.vid = t2.qid
-              |WHERE t1.qid < t1.vid ORDER BY a, b""".stripMargin)))
+              |WHERE t1.qid < t1.vid ORDER BY a, b""".stripMargin)),
+
+    // c-TF-IDF cluster labeling (BERTopic-style): the top-5 terms that
+    // characterize each k-means bucket, from the documents joined onto
+    // their embedding-space cluster assignment; floor-scaled scores so
+    // rank order never hinges on sub-ulp ln() disagreement
+    OracleQuery("cluster_top_terms",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val clustered = docs.join(
+          withClusters(s, dir).select(col("vec_id"), col("cluster_id")),
+          col("doc_id") === col("vec_id"))
+        new graft.operators.ml.ClusterTopTerms("text", "cluster_id")(clustered)
+      },
+      Some {
+        val op = new graft.operators.ml.ClusterTopTerms("text", "cluster_id")
+        s"""WITH ${kmeansOp.assignCteSql("embeddings", "vec_id")},
+           |_ctj AS (SELECT d.text, a.cluster_id
+           |  FROM documents d JOIN _assigned a ON d.doc_id = a.id),
+           |${op.sql("_ctj").replaceFirst("WITH ", "")}""".stripMargin
+      }))
 }

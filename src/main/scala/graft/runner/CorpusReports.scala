@@ -24,7 +24,7 @@ object CorpusReports {
 
   def names: Seq[String] = Seq("source_drift", "token_fertility",
     "pii_density", "ngram_diversity", "zipf_fit", "heaps_fit",
-    "curriculum_buckets", "overlap_matrix")
+    "curriculum_buckets", "overlap_matrix", "readability")
 
   def build(name: String, df: DataFrame, c: Cols): DataFrame = name match {
     case "source_drift" =>
@@ -45,6 +45,8 @@ object CorpusReports {
       new graft.operators.text.CurriculumBuckets(c.text, width = 0.01)(df)
     case "overlap_matrix" =>
       new graft.operators.text.CorpusOverlapMatrix(c.text, c.source).matrix(df)
+    case "readability" =>
+      new graft.operators.text.Readability(c.text, c.source)(df)
     case other => throw new IllegalArgumentException(
       s"unknown report '$other'; available: ${names.mkString(", ")}")
   }

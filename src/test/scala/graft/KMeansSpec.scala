@@ -37,4 +37,19 @@ class KMeansSpec extends AnyFunSuite {
     assert(out.count() == emb.count())
     assert(out.columns.contains("cluster_id"))
   }
+
+  test("cluster top terms: distinctive terms beat shared ones, exact scaled scores") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (0L, "apple apple banana"),
+      (1L, "carrot banana")).toDF("cluster_id", "text")
+    val out = new graft.operators.ml.ClusterTopTerms("text", "cluster_id")(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(4))).toMap
+    // total=5 tokens over k=2 clusters -> A_avg=2.5
+    // apple: 2*ln(1+2.5/2)   banana: 1*ln(1+2.5/2)   carrot: 1*ln(1+2.5/1)
+    assert(out((0L, 1)) == (("apple", math.floor(2 * math.log(2.25) * 1e6).toLong)))
+    assert(out((0L, 2))._1 == "banana")
+    assert(out((1L, 1)) == (("carrot", math.floor(math.log(3.5) * 1e6).toLong)))
+    assert(out((1L, 2))._1 == "banana")
+  }
 }
