@@ -92,6 +92,9 @@ object DriftQueries {
 
   private val zipfOp = new ZipfFit("text", topK = 1000)
 
+  private val outlierOp = new graft.operators.stats.RobustOutliers(
+    "doc_id", "m2", k = 5.0)
+
   private val piiOp = new PiiDensity("text2", "source")
 
   // Sparse deterministic PII injection (the dense every-doc fixture of
@@ -202,6 +205,21 @@ object DriftQueries {
       // per-source PII rates over sparsely-injected deterministic PII
       (s, dir) => piiOp(piiAug(Tables(s, dir, "documents"))),
       Some(piiOp.sql("documents", piiAugSql))),
+
+    OracleQuery("robust_outliers",
+      // median/MAD outlier flags over a deterministically-planted
+      // megadoc/stub augmentation (raw fixture lengths are too uniform
+      // to exercise the rule); the median/MAD base stays unmoved by the
+      // planted tail - that robustness is the point of the operator
+      (s, dir) => outlierOp(
+        Tables(s, dir, "documents").withColumn("m2",
+          when(col("doc_id") % 251 === 0, col("n_chars") * 40)
+            .when(col("doc_id") % 97 === 0, lit(3L))
+            .otherwise(col("n_chars")))),
+      Some(outlierOp.sql(
+        """(SELECT doc_id, CASE WHEN doc_id % 251 = 0 THEN n_chars * 40
+          |  WHEN doc_id % 97 = 0 THEN 3 ELSE n_chars END AS m2
+          |FROM documents)""".stripMargin))),
 
     OracleQuery("cluster_silhouette",
       // bucket tightness for the first-8-centroid k-means assignment

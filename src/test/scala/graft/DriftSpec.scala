@@ -318,4 +318,19 @@ class DriftSpec extends AnyFunSuite {
     val out = op(df, cents, Some(Seq(100L, 200L))).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(100L, 200L))
   }
+
+  test("robust outliers: MAD threshold immune to the outlier it flags") {
+    import graft.operators.stats.RobustOutliers
+    val op = new RobustOutliers("id", "v", k = 5.0)
+    // 1..9 plus a 100: median 5.5, MAD 2.5 -> only the 100 clears 5*MAD
+    val df = ((1L to 9L).map(i => (i, i.toDouble)) :+ (10L, 100.0)).toDF("id", "v")
+    val out = op(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(out(0).getDouble(2) == 94.5)
+    // a mean/std rule at the same multiplier would MISS it: std ~ 29
+    // zero MAD (majority constant): any deviation flags
+    val const = (Seq.fill(5)(7.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      :+ (9L, 8.0)).toDF("id", "v")
+    assert(op(const).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
 }
