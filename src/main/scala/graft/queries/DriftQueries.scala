@@ -92,6 +92,9 @@ object DriftQueries {
 
   private val zipfOp = new ZipfFit("text", topK = 1000)
 
+  private val miOp = new graft.operators.stats.MutualInformation(
+    "source", "lang")
+
   private val outlierOp = new graft.operators.stats.RobustOutliers(
     "doc_id", "m2", k = 5.0)
 
@@ -205,6 +208,12 @@ object DriftQueries {
       // per-source PII rates over sparsely-injected deterministic PII
       (s, dir) => piiOp(piiAug(Tables(s, dir, "documents"))),
       Some(piiOp.sql("documents", piiAugSql))),
+
+    OracleQuery("mutual_information",
+      // does source predict language? floor-scaled integer MI
+      // contributions make the cross-cell sum order-invariant
+      (s, dir) => miOp(Tables(s, dir, "documents")),
+      Some(miOp.sql("documents"))),
 
     OracleQuery("robust_outliers",
       // median/MAD outlier flags over a deterministically-planted

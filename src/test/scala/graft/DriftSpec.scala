@@ -333,4 +333,23 @@ class DriftSpec extends AnyFunSuite {
       :+ (9L, 8.0)).toDF("id", "v")
     assert(op(const).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
+
+  test("mutual information: perfect dependence -> NMI 1, independence -> ~0") {
+    import graft.operators.stats.MutualInformation
+    val op = new MutualInformation("a", "b")
+    // bijective mapping: MI = H = 1 bit over a 2x2 with equal mass
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val r1 = dep.transform(op(_)).head()
+    assert(r1.getLong(0) == 4 && r1.getLong(1) == 2)
+    assert(math.abs(r1.getDouble(2) - 1.0) < 1e-5)   // mi_bits
+    assert(math.abs(r1.getDouble(5) - 1.0) < 1e-5)   // nmi
+    // product distribution: MI contributions are exactly log2(1) = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val r2 = ind.transform(op(_)).head()
+    assert(math.abs(r2.getDouble(2)) < 1e-5)
+    // constant column: zero entropy -> NULL nmi, zero MI
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val r3 = const.transform(op(_)).head()
+    assert(r3.isNullAt(5) && math.abs(r3.getDouble(2)) < 1e-5)
+  }
 }
