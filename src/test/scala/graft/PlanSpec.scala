@@ -543,6 +543,27 @@ class PlanSpec extends AnyFunSuite {
       s"level hash must sit below the explode (per doc, not per token):\n$p")
   }
 
+  test("events_anomaly: every window is partitioned (spine-sized frames only)") {
+    val anomaly = graft.queries.AnalyticsQueries.queries
+      .find(_.name == "events_anomaly").get
+    val p = planOf(anomaly.run(spark, sfDir))
+    // Window nodes must carry a partition spec — an unpartitioned window
+    // would funnel the spine through one task (the BinaryAuc trap)
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("event_type"),
+      s"window must partition by event_type: $w"))
+  }
+
+  test("cluster_top_terms: top-N window partitions by cluster, never global") {
+    val q = NearDup.queries.find(_.name == "cluster_top_terms").get
+    val p = planOf(q.run(spark, sfDir))
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("_c"),
+      s"window must partition by cluster: $w"))
+  }
+
   test("psi drift: corpus scanned once, totals window over the B-row spine") {
     val p = plan("drift_psi")
     assert("FileScan".r.findAllIn(p).size == 1, s"corpus must be scanned once:\n$p")
