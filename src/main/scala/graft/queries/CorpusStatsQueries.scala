@@ -62,6 +62,16 @@ object CorpusStatsQueries {
               |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || '$augA'
               |         WHEN doc_id % 5 = 0 THEN '$augB' || coalesce(text, '')
               |         ELSE coalesce(text, '') END) AS text_folded
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Per-source coverage under the corpus's own top-300 vocabulary:
+    // the OOV-rate companion of token_fertility (distributed top-K
+    // vocab + broadcast membership join, tokens never shuffle twice)
+    OracleQuery("vocab_coverage",
+      (s, dir) => vocabCovOp(Tables(s, dir, "documents")),
+      Some(vocabCovOp.sql("documents")))
   )
+
+  private lazy val vocabCovOp = new graft.operators.text.VocabCoverage(
+    "text", "source", topK = 300)
 }

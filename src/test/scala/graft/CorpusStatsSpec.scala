@@ -289,4 +289,20 @@ class CorpusStatsSpec extends AnyFunSuite {
       .count()
     assert(mismatch == 0)
   }
+
+  test("vocab coverage: K-boundary resolves by (count desc, word asc); exact rates") {
+    import graft.operators.text.VocabCoverage
+    // counts: aa x3; bb and cc x2 each (tie at the K=2 boundary -> bb wins)
+    val docs = Seq(
+      ("s1", "aa aa bb cc"),
+      ("s2", "aa bb cc dd")).toDF("source", "text")
+    val out = new VocabCoverage("text", "source", topK = 2)(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // vocab = {aa, bb}: s1 covers 3/4, s2 covers 2/4
+    assert(out("s1") == ((4L, 3L, 0.75)))
+    assert(out("s2") == ((4L, 2L, 0.5)))
+    // the vocab top-K must plan as distributed TakeOrderedAndProject
+    val plan = TestSpark.planOf(new VocabCoverage("text", "source", 2)(docs))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
