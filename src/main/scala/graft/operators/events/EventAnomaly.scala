@@ -36,20 +36,39 @@ final class EventAnomaly(
   val name = "events_anomaly"
   require(trailing >= minPrior && minPrior >= 2, "need >= 2 prior buckets")
 
+  /** The STREAMABLE half: per-(type, hour) exact counts — runs unchanged
+    * as a complete-mode streaming aggregate (the calibration-monitor
+    * idiom; see StreamingSpec's stream==batch pin).
+    */
+  def counts(df: DataFrame): DataFrame =
+    df.select(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+
   /** Anomalous hours: `(event_type, hour, cnt, expected, z)` ordered by
     * (event_type, hour).
     */
-  def apply(df: DataFrame): DataFrame = {
-    val ev = df.select(col(typeCol).as("event_type"),
-      date_trunc("hour", col(tsCol)).as("h"))
-    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+  def apply(df: DataFrame): DataFrame = fromCounts(counts(df))
+
+  /** The batch-side finish over a maintained `(event_type, h, c)` counts
+    * table: spine densification + trailing window + z verdicts.
+    */
+  def fromCounts(counts: DataFrame): DataFrame = {
+    val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val hours = bounds.select(explode(
       sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
-    val types = ev.select(col("event_type")).distinct()
-    val spine = types.crossJoin(hours)
-    val counts = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
-    val dense = spine.join(counts, Seq("event_type", "h"), "left")
-      .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    // fresh output attributes on BOTH join sides: the spine derives FROM
+    // the counts frame, so the densifying join is a self-join — without
+    // re-aliased projections the two sides share attribute ids and
+    // resolution fails (seen when the input is a streaming memory view)
+    val types = counts.select(col("event_type").as("_sp_t")).distinct()
+    val spine = types.crossJoin(hours.select(col("h").as("_sp_h")))
+    val ct = counts.select(col("event_type").as("_ct_t"),
+      col("h").as("_ct_h"), col("c").as("_ct_c"))
+    val dense = spine.join(ct,
+        col("_sp_t") === col("_ct_t") && col("_sp_h") === col("_ct_h"), "left")
+      .select(col("_sp_t").as("event_type"), col("_sp_h").as("h"),
+        coalesce(col("_ct_c"), lit(0L)).as("c"))
     val win = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(-trailing, -1)
     val rolled = dense.select(col("event_type"), col("h"), col("c"),

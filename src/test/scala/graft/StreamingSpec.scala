@@ -442,6 +442,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly monitor: hourly counts over a stream finish to the batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_anomstream")
+    val op = new graft.operators.events.EventAnomaly(
+      trailing = 24, minPrior = 12, zThreshold = 3.0)
+    def hourTs(h: Int, i: Int) = h * 3600000000L + i * 1000000L
+    val rows = (for {
+      h <- 0 until 40
+      n = if (h == 30) 60 else 10 + (h % 3) - 1
+      i <- 0 until n
+    } yield (hourTs(h, i), "A")).toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = op.counts(mem.toDF().toDF("us", "event_type")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+      .writeStream.format("memory").queryName("anom_counts")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("complete").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = op.fromCounts(spark.table("anom_counts")).collect().toSeq
+      val batch = op(b1.union(b2).toDF("us", "event_type")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")).collect().toSeq
+      assert(streamed == batch, s"stream $streamed must equal batch $batch")
+      assert(batch.nonEmpty) // the planted spike is in the verdicts
+    } finally q.stop()
+  }
+
   test("streaming calibration: the reliability table over a stream equals the batch table") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
