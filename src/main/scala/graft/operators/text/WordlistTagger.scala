@@ -88,7 +88,10 @@ final class WordlistFilter(
   val name = s"${prefix}_filter"
   private val tagger = new WordlistTagger(words, prefix, textCol)
 
-  def keep(df: DataFrame): Column = {
+  /** The verdict as a df-free Column (it only reads `textCol`) — for
+    * composition, e.g. the [[QualityVote]] ensemble.
+    */
+  def keepCol: Column = {
     // matching expressions come FROM the tagger (one source of truth:
     // the keep predicate and the audit tag columns cannot drift apart)
     val toks = tagger.toksExpr
@@ -98,6 +101,8 @@ final class WordlistFilter(
       (hits <= maxHits &&
         hits.cast("double") <= lit(maxHitFrac) * n.cast("double"))
   }
+
+  def keep(df: DataFrame): Column = keepCol
 
   /** DuckDB twin of [[keep]]. */
   def keepSql: String = {

@@ -57,11 +57,11 @@ object DriftQueries {
         .otherwise(col("text")))
 
   private val kappaAugSql =
-    s"""aug AS (SELECT CASE
+    s"""aug AS (SELECT doc_id, CASE
        |    WHEN doc_id % 3 = 0 THEN text || '$kStop'
        |    WHEN doc_id % 5 = 0 THEN text || '$kTail'
        |    ELSE text END AS text2 FROM documents),
-       |tk AS (SELECT text2, ${TextFunctions.tokensOfSql("text2")} AS toks FROM aug),""".stripMargin
+       |tk AS (SELECT doc_id, text2, ${TextFunctions.tokensOfSql("text2")} AS toks FROM aug),""".stripMargin
 
   // SQL predicate twins (the c4/gopher filter gates pin kernel == these
   // expressions on their own augmented fixtures)
@@ -91,6 +91,16 @@ object DriftQueries {
   private val diversityOp = new NgramDiversity("text", maxN = 3)
 
   private val zipfOp = new ZipfFit("text", topK = 1000)
+
+  private val voteWordlist = new graft.operators.text.WordlistFilter(
+    Seq("slow", "dup", "skew"), maxHitFrac = 0.12, maxHits = 40L,
+    prefix = "flag", textCol = "text2")
+
+  private lazy val voteOp = new graft.operators.text.QualityVote(
+    Seq(new GopherQualityFilter("text2").keepCol,
+      new C4QualityFilter("text2").keepCol,
+      voteWordlist.keepCol),
+    minVotes = 2)
 
   private val miOp = new graft.operators.stats.MutualInformation(
     "source", "lang")
@@ -208,6 +218,15 @@ object DriftQueries {
       // per-source PII rates over sparsely-injected deterministic PII
       (s, dir) => piiOp(piiAug(Tables(s, dir, "documents"))),
       Some(piiOp.sql("documents", piiAugSql))),
+
+    OracleQuery("quality_vote",
+      // agreement-of-2 ensemble over three independent quality raters
+      // (Gopher battery, C4 rules, wordlist caps) on the kappa-gate
+      // augmentation - one fused projection, no shuffle
+      (s, dir) => voteOp(kappaAug(Tables(s, dir, "documents"))),
+      Some(voteOp.sql("tk",
+        Seq(gopherKeepSql, c4KeepSql, voteWordlist.keepSql),
+        prelude = kappaAugSql))),
 
     OracleQuery("mutual_information",
       // does source predict language? floor-scaled integer MI

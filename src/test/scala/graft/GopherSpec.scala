@@ -107,4 +107,20 @@ class GopherSpec extends AnyFunSuite {
     val rejIds = f.rejected(withNull).select("id").collect().map(_.getLong(0)).toSet
     assert(rejIds.contains(1L), "null-text row must land in the rejects")
   }
+
+  test("quality vote: agreement-of-2 keeps only multi-rater winners; nulls abstain") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val op = new graft.operators.text.QualityVote(
+      Seq(col("a"), col("b"), col("c")), minVotes = 2, idCol = "id")
+    val df = Seq(
+      (1L, Some(true), Some(true), Some(false)),  // 2 votes -> keep
+      (2L, Some(true), Some(false), Some(false)), // 1 vote  -> drop
+      (3L, Some(true), None, Some(true)),         // null abstains, 2 -> keep
+      (4L, None, None, None)                      // all abstain -> drop
+    ).toDF("id", "a", "b", "c")
+    val out = op(df).collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out == Map(1L -> ((2, true)), 2L -> ((1, false)),
+      3L -> ((2, true)), 4L -> ((0, false))))
+  }
 }
