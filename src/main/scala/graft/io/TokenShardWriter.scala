@@ -1,0 +1,128 @@
+package graft.io
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pre-tokenized binary shard export — the Megatron/GPT-NeoX-style
+  * `.bin` + index layout a trainer memory-maps, so the training job
+  * never re-tokenizes text (reference parity note: the reference stops
+  * at parquet/JSONL; this is the missing last mile to a token-level
+  * trainer feed).
+  *
+  * Layout under `outputPath/`:
+  *   - `shard-NNNN.bin` — little-endian int32 token ids, documents
+  *     concatenated in ascending id order (no separators; boundaries
+  *     live in the index);
+  *   - `index/` — parquet `(shard, doc_id, token_offset, n_tokens)`:
+  *     each doc's start offset (in tokens) inside its shard;
+  *   - `manifest.json` — per-shard doc/token/byte counts + totals.
+  *
+  * Tokenization contract: whitespace tokens of the normalized text,
+  * looked up in the caller's rank-ordered vocabulary; id = rank + 2
+  * (0 = pad, 1 = unk), OOV → 1. Plug an induced BPE/unigram vocab by
+  * passing its pieces — the writer is agnostic.
+  *
+  * Determinism/scale: docs route to shards by `pmod(xxhash64(id),
+  * numShards)` (the [[graft.operators.text.SequencePack]] discipline) and
+  * serialize in ascending doc id within the shard, so shard bytes are
+  * identical whatever the input partitioning. One exchange
+  * (repartition on shard), each task streams its shards' bytes straight
+  * to the filesystem — nothing collects to the driver; offsets come
+  * from a shard-partitioned running-sum window over the (bounded)
+  * per-doc count table. Assumes non-speculative tasks (one writer per
+  * shard file — Spark's default locally; on a cluster route through a
+  * task-attempt temp dir + rename if speculation is on).
+  */
+final class TokenShardWriter(
+    outputPath: String,
+    numShards: Int,
+    vocab: Seq[String],
+    idCol: String = "doc_id",
+    textCol: String = "text") {
+
+  require(numShards >= 1, "numShards must be positive")
+  require(vocab.nonEmpty, "vocabulary must be non-empty")
+  val UnkId = 1
+
+  /** `(shard, doc_id, ids)` — the encoded rows, shard-routed. */
+  def encoded(df: DataFrame): DataFrame = {
+    val ranks = vocab.zipWithIndex.map { case (w, i) => (w, i + 2) }.toMap
+    val mapCol = typedLit(ranks)
+    df.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokensOf(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(numShards.toLong)).cast("int").as("shard"),
+        transform(col("_toks"), t => coalesce(element_at(mapCol, t), lit(UnkId)))
+          .as("ids"))
+  }
+
+  /** Write shards + index + manifest; returns (docs, tokens) totals. */
+  def write(df: DataFrame): (Long, Long) = {
+    val spark = df.sparkSession
+    val enc = encoded(df)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val out = outputPath
+    // stream each shard's int32s to its file; one task owns a shard
+    enc.select(col("shard"), col("doc_id"), col("ids"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        var cur: Option[(Int, java.io.DataOutputStream)] = None
+        def open(shard: Int): java.io.DataOutputStream = {
+          val p = new org.apache.hadoop.fs.Path(f"$out/shard-$shard%04d.bin")
+          val fs = p.getFileSystem(conf.value)
+          new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16))
+        }
+        try {
+          rows.foreach { r =>
+            val shard = r.getInt(0)
+            if (!cur.exists(_._1 == shard)) {
+              cur.foreach(_._2.close())
+              cur = Some((shard, open(shard)))
+            }
+            val os = cur.get._2
+            val ids = r.getSeq[Int](2)
+            var i = 0
+            while (i < ids.length) {
+              // little-endian int32 (DataOutputStream is big-endian)
+              val v = ids(i)
+              os.write(v & 0xFF); os.write((v >> 8) & 0xFF)
+              os.write((v >> 16) & 0xFF); os.write((v >> 24) & 0xFF)
+              i += 1
+            }
+          }
+        } finally cur.foreach(_._2.close())
+      }
+    // index: per-doc token offsets inside the shard (running sum over
+    // the per-doc COUNT table — shard-partitioned window, never global)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val index = encoded(df)
+      .select(col("shard"), col("doc_id"), size(col("ids")).cast("long").as("n_tokens"))
+      .select(col("shard"), col("doc_id"),
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("token_offset"),
+        col("n_tokens"))
+    index.write.mode("overwrite").parquet(s"$out/index")
+    val shardStats = spark.read.parquet(s"$out/index")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("shard")).collect()
+    val totalDocs = shardStats.map(_.getLong(1)).sum
+    val totalTokens = shardStats.map(_.getLong(2)).sum
+    val shardsJson = shardStats.map { r =>
+      s"""{"shard":${r.getInt(0)},"docs":${r.getLong(1)},"tokens":${r.getLong(2)},"bytes":${r.getLong(2) * 4}}"""
+    }.mkString("[", ",", "]")
+    val manifest =
+      s"""{"format":"int32-le","vocab_size":${vocab.size + 2},"unk_id":$UnkId,""" +
+        s""""total_docs":$totalDocs,"total_tokens":$totalTokens,"shards":$shardsJson}"""
+    val p = new org.apache.hadoop.fs.Path(s"$out/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(manifest.getBytes("UTF-8")) finally os.close()
+    (totalDocs, totalTokens)
+  }
+}

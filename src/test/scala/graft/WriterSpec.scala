@@ -259,4 +259,47 @@ class WriterSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$base/out/docs/manifest.json")))
   }
+
+  test("token shards: bin bytes match index offsets, ids exact, partition-invariant") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_tokshard").toString
+    val docs = Seq(
+      (0L, "aa bb aa"), (1L, "bb zz"), (2L, "aa"), (3L, ""), (4L, "zz zz aa bb"),
+      (5L, "bb bb")).toDF("doc_id", "text")
+    val w = new graft.io.TokenShardWriter(s"$base/t", numShards = 2,
+      vocab = Seq("aa", "bb"))
+    val (nd, nt) = w.write(docs)
+    assert(nd == 6L && nt == 3 + 2 + 1 + 0 + 4 + 2)
+    // decode every shard and slice by the index: each doc's ids must
+    // equal the vocab mapping (aa=2, bb=3, OOV=1)
+    def decode(path: java.nio.file.Path): Array[Int] = {
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.fill(bytes.length / 4)(bb.getInt())
+    }
+    val expected = Map(
+      0L -> Seq(2, 3, 2), 1L -> Seq(3, 1), 2L -> Seq(2), 3L -> Seq(),
+      4L -> Seq(1, 1, 2, 3), 5L -> Seq(3, 3))
+    val idx = TestSpark.spark.read.parquet(s"$base/t/index").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(idx.map(_._2).sorted.toSeq == (0L to 5L))
+    idx.foreach { case (shard, docId, off, n) =>
+      val ids = decode(java.nio.file.Paths.get(f"$base/t/shard-$shard%04d.bin"))
+      assert(ids.slice(off.toInt, off.toInt + n.toInt).toSeq == expected(docId),
+        s"doc $docId in shard $shard at $off")
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/t/manifest.json")))
+    // identical shard bytes whatever the input partitioning
+    val base2 = java.nio.file.Files.createTempDirectory("graft_tokshard2").toString
+    new graft.io.TokenShardWriter(s"$base2/t", 2, Seq("aa", "bb"))
+      .write(docs.repartition(7))
+    idx.map(_._1).distinct.foreach { shard =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$base/t/shard-$shard%04d.bin"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$base2/t/shard-$shard%04d.bin"))
+      assert(java.util.Arrays.equals(a, b), s"shard $shard bytes differ")
+    }
+  }
 }
