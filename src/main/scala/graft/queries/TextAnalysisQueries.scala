@@ -67,12 +67,21 @@ object TextAnalysisQueries {
               |SELECT doc_id, ${TextAnalysis.rollingFingerprintSql("norm")} AS doc_fingerprint
               |FROM nm ORDER BY doc_id""".stripMargin)),
 
+    // RAKE per-doc keyword phrases: degree/frequency word scores as
+    // floor-scaled integer rationals, doc-partitioned windows only
+    OracleQuery("rake_keywords",
+      (s, dir) => rakeOp(Tables(s, dir, "documents")),
+      Some(rakeOp.sql("documents", "doc_id"))),
+
     // Flesch / Flesch-Kincaid readability per source: exact BIGINT
     // word/sentence/heuristic-syllable sums through one partial
     // aggregate, fixed-shape double formulas at the end
     OracleQuery("readability",
       (s, dir) => readabilityOp(Tables(s, dir, "documents")),
       Some(readabilityOp.sql("documents"))))
+
+  private lazy val rakeOp =
+    new graft.operators.text.RakeKeywords("text", "doc_id", topN = 3)
 
   private lazy val readabilityOp =
     new graft.operators.text.Readability("text", "source")

@@ -209,6 +209,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(rep("b").getDouble(5) - (0.39 * 3 + 11.8 * 7.0 / 3 - 15.59)) < 1e-3)
   }
 
+  test("rake: degree/frequency favors long-phrase members; exact scaled scores") {
+    import spark.implicits._
+    val op = new graft.operators.text.RakeKeywords("text", "id", topN = 3)
+    val df = Seq((7L, "red apple pie. apple pie crust of red wine")).toDF("id", "text")
+    // phrases: "red apple pie" / "apple pie crust" / "red wine"
+    // red: deg 5 freq 2 -> 2.5; apple,pie: deg 6 freq 2 -> 3; crust: 3/1; wine: 2/1
+    val out = op(df).collect().map(r => r.getInt(1) -> (r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      1 -> (("apple pie crust", 9000000L)),
+      2 -> (("red apple pie", 8500000L)),
+      3 -> (("red wine", 4500000L))))
+    // stopword-only / empty docs yield no phrases, not errors
+    val empty = op(Seq((1L, "the of and"), (2L, "")).toDF("id", "text"))
+    assert(empty.count() == 0L)
+  }
+
   test("readability: empty/whitespace docs yield NULL metrics, not division errors") {
     import spark.implicits._
     val op = new graft.operators.text.Readability("text", "src")
