@@ -48,3 +48,36 @@ final class QualityVote(
        |SELECT id, votes, votes >= $minVotes AS keep FROM _qv ORDER BY id""".stripMargin
   }
 }
+
+/** The registry/YAML surface of [[QualityVote]]: a [[graft.core.RowFilter]]
+  * keeping rows that clear `minVotes` of the configured heuristic raters
+  * (`gopher`, `c4`, `wordlist` — the built-in battery; all df-free
+  * per-row predicates, so the ensemble stays one fused projection with
+  * reject capture via the standard disposition machinery).
+  */
+final class QualityVoteFilter(
+    raterNames: Seq[String],
+    minVotes: Int,
+    textCol: String = "text",
+    wordlistWords: Seq[String] = Nil,
+    wordlistMaxHitFrac: Double = 0.1) extends graft.core.RowFilter {
+
+  require(raterNames.nonEmpty, "at least one rater")
+  val name = "quality_vote_filter"
+
+  private val raters: Seq[Column] = raterNames.map {
+    case "gopher" => new GopherQualityFilter(textCol).keepCol
+    case "c4" => new C4QualityFilter(textCol).keepCol
+    case "wordlist" =>
+      require(wordlistWords.nonEmpty, "wordlist rater needs words")
+      new WordlistFilter(wordlistWords, maxHitFrac = wordlistMaxHitFrac,
+        textCol = textCol).keepCol
+    case other => throw new IllegalArgumentException(
+      s"unknown rater '$other' (available: gopher, c4, wordlist)")
+  }
+  require(minVotes >= 1 && minVotes <= raters.size,
+    "need 1 <= minVotes <= raters")
+
+  def keep(df: DataFrame): Column =
+    raters.map(r => coalesce(r, lit(false)).cast("int")).reduce(_ + _) >= minVotes
+}

@@ -51,6 +51,13 @@ object OperatorRegistry {
     prefix = p.str("prefix", "wordlist"),
     textCol = p.str("text_field", "text")))
 
+  register("quality_vote_filter", p => new QualityVoteFilter(
+    raterNames = p.strList("raters"),
+    minVotes = p.int("min_votes", 2),
+    textCol = p.str("text_field", "text"),
+    wordlistWords = p.strList("wordlist_words"),
+    wordlistMaxHitFrac = p.double("wordlist_max_hit_frac", 0.1)))
+
   register("text_length_filter", p => new TextLengthFilter(
     minLength = p.long("min_length", 0L),
     maxLength = p.long("max_length"),

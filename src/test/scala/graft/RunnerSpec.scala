@@ -521,6 +521,52 @@ class RunnerSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("gopher_quality_filter"))
   }
 
+  test("yaml pipeline runs the quality-vote ensemble with rejects") {
+    val base = java.nio.file.Files.createTempDirectory("graft_qvote").toString
+    // augment so the raters disagree: %3 docs gain three stopword-rich
+    // terminal-punctuated sentences (gopher+c4 both pass there)
+    val tail = " and more data that we have to consider with care." +
+      " it should be of interest to everyone involved here." +
+      " the results are ready for review and release."
+    table("documents").withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(tail)))
+          .otherwise(col("text")))
+      .write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: quality
+         |    operators:
+         |      - name: quality_vote_filter
+         |        params:
+         |          raters: ["gopher", "c4", "wordlist"]
+         |          min_votes: 2
+         |          text_field: "text"
+         |          wordlist_words: ["slow", "dup", "skew"]
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/docs")
+    val rejected = spark.read.parquet(s"$base/out_rejected/docs_rejected")
+    assert(written.count() + rejected.count() == table("documents").count())
+    assert(written.count() > 0 && rejected.count() > 0)
+    assert(rejected.select(col("_rejection_details.operator")).distinct()
+      .collect().map(_.getString(0)).toSet == Set("quality_vote_filter"))
+    // every kept row really clears 2 of the 3 raters
+    val g = new graft.operators.text.GopherQualityFilter("text").keepCol
+    val c = new graft.operators.text.C4QualityFilter("text").keepCol
+    val wl = new graft.operators.text.WordlistFilter(
+      Seq("slow", "dup", "skew"), maxHitFrac = 0.1, textCol = "text").keepCol
+    val votes = Seq(g, c, wl).map(r => coalesce(r, lit(false)).cast("int")).reduce(_ + _)
+    assert(written.filter(votes < 2).count() == 0)
+  }
+
   test("yaml pipeline runs the vector family: quantize + simhash dedup with rejects") {
     val base = java.nio.file.Files.createTempDirectory("graft_vec").toString
     val vecs = table("embeddings")
