@@ -92,6 +92,9 @@ object DriftQueries {
 
   private val zipfOp = new ZipfFit("text", topK = 1000)
 
+  private lazy val balanceOp = new graft.operators.stats.SourceBalance(
+    "source", weightCol = Some("n_chars"))
+
   private val voteWordlist = new graft.operators.text.WordlistFilter(
     Seq("slow", "dup", "skew"), maxHitFrac = 0.12, maxHits = 40L,
     prefix = "flag", textCol = "text2")
@@ -218,6 +221,13 @@ object DriftQueries {
       // per-source PII rates over sparsely-injected deterministic PII
       (s, dir) => piiOp(piiAug(Tables(s, dir, "documents"))),
       Some(piiOp.sql("documents", piiAugSql))),
+
+    OracleQuery("source_balance",
+      // corpus concentration: Gini / effective source counts over
+      // char-mass shares - exact rank-form numerator, floor-scaled
+      // entropy terms, windows on the |sources|-row table only
+      (s, dir) => balanceOp(Tables(s, dir, "documents")),
+      Some(balanceOp.sql("documents", massSql = "sum(n_chars)"))),
 
     OracleQuery("quality_vote",
       // agreement-of-2 ensemble over three independent quality raters

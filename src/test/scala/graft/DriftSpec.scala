@@ -334,6 +334,21 @@ class DriftSpec extends AnyFunSuite {
     assert(op(const).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("source balance: uniform -> gini 0 / effective n; collapsed -> effective ~1") {
+    import graft.operators.stats.SourceBalance
+    val op = new SourceBalance("src", weightCol = Some("w"))
+    // four equal sources: gini 0, Herfindahl effective 4, entropy 2 bits
+    val uni = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L)).toDF("src", "w")
+    val r1 = op(uni).head()
+    assert(r1.getLong(0) == 4 && r1.getDouble(3) == 0.0)
+    assert(math.abs(r1.getDouble(4) - 4.0) < 1e-3)
+    assert(math.abs(r1.getDouble(5) - 2.0) < 1e-3)
+    // one source dominating: effective counts collapse toward 1
+    val skew = Seq(("a", 97L), ("b", 1L), ("c", 1L), ("d", 1L)).toDF("src", "w")
+    val r2 = op(skew).head()
+    assert(r2.getDouble(4) < 1.1 && r2.getDouble(3) > 0.7)
+  }
+
   test("mutual information: perfect dependence -> NMI 1, independence -> ~0") {
     import graft.operators.stats.MutualInformation
     val op = new MutualInformation("a", "b")
