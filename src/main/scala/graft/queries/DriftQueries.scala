@@ -92,6 +92,8 @@ object DriftQueries {
 
   private val zipfOp = new ZipfFit("text", topK = 1000)
 
+  private lazy val qrankOp = new graft.operators.stats.QuantileRank("n_chars")
+
   private lazy val balanceOp = new graft.operators.stats.SourceBalance(
     "source", weightCol = Some("n_chars"))
 
@@ -221,6 +223,16 @@ object DriftQueries {
       // per-source PII rates over sparsely-injected deterministic PII
       (s, dir) => piiOp(piiAug(Tables(s, dir, "documents"))),
       Some(piiOp.sql("documents", piiAugSql))),
+
+    OracleQuery("quantile_rank",
+      // corpus-relative tie-averaged percentile of n_chars per doc via
+      // the two-level rank decomposition (never a global rank window);
+      // the oracle pays the single-window form of the same algebra
+      (s, dir) => qrankOp(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("quantile_rank")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, quantile_rank FROM (
+           |${qrankOp.sqlProjection("documents", "doc_id", "n_chars")}
+           |) ORDER BY doc_id""".stripMargin)),
 
     OracleQuery("source_balance",
       // corpus concentration: Gini / effective source counts over

@@ -334,6 +334,26 @@ class DriftSpec extends AnyFunSuite {
     assert(op(const).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("quantile rank: tie-averaged percentiles, partition-invariant, no global rank window") {
+    import graft.operators.stats.QuantileRank
+    val op = new QuantileRank("v")
+    // values 10,20,20,40: pct = avg-rank/n -> 0.25, 0.625, 0.625, 1.0
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 40.0)).toDF("id", "v")
+    val out = op(df).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> 0.25, 2L -> 0.625, 3L -> 0.625, 4L -> 1.0))
+    val re = op(df.repartition(5)).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == out)
+    // every Window in the plan is either partitioned or rides the
+    // bounded per-range-partition offsets table (_psum), never the
+    // distinct-value table
+    val plan = TestSpark.planOf(op(df))
+    val wins = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.contains("_pid") || w.contains("_psum"), s"unbounded window: $w")
+    }
+  }
+
   test("source balance: uniform -> gini 0 / effective n; collapsed -> effective ~1") {
     import graft.operators.stats.SourceBalance
     val op = new SourceBalance("src", weightCol = Some("w"))
