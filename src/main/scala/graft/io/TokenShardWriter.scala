@@ -60,9 +60,14 @@ final class TokenShardWriter(
   /** Write shards + index + manifest; returns (docs, tokens) totals. */
   def write(df: DataFrame): (Long, Long) = {
     val spark = df.sparkSession
+    // tokenize + vocab-map ONCE: both the bin pass and the index derive
+    // from this persisted frame (disk-backed — the ids are ~the output
+    // size, and a second full tokenize pass at 100 TB costs more than
+    // the spill)
     val enc = encoded(df)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = outputPath
@@ -101,12 +106,13 @@ final class TokenShardWriter(
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Long.MinValue, -1)
-    val index = encoded(df)
+    val index = enc
       .select(col("shard"), col("doc_id"), size(col("ids")).cast("long").as("n_tokens"))
       .select(col("shard"), col("doc_id"),
         coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("token_offset"),
         col("n_tokens"))
     index.write.mode("overwrite").parquet(s"$out/index")
+    enc.unpersist(false)
     val shardStats = spark.read.parquet(s"$out/index")
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))

@@ -66,7 +66,9 @@ final class EventAnomaly(
     val ct = counts.select(col("event_type").as("_ct_t"),
       col("h").as("_ct_h"), col("c").as("_ct_c"))
     val dense = spine.join(ct,
-        col("_sp_t") === col("_ct_t") && col("_sp_h") === col("_ct_h"), "left")
+        // null-safe on the type key: a NULL event_type is a real slice
+        // (unparsed/unlabeled events) whose outage must stay visible
+        col("_sp_t") <=> col("_ct_t") && col("_sp_h") === col("_ct_h"), "left")
       .select(col("_sp_t").as("event_type"), col("_sp_h").as("h"),
         coalesce(col("_ct_c"), lit(0L)).as("c"))
     val win = Window.partitionBy(col("event_type")).orderBy(col("h"))
@@ -101,7 +103,7 @@ final class EventAnomaly(
        |    count(*) AS c FROM $table GROUP BY 1, 2),
        |_ed AS (SELECT _esp.event_type, _esp.h, coalesce(_ec.c, 0) AS c
        |  FROM _esp LEFT JOIN _ec
-       |    ON _esp.event_type = _ec.event_type AND _esp.h = _ec.h),
+       |    ON _esp.event_type IS NOT DISTINCT FROM _ec.event_type AND _esp.h = _ec.h),
        |_ew AS (SELECT event_type, h, c,
        |    sum(c) OVER _w AS s, sum(c * c) OVER _w AS ss, count(c) OVER _w AS n
        |  FROM _ed WINDOW _w AS (PARTITION BY event_type ORDER BY h

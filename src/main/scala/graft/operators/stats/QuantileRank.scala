@@ -35,19 +35,20 @@ final class QuantileRank(
     val grouped = df.select(col(metricCol).cast("double").as("_v"))
       .filter(col("_v").isNotNull && !isnan(col("_v")))
       .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    // the distinct-value table (values ≪ rows) is checkpointed ONCE so
+    // all downstream consumers — the offsets derivation, the total, and
+    // the final join — read materialized rows instead of re-deriving the
+    // corpus aggregate + range shuffle per consumer (the psiPerGroup
+    // column-pruning-defeats-exchange-reuse lesson)
     val parts = grouped
       .repartitionByRange(col("_v"))
       .sortWithinPartitions(col("_v"))
       .withColumn("_pid", spark_partition_id())
-    // offsets are bounded (one row per range partition) — eagerly
-    // checkpointed so BOTH consumers (the join and the total) read the
-    // materialized rows instead of re-deriving the corpus subtree (the
-    // psiPerGroup column-pruning-defeats-exchange-reuse lesson)
+      .localCheckpoint(true)
     val offsets = parts.groupBy(col("_pid")).agg(sum(col("_c")).as("_psum"))
       .withColumn("_off", coalesce(sum(col("_psum"))
         .over(Window.orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .localCheckpoint(true)
     // the offsets window is partition-less but rides ONE row per range
     // partition — bounded by the shuffle partition count; the TOTAL is a
     // scalar off the checkpointed offsets, never an unpartitioned window

@@ -32,8 +32,12 @@ final class SourceBalance(groupCol: String, weightCol: Option[String] = None) {
     * effective_herfindahl, entropy_bits)`; NULLs on an empty input.
     */
   def apply(df: DataFrame): DataFrame = {
+    // coalesce the mass to 0: an all-NULL-weight group would otherwise
+    // sort NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting every
+    // rank in the Gini numerator
     val mass = weightCol.map(w => sum(col(w).cast("long"))).getOrElse(count(lit(1)))
-    val per = df.groupBy(col(groupCol).as("_g")).agg(mass.as("_m"))
+    val per = df.groupBy(col(groupCol).as("_g"))
+      .agg(coalesce(mass, lit(0L)).as("_m"))
     val all = Window.rowsBetween(Long.MinValue, Long.MaxValue)
     val ranked = per.select(col("_m"),
       row_number().over(Window.orderBy(col("_m"), col("_g"))).cast("long").as("_i"),
@@ -66,7 +70,7 @@ final class SourceBalance(groupCol: String, weightCol: Option[String] = None) {
 
   def sql(table: String, massSql: String = "count(*)"): String = {
     val p = "(CAST(m AS DOUBLE) / CAST(t AS DOUBLE))"
-    s"""WITH _sbp AS (SELECT $groupCol AS g, $massSql AS m FROM $table GROUP BY 1),
+    s"""WITH _sbp AS (SELECT $groupCol AS g, coalesce($massSql, 0) AS m FROM $table GROUP BY 1),
        |_sbr AS (SELECT m,
        |    CAST(row_number() OVER (ORDER BY m, g) AS BIGINT) AS i,
        |    count(*) OVER () AS n, sum(m) OVER () AS t

@@ -77,7 +77,7 @@ object DataQualityChecks {
     def okExpr: Column =
       org.apache.spark.sql.functions.col(col).cast("string").isin(values: _*)
     def okSql: String =
-      s"CAST($col AS VARCHAR) IN (${values.map(v => s"'$v'").mkString(", ")})"
+      s"CAST($col AS VARCHAR) IN (${values.map(v => s"'${DataQualityChecks.q(v)}'").mkString(", ")})"
     override def scopeExpr: Column = org.apache.spark.sql.functions.col(col).isNotNull
     override def scopeSql: String = s"$col IS NOT NULL"
   }
@@ -90,13 +90,17 @@ object DataQualityChecks {
     val kind = "matches_regex"; val target = col
     def okExpr: Column =
       org.apache.spark.sql.functions.col(col).cast("string").rlike(pattern)
-    def okSql: String = s"regexp_matches(CAST($col AS VARCHAR), '$pattern')"
+    def okSql: String =
+      s"regexp_matches(CAST($col AS VARCHAR), '${DataQualityChecks.q(pattern)}')"
     override def scopeExpr: Column = org.apache.spark.sql.functions.col(col).isNotNull
     override def scopeSql: String = s"$col IS NOT NULL"
   }
 
   private val Scale = 1000000L
   private def thresh(minFrac: Double): Long = math.floor(minFrac * Scale).toLong
+
+  /** SQL string-literal escape for user-supplied values/patterns. */
+  private[table] def q(s: String): String = s.replace("'", "''")
 
   /** All scan checks over `df` in one aggregate pass.
     * Output: (check, target, observed, threshold, passed) ordered by
@@ -142,13 +146,15 @@ object DataQualityChecks {
     */
   def refIntegrity(fact: DataFrame, factCol: String, dim: DataFrame,
       dimCol: String, minFrac: Double = 1.0): DataFrame = {
-    val viol = fact.filter(col(factCol).isNotNull)
-      .join(dim.select(col(dimCol)).distinct(),
-        col(factCol) === col(dimCol), "left_anti")
-    val n = fact.filter(col(factCol).isNotNull)
-      .agg(count(lit(1)).as("_n"))
-    val v = viol.agg(count(lit(1)).as("_v"))
-    n.crossJoin(v).select(
+    // ONE pass over the fact table: left join + conditional count (the
+    // same shape as the DuckDB twin) — an anti-join plus a separate
+    // count would scan the large side twice
+    val counted = fact.filter(col(factCol).isNotNull)
+      .join(dim.select(col(dimCol).as("_dqk")).distinct(),
+        col(factCol) === col("_dqk"), "left")
+      .agg(count(lit(1)).as("_n"),
+        count(when(col("_dqk").isNull, lit(1))).as("_v"))
+    counted.select(
       lit("ref_integrity").as("check"),
       lit(factCol + "->" + dimCol).as("target"),
       when(col("_n") > 0L,

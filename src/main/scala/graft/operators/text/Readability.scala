@@ -60,9 +60,12 @@ final class Readability(textCol: String, groupCol: String) {
     staged.select(
       col(groupCol),
       size(col("_toks")).cast("long").as("words"),
-      greatest(lit(1L),
-        size(regexp_extract_all(coalesce(col(textCol), lit("")),
-          lit("[.!?]+"), lit(0))).cast("long"))
+      // empty/whitespace docs contribute ZERO sentences — flooring them
+      // to 1 would dilute words_per_sentence for any source with blanks
+      when(trim(coalesce(col(textCol), lit(""))) === "", lit(0L))
+        .otherwise(greatest(lit(1L),
+          size(regexp_extract_all(coalesce(col(textCol), lit("")),
+            lit("[.!?]+"), lit(0))).cast("long")))
         .as("sentences"),
       aggregate(transform(col("_toks"), w => syllablesOf(w)),
         lit(0L), (acc, x) => acc + x).as("syllables"))
@@ -101,8 +104,9 @@ final class Readability(textCol: String, groupCol: String) {
     s"""WITH _rt AS (SELECT $groupCol, $toks AS toks, coalesce($textCol, '') AS raw FROM $table),
        |_rd AS (SELECT $groupCol,
        |    CAST(len(toks) AS BIGINT) AS words,
-       |    greatest(CAST(1 AS BIGINT),
-       |      CAST(len(regexp_extract_all(raw, '[.!?]+')) AS BIGINT)) AS sentences,
+       |    CASE WHEN trim(raw) = '' THEN CAST(0 AS BIGINT)
+       |      ELSE greatest(CAST(1 AS BIGINT),
+       |        CAST(len(regexp_extract_all(raw, '[.!?]+')) AS BIGINT)) END AS sentences,
        |    CAST(coalesce(list_aggregate(list_transform(toks,
        |      w -> ${syllablesOfSql("w")}), 'sum'), 0) AS BIGINT) AS syllables
        |  FROM _rt),

@@ -40,9 +40,18 @@ final class VocabCoverage(
       .orderBy(col("_c").desc, col("_w")).limit(topK)
       .select(col("_w").as("_vw"))
     val tagged = toks.join(broadcast(vocab), col("_w") === col("_vw"), "left")
-    val agg = tagged.groupBy(col("source")).agg(
-      count(lit(1)).as("total_tokens"),
-      count(col("_vw")).as("in_vocab_tokens"))
+    val inVocab = tagged.groupBy(col("source").as("_ivs")).agg(
+      count(col("_vw")).as("_iv"))
+    // totals come from DOC-level counts (not the exploded stream) so a
+    // source whose docs are all empty still gets its (0-token) row —
+    // explode drops empty arrays, which would silently lose the source
+    val totals = df.groupBy(col(groupCol).as("source")).agg(
+      sum(size(TextFunctions.tokensOf(col(textCol))).cast("long"))
+        .as("total_tokens"))
+    val agg = totals
+      .join(inVocab, col("source") <=> col("_ivs"), "left")
+      .select(col("source"), col("total_tokens"),
+        coalesce(col("_iv"), lit(0L)).as("in_vocab_tokens"))
     agg.select(col("source"), col("total_tokens"), col("in_vocab_tokens"),
         when(col("total_tokens") > 0L,
           round(col("in_vocab_tokens").cast("double") /
@@ -60,9 +69,14 @@ final class VocabCoverage(
     s"""WITH _vct AS (SELECT $groupCol AS source, unnest($toks) AS w FROM $table),
        |_vcv AS (SELECT w AS vw FROM (SELECT w, count(*) AS c FROM _vct GROUP BY w)
        |  ORDER BY c DESC, w LIMIT $topK),
-       |_vca AS (SELECT t.source, count(*) AS total_tokens,
-       |    count(v.vw) AS in_vocab_tokens
-       |  FROM _vct t LEFT JOIN _vcv v ON t.w = v.vw GROUP BY t.source)
+       |_vci AS (SELECT t.source AS ivs, count(v.vw) AS iv
+       |  FROM _vct t LEFT JOIN _vcv v ON t.w = v.vw GROUP BY t.source),
+       |_vtt AS (SELECT $groupCol AS source,
+       |    sum(CAST(len($toks) AS BIGINT)) AS total_tokens
+       |  FROM $table GROUP BY 1),
+       |_vca AS (SELECT t.source, t.total_tokens,
+       |    coalesce(i.iv, 0) AS in_vocab_tokens
+       |  FROM _vtt t LEFT JOIN _vci i ON t.source IS NOT DISTINCT FROM i.ivs)
        |SELECT source, CAST(total_tokens AS BIGINT) AS total_tokens,
        |  CAST(in_vocab_tokens AS BIGINT) AS in_vocab_tokens,
        |  CASE WHEN total_tokens > 0 THEN round(CAST(in_vocab_tokens AS DOUBLE)
