@@ -290,8 +290,16 @@ object AnalyticsQueries {
     // event stream
     OracleQuery("events_anomaly",
       (s, dir) => anomalyOp(Tables.events(s, dir)),
-      Some(anomalyOp.sql("events")))
+      Some(anomalyOp.sql("events"))),
+
+    // 168-cell dow x hour traffic profile (exact counts + shares; the
+    // dow convention cross-engine pin: 0 = Sunday in BOTH)
+    OracleQuery("events_seasonality",
+      (s, dir) => seasonOp(Tables.events(s, dir)),
+      Some(seasonOp.sql("events")))
   )
+
+  private lazy val seasonOp = new graft.operators.events.Seasonality()
 
   private lazy val anomalyOp = new graft.operators.events.EventAnomaly()
 }

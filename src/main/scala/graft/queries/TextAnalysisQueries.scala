@@ -67,6 +67,12 @@ object TextAnalysisQueries {
               |SELECT doc_id, ${TextAnalysis.rollingFingerprintSql("norm")} AS doc_fingerprint
               |FROM nm ORDER BY doc_id""".stripMargin)),
 
+    // per-source character-class composition fingerprint (codepoint
+    // count parity via the length-difference trick)
+    OracleQuery("charclass_profile",
+      (s, dir) => charClassOp(Tables(s, dir, "documents")),
+      Some(charClassOp.sql("documents"))),
+
     // RAKE per-doc keyword phrases: degree/frequency word scores as
     // floor-scaled integer rationals, doc-partitioned windows only
     OracleQuery("rake_keywords",
@@ -79,6 +85,9 @@ object TextAnalysisQueries {
     OracleQuery("readability",
       (s, dir) => readabilityOp(Tables(s, dir, "documents")),
       Some(readabilityOp.sql("documents"))))
+
+  private lazy val charClassOp =
+    new graft.operators.text.CharClassProfile("text", "source")
 
   private lazy val rakeOp =
     new graft.operators.text.RakeKeywords("text", "doc_id", topN = 3)

@@ -209,6 +209,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(rep("b").getDouble(5) - (0.39 * 3 + 11.8 * 7.0 / 3 - 15.59)) < 1e-3)
   }
 
+  test("charclass profile: exact class fractions incl. non-ascii and derived other") {
+    import spark.implicits._
+    val op = new graft.operators.text.CharClassProfile("text", "src")
+    // 19 chars: 8 alpha, 3 digit, 3 ws (space+tab+newline), 2 non-ascii,
+    // 3 other (! ? .)
+    val df = Seq(("s", "ab cd12\u00e9\u00fc!?\tx3yz.\nq")).toDF("src", "text")
+    val r = op(df).head()
+    assert(r.getLong(1) == 19, s"total ${r.getLong(1)}")
+    assert(math.abs(r.getDouble(2) - 8.0 / 19) < 1e-6)   // alpha
+    assert(math.abs(r.getDouble(3) - 3.0 / 19) < 1e-6)   // digits
+    assert(math.abs(r.getDouble(4) - 3.0 / 19) < 1e-6)   // whitespace
+    assert(math.abs(r.getDouble(5) - 2.0 / 19) < 1e-6)   // non-ascii
+    assert(math.abs(r.getDouble(6) - 3.0 / 19) < 1e-6)   // other
+    // fractions sum to 1 over each source
+    val tot = (2 to 6).map(r.getDouble).sum
+    assert(math.abs(tot - 1.0) < 1e-5)
+    // zero-char source: NULL fractions
+    val z = op(Seq(("z", "")).toDF("src", "text")).head()
+    assert(z.getLong(1) == 0 && z.isNullAt(2))
+  }
+
   test("rake: degree/frequency favors long-phrase members; exact scaled scores") {
     import spark.implicits._
     val op = new graft.operators.text.RakeKeywords("text", "id", topN = 3)
