@@ -24,7 +24,8 @@ object CorpusReports {
 
   def names: Seq[String] = Seq("source_drift", "token_fertility",
     "pii_density", "ngram_diversity", "zipf_fit", "heaps_fit",
-    "curriculum_buckets", "overlap_matrix", "readability")
+    "curriculum_buckets", "overlap_matrix", "readability",
+    "source_balance", "charclass_profile")
 
   def build(name: String, df: DataFrame, c: Cols): DataFrame = name match {
     case "source_drift" =>
@@ -47,6 +48,10 @@ object CorpusReports {
       new graft.operators.text.CorpusOverlapMatrix(c.text, c.source).matrix(df)
     case "readability" =>
       new graft.operators.text.Readability(c.text, c.source)(df)
+    case "source_balance" =>
+      new graft.operators.stats.SourceBalance(c.source)(df)
+    case "charclass_profile" =>
+      new graft.operators.text.CharClassProfile(c.text, c.source)(df)
     case other => throw new IllegalArgumentException(
       s"unknown report '$other'; available: ${names.mkString(", ")}")
   }

@@ -153,4 +153,38 @@ class EmptyInputSpec extends AnyFunSuite {
       "id", "s", "rel", k = 5).head()
     assert(ndcg.isNullAt(3) && ndcg.isNullAt(4) && ndcg.getDouble(5) == 0.0)
   }
+
+  test("round-13 additions survive empty input") {
+    zero("readability")(new graft.operators.text.Readability("text", "source")(noDocs))
+    zero("vocab coverage")(new graft.operators.text.VocabCoverage(
+      "text", "source", topK = 10)(noDocs))
+    zero("charclass")(new graft.operators.text.CharClassProfile(
+      "text", "source")(noDocs))
+    zero("rake")(new graft.operators.text.RakeKeywords("text", "doc_id")(noDocs))
+    zero("priority sample")(new graft.operators.text.PrioritySample(
+      "doc_id", "n_chars", k = 10)(noDocs.withColumn("n_chars", lit(5L))))
+    zero("quantile rank")(new graft.operators.stats.QuantileRank("n_chars")(
+      noDocs.withColumn("n_chars", lit(5L))))
+    zero("robust outliers")(new graft.operators.stats.RobustOutliers(
+      "doc_id", "n_chars")(noDocs.withColumn("n_chars", lit(5L))))
+    zero("degree stats non-rows")(new graft.operators.graph.DegreeStats()(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).filter(col("n_edges") =!= 0))
+    zero("kcore")(new graft.operators.graph.KCore(k = 2, rounds = 2)(
+      Seq.empty[(Long, Long)].toDF("src", "dst")))
+    zero("mutual knn")(graft.operators.vector.AnnSearch.mutualKnnLsh(
+      noVecs, "embedding", "vec_id", k = 3, coords = Seq(0)))
+    zero("anomaly")(new graft.operators.events.EventAnomaly()(noEvents))
+    zero("seasonality")(new graft.operators.events.Seasonality()(noEvents))
+    zero("cluster top terms")(new graft.operators.ml.ClusterTopTerms(
+      "text", "source")(noDocs))
+    // one-row reports: must emit their row with NULL metrics, not throw
+    val mi = new graft.operators.stats.MutualInformation("source", "lang")(
+      noDocs.withColumn("lang", lit("en"))).head()
+    assert(mi.isNullAt(5))
+    val bal = new graft.operators.stats.SourceBalance("source")(noDocs).head()
+    assert(bal.isNullAt(2) && bal.isNullAt(3))
+    val dq = graft.operators.table.DataQualityChecks(noDocs,
+      Seq(graft.operators.table.DataQualityChecks.Completeness("text"))).head()
+    assert(dq.isNullAt(2) && dq.isNullAt(4))
+  }
 }
