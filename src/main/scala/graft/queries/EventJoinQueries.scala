@@ -93,6 +93,36 @@ object EventJoinQueries {
       (s, dir) => new CohortRetention()(Tables.events(s, dir))
         .orderBy(col("cohort_week"), col("week_offset")),
       Some(new CohortRetention().sql("events") +
-        "\nORDER BY cohort_week, week_offset"))
+        "\nORDER BY cohort_week, week_offset")),
+
+    // Interval x interval overlap join (both sides span buckets): view
+    // windows [ts, ts+5m) vs purchase windows [ts, ts+7m), each
+    // overlapping pair exactly once via the closed-form first-shared-
+    // bucket rule - no distinct pass; oracle is the naive theta join
+    OracleQuery("interval_overlap_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("v_id"),
+            unix_micros(col("ts")).as("a_start_us"),
+            (unix_micros(col("ts")) + 300000000L).as("a_end_us"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("b_start_us"),
+            (unix_micros(col("ts")) + 420000000L).as("b_end_us"))
+        overlapOp.pairs(views, purch)
+          .select(col("v_id"), col("p_id"),
+            (least(col("a_end_us"), col("b_end_us")) -
+              greatest(col("a_start_us"), col("b_start_us"))).as("overlap_us"))
+          .orderBy(col("v_id"), col("p_id"))
+      },
+      Some(overlapOp.pairsSql(
+        "SELECT event_id AS v_id, epoch_us(ts) AS a_start_us, epoch_us(ts) + 300000000 AS a_end_us FROM events WHERE event_type = 'view'",
+        "SELECT event_id AS p_id, epoch_us(ts) AS b_start_us, epoch_us(ts) + 420000000 AS b_end_us FROM events WHERE event_type = 'purchase'",
+        "v_id, p_id, least(a_end_us, b_end_us) - greatest(a_start_us, b_start_us) AS overlap_us",
+        "v_id, p_id")))
   )
+
+  private lazy val overlapOp = new graft.operators.events.IntervalOverlapJoin(
+    bucketWidthUs = 600000000L) // 10-minute buckets vs 5/7-minute windows
 }

@@ -125,4 +125,32 @@ class EventJoinSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("interval overlap: bucketed == naive on random intervals, each pair once") {
+    import graft.operators.events.IntervalOverlapJoin
+    val op = new IntervalOverlapJoin(bucketWidthUs = 10L)
+    val rnd = new scala.util.Random(42)
+    // lengths 1..40 (up to 4x the bucket width: multi-bucket spans)
+    val as = (0 until 120).map { i =>
+      val st = rnd.nextInt(300).toLong; (i.toLong, st, st + 1 + rnd.nextInt(40)) }
+    val bs = (0 until 120).map { i =>
+      val st = rnd.nextInt(300).toLong; (i.toLong, st, st + 1 + rnd.nextInt(40)) }
+    val aDf = as.toDF("aid", "a_start_us", "a_end_us")
+    val bDf = bs.toDF("bid", "b_start_us", "b_end_us")
+    val got = op.pairs(aDf, bDf).select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = for {
+      (ai, asrt, aend) <- as; (bi, bsrt, bend) <- bs
+      if asrt < bend && bsrt < aend
+    } yield (ai, bi)
+    assert(got.sorted == want.sorted, "bucketed must equal naive")
+    assert(got.size == got.distinct.size, "each pair exactly once")
+    // touching intervals [0,10) and [10,20) never match
+    val t = op.pairs(Seq((1L, 0L, 10L)).toDF("aid", "a_start_us", "a_end_us"),
+      Seq((2L, 10L, 20L)).toDF("bid", "b_start_us", "b_end_us"))
+    assert(t.count() == 0L)
+    // the join is an equi hash/merge join, never a nested loop
+    val plan = op.pairs(aDf, bDf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }
