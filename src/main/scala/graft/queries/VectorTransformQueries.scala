@@ -100,6 +100,47 @@ object VectorTransformQueries {
               |  FROM embeddings)
               |SELECT vec_id FROM (SELECT vec_id, row_number() OVER
               |    (PARTITION BY sig ORDER BY vec_id) AS rn FROM sg) t
-              |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Does 64 -> 8 matryoshka truncation preserve neighborhoods?
+    // recall@10 of truncated-vector brute kNN vs full-vector kNN for
+    // the first 20 queries (self kept on both sides - symmetric)
+    OracleQuery("truncation_recall",
+      (s, dir) => {
+        import graft.operators.vector.AnnSearch
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+        val full = AnnSearch.knnJoin(emb, q, "embedding", "vec_id", "vec_id", k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val tr = mtOp(Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), col("embedding_truncated").as("emb8"))
+        val trQ = tr.filter(col("vec_id") < 20)
+        val trTop = AnnSearch.knnJoin(tr, trQ, "emb8", "vec_id", "vec_id", k = 10)
+          .select(col("query_id").as("_tq"), col("vec_id").as("_tv"))
+        full.join(trTop,
+            col("query_id") === col("_tq") && col("vec_id") === col("_tv"),
+            "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("_tv")).as("n_overlap"),
+            round(count(col("_tv")).cast("double") / 10.0, 4).as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val cos = graft.functions.VectorFunctions.cosineSql("e.embedding", "q.embedding")
+        val cosT = graft.functions.VectorFunctions.cosineSql("e.truncated", "q.truncated")
+        s"""WITH ${mtOp.cteSql("embeddings", "vec_id")},
+           |_fr AS (SELECT q.vec_id AS qid, e.vec_id AS vid,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q),
+           |_ft AS (SELECT qid, vid FROM _fr WHERE rn <= 10),
+           |_tr AS (SELECT q.id AS qid, e.id AS vid,
+           |    row_number() OVER (PARTITION BY q.id ORDER BY $cosT DESC, e.id) AS rn
+           |  FROM _mt e CROSS JOIN (SELECT id, truncated FROM _mt WHERE id < 20) q),
+           |_tt AS (SELECT qid, vid FROM _tr WHERE rn <= 10)
+           |SELECT f.qid AS query_id, count(t.vid) AS n_overlap,
+           |  round(CAST(count(t.vid) AS DOUBLE) / 10.0, 4) AS recall
+           |FROM _ft f LEFT JOIN _tt t ON f.qid = t.qid AND f.vid = t.vid
+           |GROUP BY f.qid ORDER BY query_id""".stripMargin
+      })
   )
 }
