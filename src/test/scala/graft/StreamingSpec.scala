@@ -472,6 +472,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window: finalized sessions equal the batch sessionizer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sesstream")
+    val gapMin = 30
+    // user 1: two sessions (10:00-10:10, 11:30); user 2: one session
+    def ev(id: Long, user: Long, minute: Long, v: Double) =
+      (id, user, minute * 60000000L, v)
+    val rows = Seq(
+      ev(1, 1L, 600, 1.0), ev(2, 1L, 605, 2.0), ev(3, 1L, 610, 3.0),
+      ev(4, 1L, 690, 4.0),                       // 11:30 -> new session (80 min gap)
+      ev(5, 2L, 600, 5.0), ev(6, 2L, 615, 6.0))
+    // sentinel far in the future pushes the watermark past every session
+    val sentinel = ev(99, 9L, 10000, 0.0)
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"))
+    val q = stream.writeStream.format("memory").queryName("sess_out")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+      mem.addData(ev(100, 9L, 10001, 0.0)); q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .filter(col("user_id") < 9)
+        .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = new graft.operators.events.Sessionize(gapMinutes = gapMin)
+        .sessions(rows.toDF("event_id", "user_id", "us", "value")
+          .withColumn("ts", timestamp_micros(col("us"))))
+        .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch, s"stream $streamed must equal batch $batch")
+      assert(batch.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming calibration: the reliability table over a stream equals the batch table") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
