@@ -43,6 +43,9 @@ final class TokenShardWriter(
 
   require(numShards >= 1, "numShards must be positive")
   require(vocab.nonEmpty, "vocabulary must be non-empty")
+  require(vocab.distinct.size == vocab.size,
+    "vocabulary has duplicate pieces — ids would silently collapse and " +
+      "the manifest's vocab_size would overstate the reachable id space")
   val UnkId = 1
 
   /** `(shard, doc_id, ids)` — the encoded rows, shard-routed. */
@@ -68,6 +71,12 @@ final class TokenShardWriter(
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // validate BEFORE any bytes land: a non-numeric id casts to NULL,
+    // which would otherwise NPE mid-write leaving truncated shards
+    // (this count also materializes the persisted encode)
+    val badIds = enc.filter(col("doc_id").isNull).count()
+    require(badIds == 0L,
+      s"$badIds rows have null/non-numeric $idCol — cannot route to shards")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = outputPath

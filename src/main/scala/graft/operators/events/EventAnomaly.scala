@@ -53,7 +53,12 @@ final class EventAnomaly(
   /** The batch-side finish over a maintained `(event_type, h, c)` counts
     * table: spine densification + trailing window + z verdicts.
     */
-  def fromCounts(counts: DataFrame): DataFrame = {
+  def fromCounts(counts0: DataFrame): DataFrame = {
+    // the counts table is bounded (|types| × |hours|) and fans out to
+    // THREE consumers (bounds, type spine, densify join) with different
+    // pruned columns — checkpoint it once or the batch path re-derives
+    // the event-stream aggregate per consumer (the psiPerGroup lesson)
+    val counts = counts0.localCheckpoint(true)
     val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val hours = bounds.select(explode(
       sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
@@ -87,7 +92,9 @@ final class EventAnomaly(
       .filter(col("n") >= minPrior && varNum > 0.0 && abs(z) >= zThreshold)
       .select(col("event_type"), col("h").as("hour"), col("c").as("cnt"),
         round(sd / nd, 4).as("expected"), round(z, 4).as("z"))
-      .orderBy(col("event_type"), col("hour"))
+      // NULLS FIRST pinned: Spark defaults nulls-first, DuckDB
+      // nulls-last, and the NULL-type slice is a supported input
+      .orderBy(col("event_type").asc_nulls_first, col("hour"))
   }
 
   // ---- DuckDB twin (same spine, same frame, same double shapes) ----
@@ -119,5 +126,5 @@ final class EventAnomaly(
        |  AND abs((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
        |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
        |      / (CAST(n AS DOUBLE) - 1))) >= $zThreshold
-       |ORDER BY event_type, hour""".stripMargin
+       |ORDER BY event_type ASC NULLS FIRST, hour""".stripMargin
 }

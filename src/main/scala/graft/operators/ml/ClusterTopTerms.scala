@@ -41,7 +41,12 @@ final class ClusterTopTerms(
   def apply(df: DataFrame): DataFrame = {
     val toks = df.select(col(clusterCol).as("_c"),
         explode(TextFunctions.tokensOf(col(textCol))).as("_t"))
+    // the (cluster, term) aggregate is vocab-sized (≪ corpus) and fans
+    // out to THREE consumers (f_t, totals, scoring join) — checkpoint it
+    // once or each consumer re-tokenizes the corpus (per-consumer column
+    // pruning defeats exchange reuse; the psiPerGroup lesson)
     val tfc = toks.groupBy(col("_c"), col("_t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val ft = tfc.groupBy(col("_t")).agg(sum(col("tf")).as("_ft"))
     val totals = tfc.agg(
       sum(col("tf")).as("_total"),

@@ -39,13 +39,18 @@ final class RobustOutliers(
     * round(|x − median|, 4).
     */
   def apply(df: DataFrame): DataFrame = {
-    val med = df.agg(expr(s"$fn($metricCol, 0.5D)").as("_med"))
-    val mad = df.crossJoin(broadcast(med))
+    // NULL/NaN excluded from the medians AND the verdict scan: Spark's
+    // `>`/percentile and DuckDB's quantile_cont place NaN differently,
+    // so a single NaN metric would silently diverge the engines
+    val clean = df.filter(col(metricCol).isNotNull &&
+      !isnan(col(metricCol).cast("double")))
+    val med = clean.agg(expr(s"$fn($metricCol, 0.5D)").as("_med"))
+    val mad = clean.crossJoin(broadcast(med))
       .agg(expr(s"$fn(abs($metricCol - _med), 0.5D)").as("_mad"),
         first(col("_med")).as("_med"))
     val dev: Column = abs(col(metricCol).cast("double") - col("_med"))
-    df.crossJoin(broadcast(mad))
-      .filter(col(metricCol).isNotNull && dev > lit(k) * col("_mad"))
+    clean.crossJoin(broadcast(mad))
+      .filter(dev > lit(k) * col("_mad"))
       .select(col(idCol).as("id"),
         col(metricCol).cast("double").as("value"),
         round(dev, 4).as("deviation"))
@@ -55,13 +60,14 @@ final class RobustOutliers(
   // ---- DuckDB twin (quantile_cont == exact percentile) ----
 
   def sql(table: String): String =
-    s"""WITH _rom AS (SELECT quantile_cont($metricCol, 0.5) AS med FROM $table),
+    s"""WITH _roc AS (SELECT * FROM $table
+       |  WHERE $metricCol IS NOT NULL AND NOT isnan(CAST($metricCol AS DOUBLE))),
+       |_rom AS (SELECT quantile_cont($metricCol, 0.5) AS med FROM _roc),
        |_rod AS (SELECT quantile_cont(abs($metricCol - med), 0.5) AS mad,
-       |    first(med) AS med FROM $table CROSS JOIN _rom)
+       |    first(med) AS med FROM _roc CROSS JOIN _rom)
        |SELECT $idCol AS id, CAST($metricCol AS DOUBLE) AS value,
        |  round(abs(CAST($metricCol AS DOUBLE) - med), 4) AS deviation
-       |FROM $table CROSS JOIN _rod
-       |WHERE $metricCol IS NOT NULL
-       |  AND abs(CAST($metricCol AS DOUBLE) - med) > $k * mad
+       |FROM _roc CROSS JOIN _rod
+       |WHERE abs(CAST($metricCol AS DOUBLE) - med) > $k * mad
        |ORDER BY id""".stripMargin
 }

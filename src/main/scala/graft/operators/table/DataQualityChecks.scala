@@ -50,8 +50,9 @@ object DataQualityChecks {
   }
 
   /** Distinct values / total rows >= minFrac (1.0 = primary key).
-    * NULLs count as one shared value (both engines' count(distinct) drops
-    * NULL; a NULL key is a completeness problem, flag it separately).
+    * NULLs contribute ZERO distinct values (both engines' count(distinct)
+    * drops NULL entirely), so any NULL key lowers the ratio — pair with a
+    * [[Completeness]] check to tell "duplicates" from "nulls" apart.
     */
   final case class Uniqueness(col: String, minFrac: Double = 1.0) extends Check {
     val kind = "uniqueness"; val target = col
@@ -73,6 +74,9 @@ object DataQualityChecks {
 
   /** Fraction of NON-NULL values in the allowed set >= minFrac. */
   final case class InSet(col: String, values: Seq[String], minFrac: Double = 1.0) extends Check {
+    require(values.nonEmpty,
+      "in_set needs at least one allowed value (an empty list would be " +
+        "always-false in Spark and a syntax error in the SQL twin)")
     val kind = "in_set"; val target = col
     def okExpr: Column =
       org.apache.spark.sql.functions.col(col).cast("string").isin(values: _*)

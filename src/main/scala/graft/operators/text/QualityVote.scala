@@ -29,8 +29,7 @@ final class QualityVote(
 
   /** `(id, votes, keep)` ordered by id. */
   def apply(df: DataFrame): DataFrame = {
-    val votes = raters.map(r => coalesce(r, lit(false)).cast("int"))
-      .reduce(_ + _)
+    val votes = QualityVote.votesCol(raters)
     df.select(col(idCol).as("id"), votes.as("votes"))
       .select(col("id"), col("votes"), (col("votes") >= minVotes).as("keep"))
       .orderBy(col("id"))
@@ -47,6 +46,15 @@ final class QualityVote(
        |_qv AS (SELECT $idExpr AS id, ($votes) AS votes FROM $table)
        |SELECT id, votes, votes >= $minVotes AS keep FROM _qv ORDER BY id""".stripMargin
   }
+}
+
+object QualityVote {
+  /** The single source of truth for vote counting (NULL abstains as a
+    * non-vote) — shared by the report and the registry filter so the
+    * two surfaces cannot drift.
+    */
+  def votesCol(raters: Seq[Column]): Column =
+    raters.map(r => coalesce(r, lit(false)).cast("int")).reduce(_ + _)
 }
 
 /** The registry/YAML surface of [[QualityVote]]: a [[graft.core.RowFilter]]
@@ -79,5 +87,5 @@ final class QualityVoteFilter(
     "need 1 <= minVotes <= raters")
 
   def keep(df: DataFrame): Column =
-    raters.map(r => coalesce(r, lit(false)).cast("int")).reduce(_ + _) >= minVotes
+    QualityVote.votesCol(raters) >= minVotes
 }

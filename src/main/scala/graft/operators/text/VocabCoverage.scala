@@ -34,23 +34,30 @@ final class VocabCoverage(
     * ordered by source; NULL rates for a source with zero tokens.
     */
   def apply(df: DataFrame): DataFrame = {
-    val toks = df.select(col(groupCol).as("source"),
-      explode(TextFunctions.tokensOf(col(textCol))).as("_w"))
-    val vocab = toks.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    // ONE corpus tokenize: the (source, word, count) aggregate is
+    // vocab×sources-sized (≪ corpus) and checkpointed, so the vocab
+    // head, the membership counts and the per-source totals all read
+    // materialized rows (per-consumer pruning defeats exchange reuse —
+    // the psiPerGroup lesson)
+    val wc = df.select(col(groupCol).as("source"),
+        explode(TextFunctions.tokensOf(col(textCol))).as("_w"))
+      .groupBy(col("source"), col("_w")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val vocab = wc.groupBy(col("_w")).agg(sum(col("_n")).as("_c"))
       .orderBy(col("_c").desc, col("_w")).limit(topK)
       .select(col("_w").as("_vw"))
-    val tagged = toks.join(broadcast(vocab), col("_w") === col("_vw"), "left")
-    val inVocab = tagged.groupBy(col("source").as("_ivs")).agg(
-      count(col("_vw")).as("_iv"))
-    // totals come from DOC-level counts (not the exploded stream) so a
-    // source whose docs are all empty still gets its (0-token) row —
-    // explode drops empty arrays, which would silently lose the source
-    val totals = df.groupBy(col(groupCol).as("source")).agg(
-      sum(size(TextFunctions.tokensOf(col(textCol))).cast("long"))
-        .as("total_tokens"))
-    val agg = totals
+    val inVocab = wc.join(broadcast(vocab), col("_w") === col("_vw"), "left_semi")
+      .groupBy(col("source").as("_ivs")).agg(sum(col("_n")).as("_iv"))
+    val perSource = wc.groupBy(col("source").as("_tts"))
+      .agg(sum(col("_n")).as("_tt"))
+    // a source whose docs are ALL empty has no word rows — recover its
+    // 0-token row from a (column-pruned) distinct over the input
+    val allSources = df.select(col(groupCol).as("source")).distinct()
+    val agg = allSources
+      .join(perSource, col("source") <=> col("_tts"), "left")
       .join(inVocab, col("source") <=> col("_ivs"), "left")
-      .select(col("source"), col("total_tokens"),
+      .select(col("source"),
+        coalesce(col("_tt"), lit(0L)).as("total_tokens"),
         coalesce(col("_iv"), lit(0L)).as("in_vocab_tokens"))
     agg.select(col("source"), col("total_tokens"), col("in_vocab_tokens"),
         when(col("total_tokens") > 0L,

@@ -472,6 +472,11 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // Boundary contract: session_window starts a NEW session at an
+  // exactly-gap-spaced event ([t,t+g) windows touch, not overlap) while
+  // the batch sessionizer's strict `> gap` keeps it — the pin holds for
+  // any stream without exact-gap spacing (measure-zero on real traffic;
+  // this fixture keeps gaps strictly off the boundary).
   test("streaming session_window: finalized sessions equal the batch sessionizer") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
