@@ -19,12 +19,25 @@ object TextRepetition {
     when(size(toks) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
 
-  /** 1 − distinct/total over word 2-grams (0 when fewer than 2 tokens). */
-  def dup2gramRatio(toks: Column): Column = {
-    val grams = TextFunctions.shingles(toks, 2)
+  /** 1 − distinct/total over an ALREADY-STAGED 2-gram array column
+    * (0 when empty). The gram array must be staged in its own
+    * projection (`TextFunctions.shingles(toks, 2)`): the expression
+    * references it three times, and Catalyst does not CSE a
+    * lambda-bearing subexpression — inlining the shingle transform here
+    * re-built every doc's gram array 3× (measured 1.58 s → 0.97 s warm
+    * at sf0.1).
+    */
+  def dup2gramRatioStaged(grams: Column): Column =
     when(size(grams) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
-  }
+
+  /** 1 − distinct/total over word 2-grams (0 when fewer than 2 tokens).
+    * Convenience form for one-shot use — stage the grams and call
+    * [[dup2gramRatioStaged]] when the expression lands in a hot
+    * projection.
+    */
+  def dup2gramRatio(toks: Column): Column =
+    dup2gramRatioStaged(TextFunctions.shingles(toks, 2))
 
   def dupTokenRatioSql(toksCol: String): String =
     s"(CASE WHEN len($toksCol) = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
@@ -44,9 +57,11 @@ final class TextRepetitionRefiner(textCol: String = "text") extends Operator {
   val name = "text_repetition"
   def apply(df: DataFrame): DataFrame = {
     val d = df.withColumn("_rep_toks", TextFunctions.tokensOf(col(textCol)))
+      .withColumn("_rep_grams", TextFunctions.shingles(col("_rep_toks"), 2))
     d.withColumn("text_dup_token_ratio", TextRepetition.dupTokenRatio(col("_rep_toks")))
-      .withColumn("text_dup_2gram_ratio", TextRepetition.dup2gramRatio(col("_rep_toks")))
-      .drop("_rep_toks")
+      .withColumn("text_dup_2gram_ratio",
+        TextRepetition.dup2gramRatioStaged(col("_rep_grams")))
+      .drop("_rep_toks", "_rep_grams")
   }
 }
 
