@@ -12,6 +12,9 @@ object VectorTransformQueries {
 
   private val quantOp = new EmbeddingQuantizer()
   private val mtOp = new MatryoshkaTruncate(dims = 8)
+
+  private lazy val hdeOp = new graft.operators.vector.HashedDocEmbedding(
+    "text", "doc_id", dims = 16, hashName = "portable")
   private val eshOp = new EmbeddingSimHash(
     vecCol = "embedding", idCol = "vec_id", orderCol = "vec_id",
     bits = 12, dims = 64, seed = 7L)
@@ -101,6 +104,17 @@ object VectorTransformQueries {
               |SELECT vec_id FROM (SELECT vec_id, row_number() OVER
               |    (PARTITION BY sig ORDER BY vec_id) AS rn FROM sg) t
               |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Feature-hashing doc embeddings: the zero-model text->vector
+    // bridge (signed per-slot counts, exact BIGINTs, L2-normalized);
+    // scalar-column projection like matryoshka (doubles don't FORMAT
+    // identically across engines)
+    OracleQuery("hashed_doc_embedding",
+      (s, dir) => hdeOp(Tables(s, dir, "documents"))
+        .select(col("id").as("doc_id") +:
+          (1 to 8).map(i => element_at(col("emb"), i).as(s"emb$i")): _*)
+        .orderBy(col("doc_id")),
+      Some(hdeOp.sql("documents", "doc_id", out = 8, outIdAlias = "doc_id"))),
 
     // Does 64 -> 8 matryoshka truncation preserve neighborhoods?
     // recall@10 of truncated-vector brute kNN vs full-vector kNN for

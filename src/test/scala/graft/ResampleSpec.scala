@@ -242,6 +242,26 @@ class ResampleSpec extends AnyFunSuite {
     assert(top.getLong(0) == 0L && top.getDouble(1) == 0.0)
   }
 
+  test("hashed doc embedding: unit norm, lexical-overlap cosine ordering, null on no tokens") {
+    import graft.operators.vector.HashedDocEmbedding
+    import TestSpark.spark.implicits._
+    val op = new HashedDocEmbedding("text", "id", dims = 16)
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // identical -> identical vector
+      (3L, "alpha beta gamma epsilon"), // 3/4 overlap
+      (4L, "zeta eta theta iota"),      // disjoint
+      (5L, "")).toDF("id", "text")
+    val out = op(df).collect().map(r => r.getLong(0) ->
+      Option(r.get(1)).map(_ => r.getSeq[Double](1).toList)).toMap
+    assert(out.get(5L).forall(_.isEmpty)) // no-token doc: null or absent
+    val v1 = out(1L).get; val v3 = out(3L).get; val v4 = out(4L).get
+    assert(out(2L).get == v1)
+    def cos(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos(v1, v1) - 1.0) < 1e-4) // unit norm
+    assert(cos(v1, v3) > cos(v1, v4), "lexical overlap must order cosines")
+  }
+
   test("priority sample: weight-proportional inclusion, partition-invariant, top-k plan") {
     import TestSpark.spark.implicits._
     val op = new graft.operators.text.PrioritySample("id", "w", k = 200, salt = "s")
