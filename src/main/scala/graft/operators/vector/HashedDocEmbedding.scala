@@ -53,6 +53,15 @@ final class HashedDocEmbedding(
         .as("emb"))
   }
 
+  /** Refiner form: the input plus `outputCol` (NULL for no-token docs)
+    * — one groupBy + one id-keyed join back, so YAML pipelines can run
+    * the whole vector family on raw text.
+    */
+  def attach(df: DataFrame, outputCol: String): DataFrame = {
+    val emb = apply(df).select(col("id").as("_hde_id"), col("emb").as(outputCol))
+    df.join(emb, df(idCol) === col("_hde_id"), "left").drop("_hde_id")
+  }
+
   // ---- DuckDB twin (same hash, slots, and fixed-shape normalize) ----
 
   /** CTE `_hde(id, …_e{i}…, and `emb{i}` normalized components)`;
@@ -76,4 +85,19 @@ final class HashedDocEmbedding(
        |_hdn AS (SELECT *, $normSq AS nsq FROM _hda)
        |SELECT id AS $outIdAlias, $outs FROM _hdn ORDER BY id""".stripMargin
   }
+}
+
+/** Registry surface: adds `outputCol` to every row (the operator
+  * contract pipelines expect).
+  */
+final class HashedDocEmbeddingRefiner(
+    textCol: String = "text",
+    idCol: String = "id",
+    dims: Int = 16,
+    outputCol: String = "embedding",
+    hashName: String = "xxhash64") extends graft.core.Operator {
+  val name = "hashed_doc_embedding"
+  private val op = new HashedDocEmbedding(textCol, idCol, dims, hashName)
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    op.attach(df, outputCol)
 }

@@ -311,6 +311,13 @@ object OperatorRegistry {
     textCol = p.str("text_field", "text"),
     exact = p.bool("exact", true)))
 
+  register("hashed_doc_embedding", p => new graft.operators.vector.HashedDocEmbeddingRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    dims = p.int("dims", 16),
+    outputCol = p.str("embedding_field", "embedding"),
+    hashName = p.str("hash_algorithm", "xxhash64")))
+
   register("embedding_simhash_deduplicator", p => new graft.operators.vector.EmbeddingSimHash(
     vecCol = p.str("embedding_field", "embedding"),
     idCol = p.str("id_field", "id"),

@@ -521,6 +521,47 @@ class RunnerSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("gopher_quality_filter"))
   }
 
+  test("yaml pipeline bridges raw text to the vector family via hashed embeddings") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hde").toString
+    // plant exact-duplicate texts so the lexical embedding collapses them
+    table("documents")
+      .withColumn("text", when(col("doc_id") % 4 === 0,
+        lit("identical planted duplicate document body for the bridge test"))
+        .otherwise(col("text")))
+      .write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: vectorize
+         |    operators:
+         |      - name: hashed_doc_embedding
+         |        params: {text_field: "text", id_field: "doc_id", dims: 16}
+         |      - name: embedding_simhash_deduplicator
+         |        params:
+         |          embedding_field: "embedding"
+         |          id_field: "doc_id"
+         |          bits: 16
+         |          dims: 16
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |executor:
+         |  rejected_samples: {enabled: true}
+         |""".stripMargin)
+    PipelineRunner.run(spark, conf)
+    val written = spark.read.parquet(s"$base/out/docs")
+    val rejected = spark.read.parquet(s"$base/out_rejected/docs_rejected")
+    val total = table("documents").count()
+    assert(written.count() + rejected.count() == total)
+    // the planted identical texts share an embedding, hence a simhash
+    // signature: exactly one survivor from that group
+    val planted = written.filter(col("doc_id") % 4 === 0).count()
+    assert(planted == 1, s"planted dup group must collapse, kept $planted")
+    assert(written.columns.contains("embedding"))
+  }
+
   test("yaml pipeline runs the quality-vote ensemble with rejects") {
     val base = java.nio.file.Files.createTempDirectory("graft_qvote").toString
     // augment so the raters disagree: %3 docs gain three stopword-rich
