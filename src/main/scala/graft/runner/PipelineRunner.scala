@@ -142,6 +142,16 @@ object PipelineRunner {
         new graft.io.CatalogTableWriter(
           wp.str("table").getOrElse(tableName),
           partitionBy = wp.strList("partition_by")).write
+      case "TokenShardWriter" =>
+        val vocab = wp.strList("vocab")
+        require(vocab.nonEmpty,
+          "TokenShardWriter needs a non-empty `vocab` list (rank-ordered pieces)")
+        df => new graft.io.TokenShardWriter(
+          s"$outputPath/$tableName",
+          numShards = wp.long("num_shards", 16L).toInt,
+          vocab = vocab,
+          idCol = wp.str("id_field", "id"),
+          textCol = wp.str("text_field", "text")).write(df)
       case other => throw new IllegalArgumentException(s"unknown writer type: $other")
     }
 

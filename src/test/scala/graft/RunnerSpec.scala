@@ -521,6 +521,43 @@ class RunnerSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("gopher_quality_filter"))
   }
 
+  test("yaml pipeline exports token shards through the TokenShardWriter type") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tsw").toString
+    table("documents").write.parquet(s"$base/in")
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "$base/in"}
+         |stages:
+         |  - name: passthrough
+         |    operators:
+         |      - name: text_length_filter
+         |        params: {min_length: 1, text_field: "text"}
+         |data_writer:
+         |  type: TokenShardWriter
+         |  params:
+         |    output_path: "$base/out"
+         |    table_name: "tokens"
+         |    num_shards: 2
+         |    id_field: "doc_id"
+         |    text_field: "text"
+         |    vocab: ["the", "and", "of", "to", "a"]
+         |""".stripMargin)
+    PipelineRunner.run(spark, conf)
+    val idx = spark.read.parquet(s"$base/out/tokens/index")
+    assert(idx.count() > 0)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/out/tokens/manifest.json")))
+    // at least one shard file exists and its byte length is 4x its tokens
+    val stats = idx.groupBy(col("shard"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("t"))
+      .collect()
+    stats.foreach { r =>
+      val f = java.nio.file.Paths.get(f"$base/out/tokens/shard-${r.getInt(0)}%04d.bin")
+      assert(java.nio.file.Files.size(f) == r.getLong(1) * 4)
+    }
+  }
+
   test("yaml pipeline bridges raw text to the vector family via hashed embeddings") {
     val base = java.nio.file.Files.createTempDirectory("graft_hde").toString
     // plant exact-duplicate texts so the lexical embedding collapses them
