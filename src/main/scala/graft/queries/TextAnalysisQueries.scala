@@ -67,6 +67,38 @@ object TextAnalysisQueries {
               |SELECT doc_id, ${TextAnalysis.rollingFingerprintSql("norm")} AS doc_fingerprint
               |FROM nm ORDER BY doc_id""".stripMargin)),
 
+    // language-ID evaluation: confusion matrix of the n-gram heuristic
+    // vs the fixture's lang labels - the "is the detector usable as a
+    // filter" readout (exact counts + per-true-label recall)
+    OracleQuery("language_confusion",
+      (s, dir) => {
+        val tagged = refiner(Tables(s, dir, "documents"))
+          .select(col("lang").as("true_lang"), col("lang_id").as("predicted"))
+        val cells = tagged.groupBy(col("true_lang"), col("predicted"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = cells.groupBy(col("true_lang").as("_tl"))
+          .agg(sum(col("cnt")).as("_tot"))
+        cells.join(totals, col("true_lang") === col("_tl"))
+          .select(col("true_lang"), col("predicted"), col("cnt"),
+            round(col("cnt").cast("double") / col("_tot").cast("double"), 4)
+              .as("frac_of_true"))
+          .orderBy(col("true_lang"), col("predicted"))
+      },
+      Some(s"""WITH $toksCte,
+           |scl AS (SELECT doc_id, lang, toks, ${langs.map(l =>
+             s"${TextAnalysis.languageScoreSql("toks", l)} AS score_$l").mkString(", ")}
+           |  FROM (SELECT d.doc_id, d.lang, t.toks FROM documents d
+           |        JOIN tk t ON d.doc_id = t.doc_id)),
+           |pred AS (SELECT lang AS true_lang, ${TextAnalysis.languageIdFromScoresSql(
+             langs.map(l => l -> s"score_$l"))} AS predicted FROM scl),
+           |cells AS (SELECT true_lang, predicted, count(*) AS cnt
+           |  FROM pred GROUP BY 1, 2),
+           |tots AS (SELECT true_lang AS tl, sum(cnt) AS tot FROM cells GROUP BY 1)
+           |SELECT c.true_lang, c.predicted, CAST(c.cnt AS BIGINT) AS cnt,
+           |  round(CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 4) AS frac_of_true
+           |FROM cells c JOIN tots t ON c.true_lang = t.tl
+           |ORDER BY true_lang, predicted""".stripMargin)),
+
     // per-source character-class composition fingerprint (codepoint
     // count parity via the length-difference trick)
     OracleQuery("charclass_profile",
