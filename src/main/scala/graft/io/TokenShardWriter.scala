@@ -71,12 +71,21 @@ final class TokenShardWriter(
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // validate BEFORE any bytes land: a non-numeric id casts to NULL,
-    // which would otherwise NPE mid-write leaving truncated shards
-    // (this count also materializes the persisted encode)
-    val badIds = enc.filter(col("doc_id").isNull).count()
-    require(badIds == 0L,
-      s"$badIds rows have null/non-numeric $idCol — cannot route to shards")
+    // validate BEFORE any bytes land (this one aggregate also
+    // materializes the persisted encode): a non-numeric id casts to
+    // NULL and would NPE mid-write leaving truncated shards; a
+    // DUPLICATE id would emit ambiguous index rows whose offsets
+    // depend on an unstable sort tie — both are contract violations
+    // surfaced here, not as corrupt output
+    val idStats = enc.agg(count(lit(1)).as("n"),
+      count(col("doc_id")).as("nn"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"${idStats.getLong(0) - idStats.getLong(1)} rows have " +
+        s"null/non-numeric $idCol — cannot route to shards")
+    require(idStats.getLong(2) == idStats.getLong(1),
+      s"${idStats.getLong(1) - idStats.getLong(2)} duplicate $idCol " +
+        "values — index offsets would be ambiguous")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = outputPath

@@ -56,9 +56,14 @@ final class EventAnomaly(
   def fromCounts(counts0: DataFrame): DataFrame = {
     // the counts table is bounded (|types| × |hours|) and fans out to
     // THREE consumers (bounds, type spine, densify join) with different
-    // pruned columns — checkpoint it once or the batch path re-derives
-    // the event-stream aggregate per consumer (the psiPerGroup lesson)
-    val counts = counts0.localCheckpoint(true)
+    // pruned columns — materialize it once or the batch path re-derives
+    // the event-stream aggregate per consumer (the psiPerGroup lesson).
+    // persist + eager count, NOT localCheckpoint: persisted blocks are
+    // recomputable on eviction and the ContextCleaner reclaims them on
+    // GC, while a localCheckpoint pins storage for application lifetime
+    // (this method runs once per monitor trigger)
+    val counts = counts0.persist()
+    counts.count()
     val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val hours = bounds.select(explode(
       sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))

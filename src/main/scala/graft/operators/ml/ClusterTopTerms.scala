@@ -46,7 +46,8 @@ final class ClusterTopTerms(
     // once or each consumer re-tokenizes the corpus (per-consumer column
     // pruning defeats exchange reuse; the psiPerGroup lesson)
     val tfc = toks.groupBy(col("_c"), col("_t")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .persist()
+    tfc.count() // eager: consumers must hit the cache, not re-tokenize
     val ft = tfc.groupBy(col("_t")).agg(sum(col("tf")).as("_ft"))
     val totals = tfc.agg(
       sum(col("tf")).as("_total"),

@@ -40,7 +40,8 @@ final class MutualInformation(xCol: String, yCol: String) {
     // checkpoint it once or each consumer re-scans the corpus
     val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
       .agg(count(lit(1)).as("_nxy"))
-      .localCheckpoint(true)
+      .persist()
+    cells.count() // eager: consumers must hit the cache, not re-scan
     val mx = cells.groupBy(col("_x").as("_mxk")).agg(sum(col("_nxy")).as("_nx"))
     val my = cells.groupBy(col("_y").as("_myk")).agg(sum(col("_nxy")).as("_ny"))
     val tot = cells.agg(sum(col("_nxy")).as("_n"), count(lit(1)).as("cells"))

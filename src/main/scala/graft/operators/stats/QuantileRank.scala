@@ -44,7 +44,8 @@ final class QuantileRank(
       .repartitionByRange(col("_v"))
       .sortWithinPartitions(col("_v"))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .persist()
+    parts.count() // eager; persisted (not checkpointed) — see EventAnomaly
     val offsets = parts.groupBy(col("_pid")).agg(sum(col("_c")).as("_psum"))
       .withColumn("_off", coalesce(sum(col("_psum"))
         .over(Window.orderBy(col("_pid"))

@@ -42,7 +42,8 @@ final class VocabCoverage(
     val wc = df.select(col(groupCol).as("source"),
         explode(TextFunctions.tokensOf(col(textCol))).as("_w"))
       .groupBy(col("source"), col("_w")).agg(count(lit(1)).as("_n"))
-      .localCheckpoint(true)
+      .persist()
+    wc.count() // eager: consumers must hit the cache, not re-tokenize
     val vocab = wc.groupBy(col("_w")).agg(sum(col("_n")).as("_c"))
       .orderBy(col("_c").desc, col("_w")).limit(topK)
       .select(col("_w").as("_vw"))

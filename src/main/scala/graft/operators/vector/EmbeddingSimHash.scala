@@ -52,11 +52,19 @@ final class EmbeddingSimHash(
       (1L << 53).toDouble) * 2.0 - 1.0
   }
 
-  /** The `bits`-wide signature of a vector column as a long. */
+  /** The `bits`-wide signature of a vector column as a long; NULL for a
+    * NULL vector. Without the guard a NULL vector's NULL dots fell
+    * through every `otherwise(0)` into signature 0 — silently merging
+    * all no-embedding rows (e.g. empty docs from
+    * [[HashedDocEmbedding]]) with any REAL vector whose dots are all
+    * negative. NULL-signature rows still group together (no-content
+    * rows are duplicates of each other) but never with a real vector.
+    */
   def signature(v: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(VectorFunctions.dot(v, typedlit(p.toSeq)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    when(v.isNull, lit(null).cast("long")).otherwise(
+      planes.zipWithIndex.map { case (p, i) =>
+        when(VectorFunctions.dot(v, typedlit(p.toSeq)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _))
 
   def key(df: DataFrame): Column = signature(col(vecCol))
   def order(df: DataFrame): Column = col(orderCol)
@@ -68,9 +76,11 @@ final class EmbeddingSimHash(
     p.map(_.toString).mkString("([", ", ", "])")
 
   /** DuckDB expression computing [[signature]] of `vecExpr`. */
-  def signatureSql(vecExpr: String): String =
-    planes.zipWithIndex.map { case (p, i) =>
+  def signatureSql(vecExpr: String): String = {
+    val sig = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${VectorFunctions.dotSql(vecExpr, planeLit(p))} >= 0 " +
         s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
+    s"(CASE WHEN $vecExpr IS NULL THEN NULL ELSE $sig END)"
+  }
 }

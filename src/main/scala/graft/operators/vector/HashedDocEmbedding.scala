@@ -30,8 +30,10 @@ final class HashedDocEmbedding(
   val name = "hashed_doc_embedding"
   require(dims >= 2 && dims <= 1024, "dims in [2, 1024]")
 
-  /** `(id, emb)` — `emb` a dims-wide array<double>, NULL for docs with
-    * no tokens (a zero vector has no direction).
+  /** `(id, emb)` — `emb` a dims-wide array<double>; NULL when the
+    * doc's slots perfectly cancel (a zero vector has no direction).
+    * Docs with NO tokens are ABSENT here (the explode drops them);
+    * [[attach]] restores them as NULL rows.
     */
   def apply(df: DataFrame): DataFrame = {
     val h = HashFunctions.hashByName(hashName)(col("_t"))
@@ -59,7 +61,10 @@ final class HashedDocEmbedding(
     */
   def attach(df: DataFrame, outputCol: String): DataFrame = {
     val emb = apply(df).select(col("id").as("_hde_id"), col("emb").as(outputCol))
-    df.join(emb, df(idCol) === col("_hde_id"), "left").drop("_hde_id")
+    // replace (not duplicate) an existing output column — the
+    // withColumn contract every other refiner follows
+    df.drop(outputCol).join(emb, df(idCol) === col("_hde_id"), "left")
+      .drop("_hde_id")
   }
 
   // ---- DuckDB twin (same hash, slots, and fixed-shape normalize) ----

@@ -76,6 +76,8 @@ object TextAnalysisQueries {
           .select(col("lang").as("true_lang"), col("lang_id").as("predicted"))
         val cells = tagged.groupBy(col("true_lang"), col("predicted"))
           .agg(count(lit(1)).as("cnt"))
+          .persist()
+        cells.count() // eager: totals + join must hit the cache
         val totals = cells.groupBy(col("true_lang").as("_tl"))
           .agg(sum(col("cnt")).as("_tot"))
         cells.join(totals, col("true_lang") === col("_tl"))

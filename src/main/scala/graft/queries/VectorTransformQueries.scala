@@ -126,8 +126,12 @@ object VectorTransformQueries {
         val q = emb.filter(col("vec_id") < 20)
         val full = AnnSearch.knnJoin(emb, q, "embedding", "vec_id", "vec_id", k = 10)
           .select(col("query_id"), col("vec_id"))
+        // a vector whose first 8 dims are all zero truncates to NULL;
+        // filter it BEFORE the knn join (whose tuple encoder is
+        // non-nullable) - DuckDB mirrors with IS NOT NULL
         val tr = mtOp(Tables(s, dir, "embeddings"))
           .select(col("vec_id"), col("embedding_truncated").as("emb8"))
+          .filter(col("emb8").isNotNull)
         val trQ = tr.filter(col("vec_id") < 20)
         val trTop = AnnSearch.knnJoin(tr, trQ, "emb8", "vec_id", "vec_id", k = 10)
           .select(col("query_id").as("_tq"), col("vec_id").as("_tv"))
@@ -149,7 +153,9 @@ object VectorTransformQueries {
            |_ft AS (SELECT qid, vid FROM _fr WHERE rn <= 10),
            |_tr AS (SELECT q.id AS qid, e.id AS vid,
            |    row_number() OVER (PARTITION BY q.id ORDER BY $cosT DESC, e.id) AS rn
-           |  FROM _mt e CROSS JOIN (SELECT id, truncated FROM _mt WHERE id < 20) q),
+           |  FROM (SELECT id, truncated FROM _mt WHERE truncated IS NOT NULL) e
+           |  CROSS JOIN (SELECT id, truncated FROM _mt
+           |    WHERE id < 20 AND truncated IS NOT NULL) q),
            |_tt AS (SELECT qid, vid FROM _tr WHERE rn <= 10)
            |SELECT f.qid AS query_id, count(t.vid) AS n_overlap,
            |  round(CAST(count(t.vid) AS DOUBLE) / 10.0, 4) AS recall
