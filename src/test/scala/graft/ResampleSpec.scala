@@ -262,6 +262,26 @@ class ResampleSpec extends AnyFunSuite {
     assert(cos(v1, v3) > cos(v1, v4), "lexical overlap must order cosines")
   }
 
+  test("embedding simhash: NULL vectors get NULL signatures, never a real group") {
+    import graft.operators.vector.EmbeddingSimHash
+    import TestSpark.spark.implicits._
+    val op = new EmbeddingSimHash(vecCol = "emb", idCol = "id",
+      orderCol = "id", bits = 8, dims = 2)
+    // a vector whose dots are all negative owns the legit signature 0;
+    // NULL-embedding rows must NOT merge into its group
+    val df = Seq(
+      (1L, Some(Seq(-1.0, -1.0))),
+      (2L, Option.empty[Seq[Double]]),
+      (3L, Option.empty[Seq[Double]])).toDF("id", "emb")
+    val sigs = df.select(col("id"), op.signature(col("emb")).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sigs(1L).isDefined && sigs(2L).isEmpty && sigs(3L).isEmpty)
+    // dedup: the real vector survives; the two NULL rows collapse to
+    // one representative of the no-content group
+    val kept = op(df).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && (kept - 1L).size == 1, s"kept $kept")
+  }
+
   test("priority sample: weight-proportional inclusion, partition-invariant, top-k plan") {
     import TestSpark.spark.implicits._
     val op = new graft.operators.text.PrioritySample("id", "w", k = 200, salt = "s")
