@@ -240,12 +240,74 @@ class DedupSpec extends AnyFunSuite {
       (0L, Array(1.0f, 0.0f)),
       (1L, Array(1.0f, 0.1f)),
       (2L, Array(1.0f, 0.3f))).toDF("vec_id", "embedding")
-    val m1 = AnnSearch.mutualKnnLsh(vs, "embedding", "vec_id", k = 1, coords = Seq(0))
+    val m1 = AnnSearch.mutualKnnLsh(vs, "embedding", "vec_id", k = 1, coords = Seq(0),
+        maxBucketSize = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(m1.toSet == Set((0L, 1L)))
     // at k=2 every pair is reciprocal within the 3-point bucket
-    val m2 = AnnSearch.mutualKnnLsh(vs, "embedding", "vec_id", k = 2, coords = Seq(0))
+    val m2 = AnnSearch.mutualKnnLsh(vs, "embedding", "vec_id", k = 2, coords = Seq(0),
+        maxBucketSize = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(m2.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assertThrows[IllegalArgumentException](
+      AnnSearch.mutualKnnLsh(vs, "embedding", "vec_id", k = 1, coords = Seq(0),
+        maxBucketSize = 0))
+  }
+
+  test("mutual kNN skew probe: a one-cone corpus spreads across mean-centered buckets and the cap bounds candidates") {
+    import spark.implicits._
+    // 64 vectors ALL in the positive orthant (every raw coordinate sign
+    // agrees corpus-wide) — under raw axis-aligned signs these collapse
+    // into ONE bucket and the self-join goes quadratic. Mean-centering
+    // must split each bit near the mass center instead.
+    val cone = (0 until 64).map { i =>
+      (i.toLong, Array(1.0f + (i % 8) * 0.1f, 2.0f + (i / 8) * 0.1f, 0.5f, 3.0f))
+    }.toDF("vec_id", "embedding")
+    val rawBuckets = cone
+      .select(AnnSearch.signBucket(col("embedding"), 0 until 2).as("bk"))
+      .groupBy("bk").count().collect()
+    assert(rawBuckets.length == 1, "probe must start from a genuinely hot orthant")
+    // centered buckets: no bucket may hold the whole cone
+    val centered = AnnSearch.mutualKnnLsh(cone, "embedding", "vec_id", k = 3,
+      coords = 0 until 2, maxBucketSize = 1000)
+    assert(centered.count() > 0)
+    // max candidate mass is bounded by the largest centered bucket; with
+    // 2 mean-centered bits over the 8x8 grid each bit splits ~half, so
+    // the hottest bucket must be well under the raw-sign 64
+    val maxBucket = {
+      val sums = (0 until 2).map(c => sum(
+        floor(element_at(col("embedding"), c + 1).cast("double") * lit(1000000.0d)))
+        .as(s"s$c"))
+      val st = cone.agg(count(lit(1)).as("n"), sums: _*).head()
+      val n = st.getLong(0)
+      cone.select((0 until 2).map { c =>
+        when(floor(element_at(col("embedding"), c + 1).cast("double") * lit(1000000.0d)) * n
+          >= st.getLong(c + 1), lit(1L << c)).otherwise(lit(0L))
+      }.reduce(_ + _).as("bk")).groupBy("bk").count()
+        .agg(max("count")).head().getLong(0)
+    }
+    assert(maxBucket < 40, s"hottest centered bucket $maxBucket of 64 — centering failed")
+    // and the cap is a hard bound: cap=10 must drop every over-cap
+    // bucket (possibly all of them) rather than join them
+    val capped = AnnSearch.mutualKnnLsh(cone, "embedding", "vec_id", k = 3,
+      coords = 0 until 2, maxBucketSize = 10)
+    val keptIds = capped.select("a").union(capped.select("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    // every surviving pair's bucket had <= 10 members; with 64 vectors in
+    // <= 4 buckets at least one bucket exceeds 10, so some ids must drop
+    assert(keptIds.size < 64)
+  }
+
+  test("mutual kNN recall report: self-consistent counts, hit subset, NULL recall on empty truth") {
+    val emb = table("embeddings")
+    val r = AnnSearch.mutualKnnRecall(emb, "embedding", "vec_id", k = 5,
+      coords = 0 until 4, maxBucketSize = 1000, sampleMod = 4).head()
+    val (truePairs, lshPairs, hitPairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(hitPairs <= truePairs && hitPairs <= lshPairs)
+    if (truePairs > 0)
+      assert(math.abs(r.getDouble(3) - hitPairs.toDouble / truePairs) < 1e-6)
+    assertThrows[IllegalArgumentException](
+      AnnSearch.mutualKnnRecall(emb, "embedding", "vec_id", k = 5,
+        coords = 0 until 4, maxBucketSize = 1000, sampleMod = 0))
   }
 }

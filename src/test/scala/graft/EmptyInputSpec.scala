@@ -172,7 +172,7 @@ class EmptyInputSpec extends AnyFunSuite {
     zero("kcore")(new graft.operators.graph.KCore(k = 2, rounds = 2)(
       Seq.empty[(Long, Long)].toDF("src", "dst")))
     zero("mutual knn")(graft.operators.vector.AnnSearch.mutualKnnLsh(
-      noVecs, "embedding", "vec_id", k = 3, coords = Seq(0)))
+      noVecs, "embedding", "vec_id", k = 3, coords = Seq(0), maxBucketSize = 10))
     zero("anomaly")(new graft.operators.events.EventAnomaly()(noEvents))
     zero("seasonality")(new graft.operators.events.Seasonality()(noEvents))
     zero("cluster top terms")(new graft.operators.ml.ClusterTopTerms(

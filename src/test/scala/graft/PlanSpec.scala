@@ -165,6 +165,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual kNN plans the hot-bucket cap as a broadcast anti-join below the self-join") {
+    val df = graft.operators.vector.AnnSearch.mutualKnnLsh(
+      table("embeddings"), "embedding", "vec_id", k = 5,
+      coords = 0 until 4, maxBucketSize = 1000)
+    val p = planOf(df)
+    // the r13 shape joined the raw-sign buckets with NO cap — quadratic
+    // in the hottest orthant on cone-shaped corpora. The cap must exist
+    // (LeftAnti over a BroadcastExchange of over-cap bucket ids) and the
+    // hot-count side must move counts, never embedding arrays.
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    val exec = df.queryExecution.executedPlan
+    val aggExchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]
+          || e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] => e
+    }
+    aggExchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "embedding"),
+        s"hot-count exchange carries embedding arrays: ${e.output.mkString(",")}")
+    }
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(
