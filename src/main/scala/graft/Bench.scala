@@ -46,6 +46,11 @@ object Bench {
     // kills the JVM mid-run (SIGTERM runs shutdown hooks; rc 124 in r9
     // left "parsed": null because the summary only printed at the end).
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query MEDIAN over the same warm reps, recorded alongside the
+    // min so trend comparisons against pre-r13 median-based records stay
+    // interpretable (ADVICE r13): min is the official estimator, median
+    // the cross-check
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val guarded = scala.collection.mutable.ArrayBuffer.empty[String]
     @volatile var probeJson: Option[String] = None
     @volatile var finishedNormally = false
@@ -59,7 +64,9 @@ object Bench {
       val g = guarded.map("\"" + _ + "\"").mkString("[", ",", "]")
       val p = probeJson.getOrElse("null")
       val pf = if (partial) ",\"partial\":true" else ""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"wall_guarded":$g,"queries":$qs,"sf":"$sfDir","scale_probe":$p$pf}"""
+      val med = medians.toSeq.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"estimator":"warm_min_interleaved","wall_guarded":$g,"queries":$qs,"queries_median":$med,"sf":"$sfDir","scale_probe":$p$pf}"""
     }
     // The driver keeps only the LAST 2000 chars of output and parses the
     // final JSON line out of that window (BENCH_r7/r8 both carried
@@ -99,6 +106,18 @@ object Bench {
       if (!finishedNormally) emit(partial = true)
     }))
 
+    // Reps are INTERLEAVED round-robin across the whole query list
+    // (warmup pass, then `reps` full suite passes) instead of
+    // back-to-back per query: the r13 official record showed a
+    // sustained multi-second contention burst owns all back-to-back
+    // reps of whichever query it lands on (six legs read 4-6x their
+    // clean-record values with NO code change), while with
+    // interleaving a burst costs each query at most ONE rep and the
+    // min survives. A query past `wallLimit` keeps that measurement
+    // and is excluded from later passes.
+    val repTimes = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val skip = scala.collection.mutable.Set.empty[String]
     ordered.foreach { case (name, fn) =>
       // warmup counts against the guard too: a query pathological enough
       // to blow the limit cold is recorded from its warmup and never
@@ -109,18 +128,26 @@ object Bench {
       if (warm > wallLimit) {
         results(name) = warm
         guarded += name
-      } else {
-        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-        var rep = 0
-        while (rep < reps && (times.isEmpty || times.last <= wallLimit)) {
+        skip += name
+      }
+    }
+    var pass = 0
+    while (pass < reps) {
+      ordered.foreach { case (name, fn) =>
+        if (!skip(name)) {
           val t0 = System.nanoTime()
           runOne(name, fn)
-          times += (System.nanoTime() - t0) / 1e9
-          rep += 1
+          val t = (System.nanoTime() - t0) / 1e9
+          val ts = repTimes.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer.empty[Double])
+          ts += t
+          results(name) = ts.min
+          medians(name) = { val s = ts.sorted; val m = s.length / 2
+            if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2 }
+          if (t > wallLimit) { guarded += name; skip += name }
         }
-        if (times.last > wallLimit) guarded += name
-        results(name) = times.min
       }
+      pass += 1
     }
 
     // 10x scale probe (promoted from the dev-only graft.ScaleProbe): the
