@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * bit-for-bit.
   *
   * Scale shape: one value-keyed partial aggregate (the histogram
-  * shuffle), then an ordered window over the DISTINCT-VALUE table —
-  * values ≪ rows for any metric worth monitoring (lengths, scores,
-  * counts); a continuous metric should be quantized first.
+  * shuffle), then — because an unquantized double-valued metric makes
+  * the distinct-value table row-count-sized — the cumulative counts
+  * ride the [[QuantileRank]] two-level prefix-sum decomposition
+  * (range-partitioned per-slice running sums + broadcast partition
+  * offsets), never a partition-less ordered window. The only global
+  * window is one row per range partition (bounded by the shuffle
+  * partition count).
   */
 final class KsStatistic(
     metricCol: String,
@@ -45,15 +49,35 @@ final class KsStatistic(
       .groupBy(col("v"))
       .agg(count(when(col("_b"), lit(1))).as("ca"),
         count(when(!col("_b"), lit(1))).as("cb"))
-    val ord = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(Long.MinValue, 0)
-    val all = org.apache.spark.sql.expressions.Window
-      .rowsBetween(Long.MinValue, Long.MaxValue)
-    val withCum = perVal.select(
-      sum(col("ca")).over(ord).as("cum_a"),
-      sum(col("cb")).over(ord).as("cum_b"),
-      sum(col("ca")).over(all).as("na"),
-      sum(col("cb")).over(all).as("nb"))
+    import org.apache.spark.sql.expressions.Window
+    // distinct-value table persisted ONCE so the offsets derivation, the
+    // totals, and the cumulative join all read materialized rows (the
+    // psiPerGroup column-pruning-defeats-exchange-reuse lesson)
+    val parts = perVal
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions(col("v"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    parts.count() // eager; persisted (not checkpointed) — see EventAnomaly
+    val pidW = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ONE row per range partition — the only partition-less window,
+    // bounded by spark.sql.shuffle.partitions
+    val offsets = parts.groupBy(col("_pid"))
+      .agg(sum(col("ca")).as("_pa"), sum(col("cb")).as("_pb"))
+      .withColumn("_offa", coalesce(sum(col("_pa")).over(pidW), lit(0L)))
+      .withColumn("_offb", coalesce(sum(col("_pb")).over(pidW), lit(0L)))
+    val total = offsets.agg(sum(col("_pa")).as("na"), sum(col("_pb")).as("nb"))
+    val sliceW = Window.partitionBy(col("_pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = parts
+      .join(broadcast(offsets.select(col("_pid").as("_opid"),
+        col("_offa"), col("_offb"))), col("_pid") === col("_opid"))
+      .crossJoin(broadcast(total))
+      .select(
+        (col("_offa") + sum(col("ca")).over(sliceW)).as("cum_a"),
+        (col("_offb") + sum(col("cb")).over(sliceW)).as("cum_b"),
+        col("na"), col("nb"))
     val gap = abs(col("cum_a").cast("double") / col("na").cast("double") -
       col("cum_b").cast("double") / col("nb").cast("double"))
     withCum

@@ -620,6 +620,22 @@ class PlanSpec extends AnyFunSuite {
       s"rank window must sit above the K-row top-K, not the vocab:\n$p")
   }
 
+  test("ks_statistic: cumulative CDF sums ride range partitions, never the full value table") {
+    // the r13 verdict's last documented-but-unbounded ordered window: an
+    // unquantized double metric makes the distinct-value table
+    // row-count-sized, so the running sums must partition by the range
+    // partition id (QuantileRank two-level decomposition); the only
+    // unpartitioned window is the offsets one — one row per range
+    // partition, bounded by spark.sql.shuffle.partitions
+    val p = plan("ks_statistic")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    val valueWindows = windows.filter(w => w.contains("v#"))
+    assert(valueWindows.nonEmpty, s"expected a v-ordered slice window:\n$p")
+    valueWindows.foreach(w => assert(w.contains("_pid"),
+      s"value-table window must partition by the range partition id: $w"))
+  }
+
   test("NO gate query plans a CartesianProduct — the whole-surface scale audit") {
     // every crossJoin in the repo is against a broadcast single-row
     // stats frame or a broadcast query set (BroadcastNestedLoopJoin,
