@@ -30,9 +30,18 @@ import org.apache.spark.sql.functions._
   * (repartition on shard), each task streams its shards' bytes straight
   * to the filesystem — nothing collects to the driver; offsets come
   * from a shard-partitioned running-sum window over the (bounded)
-  * per-doc count table. Assumes non-speculative tasks (one writer per
-  * shard file — Spark's default locally; on a cluster route through a
-  * task-attempt temp dir + rename if speculation is on).
+  * per-doc count table.
+  *
+  * Commit protocol (speculation-safe): each task attempt streams into
+  * `_temporary/attempt-<id>/shard-NNNN.bin` and renames to the final
+  * name only after its iterator is fully drained. Shard bytes are
+  * deterministic (same sort whatever the attempt), so when two attempts
+  * of one task race, whichever rename lands first wins and the loser
+  * deletes its temp — the final file is identical either way. The
+  * driver removes `_temporary/` (failed-attempt leftovers) after the
+  * job, and removes ALL `shard-*.bin` + `index/` + `manifest.json`
+  * from the output dir BEFORE it, so a re-run with fewer shards can
+  * never leave stale shard files next to a fresh manifest.
   */
 final class TokenShardWriter(
     outputPath: String,
@@ -89,12 +98,24 @@ final class TokenShardWriter(
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = outputPath
-    // stream each shard's int32s to its file; one task owns a shard
+    // stale-artifact cleanup BEFORE any bytes land: a previous run with
+    // a different numShards (or a failed run) must not leave shard files
+    // a manifest-ignoring glob consumer would train on (ADVICE r13).
+    // Only the writer's own artifacts are touched — the dir may hold
+    // unrelated user files.
+    TokenShardWriter.cleanArtifacts(out, spark.sparkContext.hadoopConfiguration)
+    // stream each shard's int32s to a task-attempt temp file; one task
+    // owns a shard; rename-commit after the iterator drains
     enc.select(col("shard"), col("doc_id"), col("ids"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var cur: Option[(Int, java.io.DataOutputStream)] = None
+        val written = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def tempPath(shard: Int) = new org.apache.hadoop.fs.Path(
+          f"$out/_temporary/attempt-$attempt/shard-$shard%04d.bin")
         def open(shard: Int): java.io.DataOutputStream = {
-          val p = new org.apache.hadoop.fs.Path(f"$out/shard-$shard%04d.bin")
+          val p = tempPath(shard)
           val fs = p.getFileSystem(conf.value)
           new java.io.DataOutputStream(
             new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16))
@@ -105,6 +126,7 @@ final class TokenShardWriter(
             if (!cur.exists(_._1 == shard)) {
               cur.foreach(_._2.close())
               cur = Some((shard, open(shard)))
+              written += shard
             }
             val os = cur.get._2
             val ids = r.getSeq[Int](2)
@@ -118,7 +140,18 @@ final class TokenShardWriter(
             }
           }
         } finally cur.foreach(_._2.close())
+        // commit only after a fully-drained iterator: a failed attempt
+        // never reaches here, so its partial bytes stay in _temporary
+        written.foreach { shard =>
+          TokenShardWriter.commitShard(tempPath(shard),
+            new org.apache.hadoop.fs.Path(f"$out/shard-$shard%04d.bin"),
+            conf.value)
+        }
       }
+    // failed/lost-race attempt leftovers
+    val tmp = new org.apache.hadoop.fs.Path(s"$out/_temporary")
+    tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tmp, true)
     // index: per-doc token offsets inside the shard (running sum over
     // the per-doc COUNT table — shard-partitioned window, never global)
     val w = org.apache.spark.sql.expressions.Window
@@ -148,5 +181,44 @@ final class TokenShardWriter(
     val os = fs.create(p, true)
     try os.write(manifest.getBytes("UTF-8")) finally os.close()
     (totalDocs, totalTokens)
+  }
+}
+
+object TokenShardWriter {
+
+  /** Rename a drained temp shard onto its final name. When two attempts
+    * of one task race (speculation), the bytes are deterministic, so
+    * first-rename-wins is correct: the loser finds the destination
+    * already present and deletes its own temp. Any other rename failure
+    * (missing temp, dead filesystem) is surfaced, not swallowed.
+    */
+  private[graft] def commitShard(
+      temp: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = temp.getFileSystem(conf)
+    if (!fs.rename(temp, dest)) {
+      if (fs.exists(dest)) fs.delete(temp, false) // lost the race; bytes identical
+      else throw new java.io.IOException(
+        s"shard commit failed: rename $temp -> $dest (destination absent)")
+    }
+  }
+
+  /** Remove the writer's own artifacts — `shard-*.bin`, `index/`,
+    * `manifest.json`, `_temporary/` — so stale shards from a prior run
+    * with a different shard count never sit next to a fresh manifest.
+    */
+  private[graft] def cleanArtifacts(
+      out: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(out)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) {
+      fs.globStatus(new org.apache.hadoop.fs.Path(out, "shard-*.bin"))
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.delete(new org.apache.hadoop.fs.Path(out, "index"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(out, "manifest.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(out, "_temporary"), true)
+    }
   }
 }

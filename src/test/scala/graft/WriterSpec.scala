@@ -301,5 +301,65 @@ class WriterSpec extends AnyFunSuite {
         java.nio.file.Paths.get(f"$base2/t/shard-$shard%04d.bin"))
       assert(java.util.Arrays.equals(a, b), s"shard $shard bytes differ")
     }
+    // speculation-safe commit: no _temporary leftovers after a clean run
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t/_temporary")))
+  }
+
+  test("token shards: duplicate task attempts commit ONE identical file, loser temp removed") {
+    // simulates speculation: two attempts of the same task drain the same
+    // deterministic bytes into their own temp paths, then both commit
+    val base = java.nio.file.Files.createTempDirectory("graft_tokcommit").toString
+    val conf = TestSpark.spark.sparkContext.hadoopConfiguration
+    val bytes = Array[Byte](1, 0, 0, 0, 2, 0, 0, 0)
+    def mkTemp(attempt: Long): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$base/_temporary/attempt-$attempt/shard-0000.bin")
+      val fs = p.getFileSystem(conf)
+      val os = fs.create(p, true)
+      try os.write(bytes) finally os.close()
+      p
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$base/shard-0000.bin")
+    val t1 = mkTemp(1L); val t2 = mkTemp(2L)
+    graft.io.TokenShardWriter.commitShard(t1, dest, conf)
+    graft.io.TokenShardWriter.commitShard(t2, dest, conf) // loses the race
+    val fs = dest.getFileSystem(conf)
+    assert(fs.exists(dest))
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/shard-0000.bin")).toSeq == bytes.toSeq)
+    assert(!fs.exists(t1) && !fs.exists(t2))
+    // a commit whose temp vanished AND whose dest is absent must be loud
+    intercept[java.io.IOException] {
+      graft.io.TokenShardWriter.commitShard(
+        new org.apache.hadoop.fs.Path(s"$base/_temporary/attempt-9/shard-0001.bin"),
+        new org.apache.hadoop.fs.Path(s"$base/shard-0001.bin"), conf)
+    }
+  }
+
+  test("token shards: re-run with fewer shards leaves NO stale shard files") {
+    import TestSpark.spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tokstale").toString
+    val docs = (0L until 40L).map(i => (i, s"aa bb tok$i")).toDF("doc_id", "text")
+    new graft.io.TokenShardWriter(s"$base/t", numShards = 4, Seq("aa", "bb")).write(docs)
+    val before = new java.io.File(s"$base/t").listFiles()
+      .map(_.getName).filter(_.endsWith(".bin")).sorted.toSeq
+    assert(before.size == 4, before.toString)
+    // plant a failed-run leftover too
+    val junk = java.nio.file.Paths.get(s"$base/t/_temporary/attempt-7/shard-0003.bin")
+    java.nio.file.Files.createDirectories(junk.getParent)
+    java.nio.file.Files.write(junk, Array[Byte](9, 9, 9, 9))
+    val (nd, _) = new graft.io.TokenShardWriter(s"$base/t", numShards = 2,
+      Seq("aa", "bb")).write(docs)
+    assert(nd == 40L)
+    val after = new java.io.File(s"$base/t").listFiles()
+      .map(_.getName).filter(_.endsWith(".bin")).sorted.toSeq
+    assert(after == Seq("shard-0000.bin", "shard-0001.bin"),
+      s"stale shards must be removed: $after")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t/_temporary")))
+    // manifest agrees with the files on disk (the glob-consumer contract)
+    val mf = scala.io.Source.fromFile(s"$base/t/manifest.json").mkString
+    assert(mf.contains("\"shards\":[{\"shard\":0,") && !mf.contains("\"shard\":2,"), mf)
   }
 }
