@@ -153,4 +153,25 @@ class EventJoinSpec extends AnyFunSuite {
     val plan = op.pairs(aDf, bDf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("interval overlap: an interval over the bucket cap fails LOUDLY, never a silent fan-out") {
+    import graft.operators.events.IntervalOverlapJoin
+    val op = new IntervalOverlapJoin(bucketWidthUs = 10L, maxBucketsPerInterval = 5L)
+    val aDf = Seq((1L, 0L, 51L)).toDF("aid", "a_start_us", "a_end_us") // 6 buckets
+    val bDf = Seq((2L, 0L, 10L)).toDF("bid", "b_start_us", "b_end_us")
+    val e = intercept[Exception] { op.pairs(aDf, bDf).collect() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("|"))
+    assert(rootMsg(e).contains("maxBucketsPerInterval"), rootMsg(e))
+    // b over the cap trips too (guard is on BOTH sides)
+    val e2 = intercept[Exception] { op.pairs(
+      Seq((1L, 0L, 10L)).toDF("aid", "a_start_us", "a_end_us"),
+      Seq((2L, 0L, 51L)).toDF("bid", "b_start_us", "b_end_us")).collect() }
+    assert(rootMsg(e2).contains("maxBucketsPerInterval"), rootMsg(e2))
+    // exactly AT the cap is fine (5 buckets for [0,50) at W=10)
+    val ok = op.pairs(Seq((1L, 0L, 50L)).toDF("aid", "a_start_us", "a_end_us"),
+      Seq((2L, 0L, 10L)).toDF("bid", "b_start_us", "b_end_us"))
+    assert(ok.count() == 1L)
+  }
 }
