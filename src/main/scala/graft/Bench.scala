@@ -12,6 +12,10 @@ object Bench {
       // Catalyst prune the computed columns and fake the numbers)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      // release staged frames inside the timed region: staging cost is
+      // the query's honest cost, and leaked blocks would bleed memory
+      // pressure into LATER queries' measurements
+      finally graft.core.Staging.releaseAll()
     // Deterministic order + warmup + WARM MIN of n>=3: without the
     // warmup the first Map-ordered query eats JVM/codegen warmup (~9s in
     // round 1). The per-query record is the MINIMUM over warm reps, not

@@ -23,6 +23,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // staged frames are fully consumed by the write — release, or 200+
+      // gates of MEMORY_AND_DISK staging blocks pile up in one session
+      finally graft.core.Staging.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** SQL string-literal escape for user-supplied values interpolated into
+    * DuckDB twins (single-quote doubling) — every twin that splices a
+    * runtime string through `'...'` must route it here, or a value with a
+    * quote breaks the oracle query.
+    */
+  def sqlLit(s: String): String = s.replace("'", "''")
+
   /** Collapse whitespace runs to one space, trim, lowercase — exactly the
     * reference's `" ".join(text.split())` + `.lower()`
     * (reference: operators/dedup/text_exact_dedup.py:66-72).

@@ -62,8 +62,7 @@ final class EventAnomaly(
     // recomputable on eviction and the ContextCleaner reclaims them on
     // GC, while a localCheckpoint pins storage for application lifetime
     // (this method runs once per monitor trigger)
-    val counts = counts0.persist()
-    counts.count()
+    val counts = graft.core.Staging.stage(counts0)
     val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val hours = bounds.select(explode(
       sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))

@@ -45,9 +45,8 @@ final class ClusterTopTerms(
     // out to THREE consumers (f_t, totals, scoring join) — checkpoint it
     // once or each consumer re-tokenizes the corpus (per-consumer column
     // pruning defeats exchange reuse; the psiPerGroup lesson)
-    val tfc = toks.groupBy(col("_c"), col("_t")).agg(count(lit(1)).as("tf"))
-      .persist()
-    tfc.count() // eager: consumers must hit the cache, not re-tokenize
+    val tfc = graft.core.Staging.stage(
+      toks.groupBy(col("_c"), col("_t")).agg(count(lit(1)).as("tf")))
     val ft = tfc.groupBy(col("_t")).agg(sum(col("tf")).as("_ft"))
     val totals = tfc.agg(
       sum(col("tf")).as("_total"),

@@ -216,8 +216,9 @@ final class DistributionDrift(
     val b = buckets; val half = 0.5 * b
     s"""_db AS (SELECT least(${b - 1}, greatest(0,
        |    CAST(floor(CAST($metricCol AS DOUBLE) / ${width.toDouble}) AS BIGINT))) AS bucket,
-       |    ($groupCol = '$baseVal') AS isb
-       |  FROM $table WHERE $groupCol IN ('$baseVal', '$curVal')
+       |    ($groupCol = '${graft.functions.TextFunctions.sqlLit(baseVal)}') AS isb
+       |  FROM $table WHERE $groupCol IN ('${graft.functions.TextFunctions.sqlLit(baseVal)}',
+       |    '${graft.functions.TextFunctions.sqlLit(curVal)}')
        |    AND $metricCol IS NOT NULL AND NOT isnan(CAST($metricCol AS DOUBLE))),
        |_dc AS (SELECT bucket, count(CASE WHEN isb THEN 1 END) AS base_n,
        |    count(CASE WHEN NOT isb THEN 1 END) AS cur_n

@@ -53,12 +53,10 @@ final class KsStatistic(
     // distinct-value table persisted ONCE so the offsets derivation, the
     // totals, and the cumulative join all read materialized rows (the
     // psiPerGroup column-pruning-defeats-exchange-reuse lesson)
-    val parts = perVal
+    val parts = graft.core.Staging.stage(perVal
       .repartitionByRange(col("v"))
       .sortWithinPartitions(col("v"))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    parts.count() // eager; persisted (not checkpointed) — see EventAnomaly
+      .withColumn("_pid", spark_partition_id()))
     val pidW = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // ONE row per range partition — the only partition-less window,
@@ -91,8 +89,10 @@ final class KsStatistic(
   // ---- DuckDB twin (same window shapes) ----
 
   def sql(table: String): String =
-    s"""WITH _kv AS (SELECT $metricCol AS v, ($groupCol = '$baseVal') AS b
-       |  FROM $table WHERE $groupCol IN ('$baseVal', '$curVal')
+    s"""WITH _kv AS (SELECT $metricCol AS v,
+       |    ($groupCol = '${graft.functions.TextFunctions.sqlLit(baseVal)}') AS b
+       |  FROM $table WHERE $groupCol IN ('${graft.functions.TextFunctions.sqlLit(baseVal)}',
+       |    '${graft.functions.TextFunctions.sqlLit(curVal)}')
        |    AND $metricCol IS NOT NULL AND NOT isnan(CAST($metricCol AS DOUBLE))),
        |_kc AS (SELECT v, count(CASE WHEN b THEN 1 END) AS ca,
        |    count(CASE WHEN NOT b THEN 1 END) AS cb

@@ -38,10 +38,9 @@ final class MutualInformation(xCol: String, yCol: String) {
     // the cell table is |X|×|Y|-sized (≪ rows) and fans out to FOUR
     // consumers (both marginals, totals, the contribution join) —
     // checkpoint it once or each consumer re-scans the corpus
-    val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
-      .agg(count(lit(1)).as("_nxy"))
-      .persist()
-    cells.count() // eager: consumers must hit the cache, not re-scan
+    val cells = graft.core.Staging.stage(
+      df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+        .agg(count(lit(1)).as("_nxy")))
     val mx = cells.groupBy(col("_x").as("_mxk")).agg(sum(col("_nxy")).as("_nx"))
     val my = cells.groupBy(col("_y").as("_myk")).agg(sum(col("_nxy")).as("_ny"))
     val tot = cells.agg(sum(col("_nxy")).as("_n"), count(lit(1)).as("cells"))

@@ -40,12 +40,10 @@ final class QuantileRank(
     // the final join — read materialized rows instead of re-deriving the
     // corpus aggregate + range shuffle per consumer (the psiPerGroup
     // column-pruning-defeats-exchange-reuse lesson)
-    val parts = grouped
+    val parts = graft.core.Staging.stage(grouped
       .repartitionByRange(col("_v"))
       .sortWithinPartitions(col("_v"))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    parts.count() // eager; persisted (not checkpointed) — see EventAnomaly
+      .withColumn("_pid", spark_partition_id()))
     val offsets = parts.groupBy(col("_pid")).agg(sum(col("_c")).as("_psum"))
       .withColumn("_off", coalesce(sum(col("_psum"))
         .over(Window.orderBy(col("_pid"))

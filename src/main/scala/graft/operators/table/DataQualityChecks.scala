@@ -60,14 +60,19 @@ object DataQualityChecks {
     def okSql: String = col
   }
 
-  /** Fraction of NON-NULL values inside [lo, hi] >= minFrac. */
+  /** Fraction of NON-NULL values inside [lo, hi] >= minFrac. Intended for
+    * numeric columns; on a string column a malformed value TRY_CASTs to
+    * NULL in BOTH engines (plain CAST would ERROR in both — Spark runs
+    * ANSI mode, and DuckDB casts are strict) and counts as failing — a
+    * firewall reports bad values, it never blows up on them.
+    */
   final case class InRange(col: String, lo: Double, hi: Double, minFrac: Double = 1.0) extends Check {
     val kind = "in_range"; val target = col
     def okExpr: Column = {
-      val c = org.apache.spark.sql.functions.col(col).cast("double")
+      val c = expr(s"try_cast($col AS DOUBLE)")
       c >= lo && c <= hi
     }
-    def okSql: String = s"CAST($col AS DOUBLE) BETWEEN $lo AND $hi"
+    def okSql: String = s"TRY_CAST($col AS DOUBLE) BETWEEN $lo AND $hi"
     override def scopeExpr: Column = org.apache.spark.sql.functions.col(col).isNotNull
     override def scopeSql: String = s"$col IS NOT NULL"
   }
@@ -81,7 +86,7 @@ object DataQualityChecks {
     def okExpr: Column =
       org.apache.spark.sql.functions.col(col).cast("string").isin(values: _*)
     def okSql: String =
-      s"CAST($col AS VARCHAR) IN (${values.map(v => s"'${DataQualityChecks.q(v)}'").mkString(", ")})"
+      s"TRY_CAST($col AS VARCHAR) IN (${values.map(v => s"'${DataQualityChecks.q(v)}'").mkString(", ")})"
     override def scopeExpr: Column = org.apache.spark.sql.functions.col(col).isNotNull
     override def scopeSql: String = s"$col IS NOT NULL"
   }
@@ -95,7 +100,7 @@ object DataQualityChecks {
     def okExpr: Column =
       org.apache.spark.sql.functions.col(col).cast("string").rlike(pattern)
     def okSql: String =
-      s"regexp_matches(CAST($col AS VARCHAR), '${DataQualityChecks.q(pattern)}')"
+      s"regexp_matches(TRY_CAST($col AS VARCHAR), '${DataQualityChecks.q(pattern)}')"
     override def scopeExpr: Column = org.apache.spark.sql.functions.col(col).isNotNull
     override def scopeSql: String = s"$col IS NOT NULL"
   }

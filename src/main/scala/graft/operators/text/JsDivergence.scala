@@ -86,8 +86,9 @@ final class JsDivergence(
     val m = s"(($p + $q) * 0.5)"
     val contrib = s"(($p * ln($p / $m) + $q * ln($q / $m)) * ${0.5 / math.log(2.0)})"
     s"""WITH _jt AS (SELECT unnest(${TextFunctions.tokensOfSql(textCol)}) AS tok,
-       |    ($groupCol = '$aVal') AS a
-       |  FROM $table WHERE $groupCol IN ('$aVal', '$bVal')),
+       |    ($groupCol = '${TextFunctions.sqlLit(aVal)}') AS a
+       |  FROM $table WHERE $groupCol IN ('${TextFunctions.sqlLit(aVal)}',
+       |    '${TextFunctions.sqlLit(bVal)}')),
        |_jc AS (SELECT tok, count(CASE WHEN a THEN 1 END) AS ca,
        |    count(CASE WHEN NOT a THEN 1 END) AS cb
        |  FROM _jt GROUP BY tok),
@@ -202,9 +203,9 @@ final class JsDivergenceMatrix(
 
   def sql(table: String): String = {
     val toks = TextFunctions.tokensOfSql(textCol)
-    val inList = srcs.map(s => s"'$s'").mkString(", ")
+    val inList = srcs.map(s => s"'${TextFunctions.sqlLit(s)}'").mkString(", ")
     val cCols = srcs.zipWithIndex.map { case (s, i) =>
-      s"count(CASE WHEN s = '$s' THEN 1 END) AS c$i"
+      s"count(CASE WHEN s = '${TextFunctions.sqlLit(s)}' THEN 1 END) AS c$i"
     }.mkString(",\n    ")
     val tCols = srcs.indices.map(i =>
       s"CAST(sum(c$i) AS BIGINT) AS t$i").mkString(",\n    ")
@@ -222,7 +223,7 @@ final class JsDivergenceMatrix(
         s"THEN CAST(floor(${contrib(i, j)} * 1e12) AS BIGINT) END) AS BIGINT) AS s${i}_$j"
     }.mkString(",\n    ")
     val rows = pairIdx.map { case (i, j) =>
-      s"""SELECT '${srcs(i)}' AS source_a, '${srcs(j)}' AS source_b,
+      s"""SELECT '${TextFunctions.sqlLit(srcs(i))}' AS source_a, '${TextFunctions.sqlLit(srcs(j))}' AS source_b,
          |    coalesce(v${i}_$j, 0) AS vocab,
          |    coalesce(t$i, 0) AS tokens_a, coalesce(t$j, 0) AS tokens_b,
          |    CASE WHEN s${i}_$j IS NOT NULL

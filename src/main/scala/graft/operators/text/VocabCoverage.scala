@@ -39,11 +39,10 @@ final class VocabCoverage(
     // head, the membership counts and the per-source totals all read
     // materialized rows (per-consumer pruning defeats exchange reuse —
     // the psiPerGroup lesson)
-    val wc = df.select(col(groupCol).as("source"),
-        explode(TextFunctions.tokensOf(col(textCol))).as("_w"))
-      .groupBy(col("source"), col("_w")).agg(count(lit(1)).as("_n"))
-      .persist()
-    wc.count() // eager: consumers must hit the cache, not re-tokenize
+    val wc = graft.core.Staging.stage(
+      df.select(col(groupCol).as("source"),
+          explode(TextFunctions.tokensOf(col(textCol))).as("_w"))
+        .groupBy(col("source"), col("_w")).agg(count(lit(1)).as("_n")))
     val vocab = wc.groupBy(col("_w")).agg(sum(col("_n")).as("_c"))
       .orderBy(col("_c").desc, col("_w")).limit(topK)
       .select(col("_w").as("_vw"))

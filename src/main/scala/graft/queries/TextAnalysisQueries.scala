@@ -74,10 +74,9 @@ object TextAnalysisQueries {
       (s, dir) => {
         val tagged = refiner(Tables(s, dir, "documents"))
           .select(col("lang").as("true_lang"), col("lang_id").as("predicted"))
-        val cells = tagged.groupBy(col("true_lang"), col("predicted"))
-          .agg(count(lit(1)).as("cnt"))
-          .persist()
-        cells.count() // eager: totals + join must hit the cache
+        val cells = graft.core.Staging.stage(
+          tagged.groupBy(col("true_lang"), col("predicted"))
+            .agg(count(lit(1)).as("cnt")))
         val totals = cells.groupBy(col("true_lang").as("_tl"))
           .agg(sum(col("cnt")).as("_tot"))
         cells.join(totals, col("true_lang") === col("_tl"))

@@ -179,6 +179,11 @@ object PipelineRunner {
     // writes committed — mark this run's input files as processed
     ckpt.foreach(cp => ResumeManifest.record(spark, cp, thisRunFiles))
 
+    // output + rejects + metrics are all committed — release any staging
+    // frames operators persisted, so repeated runs in one long-lived
+    // session don't accumulate cache blocks (ADVICE r13)
+    graft.core.Staging.releaseAll()
+
     val durationSec = (System.nanoTime() - t0) / 1e9
     val run = MetricsRollup.run(MetricsWriter.newRunId(), stages, durationSec)
     if (conf.executor.metricsEnabled) {

@@ -131,6 +131,20 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 0.666667) < 1e-9 && !r.getBoolean(4))
   }
 
+  test("dq: malformed string values count as FAILING, never error out") {
+    // Spark's non-ANSI cast sends "not-a-number" to NULL -> the row fails
+    // the range check; the DuckDB twin's TRY_CAST degrades identically
+    // (a bare CAST would make the firewall error out in one engine and
+    // report in the other — ADVICE r13)
+    import DataQualityChecks._
+    val df = Seq("1.5", "not-a-number", "99").toDF("v")
+    val out = DataQualityChecks(df, Seq(InRange("v", 0.0, 100.0, 1.0)))
+      .collect().head
+    assert(math.abs(out.getDouble(2) - 0.666667) < 1e-9 && !out.getBoolean(4))
+    Seq(InRange("v", 0.0, 100.0), InSet("v", Seq("x")), MatchesRegex("v", "^x$"))
+      .foreach(c => assert(c.okSql.contains("TRY_CAST"), c.okSql))
+  }
+
   test("dq: scan checks plan a single scan of the input") {
     val df = TestSpark.table("orders")
     val plan = TestSpark.planOf(DataQualityChecks(df, Seq(
