@@ -1,0 +1,129 @@
+package graft.operators.text
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained CONDITIONAL bigram language model — per-document
+  * cross-entropy under `p(w2|w1)`, the Markov-chain complement to
+  * [[NgramLmScoreRefiner]] (which scores by MARGINAL n-gram frequency:
+  * that flags rare phrasing; a conditional model flags improbable
+  * TRANSITIONS — "the the", shuffled-word soup, template splices —
+  * exactly what KenLM-style perplexity filters key on, Wenzek et al.
+  * 2020). Self-trained on the corpus, so it needs no external model
+  * artifact.
+  *
+  * Model: `p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)` (add-one), with
+  * V = the bigram-participating unigram vocabulary (distinct tokens
+  * observed in either bigram position; tokens of 1-token documents
+  * never condition or get predicted, so they carry no probability mass
+  * to smooth over — documented definition, replayed identically by the
+  * twin). Doc score = `Σ -log2 p / n_bigrams`; docs with < 2 tokens
+  * carry NULL (no transition evidence), never a fake 0.
+  *
+  * Exactness: counts are exact BIGINTs; each DISTINCT bigram's cost is
+  * floor-scaled ONCE to an integer (`floor(-ln p · 1e9/ln 2)`, the
+  * [[JsDivergence]] discipline — the constant is a single Scala double
+  * spliced into both engines), so per-doc sums are order-invariant
+  * integer algebra and the DuckDB twin replays them bit-for-bit.
+  *
+  * Scale shape (the [[NgramLmScoreRefiner]] disciplines): bigrams hash
+  * to 64-bit keys before ANY shuffle — longs on the wire, never
+  * strings; the text scans ONCE into the per-doc `(doc, h_bigram)`
+  * count table, which map-side combines, is staged via
+  * [[graft.core.Staging]] (compact: post-combine rows ≪ tokens), and
+  * feeds corpus counts, context totals, the vocab scalar, and the
+  * scoring join. Context totals group the bigram-count table by the
+  * first-token hash (vocab-bounded); V rides a broadcast scalar; a hot
+  * bigram is one post-combine row, and AQE skew-splits the scoring
+  * probe if a key still runs hot. No windows, no driver state.
+  */
+final class BigramLm(
+    textCol: String = "text",
+    idCol: String = "doc_id") {
+
+  val name = "bigram_lm_score"
+
+  // 1e9/ln2 as ONE Scala double literal spliced into BOTH engines, so
+  // the transcendental step is the identical double product everywhere
+  private val CostScale = 1e9 / math.log(2.0)
+
+  /** `(idCol, n_bigrams, bits_per_bigram)` for EVERY input row; NULL
+    * score (and 0 bigrams) for docs with < 2 tokens.
+    */
+  def apply(df: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokensOf(col(textCol))
+    // one corpus text scan: explode staged bigrams, hash all three keys
+    // (bigram, first token, second token) while still strings-local
+    val occs = df
+      .select(col(idCol), TextFunctions.shingles(toks, 2).as("_bigs"))
+      .select(col(idCol), explode(col("_bigs")).as("_big"))
+      .select(col(idCol),
+        HashFunctions.portableHash64(col("_big")).as("_hb"),
+        HashFunctions.portableHash64(split(col("_big"), " ").getItem(0)).as("_h1"),
+        HashFunctions.portableHash64(split(col("_big"), " ").getItem(1)).as("_h2"))
+    // _h1/_h2 are functions of _hb; min() just picks the one value
+    val db = graft.core.Staging.stage(
+      occs.groupBy(col(idCol), col("_hb"))
+        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
+          min(col("_h2")).as("_h2")))
+    val cb = db.groupBy(col("_hb"))
+      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"))
+    val ctx = cb.groupBy(col("_ch1").as("_xh1")).agg(sum(col("_cb")).as("_cw"))
+    val vocab = db
+      .select(explode(array(col("_h1"), col("_h2"))).as("_th"))
+      .agg(countDistinct(col("_th")).as("_v"))
+    val p = (col("_cb").cast("double") + lit(1.0)) /
+      (col("_cw").cast("double") + col("_v").cast("double"))
+    val cost = cb.join(ctx, col("_ch1") === col("_xh1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("_hb").as("_chb"),
+        floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
+    val scored = db.join(cost, col("_hb") === col("_chb"))
+      .groupBy(col(idCol).as("_sid"))
+      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9")).as("_s"))
+    df.select(col(idCol))
+      .join(scored, col(idCol) === col("_sid"), "left")
+      .select(col(idCol),
+        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+        when(col("_nb") > 0L,
+          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
+          .as("bits_per_bigram"))
+  }
+
+  // ---- DuckDB twin: the same hashed integer algebra ----
+
+  def sql(table: String): String = {
+    val toks = TextFunctions.tokensOfSql(textCol)
+    val bigs = TextFunctions.shinglesSql("_toks", 2)
+    def ph(e: String) = HashFunctions.portableHash64Sql(e)
+    s"""WITH _oc AS (SELECT $idCol,
+       |    ${ph("_big")} AS _hb,
+       |    ${ph("string_split(_big, ' ')[1]")} AS _h1,
+       |    ${ph("string_split(_big, ' ')[2]")} AS _h2
+       |  FROM (SELECT $idCol, unnest($bigs) AS _big
+       |        FROM (SELECT $idCol, $toks AS _toks FROM $table))),
+       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
+       |    min(_h1) AS _h1, min(_h2) AS _h2
+       |  FROM _oc GROUP BY $idCol, _hb),
+       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
+       |    min(_h1) AS _ch1
+       |  FROM _db GROUP BY _hb),
+       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw
+       |  FROM _cb GROUP BY 1),
+       |_v AS (SELECT count(DISTINCT _th) AS _v
+       |  FROM (SELECT unnest([_h1, _h2]) AS _th FROM _db)),
+       |_cost AS (SELECT _hb AS _chb,
+       |    CAST(floor(-ln((CAST(_cb AS DOUBLE) + 1.0)
+       |      / (CAST(_cw AS DOUBLE) + CAST(_v AS DOUBLE))) * $CostScale) AS BIGINT) AS _c9
+       |  FROM _cb JOIN _ctx ON _ch1 = _xh1 CROSS JOIN _v),
+       |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
+       |    CAST(sum(_occ * _c9) AS BIGINT) AS _s
+       |  FROM _db JOIN _cost ON _hb = _chb GROUP BY 1)
+       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
+       |  CASE WHEN _nb > 0
+       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
+       |  END AS bits_per_bigram
+       |FROM $table t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
+  }
+}

@@ -22,6 +22,10 @@ object AnalyticsQueries {
 
   private val sessionOp = new Sessionize(gapMinutes = 30)
   private val bpeOp = new BpePairCounts(topK = 40)
+
+  private val sftOp = new graft.operators.text.ConversationAssembly(
+    keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+    roleCol = "event_type", contentCol = "props", maxTurns = 8)
   private val overlapOp = new CorpusOverlapReport(hashName = "portable")
   private val viterbiOp = new graft.operators.text.UnigramViterbiCount(
     "text", "doc_id", seedMaxLen = 4, topK = 200)
@@ -48,6 +52,12 @@ object AnalyticsQueries {
       (s, dir) => sessionOp.sessions(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_idx")),
       Some(sessionOp.sql("events") + "\nORDER BY user_id, session_idx")),
+
+    OracleQuery("sft_pack",
+      // SFT conversation assembly: per-user event streams serialized to
+      // role-tagged transcripts, first-8-turns truncation, md5-audited
+      (s, dir) => sftOp(Tables.events(s, dir)).orderBy(col("user_id")),
+      Some(sftOp.sql("events") + "\nORDER BY user_id")),
 
     OracleQuery("bpe_pair_counts",
       (s, dir) => bpeOp.pairCounts(Tables(s, dir, "documents")),

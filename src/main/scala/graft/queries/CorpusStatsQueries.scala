@@ -69,9 +69,19 @@ object CorpusStatsQueries {
     // vocab + broadcast membership join, tokens never shuffle twice)
     OracleQuery("vocab_coverage",
       (s, dir) => vocabCovOp(Tables(s, dir, "documents")),
-      Some(vocabCovOp.sql("documents")))
+      Some(vocabCovOp.sql("documents"))),
+
+    // Conditional bigram-LM cross-entropy per doc (the Markov complement
+    // to ngram_lm_score's marginal frequencies — see BigramLm scaladoc)
+    OracleQuery("bigram_lm_score",
+      (s, dir) => bigramLmOp(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(bigramLmOp.sql("documents") + "\nORDER BY doc_id"))
   )
 
   private lazy val vocabCovOp = new graft.operators.text.VocabCoverage(
     "text", "source", topK = 300)
+
+  private lazy val bigramLmOp = new graft.operators.text.BigramLm(
+    "text", "doc_id")
 }

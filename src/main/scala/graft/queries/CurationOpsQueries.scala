@@ -28,6 +28,45 @@ object CurationOpsQueries {
       "CAST(doc_id % 200 AS VARCHAR) || ' or 415-555-' || " +
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end')"
 
+  // Canonical-dedup URL fixture: docs (4m, 4m+1) and (4m+2, 4m+3) land on
+  // the same canonical URL through DIFFERENT mess (tracking param vs
+  // fragment, trailing slash, mixed-case host + default port), so the
+  // dedup exercises every canonicalization rule with real collisions.
+  private def canonDedupUrl: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 2 === 0, lit("Example.COM:443"))
+        .otherwise(lit("example.com")),
+      lit("/P"), expr("CAST(doc_id DIV 2 AS STRING)"),
+      when(col("doc_id") % 4 === 0, lit("/?utm_source=feed&q=1"))
+        .when(col("doc_id") % 4 === 1, lit("?q=1#top"))
+        .when(col("doc_id") % 4 === 2, lit("/#frag"))
+        .otherwise(lit("/")))
+
+  private val canonDedupUrlSql: String =
+    "((CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'Example.COM:443' ELSE 'example.com' END) || " +
+      "'/P' || CAST(doc_id // 2 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=feed&q=1' " +
+      "WHEN doc_id % 4 = 1 THEN '?q=1#top' " +
+      "WHEN doc_id % 4 = 2 THEN '/#frag' ELSE '/' END))"
+
+  // first-wins on the hashed CANONICAL key; a NULL url falls back to the
+  // id (no key, no dedup evidence — the TextExactDedup contract)
+  private val canonDedupOp = new graft.operators.dedup.ExactDedup(
+    "canonical_url_dedup",
+    df => when(col("url3").isNull, col("doc_id").cast("string"))
+      .otherwise(graft.functions.HashFunctions.portableHash64(
+        expr(graft.operators.text.UrlCanonicalize.canonicalSqlSpark("url3")))
+        .cast("string")),
+    orderCol = "doc_id", repCol = "doc_id")
+
+  private val canonDedupKeySql: String =
+    "(CASE WHEN url3 IS NULL THEN CAST(doc_id AS VARCHAR) ELSE " +
+      s"CAST(${graft.functions.HashFunctions.portableHash64Sql(
+        graft.operators.text.UrlCanonicalize.canonicalSql("url3"))} AS VARCHAR) END)"
+
   val queries: Seq[OracleQuery] = Seq(
 
     OracleQuery("benchmark_decontamination",
@@ -224,6 +263,24 @@ object CurationOpsQueries {
         s"""SELECT doc_id, ${graft.operators.text.UrlCanonicalize.canonicalSql(augSql)} AS url_canonical
            |FROM documents ORDER BY doc_id""".stripMargin
       })),
+
+    OracleQuery("canonical_url_dedup",
+      // crawl-side dedup the reference's raw-string include_url mode
+      // can't do: first-wins on the CANONICAL url key, so the same page
+      // under tracking params / mixed case / default port / fragment /
+      // trailing-slash spellings collapses to one survivor. Composes
+      // ExactDedup (one exchange on a hashed fixed-width key) with the
+      // UrlCanonicalize kernel; the fixture engineers every messy pair
+      // (4m, 4m+1) and (4m+2, 4m+3) to collide after canonicalization.
+      (s, dir) => {
+        val aug = Tables(s, dir, "documents").withColumn("url3", canonDedupUrl)
+        canonDedupOp(aug).select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id FROM (
+              |  SELECT doc_id, row_number() OVER (
+              |    PARTITION BY ${canonDedupKeySql} ORDER BY doc_id) AS rn
+              |  FROM (SELECT doc_id, $canonDedupUrlSql AS url3 FROM documents))
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     OracleQuery("text_repetition",
       (s, dir) => new TextRepetitionRefiner("text")(Tables(s, dir, "documents"))

@@ -170,4 +170,45 @@ class AnalyticsSpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("us"))).drop("us")
     assert(op(flat).count() == 0L)
   }
+
+  // ---- SFT conversation assembly ----
+
+  test("sft pack: ordered role-tagged transcript, first-maxTurns truncation, exact md5") {
+    import spark.implicits._
+    val op = new graft.operators.text.ConversationAssembly(
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      roleCol = "event_type", contentCol = "props", maxTurns = 2)
+    // user 1: ts tie broken by event_id; NULL content renders empty;
+    // 3rd turn truncated. user 2: single turn.
+    val df = Seq(
+      (1L, 100L, 11L, "user", "hi"),
+      (1L, 100L, 10L, "assistant", null.asInstanceOf[String]),
+      (1L, 200L, 12L, "user", "bye"),
+      (2L, 50L, 20L, "user", "solo"))
+      .toDF("user_id", "us", "event_id", "event_type", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = op(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val convo1 = "assistant: \nuser: hi" // event 10 sorts before 11 on the tie
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((3L, 2L, convo1.length.toLong, md5hex(convo1))))
+    assert(out(2L) == ((1L, 1L, 10L, md5hex("user: solo"))))
+    // partition-invariant: the sorted-struct serialization must not
+    // depend on collect_list encounter order
+    val out7 = op(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out7(1L) == md5hex(convo1) && out7(2L) == md5hex("user: solo"))
+  }
+
+  test("sft pack: windows and aggregation are conversation-key partitioned") {
+    val p = TestSpark.planOf(new graft.operators.text.ConversationAssembly()(
+      graft.core.Tables.events(spark, sfDir)))
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("user_id"),
+      s"turn-rank window must partition by the conversation key: $w"))
+  }
 }

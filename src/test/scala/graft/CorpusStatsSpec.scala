@@ -305,4 +305,38 @@ class CorpusStatsSpec extends AnyFunSuite {
     val plan = TestSpark.planOf(new VocabCoverage("text", "source", 2)(docs))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  // ---- conditional bigram LM ----
+
+  test("bigram lm: hand-computed conditional cross-entropy; <2 tokens => NULL") {
+    // corpus bigrams: d1 "a b a b" -> (a b)x2, (b a); d2 "a b" -> (a b)
+    // c(a b)=3, c(b a)=1; ctx c(a.)=3, c(b.)=1; V={a,b}=2
+    val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = new graft.operators.text.BigramLm("text", "doc_id")(tiny)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val scale = 1e9 / math.log(2.0)
+    def cost(cb: Long, cw: Long, v: Long): Long =
+      math.floor(-math.log((cb + 1.0) / (cw + v.toDouble)) * scale).toLong
+    val cAB = cost(3, 3, 2) // p(b|a) = 4/5
+    val cBA = cost(1, 1, 2) // p(a|b) = 2/3
+    def bits(s: Long, n: Long): Double =
+      BigDecimal(s.toDouble / n / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, Some(bits(2 * cAB + cBA, 3)))))
+    assert(out(2L) == ((1L, Some(bits(cAB, 1)))))
+    assert(out(3L) == ((0L, None)), "1-token doc carries no transition evidence")
+    assert(out(4L) == ((0L, None)))
+  }
+
+  test("bigram lm: partition-invariant and gibberish scores above fluent text") {
+    val fluent = (0 until 30).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val soup = (100 until 105).map(i => (i.toLong, s"dog the over fox$i quick lazy jumps brown the"))
+    val df = (fluent ++ soup).toDF("doc_id", "text")
+    val op = new graft.operators.text.BigramLm("text", "doc_id")
+    val a = op(df).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = op(df.repartition(7)).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b, "scores must not depend on partitioning")
+    assert(a(100L) > a(0L), "shuffled-word soup must score above corpus-typical text")
+  }
 }

@@ -232,4 +232,24 @@ class CurationOpsSpec extends AnyFunSuite {
     val plan = TestSpark.planOf(new graft.operators.text.IntraDocLineDedup("text")(df))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("canonical url dedup: messy spellings of one page collapse; null url keeps by id") {
+    import spark.implicits._
+    import graft.functions.HashFunctions
+    import graft.operators.text.UrlCanonicalize
+    val op = new graft.operators.dedup.ExactDedup("canonical_url_dedup",
+      d => when(col("url").isNull, col("id").cast("string"))
+        .otherwise(HashFunctions.portableHash64(
+          expr(UrlCanonicalize.canonicalSqlSpark("url"))).cast("string")),
+      orderCol = "id", repCol = "id")
+    val df = Seq(
+      (1L, "HTTPS://Example.COM:443/a/?utm_source=f&q=1"),
+      (2L, "https://example.com/a?q=1#top"), // same page as 1
+      (3L, "https://example.com/a?q=2"),     // different query value
+      (4L, null.asInstanceOf[String]),       // null url: no dedup evidence
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "url")
+    val kept = op(df).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L), s"kept $kept")
+  }
 }
