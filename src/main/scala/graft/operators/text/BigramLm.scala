@@ -127,3 +127,20 @@ final class BigramLm(
        |FROM $table t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
   }
 }
+
+/** Registry/YAML form: attaches `outCol` (bits per bigram, NULL when the
+  * doc has < 2 tokens) and `countCol` to every input row.
+  */
+final class BigramLmScoreRefiner(
+    textCol: String = "text",
+    idCol: String = "id",
+    outCol: String = "bigram_lm_bits",
+    countCol: String = "bigram_lm_n") extends graft.core.Operator {
+  val name = "bigram_lm_score"
+  def apply(df: DataFrame): DataFrame = {
+    val scores = new BigramLm(textCol, idCol)(df)
+      .select(col(idCol).as("_blm_id"),
+        col("n_bigrams").as(countCol), col("bits_per_bigram").as(outCol))
+    df.join(scores, col(idCol) === col("_blm_id"), "left").drop("_blm_id")
+  }
+}

@@ -29,7 +29,7 @@ final class ConversationAssembly(
     tieCol: String = "event_id",
     roleCol: String = "event_type",
     contentCol: String = "props",
-    maxTurns: Int = 8) {
+    maxTurns: Int = 8) extends graft.core.Operator {
 
   require(maxTurns >= 1, s"maxTurns must be >= 1, got $maxTurns")
 

@@ -442,6 +442,20 @@ object OperatorRegistry {
     alpha = p.double("alpha", 1.0),
     hashName = p.str("hash_algorithm", "xxhash64")))
 
+  register("bigram_lm_score", p => new graft.operators.text.BigramLmScoreRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    outCol = p.str("output_field", "bigram_lm_bits"),
+    countCol = p.str("count_field", "bigram_lm_n")))
+
+  register("conversation_assembly", p => new graft.operators.text.ConversationAssembly(
+    keyCol = p.str("key_field", "user_id"),
+    tsCol = p.str("ts_field", "ts"),
+    tieCol = p.str("tiebreak_field", "event_id"),
+    roleCol = p.str("role_field", "event_type"),
+    contentCol = p.str("content_field", "props"),
+    maxTurns = p.int("max_turns", 8)))
+
   register("dup_ngram", p => new DupNgramRefiner(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

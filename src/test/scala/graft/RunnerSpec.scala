@@ -806,6 +806,23 @@ class RunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("registry: bigram_lm_score and conversation_assembly build and run") {
+    import spark.implicits._
+    val lm = OperatorRegistry.create("bigram_lm_score",
+      Params(Map("id_field" -> "doc_id")))
+    val scored = lm(Seq((1L, "a b a"), (2L, "z")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("bigram_lm_bits"))).toMap
+    assert(!scored(1L) && scored(2L)) // 2 bigrams score; 1-token doc NULL
+    val ca = OperatorRegistry.create("conversation_assembly",
+      Params(Map("max_turns" -> 2)))
+    val convo = ca(Seq((1L, 10L, 100L, "user", "hi"))
+        .toDF("user_id", "event_id", "us", "event_type", "props")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("us"))))
+      .collect()
+    assert(convo.length == 1 && convo.head.getLong(2) == 1L)
+  }
+
   test("registry rejects unknown operators with the available list") {
     val e = intercept[IllegalArgumentException] {
       OperatorRegistry.create("nope", Params(Map.empty))
