@@ -220,5 +220,16 @@ object TrainingMixQueries {
               |  FROM embeddings)
               |SELECT vec_id,
               |  round(${xmodalOp.scoreSql("embedding", "emb_b")}, 6) AS cross_modal_cosine
-              |FROM aug ORDER BY vec_id""".stripMargin)))
+              |FROM aug ORDER BY vec_id""".stripMargin)),
+
+    OracleQuery("token_budget_waterfill",
+      // equal-share budget allocation with surplus redistribution over
+      // the skewed lang groups: 17/20 of the corpus total funds every
+      // minor language in full and caps the dominant one at the water
+      // level — both branches bite at every scale factor
+      (s, dir) => waterfillOp(Tables(s, dir, "documents")),
+      Some(waterfillOp.sql("documents"))))
+
+  private lazy val waterfillOp = new graft.operators.text.BudgetWaterfill(
+    textCol = "text", groupCol = "lang", budgetNum = 17L, budgetDen = 20L)
 }

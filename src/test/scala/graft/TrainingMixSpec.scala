@@ -147,4 +147,34 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(math.abs(out(2L) + 1.0) < 1e-12)
     assert(out(3L) == 0.0 && out(4L) == 0.0 && out(5L) == 0.0 && out(6L) == 0.0)
   }
+
+  // ---- water-filling budget allocator ----
+
+  test("waterfill: hand-computed levels — small groups funded whole, surplus redistributed") {
+    import spark.implicits._
+    import graft.operators.text.BudgetWaterfill
+    // avail: a=2, b=4, c=10 (one token per 'x'); budget = 16*3/4 = 12.
+    // Equal split 4: a takes 2 (funded), surplus raises the level for
+    // b,c to (12-2)/2 = 5: b takes 4 (funded), c capped at 12-6 = 6.
+    val docs = (Seq.fill(2)("a") ++ Seq.fill(4)("b") ++ Seq.fill(10)("c"))
+      .map(g => (g, "x")).toDF("source", "text")
+    val out = new BudgetWaterfill("text", "source", 3L, 4L)(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((2L, true, 2.0)))
+    assert(out("b") == ((4L, true, 4.0)))
+    assert(out("c") == ((10L, false, 6.0)))
+  }
+
+  test("waterfill: budget >= total funds everything; zero budget levels everyone at 0") {
+    import spark.implicits._
+    import graft.operators.text.BudgetWaterfill
+    val docs = Seq(("a", "x x"), ("b", "x")).toDF("source", "text")
+    val full = new BudgetWaterfill("text", "source", 1L, 1L)(docs)
+      .collect().map(r => (r.getBoolean(2), r.getDouble(3))).toSeq
+    assert(full == Seq((true, 2.0), (true, 1.0)))
+    val zero = new BudgetWaterfill("text", "source", 0L, 1L)(docs)
+      .collect().map(r => (r.getBoolean(2), r.getDouble(3))).toSeq
+    assert(zero == Seq((false, 0.0), (false, 0.0)))
+  }
 }
