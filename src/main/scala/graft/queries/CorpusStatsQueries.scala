@@ -71,6 +71,11 @@ object CorpusStatsQueries {
       (s, dir) => vocabCovOp(Tables(s, dir, "documents")),
       Some(vocabCovOp.sql("documents"))),
 
+    // Corpus boilerplate audit: the 8-grams shared across the most docs
+    OracleQuery("boilerplate_ngrams",
+      (s, dir) => boilerplateOp(Tables(s, dir, "documents")),
+      Some(boilerplateOp.sql("documents"))),
+
     // Conditional bigram-LM cross-entropy per doc (the Markov complement
     // to ngram_lm_score's marginal frequencies — see BigramLm scaladoc)
     OracleQuery("bigram_lm_score",
@@ -84,4 +89,7 @@ object CorpusStatsQueries {
 
   private lazy val bigramLmOp = new graft.operators.text.BigramLm(
     "text", "doc_id")
+
+  private lazy val boilerplateOp = new graft.operators.text.BoilerplateNgrams(
+    "text", "doc_id", ngramWidth = 8, topK = 20, minDocs = 2L)
 }

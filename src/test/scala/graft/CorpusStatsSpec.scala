@@ -306,6 +306,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  // ---- boilerplate n-grams ----
+
+  test("boilerplate ngrams: doc-frequency top-K, in-doc repeats collapse, singletons drop") {
+    val banner = "all rights reserved contact us for more info"
+    val docs = Seq(
+      (1L, s"alpha beta $banner"),
+      (2L, s"$banner gamma delta $banner"), // banner twice IN one doc
+      (3L, s"unique eight gram only here once in corpus"),
+      (4L, banner)).toDF("doc_id", "text")
+    val op = new graft.operators.text.BoilerplateNgrams(
+      "text", "doc_id", ngramWidth = 8, topK = 5, minDocs = 2L)
+    val out = op(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the banner 8-gram leads: 3 docs, 4 occurrences (doc 2 counts twice)
+    assert(out.head == ((banner, 3L, 4L)), out.mkString("\n"))
+    // doc 3's singleton 8-gram never appears
+    assert(!out.exists(_._1.contains("unique")), out.mkString("\n"))
+    // head selection is a distributed top-K, not a global sort
+    val plan = TestSpark.planOf(op(docs))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   // ---- conditional bigram LM ----
 
   test("bigram lm: hand-computed conditional cross-entropy; <2 tokens => NULL") {

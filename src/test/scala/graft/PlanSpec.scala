@@ -13,7 +13,8 @@ class PlanSpec extends AnyFunSuite {
 
   private val byName = (Relational.queries ++ NearDup.queries ++
     graft.queries.ModelStatsQueries.queries ++
-    graft.queries.DriftQueries.queries).map(q => q.name -> q).toMap
+    graft.queries.DriftQueries.queries ++
+    graft.queries.CorpusStatsQueries.queries).map(q => q.name -> q).toMap
   private def plan(name: String): String = planOf(byName(name).run(spark, sfDir))
   private def fmtPlan(name: String): String = planFormatted(byName(name).run(spark, sfDir))
 
@@ -634,6 +635,33 @@ class PlanSpec extends AnyFunSuite {
     assert(valueWindows.nonEmpty, s"expected a v-ordered slice window:\n$p")
     valueWindows.foreach(w => assert(w.contains("_pid"),
       s"value-table window must partition by the range partition id: $w"))
+  }
+
+  test("bigram_lm: text scans once into the staged count table; consumers read cache, no windows") {
+    // counts, context totals, the vocab scalar and the scoring join all
+    // derive from the staged (doc, h_bigram) table — left lazy they each
+    // re-tokenize the corpus (the psiPerGroup lesson). The only other
+    // FileScan is the output left-join's doc_id-pruned scan.
+    // walk the physical tree, not the plan STRING: the cached relation
+    // re-prints its own recipe (with its FileScan) inside every
+    // InMemoryTableScan node, but as a tree the scan node is a LEAF, so
+    // collect() sees only scans that actually run
+    val df = byName("bigram_lm_score").run(spark, sfDir)
+    val top = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case o => o
+    }
+    val scans = top.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1, s"only the output join's scan may remain:\n$top")
+    assert(scans.head.output.map(_.name) == Seq("doc_id"),
+      s"the remaining scan must be doc_id-pruned: ${scans.head.output}")
+    val inMem = top.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+    assert(inMem.size >= 3, s"counts/vocab/scoring must read the staged table:\n$top")
+    assert(!top.toString.contains("Window ["),
+      s"no windows anywhere in the LM (cached recipe included):\n$top")
   }
 
   test("NO gate query plans a CartesianProduct — the whole-surface scale audit") {
