@@ -52,12 +52,18 @@ final class BigramLm(
     * score (and 0 bigrams) for docs with < 2 tokens.
     */
   def apply(df: DataFrame): DataFrame = {
-    val toks = TextFunctions.tokensOf(col(textCol))
-    // one corpus text scan: explode staged bigrams, hash all three keys
-    // (bigram, first token, second token) while still strings-local
+    // one corpus text scan: TOKEN ARRAY STAGED IN ITS OWN PROJECTION,
+    // then the shingle transform FUSED into the generator — inline
+    // tokensOf re-runs normalize+split per lambda element (the
+    // TextRepetition lesson), and an intermediate `_bigs` projection
+    // between the token stage and the explode re-degenerates the same
+    // way after CollapseProject rewrites it (both shapes MEASURED ~32 s
+    // at sf0.1; this one 2 s — keep the explode directly over the
+    // staged token column)
     val occs = df
-      .select(col(idCol), TextFunctions.shingles(toks, 2).as("_bigs"))
-      .select(col(idCol), explode(col("_bigs")).as("_big"))
+      .select(col(idCol), TextFunctions.tokensOf(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col("_toks"), 2)).as("_big"))
       .select(col(idCol),
         HashFunctions.portableHash64(col("_big")).as("_hb"),
         HashFunctions.portableHash64(split(col("_big"), " ").getItem(0)).as("_h1"),

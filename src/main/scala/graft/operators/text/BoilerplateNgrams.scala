@@ -39,9 +39,13 @@ final class BoilerplateNgrams(
   val name = "boilerplate_ngrams"
 
   def apply(df: DataFrame): DataFrame = {
-    val grams = df.select(col(idCol),
-        explode(TextFunctions.shingles(
-          TextFunctions.tokensOf(col(textCol)), ngramWidth)).as("ngram"))
+    // token array staged in its own projection — inline, the shingle
+    // lambda re-runs normalize+split per element (the TextRepetition
+    // lesson; measured 54 s → <2 s at sf0.1 for width 8)
+    val grams = df
+      .select(col(idCol), TextFunctions.tokensOf(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col("_toks"), ngramWidth)).as("ngram"))
       .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("_occ"))
     grams.groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_occ")).as("n_occurrences"))
