@@ -14,7 +14,16 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       // release staged frames inside the timed region: staging cost is
       // the query's honest cost, and leaked blocks would bleed memory
-      // pressure into LATER queries' measurements
+      // pressure into LATER queries' measurements.
+      //
+      // ESTIMATOR NOTE for cross-round comparisons: pre-r14 records
+      // never released, so a staging operator's 2nd/3rd rep found the
+      // 1st rep's still-registered cache (CacheManager matches by
+      // canonical plan) and its "min" was a warm-cache artifact —
+      // ks_statistic read 0.19 s warm vs 0.82 s honest-cold, with the
+      // same ~2-4x on vocab_coverage / quantile_rank / mutual_information
+      // / events_anomaly / language_confusion. r14+ legs for those
+      // operators measure the full per-invocation cost.
       finally graft.core.Staging.releaseAll()
     // Deterministic order + warmup + WARM MIN of n>=3: without the
     // warmup the first Map-ordered query eats JVM/codegen warmup (~9s in

@@ -28,4 +28,11 @@ object GraftSession {
       // events.parquet carries INT64(TIMESTAMP_NANOS) which Spark's reader
       // rejects; read nanos as long and convert explicitly (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the generated-class cache defaults to 100 entries — a session
+      // running the 200+ query gate suite (or a many-operator production
+      // pipeline) evicts constantly and re-COMPILES its codegen per
+      // invocation (~100-300 ms per query, measured: interleaved bench
+      // reps read ~2x on every small leg). JVM-global, read once at
+      // CodeGenerator init, so it must sit on the session builder.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
 }

@@ -378,4 +378,144 @@ object AnnSearch {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Probe-bucket SET for multi-probe LSH (Lv et al., VLDB 2007): the
+    * query's own sign bucket plus the buckets at Hamming distance 1 on
+    * the `probes` planes whose query coordinate has the SMALLEST
+    * magnitude — the least-confident signs, where a true neighbor most
+    * likely fell across the boundary. The recall lever that costs only
+    * query-side fan-out: corpus rows still carry ONE bucket id, so at
+    * 100 TB a query reads `probes+1` partitions of the bucket-partitioned
+    * table instead of one, while the corpus-side layout is unchanged.
+    *
+    * Plane rank is a CLOSED-FORM lexicographic count over the exact
+    * scaled magnitudes (no sort, no window): plane k flips iff fewer
+    * than `probes` planes have a strictly smaller `(|scaled|, index)`
+    * pair — deterministic, and the SQL twin replays the same integer
+    * comparisons.
+    */
+  def probeBuckets(vec: Column, coords: Seq[Int], probes: Int): Column = {
+    require(probes >= 0 && probes <= coords.length,
+      s"probes must be in [0, ${coords.length}], got $probes")
+    val base = signBucket(vec, coords)
+    def mag(c: Int): Column = abs(scaledCoord(vec, c))
+    val flips: Seq[Column] = coords.zipWithIndex.map { case (c, k) =>
+      val rank = coords.zipWithIndex.filter(_._2 != k).map { case (c2, j) =>
+        // (|m_j|, j) < (|m_k|, k) lexicographically; the index tiebreak
+        // folds to <= / < at build time
+        val lt = if (j < k) mag(c2) <= mag(c) else mag(c2) < mag(c)
+        when(lt, lit(1)).otherwise(lit(0))
+      }.reduceOption(_ + _).getOrElse(lit(0))
+      when(rank < probes, base.bitwiseXOR(lit(1L << k)))
+        .otherwise(lit(null).cast("long"))
+    }
+    filter(array(base +: flips: _*), x => x.isNotNull)
+  }
+
+  def probeBucketsSql(vecExpr: String, coords: Seq[Int], probes: Int): String = {
+    val base = signBucketSql(vecExpr, coords)
+    def mag(c: Int) = s"abs(${scaledCoordSql(vecExpr, c)})"
+    val flips = coords.zipWithIndex.map { case (c, k) =>
+      val rank = coords.zipWithIndex.filter(_._2 != k).map { case (c2, j) =>
+        val cmp = if (j < k) "<=" else "<"
+        s"(CASE WHEN ${mag(c2)} $cmp ${mag(c)} THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($rank) < $probes THEN xor($base, CAST(${1L << k} AS BIGINT)) END)"
+    }
+    s"list_filter([$base${flips.map(", " + _).mkString}], x -> x IS NOT NULL)"
+  }
+
+  /** Multi-probe [[lshTopK]]: same corpus-side bucket id, `probes+1`
+    * query-side buckets probed. Probe ids are distinct by construction
+    * (base + distinct single-bit flips), so no candidate deduplication
+    * is needed.
+    */
+  def multiProbeTopK(df: DataFrame, queryDf: DataFrame, vecCol: String,
+      idCol: String, k: Int, coords: Seq[Int], probes: Int): DataFrame = {
+    val q = broadcast(queryDf.select(col(vecCol).as("_qv"))
+      .withColumn("_qpb",
+        explode(probeBuckets(col("_qv"), coords, probes))))
+    df.withColumn("_b", signBucket(col(vecCol), coords))
+      .join(q, col("_b") === col("_qpb"))
+      .withColumn("cosine", VectorFunctions.cosine(col(vecCol), col("_qv")))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Recall readout for the sign-bucket tier: over a deterministic
+    * 1-in-`queryMod` query sample, how many of each query's exact
+    * brute-force top-k does single-probe LSH find, and how many does
+    * multi-probe find — the measured-on-this-corpus tuner for
+    * (coords, probes), mirroring `lsh_recall_report` for MinHash
+    * banding. One row: `(queries, k, truth_pairs, single_hits,
+    * multi_hits, single_recall, multi_recall)`.
+    */
+  def multiProbeRecall(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      coords: Seq[Int], probes: Int, queryMod: Int): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    val queries = df.filter(pmod(col(idCol), lit(queryMod)) === 0)
+    val truth = knnJoin(df, queries, vecCol, idCol, idCol, k)
+      .select(col("query_id"), col(idCol).as("_tid"))
+    val single = knnJoinLsh(df, queries, vecCol, idCol, idCol, k, coords)
+      .select(col("query_id").as("_sq"), col(idCol).as("_sid"))
+    val q = broadcast(queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      .withColumn("_qpb", explode(probeBuckets(col("_qv"), coords, probes))))
+    val multiCand = df.withColumn("_qpb", signBucket(col(vecCol), coords))
+      .join(q, Seq("_qpb"))
+    val multi = perQueryTopK(multiCand, vecCol, idCol, k)
+      .select(col("query_id").as("_mq"), col(idCol).as("_mid"))
+    truth
+      .join(single, col("query_id") === col("_sq") && col("_tid") === col("_sid"),
+        "left")
+      .join(multi, col("query_id") === col("_mq") && col("_tid") === col("_mid"),
+        "left")
+      .agg(
+        countDistinct(col("query_id")).as("queries"),
+        first(lit(k)).as("k"),
+        count(lit(1)).as("truth_pairs"),
+        count(col("_sid")).as("single_hits"),
+        count(col("_mid")).as("multi_hits"))
+      .select(col("queries"), col("k").cast("long").as("k"), col("truth_pairs"),
+        col("single_hits"), col("multi_hits"),
+        round(col("single_hits").cast("double") / col("truth_pairs").cast("double"), 6)
+          .as("single_recall"),
+        round(col("multi_hits").cast("double") / col("truth_pairs").cast("double"), 6)
+          .as("multi_recall"))
+  }
+
+  /** DuckDB twin of [[multiProbeRecall]] — the oracle re-ranks the exact
+    * and bucketed candidate sets with the same (cosine DESC, id) order.
+    */
+  def multiProbeRecallSql(table: String, vecCol: String, idCol: String,
+      k: Int, coords: Seq[Int], probes: Int, queryMod: Int): String = {
+    val cos = VectorFunctions.cosineSql(s"e.$vecCol", "qv")
+    val eb = signBucketSql(s"e.$vecCol", coords)
+    s"""WITH _mq AS (SELECT $idCol AS qid, $vecCol AS qv,
+       |    ${signBucketSql(vecCol, coords)} AS qb,
+       |    ${probeBucketsSql(vecCol, coords, probes)} AS pbs
+       |  FROM $table WHERE $idCol % $queryMod = 0),
+       |_truth AS (SELECT qid, $idCol AS tid FROM (
+       |  SELECT qid, e.$idCol,
+       |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, e.$idCol) AS rn
+       |    FROM $table e CROSS JOIN _mq) WHERE rn <= $k),
+       |_single AS (SELECT qid AS sq, $idCol AS sid FROM (
+       |  SELECT qid, e.$idCol,
+       |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, e.$idCol) AS rn
+       |    FROM $table e JOIN _mq ON $eb = qb) WHERE rn <= $k),
+       |_multi AS (SELECT qid AS mq, $idCol AS mid FROM (
+       |  SELECT qid, e.$idCol,
+       |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, e.$idCol) AS rn
+       |    FROM $table e JOIN _mq ON list_contains(pbs, $eb)) WHERE rn <= $k)
+       |SELECT CAST(count(DISTINCT qid) AS BIGINT) AS queries,
+       |  CAST($k AS BIGINT) AS k,
+       |  CAST(count(*) AS BIGINT) AS truth_pairs,
+       |  CAST(count(sid) AS BIGINT) AS single_hits,
+       |  CAST(count(mid) AS BIGINT) AS multi_hits,
+       |  round(CAST(count(sid) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS single_recall,
+       |  round(CAST(count(mid) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS multi_recall
+       |FROM _truth
+       |LEFT JOIN _single ON qid = sq AND tid = sid
+       |LEFT JOIN _multi ON qid = mq AND tid = mid""".stripMargin
+  }
 }

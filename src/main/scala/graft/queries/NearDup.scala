@@ -420,6 +420,19 @@ object NearDup {
     // semi-join of the n*k edge list against its own reverse. The cap
     // (1000) never fires on the fixtures but the twin's QUALIFY models
     // it identically, so the gate stays honest if it ever does.
+    OracleQuery("multiprobe_recall",
+      // the (coords, probes) TUNER for the sign-bucket tier, mirroring
+      // lsh_recall_report for MinHash banding: over a deterministic
+      // query sample, recall@k of single-probe vs multi-probe (2 extra
+      // buckets on the least-confident planes) against brute-force
+      // truth — the measured recall lever that costs only query-side
+      // fan-out, never corpus-side
+      (s, dir) => AnnSearch.multiProbeRecall(Tables(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 10, coords = lshCoords, probes = 2,
+        queryMod = 97),
+      Some(AnnSearch.multiProbeRecallSql("embeddings", "embedding", "vec_id",
+        k = 10, coords = lshCoords, probes = 2, queryMod = 97))),
+
     OracleQuery("mutual_knn_pairs",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

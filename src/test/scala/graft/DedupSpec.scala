@@ -211,6 +211,32 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute), s"${lsh -- brute}")
   }
 
+  test("multi-probe: flips exactly `probes` least-confident planes; recall never below single-probe") {
+    import spark.implicits._
+    // hand vector: |coords| magnitudes 0.9, 0.1, -0.05, 0.7 on planes
+    // 0..3 → least-confident planes are 2 (|−0.05|) then 1 (|0.1|);
+    // base bucket = signs (+,+,−,+) = 1+2+0+8 = 11
+    val v = Seq((0L, Array(0.9f, 0.1f, -0.05f, 0.7f))).toDF("vec_id", "embedding")
+    val probes = v.select(explode(AnnSearch.probeBuckets(
+        col("embedding"), 0 until 4, probes = 2)).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(probes == Set(11L, 11L ^ 4L, 11L ^ 2L), probes.toString) // base, flip plane2, flip plane1
+    // probes = 0 degenerates to the single bucket
+    val p0 = v.select(explode(AnnSearch.probeBuckets(
+        col("embedding"), 0 until 4, probes = 0)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(p0 == Seq(11L))
+    // on the fixture corpus: multi-probe candidates strictly contain the
+    // single bucket, and measured recall is monotone in probes
+    val emb = table("embeddings")
+    val rep = AnnSearch.multiProbeRecall(emb, "embedding", "vec_id",
+      k = 10, coords = 0 until 4, probes = 2, queryMod = 97).head()
+    assert(rep.getLong(2) == rep.getLong(0) * 10) // truth_pairs = queries*k
+    assert(rep.getLong(4) >= rep.getLong(3),
+      s"multi_hits ${rep.getLong(4)} must be >= single_hits ${rep.getLong(3)}")
+    assert(rep.getDouble(6) >= rep.getDouble(5))
+  }
+
   test("lsh recall tuner: sampleMod is required, sample is endpoint-consistent, empty truth gives null recall") {
     import graft.operators.dedup.LshRecall
     def tuner(m: Int) = new LshRecall("text", "doc_id", shingleWidth = 3,
