@@ -29,6 +29,16 @@ object OperatorRegistry {
 
   def listOperators: Seq[String] = factories.keys.toSeq.sorted
 
+  /** Adapt a plain df => df stage (report/aggregation operators whose
+    * class isn't an [[Operator]]) to the registry contract.
+    */
+  private def wrap(opName: String,
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Operator =
+    new Operator {
+      val name: String = opName
+      def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = f(df)
+    }
+
   // ---- built-ins (names match the reference's YAML vocabulary where an
   // equivalent exists: configs/example_commoncrawl.yaml, z_image.yaml) ----
 
@@ -447,6 +457,24 @@ object OperatorRegistry {
     idCol = p.str("id_field", "id"),
     outCol = p.str("output_field", "bigram_lm_bits"),
     countCol = p.str("count_field", "bigram_lm_n")))
+
+  register("boilerplate_ngrams", p => OperatorRegistry.wrap(
+    "boilerplate_ngrams",
+    new graft.operators.text.BoilerplateNgrams(
+      textCol = p.str("text_field", "text"),
+      idCol = p.str("id_field", "id"),
+      ngramWidth = p.int("ngram_width", 8),
+      topK = p.int("top_k", 20),
+      minDocs = p.long("min_docs", 2L))(_)))
+
+  register("token_budget_waterfill", p => OperatorRegistry.wrap(
+    "token_budget_waterfill",
+    new graft.operators.text.BudgetWaterfill(
+      textCol = p.str("text_field", "text"),
+      groupCol = p.str("group_field", "source"),
+      budgetNum = p.long("budget_num").getOrElse(sys.error(
+        "token_budget_waterfill needs budget_num/budget_den (budget = corpus total * num/den)")),
+      budgetDen = p.long("budget_den", 1L))(_)))
 
   register("conversation_assembly", p => new graft.operators.text.ConversationAssembly(
     keyCol = p.str("key_field", "user_id"),
