@@ -17,9 +17,24 @@ import org.apache.spark.storage.StorageLevel
   * through here, and the session's consumption points (Verify after each
   * gate dump, Bench after each measured rep, PipelineRunner after each
   * run) call [[releaseAll]] once the action that consumed the output has
-  * finished. Releasing is always CORRECT — a re-consumed frame silently
-  * recomputes — it only forfeits caching, so release points just have to
-  * sit after full consumption, never before an action.
+  * finished.
+  *
+  * CONTRACT — release only at QUIESCENT points. [[releaseAll]] sweeps
+  * the whole session-global registry, so it must run only when no staged
+  * output is still awaiting consumption anywhere in the session — i.e.
+  * one pipeline/gate at a time (how Verify, Bench and PipelineRunner
+  * run). Releasing mid-consumption is NOT merely a recompute: several
+  * staged frames are `spark_partition_id`-dependent (KsStatistic,
+  * QuantileRank range-partition the value table and join per-partition
+  * offsets back by _pid), and if their consumers independently recompute
+  * the exchange after an early release, the offset and slice sides can
+  * disagree on partition boundaries — silently wrong results, which the
+  * eager count() in [[stage]] exists to prevent. Concurrent pipelines in
+  * one session must skip releaseAll and accept cache growth (or release
+  * at their own join point). Long-lived monitor loops that invoke a
+  * staging operator per trigger (e.g. EventAnomaly.fromCounts) must call
+  * releaseAll after consuming each readout, or they pin one staged frame
+  * per trigger for the application's life.
   */
 object Staging {
 

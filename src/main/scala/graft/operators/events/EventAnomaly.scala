@@ -58,10 +58,12 @@ final class EventAnomaly(
     // THREE consumers (bounds, type spine, densify join) with different
     // pruned columns — materialize it once or the batch path re-derives
     // the event-stream aggregate per consumer (the psiPerGroup lesson).
-    // persist + eager count, NOT localCheckpoint: persisted blocks are
-    // recomputable on eviction and the ContextCleaner reclaims them on
-    // GC, while a localCheckpoint pins storage for application lifetime
-    // (this method runs once per monitor trigger)
+    // Staged via the registry: Verify/Bench/PipelineRunner release after
+    // consumption; a long-lived monitor loop calling this per trigger
+    // must call Staging.releaseAll() after consuming each readout, or
+    // the registry's strong reference pins one frame per trigger for the
+    // application's life (the registry holds the reference — the
+    // ContextCleaner cannot GC it away)
     val counts = graft.core.Staging.stage(counts0)
     val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val hours = bounds.select(explode(

@@ -51,7 +51,19 @@ final class BigramLm(
   /** `(idCol, n_bigrams, bits_per_bigram)` for EVERY input row; NULL
     * score (and 0 bigrams) for docs with < 2 tokens.
     */
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame =
+    df.select(col(idCol))
+      .join(scores(df), col(idCol) === col("_blm_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
+        col("_blm_bits").as("bits_per_bigram"))
+
+  /** `(_blm_id, _blm_n, _blm_bits)` — ONE row per corpus doc that has at
+    * least one bigram (callers left-join and coalesce). The join-ready
+    * form [[BigramLmScoreRefiner]] attaches without a second pass over
+    * the scored table.
+    */
+  def scores(df: DataFrame): DataFrame = {
     // one corpus text scan: TOKEN ARRAY STAGED IN ITS OWN PROJECTION,
     // then the shingle transform FUSED into the generator — inline
     // tokensOf re-runs normalize+split per lambda element (the
@@ -85,16 +97,13 @@ final class BigramLm(
       .crossJoin(broadcast(vocab))
       .select(col("_hb").as("_chb"),
         floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
-    val scored = db.join(cost, col("_hb") === col("_chb"))
-      .groupBy(col(idCol).as("_sid"))
+    db.join(cost, col("_hb") === col("_chb"))
+      .groupBy(col(idCol).as("_blm_id"))
       .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9")).as("_s"))
-    df.select(col(idCol))
-      .join(scored, col(idCol) === col("_sid"), "left")
-      .select(col(idCol),
-        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+      .select(col("_blm_id"), col("_nb").as("_blm_n"),
         when(col("_nb") > 0L,
           round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
-          .as("bits_per_bigram"))
+          .as("_blm_bits"))
   }
 
   // ---- DuckDB twin: the same hashed integer algebra ----
@@ -135,7 +144,9 @@ final class BigramLm(
 }
 
 /** Registry/YAML form: attaches `outCol` (bits per bigram, NULL when the
-  * doc has < 2 tokens) and `countCol` to every input row.
+  * doc has < 2 tokens) and `countCol` to every input row — ONE join of
+  * the grouped score table onto the input (the NgramLmScoreRefiner
+  * shape), so repeated ids never multiply.
   */
 final class BigramLmScoreRefiner(
     textCol: String = "text",
@@ -143,10 +154,26 @@ final class BigramLmScoreRefiner(
     outCol: String = "bigram_lm_bits",
     countCol: String = "bigram_lm_n") extends graft.core.Operator {
   val name = "bigram_lm_score"
-  def apply(df: DataFrame): DataFrame = {
-    val scores = new BigramLm(textCol, idCol)(df)
-      .select(col(idCol).as("_blm_id"),
-        col("n_bigrams").as(countCol), col("bits_per_bigram").as(outCol))
-    df.join(scores, col(idCol) === col("_blm_id"), "left").drop("_blm_id")
+
+  def apply(df: DataFrame): DataFrame = attach(df, df, None)
+
+  /** Disposition mode: the LM trains on ALIVE rows only — a document
+    * rejected upstream never contributed counts in the sequential chain,
+    * so it must not shift the corpus distribution here either (the
+    * NgramLmScoreRefiner contract). Dead rows keep null score AND null
+    * count.
+    */
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    attach(df, df.filter(alive), Some(alive))
+
+  private def attach(df: DataFrame, corpus: DataFrame,
+      alive: Option[Column]): DataFrame = {
+    val gate: Column => Column =
+      c => alive.map(a => when(a, c)).getOrElse(c)
+    df.join(new BigramLm(textCol, idCol).scores(corpus),
+        col(idCol) === col("_blm_id"), "left")
+      .withColumn(countCol, gate(coalesce(col("_blm_n"), lit(0L))))
+      .withColumn(outCol, gate(col("_blm_bits")))
+      .drop("_blm_id", "_blm_n", "_blm_bits")
   }
 }

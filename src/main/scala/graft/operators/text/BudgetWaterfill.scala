@@ -89,8 +89,8 @@ final class BudgetWaterfill(
        |    (CAST(sum(avail) AS BIGINT) * $budgetNum) // $budgetDen AS _b
        |  FROM _av),
        |_rk AS (SELECT grp, avail,
-       |    CAST(row_number() OVER (ORDER BY avail, grp) AS BIGINT) AS _rn,
-       |    CAST(sum(avail) OVER (ORDER BY avail, grp
+       |    CAST(row_number() OVER (ORDER BY avail, grp NULLS FIRST) AS BIGINT) AS _rn,
+       |    CAST(sum(avail) OVER (ORDER BY avail, grp NULLS FIRST
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _pfx,
        |    _n, _b
        |  FROM _av CROSS JOIN _tot),
@@ -106,6 +106,6 @@ final class BudgetWaterfill(
        |    ELSE round(CAST(_b - _pk AS DOUBLE) / CAST(_n - _k AS DOUBLE), 6)
        |  END AS allocated_tokens
        |FROM _rk CROSS JOIN _k
-       |ORDER BY $groupCol""".stripMargin
+       |ORDER BY $groupCol NULLS FIRST""".stripMargin
   }
 }

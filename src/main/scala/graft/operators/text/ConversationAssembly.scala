@@ -36,14 +36,18 @@ final class ConversationAssembly(
   val name = "conversation_assembly"
 
   /** `(keyCol, n_events, n_turns, n_chars, convo_md5)` per key, ordered
-    * by nothing (caller orders). NULL content renders as empty.
+    * by nothing (caller orders). NULL role/content render as empty — the
+    * line is never NULL, so Spark's array_join and DuckDB's string_agg
+    * cannot diverge on null-element handling. The turn-rank window
+    * orders NULLS FIRST explicitly on both sides (Spark's ascending
+    * default; DuckDB defaults NULLS LAST — the r13 parity rule).
     */
   def apply(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val turns = events.select(col(keyCol), col(tsCol), col(tieCol),
-        concat(col(roleCol), lit(": "), coalesce(col(contentCol), lit("")))
-          .as("_line"))
+        concat(coalesce(col(roleCol), lit("")), lit(": "),
+          coalesce(col(contentCol), lit(""))).as("_line"))
       .withColumn("_rn", row_number().over(w))
     turns
       .groupBy(col(keyCol))
@@ -64,9 +68,9 @@ final class ConversationAssembly(
 
   def sql(table: String): String =
     s"""WITH _ct AS (SELECT $keyCol,
-       |    $roleCol || ': ' || coalesce($contentCol, '') AS _line,
+       |    coalesce($roleCol, '') || ': ' || coalesce($contentCol, '') AS _line,
        |    row_number() OVER (PARTITION BY $keyCol
-       |      ORDER BY $tsCol, $tieCol) AS _rn
+       |      ORDER BY $tsCol NULLS FIRST, $tieCol NULLS FIRST) AS _rn
        |  FROM $table)
        |SELECT $keyCol, count(*) AS n_events,
        |  count(CASE WHEN _rn <= $maxTurns THEN 1 END) AS n_turns,

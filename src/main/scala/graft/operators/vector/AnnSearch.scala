@@ -416,10 +416,14 @@ object AnnSearch {
     val base = signBucketSql(vecExpr, coords)
     def mag(c: Int) = s"abs(${scaledCoordSql(vecExpr, c)})"
     val flips = coords.zipWithIndex.map { case (c, k) =>
-      val rank = coords.zipWithIndex.filter(_._2 != k).map { case (c2, j) =>
+      // single-coord case: no competitors, rank 0 (the Scala side's
+      // reduceOption(...).getOrElse(lit(0)) — an empty mkString would
+      // emit the unparseable `()` here)
+      val terms = coords.zipWithIndex.filter(_._2 != k).map { case (c2, j) =>
         val cmp = if (j < k) "<=" else "<"
         s"(CASE WHEN ${mag(c2)} $cmp ${mag(c)} THEN 1 ELSE 0 END)"
-      }.mkString(" + ")
+      }
+      val rank = if (terms.isEmpty) "0" else terms.mkString(" + ")
       s"(CASE WHEN ($rank) < $probes THEN xor($base, CAST(${1L << k} AS BIGINT)) END)"
     }
     s"list_filter([$base${flips.map(", " + _).mkString}], x -> x IS NOT NULL)"

@@ -351,6 +351,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, None)))
   }
 
+  test("bigram lm refiner: disposition trains on ALIVE rows only; repeated ids never multiply") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val op = new graft.operators.text.BigramLmScoreRefiner("text", "doc_id")
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z z z z")).toDF("doc_id", "text")
+    // gated: doc 3 is dead — it must not shift the corpus counts (alive
+    // scores equal a plain run WITHOUT doc 3) and must carry NULLs
+    val gated = op.applyGated(df, col("doc_id") < 3L).collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(r.fieldIndex("bigram_lm_n")),
+        if (r.isNullAt(r.fieldIndex("bigram_lm_bits"))) None
+        else Some(r.getDouble(r.fieldIndex("bigram_lm_bits")))))).toMap
+    val aliveOnly = op(Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        Some(r.getDouble(r.fieldIndex("bigram_lm_bits")))).toMap
+    assert(gated(1L) == ((false, aliveOnly(1L))), "alive score must equal the dead-free corpus")
+    assert(gated(3L) == ((true, None)), "dead rows carry NULL count AND score")
+    // duplicated id: one score row joins per input row — 2 in, 2 out
+    val dup = op(Seq((7L, "x y"), (7L, "x y")).toDF("doc_id", "text"))
+    assert(dup.count() == 2L, "repeated ids must not multiply through the join")
+  }
+
   test("bigram lm: partition-invariant and gibberish scores above fluent text") {
     val fluent = (0 until 30).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
     val soup = (100 until 105).map(i => (i.toLong, s"dog the over fox$i quick lazy jumps brown the"))

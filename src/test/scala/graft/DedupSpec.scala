@@ -226,6 +226,10 @@ class DedupSpec extends AnyFunSuite {
         col("embedding"), 0 until 4, probes = 0)).as("b"))
       .collect().map(_.getLong(0)).toSeq
     assert(p0 == Seq(11L))
+    // single-coord SQL twin: the rank term list is empty — must emit a
+    // literal 0, never the unparseable `()`
+    val oneCoord = AnnSearch.probeBucketsSql("embedding", Seq(0), probes = 1)
+    assert(oneCoord.contains("(0) < 1") && !oneCoord.contains("()"), oneCoord)
     // on the fixture corpus: multi-probe candidates strictly contain the
     // single bucket, and measured recall is monotone in probes
     val emb = table("embeddings")
