@@ -80,3 +80,64 @@ final class ConversationAssembly(
        |    chr(10) ORDER BY _rn)) AS convo_md5
        |FROM _ct GROUP BY $keyCol""".stripMargin
 }
+
+/** SFT-format validator over per-key turn streams — the structural
+  * checks a fine-tuning pipeline runs BEFORE packing transcripts
+  * ([[ConversationAssembly]] serializes; this reports what's broken):
+  * consecutive same-role turns (an alternation violation that confuses
+  * chat templates), empty-content turns, and the turn-length profile.
+  *
+  * Exactness: violation/empty counts are exact BIGINTs off one
+  * key-partitioned lag; `avg_turn_chars` is one fixed-shape division
+  * over exact sums, rounded — the twin replays it. NULL roles compare
+  * null-safely (`<=>` / IS NOT DISTINCT FROM): two consecutive NULL
+  * roles ARE a repeat.
+  *
+  * Scale shape: one exchange on the conversation key; the lag window is
+  * key-partitioned (bounded per conversation), never corpus-wide.
+  */
+final class ConversationQuality(
+    keyCol: String = "user_id",
+    tsCol: String = "ts",
+    tieCol: String = "event_id",
+    roleCol: String = "event_type",
+    contentCol: String = "props") extends graft.core.Operator {
+
+  val name = "conversation_quality"
+
+  /** `(keyCol, n_turns, role_repeats, empty_turns, avg_turn_chars)`. */
+  def apply(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events.select(col(keyCol), col(tsCol), col(tieCol),
+        col(roleCol).as("_role"),
+        length(coalesce(col(contentCol), lit(""))).cast("long").as("_len"))
+      .withColumn("_prev", lag(col("_role"), 1).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_turns"),
+        count(when(!col("_first") && (col("_role") <=> col("_prev")), lit(1)))
+          .as("role_repeats"),
+        count(when(col("_len") === 0L, lit(1))).as("empty_turns"),
+        round(sum(col("_len")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_turn_chars"))
+  }
+
+  // ---- DuckDB twin ----
+
+  def sql(table: String): String =
+    s"""WITH _cq AS (SELECT $keyCol, $roleCol AS _role,
+       |    CAST(length(coalesce($contentCol, '')) AS BIGINT) AS _len,
+       |    lag($roleCol) OVER (PARTITION BY $keyCol
+       |      ORDER BY $tsCol NULLS FIRST, $tieCol NULLS FIRST) AS _prev,
+       |    row_number() OVER (PARTITION BY $keyCol
+       |      ORDER BY $tsCol NULLS FIRST, $tieCol NULLS FIRST) = 1 AS _first
+       |  FROM $table)
+       |SELECT $keyCol, count(*) AS n_turns,
+       |  count(CASE WHEN NOT _first AND _role IS NOT DISTINCT FROM _prev
+       |    THEN 1 END) AS role_repeats,
+       |  count(CASE WHEN _len = 0 THEN 1 END) AS empty_turns,
+       |  round(CAST(sum(_len) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS avg_turn_chars
+       |FROM _cq GROUP BY $keyCol""".stripMargin
+}

@@ -26,6 +26,10 @@ object AnalyticsQueries {
   private val sftOp = new graft.operators.text.ConversationAssembly(
     keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
     roleCol = "event_type", contentCol = "props", maxTurns = 8)
+
+  private val convQualityOp = new graft.operators.text.ConversationQuality(
+    keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+    roleCol = "event_type", contentCol = "props")
   private val overlapOp = new CorpusOverlapReport(hashName = "portable")
   private val viterbiOp = new graft.operators.text.UnigramViterbiCount(
     "text", "doc_id", seedMaxLen = 4, topK = 200)
@@ -58,6 +62,12 @@ object AnalyticsQueries {
       // role-tagged transcripts, first-8-turns truncation, md5-audited
       (s, dir) => sftOp(Tables.events(s, dir)).orderBy(col("user_id")),
       Some(sftOp.sql("events") + "\nORDER BY user_id")),
+
+    OracleQuery("conversation_quality",
+      // the pre-packing structural validator: alternation violations,
+      // empty turns, turn-length profile per conversation
+      (s, dir) => convQualityOp(Tables.events(s, dir)).orderBy(col("user_id")),
+      Some(convQualityOp.sql("events") + "\nORDER BY user_id")),
 
     OracleQuery("bpe_pair_counts",
       (s, dir) => bpeOp.pairCounts(Tables(s, dir, "documents")),

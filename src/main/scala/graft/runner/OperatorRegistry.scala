@@ -484,6 +484,13 @@ object OperatorRegistry {
     contentCol = p.str("content_field", "props"),
     maxTurns = p.int("max_turns", 8)))
 
+  register("conversation_quality", p => new graft.operators.text.ConversationQuality(
+    keyCol = p.str("key_field", "user_id"),
+    tsCol = p.str("ts_field", "ts"),
+    tieCol = p.str("tiebreak_field", "event_id"),
+    roleCol = p.str("role_field", "event_type"),
+    contentCol = p.str("content_field", "props")))
+
   register("dup_ngram", p => new DupNgramRefiner(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

@@ -203,6 +203,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out7(1L) == md5hex(convo1) && out7(2L) == md5hex("user: solo"))
   }
 
+  test("conversation quality: alternation repeats, empty turns, NULL-role edges") {
+    import spark.implicits._
+    val op = new graft.operators.text.ConversationQuality(
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      roleCol = "event_type", contentCol = "props")
+    val df = Seq(
+      // user 1: user,user (repeat), assistant, assistant (repeat) -> 2
+      (1L, 1L, 10L, "user", "hi"),
+      (1L, 2L, 11L, "user", "again"),
+      (1L, 3L, 12L, "assistant", ""),   // empty turn
+      (1L, 4L, 13L, "assistant", null.asInstanceOf[String]), // repeat + empty
+      // user 2: single NULL-role first turn -> NOT a repeat
+      (2L, 1L, 20L, null.asInstanceOf[String], "x"),
+      // user 3: two consecutive NULL roles ARE a repeat
+      (3L, 1L, 30L, null.asInstanceOf[String], "abcd"),
+      (3L, 2L, 31L, null.asInstanceOf[String], "ef"))
+      .toDF("user_id", "us", "event_id", "event_type", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = op(df).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 2L, 2L, 1.75))) // lens 2,5,0,0 -> avg 1.75
+    assert(out(2L) == ((1L, 0L, 0L, 1.0)))
+    assert(out(3L) == ((2L, 1L, 0L, 3.0)))
+  }
+
   test("sft pack: windows and aggregation are conversation-key partitioned") {
     val p = TestSpark.planOf(new graft.operators.text.ConversationAssembly()(
       graft.core.Tables.events(spark, sfDir)))
