@@ -211,6 +211,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming canonical-url dedup: stream kept set equals the batch operator across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.text.UrlCanonicalize
+    // messy spellings: ids 2k and 2k+1 canonicalize to the same page
+    def messy(id: Long): String =
+      if (id % 2 == 0) s"HTTPS://Example.COM:443/p${id / 2}/?utm_source=f&q=1"
+      else s"https://example.com/p${id / 2}?q=1#top"
+    val rows = (0L until 12L).map(id => (id, messy(id)))
+    // batch truth: first-wins on the hashed canonical key
+    val batchOp = new graft.operators.dedup.ExactDedup("canonical_url_dedup",
+      d => graft.functions.HashFunctions.portableHash64(
+        expr(UrlCanonicalize.canonicalSqlSpark("url"))).cast("string"),
+      orderCol = "id", repCol = "id")
+    val batchKept = batchOp(rows.toDF("id", "url"))
+      .select("id").as[Long].collect().toSet
+    // stream the SAME rows in id order, the dup pair SPLIT across
+    // triggers (cross-trigger state is the point); key = canonical url
+    val mem = MemoryStream[(Long, String)]
+    val keyed = mem.toDS().toDF("id", "url")
+      .select(expr(UrlCanonicalize.canonicalSqlSpark("url")).as("_1"),
+        col("id").cast("string").as("_2"))
+      .as[(String, String)]
+    val q = StreamingCuration.markSeenWithIds(keyed)
+      .writeStream.format("memory").queryName("curl_dedup_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(7) // pair (6,7) straddles the triggers
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamKept = spark.table("curl_dedup_out")
+        .filter(col("kept")).select("id").as[String].collect().map(_.toLong).toSet
+      assert(streamKept == batchKept,
+        s"stream $streamKept must equal batch $batchKept")
+      assert(streamKept == (0L until 12L by 2).toSet) // evens win first
+    } finally q.stop()
+  }
+
   test("stateful dedup tracks first-seen representative across triggers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
