@@ -38,6 +38,24 @@ import org.apache.spark.sql.functions._
   * bigram is one post-combine row, and AQE skew-splits the scoring
   * probe if a key still runs hot. No windows, no driver state.
   */
+object BigramLm {
+  private val Mask30 = (1L << 30) - 1
+  private val (a1, b1, _) = HashFunctions.mixConstants(0)
+  private val (a2, b2, _) = HashFunctions.mixConstants(1)
+
+  /** Asymmetric overflow-safe combine of two 60-bit token hashes into
+    * one bigram key (4 products < 2^60 each, sum < 2^62 — safe in both
+    * ANSI Spark and DuckDB).
+    */
+  private[text] def mixPair(h1: Column, h2: Column): Column =
+    lit(a1) * h1.bitwiseAND(lit(Mask30)) + lit(b1) * shiftright(h1, 30) +
+      lit(a2) * h2.bitwiseAND(lit(Mask30)) + lit(b2) * shiftright(h2, 30)
+
+  private[text] def mixPairSql(h1: String, h2: String): String =
+    s"($a1 * ($h1 & $Mask30) + $b1 * ($h1 >> 30) + " +
+      s"$a2 * ($h2 & $Mask30) + $b2 * ($h2 >> 30))"
+}
+
 final class BigramLm(
     textCol: String = "text",
     idCol: String = "doc_id") {
@@ -64,22 +82,28 @@ final class BigramLm(
     * the scored table.
     */
   def scores(df: DataFrame): DataFrame = {
-    // one corpus text scan: TOKEN ARRAY STAGED IN ITS OWN PROJECTION,
-    // then the shingle transform FUSED into the generator — inline
-    // tokensOf re-runs normalize+split per lambda element (the
-    // TextRepetition lesson), and an intermediate `_bigs` projection
-    // between the token stage and the explode re-degenerates the same
-    // way after CollapseProject rewrites it (both shapes MEASURED ~32 s
-    // at sf0.1; this one 2 s — keep the explode directly over the
-    // staged token column)
+    // one corpus text scan: each TOKEN hashes ONCE (one md5 per token —
+    // not three per bigram occurrence: at 100 TB the map-side hashing IS
+    // the scan cost) into a staged hash ARRAY, and the bigram key is the
+    // overflow-safe constant mix of the adjacent pair (the MinHash
+    // mixConstants discipline — asymmetric, so "a b" never merges with
+    // "b a"; products < 2^60, sum < 2^62 in both engines). Plan-shape
+    // note (the TextRepetition lesson, MEASURED 30x): the hash array is
+    // staged in its own projection and the pair transform is FUSED into
+    // the explode generator — element_at inside the lambda touches the
+    // staged ATTRIBUTE (free per element), never an inlined expression.
+    val hts = transform(TextFunctions.tokensOf(col(textCol)),
+      t => HashFunctions.portableHash64(t))
+    val pairs = when(size(col("_hts")) < 2,
+      array().cast("array<struct<_h1:bigint,_h2:bigint>>"))
+      .otherwise(transform(sequence(lit(0), size(col("_hts")) - 2),
+        i => struct(element_at(col("_hts"), i + 1).as("_h1"),
+          element_at(col("_hts"), i + 2).as("_h2"))))
     val occs = df
-      .select(col(idCol), TextFunctions.tokensOf(col(textCol)).as("_toks"))
-      .select(col(idCol),
-        explode(TextFunctions.shingles(col("_toks"), 2)).as("_big"))
-      .select(col(idCol),
-        HashFunctions.portableHash64(col("_big")).as("_hb"),
-        HashFunctions.portableHash64(split(col("_big"), " ").getItem(0)).as("_h1"),
-        HashFunctions.portableHash64(split(col("_big"), " ").getItem(1)).as("_h2"))
+      .select(col(idCol), hts.as("_hts"))
+      .select(col(idCol), explode(pairs).as("_p"))
+      .select(col(idCol), col("_p._h1").as("_h1"), col("_p._h2").as("_h2"))
+      .withColumn("_hb", BigramLm.mixPair(col("_h1"), col("_h2")))
     // _h1/_h2 are functions of _hb; min() just picks the one value
     val db = graft.core.Staging.stage(
       occs.groupBy(col(idCol), col("_hb"))
@@ -110,14 +134,14 @@ final class BigramLm(
 
   def sql(table: String): String = {
     val toks = TextFunctions.tokensOfSql(textCol)
-    val bigs = TextFunctions.shinglesSql("_toks", 2)
     def ph(e: String) = HashFunctions.portableHash64Sql(e)
-    s"""WITH _oc AS (SELECT $idCol,
-       |    ${ph("_big")} AS _hb,
-       |    ${ph("string_split(_big, ' ')[1]")} AS _h1,
-       |    ${ph("string_split(_big, ' ')[2]")} AS _h2
-       |  FROM (SELECT $idCol, unnest($bigs) AS _big
-       |        FROM (SELECT $idCol, $toks AS _toks FROM $table))),
+    s"""WITH _ht AS (SELECT $idCol,
+       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $table),
+       |_oc AS (SELECT $idCol,
+       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
+       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
+       |  FROM (SELECT $idCol, _hts,
+       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
        |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
        |    min(_h1) AS _h1, min(_h2) AS _h2
        |  FROM _oc GROUP BY $idCol, _hb),
