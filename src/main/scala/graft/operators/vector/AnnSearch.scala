@@ -482,9 +482,13 @@ object AnnSearch {
         count(col("_mid")).as("multi_hits"))
       .select(col("queries"), col("k").cast("long").as("k"), col("truth_pairs"),
         col("single_hits"), col("multi_hits"),
-        round(col("single_hits").cast("double") / col("truth_pairs").cast("double"), 6)
+        // empty truth (no queries sampled / empty set): NULL recall, not
+        // an ANSI divide-by-zero
+        when(col("truth_pairs") > 0L,
+          round(col("single_hits").cast("double") / col("truth_pairs").cast("double"), 6))
           .as("single_recall"),
-        round(col("multi_hits").cast("double") / col("truth_pairs").cast("double"), 6)
+        when(col("truth_pairs") > 0L,
+          round(col("multi_hits").cast("double") / col("truth_pairs").cast("double"), 6))
           .as("multi_recall"))
   }
 
@@ -516,8 +520,12 @@ object AnnSearch {
        |  CAST(count(*) AS BIGINT) AS truth_pairs,
        |  CAST(count(sid) AS BIGINT) AS single_hits,
        |  CAST(count(mid) AS BIGINT) AS multi_hits,
-       |  round(CAST(count(sid) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS single_recall,
-       |  round(CAST(count(mid) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS multi_recall
+       |  CASE WHEN count(*) > 0 THEN
+       |    round(CAST(count(sid) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |  END AS single_recall,
+       |  CASE WHEN count(*) > 0 THEN
+       |    round(CAST(count(mid) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |  END AS multi_recall
        |FROM _truth
        |LEFT JOIN _single ON qid = sq AND tid = sid
        |LEFT JOIN _multi ON qid = mq AND tid = mid""".stripMargin

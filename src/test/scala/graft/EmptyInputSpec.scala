@@ -187,4 +187,27 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq(graft.operators.table.DataQualityChecks.Completeness("text"))).head()
     assert(dq.isNullAt(2) && dq.isNullAt(4))
   }
+
+  test("round-14 additions survive empty input") {
+    zero("bigram lm")(new graft.operators.text.BigramLm("text", "doc_id")(noDocs))
+    zero("bigram lm refiner")(new graft.operators.text.BigramLmScoreRefiner(
+      "text", "doc_id")(noDocs))
+    zero("boilerplate ngrams")(new graft.operators.text.BoilerplateNgrams(
+      "text", "doc_id")(noDocs))
+    zero("waterfill")(new graft.operators.text.BudgetWaterfill(
+      "text", "source", 1L, 2L)(noDocs))
+    zero("conversation assembly")(new graft.operators.text.ConversationAssembly(
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      roleCol = "event_type", contentCol = "event_type")(noEvents))
+    zero("conversation quality")(new graft.operators.text.ConversationQuality(
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      roleCol = "event_type", contentCol = "event_type")(noEvents))
+    zero("multiprobe topk")(graft.operators.vector.AnnSearch.multiProbeTopK(
+      noVecs, noVecs, "embedding", "vec_id", k = 5, coords = 0 until 4, probes = 2))
+    // one-row recall report over an empty set: zero counts, NULL recalls
+    val mpr = graft.operators.vector.AnnSearch.multiProbeRecall(
+      noVecs, "embedding", "vec_id", k = 5, coords = 0 until 4,
+      probes = 2, queryMod = 3).head()
+    assert(mpr.getLong(0) == 0L && mpr.isNullAt(5) && mpr.isNullAt(6))
+  }
 }
