@@ -284,8 +284,13 @@ object Bench {
       // the leg: the staging is the operator's honest per-invocation
       // cost, same as the gate measurement)
       val tBigram = time {
-        try new graft.operators.text.BigramLm("text", "doc_id")(big).count()
-        finally graft.core.Staging.releaseAll()
+        // noop sink, not count(): count prunes the scoring expressions
+        // (the floor-log cost column and the per-doc weighted sums) and
+        // would shave the transcendental work off the record
+        try {
+          new graft.operators.text.BigramLm("text", "doc_id")(big)
+            .write.format("noop").mode("overwrite").save(); n
+        } finally graft.core.Staging.releaseAll()
       }
       // the full composed curation order (clean → filter → quality →
       // corpus-global span removal → exact dedup) as ONE leg — the r9
@@ -396,7 +401,9 @@ object Bench {
           .signBucket(col("embedding"), 0 until 4)).join(qs, Seq("_qpb"))
           .withColumn("cosine", graft.functions.VectorFunctions
             .cosine(col("embedding"), col("_qv")))
-        cand.count()
+        // sum(cosine) forces the distance computation on every candidate
+        // (count() would prune it and measure only join cardinality)
+        cand.agg(sum(col("cosine"))).head(); nv
       }
       bigEmb.unpersist()
 

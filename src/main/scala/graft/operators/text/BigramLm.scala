@@ -39,21 +39,16 @@ import org.apache.spark.sql.functions._
   * probe if a key still runs hot. No windows, no driver state.
   */
 object BigramLm {
-  private val Mask30 = (1L << 30) - 1
-  private val (a1, b1, _) = HashFunctions.mixConstants(0)
-  private val (a2, b2, _) = HashFunctions.mixConstants(1)
-
   /** Asymmetric overflow-safe combine of two 60-bit token hashes into
-    * one bigram key (4 products < 2^60 each, sum < 2^62 — safe in both
-    * ANSI Spark and DuckDB).
+    * one bigram key: the existing audited [[HashFunctions.mixed]] family
+    * under distinct seeds (each term < 2^61, sum < 2^62 — safe in both
+    * ANSI Spark and DuckDB; distinct seeds keep "a b" ≠ "b a").
     */
   private[text] def mixPair(h1: Column, h2: Column): Column =
-    lit(a1) * h1.bitwiseAND(lit(Mask30)) + lit(b1) * shiftright(h1, 30) +
-      lit(a2) * h2.bitwiseAND(lit(Mask30)) + lit(b2) * shiftright(h2, 30)
+    HashFunctions.mixed(h1, 0) + HashFunctions.mixed(h2, 1)
 
   private[text] def mixPairSql(h1: String, h2: String): String =
-    s"($a1 * ($h1 & $Mask30) + $b1 * ($h1 >> 30) + " +
-      s"$a2 * ($h2 & $Mask30) + $b2 * ($h2 >> 30))"
+    s"(${HashFunctions.mixedSql(h1, 0)} + ${HashFunctions.mixedSql(h2, 1)})"
 }
 
 final class BigramLm(

@@ -476,11 +476,12 @@ object AnnSearch {
         "left")
       .agg(
         countDistinct(col("query_id")).as("queries"),
-        first(lit(k)).as("k"),
         count(lit(1)).as("truth_pairs"),
         count(col("_sid")).as("single_hits"),
         count(col("_mid")).as("multi_hits"))
-      .select(col("queries"), col("k").cast("long").as("k"), col("truth_pairs"),
+      // k is the literal config, NOT first() over possibly-zero rows —
+      // an empty slice must still report k like the SQL twin does
+      .select(col("queries"), lit(k).cast("long").as("k"), col("truth_pairs"),
         col("single_hits"), col("multi_hits"),
         // empty truth (no queries sampled / empty set): NULL recall, not
         // an ANSI divide-by-zero

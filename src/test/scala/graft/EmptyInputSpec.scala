@@ -209,5 +209,8 @@ class EmptyInputSpec extends AnyFunSuite {
       noVecs, "embedding", "vec_id", k = 5, coords = 0 until 4,
       probes = 2, queryMod = 3).head()
     assert(mpr.getLong(0) == 0L && mpr.isNullAt(5) && mpr.isNullAt(6))
+    // k is the config literal even over zero rows (the SQL twin emits
+    // the literal; a first()-over-empty NULL here would hash-mismatch)
+    assert(mpr.getLong(1) == 5L)
   }
 }
