@@ -176,3 +176,70 @@ final class DomainStatsFilter(
        |  HAVING count(*) >= $minDocs
        |     AND round(avg(${TextAnalysis.qualityScoreSql(textCol, "toks")}), 6) >= $minMeanQuality)""".stripMargin
 }
+
+/** Empirical-Bayes domain quality — [[DomainStatsFilter]]'s hard
+  * thresholds done right for the long tail: a 3-doc domain's raw mean is
+  * noise, so each domain's mean shrinks toward the corpus mean with
+  * pseudo-count weight K, `shrunk = (Σq + K·μ_corpus) / (n + K)` — small
+  * domains ride the prior, big domains keep their evidence (the standard
+  * Beta-Binomial/Stein estimator used for per-host quality at crawl
+  * scale, where most hosts have a handful of pages).
+  *
+  * Exactness: per-doc quality (a 9-decimal-rounded double, identical in
+  * both engines) floor-scales to an integer BEFORE summing, so per-domain
+  * sums are order-invariant BIGINTs; the shrink is one fixed-shape double
+  * expression over those exact integers, replayed by the twin.
+  *
+  * Scale shape: ONE corpus aggregate into the domains-sized table
+  * (staged — the corpus mean and the output both consume it); the global
+  * mean rides a broadcast scalar. No windows.
+  */
+final class DomainQualityShrunk(
+    domainCol: String = "source",
+    textCol: String = "text",
+    pseudoCount: Long = 25L) {
+
+  require(pseudoCount >= 1, s"pseudoCount must be >= 1, got $pseudoCount")
+
+  val name = "domain_quality_shrunk"
+
+  /** `(domainCol, docs, raw_mean, shrunk_mean)` per domain, ordered. */
+  def apply(df: DataFrame): DataFrame = {
+    val q6 = floor(TextAnalysis.qualityScore(col(textCol),
+      TextFunctions.tokensOf(col(textCol))) * lit(1e6)).cast("long")
+    val perDom = graft.core.Staging.stage(
+      df.groupBy(col(domainCol).as("_dqs_dom"))
+        .agg(count(lit(1)).as("docs"), sum(q6).as("_s6")))
+    val g = perDom.agg(sum(col("docs")).as("_na"), sum(col("_s6")).as("_sa"))
+    perDom.crossJoin(broadcast(g))
+      .select(col("_dqs_dom").as(domainCol), col("docs"),
+        round(col("_s6").cast("double") / col("docs").cast("double") / lit(1e6), 6)
+          .as("raw_mean"),
+        round((col("_s6").cast("double") +
+          lit(pseudoCount) * (col("_sa").cast("double") / col("_na").cast("double")))
+          / (col("docs") + lit(pseudoCount)).cast("double") / lit(1e6), 6)
+          .as("shrunk_mean"))
+      .orderBy(col(domainCol))
+  }
+
+  // ---- DuckDB twin: same floor-scaled integer sums, same shrink ----
+
+  def sql(table: String): String = {
+    val qs = TextAnalysis.qualityScoreSql(textCol, "toks")
+    s"""WITH _dq AS (SELECT $domainCol AS dom,
+       |    CAST(floor($qs * 1e6) AS BIGINT) AS q6
+       |  FROM (SELECT $domainCol, $textCol,
+       |        ${TextFunctions.tokensOfSql(textCol)} AS toks FROM $table)),
+       |_pd AS (SELECT dom, CAST(count(*) AS BIGINT) AS docs,
+       |    CAST(sum(q6) AS BIGINT) AS _s6 FROM _dq GROUP BY dom),
+       |_g AS (SELECT CAST(sum(docs) AS BIGINT) AS _na,
+       |    CAST(sum(_s6) AS BIGINT) AS _sa FROM _pd)
+       |SELECT dom AS $domainCol, docs,
+       |  round(CAST(_s6 AS DOUBLE) / CAST(docs AS DOUBLE) / 1e6, 6) AS raw_mean,
+       |  round((CAST(_s6 AS DOUBLE)
+       |      + $pseudoCount * (CAST(_sa AS DOUBLE) / CAST(_na AS DOUBLE)))
+       |    / CAST(docs + $pseudoCount AS DOUBLE) / 1e6, 6) AS shrunk_mean
+       |FROM _pd CROSS JOIN _g
+       |ORDER BY dom NULLS FIRST""".stripMargin
+  }
+}

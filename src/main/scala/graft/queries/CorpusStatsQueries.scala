@@ -71,6 +71,12 @@ object CorpusStatsQueries {
       (s, dir) => vocabCovOp(Tables(s, dir, "documents")),
       Some(vocabCovOp.sql("documents"))),
 
+    // Empirical-Bayes per-domain quality: small domains shrink to the
+    // corpus mean (pseudo-count 25), big domains keep their evidence
+    OracleQuery("domain_quality_shrunk",
+      (s, dir) => shrunkOp(Tables(s, dir, "documents")),
+      Some(shrunkOp.sql("documents"))),
+
     // Corpus boilerplate audit: the 8-grams shared across the most docs
     OracleQuery("boilerplate_ngrams",
       (s, dir) => boilerplateOp(Tables(s, dir, "documents")),
@@ -92,4 +98,7 @@ object CorpusStatsQueries {
 
   private lazy val boilerplateOp = new graft.operators.text.BoilerplateNgrams(
     "text", "doc_id", ngramWidth = 8, topK = 20, minDocs = 2L)
+
+  private lazy val shrunkOp = new graft.operators.text.DomainQualityShrunk(
+    "source", "text", pseudoCount = 25L)
 }

@@ -484,6 +484,13 @@ object OperatorRegistry {
     contentCol = p.str("content_field", "props"),
     maxTurns = p.int("max_turns", 8)))
 
+  register("domain_quality_shrunk", p => OperatorRegistry.wrap(
+    "domain_quality_shrunk",
+    new graft.operators.text.DomainQualityShrunk(
+      domainCol = p.str("domain_field", "source"),
+      textCol = p.str("text_field", "text"),
+      pseudoCount = p.long("pseudo_count", 25L))(_)))
+
   register("conversation_quality", p => new graft.operators.text.ConversationQuality(
     keyCol = p.str("key_field", "user_id"),
     tsCol = p.str("ts_field", "ts"),

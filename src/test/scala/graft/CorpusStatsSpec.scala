@@ -306,6 +306,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  // ---- empirical-Bayes domain quality ----
+
+  test("domain quality shrinkage: small domains ride the prior, big ones keep their evidence") {
+    import graft.operators.text.DomainQualityShrunk
+    // domain "big": 40 high-quality docs; "tiny": 2 equally-high docs.
+    // Both raw means are equal, but tiny must shrink FAR closer to the
+    // corpus mean (which the low-quality "junk" domain drags down).
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val junk = "zzzzz 111 !!!! @@@@"
+    val docs = (
+      (1 to 40).map(i => ("big", good)) ++
+      (1 to 2).map(i => ("tiny", good)) ++
+      (1 to 40).map(i => ("junk", junk))).toDF("source", "text")
+    val out = new DomainQualityShrunk("source", "text", pseudoCount = 25L)(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (_, rawBig, shrBig) = out("big")
+    val (_, rawTiny, shrTiny) = out("tiny")
+    val (_, rawJunk, shrJunk) = out("junk")
+    assert(math.abs(rawBig - rawTiny) < 1e-6, "same docs, same raw mean")
+    assert(rawJunk < rawBig)
+    // shrunk means sit strictly between raw and the corpus mean
+    assert(shrBig < rawBig && shrJunk > rawJunk)
+    // the 2-doc domain shrinks much harder than the 40-doc domain
+    assert(rawBig - shrTiny > 2.0 * (rawBig - shrBig),
+      s"tiny ($shrTiny) must shrink harder than big ($shrBig) from raw $rawBig")
+  }
+
   // ---- boilerplate n-grams ----
 
   test("boilerplate ngrams: doc-frequency top-K, in-doc repeats collapse, singletons drop") {
