@@ -30,6 +30,8 @@ object AnalyticsQueries {
   private val convQualityOp = new graft.operators.text.ConversationQuality(
     keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
     roleCol = "event_type", contentCol = "props")
+
+  private val trendOp = new graft.operators.events.EventTrend("ts", "event_type")
   private val overlapOp = new CorpusOverlapReport(hashName = "portable")
   private val viterbiOp = new graft.operators.text.UnigramViterbiCount(
     "text", "doc_id", seedMaxLen = 4, topK = 200)
@@ -62,6 +64,12 @@ object AnalyticsQueries {
       // role-tagged transcripts, first-8-turns truncation, md5-audited
       (s, dir) => sftOp(Tables.events(s, dir)).orderBy(col("user_id")),
       Some(sftOp.sql("events") + "\nORDER BY user_id")),
+
+    OracleQuery("events_trend",
+      // Mann-Kendall monotone trend per type over hourly counts — the
+      // outlier-robust companion to the OLS slope
+      (s, dir) => trendOp(Tables.events(s, dir)),
+      Some(trendOp.sql("events"))),
 
     OracleQuery("conversation_quality",
       // the pre-packing structural validator: alternation violations,

@@ -171,6 +171,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(op(flat).count() == 0L)
   }
 
+  // ---- Mann-Kendall trend ----
+
+  test("events trend: monotone series hit tau ±1, constants NULL, spike-robust") {
+    import spark.implicits._
+    val op = new graft.operators.events.EventTrend("ts", "event_type")
+    def hourTs(h: Int, i: Int) = h * 3600000000L + i * 1000000L
+    val rows =
+      (for { h <- 0 until 6; i <- 0 until (h + 1) } yield (hourTs(h, i), "up")) ++
+      (for { h <- 0 until 6; i <- 0 until (7 - h) } yield (hourTs(h, i), "down")) ++
+      (for { h <- 0 until 6; i <- 0 until 3 } yield (hourTs(h, i), "flat")) ++
+      Seq((hourTs(0, 0), "single"))
+    val df = rows.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = op(df).collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("up") == ((6L, 15L, Some(1.0))))    // all 15 pairs ascend
+    assert(out("down") == ((6L, -15L, Some(-1.0))))
+    assert(out("flat") == ((6L, 0L, None)))        // all tied: no signal
+    assert(out("single") == ((1L, 0L, None)))      // no pairs
+    // robustness: one wild spike cannot flip a consistent downtrend,
+    // unlike a least-squares slope
+    val spiky = (for { h <- 0 until 8; i <- 0 until (if (h == 1) 500 else 20 - h) }
+      yield (hourTs(h, i), "s")).toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val tau = op(spiky).collect().head.getDouble(3)
+    assert(tau < -0.7, s"spike must not mask the downtrend: $tau")
+  }
+
   // ---- SFT conversation assembly ----
 
   test("sft pack: ordered role-tagged transcript, first-maxTurns truncation, exact md5") {
