@@ -429,6 +429,23 @@ object AnnSearch {
     s"list_filter([$base${flips.map(", " + _).mkString}], x -> x IS NOT NULL)"
   }
 
+  /** Multi-probe [[knnJoinLsh]]: per-query top-k where each query probes
+    * its own bucket plus `probes` least-confident neighbors — the same
+    * bounded-heap prune + rank window, `probes+1`× the candidate mass of
+    * single-probe (query-side only; the corpus keeps ONE bucket id).
+    * Probe ids are distinct by construction, so a corpus row matches a
+    * query at most once — no candidate deduplication needed.
+    */
+  def knnJoinMultiProbe(df: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, qIdCol: String, k: Int, coords: Seq[Int],
+      probes: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("_qid"), col(vecCol).as("_qv"))
+      .withColumn("_qpb", explode(probeBuckets(col("_qv"), coords, probes))))
+    val cand = df.withColumn("_qpb", signBucket(col(vecCol), coords))
+      .join(q, Seq("_qpb"))
+    perQueryTopK(cand, vecCol, idCol, k)
+  }
+
   /** Multi-probe [[lshTopK]]: same corpus-side bucket id, `probes+1`
     * query-side buckets probed. Probe ids are distinct by construction
     * (base + distinct single-bit flips), so no candidate deduplication
@@ -463,11 +480,8 @@ object AnnSearch {
       .select(col("query_id"), col(idCol).as("_tid"))
     val single = knnJoinLsh(df, queries, vecCol, idCol, idCol, k, coords)
       .select(col("query_id").as("_sq"), col(idCol).as("_sid"))
-    val q = broadcast(queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
-      .withColumn("_qpb", explode(probeBuckets(col("_qv"), coords, probes))))
-    val multiCand = df.withColumn("_qpb", signBucket(col(vecCol), coords))
-      .join(q, Seq("_qpb"))
-    val multi = perQueryTopK(multiCand, vecCol, idCol, k)
+    val multi = knnJoinMultiProbe(df, queries, vecCol, idCol, idCol, k,
+        coords, probes)
       .select(col("query_id").as("_mq"), col(idCol).as("_mid"))
     truth
       .join(single, col("query_id") === col("_sq") && col("_tid") === col("_sid"),
