@@ -388,23 +388,15 @@ object Bench {
         numBuckets = 32)(bigEmb).count())
       val tKnn = time(graft.operators.vector.AnnSearch.knnJoin(
         bigEmb, emb.limit(100), "embedding", "vec_id", "vec_id", k = 10).count())
-      // multi-probe LSH knn join (100 queries, 3 buckets probed each):
+      // multi-probe LSH knn join (100 queries, 3 buckets probed each,
+      // the REAL operator incl. its bounded-heap + rank-window top-k):
       // the bucket-pruned path at 10x vectors — candidates are
       // (probes+1)/2^bits of the corpus per query, never the cross
-      // product the brute leg pays
-      val tMultiProbe = time {
-        val qs = broadcast(emb.limit(100)
-          .select(col("vec_id").as("_qid"), col("embedding").as("_qv"))
-          .withColumn("_qpb", explode(graft.operators.vector.AnnSearch
-            .probeBuckets(col("_qv"), 0 until 4, probes = 2))))
-        val cand = bigEmb.withColumn("_qpb", graft.operators.vector.AnnSearch
-          .signBucket(col("embedding"), 0 until 4)).join(qs, Seq("_qpb"))
-          .withColumn("cosine", graft.functions.VectorFunctions
-            .cosine(col("embedding"), col("_qv")))
-        // sum(cosine) forces the distance computation on every candidate
-        // (count() would prune it and measure only join cardinality)
-        cand.agg(sum(col("cosine"))).head(); nv
-      }
+      // product the brute leg pays. count() cannot prune the cosine
+      // here: the rank window orders by it.
+      val tMultiProbe = time(graft.operators.vector.AnnSearch
+        .knnJoinMultiProbe(bigEmb, emb.limit(100), "embedding", "vec_id",
+          "vec_id", k = 10, coords = 0 until 4, probes = 2).count())
       bigEmb.unpersist()
 
       // Realistic image-dedup shape: decode+DCT is the expensive step,

@@ -34,15 +34,22 @@ final class EventTrend(
 
   val name = "events_trend"
 
-  /** `(event_type, n_hours, s_stat, tau_b)` ordered by type. */
+  /** `(event_type, n_hours, s_stat, tau_b)` ordered by type (nulls
+    * first — a NULL type is a real slice, the EventAnomaly contract, so
+    * every join here is null-safe and the twin orders NULLS FIRST).
+    */
   def apply(df: DataFrame): DataFrame = {
-    val counts = df.select(col(typeCol).as("event_type"),
-        date_trunc("hour", col(tsCol)).as("h"))
-      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    // the (type, hour) aggregate fans out to THREE consumers (both pair
+    // sides + the hour counts) — stage it or each re-derives the
+    // event-scale aggregate (the psiPerGroup lesson, as EventAnomaly)
+    val counts = graft.core.Staging.stage(
+      df.select(col(typeCol).as("event_type"),
+          date_trunc("hour", col(tsCol)).as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
     val a = counts.select(col("event_type"), col("h").as("_ha"), col("c").as("_ca"))
     val b = counts.select(col("event_type").as("_tb"), col("h").as("_hb"),
       col("c").as("_cb"))
-    val pairs = a.join(b, col("event_type") === col("_tb") && col("_ha") < col("_hb"))
+    val pairs = a.join(b, col("event_type") <=> col("_tb") && col("_ha") < col("_hb"))
     val stats = pairs.groupBy(col("event_type"))
       .agg(
         sum(signum(col("_cb") - col("_ca")).cast("long")).as("_s"),
@@ -51,7 +58,7 @@ final class EventTrend(
     val nHours = counts.groupBy(col("event_type").as("_nt"))
       .agg(count(lit(1)).as("n_hours"))
     nHours
-      .join(stats, col("_nt") === stats("event_type"), "left")
+      .join(stats, col("_nt") <=> stats("event_type"), "left")
       .select(col("_nt").as("event_type"),
         col("n_hours"),
         coalesce(col("_s"), lit(0L)).as("s_stat"),
@@ -73,7 +80,7 @@ final class EventTrend(
        |    CAST(count(*) AS BIGINT) AS _n0,
        |    CAST(count(CASE WHEN b.c = a.c THEN 1 END) AS BIGINT) AS _t
        |  FROM _tc a JOIN _tc b
-       |    ON a.event_type = b.event_type AND a.h < b.h
+       |    ON a.event_type IS NOT DISTINCT FROM b.event_type AND a.h < b.h
        |  GROUP BY 1),
        |_tn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
        |  FROM _tc GROUP BY 1)
@@ -83,6 +90,7 @@ final class EventTrend(
        |    round(CAST(_s AS DOUBLE)
        |      / sqrt(CAST(_n0 - _t AS DOUBLE) * CAST(_n0 AS DOUBLE)), 6)
        |  END AS tau_b
-       |FROM _tn LEFT JOIN _tp ON _tn.event_type = _tp.event_type
-       |ORDER BY _tn.event_type""".stripMargin
+       |FROM _tn LEFT JOIN _tp
+       |  ON _tn.event_type IS NOT DISTINCT FROM _tp.event_type
+       |ORDER BY _tn.event_type NULLS FIRST""".stripMargin
 }

@@ -203,21 +203,30 @@ final class DomainQualityShrunk(
 
   val name = "domain_quality_shrunk"
 
-  /** `(domainCol, docs, raw_mean, shrunk_mean)` per domain, ordered. */
+  /** `(domainCol, docs, raw_mean, shrunk_mean)` per domain, ordered.
+    * `docs` counts SCORED documents (NULL text has no quality evidence —
+    * it neither deflates the mean nor inflates the shrink weight, the
+    * avg() semantics [[DomainStatsFilter]] uses); an all-NULL domain
+    * reports docs = 0, NULL raw_mean, and the pure prior as its shrunk
+    * mean. NULL shrunk mean only when the whole corpus carries no
+    * evidence.
+    */
   def apply(df: DataFrame): DataFrame = {
     val q6 = floor(TextAnalysis.qualityScore(col(textCol),
       TextFunctions.tokensOf(col(textCol))) * lit(1e6)).cast("long")
     val perDom = graft.core.Staging.stage(
       df.groupBy(col(domainCol).as("_dqs_dom"))
-        .agg(count(lit(1)).as("docs"), sum(q6).as("_s6")))
+        .agg(count(q6).as("docs"), coalesce(sum(q6), lit(0L)).as("_s6")))
     val g = perDom.agg(sum(col("docs")).as("_na"), sum(col("_s6")).as("_sa"))
     perDom.crossJoin(broadcast(g))
       .select(col("_dqs_dom").as(domainCol), col("docs"),
-        round(col("_s6").cast("double") / col("docs").cast("double") / lit(1e6), 6)
+        when(col("docs") > 0L,
+          round(col("_s6").cast("double") / col("docs").cast("double") / lit(1e6), 6))
           .as("raw_mean"),
-        round((col("_s6").cast("double") +
-          lit(pseudoCount) * (col("_sa").cast("double") / col("_na").cast("double")))
-          / (col("docs") + lit(pseudoCount)).cast("double") / lit(1e6), 6)
+        when(col("_na") > 0L,
+          round((col("_s6").cast("double") +
+            lit(pseudoCount) * (col("_sa").cast("double") / col("_na").cast("double")))
+            / (col("docs") + lit(pseudoCount)).cast("double") / lit(1e6), 6))
           .as("shrunk_mean"))
       .orderBy(col(domainCol))
   }
@@ -230,15 +239,19 @@ final class DomainQualityShrunk(
        |    CAST(floor($qs * 1e6) AS BIGINT) AS q6
        |  FROM (SELECT $domainCol, $textCol,
        |        ${TextFunctions.tokensOfSql(textCol)} AS toks FROM $table)),
-       |_pd AS (SELECT dom, CAST(count(*) AS BIGINT) AS docs,
-       |    CAST(sum(q6) AS BIGINT) AS _s6 FROM _dq GROUP BY dom),
+       |_pd AS (SELECT dom, CAST(count(q6) AS BIGINT) AS docs,
+       |    CAST(coalesce(sum(q6), 0) AS BIGINT) AS _s6 FROM _dq GROUP BY dom),
        |_g AS (SELECT CAST(sum(docs) AS BIGINT) AS _na,
        |    CAST(sum(_s6) AS BIGINT) AS _sa FROM _pd)
        |SELECT dom AS $domainCol, docs,
-       |  round(CAST(_s6 AS DOUBLE) / CAST(docs AS DOUBLE) / 1e6, 6) AS raw_mean,
-       |  round((CAST(_s6 AS DOUBLE)
-       |      + $pseudoCount * (CAST(_sa AS DOUBLE) / CAST(_na AS DOUBLE)))
-       |    / CAST(docs + $pseudoCount AS DOUBLE) / 1e6, 6) AS shrunk_mean
+       |  CASE WHEN docs > 0 THEN
+       |    round(CAST(_s6 AS DOUBLE) / CAST(docs AS DOUBLE) / 1e6, 6)
+       |  END AS raw_mean,
+       |  CASE WHEN _na > 0 THEN
+       |    round((CAST(_s6 AS DOUBLE)
+       |        + $pseudoCount * (CAST(_sa AS DOUBLE) / CAST(_na AS DOUBLE)))
+       |      / CAST(docs + $pseudoCount AS DOUBLE) / 1e6, 6)
+       |  END AS shrunk_mean
        |FROM _pd CROSS JOIN _g
        |ORDER BY dom NULLS FIRST""".stripMargin
   }

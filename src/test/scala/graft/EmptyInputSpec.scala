@@ -212,5 +212,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // k is the config literal even over zero rows (the SQL twin emits
     // the literal; a first()-over-empty NULL here would hash-mismatch)
     assert(mpr.getLong(1) == 5L)
+    zero("events trend")(new graft.operators.events.EventTrend(
+      "ts", "event_type")(noEvents))
+    zero("domain quality shrunk")(new graft.operators.text.DomainQualityShrunk(
+      "source", "text", 25L)(noDocs))
   }
 }
