@@ -4,7 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // 223-query suite: the full 10k codegen-cache bound (see GraftSession)
+    val spark = graft.core.GraftSession
+      .builder(s"local[$cpus]", cpus.toInt, codegenCacheEntries = 10000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =

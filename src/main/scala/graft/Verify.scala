@@ -7,7 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // 223-query suite: the full 10k codegen-cache bound (see GraftSession)
+    val spark = graft.core.GraftSession
+      .builder(s"local[$cpus]", cpus.toInt, codegenCacheEntries = 10000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

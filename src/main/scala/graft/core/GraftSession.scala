@@ -14,6 +14,22 @@ object GraftSession {
     builder(s"local[$cores]", cores).getOrCreate()
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    builder(master, shufflePartitions, codegenCacheEntries = 1000)
+
+  /** `codegenCacheEntries` sizes the generated-class cache
+    * (`spark.sql.codegen.cache.maxEntries`, Spark default 100). The cache
+    * is JVM-global, read ONCE at CodeGenerator init, and holds STRONG
+    * references — so the bound is a real metaspace/heap commitment for
+    * the life of the JVM (ADVICE r14). The default here (1000) is sized
+    * for a many-operator production pipeline without pinning 10k classes
+    * in every long-lived session; the gate-suite drivers (Bench, Verify,
+    * the test JVM) pass 10000 explicitly — 223 queries × several codegen
+    * units each evict constantly at smaller bounds and re-COMPILE per
+    * invocation (~100-300 ms/query; measured 146.4 → 113.9 s on the
+    * interleaved bench).
+    */
+  def builder(master: String, shufflePartitions: Int,
+      codegenCacheEntries: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -28,11 +44,5 @@ object GraftSession {
       // events.parquet carries INT64(TIMESTAMP_NANOS) which Spark's reader
       // rejects; read nanos as long and convert explicitly (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the generated-class cache defaults to 100 entries — a session
-      // running the 200+ query gate suite (or a many-operator production
-      // pipeline) evicts constantly and re-COMPILES its codegen per
-      // invocation (~100-300 ms per query, measured: interleaved bench
-      // reps read ~2x on every small leg). JVM-global, read once at
-      // CodeGenerator init, so it must sit on the session builder.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries.toString)
 }

@@ -18,15 +18,28 @@ import org.apache.spark.sql.functions._
   * construction, so only x ties). NULL tau when no comparable pairs
   * (n < 2 or all counts equal).
   *
-  * Exactness: S and the tie counts are exact BIGINT sums off integer
-  * sign comparisons; tau is one fixed-shape sqrt/division over those
-  * exact integers, rounded — the DuckDB twin replays it.
+  * Exactness: S, n₀ and the tie count are exact BIGINTs off integer
+  * comparisons; tau is one fixed-shape sqrt/division over those exact
+  * integers, rounded — the DuckDB twin replays the same integers from
+  * its (equivalent, O(n²)) pair-join formulation.
   *
   * Scale shape: one event-scale aggregate to the (type, hour) table,
-  * then a type-keyed self-join over hour pairs — bounded by (hours in
-  * window)² per type, the same spine bound [[EventAnomaly]] rides; for
-  * multi-year ranges pre-aggregate to days first. No windows, no
-  * driver state.
+  * then ONE type-keyed pass that computes S by the rank/inversion
+  * formulation — a Fenwick (binary-indexed) tree over the
+  * coordinate-compressed counts walked in hour order gives, per
+  * element, how many prior counts are smaller / tied / greater, i.e.
+  * `S = Σ_j (#{i<j: x_i<x_j} − #{i<j: x_i>x_j})` in O(n log n) per type
+  * instead of the hour² self-join (VERDICT r14 #2: a 10-year hourly
+  * spine is 87.6k points → 3.8B pairs under the join, vs 87.6k·17
+  * Fenwick steps ≈ 1.5M here, ~1.4 MB of per-type state). The pass is
+  * the repo's one-deliberate-mapGroups idiom (Catalyst has no inversion
+  * aggregate); its memory is TIME-RANGE-bounded, not data-bounded — a
+  * 100× event scale-up collapses into the same (type, hour) rows
+  * upstream of the shuffle. No windows, no driver state, no join.
+  *
+  * The per-type pass keys on the type AS STRING (the events-table
+  * convention; a non-string type column is cast — its NULL slice is
+  * preserved either way).
   */
 final class EventTrend(
     tsCol: String = "ts",
@@ -36,43 +49,68 @@ final class EventTrend(
 
   /** `(event_type, n_hours, s_stat, tau_b)` ordered by type (nulls
     * first — a NULL type is a real slice, the EventAnomaly contract, so
-    * every join here is null-safe and the twin orders NULLS FIRST).
+    * the key pass is null-safe and the twin orders NULLS FIRST).
     */
   def apply(df: DataFrame): DataFrame = {
-    // the (type, hour) aggregate fans out to THREE consumers (both pair
-    // sides + the hour counts) — stage it or each re-derives the
-    // event-scale aggregate (the psiPerGroup lesson, as EventAnomaly)
-    val counts = graft.core.Staging.stage(
-      df.select(col(typeCol).as("event_type"),
-          date_trunc("hour", col(tsCol)).as("h"))
-        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
-    val a = counts.select(col("event_type"), col("h").as("_ha"), col("c").as("_ca"))
-    val b = counts.select(col("event_type").as("_tb"), col("h").as("_hb"),
-      col("c").as("_cb"))
-    val pairs = a.join(b, col("event_type") <=> col("_tb") && col("_ha") < col("_hb"))
-    val stats = pairs.groupBy(col("event_type"))
-      .agg(
-        sum(signum(col("_cb") - col("_ca")).cast("long")).as("_s"),
-        count(lit(1)).as("_n0"),
-        count(when(col("_cb") === col("_ca"), lit(1))).as("_t"))
-    val nHours = counts.groupBy(col("event_type").as("_nt"))
-      .agg(count(lit(1)).as("n_hours"))
-    nHours
-      .join(stats, col("_nt") <=> stats("event_type"), "left")
-      .select(col("_nt").as("event_type"),
+    import org.apache.spark.sql.Encoders
+    val counts = df.select(col(typeCol).cast("string").as("event_type"),
+        date_trunc("hour", col(tsCol)).as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    // epoch-second hour key: cast preserves order and distinctness
+    val typed = counts
+      .select(col("event_type"), col("h").cast("long"), col("c"))
+      .as[(String, Long, Long)](Encoders.tuple(
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+    val stats = typed.groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (tpe, it) =>
+        // hour-ordered counts for this type: spine-bounded (see scaladoc)
+        val arr = it.map(t => (t._2, t._3)).toArray
+        scala.util.Sorting.quickSort(arr)(Ordering.by(_._1))
+        val n = arr.length
+        // coordinate-compress the counts for the Fenwick domain
+        val dom = arr.map(_._2).distinct
+        scala.util.Sorting.quickSort(dom)
+        val rank = new scala.collection.mutable.HashMap[Long, Int]
+        var d = 0
+        while (d < dom.length) { rank(dom(d)) = d + 1; d += 1 }
+        val bit = new Array[Long](dom.length + 1)
+        def prefix(idx0: Int): Long = {
+          var i = idx0; var s = 0L
+          while (i > 0) { s += bit(i); i -= i & (-i) }
+          s
+        }
+        var s = 0L; var ties = 0L; var seen = 0L; var j = 0
+        while (j < n) {
+          val r = rank(arr(j)._2)
+          val less = prefix(r - 1)          // prior hours with smaller count
+          val leq = prefix(r)
+          s += less - (seen - leq)          // +concordant −discordant
+          ties += leq - less
+          var u = r
+          while (u <= dom.length) { bit(u) += 1; u += u & (-u) }
+          seen += 1
+          j += 1
+        }
+        val n0 = n.toLong * (n - 1) / 2
+        (tpe, n.toLong, s, n0, ties)
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("event_type", "n_hours", "_s", "_n0", "_t")
+    stats
+      .select(col("event_type"),
         col("n_hours"),
-        coalesce(col("_s"), lit(0L)).as("s_stat"),
-        when(col("_n0").isNotNull && col("_n0") > col("_t"),
+        col("_s").as("s_stat"),
+        when(col("_n0") > col("_t"),
           round(col("_s").cast("double") /
             sqrt((col("_n0") - col("_t")).cast("double") * col("_n0").cast("double")), 6))
           .as("tau_b"))
       .orderBy(col("event_type"))
   }
 
-  // ---- DuckDB twin ----
+  // ---- DuckDB twin (the O(n²) pair formulation — same exact integers) ----
 
   def sql(table: String): String =
-    s"""WITH _tc AS (SELECT $typeCol AS event_type,
+    s"""WITH _tc AS (SELECT CAST($typeCol AS VARCHAR) AS event_type,
        |    date_trunc('hour', $tsCol) AS h, count(*) AS c
        |  FROM $table GROUP BY 1, 2),
        |_tp AS (SELECT a.event_type,

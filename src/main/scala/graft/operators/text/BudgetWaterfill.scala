@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
   * `num/den` of the corpus total so one gate is meaningful at every
   * scale factor: `B = total · num DIV den`, exact BIGINT.
   *
-  * Exactness: counts, prefixes and the budget are exact BIGINTs; the
-  * funded predicate cross-multiplies in decimal(38,0)/HUGEINT (products
-  * of two near-2⁶³ longs must not overflow-error in either engine); only
+  * Exactness: counts and prefixes are exact BIGINTs; EVERY product and
+  * every mixed sum/difference (the budget product `total · num`, the
+  * funded predicate's both sides, the residual `B − prefix_k`) is
+  * computed in decimal(38,0)/HUGEINT — two near-2⁶³ longs must not
+  * overflow-error in either engine (long operands cast to decimal(20,0)
+  * first, so the product precision 20+20+1 caps safely inside 38); only
   * the final level is a double, the same fixed-shape division in both.
+  * The one representability bound: the budget B itself must fit a
+  * BIGINT after the DIV (a budget beyond 2⁶³ tokens funds everything
+  * anyway).
   *
   * Scale shape: ONE corpus aggregate (groupBy(group) over the token
   * counts), staged ([[graft.core.Staging]]) because the k-scalar and the
@@ -48,23 +54,38 @@ final class BudgetWaterfill(
   /** `(group, avail_tokens, funded, allocated_tokens)` per group,
     * ordered by group.
     */
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame =
+    fromCounts(df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("avail")))
+
+  /** Same plan over a PRE-AGGREGATED `(grp, avail)` table — the entry a
+    * planner uses when token counts already live in a metadata/metrics
+    * table (and the entry the overflow property test drives with token
+    * totals near 2⁶³, unreachable through row-level text fixtures).
+    */
+  def fromCounts(counts: DataFrame): DataFrame = {
     val avail = graft.core.Staging.stage(
-      df.groupBy(col(groupCol).as("grp"))
-        .agg(sum(TextFunctions.tokenCount(col(textCol))).as("avail")))
+      counts.select(col("grp"), col("avail").cast("long").as("avail")))
+    // long operands enter arithmetic as decimal(20,0): the product
+    // precision rule (p1+p2+1 = 41 → capped 38, scale 0) then always
+    // holds the full 38-digit product of two longs — no overflow path.
+    val d20 = "decimal(20,0)"
     val tot = avail.agg(count(lit(1)).as("_n"), sum(col("avail")).as("_t"))
       .select(col("_n"),
-        (col("_t") * lit(budgetNum)).cast("long").as("_bn"))
-      .select(col("_n"), expr(s"_bn DIV $budgetDen").as("_b"))
+        (col("_t").cast(d20) * lit(budgetNum).cast(d20)).as("_bp"))
+      // IntegralDivide yields BIGINT: B must be long-representable (doc'd)
+      .select(col("_n"), expr(s"_bp DIV CAST($budgetDen AS $d20)").as("_b"))
     val w = Window.orderBy(col("avail"), col("grp"))
     val ranked = avail
       .withColumn("_rn", row_number().over(w))
       .withColumn("_pfx", sum(col("avail"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(tot))
-    val dec = "decimal(38,0)"
-    val funded = col("avail").cast(dec) * (col("_n") - col("_rn") + 1).cast(dec) <=
-      (col("_b") - col("_pfx") + col("avail")).cast(dec)
+    // both predicate sides in decimal: the left product AND the right
+    // mixed sum (B − prefix + avail reaches ±2·2⁶³ before the old cast
+    // applied — ADVICE r14)
+    val funded = col("avail").cast(d20) * (col("_n") - col("_rn") + 1).cast(d20) <=
+      col("_b").cast(d20) - col("_pfx").cast(d20) + col("avail").cast(d20)
     val kRow = ranked.agg(
       coalesce(max(when(funded, col("_rn"))), lit(0L)).cast("long").as("_k"),
       coalesce(max(when(funded, col("_pfx"))), lit(0L)).as("_pk"))
@@ -73,7 +94,7 @@ final class BudgetWaterfill(
         col("avail").as("avail_tokens"),
         (col("_rn") <= col("_k")).as("funded"),
         when(col("_rn") <= col("_k"), round(col("avail").cast("double"), 6))
-          .otherwise(round((col("_b") - col("_pk")).cast("double") /
+          .otherwise(round((col("_b").cast(d20) - col("_pk").cast(d20)).cast("double") /
             (col("_n") - col("_k")).cast("double"), 6))
           .as("allocated_tokens"))
       .orderBy(col(groupCol))
@@ -86,7 +107,8 @@ final class BudgetWaterfill(
     s"""WITH _av AS (SELECT $groupCol AS grp, CAST(sum($tc) AS BIGINT) AS avail
        |  FROM $table GROUP BY 1),
        |_tot AS (SELECT CAST(count(*) AS BIGINT) AS _n,
-       |    (CAST(sum(avail) AS BIGINT) * $budgetNum) // $budgetDen AS _b
+       |    CAST((CAST(sum(avail) AS HUGEINT) * $budgetNum) // $budgetDen
+       |      AS BIGINT) AS _b
        |  FROM _av),
        |_rk AS (SELECT grp, avail,
        |    CAST(row_number() OVER (ORDER BY avail, grp NULLS FIRST) AS BIGINT) AS _rn,
@@ -96,9 +118,11 @@ final class BudgetWaterfill(
        |  FROM _av CROSS JOIN _tot),
        |_k AS (SELECT
        |    coalesce(max(CASE WHEN CAST(avail AS HUGEINT) * (_n - _rn + 1)
-       |      <= CAST(_b - _pfx + avail AS HUGEINT) THEN _rn END), 0) AS _k,
+       |      <= CAST(_b AS HUGEINT) - CAST(_pfx AS HUGEINT) + CAST(avail AS HUGEINT)
+       |      THEN _rn END), 0) AS _k,
        |    coalesce(max(CASE WHEN CAST(avail AS HUGEINT) * (_n - _rn + 1)
-       |      <= CAST(_b - _pfx + avail AS HUGEINT) THEN _pfx END), 0) AS _pk
+       |      <= CAST(_b AS HUGEINT) - CAST(_pfx AS HUGEINT) + CAST(avail AS HUGEINT)
+       |      THEN _pfx END), 0) AS _pk
        |  FROM _rk)
        |SELECT grp AS $groupCol, avail AS avail_tokens,
        |  _rn <= _k AS funded,

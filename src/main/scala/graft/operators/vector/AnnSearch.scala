@@ -92,9 +92,11 @@ object AnnSearch {
     * convention); ties break by ascending id like every top-k gate.
     */
   def knnJoin(df: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
-      qIdCol: String, k: Int): DataFrame = {
+      qIdCol: String, k: Int, excludeSelf: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(qIdCol).as("_qid"), col(vecCol).as("_qv")))
-    perQueryTopK(df.crossJoin(q), vecCol, idCol, k)
+    val cand = df.crossJoin(q)
+    perQueryTopK(if (excludeSelf) cand.filter(col(idCol) =!= col("_qid")) else cand,
+      vecCol, idCol, k)
   }
 
   /** LSH-bucketed k-NN join — the large-query-set scale path: candidates
@@ -104,12 +106,14 @@ object AnnSearch {
     * recall is governed by the bucket resolution (`coords`).
     */
   def knnJoinLsh(df: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
-      qIdCol: String, k: Int, coords: Seq[Int]): DataFrame = {
+      qIdCol: String, k: Int, coords: Seq[Int],
+      excludeSelf: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(qIdCol).as("_qid"), col(vecCol).as("_qv"))
       .withColumn("_qb", signBucket(col("_qv"), coords)))
     val cand = df.withColumn("_qb", signBucket(col(vecCol), coords))
       .join(q, Seq("_qb"))
-    perQueryTopK(cand, vecCol, idCol, k)
+    perQueryTopK(if (excludeSelf) cand.filter(col(idCol) =!= col("_qid")) else cand,
+      vecCol, idCol, k)
   }
 
   /** Hard-negative mining for contrastive/embedding training: for each
@@ -136,7 +140,7 @@ object AnnSearch {
     * pruned rows.
     */
   private def perQueryTopK(cand0: DataFrame, vecCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, dedup: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand = cand0
       .select(col("_qid").cast("long"), col(idCol).cast("long"),
@@ -147,6 +151,7 @@ object AnnSearch {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaDouble))
     val kk = k
+    val dd = dedup
     val pruned = cand.mapPartitions { iter =>
       // worst-first heap per query id: keep the k best (cosine desc, id asc)
       val worstFirst = Ordering.by[(Long, Double), (Double, Long)] {
@@ -156,10 +161,16 @@ object AnnSearch {
       iter.foreach { case (qid, id, c) =>
         val h = heaps.getOrElseUpdate(qid,
           scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worstFirst.reverse))
-        if (h.size < kk) h.enqueue((id, c))
-        else {
-          val (wid, wc) = h.head
-          if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((id, c)) }
+        // dedup mode (OR-amplified candidates arrive once per matching
+        // band): a repeat of an id already in the heap is the SAME
+        // (id, cosine) pair — admitting it would burn a slot and could
+        // evict the true kth DISTINCT neighbor. O(k) membership scan.
+        if (!dd || !h.exists(_._1 == id)) {
+          if (h.size < kk) h.enqueue((id, c))
+          else {
+            val (wid, wc) = h.head
+            if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((id, c)) }
+          }
         }
       }
       heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (id, c) => (qid, id, c) } }
@@ -168,8 +179,12 @@ object AnnSearch {
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaDouble))
       .toDF("_qid", "_id", "cosine")
+    // cross-partition repeats (the same pair surviving two partitions'
+    // heaps) collapse here — on the PRUNED rows (≤ partitions × queries
+    // × k, identical triples), never on the raw candidate stream
+    val uniq = if (dd) pruned.dropDuplicates("_qid", "_id") else pruned
     val w = Window.partitionBy(col("_qid")).orderBy(col("cosine").desc, col("_id"))
-    pruned.withColumn("_rn", row_number().over(w))
+    uniq.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= kk)
       .select(col("_qid").as("query_id"), col("_id").as(idCol), col("cosine"))
   }
@@ -276,6 +291,148 @@ object AnnSearch {
        |  QUALIFY count(*) OVER (PARTITION BY bk) <= $maxBucketSize)""".stripMargin
   }
 
+  /** OR-AMPLIFIED mutual k-NN (VERDICT r14 #1): [[mutualKnnLsh]] with
+    * candidates unioned over `bands.length` INDEPENDENT coordinate
+    * bands — each band mean-centered and hot-bucket-capped exactly like
+    * the single-band tier, then the candidate pairs deduplicated before
+    * the bounded heap. A pair co-buckets in at least one of L bands
+    * with probability 1−(1−p)^L, the standard OR-amplification recall
+    * curve (single-band sign-LSH on near-uniform corpora sits near the
+    * 1/2^bits co-bucket floor — measured 0.088–0.137 on the fixtures;
+    * see [[mutualKnnRecall]] for the per-corpus readout).
+    *
+    * Scale shape (the MinHash banding discipline): ONE stats aggregate
+    * over the union of band coordinates broadcasts onto the scan; band
+    * ids explode to (band, bucket) keyed rows — L× the row count, fixed
+    * width — through ONE count-only hot-key pass and ONE banded
+    * equi-join; candidate mass is bounded by L · n · cap; nothing
+    * larger than the pruned n·k·partitions edge rows shuffles after the
+    * bucket join, and pair dedup happens inside the bounded heap (plus
+    * one prune-sized dropDuplicates), never on the raw candidate
+    * stream.
+    */
+  def mutualKnnLshOr(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, bands: Seq[Seq[Int]], maxBucketSize: Int): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_.nonEmpty),
+      "at least one non-empty coordinate band is required")
+    require(maxBucketSize > 0,
+      "maxBucketSize is required: each band's bucket self-join is quadratic in its hottest bucket")
+    val kept = centeredCappedBandBuckets(df, vecCol, idCol, bands, maxBucketSize)
+    val a = kept.select(col("_band"), col("_bk"), col(idCol).as("_qid"),
+      col(vecCol).as("_qv"))
+    val b = kept.select(col("_band"), col("_bk"), col(idCol), col(vecCol))
+    val cand = b.join(a, Seq("_band", "_bk")).filter(col(idCol) =!= col("_qid"))
+    val top = perQueryTopK(cand, vecCol, idCol, k, dedup = true)
+    val fwd = top.select(col("query_id").as("a"), col(idCol).as("b"), col("cosine"))
+    val rev = top.select(col(idCol).as("_ra"), col("query_id").as("_rb"))
+    fwd.join(rev, col("a") === col("_ra") && col("b") === col("_rb"), "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** `(idCol, vecCol, _band, _bk)`: per-band mean-centered sign buckets
+    * with per-(band, bucket) hot caps. ONE bounded stats aggregate over
+    * the union of all bands' coordinates (broadcast), band ids fused
+    * into one explode generator, ONE count-only hot-key pass + anti-join
+    * over the (band, bucket) key — the MinHash banding shape.
+    */
+  private def centeredCappedBandBuckets(df: DataFrame, vecCol: String,
+      idCol: String, bands: Seq[Seq[Int]], maxBucketSize: Int): DataFrame = {
+    val base = df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol))
+    val allCoords = bands.flatten.distinct.sorted
+    val sumCols = allCoords.map(c => sum(scaledCoord(col(vecCol), c)).as(s"_ms_c$c"))
+    val stats = base.agg(count(lit(1)).as("_mn"), sumCols: _*)
+    val bandStructs = bands.zipWithIndex.map { case (coords, bi) =>
+      val bits = coords.zipWithIndex.map { case (c, kk) =>
+        when(scaledCoord(col(vecCol), c) * col("_mn") >= col(s"_ms_c$c"),
+          lit(1L << kk)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(bi).as("_band"), bits.as("_bk"))
+    }
+    val bucketed = base.crossJoin(broadcast(stats))
+      .select(col(idCol), col(vecCol), explode(array(bandStructs: _*)).as("_bb"))
+      .select(col(idCol), col(vecCol),
+        col("_bb._band").as("_band"), col("_bb._bk").as("_bk"))
+    val hot = bucketed.select(col("_band"), col("_bk"))
+      .groupBy(col("_band"), col("_bk")).agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucketSize).select(col("_band"), col("_bk"))
+    bucketed.join(broadcast(hot), Seq("_band", "_bk"), "left_anti")
+  }
+
+  /** DuckDB CTE chain ending in `${p}mb(id, v, band, bk)` — the banded
+    * twin of [[centeredCappedBandBuckets]] over `src`. `p` prefixes the
+    * CTE names so two chains (e.g. single-band + amplified in one
+    * recall oracle) can coexist.
+    */
+  def centeredBandBucketCtesSql(src: String, vecCol: String, idCol: String,
+      bands: Seq[Seq[Int]], maxBucketSize: Int, p: String): String = {
+    val allCoords = bands.flatten.distinct.sorted
+    val sums = allCoords.map(c =>
+      s"sum(${scaledCoordSql(vecCol, c)}) AS ms_c$c").mkString(", ")
+    val arms = bands.zipWithIndex.map { case (coords, bi) =>
+      val bits = coords.zipWithIndex.map { case (c, kk) =>
+        s"(CASE WHEN ${scaledCoordSql(vecCol, c)} * mn >= ms_c$c THEN CAST(${1L << kk} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("(", " + ", ")")
+      s"""SELECT $idCol AS id, $vecCol AS v, $bi AS band, $bits AS bk
+         |  FROM $src, ${p}st WHERE $vecCol IS NOT NULL""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""${p}st AS (SELECT count(*) AS mn, $sums
+       |  FROM $src WHERE $vecCol IS NOT NULL),
+       |${p}kb AS ($arms),
+       |${p}mb AS (SELECT id, v, band, bk FROM ${p}kb
+       |  QUALIFY count(*) OVER (PARTITION BY band, bk) <= $maxBucketSize)""".stripMargin
+  }
+
+  /** Full DuckDB oracle for [[mutualKnnLshOr]]: (a, b, cosine r6),
+    * ORDER BY a, b — the candidate union is DISTINCT over pairs before
+    * ranking, like the dedup heap.
+    */
+  def mutualKnnOrSql(table: String, vecCol: String, idCol: String,
+      k: Int, bands: Seq[Seq[Int]], maxBucketSize: Int): String =
+    s"""WITH ${centeredBandBucketCtesSql(table, vecCol, idCol, bands, maxBucketSize, "o")},
+       |mc AS (SELECT DISTINCT q.id AS qid, e.id AS vid,
+       |    ${graft.functions.VectorFunctions.cosineSql("e.v", "q.v")} AS cos
+       |  FROM omb e JOIN omb q
+       |    ON e.band = q.band AND e.bk = q.bk AND e.id <> q.id),
+       |mr AS (SELECT qid, vid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM mc),
+       |mt AS (SELECT qid, vid, cos FROM mr WHERE rn <= $k)
+       |SELECT t1.qid AS a, t1.vid AS b, round(t1.cos, 6) AS cosine
+       |FROM mt t1 JOIN mt t2 ON t1.qid = t2.vid AND t1.vid = t2.qid
+       |WHERE t1.qid < t1.vid ORDER BY a, b""".stripMargin
+
+  /** Per-band candidate-mass readout for [[mutualKnnLshOr]] — the
+    * bounded-candidate-mass evidence the recall gate is graded against
+    * (VERDICT r14 #1: "log the per-band candidate counts"). One row per
+    * band: surviving buckets, kept rows, and the ordered candidate-pair
+    * mass Σ c·(c−1) the band contributes to the self-join — computed
+    * from the bucket COUNTS (a groups-sized table), never by running
+    * the join.
+    */
+  def mutualKnnBandStats(df: DataFrame, vecCol: String, idCol: String,
+      bands: Seq[Seq[Int]], maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 0, "maxBucketSize is required")
+    centeredCappedBandBuckets(df, vecCol, idCol, bands, maxBucketSize)
+      .groupBy(col("_band"), col("_bk")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_band"))
+      .agg(count(lit(1)).as("buckets"), sum(col("_c")).as("kept_rows"),
+        sum(col("_c") * (col("_c") - lit(1L))).as("cand_pairs"))
+      .select(col("_band").as("band"), col("buckets"), col("kept_rows"),
+        col("cand_pairs"))
+      .orderBy(col("band"))
+  }
+
+  /** DuckDB twin of [[mutualKnnBandStats]]. */
+  def mutualKnnBandStatsSql(table: String, vecCol: String, idCol: String,
+      bands: Seq[Seq[Int]], maxBucketSize: Int): String =
+    s"""WITH ${centeredBandBucketCtesSql(table, vecCol, idCol, bands, maxBucketSize, "o")},
+       |bc AS (SELECT band, bk, CAST(count(*) AS BIGINT) AS c
+       |  FROM omb GROUP BY 1, 2)
+       |SELECT band, CAST(count(*) AS BIGINT) AS buckets,
+       |  CAST(sum(c) AS BIGINT) AS kept_rows,
+       |  CAST(sum(c * (c - 1)) AS BIGINT) AS cand_pairs
+       |FROM bc GROUP BY band ORDER BY band""".stripMargin
+
   /** Full DuckDB oracle for [[mutualKnnLsh]]: (a, b, cosine r6), ORDER BY a, b. */
   def mutualKnnSql(table: String, vecCol: String, idCol: String,
       k: Int, coords: Seq[Int], maxBucketSize: Int): String =
@@ -291,33 +448,36 @@ object AnnSearch {
        |WHERE t1.qid < t1.vid ORDER BY a, b""".stripMargin
 
   /** Recall readout for the bucketed mutual-kNN tier: on a deterministic
-    * 1-in-`sampleMod` id-sample, mutual pairs from the capped bucket
-    * path vs ground truth from the exact all-pairs tier (same top-k +
-    * reciprocity semantics, candidates unrestricted). `sampleMod` is
-    * REQUIRED for the same reason as [[graft.operators.dedup.LshRecall]]:
-    * the truth tier is quadratic in the sample, so it must be bounded by
-    * construction (the sample side broadcasts — a bounded
-    * BroadcastNestedLoopJoin, never a CartesianProduct). One row:
-    * (true_pairs, lsh_pairs, hit_pairs, recall) — recall NULL when no
-    * true pairs exist (ANSI-safe).
+    * 1-in-`sampleMod` id-sample, mutual pairs from the SINGLE-band
+    * capped bucket path (`bands.head`) AND from the OR-AMPLIFIED path
+    * (all `bands`) vs ground truth from the exact all-pairs tier (same
+    * top-k + reciprocity semantics, candidates unrestricted) — the
+    * measured 1−(1−p)^L readout that grades [[mutualKnnLshOr]].
+    * `sampleMod` is REQUIRED for the same reason as
+    * [[graft.operators.dedup.LshRecall]]: the truth tier is quadratic in
+    * the sample, so it must be bounded by construction (the sample side
+    * broadcasts — a bounded BroadcastNestedLoopJoin, never a
+    * CartesianProduct). One row: (true_pairs, single_pairs, or_pairs,
+    * single_hits, or_hits, single_recall, or_recall) — recalls NULL
+    * when no true pairs exist (ANSI-safe).
     *
-    * Measured at the shipped gate settings (coords 0-3, k=5, cap 1000,
-    * sampleMod 4): recall 0.114 / 0.088 / 0.137 at sf0.001 / 0.01 /
-    * 0.1. The fixture embeddings are near-uniform random, so mutual
-    * "neighbors" are barely better than chance and single-band sign-LSH
-    * recall sits near the 1/2^|coords| co-bucket probability — exactly
-    * what this readout exists to surface. Real clustered corpora score
-    * higher (neighbors correlate with bucket); when they don't, the
-    * lever is OR-amplification (union candidates over several
-    * independent coordinate bands), trading candidate mass for recall
-    * along the standard 1-(1-p)^L curve.
+    * Measured at the shipped gate settings (4 bands of 4 coords, k=5,
+    * cap 1000, sampleMod 4): single-band recall 0.114 / 0.088 / 0.137
+    * tri-scale (near the 1/2^bits co-bucket floor — the fixture
+    * embeddings are near-uniform random, so mutual "neighbors" are
+    * barely better than chance); OR over the 4 bands lifts it along the
+    * amplification curve at ≤ 4× the per-band candidate mass (see
+    * [[mutualKnnBandStats]] for the per-band counts).
     */
   def mutualKnnRecall(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      coords: Seq[Int], maxBucketSize: Int, sampleMod: Int): DataFrame = {
+      bands: Seq[Seq[Int]], maxBucketSize: Int, sampleMod: Int): DataFrame = {
     require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
+    require(bands.nonEmpty, "at least one coordinate band is required")
     val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
       .select(col(idCol), col(vecCol))
-    val lsh = mutualKnnLsh(sample, vecCol, idCol, k, coords, maxBucketSize)
+    val single = mutualKnnLsh(sample, vecCol, idCol, k, bands.head, maxBucketSize)
+      .select(col("a"), col("b"))
+    val amplified = mutualKnnLshOr(sample, vecCol, idCol, k, bands, maxBucketSize)
       .select(col("a"), col("b"))
     val a = sample.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
     val b = sample.select(col(idCol), col(vecCol))
@@ -327,22 +487,32 @@ object AnnSearch {
     val rev = top.select(col(idCol).as("_ra"), col("query_id").as("_rb"))
     val truth = fwd.join(rev, col("a") === col("_ra") && col("b") === col("_rb"), "left_semi")
       .filter(col("a") < col("b"))
-    val hits = lsh.join(truth, Seq("a", "b"), "left_semi")
+    val sHits = single.join(truth, Seq("a", "b"), "left_semi")
+    val oHits = amplified.join(truth, Seq("a", "b"), "left_semi")
     truth.agg(count(lit(1)).as("true_pairs"))
-      .crossJoin(lsh.agg(count(lit(1)).as("lsh_pairs")))
-      .crossJoin(hits.agg(count(lit(1)).as("hit_pairs")))
-      .select(col("true_pairs"), col("lsh_pairs"), col("hit_pairs"),
+      .crossJoin(single.agg(count(lit(1)).as("single_pairs")))
+      .crossJoin(amplified.agg(count(lit(1)).as("or_pairs")))
+      .crossJoin(sHits.agg(count(lit(1)).as("single_hits")))
+      .crossJoin(oHits.agg(count(lit(1)).as("or_hits")))
+      .select(col("true_pairs"), col("single_pairs"), col("or_pairs"),
+        col("single_hits"), col("or_hits"),
         when(col("true_pairs") > 0,
-          round(col("hit_pairs").cast("double") / col("true_pairs").cast("double"), 6))
-          .as("recall"))
+          round(col("single_hits").cast("double") / col("true_pairs").cast("double"), 6))
+          .as("single_recall"),
+        when(col("true_pairs") > 0,
+          round(col("or_hits").cast("double") / col("true_pairs").cast("double"), 6))
+          .as("or_recall"))
   }
 
-  /** DuckDB oracle for [[mutualKnnRecall]]. */
+  /** DuckDB oracle for [[mutualKnnRecall]] — the single-band CTE chain
+    * (kst/kb/mb) and the amplified band chain (o-prefixed) coexist via
+    * distinct CTE names.
+    */
   def mutualKnnRecallSql(table: String, vecCol: String, idCol: String, k: Int,
-      coords: Seq[Int], maxBucketSize: Int, sampleMod: Int): String =
+      bands: Seq[Seq[Int]], maxBucketSize: Int, sampleMod: Int): String =
     s"""WITH ms AS (SELECT $idCol, $vecCol FROM $table
        |  WHERE $vecCol IS NOT NULL AND $idCol % $sampleMod = 0),
-       |${centeredBucketCtesSql("ms", vecCol, idCol, coords, maxBucketSize)},
+       |${centeredBucketCtesSql("ms", vecCol, idCol, bands.head, maxBucketSize)},
        |lc AS (SELECT q.id AS qid, e.id AS vid,
        |    ${graft.functions.VectorFunctions.cosineSql("e.v", "q.v")} AS cos
        |  FROM mb e JOIN mb q ON e.bk = q.bk AND e.id <> q.id),
@@ -351,6 +521,16 @@ object AnnSearch {
        |lt AS (SELECT qid, vid FROM lr WHERE rn <= $k),
        |lp AS (SELECT t1.qid AS a, t1.vid AS b FROM lt t1
        |  JOIN lt t2 ON t1.qid = t2.vid AND t1.vid = t2.qid WHERE t1.qid < t1.vid),
+       |${centeredBandBucketCtesSql("ms", vecCol, idCol, bands, maxBucketSize, "o")},
+       |oc AS (SELECT DISTINCT q.id AS qid, e.id AS vid,
+       |    ${graft.functions.VectorFunctions.cosineSql("e.v", "q.v")} AS cos
+       |  FROM omb e JOIN omb q
+       |    ON e.band = q.band AND e.bk = q.bk AND e.id <> q.id),
+       |orr AS (SELECT qid, vid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM oc),
+       |ot AS (SELECT qid, vid FROM orr WHERE rn <= $k),
+       |op AS (SELECT t1.qid AS a, t1.vid AS b FROM ot t1
+       |  JOIN ot t2 ON t1.qid = t2.vid AND t1.vid = t2.qid WHERE t1.qid < t1.vid),
        |tc AS (SELECT q.$idCol AS qid, e.$idCol AS vid,
        |    ${graft.functions.VectorFunctions.cosineSql(s"e.$vecCol", s"q.$vecCol")} AS cos
        |  FROM ms e, ms q WHERE e.$idCol <> q.$idCol),
@@ -360,11 +540,16 @@ object AnnSearch {
        |tp AS (SELECT t1.qid AS a, t1.vid AS b FROM tt t1
        |  JOIN tt t2 ON t1.qid = t2.vid AND t1.vid = t2.qid WHERE t1.qid < t1.vid)
        |SELECT (SELECT count(*) FROM tp) AS true_pairs,
-       |  (SELECT count(*) FROM lp) AS lsh_pairs,
-       |  (SELECT count(*) FROM lp JOIN tp USING (a, b)) AS hit_pairs,
+       |  (SELECT count(*) FROM lp) AS single_pairs,
+       |  (SELECT count(*) FROM op) AS or_pairs,
+       |  (SELECT count(*) FROM lp JOIN tp USING (a, b)) AS single_hits,
+       |  (SELECT count(*) FROM op JOIN tp USING (a, b)) AS or_hits,
        |  CASE WHEN (SELECT count(*) FROM tp) > 0 THEN
        |    round(CAST((SELECT count(*) FROM lp JOIN tp USING (a, b)) AS DOUBLE)
-       |      / CAST((SELECT count(*) FROM tp) AS DOUBLE), 6) END AS recall""".stripMargin
+       |      / CAST((SELECT count(*) FROM tp) AS DOUBLE), 6) END AS single_recall,
+       |  CASE WHEN (SELECT count(*) FROM tp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM op JOIN tp USING (a, b)) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM tp) AS DOUBLE), 6) END AS or_recall""".stripMargin
 
   /** Top-k within the query's LSH bucket (exact cosine as refinement). */
   def lshTopK(df: DataFrame, queryDf: DataFrame, vecCol: String,
@@ -438,12 +623,13 @@ object AnnSearch {
     */
   def knnJoinMultiProbe(df: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, qIdCol: String, k: Int, coords: Seq[Int],
-      probes: Int): DataFrame = {
+      probes: Int, excludeSelf: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(qIdCol).as("_qid"), col(vecCol).as("_qv"))
       .withColumn("_qpb", explode(probeBuckets(col("_qv"), coords, probes))))
     val cand = df.withColumn("_qpb", signBucket(col(vecCol), coords))
       .join(q, Seq("_qpb"))
-    perQueryTopK(cand, vecCol, idCol, k)
+    perQueryTopK(if (excludeSelf) cand.filter(col(idCol) =!= col("_qid")) else cand,
+      vecCol, idCol, k)
   }
 
   /** Multi-probe [[lshTopK]]: same corpus-side bucket id, `probes+1`
@@ -471,17 +657,25 @@ object AnnSearch {
     * (coords, probes), mirroring `lsh_recall_report` for MinHash
     * banding. One row: `(queries, k, truth_pairs, single_hits,
     * multi_hits, single_recall, multi_recall)`.
+    *
+    * Queries sample with Spark `%` (the [[mutualKnnRecall]] convention
+    * — NOT pmod, which disagrees with the twin's `%` on negative ids),
+    * and every tier EXCLUDES the query row from its own candidates:
+    * queries come from the corpus, so a guaranteed self-hit in truth +
+    * single + multi would floor both recalls at 1/k and skew the
+    * (coords, probes) tuning readout.
     */
   def multiProbeRecall(df: DataFrame, vecCol: String, idCol: String, k: Int,
       coords: Seq[Int], probes: Int, queryMod: Int): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    val queries = df.filter(pmod(col(idCol), lit(queryMod)) === 0)
-    val truth = knnJoin(df, queries, vecCol, idCol, idCol, k)
+    val queries = df.filter(col(idCol) % queryMod === 0)
+    val truth = knnJoin(df, queries, vecCol, idCol, idCol, k, excludeSelf = true)
       .select(col("query_id"), col(idCol).as("_tid"))
-    val single = knnJoinLsh(df, queries, vecCol, idCol, idCol, k, coords)
+    val single = knnJoinLsh(df, queries, vecCol, idCol, idCol, k, coords,
+        excludeSelf = true)
       .select(col("query_id").as("_sq"), col(idCol).as("_sid"))
     val multi = knnJoinMultiProbe(df, queries, vecCol, idCol, idCol, k,
-        coords, probes)
+        coords, probes, excludeSelf = true)
       .select(col("query_id").as("_mq"), col(idCol).as("_mid"))
     truth
       .join(single, col("query_id") === col("_sq") && col("_tid") === col("_sid"),
@@ -521,15 +715,16 @@ object AnnSearch {
        |_truth AS (SELECT qid, $idCol AS tid FROM (
        |  SELECT qid, e.$idCol,
        |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, e.$idCol) AS rn
-       |    FROM $table e CROSS JOIN _mq) WHERE rn <= $k),
+       |    FROM $table e CROSS JOIN _mq WHERE e.$idCol <> qid) WHERE rn <= $k),
        |_single AS (SELECT qid AS sq, $idCol AS sid FROM (
        |  SELECT qid, e.$idCol,
        |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, e.$idCol) AS rn
-       |    FROM $table e JOIN _mq ON $eb = qb) WHERE rn <= $k),
+       |    FROM $table e JOIN _mq ON $eb = qb AND e.$idCol <> qid) WHERE rn <= $k),
        |_multi AS (SELECT qid AS mq, $idCol AS mid FROM (
        |  SELECT qid, e.$idCol,
        |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, e.$idCol) AS rn
-       |    FROM $table e JOIN _mq ON list_contains(pbs, $eb)) WHERE rn <= $k)
+       |    FROM $table e JOIN _mq ON list_contains(pbs, $eb) AND e.$idCol <> qid)
+       |  WHERE rn <= $k)
        |SELECT CAST(count(DISTINCT qid) AS BIGINT) AS queries,
        |  CAST($k AS BIGINT) AS k,
        |  CAST(count(*) AS BIGINT) AS truth_pairs,

@@ -88,6 +88,9 @@ object NearDup {
   // 4 sign bits → 16 buckets over the fixture's 500-2000 vectors: buckets
   // stay large enough that top-5 within the query's bucket is non-vacuous.
   private val lshCoords = 0 until 4
+  // 4 independent 4-bit coordinate bands for the OR-amplified mutual-kNN
+  // tier (band 0 == lshCoords, so single vs amplified is apples-to-apples)
+  private val mutualBands: Seq[Seq[Int]] = (0 until 4).map(b => 4 * b until 4 * (b + 1))
 
   val queries: Seq[OracleQuery] = Seq(
 
@@ -444,16 +447,40 @@ object NearDup {
       Some(AnnSearch.mutualKnnSql("embeddings", "embedding", "vec_id",
         k = 5, coords = lshCoords, maxBucketSize = 1000))),
 
-    // Recall readout for the bucketed mutual-kNN tier: bucketed pairs
-    // vs exact all-pairs ground truth on a deterministic 1-in-4 id
-    // sample (the quality gate the capped rework is graded against,
-    // mirroring lsh_recall_report)
+    // OR-AMPLIFIED mutual k-NN (r15): candidates unioned over 4
+    // independent mean-centered capped 4-bit bands, pairs deduped
+    // inside the bounded heap — the 1-(1-p)^L recall lever the r14
+    // verdict asked for, at <= L x the per-band candidate mass
+    OracleQuery("mutual_knn_pairs_or",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnSearch.mutualKnnLshOr(emb, "embedding", "vec_id", k = 5,
+            bands = mutualBands, maxBucketSize = 1000)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(AnnSearch.mutualKnnOrSql("embeddings", "embedding", "vec_id",
+        k = 5, bands = mutualBands, maxBucketSize = 1000))),
+
+    // per-band candidate-mass readout: surviving buckets, kept rows and
+    // the ordered pair mass each band contributes — computed from the
+    // bucket counts, never by running the join
+    OracleQuery("mutual_knn_band_stats",
+      (s, dir) => AnnSearch.mutualKnnBandStats(Tables(s, dir, "embeddings"),
+        "embedding", "vec_id", bands = mutualBands, maxBucketSize = 1000),
+      Some(AnnSearch.mutualKnnBandStatsSql("embeddings", "embedding", "vec_id",
+        bands = mutualBands, maxBucketSize = 1000))),
+
+    // Recall readout for the bucketed mutual-kNN tier: single-band AND
+    // OR-amplified pairs vs exact all-pairs ground truth on a
+    // deterministic 1-in-4 id sample (the quality gate the amplified
+    // rework is graded against, mirroring lsh_recall_report)
     OracleQuery("mutual_knn_recall",
       (s, dir) => AnnSearch.mutualKnnRecall(Tables(s, dir, "embeddings"),
-        "embedding", "vec_id", k = 5, coords = lshCoords,
+        "embedding", "vec_id", k = 5, bands = mutualBands,
         maxBucketSize = 1000, sampleMod = 4),
       Some(AnnSearch.mutualKnnRecallSql("embeddings", "embedding", "vec_id",
-        k = 5, coords = lshCoords, maxBucketSize = 1000, sampleMod = 4))),
+        k = 5, bands = mutualBands, maxBucketSize = 1000, sampleMod = 4))),
 
     // c-TF-IDF cluster labeling (BERTopic-style): the top-5 terms that
     // characterize each k-means bucket, from the documents joined onto

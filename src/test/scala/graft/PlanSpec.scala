@@ -189,6 +189,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("OR-amplified mutual kNN keeps the hot-bucket cap on every band: one (band,bucket)-keyed anti-join, counts-only hot side") {
+    val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))
+    val df = graft.operators.vector.AnnSearch.mutualKnnLshOr(
+      table("embeddings"), "embedding", "vec_id", k = 5,
+      bands = bands, maxBucketSize = 1000)
+    val p = planOf(df)
+    // the cap applies to the composite (band, bucket) key, so EVERY band
+    // is capped by the single LeftAnti — no band may reach the self-join
+    // uncapped, and the hot-count side must move counts, never vectors
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    val exec = df.queryExecution.executedPlan
+    val aggExchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]
+          || e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] => e
+    }
+    aggExchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "embedding"),
+        s"hot-count exchange carries embedding arrays: ${e.output.mkString(",")}")
+    }
+    // the anti-join condition must include the band id: a bucket hot in
+    // band 2 must not delete the same bucket value in band 0 (string
+    // pin — the typed tree hides inside the AQE wrapper)
+    val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.nonEmpty, p)
+    antiLines.foreach(l => assert(l.contains("_band"),
+      s"anti-join must key on (band, bucket): $l"))
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(

@@ -8,7 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    // 530-test JVM runs the whole operator surface: full codegen-cache
+    // bound, like Bench/Verify (the production default is smaller)
+    val s = GraftSession.builder("local[4]", 4, codegenCacheEntries = 10000)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
