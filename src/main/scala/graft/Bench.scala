@@ -10,13 +10,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      // noop sink materializes every output column (count() would let
-      // Catalyst prune the computed columns and fake the numbers)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      // release staged frames inside the timed region: staging cost is
-      // the query's honest cost, and leaked blocks would bleed memory
-      // pressure into LATER queries' measurements.
+      // scoped staging: frames release at block exit, INSIDE the timed
+      // region — staging cost is the query's honest cost, and leaked
+      // blocks would bleed memory pressure into LATER queries'
+      // measurements.
       //
       // ESTIMATOR NOTE for cross-round comparisons: pre-r14 records
       // never released, so a staging operator's 2nd/3rd rep found the
@@ -26,7 +23,12 @@ object Bench {
       // same ~2-4x on vocab_coverage / quantile_rank / mutual_information
       // / events_anomaly / language_confusion. r14+ legs for those
       // operators measure the full per-invocation cost.
-      finally graft.core.Staging.releaseAll()
+      graft.core.Staging.scoped {
+        // noop sink materializes every output column (count() would let
+        // Catalyst prune the computed columns and fake the numbers)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      }
     // Deterministic order + warmup + WARM MIN of n>=3: without the
     // warmup the first Map-ordered query eats JVM/codegen warmup (~9s in
     // round 1). The per-query record is the MINIMUM over warm reps, not
@@ -81,7 +83,15 @@ object Bench {
       val pf = if (partial) ",\"partial\":true" else ""
       val med = medians.toSeq.map { case (k, v) => "\"" + k + "\":" + sec(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"estimator":"warm_min_interleaved","wall_guarded":$g,"queries":$qs,"queries_median":$med,"sf":"$sfDir","scale_probe":$p$pf}"""
+      // legs whose median reads >2x their min are contention-suspect OR
+      // genuinely intermittent (memory-pressure-dependent): surface them
+      // so a real regression can't hide behind the min estimator
+      // (VERDICT r14 #8). Tiny legs (<0.1 s min) are skipped — scheduler
+      // jitter alone doubles those.
+      val unstable = medians.toSeq.collect {
+        case (k, m) if results.get(k).exists(mn => mn >= 0.1 && m > 2.0 * mn) => k
+      }.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"estimator":"warm_min_interleaved","wall_guarded":$g,"unstable_legs":$unstable,"queries":$qs,"queries_median":$med,"sf":"$sfDir","scale_probe":$p$pf}"""
     }
     // The driver keeps only the LAST 2000 chars of output and parses the
     // final JSON line out of that window (BENCH_r7/r8 both carried
@@ -282,17 +292,17 @@ object Bench {
         Seq("spark", "join", "window"), "text", "doc_id", topK = 50)(big).count())
       // conditional bigram LM at replication — the r14 perplexity-style
       // quality scorer: one tokenize into the staged hashed-count table,
-      // corpus counts + context totals + scoring join (releaseAll inside
-      // the leg: the staging is the operator's honest per-invocation
-      // cost, same as the gate measurement)
+      // corpus counts + context totals + scoring join (scoped release
+      // inside the leg: the staging is the operator's honest
+      // per-invocation cost, same as the gate measurement)
       val tBigram = time {
         // noop sink, not count(): count prunes the scoring expressions
         // (the floor-log cost column and the per-doc weighted sums) and
         // would shave the transcendental work off the record
-        try {
+        graft.core.Staging.scoped {
           new graft.operators.text.BigramLm("text", "doc_id")(big)
             .write.format("noop").mode("overwrite").save(); n
-        } finally graft.core.Staging.releaseAll()
+        }
       }
       // the full composed curation order (clean → filter → quality →
       // corpus-global span removal → exact dedup) as ONE leg — the r9

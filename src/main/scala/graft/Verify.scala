@@ -20,14 +20,16 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (n, _) => s(n) })
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // scoped staging: frames the gate stages release at block exit —
+      // after the consuming write — or 200+ gates of MEMORY_AND_DISK
+      // staging blocks pile up in one session
+      graft.core.Staging.scoped {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-      // staged frames are fully consumed by the write — release, or 200+
-      // gates of MEMORY_AND_DISK staging blocks pile up in one session
-      finally graft.core.Staging.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,12 +58,13 @@ final class EventAnomaly(
     // THREE consumers (bounds, type spine, densify join) with different
     // pruned columns — materialize it once or the batch path re-derives
     // the event-stream aggregate per consumer (the psiPerGroup lesson).
-    // Staged via the registry: Verify/Bench/PipelineRunner release after
-    // consumption; a long-lived monitor loop calling this per trigger
-    // must call Staging.releaseAll() after consuming each readout, or
-    // the registry's strong reference pins one frame per trigger for the
-    // application's life (the registry holds the reference — the
-    // ContextCleaner cannot GC it away)
+    // Staged via the registry: Verify/Bench/PipelineRunner run under
+    // Staging.scoped, which releases at their quiescent points; a
+    // long-lived monitor loop calling this per trigger wraps each
+    // trigger's consume in Staging.scoped { ... } (or the frame pins one
+    // cache entry per trigger for the application's life — persist
+    // registers in the CacheManager, which the ContextCleaner cannot GC
+    // away)
     val counts = graft.core.Staging.stage(counts0)
     val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val hours = bounds.select(explode(

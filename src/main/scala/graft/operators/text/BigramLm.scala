@@ -51,6 +51,22 @@ object BigramLm {
     s"(${HashFunctions.mixedSql(h1, 0)} + ${HashFunctions.mixedSql(h2, 1)})"
 }
 
+/** FROZEN bigram-LM model tables (r15): per-seen-bigram integer costs,
+  * per-context totals, and the vocab scalar — persisted so a streaming
+  * scorer joins micro-batches against them trigger after trigger
+  * without re-deriving the training aggregate. [[release]] unpersists
+  * when the consumer retires the model (e.g. on periodic re-train).
+  */
+final case class BigramLmModel private[text] (
+    cost: DataFrame,  // (_chb, _c9): cost of each TRAINING bigram
+    ctx: DataFrame,   // (_xh1, _cw): total observed count per context
+    vocab: DataFrame, // (_v): one-row bigram-participating vocab size
+    trainedRows: Long) {
+  def release(): Unit = {
+    cost.unpersist(false); ctx.unpersist(false); vocab.unpersist(false)
+  }
+}
+
 final class BigramLm(
     textCol: String = "text",
     idCol: String = "doc_id") {
@@ -77,28 +93,7 @@ final class BigramLm(
     * the scored table.
     */
   def scores(df: DataFrame): DataFrame = {
-    // one corpus text scan: each TOKEN hashes ONCE (one md5 per token —
-    // not three per bigram occurrence: at 100 TB the map-side hashing IS
-    // the scan cost) into a staged hash ARRAY, and the bigram key is the
-    // overflow-safe constant mix of the adjacent pair (the MinHash
-    // mixConstants discipline — asymmetric, so "a b" never merges with
-    // "b a"; products < 2^60, sum < 2^62 in both engines). Plan-shape
-    // note (the TextRepetition lesson, MEASURED 30x): the hash array is
-    // staged in its own projection and the pair transform is FUSED into
-    // the explode generator — element_at inside the lambda touches the
-    // staged ATTRIBUTE (free per element), never an inlined expression.
-    val hts = transform(TextFunctions.tokensOf(col(textCol)),
-      t => HashFunctions.portableHash64(t))
-    val pairs = when(size(col("_hts")) < 2,
-      array().cast("array<struct<_h1:bigint,_h2:bigint>>"))
-      .otherwise(transform(sequence(lit(0), size(col("_hts")) - 2),
-        i => struct(element_at(col("_hts"), i + 1).as("_h1"),
-          element_at(col("_hts"), i + 2).as("_h2"))))
-    val occs = df
-      .select(col(idCol), hts.as("_hts"))
-      .select(col(idCol), explode(pairs).as("_p"))
-      .select(col(idCol), col("_p._h1").as("_h1"), col("_p._h2").as("_h2"))
-      .withColumn("_hb", BigramLm.mixPair(col("_h1"), col("_h2")))
+    val occs = occurrences(df)
     // _h1/_h2 are functions of _hb; min() just picks the one value
     val db = graft.core.Staging.stage(
       occs.groupBy(col(idCol), col("_hb"))
@@ -123,6 +118,177 @@ final class BigramLm(
         when(col("_nb") > 0L,
           round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
           .as("_blm_bits"))
+  }
+
+  /** `(idCol, _h1, _h2, _hb)` — one row per bigram OCCURRENCE. One
+    * corpus text scan: each TOKEN hashes ONCE (one md5 per token — not
+    * three per bigram occurrence: at 100 TB the map-side hashing IS the
+    * scan cost) into a staged hash ARRAY, and the bigram key is the
+    * overflow-safe constant mix of the adjacent pair (the MinHash
+    * mixConstants discipline — asymmetric, so "a b" never merges with
+    * "b a"; products < 2^60, sum < 2^62 in both engines). Plan-shape
+    * note (the TextRepetition lesson, MEASURED 30x): the hash array is
+    * staged in its own projection and the pair transform is FUSED into
+    * the explode generator — element_at inside the lambda touches the
+    * staged ATTRIBUTE (free per element), never an inlined expression.
+    */
+  private def occurrences(df: DataFrame): DataFrame = {
+    val hts = transform(TextFunctions.tokensOf(col(textCol)),
+      t => HashFunctions.portableHash64(t))
+    val pairs = when(size(col("_hts")) < 2,
+      array().cast("array<struct<_h1:bigint,_h2:bigint>>"))
+      .otherwise(transform(sequence(lit(0), size(col("_hts")) - 2),
+        i => struct(element_at(col("_hts"), i + 1).as("_h1"),
+          element_at(col("_hts"), i + 2).as("_h2"))))
+    df.select(col(idCol), hts.as("_hts"))
+      .select(col(idCol), explode(pairs).as("_p"))
+      .select(col(idCol), col("_p._h1").as("_h1"), col("_p._h2").as("_h2"))
+      .withColumn("_hb", BigramLm.mixPair(col("_h1"), col("_h2")))
+  }
+
+  /** Train the LM on `corpus` and FREEZE it: the same single-scan
+    * staged pipeline as [[scores]], but the three model tables live
+    * beyond the call so a streaming scorer can join micro-batches
+    * against them per trigger — the KenLM-style run shape (train once
+    * on a reference corpus, score the firehose, re-train periodically).
+    * Caller releases via [[BigramLmModel.release]].
+    *
+    * `snapshotDir`: REQUIRED when `corpus` reads a path that keeps
+    * receiving appends (the streaming corpus store). A bare persist is
+    * NOT frozen against that: Spark's append path calls refreshByPath,
+    * which invalidates and lazily RECACHES every cached plan rooted in
+    * the written path — the "frozen" tables would silently recompute
+    * over data that arrived after the freeze (measured: a trigger's
+    * scores drifted to the next trigger's corpus). Snapshotting writes
+    * the tables to versioned parquet — a detached model ARTIFACT, which
+    * is also the restart story: a rebooted scorer re-reads the snapshot
+    * instead of retraining.
+    */
+  def freeze(corpus: DataFrame,
+      snapshotDir: Option[String] = None): BigramLmModel = graft.core.Staging.scoped {
+    val db = graft.core.Staging.stage(
+      occurrences(corpus).groupBy(col(idCol), col("_hb"))
+        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
+          min(col("_h2")).as("_h2")))
+    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
+      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1")))
+    val ctx0 = cb.groupBy(col("_ch1").as("_xh1")).agg(sum(col("_cb")).as("_cw"))
+    val vocab0 = db
+      .select(explode(array(col("_h1"), col("_h2"))).as("_th"))
+      .agg(countDistinct(col("_th")).as("_v"))
+    val ctxS = snapshot(ctx0, snapshotDir, "ctx")
+    val vocabS = snapshot(vocab0, snapshotDir, "vocab")
+    val p = (col("_cb").cast("double") + lit(1.0)) /
+      (col("_cw").cast("double") + col("_v").cast("double"))
+    val cost0 = cb.join(ctxS, col("_ch1") === col("_xh1"))
+      .crossJoin(broadcast(vocabS))
+      .select(col("_hb").as("_chb"),
+        floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
+    val costS = snapshot(cost0, snapshotDir, "cost")
+    // materialize INSIDE the scope (db/cb still cached), then the staged
+    // intermediates release at scope exit while the model tables live on
+    val rows = costS.count(); ctxS.count(); vocabS.count()
+    BigramLmModel(costS, ctxS, vocabS, rows)
+  }
+
+  /** Persist a model table; with a snapshot dir, write-then-reread so
+    * its lineage roots at the immutable snapshot path (see [[freeze]]).
+    */
+  private def snapshot(df: DataFrame, dir: Option[String],
+      name: String): DataFrame = {
+    val out = dir.fold(df) { d =>
+      df.write.mode("overwrite").parquet(s"$d/$name")
+      df.sparkSession.read.parquet(s"$d/$name")
+    }
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Score `df` under a FROZEN model — the streaming-twin scorer. Seen
+    * bigrams read their trained integer cost; an unseen bigram with a
+    * SEEN context w1 backs off to the add-one floor `1/(c(w1,·)+V)`;
+    * a fully unseen context scores `1/V` (c(w1,·)=0) — the exact
+    * add-one semantics [[scores]] would assign had the pair appeared 0
+    * times in training, so scoring the training corpus itself
+    * reproduces [[scores]] bit-for-bit. Empty model (V=0): NULL score,
+    * never a divide-by-zero.
+    *
+    * Scale shape: the batch aggregates per (doc, bigram) first (map-side
+    * combine), then TWO hash joins against the model tables and one
+    * broadcast scalar — no training-corpus scan, no windows.
+    */
+  def scoreAgainst(df: DataFrame, m: BigramLmModel): DataFrame = {
+    val perDoc = occurrences(df).groupBy(col(idCol), col("_hb"))
+      .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"))
+    val backoff = when(col("_v") > 0L,
+      floor(-log(lit(1.0) /
+        (coalesce(col("_cw"), lit(0L)).cast("double") + col("_v").cast("double")))
+        * lit(CostScale)).cast("long"))
+    val scored = perDoc
+      .join(m.cost, col("_hb") === col("_chb"), "left")
+      .join(m.ctx, col("_h1") === col("_xh1"), "left")
+      .crossJoin(broadcast(m.vocab))
+      .select(col(idCol), col("_occ"), coalesce(col("_c9"), backoff).as("_c9x"))
+      .groupBy(col(idCol).as("_blm_id"))
+      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9x")).as("_s"))
+    df.select(col(idCol))
+      .join(scored, col(idCol) === col("_blm_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+        when(col("_nb") > 0L && col("_s").isNotNull,
+          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
+          .as("bits_per_bigram"))
+  }
+
+  /** DuckDB twin of freeze+[[scoreAgainst]]: train on `trainTable`,
+    * score `scoreTable` — the oracle for the frozen-model gate.
+    */
+  def scoreAgainstSql(trainTable: String, scoreTable: String): String = {
+    val toks = TextFunctions.tokensOfSql(textCol)
+    def ph(e: String) = HashFunctions.portableHash64Sql(e)
+    s"""WITH _ht AS (SELECT $idCol,
+       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $trainTable),
+       |_oc AS (SELECT $idCol,
+       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
+       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
+       |  FROM (SELECT $idCol, _hts,
+       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
+       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
+       |    min(_h1) AS _h1, min(_h2) AS _h2
+       |  FROM _oc GROUP BY $idCol, _hb),
+       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
+       |    min(_h1) AS _ch1
+       |  FROM _db GROUP BY _hb),
+       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw
+       |  FROM _cb GROUP BY 1),
+       |_v AS (SELECT count(DISTINCT _th) AS _v
+       |  FROM (SELECT unnest([_h1, _h2]) AS _th FROM _db)),
+       |_cost AS (SELECT _hb AS _chb,
+       |    CAST(floor(-ln((CAST(_cb AS DOUBLE) + 1.0)
+       |      / (CAST(_cw AS DOUBLE) + CAST(_v AS DOUBLE))) * $CostScale) AS BIGINT) AS _c9
+       |  FROM _cb JOIN _ctx ON _ch1 = _xh1 CROSS JOIN _v),
+       |_sht AS (SELECT $idCol,
+       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $scoreTable),
+       |_soc AS (SELECT $idCol,
+       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
+       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
+       |  FROM (SELECT $idCol, _hts,
+       |        unnest(range(0, len(_hts) - 1)) AS i FROM _sht)),
+       |_sdb AS (SELECT $idCol, _hb, count(*) AS _occ, min(_h1) AS _h1
+       |  FROM _soc GROUP BY $idCol, _hb),
+       |_sx AS (SELECT $idCol, _occ,
+       |    coalesce(_c9, CASE WHEN _v > 0 THEN
+       |      CAST(floor(-ln(1.0 / (CAST(coalesce(_cw, 0) AS DOUBLE)
+       |        + CAST(_v AS DOUBLE))) * $CostScale) AS BIGINT) END) AS _c9x
+       |  FROM _sdb LEFT JOIN _cost ON _hb = _chb
+       |    LEFT JOIN _ctx ON _h1 = _xh1 CROSS JOIN _v),
+       |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
+       |    CAST(sum(_occ * _c9x) AS BIGINT) AS _s
+       |  FROM _sx GROUP BY 1)
+       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
+       |  CASE WHEN _nb > 0 AND _s IS NOT NULL
+       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
+       |  END AS bits_per_bigram
+       |FROM $scoreTable t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
   }
 
   // ---- DuckDB twin: the same hashed integer algebra ----

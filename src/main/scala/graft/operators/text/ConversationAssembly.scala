@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * packaging step between raw interaction logs and a fine-tuning run;
   * the reference ships no conversation surface at all). Each group's
   * turns render as `role: content` lines, ordered by `(ts, tiebreak)`,
-  * truncated deterministically to the FIRST `maxTurns` turns (context
-  * windows are bounded; keeping the earliest turns preserves the
-  * conversation opening the way SFT packing does).
+  * truncated deterministically to `maxTurns` turns — `keep = "first"`
+  * preserves the conversation opening (the default SFT packing shape);
+  * `keep = "last"` preserves the most recent turns (context-window
+  * packing for chat fine-tuning commonly keeps the tail — the model
+  * trains on the latest exchange with its immediate history). Either
+  * way the kept turns serialize in chronological order.
   *
   * Output per conversation: turn count (pre- and post-truncation),
   * serialized length, and the md5 of the transcript — the transcript
@@ -29,9 +32,12 @@ final class ConversationAssembly(
     tieCol: String = "event_id",
     roleCol: String = "event_type",
     contentCol: String = "props",
-    maxTurns: Int = 8) extends graft.core.Operator {
+    maxTurns: Int = 8,
+    keep: String = "first") extends graft.core.Operator {
 
   require(maxTurns >= 1, s"maxTurns must be >= 1, got $maxTurns")
+  require(keep == "first" || keep == "last",
+    s"keep must be 'first' or 'last', got '$keep'")
 
   val name = "conversation_assembly"
 
@@ -45,18 +51,28 @@ final class ConversationAssembly(
   def apply(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    val turns = events.select(col(keyCol), col(tsCol), col(tieCol),
+    val base = events.select(col(keyCol), col(tsCol), col(tieCol),
         concat(coalesce(col(roleCol), lit("")), lit(": "),
           coalesce(col(contentCol), lit(""))).as("_line"))
       .withColumn("_rn", row_number().over(w))
+    // keep-last needs the group size; the count window shares the rank
+    // window's key-partitioned exchange (no order — whole-partition
+    // frame), so the plan stays one exchange either way
+    val turns =
+      if (keep == "first") base
+      else base.withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+    val kept =
+      if (keep == "first") col("_rn") <= maxTurns
+      else col("_rn") > col("_n") - maxTurns
     turns
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        count(when(col("_rn") <= maxTurns, lit(1))).as("n_turns"),
+        count(when(kept, lit(1))).as("n_turns"),
         // sort the kept (rank, line) structs, then join: deterministic
         // whatever order collect_list saw the rows in
         array_join(transform(
-          array_sort(collect_list(when(col("_rn") <= maxTurns,
+          array_sort(collect_list(when(kept,
             struct(col("_rn"), col("_line"))))),
           s => s.getField("_line")), "\n").as("_convo"))
       .select(col(keyCol), col("n_events"), col("n_turns"),
@@ -66,19 +82,24 @@ final class ConversationAssembly(
 
   // ---- DuckDB twin ----
 
-  def sql(table: String): String =
+  def sql(table: String): String = {
+    val kept =
+      if (keep == "first") s"_rn <= $maxTurns"
+      else s"_rn > _n - $maxTurns"
     s"""WITH _ct AS (SELECT $keyCol,
        |    coalesce($roleCol, '') || ': ' || coalesce($contentCol, '') AS _line,
        |    row_number() OVER (PARTITION BY $keyCol
-       |      ORDER BY $tsCol NULLS FIRST, $tieCol NULLS FIRST) AS _rn
+       |      ORDER BY $tsCol NULLS FIRST, $tieCol NULLS FIRST) AS _rn,
+       |    count(*) OVER (PARTITION BY $keyCol) AS _n
        |  FROM $table)
        |SELECT $keyCol, count(*) AS n_events,
-       |  count(CASE WHEN _rn <= $maxTurns THEN 1 END) AS n_turns,
-       |  CAST(length(string_agg(CASE WHEN _rn <= $maxTurns THEN _line END,
+       |  count(CASE WHEN $kept THEN 1 END) AS n_turns,
+       |  CAST(length(string_agg(CASE WHEN $kept THEN _line END,
        |    chr(10) ORDER BY _rn)) AS BIGINT) AS n_chars,
-       |  md5(string_agg(CASE WHEN _rn <= $maxTurns THEN _line END,
+       |  md5(string_agg(CASE WHEN $kept THEN _line END,
        |    chr(10) ORDER BY _rn)) AS convo_md5
        |FROM _ct GROUP BY $keyCol""".stripMargin
+  }
 }
 
 /** SFT-format validator over per-key turn streams — the structural

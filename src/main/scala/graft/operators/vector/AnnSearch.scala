@@ -701,6 +701,106 @@ object AnnSearch {
           .as("multi_recall"))
   }
 
+  /** CONSUMABLE operating point for the sign-bucket tier (VERDICT r14
+    * #4): evaluate recall@k at EVERY probe level 0..`maxProbes` over the
+    * same deterministic query sample, and flag the level a pipeline
+    * should ship — the smallest level whose recall meets `targetRecall`,
+    * else the smallest level achieving the maximum measured recall. One
+    * row per level: `(probes, truth_pairs, hits, recall, chosen)` — a
+    * config row, not prose; the chosen row's `probes` is the value to
+    * paste into the production `lshTopK`/`knnJoinMultiProbe` call.
+    *
+    * Scale shape: truth (the quadratic-in-sample exact tier) computes
+    * ONCE and stages ([[graft.core.Staging]] — maxProbes+1 consumers);
+    * each level is one bucket-pruned broadcast join over the sampled
+    * queries; the selection windows ride the (maxProbes+1)-row level
+    * table. Self-hits are excluded in every tier (the
+    * [[multiProbeRecall]] contract).
+    */
+  def multiProbeOperatingPoint(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, coords: Seq[Int], maxProbes: Int, targetRecall: Double,
+      queryMod: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    require(maxProbes >= 0 && maxProbes <= coords.length,
+      s"maxProbes must be in [0, ${coords.length}], got $maxProbes")
+    val queries = df.filter(col(idCol) % queryMod === 0)
+    val truth = graft.core.Staging.stage(
+      knnJoin(df, queries, vecCol, idCol, idCol, k, excludeSelf = true)
+        .select(col("query_id"), col(idCol).as("_tid")))
+    val perLevel = (0 to maxProbes).map { p =>
+      val multi = knnJoinMultiProbe(df, queries, vecCol, idCol, idCol, k,
+          coords, p, excludeSelf = true)
+        .select(col("query_id").as("_mq"), col(idCol).as("_mid"))
+      truth.join(multi,
+          col("query_id") === col("_mq") && col("_tid") === col("_mid"),
+          "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("probes"), col("hits"))
+    }.reduce(_ unionByName _)
+    val tp = truth.agg(count(lit(1)).as("truth_pairs"))
+    val scored = perLevel.crossJoin(broadcast(tp))
+      .select(col("probes"), col("truth_pairs"), col("hits"),
+        when(col("truth_pairs") > 0,
+          round(col("hits").cast("double") / col("truth_pairs").cast("double"), 6))
+          .as("recall"))
+    val w = Window.partitionBy() // whole (maxProbes+1)-row level table
+    scored
+      .withColumn("_mp", min(when(col("recall") >= targetRecall, col("probes"))).over(w))
+      .withColumn("_mr", max(col("recall")).over(w))
+      .withColumn("_mb", min(when(col("recall") === col("_mr"), col("probes"))).over(w))
+      .select(col("probes"), col("truth_pairs"), col("hits"), col("recall"),
+        coalesce(col("probes") === coalesce(col("_mp"), col("_mb")), lit(false))
+          .as("chosen"))
+      .orderBy(col("probes"))
+  }
+
+  /** DuckDB twin of [[multiProbeOperatingPoint]]. */
+  def multiProbeOperatingPointSql(table: String, vecCol: String, idCol: String,
+      k: Int, coords: Seq[Int], maxProbes: Int, targetRecall: Double,
+      queryMod: Int): String = {
+    val cos = VectorFunctions.cosineSql(s"e.$vecCol", "qv")
+    val eb = signBucketSql(s"e.$vecCol", coords)
+    val pbsCols = (0 to maxProbes).map(p =>
+      s"${probeBucketsSql(vecCol, coords, p)} AS pbs$p").mkString(",\n       |    ")
+    val levels = (0 to maxProbes).map { p =>
+      s"""_m$p AS (SELECT qid AS mq, $idCol AS mid FROM (
+         |  SELECT qid, e.$idCol,
+         |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, e.$idCol) AS rn
+         |    FROM $table e JOIN _mq ON list_contains(pbs$p, $eb) AND e.$idCol <> qid)
+         |  WHERE rn <= $k),
+         |_h$p AS (SELECT $p AS probes, CAST(count(*) AS BIGINT) AS hits
+         |  FROM _truth JOIN _m$p ON qid = mq AND tid = mid)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to maxProbes).map(p => s"SELECT * FROM _h$p")
+      .mkString("\n  UNION ALL ")
+    s"""WITH _mq AS (SELECT $idCol AS qid, $vecCol AS qv,
+       |    $pbsCols
+       |  FROM $table WHERE $idCol % $queryMod = 0),
+       |_truth AS (SELECT qid, $idCol AS tid FROM (
+       |  SELECT qid, e.$idCol,
+       |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, e.$idCol) AS rn
+       |    FROM $table e CROSS JOIN _mq WHERE e.$idCol <> qid) WHERE rn <= $k),
+       |$levels,
+       |_lv AS ($union),
+       |_tp AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM _truth),
+       |_sc AS (SELECT probes, truth_pairs, hits,
+       |    CASE WHEN truth_pairs > 0 THEN
+       |      round(CAST(hits AS DOUBLE) / CAST(truth_pairs AS DOUBLE), 6)
+       |    END AS recall
+       |  FROM _lv CROSS JOIN _tp),
+       |_s1 AS (SELECT *,
+       |    min(CASE WHEN recall >= CAST($targetRecall AS DOUBLE) THEN probes END)
+       |      OVER () AS mp,
+       |    max(recall) OVER () AS mr
+       |  FROM _sc),
+       |_s2 AS (SELECT *,
+       |    min(CASE WHEN recall = mr THEN probes END) OVER () AS mb FROM _s1)
+       |SELECT probes, truth_pairs, hits, recall,
+       |  coalesce(probes = coalesce(mp, mb), false) AS chosen
+       |FROM _s2 ORDER BY probes""".stripMargin
+  }
+
   /** DuckDB twin of [[multiProbeRecall]] — the oracle re-ranks the exact
     * and bucketed candidate sets with the same (cosine DESC, id) order.
     */

@@ -27,6 +27,11 @@ object AnalyticsQueries {
     keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
     roleCol = "event_type", contentCol = "props", maxTurns = 8)
 
+  private val sftLastOp = new graft.operators.text.ConversationAssembly(
+    keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+    roleCol = "event_type", contentCol = "props", maxTurns = 8,
+    keep = "last")
+
   private val convQualityOp = new graft.operators.text.ConversationQuality(
     keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
     roleCol = "event_type", contentCol = "props")
@@ -64,6 +69,12 @@ object AnalyticsQueries {
       // role-tagged transcripts, first-8-turns truncation, md5-audited
       (s, dir) => sftOp(Tables.events(s, dir)).orderBy(col("user_id")),
       Some(sftOp.sql("events") + "\nORDER BY user_id")),
+
+    OracleQuery("sft_pack_keep_last",
+      // context-window packing that keeps the MOST RECENT turns (r15):
+      // same md5-audited chronological serialization, tail truncation
+      (s, dir) => sftLastOp(Tables.events(s, dir)).orderBy(col("user_id")),
+      Some(sftLastOp.sql("events") + "\nORDER BY user_id")),
 
     OracleQuery("events_trend",
       // Mann-Kendall monotone trend per type over hourly counts — the

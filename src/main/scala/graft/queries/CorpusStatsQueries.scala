@@ -87,7 +87,25 @@ object CorpusStatsQueries {
     OracleQuery("bigram_lm_score",
       (s, dir) => bigramLmOp(Tables(s, dir, "documents"))
         .orderBy(col("doc_id")),
-      Some(bigramLmOp.sql("documents") + "\nORDER BY doc_id"))
+      Some(bigramLmOp.sql("documents") + "\nORDER BY doc_id")),
+
+    // FROZEN-model scoring (r15): train on the src0 slice, score the
+    // whole corpus — unseen bigrams back off to the add-one floor
+    // (seen-context 1/(c(w1)+V), fully-unseen 1/V); the streaming twin
+    // scores micro-batches against exactly these model tables
+    OracleQuery("bigram_lm_frozen",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val model = bigramLmOp.freeze(docs.filter(col("source") === "src0"))
+        // tie the frozen tables to the consuming scope: Verify/Bench
+        // release them after the gate's write like any staged frame
+        Seq(model.cost, model.ctx, model.vocab)
+          .foreach(graft.core.Staging.adopt)
+        bigramLmOp.scoreAgainst(docs, model).orderBy(col("doc_id"))
+      },
+      Some(bigramLmOp.scoreAgainstSql(
+        "(SELECT * FROM documents WHERE source = 'src0')", "documents")
+        + "\nORDER BY doc_id"))
   )
 
   private lazy val vocabCovOp = new graft.operators.text.VocabCoverage(

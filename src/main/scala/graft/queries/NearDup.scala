@@ -436,6 +436,18 @@ object NearDup {
       Some(AnnSearch.multiProbeRecallSql("embeddings", "embedding", "vec_id",
         k = 10, coords = lshCoords, probes = 2, queryMod = 97))),
 
+    // the tuner's recommendation as a CONSUMABLE config row (r15, VERDICT
+    // r14 #4): recall@k at every probe level 0..3 over one query sample,
+    // `chosen` flags the level to ship — smallest meeting the target,
+    // else smallest achieving max measured recall
+    OracleQuery("multiprobe_operating_point",
+      (s, dir) => AnnSearch.multiProbeOperatingPoint(Tables(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 10, coords = lshCoords, maxProbes = 3,
+        targetRecall = 0.5, queryMod = 97),
+      Some(AnnSearch.multiProbeOperatingPointSql("embeddings", "embedding",
+        "vec_id", k = 10, coords = lshCoords, maxProbes = 3,
+        targetRecall = 0.5, queryMod = 97))),
+
     OracleQuery("mutual_knn_pairs",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

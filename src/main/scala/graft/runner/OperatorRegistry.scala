@@ -482,7 +482,8 @@ object OperatorRegistry {
     tieCol = p.str("tiebreak_field", "event_id"),
     roleCol = p.str("role_field", "event_type"),
     contentCol = p.str("content_field", "props"),
-    maxTurns = p.int("max_turns", 8)))
+    maxTurns = p.int("max_turns", 8),
+    keep = p.str("keep", "first")))
 
   register("domain_quality_shrunk", p => OperatorRegistry.wrap(
     "domain_quality_shrunk",

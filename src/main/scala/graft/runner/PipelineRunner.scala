@@ -69,7 +69,13 @@ object PipelineRunner {
 
   final case class RunResult(run: RunRollup, outputPath: String, tableName: String)
 
-  def run(spark: SparkSession, conf: PipelineConf): RunResult = {
+  def run(spark: SparkSession, conf: PipelineConf): RunResult =
+    // scoped staging (ADVICE r14): frames operators stage during this run
+    // release when the run's writes + metrics have committed, and a
+    // concurrent run on another thread can never sweep them mid-consumption
+    graft.core.Staging.scoped { runScoped(spark, conf) }
+
+  private def runScoped(spark: SparkSession, conf: PipelineConf): RunResult = {
     val t0 = System.nanoTime()
     val wpEarly = conf.writer.params
     val outputPathEarly = wpEarly.str("output_path", "output")
@@ -178,11 +184,8 @@ object PipelineRunner {
 
     // writes committed — mark this run's input files as processed
     ckpt.foreach(cp => ResumeManifest.record(spark, cp, thisRunFiles))
-
-    // output + rejects + metrics are all committed — release any staging
-    // frames operators persisted, so repeated runs in one long-lived
-    // session don't accumulate cache blocks (ADVICE r13)
-    graft.core.Staging.releaseAll()
+    // staged frames release at the run's scope exit (see run) — repeated
+    // runs in one long-lived session don't accumulate cache blocks
 
     val durationSec = (System.nanoTime() - t0) / 1e9
     val run = MetricsRollup.run(MetricsWriter.newRunId(), stages, durationSec)

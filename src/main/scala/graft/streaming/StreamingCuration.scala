@@ -103,6 +103,63 @@ object StreamingCuration {
     }
   }
 
+  /** Streaming bigram-LM quality scoring (r15) — the drift-monitor twin
+    * of [[graft.operators.text.BigramLm]]: the LM trains ONCE on a
+    * reference corpus and FREEZES ([[graft.operators.text.BigramLm.freeze]]);
+    * each micro-batch scores against the frozen tables (two hash joins +
+    * a broadcast scalar — no training-corpus rescan per trigger, the
+    * KenLM-style run shape) and appends `(id, n_bigrams,
+    * bits_per_bigram)` to `outDir`. Raw batches accumulate in
+    * `corpusDir`; when `retrainEvery = Some(n)`, every n-th epoch
+    * re-trains the model on the accumulated corpus AFTER scoring (so an
+    * epoch's scores always reflect the model that was live when its data
+    * arrived) and releases the old tables — how a curation pipeline
+    * actually tracks distribution drift without ever scoring under a
+    * half-updated model.
+    *
+    * Restart story: checkpointed source offsets + idempotent parquet
+    * appends, like every foreachBatch twin here. StreamingSpec pins
+    * stream score == batch [[graft.operators.text.BigramLm.scoreAgainst]]
+    * under the same frozen model across triggers, and the retrain path
+    * against a batch re-freeze.
+    */
+  def bigramLmScoreForeachBatch(
+      stream: DataFrame,
+      trainCorpus: DataFrame,
+      outDir: String,
+      corpusDir: String,
+      modelDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      retrainEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(retrainEvery.forall(_ >= 1),
+      s"retrainEvery must be >= 1 when set, got $retrainEvery")
+    val lm = new graft.operators.text.BigramLm(textCol, idCol)
+    // every model SNAPSHOTS to a versioned dir: a cached plan over the
+    // live (appended-to) corpusDir is NOT frozen — Spark's append path
+    // refreshes-and-recaches plans rooted in the written path, so the
+    // model would silently track data that arrived after its freeze
+    // (see BigramLm.freeze). The snapshot is also the restart artifact.
+    val model = new java.util.concurrent.atomic.AtomicReference(
+      lm.freeze(trainCorpus, Some(s"$modelDir/v0")))
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val in = batch.persist()
+      try {
+        in.write.mode("append").parquet(corpusDir)
+        lm.scoreAgainst(in, model.get()).write.mode("append").parquet(outDir)
+        retrainEvery.filter(n => (epoch + 1) % n == 0).foreach { _ =>
+          val old = model.get()
+          model.set(lm.freeze(spark.read.parquet(corpusDir),
+            Some(s"$modelDir/v${epoch + 1}")))
+          old.release()
+        }
+      } finally in.unpersist()
+      ()
+    }
+  }
+
   /** Streaming SEMANTIC dedup — the embedding twin of
     * [[nearDedupForeachBatch]]: each micro-batch first collapses its own
     * exact-signature duplicates (hyperplane LSH first-wins), then drops

@@ -232,6 +232,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out7(1L) == md5hex(convo1) && out7(2L) == md5hex("user: solo"))
   }
 
+  test("sft pack keep-last: tail truncation in chronological order, partition-invariant md5") {
+    import spark.implicits._
+    val op = new graft.operators.text.ConversationAssembly(
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      roleCol = "event_type", contentCol = "props", maxTurns = 2,
+      keep = "last")
+    val df = Seq(
+      (1L, 100L, 11L, "user", "hi"),
+      (1L, 100L, 10L, "assistant", null.asInstanceOf[String]),
+      (1L, 200L, 12L, "user", "bye"),
+      (2L, 50L, 20L, "user", "solo"))
+      .toDF("user_id", "us", "event_id", "event_type", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // user 1 in ts/tie order: (10 assistant), (11 user hi), (12 user bye)
+    // -> keep LAST two, serialized chronologically
+    val convo1 = "user: hi\nuser: bye"
+    val out = op(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((3L, 2L, convo1.length.toLong, md5hex(convo1))))
+    assert(out(2L) == ((1L, 1L, 10L, md5hex("user: solo"))))
+    // partition invariance for the tail ordering too
+    val out7 = op(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out7(1L) == md5hex(convo1) && out7(2L) == md5hex("user: solo"))
+    assertThrows[IllegalArgumentException](
+      new graft.operators.text.ConversationAssembly(keep = "middle"))
+  }
+
   test("conversation quality: alternation repeats, empty turns, NULL-role edges") {
     import spark.implicits._
     val op = new graft.operators.text.ConversationQuality(
@@ -264,5 +296,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(windows.nonEmpty, p)
     windows.foreach(w => assert(w.contains("user_id"),
       s"turn-rank window must partition by the conversation key: $w"))
+    // keep-last adds a count window on the SAME key partitioning: still
+    // every window key-partitioned, and no extra exchange beyond the
+    // keep-first plan's
+    val pl = TestSpark.planOf(new graft.operators.text.ConversationAssembly(
+      keep = "last")(graft.core.Tables.events(spark, sfDir)))
+    val wl = pl.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wl.nonEmpty, pl)
+    wl.foreach(w => assert(w.contains("user_id"),
+      s"keep-last windows must partition by the conversation key: $w"))
+    def exchanges(s: String) = s.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(pl) == exchanges(p),
+      s"keep-last must not add an exchange: ${exchanges(pl)} vs ${exchanges(p)}")
   }
 }

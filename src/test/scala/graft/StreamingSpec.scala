@@ -211,6 +211,84 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming bigram-LM scoring: frozen-model stream scores equal batch scoreAgainst across triggers; retrain tracks the accumulated corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the lazy dog sleeps while the quick fox runs"),
+      (102L, "a slow green turtle walks under the old bridge")).toDF("doc_id", "text")
+    // stream docs mix SEEN transitions, unseen pairs with seen contexts,
+    // and fully-unseen contexts (the three backoff arms), plus a <2-token
+    // doc (NULL score)
+    val rows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the purple fox telephones zebras"),
+      (3L, "completely novel vocabulary everywhere tonight"),
+      (4L, "dog"),
+      (5L, "the lazy dog jumps over a slow green turtle"),
+      (6L, "bridge the gap between corpora"))
+    val base = java.nio.file.Files.createTempDirectory("graft_blmstream")
+    val outDir = base.resolve("out").toString
+    val corpusDir = base.resolve("corpus").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCuration.bigramLmScoreForeachBatch(
+        mem.toDF().toDF("doc_id", "text"), train, outDir, corpusDir,
+        base.resolve("model").toString, textCol = "text", idCol = "doc_id")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    val model = lm.freeze(train)
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def scoresOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      val streamed = scoresOf(spark.read.parquet(outDir))
+      val batch = scoresOf(lm.scoreAgainst(rows.toDF("doc_id", "text"), model))
+      assert(streamed == batch, s"stream $streamed must equal batch $batch")
+      assert(streamed(4L)._2.isEmpty, "a 1-token doc has no transitions")
+      assert(streamed(1L)._2.get < streamed(3L)._2.get,
+        "seen transitions must cost fewer bits than fully-novel text")
+      // the raw corpus accumulated for retrains
+      assert(spark.read.parquet(corpusDir).count() == rows.size.toLong)
+    } finally { q.stop(); model.release() }
+
+    // retrain path: with retrainEvery=1, trigger 2 scores under the model
+    // re-trained on trigger 1's accumulated raw corpus
+    val base2 = java.nio.file.Files.createTempDirectory("graft_blmretrain")
+    val out2 = base2.resolve("out").toString
+    val corpus2 = base2.resolve("corpus").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingCuration.bigramLmScoreForeachBatch(
+        mem2.toDF().toDF("doc_id", "text"), train, out2, corpus2,
+        base2.resolve("model").toString, textCol = "text", idCol = "doc_id",
+        retrainEvery = Some(1))
+      .option("checkpointLocation", base2.resolve("ckpt").toString)
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      mem2.addData(b2: _*); q2.processAllAvailable()
+      val streamed = spark.read.parquet(out2).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      val m1 = lm.freeze(train)
+      val m2 = lm.freeze(b1.toDF("doc_id", "text"))
+      try {
+        val want1 = lm.scoreAgainst(b1.toDF("doc_id", "text"), m1).collect()
+        val want2 = lm.scoreAgainst(b2.toDF("doc_id", "text"), m2).collect()
+        val want = (want1 ++ want2)
+          .map(r => r.getLong(0) -> ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+        assert(streamed == want,
+          s"retrain stream $streamed must equal per-epoch batch $want")
+      } finally { m1.release(); m2.release() }
+    } finally q2.stop()
+  }
+
   test("streaming canonical-url dedup: stream kept set equals the batch operator across triggers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

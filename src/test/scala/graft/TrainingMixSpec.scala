@@ -177,4 +177,43 @@ class TrainingMixSpec extends AnyFunSuite {
       .collect().map(r => (r.getBoolean(2), r.getDouble(3))).toSeq
     assert(zero == Seq((false, 0.0), (false, 0.0)))
   }
+
+  test("waterfill overflow property: token totals near 2^63/num match a BigInt reference (ADVICE r14)") {
+    import spark.implicits._
+    import graft.operators.text.BudgetWaterfill
+    // totals this size are unreachable through row-level text fixtures;
+    // fromCounts is the planner entry for metadata-table token counts.
+    // total = 9e18 (near Long.Max), budgetNum = 3: the old long-space
+    // product 2.7e19 overflow-errors under ANSI; decimal must not.
+    val cases = Seq(
+      Seq(("a", 4500000000000000000L), ("b", 4499999999999999999L), ("c", 17L)),
+      Seq(("a", 9223372036854775807L / 2), ("b", 9223372036854775807L / 2 - 3L)),
+      Seq(("a", 1L), ("b", 9000000000000000000L)))
+    for (avails <- cases; (num, den) <- Seq((3L, 7L), (1L, 2L), (9L, 10L))) {
+      val out = new BudgetWaterfill("text", "grp", num, den)
+        .fromCounts(avails.toDF("grp", "avail"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getBoolean(2), r.getDouble(3)))).toMap
+      // BigInt reference of the same water-filling algebra
+      val sorted = avails.map(_._2).sorted
+      val n = sorted.length
+      val b = sorted.map(BigInt(_)).sum * num / den
+      var pfx = BigInt(0); var k = 0; var pk = BigInt(0)
+      for ((a, i) <- sorted.zipWithIndex) {
+        pfx += a
+        if (BigInt(a) * (n - i) <= b - pfx + a) { k = i + 1; pk = pfx }
+      }
+      val level = if (k < n) (b - pk).toDouble / (n - k) else 0.0
+      for ((g, a) <- avails) {
+        val rank = sorted.indexOf(a) + 1 // avails distinct per case
+        val funded = rank <= k
+        val want = if (funded) a.toDouble else level
+        val (gotA, gotF, gotAlloc) = out(g)
+        assert(gotA == a && gotF == funded,
+          s"case $avails num=$num/$den grp=$g: got $gotF want $funded")
+        assert(math.abs(gotAlloc - want) <= math.abs(want) * 1e-9 + 1e-6,
+          s"case $avails num=$num/$den grp=$g: got $gotAlloc want $want")
+      }
+    }
+  }
 }
