@@ -198,6 +198,19 @@ class AnalyticsSpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("us"))).drop("us")
     val tau = op(spiky).collect().head.getDouble(3)
     assert(tau < -0.7, s"spike must not mask the downtrend: $tau")
+    // NULL type is a real slice (the EventAnomaly contract) and must
+    // survive the typed groupByKey of the r15 Fenwick rewrite — ordered
+    // first, statistics intact
+    val withNull = (for { h <- 0 until 4; i <- 0 until (h + 1) }
+      yield (hourTs(h, i), null.asInstanceOf[String])) ++
+      (for { h <- 0 until 3; i <- 0 until 2 } yield (hourTs(h, i), "t"))
+    val nOut = op(withNull.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")).collect()
+    assert(nOut.length == 2 && nOut.head.isNullAt(0), s"NULL slice first: ${nOut.toSeq}")
+    assert(nOut.head.getLong(1) == 4L && nOut.head.getLong(2) == 6L &&
+      nOut.head.getDouble(3) == 1.0, s"NULL slice stats: ${nOut.head}")
+    assert(nOut(1).getString(0) == "t" && nOut(1).getLong(2) == 0L &&
+      nOut(1).isNullAt(3), s"tied slice: ${nOut(1)}")
   }
 
   // ---- SFT conversation assembly ----

@@ -217,4 +217,42 @@ class EmptyInputSpec extends AnyFunSuite {
     zero("domain quality shrunk")(new graft.operators.text.DomainQualityShrunk(
       "source", "text", 25L)(noDocs))
   }
+
+  test("round-15 additions survive empty input") {
+    val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))
+    zero("mutual knn or")(graft.operators.vector.AnnSearch.mutualKnnLshOr(
+      noVecs, "embedding", "vec_id", k = 5, bands = bands, maxBucketSize = 10))
+    zero("mutual knn band stats")(graft.operators.vector.AnnSearch
+      .mutualKnnBandStats(noVecs, "embedding", "vec_id", bands, maxBucketSize = 10))
+    // one-row recall report over an empty set: zero counts, NULL recalls
+    val mkr = graft.operators.vector.AnnSearch.mutualKnnRecall(
+      noVecs, "embedding", "vec_id", k = 5, bands = bands,
+      maxBucketSize = 10, sampleMod = 2).head()
+    assert(mkr.getLong(0) == 0L && mkr.isNullAt(5) && mkr.isNullAt(6))
+    // operating point over an empty set: one row per level, NULL recall,
+    // NULL chosen collapses to false (the twin's coalesce)
+    val op = graft.operators.vector.AnnSearch.multiProbeOperatingPoint(
+      noVecs, "embedding", "vec_id", k = 5, coords = 0 until 4,
+      maxProbes = 2, targetRecall = 0.5, queryMod = 3).collect()
+    assert(op.length == 3 && op.forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+    zero("waterfill fromCounts")(new graft.operators.text.BudgetWaterfill(
+      "text", "grp", 1L, 2L).fromCounts(
+        noDocs.selectExpr("source AS grp", "doc_id AS avail")))
+    zero("sft keep-last")(new graft.operators.text.ConversationAssembly(
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      roleCol = "event_type", contentCol = "event_type", keep = "last")(noEvents))
+    // frozen-LM: empty training corpus -> V=0 -> every score NULL (never
+    // a floor(-log(1/0)) overflow), empty scored frame -> zero rows
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val m = lm.freeze(noDocs)
+    try {
+      zero("scoreAgainst on empty")(lm.scoreAgainst(noDocs, m))
+      val one = TestSpark.spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(1L, "two tokens here")),
+        noDocs.select("doc_id", "text").schema)
+      val r = lm.scoreAgainst(one, m).head()
+      assert(r.getLong(1) == 2L && r.isNullAt(2),
+        s"empty model must score NULL, got $r")
+    } finally m.release()
+  }
 }
