@@ -433,6 +433,149 @@ object AnnSearch {
        |  CAST(sum(c * (c - 1)) AS BIGINT) AS cand_pairs
        |FROM bc GROUP BY band ORDER BY band""".stripMargin
 
+  /** CONSUMABLE operating point for the OR-amplified mutual-kNN tier —
+    * the band-count twin of [[multiProbeOperatingPoint]]: recall of the
+    * amplified pipeline at EVERY band count L = 1..`bands.length` over
+    * one deterministic sample, `chosen` flags the smallest L meeting
+    * `targetRecall` (else the smallest L achieving max measured
+    * recall). One row per L: `(bands, true_pairs, pairs, hits, recall,
+    * chosen)` — the L to paste into the production [[mutualKnnLshOr]]
+    * call, traded against the ~L× candidate mass
+    * ([[mutualKnnBandStats]]).
+    *
+    * Scale shape: ONE banded candidate pass (each candidate tags its
+    * band; a band-b candidate participates in every L > b via a bounded
+    * explode), pair-dedup + ONE (query, L)-partitioned rank window,
+    * reciprocity semi-joins on L·n·k-bounded edge lists, truth and the
+    * sample staged. The per-L work never rescans the corpus.
+    */
+  def mutualKnnOrOperatingPoint(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, bands: Seq[Seq[Int]], maxBucketSize: Int, targetRecall: Double,
+      sampleMod: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
+    require(bands.nonEmpty && bands.forall(_.nonEmpty),
+      "at least one non-empty coordinate band is required")
+    require(maxBucketSize > 0, "maxBucketSize is required")
+    val nb = bands.length
+    val sample = graft.core.Staging.stage(
+      df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+        .select(col(idCol), col(vecCol)))
+    // exact mutual ground truth on the sample (broadcast BNLJ, bounded)
+    val a = sample.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+    val b = sample.select(col(idCol), col(vecCol))
+    val tTop = perQueryTopK(b.crossJoin(broadcast(a))
+      .filter(col(idCol) =!= col("_qid")), vecCol, idCol, k)
+    val tFwd = tTop.select(col("query_id").as("a"), col(idCol).as("b"))
+    val tRev = tTop.select(col(idCol).as("_ra"), col("query_id").as("_rb"))
+    val truth = graft.core.Staging.stage(
+      tFwd.join(tRev, col("a") === col("_ra") && col("b") === col("_rb"), "left_semi")
+        .filter(col("a") < col("b")))
+    // one banded candidate pass; a band-b candidate serves every L > b
+    val kept = centeredCappedBandBuckets(sample, vecCol, idCol, bands, maxBucketSize)
+    val ca = kept.select(col("_band"), col("_bk"), col(idCol).as("_qid"),
+      col(vecCol).as("_qv"))
+    val cb2 = kept.select(col("_band"), col("_bk"), col(idCol), col(vecCol))
+    val cand = cb2.join(ca, Seq("_band", "_bk"))
+      .filter(col(idCol) =!= col("_qid"))
+      .select(col("_qid"), col(idCol),
+        VectorFunctions.cosine(col(vecCol), col("_qv")).as("_cos"),
+        explode(sequence(col("_band") + 1, lit(nb))).as("_nl"))
+      // the same pair reaches L through every band < L it co-buckets in:
+      // collapse before ranking or repeats burn top-k slots
+      .dropDuplicates("_nl", "_qid", idCol)
+    val w = Window.partitionBy(col("_qid"), col("_nl"))
+      .orderBy(col("_cos").desc, col(idCol))
+    val top = cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    val fwd = top.select(col("_nl"), col("_qid").as("a"), col(idCol).as("b"))
+    val rev = top.select(col("_nl").as("_rl"), col(idCol).as("_ra"),
+      col("_qid").as("_rb"))
+    val pairs = fwd.join(rev,
+        col("_nl") === col("_rl") && col("a") === col("_ra") && col("b") === col("_rb"),
+        "left_semi")
+      .filter(col("a") < col("b"))
+    val perL = pairs.groupBy(col("_nl"))
+      .agg(count(lit(1)).as("_pairs"))
+    val hitsL = pairs.join(truth, Seq("a", "b"), "left_semi")
+      .groupBy(col("_nl").as("_hl")).agg(count(lit(1)).as("_h"))
+    val tp = truth.agg(count(lit(1)).as("true_pairs"))
+    val scored = tp
+      .select(explode(sequence(lit(1), lit(nb))).as("bands"), col("true_pairs"))
+      .join(broadcast(perL), col("bands") === col("_nl"), "left")
+      .join(broadcast(hitsL), col("bands") === col("_hl"), "left")
+      .select(col("bands"), col("true_pairs"),
+        coalesce(col("_pairs"), lit(0L)).as("pairs"),
+        coalesce(col("_h"), lit(0L)).as("hits"),
+        when(col("true_pairs") > 0,
+          round(coalesce(col("_h"), lit(0L)).cast("double") /
+            col("true_pairs").cast("double"), 6))
+          .as("recall"))
+    val ws = Window.partitionBy() // the nb-row level table
+    scored
+      .withColumn("_mp", min(when(col("recall") >= targetRecall, col("bands"))).over(ws))
+      .withColumn("_mr", max(col("recall")).over(ws))
+      .withColumn("_mb", min(when(col("recall") === col("_mr"), col("bands"))).over(ws))
+      .select(col("bands"), col("true_pairs"), col("pairs"), col("hits"),
+        col("recall"),
+        coalesce(col("bands") === coalesce(col("_mp"), col("_mb")), lit(false))
+          .as("chosen"))
+      .orderBy(col("bands"))
+  }
+
+  /** DuckDB twin of [[mutualKnnOrOperatingPoint]]. */
+  def mutualKnnOrOperatingPointSql(table: String, vecCol: String, idCol: String,
+      k: Int, bands: Seq[Seq[Int]], maxBucketSize: Int, targetRecall: Double,
+      sampleMod: Int): String = {
+    val nb = bands.length
+    val perL = (1 to nb).map { l =>
+      s"""oc$l AS (SELECT DISTINCT q.id AS qid, e.id AS vid,
+         |    ${graft.functions.VectorFunctions.cosineSql("e.v", "q.v")} AS cos
+         |  FROM omb e JOIN omb q
+         |    ON e.band = q.band AND e.bk = q.bk AND e.id <> q.id
+         |  WHERE e.band < $l),
+         |orr$l AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM oc$l),
+         |ot$l AS (SELECT qid, vid FROM orr$l WHERE rn <= $k),
+         |opr$l AS (SELECT t1.qid AS a, t1.vid AS b FROM ot$l t1
+         |  JOIN ot$l t2 ON t1.qid = t2.vid AND t1.vid = t2.qid
+         |  WHERE t1.qid < t1.vid),
+         |ol$l AS (SELECT $l AS bands,
+         |    CAST((SELECT count(*) FROM opr$l) AS BIGINT) AS pairs,
+         |    CAST((SELECT count(*) FROM opr$l JOIN tp USING (a, b)) AS BIGINT) AS hits)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nb).map(l => s"SELECT * FROM ol$l").mkString("\n  UNION ALL ")
+    s"""WITH ms AS (SELECT $idCol, $vecCol FROM $table
+       |  WHERE $vecCol IS NOT NULL AND $idCol % $sampleMod = 0),
+       |${centeredBandBucketCtesSql("ms", vecCol, idCol, bands, maxBucketSize, "o")},
+       |tc AS (SELECT q.$idCol AS qid, e.$idCol AS vid,
+       |    ${graft.functions.VectorFunctions.cosineSql(s"e.$vecCol", s"q.$vecCol")} AS cos
+       |  FROM ms e, ms q WHERE e.$idCol <> q.$idCol),
+       |tr AS (SELECT qid, vid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM tc),
+       |tt AS (SELECT qid, vid FROM tr WHERE rn <= $k),
+       |tp AS (SELECT t1.qid AS a, t1.vid AS b FROM tt t1
+       |  JOIN tt t2 ON t1.qid = t2.vid AND t1.vid = t2.qid WHERE t1.qid < t1.vid),
+       |$perL,
+       |_lv AS ($union),
+       |_tpc AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM tp),
+       |_sc AS (SELECT bands, true_pairs, pairs, hits,
+       |    CASE WHEN true_pairs > 0 THEN
+       |      round(CAST(hits AS DOUBLE) / CAST(true_pairs AS DOUBLE), 6)
+       |    END AS recall
+       |  FROM _lv CROSS JOIN _tpc),
+       |_s1 AS (SELECT *,
+       |    min(CASE WHEN recall >= CAST($targetRecall AS DOUBLE) THEN bands END)
+       |      OVER () AS mp,
+       |    max(recall) OVER () AS mr
+       |  FROM _sc),
+       |_s2 AS (SELECT *,
+       |    min(CASE WHEN recall = mr THEN bands END) OVER () AS mb FROM _s1)
+       |SELECT bands, true_pairs, pairs, hits, recall,
+       |  coalesce(bands = coalesce(mp, mb), false) AS chosen
+       |FROM _s2 ORDER BY bands""".stripMargin
+  }
+
   /** Full DuckDB oracle for [[mutualKnnLsh]]: (a, b, cosine r6), ORDER BY a, b. */
   def mutualKnnSql(table: String, vecCol: String, idCol: String,
       k: Int, coords: Seq[Int], maxBucketSize: Int): String =
@@ -473,8 +616,11 @@ object AnnSearch {
       bands: Seq[Seq[Int]], maxBucketSize: Int, sampleMod: Int): DataFrame = {
     require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
     require(bands.nonEmpty, "at least one coordinate band is required")
-    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
-      .select(col(idCol), col(vecCol))
+    // staged: broadcast-small by the sampleMod contract (the truth tier
+    // broadcasts it), and three tiers consume it — saves two corpus scans
+    val sample = graft.core.Staging.stage(
+      df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+        .select(col(idCol), col(vecCol)))
     val single = mutualKnnLsh(sample, vecCol, idCol, k, bands.head, maxBucketSize)
       .select(col("a"), col("b"))
     val amplified = mutualKnnLshOr(sample, vecCol, idCol, k, bands, maxBucketSize)
@@ -701,6 +847,32 @@ object AnnSearch {
           .as("multi_recall"))
   }
 
+  /** `(bucket, level)` probe entries for multi-probe tuning: level 0 is
+    * the query's own bucket; the flip of the (r+1)-th least-confident
+    * plane carries level r+1 — the MINIMAL `probes` setting that
+    * includes that bucket (probe set at level p ≡ entries with
+    * level ≤ p, by the [[probeBuckets]] rank definition). Lets a tuner
+    * evaluate every level from ONE candidate pass instead of one corpus
+    * join per level.
+    */
+  def probeBucketLevels(vec: Column, coords: Seq[Int], maxProbes: Int): Column = {
+    require(maxProbes >= 0 && maxProbes <= coords.length,
+      s"maxProbes must be in [0, ${coords.length}], got $maxProbes")
+    val base = signBucket(vec, coords)
+    def mag(c: Int): Column = abs(scaledCoord(vec, c))
+    val flips: Seq[Column] = coords.zipWithIndex.map { case (c, k) =>
+      val rank = coords.zipWithIndex.filter(_._2 != k).map { case (c2, j) =>
+        val lt = if (j < k) mag(c2) <= mag(c) else mag(c2) < mag(c)
+        when(lt, lit(1)).otherwise(lit(0))
+      }.reduceOption(_ + _).getOrElse(lit(0))
+      when(rank < maxProbes,
+        struct(base.bitwiseXOR(lit(1L << k)).as("_pb"), (rank + 1).as("_lvl")))
+        .otherwise(lit(null).cast("struct<_pb:bigint,_lvl:int>"))
+    }
+    filter(array(struct(base.as("_pb"), lit(0).as("_lvl")) +: flips: _*),
+      x => x.isNotNull)
+  }
+
   /** CONSUMABLE operating point for the sign-bucket tier (VERDICT r14
     * #4): evaluate recall@k at EVERY probe level 0..`maxProbes` over the
     * same deterministic query sample, and flag the level a pipeline
@@ -710,10 +882,14 @@ object AnnSearch {
     * config row, not prose; the chosen row's `probes` is the value to
     * paste into the production `lshTopK`/`knnJoinMultiProbe` call.
     *
-    * Scale shape: truth (the quadratic-in-sample exact tier) computes
-    * ONCE and stages ([[graft.core.Staging]] — maxProbes+1 consumers);
-    * each level is one bucket-pruned broadcast join over the sampled
-    * queries; the selection windows ride the (maxProbes+1)-row level
+    * Scale shape: the corpus is scanned ONCE for candidates (not once
+    * per level): each candidate carries the minimal level that reaches
+    * it ([[probeBucketLevels]]), fans out only to the levels it
+    * participates in (≤ maxProbes+1, post-bucket-prune), and ONE
+    * (query, level)-partitioned rank window takes every level's top-k
+    * simultaneously. Truth (the exact tier) computes once and stages;
+    * the query sample stages (broadcast-small by the queryMod
+    * contract); the selection windows ride the (maxProbes+1)-row level
     * table. Self-hits are excluded in every tier (the
     * [[multiProbeRecall]] contract).
     */
@@ -724,31 +900,49 @@ object AnnSearch {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
     require(maxProbes >= 0 && maxProbes <= coords.length,
       s"maxProbes must be in [0, ${coords.length}], got $maxProbes")
-    val queries = df.filter(col(idCol) % queryMod === 0)
+    val queries = graft.core.Staging.stage(
+      df.filter(col(idCol) % queryMod === 0)
+        .select(col(idCol).as("_qid"), col(vecCol).as("_qv")))
     val truth = graft.core.Staging.stage(
-      knnJoin(df, queries, vecCol, idCol, idCol, k, excludeSelf = true)
+      knnJoin(df, queries.select(col("_qid").as(idCol), col("_qv").as(vecCol)),
+          vecCol, idCol, idCol, k, excludeSelf = true)
         .select(col("query_id"), col(idCol).as("_tid")))
-    val perLevel = (0 to maxProbes).map { p =>
-      val multi = knnJoinMultiProbe(df, queries, vecCol, idCol, idCol, k,
-          coords, p, excludeSelf = true)
-        .select(col("query_id").as("_mq"), col(idCol).as("_mid"))
-      truth.join(multi,
-          col("query_id") === col("_mq") && col("_tid") === col("_mid"),
-          "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(p).as("probes"), col("hits"))
-    }.reduce(_ unionByName _)
+    val q = broadcast(queries
+      .withColumn("_pe", explode(probeBucketLevels(col("_qv"), coords, maxProbes)))
+      .select(col("_qid"), col("_qv"),
+        col("_pe._pb").as("_qpb"), col("_pe._lvl").as("_lvl")))
+    val cand = df.withColumn("_qpb", signBucket(col(vecCol), coords))
+      .join(q, Seq("_qpb"))
+      .filter(col(idCol) =!= col("_qid"))
+      .select(col("_qid"), col(idCol),
+        VectorFunctions.cosine(col(vecCol), col("_qv")).as("_cos"),
+        // a candidate reached at level L participates in every level >= L
+        explode(sequence(col("_lvl"), lit(maxProbes))).as("_level"))
+    val w = Window.partitionBy(col("_qid"), col("_level"))
+      .orderBy(col("_cos").desc, col(idCol))
+    val top = cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    val hitsPerLevel = top
+      .join(truth, col("_qid") === col("query_id") && col(idCol) === col("_tid"),
+        "left_semi")
+      .groupBy(col("_level")).agg(count(lit(1)).as("_h"))
     val tp = truth.agg(count(lit(1)).as("truth_pairs"))
-    val scored = perLevel.crossJoin(broadcast(tp))
-      .select(col("probes"), col("truth_pairs"), col("hits"),
+    // level spine off the one-row truth count: levels with zero hits
+    // must still report (hits 0), like the per-level twin CTEs
+    val scored = tp
+      .select(explode(sequence(lit(0), lit(maxProbes))).as("probes"),
+        col("truth_pairs"))
+      .join(broadcast(hitsPerLevel), col("probes") === col("_level"), "left")
+      .select(col("probes"), col("truth_pairs"),
+        coalesce(col("_h"), lit(0L)).as("hits"),
         when(col("truth_pairs") > 0,
-          round(col("hits").cast("double") / col("truth_pairs").cast("double"), 6))
+          round(coalesce(col("_h"), lit(0L)).cast("double") /
+            col("truth_pairs").cast("double"), 6))
           .as("recall"))
-    val w = Window.partitionBy() // whole (maxProbes+1)-row level table
+    val ws = Window.partitionBy() // whole (maxProbes+1)-row level table
     scored
-      .withColumn("_mp", min(when(col("recall") >= targetRecall, col("probes"))).over(w))
-      .withColumn("_mr", max(col("recall")).over(w))
-      .withColumn("_mb", min(when(col("recall") === col("_mr"), col("probes"))).over(w))
+      .withColumn("_mp", min(when(col("recall") >= targetRecall, col("probes"))).over(ws))
+      .withColumn("_mr", max(col("recall")).over(ws))
+      .withColumn("_mb", min(when(col("recall") === col("_mr"), col("probes"))).over(ws))
       .select(col("probes"), col("truth_pairs"), col("hits"), col("recall"),
         coalesce(col("probes") === coalesce(col("_mp"), col("_mb")), lit(false))
           .as("chosen"))

@@ -483,6 +483,18 @@ object NearDup {
       Some(AnnSearch.mutualKnnBandStatsSql("embeddings", "embedding", "vec_id",
         bands = mutualBands, maxBucketSize = 1000))),
 
+    // the band-count twin of multiprobe_operating_point (r15): recall of
+    // the amplified pipeline at every L = 1..4 bands from ONE banded
+    // candidate pass, `chosen` = the L to ship for the 0.5 target
+    OracleQuery("mutual_knn_or_operating_point",
+      (s, dir) => AnnSearch.mutualKnnOrOperatingPoint(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id", k = 5,
+        bands = mutualBands, maxBucketSize = 1000, targetRecall = 0.5,
+        sampleMod = 4),
+      Some(AnnSearch.mutualKnnOrOperatingPointSql("embeddings", "embedding",
+        "vec_id", k = 5, bands = mutualBands, maxBucketSize = 1000,
+        targetRecall = 0.5, sampleMod = 4))),
+
     // Recall readout for the bucketed mutual-kNN tier: single-band AND
     // OR-amplified pairs vs exact all-pairs ground truth on a
     // deterministic 1-in-4 id sample (the quality gate the amplified

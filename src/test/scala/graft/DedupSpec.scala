@@ -396,6 +396,30 @@ class DedupSpec extends AnyFunSuite {
         bands = Seq(0 until 4), maxBucketSize = 0))
   }
 
+  test("mutual kNN OR operating point: L=1 reproduces single-band recall, monotone-ish curve, chosen row flagged") {
+    val emb = table("embeddings")
+    val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))
+    val rows = AnnSearch.mutualKnnOrOperatingPoint(emb, "embedding", "vec_id",
+      k = 5, bands = bands, maxBucketSize = 1000, targetRecall = 0.5,
+      sampleMod = 4).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    // L=1 must equal the direct single-band readout (cross-validates the
+    // leveled one-pass pipeline against mutualKnnLsh)
+    val direct = AnnSearch.mutualKnnRecall(emb, "embedding", "vec_id", k = 5,
+      bands = bands, maxBucketSize = 1000, sampleMod = 4).head()
+    assert(rows(0).getLong(1) == direct.getLong(0), "same truth pairs")
+    assert(rows(0).getLong(2) == direct.getLong(1), "L=1 pairs == single_pairs")
+    assert(rows(0).getLong(3) == direct.getLong(3), "L=1 hits == single_hits")
+    // and L=4 equals the full OR readout
+    assert(rows(3).getLong(2) == direct.getLong(2), "L=4 pairs == or_pairs")
+    assert(rows(3).getLong(3) == direct.getLong(4), "L=4 hits == or_hits")
+    // exactly one chosen row; with target 0.5 unmet on the fixture it is
+    // the max-recall level
+    val chosen = rows.filter(_.getBoolean(5))
+    assert(chosen.length == 1)
+    assert(chosen.head.getDouble(4) == rows.map(_.getDouble(4)).max)
+  }
+
   test("mutual kNN band stats: per-band candidate mass respects the cap and matches bucket counts") {
     val emb = table("embeddings")
     val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))

@@ -235,6 +235,12 @@ class EmptyInputSpec extends AnyFunSuite {
       noVecs, "embedding", "vec_id", k = 5, coords = 0 until 4,
       maxProbes = 2, targetRecall = 0.5, queryMod = 3).collect()
     assert(op.length == 3 && op.forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+    // OR operating point over an empty set: one row per L, NULL recall,
+    // chosen false throughout
+    val oop = graft.operators.vector.AnnSearch.mutualKnnOrOperatingPoint(
+      noVecs, "embedding", "vec_id", k = 5, bands = bands,
+      maxBucketSize = 10, targetRecall = 0.5, sampleMod = 2).collect()
+    assert(oop.length == 4 && oop.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
     zero("waterfill fromCounts")(new graft.operators.text.BudgetWaterfill(
       "text", "grp", 1L, 2L).fromCounts(
         noDocs.selectExpr("source AS grp", "doc_id AS avail")))

@@ -219,6 +219,30 @@ class PlanSpec extends AnyFunSuite {
       s"anti-join must key on (band, bucket): $l"))
   }
 
+  test("multiprobe operating point: ONE corpus candidate pass serves every probe level") {
+    graft.core.Staging.scoped {
+      val df = graft.operators.vector.AnnSearch.multiProbeOperatingPoint(
+        table("embeddings"), "embedding", "vec_id", k = 5, coords = 0 until 4,
+        maxProbes = 3, targetRecall = 0.5, queryMod = 7)
+      val p = planOf(df)
+      // the r15 leveled rewrite: candidates join the probe-bucket list
+      // once (minimal-level tags + a bounded level explode), never one
+      // corpus join per level
+      val bucketJoins = p.linesIterator
+        .filter(l => l.contains("Join") && l.contains("_qpb")).toSeq
+      assert(bucketJoins.size == 1,
+        s"exactly one bucket join must serve all levels:\n${bucketJoins.mkString("\n")}")
+      // and the per-level rank window (orders by the candidate _cos; the
+      // staged truth tier's own cached windows also print — the
+      // InMemoryTableScan phantom) is (query, level)-partitioned —
+      // key-partitioned, never corpus-wide
+      val rankWindows = p.linesIterator
+        .filter(l => l.contains("Window [row_number()") && l.contains("_cos")).toSeq
+      assert(rankWindows.nonEmpty &&
+        rankWindows.forall(l => l.contains("_qid") && l.contains("_level")), p)
+    }
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(
