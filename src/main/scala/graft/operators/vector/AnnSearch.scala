@@ -458,9 +458,10 @@ object AnnSearch {
       "at least one non-empty coordinate band is required")
     require(maxBucketSize > 0, "maxBucketSize is required")
     val nb = bands.length
-    val sample = graft.core.Staging.stage(
-      df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
-        .select(col(idCol), col(vecCol)))
+    // sample NOT staged: vector-array caches read slower than the pruned
+    // parquet re-scan (see multiProbeOperatingPoint); truth IS staged
+    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol))
     // exact mutual ground truth on the sample (broadcast BNLJ, bounded)
     val a = sample.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
     val b = sample.select(col(idCol), col(vecCol))
@@ -616,11 +617,8 @@ object AnnSearch {
       bands: Seq[Seq[Int]], maxBucketSize: Int, sampleMod: Int): DataFrame = {
     require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
     require(bands.nonEmpty, "at least one coordinate band is required")
-    // staged: broadcast-small by the sampleMod contract (the truth tier
-    // broadcasts it), and three tiers consume it — saves two corpus scans
-    val sample = graft.core.Staging.stage(
-      df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
-        .select(col(idCol), col(vecCol)))
+    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol))
     val single = mutualKnnLsh(sample, vecCol, idCol, k, bands.head, maxBucketSize)
       .select(col("a"), col("b"))
     val amplified = mutualKnnLshOr(sample, vecCol, idCol, k, bands, maxBucketSize)
@@ -900,9 +898,13 @@ object AnnSearch {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
     require(maxProbes >= 0 && maxProbes <= coords.length,
       s"maxProbes must be in [0, ${coords.length}], got $maxProbes")
-    val queries = graft.core.Staging.stage(
-      df.filter(col(idCol) % queryMod === 0)
-        .select(col(idCol).as("_qid"), col(vecCol).as("_qv")))
+    // the query/sample side deliberately re-reads the pruned scan per
+    // consumer: caching a VECTOR-array frame costs more to deserialize
+    // per read than the column-pruned parquet re-scan (measured +1.2 s
+    // on the recall leg); the TRUTH edge list (fixed-width longs from
+    // the quadratic tier) is what's worth staging
+    val queries = df.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
     val truth = graft.core.Staging.stage(
       knnJoin(df, queries.select(col("_qid").as(idCol), col("_qv").as(vecCol)),
           vecCol, idCol, idCol, k, excludeSelf = true)
