@@ -216,27 +216,35 @@ final class BigramLm(
     * combine), then TWO hash joins against the model tables and one
     * broadcast scalar — no training-corpus scan, no windows.
     */
-  def scoreAgainst(df: DataFrame, m: BigramLmModel): DataFrame = {
+  def scoreAgainst(df: DataFrame, m: BigramLmModel): DataFrame =
+    df.select(col(idCol))
+      .join(frozenScores(df, m), col(idCol) === col("_blm_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
+        col("_blm_bits").as("bits_per_bigram"))
+
+  /** Grouped frozen scores `(_blm_id, _blm_n, _blm_bits)` — ONE row per
+    * doc with ≥ 1 bigram (the join-ready form, like [[scores]]), so a
+    * refiner attaching onto rows with repeated ids never multiplies.
+    */
+  def frozenScores(df: DataFrame, m: BigramLmModel): DataFrame = {
     val perDoc = occurrences(df).groupBy(col(idCol), col("_hb"))
       .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"))
     val backoff = when(col("_v") > 0L,
       floor(-log(lit(1.0) /
         (coalesce(col("_cw"), lit(0L)).cast("double") + col("_v").cast("double")))
         * lit(CostScale)).cast("long"))
-    val scored = perDoc
+    perDoc
       .join(m.cost, col("_hb") === col("_chb"), "left")
       .join(m.ctx, col("_h1") === col("_xh1"), "left")
       .crossJoin(broadcast(m.vocab))
       .select(col(idCol), col("_occ"), coalesce(col("_c9"), backoff).as("_c9x"))
       .groupBy(col(idCol).as("_blm_id"))
       .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9x")).as("_s"))
-    df.select(col(idCol))
-      .join(scored, col(idCol) === col("_blm_id"), "left")
-      .select(col(idCol),
-        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+      .select(col("_blm_id"), col("_nb").as("_blm_n"),
         when(col("_nb") > 0L && col("_s").isNotNull,
           round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
-          .as("bits_per_bigram"))
+          .as("_blm_bits"))
   }
 
   /** DuckDB twin of freeze+[[scoreAgainst]]: train on `trainTable`,
@@ -333,6 +341,64 @@ final class BigramLm(
   * the grouped score table onto the input (the NgramLmScoreRefiner
   * shape), so repeated ids never multiply.
   */
+/** Registry/YAML form of the FROZEN-model path (r15): train the bigram
+  * LM on an EXTERNAL reference corpus (path-loaded, the
+  * [[graft.operators.ml.DsirScoreRefiner]] shape) and score every input
+  * row against the frozen tables — the production split where the
+  * reference distribution is a curated seed set, not the batch being
+  * scored. Unseen bigrams back off per [[BigramLm.scoreAgainst]]. The
+  * model tables are adopted into the consuming call path's staging
+  * scope ([[graft.core.Staging.adopt]]) so Verify/Bench/PipelineRunner
+  * release them after the run; pass `snapshotDir` when the training
+  * path receives appends (see [[BigramLm.freeze]]).
+  */
+final class BigramLmFrozenScoreRefiner(
+    trainCorpus: org.apache.spark.sql.SparkSession => DataFrame,
+    textCol: String = "text",
+    idCol: String = "id",
+    outCol: String = "bigram_lm_bits",
+    countCol: String = "bigram_lm_n",
+    snapshotDir: Option[String] = None) extends graft.core.Operator {
+  val name = "bigram_lm_score_frozen"
+
+  def apply(df: DataFrame): DataFrame = attach(df, None)
+
+  /** Disposition mode: the model is EXTERNAL, so dead rows don't shift
+    * it either way — but they keep null score/count like the
+    * self-trained refiner, so downstream disposition semantics match.
+    */
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    attach(df, Some(alive))
+
+  private def attach(df: DataFrame, alive: Option[Column]): DataFrame = {
+    val lm = new BigramLm(textCol, idCol)
+    val m = lm.freeze(trainCorpus(df.sparkSession), snapshotDir)
+    Seq(m.cost, m.ctx, m.vocab).foreach(graft.core.Staging.adopt)
+    val gate: Column => Column =
+      c => alive.map(a => when(a, c)).getOrElse(c)
+    df.join(lm.frozenScores(df, m), col(idCol) === col("_blm_id"), "left")
+      .withColumn(countCol, gate(coalesce(col("_blm_n"), lit(0L))))
+      .withColumn(outCol, gate(col("_blm_bits")))
+      .drop("_blm_id", "_blm_n", "_blm_bits")
+  }
+}
+
+object BigramLmFrozenScoreRefiner {
+  /** Training corpus loaded lazily from a path (the YAML/registry path). */
+  def fromPath(path: String, format: String,
+      textCol: String = "text", idCol: String = "id",
+      outCol: String = "bigram_lm_bits", countCol: String = "bigram_lm_n",
+      snapshotDir: Option[String] = None): BigramLmFrozenScoreRefiner =
+    new BigramLmFrozenScoreRefiner(
+      spark => format match {
+        case "parquet" => spark.read.parquet(path)
+        case "jsonl"   => spark.read.json(path)
+        case "csv"     => spark.read.option("header", "true").csv(path)
+        case other     => throw new IllegalArgumentException(s"unknown train format: $other")
+      },
+      textCol, idCol, outCol, countCol, snapshotDir)
+}
+
 final class BigramLmScoreRefiner(
     textCol: String = "text",
     idCol: String = "id",

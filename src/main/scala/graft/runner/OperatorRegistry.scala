@@ -452,6 +452,17 @@ object OperatorRegistry {
     alpha = p.double("alpha", 1.0),
     hashName = p.str("hash_algorithm", "xxhash64")))
 
+  register("bigram_lm_score_frozen", p =>
+    graft.operators.text.BigramLmFrozenScoreRefiner.fromPath(
+      path = p.str("train_path").getOrElse(throw new IllegalArgumentException(
+        "bigram_lm_score_frozen requires train_path (the reference corpus)")),
+      format = p.str("train_format", "parquet"),
+      textCol = p.str("text_field", "text"),
+      idCol = p.str("id_field", "id"),
+      outCol = p.str("output_field", "bigram_lm_bits"),
+      countCol = p.str("count_field", "bigram_lm_n"),
+      snapshotDir = p.str("snapshot_dir")))
+
   register("bigram_lm_score", p => new graft.operators.text.BigramLmScoreRefiner(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

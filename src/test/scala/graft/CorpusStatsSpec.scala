@@ -399,6 +399,64 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(dup.count() == 2L, "repeated ids must not multiply through the join")
   }
 
+  test("frozen bigram refiner: external training corpus, backoff arms, registry path, no id multiplication") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_blmfrz")
+    val trainPath = base.resolve("train").toString
+    Seq((100L, "a b a b"), (101L, "a b c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(trainPath)
+    // scoring the training rows under the frozen model reproduces the
+    // self-trained scores bit-for-bit (scoreAgainst contract)
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val trainDf = spark.read.parquet(trainPath)
+    val m = lm.freeze(trainDf)
+    try {
+      val frozen = lm.scoreAgainst(trainDf, m).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val self = lm(trainDf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(frozen == self, s"frozen-on-train $frozen must equal self-trained $self")
+    } finally m.release()
+    // the registry-reachable refiner: unseen pairs/contexts score via
+    // the add-one backoff, repeated ids don't multiply, dead rows NULL
+    graft.core.Staging.scoped {
+      val op = graft.runner.OperatorRegistry.create("bigram_lm_score_frozen",
+        graft.runner.Params(Map("train_path" -> trainPath,
+          "id_field" -> "doc_id")))
+      val in = Seq(
+        (1L, "a b"),      // fully seen transition
+        (2L, "a z"),      // seen context 'a', unseen pair
+        (3L, "q r"),      // fully unseen context
+        (4L, "x"),        // no transitions
+        (5L, "a b"), (5L, "a b")) // repeated id
+        .toDF("doc_id", "text")
+      val out = op(in).collect()
+      assert(out.length == in.count().toInt, "repeated ids must not multiply")
+      val byId = out.map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("bigram_lm_n")),
+          if (r.isNullAt(r.fieldIndex("bigram_lm_bits"))) None
+          else Some(r.getDouble(r.fieldIndex("bigram_lm_bits")))))).toMap
+      assert(byId(4L) == ((0L, None)))
+      // exact backoff arms (train: (a,b)x3 (b,a) (b,c); c(a)=3 c(b)=2 V=3):
+      // seen "a b" = -log2(4/6); unseen pair under heavy context "a z" =
+      // -log2(1/6); fully unseen context "q r" = -log2(1/3) — note the
+      // heavy-context backoff costs MORE than the unseen context (its
+      // add-one mass splits over cw+V)
+      def bits2(p: Double) = BigDecimal(-math.log(p) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(byId(1L)._2.get - bits2(4.0 / 6)) < 2e-6, s"${byId(1L)}")
+      assert(math.abs(byId(2L)._2.get - bits2(1.0 / 6)) < 2e-6, s"${byId(2L)}")
+      assert(math.abs(byId(3L)._2.get - bits2(1.0 / 3)) < 2e-6, s"${byId(3L)}")
+      assert(byId(1L)._2.get < byId(3L)._2.get && byId(3L)._2.get < byId(2L)._2.get)
+      // disposition: dead rows carry NULLs
+      val opT = new graft.operators.text.BigramLmFrozenScoreRefiner(
+        _ => trainDf, "text", "doc_id")
+      val gated = opT.applyGated(in, col("doc_id") =!= 3L).collect()
+        .map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("bigram_lm_n"))).toMap
+      assert(gated(3L) && !gated(1L))
+    }
+  }
+
   test("bigram lm: partition-invariant and gibberish scores above fluent text") {
     val fluent = (0 until 30).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
     val soup = (100 until 105).map(i => (i.toLong, s"dog the over fox$i quick lazy jumps brown the"))
