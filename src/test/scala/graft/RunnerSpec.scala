@@ -963,6 +963,17 @@ class RunnerSpec extends AnyFunSuite {
       PipelineConf.fromYamlFile("configs/example_vectors.yaml"))
     assert(vec.run.output > 0 && vec.run.output < vec.run.input)
     assert(new java.io.File("/tmp/graft_vec_out/embeddings_curated/manifest.json").exists())
+    // the r15 frozen-scoring stack: external-reference LM bits attached
+    // in disposition mode, then the budget sampler cuts src0
+    rm(new java.io.File("/tmp/graft_frozen_out"))
+    rm(new java.io.File("/tmp/graft_frozen_out_rejected"))
+    val frozen = PipelineRunner.run(spark,
+      PipelineConf.fromYamlFile("configs/example_frozen_scoring.yaml"))
+    assert(frozen.run.output > 0 && frozen.run.output < frozen.run.input)
+    val scored = spark.read.parquet("/tmp/graft_frozen_out/documents_scored")
+    assert(scored.columns.contains("bigram_lm_bits"))
+    assert(scored.filter(org.apache.spark.sql.functions.col("bigram_lm_bits").isNotNull)
+      .count() > 0, "survivors must carry frozen-LM scores")
   }
 
   test("yaml pipeline runs the containment deduplicator with rejects") {
