@@ -70,6 +70,64 @@ final class EmbeddingCosineDedup(
   }
 }
 
+object EmbeddingCosineDedup {
+  /** Recall readout for BUCKET-RESTRICTED cosine dedup (r15) — the
+    * semantic-dedup member of the recall-gate family (MinHash banding →
+    * `lsh_recall_report`, sign-LSH → `multiprobe_recall`, mutual-kNN →
+    * `mutual_knn_recall`): on a deterministic 1-in-`sampleMod` id
+    * sample, duplicate pairs found WITHIN the given bucket column vs
+    * exact all-pairs truth at the same threshold. Bucket-caught pairs
+    * are a SUBSET of truth by construction (same cosine test, the
+    * bucket only restricts candidates), so recall = bucket_pairs /
+    * true_pairs with no hit join. `sampleMod` REQUIRED — the truth tier
+    * is quadratic in the sample (broadcast BNLJ, bounded). One row:
+    * `(true_pairs, bucket_pairs, recall)`; recall NULL on empty truth.
+    */
+  def bucketedRecall(df: DataFrame, vecCol: String, idCol: String,
+      bucketCol: String, threshold: Double, sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
+    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol), col(bucketCol))
+    val l = sample.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val r = sample.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    val truth = l.crossJoin(broadcast(r))
+      .filter(col("d1") < col("d2") &&
+        VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+    val bl = sample.select(col(idCol).as("d1"), col(vecCol).as("v1"),
+      col(bucketCol).as("_bk"))
+    val br = sample.select(col(idCol).as("d2"), col(vecCol).as("v2"),
+      col(bucketCol).as("_bk"))
+    val caught = bl.join(br, Seq("_bk"))
+      .filter(col("d1") < col("d2") &&
+        VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+    truth.agg(count(lit(1)).as("true_pairs"))
+      .crossJoin(caught.agg(count(lit(1)).as("bucket_pairs")))
+      .select(col("true_pairs"), col("bucket_pairs"),
+        when(col("true_pairs") > 0,
+          round(col("bucket_pairs").cast("double") / col("true_pairs").cast("double"), 6))
+          .as("recall"))
+  }
+
+  /** DuckDB twin of [[bucketedRecall]] over `src` (table or CTE with
+    * `$idCol`, `$vecCol`, `$bucketCol`).
+    */
+  def bucketedRecallSql(src: String, vecCol: String, idCol: String,
+      bucketCol: String, threshold: Double, sampleMod: Int): String =
+    s"""rs AS (SELECT $idCol AS id, $vecCol AS v, $bucketCol AS bk FROM $src
+       |  WHERE $vecCol IS NOT NULL AND $idCol % $sampleMod = 0),
+       |rtp AS (SELECT a.id AS d1, b.id AS d2 FROM rs a, rs b
+       |  WHERE a.id < b.id
+       |    AND ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rbp AS (SELECT a.id AS d1, b.id AS d2 FROM rs a JOIN rs b
+       |  ON a.bk = b.bk AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold)
+       |SELECT (SELECT count(*) FROM rtp) AS true_pairs,
+       |  (SELECT count(*) FROM rbp) AS bucket_pairs,
+       |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM rbp) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS recall""".stripMargin
+}
+
 /** YAML-safe semantic dedup: trains a seeded k-means bucketing over the
   * embedding column, then runs the BUCKETED cosine dedup within each
   * cluster — never the O(n²) crossJoin. This is the registry's fallback

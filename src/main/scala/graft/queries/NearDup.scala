@@ -320,6 +320,21 @@ object NearDup {
               |SELECT vec_id FROM embeddings
               |WHERE vec_id NOT IN (SELECT d2 FROM ver) ORDER BY vec_id""".stripMargin)),
 
+    // recall readout for the k-means-bucketed semantic dedup (r15) —
+    // the last near-dup tier without one (MinHash/sign-LSH/mutual all
+    // have recall gates): same-cluster duplicate pairs vs exact
+    // all-pairs truth at the same threshold on a 1-in-2 sample
+    OracleQuery("semantic_dedup_recall",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.bucketedRecall(
+        withClusters(s, dir), "embedding", "vec_id", "cluster_id",
+        threshold = 0.35, sampleMod = 2),
+      Some(s"""WITH ${kmeansOp.assignCteSql("embeddings", "vec_id")},
+              |_scr AS (SELECT e.vec_id, e.embedding, a.cluster_id
+              |  FROM embeddings e JOIN _assigned a ON a.id = e.vec_id),
+              |${graft.operators.vector.EmbeddingCosineDedup.bucketedRecallSql(
+                  "_scr", "embedding", "vec_id", "cluster_id",
+                  threshold = 0.35, sampleMod = 2)}""".stripMargin)),
+
     OracleQuery("ann_bruteforce_topk",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

@@ -420,6 +420,25 @@ class DedupSpec extends AnyFunSuite {
     assert(chosen.head.getDouble(4) == rows.map(_.getDouble(4)).max)
   }
 
+  test("semantic dedup recall: bucket pairs subset truth; one-bucket recall is exactly 1") {
+    import spark.implicits._
+    val emb = table("embeddings")
+    // degenerate single bucket: candidates unrestricted -> recall 1.0
+    val one = graft.operators.vector.EmbeddingCosineDedup.bucketedRecall(
+      emb.withColumn("cluster_id", lit(0)), "embedding", "vec_id",
+      "cluster_id", threshold = 0.35, sampleMod = 4).head()
+    assert(one.getLong(0) == one.getLong(1) && one.getDouble(2) == 1.0)
+    // real buckets: caught <= truth (subset by construction)
+    val parted = graft.operators.vector.EmbeddingCosineDedup.bucketedRecall(
+      emb.withColumn("cluster_id", col("vec_id") % 8), "embedding", "vec_id",
+      "cluster_id", threshold = 0.35, sampleMod = 4).head()
+    assert(parted.getLong(1) <= parted.getLong(0))
+    assertThrows[IllegalArgumentException](
+      graft.operators.vector.EmbeddingCosineDedup.bucketedRecall(
+        emb.withColumn("cluster_id", lit(0)), "embedding", "vec_id",
+        "cluster_id", threshold = 0.35, sampleMod = 0))
+  }
+
   test("mutual kNN band stats: per-band candidate mass respects the cap and matches bucket counts") {
     val emb = table("embeddings")
     val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))

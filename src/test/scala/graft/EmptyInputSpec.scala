@@ -241,6 +241,11 @@ class EmptyInputSpec extends AnyFunSuite {
       noVecs, "embedding", "vec_id", k = 5, bands = bands,
       maxBucketSize = 10, targetRecall = 0.5, sampleMod = 2).collect()
     assert(oop.length == 4 && oop.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    // semantic-dedup recall over an empty set: zero counts, NULL recall
+    val sdr = graft.operators.vector.EmbeddingCosineDedup.bucketedRecall(
+      noVecs.withColumn("cluster_id", lit(0)), "embedding", "vec_id",
+      "cluster_id", threshold = 0.5, sampleMod = 2).head()
+    assert(sdr.getLong(0) == 0L && sdr.getLong(1) == 0L && sdr.isNullAt(2))
     zero("waterfill fromCounts")(new graft.operators.text.BudgetWaterfill(
       "text", "grp", 1L, 2L).fromCounts(
         noDocs.selectExpr("source AS grp", "doc_id AS avail")))
