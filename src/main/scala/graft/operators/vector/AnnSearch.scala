@@ -491,10 +491,13 @@ object AnnSearch {
     val fwd = top.select(col("_nl"), col("_qid").as("a"), col(idCol).as("b"))
     val rev = top.select(col("_nl").as("_rl"), col(idCol).as("_ra"),
       col("_qid").as("_rb"))
-    val pairs = fwd.join(rev,
+    // consumed twice (per-L counts + the truth hit join): stage the
+    // L·n·k-bounded long-typed pair list, or the whole banded candidate
+    // pipeline recomputes per consumer
+    val pairs = graft.core.Staging.stage(fwd.join(rev,
         col("_nl") === col("_rl") && col("a") === col("_ra") && col("b") === col("_rb"),
         "left_semi")
-      .filter(col("a") < col("b"))
+      .filter(col("a") < col("b")))
     val perL = pairs.groupBy(col("_nl"))
       .agg(count(lit(1)).as("_pairs"))
     val hitsL = pairs.join(truth, Seq("a", "b"), "left_semi")
@@ -619,18 +622,26 @@ object AnnSearch {
     require(bands.nonEmpty, "at least one coordinate band is required")
     val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
       .select(col(idCol), col(vecCol))
-    val single = mutualKnnLsh(sample, vecCol, idCol, k, bands.head, maxBucketSize)
-      .select(col("a"), col("b"))
-    val amplified = mutualKnnLshOr(sample, vecCol, idCol, k, bands, maxBucketSize)
-      .select(col("a"), col("b"))
+    // each pair list is consumed TWICE (its count + the hit join) — stage
+    // the EDGE LISTS (n·k-bounded, fixed-width longs, which cache well;
+    // the vector-array sample deliberately is NOT staged — measured
+    // slower than the pruned re-scan), or the quadratic truth tier and
+    // both bucket pipelines recompute per consumer
+    val single = graft.core.Staging.stage(
+      mutualKnnLsh(sample, vecCol, idCol, k, bands.head, maxBucketSize)
+        .select(col("a"), col("b")))
+    val amplified = graft.core.Staging.stage(
+      mutualKnnLshOr(sample, vecCol, idCol, k, bands, maxBucketSize)
+        .select(col("a"), col("b")))
     val a = sample.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
     val b = sample.select(col(idCol), col(vecCol))
     val cand = b.crossJoin(broadcast(a)).filter(col(idCol) =!= col("_qid"))
     val top = perQueryTopK(cand, vecCol, idCol, k)
     val fwd = top.select(col("query_id").as("a"), col(idCol).as("b"))
     val rev = top.select(col(idCol).as("_ra"), col("query_id").as("_rb"))
-    val truth = fwd.join(rev, col("a") === col("_ra") && col("b") === col("_rb"), "left_semi")
-      .filter(col("a") < col("b"))
+    val truth = graft.core.Staging.stage(
+      fwd.join(rev, col("a") === col("_ra") && col("b") === col("_rb"), "left_semi")
+        .filter(col("a") < col("b")))
     val sHits = single.join(truth, Seq("a", "b"), "left_semi")
     val oHits = amplified.join(truth, Seq("a", "b"), "left_semi")
     truth.agg(count(lit(1)).as("true_pairs"))
