@@ -213,6 +213,44 @@ class AnalyticsSpec extends AnyFunSuite {
       nOut(1).isNullAt(3), s"tied slice: ${nOut(1)}")
   }
 
+  test("events trend: Fenwick S/ties match the brute-force pair definition on random series") {
+    import spark.implicits._
+    val op = new graft.operators.events.EventTrend("ts", "event_type")
+    val rnd = new scala.util.Random(4242)
+    // 12 random series (varied lengths, heavy ties from the small count
+    // range) — brute-force S = sum sign(x_j - x_i) over i<j in hour order
+    val series = (0 until 12).map { s =>
+      val n = 2 + rnd.nextInt(40)
+      s"t$s" -> (0 until n).map(h => (h, 1 + rnd.nextInt(4)))
+    }
+    val rows = for {
+      (tpe, pts) <- series
+      (h, c) <- pts
+      i <- 0 until c
+    } yield (h * 3600000000L + i * 1000000L, tpe)
+    val out = op(rows.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    for ((tpe, pts) <- series) {
+      val xs = pts.map(_._2.toLong)
+      val n = xs.length
+      var s = 0L; var t = 0L
+      for (i <- 0 until n; j <- i + 1 until n) {
+        s += java.lang.Long.signum(xs(j) - xs(i))
+        if (xs(j) == xs(i)) t += 1
+      }
+      val n0 = n.toLong * (n - 1) / 2
+      val tau = if (n0 > t)
+        Some(BigDecimal(s.toDouble / math.sqrt((n0 - t).toDouble * n0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+      assert(out(tpe) == ((n.toLong, s, tau)),
+        s"$tpe: got ${out(tpe)} want (${n.toLong}, $s, $tau)")
+    }
+  }
+
   // ---- SFT conversation assembly ----
 
   test("sft pack: ordered role-tagged transcript, first-maxTurns truncation, exact md5") {

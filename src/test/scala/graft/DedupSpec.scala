@@ -439,6 +439,59 @@ class DedupSpec extends AnyFunSuite {
         "cluster_id", threshold = 0.35, sampleMod = 0))
   }
 
+  test("OR-amplified mutual kNN: random vectors match an independent plain-Scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val dims = 8
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val bands = Seq(Seq(0, 1, 2), Seq(3, 4, 5))
+    val k = 3; val cap = 50
+    val got = AnnSearch.mutualKnnLshOr(df, "embedding", "vec_id", k, bands, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // reference: the documented math re-implemented without Spark —
+    // exact scaled coords, mean-centered bits, per-(band,bucket) cap,
+    // per-query distinct candidate union, (cos DESC, id) top-k,
+    // reciprocity, a < b
+    def scaled(v: Array[Float], c: Int): Long =
+      math.floor(v(c).toDouble * 1e6).toLong
+    val n = vecs.size
+    val byId = vecs.toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val perBand = bands.map { coords =>
+      val sums = coords.map(c => c -> vecs.map(t => scaled(t._2, c)).sum).toMap
+      val bk = vecs.map { case (id, v) =>
+        id -> coords.zipWithIndex.map { case (c, kk) =>
+          if (scaled(v, c) * n >= sums(c)) 1L << kk else 0L
+        }.sum
+      }.toMap
+      val groups = bk.groupBy(_._2).map { case (b, m) => b -> m.keySet }
+      val kept = groups.filter(_._2.size <= cap)
+      bk.flatMap { case (id, b) => kept.get(b).map(g => id -> (g - id)) }
+    }
+    val topk: Map[Long, Seq[Long]] = vecs.map(_._1).map { id =>
+      val cs = perBand.flatMap(_.getOrElse(id, Set.empty[Long])).toSet
+      id -> cs.toSeq.map(c => (c, cosine(byId(id), byId(c))))
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(k).map(_._1)
+    }.toMap
+    val want = (for {
+      (a, nbrs) <- topk.toSeq; b <- nbrs
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "vacuous fixture — no mutual pairs at all")
+    assert(got == want,
+      s"got ${got.size} want ${want.size}; sym-diff ${(got diff want) union (want diff got)}")
+  }
+
   test("mutual kNN band stats: per-band candidate mass respects the cap and matches bucket counts") {
     val emb = table("embeddings")
     val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))
