@@ -492,6 +492,44 @@ class DedupSpec extends AnyFunSuite {
       s"got ${got.size} want ${want.size}; sym-diff ${(got diff want) union (want diff got)}")
   }
 
+  test("operating points: every level equals an independent per-level run (leveled one-pass == per-level joins)") {
+    val emb = table("embeddings")
+    graft.core.Staging.scoped {
+      // multi-probe: hits at level p == a separate knnJoinMultiProbe(p)
+      val rows = AnnSearch.multiProbeOperatingPoint(emb, "embedding", "vec_id",
+        k = 5, coords = 0 until 4, maxProbes = 2, targetRecall = 0.9,
+        queryMod = 5).collect()
+      val queries = emb.filter(col("vec_id") % 5 === 0)
+      val truth = AnnSearch.knnJoin(emb, queries, "embedding", "vec_id",
+          "vec_id", 5, excludeSelf = true)
+        .select(col("query_id"), col("vec_id").as("_tid"))
+      assert(rows(0).getLong(1) == truth.count())
+      for (p <- 0 to 2) {
+        val multi = AnnSearch.knnJoinMultiProbe(emb, queries, "embedding",
+            "vec_id", "vec_id", 5, 0 until 4, p, excludeSelf = true)
+          .select(col("query_id").as("_mq"), col("vec_id").as("_mid"))
+        val hits = truth.join(multi,
+          col("query_id") === col("_mq") && col("_tid") === col("_mid"),
+          "left_semi").count()
+        assert(rows(p).getLong(2) == hits,
+          s"level $p: leveled ${rows(p).getLong(2)} vs independent $hits")
+      }
+      // mutual OR: pairs at band count L == a separate mutualKnnLshOr
+      // over the first L bands (intermediate Ls too, not just the ends)
+      val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))
+      val orRows = AnnSearch.mutualKnnOrOperatingPoint(emb, "embedding",
+        "vec_id", k = 5, bands = bands, maxBucketSize = 1000,
+        targetRecall = 0.9, sampleMod = 4).collect()
+      val sample = emb.filter(col("embedding").isNotNull && col("vec_id") % 4 === 0)
+      for (l <- 1 to 4) {
+        val direct = AnnSearch.mutualKnnLshOr(sample, "embedding", "vec_id",
+          k = 5, bands = bands.take(l), maxBucketSize = 1000).count()
+        assert(orRows(l - 1).getLong(2) == direct,
+          s"L=$l: leveled ${orRows(l - 1).getLong(2)} vs independent $direct")
+      }
+    }
+  }
+
   test("mutual kNN band stats: per-band candidate mass respects the cap and matches bucket counts") {
     val emb = table("embeddings")
     val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))
