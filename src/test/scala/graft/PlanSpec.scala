@@ -243,6 +243,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual-kNN OR operating point: one banded self-join serves every L; windows and cap stay keyed") {
+    graft.core.Staging.scoped {
+      val bands = (0 until 4).map(b => 4 * b until 4 * (b + 1))
+      val df = graft.operators.vector.AnnSearch.mutualKnnOrOperatingPoint(
+        table("embeddings"), "embedding", "vec_id", k = 5, bands = bands,
+        maxBucketSize = 1000, targetRecall = 0.5, sampleMod = 4)
+      val p = planOf(df)
+      // every candidate join is keyed on the composite (band, bucket) —
+      // no unbanded/unkeyed self-join anywhere. (The staged pair list's
+      // cached plan prints repeatedly inside InMemoryTableScan — the
+      // phantom-plan limitation — so one-pass-ness is pinned
+      // behaviorally by the level-equivalence spec in DedupSpec, and
+      // here by every join line carrying the band key.)
+      val bandJoins = p.linesIterator.filter(l =>
+        (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")) &&
+          l.contains("_bk") && !l.contains("LeftAnti")).toSeq
+      assert(bandJoins.nonEmpty && bandJoins.forall(_.contains("_band")),
+        s"every bucket join must key on (band, bucket):\n${bandJoins.mkString("\n")}")
+      // the hot-bucket cap is the (band, bucket)-keyed anti-join
+      val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(anti.nonEmpty && anti.forall(_.contains("_band")), p)
+      // the per-L rank window is (query, L)-partitioned
+      val rankW = p.linesIterator
+        .filter(l => l.contains("Window [row_number()") && l.contains("_cos")).toSeq
+      assert(rankW.nonEmpty &&
+        rankW.forall(l => l.contains("_qid") && l.contains("_nl")), p)
+    }
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(
