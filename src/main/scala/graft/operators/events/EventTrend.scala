@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * pairs, and Kendall's tau-b `τ = S / √((n₀ − T_x)·n₀)` with
   * `n₀ = n(n−1)/2` and `T_x` = tied pairs in x (hours are distinct by
   * construction, so only x ties). NULL tau when no comparable pairs
-  * (n < 2 or all counts equal).
+  * (n < 2 or all counts equal). A NULL ts row truncates to a NULL hour:
+  * it counts in `n_hours` and joins no pair — the twin's `a.h < b.h`
+  * predicate and this pass agree by construction.
   *
   * Exactness: S, n₀ and the tie count are exact BIGINTs off integer
   * comparisons; tau is one fixed-shape sqrt/division over those exact
@@ -56,17 +58,23 @@ final class EventTrend(
     val counts = df.select(col(typeCol).cast("string").as("event_type"),
         date_trunc("hour", col(tsCol)).as("h"))
       .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
-    // epoch-second hour key: cast preserves order and distinctness
+    // epoch-second hour key: cast preserves order and distinctness.
+    // BOXED hour encoder — a NULL ts (date_trunc -> NULL hour) is a real
+    // slice: it counts in n_hours but contributes no pairs, exactly the
+    // twin's semantics (its `a.h < b.h` join never pairs a NULL hour). A
+    // primitive encoder would throw on the NULL at runtime.
     val typed = counts
       .select(col("event_type"), col("h").cast("long"), col("c"))
-      .as[(String, Long, Long)](Encoders.tuple(
-        Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+      .as[(String, java.lang.Long, Long)](Encoders.tuple(
+        Encoders.STRING, Encoders.LONG, Encoders.scalaLong))
     val stats = typed.groupByKey(_._1)(Encoders.STRING)
       .mapGroups { (tpe, it) =>
         // hour-ordered counts for this type: spine-bounded (see scaladoc)
-        val arr = it.map(t => (t._2, t._3)).toArray
+        val all = it.toArray
+        val n = all.length // n_hours includes the NULL-hour group
+        val arr = all.collect { case (_, h, c) if h != null => (h.longValue, c) }
         scala.util.Sorting.quickSort(arr)(Ordering.by(_._1))
-        val n = arr.length
+        val m = arr.length // pair domain: non-NULL hours only
         // coordinate-compress the counts for the Fenwick domain
         val dom = arr.map(_._2).distinct
         scala.util.Sorting.quickSort(dom)
@@ -80,7 +88,7 @@ final class EventTrend(
           s
         }
         var s = 0L; var ties = 0L; var seen = 0L; var j = 0
-        while (j < n) {
+        while (j < m) {
           val r = rank(arr(j)._2)
           val less = prefix(r - 1)          // prior hours with smaller count
           val leq = prefix(r)
@@ -91,7 +99,7 @@ final class EventTrend(
           seen += 1
           j += 1
         }
-        val n0 = n.toLong * (n - 1) / 2
+        val n0 = m.toLong * (m - 1) / 2
         (tpe, n.toLong, s, n0, ties)
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))

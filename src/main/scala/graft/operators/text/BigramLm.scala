@@ -49,6 +49,32 @@ object BigramLm {
 
   private[text] def mixPairSql(h1: String, h2: String): String =
     s"(${HashFunctions.mixedSql(h1, 0)} + ${HashFunctions.mixedSql(h2, 1)})"
+
+  /** Highest-versioned COMPLETE snapshot directory under `modelDir`, if
+    * any — the restart probe for [[graft.streaming.StreamingCuration
+    * .bigramLmScoreForeachBatch]]. A snapshot is complete when all three
+    * table dirs carry a `_SUCCESS` marker ([[BigramLm.freeze]] writes
+    * `cost` last, but each is checked so a half-written artifact is
+    * never adopted). Hadoop FS, so the probe works on any store.
+    */
+  def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(modelDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap { d =>
+        val n = d.getName
+        if (n.length > 1 && n.head == 'v' && n.drop(1).forall(_.isDigit))
+          Some((n.drop(1).toLong, d))
+        else None
+      }
+      .filter { case (_, d) =>
+        Seq("cost", "ctx", "vocab").forall(t =>
+          fs.exists(new org.apache.hadoop.fs.Path(d, s"$t/_SUCCESS")))
+      }
+      .sortBy(-_._1).headOption.map(_._2.toString)
+  }
 }
 
 /** FROZEN bigram-LM model tables (r15): per-seen-bigram integer costs,
@@ -189,6 +215,22 @@ final class BigramLm(
     // intermediates release at scope exit while the model tables live on
     val rows = costS.count(); ctxS.count(); vocabS.count()
     BigramLmModel(costS, ctxS, vocabS, rows)
+  }
+
+  /** Re-open a frozen model from a [[freeze]] snapshot directory — the
+    * restart path: a rebooted streaming scorer re-reads the versioned
+    * artifact instead of retraining, so post-crash scores resume under
+    * the model that was live at the crash, not the reference v0. Caller
+    * picks the directory (see [[BigramLm.latestSnapshot]], which also
+    * gates on completeness).
+    */
+  def loadSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): BigramLmModel = {
+    def open(name: String) = spark.read.parquet(s"$dir/$name")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cost = open("cost"); val ctx = open("ctx"); val vocab = open("vocab")
+    val rows = cost.count(); ctx.count(); vocab.count()
+    BigramLmModel(cost, ctx, vocab, rows)
   }
 
   /** Persist a model table; with a snapshot dir, write-then-reread so

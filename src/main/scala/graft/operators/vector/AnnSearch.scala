@@ -438,7 +438,9 @@ object AnnSearch {
     * amplified pipeline at EVERY band count L = 1..`bands.length` over
     * one deterministic sample, `chosen` flags the smallest L meeting
     * `targetRecall` (else the smallest L achieving max measured
-    * recall). One row per L: `(bands, true_pairs, pairs, hits, recall,
+    * recall; on a degenerate sample with ZERO true pairs every recall
+    * is NULL and the flag defaults to L=1 — the consumer always gets
+    * exactly one config row). One row per L: `(bands, true_pairs, pairs, hits, recall,
     * chosen)` — the L to paste into the production [[mutualKnnLshOr]]
     * call, traded against the ~L× candidate mass
     * ([[mutualKnnBandStats]]).
@@ -521,7 +523,9 @@ object AnnSearch {
       .withColumn("_mb", min(when(col("recall") === col("_mr"), col("bands"))).over(ws))
       .select(col("bands"), col("true_pairs"), col("pairs"), col("hits"),
         col("recall"),
-        coalesce(col("bands") === coalesce(col("_mp"), col("_mb")), lit(false))
+        // degenerate sample (zero true pairs -> all-NULL recall): default
+        // to the cheapest level so a consumer always gets a config row
+        (col("bands") === coalesce(col("_mp"), col("_mb"), lit(1)))
           .as("chosen"))
       .orderBy(col("bands"))
   }
@@ -576,7 +580,7 @@ object AnnSearch {
        |_s2 AS (SELECT *,
        |    min(CASE WHEN recall = mr THEN bands END) OVER () AS mb FROM _s1)
        |SELECT bands, true_pairs, pairs, hits, recall,
-       |  coalesce(bands = coalesce(mp, mb), false) AS chosen
+       |  bands = coalesce(mp, mb, 1) AS chosen
        |FROM _s2 ORDER BY bands""".stripMargin
   }
 
@@ -886,7 +890,9 @@ object AnnSearch {
     * #4): evaluate recall@k at EVERY probe level 0..`maxProbes` over the
     * same deterministic query sample, and flag the level a pipeline
     * should ship — the smallest level whose recall meets `targetRecall`,
-    * else the smallest level achieving the maximum measured recall. One
+    * else the smallest level achieving the maximum measured recall; on
+    * a degenerate sample (zero truth pairs, all-NULL recall) the flag
+    * defaults to probes=0 so the chosen config row always exists. One
     * row per level: `(probes, truth_pairs, hits, recall, chosen)` — a
     * config row, not prose; the chosen row's `probes` is the value to
     * paste into the production `lshTopK`/`knnJoinMultiProbe` call.
@@ -957,7 +963,9 @@ object AnnSearch {
       .withColumn("_mr", max(col("recall")).over(ws))
       .withColumn("_mb", min(when(col("recall") === col("_mr"), col("probes"))).over(ws))
       .select(col("probes"), col("truth_pairs"), col("hits"), col("recall"),
-        coalesce(col("probes") === coalesce(col("_mp"), col("_mb")), lit(false))
+        // degenerate sample (zero truth pairs): default to probes=0 so the
+        // chosen config row always exists
+        (col("probes") === coalesce(col("_mp"), col("_mb"), lit(0)))
           .as("chosen"))
       .orderBy(col("probes"))
   }
@@ -1004,7 +1012,7 @@ object AnnSearch {
        |_s2 AS (SELECT *,
        |    min(CASE WHEN recall = mr THEN probes END) OVER () AS mb FROM _s1)
        |SELECT probes, truth_pairs, hits, recall,
-       |  coalesce(probes = coalesce(mp, mb), false) AS chosen
+       |  probes = coalesce(mp, mb, 0) AS chosen
        |FROM _s2 ORDER BY probes""".stripMargin
   }
 

@@ -117,11 +117,23 @@ object StreamingCuration {
     * actually tracks distribution drift without ever scoring under a
     * half-updated model.
     *
-    * Restart story: checkpointed source offsets + idempotent parquet
-    * appends, like every foreachBatch twin here. StreamingSpec pins
+    * Restart story: checkpointed source offsets; the training corpus
+    * accumulates as `corpusDir/epoch=N` partitions written with
+    * OVERWRITE, so a replayed epoch overwrites rather than duplicates —
+    * bigram counts never inflate across a crash (score appends to
+    * `outDir` stay at-least-once, the standard foreachBatch caveat). On
+    * startup the scorer adopts the highest-versioned COMPLETE snapshot
+    * under `modelDir` when one exists
+    * ([[graft.operators.text.BigramLm.latestSnapshot]]), falling back to
+    * `freeze(trainCorpus)` only for a fresh start — a reboot resumes
+    * under the model that was live at the crash. One replay edge stays
+    * (inherent to post-scoring retrain + at-least-once): a crash between
+    * a retrain-epoch's snapshot write and its checkpoint commit replays
+    * that epoch's scores under its own retrain. StreamingSpec pins
     * stream score == batch [[graft.operators.text.BigramLm.scoreAgainst]]
-    * under the same frozen model across triggers, and the retrain path
-    * against a batch re-freeze.
+    * under the same frozen model across triggers, the retrain path
+    * against a batch re-freeze, and the restart path (corpus count
+    * stable under replay, latest snapshot adopted).
     */
   def bigramLmScoreForeachBatch(
       stream: DataFrame,
@@ -142,12 +154,18 @@ object StreamingCuration {
     // model would silently track data that arrived after its freeze
     // (see BigramLm.freeze). The snapshot is also the restart artifact.
     val model = new java.util.concurrent.atomic.AtomicReference(
-      lm.freeze(trainCorpus, Some(s"$modelDir/v0")))
+      graft.operators.text.BigramLm
+        .latestSnapshot(trainCorpus.sparkSession, modelDir) match {
+        case Some(dir) => lm.loadSnapshot(trainCorpus.sparkSession, dir)
+        case None      => lm.freeze(trainCorpus, Some(s"$modelDir/v0"))
+      })
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       val in = batch.persist()
       try {
-        in.write.mode("append").parquet(corpusDir)
+        // epoch-keyed OVERWRITE: a replayed epoch replaces its own
+        // partition, so the accumulated corpus never double-counts
+        in.write.mode("overwrite").parquet(s"$corpusDir/epoch=$epoch")
         lm.scoreAgainst(in, model.get()).write.mode("append").parquet(outDir)
         retrainEvery.filter(n => (epoch + 1) % n == 0).foreach { _ =>
           val old = model.get()

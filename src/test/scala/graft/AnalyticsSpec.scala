@@ -211,6 +211,21 @@ class AnalyticsSpec extends AnyFunSuite {
       nOut.head.getDouble(3) == 1.0, s"NULL slice stats: ${nOut.head}")
     assert(nOut(1).getString(0) == "t" && nOut(1).getLong(2) == 0L &&
       nOut(1).isNullAt(3), s"tied slice: ${nOut(1)}")
+    // NULL ts rows truncate to a NULL hour: counted in n_hours, never
+    // paired — the twin's `a.h < b.h` semantics (ADVICE r15: the
+    // primitive hour encoder crashed here)
+    val nullTs = (for { h <- 0 until 4; i <- 0 until (h + 1) }
+      yield (Some(hourTs(h, i)), "u")) ++
+      Seq((None, "u"), (None, "u"), (None, "onlynull"))
+    val tOut = op(nullTs.toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // "u": 4 real hours ascending (s=6, n0=6, tau=1) + ONE NULL-hour group
+    assert(tOut("u") == ((5L, 6L, Some(1.0))), s"NULL-hour slice: $tOut")
+    // a type with ONLY NULL ts: one hour group, zero pairs, NULL tau
+    assert(tOut("onlynull") == ((1L, 0L, None)), s"all-NULL-ts type: $tOut")
   }
 
   test("events trend: Fenwick S/ties match the brute-force pair definition on random series") {

@@ -230,17 +230,22 @@ class EmptyInputSpec extends AnyFunSuite {
       maxBucketSize = 10, sampleMod = 2).head()
     assert(mkr.getLong(0) == 0L && mkr.isNullAt(5) && mkr.isNullAt(6))
     // operating point over an empty set: one row per level, NULL recall,
-    // NULL chosen collapses to false (the twin's coalesce)
+    // chosen defaults to the cheapest level (probes=0) so the config row
+    // always exists (ADVICE r15)
     val op = graft.operators.vector.AnnSearch.multiProbeOperatingPoint(
       noVecs, "embedding", "vec_id", k = 5, coords = 0 until 4,
       maxProbes = 2, targetRecall = 0.5, queryMod = 3).collect()
-    assert(op.length == 3 && op.forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+    assert(op.length == 3 && op.forall(r => r.isNullAt(3)))
+    assert(op.filter(_.getBoolean(4)).map(_.getInt(0)).toSeq == Seq(0),
+      s"degenerate sample must still choose probes=0: ${op.toSeq}")
     // OR operating point over an empty set: one row per L, NULL recall,
-    // chosen false throughout
+    // chosen defaults to L=1
     val oop = graft.operators.vector.AnnSearch.mutualKnnOrOperatingPoint(
       noVecs, "embedding", "vec_id", k = 5, bands = bands,
       maxBucketSize = 10, targetRecall = 0.5, sampleMod = 2).collect()
-    assert(oop.length == 4 && oop.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    assert(oop.length == 4 && oop.forall(r => r.isNullAt(4)))
+    assert(oop.filter(_.getBoolean(5)).map(_.getInt(0)).toSeq == Seq(1),
+      s"degenerate sample must still choose L=1: ${oop.toSeq}")
     // semantic-dedup recall over an empty set: zero counts, NULL recall
     val sdr = graft.operators.vector.EmbeddingCosineDedup.bucketedRecall(
       noVecs.withColumn("cluster_id", lit(0)), "embedding", "vec_id",

@@ -289,6 +289,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("bigram-LM streaming restart: replayed epoch never duplicates the corpus; a reboot adopts the latest complete snapshot, not v0") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the lazy dog sleeps while the quick fox runs")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "the quick brown fox"), (2L, "a lazy dog runs"),
+      (3L, "novel words entirely here"))
+    val base = java.nio.file.Files.createTempDirectory("graft_blmrestart")
+    val corpusDir = base.resolve("corpus").toString
+    val modelDir = base.resolve("model").toString
+    // fresh start: no snapshots yet
+    assert(graft.operators.text.BigramLm.latestSnapshot(spark, modelDir).isEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCuration.bigramLmScoreForeachBatch(
+        mem.toDF().toDF("doc_id", "text"), train,
+        base.resolve("out1").toString, corpusDir, modelDir,
+        textCol = "text", idCol = "doc_id", retrainEvery = Some(1))
+      .option("checkpointLocation", base.resolve("ckpt1").toString)
+      .start()
+    try { mem.addData(b1: _*); q.processAllAvailable() } finally q.stop()
+    // epoch 0 retrained: v0 (train) and v1 (accumulated corpus = b1) exist;
+    // an empty decoy dir without _SUCCESS markers is never adopted
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(modelDir).resolve("v7"))
+    val latest = graft.operators.text.BigramLm.latestSnapshot(spark, modelDir)
+    assert(latest.exists(_.endsWith("v1")), s"latest must be v1, got $latest")
+    // reboot: fresh checkpoint REPLAYS epoch 0 with the same rows — the
+    // epoch-keyed overwrite must leave the corpus count unchanged, and the
+    // scorer must resume under v1 (trained on b1), not re-freeze train
+    val out2 = base.resolve("out2").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingCuration.bigramLmScoreForeachBatch(
+        mem2.toDF().toDF("doc_id", "text"), train,
+        out2, corpusDir, modelDir, textCol = "text", idCol = "doc_id")
+      .option("checkpointLocation", base.resolve("ckpt2").toString)
+      .start()
+    try { mem2.addData(b1: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(corpusDir).count() == b1.size.toLong,
+      "replayed epoch must overwrite its own partition, not append")
+    def scoresOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val mB1 = lm.freeze(b1.toDF("doc_id", "text"))
+    try {
+      val want = scoresOf(lm.scoreAgainst(b1.toDF("doc_id", "text"), mB1))
+      val got = scoresOf(spark.read.parquet(out2))
+      assert(got == want,
+        s"rebooted scorer must score under the v1 snapshot: got $got want $want")
+    } finally mB1.release()
+    // no new snapshot was written by the reboot (loaded, not re-frozen)
+    assert(graft.operators.text.BigramLm.latestSnapshot(spark, modelDir)
+      .exists(_.endsWith("v1")))
+  }
+
   test("streaming canonical-url dedup: stream kept set equals the batch operator across triggers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
