@@ -71,6 +71,43 @@ final class EmbeddingCosineDedup(
 }
 
 object EmbeddingCosineDedup {
+  /** Duplicate pairs under MULTI-CLUSTER (nprobe) probing (r16, VERDICT
+    * r15 #1): each row lists its `nprobe` nearest centroids
+    * ([[graft.plans.kernels.NearestCentroids]] — the [[AnnSearch.ivfTopK]]
+    * discipline applied symmetrically), and a pair is compared when the
+    * two rows share ANY probed cell — so a near-boundary duplicate whose
+    * members straddle a cluster edge co-buckets in the runner-up cell
+    * instead of being missed by construction. nprobe=1 reproduces the
+    * single-assignment bucketed tier exactly (element 0 IS the
+    * [[graft.plans.kernels.NearestCentroid]] assignment).
+    *
+    * Scale shape: the probe explode is bounded (×nprobe rows), the join
+    * shuffles on the probed cell id, the cosine test runs inside codegen
+    * on the joined rows, and the one `dropDuplicates` runs on the
+    * PRUNE-SIZED verified-pair list (a pair surfaces through at most
+    * nprobe shared cells) — the [[AnnSearch.mutualKnnLshOr]] pair-dedup
+    * discipline. Candidate mass is bounded by the probed per-cell counts
+    * ([[probedClusterStats]] — computed from counts, never by running
+    * the join).
+    */
+  def probedPairs(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val probed = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        explode(graft.plans.kernels.nearest_centroids(col(vecCol), centroids, nprobe))
+          .as("_pc"))
+    val l = probed.select(col("_pc"), col(idCol).as("d1"), col(vecCol).as("v1"))
+    val r = probed.select(col("_pc"), col(idCol).as("d2"), col(vecCol).as("v2"))
+    l.join(r, Seq("_pc"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("_cos", VectorFunctions.cosine(col("v1"), col("v2")))
+      .filter(col("_cos") >= threshold)
+      .select(col("d1"), col("d2"), col("_cos").as("cosine"))
+      .dropDuplicates("d1", "d2")
+  }
+
   /** Recall readout for BUCKET-RESTRICTED cosine dedup (r15) — the
     * semantic-dedup member of the recall-gate family (MinHash banding →
     * `lsh_recall_report`, sign-LSH → `multiprobe_recall`, mutual-kNN →
@@ -126,6 +163,141 @@ object EmbeddingCosineDedup {
        |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
        |    round(CAST((SELECT count(*) FROM rbp) AS DOUBLE)
        |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS recall""".stripMargin
+
+  /** Side-by-side recall readout for the PROBED tier (r16): on the same
+    * deterministic 1-in-`sampleMod` sample, duplicate pairs caught under
+    * single assignment (nprobe=1 — the r15 cluster-bucketed tier) vs
+    * under `nprobe`-cluster probing vs exact all-pairs truth at the same
+    * threshold. Both caught sets are SUBSETS of truth by construction
+    * (same cosine test; probing only widens candidates), so recalls are
+    * plain count ratios with no hit join — and single ⊆ probed, so the
+    * readout is monotone by construction. One row: `(true_pairs,
+    * single_pairs, probed_pairs, single_recall, probed_recall)`; recalls
+    * NULL on empty truth. `sampleMod` REQUIRED — the truth tier is
+    * quadratic in the sample (broadcast BNLJ, bounded).
+    */
+  def probedRecall(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
+      sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
+    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol))
+    val l = sample.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val r = sample.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    val truth = l.crossJoin(broadcast(r))
+      .filter(col("d1") < col("d2") &&
+        VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+    val single = probedPairs(sample, vecCol, idCol, centroids, 1, threshold)
+    val probed = probedPairs(sample, vecCol, idCol, centroids, nprobe, threshold)
+    truth.agg(count(lit(1)).as("true_pairs"))
+      .crossJoin(single.agg(count(lit(1)).as("single_pairs")))
+      .crossJoin(probed.agg(count(lit(1)).as("probed_pairs")))
+      .select(col("true_pairs"), col("single_pairs"), col("probed_pairs"),
+        when(col("true_pairs") > 0,
+          round(col("single_pairs").cast("double") / col("true_pairs").cast("double"), 6))
+          .as("single_recall"),
+        when(col("true_pairs") > 0,
+          round(col("probed_pairs").cast("double") / col("true_pairs").cast("double"), 6))
+          .as("probed_recall"))
+  }
+
+  /** DuckDB twin of [[probedRecall]]: centroids are the first `k` rows of
+    * `table` by `idCol` (the deterministic oracle init), probe rank is
+    * `row_number() OVER (ORDER BY l2sq, cidx)` — the exact
+    * [[graft.plans.kernels.NearestCentroids]] selection.
+    */
+  def probedRecallSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, threshold: Double, sampleMod: Int): String =
+    s"""_pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |rs AS (SELECT $idCol AS id, $vecCol AS v FROM $table
+       |  WHERE $vecCol IS NOT NULL AND $idCol % $sampleMod = 0),
+       |_ppd AS (SELECT rs.id, rs.v, c.cidx,
+       |    row_number() OVER (PARTITION BY rs.id
+       |      ORDER BY ${VectorFunctions.l2sqSql("rs.v", "c.ce")}, c.cidx) AS prn
+       |  FROM rs CROSS JOIN _pct c),
+       |_pa AS (SELECT id, v, cidx AS pc, prn FROM _ppd WHERE prn <= $nprobe),
+       |rtp AS (SELECT a.id AS d1, b.id AS d2 FROM rs a, rs b
+       |  WHERE a.id < b.id
+       |    AND ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rsp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pa a JOIN _pa b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE a.prn = 1 AND b.prn = 1
+       |    AND ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pa a JOIN _pa b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold)
+       |SELECT (SELECT count(*) FROM rtp) AS true_pairs,
+       |  (SELECT count(*) FROM rsp) AS single_pairs,
+       |  (SELECT count(*) FROM rpp) AS probed_pairs,
+       |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM rsp) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS single_recall,
+       |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM rpp) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS probed_recall""".stripMargin
+
+  /** Full DuckDB oracle for [[ProbedCosineDedup]]'s kept set (first-k
+    * centroid init): ids with no earlier co-probed row at cosine ≥
+    * `threshold`, ordered.
+    */
+  def probedKeepSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, threshold: Double): String =
+    s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |_ppd AS (SELECT t.$idCol AS id, t.$vecCol AS v, c.cidx,
+       |    row_number() OVER (PARTITION BY t.$idCol
+       |      ORDER BY ${VectorFunctions.l2sqSql(s"t.$vecCol", "c.ce")}, c.cidx) AS prn
+       |  FROM $table t CROSS JOIN _pct c WHERE t.$vecCol IS NOT NULL),
+       |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe),
+       |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pa a JOIN _pa b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold)
+       |SELECT $idCol FROM $table
+       |WHERE $idCol NOT IN (SELECT d2 FROM rpp) ORDER BY $idCol""".stripMargin
+
+  /** Candidate-mass evidence for the probed tier — the
+    * [[AnnSearch.mutualKnnBandStats]] pattern: per probed cell, member
+    * counts under single assignment (probe rank 1) and under full
+    * `nprobe` probing, plus the ordered candidate-pair mass `c·(c−1)`
+    * each implies — computed from COUNTS, never by running the join, so
+    * the cost of the recall lift is measurable before anyone pays it.
+    * `(cluster, rows_primary, rows_probed, cand_pairs_primary,
+    * cand_pairs_probed)` ordered by cluster.
+    */
+  def probedClusterStats(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(
+        graft.plans.kernels.nearest_centroids(col(vecCol), centroids, nprobe))
+        .as(Seq("_rk", "_pc")))
+      .groupBy(col("_pc").cast("long").as("cluster"))
+      .agg(count(when(col("_rk") === 0, lit(1))).as("rows_primary"),
+        count(lit(1)).as("rows_probed"))
+      .select(col("cluster"), col("rows_primary"), col("rows_probed"),
+        (col("rows_primary") * (col("rows_primary") - 1)).as("cand_pairs_primary"),
+        (col("rows_probed") * (col("rows_probed") - 1)).as("cand_pairs_probed"))
+      .orderBy(col("cluster"))
+
+  /** DuckDB twin of [[probedClusterStats]] (first-k centroid init). */
+  def probedClusterStatsSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int): String =
+    s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |_ppd AS (SELECT t.$idCol AS id, c.cidx,
+       |    row_number() OVER (PARTITION BY t.$idCol
+       |      ORDER BY ${VectorFunctions.l2sqSql(s"t.$vecCol", "c.ce")}, c.cidx) AS prn
+       |  FROM $table t CROSS JOIN _pct c WHERE t.$vecCol IS NOT NULL)
+       |SELECT cidx AS cluster,
+       |  CAST(count(CASE WHEN prn = 1 THEN 1 END) AS BIGINT) AS rows_primary,
+       |  CAST(count(*) AS BIGINT) AS rows_probed,
+       |  CAST(count(CASE WHEN prn = 1 THEN 1 END)
+       |    * (count(CASE WHEN prn = 1 THEN 1 END) - 1) AS BIGINT) AS cand_pairs_primary,
+       |  CAST(count(*) * (count(*) - 1) AS BIGINT) AS cand_pairs_probed
+       |FROM _ppd WHERE prn <= $nprobe GROUP BY cidx ORDER BY cidx""".stripMargin
 }
 
 /** YAML-safe semantic dedup: trains a seeded k-means bucketing over the
@@ -148,24 +320,82 @@ final class AutoBucketedCosineDedup(
     idCol: String = "id",
     threshold: Double = 0.95,
     numBuckets: Int = 16,
-    seed: Long = 42L) extends graft.core.RejectingOperator {
+    seed: Long = 42L,
+    nprobe: Int = 1) extends graft.core.RejectingOperator {
+  require(nprobe >= 1 && nprobe <= numBuckets,
+    s"nprobe must be in [1, $numBuckets], got $nprobe")
 
   val name = "embedding_cosine_dedup"
   private val bucketCol = "_auto_bucket"
   private val inner = new EmbeddingCosineDedup(vecCol, idCol, threshold, Some(bucketCol))
+  private val km = new graft.operators.ml.KMeansBuckets(vecCol, bucketCol, numBuckets, seed)
 
-  private def withBuckets(df: DataFrame): DataFrame =
-    new graft.operators.ml.KMeansBuckets(vecCol, bucketCol, numBuckets, seed)
-      .fitTransform(df)
+  private def withBuckets(df: DataFrame): DataFrame = km.fitTransform(df)
 
-  def apply(df: DataFrame): DataFrame = inner(withBuckets(df)).drop(bucketCol)
+  /** nprobe > 1: the trained model's centroids feed the PROBED tier —
+    * each row co-buckets in its nprobe nearest cells, so boundary
+    * duplicates are no longer missed by construction (the
+    * `semantic_dedup_recall` lever, VERDICT r15 #1).
+    */
+  private def probedOp(df: DataFrame): ProbedCosineDedup =
+    new ProbedCosineDedup(vecCol, idCol, threshold,
+      km.centroidsOf(km.fit(df)), nprobe)
+
+  def apply(df: DataFrame): DataFrame =
+    if (nprobe == 1) inner(withBuckets(df)).drop(bucketCol)
+    else probedOp(df)(df)
 
   def rejected(df: DataFrame): DataFrame =
-    inner.rejected(withBuckets(df)).drop(bucketCol)
+    if (nprobe == 1) inner.rejected(withBuckets(df)).drop(bucketCol)
+    else probedOp(df).rejected(df)
 
   def mark(df: DataFrame, alive: org.apache.spark.sql.Column, tag: String): graft.core.Marked = {
-    val m = graft.core.PairwiseMark(
-      withBuckets(df), alive, tag, idCol, name, inner.verifiedPairs)
-    m.copy(internalCols = m.internalCols :+ bucketCol)
+    if (nprobe == 1) {
+      val m = graft.core.PairwiseMark(
+        withBuckets(df), alive, tag, idCol, name, inner.verifiedPairs)
+      m.copy(internalCols = m.internalCols :+ bucketCol)
+    } else probedOp(df).mark(df, alive, tag)
+  }
+}
+
+/** Multi-cluster-PROBED semantic dedup (r16) — the recall lever for the
+  * cluster-bucketed tier: a row is dropped when an earlier row (smaller
+  * `idCol`) shares any of its `nprobe` nearest cells at cosine ≥
+  * `threshold` ([[EmbeddingCosineDedup.probedPairs]]). With nprobe=1
+  * this IS the single-assignment bucketed tier; each +1 probe trades
+  * bounded candidate mass ([[EmbeddingCosineDedup.probedClusterStats]])
+  * for boundary-pair recall ([[EmbeddingCosineDedup.probedRecall]]).
+  * Centroids are caller-supplied (a trained k-means model's, or the
+  * deterministic first-k init for oracle-checked runs).
+  */
+final class ProbedCosineDedup(
+    vecCol: String = "embedding",
+    idCol: String = "id",
+    threshold: Double = 0.95,
+    centroids: Seq[Seq[Double]] = Nil,
+    nprobe: Int = 2) extends graft.core.RejectingOperator {
+  require(centroids.nonEmpty, "centroids are required")
+  require(nprobe >= 1 && nprobe <= centroids.length,
+    s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+
+  val name = "embedding_cosine_dedup_probed"
+
+  def verifiedPairs(df: DataFrame): DataFrame =
+    EmbeddingCosineDedup.probedPairs(df, vecCol, idCol, centroids, nprobe, threshold)
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  def mark(df: DataFrame, alive: org.apache.spark.sql.Column, tag: String): graft.core.Marked =
+    graft.core.PairwiseMark(df, alive, tag, idCol, name, verifiedPairs)
+
+  def rejected(df: DataFrame): DataFrame = {
+    val reps = verifiedPairs(df).groupBy(col("d2")).agg(min(col("d1")).as("_rep"))
+      .withColumnRenamed("d2", idCol)
+    df.join(reps, Seq(idCol))
+      .withColumn(Rejection.ColName,
+        Rejection.duplicate(name, lit(null).cast("string"), col("_rep")))
+      .drop("_rep")
   }
 }

@@ -513,6 +513,57 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Indices (0-based) of the `nprobe` NEAREST centroids by squared L2,
+    * ordered by (distance, index) — the multi-cluster assignment step of
+    * probed semantic dedup (r16): a near-boundary vector lists every
+    * cell it could plausibly live in, so boundary duplicates co-bucket.
+    * Same left-to-right double fold and strict-`<` tie policy as
+    * [[NearestCentroid]] (whose result is always element 0 here), so the
+    * DuckDB `row_number() OVER (ORDER BY dist, cid) <= nprobe` twin
+    * replays the selection bit-for-bit. Selection is one insertion pass
+    * over k (distance, index) pairs — no per-row sort allocation beyond
+    * the nprobe-sized output.
+    */
+  case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
+      nprobe: Int) extends UnaryExpression with UnaryRefCodegen {
+    require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val at = elemType
+      val bd = new Array[Double](nprobe) // best distances, ascending
+      val bi = new Array[Int](nprobe)
+      java.util.Arrays.fill(bd, Double.MaxValue)
+      java.util.Arrays.fill(bi, Int.MaxValue)
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        val n = math.min(a.numElements(), cent.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val diff = arrayDouble(a, at, i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        // strict < on distance; equal distance keeps the lower index
+        // (c ascends, so an equal-distance later index never displaces)
+        if (d < bd(nprobe - 1)) {
+          var p = nprobe - 1
+          while (p > 0 && d < bd(p - 1)) { bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1 }
+          bd(p) = d; bi(p) = c
+        }
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        bi.map(i => java.lang.Integer.valueOf(i): Any))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Per-profile stopword-hit fractions over a token array in ONE pass —
     * the language-ID / quality-score hot loop (the declarative
     * filter+size form pays the interpreted-HOF cost per token per
@@ -1550,6 +1601,8 @@ object kernels {
     expr2col(NearestCentroid(colExpr(vec), centroids))
   def nearest_centroid_dist(vec: Column, centroids: Seq[Seq[Double]]): Column =
     expr2col(NearestCentroidDist(colExpr(vec), centroids))
+  def nearest_centroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    expr2col(NearestCentroids(colExpr(vec), centroids, nprobe))
   def stopword_scores(toks: Column, profiles: Seq[Seq[String]]): Column =
     expr2col(StopwordScores(colExpr(toks), profiles))
   /** Unrounded composite quality score (wrap in `round(_, 9)`). */

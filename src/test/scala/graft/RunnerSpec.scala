@@ -976,6 +976,30 @@ class RunnerSpec extends AnyFunSuite {
       .count() > 0, "survivors must carry frozen-LM scores")
   }
 
+  test("yaml pipeline runs the probed semantic deduplicator (nprobe param reaches the registry)") {
+    def run(nprobe: Int): Long = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_probed$nprobe").toString
+      val conf = PipelineConf.fromYaml(
+        s"""data_loader:
+           |  type: ParquetLoader
+           |  params: {format: parquet, path: "/root/testdata/sf0.001/embeddings.parquet"}
+           |stages:
+           |  - name: dedup
+           |    operators:
+           |      - name: embedding_cosine_deduplicator
+           |        params: {embedding_field: "embedding", id_field: "vec_id", threshold: 0.35, num_buckets: 8, nprobe: $nprobe}
+           |data_writer:
+           |  type: ParquetDataWriter
+           |  params: {output_path: "$base/out", table_name: "vecs"}
+           |""".stripMargin)
+      PipelineRunner.run(spark, conf).run.output
+    }
+    val k1 = run(1)
+    val k2 = run(2)
+    assert(k2 > 0 && k2 <= k1,
+      s"probing can only widen the drop set: nprobe=2 kept $k2 vs nprobe=1 kept $k1")
+  }
+
   test("yaml pipeline runs the containment deduplicator with rejects") {
     val base = java.nio.file.Files.createTempDirectory("graft_cont").toString
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
