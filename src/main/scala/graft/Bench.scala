@@ -41,9 +41,14 @@ object Bench {
     // Wall guard: under host contention single queries have swung 160x
     // (r9 driver run: rc 124, no parseable record at all). Once any rep
     // of a query exceeds `wallLimit` seconds, that measurement is kept
-    // and the remaining reps are skipped — the bench's worst case is
-    // bounded at ~(warmup + 1 slow rep) per query instead of 4x the
-    // blowup. Guarded queries are listed in "wall_guarded".
+    // and the remaining passes are skipped — the bench's worst case is
+    // bounded at ~(warmup + 1 slow rep + 1 retry) per query instead of
+    // 4x the blowup. Guarded queries are listed in "wall_guarded"; each
+    // gets ONE end-of-suite retry (min over all observed runs stays the
+    // official value) and per-run evidence in "reps_detail" — the r15
+    // driver record canonized a 39.3 s contended rep of a 1.3 s leg, and
+    // the retry + evidence make that artifact impossible to mistake for
+    // a regression (VERDICT r15 #2).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val wallLimit = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "30").toDouble
     // Builder-local iteration aid (mirrors Verify's SPARK_GRAFT_ONLY):
@@ -58,20 +63,27 @@ object Bench {
       .filter { case (n, _) => benchOnly.forall(_(n)) }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
-    // Results accumulate as each query lands so the shutdown hook can
-    // emit a parseable partial record even when the driver's timeout
-    // kills the JVM mid-run (SIGTERM runs shutdown hooks; rc 124 in r9
-    // left "parsed": null because the summary only printed at the end).
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // per-query MEDIAN over the same warm reps, recorded alongside the
-    // min so trend comparisons against pre-r13 median-based records stay
-    // interpretable (ADVICE r13): min is the official estimator, median
-    // the cross-check
-    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val guarded = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Results accumulate inside the harness as each query lands so the
+    // shutdown hook can emit a parseable partial record even when the
+    // driver's timeout kills the JVM mid-run (SIGTERM runs shutdown
+    // hooks; rc 124 in r9 left "parsed": null because the summary only
+    // printed at the end). r16: the measurement protocol (warmup +
+    // interleaved warm-min + wall guard + end-of-suite retry) lives in
+    // graft.core.BenchHarness, unit-tested in BenchHarnessSpec — a
+    // guarded leg now carries per-run evidence and ONE retry, so a
+    // single contended rep can't canonize a 30x artifact (the r15
+    // driver record's minhash_lsh_dedup_transitive lesson).
+    val harness = new graft.core.BenchHarness(reps, wallLimit)
+    def results = harness.results
+    def medians = harness.medians
+    def guarded = harness.guarded
     @volatile var probeJson: Option[String] = None
     @volatile var finishedNormally = false
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+
+    def unstableLegs: Seq[String] = medians.toSeq.collect {
+      case (k, m) if results.get(k).exists(mn => mn >= 0.1 && m > 2.0 * mn) => k
+    }
 
     def fullJson(partial: Boolean): String = {
       val rs = results.toSeq
@@ -79,6 +91,7 @@ object Bench {
         .mkString("{", ",", "}")
       val total = rs.map(_._2).sum
       val g = guarded.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val rt = harness.retried.map("\"" + _ + "\"").mkString("[", ",", "]")
       val p = probeJson.getOrElse("null")
       val pf = if (partial) ",\"partial\":true" else ""
       val med = medians.toSeq.map { case (k, v) => "\"" + k + "\":" + sec(v) }
@@ -88,10 +101,13 @@ object Bench {
       // so a real regression can't hide behind the min estimator
       // (VERDICT r14 #8). Tiny legs (<0.1 s min) are skipped — scheduler
       // jitter alone doubles those.
-      val unstable = medians.toSeq.collect {
-        case (k, m) if results.get(k).exists(mn => mn >= 0.1 && m > 2.0 * mn) => k
-      }.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"estimator":"warm_min_interleaved","wall_guarded":$g,"unstable_legs":$unstable,"queries":$qs,"queries_median":$med,"sf":"$sfDir","scale_probe":$p$pf}"""
+      val unstable = unstableLegs
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // per-run evidence for every flagged leg (guarded or unstable):
+      // the record proves its own artifacts instead of leaving them to
+      // cross-round inference (VERDICT r15 #2)
+      val detail = harness.detailJson(guarded.toSeq ++ unstableLegs)
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"estimator":"warm_min_interleaved_retry","wall_guarded":$g,"retried":$rt,"unstable_legs":$unstable,"reps_detail":$detail,"queries":$qs,"queries_median":$med,"sf":"$sfDir","scale_probe":$p$pf}"""
     }
     // The driver keeps only the LAST 2000 chars of output and parses the
     // final JSON line out of that window (BENCH_r7/r8 both carried
@@ -132,48 +148,13 @@ object Bench {
     }))
 
     // Reps are INTERLEAVED round-robin across the whole query list
-    // (warmup pass, then `reps` full suite passes) instead of
-    // back-to-back per query: the r13 official record showed a
-    // sustained multi-second contention burst owns all back-to-back
-    // reps of whichever query it lands on (six legs read 4-6x their
-    // clean-record values with NO code change), while with
-    // interleaving a burst costs each query at most ONE rep and the
-    // min survives. A query past `wallLimit` keeps that measurement
-    // and is excluded from later passes.
-    val repTimes = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
-    val skip = scala.collection.mutable.Set.empty[String]
-    ordered.foreach { case (name, fn) =>
-      // warmup counts against the guard too: a query pathological enough
-      // to blow the limit cold is recorded from its warmup and never
-      // re-run
-      val w0 = System.nanoTime()
-      runOne(name, fn)
-      val warm = (System.nanoTime() - w0) / 1e9
-      if (warm > wallLimit) {
-        results(name) = warm
-        guarded += name
-        skip += name
-      }
-    }
-    var pass = 0
-    while (pass < reps) {
-      ordered.foreach { case (name, fn) =>
-        if (!skip(name)) {
-          val t0 = System.nanoTime()
-          runOne(name, fn)
-          val t = (System.nanoTime() - t0) / 1e9
-          val ts = repTimes.getOrElseUpdate(name,
-            scala.collection.mutable.ArrayBuffer.empty[Double])
-          ts += t
-          results(name) = ts.min
-          medians(name) = { val s = ts.sorted; val m = s.length / 2
-            if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2 }
-          if (t > wallLimit) { guarded += name; skip += name }
-        }
-      }
-      pass += 1
-    }
+    // (warmup pass, then `reps` full suite passes, then ONE retry per
+    // wall-guarded leg) — see graft.core.BenchHarness for the protocol
+    // and its rationale (r13 interleaving lesson, r15 guard-artifact
+    // lesson).
+    harness.run(ordered.map { case (name, fn) =>
+      name -> (() => runOne(name, fn))
+    })
 
     // 10x scale probe (promoted from the dev-only graft.ScaleProbe): the
     // documents table replicated 10x under re-keyed ids (≈90% duplicate

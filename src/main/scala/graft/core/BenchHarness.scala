@@ -1,0 +1,112 @@
+package graft.core
+
+/** Interleaved warm-min measurement harness (r16, VERDICT r15 #2) — the
+  * bench's estimator, extracted so the guard/retry path is unit-testable
+  * instead of only observable in a contended driver run.
+  *
+  * Protocol: one warmup pass over every leg (JIT/codegen cost never
+  * enters the record), then `reps` full INTERLEAVED passes (a sustained
+  * contention burst costs each leg at most one rep — the r13 lesson),
+  * with a wall guard: any single run past `wallLimit` seconds keeps that
+  * measurement and exempts the leg from later passes, bounding the
+  * suite's worst case. NEW in r16: every guarded leg gets exactly ONE
+  * retry at END of suite — a transient burst has the whole remaining
+  * suite's wall time to clear — and the official value stays the MIN
+  * over ALL observed runs (warmup included for a warmup-guarded leg), so
+  * one contended rep can no longer canonize a 30x artifact the way the
+  * r15 driver record did for `minhash_lsh_dedup_transitive` (39.3 s
+  * guarded vs 1.32 s clean, code byte-identical). Per-run evidence for
+  * flagged legs is kept ([[detail]]) so the record is self-evidencing.
+  *
+  * State is live-updated per measurement: a shutdown hook reading
+  * [[results]] mid-run emits an honest partial record.
+  */
+final class BenchHarness(reps: Int, wallLimit: Double) {
+  import scala.collection.mutable
+
+  /** Official per-leg seconds: min over all observed runs (warm reps +
+    * any guard-triggering run + the end-of-suite retry).
+    */
+  val results: mutable.LinkedHashMap[String, Double] = mutable.LinkedHashMap.empty
+  /** Median over the same observed runs (warmup excluded unless it
+    * triggered the guard) — the cross-check estimator.
+    */
+  val medians: mutable.LinkedHashMap[String, Double] = mutable.LinkedHashMap.empty
+  /** Legs that tripped the wall guard (kept listed even when the retry
+    * came back fast — the flag says "this record needed the retry").
+    */
+  val guarded: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+  /** Guarded legs whose end-of-suite retry actually ran. */
+  val retried: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+  /** Warmup seconds per leg. */
+  val warmups: mutable.LinkedHashMap[String, Double] = mutable.LinkedHashMap.empty
+  /** Every measured run per leg, in observation order (guard-triggering
+    * warmups included — they are part of the leg's official min).
+    */
+  val repTimes: mutable.LinkedHashMap[String, mutable.ArrayBuffer[Double]] =
+    mutable.LinkedHashMap.empty
+
+  private def medianOf(ts: Seq[Double]): Double = {
+    val s = ts.sorted; val m = s.length / 2
+    if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2
+  }
+
+  private def record(name: String, t: Double): Unit = {
+    val ts = repTimes.getOrElseUpdate(name, mutable.ArrayBuffer.empty[Double])
+    ts += t
+    results(name) = ts.min
+    medians(name) = medianOf(ts.toSeq)
+  }
+
+  /** Run the whole protocol. `legs` execute in the given order each
+    * pass; each thunk must swallow its own query errors (a throw aborts
+    * the suite — the bench's contract is "measure what runs").
+    */
+  def run(legs: Seq[(String, () => Unit)]): Unit = {
+    val skip = scala.collection.mutable.Set.empty[String]
+    def measure(fn: () => Unit): Double = {
+      val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+    }
+    legs.foreach { case (name, fn) =>
+      val w = measure(fn)
+      warmups(name) = w
+      // a leg pathological enough to blow the limit COLD is recorded
+      // from its warmup and skips the warm passes (it still gets the
+      // end-of-suite retry)
+      if (w > wallLimit) { record(name, w); guarded += name; skip += name }
+    }
+    var pass = 0
+    while (pass < reps) {
+      legs.foreach { case (name, fn) =>
+        if (!skip(name)) {
+          val t = measure(fn)
+          record(name, t)
+          if (t > wallLimit) { guarded += name; skip += name }
+        }
+      }
+      pass += 1
+    }
+    // end-of-suite retry: exactly one more run per guarded leg, after
+    // every other measurement — min over all observed runs stays official
+    guarded.toSeq.foreach { name =>
+      legs.find(_._1 == name).foreach { case (_, fn) =>
+        val t = measure(fn)
+        record(name, t)
+        retried += name
+      }
+    }
+  }
+
+  /** Per-run evidence for the given legs as a JSON object fragment:
+    * `{"leg":{"warmup":w,"runs":[...]}}` — emitted for guarded/unstable
+    * legs so a flagged record carries its own proof.
+    */
+  def detailJson(names: Seq[String]): String = {
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    names.distinct.filter(repTimes.contains).map { n =>
+      val runs = repTimes(n).map(sec).mkString("[", ",", "]")
+      val w = warmups.get(n).map(sec).getOrElse("null")
+      s""""$n":{"warmup":$w,"runs":$runs}"""
+    }.mkString("{", ",", "}")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench measurement protocol (graft.core.BenchHarness):
+  * warmup excluded from the record, interleaved warm-min, wall guard,
+  * and — the r16 additions (VERDICT r15 #2) — the end-of-suite retry
+  * for guarded legs plus per-run evidence, so one contended rep can
+  * never canonize a wall-guard artifact as the official value.
+  */
+class BenchHarnessSpec extends AnyFunSuite {
+
+  // a leg that sleeps `slowMs` on the invocation numbers in `slowOn`
+  // (1-based: 1 = warmup, 2 = first warm rep, ...) and `fastMs` otherwise
+  private def leg(slowOn: Set[Int], slowMs: Long = 120, fastMs: Long = 2)
+      : () => Unit = {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    () => Thread.sleep(if (slowOn(calls.incrementAndGet())) slowMs else fastMs)
+  }
+
+  test("stable legs: warmup excluded, min/median over exactly `reps` warm runs, nothing guarded") {
+    val h = new graft.core.BenchHarness(reps = 3, wallLimit = 0.05)
+    h.run(Seq("a" -> leg(Set.empty), "b" -> leg(Set.empty)))
+    assert(h.guarded.isEmpty && h.retried.isEmpty)
+    Seq("a", "b").foreach { n =>
+      assert(h.repTimes(n).length == 3, s"$n must have 3 warm runs")
+      assert(h.results(n) < 0.05 && h.medians(n) < 0.05)
+      assert(h.warmups.contains(n))
+    }
+  }
+
+  test("a leg guarded mid-pass is retried once at end of suite; official value = min over ALL runs") {
+    // slow on invocation 3 = second warm rep: warm rep 1 fast, rep 2
+    // trips the guard, passes 3.. skipped, retry at end fast
+    val h = new graft.core.BenchHarness(reps = 3, wallLimit = 0.05)
+    h.run(Seq("burst" -> leg(Set(3)), "calm" -> leg(Set.empty)))
+    assert(h.guarded.toSeq == Seq("burst") && h.retried.toSeq == Seq("burst"))
+    // runs observed: fast rep, slow rep, retry — never the skipped passes
+    assert(h.repTimes("burst").length == 3, h.repTimes("burst").toString)
+    assert(h.repTimes("burst").count(_ > 0.05) == 1)
+    // the official value is the fast min, NOT the 120ms artifact
+    assert(h.results("burst") < 0.05,
+      s"guard artifact canonized: ${h.results("burst")}")
+    assert(h.repTimes("calm").length == 3)
+  }
+
+  test("a leg guarded AT WARMUP skips all passes, and the retry rescues its official value") {
+    val h = new graft.core.BenchHarness(reps = 3, wallLimit = 0.05)
+    h.run(Seq("coldslow" -> leg(Set(1))))
+    assert(h.guarded.toSeq == Seq("coldslow") && h.retried.toSeq == Seq("coldslow"))
+    // runs: the guard-tripping warmup + the retry
+    assert(h.repTimes("coldslow").length == 2)
+    assert(h.results("coldslow") < 0.05,
+      s"retry must rescue a warmup-guarded leg: ${h.results("coldslow")}")
+    // a leg slow on BOTH warmup and retry keeps the honest slow value
+    val h2 = new graft.core.BenchHarness(reps = 2, wallLimit = 0.05)
+    h2.run(Seq("trulyslow" -> leg(Set(1, 2))))
+    assert(h2.guarded.toSeq == Seq("trulyslow"))
+    assert(h2.results("trulyslow") > 0.05,
+      "a genuinely slow leg must not be laundered by the retry")
+  }
+
+  test("detailJson carries warmup + every observed run for the asked legs") {
+    val h = new graft.core.BenchHarness(reps = 2, wallLimit = 0.05)
+    h.run(Seq("x" -> leg(Set(2)), "y" -> leg(Set.empty)))
+    val d = h.detailJson(Seq("x", "x", "zzz_never_ran"))
+    assert(d.startsWith("{\"x\":{\"warmup\":"), d)
+    assert(d.contains("\"runs\":["), d)
+    // duplicate names collapse; unknown legs are omitted, not fabricated
+    assert(d.indexOf("\"x\"") == d.lastIndexOf("\"x\"") && !d.contains("zzz"), d)
+    // the evidence must show the guard-tripping run AND the fast retry
+    val runs = d.substring(d.indexOf("\"runs\":[") + 8, d.indexOf("]"))
+      .split(",").map(_.toDouble)
+    assert(runs.count(_ > 0.05) == 1 && runs.count(_ <= 0.05) >= 1, d)
+  }
+}
