@@ -173,6 +173,20 @@ object NearDup {
         .orderBy(col("comp")),
       Some(minhashOp.clusterStatsSql("documents"))),
 
+    // the MinHash geometry TUNER (r16, VERDICT r15 #4): every divisor
+    // (bands, rows_per_band) of the 16-hash signature scored at once —
+    // recall vs ground truth AND bucket-count candidate mass — with a
+    // chosen config row, completing the operating-point family
+    OracleQuery("minhash_operating_point",
+      (s, dir) => new graft.operators.dedup.MinHashOperatingPoint(
+          "text", "doc_id", shingleWidth = 3, numHashes = 16,
+          threshold = 0.8, targetRecall = 0.9, sampleMod = 3)
+        .report(Tables(s, dir, "documents")),
+      Some(new graft.operators.dedup.MinHashOperatingPoint(
+          "text", "doc_id", shingleWidth = 3, numHashes = 16,
+          threshold = 0.8, targetRecall = 0.9, sampleMod = 3)
+        .sql("documents"))),
+
     OracleQuery("minhash_lsh_dedup_capped",
       (s, dir) => minhashCappedOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),

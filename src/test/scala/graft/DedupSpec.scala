@@ -548,6 +548,48 @@ class DedupSpec extends AnyFunSuite {
     capped.foreach(r => assert(r.getLong(3) <= r.getLong(2) * 4L))
   }
 
+  test("minhash operating point: every geometry equals an independent LshRecall run; nesting is monotone; chosen unique") {
+    graft.core.Staging.scoped {
+      val docs = table("documents")
+      val op = new graft.operators.dedup.MinHashOperatingPoint(
+        "text", "doc_id", shingleWidth = 3, numHashes = 16,
+        threshold = 0.8, targetRecall = 0.9, sampleMod = 3)
+      assert(op.geometries == Seq(1, 2, 4, 8, 16))
+      val rows = op.report(docs).collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))
+      assert(rows.map(_.getInt(1)).toSeq == Seq(16, 8, 4, 2, 1))
+      // level-equivalence: each geometry's caught count equals an
+      // INDEPENDENT LshRecall run at that banding (leveled one-pass vs
+      // the band-key-join path — two different algorithms, same answer)
+      for (r <- rows) {
+        val direct = new graft.operators.dedup.LshRecall(
+          "text", "doc_id", shingleWidth = 3, numHashes = 16,
+          numBands = r.getInt(0), threshold = 0.8, sampleMod = 3)
+          .report(docs).head()
+        assert(r.getLong(2) == direct.getLong(0),
+          s"b=${r.getInt(0)}: same truth pairs")
+        assert(r.getLong(3) == direct.getLong(1),
+          s"b=${r.getInt(0)}: leveled ${r.getLong(3)} vs independent ${direct.getLong(1)}")
+      }
+      // nested band splits: recall monotone in b (caught(b) ⊆ caught(2b)),
+      // and candidate mass strictly grows with more bands on this fixture
+      val caught = rows.map(_.getLong(3))
+      assert(caught.zip(caught.tail).forall { case (a, b) => a <= b },
+        s"caught must be monotone in bands: ${caught.toSeq}")
+      val mass = rows.map(_.getLong(4))
+      assert(mass.zip(mass.tail).forall { case (a, b) => a < b },
+        s"candidate mass must grow with bands: ${mass.toSeq}")
+      // exactly one chosen row: the smallest (cheapest) b meeting 0.9
+      val chosen = rows.filter(_.getBoolean(6))
+      assert(chosen.length == 1)
+      val meeting = rows.filter(r => !r.isNullAt(5) && r.getDouble(5) >= 0.9)
+      if (meeting.nonEmpty)
+        assert(chosen.head.getInt(0) == meeting.map(_.getInt(0)).min)
+      assertThrows[IllegalArgumentException](new graft.operators.dedup
+        .MinHashOperatingPoint("text", "doc_id", sampleMod = 0))
+    }
+  }
+
   test("probed semantic dedup: nprobe=1 == single assignment, full probe == brute force, random vectors match a plain-Scala reference") {
     import spark.implicits._
     import graft.operators.vector.EmbeddingCosineDedup

@@ -288,5 +288,13 @@ class EmptyInputSpec extends AnyFunSuite {
       cents, nprobe = 2, threshold = 0.5, sampleMod = 2).head()
     assert(pr.getLong(0) == 0L && pr.getLong(1) == 0L && pr.getLong(2) == 0L &&
       pr.isNullAt(3) && pr.isNullAt(4))
+    // minhash operating point over an empty corpus: full geometry spine,
+    // zero counts, NULL recall, chosen defaults to the cheapest (b=1)
+    val mo = new graft.operators.dedup.MinHashOperatingPoint(
+      "text", "doc_id", numHashes = 8, sampleMod = 2).report(noDocs).collect()
+    assert(mo.length == 4 && mo.forall(r =>
+      r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L &&
+        r.isNullAt(5)))
+    assert(mo.filter(_.getBoolean(6)).map(_.getInt(0)).toSeq == Seq(1))
   }
 }

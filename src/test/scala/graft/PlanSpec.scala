@@ -272,6 +272,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash operating point: no per-geometry band join — truth joins signatures by id, agreement is expression work") {
+    graft.core.Staging.scoped {
+      val df = new graft.operators.dedup.MinHashOperatingPoint(
+        "text", "doc_id", shingleWidth = 3, numHashes = 16,
+        threshold = 0.8, targetRecall = 0.9, sampleMod = 3)
+        .report(table("documents"))
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), p)
+      // the leveled design's whole point: band keys NEVER join — every
+      // geometry's caught count is expression work over the two staged
+      // signature arrays, joined to truth by id alone (a per-geometry
+      // _bkey join would rescan/reshuffle once per divisor)
+      assert(!p.linesIterator.exists(l => l.contains("Join") && l.contains("_bkey")),
+        s"band keys must not join:\n$p")
+      // the selection windows ride the divisor-count level table
+      val rankW = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(rankW.nonEmpty, p)
+    }
+  }
+
   test("probed semantic dedup: the pair join keys on the probed cell, never a cartesian; stats ride one scan") {
     val cents: Seq[Seq[Double]] =
       (0 until 8).map(i => Seq.tabulate(16)(d => if (d == i) 1.0 else 0.0))
