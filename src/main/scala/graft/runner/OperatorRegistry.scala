@@ -150,6 +150,17 @@ object OperatorRegistry {
       nprobe = p.int("nprobe", 1))
   })
 
+  // OR-amplified mutual-kNN anchor-pair mining (r16): num_bands is the
+  // tuned L off mutual_knn_or_operating_point's chosen row; the stage
+  // REPLACES the frame with the (a, b, cosine) pair table
+  register("mutual_knn_anchor_miner", p => new graft.operators.vector.MutualKnnAnchorMiner(
+    vecCol = p.str("embedding_field", "embedding"),
+    idCol = p.str("id_field", "id"),
+    k = p.int("k", 5),
+    numBands = p.int("num_bands", 4),
+    bandWidth = p.int("band_width", 4),
+    maxBucketSize = p.int("max_bucket_size", 1000)))
+
   register("image_metadata", p => new ImageMetadataRefiner(
     imageCol = p.str("image_field", "image")))
 

@@ -976,6 +976,30 @@ class RunnerSpec extends AnyFunSuite {
       .count() > 0, "survivors must carry frozen-LM scores")
   }
 
+  test("shipped anchor-mining config: pair table equals a direct mutualKnnLshOr run") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File("/tmp/graft_anchor_out"))
+    val res = PipelineRunner.run(spark,
+      PipelineConf.fromYamlFile("configs/example_anchor_mining.yaml"))
+    assert(res.run.output > 0, "the fixture must yield mutual pairs")
+    val got = spark.read.parquet("/tmp/graft_anchor_out/anchor_pairs")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.vector.AnnSearch.mutualKnnLshOr(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding", "vec_id", k = 5,
+        bands = (0 until 4).map(b => 4 * b until 4 * (b + 1)),
+        maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"config-driven pairs (${got.size}) must equal the direct run (${want.size})")
+    // the geometry params construct the documented contiguous bands
+    val op = new graft.operators.vector.MutualKnnAnchorMiner(
+      numBands = 3, bandWidth = 2)
+    assert(op.bands == Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5)))
+  }
+
   test("yaml pipeline runs the probed semantic deduplicator (nprobe param reaches the registry)") {
     def run(nprobe: Int): Long = {
       val base = java.nio.file.Files.createTempDirectory(s"graft_probed$nprobe").toString
