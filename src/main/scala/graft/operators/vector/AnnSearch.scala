@@ -359,6 +359,89 @@ object AnnSearch {
     bucketed.join(broadcast(hot), Seq("_band", "_bk"), "left_anti")
   }
 
+  /** FROZEN per-band centering stats (r16): the count and per-coordinate
+    * scaled sums of a REFERENCE corpus, collected ONCE to the driver
+    * (|coords|+1 numbers) so band assignment under them is a pure
+    * per-row LITERAL expression — arrival-invariant, the streaming
+    * anchor miner's frozen band state (the
+    * [[graft.operators.text.BigramLm.freeze]] discipline: centering
+    * stats derived from a live stream would re-bucket prior vectors
+    * with every append). Sums are the exact LONG sums of the floored
+    * scaled coords — the same integer arithmetic the batch tier's
+    * broadcast stats row uses, so frozen vs broadcast assignment is
+    * bit-identical on the same corpus.
+    */
+  final case class CenteredBandStats(n: Long, sums: Map[Int, Long])
+
+  /** Collect [[CenteredBandStats]] over the union of `bands`' coords. */
+  def bandStatsOf(df: DataFrame, vecCol: String,
+      bands: Seq[Seq[Int]]): CenteredBandStats = {
+    val allCoords = bands.flatten.distinct.sorted
+    val row = df.filter(col(vecCol).isNotNull)
+      .agg(count(lit(1)).as("_mn"),
+        allCoords.map(c => sum(scaledCoord(col(vecCol), c)).as(s"_ms_c$c")): _*)
+      .head()
+    CenteredBandStats(row.getLong(0),
+      allCoords.zipWithIndex.map { case (c, i) =>
+        c -> (if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+      }.toMap)
+  }
+
+  /** `(idCol, vecCol, _band, _bk)` under FROZEN stats — the literal-stats
+    * twin of [[centeredCappedBandBuckets]]' assignment (same floored
+    * scale, same `coord·n ≥ sum` centering test), uncapped: consumers
+    * apply their own cap policy.
+    */
+  def bandedFrozen(df: DataFrame, vecCol: String, idCol: String,
+      bands: Seq[Seq[Int]], stats: CenteredBandStats): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_.nonEmpty),
+      "at least one non-empty coordinate band is required")
+    val base = df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol))
+    val bandStructs = bands.zipWithIndex.map { case (coords, bi) =>
+      val bits = coords.zipWithIndex.map { case (c, kk) =>
+        when(scaledCoord(col(vecCol), c) * lit(stats.n) >= lit(stats.sums(c)),
+          lit(1L << kk)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(bi).as("_band"), bits.as("_bk"))
+    }
+    base.select(col(idCol), col(vecCol), explode(array(bandStructs: _*)).as("_bb"))
+      .select(col(idCol), col(vecCol),
+        col("_bb._band").as("_band"), col("_bb._bk").as("_bk"))
+  }
+
+  /** Batch twin of the streaming anchor miner
+    * ([[graft.streaming.StreamingCuration.anchorMiningForeachBatch]]):
+    * OR-amplified co-bucket candidate pairs under frozen band state with
+    * FIRST-CAP semantics — per (band, bucket) only the `maxBucketSize`
+    * smallest-`idCol` members participate (arrival order == id order in
+    * the streaming pin; a bucket "closes" once full, so membership is
+    * prefix-stable under appends — the property that makes the
+    * incremental union of per-trigger pairs equal this one-shot batch).
+    * Pairs: co-bucketed in ≥ 1 band, `a < b`, cosine ≥ `threshold`,
+    * deduped across bands. Scale shape: the cap rank window is
+    * (band, bucket)-keyed; the pair join is the banded equi-join;
+    * candidate mass ≤ L·n·cap.
+    */
+  def anchorCandidatesFirstCap(df: DataFrame, vecCol: String, idCol: String,
+      bands: Seq[Seq[Int]], maxBucketSize: Int, threshold: Double,
+      stats: CenteredBandStats): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBucketSize > 0, "maxBucketSize is required")
+    val banded = bandedFrozen(df, vecCol, idCol, bands, stats)
+    val w = Window.partitionBy(col("_band"), col("_bk")).orderBy(col(idCol))
+    val kept = banded.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucketSize).drop("_rn")
+    val l = kept.select(col("_band"), col("_bk"), col(idCol).as("a"),
+      col(vecCol).as("_va"))
+    val r = kept.select(col("_band"), col("_bk"), col(idCol).as("b"),
+      col(vecCol).as("_vb"))
+    l.join(r, Seq("_band", "_bk")).filter(col("a") < col("b"))
+      .withColumn("_cos", VectorFunctions.cosine(col("_va"), col("_vb")))
+      .filter(col("_cos") >= threshold)
+      .select(col("a"), col("b"), col("_cos").as("cosine"))
+      .dropDuplicates("a", "b")
+  }
+
   /** DuckDB CTE chain ending in `${p}mb(id, v, band, bk)` — the banded
     * twin of [[centeredCappedBandBuckets]] over `src`. `p` prefixes the
     * CTE names so two chains (e.g. single-band + amplified in one

@@ -220,6 +220,83 @@ object StreamingCuration {
     }
   }
 
+  /** Streaming ANCHOR-PAIR mining (r16, VERDICT r15 #6) — the
+    * incremental twin of the OR-amplified candidate tier: new vectors
+    * landing across triggers mine co-bucket anchor pairs against the
+    * FROZEN band state. Band centering stats come from `refCorpus` ONCE
+    * at setup ([[graft.operators.vector.AnnSearch.bandStatsOf]] —
+    * driver-side literals, so assignment is arrival-invariant and
+    * nothing recaches on append, the BigramLm.freeze lesson); the prior
+    * store accumulates each trigger's capped banded rows. Per trigger:
+    * assign the batch under the frozen stats, admit rows into each
+    * (band, bucket) only up to `maxBucketSize` TOTAL members
+    * (first-cap: a bucket closes once full — membership is
+    * prefix-stable under appends, which is exactly what makes the
+    * per-trigger union equal the one-shot batch
+    * [[graft.operators.vector.AnnSearch.anchorCandidatesFirstCap]] when
+    * ids arrive in order; StreamingSpec pins it), mine pairs of the
+    * admitted rows against prior ∪ admitted (cosine ≥ `threshold`,
+    * deduped across bands, `(least, greatest)`-normalized), and write
+    * both stores as `epoch=N` OVERWRITE partitions — a replayed epoch
+    * replaces its own output, never duplicates (the r16 corpus-store
+    * discipline).
+    */
+  def anchorMiningForeachBatch(
+      stream: DataFrame,
+      refCorpus: DataFrame,
+      outDir: String,
+      priorDir: String,
+      vecCol: String = "embedding",
+      idCol: String = "id",
+      bands: Seq[Seq[Int]] = (0 until 4).map(b => 4 * b until 4 * (b + 1)),
+      maxBucketSize: Int = 1000,
+      threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.vector.AnnSearch
+    require(maxBucketSize > 0, "maxBucketSize is required")
+    val stats = AnnSearch.bandStatsOf(refCorpus, vecCol, bands)
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val fs = new org.apache.hadoop.fs.Path(priorDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val banded = AnnSearch.bandedFrozen(batch, vecCol, idCol, bands, stats)
+      val prior =
+        if (fs.exists(new org.apache.hadoop.fs.Path(priorDir)))
+          spark.read.parquet(priorDir)
+            .select(col(idCol), col(vecCol), col("_band"), col("_bk"))
+        else banded.limit(0)
+      val priorCounts = prior.groupBy(col("_band"), col("_bk"))
+        .agg(count(lit(1)).as("_pc"))
+      // first-cap admission: batch rows rank by id within their bucket
+      // and are admitted only while prior members + rank fit the cap
+      val w = Window.partitionBy(col("_band"), col("_bk")).orderBy(col(idCol))
+      val kept = banded.withColumn("_rn", row_number().over(w))
+        .join(priorCounts, Seq("_band", "_bk"), "left")
+        .filter(col("_rn") + coalesce(col("_pc"), lit(0L)) <= maxBucketSize)
+        .select(col(idCol), col(vecCol), col("_band"), col("_bk"))
+        .persist()
+      try {
+        kept.count() // materialize once; pairs + the store write consume it
+        val newSide = kept.select(col("_band"), col("_bk"),
+          col(idCol).as("_nb"), col(vecCol).as("_vb"))
+        val oldSide = prior.unionByName(kept).select(col("_band"), col("_bk"),
+          col(idCol).as("_na"), col(vecCol).as("_va"))
+        val pairs = oldSide.join(newSide, Seq("_band", "_bk"))
+          .filter(col("_na") =!= col("_nb"))
+          .withColumn("_cos",
+            graft.functions.VectorFunctions.cosine(col("_va"), col("_vb")))
+          .filter(col("_cos") >= threshold)
+          .select(least(col("_na"), col("_nb")).as("a"),
+            greatest(col("_na"), col("_nb")).as("b"), col("_cos").as("cosine"))
+          .dropDuplicates("a", "b")
+        pairs.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        kept.write.mode("overwrite").parquet(s"$priorDir/epoch=$epoch")
+      } finally kept.unpersist()
+      ()
+    }
+  }
+
   /** Streaming CDC upsert — the table-maintenance twin of the batch
     * [[graft.operators.table.CdcMerge]]: each micro-batch nets its own
     * changes (latest per key by `(tsCol, seqCol)`), folds them into the

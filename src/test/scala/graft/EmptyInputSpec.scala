@@ -288,6 +288,16 @@ class EmptyInputSpec extends AnyFunSuite {
       cents, nprobe = 2, threshold = 0.5, sampleMod = 2).head()
     assert(pr.getLong(0) == 0L && pr.getLong(1) == 0L && pr.getLong(2) == 0L &&
       pr.isNullAt(3) && pr.isNullAt(4))
+    // frozen-band anchor mining over an empty corpus: zero-count stats,
+    // zero banded rows, zero pairs — never a throw
+    val bands = Seq(Seq(0, 1), Seq(2, 3))
+    val st = graft.operators.vector.AnnSearch.bandStatsOf(noVecs, "embedding", bands)
+    assert(st.n == 0L && st.sums.values.forall(_ == 0L))
+    zero("banded frozen")(graft.operators.vector.AnnSearch.bandedFrozen(
+      noVecs, "embedding", "vec_id", bands, st))
+    zero("anchor candidates first-cap")(graft.operators.vector.AnnSearch
+      .anchorCandidatesFirstCap(noVecs, "embedding", "vec_id", bands,
+        maxBucketSize = 5, threshold = 0.5, stats = st))
     // minhash operating point over an empty corpus: full geometry spine,
     // zero counts, NULL recall, chosen defaults to the cheapest (b=1)
     val mo = new graft.operators.dedup.MinHashOperatingPoint(

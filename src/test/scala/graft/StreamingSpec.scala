@@ -345,6 +345,61 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.endsWith("v1")))
   }
 
+  test("streaming anchor mining: union of per-trigger pairs equals the batch first-cap twin; frozen stats never drift") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.vector.AnnSearch
+    val rnd = new scala.util.Random(777)
+    val vecs = (0L until 120L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val all = vecs.toDF("vec_id", "embedding")
+    // the reference corpus (frozen stats source) is a 40-row slice — NOT
+    // the full stream, so drift would be visible if stats weren't frozen
+    val ref = vecs.take(40).toDF("vec_id", "embedding")
+    val bands = Seq(Seq(0, 1, 2), Seq(3, 4, 5))
+    val (cap, t) = (9, 0.1) // small cap: buckets CLOSE mid-stream
+    val base = java.nio.file.Files.createTempDirectory("graft_anchor_stream")
+    val outDir = base.resolve("out").toString
+    val priorDir = base.resolve("prior").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingCuration.anchorMiningForeachBatch(
+        mem.toDF().toDF("vec_id", "embedding"), ref, outDir, priorDir,
+        vecCol = "embedding", idCol = "vec_id", bands = bands,
+        maxBucketSize = cap, threshold = t)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      // id-ordered arrival across THREE triggers (the first-cap contract)
+      val (b1, rest) = vecs.splitAt(40)
+      val (b2, b3) = rest.splitAt(40)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stats = AnnSearch.bandStatsOf(ref, "embedding", bands)
+    val want = AnnSearch.anchorCandidatesFirstCap(all, "embedding", "vec_id",
+        bands, cap, t, stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = spark.read.parquet(outDir).select("a", "b", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(want.nonEmpty, "vacuous fixture — no anchor pairs at all")
+    assert(got == want,
+      s"stream pairs (${got.size}) must equal batch twin (${want.size}); " +
+        s"sym-diff keys: ${(got.keySet diff want.keySet) union (want.keySet diff got.keySet)}")
+    // the prior store holds exactly the capped membership of the twin
+    val storeN = spark.read.parquet(priorDir).count()
+    val twinN = {
+      import org.apache.spark.sql.expressions.Window
+      AnnSearch.bandedFrozen(all, "embedding", "vec_id", bands, stats)
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy(col("_band"), col("_bk")).orderBy(col("vec_id"))))
+        .filter(col("_rn") <= cap).count()
+    }
+    assert(storeN == twinN, s"prior store $storeN vs twin membership $twinN")
+    // the cap actually engaged (buckets closed mid-stream): without it
+    // the membership would be the full banded row count
+    assert(twinN < 120L * bands.length, "cap never engaged — weak fixture")
+  }
+
   test("streaming canonical-url dedup: stream kept set equals the batch operator across triggers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
