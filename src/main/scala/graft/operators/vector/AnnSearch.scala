@@ -442,6 +442,35 @@ object AnnSearch {
       .dropDuplicates("a", "b")
   }
 
+  /** Full DuckDB oracle for [[anchorCandidatesFirstCap]] with stats
+    * frozen from `table` itself: `(a, b, cosine r6)` ORDER BY a, b. The
+    * first-cap is the id-ordered QUALIFY rank — the arrival-order cap
+    * the streaming miner applies.
+    */
+  def anchorCandidatesFirstCapSql(table: String, vecCol: String, idCol: String,
+      bands: Seq[Seq[Int]], maxBucketSize: Int, threshold: Double): String = {
+    val allCoords = bands.flatten.distinct.sorted
+    val sums = allCoords.map(c =>
+      s"sum(${scaledCoordSql(vecCol, c)}) AS ms_c$c").mkString(", ")
+    val arms = bands.zipWithIndex.map { case (coords, bi) =>
+      val bits = coords.zipWithIndex.map { case (c, kk) =>
+        s"(CASE WHEN ${scaledCoordSql(vecCol, c)} * mn >= ms_c$c THEN CAST(${1L << kk} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("(", " + ", ")")
+      s"""SELECT $idCol AS id, $vecCol AS v, $bi AS band, $bits AS bk
+         |  FROM $table, acst WHERE $vecCol IS NOT NULL""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH acst AS (SELECT count(*) AS mn, $sums
+       |  FROM $table WHERE $vecCol IS NOT NULL),
+       |ackb AS ($arms),
+       |ack AS (SELECT id, v, band, bk FROM ackb
+       |  QUALIFY row_number() OVER (PARTITION BY band, bk ORDER BY id) <= $maxBucketSize),
+       |acp AS (SELECT a.id AS d1, b.id AS d2,
+       |    ${graft.functions.VectorFunctions.cosineSql("a.v", "b.v")} AS cos
+       |  FROM ack a JOIN ack b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id)
+       |SELECT DISTINCT d1 AS a, d2 AS b, round(cos, 6) AS cosine
+       |FROM acp WHERE cos >= $threshold ORDER BY a, b""".stripMargin
+  }
+
   /** DuckDB CTE chain ending in `${p}mb(id, v, band, bk)` — the banded
     * twin of [[centeredCappedBandBuckets]] over `src`. `p` prefixes the
     * CTE names so two chains (e.g. single-band + amplified in one

@@ -258,6 +258,135 @@ object EmbeddingCosineDedup {
        |SELECT $idCol FROM $table
        |WHERE $idCol NOT IN (SELECT d2 FROM rpp) ORDER BY $idCol""".stripMargin
 
+  /** CONSUMABLE operating point for the probed semantic-dedup tier
+    * (r16) — the nprobe member of the tuner family (sign-LSH probes,
+    * mutual-kNN band count, MinHash geometry): recall of nprobe-cluster
+    * probing at EVERY level 1..`maxNprobe` over one deterministic
+    * sample, per-level candidate mass from bucket counts, and a
+    * `chosen` config row — the smallest nprobe meeting `targetRecall`,
+    * else the smallest achieving the maximum measured recall, default
+    * nprobe=1 on a degenerate sample. One row per level: `(nprobe,
+    * true_pairs, caught_pairs, cand_pairs, recall, chosen)`;
+    * caught ⊆ truth by construction (same cosine test), so recall is a
+    * plain ratio with no hit join, monotone in nprobe.
+    *
+    * Scale shape — ONE corpus candidate pass serves every level: each
+    * probe assignment carries its RANK (posexplode of the ordered
+    * nearest-cells array), a verified pair's minimal level is
+    * min-over-shared-cells of max(rank_a, rank_b), and per-level counts
+    * ride a bounded level explode — never a per-level corpus rescan
+    * (the multiProbeOperatingPoint discipline). Truth (quadratic,
+    * broadcast BNLJ, `sampleMod` REQUIRED) computes once and stages;
+    * mass rides per-(cell, level) counts, never a join.
+    */
+  def probedOperatingPoint(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], maxNprobe: Int, threshold: Double,
+      targetRecall: Double, sampleMod: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
+    require(maxNprobe >= 1 && maxNprobe <= centroids.length,
+      s"maxNprobe must be in [1, ${centroids.length}], got $maxNprobe")
+    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol))
+    val tl = sample.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val tr = sample.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    val truth = graft.core.Staging.stage(tl.crossJoin(broadcast(tr))
+      .filter(col("d1") < col("d2") &&
+        VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+      .select(col("d1"), col("d2")))
+    val probed = sample.select(col(idCol), col(vecCol),
+        posexplode(graft.plans.kernels.nearest_centroids(
+          col(vecCol), centroids, maxNprobe)).as(Seq("_rk", "_pc")))
+      .select(col(idCol), col(vecCol), (col("_rk") + 1).as("_lvl"), col("_pc"))
+    val l = probed.select(col("_pc"), col("_lvl").as("_la"),
+      col(idCol).as("d1"), col(vecCol).as("v1"))
+    val r = probed.select(col("_pc"), col("_lvl").as("_lb"),
+      col(idCol).as("d2"), col(vecCol).as("v2"))
+    // minimal level per VERIFIED pair: a pair sharing several cells
+    // enters at the cheapest one
+    val cand = l.join(r, Seq("_pc")).filter(col("d1") < col("d2"))
+      .filter(VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+      .groupBy(col("d1"), col("d2"))
+      .agg(min(greatest(col("_la"), col("_lb"))).as("_plvl"))
+    val perL = cand
+      .select(explode(sequence(col("_plvl"), lit(maxNprobe))).as("_nl"))
+      .groupBy(col("_nl")).agg(count(lit(1)).as("_c"))
+    val mass = probed
+      .select(col("_pc"), explode(sequence(col("_lvl"), lit(maxNprobe))).as("_ml"))
+      .groupBy(col("_ml"), col("_pc")).agg(count(lit(1)).as("_mc"))
+      .groupBy(col("_ml")).agg(sum(col("_mc") * (col("_mc") - 1)).as("_mass"))
+    val scored = truth.agg(count(lit(1)).as("true_pairs"))
+      .select(explode(sequence(lit(1), lit(maxNprobe))).as("nprobe"),
+        col("true_pairs"))
+      .join(broadcast(perL), col("nprobe") === col("_nl"), "left")
+      .join(broadcast(mass), col("nprobe") === col("_ml"), "left")
+      .select(col("nprobe"), col("true_pairs"),
+        coalesce(col("_c"), lit(0L)).as("caught_pairs"),
+        coalesce(col("_mass"), lit(0L)).as("cand_pairs"),
+        when(col("true_pairs") > 0,
+          round(coalesce(col("_c"), lit(0L)).cast("double") /
+            col("true_pairs").cast("double"), 6)).as("recall"))
+    val ws = Window.partitionBy() // the maxNprobe-row level table
+    scored
+      .withColumn("_mp", min(when(col("recall") >= targetRecall, col("nprobe"))).over(ws))
+      .withColumn("_mr", max(col("recall")).over(ws))
+      .withColumn("_mb", min(when(col("recall") === col("_mr"), col("nprobe"))).over(ws))
+      .select(col("nprobe"), col("true_pairs"), col("caught_pairs"),
+        col("cand_pairs"), col("recall"),
+        (col("nprobe") === coalesce(col("_mp"), col("_mb"), lit(1))).as("chosen"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** DuckDB twin of [[probedOperatingPoint]] (first-k centroid init). */
+  def probedOperatingPointSql(table: String, vecCol: String, idCol: String,
+      k: Int, maxNprobe: Int, threshold: Double, targetRecall: Double,
+      sampleMod: Int): String = {
+    val levels = (1 to maxNprobe).map { lv =>
+      s"""ol$lv AS (SELECT CAST($lv AS INTEGER) AS nprobe,
+         |  CAST((SELECT count(*) FROM rcand WHERE lvl <= $lv) AS BIGINT) AS caught_pairs,
+         |  CAST((SELECT coalesce(sum(c * (c - 1)), 0) FROM (
+         |      SELECT count(*) AS c FROM _pa WHERE prn <= $lv GROUP BY pc)) AS BIGINT) AS cand_pairs)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to maxNprobe).map(lv => s"SELECT * FROM ol$lv")
+      .mkString("\n  UNION ALL ")
+    s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |rs AS (SELECT $idCol AS id, $vecCol AS v FROM $table
+       |  WHERE $vecCol IS NOT NULL AND $idCol % $sampleMod = 0),
+       |_ppd AS (SELECT rs.id, rs.v, c.cidx,
+       |    row_number() OVER (PARTITION BY rs.id
+       |      ORDER BY ${VectorFunctions.l2sqSql("rs.v", "c.ce")}, c.cidx) AS prn
+       |  FROM rs CROSS JOIN _pct c),
+       |_pa AS (SELECT id, v, cidx AS pc, prn FROM _ppd WHERE prn <= $maxNprobe),
+       |rtp AS (SELECT a.id AS d1, b.id AS d2 FROM rs a, rs b
+       |  WHERE a.id < b.id
+       |    AND ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rcand AS (SELECT a.id AS d1, b.id AS d2,
+       |    min(greatest(a.prn, b.prn)) AS lvl
+       |  FROM _pa a JOIN _pa b ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold
+       |  GROUP BY 1, 2),
+       |$levels,
+       |_lv AS ($union),
+       |_tpc AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM rtp),
+       |_sc AS (SELECT nprobe, true_pairs, caught_pairs, cand_pairs,
+       |    CASE WHEN true_pairs > 0 THEN
+       |      round(CAST(caught_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE), 6)
+       |    END AS recall
+       |  FROM _lv CROSS JOIN _tpc),
+       |_s1 AS (SELECT *,
+       |    min(CASE WHEN recall >= CAST($targetRecall AS DOUBLE) THEN nprobe END)
+       |      OVER () AS mp,
+       |    max(recall) OVER () AS mr
+       |  FROM _sc),
+       |_s2 AS (SELECT *,
+       |    min(CASE WHEN recall = mr THEN nprobe END) OVER () AS mb FROM _s1)
+       |SELECT nprobe, true_pairs, caught_pairs, cand_pairs, recall,
+       |  nprobe = coalesce(mp, mb, 1) AS chosen
+       |FROM _s2 ORDER BY nprobe""".stripMargin
+  }
+
   /** Candidate-mass evidence for the probed tier — the
     * [[AnnSearch.mutualKnnBandStats]] pattern: per probed cell, member
     * counts under single assignment (probe rank 1) and under full

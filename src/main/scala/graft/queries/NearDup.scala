@@ -372,6 +372,18 @@ object NearDup {
         "embeddings", "embedding", "vec_id", k = 8,
         nprobe = semanticNprobe, threshold = 0.35))),
 
+    // the nprobe TUNER (r16): recall + candidate mass at every level
+    // 1..4 in one candidate pass, with a chosen config row — completes
+    // the operating-point family (probes / L / geometry / nprobe)
+    OracleQuery("semantic_probe_operating_point",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.probedOperatingPoint(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        firstCentroids(s, dir), maxNprobe = 4, threshold = 0.35,
+        targetRecall = 0.8, sampleMod = 2),
+      Some(graft.operators.vector.EmbeddingCosineDedup.probedOperatingPointSql(
+        "embeddings", "embedding", "vec_id", k = 8, maxNprobe = 4,
+        threshold = 0.35, targetRecall = 0.8, sampleMod = 2))),
+
     // candidate-mass evidence for the probed tier (the
     // mutual_knn_band_stats pattern): per-cell counts, never the join
     OracleQuery("semantic_probe_stats",
@@ -538,6 +550,22 @@ object NearDup {
     // per-band candidate-mass readout: surviving buckets, kept rows and
     // the ordered pair mass each band contributes — computed from the
     // bucket counts, never by running the join
+    // the streaming anchor miner's batch twin as an ORACLE gate (r16):
+    // first-cap banded candidate pairs under corpus-frozen stats — the
+    // exact math StreamingSpec pins trigger-by-trigger, hash-checked
+    // against DuckDB here (QUALIFY row_number = the id-ordered cap)
+    OracleQuery("anchor_candidates_firstcap",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnSearch.anchorCandidatesFirstCap(emb, "embedding", "vec_id",
+            bands = mutualBands, maxBucketSize = 1000, threshold = 0.35,
+            stats = AnnSearch.bandStatsOf(emb, "embedding", mutualBands))
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(AnnSearch.anchorCandidatesFirstCapSql("embeddings", "embedding",
+        "vec_id", bands = mutualBands, maxBucketSize = 1000, threshold = 0.35))),
+
     OracleQuery("mutual_knn_band_stats",
       (s, dir) => AnnSearch.mutualKnnBandStats(Tables(s, dir, "embeddings"),
         "embedding", "vec_id", bands = mutualBands, maxBucketSize = 1000),

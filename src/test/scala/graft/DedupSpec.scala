@@ -693,4 +693,64 @@ class DedupSpec extends AnyFunSuite {
       EmbeddingCosineDedup.probedRecall(emb, "embedding", "vec_id", cents,
         nprobe = 2, threshold = 0.35, sampleMod = 0))
   }
+
+  test("nprobe operating point: every level equals an independent probed run; mass matches cluster stats; chosen unique") {
+    import graft.operators.vector.EmbeddingCosineDedup
+    val emb = table("embeddings")
+    val cents = new graft.operators.ml.KMeansBuckets("embedding", "cluster_id", 8)
+      .firstKCentroids(emb, "vec_id")
+    graft.core.Staging.scoped {
+      val rows = EmbeddingCosineDedup.probedOperatingPoint(emb, "embedding",
+        "vec_id", cents, maxNprobe = 3, threshold = 0.35,
+        targetRecall = 0.8, sampleMod = 4).collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+      val sample = emb.filter(col("embedding").isNotNull && col("vec_id") % 4 === 0)
+      for (r <- rows) {
+        val lv = r.getInt(0)
+        // leveled one-pass == an independent probedPairs run at nprobe=lv
+        val direct = EmbeddingCosineDedup.probedPairs(sample, "embedding",
+          "vec_id", cents, lv, 0.35).count()
+        assert(r.getLong(2) == direct,
+          s"nprobe=$lv: leveled ${r.getLong(2)} vs independent $direct")
+        // candidate mass == the cluster-stats readout at that level
+        val massDirect = EmbeddingCosineDedup.probedClusterStats(sample,
+            "embedding", "vec_id", cents, lv)
+          .collect().map(s => s.getLong(2) * (s.getLong(2) - 1)).sum
+        assert(r.getLong(3) == massDirect,
+          s"nprobe=$lv: mass ${r.getLong(3)} vs stats $massDirect")
+      }
+      // monotone recall and mass; exactly one chosen row
+      val caught = rows.map(_.getLong(2))
+      assert(caught.zip(caught.tail).forall { case (a, b) => a <= b })
+      val mass = rows.map(_.getLong(3))
+      assert(mass.zip(mass.tail).forall { case (a, b) => a <= b })
+      assert(rows.count(_.getBoolean(5)) == 1)
+      // truth agrees with the recall gate's truth on the same sample
+      val pr = EmbeddingCosineDedup.probedRecall(emb, "embedding", "vec_id",
+        cents, nprobe = 2, threshold = 0.35, sampleMod = 4).head()
+      assert(rows(0).getLong(1) == pr.getLong(0), "same truth pairs")
+      assert(rows(1).getLong(2) == pr.getLong(2), "level 2 == probed_pairs")
+      assertThrows[IllegalArgumentException](
+        EmbeddingCosineDedup.probedOperatingPoint(emb, "embedding", "vec_id",
+          cents, maxNprobe = 0, threshold = 0.35, targetRecall = 0.8,
+          sampleMod = 4))
+    }
+  }
+
+  test("anchor candidates first-cap: cap monotone, full cap equals the uncapped co-bucket pair set") {
+    import graft.operators.vector.AnnSearch
+    val emb = table("embeddings")
+    val bands = Seq(0 until 4, 4 until 8)
+    val stats = AnnSearch.bandStatsOf(emb, "embedding", bands)
+    def pairs(cap: Int) = AnnSearch.anchorCandidatesFirstCap(emb, "embedding",
+        "vec_id", bands, cap, 0.35, stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiny = pairs(1)  // every bucket holds one member: no pairs
+    assert(tiny.isEmpty)
+    val mid = pairs(20) // below the fixture's ~31-row mean bucket: engages
+    val big = pairs(1000000)
+    assert(mid.subsetOf(big), "a bigger cap keeps a superset membership")
+    assert(big.nonEmpty && mid.size < big.size,
+      s"cap must engage on the fixture: mid ${mid.size} vs big ${big.size}")
+  }
 }

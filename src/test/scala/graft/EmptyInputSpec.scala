@@ -298,6 +298,15 @@ class EmptyInputSpec extends AnyFunSuite {
     zero("anchor candidates first-cap")(graft.operators.vector.AnnSearch
       .anchorCandidatesFirstCap(noVecs, "embedding", "vec_id", bands,
         maxBucketSize = 5, threshold = 0.5, stats = st))
+    // nprobe operating point over an empty corpus: full level spine,
+    // zero counts, NULL recall, chosen defaults to nprobe=1
+    val sop = EmbeddingCosineDedup.probedOperatingPoint(noVecs, "embedding",
+      "vec_id", cents, maxNprobe = 2, threshold = 0.5, targetRecall = 0.8,
+      sampleMod = 2).collect()
+    assert(sop.length == 2 && sop.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L &&
+        r.isNullAt(4)))
+    assert(sop.filter(_.getBoolean(5)).map(_.getInt(0)).toSeq == Seq(1))
     // minhash operating point over an empty corpus: full geometry spine,
     // zero counts, NULL recall, chosen defaults to the cheapest (b=1)
     val mo = new graft.operators.dedup.MinHashOperatingPoint(

@@ -292,6 +292,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("nprobe operating point: ONE cell-keyed candidate join serves every level") {
+    graft.core.Staging.scoped {
+      val cents: Seq[Seq[Double]] =
+        (0 until 8).map(i => Seq.tabulate(16)(d => if (d == i) 1.0 else 0.0))
+      val df = graft.operators.vector.EmbeddingCosineDedup.probedOperatingPoint(
+        table("embeddings"), "embedding", "vec_id", cents, maxNprobe = 3,
+        threshold = 0.35, targetRecall = 0.8, sampleMod = 4)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), p)
+      // the leveled rewrite: candidates join on the probed cell ONCE
+      // (rank tags + a bounded level explode), never once per level
+      val cellJoins = p.linesIterator
+        .filter(l => l.contains("Join") && l.contains("_pc")).toSeq
+      assert(cellJoins.size == 1,
+        s"exactly one cell join must serve all levels:\n${cellJoins.mkString("\n")}")
+    }
+  }
+
   test("probed semantic dedup: the pair join keys on the probed cell, never a cartesian; stats ride one scan") {
     val cents: Seq[Seq[Double]] =
       (0 until 8).map(i => Seq.tabulate(16)(d => if (d == i) 1.0 else 0.0))
