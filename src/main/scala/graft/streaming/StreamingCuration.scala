@@ -261,9 +261,16 @@ object StreamingCuration {
       val fs = new org.apache.hadoop.fs.Path(priorDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val banded = AnnSearch.bandedFrozen(batch, vecCol, idCol, bands, stats)
+      // the prior read EXCLUDES this epoch's own partition: a replayed
+      // epoch would otherwise see its own previous partial write, count
+      // its rows against the cap, reject them all, and the overwrite
+      // would then DROP them from the store — with the exclusion the
+      // replay sees exactly the pre-epoch state and re-derives the same
+      // admission, so the epoch=N overwrite is genuinely idempotent
       val prior =
         if (fs.exists(new org.apache.hadoop.fs.Path(priorDir)))
           spark.read.parquet(priorDir)
+            .filter(col("epoch") =!= epoch)
             .select(col(idCol), col(vecCol), col("_band"), col("_bk"))
         else banded.limit(0)
       val priorCounts = prior.groupBy(col("_band"), col("_bk"))

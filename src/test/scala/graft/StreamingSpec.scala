@@ -398,6 +398,36 @@ class StreamingSpec extends AnyFunSuite {
     // the cap actually engaged (buckets closed mid-stream): without it
     // the membership would be the full banded row count
     assert(twinN < 120L * bands.length, "cap never engaged — weak fixture")
+    // replay idempotency: epoch 0 re-processed with the SAME rows and
+    // the SAME epoch number (the crash-replay shape) must re-derive the
+    // identical admission and pair set — the prior read excludes the
+    // epoch's own partition, so the replay sees exactly the pre-epoch
+    // state (without the exclusion the replayed rows would count
+    // against the cap, be rejected, and the overwrite would DROP them)
+    val base2 = java.nio.file.Files.createTempDirectory("graft_anchor_replay")
+    val out2 = base2.resolve("out").toString
+    val prior2 = base2.resolve("prior").toString
+    def runEpoch0(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, Array[Float])]
+      val qq = StreamingCuration.anchorMiningForeachBatch(
+          m.toDF().toDF("vec_id", "embedding"), ref, out2, prior2,
+          vecCol = "embedding", idCol = "vec_id", bands = bands,
+          maxBucketSize = cap, threshold = t)
+        .option("checkpointLocation", base2.resolve(ckpt).toString)
+        .start()
+      try { m.addData(vecs.take(40): _*); qq.processAllAvailable() }
+      finally qq.stop()
+    }
+    runEpoch0("ckpt_a")
+    val pairsOnce = spark.read.parquet(out2).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val storeOnce = spark.read.parquet(prior2).count()
+    runEpoch0("ckpt_b") // the replay: same rows, same epoch number
+    val pairsTwice = spark.read.parquet(out2).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsTwice == pairsOnce, "replayed epoch must re-derive the same pairs")
+    assert(spark.read.parquet(prior2).count() == storeOnce,
+      "replayed epoch must re-derive the same store membership")
   }
 
   test("streaming canonical-url dedup: stream kept set equals the batch operator across triggers") {
