@@ -77,6 +77,8 @@ object Cli {
 
     case "list-reports" :: Nil =>
       graft.runner.CorpusReports.names.foreach(println)
+      // embedding-convention reports (corpus needs vec_id + embedding)
+      graft.runner.CorpusReports.embeddingNames.foreach(n => println(s"$n (embeddings)"))
 
     case _ =>
       System.err.println(

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions.col
   * second corpus or a pair of slice names); the two-slice forms
   * (PSI/KS/JSD between two named sources) remain API-level where the
   * caller supplies the slices.
+  *
+  * r16 adds the OPERATING-POINT tuners at their shipped gate settings,
+  * so a pipeline operator can obtain the chosen config row from the
+  * CLI before committing a geometry to a full pass:
+  * `minhash_operating_point` reads the documents conventions; the
+  * embedding tuners ([[embeddingNames]]) read the EMBEDDINGS
+  * conventions (`vec_id`, `embedding`) — pre-project other schemas.
   */
 object CorpusReports {
 
@@ -25,7 +32,13 @@ object CorpusReports {
   def names: Seq[String] = Seq("source_drift", "token_fertility",
     "pii_density", "ngram_diversity", "zipf_fit", "heaps_fit",
     "curriculum_buckets", "overlap_matrix", "readability",
-    "source_balance", "charclass_profile")
+    "source_balance", "charclass_profile", "minhash_operating_point")
+
+  /** Reports over the embeddings-table conventions (vec_id, embedding)
+    * — the vector-side tuner family, each at its oracle-gate settings.
+    */
+  def embeddingNames: Seq[String] = Seq("multiprobe_operating_point",
+    "mutual_knn_or_operating_point", "semantic_probe_operating_point")
 
   def build(name: String, df: DataFrame, c: Cols): DataFrame = name match {
     case "source_drift" =>
@@ -52,8 +65,27 @@ object CorpusReports {
       new graft.operators.stats.SourceBalance(c.source)(df)
     case "charclass_profile" =>
       new graft.operators.text.CharClassProfile(c.text, c.source)(df)
+    case "minhash_operating_point" =>
+      new graft.operators.dedup.MinHashOperatingPoint(c.text, c.id,
+        shingleWidth = 3, numHashes = 16, threshold = 0.8,
+        targetRecall = 0.9, sampleMod = 3).report(df)
+    case "multiprobe_operating_point" =>
+      graft.operators.vector.AnnSearch.multiProbeOperatingPoint(df,
+        "embedding", "vec_id", k = 10, coords = 0 until 4, maxProbes = 3,
+        targetRecall = 0.5, queryMod = 97)
+    case "mutual_knn_or_operating_point" =>
+      graft.operators.vector.AnnSearch.mutualKnnOrOperatingPoint(df,
+        "embedding", "vec_id", k = 5,
+        bands = (0 until 4).map(b => 4 * b until 4 * (b + 1)),
+        maxBucketSize = 1000, targetRecall = 0.5, sampleMod = 4)
+    case "semantic_probe_operating_point" =>
+      graft.operators.vector.EmbeddingCosineDedup.probedOperatingPoint(df,
+        "embedding", "vec_id",
+        new graft.operators.ml.KMeansBuckets("embedding", "cluster_id", 8)
+          .firstKCentroids(df, "vec_id"),
+        maxNprobe = 4, threshold = 0.35, targetRecall = 0.8, sampleMod = 2)
     case other => throw new IllegalArgumentException(
-      s"unknown report '$other'; available: ${names.mkString(", ")}")
+      s"unknown report '$other'; available: ${(names ++ embeddingNames).mkString(", ")}")
   }
 
   /** Run and write `outDir/<name>`; returns the row count. */

@@ -908,6 +908,19 @@ class RunnerSpec extends AnyFunSuite {
         .withColumn("source", lit("srcX")))
     val m = graft.runner.CorpusReports.run(spark, "overlap_matrix", planted, out)
     assert(m == 1L, s"expected exactly one contaminated pair, got $m")
+    // the embedding-convention tuner reports run against the embeddings
+    // fixture and each emit exactly one chosen config row
+    val emb = table("embeddings")
+    graft.runner.CorpusReports.embeddingNames.foreach { name =>
+      val rows = graft.runner.CorpusReports.run(spark, name, emb, out)
+      assert(rows > 0, s"report $name wrote no rows")
+      val chosen = spark.read.parquet(s"$out/$name")
+        .filter(col("chosen")).count()
+      assert(chosen == 1L, s"report $name: expected one chosen row, got $chosen")
+    }
+    // the minhash tuner (documents conventions) also lands a chosen row
+    assert(spark.read.parquet(s"$out/minhash_operating_point")
+      .filter(col("chosen")).count() == 1L)
     intercept[IllegalArgumentException](
       graft.runner.CorpusReports.run(spark, "nope", docs, out))
   }
