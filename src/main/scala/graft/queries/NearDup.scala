@@ -71,11 +71,13 @@ object NearDup {
     vecCol = "embedding", idCol = "vec_id", threshold = 0.35,
     bucketCol = Some("cluster_id"))
 
-  // probed-tier operating point: with k-means-8 cells the r15 single
-  // assignment read 0.27-0.30 recall at t=0.35 — probing the 2 nearest
-  // cells co-buckets the boundary pairs at ≤ ~2x per-cell candidate mass
-  // (semantic_probe_stats carries the measured counts)
-  private val semanticNprobe = 2
+  // probed-tier operating point: the shipped nprobe CONSUMES the
+  // semantic_probe_operating_point tuner's chosen row (smallest level
+  // meeting the 0.8 target — measured recall 0.295/0.738/0.967/1.0 at
+  // ordered candidate mass 7.7k/31k/70k/125k on sf0.001; the r15
+  // single-assignment tier read 0.27-0.30). semantic_probe_stats
+  // carries the per-cell mass evidence at this setting.
+  private val semanticNprobe = 3
 
   /** First-8 centroid VECTORS (by vec_id — the deterministic oracle
     * init), for the probed tier whose cells are kernel indices 0..7.
