@@ -220,6 +220,71 @@ object StreamingCuration {
     }
   }
 
+  /** Streaming PROBED semantic dedup (r16) — the incremental twin of
+    * [[graft.operators.vector.ProbedCosineDedup]]: k-means centroids
+    * train ONCE on `refCorpus` and freeze as driver-side literals (the
+    * frozen-band-state discipline — a live-trained cell map would
+    * re-bucket prior vectors as data drifts), and each micro-batch
+    * drops rows sharing any of their `nprobe` nearest cells with an
+    * EARLIER row (in-batch smaller id, or any prior-trigger row) at
+    * cosine ≥ `threshold`. The prior store accumulates EVERY seen
+    * row's probed cells — kept or dropped — because the batch
+    * operator's pairwise semantics let an already-dropped row still
+    * kill later lookalikes; with ids arriving in order, the union of
+    * per-trigger kept sets equals the one-shot batch
+    * ProbedCosineDedup under the same frozen centroids (pinned in
+    * StreamingSpec). Both stores write `epoch=N` OVERWRITE partitions
+    * and the prior read excludes the current epoch — the anchor
+    * miner's replay discipline, so a crash-replay re-derives the same
+    * drops.
+    */
+  def probedDedupForeachBatch(
+      stream: DataFrame,
+      refCorpus: DataFrame,
+      outDir: String,
+      priorDir: String,
+      vecCol: String = "embedding",
+      idCol: String = "id",
+      numBuckets: Int = 8,
+      nprobe: Int = 2,
+      threshold: Double = 0.95,
+      seed: Long = 42L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.vector.EmbeddingCosineDedup
+    val km = new graft.operators.ml.KMeansBuckets(vecCol, "_cell", numBuckets, seed)
+    val centroids = km.centroidsOf(km.fit(refCorpus)) // frozen ONCE
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(priorDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cells = batch.filter(col(vecCol).isNotNull)
+        .select(col(idCol), col(vecCol),
+          explode(graft.plans.kernels.nearest_centroids(
+            col(vecCol), centroids, nprobe)).as("_pc"))
+      val prior =
+        if (fs.exists(new org.apache.hadoop.fs.Path(priorDir)))
+          spark.read.parquet(priorDir)
+            .filter(col("epoch") =!= epoch)
+            .select(col(idCol), col(vecCol), col("_pc"))
+        else cells.limit(0)
+      // in-batch pairwise drops (smaller id wins) + cross-trigger drops
+      // (every prior row is earlier by the ordered-arrival contract)
+      val selfDrops = EmbeddingCosineDedup.probedPairs(
+          batch, vecCol, idCol, centroids, nprobe, threshold)
+        .select(col("d2").as(idCol))
+      val crossDrops = cells
+        .join(prior.select(col("_pc"), col(vecCol).as("_pv")), Seq("_pc"))
+        .filter(graft.functions.VectorFunctions.cosine(col(vecCol), col("_pv"))
+          >= threshold)
+        .select(col(idCol))
+      val kept = batch.join(
+        selfDrops.unionByName(crossDrops).distinct(), Seq(idCol), "left_anti")
+      kept.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+      cells.write.mode("overwrite").parquet(s"$priorDir/epoch=$epoch")
+      ()
+    }
+  }
+
   /** Streaming ANCHOR-PAIR mining (r16, VERDICT r15 #6) — the
     * incremental twin of the OR-amplified candidate tier: new vectors
     * landing across triggers mine co-bucket anchor pairs against the

@@ -345,6 +345,75 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.endsWith("v1")))
   }
 
+  test("streaming probed dedup: union of per-trigger kept sets equals batch ProbedCosineDedup under frozen centroids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(4242)
+    // planted near-dup CHAINS across triggers: base vectors plus tiny
+    // perturbations of earlier ids landing in LATER triggers — the
+    // cross-trigger drop path and the pairwise (dropped-row-still-
+    // kills) semantics both engage
+    val base = (0L until 90L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val dups = (0 until 30).map { j =>
+      (90L + j, jitter(base(rnd.nextInt(60))._2))
+    }
+    val vecs = (base ++ dups).sortBy(_._1)
+    val all = vecs.toDF("vec_id", "embedding")
+    val ref = vecs.take(40).toDF("vec_id", "embedding")
+    val (nb, np, t) = (4, 2, 0.9)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_probed_stream")
+    val outDir = baseDir.resolve("out").toString
+    val priorDir = baseDir.resolve("prior").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingCuration.probedDedupForeachBatch(
+        mem.toDF().toDF("vec_id", "embedding"), ref, outDir, priorDir,
+        vecCol = "embedding", idCol = "vec_id", numBuckets = nb,
+        nprobe = np, threshold = t)
+      .option("checkpointLocation", baseDir.resolve("ckpt").toString)
+      .start()
+    try {
+      val (b1, rest) = vecs.splitAt(40)
+      val (b2, b3) = rest.splitAt(40)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val km = new graft.operators.ml.KMeansBuckets("embedding", "_cell", nb, 42L)
+    val cents = km.centroidsOf(km.fit(ref))
+    val want = new graft.operators.vector.ProbedCosineDedup(
+        "embedding", "vec_id", t, cents, np)(all)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(outDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(want.size < vecs.size, "vacuous fixture — nothing dropped at all")
+    assert(got == want,
+      s"stream kept (${got.size}) must equal batch (${want.size}); " +
+        s"sym-diff: ${(got diff want) union (want diff got)}")
+    // replay of the LAST epoch (same rows, same epoch number under a
+    // fresh single-epoch run): identical kept set and prior store
+    val b2dir = java.nio.file.Files.createTempDirectory("graft_probed_replay")
+    def runOnce(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, Array[Float])]
+      val qq = StreamingCuration.probedDedupForeachBatch(
+          m.toDF().toDF("vec_id", "embedding"), ref,
+          b2dir.resolve("out").toString, b2dir.resolve("prior").toString,
+          vecCol = "embedding", idCol = "vec_id", numBuckets = nb,
+          nprobe = np, threshold = t)
+        .option("checkpointLocation", b2dir.resolve(ckpt).toString)
+        .start()
+      try { m.addData(vecs.take(40): _*); qq.processAllAvailable() }
+      finally qq.stop()
+    }
+    runOnce("ck_a")
+    val keptOnce = spark.read.parquet(b2dir.resolve("out").toString).count()
+    val priorOnce = spark.read.parquet(b2dir.resolve("prior").toString).count()
+    runOnce("ck_b")
+    assert(spark.read.parquet(b2dir.resolve("out").toString).count() == keptOnce)
+    assert(spark.read.parquet(b2dir.resolve("prior").toString).count() == priorOnce)
+  }
+
   test("streaming anchor mining: union of per-trigger pairs equals the batch first-cap twin; frozen stats never drift") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
