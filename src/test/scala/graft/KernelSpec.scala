@@ -57,6 +57,30 @@ class KernelSpec extends AnyFunSuite {
     assert(got == Seq.empty)
   }
 
+  test("NearestCentroids: random vectors match the (l2sq, index) argsort; element 0 is NearestCentroid") {
+    val dims = 5
+    val genVec = Gen.listOfN(dims, Gen.chooseNum(-4.0f, 4.0f))
+    val genCents = Gen.chooseNum(2, 7).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(dims, Gen.chooseNum(-4.0, 4.0))))
+    val gen = for {
+      v <- genVec; cs <- genCents
+      np <- Gen.chooseNum(1, cs.length)
+    } yield (v, cs.map(_.toSeq), np)
+    def lit(v: List[Float]) = Literal(
+      new GenericArrayData(v.map(x => x: Any).toArray), ArrayType(FloatType))
+    check(Prop.forAll(gen) { case (v, cs, np) =>
+      val got = kernels.NearestCentroids(lit(v), cs, np).eval(null)
+        .asInstanceOf[ArrayData].toIntArray().toSeq
+      // reference: the same left-to-right double fold, (dist, index) order
+      val want = cs.zipWithIndex.map { case (c, i) =>
+        (graft.functions.VectorFunctions.l2sq(v.map(_.toDouble), c), i)
+      }.sorted.take(np).map(_._2)
+      val first = kernels.NearestCentroid(lit(v), cs).eval(null)
+        .asInstanceOf[Int]
+      got == want && got.head == first
+    })
+  }
+
   test("MinHashFromHashes: signature of a union is the element-wise min of signatures") {
     val genArr = Gen.nonEmptyListOf(Gen.choose(0L, 1L << 59)).map(_.distinct)
     check(Prop.forAll(genArr, genArr) { (a, b) =>
