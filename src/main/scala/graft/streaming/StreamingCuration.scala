@@ -67,7 +67,12 @@ object StreamingCuration {
     *
     * At scale, point `priorDir` at the signature table you'd persist
     * anyway; restart-safety comes from the checkpointed source offsets
-    * plus idempotent parquet appends per epoch.
+    * plus the r16 epoch-overwrite store discipline: both stores write
+    * `epoch=N` OVERWRITE partitions and the prior read excludes the
+    * current epoch's own partition, so a crash-replay re-derives the
+    * same drops instead of self-matching against its previous partial
+    * write (which would drop every replayed row as a "duplicate" of
+    * itself) or inflating the stores.
     */
   def nearDedupForeachBatch(
       stream: DataFrame,
@@ -91,13 +96,17 @@ object StreamingCuration {
       val kept =
         if (!hasPrior) selfDeduped
         else new graft.operators.dedup.IncrementalMinHashDedup(
-          priorPath = Some(priorDir), textCol = textCol, idCol = idCol,
+          prior = Some(spark.read.parquet(priorDir)
+            .filter(col("epoch") =!= epoch)
+            .select(col(idCol), col(textCol))),
+          textCol = textCol, idCol = idCol,
           shingleWidth = shingleWidth, numHashes = numHashes,
           numBands = numBands, threshold = threshold)(selfDeduped)
       val out = kept.persist()
       try {
-        out.write.mode("append").parquet(outDir)
-        out.select(col(idCol), col(textCol)).write.mode("append").parquet(priorDir)
+        out.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        out.select(col(idCol), col(textCol))
+          .write.mode("overwrite").parquet(s"$priorDir/epoch=$epoch")
       } finally out.unpersist()
       ()
     }
@@ -182,9 +191,11 @@ object StreamingCuration {
     * [[nearDedupForeachBatch]]: each micro-batch first collapses its own
     * exact-signature duplicates (hyperplane LSH first-wins), then drops
     * rows whose bucket holds a prior-corpus vector at cosine ≥
-    * `threshold`, and appends survivors to both the output and the
-    * prior store. Same restart story: checkpointed source offsets +
-    * idempotent parquet appends; the prior store is the (id, vector)
+    * `threshold`, and writes survivors to both the output and the
+    * prior store. Restart story: checkpointed source offsets + the r16
+    * epoch-overwrite store discipline (`epoch=N` OVERWRITE partitions,
+    * prior read excludes the current epoch's own partition — see
+    * [[nearDedupForeachBatch]]); the prior store is the (id, vector)
     * table a production pipeline persists anyway.
     */
   def semanticDedupForeachBatch(
@@ -208,13 +219,17 @@ object StreamingCuration {
       val kept =
         if (!hasPrior) selfDeduped
         else new graft.operators.vector.IncrementalEmbeddingDedup(
-          prior = Some(spark.read.parquet(priorDir)), vecCol = vecCol,
+          prior = Some(spark.read.parquet(priorDir)
+            .filter(col("epoch") =!= epoch)
+            .select(col(idCol), col(vecCol))),
+          vecCol = vecCol,
           idCol = idCol, threshold = threshold, bits = bits, dims = dims,
           seed = seed)(selfDeduped)
       val out = kept.persist()
       try {
-        out.write.mode("append").parquet(outDir)
-        out.select(col(idCol), col(vecCol)).write.mode("append").parquet(priorDir)
+        out.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        out.select(col(idCol), col(vecCol))
+          .write.mode("overwrite").parquet(s"$priorDir/epoch=$epoch")
       } finally out.unpersist()
       ()
     }
