@@ -89,15 +89,41 @@ object EmbeddingCosineDedup {
     * discipline. Candidate mass is bounded by the probed per-cell counts
     * ([[probedClusterStats]] — computed from counts, never by running
     * the join).
+    *
+    * `maxCellSize` (r17, VERDICT r16 #1 — the hot-cell cap): per probed
+    * cell only the cap smallest-`idCol` members participate, so one
+    * drifted/skewed k-means cell can no longer go within-cell quadratic
+    * at corpus scale — worst-case candidate mass is Σ min(c, cap)² over
+    * cells instead of Σ c². FIRST-cap by id rank (the
+    * [[AnnSearch.anchorCandidatesFirstCap]] discipline): a (row, cell)
+    * membership depends only on smaller-id rows, so membership is
+    * prefix-stable under appends — exactly what keeps the streaming
+    * twin's per-trigger union equal to the one-shot batch run. A row
+    * capped out of a cell still participates in its other probed cells
+    * where it made the cap; the recall cost is measured side-by-side by
+    * [[cappedRecall]] and the post-cap mass by [[probedCappedStats]].
     */
   def probedPairs(df: DataFrame, vecCol: String, idCol: String,
-      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double): DataFrame = {
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
+      maxCellSize: Option[Int] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
-    val probed = df.filter(col(vecCol).isNotNull)
+    require(maxCellSize.forall(_ >= 1),
+      s"maxCellSize must be >= 1 when set, got $maxCellSize")
+    val probedAll = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         explode(graft.plans.kernels.nearest_centroids(col(vecCol), centroids, nprobe))
           .as("_pc"))
+    val probed = maxCellSize match {
+      case None => probedAll
+      case Some(cap) =>
+        // first-cap: the cell-keyed rank window is the only extra
+        // exchange, and it shuffles on the same key the pair join needs
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pc")).orderBy(col(idCol))
+        probedAll.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= cap).drop("_rn")
+    }
     val l = probed.select(col("_pc"), col(idCol).as("d1"), col(vecCol).as("v1"))
     val r = probed.select(col("_pc"), col(idCol).as("d2"), col(vecCol).as("v2"))
     l.join(r, Seq("_pc"))
@@ -246,10 +272,15 @@ object EmbeddingCosineDedup {
 
   /** Full DuckDB oracle for [[ProbedCosineDedup]]'s kept set (first-k
     * centroid init): ids with no earlier co-probed row at cosine ≥
-    * `threshold`, ordered.
+    * `threshold`, ordered. With `maxCellSize` the hot-cell first-cap is
+    * the id-ordered QUALIFY rank over each probed cell — the
+    * [[AnnSearch.anchorCandidatesFirstCapSql]] shape.
     */
   def probedKeepSql(table: String, vecCol: String, idCol: String,
-      k: Int, nprobe: Int, threshold: Double): String =
+      k: Int, nprobe: Int, threshold: Double,
+      maxCellSize: Option[Int] = None): String = {
+    val capped = maxCellSize.fold("")(cap =>
+      s"  QUALIFY row_number() OVER (PARTITION BY cidx ORDER BY id) <= $cap")
     s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
        |    $vecCol AS ce
        |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
@@ -257,12 +288,87 @@ object EmbeddingCosineDedup {
        |    row_number() OVER (PARTITION BY t.$idCol
        |      ORDER BY ${VectorFunctions.l2sqSql(s"t.$vecCol", "c.ce")}, c.cidx) AS prn
        |  FROM $table t CROSS JOIN _pct c WHERE t.$vecCol IS NOT NULL),
-       |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe),
+       |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe
+       |$capped),
        |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pa a JOIN _pa b
        |  ON a.pc = b.pc AND a.id < b.id
        |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold)
        |SELECT $idCol FROM $table
        |WHERE $idCol NOT IN (SELECT d2 FROM rpp) ORDER BY $idCol""".stripMargin
+  }
+
+  /** Side-by-side recall readout for the HOT-CELL-CAPPED probed tier
+    * (r17, VERDICT r16 #1): on the same deterministic 1-in-`sampleMod`
+    * sample, duplicate pairs caught by `nprobe` probing UNCAPPED vs
+    * under the per-cell first-cap vs exact all-pairs truth at the same
+    * threshold. capped ⊆ probed ⊆ truth by construction (the cap only
+    * removes candidates; probing only restricts the same cosine test),
+    * so both recalls are plain count ratios with no hit join and
+    * `capped_recall <= probed_recall` always. One row: `(true_pairs,
+    * probed_pairs, capped_pairs, probed_recall, capped_recall)`;
+    * recalls NULL on empty truth. `sampleMod` REQUIRED — the truth tier
+    * is quadratic in the sample (broadcast BNLJ, bounded).
+    */
+  def cappedRecall(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
+      maxCellSize: Int, sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
+    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol))
+    val l = sample.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val r = sample.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    val truth = l.crossJoin(broadcast(r))
+      .filter(col("d1") < col("d2") &&
+        VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+    val probed = probedPairs(sample, vecCol, idCol, centroids, nprobe, threshold)
+    val capped = probedPairs(sample, vecCol, idCol, centroids, nprobe, threshold,
+      Some(maxCellSize))
+    truth.agg(count(lit(1)).as("true_pairs"))
+      .crossJoin(probed.agg(count(lit(1)).as("probed_pairs")))
+      .crossJoin(capped.agg(count(lit(1)).as("capped_pairs")))
+      .select(col("true_pairs"), col("probed_pairs"), col("capped_pairs"),
+        when(col("true_pairs") > 0,
+          round(col("probed_pairs").cast("double") / col("true_pairs").cast("double"), 6))
+          .as("probed_recall"),
+        when(col("true_pairs") > 0,
+          round(col("capped_pairs").cast("double") / col("true_pairs").cast("double"), 6))
+          .as("capped_recall"))
+  }
+
+  /** DuckDB twin of [[cappedRecall]] (first-k centroid init). */
+  def cappedRecallSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, threshold: Double, maxCellSize: Int,
+      sampleMod: Int): String =
+    s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |rs AS (SELECT $idCol AS id, $vecCol AS v FROM $table
+       |  WHERE $vecCol IS NOT NULL AND $idCol % $sampleMod = 0),
+       |_ppd AS (SELECT rs.id, rs.v, c.cidx,
+       |    row_number() OVER (PARTITION BY rs.id
+       |      ORDER BY ${VectorFunctions.l2sqSql("rs.v", "c.ce")}, c.cidx) AS prn
+       |  FROM rs CROSS JOIN _pct c),
+       |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe),
+       |_pac AS (SELECT id, v, pc FROM _pa
+       |  QUALIFY row_number() OVER (PARTITION BY pc ORDER BY id) <= $maxCellSize),
+       |rtp AS (SELECT a.id AS d1, b.id AS d2 FROM rs a, rs b
+       |  WHERE a.id < b.id
+       |    AND ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pa a JOIN _pa b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rcp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pac a JOIN _pac b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold)
+       |SELECT (SELECT count(*) FROM rtp) AS true_pairs,
+       |  (SELECT count(*) FROM rpp) AS probed_pairs,
+       |  (SELECT count(*) FROM rcp) AS capped_pairs,
+       |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM rpp) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS probed_recall,
+       |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM rcp) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS capped_recall""".stripMargin
 
   /** CONSUMABLE operating point for the probed semantic-dedup tier
     * (r16) — the nprobe member of the tuner family (sign-LSH probes,
@@ -439,6 +545,53 @@ object EmbeddingCosineDedup {
        |    * (count(CASE WHEN prn = 1 THEN 1 END) - 1) AS BIGINT) AS cand_pairs_primary,
        |  CAST(count(*) * (count(*) - 1) AS BIGINT) AS cand_pairs_probed
        |FROM _ppd WHERE prn <= $nprobe GROUP BY cidx ORDER BY cidx""".stripMargin
+
+  /** Post-cap candidate-mass evidence for the hot-cell-capped probed
+    * tier (r17, VERDICT r16 #1): per probed cell, member count before
+    * and after the first-cap and the ordered candidate-pair mass each
+    * implies — `rows_capped = min(rows_probed, cap)` because the cap
+    * admits the `cap` smallest ids, so the whole readout is computed
+    * from COUNTS, never by running the join or the rank window. The
+    * gate makes the cap's scale guarantee inspectable: every
+    * `cand_pairs_capped` is ≤ cap·(cap−1) no matter how skewed the
+    * cell. `(cluster, rows_probed, rows_capped, cand_pairs_probed,
+    * cand_pairs_capped)` ordered by cluster.
+    */
+  def probedCappedStats(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, maxCellSize: Int): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
+    df.filter(col(vecCol).isNotNull)
+      .select(explode(
+        graft.plans.kernels.nearest_centroids(col(vecCol), centroids, nprobe))
+        .as("_pc"))
+      .groupBy(col("_pc").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("rows_probed"))
+      .select(col("cluster"), col("rows_probed"),
+        least(col("rows_probed"), lit(maxCellSize.toLong)).as("rows_capped"),
+        (col("rows_probed") * (col("rows_probed") - 1)).as("cand_pairs_probed"),
+        (least(col("rows_probed"), lit(maxCellSize.toLong))
+          * (least(col("rows_probed"), lit(maxCellSize.toLong)) - 1))
+          .as("cand_pairs_capped"))
+      .orderBy(col("cluster"))
+  }
+
+  /** DuckDB twin of [[probedCappedStats]] (first-k centroid init). */
+  def probedCappedStatsSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, maxCellSize: Int): String =
+    s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |_ppd AS (SELECT t.$idCol AS id, c.cidx,
+       |    row_number() OVER (PARTITION BY t.$idCol
+       |      ORDER BY ${VectorFunctions.l2sqSql(s"t.$vecCol", "c.ce")}, c.cidx) AS prn
+       |  FROM $table t CROSS JOIN _pct c WHERE t.$vecCol IS NOT NULL)
+       |SELECT cidx AS cluster,
+       |  CAST(count(*) AS BIGINT) AS rows_probed,
+       |  CAST(least(count(*), $maxCellSize) AS BIGINT) AS rows_capped,
+       |  CAST(count(*) * (count(*) - 1) AS BIGINT) AS cand_pairs_probed,
+       |  CAST(least(count(*), $maxCellSize)
+       |    * (least(count(*), $maxCellSize) - 1) AS BIGINT) AS cand_pairs_capped
+       |FROM _ppd WHERE prn <= $nprobe GROUP BY cidx ORDER BY cidx""".stripMargin
 }
 
 /** YAML-safe semantic dedup: trains a seeded k-means bucketing over the
@@ -455,6 +608,17 @@ object EmbeddingCosineDedup {
   * standard recall trade of cluster-bucketed semantic dedup; raise
   * `numBuckets` quality by training on more iterations, or pre-compute
   * a bucket column and pass `bucket_field` to control it explicitly.
+  *
+  * Sizing rule (r17): within-cell candidate mass is Σ c·(c−1) over
+  * cells, so size `numBuckets ∝ corpus` — target a mean cell of ~10⁴–10⁵
+  * vectors (numBuckets ≈ n / 3·10⁴ keeps a BALANCED clustering's
+  * per-cell pairwise work at ~10⁹ cosine tests spread over the cell
+  * shuffle). Balance is NOT guaranteed — one drifted/hot cell is a
+  * within-cell quadratic no global knob fixes — so at scale ALWAYS set
+  * `maxCellSize` (the per-cell first-cap, `max_cell_size` in YAML):
+  * it bounds any cell's mass at cap² regardless of skew, with the
+  * recall cost measured by [[EmbeddingCosineDedup.cappedRecall]] and
+  * the post-cap mass by [[EmbeddingCosineDedup.probedCappedStats]].
   */
 final class AutoBucketedCosineDedup(
     vecCol: String = "embedding",
@@ -462,36 +626,66 @@ final class AutoBucketedCosineDedup(
     threshold: Double = 0.95,
     numBuckets: Int = 16,
     seed: Long = 42L,
-    nprobe: Int = 1) extends graft.core.RejectingOperator {
+    nprobe: Int = 1,
+    maxCellSize: Option[Int] = None) extends graft.core.RejectingOperator {
   require(nprobe >= 1 && nprobe <= numBuckets,
     s"nprobe must be in [1, $numBuckets], got $nprobe")
+  require(maxCellSize.forall(_ >= 1),
+    s"maxCellSize must be >= 1 when set, got $maxCellSize")
 
   val name = "embedding_cosine_dedup"
   private val bucketCol = "_auto_bucket"
   private val inner = new EmbeddingCosineDedup(vecCol, idCol, threshold, Some(bucketCol))
   private val km = new graft.operators.ml.KMeansBuckets(vecCol, bucketCol, numBuckets, seed)
 
-  private def withBuckets(df: DataFrame): DataFrame = km.fitTransform(df)
+  /** k-means fits ONCE per input frame and is shared by [[apply]],
+    * [[rejected]], and [[mark]] (VERDICT r16 #3: each used to train its
+    * own model, so a pipeline consuming both the kept and the rejected
+    * branch of the same stage fit twice). Single-slot identity cache —
+    * an operator instance serves one stage, whose flows all pass the
+    * same frame reference; a genuinely different frame refits.
+    */
+  @volatile private var cachedFit: (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = null
+  /** Test hook: number of k-means fits this instance has run. */
+  private[graft] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def modelFor(df: DataFrame): org.apache.spark.ml.clustering.KMeansModel =
+    synchronized {
+      val c = cachedFit
+      if (c != null && (c._1 eq df)) c._2
+      else {
+        fitCount.incrementAndGet()
+        val m = km.fit(df)
+        cachedFit = (df, m)
+        m
+      }
+    }
+
+  private def withBuckets(df: DataFrame): DataFrame = km.transform(df, modelFor(df))
 
   /** nprobe > 1: the trained model's centroids feed the PROBED tier —
     * each row co-buckets in its nprobe nearest cells, so boundary
     * duplicates are no longer missed by construction (the
-    * `semantic_dedup_recall` lever, VERDICT r15 #1).
+    * `semantic_dedup_recall` lever, VERDICT r15 #1). A configured
+    * `maxCellSize` also routes through here (even at nprobe = 1, where
+    * probing reproduces the single-assignment partition exactly): the
+    * hot-cell first-cap lives in [[EmbeddingCosineDedup.probedPairs]].
     */
   private def probedOp(df: DataFrame): ProbedCosineDedup =
     new ProbedCosineDedup(vecCol, idCol, threshold,
-      km.centroidsOf(km.fit(df)), nprobe)
+      km.centroidsOf(modelFor(df)), nprobe, maxCellSize)
+
+  private def plainTier: Boolean = nprobe == 1 && maxCellSize.isEmpty
 
   def apply(df: DataFrame): DataFrame =
-    if (nprobe == 1) inner(withBuckets(df)).drop(bucketCol)
+    if (plainTier) inner(withBuckets(df)).drop(bucketCol)
     else probedOp(df)(df)
 
   def rejected(df: DataFrame): DataFrame =
-    if (nprobe == 1) inner.rejected(withBuckets(df)).drop(bucketCol)
+    if (plainTier) inner.rejected(withBuckets(df)).drop(bucketCol)
     else probedOp(df).rejected(df)
 
   def mark(df: DataFrame, alive: org.apache.spark.sql.Column, tag: String): graft.core.Marked = {
-    if (nprobe == 1) {
+    if (plainTier) {
       val m = graft.core.PairwiseMark(
         withBuckets(df), alive, tag, idCol, name, inner.verifiedPairs)
       m.copy(internalCols = m.internalCols :+ bucketCol)
@@ -507,22 +701,29 @@ final class AutoBucketedCosineDedup(
   * bounded candidate mass ([[EmbeddingCosineDedup.probedClusterStats]])
   * for boundary-pair recall ([[EmbeddingCosineDedup.probedRecall]]).
   * Centroids are caller-supplied (a trained k-means model's, or the
-  * deterministic first-k init for oracle-checked runs).
+  * deterministic first-k init for oracle-checked runs). `maxCellSize`
+  * (r17) is the hot-cell first-cap — per probed cell only the cap
+  * smallest ids participate, bounding a skewed cell's candidate mass at
+  * cap² ([[EmbeddingCosineDedup.probedPairs]]).
   */
 final class ProbedCosineDedup(
     vecCol: String = "embedding",
     idCol: String = "id",
     threshold: Double = 0.95,
     centroids: Seq[Seq[Double]] = Nil,
-    nprobe: Int = 2) extends graft.core.RejectingOperator {
+    nprobe: Int = 2,
+    maxCellSize: Option[Int] = None) extends graft.core.RejectingOperator {
   require(centroids.nonEmpty, "centroids are required")
   require(nprobe >= 1 && nprobe <= centroids.length,
     s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+  require(maxCellSize.forall(_ >= 1),
+    s"maxCellSize must be >= 1 when set, got $maxCellSize")
 
   val name = "embedding_cosine_dedup_probed"
 
   def verifiedPairs(df: DataFrame): DataFrame =
-    EmbeddingCosineDedup.probedPairs(df, vecCol, idCol, centroids, nprobe, threshold)
+    EmbeddingCosineDedup.probedPairs(df, vecCol, idCol, centroids, nprobe,
+      threshold, maxCellSize)
 
   def apply(df: DataFrame): DataFrame =
     df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(),

