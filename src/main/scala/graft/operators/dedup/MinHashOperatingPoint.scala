@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   * truth, candidate mass from bucket counts, side by side: the full
   * S-curve trade `P[probe] = 1-(1-j^r)^b` measured on YOUR corpus.
   *
-  * Recall is MONOTONE in b by construction: the divisor chain's band
-  * splits nest (a pair agreeing on a full r-row band agrees on both
-  * halves at the next finer geometry), so caught(b) ⊆ caught(2b) —
-  * pinned in DedupSpec.
+  * Recall is MONOTONE along any NESTED divisor chain: when b divides
+  * b' every b-band is a union of full b'-bands, so a pair agreeing on
+  * a whole b-band agrees on each of its sub-bands and caught(b) ⊆
+  * caught(b') — for a prime-power `numHashes` (the shipped 8/16) the
+  * whole divisor chain nests, so recall is monotone across the full
+  * report (pinned in DedupSpec). For a composite `numHashes` the chain
+  * does NOT nest everywhere (e.g. numHashes=30: the b=5 band [6..11]
+  * contains no full b=6 band), so adjacent rows can locally dip;
+  * `chosen` remains well-defined either way — it reads measured
+  * recalls, not the monotone assumption (ADVICE r16).
   *
   * Scale shape — ONE corpus scan serves every geometry: signatures
   * compute once and stage (the scan cost IS the shingle+hash kernel;

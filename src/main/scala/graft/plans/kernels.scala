@@ -523,6 +523,15 @@ object kernels {
     * replays the selection bit-for-bit. Selection is one insertion pass
     * over k (distance, index) pairs — no per-row sort allocation beyond
     * the nprobe-sized output.
+    *
+    * NaN policy (r17, ADVICE r16): a NaN distance (a NaN coordinate in
+    * the input vector) orders LAST, ties broken by centroid index —
+    * every NaN maps to +∞ before insertion and the first `nprobe`
+    * candidates always fill the output, so an all-NaN vector probes
+    * cells `[0, .., nprobe-1]` exactly like the twin's
+    * `ORDER BY dist, cidx` (DuckDB sorts NaN after everything and
+    * breaks the tie on cidx). Previously nothing was ever inserted and
+    * the output was a bogus `[Int.MaxValue, ...]`.
     */
   case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
       nprobe: Int) extends UnaryExpression with UnaryRefCodegen {
@@ -536,8 +545,7 @@ object kernels {
       val at = elemType
       val bd = new Array[Double](nprobe) // best distances, ascending
       val bi = new Array[Int](nprobe)
-      java.util.Arrays.fill(bd, Double.MaxValue)
-      java.util.Arrays.fill(bi, Int.MaxValue)
+      var filled = 0
       var c = 0
       while (c < cs.length) {
         val cent = cs(c)
@@ -549,9 +557,17 @@ object kernels {
           d += diff * diff
           i += 1
         }
+        if (java.lang.Double.isNaN(d)) d = Double.PositiveInfinity
         // strict < on distance; equal distance keeps the lower index
-        // (c ascends, so an equal-distance later index never displaces)
-        if (d < bd(nprobe - 1)) {
+        // (c ascends, so an equal-distance later index never displaces);
+        // the first nprobe candidates always fill, so the output is a
+        // real cell list even when every distance is +∞
+        if (filled < nprobe) {
+          var p = filled
+          while (p > 0 && d < bd(p - 1)) { bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1 }
+          bd(p) = d; bi(p) = c
+          filled += 1
+        } else if (d < bd(nprobe - 1)) {
           var p = nprobe - 1
           while (p > 0 && d < bd(p - 1)) { bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1 }
           bd(p) = d; bi(p) = c

@@ -81,6 +81,24 @@ class KernelSpec extends AnyFunSuite {
     })
   }
 
+  test("NearestCentroids: NaN coordinates order last with index ties — never a bogus Int.MaxValue cell") {
+    def lit(v: List[Float]) = Literal(
+      new GenericArrayData(v.map(x => x: Any).toArray), ArrayType(FloatType))
+    val cs: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    // all-NaN vector: every distance is NaN → cells [0, .., nprobe-1],
+    // exactly the DuckDB twin's row_number over (NaN dist, cidx) ties
+    val allNaN = kernels.NearestCentroids(lit(List(Float.NaN, 0.5f)), cs, 2)
+      .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+    assert(allNaN == Seq(0, 1), s"all-NaN must probe the first cells, got $allNaN")
+    val single = kernels.NearestCentroid(lit(List(Float.NaN, 0.5f)), cs)
+      .eval(null).asInstanceOf[Int]
+    assert(single == 0 && allNaN.head == single)
+    // full probe of an all-NaN vector lists every cell in index order
+    val full = kernels.NearestCentroids(lit(List(Float.NaN, 0.5f)), cs, 3)
+      .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+    assert(full == Seq(0, 1, 2))
+  }
+
   test("MinHashFromHashes: signature of a union is the element-wise min of signatures") {
     val genArr = Gen.nonEmptyListOf(Gen.choose(0L, 1L << 59)).map(_.distinct)
     check(Prop.forAll(genArr, genArr) { (a, b) =>
