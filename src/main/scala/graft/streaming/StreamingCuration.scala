@@ -23,6 +23,32 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingCuration {
 
+  /** The accumulated epoch-partitioned prior store, with the current
+    * epoch's own partition excluded (the r16 replay discipline), or
+    * None when the store holds nothing COMMITTED to read. Bare
+    * directory existence is NOT enough (ADVICE r16): a first-epoch
+    * crash can leave `epoch=0/_temporary` only — the dir exists, but
+    * schema inference over zero data files throws and wedges the very
+    * replay loop the epoch-overwrite discipline makes safe. Committed
+    * means some `epoch=*` child carries the writer's `_SUCCESS`
+    * marker; the read is then still resolved eagerly (forcing schema
+    * inference) so a committed-but-empty store (a zero-row epoch
+    * writes `_SUCCESS` and no data files) also falls back cleanly.
+    */
+  private[graft] def committedPrior(spark: SparkSession, dir: String,
+      epoch: Long): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(path) && fs.listStatus(path).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("epoch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+    }
+    if (!committed) None
+    else
+      try Some(spark.read.parquet(dir).filter(col("epoch") =!= epoch))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
   /** Incremental file source over a directory of parquet shards —
     * `maxFilesPerTrigger` is the backpressure bound (the reference's
     * max_in_flight batches).
@@ -89,19 +115,15 @@ object StreamingCuration {
       numHashes = numHashes, numBands = numBands, threshold = threshold)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(priorDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasPrior = fs.exists(new org.apache.hadoop.fs.Path(priorDir))
       val selfDeduped = lsh(batch)
-      val kept =
-        if (!hasPrior) selfDeduped
-        else new graft.operators.dedup.IncrementalMinHashDedup(
-          prior = Some(spark.read.parquet(priorDir)
-            .filter(col("epoch") =!= epoch)
-            .select(col(idCol), col(textCol))),
+      val kept = committedPrior(spark, priorDir, epoch) match {
+        case None => selfDeduped
+        case Some(prior) => new graft.operators.dedup.IncrementalMinHashDedup(
+          prior = Some(prior.select(col(idCol), col(textCol))),
           textCol = textCol, idCol = idCol,
           shingleWidth = shingleWidth, numHashes = numHashes,
           numBands = numBands, threshold = threshold)(selfDeduped)
+      }
       val out = kept.persist()
       try {
         out.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
@@ -212,19 +234,15 @@ object StreamingCuration {
       vecCol, idCol, idCol, bits, dims, seed)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(priorDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasPrior = fs.exists(new org.apache.hadoop.fs.Path(priorDir))
       val selfDeduped = self(batch)
-      val kept =
-        if (!hasPrior) selfDeduped
-        else new graft.operators.vector.IncrementalEmbeddingDedup(
-          prior = Some(spark.read.parquet(priorDir)
-            .filter(col("epoch") =!= epoch)
-            .select(col(idCol), col(vecCol))),
+      val kept = committedPrior(spark, priorDir, epoch) match {
+        case None => selfDeduped
+        case Some(prior) => new graft.operators.vector.IncrementalEmbeddingDedup(
+          prior = Some(prior.select(col(idCol), col(vecCol))),
           vecCol = vecCol,
           idCol = idCol, threshold = threshold, bits = bits, dims = dims,
           seed = seed)(selfDeduped)
+      }
       val out = kept.persist()
       try {
         out.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
@@ -252,6 +270,24 @@ object StreamingCuration {
     * and the prior read excludes the current epoch — the anchor
     * miner's replay discipline, so a crash-replay re-derives the same
     * drops.
+    *
+    * Store layout (r17, VERDICT r16 #4): the prior store is ALSO
+    * partitioned by the probed cell (`epoch=N/_pc=C/`), and each
+    * trigger reads only the cells its own batch probes (a bounded
+    * `isin` over ≤ numBuckets values, collected from the batch) — so
+    * the per-trigger prior scan is pruned to the touched cells instead
+    * of re-reading the whole history, and partition pruning does the
+    * skipping at the file level. `maxCellSize` (r17) is the hot-cell
+    * first-cap: per cell, admission = prior admitted members + id rank
+    * in this batch ≤ cap (the anchor miner's admission discipline);
+    * first-cap membership is prefix-stable under ordered arrival, so
+    * the per-trigger union still equals the one-shot batch
+    * [[graft.operators.vector.ProbedCosineDedup]] under the same cap —
+    * a capped-out row keeps flowing to the output (it can no longer
+    * drop or be dropped through that cell, exactly the batch
+    * semantics), and the store keeps only admitted assignments, which
+    * also bounds the store itself at cap rows per (epoch-history,
+    * cell).
     */
   def probedDedupForeachBatch(
       stream: DataFrame,
@@ -263,39 +299,72 @@ object StreamingCuration {
       numBuckets: Int = 8,
       nprobe: Int = 2,
       threshold: Double = 0.95,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      maxCellSize: Option[Int] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.operators.vector.EmbeddingCosineDedup
+    require(maxCellSize.forall(_ >= 1),
+      s"maxCellSize must be >= 1 when set, got $maxCellSize")
     val km = new graft.operators.ml.KMeansBuckets(vecCol, "_cell", numBuckets, seed)
     val centroids = km.centroidsOf(km.fit(refCorpus)) // frozen ONCE
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(priorDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val cells = batch.filter(col(vecCol).isNotNull)
-        .select(col(idCol), col(vecCol),
-          explode(graft.plans.kernels.nearest_centroids(
-            col(vecCol), centroids, nprobe)).as("_pc"))
-      val prior =
-        if (fs.exists(new org.apache.hadoop.fs.Path(priorDir)))
-          spark.read.parquet(priorDir)
-            .filter(col("epoch") =!= epoch)
-            .select(col(idCol), col(vecCol), col("_pc"))
-        else cells.limit(0)
-      // in-batch pairwise drops (smaller id wins) + cross-trigger drops
-      // (every prior row is earlier by the ordered-arrival contract)
-      val selfDrops = EmbeddingCosineDedup.probedPairs(
-          batch, vecCol, idCol, centroids, nprobe, threshold)
-        .select(col("d2").as(idCol))
-      val crossDrops = cells
-        .join(prior.select(col("_pc"), col(vecCol).as("_pv")), Seq("_pc"))
-        .filter(graft.functions.VectorFunctions.cosine(col(vecCol), col("_pv"))
-          >= threshold)
-        .select(col(idCol))
-      val kept = batch.join(
-        selfDrops.unionByName(crossDrops).distinct(), Seq(idCol), "left_anti")
-      kept.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
-      cells.write.mode("overwrite").parquet(s"$priorDir/epoch=$epoch")
+      import org.apache.spark.sql.expressions.Window
+      val in = batch.persist()
+      try {
+        val cells = in.filter(col(vecCol).isNotNull)
+          .select(col(idCol), col(vecCol),
+            explode(graft.plans.kernels.nearest_centroids(
+              col(vecCol), centroids, nprobe)).as("_pc"))
+        // bounded driver collect (≤ numBuckets ints): the cells this
+        // batch probes — the prior read prunes to exactly these
+        val batchCells = cells.select(col("_pc")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val prior = committedPrior(spark, priorDir, epoch) match {
+          case Some(p) =>
+            p.filter(col("_pc").isin(batchCells: _*))
+              .select(col(idCol), col(vecCol), col("_pc"))
+          case None => cells.limit(0)
+        }
+        // first-cap admission (cap set): prior admitted members + id
+        // rank within this batch must fit the cap; uncapped, every
+        // probed assignment participates (the r16 semantics)
+        val admitted = (maxCellSize match {
+          case None => cells
+          case Some(cap) =>
+            val priorCounts = prior.groupBy(col("_pc"))
+              .agg(count(lit(1)).as("_n"))
+            val w = Window.partitionBy(col("_pc")).orderBy(col(idCol))
+            cells.withColumn("_rn", row_number().over(w))
+              .join(priorCounts, Seq("_pc"), "left")
+              .filter(col("_rn") + coalesce(col("_n"), lit(0L)) <= cap)
+              .select(col(idCol), col(vecCol), col("_pc"))
+        }).persist()
+        try {
+          admitted.count() // materialize: pairs + the store write consume it
+          // in-batch pairwise drops (smaller id wins) + cross-trigger
+          // drops (every prior row is earlier by the ordered-arrival
+          // contract); a pair needs a SHARED admitted cell
+          val l = admitted.select(col("_pc"), col(idCol).as("_d1"),
+            col(vecCol).as("_v1"))
+          val r = admitted.select(col("_pc"), col(idCol).as("_d2"),
+            col(vecCol).as("_v2"))
+          val selfDrops = l.join(r, Seq("_pc"))
+            .filter(col("_d1") < col("_d2"))
+            .filter(graft.functions.VectorFunctions.cosine(col("_v1"), col("_v2"))
+              >= threshold)
+            .select(col("_d2").as(idCol))
+          val crossDrops = admitted
+            .join(prior.select(col("_pc"), col(vecCol).as("_pv")), Seq("_pc"))
+            .filter(graft.functions.VectorFunctions.cosine(col(vecCol), col("_pv"))
+              >= threshold)
+            .select(col(idCol))
+          val kept = in.join(
+            selfDrops.unionByName(crossDrops).distinct(), Seq(idCol), "left_anti")
+          kept.write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+          admitted.write.partitionBy("_pc")
+            .mode("overwrite").parquet(s"$priorDir/epoch=$epoch")
+        } finally admitted.unpersist()
+      } finally in.unpersist()
       ()
     }
   }
@@ -338,8 +407,6 @@ object StreamingCuration {
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.expressions.Window
-      val fs = new org.apache.hadoop.fs.Path(priorDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val banded = AnnSearch.bandedFrozen(batch, vecCol, idCol, bands, stats)
       // the prior read EXCLUDES this epoch's own partition: a replayed
       // epoch would otherwise see its own previous partial write, count
@@ -347,12 +414,12 @@ object StreamingCuration {
       // would then DROP them from the store — with the exclusion the
       // replay sees exactly the pre-epoch state and re-derives the same
       // admission, so the epoch=N overwrite is genuinely idempotent
-      val prior =
-        if (fs.exists(new org.apache.hadoop.fs.Path(priorDir)))
-          spark.read.parquet(priorDir)
-            .filter(col("epoch") =!= epoch)
-            .select(col(idCol), col(vecCol), col("_band"), col("_bk"))
-        else banded.limit(0)
+      // (committedPrior also rides out a crash that left only an
+      // uncommitted first epoch — ADVICE r16)
+      val prior = committedPrior(spark, priorDir, epoch) match {
+        case Some(p) => p.select(col(idCol), col(vecCol), col("_band"), col("_bk"))
+        case None    => banded.limit(0)
+      }
       val priorCounts = prior.groupBy(col("_band"), col("_bk"))
         .agg(count(lit(1)).as("_pc"))
       // first-cap admission: batch rows rank by id within their bucket

@@ -412,6 +412,120 @@ class StreamingSpec extends AnyFunSuite {
     runOnce("ck_b")
     assert(spark.read.parquet(b2dir.resolve("out").toString).count() == keptOnce)
     assert(spark.read.parquet(b2dir.resolve("prior").toString).count() == priorOnce)
+    // r17 store layout: the prior store is cell-partitioned
+    // (epoch=N/_pc=C/), so a trigger's prior read prunes to the cells
+    // its batch probes — assert the layout and that an isin read over
+    // the partition column plans real partition filters
+    val priorRoot = java.nio.file.Paths.get(priorDir)
+    val pcDirs = java.nio.file.Files.list(priorRoot).toArray.map(_.toString)
+      .filter(_.contains("epoch="))
+      .flatMap(e => java.nio.file.Files.list(java.nio.file.Paths.get(e))
+        .toArray.map(_.toString))
+      .filter(_.contains("_pc="))
+    assert(pcDirs.nonEmpty, "prior store must be partitioned by probed cell")
+    val pruned = spark.read.parquet(priorDir)
+      .filter(col("epoch") =!= 99L && col("_pc").isin(0, 1))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "_pc")),
+      s"prior scan must push the cell filter to partition pruning: " +
+        s"${scan.partitionFilters}")
+  }
+
+  test("streaming probed dedup under the hot-cell cap: per-trigger union equals the capped batch operator; store holds only admitted assignments") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(2026)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    // duplicates INTERLEAVED across the id range (every 4th id is a
+    // near-copy of id-3): an append-only dup block would sit entirely
+    // past the id-rank cap and the capped run would drop nothing
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    for (i <- 0L until 120L)
+      buf += ((i, if (i % 4 == 3) jitter(buf((i - 3).toInt)._2)
+                  else Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val vecs = buf.toSeq
+    val all = vecs.toDF("vec_id", "embedding")
+    val ref = vecs.take(40).toDF("vec_id", "embedding")
+    // a small cap so cells CLOSE mid-stream: admission must account for
+    // prior-trigger members, the prefix-stability contract under test
+    val (nb, np, t, cap) = (4, 2, 0.9, 15)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_probed_cap")
+    val outDir = baseDir.resolve("out").toString
+    val priorDir = baseDir.resolve("prior").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingCuration.probedDedupForeachBatch(
+        mem.toDF().toDF("vec_id", "embedding"), ref, outDir, priorDir,
+        vecCol = "embedding", idCol = "vec_id", numBuckets = nb,
+        nprobe = np, threshold = t, maxCellSize = Some(cap))
+      .option("checkpointLocation", baseDir.resolve("ckpt").toString)
+      .start()
+    try {
+      val (b1, rest) = vecs.splitAt(40)
+      val (b2, b3) = rest.splitAt(40)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val km = new graft.operators.ml.KMeansBuckets("embedding", "_cell", nb, 42L)
+    val cents = km.centroidsOf(km.fit(ref))
+    val want = new graft.operators.vector.ProbedCosineDedup(
+        "embedding", "vec_id", t, cents, np, Some(cap))(all)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(outDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(want.size < vecs.size, "vacuous fixture — nothing dropped at all")
+    // the cap must BIND on this fixture or the test is the uncapped one
+    val uncapped = new graft.operators.vector.ProbedCosineDedup(
+        "embedding", "vec_id", t, cents, np)(all).count()
+    assert(want.size > uncapped, "vacuous cap — choose a smaller maxCellSize")
+    assert(got == want,
+      s"capped stream kept (${got.size}) must equal capped batch (${want.size}); " +
+        s"sym-diff: ${(got diff want) union (want diff got)}")
+    // store = the capped batch membership exactly: per cell, the cap
+    // smallest ids across ALL epochs — never more than cap per cell
+    val store = spark.read.parquet(priorDir)
+      .groupBy(col("_pc")).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(store.values.forall(_ <= cap.toLong),
+      s"store must hold at most cap=$cap admitted rows per cell: $store")
+  }
+
+  test("a crashed first epoch (dir exists, nothing committed) wedges neither the probed twin nor the prior helper") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_wedge")
+    val priorDir = baseDir.resolve("prior").toString
+    // simulate the crash artifact: epoch=0 exists with only _temporary
+    // debris — no _SUCCESS, no data files (ADVICE r16: a bare
+    // dir-existence check would send the read into schema inference
+    // over zero files and wedge the replay loop)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(priorDir, "epoch=0", "_temporary", "0"))
+    assert(StreamingCuration.committedPrior(spark, priorDir, 5L).isEmpty,
+      "uncommitted debris must read as no-prior")
+    // a missing dir and a committed store behave as before
+    assert(StreamingCuration.committedPrior(
+      spark, baseDir.resolve("never").toString, 0L).isEmpty)
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val ref = vecs.take(10).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingCuration.probedDedupForeachBatch(
+        mem.toDF().toDF("vec_id", "embedding"), ref,
+        baseDir.resolve("out").toString, priorDir,
+        vecCol = "embedding", idCol = "vec_id", numBuckets = 4,
+        nprobe = 2, threshold = 0.9)
+      .option("checkpointLocation", baseDir.resolve("ckpt").toString)
+      .start()
+    try { mem.addData(vecs: _*); q.processAllAvailable() } finally q.stop()
+    // the epoch ran as a fresh start over the debris: output committed,
+    // store now holds a committed epoch the helper accepts
+    assert(spark.read.parquet(baseDir.resolve("out").toString).count() == 30L)
+    assert(StreamingCuration.committedPrior(spark, priorDir, 99L).isDefined)
   }
 
   test("streaming anchor mining: union of per-trigger pairs equals the batch first-cap twin; frozen stats never drift") {
