@@ -98,34 +98,32 @@ final class MeteredPipeline(val stageName: String, val ops: Seq[Operator]) {
   }
 
   /** Disposition-mode twin of `instrument`: operators MARK rows dead
-    * (graft.core.Disposition) instead of dropping them, so the boundary
-    * observations count alive rows only. Same single-pass contract: the
-    * thunk is valid after one action on the returned frame.
+    * (graft.core.Disposition) instead of dropping them, so boundary
+    * counts are alive-row counts. Phase 1 of two (r17): step the ops,
+    * SNAPSHOTTING the alive flag at each boundary into an
+    * `_ob<tagPrefix><i>` column — counting is deferred to
+    * [[MeteredPipeline.observeBoundaries]], attached ONCE after the
+    * whole run's chain is built. A per-boundary Observation attached
+    * here could be fired — and frozen — with a zero-row `[null]` fill
+    * by a LATER operator that runs its own eager Spark actions on the
+    * chained frame during construction (a k-means fit in
+    * `AutoBucketedCosineDedup.mark` fires every upstream CollectMetrics
+    * that way — the tuned-semantic-dedup config read `input=0`); the
+    * deferred single observation is only ever filled by the run's
+    * terminal write. Disposition never drops rows, so every boundary
+    * flag survives to the terminal frame by construction.
     */
-  def instrumentDisposition(
-      input: DataFrame, tagPrefix: String): (DataFrame, () => Seq[OperatorCounts]) = {
+  def dispositionChain(input: DataFrame, tagPrefix: String)
+      : (DataFrame, Seq[(String, String)]) = {
     import graft.core.Disposition
-    def aliveCount = sum(when(col(Disposition.AliveCol), 1L).otherwise(0L)).as("n")
-    def obsCount(o: Observation): Long =
-      o.get("n") match { case null => 0L; case n => n.asInstanceOf[Long] }
-    val inObs = Observation()
-    var df = input.observe(inObs, aliveCount)
-    val boundary = ops.zipWithIndex.map { case (op, i) =>
+    var df = input
+    val bounds = ops.zipWithIndex.map { case (op, i) =>
       df = Disposition.step(df, op, s"$tagPrefix$i")
-      val obs = Observation()
-      df = df.observe(obs, aliveCount)
-      op.name -> obs
+      val c = s"_ob$tagPrefix$i"
+      df = df.withColumn(c, col(Disposition.AliveCol))
+      op.name -> c
     }
-    def counts(): Seq[OperatorCounts] = {
-      var prev = obsCount(inObs)
-      boundary.zipWithIndex.map { case ((name, obs), i) =>
-        val out = obsCount(obs)
-        val c = OperatorCounts(i, name, prev, out, 0.0)
-        prev = out
-        c
-      }
-    }
-    (df, counts)
+    (df, bounds)
   }
 
   /** Instrumented-mode run: one action per boundary so wall time is
@@ -153,6 +151,42 @@ final class MeteredPipeline(val stageName: String, val ops: Seq[Operator]) {
       c
     }
     (df, cs, MetricsRollup.stage(stageName, cs))
+  }
+}
+
+object MeteredPipeline {
+
+  /** Phase 2 of disposition instrumentation (see
+    * [[MeteredPipeline.dispositionChain]]): ONE observation over every
+    * stage's boundary flags plus the run total, attached after the
+    * whole chain is built — nothing can fire it but the run's terminal
+    * write. Snapshot columns are dropped from the returned frame. The
+    * per-stage thunks are valid after one action on the returned
+    * frame; op input = the previous boundary's alive count, serial
+    * across stages (the first op's input is the run total).
+    */
+  def observeBoundaries(df: DataFrame,
+      stages: Seq[(String, Seq[(String, String)])])
+      : (DataFrame, Seq[(String, () => Seq[OperatorCounts])]) = {
+    val cols = stages.flatMap(_._2.map(_._2))
+    val obs = Observation()
+    val aggs = count(lit(1)).as("_n_in") +:
+      cols.map(c => sum(when(col(c), 1L).otherwise(0L)).as(c))
+    val observed = df.observe(obs, aggs.head, aggs.tail: _*).drop(cols: _*)
+    lazy val all: Map[String, Long] = obs.get.map { case (k, v) =>
+      k -> (v match { case null => 0L; case n => n.asInstanceOf[Long] })
+    }
+    def stageCounts(si: Int): Seq[OperatorCounts] = {
+      var prev = stages.take(si).flatMap(_._2.map(_._2))
+        .lastOption.map(all).getOrElse(all("_n_in"))
+      stages(si)._2.zipWithIndex.map { case ((name, c), i) =>
+        val out = all(c)
+        val oc = OperatorCounts(i, name, prev, out, 0.0)
+        prev = out
+        oc
+      }
+    }
+    (observed, stages.indices.map(si => stages(si)._1 -> (() => stageCounts(si))))
   }
 }
 

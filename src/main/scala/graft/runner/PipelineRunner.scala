@@ -69,6 +69,54 @@ object PipelineRunner {
 
   final case class RunResult(run: RunRollup, outputPath: String, tableName: String)
 
+  /** Resolve `{from_report: <name>[, column:][, output_path is the
+    * caller's reportsDir]}` param values — the tuner pre-stage: run the
+    * named [[CorpusReports]] report over the pipeline's loaded corpus,
+    * persist it under `reportsDir/<name>`, and substitute the report's
+    * single `chosen = true` row's value for the param (column defaults
+    * to the param key, so `nprobe: {from_report:
+    * semantic_probe_operating_point}` reads the chosen `nprobe`). Each
+    * report runs at most once per operator conf even when several
+    * params reference it.
+    */
+  private def resolveReportParams(spark: SparkSession, corpus: DataFrame,
+      params: Params, reportsDir: String): Params = {
+    import scala.jdk.CollectionConverters._
+    def spec(v: Any): Option[Map[String, Any]] = v match {
+      case jm: java.util.Map[_, _] =>
+        val m = jm.asScala.map { case (k, x) => k.toString -> (x: Any) }.toMap
+        if (m.contains("from_report")) Some(m) else None
+      case sm: Map[_, _] =>
+        val m = sm.map { case (k, x) => k.toString -> (x: Any) }.toMap
+        if (m.contains("from_report")) Some(m) else None
+      case _ => None
+    }
+    if (!params.m.values.exists(spec(_).isDefined)) params
+    else {
+      val cache = scala.collection.mutable.Map.empty[String, DataFrame]
+      def report(name: String): DataFrame = cache.getOrElseUpdate(name, {
+        CorpusReports.run(spark, name, corpus, reportsDir)
+        spark.read.parquet(s"$reportsDir/$name")
+      })
+      Params(params.m.map { case (k, v) =>
+        spec(v) match {
+          case None => k -> v
+          case Some(s) =>
+            val name = s("from_report").toString
+            val columnName = s.get("column").map(_.toString).getOrElse(k)
+            val rep = report(name)
+            require(rep.columns.contains("chosen"),
+              s"report '$name' has no `chosen` column — from_report needs " +
+                "an operating-point report (graft.Cli list-reports)")
+            val rows = rep.filter(org.apache.spark.sql.functions.col("chosen")).collect()
+            require(rows.length == 1,
+              s"report '$name' must flag exactly one chosen row, got ${rows.length}")
+            k -> rows.head.getAs[Any](columnName)
+        }
+      })
+    }
+  }
+
   def run(spark: SparkSession, conf: PipelineConf): RunResult =
     // scoped staging (ADVICE r14): frames operators stage during this run
     // release when the run's writes + metrics have committed, and a
@@ -105,6 +153,19 @@ object PipelineRunner {
     }
     conf.executor.maxSamples.foreach(n => df = df.limit(n.toInt))
 
+    // Tuner pre-stage (r17, VERDICT r16 #5): a param written as
+    //   nprobe: {from_report: semantic_probe_operating_point}
+    // runs that corpus report over the pipeline's OWN loaded input,
+    // persists it under <output_path>/_reports/<name> (the evidence a
+    // production run would keep), and substitutes the report's
+    // chosen-row value (column defaults to the param key; override
+    // with `column:`) — so a config consumes the tuner instead of
+    // hardcoding the knob the tuner exists to choose.
+    val resolvedStages = conf.stages.map(st => st.copy(operators =
+      st.operators.map(o =>
+        o.copy(params = resolveReportParams(spark, df, o.params,
+          s"$outputPathEarly/_reports")))))
+
     val rejects = conf.executor.rejectedEnabled
     if (rejects) df = Disposition.init(df)
 
@@ -116,19 +177,35 @@ object PipelineRunner {
     // (framework/executor.py:100-124), which multiplies full scans by the
     // stage count at 100 TB.
     val timed = conf.executor.metricsTimed && !rejects
-    val instrumented = conf.stages.zipWithIndex.map { case (st, si) =>
-      val ops = st.operators.map(o => OperatorRegistry.create(o.name, o.params))
-      val metered = new MeteredPipeline(st.name, ops)
-      val (out, counts) =
-        if (rejects) metered.instrumentDisposition(df, s"_s${si}o")
-        else if (timed) {
-          // profiling mode: actions per boundary run NOW; counts are fixed
-          val (through, cs, _) = metered.timedRunThrough(df)
-          (through, () => cs)
-        } else metered.instrument(df)
-      df = out
-      (st.name, counts)
-    }
+    val instrumented: Seq[(String, () => Seq[OperatorCounts])] =
+      if (rejects) {
+        // disposition mode counts via alive-flag snapshots + ONE
+        // deferred observation (r17): per-boundary observations could
+        // be frozen at a zero-row fill by an operator's own eager
+        // Spark actions during chain construction — see
+        // MeteredPipeline.dispositionChain
+        val staged = resolvedStages.zipWithIndex.map { case (st, si) =>
+          val ops = st.operators.map(o => OperatorRegistry.create(o.name, o.params))
+          val (out, bounds) =
+            new MeteredPipeline(st.name, ops).dispositionChain(df, s"_s${si}o")
+          df = out
+          st.name -> bounds
+        }
+        val (observed, counts) = MeteredPipeline.observeBoundaries(df, staged)
+        df = observed
+        counts
+      } else resolvedStages.map { st =>
+        val ops = st.operators.map(o => OperatorRegistry.create(o.name, o.params))
+        val metered = new MeteredPipeline(st.name, ops)
+        val (out, counts) =
+          if (timed) {
+            // profiling mode: actions per boundary run NOW; counts are fixed
+            val (through, cs, _) = metered.timedRunThrough(df)
+            (through, () => cs)
+          } else metered.instrument(df)
+        df = out
+        (st.name, counts)
+      }
 
     val wp = conf.writer.params
     val outputPath = wp.str("output_path", "output")

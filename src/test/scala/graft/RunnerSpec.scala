@@ -989,6 +989,38 @@ class RunnerSpec extends AnyFunSuite {
       .count() > 0, "survivors must carry frozen-LM scores")
   }
 
+  test("shipped tuned-semantic-dedup config: the runner consumes the tuner's chosen nprobe and persists the report") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    Seq("/tmp/graft_tuned_dedup_out", "/tmp/graft_tuned_dedup_out_rejected")
+      .foreach(p => rm(new java.io.File(p)))
+    val res = PipelineRunner.run(spark,
+      PipelineConf.fromYamlFile("configs/example_tuned_semantic_dedup.yaml"))
+    assert(res.run.output > 0 && res.run.output < res.run.input,
+      "the fixture must yield semantic drops")
+    // the tuner report persisted as run evidence, exactly one chosen row
+    val rep = spark.read.parquet(
+      "/tmp/graft_tuned_dedup_out/_reports/semantic_probe_operating_point")
+    val chosen = rep.filter(org.apache.spark.sql.functions.col("chosen")).collect()
+    assert(chosen.length == 1, s"exactly one chosen row, got ${chosen.length}")
+    val nprobe = chosen.head.getAs[Int]("nprobe")
+    assert(nprobe >= 1 && nprobe <= 4)
+    // the pipeline's kept set equals a direct operator run at the
+    // chosen nprobe under the same trained buckets and cap
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val want = new graft.operators.vector.AutoBucketedCosineDedup(
+        "embedding", "vec_id", 0.35, numBuckets = 8, seed = 42L,
+        nprobe = nprobe, maxCellSize = Some(100))(emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(
+        "/tmp/graft_tuned_dedup_out/embeddings_deduped")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"config-driven kept (${got.size}) must equal the direct run at the " +
+        s"tuner-chosen nprobe=$nprobe (${want.size})")
+  }
+
   test("shipped anchor-mining config: pair table equals a direct mutualKnnLshOr run") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
