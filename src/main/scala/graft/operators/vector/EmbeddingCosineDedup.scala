@@ -102,30 +102,56 @@ object EmbeddingCosineDedup {
     * capped out of a cell still participates in its other probed cells
     * where it made the cap; the recall cost is measured side-by-side by
     * [[cappedRecall]] and the post-cap mass by [[probedCappedStats]].
+    *
+    * `anchoredCap` (r17 — the LINEAR cap policy): with `maxCellSize`
+    * set, the cap smallest-`idCol` members of each cell are its
+    * ANCHORS, and every cell member (anchor or not) is compared against
+    * the anchors BELOW it — never against other non-anchors. Per-cell
+    * candidate mass drops from quadratic c·(c−1) to LINEAR
+    * a·(2c−a−1) ≈ 2·cap·c (a = min(c, cap)), so a hot cell costs
+    * cap× its row count instead of its own square — while, unlike the
+    * first-cap, a tail row duplicating an early row is still CAUGHT
+    * (under first-wins dedup the row that matters is the EARLIEST
+    * duplicate, and the earliest rows of a cell are exactly its
+    * anchors). Only pairs whose BOTH sides are non-anchors are lost, so
+    * anchored pairs ⊇ first-cap pairs at the same cap (first-cap keeps
+    * only anchor–anchor pairs) — measured side-by-side by
+    * [[anchoredRecall]], mass by [[anchoredCapStats]]. Anchor sets are
+    * the cap smallest ids of a prefix-stable membership, so anchored
+    * admission is prefix-stable under appends too — the streaming-twin
+    * equivalence survives unchanged.
     */
   def probedPairs(df: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
-      maxCellSize: Option[Int] = None): DataFrame = {
+      maxCellSize: Option[Int] = None, anchoredCap: Boolean = false): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
     require(maxCellSize.forall(_ >= 1),
       s"maxCellSize must be >= 1 when set, got $maxCellSize")
+    require(!anchoredCap || maxCellSize.nonEmpty,
+      "anchoredCap requires maxCellSize")
     val probedAll = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         explode(graft.plans.kernels.nearest_centroids(col(vecCol), centroids, nprobe))
           .as("_pc"))
-    val probed = maxCellSize match {
-      case None => probedAll
+    val (lhs, rhs) = maxCellSize match {
+      case None => (probedAll, probedAll)
       case Some(cap) =>
-        // first-cap: the cell-keyed rank window is the only extra
-        // exchange, and it shuffles on the same key the pair join needs
+        // the cell-keyed rank window is the only extra exchange, and it
+        // shuffles on the same key the pair join needs
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_pc")).orderBy(col(idCol))
-        probedAll.withColumn("_rn", row_number().over(w))
+        val anchors = probedAll.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= cap).drop("_rn")
+        // first-cap: anchors pair among themselves. anchored: anchors
+        // pair against EVERY member — the d1 < d2 filter below plus
+        // "anchors are the cell's smallest ids" means every surviving
+        // pair has an anchor on the d1 side, which is exactly the
+        // policy (no anchor-below-you in a shared cell ⇒ kept).
+        (anchors, if (anchoredCap) probedAll else anchors)
     }
-    val l = probed.select(col("_pc"), col(idCol).as("d1"), col(vecCol).as("v1"))
-    val r = probed.select(col("_pc"), col(idCol).as("d2"), col(vecCol).as("v2"))
+    val l = lhs.select(col("_pc"), col(idCol).as("d1"), col(vecCol).as("v1"))
+    val r = rhs.select(col("_pc"), col(idCol).as("d2"), col(vecCol).as("v2"))
     l.join(r, Seq("_pc"))
       .filter(col("d1") < col("d2"))
       .withColumn("_cos", VectorFunctions.cosine(col("v1"), col("v2")))
@@ -278,9 +304,21 @@ object EmbeddingCosineDedup {
     */
   def probedKeepSql(table: String, vecCol: String, idCol: String,
       k: Int, nprobe: Int, threshold: Double,
-      maxCellSize: Option[Int] = None): String = {
+      maxCellSize: Option[Int] = None, anchoredCap: Boolean = false): String = {
+    require(!anchoredCap || maxCellSize.nonEmpty, "anchoredCap requires maxCellSize")
+    // first-cap: both pair sides rank-capped. anchored: only the d1
+    // side is capped (the anchors); d2 ranges over every probed member.
     val capped = maxCellSize.fold("")(cap =>
-      s"  QUALIFY row_number() OVER (PARTITION BY cidx ORDER BY id) <= $cap")
+      if (anchoredCap) ""
+      else s"  QUALIFY row_number() OVER (PARTITION BY cidx ORDER BY id) <= $cap")
+    val lhs = maxCellSize match {
+      case Some(cap) if anchoredCap =>
+        s""",
+           |_paa AS (SELECT id, v, pc FROM _pa
+           |  QUALIFY row_number() OVER (PARTITION BY pc ORDER BY id) <= $cap)""".stripMargin
+      case _ => ""
+    }
+    val lTable = if (anchoredCap && maxCellSize.nonEmpty) "_paa" else "_pa"
     s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
        |    $vecCol AS ce
        |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
@@ -289,8 +327,8 @@ object EmbeddingCosineDedup {
        |      ORDER BY ${VectorFunctions.l2sqSql(s"t.$vecCol", "c.ce")}, c.cidx) AS prn
        |  FROM $table t CROSS JOIN _pct c WHERE t.$vecCol IS NOT NULL),
        |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe
-       |$capped),
-       |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pa a JOIN _pa b
+       |$capped)$lhs,
+       |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM $lTable a JOIN _pa b
        |  ON a.pc = b.pc AND a.id < b.id
        |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold)
        |SELECT $idCol FROM $table
@@ -369,6 +407,282 @@ object EmbeddingCosineDedup {
        |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
        |    round(CAST((SELECT count(*) FROM rcp) AS DOUBLE)
        |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS capped_recall""".stripMargin
+
+  /** Side-by-side recall readout for the two CAP POLICIES at the same
+    * cap (r17): on the same deterministic 1-in-`sampleMod` sample,
+    * duplicate pairs caught by the uncapped probed tier vs under the
+    * per-cell FIRST-cap vs under the ANCHORED cap. first ⊆ anchored ⊆
+    * probed ⊆ truth by construction (first-cap pairs are
+    * anchor–anchor, anchored adds anchor–tail; both run the same
+    * cosine test), so all recalls are plain count ratios with no hit
+    * join and `capped_recall <= anchored_recall <= probed_recall`
+    * always. The gap between the last two is the recall the linear
+    * a·(2c−a−1) mass buys back from the quadratic-capped min(c,cap)²
+    * policy. One row: `(true_pairs, probed_pairs, capped_pairs,
+    * anchored_pairs, probed_recall, capped_recall, anchored_recall)`;
+    * recalls NULL on empty truth. `sampleMod` REQUIRED — the truth
+    * tier is quadratic in the sample (broadcast BNLJ, bounded).
+    */
+  def anchoredRecall(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
+      maxCellSize: Int, sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
+    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol))
+    val l = sample.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val r = sample.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    val truth = l.crossJoin(broadcast(r))
+      .filter(col("d1") < col("d2") &&
+        VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+    val probed = probedPairs(sample, vecCol, idCol, centroids, nprobe, threshold)
+    val capped = probedPairs(sample, vecCol, idCol, centroids, nprobe, threshold,
+      Some(maxCellSize))
+    val anchored = probedPairs(sample, vecCol, idCol, centroids, nprobe, threshold,
+      Some(maxCellSize), anchoredCap = true)
+    def recallCol(c: String): org.apache.spark.sql.Column =
+      when(col("true_pairs") > 0,
+        round(col(c).cast("double") / col("true_pairs").cast("double"), 6))
+    truth.agg(count(lit(1)).as("true_pairs"))
+      .crossJoin(probed.agg(count(lit(1)).as("probed_pairs")))
+      .crossJoin(capped.agg(count(lit(1)).as("capped_pairs")))
+      .crossJoin(anchored.agg(count(lit(1)).as("anchored_pairs")))
+      .select(col("true_pairs"), col("probed_pairs"), col("capped_pairs"),
+        col("anchored_pairs"),
+        recallCol("probed_pairs").as("probed_recall"),
+        recallCol("capped_pairs").as("capped_recall"),
+        recallCol("anchored_pairs").as("anchored_recall"))
+  }
+
+  /** DuckDB twin of [[anchoredRecall]] (first-k centroid init). */
+  def anchoredRecallSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, threshold: Double, maxCellSize: Int,
+      sampleMod: Int): String =
+    s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |rs AS (SELECT $idCol AS id, $vecCol AS v FROM $table
+       |  WHERE $vecCol IS NOT NULL AND $idCol % $sampleMod = 0),
+       |_ppd AS (SELECT rs.id, rs.v, c.cidx,
+       |    row_number() OVER (PARTITION BY rs.id
+       |      ORDER BY ${VectorFunctions.l2sqSql("rs.v", "c.ce")}, c.cidx) AS prn
+       |  FROM rs CROSS JOIN _pct c),
+       |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe),
+       |_pac AS (SELECT id, v, pc FROM _pa
+       |  QUALIFY row_number() OVER (PARTITION BY pc ORDER BY id) <= $maxCellSize),
+       |rtp AS (SELECT a.id AS d1, b.id AS d2 FROM rs a, rs b
+       |  WHERE a.id < b.id
+       |    AND ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pa a JOIN _pa b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rcp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pac a JOIN _pac b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rap AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM _pac a JOIN _pa b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold)
+       |SELECT (SELECT count(*) FROM rtp) AS true_pairs,
+       |  (SELECT count(*) FROM rpp) AS probed_pairs,
+       |  (SELECT count(*) FROM rcp) AS capped_pairs,
+       |  (SELECT count(*) FROM rap) AS anchored_pairs,
+       |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM rpp) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS probed_recall,
+       |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM rcp) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS capped_recall,
+       |  CASE WHEN (SELECT count(*) FROM rtp) > 0 THEN
+       |    round(CAST((SELECT count(*) FROM rap) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS anchored_recall""".stripMargin
+
+  /** Candidate-mass evidence for the ANCHORED cap (r17): per probed
+    * cell, member count `c`, anchor count `a = min(c, cap)`, and the
+    * ordered candidate mass each policy implies — quadratic `c·(c−1)`
+    * uncapped, `a·(a−1)` first-capped, and `a·(2c−a−1)` anchored
+    * (every member tests against the anchors below it: Σ_{i≤a}(c−i)
+    * unordered = a·(2c−a−1)/2, doubled to the ordered convention of
+    * [[probedClusterStats]]). All from COUNTS, never the join. The
+    * anchored column is LINEAR in c — a hot cell costs ≈ 2·cap·c
+    * instead of c². `(cluster, rows_probed, rows_anchored,
+    * cand_pairs_probed, cand_pairs_capped, cand_pairs_anchored)`
+    * ordered by cluster.
+    */
+  def anchoredCapStats(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, maxCellSize: Int): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
+    df.filter(col(vecCol).isNotNull)
+      .select(explode(
+        graft.plans.kernels.nearest_centroids(col(vecCol), centroids, nprobe))
+        .as("_pc"))
+      .groupBy(col("_pc").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("rows_probed"))
+      .withColumn("rows_anchored",
+        least(col("rows_probed"), lit(maxCellSize.toLong)))
+      .select(col("cluster"), col("rows_probed"), col("rows_anchored"),
+        (col("rows_probed") * (col("rows_probed") - 1)).as("cand_pairs_probed"),
+        (col("rows_anchored") * (col("rows_anchored") - 1)).as("cand_pairs_capped"),
+        (col("rows_anchored") * (col("rows_probed") * 2 - col("rows_anchored") - 1))
+          .as("cand_pairs_anchored"))
+      .orderBy(col("cluster"))
+  }
+
+  /** DuckDB twin of [[anchoredCapStats]] (first-k centroid init). */
+  def anchoredCapStatsSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, maxCellSize: Int): String =
+    s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |_ppd AS (SELECT t.$idCol AS id, c.cidx,
+       |    row_number() OVER (PARTITION BY t.$idCol
+       |      ORDER BY ${VectorFunctions.l2sqSql(s"t.$vecCol", "c.ce")}, c.cidx) AS prn
+       |  FROM $table t CROSS JOIN _pct c WHERE t.$vecCol IS NOT NULL),
+       |_cc AS (SELECT cidx, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(least(count(*), $maxCellSize) AS BIGINT) AS a
+       |  FROM _ppd WHERE prn <= $nprobe GROUP BY cidx)
+       |SELECT cidx AS cluster, c AS rows_probed, a AS rows_anchored,
+       |  c * (c - 1) AS cand_pairs_probed,
+       |  a * (a - 1) AS cand_pairs_capped,
+       |  a * (c * 2 - a - 1) AS cand_pairs_anchored
+       |FROM _cc ORDER BY cluster""".stripMargin
+
+  /** CONSUMABLE operating point for the ANCHORED hot-cell cap (r17) —
+    * the `max_cell_size` member of the tuner family: anchored-cap
+    * recall at EVERY candidate cap over one deterministic sample,
+    * per-cap candidate mass from cell counts, and a `chosen` config row
+    * (smallest cap meeting `targetRecall` against the all-pairs truth,
+    * else the smallest achieving the maximum measured recall — probing
+    * itself bounds that maximum, so an unreachable target degrades to
+    * the best the nprobe setting can do). One row per cap:
+    * `(max_cell_size, true_pairs, caught_pairs, cand_pairs, recall,
+    * chosen)` — the column names let `max_cell_size: {from_report:
+    * semantic_cap_operating_point}` consume the chosen row directly.
+    *
+    * Scale shape — ONE corpus candidate pass serves every cap (the
+    * probedOperatingPoint discipline): each (row, cell) assignment
+    * carries its per-cell id rank (one rank window on the cell key), a
+    * verified pair's minimal admitting cap is min-over-shared-cells of
+    * the d1 rank (anchored admission only constrains the d1 side), and
+    * per-cap caught counts ride a broadcast range-join of the caps
+    * spine against the prune-sized mincap histogram — never a per-cap
+    * corpus rescan. Mass is Σ a·(2c−a−1) from the ≤|centroids| cell
+    * counts. Recall is monotone in the cap by construction (a bigger
+    * cap only adds anchors).
+    */
+  def anchoredCapOperatingPoint(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
+      caps: Seq[Int], targetRecall: Double, sampleMod: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sampleMod >= 1, "sampleMod is required: the truth tier is quadratic in the sample")
+    require(caps.nonEmpty && caps.forall(_ >= 1), s"caps must be >= 1, got $caps")
+    require(caps == caps.distinct.sorted, s"caps must be distinct ascending, got $caps")
+    val sample = df.filter(col(vecCol).isNotNull && col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol))
+    val tl = sample.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val tr = sample.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    val truth = tl.crossJoin(broadcast(tr))
+      .filter(col("d1") < col("d2") &&
+        VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+    val probed = sample.select(col(idCol), col(vecCol),
+      explode(graft.plans.kernels.nearest_centroids(col(vecCol), centroids, nprobe))
+        .as("_pc"))
+    val ranked = probed.withColumn("_arn",
+      row_number().over(Window.partitionBy(col("_pc")).orderBy(col(idCol))))
+    val l = ranked.select(col("_pc"), col("_arn"),
+      col(idCol).as("d1"), col(vecCol).as("v1"))
+    val r = probed.select(col("_pc"), col(idCol).as("d2"), col(vecCol).as("v2"))
+    // minimal admitting cap per VERIFIED pair: the d1 side's best
+    // (smallest) anchor rank over the pair's shared cells
+    val pairMin = l.join(r, Seq("_pc")).filter(col("d1") < col("d2"))
+      .filter(VectorFunctions.cosine(col("v1"), col("v2")) >= threshold)
+      .groupBy(col("d1"), col("d2")).agg(min(col("_arn")).as("_mincap"))
+    val hist = pairMin.groupBy(col("_mincap")).agg(count(lit(1)).as("_hc"))
+    val capsArr = array(caps.map(lit): _*)
+    val caught = truth.agg(count(lit(1)).as("true_pairs"))
+      .select(explode(capsArr).as("max_cell_size"), col("true_pairs"))
+      .join(broadcast(hist), col("_mincap") <= col("max_cell_size"), "left")
+      .groupBy(col("max_cell_size"), col("true_pairs"))
+      .agg(coalesce(sum(col("_hc")), lit(0L)).as("caught_pairs"))
+    // per-cap ordered candidate mass from the bounded cell counts (a
+    // ≤|centroids|-row table × the caps list — a bounded explode)
+    val mass = probed.groupBy(col("_pc")).agg(count(lit(1)).as("_c"))
+      .select(col("_c"), explode(capsArr).as("_mcap"))
+      .withColumn("_a", least(col("_c"), col("_mcap").cast("long")))
+      .groupBy(col("_mcap"))
+      .agg(sum(col("_a") * (col("_c") * 2 - col("_a") - 1)).as("_mass"))
+    val scored = caught
+      .join(broadcast(mass), col("max_cell_size") === col("_mcap"), "left")
+      .select(col("max_cell_size"), col("true_pairs"), col("caught_pairs"),
+        coalesce(col("_mass"), lit(0L)).as("cand_pairs"),
+        when(col("true_pairs") > 0,
+          round(col("caught_pairs").cast("double") /
+            col("true_pairs").cast("double"), 6)).as("recall"))
+    val ws = Window.partitionBy() // the |caps|-row level table
+    scored
+      .withColumn("_mp",
+        min(when(col("recall") >= targetRecall, col("max_cell_size"))).over(ws))
+      .withColumn("_mr", max(col("recall")).over(ws))
+      .withColumn("_mb",
+        min(when(col("recall") === col("_mr"), col("max_cell_size"))).over(ws))
+      .select(col("max_cell_size"), col("true_pairs"), col("caught_pairs"),
+        col("cand_pairs"), col("recall"),
+        (col("max_cell_size") === coalesce(col("_mp"), col("_mb"),
+          lit(caps.head))).as("chosen"))
+      .orderBy(col("max_cell_size"))
+  }
+
+  /** DuckDB twin of [[anchoredCapOperatingPoint]] (first-k centroid
+    * init).
+    */
+  def anchoredCapOperatingPointSql(table: String, vecCol: String,
+      idCol: String, k: Int, nprobe: Int, threshold: Double,
+      caps: Seq[Int], targetRecall: Double, sampleMod: Int): String = {
+    val levels = caps.map { cap =>
+      s"""oc$cap AS (SELECT CAST($cap AS INTEGER) AS max_cell_size,
+         |  CAST((SELECT count(*) FROM rcand WHERE mincap <= $cap) AS BIGINT) AS caught_pairs,
+         |  CAST((SELECT coalesce(sum(least(c, $cap) * (c * 2 - least(c, $cap) - 1)), 0)
+         |    FROM _cc) AS BIGINT) AS cand_pairs)""".stripMargin
+    }.mkString(",\n")
+    val union = caps.map(cap => s"SELECT * FROM oc$cap")
+      .mkString("\n  UNION ALL ")
+    s"""WITH _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |rs AS (SELECT $idCol AS id, $vecCol AS v FROM $table
+       |  WHERE $vecCol IS NOT NULL AND $idCol % $sampleMod = 0),
+       |_ppd AS (SELECT rs.id, rs.v, c.cidx,
+       |    row_number() OVER (PARTITION BY rs.id
+       |      ORDER BY ${VectorFunctions.l2sqSql("rs.v", "c.ce")}, c.cidx) AS prn
+       |  FROM rs CROSS JOIN _pct c),
+       |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe),
+       |_par AS (SELECT id, v, pc,
+       |    row_number() OVER (PARTITION BY pc ORDER BY id) AS arn FROM _pa),
+       |_cc AS (SELECT pc, CAST(count(*) AS BIGINT) AS c FROM _pa GROUP BY pc),
+       |rtp AS (SELECT a.id AS d1, b.id AS d2 FROM rs a, rs b
+       |  WHERE a.id < b.id
+       |    AND ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |rcand AS (SELECT a.id AS d1, b.id AS d2, min(a.arn) AS mincap
+       |  FROM _par a JOIN _pa b ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold
+       |  GROUP BY 1, 2),
+       |$levels,
+       |_lv AS ($union),
+       |_tpc AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM rtp),
+       |_sc AS (SELECT max_cell_size, true_pairs, caught_pairs, cand_pairs,
+       |    CASE WHEN true_pairs > 0 THEN
+       |      round(CAST(caught_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE), 6)
+       |    END AS recall
+       |  FROM _lv CROSS JOIN _tpc),
+       |_s1 AS (SELECT *,
+       |    min(CASE WHEN recall >= CAST($targetRecall AS DOUBLE) THEN max_cell_size END)
+       |      OVER () AS mp,
+       |    max(recall) OVER () AS mr
+       |  FROM _sc),
+       |_s2 AS (SELECT *,
+       |    min(CASE WHEN recall = mr THEN max_cell_size END) OVER () AS mb FROM _s1)
+       |SELECT max_cell_size, true_pairs, caught_pairs, cand_pairs, recall,
+       |  max_cell_size = coalesce(mp, mb, ${caps.head}) AS chosen
+       |FROM _s2 ORDER BY max_cell_size""".stripMargin
+  }
 
   /** CONSUMABLE operating point for the probed semantic-dedup tier
     * (r16) — the nprobe member of the tuner family (sign-LSH probes,
@@ -615,10 +929,15 @@ object EmbeddingCosineDedup {
   * per-cell pairwise work at ~10⁹ cosine tests spread over the cell
   * shuffle). Balance is NOT guaranteed — one drifted/hot cell is a
   * within-cell quadratic no global knob fixes — so at scale ALWAYS set
-  * `maxCellSize` (the per-cell first-cap, `max_cell_size` in YAML):
-  * it bounds any cell's mass at cap² regardless of skew, with the
-  * recall cost measured by [[EmbeddingCosineDedup.cappedRecall]] and
-  * the post-cap mass by [[EmbeddingCosineDedup.probedCappedStats]].
+  * `maxCellSize` (the per-cell cap, `max_cell_size` in YAML): it bounds
+  * any cell's mass regardless of skew, with the recall cost measured by
+  * [[EmbeddingCosineDedup.cappedRecall]]/[[EmbeddingCosineDedup.anchoredRecall]]
+  * and the post-cap mass by [[EmbeddingCosineDedup.probedCappedStats]]/
+  * [[EmbeddingCosineDedup.anchoredCapStats]]. Prefer `anchoredCap`
+  * (`cell_cap_mode: anchored` in YAML): mass per cell is LINEAR
+  * a·(2c−a−1) ≈ 2·cap·c instead of the first-cap's min(c,cap)², and a
+  * tail row duplicating an early row is still caught — first-wins dedup
+  * cares about the EARLIEST duplicate, which sits among the anchors.
   */
 final class AutoBucketedCosineDedup(
     vecCol: String = "embedding",
@@ -627,11 +946,13 @@ final class AutoBucketedCosineDedup(
     numBuckets: Int = 16,
     seed: Long = 42L,
     nprobe: Int = 1,
-    maxCellSize: Option[Int] = None) extends graft.core.RejectingOperator {
+    maxCellSize: Option[Int] = None,
+    anchoredCap: Boolean = false) extends graft.core.RejectingOperator {
   require(nprobe >= 1 && nprobe <= numBuckets,
     s"nprobe must be in [1, $numBuckets], got $nprobe")
   require(maxCellSize.forall(_ >= 1),
     s"maxCellSize must be >= 1 when set, got $maxCellSize")
+  require(!anchoredCap || maxCellSize.nonEmpty, "anchoredCap requires maxCellSize")
 
   val name = "embedding_cosine_dedup"
   private val bucketCol = "_auto_bucket"
@@ -672,7 +993,7 @@ final class AutoBucketedCosineDedup(
     */
   private def probedOp(df: DataFrame): ProbedCosineDedup =
     new ProbedCosineDedup(vecCol, idCol, threshold,
-      km.centroidsOf(modelFor(df)), nprobe, maxCellSize)
+      km.centroidsOf(modelFor(df)), nprobe, maxCellSize, anchoredCap)
 
   private def plainTier: Boolean = nprobe == 1 && maxCellSize.isEmpty
 
@@ -712,18 +1033,20 @@ final class ProbedCosineDedup(
     threshold: Double = 0.95,
     centroids: Seq[Seq[Double]] = Nil,
     nprobe: Int = 2,
-    maxCellSize: Option[Int] = None) extends graft.core.RejectingOperator {
+    maxCellSize: Option[Int] = None,
+    anchoredCap: Boolean = false) extends graft.core.RejectingOperator {
   require(centroids.nonEmpty, "centroids are required")
   require(nprobe >= 1 && nprobe <= centroids.length,
     s"nprobe must be in [1, ${centroids.length}], got $nprobe")
   require(maxCellSize.forall(_ >= 1),
     s"maxCellSize must be >= 1 when set, got $maxCellSize")
+  require(!anchoredCap || maxCellSize.nonEmpty, "anchoredCap requires maxCellSize")
 
   val name = "embedding_cosine_dedup_probed"
 
   def verifiedPairs(df: DataFrame): DataFrame =
     EmbeddingCosineDedup.probedPairs(df, vecCol, idCol, centroids, nprobe,
-      threshold, maxCellSize)
+      threshold, maxCellSize, anchoredCap)
 
   def apply(df: DataFrame): DataFrame =
     df.join(verifiedPairs(df).select(col("d2").as(idCol)).distinct(),

@@ -94,6 +94,11 @@ object NearDup {
   // mass bound, priced by this gate before anyone pays it
   private val semanticCap = 100
 
+  // cap-tuner candidate ladder: brackets every fixture's cell sizes
+  // (≈190 at sf0.001/0.01, ≈800 at sf0.1) so the chosen row moves with
+  // the corpus instead of pinning one scale's answer
+  private val semanticCapLevels = Seq(25, 50, 100, 200, 400, 800)
+
   /** First-8 centroid VECTORS (by vec_id — the deterministic oracle
     * init), for the probed tier whose cells are kernel indices 0..7.
     */
@@ -448,6 +453,72 @@ object NearDup {
         firstCentroids(s, dir), nprobe = semanticNprobe,
         maxCellSize = semanticCap),
       Some(graft.operators.vector.EmbeddingCosineDedup.probedCappedStatsSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, maxCellSize = semanticCap))),
+
+    // the ANCHORED cap (r17) — the linear cap policy: every cell
+    // member tests against the cap smallest-id ANCHORS below it, so a
+    // hot cell costs ≈ 2·cap·c instead of min(c,cap)² — and, unlike
+    // the first-cap, a tail duplicate of an early row is still caught
+    // (first-wins dedup cares about the EARLIEST duplicate, which sits
+    // among the anchors). Oracle: anchors via QUALIFY, pairs from
+    // anchors × all members.
+    OracleQuery("semantic_dedup_anchored",
+      (s, dir) => new graft.operators.vector.ProbedCosineDedup(
+          "embedding", "vec_id", threshold = 0.35,
+          centroids = firstCentroids(s, dir), nprobe = semanticNprobe,
+          maxCellSize = Some(semanticCap), anchoredCap = true)(
+          Tables(s, dir, "embeddings"))
+        .select(col("vec_id")).orderBy(col("vec_id")),
+      Some(graft.operators.vector.EmbeddingCosineDedup.probedKeepSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, threshold = 0.35,
+        maxCellSize = Some(semanticCap), anchoredCap = true))),
+
+    // recall of the two cap policies at the SAME cap, side by side
+    // with the uncapped probed tier — first ⊆ anchored ⊆ probed by
+    // construction, so the anchored − capped gap is exactly what the
+    // linear mass buys back. Measured at cap=100: sf0.001/0.01 cells
+    // barely exceed the cap, so 0.951/0.949 ≈ anchored ≈ capped; at
+    // sf0.1 (cells up to 7.5× the cap — the deliberately undersized
+    // clustering) the first-cap collapse to 0.079 recovers 6× to 0.474
+    // under anchoring at mass 149.5k vs 636k uncapped (a·(2c−a−1),
+    // linear) — the remaining gap to probed 0.936 is the numBuckets
+    // sizing rule's job, not the cap's
+    OracleQuery("semantic_anchored_recall",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.anchoredRecall(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        firstCentroids(s, dir), nprobe = semanticNprobe, threshold = 0.35,
+        maxCellSize = semanticCap, sampleMod = 2),
+      Some(graft.operators.vector.EmbeddingCosineDedup.anchoredRecallSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, threshold = 0.35,
+        maxCellSize = semanticCap, sampleMod = 2))),
+
+    // the CAP TUNER (r17): anchored-cap recall + mass at every
+    // candidate cap in ONE candidate pass, with a chosen config row —
+    // max_cell_size joins the tuner family (probes / L / geometry /
+    // nprobe), consumable as `max_cell_size: {from_report:
+    // semantic_cap_operating_point}`
+    OracleQuery("semantic_cap_operating_point",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.anchoredCapOperatingPoint(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        firstCentroids(s, dir), nprobe = semanticNprobe, threshold = 0.35,
+        caps = semanticCapLevels, targetRecall = 0.8, sampleMod = 2),
+      Some(graft.operators.vector.EmbeddingCosineDedup.anchoredCapOperatingPointSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, threshold = 0.35,
+        caps = semanticCapLevels, targetRecall = 0.8, sampleMod = 2))),
+
+    // anchored-cap mass evidence: per cell, the quadratic / first-cap /
+    // anchored ordered candidate masses from counts alone — the
+    // anchored column is linear in the cell count by construction
+    OracleQuery("semantic_anchored_stats",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.anchoredCapStats(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        firstCentroids(s, dir), nprobe = semanticNprobe,
+        maxCellSize = semanticCap),
+      Some(graft.operators.vector.EmbeddingCosineDedup.anchoredCapStatsSql(
         "embeddings", "embedding", "vec_id", k = 8,
         nprobe = semanticNprobe, maxCellSize = semanticCap))),
 

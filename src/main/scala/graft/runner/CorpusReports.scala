@@ -38,7 +38,8 @@ object CorpusReports {
     * — the vector-side tuner family, each at its oracle-gate settings.
     */
   def embeddingNames: Seq[String] = Seq("multiprobe_operating_point",
-    "mutual_knn_or_operating_point", "semantic_probe_operating_point")
+    "mutual_knn_or_operating_point", "semantic_probe_operating_point",
+    "semantic_cap_operating_point")
 
   def build(name: String, df: DataFrame, c: Cols): DataFrame = name match {
     case "source_drift" =>
@@ -84,6 +85,14 @@ object CorpusReports {
         new graft.operators.ml.KMeansBuckets("embedding", "cluster_id", 8)
           .firstKCentroids(df, "vec_id"),
         maxNprobe = 4, threshold = 0.35, targetRecall = 0.8, sampleMod = 2)
+    case "semantic_cap_operating_point" =>
+      graft.operators.vector.EmbeddingCosineDedup.anchoredCapOperatingPoint(df,
+        "embedding", "vec_id",
+        new graft.operators.ml.KMeansBuckets("embedding", "cluster_id", 8)
+          .firstKCentroids(df, "vec_id"),
+        nprobe = 3, threshold = 0.35,
+        caps = Seq(25, 50, 100, 200, 400, 800),
+        targetRecall = 0.8, sampleMod = 2)
     case other => throw new IllegalArgumentException(
       s"unknown report '$other'; available: ${(names ++ embeddingNames).mkString(", ")}")
   }

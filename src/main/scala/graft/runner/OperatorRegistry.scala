@@ -148,10 +148,18 @@ object OperatorRegistry {
       // nprobe > 1 probes each row's nprobe nearest cells (r16): the
       // boundary-duplicate recall lever, candidate mass bounded ×nprobe
       nprobe = p.int("nprobe", 1),
-      // hot-cell first-cap (r17): per cell only the max_cell_size
-      // smallest ids participate — bounds a skewed cell at cap², the
-      // knob to ALWAYS set at corpus scale
-      maxCellSize = p.long("max_cell_size").map(_.toInt))
+      // hot-cell cap (r17): bounds a skewed cell's candidate mass, the
+      // knob to ALWAYS set at corpus scale. cell_cap_mode "first" keeps
+      // only the cap smallest ids (mass min(c,cap)²); "anchored" tests
+      // every member against the cap smallest anchors (mass ≈ 2·cap·c,
+      // linear — and a tail duplicate of an early row is still caught)
+      maxCellSize = p.long("max_cell_size").map(_.toInt),
+      anchoredCap = p.str("cell_cap_mode", "first") match {
+        case "first"    => false
+        case "anchored" => true
+        case other => throw new IllegalArgumentException(
+          s"cell_cap_mode must be 'first' or 'anchored', got '$other'")
+      })
   })
 
   // OR-amplified mutual-kNN anchor-pair mining (r16): num_bands is the

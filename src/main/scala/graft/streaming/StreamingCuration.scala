@@ -288,6 +288,17 @@ object StreamingCuration {
     * semantics), and the store keeps only admitted assignments, which
     * also bounds the store itself at cap rows per (epoch-history,
     * cell).
+    *
+    * `anchoredCap` (r17): the ANCHORED cap policy's twin — admission
+    * (and the store) are identical, but the admitted rows are ANCHORS:
+    * every batch assignment (admitted or not) tests against the
+    * anchors below it (in-batch by id, cross-trigger against the
+    * stored prior anchors), so a tail duplicate of an early row is
+    * still dropped while per-trigger pair mass stays ≤ cap × batch
+    * cell count. Anchor sets are the cap smallest ids per cell —
+    * prefix-stable under ordered arrival — so the per-trigger union
+    * equals the one-shot batch ProbedCosineDedup(anchoredCap = true)
+    * (pinned in StreamingSpec).
     */
   def probedDedupForeachBatch(
       stream: DataFrame,
@@ -300,10 +311,12 @@ object StreamingCuration {
       nprobe: Int = 2,
       threshold: Double = 0.95,
       seed: Long = 42L,
-      maxCellSize: Option[Int] = None)
+      maxCellSize: Option[Int] = None,
+      anchoredCap: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(maxCellSize.forall(_ >= 1),
       s"maxCellSize must be >= 1 when set, got $maxCellSize")
+    require(!anchoredCap || maxCellSize.nonEmpty, "anchoredCap requires maxCellSize")
     val km = new graft.operators.ml.KMeansBuckets(vecCol, "_cell", numBuckets, seed)
     val centroids = km.centroidsOf(km.fit(refCorpus)) // frozen ONCE
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -343,17 +356,21 @@ object StreamingCuration {
           admitted.count() // materialize: pairs + the store write consume it
           // in-batch pairwise drops (smaller id wins) + cross-trigger
           // drops (every prior row is earlier by the ordered-arrival
-          // contract); a pair needs a SHARED admitted cell
+          // contract). First-cap: a pair needs a SHARED admitted cell
+          // on BOTH sides. Anchored: the d1 side must be admitted (an
+          // anchor), the d2/probe side is EVERY batch assignment — the
+          // anchors-below-you test of the batch anchored policy.
+          val probeSide = if (anchoredCap) cells else admitted
           val l = admitted.select(col("_pc"), col(idCol).as("_d1"),
             col(vecCol).as("_v1"))
-          val r = admitted.select(col("_pc"), col(idCol).as("_d2"),
+          val r = probeSide.select(col("_pc"), col(idCol).as("_d2"),
             col(vecCol).as("_v2"))
           val selfDrops = l.join(r, Seq("_pc"))
             .filter(col("_d1") < col("_d2"))
             .filter(graft.functions.VectorFunctions.cosine(col("_v1"), col("_v2"))
               >= threshold)
             .select(col("_d2").as(idCol))
-          val crossDrops = admitted
+          val crossDrops = probeSide
             .join(prior.select(col("_pc"), col(vecCol).as("_pv")), Seq("_pc"))
             .filter(graft.functions.VectorFunctions.cosine(col(vecCol), col("_pv"))
               >= threshold)

@@ -774,6 +774,110 @@ class DedupSpec extends AnyFunSuite {
       EmbeddingCosineDedup.probedPairs(df, "embedding", "vec_id", cents, np, t, Some(0)))
   }
 
+  test("anchored-cap probed dedup: matches a plain-Scala reference, between first-cap and uncapped, catches tail duplicates of anchors, linear mass") {
+    import spark.implicits._
+    import graft.operators.vector.EmbeddingCosineDedup
+    val rnd = new scala.util.Random(77)
+    val dims = 6
+    val base = (0L until 150L).map(i => (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    // a duplicate-heavy tail: 30 copies of vector 0 under large ids —
+    // the adversarial hot-cell shape for a dedup cap (duplicates
+    // CLUSTER, so the hot cell is exactly where the duplicates are)
+    val vecs = base ++ (0L until 30L).map(i => (1000L + i, base.head._2))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Double]] = base.take(4).map(_._2.toSeq.map(_.toDouble))
+    val t = 0.2; val np = 2; val cap = 12
+    def pairsOf(anchored: Boolean, c: Option[Int],
+        frame: org.apache.spark.sql.DataFrame = df) =
+      EmbeddingCosineDedup.probedPairs(frame, "embedding", "vec_id", cents,
+          np, t, c, anchored)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsOf(anchored = false, None)
+    val first = pairsOf(anchored = false, Some(cap))
+    val anch = pairsOf(anchored = true, Some(cap))
+    // first ⊆ anchored ⊆ uncapped, all strict on this fixture
+    assert(first.subsetOf(anch) && anch.subsetOf(uncapped))
+    assert(first != anch && anch != uncapped, "vacuous fixture")
+    // a cap wider than the corpus is a no-op in anchored mode too
+    assert(pairsOf(anchored = true, Some(100000)) == uncapped)
+    // THE anchored-cap guarantee the first-cap lacks: every tail copy
+    // of vector 0 pairs with it (vec 0 is the globally smallest id, so
+    // it anchors its own cell), while under the first-cap the copies
+    // are invisible (both sides past the cap)
+    val copies = (0L until 30L).map(1000L + _).toSet
+    assert(copies.forall(c => anch((0L, c))),
+      "anchored cap must catch tail duplicates of an anchor")
+    assert(copies.forall(c => !first((0L, c))),
+      "fixture check: the first-cap misses these by construction")
+    // plain-Scala reference: pair (a,b), a<b caught iff some cell has a
+    // among its cap smallest probed ids and b probing it, same cosine
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def probes(v: Array[Float]): Seq[Int] =
+      cents.indices.map { i =>
+        (graft.functions.VectorFunctions.l2sq(v.toSeq.map(_.toDouble), cents(i)), i)
+      }.sorted.take(np).map(_._2)
+    val cellMembers: Map[Int, Seq[Long]] = cents.indices.map { c =>
+      c -> vecs.filter(v => probes(v._2).contains(c)).map(_._1).sorted
+    }.toMap
+    val anchors: Map[Int, Set[Long]] =
+      cellMembers.map { case (c, ms) => c -> ms.take(cap).toSet }
+    val want = (for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b
+      if cents.indices.exists(c => anchors(c)(a) && cellMembers(c).contains(b))
+      if cosine(va, vb) >= t
+    } yield (a, b)).toSet
+    assert(anch == want, "anchored pairs must match the plain-Scala reference")
+    // prefix stability (the streaming-equivalence property): anchor
+    // sets are the cap smallest ids, so pairs among a prefix equal the
+    // full run's pairs restricted to that prefix
+    val cut = 90L
+    val prefixPairs = pairsOf(anchored = true, Some(cap), df.filter(col("vec_id") < cut))
+    assert(prefixPairs == anch.filter(p => p._1 < cut && p._2 < cut))
+    // recall readout: first <= anchored <= probed <= truth, consistent
+    val r = EmbeddingCosineDedup.anchoredRecall(df, "embedding", "vec_id",
+      cents, np, t, cap, sampleMod = 1).head()
+    val (tp, pp, cp, ap) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(cp <= ap && ap <= pp && pp <= tp)
+    assert(ap == anch.size && cp == first.size && pp == uncapped.size)
+    assert(math.abs(r.getDouble(6) - ap.toDouble / tp) < 1e-6)
+    // stats: the anchored mass column is a·(2c−a−1) — linear in c,
+    // bounded by 2·cap·c regardless of skew
+    val st = EmbeddingCosineDedup.anchoredCapStats(
+      df, "embedding", "vec_id", cents, np, cap).collect()
+    st.foreach { s =>
+      val c = s.getLong(1); val a = s.getLong(2)
+      assert(a == math.min(c, cap.toLong))
+      assert(s.getLong(5) == a * (2 * c - a - 1))
+      assert(s.getLong(5) <= 2L * cap * c)
+    }
+    assert(st.map(_.getLong(1)).sum == np.toLong * vecs.length)
+    // operator surface: kept_uncapped ⊆ kept_anchored ⊆ kept_first
+    def keptOf(mc: Option[Int], anchored: Boolean) =
+      new graft.operators.vector.ProbedCosineDedup(
+        "embedding", "vec_id", t, cents, np, mc, anchored)(df)
+        .collect().map(_.getLong(0)).toSet
+    val kU = keptOf(None, anchored = false)
+    val kA = keptOf(Some(cap), anchored = true)
+    val kF = keptOf(Some(cap), anchored = false)
+    assert(kU.subsetOf(kA) && kA.subsetOf(kF))
+    assert(copies.forall(c => !kA(c)), "anchored kept set must drop the tail copies")
+    // anchoredCap without a cap is a config error
+    assertThrows[IllegalArgumentException](
+      EmbeddingCosineDedup.probedPairs(df, "embedding", "vec_id", cents,
+        np, t, None, anchoredCap = true))
+    assertThrows[IllegalArgumentException](
+      new graft.operators.vector.ProbedCosineDedup(
+        "embedding", "vec_id", t, cents, np, None, anchoredCap = true))
+  }
+
   test("auto-bucketed cosine dedup fits k-means ONCE per input frame across apply/rejected/mark") {
     val emb = table("embeddings")
     // probed tier (nprobe > 1): apply + rejected + mark on the same
@@ -798,6 +902,55 @@ class DedupSpec extends AnyFunSuite {
       maxCellSize = Some(10))
     assert(cappedOp(emb).count() >= plain(emb).count())
     assert(cappedOp.fitCount.get() == 1)
+  }
+
+  test("cap operating point: every level equals an independent anchored run; mass matches anchored stats; chosen unique; recall monotone") {
+    import graft.operators.vector.EmbeddingCosineDedup
+    val emb = table("embeddings")
+    val cents = new graft.operators.ml.KMeansBuckets("embedding", "cluster_id", 8)
+      .firstKCentroids(emb, "vec_id")
+    val caps = Seq(10, 40, 160, 640)
+    val rows = EmbeddingCosineDedup.anchoredCapOperatingPoint(emb, "embedding",
+      "vec_id", cents, nprobe = 3, threshold = 0.35, caps,
+      targetRecall = 0.8, sampleMod = 2).collect()
+    assert(rows.map(_.getInt(0)).toSeq == caps)
+    assert(rows.count(_.getBoolean(5)) == 1, "exactly one chosen row")
+    // recall is monotone in the cap (a bigger cap only adds anchors)
+    val recalls = rows.map(r => if (r.isNullAt(4)) 0.0 else r.getDouble(4))
+    assert(recalls.sliding(2).forall(w => w(0) <= w(1) + 1e-9), recalls.toSeq)
+    // the chosen row is the smallest cap meeting the target, else the
+    // smallest achieving the max measured recall
+    val target = 0.8
+    val wantChosen = rows.find(r => !r.isNullAt(4) && r.getDouble(4) >= target)
+      .map(_.getInt(0))
+      .getOrElse(rows.filter(r => !r.isNullAt(4) &&
+        r.getDouble(4) == recalls.max).map(_.getInt(0)).min)
+    assert(rows.find(_.getBoolean(5)).get.getInt(0) == wantChosen)
+    // every level's caught count equals an INDEPENDENT anchored run on
+    // the same deterministic sample; mass equals the anchored stats sum
+    val sample = emb.filter(col("embedding").isNotNull && col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    caps.foreach { cap =>
+      val row = rows.find(_.getInt(0) == cap).get
+      val ind = EmbeddingCosineDedup.probedPairs(sample, "embedding", "vec_id",
+        cents, 3, 0.35, Some(cap), anchoredCap = true).count()
+      assert(row.getLong(2) == ind, s"cap=$cap caught ${row.getLong(2)} != $ind")
+      val stSum = EmbeddingCosineDedup.anchoredCapStats(sample, "embedding",
+        "vec_id", cents, 3, cap)
+        .agg(org.apache.spark.sql.functions.sum(col("cand_pairs_anchored")))
+        .head().getLong(0)
+      assert(row.getLong(3) == stSum, s"cap=$cap mass ${row.getLong(3)} != $stSum")
+    }
+    // config errors: unsorted / duplicate / non-positive cap lists
+    assertThrows[IllegalArgumentException](
+      EmbeddingCosineDedup.anchoredCapOperatingPoint(emb, "embedding", "vec_id",
+        cents, 3, 0.35, Seq(40, 10), 0.8, sampleMod = 2))
+    assertThrows[IllegalArgumentException](
+      EmbeddingCosineDedup.anchoredCapOperatingPoint(emb, "embedding", "vec_id",
+        cents, 3, 0.35, Seq(10, 10), 0.8, sampleMod = 2))
+    assertThrows[IllegalArgumentException](
+      EmbeddingCosineDedup.anchoredCapOperatingPoint(emb, "embedding", "vec_id",
+        cents, 3, 0.35, Seq(0, 10), 0.8, sampleMod = 2))
   }
 
   test("nprobe operating point: every level equals an independent probed run; mass matches cluster stats; chosen unique") {

@@ -331,5 +331,25 @@ class EmptyInputSpec extends AnyFunSuite {
       cents, nprobe = 2, threshold = 0.5, maxCellSize = 3, sampleMod = 2).head()
     assert(cr.getLong(0) == 0L && cr.getLong(1) == 0L && cr.getLong(2) == 0L &&
       cr.isNullAt(3) && cr.isNullAt(4))
+    zero("anchored probed pairs")(EmbeddingCosineDedup.probedPairs(
+      noVecs, "embedding", "vec_id", cents, nprobe = 2, threshold = 0.5,
+      maxCellSize = Some(3), anchoredCap = true))
+    zero("anchored probed dedup kept")(new graft.operators.vector.ProbedCosineDedup(
+      "embedding", "vec_id", 0.5, cents, 2, Some(3), anchoredCap = true)(noVecs))
+    zero("anchored cap stats")(EmbeddingCosineDedup.anchoredCapStats(
+      noVecs, "embedding", "vec_id", cents, nprobe = 2, maxCellSize = 3))
+    val ar = EmbeddingCosineDedup.anchoredRecall(noVecs, "embedding", "vec_id",
+      cents, nprobe = 2, threshold = 0.5, maxCellSize = 3, sampleMod = 2).head()
+    assert((0 to 3).forall(i => ar.getLong(i) == 0L) &&
+      (4 to 6).forall(ar.isNullAt))
+    // the cap tuner still emits one row per cap with a unique default
+    // chosen (the smallest cap) on an empty corpus
+    val co = EmbeddingCosineDedup.anchoredCapOperatingPoint(noVecs, "embedding",
+      "vec_id", cents, nprobe = 2, threshold = 0.5, caps = Seq(2, 5),
+      targetRecall = 0.8, sampleMod = 2).collect()
+    assert(co.map(_.getInt(0)).toSeq == Seq(2, 5))
+    assert(co.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L && r.isNullAt(4)))
+    assert(co.filter(_.getBoolean(5)).map(_.getInt(0)).toSeq == Seq(2))
   }
 }

@@ -372,6 +372,39 @@ class PlanSpec extends AnyFunSuite {
       s"stats exchange carries embedding arrays: ${e.output.mkString(",")}"))
   }
 
+  test("anchored-cap probed dedup: pair join keys on the cell, anchor window shares it, stats stay count-only") {
+    val cents: Seq[Seq[Double]] =
+      (0 until 8).map(i => Seq.tabulate(16)(d => if (d == i) 1.0 else 0.0))
+    val pairs = graft.operators.vector.EmbeddingCosineDedup.probedPairs(
+      table("embeddings"), "embedding", "vec_id", cents, nprobe = 2,
+      threshold = 0.35, maxCellSize = Some(50), anchoredCap = true)
+    val p = planOf(pairs)
+    assert(!p.contains("CartesianProduct"), p)
+    val joins = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")) &&
+        !l.contains("LeftAnti")).toSeq
+    assert(joins.nonEmpty && joins.forall(_.contains("_pc")),
+      s"pair join must key on the probed cell:\n${joins.mkString("\n")}")
+    // the anchor rank window partitions by the same cell key — its
+    // exchange is the one the join needs anyway
+    val wins = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("_pc")),
+      s"anchor window must partition by the probed cell:\n${wins.mkString("\n")}")
+    // anchored mass evidence: one scan, counts only, no join, no rank
+    // window, no vector arrays through the exchange
+    val st = graft.operators.vector.EmbeddingCosineDedup.anchoredCapStats(
+      table("embeddings"), "embedding", "vec_id", cents, nprobe = 2,
+      maxCellSize = 50)
+    val sp = planOf(st)
+    assert(!sp.contains("Join") && !sp.contains("Window"), sp)
+    assert(sp.linesIterator.count(_.contains("FileScan")) == 1, sp)
+    val exec = st.queryExecution.executedPlan
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach(e => assert(!e.output.exists(_.name == "embedding"),
+      s"stats exchange carries embedding arrays: ${e.output.mkString(",")}"))
+  }
+
   test("ann brute-force top-k avoids a global sort and broadcasts the query side") {
     val emb = table("embeddings")
     val df = graft.operators.vector.AnnSearch.bruteForceTopK(

@@ -1006,12 +1006,20 @@ class RunnerSpec extends AnyFunSuite {
     assert(chosen.length == 1, s"exactly one chosen row, got ${chosen.length}")
     val nprobe = chosen.head.getAs[Int]("nprobe")
     assert(nprobe >= 1 && nprobe <= 4)
+    // the cap tuner persisted too, with its own single chosen row
+    val capRep = spark.read.parquet(
+      "/tmp/graft_tuned_dedup_out/_reports/semantic_cap_operating_point")
+    val capChosen = capRep.filter(org.apache.spark.sql.functions.col("chosen")).collect()
+    assert(capChosen.length == 1, s"exactly one chosen cap row, got ${capChosen.length}")
+    val cap = capChosen.head.getAs[Int]("max_cell_size")
+    assert(Seq(25, 50, 100, 200, 400, 800).contains(cap))
     // the pipeline's kept set equals a direct operator run at the
-    // chosen nprobe under the same trained buckets and cap
+    // chosen nprobe AND chosen cap under the same trained buckets (the
+    // shipped config uses the ANCHORED cap mode)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val want = new graft.operators.vector.AutoBucketedCosineDedup(
         "embedding", "vec_id", 0.35, numBuckets = 8, seed = 42L,
-        nprobe = nprobe, maxCellSize = Some(100))(emb)
+        nprobe = nprobe, maxCellSize = Some(cap), anchoredCap = true)(emb)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val got = spark.read.parquet(
         "/tmp/graft_tuned_dedup_out/embeddings_deduped")
@@ -1067,6 +1075,32 @@ class RunnerSpec extends AnyFunSuite {
     val k2 = run(2)
     assert(k2 > 0 && k2 <= k1,
       s"probing can only widen the drop set: nprobe=2 kept $k2 vs nprobe=1 kept $k1")
+  }
+
+  test("cell_cap_mode reaches the registry: anchored keeps no more than first at the same cap, bad value rejected") {
+    def run(mode: String): Long = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_capmode_$mode").toString
+      val conf = PipelineConf.fromYaml(
+        s"""data_loader:
+           |  type: ParquetLoader
+           |  params: {format: parquet, path: "/root/testdata/sf0.001/embeddings.parquet"}
+           |stages:
+           |  - name: dedup
+           |    operators:
+           |      - name: embedding_cosine_deduplicator
+           |        params: {embedding_field: "embedding", id_field: "vec_id", threshold: 0.35, num_buckets: 8, nprobe: 2, max_cell_size: 10, cell_cap_mode: $mode}
+           |data_writer:
+           |  type: ParquetDataWriter
+           |  params: {output_path: "$base/out", table_name: "vecs"}
+           |""".stripMargin)
+      PipelineRunner.run(spark, conf).run.output
+    }
+    val kFirst = run("first")
+    val kAnchored = run("anchored")
+    // anchored pairs ⊇ first-cap pairs at the same cap ⇒ kept no more
+    assert(kAnchored > 0 && kAnchored <= kFirst,
+      s"anchored kept $kAnchored vs first kept $kFirst")
+    assertThrows[IllegalArgumentException](run("sideways"))
   }
 
   test("yaml pipeline runs the containment deduplicator with rejects") {

@@ -494,6 +494,74 @@ class StreamingSpec extends AnyFunSuite {
       s"store must hold at most cap=$cap admitted rows per cell: $store")
   }
 
+  test("streaming anchored-cap probed dedup: per-trigger union equals the anchored batch operator; tail duplicates of anchors are caught") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(2027)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    for (i <- 0L until 100L)
+      buf += ((i, if (i % 4 == 3) jitter(buf((i - 3).toInt)._2)
+                  else Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // a duplicate-heavy TAIL: near-copies of the earliest rows landing
+    // long after every cell closed — the shape the first-cap misses
+    // (both pair sides past the cap) and the anchored cap must catch
+    // (the original sits among its cell's anchors)
+    for (i <- 0L until 20L) buf += ((200L + i, jitter(buf((i % 5).toInt)._2)))
+    val vecs = buf.toSeq
+    val all = vecs.toDF("vec_id", "embedding")
+    val ref = vecs.take(40).toDF("vec_id", "embedding")
+    val (nb, np, t, cap) = (4, 2, 0.9, 15)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_probed_anch")
+    val outDir = baseDir.resolve("out").toString
+    val priorDir = baseDir.resolve("prior").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingCuration.probedDedupForeachBatch(
+        mem.toDF().toDF("vec_id", "embedding"), ref, outDir, priorDir,
+        vecCol = "embedding", idCol = "vec_id", numBuckets = nb,
+        nprobe = np, threshold = t, maxCellSize = Some(cap),
+        anchoredCap = true)
+      .option("checkpointLocation", baseDir.resolve("ckpt").toString)
+      .start()
+    try {
+      val (b1, rest) = vecs.splitAt(40)
+      val (b2, b3) = rest.splitAt(40)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val km = new graft.operators.ml.KMeansBuckets("embedding", "_cell", nb, 42L)
+    val cents = km.centroidsOf(km.fit(ref))
+    val want = new graft.operators.vector.ProbedCosineDedup(
+        "embedding", "vec_id", t, cents, np, Some(cap), anchoredCap = true)(all)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(outDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"anchored stream kept (${got.size}) must equal anchored batch (${want.size}); " +
+        s"sym-diff: ${(got diff want) union (want diff got)}")
+    // the anchored policy's whole point on this fixture: the tail
+    // copies are dropped (their originals are anchors), while the
+    // first-cap run keeps them all
+    val tailIds = (0L until 20L).map(200L + _).toSet
+    assert(tailIds.forall(i => !got(i)),
+      s"anchored twin must drop the tail duplicates; kept: ${tailIds.filter(got)}")
+    val firstCapKept = new graft.operators.vector.ProbedCosineDedup(
+        "embedding", "vec_id", t, cents, np, Some(cap))(all)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tailIds.forall(firstCapKept),
+      "fixture check: the first-cap keeps the tail copies by construction")
+    // the store is still the ADMITTED (anchor) membership — at most
+    // cap per cell even though every row is probed against it
+    val store = spark.read.parquet(priorDir)
+      .groupBy(col("_pc")).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(store.values.forall(_ <= cap.toLong),
+      s"store must hold at most cap=$cap anchors per cell: $store")
+  }
+
   test("a crashed first epoch (dir exists, nothing committed) wedges neither the probed twin nor the prior helper") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
