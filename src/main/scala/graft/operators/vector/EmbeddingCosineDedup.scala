@@ -947,12 +947,15 @@ final class AutoBucketedCosineDedup(
     seed: Long = 42L,
     nprobe: Int = 1,
     maxCellSize: Option[Int] = None,
-    anchoredCap: Boolean = false) extends graft.core.RejectingOperator {
+    anchoredCap: Boolean = false,
+    trainSampleMod: Option[Int] = None) extends graft.core.RejectingOperator {
   require(nprobe >= 1 && nprobe <= numBuckets,
     s"nprobe must be in [1, $numBuckets], got $nprobe")
   require(maxCellSize.forall(_ >= 1),
     s"maxCellSize must be >= 1 when set, got $maxCellSize")
   require(!anchoredCap || maxCellSize.nonEmpty, "anchoredCap requires maxCellSize")
+  require(trainSampleMod.forall(_ >= 1),
+    s"trainSampleMod must be >= 1 when set, got $trainSampleMod")
 
   val name = "embedding_cosine_dedup"
   private val bucketCol = "_auto_bucket"
@@ -969,13 +972,26 @@ final class AutoBucketedCosineDedup(
   @volatile private var cachedFit: (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = null
   /** Test hook: number of k-means fits this instance has run. */
   private[graft] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** `trainSampleMod` (r17): the fit runs on the deterministic
+    * 1-in-mod id sample (`idCol % mod = 0`) and ASSIGNMENT stays over
+    * the full corpus — the standard 100 TB shape: Lloyd's iterations
+    * scan the sample, not 100 TB per iteration, and the id-mod sample
+    * is replay-stable (no RNG, no order dependence). Centroid quality
+    * degrades gracefully with the sample (k-means is a density
+    * estimator; a 1% uniform sample preserves the cell structure the
+    * bucketing needs).
+    */
+  private def trainFrame(df: DataFrame): DataFrame = trainSampleMod match {
+    case None => df
+    case Some(mod) => df.filter(col(idCol) % mod === 0)
+  }
   private def modelFor(df: DataFrame): org.apache.spark.ml.clustering.KMeansModel =
     synchronized {
       val c = cachedFit
       if (c != null && (c._1 eq df)) c._2
       else {
         fitCount.incrementAndGet()
-        val m = km.fit(df)
+        val m = km.fit(trainFrame(df))
         cachedFit = (df, m)
         m
       }

