@@ -983,7 +983,16 @@ final class AutoBucketedCosineDedup(
     */
   private def trainFrame(df: DataFrame): DataFrame = trainSampleMod match {
     case None => df
-    case Some(mod) => df.filter(col(idCol) % mod === 0)
+    case Some(mod) =>
+      val sampled = df.filter(col(idCol) % mod === 0)
+      // fail with the knob's name, not a deep MLlib empty-collection
+      // error: a mod past the id range (or an id space with no
+      // multiples of mod) leaves k-means nothing to fit. One bounded
+      // probe (limit 1) — the fit that follows dwarfs it.
+      if (sampled.isEmpty) throw new IllegalArgumentException(
+        s"train_sample_mod=$mod leaves no training rows " +
+          s"($idCol has no multiples of $mod in this corpus)")
+      sampled
   }
   private def modelFor(df: DataFrame): org.apache.spark.ml.clustering.KMeansModel =
     synchronized {

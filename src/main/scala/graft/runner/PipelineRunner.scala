@@ -80,7 +80,8 @@ object PipelineRunner {
     * params reference it.
     */
   private def resolveReportParams(spark: SparkSession, corpus: DataFrame,
-      params: Params, reportsDir: String): Params = {
+      params: Params, reportsDir: String,
+      reportCache: scala.collection.mutable.Map[String, DataFrame]): Params = {
     import scala.jdk.CollectionConverters._
     def spec(v: Any): Option[Map[String, Any]] = v match {
       case jm: java.util.Map[_, _] =>
@@ -93,8 +94,10 @@ object PipelineRunner {
     }
     if (!params.m.values.exists(spec(_).isDefined)) params
     else {
-      val cache = scala.collection.mutable.Map.empty[String, DataFrame]
-      def report(name: String): DataFrame = cache.getOrElseUpdate(name, {
+      // the cache is RUN-scoped (caller-supplied): two operators
+      // referencing the same report share one corpus scan instead of
+      // re-running the tuner per operator conf
+      def report(name: String): DataFrame = reportCache.getOrElseUpdate(name, {
         CorpusReports.run(spark, name, corpus, reportsDir)
         spark.read.parquet(s"$reportsDir/$name")
       })
@@ -161,10 +164,12 @@ object PipelineRunner {
     // chosen-row value (column defaults to the param key; override
     // with `column:`) — so a config consumes the tuner instead of
     // hardcoding the knob the tuner exists to choose.
+    val reportCache =
+      scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
     val resolvedStages = conf.stages.map(st => st.copy(operators =
       st.operators.map(o =>
         o.copy(params = resolveReportParams(spark, df, o.params,
-          s"$outputPathEarly/_reports")))))
+          s"$outputPathEarly/_reports", reportCache)))))
 
     val rejects = conf.executor.rejectedEnabled
     if (rejects) df = Disposition.init(df)

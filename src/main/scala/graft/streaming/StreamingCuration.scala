@@ -44,9 +44,31 @@ object StreamingCuration {
         fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
     }
     if (!committed) None
-    else
+    else {
+      // distinguish committed-but-EMPTY (zero data files — schema
+      // inference throws, the clean no-prior fallback) from a store
+      // that HAS data but fails analysis (schema drift, a corrupt
+      // layout): swallowing the latter would silently disable
+      // cross-trigger dedup while looking healthy — that failure must
+      // surface, not read as "no prior yet"
+      def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean = {
+        val it = fs.listStatus(p).iterator
+        var found = false
+        while (!found && it.hasNext) {
+          val st = it.next(); val n = st.getPath.getName
+          if (n.head != '_' && n.head != '.') {
+            if (st.isDirectory) found = hasDataFile(st.getPath)
+            else found = true
+          }
+        }
+        found
+      }
       try Some(spark.read.parquet(dir).filter(col("epoch") =!= epoch))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (hasDataFile(path)) throw e else None
+      }
+    }
   }
 
   /** Incremental file source over a directory of parquet shards —

@@ -932,6 +932,14 @@ class DedupSpec extends AnyFunSuite {
       new graft.operators.vector.AutoBucketedCosineDedup(
         "embedding", "vec_id", 0.35, numBuckets = 8,
         trainSampleMod = Some(0)))
+    // a mod that leaves no training rows names the knob instead of
+    // failing deep inside the MLlib fit
+    val noZero = emb.filter(col("vec_id") >= 1 && col("vec_id") <= 50)
+    val err = intercept[IllegalArgumentException](
+      new graft.operators.vector.AutoBucketedCosineDedup(
+        "embedding", "vec_id", 0.35, numBuckets = 8, nprobe = 2,
+        trainSampleMod = Some(1000))(noZero).count())
+    assert(err.getMessage.contains("train_sample_mod"))
   }
 
   test("cap operating point: every level equals an independent anchored run; mass matches anchored stats; chosen unique; recall monotone") {

@@ -596,6 +596,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingCuration.committedPrior(spark, priorDir, 99L).isDefined)
   }
 
+  test("committedPrior surfaces a store with data that fails analysis instead of reading it as no-prior") {
+    import spark.implicits._
+    // a committed-but-EMPTY store (epoch dir, _SUCCESS, zero data
+    // files) is the clean no-prior fallback
+    val emptyBase = java.nio.file.Files.createTempDirectory("graft_prior_empty")
+    val emptyDir = emptyBase.resolve("prior").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(emptyDir, "epoch=0"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(emptyDir, "epoch=0", "_SUCCESS"))
+    assert(StreamingCuration.committedPrior(spark, emptyDir, 5L).isEmpty,
+      "committed-but-empty must still fall back to no-prior")
+    // but a store HOLDING DATA whose read fails analysis (here: _pc as
+    // a data column in one epoch, a partition directory in another —
+    // the layout-drift shape) must THROW, not silently disable the
+    // cross-trigger dedup
+    val driftBase = java.nio.file.Files.createTempDirectory("graft_prior_drift")
+    val driftDir = driftBase.resolve("prior").toString
+    Seq((1L, 3)).toDF("vec_id", "_pc")
+      .write.parquet(s"$driftDir/epoch=0")
+    Seq((2L, 4)).toDF("vec_id", "_pc")
+      .write.partitionBy("_pc").parquet(s"$driftDir/epoch=1")
+    // Spark surfaces this layout conflict as SparkRuntimeException (not
+    // AnalysisException) — either way the contract is THROW: a store
+    // with data must never silently read as "no prior yet"
+    val e = intercept[Exception](
+      StreamingCuration.committedPrior(spark, driftDir, 5L))
+    assert(e.getMessage.contains("_pc"), s"unexpected error: $e")
+  }
+
   test("streaming anchor mining: union of per-trigger pairs equals the batch first-cap twin; frozen stats never drift") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
