@@ -24,16 +24,47 @@ final class EmbeddingCosineDedup(
     vecCol: String = "embedding",
     idCol: String = "id",
     threshold: Double = 0.95,
-    bucketCol: Option[String] = None) extends graft.core.RejectingOperator {
+    bucketCol: Option[String] = None,
+    maxBucketSize: Option[Int] = None,
+    anchoredCap: Boolean = false) extends graft.core.RejectingOperator {
+  require(maxBucketSize.forall(_ >= 1),
+    s"maxBucketSize must be >= 1 when set, got $maxBucketSize")
+  require(maxBucketSize.isEmpty || bucketCol.nonEmpty,
+    "maxBucketSize needs a bucketCol (the brute-force tier has no buckets to cap)")
+  require(!anchoredCap || maxBucketSize.nonEmpty, "anchoredCap requires maxBucketSize")
 
   val name = "embedding_cosine_dedup"
 
-  /** Duplicate pairs (d1 < d2, cosine ≥ threshold). */
+  /** Duplicate pairs (d1 < d2, cosine ≥ threshold). `maxBucketSize`
+    * (r17) is the hot-bucket cap for the EXPLICIT-bucket tier — a
+    * user-supplied bucket column can be just as skewed as a drifted
+    * k-means cell, and without a cap one hot bucket is a within-bucket
+    * quadratic. Same two policies as the probed tier
+    * ([[EmbeddingCosineDedup.probedPairs]]): first-cap (both pair
+    * sides rank-capped, mass min(c,cap)²) or `anchoredCap` (every
+    * member vs the cap smallest-id anchors, mass a·(2c−a−1) — linear,
+    * and a tail duplicate of an early row is still caught).
+    */
   def verifiedPairs(df: DataFrame): DataFrame = {
     val baseCols = Seq(col(idCol), col(vecCol)) ++ bucketCol.map(col)
     val v = df.select(baseCols: _*)
-    val left = v.toDF((Seq("d1", "v1") ++ bucketCol.map(_ => "bk")): _*)
-    val right = v.toDF((Seq("d2", "v2") ++ bucketCol.map(_ => "bk")): _*)
+    val all = v.toDF((Seq("_id", "_v") ++ bucketCol.map(_ => "bk")): _*)
+    val lhs0 = maxBucketSize match {
+      case None => all
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bk")).orderBy(col("_id"))
+        all.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= cap).drop("_rn")
+    }
+    val rhs0 = maxBucketSize match {
+      case Some(_) if !anchoredCap => lhs0
+      case _ => all
+    }
+    val left = lhs0.select((Seq(col("_id").as("d1"), col("_v").as("v1")) ++
+      bucketCol.map(_ => col("bk"))): _*)
+    val right = rhs0.select((Seq(col("_id").as("d2"), col("_v").as("v2")) ++
+      bucketCol.map(_ => col("bk"))): _*)
     val joined = bucketCol match {
       case Some(_) => left.join(right, Seq("bk")).filter(col("d1") < col("d2"))
       case None    => left.crossJoin(right).filter(col("d1") < col("d2"))

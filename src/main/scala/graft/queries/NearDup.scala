@@ -368,6 +368,28 @@ object NearDup {
               |SELECT vec_id FROM embeddings
               |WHERE vec_id NOT IN (SELECT d2 FROM ver) ORDER BY vec_id""".stripMargin)),
 
+    // the EXPLICIT-bucket tier under the anchored hot-bucket cap
+    // (r17): a user-supplied bucket column can be just as skewed as a
+    // drifted k-means cell, so the registry's bucket_field path takes
+    // the same max_cell_size / cell_cap_mode knobs — pinned here at a
+    // cap that binds on the fixture (cells run ~190-800 rows)
+    OracleQuery("embedding_cosine_dedup_bucketed_anchored",
+      (s, dir) => new EmbeddingCosineDedup(
+          vecCol = "embedding", idCol = "vec_id", threshold = 0.35,
+          bucketCol = Some("cluster_id"), maxBucketSize = Some(semanticCap),
+          anchoredCap = true)(withClusters(s, dir))
+        .select(col("vec_id")).orderBy(col("vec_id")),
+      Some(s"""WITH ${kmeansOp.assignCteSql("embeddings", "vec_id")},
+              |v AS (SELECT e.vec_id AS id, e.embedding AS emb, a.cluster_id AS bk
+              |  FROM embeddings e JOIN _assigned a ON a.id = e.vec_id),
+              |va AS (SELECT id, emb, bk FROM v
+              |  QUALIFY row_number() OVER (PARTITION BY bk ORDER BY id) <= $semanticCap),
+              |ver AS (SELECT a.id AS d1, b.id AS d2
+              |  FROM va a JOIN v b ON a.bk = b.bk AND a.id < b.id
+              |  WHERE ${graft.functions.VectorFunctions.cosineSql("a.emb", "b.emb")} >= 0.35)
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT d2 FROM ver) ORDER BY vec_id""".stripMargin)),
+
     // recall readout for the k-means-bucketed semantic dedup — r16: the
     // SIDE-BY-SIDE form (VERDICT r15 #1): single assignment (the r15
     // tier — its single_pairs equals the old gate's bucket_pairs, the

@@ -138,7 +138,18 @@ object OperatorRegistry {
       vecCol = p.str("embedding_field", "embedding"),
       idCol = p.str("id_field", "id"),
       threshold = p.double("threshold", 0.95),
-      bucketCol = Some(bucket))
+      bucketCol = Some(bucket),
+      // the hot-bucket cap applies to the explicit-bucket tier too —
+      // a user-supplied bucket column can be just as skewed as a
+      // drifted k-means cell (same max_cell_size / cell_cap_mode keys
+      // as the auto-bucketed path; first-cap or anchored)
+      maxBucketSize = p.long("max_cell_size").map(_.toInt),
+      anchoredCap = p.str("cell_cap_mode", "first") match {
+        case "first"    => false
+        case "anchored" => true
+        case other => throw new IllegalArgumentException(
+          s"cell_cap_mode must be 'first' or 'anchored', got '$other'")
+      })
     case None => new graft.operators.vector.AutoBucketedCosineDedup(
       vecCol = p.str("embedding_field", "embedding"),
       idCol = p.str("id_field", "id"),

@@ -904,6 +904,42 @@ class DedupSpec extends AnyFunSuite {
     assert(cappedOp.fitCount.get() == 1)
   }
 
+  test("explicit-bucket cap policies equal the probed tier at nprobe=1 over the same partition") {
+    import spark.implicits._
+    import graft.operators.vector.EmbeddingCosineDedup
+    val rnd = new scala.util.Random(91)
+    val base = (0L until 120L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val vecs = base ++ (0L until 20L).map(i => (500L + i, base.head._2))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Double]] = base.take(4).map(_._2.toSeq.map(_.toDouble))
+    val t = 0.2; val cap = 10
+    // bucket = the nprobe=1 assignment, so the bucketed tier and the
+    // probed tier run the SAME partition — capped pairs must agree
+    // policy-for-policy
+    val withBk = df.withColumn("_bk",
+      graft.plans.kernels.nearest_centroid(col("embedding"), cents))
+    def pairsOf(frame: org.apache.spark.sql.DataFrame) =
+      frame.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bucketed(mc: Option[Int], anchored: Boolean) =
+      pairsOf(new EmbeddingCosineDedup("embedding", "vec_id", t,
+        Some("_bk"), mc, anchored).verifiedPairs(withBk))
+    def probed(mc: Option[Int], anchored: Boolean) =
+      pairsOf(EmbeddingCosineDedup.probedPairs(df, "embedding", "vec_id",
+        cents, 1, t, mc, anchored))
+    assert(bucketed(None, anchored = false) == probed(None, anchored = false))
+    assert(bucketed(Some(cap), anchored = false) == probed(Some(cap), anchored = false))
+    assert(bucketed(Some(cap), anchored = true) == probed(Some(cap), anchored = true))
+    // the cap binds and the policies differ on this fixture
+    assert(bucketed(Some(cap), anchored = false) != bucketed(Some(cap), anchored = true))
+    assert(bucketed(Some(cap), anchored = true) != bucketed(None, anchored = false))
+    // config errors: a cap without buckets (brute force has nothing to
+    // cap), anchored without a cap
+    assertThrows[IllegalArgumentException](new EmbeddingCosineDedup(
+      "embedding", "vec_id", t, None, Some(cap)))
+    assertThrows[IllegalArgumentException](new EmbeddingCosineDedup(
+      "embedding", "vec_id", t, Some("_bk"), None, anchoredCap = true))
+  }
+
   test("trainSampleMod fits k-means on the deterministic id sample and assigns the full corpus") {
     val emb = table("embeddings")
     val mod = 3
