@@ -23,10 +23,13 @@ final class SimHashNearDedup(
     idCol: String = "id",
     bits: Int = 32,
     k: Int = 3,
-    portableHashes: Boolean = true) extends graft.core.RejectingOperator {
+    portableHashes: Boolean = true,
+    maxBucketSize: Option[Int] = None) extends graft.core.RejectingOperator {
 
   require(k >= 0 && bits % (k + 1) == 0,
     s"bits ($bits) must divide into k+1 (${k + 1}) equal blocks")
+  require(maxBucketSize.forall(_ >= 1),
+    s"maxBucketSize must be >= 1 when set, got $maxBucketSize")
   private val numBlocks = k + 1
   private val blockWidth = bits / numBlocks
   private val mask = (1L << blockWidth) - 1
@@ -35,13 +38,32 @@ final class SimHashNearDedup(
 
   private val fingerprint = new SimHashDedup(textCol, idCol, idCol, bits, portableHashes)
 
-  /** Verified pairs (d1 < d2, hamming(fp1, fp2) ≤ k). */
+  /** Verified pairs (d1 < d2, hamming(fp1, fp2) ≤ k).
+    *
+    * `maxBucketSize` (r17) is the hot-bucket guard: duplicates CLUSTER
+    * (identical texts → identical fingerprints → every block collides),
+    * so without a cap the duplicate mass itself is a within-bucket
+    * quadratic — the exact blowup the gate config once dodged by
+    * widening blocks (9.2 s at 8-bit blocks, see the gate note).
+    * Policy mirrors [[MinHashLSHDedup]]: a (block, value) bucket with
+    * more than cap members is DROPPED via a count-only broadcast
+    * anti-join — counts on the wire, never a fingerprint-carrying
+    * exchange keyed on the hot bucket.
+    */
   def verifiedPairs(df: DataFrame): DataFrame = {
     val base = df.select(col(idCol).as("_id"),
       fingerprint.simhash(col(textCol)).as("_fp"))
     val blockVals = array((0 until numBlocks).map(b =>
       shiftright(col("_fp"), b * blockWidth).bitwiseAND(lit(mask))): _*)
-    val bl = base.select(col("_id"), col("_fp"), posexplode(blockVals).as(Seq("_b", "_bv")))
+    val bl0 = base.select(col("_id"), col("_fp"), posexplode(blockVals).as(Seq("_b", "_bv")))
+    val bl = maxBucketSize match {
+      case None => bl0
+      case Some(cap) =>
+        val hot = bl0.select(col("_b"), col("_bv"))
+          .groupBy(col("_b"), col("_bv")).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > cap).select(col("_b"), col("_bv"))
+        bl0.join(broadcast(hot), Seq("_b", "_bv"), "left_anti")
+    }
     val left = bl.select(col("_b"), col("_bv"), col("_id").as("d1"), col("_fp").as("f1"))
     val right = bl.select(col("_b"), col("_bv"), col("_id").as("d2"), col("_fp").as("f2"))
     // verify BEFORE dedup: bit_count(xor) is near-free inside the join
@@ -76,9 +98,13 @@ final class SimHashNearDedup(
 
   def keepSql(table: String): String = {
     require(portableHashes)
+    // QUALIFY mirrors the Spark-side maxBucketSize hot-bucket anti-join
+    // (same semantics: (block, value) buckets with count > cap drop)
+    val cap = maxBucketSize.map(c =>
+      s"\n  QUALIFY count(*) OVER (PARTITION BY b, bv) <= $c").getOrElse("")
     s"""WITH f AS (SELECT $idCol AS id, ${fingerprint.simhashSql(textCol)} AS fp FROM $table),
        |bl AS (SELECT id, fp, b, (fp >> (b * $blockWidth)) & $mask AS bv
-       |  FROM f CROSS JOIN (SELECT unnest(range(0, $numBlocks)) AS b) bs),
+       |  FROM f CROSS JOIN (SELECT unnest(range(0, $numBlocks)) AS b) bs$cap),
        |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2, a.fp AS f1, b.fp AS f2
        |  FROM bl a JOIN bl b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id),
        |ver AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(f1, f2)) <= $k)

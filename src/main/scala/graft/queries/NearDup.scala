@@ -58,6 +58,10 @@ object NearDup {
   private val simhashNearOp = new SimHashNearDedup(
     textCol = "text", idCol = "doc_id", bits = 60, k = 3)
 
+  private val simhashNearCappedOp = new SimHashNearDedup(
+    textCol = "text", idCol = "doc_id", bits = 60, k = 3,
+    maxBucketSize = Some(4))
+
   private val cosineDedupOp = new EmbeddingCosineDedup(
     vecCol = "embedding", idCol = "vec_id", threshold = 0.35)
 
@@ -278,6 +282,15 @@ object NearDup {
       (s, dir) => simhashNearOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(simhashNearOp.keepSql("documents"))),
+
+    // the hot-bucket-capped variant (r17): duplicates cluster on the
+    // fingerprint, so the duplicate mass itself goes (block, value)-
+    // quadratic without a cap — the MinHash drop-hot-buckets policy,
+    // QUALIFY count(*) OVER twin; cap = 4 binds on the fixture
+    OracleQuery("simhash_near_dedup_capped",
+      (s, dir) => simhashNearCappedOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(simhashNearCappedOp.keepSql("documents"))),
 
     OracleQuery("hard_negative_mining",
       // contrastive-training op: per query, the 5 most-similar vectors

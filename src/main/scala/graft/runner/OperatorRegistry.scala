@@ -216,7 +216,10 @@ object OperatorRegistry {
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),
     bits = p.int("bits", 60),
-    k = p.int("k", 3)))
+    k = p.int("k", 3),
+    // hot-bucket guard (r17): duplicates cluster, so the duplicate
+    // mass itself is a (block, value) quadratic without a cap
+    maxBucketSize = p.long("max_bucket_size").map(_.toInt)))
 
   register("text_analysis", p => new TextAnalysisRefiner(
     textCol = p.str("text_field", "text")))

@@ -64,6 +64,20 @@ class DedupSpec extends AnyFunSuite {
     val jUncapped = new NgramJaccardDedup(textCol = "text", idCol = "doc_id",
       shingleWidth = 3, threshold = 0.8)
     assert(ids(jUncapped(docs)).subsetOf(ids(jCapped(docs))))
+
+    // simhash near-dedup (r17): the (block, value) hot-bucket drop —
+    // a cap of 1 disables every pair (every pair needs a shared bucket
+    // of >= 2), a huge cap is a no-op
+    val sUncapped = new graft.operators.dedup.SimHashNearDedup(textCol = "text", idCol = "doc_id",
+      bits = 60, k = 3)
+    val sCapped = new graft.operators.dedup.SimHashNearDedup(textCol = "text", idCol = "doc_id",
+      bits = 60, k = 3, maxBucketSize = Some(2))
+    assert(ids(sUncapped(docs)).subsetOf(ids(sCapped(docs))))
+    assert(ids(new graft.operators.dedup.SimHashNearDedup(textCol = "text", idCol = "doc_id",
+      bits = 60, k = 3, maxBucketSize = Some(1))(docs)) == ids(docs))
+    assert(ids(new graft.operators.dedup.SimHashNearDedup(textCol = "text", idCol = "doc_id",
+      bits = 60, k = 3, maxBucketSize = Some(1000000))(docs)) ==
+      ids(sUncapped(docs)))
   }
 
   test("incremental minhash dedup: prior near-dups drop, novel content survives") {
@@ -173,7 +187,7 @@ class DedupSpec extends AnyFunSuite {
   test("simhash near-dedup (hamming<=k) drops a superset of exact-equality drops") {
     import graft.operators.dedup.SimHashNearDedup
     val exact = new SimHashDedup(textCol = "text", idCol = "doc_id", orderCol = "doc_id", bits = 32)
-    val near = new SimHashNearDedup(textCol = "text", idCol = "doc_id", bits = 32, k = 3)
+    val near = new graft.operators.dedup.SimHashNearDedup(textCol = "text", idCol = "doc_id", bits = 32, k = 3)
     val exactDrops = allIds -- ids(exact(docs))
     val nearDrops = allIds -- ids(near(docs))
     assert(exactDrops.subsetOf(nearDrops), s"${exactDrops -- nearDrops}")
