@@ -130,10 +130,13 @@ final class IncrementalMinHashDedup(
     numHashes: Int = 16,
     numBands: Int = 4,
     threshold: Double = 0.8,
-    portableHashes: Boolean = false) extends RejectingOperator {
+    portableHashes: Boolean = false,
+    priorMaxBucketSize: Option[Int] = None) extends RejectingOperator {
 
   require(priorPath.isDefined || prior.isDefined,
     "incremental near-dedup needs a prior snapshot (priorPath or prior)")
+  require(priorMaxBucketSize.forall(_ >= 1),
+    s"priorMaxBucketSize must be >= 1 when set, got $priorMaxBucketSize")
 
   val name = "incremental_minhash_dedup"
 
@@ -146,9 +149,13 @@ final class IncrementalMinHashDedup(
     prior.getOrElse(df.sparkSession.read.parquet(priorPath.get))
 
   /** Increment ids with a verified prior near-dup, with the smallest
-    * matching prior id as representative. */
+    * matching prior id as representative. `priorMaxBucketSize` is the
+    * prior-side hot-bucket guard ([[MinHashLSHDedup.pairsAgainst]]) —
+    * at 100 TB the accumulated prior's duplicate mass is where a
+    * (band, bucket) goes hot.
+    */
   private def hits(df: DataFrame): DataFrame =
-    lsh.pairsAgainst(df, priorDf(df))
+    lsh.pairsAgainst(df, priorDf(df), priorMaxBucketSize)
       .groupBy(col("d2").as(idCol)).agg(min(col("d1")).as("_rep"))
 
   def apply(df: DataFrame): DataFrame =
@@ -171,5 +178,5 @@ final class IncrementalMinHashDedup(
 
   /** Oracle SQL: increment ids kept, ORDER BY id (portable hashes). */
   def keepSql(incTable: String, priorTable: String): String =
-    lsh.keepAgainstSql(incTable, priorTable)
+    lsh.keepAgainstSql(incTable, priorTable, priorMaxBucketSize)
 }

@@ -144,8 +144,33 @@ final class MinHashLSHDedup(
     * as [[lshPairs]]: the band-key equi-join, verification inside the
     * join stage, only true pairs reach the pair-dedup.
     */
-  def pairsAgainst(increment: DataFrame, prior: DataFrame): DataFrame = {
-    val left = banded(prior).select(col("_b"), col("_bkey"), col("_id").as("d1"), col("_h").as("h1"))
+  def pairsAgainst(increment: DataFrame, prior: DataFrame): DataFrame =
+    pairsAgainst(increment, prior, None)
+
+  /** As above with a PRIOR-side hot-bucket guard (r17): prior (band,
+    * bucket) groups larger than `priorMaxBucketSize` drop before the
+    * join — the prior is the whole accumulated corpus, so its duplicate
+    * mass is where a bucket goes hot (every increment row colliding
+    * with a 10⁶-member prior bucket pays 10⁶ verifications). Same
+    * count-only broadcast anti-join discipline as [[apply]]'s
+    * `maxBucketSize` — counts on the wire, never a hash-array exchange
+    * keyed on the hot bucket. The increment side stays full: its size
+    * is the per-run/trigger batch, already bounded by the caller.
+    */
+  def pairsAgainst(increment: DataFrame, prior: DataFrame,
+      priorMaxBucketSize: Option[Int]): DataFrame = {
+    require(priorMaxBucketSize.forall(_ >= 1),
+      s"priorMaxBucketSize must be >= 1 when set, got $priorMaxBucketSize")
+    val pbands0 = banded(prior)
+    val pbands = priorMaxBucketSize match {
+      case None => pbands0
+      case Some(cap) =>
+        val hot = pbands0.select(col("_b"), col("_bkey"))
+          .groupBy(col("_b"), col("_bkey")).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > cap).select(col("_b"), col("_bkey"))
+        pbands0.join(broadcast(hot), Seq("_b", "_bkey"), "left_anti")
+    }
+    val left = pbands.select(col("_b"), col("_bkey"), col("_id").as("d1"), col("_h").as("h1"))
     val right = banded(increment).select(col("_b"), col("_bkey"), col("_id").as("d2"), col("_h").as("h2"))
     left.join(right, Seq("_b", "_bkey"))
       .withColumn("_j", graft.plans.kernels.array_jaccard(col("h1"), col("h2")))
@@ -313,16 +338,24 @@ final class MinHashLSHDedup(
 
   /** Oracle SQL for [[IncrementalMinHashDedup]]: increment ids KEPT
     * given the prior table (kept = no verified prior near-dup through a
-    * band collision), ORDER BY id. */
-  def keepAgainstSql(incTable: String, priorTable: String): String = {
+    * band collision), ORDER BY id. `priorMaxBucketSize` mirrors the
+    * Spark-side prior hot-bucket drop as a QUALIFY over pbands. */
+  def keepAgainstSql(incTable: String, priorTable: String,
+      priorMaxBucketSize: Option[Int] = None): String = {
     val jac = s"CAST(len(list_intersect(p.h, q.h)) AS DOUBLE) / " +
       s"(CAST(len(p.h) + len(q.h) AS DOUBLE) - CAST(len(list_intersect(p.h, q.h)) AS DOUBLE))"
+    val pb = priorMaxBucketSize match {
+      case None => "pbands p"
+      case Some(cap) =>
+        s"""(SELECT * FROM pbands
+           |    QUALIFY count(*) OVER (PARTITION BY b, bkey) <= $cap) p""".stripMargin
+    }
     s"""WITH ${sigCtes(priorTable, "p")},
        |${sigCtes(incTable, "q")},
        |${bandsCte("p")},
        |${bandsCte("q")},
        |xver AS (SELECT DISTINCT q.id AS d2
-       |  FROM pbands p JOIN qbands q ON p.b = q.b AND p.bkey = q.bkey
+       |  FROM $pb JOIN qbands q ON p.b = q.b AND p.bkey = q.bkey
        |  WHERE $jac >= $threshold)
        |SELECT $idCol FROM $incTable WHERE $idCol NOT IN (SELECT d2 FROM xver)
        |ORDER BY $idCol""".stripMargin

@@ -238,6 +238,29 @@ object NearDup {
           threshold = 0.8, portableHashes = true)
         .keepSql("documents", "(SELECT * FROM documents WHERE doc_id % 5 = 0)"))),
 
+    // the prior-side hot-bucket guard (r17): prior (band, bucket)
+    // groups over the cap drop before the cross join — the accumulated
+    // prior's duplicate mass is where a bucket goes hot at 100 TB.
+    // cap = 1 (any shared prior bucket drops) so the guard visibly
+    // binds at every fixture scale
+    OracleQuery("incremental_minhash_dedup_capped",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        new graft.operators.dedup.IncrementalMinHashDedup(
+          prior = Some(d.filter(col("doc_id") % 5 === 0)),
+          textCol = "text", idCol = "doc_id",
+          shingleWidth = 3, numHashes = 16, numBands = 4,
+          threshold = 0.8, portableHashes = true,
+          priorMaxBucketSize = Some(1))(d)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(new graft.operators.dedup.IncrementalMinHashDedup(
+          prior = Some(null), textCol = "text", idCol = "doc_id",
+          shingleWidth = 3, numHashes = 16, numBands = 4,
+          threshold = 0.8, portableHashes = true,
+          priorMaxBucketSize = Some(1))
+        .keepSql("documents", "(SELECT * FROM documents WHERE doc_id % 5 = 0)"))),
+
     OracleQuery("ngram_jaccard_dedup",
       // the uncapped EXACT tier is quadratic in hot-shingle doc
       // frequency by design (registry paths always cap), so its gate

@@ -418,7 +418,10 @@ object OperatorRegistry {
     shingleWidth = p.int("shingle_width", 3),
     numHashes = p.int("num_hashes", 16),
     numBands = p.int("num_bands", 4),
-    threshold = p.double("threshold", 0.8)))
+    threshold = p.double("threshold", 0.8),
+    // prior-side hot-bucket guard (r17): the accumulated prior's
+    // duplicate mass is where a (band, bucket) goes hot at scale
+    priorMaxBucketSize = p.long("prior_max_bucket_size").map(_.toInt)))
 
   register("quality_classifier", p => new graft.operators.ml.QualityClassifierRefiner(
     textCol = p.str("text_field", "text"),

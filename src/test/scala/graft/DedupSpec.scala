@@ -78,6 +78,16 @@ class DedupSpec extends AnyFunSuite {
     assert(ids(new graft.operators.dedup.SimHashNearDedup(textCol = "text", idCol = "doc_id",
       bits = 60, k = 3, maxBucketSize = Some(1000000))(docs)) ==
       ids(sUncapped(docs)))
+
+    // incremental minhash (r17): the prior-side hot-bucket guard only
+    // ever keeps MORE increment rows; a huge cap is a no-op
+    val prior = docs.filter(col("doc_id") % 5 === 0)
+    def inc(cap: Option[Int]) = ids(new graft.operators.dedup.IncrementalMinHashDedup(
+      prior = Some(prior), textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
+      priorMaxBucketSize = cap)(docs))
+    assert(inc(None).subsetOf(inc(Some(1))))
+    assert(inc(Some(1000000)) == inc(None))
   }
 
   test("incremental minhash dedup: prior near-dups drop, novel content survives") {
