@@ -34,7 +34,11 @@ final class IncrementalEmbeddingDedup(
     threshold: Double = 0.95,
     bits: Int = 8,
     dims: Int = 64,
-    seed: Long = 7L) {
+    seed: Long = 7L,
+    priorMaxBucketSize: Option[Int] = None) {
+
+  require(priorMaxBucketSize.forall(_ >= 1),
+    s"priorMaxBucketSize must be >= 1 when set, got $priorMaxBucketSize")
 
   private val esh = new EmbeddingSimHash(vecCol, idCol, idCol, bits, dims, seed)
 
@@ -44,11 +48,30 @@ final class IncrementalEmbeddingDedup(
     df.select(col(idCol).as(sideIdCol), col(vecCol).as(s"_v_$sideIdCol"),
       esh.signature(col(vecCol)).as("_sig"))
 
-  /** Increment rows with NO verified near-dup in the prior corpus. */
+  /** Increment rows with NO verified near-dup in the prior corpus.
+    *
+    * `priorMaxBucketSize` (r17) is the prior-side hot-bucket guard: a
+    * prior duplicate FAMILY shares one signature, so the accumulated
+    * snapshot's duplicate mass is exactly where a signature bucket
+    * goes hot and every colliding increment row pays the family-sized
+    * verification scan. Over-cap prior buckets drop via a count-only
+    * broadcast anti-join (the [[graft.operators.dedup.MinHashLSHDedup]]
+    * discipline — counts on the wire, never a vector-carrying exchange
+    * keyed on the hot signature).
+    */
   def apply(inc: DataFrame): DataFrame = prior match {
     case None => inc
     case Some(pr) =>
-      val hits = signed(inc, "_iid").join(signed(pr, "_pid"), Seq("_sig"))
+      val psigned0 = signed(pr, "_pid")
+      val psigned = priorMaxBucketSize match {
+        case None => psigned0
+        case Some(cap) =>
+          val hot = psigned0.select(col("_sig"))
+            .groupBy(col("_sig")).agg(count(lit(1)).as("_bn"))
+            .filter(col("_bn") > cap).select(col("_sig"))
+          psigned0.join(broadcast(hot), Seq("_sig"), "left_anti")
+      }
+      val hits = signed(inc, "_iid").join(psigned, Seq("_sig"))
         .filter(VectorFunctions.cosine(col("_v__iid"), col("_v__pid")) >= threshold)
         .select(col("_iid").as(idCol)).distinct()
       inc.join(hits, Seq(idCol), "left_anti")
@@ -57,8 +80,10 @@ final class IncrementalEmbeddingDedup(
   /** DuckDB twin returning kept increment ids. */
   def keepSql(incTable: String, priorSql: String): String = {
     val sig = esh.signatureSql(vecCol)
+    val cap = priorMaxBucketSize.map(c =>
+      s"\n  QUALIFY count(*) OVER (PARTITION BY sig) <= $c").getOrElse("")
     s"""WITH _ied_pr AS (SELECT $idCol AS pid, $vecCol AS pv, $sig AS sig
-       |  FROM ($priorSql)),
+       |  FROM ($priorSql)$cap),
        |_ied_inc AS (SELECT $idCol AS iid, $vecCol AS iv, $sig AS sig
        |  FROM $incTable),
        |_ied_hit AS (SELECT DISTINCT iid FROM _ied_inc i JOIN _ied_pr p USING (sig)

@@ -358,6 +358,26 @@ object NearDup {
           threshold = 0.99, bits = 8, dims = 64, seed = 7L)
         .keepSql("embeddings", "SELECT * FROM embeddings WHERE vec_id % 5 = 0"))),
 
+    // the prior-side hot-bucket guard for the semantic increment (r17):
+    // a prior duplicate family shares one signature, so the snapshot's
+    // duplicate mass is where a signature bucket goes hot — cap = 1
+    // (any shared prior signature drops) so the guard visibly binds
+    OracleQuery("incremental_embedding_dedup_capped",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        new IncrementalEmbeddingDedup(
+          prior = Some(e.filter(col("vec_id") % 5 === 0)),
+          vecCol = "embedding", idCol = "vec_id",
+          threshold = 0.99, bits = 8, dims = 64, seed = 7L,
+          priorMaxBucketSize = Some(1))(e)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some(new IncrementalEmbeddingDedup(
+          prior = Some(null), vecCol = "embedding", idCol = "vec_id",
+          threshold = 0.99, bits = 8, dims = 64, seed = 7L,
+          priorMaxBucketSize = Some(1))
+        .keepSql("embeddings", "SELECT * FROM embeddings WHERE vec_id % 5 = 0"))),
+
     OracleQuery("embedding_cosine_dedup",
       (s, dir) => cosineDedupOp(Tables(s, dir, "embeddings"))
         .select(col("vec_id")).orderBy(col("vec_id")),
