@@ -131,7 +131,17 @@ object StreamingCuration {
       shingleWidth: Int = 3,
       numHashes: Int = 16,
       numBands: Int = 4,
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      threshold: Double = 0.8,
+      priorMaxBucketSize: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // priorMaxBucketSize (r17): the per-trigger guard on the
+    // accumulated prior's hot (band, bucket) groups — the prior grows
+    // without bound across triggers, and its duplicate mass is exactly
+    // where a bucket goes hot. Evaluated PER TRIGGER on the prior as
+    // it stands (drop-hot, the IncrementalMinHashDedup policy), so a
+    // bucket can close at a later trigger once it crosses the cap —
+    // this bounds each trigger's join cost; it does NOT claim the
+    // prefix-stable union==batch equivalence the probed twin's
+    // first-cap admission provides.
     val lsh = new graft.operators.dedup.MinHashLSHDedup(
       textCol = textCol, idCol = idCol, shingleWidth = shingleWidth,
       numHashes = numHashes, numBands = numBands, threshold = threshold)
@@ -144,7 +154,8 @@ object StreamingCuration {
           prior = Some(prior.select(col(idCol), col(textCol))),
           textCol = textCol, idCol = idCol,
           shingleWidth = shingleWidth, numHashes = numHashes,
-          numBands = numBands, threshold = threshold)(selfDeduped)
+          numBands = numBands, threshold = threshold,
+          priorMaxBucketSize = priorMaxBucketSize)(selfDeduped)
       }
       val out = kept.persist()
       try {

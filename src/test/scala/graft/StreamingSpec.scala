@@ -135,6 +135,28 @@ class StreamingSpec extends AnyFunSuite {
       val prior = spark.read.parquet(priorDir).select("id").as[String].collect().toSet
       assert(prior == out, s"prior=$prior out=$out")
     } finally q.stop()
+    // priorMaxBucketSize passthrough (r17): a huge cap reproduces the
+    // default run exactly; a cap of 1 can only keep MORE (the guard
+    // removes prior-side candidates per trigger, never adds)
+    def rerun(cap: Option[Int], tag: String): Set[String] = {
+      val b2 = java.nio.file.Files.createTempDirectory(s"graft_nbdedup_$tag")
+      val m2 = MemoryStream[(String, String)]
+      val q2 = StreamingCuration.nearDedupForeachBatch(
+          m2.toDF().toDF("id", "text"), b2.resolve("out").toString,
+          b2.resolve("prior").toString,
+          textCol = "text", idCol = "id", threshold = 0.7,
+          priorMaxBucketSize = cap)
+        .option("checkpointLocation", b2.resolve("ckpt").toString)
+        .start()
+      try {
+        m2.addData(a, c1, c2); q2.processAllAvailable()
+        m2.addData(aReworded, b); q2.processAllAvailable()
+      } finally q2.stop()
+      spark.read.parquet(b2.resolve("out").toString)
+        .select("id").as[String].collect().toSet
+    }
+    assert(rerun(Some(1000000), "huge") == Set("a1", "c1", "b1"))
+    assert(Set("a1", "c1", "b1").subsetOf(rerun(Some(1), "tiny")))
   }
 
   test("foreachBatch semantic dedup: identical vector drops cross-trigger, novel survives") {
