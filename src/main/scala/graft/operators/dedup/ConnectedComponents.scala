@@ -25,32 +25,59 @@ object ConnectedComponents {
   def assign(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .persist()
+      // flat lineage for the loop's repeated references: a persisted
+      // frame still CARRIES its logical plan, and every iteration's
+      // label update embeds it twice — 20 rounds over a window-heavy
+      // pair plan (the anchored probed tier) blew the ANALYZER'S heap
+      // before a single extra row existed (r17). The checkpoint costs
+      // one materialization the persist paid anyway.
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .persist()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      // convergence probe rides the same pass as the label update (an
-      // observe on the change flag) — no extra join+count job per round
-      val obs = org.apache.spark.sql.Observation()
-      val next = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
-        .select(labels("id"),
-          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp"),
-          (coalesce(col("ncomp"), labels("comp")) < labels("comp")).as("_chg"))
-        .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("chg"))
-        .drop("_chg")
-        .persist()
-      next.count() // one job: materializes the cache and fills the observation
-      val changed = obs.get("chg") match { case null => 0L; case n => n.asInstanceOf[Long] }
+      val prop = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
+        .select(labels("id"), labels("comp").as("_c0"),
+          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("_c1"))
+      // pointer jumping: comp := comp(comp) — halves every chain's
+      // depth per round, so convergence is O(log diameter) instead of
+      // O(diameter); plain neighbor-min propagation needed
+      // diameter-many rounds and a path-shaped duplicate graph (long
+      // transitive similarity chains — the semantic tier produces
+      // them) hit maxIter with WRONG labels. Labels only decrease and
+      // stay inside the component, so the fixpoint is unchanged: the
+      // component minimum.
+      val jump = prop.select(col("id").as("_jid"), col("_c1").as("_jc"))
+      // the change flag rides INTO the checkpoint (an `observe` metric
+      // does NOT fire through a localCheckpoint materialization — the
+      // materializing job executes the RDD, not the observed query, and
+      // the r17 chain regression read changed=0 on a round that moved 9
+      // labels); the convergence probe is then a count over the flat
+      // checkpointed table — no recompute, the blocks are already local
+      // `labels` stays the checkpointed frame itself (3 cols incl. the
+      // flag) so the per-round unpersist releases the actual blocks
+      val staged = prop.join(jump, prop("_c1") === col("_jid"), "left")
+        .select(prop("id"),
+          least(col("_c1"), coalesce(col("_jc"), col("_c1"))).as("comp"),
+          (least(col("_c1"), coalesce(col("_jc"), col("_c1"))) < col("_c0")).as("_chg"))
+        // sever the iteration's lineage NOW: the count below is the
+        // checkpoint's materializing action, and the next round builds
+        // on a flat table instead of a per-round-doubling logical plan
+        .localCheckpoint(false)
+      val changed = staged.filter(col("_chg")).count()
       labels.unpersist()
-      labels = next
+      labels = staged
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "with pointer jumping that needs a component of diameter " +
+        s"> 2^$maxIter; raise maxIter (wrong labels must never return silently)")
     // Sever the iterative lineage and RELEASE every loop cache before
     // returning: the raw `labels` plan is `iter` joins deep and pinned
     // its cache for the session's life (nobody downstream can know when
@@ -62,9 +89,10 @@ object ConnectedComponents {
     // GraphFrames-CC requirement); otherwise a local checkpoint — an
     // executor loss then fails-and-retries the operator, the standard
     // iterative-graph tradeoff.
+    val result = labels.select(col("id"), col("comp"))
     val flat =
-      if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined) labels.checkpoint(true)
-      else labels.localCheckpoint(true)
+      if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined) result.checkpoint(true)
+      else result.localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
     flat

@@ -439,6 +439,89 @@ object EmbeddingCosineDedup {
        |    round(CAST((SELECT count(*) FROM rcp) AS DOUBLE)
        |      / CAST((SELECT count(*) FROM rtp) AS DOUBLE), 6) END AS capped_recall""".stripMargin
 
+  /** SemDeDup-style representative selection (Abbas et al. 2023,
+    * arXiv:2303.09540 — the published semantic-dedup keep rule): build
+    * near-duplicate COMPONENTS (connected components over the probed
+    * verified-pair graph, the [[graft.operators.dedup.MinHashLSHDedup]]
+    * `applyTransitive` discipline) and keep, per component, the member
+    * with the LOWEST cosine similarity to its primary cluster centroid
+    * (ties → smallest id) — the farthest-from-centroid member, which
+    * preserves the cluster's diversity instead of its redundant core.
+    * Rows in no component always survive. First-wins `apply` keeps the
+    * earliest member instead; this is the curation-grade alternative
+    * (the `applyBestRepresentative` slot of the semantic tier).
+    *
+    * Scale shape: the component assignment runs over the PRUNE-SIZED
+    * verified-pair list (bounded rounds of small self-joins), the
+    * centroid-similarity score is one per-row kernel + a k-entry array
+    * lookup, and the per-component argmin shuffles only the clustered
+    * rows — never the corpus. Cap options bound the pair list exactly
+    * as in [[probedPairs]].
+    */
+  def semDeDupKeep(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
+      maxCellSize: Option[Int] = None, anchoredCap: Boolean = false): DataFrame = {
+    val pairs = probedPairs(df, vecCol, idCol, centroids, nprobe, threshold,
+      maxCellSize, anchoredCap)
+    val comp = graft.operators.dedup.ConnectedComponents.assign(
+      pairs.select(col("d1"), col("d2")))
+    val centsLit = typedlit(centroids)
+    val scored = comp.join(
+        df.select(col(idCol).as("id"), col(vecCol).as("_v")), Seq("id"))
+      .withColumn("_cell",
+        graft.plans.kernels.nearest_centroid(col("_v"), centroids))
+      .withColumn("_csim",
+        VectorFunctions.cosine(col("_v"), element_at(centsLit, col("_cell") + 1)))
+    val reps = scored.groupBy(col("comp"))
+      .agg(min_by(col("id"), struct(col("_csim"), col("id"))).as("keep_id"))
+    val drop = scored.join(reps, scored("id") === reps("keep_id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** DuckDB twin of [[semDeDupKeep]] (first-k centroid init): kept ids,
+    * ORDER BY id.
+    */
+  def semDeDupKeepSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, threshold: Double,
+      maxCellSize: Option[Int] = None, anchoredCap: Boolean = false): String = {
+    require(!anchoredCap || maxCellSize.nonEmpty, "anchoredCap requires maxCellSize")
+    val capped = maxCellSize.fold("")(cap =>
+      if (anchoredCap) ""
+      else s"  QUALIFY row_number() OVER (PARTITION BY cidx ORDER BY id) <= $cap")
+    val lhs = maxCellSize match {
+      case Some(cap) if anchoredCap =>
+        s""",
+           |_paa AS (SELECT id, v, pc FROM _pa
+           |  QUALIFY row_number() OVER (PARTITION BY pc ORDER BY id) <= $cap)""".stripMargin
+      case _ => ""
+    }
+    val lTable = if (anchoredCap && maxCellSize.nonEmpty) "_paa" else "_pa"
+    s"""WITH RECURSIVE _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |_ppd AS (SELECT t.$idCol AS id, t.$vecCol AS v, c.cidx, c.ce,
+       |    row_number() OVER (PARTITION BY t.$idCol
+       |      ORDER BY ${VectorFunctions.l2sqSql(s"t.$vecCol", "c.ce")}, c.cidx) AS prn
+       |  FROM $table t CROSS JOIN _pct c WHERE t.$vecCol IS NOT NULL),
+       |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe
+       |$capped)$lhs,
+       |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM $lTable a JOIN _pa b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |${graft.operators.dedup.ConnectedComponents.assignSql("rpp")},
+       |_pri AS (SELECT id, v, ce FROM _ppd WHERE prn = 1),
+       |_scored AS (SELECT c.id, c.comp,
+       |    ${VectorFunctions.cosineSql("p.v", "p.ce")} AS csim
+       |  FROM _comp c JOIN _pri p ON p.id = c.id),
+       |_keep AS (SELECT id FROM _scored
+       |  QUALIFY row_number() OVER (PARTITION BY comp ORDER BY csim, id) = 1)
+       |SELECT $idCol FROM $table
+       |WHERE $idCol NOT IN (
+       |  SELECT id FROM _scored WHERE id NOT IN (SELECT id FROM _keep))
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** Side-by-side recall readout for the two CAP POLICIES at the same
     * cap (r17): on the same deterministic 1-in-`sampleMod` sample,
     * duplicate pairs caught by the uncapped probed tier vs under the

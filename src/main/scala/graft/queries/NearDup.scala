@@ -588,6 +588,22 @@ object NearDup {
         nprobe = semanticNprobe, threshold = 0.35,
         caps = semanticCapLevels, targetRecall = 0.8, sampleMod = 2))),
 
+    // SemDeDup keep rule (Abbas et al. 2023): near-dup COMPONENTS over
+    // the anchored-capped probed pair graph, each keeping its
+    // farthest-from-centroid member (lowest cosine to the primary
+    // cell centroid, ties to min id) — the published diversity-
+    // preserving alternative to first-wins, on the same capped tier
+    OracleQuery("semantic_semdedup_keep",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.semDeDupKeep(
+          Tables(s, dir, "embeddings"), "embedding", "vec_id",
+          firstCentroids(s, dir), nprobe = semanticNprobe, threshold = 0.35,
+          maxCellSize = Some(semanticCap), anchoredCap = true)
+        .select(col("vec_id")).orderBy(col("vec_id")),
+      Some(graft.operators.vector.EmbeddingCosineDedup.semDeDupKeepSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, threshold = 0.35,
+        maxCellSize = Some(semanticCap), anchoredCap = true))),
+
     // anchored-cap mass evidence: per cell, the quadratic / first-cap /
     // anchored ordered candidate masses from counts alone — the
     // anchored column is linear in the cell count by construction

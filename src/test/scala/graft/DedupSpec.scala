@@ -928,6 +928,68 @@ class DedupSpec extends AnyFunSuite {
     assert(cappedOp.fitCount.get() == 1)
   }
 
+  test("semdedup keep: matches a plain-Scala union-find + argmin reference; singletons always survive") {
+    import spark.implicits._
+    import graft.operators.vector.EmbeddingCosineDedup
+    val rnd = new scala.util.Random(55)
+    val dims = 6
+    val base = (0L until 120L).map(i => (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    // duplicate families: jittered copies of three seeds, landing at
+    // scattered ids so components span the id range
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val fam = (0L until 18L).map(i =>
+      (300L + i, jitter(base((i % 3).toInt)._2)))
+    val vecs = base ++ fam
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Double]] = base.take(4).map(_._2.toSeq.map(_.toDouble))
+    val t = 0.9; val np = 2
+    val kept = EmbeddingCosineDedup.semDeDupKeep(df, "embedding", "vec_id",
+      cents, np, t).select("vec_id").collect().map(_.getLong(0)).toSet
+    // plain-Scala reference: probed pairs (uncapped), union-find
+    // components, per-component argmin of (cosine-to-primary-centroid,
+    // id); everything unclustered survives
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def vd(v: Array[Float]): Seq[Double] = v.toSeq.map(_.toDouble)
+    def probes(v: Array[Float]): Seq[Int] =
+      cents.indices.map { i =>
+        (graft.functions.VectorFunctions.l2sq(vd(v), cents(i)), i)
+      }.sorted.take(np).map(_._2)
+    val pairs = (for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && probes(va).intersect(probes(vb)).nonEmpty
+      if cosine(vd(va), vd(vb)) >= t
+    } yield (a, b))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find)
+    val vecOf = vecs.toMap
+    val dropWant = comps.values.flatMap { members =>
+      val keep = members.minBy { id =>
+        val v = vecOf(id)
+        (cosine(vd(v), cents(probes(v).head)), id)
+      }
+      members.filterNot(_ == keep)
+    }.toSet
+    val keptWant = vecs.map(_._1).toSet diff dropWant
+    assert(kept == keptWant,
+      s"sym-diff: ${(kept diff keptWant) union (keptWant diff kept)}")
+    // the families actually clustered (non-vacuous) and each kept
+    // exactly one member
+    assert(dropWant.nonEmpty && kept.size < vecs.size)
+  }
+
   test("explicit-bucket cap policies equal the probed tier at nprobe=1 over the same partition") {
     import spark.implicits._
     import graft.operators.vector.EmbeddingCosineDedup
