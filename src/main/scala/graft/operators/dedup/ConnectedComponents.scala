@@ -8,16 +8,33 @@ import org.apache.spark.sql.functions._
   * document the pairwise tradeoff; this is the full-clustering option:
   * keep exactly the minimum id of every duplicate component).
   *
-  * Algorithm: min-label propagation — each node repeatedly takes the
-  * minimum label among itself and its neighbors until fixpoint (≤
-  * component-diameter iterations, capped). Each iteration is one
-  * shuffle-join Spark job; intermediate labels are cached and lineage is
-  * kept flat, the standard iterative-graph pattern (GraphX CC is the
-  * same computation). Duplicate components in dedup workloads are small
-  * and shallow, so convergence is fast; the `maxIter` cap bounds runaway
-  * graphs.
+  * Algorithm (r17): min-label propagation WITH pointer jumping — each
+  * round every node takes the minimum label among itself and its
+  * neighbors, then labels compress one hop (comp := comp(comp)), so
+  * convergence is O(log diameter) rounds instead of O(diameter): a
+  * path-shaped duplicate graph (long transitive similarity chains —
+  * the semantic tier produces them) converges in ~log₂ rounds where
+  * plain propagation hit `maxIter` and would have returned WRONG
+  * labels (now a loud require instead). Each round is two shuffle
+  * joins over the label table plus one against the edges; every
+  * intermediate severs lineage through a local checkpoint (a persisted
+  * frame still carries its logical plan, and per-round doubling blew
+  * the analyzer's heap over a window-heavy pair plan at 193 edges) and
+  * releases its predecessor's blocks at the RDD level.
   */
 object ConnectedComponents {
+
+  /** Release the RDD blocks behind a locally-checkpointed frame.
+    * `Dataset.unpersist` only clears CacheManager entries; a local
+    * checkpoint's persistence lives at the RDD level, so without this
+    * every loop iteration's blocks linger until ContextCleaner gets a
+    * GC — failing the no-pinned-caches discipline (PlanSpec pins it).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** (id, comp) for every node appearing in `pairs` (d1, d2 columns);
     * comp = minimum id reachable through the pair graph.
@@ -69,7 +86,7 @@ object ConnectedComponents {
         // on a flat table instead of a per-round-doubling logical plan
         .localCheckpoint(false)
       val changed = staged.filter(col("_chg")).count()
-      labels.unpersist()
+      releaseCheckpoint(labels)
       labels = staged
       converged = changed == 0
       iter += 1
@@ -93,8 +110,8 @@ object ConnectedComponents {
     val flat =
       if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined) result.checkpoint(true)
       else result.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
+    releaseCheckpoint(labels)
+    releaseCheckpoint(edges)
     flat
   }
 

@@ -460,6 +460,18 @@ object EmbeddingCosineDedup {
     */
   def semDeDupKeep(df: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
+      maxCellSize: Option[Int] = None, anchoredCap: Boolean = false): DataFrame =
+    df.join(
+      semDeDupDrops(df, vecCol, idCol, centroids, nprobe, threshold,
+        maxCellSize, anchoredCap).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** The drop side of [[semDeDupKeep]]: `(idCol, _rep)` — every
+    * non-keeper component member with its component's keeper as the
+    * representative (the rejected-sample provenance).
+    */
+  def semDeDupDrops(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
       maxCellSize: Option[Int] = None, anchoredCap: Boolean = false): DataFrame = {
     val pairs = probedPairs(df, vecCol, idCol, centroids, nprobe, threshold,
       maxCellSize, anchoredCap)
@@ -474,9 +486,9 @@ object EmbeddingCosineDedup {
         VectorFunctions.cosine(col("_v"), element_at(centsLit, col("_cell") + 1)))
     val reps = scored.groupBy(col("comp"))
       .agg(min_by(col("id"), struct(col("_csim"), col("id"))).as("keep_id"))
-    val drop = scored.join(reps, scored("id") === reps("keep_id"), "left_anti")
-      .select(col("id").as(idCol))
-    df.join(drop, Seq(idCol), "left_anti")
+    scored.join(reps, Seq("comp"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol), col("keep_id").as("_rep"))
   }
 
   /** DuckDB twin of [[semDeDupKeep]] (first-k centroid init): kept ids,
@@ -1062,7 +1074,8 @@ final class AutoBucketedCosineDedup(
     nprobe: Int = 1,
     maxCellSize: Option[Int] = None,
     anchoredCap: Boolean = false,
-    trainSampleMod: Option[Int] = None) extends graft.core.RejectingOperator {
+    trainSampleMod: Option[Int] = None,
+    keepPolicy: String = "first") extends graft.core.RejectingOperator {
   require(nprobe >= 1 && nprobe <= numBuckets,
     s"nprobe must be in [1, $numBuckets], got $nprobe")
   require(maxCellSize.forall(_ >= 1),
@@ -1070,6 +1083,8 @@ final class AutoBucketedCosineDedup(
   require(!anchoredCap || maxCellSize.nonEmpty, "anchoredCap requires maxCellSize")
   require(trainSampleMod.forall(_ >= 1),
     s"trainSampleMod must be >= 1 when set, got $trainSampleMod")
+  require(keepPolicy == "first" || keepPolicy == "semdedup",
+    s"keep_policy must be 'first' or 'semdedup', got '$keepPolicy'")
 
   val name = "embedding_cosine_dedup"
   private val bucketCol = "_auto_bucket"
@@ -1134,18 +1149,45 @@ final class AutoBucketedCosineDedup(
     new ProbedCosineDedup(vecCol, idCol, threshold,
       km.centroidsOf(modelFor(df)), nprobe, maxCellSize, anchoredCap)
 
-  private def plainTier: Boolean = nprobe == 1 && maxCellSize.isEmpty
+  private def plainTier: Boolean =
+    nprobe == 1 && maxCellSize.isEmpty && keepPolicy == "first"
+
+  /** SemDeDup drops `(idCol, _rep)` over the given frame under this
+    * stage's trained centroids (the published keep rule — see
+    * [[EmbeddingCosineDedup.semDeDupKeep]]).
+    */
+  private def semDrops(trainOn: DataFrame)(over: DataFrame): DataFrame =
+    EmbeddingCosineDedup.semDeDupDrops(over, vecCol, idCol,
+      km.centroidsOf(modelFor(trainOn)), nprobe, threshold,
+      maxCellSize, anchoredCap)
 
   def apply(df: DataFrame): DataFrame =
-    if (plainTier) inner(withBuckets(df)).drop(bucketCol)
+    if (keepPolicy == "semdedup")
+      df.join(semDrops(df)(df).select(col(idCol)), Seq(idCol), "left_anti")
+    else if (plainTier) inner(withBuckets(df)).drop(bucketCol)
     else probedOp(df)(df)
 
   def rejected(df: DataFrame): DataFrame =
-    if (plainTier) inner.rejected(withBuckets(df)).drop(bucketCol)
+    if (keepPolicy == "semdedup")
+      df.join(semDrops(df)(df), Seq(idCol))
+        .withColumn(Rejection.ColName,
+          Rejection.duplicate(name, lit(null).cast("string"), col("_rep")))
+        .drop("_rep")
+    else if (plainTier) inner.rejected(withBuckets(df)).drop(bucketCol)
     else probedOp(df).rejected(df)
 
   def mark(df: DataFrame, alive: org.apache.spark.sql.Column, tag: String): graft.core.Marked = {
-    if (plainTier) {
+    if (keepPolicy == "semdedup") {
+      // disposition mode: drops are computed over the ALIVE subset only
+      // (rows rejected upstream never compete — the PairwiseMark
+      // contract), centroids from the full stage input so the cell map
+      // is the same one apply/rejected use
+      val repC = s"_sdrep$tag"
+      val reps = semDrops(df)(df.filter(alive)).withColumnRenamed("_rep", repC)
+      val d = df.join(reps, Seq(idCol), "left")
+      graft.core.Marked(d, col(repC).isNull, col(repC).isNotNull,
+        Rejection.duplicate(name, lit(null).cast("string"), col(repC)), Seq(repC))
+    } else if (plainTier) {
       val m = graft.core.PairwiseMark(
         withBuckets(df), alive, tag, idCol, name, inner.verifiedPairs)
       m.copy(internalCols = m.internalCols :+ bucketCol)

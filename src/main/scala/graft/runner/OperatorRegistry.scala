@@ -174,7 +174,11 @@ object OperatorRegistry {
         case "anchored" => true
         case other => throw new IllegalArgumentException(
           s"cell_cap_mode must be 'first' or 'anchored', got '$other'")
-      })
+      },
+      // keep_policy (r17): "first" = first-wins (min id survives);
+      // "semdedup" = the published SemDeDup rule — near-dup components
+      // each keep their farthest-from-centroid member
+      keepPolicy = p.str("keep_policy", "first"))
   })
 
   // OR-amplified mutual-kNN anchor-pair mining (r16): num_bands is the

@@ -990,6 +990,42 @@ class DedupSpec extends AnyFunSuite {
     assert(dropWant.nonEmpty && kept.size < vecs.size)
   }
 
+  test("keep_policy=semdedup on the auto-bucketed operator: partition, keeper provenance, one fit, equals the direct rule") {
+    val emb = table("embeddings")
+    val op = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8, seed = 42L, nprobe = 2,
+      keepPolicy = "semdedup")
+    val kept = op(emb).select("vec_id").collect().map(_.getLong(0)).toSet
+    val rej = op.rejected(emb)
+    val rejIds = rej.select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(rejIds).isEmpty && (kept union rejIds) == all)
+    assert(op.fitCount.get() == 1, "apply + rejected must share one k-means fit")
+    // rejected provenance: every representative is a KEPT id (the
+    // component's keeper), never another dropped row
+    val reps = rej.select(col(graft.core.Rejection.ColName)("representative_id"))
+      .collect().map(_.getString(0).toLong).toSet
+    assert(reps.subsetOf(kept), s"non-kept reps: ${reps diff kept}")
+    // equals the direct published rule under the same trained centroids
+    val km = new graft.operators.ml.KMeansBuckets("embedding", "_b", 8, 42L)
+    val want = graft.operators.vector.EmbeddingCosineDedup.semDeDupKeep(
+        emb, "embedding", "vec_id", km.centroidsOf(km.fit(emb)),
+        nprobe = 2, threshold = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == want)
+    assert(kept != all, "vacuous fixture: nothing dropped")
+    // the policies genuinely differ on this fixture (semdedup keeps the
+    // far member, first-wins the min id) while dropping the same COUNT
+    // per component is not guaranteed — compare sets
+    val first = new graft.operators.vector.AutoBucketedCosineDedup(
+      "embedding", "vec_id", 0.35, numBuckets = 8, seed = 42L, nprobe = 2)(emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(first != kept, "fixture too easy: both policies picked identical keepers")
+    assertThrows[IllegalArgumentException](
+      new graft.operators.vector.AutoBucketedCosineDedup(
+        "embedding", "vec_id", 0.35, keepPolicy = "sideways"))
+  }
+
   test("explicit-bucket cap policies equal the probed tier at nprobe=1 over the same partition") {
     import spark.implicits._
     import graft.operators.vector.EmbeddingCosineDedup

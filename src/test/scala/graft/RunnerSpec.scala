@@ -1077,6 +1077,32 @@ class RunnerSpec extends AnyFunSuite {
       s"probing can only widen the drop set: nprobe=2 kept $k2 vs nprobe=1 kept $k1")
   }
 
+  test("keep_policy reaches the registry: semdedup equals the direct operator run") {
+    val base = java.nio.file.Files.createTempDirectory("graft_keeppol").toString
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "/root/testdata/sf0.001/embeddings.parquet"}
+         |stages:
+         |  - name: dedup
+         |    operators:
+         |      - name: embedding_cosine_deduplicator
+         |        params: {embedding_field: "embedding", id_field: "vec_id", threshold: 0.35, num_buckets: 8, nprobe: 2, keep_policy: semdedup}
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "vecs"}
+         |""".stripMargin)
+    PipelineRunner.run(spark, conf)
+    val got = spark.read.parquet(s"$base/out/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = new graft.operators.vector.AutoBucketedCosineDedup(
+        "embedding", "vec_id", 0.35, numBuckets = 8, seed = 42L, nprobe = 2,
+        keepPolicy = "semdedup")(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"config-driven kept (${got.size}) vs direct (${want.size})")
+  }
+
   test("cell_cap_mode reaches the registry: anchored keeps no more than first at the same cap, bad value rejected") {
     def run(mode: String): Long = {
       val base = java.nio.file.Files.createTempDirectory(s"graft_capmode_$mode").toString
