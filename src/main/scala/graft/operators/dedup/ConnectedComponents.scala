@@ -54,47 +54,62 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      val neighborMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      val prop = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
-        .select(labels("id"), labels("comp").as("_c0"),
-          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("_c1"))
-      // pointer jumping: comp := comp(comp) — halves every chain's
-      // depth per round, so convergence is O(log diameter) instead of
-      // O(diameter); plain neighbor-min propagation needed
-      // diameter-many rounds and a path-shaped duplicate graph (long
-      // transitive similarity chains — the semantic tier produces
-      // them) hit maxIter with WRONG labels. Labels only decrease and
-      // stay inside the component, so the fixpoint is unchanged: the
-      // component minimum.
-      val jump = prop.select(col("id").as("_jid"), col("_c1").as("_jc"))
-      // the change flag rides INTO the checkpoint (an `observe` metric
-      // does NOT fire through a localCheckpoint materialization — the
-      // materializing job executes the RDD, not the observed query, and
-      // the r17 chain regression read changed=0 on a round that moved 9
-      // labels); the convergence probe is then a count over the flat
-      // checkpointed table — no recompute, the blocks are already local
-      // `labels` stays the checkpointed frame itself (3 cols incl. the
-      // flag) so the per-round unpersist releases the actual blocks
-      val staged = prop.join(jump, prop("_c1") === col("_jid"), "left")
-        .select(prop("id"),
-          least(col("_c1"), coalesce(col("_jc"), col("_c1"))).as("comp"),
-          (least(col("_c1"), coalesce(col("_jc"), col("_c1"))) < col("_c0")).as("_chg"))
-        // sever the iteration's lineage NOW: the count below is the
-        // checkpoint's materializing action, and the next round builds
-        // on a flat table instead of a per-round-doubling logical plan
-        .localCheckpoint(false)
-      val changed = staged.filter(col("_chg")).count()
-      releaseCheckpoint(labels)
-      labels = staged
-      converged = changed == 0
-      iter += 1
+    // try/finally: a mid-loop job failure (or the non-convergence
+    // require) must not strand the checkpointed blocks — the leak
+    // shape releaseCheckpoint exists to prevent
+    try {
+      while (iter < maxIter && !converged) {
+        val neighborMin = edges.join(labels, edges("b") === labels("id"))
+          .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+        // persisted for the round: the jump self-join below references
+        // prop on BOTH sides, and without the cache the label join +
+        // aggregation would execute twice per round (the exchanges
+        // reuse, the operators above them do not)
+        val prop = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
+          .select(labels("id"), labels("comp").as("_c0"),
+            least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("_c1"))
+          .persist()
+        try {
+          // pointer jumping: comp := comp(comp) — halves every chain's
+          // depth per round, so convergence is O(log diameter) instead
+          // of O(diameter); plain neighbor-min propagation needed
+          // diameter-many rounds and a path-shaped duplicate graph
+          // (long transitive similarity chains — the semantic tier
+          // produces them) hit maxIter with WRONG labels. Labels only
+          // decrease and stay inside the component, so the fixpoint is
+          // unchanged: the component minimum.
+          val jump = prop.select(col("id").as("_jid"), col("_c1").as("_jc"))
+          // the change flag rides INTO the checkpoint (an `observe`
+          // metric does NOT fire through a localCheckpoint
+          // materialization — the materializing job executes the RDD,
+          // not the observed query, and the r17 chain regression read
+          // changed=0 on a round that moved 9 labels); the convergence
+          // probe is then a count over the flat checkpointed table —
+          // no recompute, the blocks are already local
+          val staged = prop.join(jump, prop("_c1") === col("_jid"), "left")
+            .select(prop("id"),
+              least(col("_c1"), coalesce(col("_jc"), col("_c1"))).as("comp"),
+              (least(col("_c1"), coalesce(col("_jc"), col("_c1"))) < col("_c0")).as("_chg"))
+            // sever the iteration's lineage NOW: the count below is the
+            // checkpoint's materializing action, and the next round
+            // builds on a flat table instead of a per-round-doubling
+            // logical plan
+            .localCheckpoint(false)
+          val changed = staged.filter(col("_chg")).count()
+          releaseCheckpoint(labels)
+          labels = staged
+          converged = changed == 0
+          iter += 1
+        } finally prop.unpersist()
+      }
+      require(converged,
+        s"connected components did not converge in $maxIter rounds — " +
+          "with pointer jumping that needs a component of diameter " +
+          s"> 2^$maxIter; raise maxIter (wrong labels must never return silently)")
+    } catch {
+      case e: Throwable =>
+        releaseCheckpoint(labels); releaseCheckpoint(edges); throw e
     }
-    require(converged,
-      s"connected components did not converge in $maxIter rounds — " +
-        "with pointer jumping that needs a component of diameter " +
-        s"> 2^$maxIter; raise maxIter (wrong labels must never return silently)")
     // Sever the iterative lineage and RELEASE every loop cache before
     // returning: the raw `labels` plan is `iter` joins deep and pinned
     // its cache for the session's life (nobody downstream can know when

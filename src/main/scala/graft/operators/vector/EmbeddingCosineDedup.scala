@@ -1154,12 +1154,26 @@ final class AutoBucketedCosineDedup(
 
   /** SemDeDup drops `(idCol, _rep)` over the given frame under this
     * stage's trained centroids (the published keep rule — see
-    * [[EmbeddingCosineDedup.semDeDupKeep]]).
+    * [[EmbeddingCosineDedup.semDeDupKeep]]). Single-slot cache keyed on
+    * the scored frame (the [[modelFor]] discipline): the drops run an
+    * EAGER connected-components loop, so a pipeline consuming both the
+    * kept and the rejected branch would otherwise pay the full
+    * pair-join + CC job sequence twice. The cached frame is small
+    * (clustered rows only) and backed by the CC checkpoint.
     */
+  @volatile private var cachedDrops: (DataFrame, DataFrame) = null
   private def semDrops(trainOn: DataFrame)(over: DataFrame): DataFrame =
-    EmbeddingCosineDedup.semDeDupDrops(over, vecCol, idCol,
-      km.centroidsOf(modelFor(trainOn)), nprobe, threshold,
-      maxCellSize, anchoredCap)
+    synchronized {
+      val c = cachedDrops
+      if (c != null && (c._1 eq over)) c._2
+      else {
+        val d = EmbeddingCosineDedup.semDeDupDrops(over, vecCol, idCol,
+          km.centroidsOf(modelFor(trainOn)), nprobe, threshold,
+          maxCellSize, anchoredCap)
+        cachedDrops = (over, d)
+        d
+      }
+    }
 
   def apply(df: DataFrame): DataFrame =
     if (keepPolicy == "semdedup")

@@ -241,8 +241,8 @@ object NearDup {
     // the prior-side hot-bucket guard (r17): prior (band, bucket)
     // groups over the cap drop before the cross join — the accumulated
     // prior's duplicate mass is where a bucket goes hot at 100 TB.
-    // cap = 1 (any shared prior bucket drops) so the guard visibly
-    // binds at every fixture scale
+    // cap = 1 (prior buckets holding 2+ members drop; singleton prior
+    // buckets still match) so the guard visibly binds at every scale
     OracleQuery("incremental_minhash_dedup_capped",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
@@ -361,7 +361,8 @@ object NearDup {
     // the prior-side hot-bucket guard for the semantic increment (r17):
     // a prior duplicate family shares one signature, so the snapshot's
     // duplicate mass is where a signature bucket goes hot — cap = 1
-    // (any shared prior signature drops) so the guard visibly binds
+    // (prior signatures shared by 2+ prior members drop; singletons
+    // still match) so the guard visibly binds
     OracleQuery("incremental_embedding_dedup_capped",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")

@@ -134,7 +134,14 @@ object OperatorRegistry {
   // (`num_buckets`, default 16). Brute force stays API-only
   // (`new EmbeddingCosineDedup(...)` with bucketCol = None).
   register("embedding_cosine_deduplicator", p => p.str("bucket_field") match {
-    case Some(bucket) => new EmbeddingCosineDedup(
+    case Some(bucket) =>
+      // the SemDeDup keep rule needs trained centroids to score
+      // members against — the explicit-bucket tier has none, and a
+      // silently-ignored keep_policy would hand back first-wins output
+      // the config did not ask for
+      require(p.str("keep_policy", "first") == "first",
+        "keep_policy=semdedup needs the auto-bucketed path (drop bucket_field)")
+      new EmbeddingCosineDedup(
       vecCol = p.str("embedding_field", "embedding"),
       idCol = p.str("id_field", "id"),
       threshold = p.double("threshold", 0.95),

@@ -61,7 +61,10 @@ def diff(old, new, old_rec, new_rec, ratio, abs_s, label):
     movers = []
     for leg in common:
         o, n = old[leg], new[leg]
+        if o <= 0 and n <= 0:
+            continue  # failed on both sides (-1): nothing moved, not a mover
         if o <= 0 or n <= 0:
+            # failed on exactly one side — that IS news
             movers.append((leg, o, n, float("inf")))
             continue
         r = n / o
