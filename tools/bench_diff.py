@@ -27,8 +27,11 @@ def probe_secs(rec):
     p = rec.get("scale_probe") or {}
     if not isinstance(p, dict):
         return {}
+    # *_sec are wall-time legs; *_per_sec are derived throughput RATES
+    # (docs_per_sec etc.) — comparing those as seconds inverts the story
     return {k[:-4]: v for k, v in p.items()
-            if k.endswith("_sec") and isinstance(v, (int, float))}
+            if k.endswith("_sec") and not k.endswith("_per_sec")
+            and isinstance(v, (int, float))}
 
 
 def flags(rec, leg):
