@@ -534,6 +534,75 @@ object EmbeddingCosineDedup {
        |ORDER BY $idCol""".stripMargin
   }
 
+  /** Near-dup COMPONENT audit for the semantic tier — the
+    * [[graft.operators.dedup.MinHashLSHDedup]] `clusterStats` pattern:
+    * per duplicate component over the (capped) probed pair graph, its
+    * size and its SemDeDup keeper (the farthest-from-centroid member —
+    * what [[semDeDupKeep]] retains). The size distribution drives
+    * policy (a heavy tail = boilerplate/template embeddings deserving
+    * their own filter); only true clusters appear (≥ 2 members).
+    * `(comp, size, semdedup_keeper)` ordered by comp.
+    */
+  def semanticClusterStats(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, threshold: Double,
+      maxCellSize: Option[Int] = None, anchoredCap: Boolean = false): DataFrame = {
+    val pairs = probedPairs(df, vecCol, idCol, centroids, nprobe, threshold,
+      maxCellSize, anchoredCap)
+    val comp = graft.operators.dedup.ConnectedComponents.assign(
+      pairs.select(col("d1"), col("d2")))
+    val centsLit = typedlit(centroids)
+    val scored = comp.join(
+        df.select(col(idCol).as("id"), col(vecCol).as("_v")), Seq("id"))
+      .withColumn("_cell",
+        graft.plans.kernels.nearest_centroid(col("_v"), centroids))
+      .withColumn("_csim",
+        VectorFunctions.cosine(col("_v"), element_at(centsLit, col("_cell") + 1)))
+    scored.groupBy(col("comp"))
+      .agg(count(lit(1)).as("size"),
+        min_by(col("id"), struct(col("_csim"), col("id"))).as("semdedup_keeper"))
+      .orderBy(col("comp"))
+  }
+
+  /** DuckDB twin of [[semanticClusterStats]] (first-k centroid init). */
+  def semanticClusterStatsSql(table: String, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, threshold: Double,
+      maxCellSize: Option[Int] = None, anchoredCap: Boolean = false): String = {
+    require(!anchoredCap || maxCellSize.nonEmpty, "anchoredCap requires maxCellSize")
+    val capped = maxCellSize.fold("")(cap =>
+      if (anchoredCap) ""
+      else s"  QUALIFY row_number() OVER (PARTITION BY cidx ORDER BY id) <= $cap")
+    val lhs = maxCellSize match {
+      case Some(cap) if anchoredCap =>
+        s""",
+           |_paa AS (SELECT id, v, pc FROM _pa
+           |  QUALIFY row_number() OVER (PARTITION BY pc ORDER BY id) <= $cap)""".stripMargin
+      case _ => ""
+    }
+    val lTable = if (anchoredCap && maxCellSize.nonEmpty) "_paa" else "_pa"
+    s"""WITH RECURSIVE _pct AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cidx,
+       |    $vecCol AS ce
+       |  FROM (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT $k)),
+       |_ppd AS (SELECT t.$idCol AS id, t.$vecCol AS v, c.cidx, c.ce,
+       |    row_number() OVER (PARTITION BY t.$idCol
+       |      ORDER BY ${VectorFunctions.l2sqSql(s"t.$vecCol", "c.ce")}, c.cidx) AS prn
+       |  FROM $table t CROSS JOIN _pct c WHERE t.$vecCol IS NOT NULL),
+       |_pa AS (SELECT id, v, cidx AS pc FROM _ppd WHERE prn <= $nprobe
+       |$capped)$lhs,
+       |rpp AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM $lTable a JOIN _pa b
+       |  ON a.pc = b.pc AND a.id < b.id
+       |  WHERE ${VectorFunctions.cosineSql("a.v", "b.v")} >= $threshold),
+       |${graft.operators.dedup.ConnectedComponents.assignSql("rpp")},
+       |_pri AS (SELECT id, v, ce FROM _ppd WHERE prn = 1),
+       |_scored AS (SELECT c.id, c.comp,
+       |    ${VectorFunctions.cosineSql("p.v", "p.ce")} AS csim
+       |  FROM _comp c JOIN _pri p ON p.id = c.id)
+       |SELECT comp, CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS size,
+       |  id AS semdedup_keeper
+       |FROM _scored
+       |QUALIFY row_number() OVER (PARTITION BY comp ORDER BY csim, id) = 1
+       |ORDER BY comp""".stripMargin
+  }
+
   /** Side-by-side recall readout for the two CAP POLICIES at the same
     * cap (r17): on the same deterministic 1-in-`sampleMod` sample,
     * duplicate pairs caught by the uncapped probed tier vs under the

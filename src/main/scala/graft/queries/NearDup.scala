@@ -605,6 +605,20 @@ object NearDup {
         nprobe = semanticNprobe, threshold = 0.35,
         maxCellSize = Some(semanticCap), anchoredCap = true))),
 
+    // the semantic tier's component AUDIT (the dedup_cluster_stats
+    // pattern): per near-dup component over the capped pair graph, its
+    // size and SemDeDup keeper — the size distribution is what drives
+    // policy (heavy tail = template/boilerplate embeddings)
+    OracleQuery("semantic_cluster_stats",
+      (s, dir) => graft.operators.vector.EmbeddingCosineDedup.semanticClusterStats(
+          Tables(s, dir, "embeddings"), "embedding", "vec_id",
+          firstCentroids(s, dir), nprobe = semanticNprobe, threshold = 0.35,
+          maxCellSize = Some(semanticCap), anchoredCap = true),
+      Some(graft.operators.vector.EmbeddingCosineDedup.semanticClusterStatsSql(
+        "embeddings", "embedding", "vec_id", k = 8,
+        nprobe = semanticNprobe, threshold = 0.35,
+        maxCellSize = Some(semanticCap), anchoredCap = true))),
+
     // anchored-cap mass evidence: per cell, the quadratic / first-cap /
     // anchored ordered candidate masses from counts alone — the
     // anchored column is linear in the cell count by construction

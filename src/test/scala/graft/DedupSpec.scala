@@ -990,6 +990,25 @@ class DedupSpec extends AnyFunSuite {
     assert(dropWant.nonEmpty && kept.size < vecs.size)
   }
 
+  test("semantic cluster stats: keepers are exactly the clustered survivors of semDeDupKeep, sizes >= 2, sizes sum to clustered nodes") {
+    import graft.operators.vector.EmbeddingCosineDedup
+    val emb = table("embeddings")
+    val cents = new graft.operators.ml.KMeansBuckets("embedding", "cluster_id", 8)
+      .firstKCentroids(emb, "vec_id")
+    val st = EmbeddingCosineDedup.semanticClusterStats(emb, "embedding",
+      "vec_id", cents, nprobe = 3, threshold = 0.35).collect()
+    assert(st.nonEmpty && st.forall(_.getLong(1) >= 2L), "only true clusters appear")
+    val keepers = st.map(_.getLong(2)).toSet
+    val kept = EmbeddingCosineDedup.semDeDupKeep(emb, "embedding", "vec_id",
+      cents, nprobe = 3, threshold = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keepers.subsetOf(kept), s"non-kept keepers: ${keepers diff kept}")
+    // Σ sizes = clustered nodes = corpus − kept + keepers (each
+    // component keeps exactly one member)
+    val n = emb.count()
+    assert(st.map(_.getLong(1)).sum == n - kept.size + keepers.size)
+  }
+
   test("keep_policy=semdedup on the auto-bucketed operator: partition, keeper provenance, one fit, equals the direct rule") {
     val emb = table("embeddings")
     val op = new graft.operators.vector.AutoBucketedCosineDedup(
