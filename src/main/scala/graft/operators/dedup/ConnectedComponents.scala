@@ -38,8 +38,26 @@ object ConnectedComponents {
 
   /** (id, comp) for every node appearing in `pairs` (d1, d2 columns);
     * comp = minimum id reachable through the pair graph.
+    *
+    * Hybrid execution (r17): the pair list is PRUNE-SIZED by
+    * construction at every call site (verified near-dup pairs under
+    * banding/probing caps — ids only, never text or vectors), and is
+    * already materialized by the lineage checkpoint, so its row count
+    * is one free job. When it fits the driver (`localEdgeLimit` rows,
+    * default 1M ≈ tens of MB of ids) the components are solved EXACTLY
+    * with weighted union-find + path compression in O(E·α) and returned
+    * as a local relation — downstream joins broadcast it, and the
+    * 5–10 shuffle rounds of the iterative path collapse into one
+    * driver pass. Larger graphs take the distributed pointer-jumping
+    * loop unchanged; the two paths compute the same fixpoint (the
+    * component minimum) and a spec pins them equal. This is the
+    * standard hybrid for iterative graph ops whose input is a pruned
+    * edge list (the pair graph is bounded by the hot caps, not the
+    * corpus): pay driver memory only when it is provably cheap,
+    * never silently — the threshold is a knob.
     */
-  def assign(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def assign(pairs: DataFrame, maxIter: Int = 20,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       // flat lineage for the loop's repeated references: a persisted
@@ -49,6 +67,10 @@ object ConnectedComponents {
       // before a single extra row existed (r17). The checkpoint costs
       // one materialization the persist paid anyway.
       .localCheckpoint(true)
+    if (localEdgeLimit > 0 && edges.count() <= localEdgeLimit) {
+      try return assignLocal(edges)
+      finally releaseCheckpoint(edges)
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -128,6 +150,61 @@ object ConnectedComponents {
     releaseCheckpoint(labels)
     releaseCheckpoint(edges)
     flat
+  }
+
+  /** Natural order over the id's runtime boxing (Long/Int/String — all
+    * `Comparable`; both sides are the same column type so the compare
+    * never mixes). Mirrors the distributed path's `min(comp)`.
+    */
+  private def lt(x: Any, y: Any): Boolean = x match {
+    case c: java.lang.Comparable[_] =>
+      c.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
+    case _ => String.valueOf(x) < String.valueOf(y)
+  }
+
+  /** Exact driver-side components over a collected edge list: weighted
+    * union-find with path compression, min-id label per root — the
+    * same fixpoint the distributed rounds converge to, in one pass.
+    * Returns a local relation (Catalyst knows its size → downstream
+    * joins broadcast it).
+    */
+  private def assignLocal(edges: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val spark = edges.sparkSession
+    val field = edges.schema.head
+    val idx = mutable.HashMap.empty[Any, Int]
+    val nodes = mutable.ArrayBuffer.empty[Any]
+    val parent = mutable.ArrayBuffer.empty[Int]
+    val size = mutable.ArrayBuffer.empty[Int]
+    def nodeOf(v: Any): Int = idx.getOrElseUpdate(v, {
+      nodes += v; parent += nodes.size - 1; size += 1; nodes.size - 1
+    })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    for (r <- edges.collect()) {
+      val ra = find(nodeOf(r.get(0)))
+      val rb = find(nodeOf(r.get(1)))
+      if (ra != rb) {
+        val (big, small) = if (size(ra) >= size(rb)) (ra, rb) else (rb, ra)
+        parent(small) = big
+        size(big) += size(small)
+      }
+    }
+    val minOf = mutable.HashMap.empty[Int, Any]
+    for (i <- nodes.indices) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || lt(nodes(i), cur.get)) minOf(r) = nodes(i)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+    for (i <- nodes.indices)
+      rows.add(org.apache.spark.sql.Row(nodes(i), minOf(find(i))))
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", field.dataType, field.nullable),
+      org.apache.spark.sql.types.StructField("comp", field.dataType, field.nullable))))
   }
 
   /** DuckDB twin: recursive reachability, min over reached nodes. The

@@ -188,6 +188,32 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: driver union-find path == distributed pointer-jumping path") {
+    import graft.operators.dedup.ConnectedComponents
+    // adversarial mix: a long path (pointer-jumping's worst case), a
+    // star entered from its tail, a triangle with a redundant edge, and
+    // out-of-order ids so min-label != first-seen
+    val edges = (10L to 40L).map(i => (i + 1, i)) ++ // descending path
+      Seq((100L, 7L), (100L, 8L), (100L, 9L), (9L, 3L)) ++ // star + tail
+      Seq((50L, 60L), (60L, 70L), (70L, 50L), (50L, 70L)) // triangle + dup edge
+    val pairs = spark.createDataFrame(edges).toDF("d1", "d2")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMapOf(ConnectedComponents.assign(pairs))
+    val dist = toMapOf(ConnectedComponents.assign(pairs, localEdgeLimit = 0L))
+    assert(local == dist)
+    assert(local(41L) == 10L && local(100L) == 3L && local(70L) == 50L)
+  }
+
+  test("connected components: string ids take the driver path with lexicographic min") {
+    import graft.operators.dedup.ConnectedComponents
+    val pairs = spark.createDataFrame(Seq(("zz", "mm"), ("mm", "aa"), ("q", "q2")))
+      .toDF("d1", "d2")
+    val comps = ConnectedComponents.assign(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps == Map("zz" -> "aa", "mm" -> "aa", "aa" -> "aa", "q" -> "q", "q2" -> "q"))
+  }
+
   test("transitive minhash dedup keeps a subset of pairwise (closure only adds drops)") {
     val op = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
       shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8, portableHashes = true)
