@@ -56,12 +56,18 @@ object BloomSemiJoin {
     val plain = fact.join(dim, factKey === dimKey, "left_semi")
     if (!wouldPrune(fact, minFactBytes)) plain
     else {
-      val sketch = dim.agg(BloomSketch.bloomSketch(
-        HashFunctions.portableHash64(dimKey), numBits, numHashes).as("_bf"))
-      val pruned = fact.crossJoin(broadcast(sketch))
-        .where(BloomSketch.mightContain(col("_bf"),
-          HashFunctions.portableHash64(factKey), numBits, numHashes))
-        .drop("_bf")
+      // the sketch collects to the driver HERE (one row of numBits/64
+      // longs — bounded by the knob, never the data; the same eager
+      // bounded-collect discipline as centroid literals, and exactly
+      // what Spark's own InjectRuntimeFilter does with its bloom
+      // subquery). Embedding the bits beats cross-joining the one-row
+      // sketch 25×: the joined form stamps the full bit array into
+      // every probe row's UnsafeRow.
+      val bits = dim.agg(BloomSketch.bloomSketch(
+          HashFunctions.portableHash64(dimKey), numBits, numHashes).as("_bf"))
+        .head().getSeq[Long](0).toArray
+      val pruned = fact.where(BloomSketch.mightContainLit(bits,
+        HashFunctions.portableHash64(factKey), numHashes))
       // exact join over survivors removes the sketch's false positives
       pruned.join(dim, factKey === dimKey, "left_semi")
     }

@@ -121,9 +121,24 @@ object BloomSketch {
   def bloomSketch(hashed: Column, numBits: Int, numHashes: Int): Column =
     Shim.column(BloomSketch(Shim.expression(hashed), numBits, numHashes).toAggregateExpression())
 
+  /** Membership probe against a DRIVER-COLLECTED sketch — the execution
+    * form: the bit array (numBits/64 longs, bounded by the knob, never
+    * by the data) embeds in a [[graft.plans.kernels.PortableBloomProbe]]
+    * kernel, so the probe is scan + filter with NO join. The
+    * column-sketch form below cross-joins the one-row sketch and stamps
+    * the full bit array into every probe row's UnsafeRow — 25× slower
+    * at 2¹⁶ bits over 600k rows; keep it for cross-engine oracle SQL
+    * twins only.
+    */
+  def mightContainLit(bits: Array[Long], hashed: Column, numHashes: Int): Column =
+    Shim.column(graft.plans.kernels.PortableBloomProbe(
+      Shim.expression(hashed), bits, numHashes))
+
   /** Membership probe against a SKETCH column — pure builtin Column
     * arithmetic (codegen'd, no UDF): AND over the `numHashes` bit reads.
     * `hashed` must be the same pre-hash the sketch was built from.
+    * Prefer [[mightContainLit]] in execution paths — a cross-joined
+    * sketch column copies the whole bit array per probe row.
     */
   def mightContain(sketch: Column, hashed: Column, numBits: Int, numHashes: Int): Column = {
     import org.apache.spark.sql.functions._

@@ -1064,6 +1064,35 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Membership probe against a DRIVER-COLLECTED portable bloom sketch
+    * (the [[graft.functions.BloomSketch]] bit layout, as longs). The
+    * one-row sketch is embedded in the expression instead of
+    * cross-joined onto the probe side: the broadcast-join form stamps
+    * the numBits/8-byte array into EVERY probe row's UnsafeRow
+    * (measured: 8.8 s vs 0.3 s over 600k rows at 2¹⁶ bits — ~5 GB of
+    * array memcpy for an 8 KB sketch), while the embedded array rides
+    * the serialized task closure ONCE per stage. Child is the
+    * pre-hashed 60-bit portable long key; the k probes short-circuit
+    * on the first clear bit in one JVM call.
+    */
+  case class PortableBloomProbe(child: Expression, bits: Array[Long], numHashes: Int)
+      extends UnaryExpression with UnaryRefCodegen {
+    override def prettyName: String = "portable_bloom_probe"
+    override def dataType: DataType = BooleanType
+    @transient private lazy val numBits = bits.length * 64
+    override def nullSafeEval(v: Any): Any = {
+      val h = v.asInstanceOf[Long]
+      var r = 0
+      while (r < numHashes) {
+        val idx = graft.functions.BloomSketch.bitIndex(h, r, numBits)
+        if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return java.lang.Boolean.FALSE
+        r += 1
+      }
+      java.lang.Boolean.TRUE
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** The Gopher within-document repetition battery (Rae et al. 2021
     * Table A1) in one JVM pass: duplicate line / paragraph fractions
     * (unit count and character mass of beyond-first occurrences) plus

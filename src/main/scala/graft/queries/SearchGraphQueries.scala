@@ -410,20 +410,16 @@ object SearchGraphQueries {
       // false positives are caught by the exact semi join behind it, so
       // the oracle is the PLAIN semi join — the prune must be invisible
       (s, dir) => {
-        import graft.functions.BloomSketch
-        val bits = 1 << 16; val k = 4
         val build = Tables(s, dir, "orders")
           .where(col("o_totalprice") > 400000.0)
           .select(col("o_orderkey"))
-        val sketch = build.agg(BloomSketch.bloomSketch(
-          HashFunctions.portableHash64(col("o_orderkey")), bits, k).as("_bf"))
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-        val pruned = li.crossJoin(broadcast(sketch))
-          .where(BloomSketch.mightContain(col("_bf"),
-            HashFunctions.portableHash64(col("l_orderkey")), bits, k))
-          .drop("_bf")
-        pruned.join(build, pruned("l_orderkey") === build("o_orderkey"), "left_semi")
+        // minFactBytes = 0 forces the bloom path at gate scale — the
+        // literal-embedded probe (collected sketch, no cross join)
+        graft.core.BloomSemiJoin(li, build,
+            col("l_orderkey"), col("o_orderkey"),
+            numBits = 1 << 16, numHashes = 4, minFactBytes = 0L)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("long")).as("qty"))

@@ -71,12 +71,30 @@ class BloomSpec extends AnyFunSuite {
         numBits = Bits, numHashes = K, minFactBytes = Long.MaxValue)
     val viaBloom = BloomSemiJoin(fact, dim, col("k"), col("bk"),
         numBits = Bits, numHashes = K, minFactBytes = 1L)
-    // path check: only the pruned plan contains the sketch aggregate
-    assert(!TestSpark.planOf(viaPlain).contains("bloom_sketch"))
-    assert(TestSpark.planOf(viaBloom).contains("bloom_sketch"))
+    // path check: only the pruned plan carries the embedded-literal
+    // probe kernel (the sketch AGGREGATE ran eagerly at build time —
+    // the collected bits live in the expression, not the plan)
+    assert(!TestSpark.planOf(viaPlain).contains("portable_bloom_probe"))
+    assert(TestSpark.planOf(viaBloom).contains("portable_bloom_probe"))
     // performance guard never changes results
     assert(viaPlain.orderBy("k").collect().map(_.getLong(0)).toSeq ==
       viaBloom.orderBy("k").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("bloom: literal-embedded probe decides exactly like the sketch-column probe") {
+    val inserted = (0L until 1000L).map(_ * 7919L)
+    val mixed = inserted ++ (1L to 5000L).map(_ * 104729L + 13L)
+    val bits = sketchOf(inserted).head().getSeq[Long](0).toArray
+    val viaLit = mixed.toDF("id")
+      .where(BloomSketch.mightContainLit(bits,
+        HashFunctions.portableHash64(col("id")), K))
+      .collect().map(_.getLong(0)).toSet
+    val viaCol = mixed.toDF("id").crossJoin(sketchOf(inserted))
+      .where(BloomSketch.mightContain(col("bf"),
+        HashFunctions.portableHash64(col("id")), Bits, K))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaLit == viaCol)
+    assert(inserted.toSet.subsetOf(viaLit), "literal probe false-negatived an inserted key")
   }
 
   test("bloom: the probe-side filter sits under the semi join's exchange") {
