@@ -88,9 +88,9 @@ object Bench {
     @volatile var finishedNormally = false
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
 
-    def unstableLegs: Seq[String] = medians.toSeq.collect {
-      case (k, m) if results.get(k).exists(mn => mn >= 0.1 && m > 2.0 * mn) => k
-    }
+    // single source of truth for the flag rule: the harness (which also
+    // runs the end-of-suite stabilization pass for flagged legs)
+    def unstableLegs: Seq[String] = harness.unstableLegs
 
     def fullJson(partial: Boolean): String = {
       val rs = results.toSeq
@@ -508,12 +508,11 @@ object Bench {
           .profile(bigLi, profCols).count(); () }),
         "bloom_semi" -> (() => {
           val bits = 1 << 20; val kh = 4
-          val sk = bloomBuild.agg(graft.functions.BloomSketch.bloomSketch(
-            xxhash64(col("bk")).bitwiseAND(lit((1L << 60) - 1)), bits, kh).as("bf"))
-          bigLi.crossJoin(broadcast(sk))
-            .where(graft.functions.BloomSketch.mightContain(col("bf"),
-              xxhash64(col("l_orderkey")).bitwiseAND(lit((1L << 60) - 1)), bits, kh))
-            .drop("bf")
+          val bf = bloomBuild.agg(graft.functions.BloomSketch.bloomSketch(
+              xxhash64(col("bk")).bitwiseAND(lit((1L << 60) - 1)), bits, kh).as("bf"))
+            .head().getSeq[Long](0).toArray
+          bigLi.where(graft.functions.BloomSketch.mightContainLit(bf,
+              xxhash64(col("l_orderkey")).bitwiseAND(lit((1L << 60) - 1)), kh))
             .join(bloomBuild.hint("merge"), col("l_orderkey") === col("bk"), "left_semi")
             .count(); () }),
         "plain_semi" -> (() => {
@@ -565,9 +564,7 @@ object Bench {
         s"""{"rows":$n,"replication":10,"url_filter_docs_per_sec":${rate(n, tUrl)},"filter_docs_per_sec":${rate(n, tFilter)},"filter_100x_docs_per_sec":${rate(n100, tFilter100)},"html_extract_docs_per_sec":${rate(n, tHtml)},"exact_dedup_docs_per_sec":${rate(n, tExact)},"minhash_lsh_docs_per_sec":${rate(n, tLsh)},"curation_stack_docs_per_sec":${rate(n, tStack)},"quality_battery_docs_per_sec":${rate(n, tQuality)},"phash_hash_images_per_sec":${rate(ni, tPhashHash)},"phash_near_images_per_sec":${rate(ni, tPhashNear)},"semantic_dedup_vecs_per_sec":${rate(nv, tSem)},"asof_events_per_sec":${rate(ne, tAsof)},"bigram_lm_score_frozen_docs_per_sec":${rate(n, tBigramScore)}}""")
       // probe-suite self-evidence, same contract as the gate record:
       // guarded/retried lists + per-run detail for flagged legs
-      val probeUnstable = probeHarness.medians.toSeq.collect {
-        case (k, m) if probeHarness.results.get(k).exists(mn => mn >= 0.1 && m > 2.0 * mn) => k
-      }
+      val probeUnstable = probeHarness.unstableLegs
       val pg = probeHarness.guarded.map("\"" + _ + "\"").mkString("[", ",", "]")
       val pr = probeHarness.retried.map("\"" + _ + "\"").mkString("[", ",", "]")
       val pu = probeUnstable.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -60,6 +60,29 @@ class BenchHarnessSpec extends AnyFunSuite {
       "a genuinely slow leg must not be laundered by the retry")
   }
 
+  test("an unstable-but-unguarded leg gets ONE stabilization run; a transient burst clears the flag") {
+    // slow on warm rep 1 only (invocation 2), far under the wall limit:
+    // after 2 reps the median > 2x min (two-sample coin flip) — the
+    // stabilization run adds a third fast observation and the flag
+    // clears honestly. fast ~120ms keeps min >= 0.1 so the leg
+    // QUALIFIES for the flag at all (tiny legs are exempt).
+    val h = new graft.core.BenchHarness(reps = 2, wallLimit = 10.0)
+    h.run(Seq("wobble" -> leg(Set(2), slowMs = 700, fastMs = 120)))
+    assert(h.guarded.isEmpty && h.retried.isEmpty)
+    assert(h.stabilized.toSeq == Seq("wobble"), h.stabilized.toString)
+    assert(h.repTimes("wobble").length == 3, h.repTimes("wobble").toString)
+    // runs [700, 120, 120]: median 120 <= 2x min — flag cleared
+    assert(h.unstableLegs.isEmpty,
+      s"flag must clear after stabilization: runs=${h.repTimes("wobble")}")
+    // a leg whose stabilization run comes back slow AGAIN keeps the
+    // flag (confirmed intermittency), evidence now holds three runs
+    val h2 = new graft.core.BenchHarness(reps = 2, wallLimit = 10.0)
+    h2.run(Seq("steadyslow" -> leg(Set(2, 4), slowMs = 700, fastMs = 120)))
+    assert(h2.stabilized.toSeq == Seq("steadyslow"))
+    assert(h2.unstableLegs == Seq("steadyslow"),
+      s"confirmed spread must keep the flag: runs=${h2.repTimes("steadyslow")}")
+  }
+
   test("detailJson carries warmup + every observed run for the asked legs") {
     val h = new graft.core.BenchHarness(reps = 2, wallLimit = 0.05)
     h.run(Seq("x" -> leg(Set(2)), "y" -> leg(Set.empty)))
