@@ -130,6 +130,58 @@ object AnalyticsQueries {
               |SELECT cnt.l_returnflag, cnt.n_rows, round(_kmv.est, 6) AS est_partkeys
               |FROM cnt JOIN _kmv USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)),
 
+    // HLL distinct estimate vs the oracle recomputing the SAME sketch:
+    // exact register table (idx, max rho) from the identical 60-bit
+    // hash, integer harmonic denominator, mirrored branch/float steps —
+    // the gate hash-checks the sketch, not the neighborhood of the true
+    // count. Exact distinct rides alongside as the accuracy readout.
+    OracleQuery("hll_distinct",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("exact_partkeys"),
+          round(graft.functions.HllSketch.hllDistinct(
+            graft.functions.HashFunctions.portableHash64(col("l_partkey")), 12), 6)
+            .as("est_partkeys"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""WITH ${graft.functions.HllSketch.sqlCte("l_returnflag",
+                 graft.functions.HashFunctions.portableHash64Sql("CAST(l_partkey AS VARCHAR)"),
+                 "lineitem", 12)},
+              |cnt AS (SELECT l_returnflag, count(*) AS n_rows,
+              |    count(DISTINCT l_partkey) AS exact_partkeys
+              |  FROM lineitem GROUP BY 1)
+              |SELECT cnt.l_returnflag, cnt.n_rows, cnt.exact_partkeys,
+              |  round(_hll.est, 6) AS est_partkeys
+              |FROM cnt JOIN _hll USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)),
+
+    // HLL sketch ALGEBRA as a gate: registers built per half-corpus
+    // (l_orderkey parity), merged by element-wise max, estimated
+    // declaratively — must equal the whole-corpus estimate EXACTLY
+    // (max over a partition of the rows is max over the rows). The
+    // oracle computes only the whole-corpus sketch: any drift in the
+    // merge or the register-array estimator path breaks the hash.
+    OracleQuery("hll_union_merge",
+      (s, dir) => {
+        import graft.functions.{HashFunctions, HllSketch}
+        val p = 12
+        val li = Tables(s, dir, "lineitem")
+        def regs(half: org.apache.spark.sql.DataFrame, name: String) =
+          half.groupBy(col("l_returnflag"))
+            .agg(HllSketch.hllRegisters(
+              HashFunctions.portableHash64(col("l_partkey")), p).as(name))
+        regs(li.where(col("l_orderkey") % 2 === 0), "ra")
+          .join(regs(li.where(col("l_orderkey") % 2 === 1), "rb"), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            round(HllSketch.estimateRegisters(
+              HllSketch.mergeRegisters(col("ra"), col("rb")), p), 6).as("est_union"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH ${graft.functions.HllSketch.sqlCte("l_returnflag",
+                 graft.functions.HashFunctions.portableHash64Sql("CAST(l_partkey AS VARCHAR)"),
+                 "lineitem", 12)}
+              |SELECT l_returnflag, round(est, 6) AS est_union
+              |FROM _hll ORDER BY l_returnflag""".stripMargin)),
+
     // Semi-structured extraction: the events `props` JSON column parsed
     // with the codegen'd path expression (no UDF), aggregated per type.
     OracleQuery("events_json_extract",
