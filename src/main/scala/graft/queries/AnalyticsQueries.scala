@@ -136,12 +136,18 @@ object AnalyticsQueries {
     // the gate hash-checks the sketch, not the neighborhood of the true
     // count. Exact distinct rides alongside as the accuracy readout.
     OracleQuery("hll_distinct",
+      // the hash is STAGED in the scan projection (codegen'd, once per
+      // row): countDistinct plans an expand that doubles the aggregate
+      // input, and a hash left inside the sketch's child would be
+      // re-evaluated interpreted on every expanded row (measured 2.6 s
+      // vs 0.9 s for this gate)
       (s, dir) => Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"),
+          graft.functions.HashFunctions.portableHash64(col("l_partkey")).as("_h"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("l_partkey")).as("exact_partkeys"),
-          round(graft.functions.HllSketch.hllDistinct(
-            graft.functions.HashFunctions.portableHash64(col("l_partkey")), 12), 6)
+          round(graft.functions.HllSketch.hllDistinct(col("_h"), 12), 6)
             .as("est_partkeys"))
         .orderBy(col("l_returnflag")),
       Some(s"""WITH ${graft.functions.HllSketch.sqlCte("l_returnflag",

@@ -552,6 +552,52 @@ object StreamingCuration {
     }
   }
 
+  /** Streaming CARDINALITY — per-group HLL registers accumulated across
+    * triggers under the epoch-overwrite store discipline. Each trigger
+    * sketches its OWN batch ([[graft.functions.HllSketch]] registers,
+    * one row per group), OVERWRITEs the epoch's partition of the
+    * register store, then publishes the up-to-this-trigger estimate by
+    * element-wise-max-merging every committed epoch. Per-register max
+    * is batch-order invariant AND idempotent, so (a) the last trigger's
+    * published estimates equal the one-shot batch sketch EXACTLY
+    * (StreamingSpec pins double equality, not approximation) and (b) a
+    * crash-replayed epoch replaces its own partial partition and
+    * re-merges harmlessly — the replay guarantee the dedup twins get
+    * from id anti-joins falls out of the ALGEBRA here. State per group
+    * is 2^p bytes regardless of stream length: the canonical
+    * streaming-sketch shape (a keyed-state distinct-count would hold
+    * every key ever seen).
+    */
+  def hllCardinalityForeachBatch(
+      stream: DataFrame,
+      outDir: String,
+      storeDir: String,
+      keyCol: String,
+      groupCol: String,
+      p: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.{HashFunctions, HllSketch}
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val regs = batch.groupBy(col(groupCol))
+        .agg(HllSketch.hllRegisters(
+          HashFunctions.portableHash64(col(keyCol)), p).as("regs"))
+        .persist()
+      try {
+        regs.write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
+        val all = committedPrior(spark, storeDir, epoch) match {
+          case Some(prior) => prior.select(col(groupCol), col("regs")).unionByName(regs)
+          case None        => regs
+        }
+        all.groupBy(col(groupCol))
+          .agg(HllSketch.hllMergeRegistersAgg(col("regs"), p).as("regs"))
+          .select(col(groupCol),
+            round(HllSketch.estimateRegisters(col("regs"), p), 6).as("estimate"))
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+      } finally regs.unpersist()
+      ()
+    }
+  }
+
   /** Event-time tumbling-window counts with a watermark (late data beyond
     * `watermark` dropped) — the streaming twin of the q6_events_hourly
     * batch query in [[graft.queries.Relational]].

@@ -915,6 +915,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hll cardinality: last trigger's estimates equal the one-shot batch sketch exactly; replay never inflates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.{HashFunctions, HllSketch}
+    val p = 10
+    // overlapping values across triggers: idempotence of the register
+    // max is what keeps re-seen keys from inflating the estimate
+    val b1 = (0L until 400L).map(v => ("a", v)) ++ (0L until 100L).map(v => ("b", v))
+    val b2 = (200L until 700L).map(v => ("a", v)) ++ (50L until 120L).map(v => ("b", v))
+    val b3 = (600L until 900L).map(v => ("a", v))
+    val all = b1 ++ b2 ++ b3
+    val base = java.nio.file.Files.createTempDirectory("graft_hllstream")
+    val outDir = base.resolve("out").toString
+    val storeDir = base.resolve("store").toString
+    def estsOf(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def batchEsts(rows: Seq[(String, Long)]): Map[String, Double] =
+      estsOf(rows.toDF("src", "v").groupBy(col("src"))
+        .agg(round(HllSketch.hllDistinct(
+          HashFunctions.portableHash64(col("v")), p), 6).as("estimate")))
+    // run 1 processes only b1 (epoch 0 commits), then "crashes"
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingCuration.hllCardinalityForeachBatch(
+        mem.toDF().toDF("src", "v"), outDir, storeDir, keyCol = "v",
+        groupCol = "src", p = p)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try { mem.addData(b1: _*); q.processAllAvailable() } finally q.stop()
+    // reboot with a fresh checkpoint: epoch 0 REPLAYS b1 against the
+    // store that already holds its partial write — the epoch-overwrite
+    // plus max-idempotence must republish the same estimates, not
+    // double-count; the stream then continues with b2/b3
+    val mem2 = MemoryStream[(String, Long)]
+    val q2 = StreamingCuration.hllCardinalityForeachBatch(
+        mem2.toDF().toDF("src", "v"), outDir, storeDir, keyCol = "v",
+        groupCol = "src", p = p)
+      .option("checkpointLocation", base.resolve("ckpt2").toString)
+      .start()
+    try {
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      mem2.addData(b2: _*); q2.processAllAvailable()
+      mem2.addData(b3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(estsOf(spark.read.parquet(s"$outDir/epoch=0")
+      .select(col("src"), col("estimate"))) == batchEsts(b1),
+      "replayed epoch 0 must republish its own estimates, prior-free")
+    assert(estsOf(spark.read.parquet(s"$outDir/epoch=1")
+      .select(col("src"), col("estimate"))) == batchEsts(b1 ++ b2))
+    // the final published estimates equal the one-shot batch sketch
+    // EXACTLY — register max is batch-order invariant
+    assert(estsOf(spark.read.parquet(s"$outDir/epoch=2")
+      .select(col("src"), col("estimate"))) == batchEsts(all),
+      "stream-final estimates must equal the one-shot batch sketch")
+    // the store holds exactly the three epoch partitions
+    assert(spark.read.parquet(storeDir).select(col("epoch")).distinct()
+      .collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
+  }
+
   test("streaming cdc upsert: snapshots fold per trigger, _LATEST pointer wins") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
