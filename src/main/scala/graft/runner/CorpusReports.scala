@@ -32,7 +32,8 @@ object CorpusReports {
   def names: Seq[String] = Seq("source_drift", "token_fertility",
     "pii_density", "ngram_diversity", "zipf_fit", "heaps_fit",
     "curriculum_buckets", "overlap_matrix", "readability",
-    "source_balance", "charclass_profile", "minhash_operating_point")
+    "source_balance", "charclass_profile", "minhash_operating_point",
+    "source_cardinality")
 
   /** Reports over the embeddings-table conventions (vec_id, embedding)
     * — the vector-side tuner family, each at its oracle-gate settings.
@@ -70,6 +71,31 @@ object CorpusReports {
       new graft.operators.dedup.MinHashOperatingPoint(c.text, c.id,
         shingleWidth = 3, numHashes = 16, threshold = 0.8,
         targetRecall = 0.9, sampleMod = 3).report(df)
+    case "source_cardinality" =>
+      // per-source cardinality sketch (HLL p=12, ~1.6% s.e.): distinct
+      // TEXT count (docs − est ≈ exact-dup pressure, priced before a
+      // dedup pass) and distinct token estimate (per-source vocabulary
+      // — exact countDistinct over corpus tokens is the shuffle HLL
+      // exists to avoid). Registers partial-aggregate map-side, so the
+      // exchange carries 4 KB per (partition, source), never tokens.
+      {
+        import graft.functions.{HashFunctions, HllSketch}
+        import org.apache.spark.sql.functions._
+        val p = 12
+        val staged = df.select(col(c.source).as("source"),
+          HashFunctions.portableHash64(col(c.text)).as("_th"),
+          graft.functions.TextFunctions.tokensOf(col(c.text)).as("_toks"))
+        val texts = staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(HllSketch.hllDistinct(col("_th"), p), 2).as("est_distinct_texts"))
+        val vocab = staged
+          .select(col("source"), explode(col("_toks")).as("_tok"))
+          .select(col("source"), HashFunctions.portableHash64(col("_tok")).as("_h"))
+          .groupBy(col("source"))
+          .agg(round(HllSketch.hllDistinct(col("_h"), p), 2).as("est_vocab"))
+        texts.join(vocab, Seq("source"), "left")
+          .orderBy(col("source"))
+      }
     case "multiprobe_operating_point" =>
       graft.operators.vector.AnnSearch.multiProbeOperatingPoint(df,
         "embedding", "vec_id", k = 10, coords = 0 until 4, maxProbes = 3,

@@ -898,6 +898,17 @@ class RunnerSpec extends AnyFunSuite {
     // spot-check shapes: per-source reports have one row per source
     assert(spark.read.parquet(s"$out/source_drift").count() == 20)
     assert(spark.read.parquet(s"$out/token_fertility").count() == 20)
+    // cardinality sketch: the fixture has no exact-dup texts, so the
+    // distinct-text estimate must sit within the sketch's error band of
+    // the doc count, and every source carries a positive vocab estimate
+    val cardRows = spark.read.parquet(s"$out/source_cardinality").collect()
+    assert(cardRows.length == 20)
+    cardRows.foreach { r =>
+      val n = r.getAs[Long]("n_docs").toDouble
+      val est = r.getAs[Double]("est_distinct_texts")
+      assert(math.abs(est - n) < 0.1 * n + 5, s"source ${r.get(0)}: est $est vs n $n")
+      assert(r.getAs[Double]("est_vocab") > 0.0)
+    }
     assert(spark.read.parquet(s"$out/ngram_diversity").count() == 3)
     // the raw fixture is contamination-free; planting one cross-source
     // duplicate text makes exactly one pair cell light up
