@@ -1,0 +1,330 @@
+package graft.operators.vector
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Exact second-moment accumulator for PCA: one pass over INTEGER-SCALED
+  * vectors collecting n, per-dimension sums, and the upper-triangle sum
+  * of products — every entry an exact BIGINT, so the moment table is
+  * cross-engine hash-checkable (the covariance gate) and
+  * partition-order invariant by construction (integer addition
+  * commutes; no float-sum nondeterminism reaches the record). Buffer
+  * layout: [n, sums(0..d-1), prods(i-major upper triangle)]. Partials
+  * merge by element-wise add; the exchange carries one
+  * (1 + d + d(d+1)/2)-long array per partition — at d = 64 that is
+  * 17 KB regardless of corpus size, the classic map-reduce moments
+  * shape (same contract as [[graft.operators.ml.KMeansBuckets]]'s
+  * update step and the sketch aggregates).
+  *
+  * The child must be the ALREADY-SCALED `array<long>` ([[Pca.scaled]]):
+  * scaling stays in the codegen'd scan projection, and the aggregate
+  * only ever adds longs. Null vectors are skipped; a wrong-length
+  * vector is a loud error (silently ragged moments would corrupt the
+  * covariance).
+  */
+final case class VectorMomentsAgg(
+    child: Expression,
+    d: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(d >= 1 && d <= 4096, s"d must be in [1,4096], got $d")
+
+  private val len = 1 + d + d * (d + 1) / 2
+
+  override def prettyName: String = "vector_moments"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_moments expects the pre-scaled ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == d,
+        s"vector has ${arr.numElements()} dims, moments configured for $d")
+      buf(0) += 1L
+      var i = 0
+      var p = 1 + d
+      while (i < d) {
+        val xi = arr.getLong(i)
+        buf(1 + i) += xi
+        var j = i
+        while (j < d) { buf(p) += xi * arr.getLong(j); j += 1; p += 1 }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * len)
+    var i = 0
+    while (i < len) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](len)
+    var i = 0
+    while (i < len) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMomentsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMomentsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMomentsAgg =
+    copy(child = newChild)
+}
+
+/** PCA over an embedding column — the data-adaptive companion to
+  * [[RandomProjection]] (JL preserves distances obliviously; PCA packs
+  * the corpus's actual variance into the leading dimensions, which is
+  * what semantic-dedup pipelines reduce with before clustering).
+  *
+  * Split into the two shapes a 100 TB run needs:
+  *
+  *  1. FIT — one distributed pass of exact integer moments
+  *     ([[VectorMomentsAgg]]; the only corpus scan), then an O(d³)
+  *     Jacobi eigendecomposition of the d×d covariance on the DRIVER
+  *     (d ≤ a few hundred for embedding columns — microseconds, and
+  *     deterministic: fixed cyclic sweep order, threshold convergence,
+  *     canonical eigenvector sign). The moments are exact BIGINTs, so
+  *     the fit is reproducible to the bit from the same corpus.
+  *  2. PROJECT — a stateless per-row map: the components become typed
+  *     literals in the plan (the [[RandomProjection]] discipline), each
+  *     output is the shared left-to-right double dot fold minus a
+  *     precomputed mean offset, and the DuckDB twin applies the SAME
+  *     literal matrix — so the projection gate hash-checks end to end.
+  */
+object Pca {
+
+  /** Default fixed-point scale for the exact moments: 2^20 per unit.
+    * Products stay ≤ 2^40 per row; the sum has 2^23 headroom per
+    * billion rows — overflow-safe past 100 TB corpora for unit-norm
+    * embeddings.
+    */
+  val DefaultScale: Long = 1L << 20
+
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]], // q × d, orthonormal rows
+      eigenvalues: Array[Double]) {      // descending, length q
+    def d: Int = mean.length
+    def q: Int = components.length
+    /** Per-component mean offset: project(x) = x·c − mean·c. */
+    lazy val offsets: Array[Double] = components.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += mean(i) * c(i); i += 1 }
+      s
+    }
+  }
+
+  /** The vector integer-scaled for the moments pass: floor(x · scale)
+    * per element, in the codegen'd projection.
+    */
+  def scaled(vec: Column, scale: Long = DefaultScale): Column =
+    transform(vec.cast("array<double>"), x => floor(x * lit(scale.toDouble)).cast("long"))
+
+  /** One-row exact moment frame `(n, sums, prods)` (see
+    * [[VectorMomentsAgg]] layout, here unpacked into three columns).
+    */
+  def moments(df: DataFrame, vecCol: String, d: Int,
+      scale: Long = DefaultScale): DataFrame = {
+    val agg = Shim.column(VectorMomentsAgg(
+      Shim.expression(scaled(col(vecCol), scale)), d).toAggregateExpression())
+    df.filter(col(vecCol).isNotNull)
+      .agg(agg.as("_m"))
+      .select(element_at(col("_m"), 1).as("n"),
+        slice(col("_m"), 2, d).as("sums"),
+        slice(col("_m"), 2 + d, d * (d + 1) / 2).as("prods"))
+  }
+
+  /** Upper-triangle index arrays (i-major, 0-based) for exploding the
+    * packed `prods` array into (i, j) rows.
+    */
+  def pairIndices(d: Int): (Array[Int], Array[Int]) = {
+    val is = Array.newBuilder[Int]; val js = Array.newBuilder[Int]
+    var i = 0
+    while (i < d) { var j = i; while (j < d) { is += i; js += j; j += 1 }; i += 1 }
+    (is.result(), js.result())
+  }
+
+  /** Fit on the driver from one collected moment row. */
+  def fit(df: DataFrame, vecCol: String, d: Int, q: Int,
+      scale: Long = DefaultScale): PcaModel = {
+    require(q >= 1 && q <= d, s"q must be in [1,$d], got $q")
+    val row = moments(df, vecCol, d, scale).head()
+    val n = row.getLong(0)
+    require(n > 0, "PCA fit over an empty (or all-null) vector column")
+    val sums = row.getSeq[Long](1)
+    val prods = row.getSeq[Long](2)
+    val sc = scale.toDouble
+    val mean = Array.tabulate(d)(i => sums(i) / sc / n)
+    val cov = Array.ofDim[Double](d, d)
+    var p = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val e = prods(p) / (sc * sc) / n - mean(i) * mean(j)
+        cov(i)(j) = e; cov(j)(i) = e
+        j += 1; p += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    // order descending by eigenvalue, ties by original index (stable)
+    val order = vals.indices.sortBy(k => (-vals(k), k)).take(q)
+    val comps = order.map { k =>
+      val v = Array.tabulate(d)(r => vecs(r)(k))
+      // canonical sign: the largest-|component| entry (first on ties)
+      // is made positive — eigenvectors are defined up to sign and the
+      // projection gate needs ONE answer
+      var best = 0
+      var bi = 1
+      while (bi < d) { if (math.abs(v(bi)) > math.abs(v(best))) best = bi; bi += 1 }
+      if (v(best) < 0) { var r = 0; while (r < d) { v(r) = -v(r); r += 1 } }
+      v
+    }.toArray
+    PcaModel(mean, comps, order.map(vals).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic: fixed (p,q) sweep order, rotation threshold 1e-14
+    * relative, max 64 sweeps (d ≤ a few hundred converges in < 10).
+    * Returns (eigenvalues, column-eigenvector matrix).
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    val norm = math.max(1e-300, a0.map(_.map(x => x * x).sum).sum)
+    while (sweep < 64 && off > 1e-28 * norm) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += 2 * apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1))
+              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Stateless projection onto the model's components: literal-matrix
+    * dots minus the precomputed mean offsets — no shuffle, output is
+    * q-wide, shrinking every downstream exchange.
+    */
+  def project(df: DataFrame, vecCol: String, model: PcaModel,
+      outputCol: String = "embedding_pca"): DataFrame =
+    df.withColumn(outputCol, array(model.components.zipWithIndex.map {
+      case (c, j) =>
+        VectorFunctions.dot(col(vecCol), typedlit(c.toSeq)) - lit(model.offsets(j))
+    }: _*))
+
+  /** DuckDB twin of [[project]]: CTE `_pca(id, projected)`. Component
+    * literals ride as `CAST('…' AS DOUBLE)` (shortest-round-trip text —
+    * the [[RandomProjection]] discipline) and the fold order matches
+    * [[VectorFunctions.dotSql]].
+    */
+  def projectSql(table: String, idExpr: String, vecCol: String,
+      model: PcaModel): String = {
+    val comps = model.components.zipWithIndex.map { case (c, j) =>
+      val clit = c.map(x => s"CAST('${x.toString}' AS DOUBLE)")
+        .mkString("([", ", ", "])")
+      s"(${VectorFunctions.dotSql(vecCol, clit)} - CAST('${model.offsets(j).toString}' AS DOUBLE))"
+    }.mkString("[", ", ", "]")
+    s"""_pca AS (SELECT $idExpr AS id, $comps AS projected FROM $table
+       |  WHERE $vecCol IS NOT NULL)""".stripMargin
+  }
+
+  /** DuckDB twin of the exploded moment table: rows
+    * `(i, j, n, sum_i, sum_j, sp)` over the 0-based upper triangle —
+    * the covariance gate's oracle. Parallel UNNESTs zip in DuckDB, so
+    * the per-element rows carry their subscript without ordinality
+    * syntax.
+    */
+  def momentsSql(table: String, idExpr: String, vecCol: String,
+      scale: Long = DefaultScale): String =
+    s"""_pm_x AS (SELECT _pmid, CAST(i - 1 AS BIGINT) AS i,
+       |    CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT) AS xi
+       |  FROM (SELECT $idExpr AS _pmid, UNNEST($vecCol) AS x,
+       |          UNNEST(range(1, len($vecCol) + 1)) AS i
+       |        FROM $table WHERE $vecCol IS NOT NULL)),
+       |_pm_s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS s, count(*) AS n
+       |  FROM _pm_x GROUP BY 1),
+       |_pm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS sp
+       |  FROM _pm_x a JOIN _pm_x b ON a._pmid = b._pmid AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |_pmout AS (SELECT p.i, p.j, s1.n, s1.s AS sum_i, s2.s AS sum_j, p.sp
+       |  FROM _pm p JOIN _pm_s s1 ON s1.i = p.i JOIN _pm_s s2 ON s2.i = p.j)""".stripMargin
+}

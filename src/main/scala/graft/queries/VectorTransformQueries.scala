@@ -27,6 +27,52 @@ object VectorTransformQueries {
 
   val queries: Seq[OracleQuery] = Seq(
 
+    // Exact integer-scaled second moments (the PCA fit's ONLY corpus
+    // pass): every (i, j) sum-of-products an exact BIGINT, re-derived
+    // by DuckDB from the same floor(x·2^20) scaling — the moment table
+    // fully determines the covariance, so the distributed half of the
+    // fit is hash-checked even though the (driver, O(d^3)) eigen step
+    // itself is not SQL-expressible.
+    OracleQuery("embedding_covariance",
+      (s, dir) => {
+        import graft.operators.vector.Pca
+        val d = 64
+        val (is, js) = Pca.pairIndices(d)
+        Pca.moments(Tables(s, dir, "embeddings"), "embedding", d)
+          .select(col("n"), col("sums"),
+            posexplode(col("prods")).as(Seq("_pos", "sp")))
+          .select(
+            element_at(typedlit(is.map(_.toLong).toSeq), col("_pos") + 1).as("i"),
+            element_at(typedlit(js.map(_.toLong).toSeq), col("_pos") + 1).as("j"),
+            col("n"), col("sums"), col("sp"))
+          .select(col("i"), col("j"), col("n"),
+            element_at(col("sums"), (col("i") + 1).cast("int")).as("sum_i"),
+            element_at(col("sums"), (col("j") + 1).cast("int")).as("sum_j"),
+            col("sp"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""WITH ${graft.operators.vector.Pca.momentsSql(
+                 "embeddings", "vec_id", "embedding")}
+              |SELECT i, j, n, sum_i, sum_j, sp FROM _pmout
+              |ORDER BY i, j""".stripMargin)),
+
+    // PCA projection (rows-only gate: the eigendecomposition runs on
+    // the driver over the hash-checked moments above, deterministic —
+    // fixed Jacobi sweep order, canonical sign — but not re-derivable
+    // in SQL; PcaSpec pins orthonormality, variance ordering, and the
+    // manual-replay projection)
+    OracleQuery("pca_project",
+      (s, dir) => {
+        import graft.operators.vector.Pca
+        val emb = Tables(s, dir, "embeddings")
+        val model = Pca.fit(emb, "embedding", d = 64, q = 8)
+        Pca.project(emb, "embedding", model)
+          .select(col("vec_id") +:
+            (1 to 8).map(i => element_at(col("embedding_pca"), i).as(s"p$i")): _*)
+          .orderBy(col("vec_id"))
+      },
+      None),
+
     // int codes serialize exactly ("-7" is "-7" in both engines), so the
     // whole 64-wide code vector is hash-checked as one string column
     OracleQuery("embedding_quantize",
