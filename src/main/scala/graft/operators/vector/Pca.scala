@@ -108,6 +108,38 @@ final case class VectorMomentsAgg(
     copy(child = newChild)
 }
 
+/** Registry/YAML surface for the PCA projection: fits on the input
+  * frame (one exact-moment pass + driver Jacobi — [[Pca.fit]]) and
+  * projects it, with the fitted model cached per input frame (the
+  * [[AutoBucketedCosineDedup]] discipline: a runner flow touching
+  * apply and a sibling branch over the SAME frame must train once).
+  */
+final class PcaProjection(
+    vecCol: String = "embedding",
+    dims: Int = 64,
+    q: Int = 8,
+    scale: Long = Pca.DefaultScale,
+    outputCol: String = "embedding_pca") extends graft.core.Operator {
+
+  require(q >= 1 && q <= dims, s"q must be in [1,$dims], got $q")
+  val name = "pca_projection"
+
+  @volatile private var cachedFit: (DataFrame, Pca.PcaModel) = null
+
+  private def modelFor(df: DataFrame): Pca.PcaModel = {
+    val c = cachedFit
+    if (c != null && (c._1 eq df)) c._2
+    else {
+      val m = Pca.fit(df, vecCol, dims, q, scale)
+      cachedFit = (df, m)
+      m
+    }
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    Pca.project(df, vecCol, modelFor(df), outputCol)
+}
+
 /** PCA over an embedding column — the data-adaptive companion to
   * [[RandomProjection]] (JL preserves distances obliviously; PCA packs
   * the corpus's actual variance into the leading dimensions, which is

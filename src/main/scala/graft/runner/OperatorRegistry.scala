@@ -647,6 +647,12 @@ object OperatorRegistry {
   register("video_metadata", p => new graft.operators.media.VideoMetadataRefiner(
     videoCol = p.str("video_field", "video")))
 
+  register("pca_projection", p => new graft.operators.vector.PcaProjection(
+    vecCol = p.str("embedding_field", "embedding"),
+    dims = p.int("dims", 64),
+    q = p.int("components", 8),
+    outputCol = p.str("output_field", "embedding_pca")))
+
   register("random_projection", p => new graft.operators.vector.RandomProjection(
     vecCol = p.str("embedding_field", "embedding"),
     inDims = p.int("in_dims", 16),

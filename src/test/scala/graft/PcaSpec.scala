@@ -103,6 +103,18 @@ class PcaSpec extends AnyFunSuite {
     assert(pcaVar > rpVar, s"pca $pcaVar must exceed random $rpVar")
   }
 
+  test("registry pca_projection: fits on the input and caches the model per frame") {
+    val op = graft.runner.OperatorRegistry.create("pca_projection",
+      graft.runner.Params(Map("components" -> 4, "dims" -> 64)))
+    val out = op(emb)
+    assert(out.select(size(col("embedding_pca"))).distinct().as[Int].collect().toSeq == Seq(4))
+    // two applies over the SAME frame reuse the fit (reference equality
+    // cache) — outputs identical
+    val a = op(emb).select(col("vec_id"), col("embedding_pca")).collect().toSeq
+    val b = op(emb).select(col("vec_id"), col("embedding_pca")).collect().toSeq
+    assert(a == b)
+  }
+
   test("jacobi: recovers a known spectrum") {
     // diag(5, 2, 1) rotated by a fixed orthogonal matrix
     val theta = 0.6
