@@ -113,6 +113,9 @@ final class BenchHarness(reps: Int, wallLimit: Double) {
         val t = measure(fn)
         record(name, t)
         stabilized += name
+        // the stabilization run is still under the wall budget's
+        // contract: a blow-out here is evidence, not a freebie
+        if (t > wallLimit) guarded += name
       }
     }
   }

@@ -50,7 +50,8 @@ final case class HllSketch(
   extends TypedImperativeAggregate[Array[Byte]]
   with UnaryLike[Expression] {
 
-  require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+  require(p >= 7 && p <= 16,
+    s"p must be in [7,16] (the estimator uses the m >= 128 alpha form), got $p")
 
   private val m = 1 << p
   private val restBits = 60 - p
@@ -122,7 +123,8 @@ final case class HllMergeAgg(
   extends TypedImperativeAggregate[Array[Byte]]
   with UnaryLike[Expression] {
 
-  require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+  require(p >= 7 && p <= 16,
+    s"p must be in [7,16] (the estimator uses the m >= 128 alpha form), got $p")
   private val m = 1 << p
 
   override def prettyName: String = "hll_merge"
@@ -267,19 +269,26 @@ object HllSketch {
     // bit_length(rest bits) via DuckDB's bit_count over a monotone mask:
     // rho = rest - floor(log2(x)) for x>0 is float-unsafe; instead use
     // length(bin(x)) which for x>0 is exactly its bit length (no leading
-    // zeros), and the x=0 case pins rho = rest+1
-    s"""_hll_h AS (SELECT $groupCol, $hvExpr AS hv FROM $fromSql),
+    // zeros), and the x=0 case pins rho = rest+1.
+    // NULL discipline mirrors the Scala aggregate exactly: null hashes
+    // never reach the register table (the aggregate's update skips
+    // them), and the register counts fold over a DISTINCT group SPINE —
+    // without the spine a group whose values are all NULL would vanish
+    // here while the Spark sketch keeps it at estimate 0.0, and the
+    // NULL-idx row would inflate count(*), shifting zeros and denom.
+    s"""_hll_g AS (SELECT DISTINCT $groupCol FROM $fromSql),
+       |_hll_h AS (SELECT $groupCol, $hvExpr AS hv FROM $fromSql),
        |_hll_rr AS (SELECT $groupCol, CAST(hv >> $rest AS BIGINT) AS idx,
        |    CASE WHEN (hv & ${(1L << rest) - 1}) = 0 THEN ${rest + 1}
        |         ELSE $rest - length(bin(hv & ${(1L << rest) - 1})) + 1 END AS rho
-       |  FROM _hll_h),
+       |  FROM _hll_h WHERE hv IS NOT NULL),
        |_hll_regs AS (SELECT $groupCol, idx, max(rho) AS rho
        |  FROM _hll_rr GROUP BY 1, 2),
        |_hll_sum AS (SELECT $groupCol,
-       |    CAST(sum(CAST(1 AS BIGINT) << ($s - rho)) AS BIGINT)
-       |      + CAST(($m - count(*)) AS BIGINT) * ${1L << s} AS denom,
-       |    $m - count(*) AS zeros
-       |  FROM _hll_regs GROUP BY 1),
+       |    COALESCE(CAST(sum(CAST(1 AS BIGINT) << ($s - rho)) AS BIGINT), 0)
+       |      + CAST(($m - count(idx)) AS BIGINT) * ${1L << s} AS denom,
+       |    $m - count(idx) AS zeros
+       |  FROM _hll_g LEFT JOIN _hll_regs USING ($groupCol) GROUP BY 1),
        |_hll AS (SELECT $groupCol,
        |    CASE WHEN (${alphaSql(m)} * $m * $m * power(2.0, $s)
        |               / CAST(denom AS DOUBLE)) <= 2.5 * $m AND zeros > 0

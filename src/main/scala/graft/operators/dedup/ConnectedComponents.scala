@@ -67,7 +67,12 @@ object ConnectedComponents {
       // before a single extra row existed (r17). The checkpoint costs
       // one materialization the persist paid anyway.
       .localCheckpoint(true)
-    if (localEdgeLimit > 0 && edges.count() <= localEdgeLimit) {
+    // NULL ids take the distributed path: there a null label joins
+    // nothing and stays its own component, while union-find would
+    // merge it with its pair partner — the two paths must agree, and
+    // no dedup call site produces null pair ids anyway
+    if (localEdgeLimit > 0 && edges.count() <= localEdgeLimit &&
+        edges.filter(col("a").isNull || col("b").isNull).isEmpty) {
       try return assignLocal(edges)
       finally releaseCheckpoint(edges)
     }
@@ -152,11 +157,20 @@ object ConnectedComponents {
     flat
   }
 
-  /** Natural order over the id's runtime boxing (Long/Int/String — all
-    * `Comparable`; both sides are the same column type so the compare
-    * never mixes). Mirrors the distributed path's `min(comp)`.
+  /** Natural order over the id's runtime boxing, matching the
+    * distributed path's `min(comp)` EXACTLY: strings compare in
+    * Spark's UTF-8 binary order (Java's `String.compareTo` is UTF-16
+    * code-unit order, which disagrees beyond the BMP — an emoji id
+    * would sort below U+FFFD under Java but above it under Spark, and
+    * the component label must not flip at the localEdgeLimit
+    * boundary); other id types (Long/Int/…) box to `Comparable`s whose
+    * order matches Spark's.
     */
   private def lt(x: Any, y: Any): Boolean = x match {
+    case a: String =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(y.asInstanceOf[String])) < 0
     case c: java.lang.Comparable[_] =>
       c.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
     case _ => String.valueOf(x) < String.valueOf(y)

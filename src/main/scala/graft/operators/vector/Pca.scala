@@ -66,11 +66,18 @@ final case class VectorMomentsAgg(
       buf(0) += 1L
       var i = 0
       var p = 1 + d
+      // addExact/multiplyExact: a silent wrap would corrupt the
+      // covariance (and so the whole PCA model) with no symptom — the
+      // overflow must THROW, pointing at the `scale` sizing rule in
+      // [[Pca.DefaultScale]]'s doc, never launder into garbage moments
       while (i < d) {
         val xi = arr.getLong(i)
-        buf(1 + i) += xi
+        buf(1 + i) = Math.addExact(buf(1 + i), xi)
         var j = i
-        while (j < d) { buf(p) += xi * arr.getLong(j); j += 1; p += 1 }
+        while (j < d) {
+          buf(p) = Math.addExact(buf(p), Math.multiplyExact(xi, arr.getLong(j)))
+          j += 1; p += 1
+        }
         i += 1
       }
     }
@@ -79,7 +86,7 @@ final case class VectorMomentsAgg(
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < len) { buf(i) += other(i); i += 1 }
+    while (i < len) { buf(i) = Math.addExact(buf(i), other(i)); i += 1 }
     buf
   }
 
@@ -124,14 +131,17 @@ final class PcaProjection(
   require(q >= 1 && q <= dims, s"q must be in [1,$dims], got $q")
   val name = "pca_projection"
 
-  @volatile private var cachedFit: (DataFrame, Pca.PcaModel) = null
+  // weak key: the cache must not pin the last frame's plan (and its
+  // closure graph) for the operator's lifetime — a dropped frame's
+  // model is simply refit on the next distinct input
+  @volatile private var cachedFit: (java.lang.ref.WeakReference[DataFrame], Pca.PcaModel) = null
 
   private def modelFor(df: DataFrame): Pca.PcaModel = {
     val c = cachedFit
-    if (c != null && (c._1 eq df)) c._2
+    if (c != null && (c._1.get eq df)) c._2
     else {
       val m = Pca.fit(df, vecCol, dims, q, scale)
-      cachedFit = (df, m)
+      cachedFit = (new java.lang.ref.WeakReference(df), m)
       m
     }
   }
@@ -163,9 +173,15 @@ final class PcaProjection(
 object Pca {
 
   /** Default fixed-point scale for the exact moments: 2^20 per unit.
-    * Products stay ≤ 2^40 per row; the sum has 2^23 headroom per
-    * billion rows — overflow-safe past 100 TB corpora for unit-norm
-    * embeddings.
+    * Sizing rule: a moment sum stays inside a signed 64-bit long while
+    * n · (scale·maxAbs)² < 2^63 — at 2^20 with per-dim |x| ≤ 1 that is
+    * ~8·10⁸ worst-case rows (unit-NORM embeddings spread E[x²] = 1/d,
+    * buying another ~d×, but the bound must hold for the worst
+    * dimension). For corpora beyond it, lower `scale`: halving it buys
+    * 4× the rows and costs one bit of quantization — far below the
+    * float32 input noise floor down to ~2^12. The aggregate adds with
+    * `Math.addExact`, so an overflow THROWS loudly instead of wrapping
+    * into silently-garbage covariance.
     */
   val DefaultScale: Long = 1L << 20
 

@@ -552,21 +552,44 @@ object StreamingCuration {
     }
   }
 
+  /** Newest `epoch=*` partition of `dir` carrying a `_SUCCESS` marker,
+    * excluding `excluding` — the read side of a CUMULATIVE
+    * epoch-snapshot store (each partition holds fold-up-to-that-epoch
+    * state, so only the latest committed one is ever read).
+    */
+  private[graft] def latestCommittedEpoch(spark: SparkSession, dir: String,
+      excluding: Long): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("epoch=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+        st.getPath.getName.stripPrefix("epoch=").toLong
+    }.filter(_ != excluding) match {
+      case Seq() => None
+      case es    => Some(es.max)
+    }
+  }
+
   /** Streaming CARDINALITY — per-group HLL registers accumulated across
-    * triggers under the epoch-overwrite store discipline. Each trigger
-    * sketches its OWN batch ([[graft.functions.HllSketch]] registers,
-    * one row per group), OVERWRITEs the epoch's partition of the
-    * register store, then publishes the up-to-this-trigger estimate by
-    * element-wise-max-merging every committed epoch. Per-register max
-    * is batch-order invariant AND idempotent, so (a) the last trigger's
-    * published estimates equal the one-shot batch sketch EXACTLY
-    * (StreamingSpec pins double equality, not approximation) and (b) a
-    * crash-replayed epoch replaces its own partial partition and
-    * re-merges harmlessly — the replay guarantee the dedup twins get
-    * from id anti-joins falls out of the ALGEBRA here. State per group
-    * is 2^p bytes regardless of stream length: the canonical
-    * streaming-sketch shape (a keyed-state distinct-count would hold
-    * every key ever seen).
+    * triggers. Each trigger sketches its OWN batch
+    * ([[graft.functions.HllSketch]] registers, one row per group),
+    * merges with the NEWEST committed prior snapshot (element-wise
+    * register max), and OVERWRITEs the epoch's partition with the
+    * CUMULATIVE result — so a trigger reads ONE snapshot regardless of
+    * stream age (per-trigger cost is O(groups · 2^p), never O(epochs);
+    * old partitions are retention, deletable any time). Per-register
+    * max is batch-order invariant AND idempotent, so (a) the last
+    * trigger's published estimates equal the one-shot batch sketch
+    * EXACTLY (StreamingSpec pins double equality, not approximation)
+    * and (b) a crash-replayed epoch overwrites its own partial
+    * partition and re-folds from the snapshot BELOW it, republishing
+    * the same state — the replay guarantee the dedup twins get from id
+    * anti-joins falls out of the algebra here. State per group is 2^p
+    * bytes regardless of stream length: the canonical streaming-sketch
+    * shape (a keyed-state distinct count would hold every key ever
+    * seen).
     */
   def hllCardinalityForeachBatch(
       stream: DataFrame,
@@ -581,19 +604,20 @@ object StreamingCuration {
       val regs = batch.groupBy(col(groupCol))
         .agg(HllSketch.hllRegisters(
           HashFunctions.portableHash64(col(keyCol)), p).as("regs"))
-        .persist()
-      try {
-        regs.write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
-        val all = committedPrior(spark, storeDir, epoch) match {
-          case Some(prior) => prior.select(col(groupCol), col("regs")).unionByName(regs)
-          case None        => regs
-        }
-        all.groupBy(col(groupCol))
+      val prior = latestCommittedEpoch(spark, storeDir, excluding = epoch)
+        .map(e => spark.read.parquet(s"$storeDir/epoch=$e"))
+      val merged = (prior match {
+        case Some(snap) => snap.select(col(groupCol), col("regs")).unionByName(regs)
+          .groupBy(col(groupCol))
           .agg(HllSketch.hllMergeRegistersAgg(col("regs"), p).as("regs"))
-          .select(col(groupCol),
+        case None => regs
+      }).persist() // consumed twice: snapshot write + estimate publish
+      try {
+        merged.write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
+        merged.select(col(groupCol),
             round(HllSketch.estimateRegisters(col("regs"), p), 6).as("estimate"))
           .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
-      } finally regs.unpersist()
+      } finally merged.unpersist()
       ()
     }
   }

@@ -83,6 +83,23 @@ class BenchHarnessSpec extends AnyFunSuite {
       s"confirmed spread must keep the flag: runs=${h2.repTimes("steadyslow")}")
   }
 
+  test("a stabilization run that blows the wall limit marks the leg guarded — no unguarded budget escape") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    // warm runs [120, 450] (unstable at median 285 > 2x120, under the
+    // 1s wall); the stabilization run itself takes 1.2s — over the wall
+    val fn: () => Unit = () => Thread.sleep(calls.incrementAndGet() match {
+      case 3 => 450L
+      case 4 => 1200L
+      case _ => 120L
+    })
+    val h = new graft.core.BenchHarness(reps = 2, wallLimit = 1.0)
+    h.run(Seq("esc" -> fn))
+    assert(h.stabilized.toSeq == Seq("esc"))
+    assert(h.guarded.toSeq == Seq("esc"),
+      "an over-limit stabilization run must surface in wall_guarded")
+    assert(h.results("esc") < 0.2) // official min stays the honest fast run
+  }
+
   test("detailJson carries warmup + every observed run for the asked legs") {
     val h = new graft.core.BenchHarness(reps = 2, wallLimit = 0.05)
     h.run(Seq("x" -> leg(Set(2)), "y" -> leg(Set.empty)))

@@ -205,6 +205,19 @@ class DedupSpec extends AnyFunSuite {
     assert(local(41L) == 10L && local(100L) == 3L && local(70L) == 50L)
   }
 
+  test("connected components: null pair ids fall back to the distributed path without crashing") {
+    import graft.operators.dedup.ConnectedComponents
+    val pairs = spark.createDataFrame(
+      Seq((Some(1L), Some(2L)), (None: Option[Long], Some(3L))))
+      .toDF("d1", "d2")
+    // union-find would merge null with 3; the distributed fixpoint keeps
+    // null as its own label — the null guard must route to the latter
+    val rows = ConnectedComponents.assign(pairs).collect()
+    val nonNull = rows.filter(r => !r.isNullAt(0))
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(nonNull(1L) == 1L && nonNull(2L) == 1L && nonNull(3L) == 3L, rows.mkString(","))
+  }
+
   test("connected components: string ids take the driver path with lexicographic min") {
     import graft.operators.dedup.ConnectedComponents
     val pairs = spark.createDataFrame(Seq(("zz", "mm"), ("mm", "aa"), ("q", "q2")))
