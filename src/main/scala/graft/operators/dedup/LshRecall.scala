@@ -34,7 +34,8 @@ final class LshRecall(
     numHashes: Int = 16,
     numBands: Int = 4,
     threshold: Double = 0.8,
-    sampleMod: Int) {
+    sampleMod: Int,
+    signatureScheme: String = "kmin") {
 
   require(sampleMod >= 1, s"sampleMod $sampleMod must be >= 1")
 
@@ -42,7 +43,7 @@ final class LshRecall(
     textCol, idCol, shingleWidth, threshold, maxDocFreq = None)
   private val lshOp = new MinHashLSHDedup(
     textCol, idCol, shingleWidth, numHashes, numBands, threshold,
-    portableHashes = true)
+    portableHashes = true, signatureScheme = signatureScheme)
 
   def report(df: DataFrame): DataFrame = {
     val in = if (sampleMod == 1) df else df.filter(col(idCol) % sampleMod === 0)

@@ -55,9 +55,12 @@ final class MinHashLSHDedup(
     threshold: Double = 0.8,
     portableHashes: Boolean = false,
     maxBucketSize: Option[Int] = None,
-    preCollapseExact: Boolean = false) extends graft.core.RejectingOperator {
+    preCollapseExact: Boolean = false,
+    signatureScheme: String = "kmin") extends graft.core.RejectingOperator {
 
   require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
+  require(signatureScheme == "kmin" || signatureScheme == "oph",
+    s"unsupported signatureScheme '$signatureScheme' (kmin | oph)")
   private val rowsPerBand = numHashes / numBands
 
   val name = "minhash_lsh_dedup"
@@ -78,10 +81,19 @@ final class MinHashLSHDedup(
       monotonically_increasing_id().as("_pb"))
 
   /** MinHash signature (array of `numHashes` longs) from the hashed
-    * shingle set — per-seed integer mix over the precomputed base hashes.
+    * shingle set. `signatureScheme = "kmin"` is the classic k-min form
+    * (per-seed integer mix over the precomputed base hashes — k mixes
+    * per shingle); `"oph"` is one-permutation hashing with rotation
+    * densification ([[graft.plans.kernels.OphMinHashFromHashes]] — ONE
+    * binning pass per shingle, the 100 TB signature-cost path; recall
+    * vs the classic scheme at the same geometry is measured by the
+    * `oph_lsh_recall` gate).
     */
   def signature(hashedShingles: Column): Column =
-    graft.plans.kernels.minhash_from_hashes(hashedShingles, numHashes, portableHashes)
+    if (signatureScheme == "oph")
+      graft.plans.kernels.oph_minhash_from_hashes(hashedShingles, numHashes, portableHashes)
+    else
+      graft.plans.kernels.minhash_from_hashes(hashedShingles, numHashes, portableHashes)
 
   /** Verified duplicate pairs (d1 < d2, Jaccard ≥ threshold).
     *
@@ -319,14 +331,38 @@ final class MinHashLSHDedup(
 
   private[dedup] def sigCtes(table: String, pfx: String = ""): String = {
     require(portableHashes, "oracle requires the portable hash family")
+    val k = numHashes
+    // the OPH twin mirrors OphMinHashFromHashes exactly: bin by residue,
+    // min per bin, then circular right-borrow encoded as
+    // d·2^(60−s) + (base >> s) — injective in (truncated base, d) and
+    // overflow-free (1-based list indexing; list_min over an empty
+    // filter is NULL, so the borrow scan is a "first non-NULL over
+    // distance d" list pipeline)
+    val ophKernel = graft.plans.kernels.OphMinHashFromHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), k, portable = true)
+    val sigBody =
+      if (signatureScheme == "oph")
+        s"""${pfx}raw AS (SELECT id, h,
+           |    list_transform(range(0, $k), j ->
+           |      list_min(list_filter(h, x -> x % $k = j))) AS rw
+           |  FROM ${pfx}hv),
+           |${pfx}sig AS (SELECT id, h,
+           |    list_transform(range(0, $k), j ->
+           |      list_filter(list_transform(range(0, $k), d ->
+           |        d * ${ophKernel.borrowStep} +
+           |          (rw[CAST((j + d) % $k AS INTEGER) + 1] >> ${ophKernel.shiftBits})),
+           |        v -> v IS NOT NULL)[1]) AS m
+           |  FROM ${pfx}raw)""".stripMargin
+      else
+        s"""${pfx}sig AS (SELECT id, h, [${(0 until numHashes).map(j =>
+              s"list_min(list_transform(h, x -> ${HashFunctions.mixedSql("x", j)}))").mkString(", ")}] AS m
+           |  FROM ${pfx}hv)""".stripMargin
     s"""${pfx}sh AS (SELECT $idCol AS id,
        |    list_distinct(${TextFunctions.shinglesSql("t", shingleWidth)}) AS s
        |  FROM (SELECT $idCol, ${TextFunctions.tokensOfSql(textCol)} AS t FROM $table)),
        |${pfx}hv AS (SELECT id, list_distinct(list_transform(s, x -> ${HashFunctions.portableHash64Sql("x")})) AS h
        |  FROM ${pfx}sh WHERE len(s) > 0),
-       |${pfx}sig AS (SELECT id, h, [${(0 until numHashes).map(j =>
-            s"list_min(list_transform(h, x -> ${HashFunctions.mixedSql("x", j)}))").mkString(", ")}] AS m
-       |  FROM ${pfx}hv)""".stripMargin
+       |$sigBody""".stripMargin
   }
 
   /** `${pfx}bands(id, h, b, bkey)` CTE over `${pfx}sig` (no cap). */

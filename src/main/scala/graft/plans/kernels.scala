@@ -325,6 +325,71 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** One-permutation MinHash signature with rotation densification
+    * (Li/Owen/Zhang 2012 one-permutation hashing; Shrivastava & Li 2014
+    * densification) from an ALREADY-HASHED shingle array: each element
+    * lands in bin `h mod k` and each bin keeps its minimum, so the
+    * whole k-element signature costs ONE pass over the shingles —
+    * O(n + k) versus the k·n mixing loop of [[MinHashFromHashes]]
+    * (at k = 16, that is the signature pass at ~1/16 the hash work,
+    * the difference between re-hashing a 100 TB corpus 16× and once).
+    * Empty bins densify by circular borrowing: bin j takes the value
+    * of the nearest non-empty bin to its right (distance d). Every bin
+    * value is `d·2^(60−s) + (base >> s)` with `s = ceil(log2(k))`
+    * (d = 0 for bins holding their own minimum): the distance rides
+    * the bits ABOVE the truncated 60-bit base, so the encoding is
+    * injective in `(base >> s, d)` and the whole value stays under
+    * 2^60 — overflow-free in both engines (the naive `base + d·2^60`
+    * overflows INT64 at d ≥ 8; same bounded-arithmetic discipline as
+    * [[graft.functions.HashFunctions.mixConstants]]). The s dropped
+    * low bits cost nothing real: a cross-doc value collision needs the
+    * top 60−s bits of two md5-uniform hashes to agree, and every band
+    * collision is verified on exact shingle Jaccard anyway. Empty
+    * input → null, mirroring [[MinHashFromHashes]].
+    *
+    * `portable = true` bins and ranks the raw 60-bit base hashes (the
+    * DuckDB-twin form); `portable = false` splitmix64-mixes each
+    * element first (the production diffusion pass — still one mix per
+    * element, preserving the O(n + k) shape).
+    */
+  case class OphMinHashFromHashes(child: Expression, numHashes: Int, portable: Boolean)
+      extends UnaryExpression with UnaryRefCodegen {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    private[graft] val shiftBits =
+      if (numHashes <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((numHashes - 1).toLong).toInt
+    private[graft] val borrowStep = 1L << (60 - shiftBits)
+
+    override def nullSafeEval(v: Any): Any = {
+      val hs = v.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      if (n == 0) return null
+      val k = numHashes
+      val raw = new Array[Long](k)
+      val filled = new Array[Boolean](k)
+      var i = 0
+      while (i < n) {
+        val h0 = hs.getLong(i)
+        val h = if (portable) h0 else splitmix64(h0)
+        val bin = java.lang.Math.floorMod(h, k.toLong).toInt
+        if (!filled(bin) || h < raw(bin)) { raw(bin) = h; filled(bin) = true }
+        i += 1
+      }
+      val out = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        var d = 0
+        while (!filled((j + d) % k)) d += 1
+        out(j) = d.toLong * borrowStep + (raw((j + d) % k) >>> shiftBits)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Fused tokenize → word w-shingle → 64-bit hash, POSITIONAL: output
     * element i is the hash of the gram starting at token i, duplicates
     * kept (unlike [[ShingleHashes]], whose distinct-set form serves the
@@ -1636,6 +1701,9 @@ object kernels {
     expr2col(MinHashSignature(colExpr(hs), numHashes, portable))
   def minhash_from_hashes(hs: Column, numHashes: Int, portable: Boolean): Column =
     expr2col(MinHashFromHashes(colExpr(hs), numHashes, portable))
+
+  def oph_minhash_from_hashes(hs: Column, numHashes: Int, portable: Boolean): Column =
+    expr2col(OphMinHashFromHashes(colExpr(hs), numHashes, portable))
   def shingle_hashes(text: Column, w: Int): Column = expr2col(ShingleHashes(colExpr(text), w))
   def shingle_hashes_positional(text: Column, w: Int, family: String): Column =
     expr2col(ShingleHashesPositional(colExpr(text), w, family))

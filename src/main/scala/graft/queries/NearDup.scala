@@ -40,6 +40,18 @@ object NearDup {
     shingleWidth = 3, numHashes = 16, numBands = 4,
     threshold = 0.8, portableHashes = true, maxBucketSize = Some(4))
 
+  // One-permutation-hashing signature tier (r17): identical banding
+  // geometry and verification, but the 16-element signature costs ONE
+  // binning pass per shingle instead of 16 mixes — at 100 TB the
+  // signature pass is a full-corpus re-hash, so this is that pass at
+  // ~1/16 the hash work. Recall vs the classic scheme at the same
+  // geometry is the oph_lsh_recall gate, directly comparable to
+  // lsh_recall_report (same truth tier, same sampleMod).
+  private val minhashOphOp = new MinHashLSHDedup(
+    textCol = "text", idCol = "doc_id",
+    shingleWidth = 3, numHashes = 16, numBands = 4,
+    threshold = 0.8, portableHashes = true, signatureScheme = "oph")
+
   private val jaccardCappedOp = new NgramJaccardDedup(
     textCol = "text", idCol = "doc_id", shingleWidth = 3, threshold = 0.8,
     maxDocFreq = Some(5))
@@ -217,6 +229,38 @@ object NearDup {
       (s, dir) => minhashCappedOp(Tables(s, dir, "documents"))
         .select(col("doc_id")).orderBy(col("doc_id")),
       Some(minhashCappedOp.keepSql("documents"))),
+
+    OracleQuery("oph_signature",
+      // the one-permutation signature itself (first 4 of 16 elements):
+      // bin-by-residue + min-per-bin + rotation densification, twinned
+      // bit-for-bit by the list-lambda oracle
+      (s, dir) => minhashOphOp.signatures(Tables(s, dir, "documents"))
+        .select(col("_id").as("doc_id") +:
+          (1 to 4).map(i => element_at(col("_m"), i).as(s"m$i")): _*)
+        .orderBy(col("doc_id")),
+      Some(minhashOphOp.signatureSql("documents", take = 4))),
+
+    OracleQuery("oph_minhash_dedup",
+      // full dedup under the OPH signature at the classic geometry —
+      // the kept set the 1/16-hash-cost signature produces
+      (s, dir) => minhashOphOp(Tables(s, dir, "documents"))
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(minhashOphOp.keepSql("documents"))),
+
+    OracleQuery("oph_lsh_recall",
+      // recall of the OPH signature at the classic geometry, against
+      // the SAME exact-Jaccard truth tier and sample as
+      // lsh_recall_report — the side-by-side that prices the 16×
+      // signature-cost saving in recall terms before a corpus pays it
+      (s, dir) => new graft.operators.dedup.LshRecall(
+          "text", "doc_id", shingleWidth = 3, numHashes = 16,
+          numBands = 4, threshold = 0.8, sampleMod = 3,
+          signatureScheme = "oph")
+        .report(Tables(s, dir, "documents")),
+      Some(new graft.operators.dedup.LshRecall(
+          "text", "doc_id", shingleWidth = 3, numHashes = 16,
+          numBands = 4, threshold = 0.8, sampleMod = 3,
+          signatureScheme = "oph").sql("documents"))),
 
     OracleQuery("incremental_minhash_dedup",
       // fuzzy twin of incremental_exact_dedup: prior snapshot = every

@@ -98,7 +98,10 @@ object OperatorRegistry {
     // rates it is the difference between 96k docs/s and 2.3k docs/s
     // (50x-replication probe: 2.6 s vs 110.6 s) — identical copies
     // collapse BEFORE banding instead of flooding the pair verify
-    preCollapseExact = p.bool("pre_collapse_exact", true)))
+    preCollapseExact = p.bool("pre_collapse_exact", true),
+    // "oph" = one-permutation signature (1/16 the signature hash work
+    // at the default geometry; price its recall with oph_lsh_recall)
+    signatureScheme = p.str("signature_scheme", "kmin")))
 
   // The exact-Jaccard posting self-join is quadratic in a shingle's doc
   // frequency — one boilerplate shingle in f docs contributes f² join

@@ -51,6 +51,60 @@ class DedupSpec extends AnyFunSuite {
     assert(repOf(op(true)) == repOf(op(false)))
   }
 
+  test("OPH signature: bin/min/rotation-densify matches an independent reference") {
+    import spark.implicits._
+    val k = 16
+    // independent reference: bin by residue of the 60-bit base hash,
+    // min per bin, circular right-borrow encoded d·2^56 + (base >> 4)
+    def refSig(hs: Seq[Long]): Seq[Long] = {
+      val raw = scala.collection.mutable.Map[Int, Long]()
+      hs.foreach { h =>
+        val b = (h % k).toInt
+        if (!raw.contains(b) || h < raw(b)) raw(b) = h
+      }
+      (0 until k).map { j =>
+        val d = (0 until k).find(d => raw.contains((j + d) % k)).get
+        d.toLong * (1L << 56) + (raw((j + d) % k) >> 4)
+      }
+    }
+    val op = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = k, numBands = 4, threshold = 0.8,
+      portableHashes = true, signatureScheme = "oph")
+    // one-shingle doc (full densification), small doc, and 20 fixture docs
+    val tiny = Seq((900001L, "alpha beta gamma"),
+        (900002L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+      .unionByName(docs.select(col("doc_id"), col("text")).limit(20))
+    val hs = tiny.select(col("doc_id"),
+        graft.plans.kernels.shingle_hashes(col("text"), 3).as("_h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigs = op.signatures(tiny).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.keySet == hs.keySet.filter(hs(_).nonEmpty))
+    sigs.foreach { case (id, m) => assert(m == refSig(hs(id)), s"doc $id") }
+    // the one-shingle doc has exactly one raw bin (value = base >> 4);
+    // the other 15 borrow it at distinct positive distances
+    val h1 = hs(900001L).head >> 4
+    assert(sigs(900001L).count(_ == h1) == 1)
+    assert(sigs(900001L).filter(_ != h1).forall(v => (v - h1) % (1L << 56) == 0))
+    assert(sigs(900001L).distinct.size == k)
+  }
+
+  test("OPH minhash drops are a subset of exact Jaccard drops; scheme validated") {
+    val oph = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
+      portableHashes = true, signatureScheme = "oph")
+    val jaccard = new NgramJaccardDedup(textCol = "text", idCol = "doc_id",
+      shingleWidth = 3, threshold = 0.8)
+    val ophDrops = allIds -- ids(oph(docs))
+    val jaccardDrops = allIds -- ids(jaccard(docs))
+    assert(ophDrops.subsetOf(jaccardDrops),
+      s"OPH dropped non-duplicates: ${ophDrops -- jaccardDrops}")
+    assert(ophDrops.nonEmpty, "OPH caught no fixture near-dups — vacuous test")
+    assertThrows[IllegalArgumentException](new MinHashLSHDedup(
+      textCol = "text", idCol = "doc_id", signatureScheme = "bogus"))
+  }
+
   test("capped near-dup configs only ever keep MORE rows (caps remove candidates)") {
     val capped = new MinHashLSHDedup(textCol = "text", idCol = "doc_id",
       shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
