@@ -146,6 +146,131 @@ final class BigramLm(
           .as("_blm_bits"))
   }
 
+  /** Interpolated Kneser–Ney scores (Kneser & Ney 1995; the smoothing
+    * KenLM ships as its default) — grouped `(_blm_id, _blm_n,
+    * _blm_bits)` like [[scores]] (per-row form: [[applyKn]]), but under
+    * `p(w2|w1) = max(c(w1,w2)−D, 0)/c(w1,·) + D·N1+(w1,·)/c(w1,·) ·
+    * N1+(·,w2)/T` with the absolute discount `D = n1/(n1 + 2·n2)`
+    * (n1/n2 = bigram types of count 1/2 — the standard Ney/Essen/Kneser
+    * estimate; corpora where every bigram repeats ≥ 3× have n1 = n2 = 0
+    * and take D = 0, i.e. undiscounted MLE). The continuation
+    * distribution `N1+(·,w2)/T` (distinct left-contexts of w2 over total
+    * bigram types) is what distinguishes KN from add-one: a word seen in
+    * MANY contexts ("francisco" vs "the") keeps low continuation mass,
+    * so template splices and shuffled-word soup score worse than their
+    * raw frequency suggests. Self-trained and scored on the same corpus
+    * (every scored bigram is seen, so p > 0 always: c−D may hit 0 at
+    * D = 1 but the continuation term is then strictly positive).
+    *
+    * Exactness: all counts are exact BIGINTs; D and p are fixed double
+    * expression trees replayed op-for-op by [[knSql]]; each distinct
+    * bigram's cost floor-scales once to an integer (the [[scores]]
+    * discipline), so per-doc sums stay order-invariant integer algebra.
+    *
+    * Scale shape: identical to [[scores]] plus two more vocab-bounded
+    * aggregates of the distinct-bigram table (continuation counts by
+    * second token, one global scalar row with (T, n1, n2) broadcast) —
+    * the corpus text still scans exactly once.
+    */
+  def knScores(df: DataFrame): DataFrame = {
+    val occs = occurrences(df)
+    val db = graft.core.Staging.stage(
+      occs.groupBy(col(idCol), col("_hb"))
+        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
+          min(col("_h2")).as("_h2")))
+    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
+      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
+        min(col("_h2")).as("_ch2")))
+    // context table: total count AND distinct-continuation count per w1
+    val ctx = cb.groupBy(col("_ch1").as("_xh1"))
+      .agg(sum(col("_cb")).as("_cw"), count(lit(1)).as("_nt"))
+    // continuation table: distinct left-context count per w2
+    val cont = cb.groupBy(col("_ch2").as("_yh2")).agg(count(lit(1)).as("_pc"))
+    // one scalar row: total bigram types, count-1 types, count-2 types
+    val tot = cb.agg(count(lit(1)).as("_t"),
+      sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"))
+    val d = when(col("_n1") + lit(2L) * col("_n2") > 0L,
+      col("_n1").cast("double") /
+        (col("_n1") + lit(2L) * col("_n2")).cast("double"))
+      .otherwise(lit(0.0))
+    val p = greatest(col("_cb").cast("double") - d, lit(0.0)) /
+      col("_cw").cast("double") +
+      d * col("_nt").cast("double") / col("_cw").cast("double") *
+        (col("_pc").cast("double") / col("_t").cast("double"))
+    val cost = cb.join(ctx, col("_ch1") === col("_xh1"))
+      .join(cont, col("_ch2") === col("_yh2"))
+      .crossJoin(broadcast(tot))
+      .select(col("_hb").as("_chb"),
+        floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
+    db.join(cost, col("_hb") === col("_chb"))
+      .groupBy(col(idCol).as("_blm_id"))
+      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9")).as("_s"))
+      .select(col("_blm_id"), col("_nb").as("_blm_n"),
+        when(col("_nb") > 0L,
+          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
+          .as("_blm_bits"))
+  }
+
+  /** Per-row KN scores — [[apply]]'s shape over [[knScores]]. */
+  def applyKn(df: DataFrame): DataFrame =
+    df.select(col(idCol))
+      .join(knScores(df), col(idCol) === col("_blm_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
+        col("_blm_bits").as("bits_per_bigram"))
+
+  /** DuckDB twin of [[knScores]] — the same hashed integer counts and
+    * the same double expression tree for D and p.
+    */
+  def knSql(table: String): String = {
+    val toks = TextFunctions.tokensOfSql(textCol)
+    def ph(e: String) = HashFunctions.portableHash64Sql(e)
+    s"""WITH _ht AS (SELECT $idCol,
+       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $table),
+       |_oc AS (SELECT $idCol,
+       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
+       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
+       |  FROM (SELECT $idCol, _hts,
+       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
+       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
+       |    min(_h1) AS _h1, min(_h2) AS _h2
+       |  FROM _oc GROUP BY $idCol, _hb),
+       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
+       |    min(_h1) AS _ch1, min(_h2) AS _ch2
+       |  FROM _db GROUP BY _hb),
+       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw,
+       |    CAST(count(*) AS BIGINT) AS _nt
+       |  FROM _cb GROUP BY 1),
+       |_cont AS (SELECT _ch2 AS _yh2, CAST(count(*) AS BIGINT) AS _pc
+       |  FROM _cb GROUP BY 1),
+       |_tot AS (SELECT CAST(count(*) AS BIGINT) AS _t,
+       |    CAST(sum(CASE WHEN _cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _n1,
+       |    CAST(sum(CASE WHEN _cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _n2
+       |  FROM _cb),
+       |_cost AS (SELECT _hb AS _chb,
+       |    CAST(floor(-ln(
+       |      greatest(CAST(_cb AS DOUBLE) - _d, CAST(0 AS DOUBLE))
+       |        / CAST(_cw AS DOUBLE)
+       |      + _d * CAST(_nt AS DOUBLE) / CAST(_cw AS DOUBLE)
+       |        * (CAST(_pc AS DOUBLE) / CAST(_t AS DOUBLE))
+       |    ) * $CostScale) AS BIGINT) AS _c9
+       |  FROM (SELECT *,
+       |      CASE WHEN _n1 + 2 * _n2 > 0 THEN
+       |        CAST(_n1 AS DOUBLE) / CAST(_n1 + 2 * _n2 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END AS _d
+       |    FROM _cb JOIN _ctx ON _ch1 = _xh1
+       |      JOIN _cont ON _ch2 = _yh2 CROSS JOIN _tot)),
+       |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
+       |    CAST(sum(_occ * _c9) AS BIGINT) AS _s
+       |  FROM _db JOIN _cost ON _hb = _chb GROUP BY 1)
+       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
+       |  CASE WHEN _nb > 0
+       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
+       |  END AS bits_per_bigram
+       |FROM $table t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
+  }
+
   /** `(idCol, _h1, _h2, _hb)` — one row per bigram OCCURRENCE. One
     * corpus text scan: each TOKEN hashes ONCE (one md5 per token — not
     * three per bigram occurrence: at 100 TB the map-side hashing IS the
@@ -445,7 +570,10 @@ final class BigramLmScoreRefiner(
     textCol: String = "text",
     idCol: String = "id",
     outCol: String = "bigram_lm_bits",
-    countCol: String = "bigram_lm_n") extends graft.core.Operator {
+    countCol: String = "bigram_lm_n",
+    smoothing: String = "addone") extends graft.core.Operator {
+  require(smoothing == "addone" || smoothing == "kn",
+    s"unsupported smoothing '$smoothing' (addone | kn)")
   val name = "bigram_lm_score"
 
   def apply(df: DataFrame): DataFrame = attach(df, df, None)
@@ -463,7 +591,9 @@ final class BigramLmScoreRefiner(
       alive: Option[Column]): DataFrame = {
     val gate: Column => Column =
       c => alive.map(a => when(a, c)).getOrElse(c)
-    df.join(new BigramLm(textCol, idCol).scores(corpus),
+    val lm = new BigramLm(textCol, idCol)
+    val scored = if (smoothing == "kn") lm.knScores(corpus) else lm.scores(corpus)
+    df.join(scored,
         col(idCol) === col("_blm_id"), "left")
       .withColumn(countCol, gate(coalesce(col("_blm_n"), lit(0L))))
       .withColumn(outCol, gate(col("_blm_bits")))

@@ -89,6 +89,16 @@ object CorpusStatsQueries {
         .orderBy(col("doc_id")),
       Some(bigramLmOp.sql("documents") + "\nORDER BY doc_id")),
 
+    // Interpolated Kneser–Ney smoothing (r17): same self-trained bigram
+    // model, but the probability follows the KenLM-default recipe —
+    // absolute discount D = n1/(n1+2·n2) with the freed mass routed
+    // through the CONTINUATION distribution N1+(·,w2)/T, so
+    // many-context words keep low novelty mass (the "francisco" effect)
+    OracleQuery("bigram_lm_kn",
+      (s, dir) => bigramLmOp.applyKn(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(bigramLmOp.knSql("documents") + "\nORDER BY doc_id")),
+
     // FROZEN-model scoring (r15): train on the src0 slice, score the
     // whole corpus — unseen bigrams back off to the add-one floor
     // (seen-context 1/(c(w1)+V), fully-unseen 1/V); the streaming twin

@@ -524,11 +524,14 @@ object OperatorRegistry {
       countCol = p.str("count_field", "bigram_lm_n"),
       snapshotDir = p.str("snapshot_dir")))
 
+  // smoothing: "addone" (default) or "kn" (interpolated Kneser–Ney —
+  // absolute discount + continuation distribution, the KenLM default)
   register("bigram_lm_score", p => new graft.operators.text.BigramLmScoreRefiner(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),
     outCol = p.str("output_field", "bigram_lm_bits"),
-    countCol = p.str("count_field", "bigram_lm_n")))
+    countCol = p.str("count_field", "bigram_lm_n"),
+    smoothing = p.str("smoothing", "addone")))
 
   register("boilerplate_ngrams", p => OperatorRegistry.wrap(
     "boilerplate_ngrams",

@@ -379,6 +379,61 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, None)))
   }
 
+  test("bigram lm KN: hand-computed interpolated Kneser-Ney; smoothing knob validated") {
+    // corpus bigrams: types (a b) c=3, (b a) c=1 -> T=2, n1=1, n2=0,
+    // D = 1/(1+0) = 1. ctx a: cw=3 nt=1; ctx b: cw=1 nt=1. cont: pc=1
+    // for both a and b. p(b|a) = 2/3 + 1*(1/3)*(1/2) = 5/6,
+    // p(a|b) = 0 + 1*(1/1)*(1/2) = 1/2.
+    val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = new graft.operators.text.BigramLm("text", "doc_id").applyKn(tiny)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val scale = 1e9 / math.log(2.0)
+    val d = 1.0
+    def p(cb: Long, cw: Long, nt: Long, pc: Long, t: Long): Double =
+      math.max(cb.toDouble - d, 0.0) / cw.toDouble +
+        d * nt.toDouble / cw.toDouble * (pc.toDouble / t.toDouble)
+    def cost(pv: Double): Long = math.floor(-math.log(pv) * scale).toLong
+    val cAB = cost(p(3, 3, 1, 1, 2)) // 5/6
+    val cBA = cost(p(1, 1, 1, 1, 2)) // 1/2
+    def bits(s: Long, n: Long): Double =
+      BigDecimal(s.toDouble / n / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, Some(bits(2 * cAB + cBA, 3)))))
+    assert(out(2L) == ((1L, Some(bits(cAB, 1)))))
+    assert(out(3L) == ((0L, None)))
+    assert(out(4L) == ((0L, None)))
+    // KN must price the repeated transition BELOW add-one here (5/6 > 4/5)
+    val addone = new graft.operators.text.BigramLm("text", "doc_id")(tiny)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(2L)._2.get < addone(2L).get,
+      "KN should assign p(b|a)=5/6 > add-one 4/5, i.e. fewer bits")
+    assertThrows[IllegalArgumentException](
+      new graft.operators.text.BigramLmScoreRefiner("text", "doc_id",
+        smoothing = "bogus"))
+    // registry path with smoothing: kn attaches the KN bits
+    val reg = graft.runner.OperatorRegistry.create("bigram_lm_score",
+      graft.runner.Params(Map(
+        "text_field" -> "text", "id_field" -> "doc_id", "smoothing" -> "kn")))
+    val viaReg = reg(tiny).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (if (r.isNullAt(r.fieldIndex("bigram_lm_bits"))) None
+         else Some(r.getDouble(r.fieldIndex("bigram_lm_bits"))))).toMap
+    assert(viaReg(1L) == out(1L)._2 && viaReg(3L).isEmpty)
+  }
+
+  test("bigram lm KN: same transition evidence as add-one on the fixture (n_bigrams identical)") {
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val sample = docs.limit(60)
+    val kn = lm.applyKn(sample).select(col("doc_id"), col("n_bigrams"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ao = lm(sample).select(col("doc_id"), col("n_bigrams"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kn == ao, "smoothing must not change which bigrams are counted")
+    assert(kn.values.exists(_ > 0))
+  }
+
   test("bigram lm refiner: disposition trains on ALIVE rows only; repeated ids never multiply") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val op = new graft.operators.text.BigramLmScoreRefiner("text", "doc_id")
