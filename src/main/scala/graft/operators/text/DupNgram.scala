@@ -34,12 +34,23 @@ import org.apache.spark.sql.functions._
   * [[kernels.CoverageMask]] sweep on the document row — the declarative
   * HOF mask was O(tokens × dups) per row, quadratic on repetitive text.
   */
+/** `keepFirst = true` (r17) switches to the Lee et al. "all but one"
+  * policy: the corpus-FIRST instance of each duplicated gram (smallest
+  * `(id, pos)` lexicographically) stays uncovered, so one canonical
+  * copy of every duplicated passage survives — removing every copy
+  * (the default, the decontamination stance) deletes legitimate
+  * content that merely happens to be quoted elsewhere. First-instance
+  * selection is a per-hash `min(struct(id, pos))` aggregate — two
+  * thin shuffle rows per duplicated gram, never a window partitioned
+  * by the hot gram key (the skew trap the class note calls out).
+  */
 final class DupNgramRefiner(
     textCol: String = "text",
     idCol: String = "id",
     ngramWidth: Int = 8,
     minCount: Int = 2,
-    hashName: String = "portable") extends Operator {
+    hashName: String = "portable",
+    keepFirst: Boolean = false) extends Operator {
 
   require(ngramWidth >= 1, s"ngramWidth $ngramWidth must be >= 1")
   require(minCount >= 2, s"minCount $minCount must be >= 2")
@@ -90,7 +101,22 @@ final class DupNgramRefiner(
       .groupBy("_dn_h").agg(count(lit(1)).as("_dn_tc"))
       .filter(col("_dn_tc") >= minCount)
       .select("_dn_h")
-    inst.join(dupHashes, "_dn_h")
+    val dupInst0 = inst.join(dupHashes, "_dn_h")
+    val dupInst =
+      if (!keepFirst) dupInst0
+      else {
+        // corpus-first instance per duplicated gram: a lexicographic
+        // min(struct) aggregate (map-side combining, one row per dup
+        // hash), then an anti-filter — the first copy stays uncovered
+        val firsts = dupInst0.groupBy("_dn_h")
+          .agg(min(struct(col("_dn_id").as("_fi"), col("_dn_pos").as("_fp")))
+            .as("_dn_first"))
+        dupInst0.join(firsts, "_dn_h")
+          .filter(!(col("_dn_id") === col("_dn_first._fi") &&
+            col("_dn_pos") === col("_dn_first._fp")))
+          .drop("_dn_first")
+      }
+    dupInst
       .groupBy("_dn_id")
       .agg(sort_array(collect_list(col("_dn_pos"))).as("_dn_dups"),
         count(lit(1)).as("_dn_cnt"))
@@ -146,6 +172,15 @@ final class DupNgramRefiner(
     require(hashName == "portable", "oracle covers the portable hash family")
     val toksSql = TextFunctions.tokensOfSql(textCol)
     val gramsSql = TextFunctions.shinglesSql("_toks", w)
+    // keepFirst: drop the corpus-first instance per duplicated gram
+    // (oracle-side window — DuckDB is single-node; the Spark side uses
+    // the skew-safe min(struct) aggregate with identical semantics)
+    val kept =
+      if (!keepFirst) "SELECT id, pos FROM _dn_h JOIN _dn_dup_h USING (h)"
+      else
+        s"""SELECT id, pos FROM (
+           |    SELECT id, pos, h FROM _dn_h JOIN _dn_dup_h USING (h)
+           |    QUALIFY row_number() OVER (PARTITION BY h ORDER BY id, pos) > 1)""".stripMargin
     s"""_dn_docs AS (
        |  SELECT $idExpr AS id, $gramsSql AS _grams FROM (
        |    SELECT *, $toksSql AS _toks FROM $docsSql)),
@@ -158,7 +193,7 @@ final class DupNgramRefiner(
        |  SELECT h FROM _dn_h GROUP BY h HAVING count(*) >= $minCount),
        |_dn AS (
        |  SELECT id, list_sort(list(pos)) AS dups, count(*) AS dup_cnt
-       |  FROM _dn_h JOIN _dn_dup_h USING (h) GROUP BY id)""".stripMargin
+       |  FROM ($kept) GROUP BY id)""".stripMargin
   }
 
   /** Uncovered-token list over `toksCol` given the (possibly NULL)

@@ -63,6 +63,11 @@ object TrainingMixQueries {
     s"""(SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN (text || '$dnTail')
        |  ELSE text END AS text2 FROM documents)""".stripMargin
 
+  // Lee et al. "all but one" policy twin of dup_ngram (r17): the
+  // corpus-first instance of each duplicated gram keeps its tokens
+  private val dupNgramKeepFirstOp =
+    new DupNgramRefiner("text2", "doc_id", ngramWidth = 8, keepFirst = true)
+
   private val lmOp = new NgramLmScoreRefiner("text", "doc_id")
 
   private val mixOp = new SourceWeightedSampleFilter(
@@ -121,6 +126,31 @@ object TrainingMixQueries {
         val mask = dupNgramOp.maskSql("toks", "d.dups")
         s"""WITH aug AS $dnAugSql,
            |${dupNgramOp.dupCteSql("aug", "doc_id")},
+           |tk AS (SELECT doc_id, ${TextFunctions.tokensOfSql("text2")} AS toks FROM aug)
+           |SELECT tk.doc_id,
+           |  coalesce(d.dup_cnt, 0) AS dup_ngram_count,
+           |  round(CASE WHEN greatest(len(toks) - 7, 0) = 0 THEN 0.0
+           |    ELSE coalesce(d.dup_cnt, 0) / CAST(greatest(len(toks) - 7, 0) AS DOUBLE)
+           |    END, 6) AS dup_ngram_fraction,
+           |  coalesce(list_aggregate($mask, 'string_agg', ' '), '') AS text_dedup_spans,
+           |  CAST(len(toks) - len($mask) AS BIGINT) AS dup_tokens_removed
+           |FROM tk LEFT JOIN _dn d ON tk.doc_id = d.id
+           |ORDER BY tk.doc_id""".stripMargin
+      }),
+
+    OracleQuery("dup_ngram_keep_first",
+      // the "all but one" variant on the same planted-tail fixture: the
+      // smallest doc_id sharing the 11-token tail keeps it; later
+      // copies lose exactly the covered span
+      (s, dir) => dupNgramKeepFirstOp(dnAug(Tables(s, dir, "documents")))
+        .select(col("doc_id"), col("dup_ngram_count"),
+          round(col("dup_ngram_fraction"), 6).as("dup_ngram_fraction"),
+          col("text_dedup_spans"), col("dup_tokens_removed"))
+        .orderBy(col("doc_id")),
+      Some {
+        val mask = dupNgramKeepFirstOp.maskSql("toks", "d.dups")
+        s"""WITH aug AS $dnAugSql,
+           |${dupNgramKeepFirstOp.dupCteSql("aug", "doc_id")},
            |tk AS (SELECT doc_id, ${TextFunctions.tokensOfSql("text2")} AS toks FROM aug)
            |SELECT tk.doc_id,
            |  coalesce(d.dup_cnt, 0) AS dup_ngram_count,

@@ -579,7 +579,10 @@ object OperatorRegistry {
     idCol = p.str("id_field", "id"),
     ngramWidth = p.int("ngram_width", 8),
     minCount = p.int("min_count", 2),
-    hashName = p.str("hash_algorithm", "xxhash64")))
+    hashName = p.str("hash_algorithm", "xxhash64"),
+    // true = Lee et al. "all but one": the corpus-first instance of
+    // each duplicated gram survives (one canonical copy kept)
+    keepFirst = p.bool("keep_first", false)))
 
   register("cross_modal_alignment", p => new graft.operators.vector.CrossModalAlignmentRefiner(
     embACol = p.str("embedding_a_field", "image_embedding"),

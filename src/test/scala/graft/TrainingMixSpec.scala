@@ -79,6 +79,45 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(out(2L).getAs[String]("text_dedup_spans").contains("tidal"))
   }
 
+  test("dup-ngram keepFirst: the corpus-first copy keeps its tokens, later copies lose the span") {
+    val tail = " alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "completely unique first document about orchard irrigation" + tail),
+      (2L, "a different second document concerning tidal power plants" + tail),
+      (3L, "third document with no shared phrases whatsoever in it at all"))
+      .toDF("id", "text")
+    def run(kf: Boolean) =
+      new DupNgramRefiner("text", "id", ngramWidth = 8, minCount = 2,
+        keepFirst = kf)(docs)
+        .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val kept = run(true)
+    val full = run(false)
+    // doc 1 holds the corpus-first instance of the shared tail: with
+    // keepFirst it keeps every token; doc 2 still loses the span
+    assert(kept(1L).getAs[Long]("dup_tokens_removed") == 0L)
+    assert(kept(1L).getAs[String]("text_dedup_spans").contains("theta"))
+    assert(kept(2L).getAs[Long]("dup_tokens_removed") >= 8L)
+    assert(!kept(2L).getAs[String]("text_dedup_spans").contains("theta"))
+    assert(kept(3L).getAs[Long]("dup_ngram_count") == 0L)
+    // keepFirst only ever uncovers: per doc, counts and removals are <=
+    // the remove-all policy's
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(kept(id).getAs[Long]("dup_ngram_count") <=
+        full(id).getAs[Long]("dup_ngram_count"))
+      assert(kept(id).getAs[Long]("dup_tokens_removed") <=
+        full(id).getAs[Long]("dup_tokens_removed"))
+    }
+    // an intra-doc repeat keeps exactly its first instance
+    val intra = Seq(
+      (1L, ("one two three four five six seven eight " * 2).trim))
+      .toDF("id", "text")
+    val io = new DupNgramRefiner("text", "id", ngramWidth = 8, minCount = 2,
+      keepFirst = true)(intra).collect().head
+    assert(io.getAs[String]("text_dedup_spans")
+      .startsWith("one two three four five six seven eight"))
+    assert(io.getAs[Long]("dup_tokens_removed") > 0L)
+  }
+
   test("ngram LM scores corpus-typical text above gibberish") {
     val docs = Seq(
       (1L, "the cat sat on the mat and the dog sat on the rug"),
