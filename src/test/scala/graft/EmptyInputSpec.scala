@@ -352,4 +352,24 @@ class EmptyInputSpec extends AnyFunSuite {
       r.getLong(3) == 0L && r.isNullAt(4)))
     assert(co.filter(_.getBoolean(5)).map(_.getInt(0)).toSeq == Seq(2))
   }
+
+  test("round-17 session-2 additions survive empty input") {
+    zero("oph minhash dedup")(new graft.operators.dedup.MinHashLSHDedup(
+      textCol = "text", idCol = "doc_id", portableHashes = true,
+      signatureScheme = "oph")(noDocs))
+    zero("oph signatures")(new graft.operators.dedup.MinHashLSHDedup(
+      textCol = "text", idCol = "doc_id", portableHashes = true,
+      signatureScheme = "oph").signatures(noDocs))
+    val or = new graft.operators.dedup.LshRecall("text", "doc_id",
+      sampleMod = 2, signatureScheme = "oph").report(noDocs).head()
+    assert(or.getLong(0) == 0L && or.getLong(1) == 0L && or.isNullAt(2))
+    // KN on an empty corpus: every doc row is absent, so the per-row
+    // form returns zero rows
+    zero("bigram lm kn")(new graft.operators.text.BigramLm(
+      "text", "doc_id").applyKn(noDocs))
+    zero("bigram lm kn refiner")(new graft.operators.text.BigramLmScoreRefiner(
+      "text", "doc_id", smoothing = "kn")(noDocs))
+    zero("dup ngram keep first")(new graft.operators.text.DupNgramRefiner(
+      "text", "doc_id", keepFirst = true)(noDocs))
+  }
 }

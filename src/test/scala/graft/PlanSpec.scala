@@ -115,6 +115,30 @@ class PlanSpec extends AnyFunSuite {
     assert(kernels == 2, s"expected 1 shingle eval per join side, got $kernels")
   }
 
+  test("oph minhash: one signature kernel eval per banded side, no window, no cartesian") {
+    val op = new graft.operators.dedup.MinHashLSHDedup(
+      textCol = "text", idCol = "doc_id", portableHashes = true,
+      signatureScheme = "oph")
+    val df = op.verifiedPairs(table("documents"))
+    val p = planOf(df)
+    assert(!p.contains("Window") && !p.contains("Cartesian"), p)
+    val lower = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert("ophminhashfromhashes".r.findAllIn(lower).size == 2,
+      s"expected 1 OPH signature eval per join side:\n$lower")
+    // and the classic mixing kernel is truly absent from the OPH plan
+    assert(!lower.replace("ophminhashfromhashes", "").contains("minhashfromhashes"), lower)
+  }
+
+  test("dup-ngram keepFirst: first-instance selection is an aggregate, never a window on the gram key") {
+    val op = new graft.operators.text.DupNgramRefiner(
+      "text", "doc_id", keepFirst = true)
+    val p = planOf(op.dupState(op.staged(table("documents"))))
+    // the hot gram's instances must never buffer in one window task;
+    // min(struct(id, pos)) rides the hash aggregate instead
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("incremental minhash: band equi-join between corpora, no cartesian, no id coupling") {
     val docs = table("documents")
     val op = new graft.operators.dedup.IncrementalMinHashDedup(
