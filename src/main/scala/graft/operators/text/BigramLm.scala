@@ -93,6 +93,21 @@ final case class BigramLmModel private[text] (
   }
 }
 
+/** FROZEN Kneser–Ney model tables (r17): per-seen-bigram integer costs,
+  * per-context `(total, distinct continuations)`, per-word
+  * distinct-context counts, and the `(T, n1, n2)` scalar row — the KN
+  * counterpart of [[BigramLmModel]] for [[BigramLm.scoreAgainstKn]].
+  */
+final case class KnBigramLmModel private[text] (
+    cost: DataFrame, // (_chb, _c9)
+    ctx: DataFrame,  // (_xh1, _cw, _nt)
+    cont: DataFrame, // (_yh2, _pc)
+    tot: DataFrame,  // (_t, _n1, _n2)
+    trainedRows: Long) {
+  def release(): Unit =
+    Seq(cost, ctx, cont, tot).foreach(_.unpersist(false))
+}
+
 final class BigramLm(
     textCol: String = "text",
     idCol: String = "doc_id") {
@@ -190,14 +205,7 @@ final class BigramLm(
     val tot = cb.agg(count(lit(1)).as("_t"),
       sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
       sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"))
-    val d = when(col("_n1") + lit(2L) * col("_n2") > 0L,
-      col("_n1").cast("double") /
-        (col("_n1") + lit(2L) * col("_n2")).cast("double"))
-      .otherwise(lit(0.0))
-    val p = greatest(col("_cb").cast("double") - d, lit(0.0)) /
-      col("_cw").cast("double") +
-      d * col("_nt").cast("double") / col("_cw").cast("double") *
-        (col("_pc").cast("double") / col("_t").cast("double"))
+    val p = knProb(knDiscount)
     val cost = cb.join(ctx, col("_ch1") === col("_xh1"))
       .join(cont, col("_ch2") === col("_yh2"))
       .crossJoin(broadcast(tot))
@@ -219,6 +227,181 @@ final class BigramLm(
       .select(col(idCol),
         coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
         col("_blm_bits").as("bits_per_bigram"))
+
+  /** Train the KN model on `corpus` and FREEZE it — the [[freeze]]
+    * counterpart for the Kneser–Ney path. Four tables: per-seen-bigram
+    * integer costs, per-context `(total, distinct-continuation)` counts,
+    * per-word distinct-context counts (the continuation table), and one
+    * scalar row `(T, n1, n2)`. Scoring the training corpus itself
+    * through [[scoreAgainstKn]] reproduces [[knScores]] bit-for-bit
+    * (every trained bigram reads its frozen cost). Same snapshot/persist
+    * discipline as [[freeze]].
+    */
+  def freezeKn(corpus: DataFrame,
+      snapshotDir: Option[String] = None): KnBigramLmModel = graft.core.Staging.scoped {
+    val db = graft.core.Staging.stage(
+      occurrences(corpus).groupBy(col(idCol), col("_hb"))
+        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
+          min(col("_h2")).as("_h2")))
+    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
+      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
+        min(col("_h2")).as("_ch2")))
+    val ctx0 = cb.groupBy(col("_ch1").as("_xh1"))
+      .agg(sum(col("_cb")).as("_cw"), count(lit(1)).as("_nt"))
+    val cont0 = cb.groupBy(col("_ch2").as("_yh2")).agg(count(lit(1)).as("_pc"))
+    val tot0 = cb.agg(count(lit(1)).as("_t"),
+      sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"))
+    val ctxS = snapshot(ctx0, snapshotDir, "ctx")
+    val contS = snapshot(cont0, snapshotDir, "cont")
+    val totS = snapshot(tot0, snapshotDir, "tot")
+    val d = knDiscount
+    val p = knProb(d)
+    val cost0 = cb.join(ctxS, col("_ch1") === col("_xh1"))
+      .join(contS, col("_ch2") === col("_yh2"))
+      .crossJoin(broadcast(totS))
+      .select(col("_hb").as("_chb"),
+        floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
+    val costS = snapshot(cost0, snapshotDir, "cost")
+    val rows = costS.count(); ctxS.count(); contS.count(); totS.count()
+    KnBigramLmModel(costS, ctxS, contS, totS, rows)
+  }
+
+  // the shared D and p(w2|w1) expression trees — one definition feeding
+  // knScores, freezeKn, and (via the same SQL rendering) both twins
+  private def knDiscount: Column =
+    when(col("_n1") + lit(2L) * col("_n2") > 0L,
+      col("_n1").cast("double") /
+        (col("_n1") + lit(2L) * col("_n2")).cast("double"))
+      .otherwise(lit(0.0))
+
+  private def knProb(d: Column): Column =
+    greatest(col("_cb").cast("double") - d, lit(0.0)) /
+      col("_cw").cast("double") +
+      d * col("_nt").cast("double") / col("_cw").cast("double") *
+        (col("_pc").cast("double") / col("_t").cast("double"))
+
+  /** Score `df` under a FROZEN KN model. Seen bigrams read their trained
+    * integer cost. Unseen bigrams interpolate: a SEEN context `w1` backs
+    * off to `λ(w1)·p_cont(w2)` with `λ(w1) = D·N1+(w1,·)/c(w1,·)` (the
+    * mass the discount freed); an UNSEEN context scores the continuation
+    * distribution alone. An unseen `w2` takes the minimum observable
+    * continuation mass `1/T` (`N1+(·,w2)` floored at 1 — the count it
+    * would hold had it been seen once). A degenerate D = 0 model (every
+    * trained bigram repeats ≥ 3×, so no discount mass exists) also backs
+    * off to the continuation distribution rather than scoring 0. Empty
+    * model (T = 0): NULL score.
+    *
+    * Scale shape: per-(doc, bigram) map-side combine, then THREE hash
+    * joins against the frozen tables and one broadcast scalar — no
+    * training-corpus scan, no windows.
+    */
+  def scoreAgainstKn(df: DataFrame, m: KnBigramLmModel): DataFrame =
+    df.select(col(idCol))
+      .join(frozenKnScores(df, m), col(idCol) === col("_blm_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
+        col("_blm_bits").as("bits_per_bigram"))
+
+  /** Grouped frozen KN scores `(_blm_id, _blm_n, _blm_bits)`. */
+  def frozenKnScores(df: DataFrame, m: KnBigramLmModel): DataFrame = {
+    val perDoc = occurrences(df).groupBy(col(idCol), col("_hb"))
+      .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
+        min(col("_h2")).as("_h2"))
+    val d = knDiscount
+    val pcont = coalesce(col("_pc"), lit(1L)).cast("double") /
+      col("_t").cast("double")
+    val pBack = when(col("_cw").isNotNull && d > lit(0.0),
+      d * col("_nt").cast("double") / col("_cw").cast("double") * pcont)
+      .otherwise(pcont)
+    val backoff = when(col("_t") > 0L,
+      floor(-log(pBack) * lit(CostScale)).cast("long"))
+    perDoc
+      .join(m.cost, col("_hb") === col("_chb"), "left")
+      .join(m.ctx, col("_h1") === col("_xh1"), "left")
+      .join(m.cont, col("_h2") === col("_yh2"), "left")
+      .crossJoin(broadcast(m.tot))
+      .select(col(idCol), col("_occ"), coalesce(col("_c9"), backoff).as("_c9x"))
+      .groupBy(col(idCol).as("_blm_id"))
+      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9x")).as("_s"))
+      .select(col("_blm_id"), col("_nb").as("_blm_n"),
+        when(col("_nb") > 0L && col("_s").isNotNull,
+          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
+          .as("_blm_bits"))
+  }
+
+  /** DuckDB twin of [[freezeKn]]+[[scoreAgainstKn]]. */
+  def scoreAgainstKnSql(trainTable: String, scoreTable: String): String = {
+    val toks = TextFunctions.tokensOfSql(textCol)
+    def ph(e: String) = HashFunctions.portableHash64Sql(e)
+    s"""WITH _ht AS (SELECT $idCol,
+       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $trainTable),
+       |_oc AS (SELECT $idCol,
+       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
+       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
+       |  FROM (SELECT $idCol, _hts,
+       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
+       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
+       |    min(_h1) AS _h1, min(_h2) AS _h2
+       |  FROM _oc GROUP BY $idCol, _hb),
+       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
+       |    min(_h1) AS _ch1, min(_h2) AS _ch2
+       |  FROM _db GROUP BY _hb),
+       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw,
+       |    CAST(count(*) AS BIGINT) AS _nt
+       |  FROM _cb GROUP BY 1),
+       |_cont AS (SELECT _ch2 AS _yh2, CAST(count(*) AS BIGINT) AS _pc
+       |  FROM _cb GROUP BY 1),
+       |_tot AS (SELECT CAST(count(*) AS BIGINT) AS _t,
+       |    CAST(sum(CASE WHEN _cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _n1,
+       |    CAST(sum(CASE WHEN _cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _n2
+       |  FROM _cb),
+       |_cost AS (SELECT _hb AS _chb,
+       |    CAST(floor(-ln(
+       |      greatest(CAST(_cb AS DOUBLE) - _d, CAST(0 AS DOUBLE))
+       |        / CAST(_cw AS DOUBLE)
+       |      + _d * CAST(_nt AS DOUBLE) / CAST(_cw AS DOUBLE)
+       |        * (CAST(_pc AS DOUBLE) / CAST(_t AS DOUBLE))
+       |    ) * $CostScale) AS BIGINT) AS _c9
+       |  FROM (SELECT *, ${knDiscountSql} AS _d
+       |    FROM _cb JOIN _ctx ON _ch1 = _xh1
+       |      JOIN _cont ON _ch2 = _yh2 CROSS JOIN _tot)),
+       |_sht AS (SELECT $idCol,
+       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $scoreTable),
+       |_soc AS (SELECT $idCol,
+       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
+       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
+       |  FROM (SELECT $idCol, _hts,
+       |        unnest(range(0, len(_hts) - 1)) AS i FROM _sht)),
+       |_sdb AS (SELECT $idCol, _hb, count(*) AS _occ,
+       |    min(_h1) AS _h1, min(_h2) AS _h2
+       |  FROM _soc GROUP BY $idCol, _hb),
+       |_sx AS (SELECT $idCol, _occ,
+       |    coalesce(_c9, CASE WHEN _t > 0 THEN
+       |      CAST(floor(-ln(
+       |        CASE WHEN _cw IS NOT NULL AND _d > 0 THEN
+       |          _d * CAST(_nt AS DOUBLE) / CAST(_cw AS DOUBLE)
+       |            * (CAST(coalesce(_pc, 1) AS DOUBLE) / CAST(_t AS DOUBLE))
+       |        ELSE CAST(coalesce(_pc, 1) AS DOUBLE) / CAST(_t AS DOUBLE)
+       |        END) * $CostScale) AS BIGINT) END) AS _c9x
+       |  FROM (SELECT *, ${knDiscountSql} AS _d
+       |    FROM _sdb LEFT JOIN _cost ON _hb = _chb
+       |      LEFT JOIN _ctx ON _h1 = _xh1
+       |      LEFT JOIN _cont ON _h2 = _yh2 CROSS JOIN _tot)),
+       |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
+       |    CAST(sum(_occ * _c9x) AS BIGINT) AS _s
+       |  FROM _sx GROUP BY 1)
+       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
+       |  CASE WHEN _nb > 0 AND _s IS NOT NULL
+       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
+       |  END AS bits_per_bigram
+       |FROM $scoreTable t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
+  }
+
+  private def knDiscountSql: String =
+    """CASE WHEN _n1 + 2 * _n2 > 0 THEN
+      |        CAST(_n1 AS DOUBLE) / CAST(_n1 + 2 * _n2 AS DOUBLE)
+      |      ELSE CAST(0 AS DOUBLE) END""".stripMargin
 
   /** DuckDB twin of [[knScores]] — the same hashed integer counts and
     * the same double expression tree for D and p.

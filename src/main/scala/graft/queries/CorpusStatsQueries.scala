@@ -115,6 +115,22 @@ object CorpusStatsQueries {
       },
       Some(bigramLmOp.scoreAgainstSql(
         "(SELECT * FROM documents WHERE source = 'src0')", "documents")
+        + "\nORDER BY doc_id")),
+
+    // FROZEN Kneser–Ney scoring (r17): train on the src0 slice, score
+    // the whole corpus — seen bigrams read trained costs, unseen ones
+    // interpolate through λ(w1)·p_cont(w2) (unseen contexts take the
+    // continuation distribution alone, unseen words its 1/T floor)
+    OracleQuery("bigram_lm_kn_frozen",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val model = bigramLmOp.freezeKn(docs.filter(col("source") === "src0"))
+        Seq(model.cost, model.ctx, model.cont, model.tot)
+          .foreach(graft.core.Staging.adopt)
+        bigramLmOp.scoreAgainstKn(docs, model).orderBy(col("doc_id"))
+      },
+      Some(bigramLmOp.scoreAgainstKnSql(
+        "(SELECT * FROM documents WHERE source = 'src0')", "documents")
         + "\nORDER BY doc_id"))
   )
 

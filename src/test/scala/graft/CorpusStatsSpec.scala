@@ -454,6 +454,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(dup.count() == 2L, "repeated ids must not multiply through the join")
   }
 
+  test("frozen KN model: training-corpus scores reproduce knScores; backoff arms fire; empty model is NULL") {
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val train = Seq((1L, "a b a b c"), (2L, "a b d"), (3L, "b c a")).toDF("doc_id", "text")
+    val m = lm.freezeKn(train)
+    try {
+      // scoring the training corpus through the frozen tables must
+      // reproduce the self-trained KN scores bit-for-bit
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(pairs(lm.scoreAgainstKn(train, m)) == pairs(lm.applyKn(train)))
+      // backoff arms: (x y) = unseen words (1/T floor through unseen
+      // context); (a z) = seen context, unseen word; (a b) = trained
+      val novel = Seq((10L, "x y"), (11L, "a z"), (12L, "a b")).toDF("doc_id", "text")
+      val sc = pairs(lm.scoreAgainstKn(novel, m))
+      assert(sc.values.forall(v => v._1 == 1L && v._2.isDefined))
+      // the trained bigram must be cheaper than both backoff cases
+      assert(sc(12L)._2.get < sc(11L)._2.get && sc(12L)._2.get < sc(10L)._2.get)
+      // empty model: every score NULL, counts intact
+      val em = lm.freezeKn(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      try {
+        val esc = pairs(lm.scoreAgainstKn(novel, em))
+        assert(esc.values.forall(v => v._1 == 1L && v._2.isEmpty))
+      } finally em.release()
+    } finally m.release()
+  }
+
   test("frozen bigram refiner: external training corpus, backoff arms, registry path, no id multiplication") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft_blmfrz")
