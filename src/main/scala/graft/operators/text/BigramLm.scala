@@ -58,7 +58,8 @@ object BigramLm {
     * never adopted). Hadoop FS, so the probe works on any store.
     */
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
-      modelDir: String): Option[String] = {
+      modelDir: String,
+      tables: Seq[String] = Seq("cost", "ctx", "vocab")): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(modelDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) None
@@ -70,11 +71,14 @@ object BigramLm {
         else None
       }
       .filter { case (_, d) =>
-        Seq("cost", "ctx", "vocab").forall(t =>
+        tables.forall(t =>
           fs.exists(new org.apache.hadoop.fs.Path(d, s"$t/_SUCCESS")))
       }
       .sortBy(-_._1).headOption.map(_._2.toString)
   }
+
+  /** The KN snapshot's table set, for [[latestSnapshot]]. */
+  val KnTables: Seq[String] = Seq("cost", "ctx", "cont", "tot")
 }
 
 /** FROZEN bigram-LM model tables (r15): per-seen-bigram integer costs,
@@ -539,6 +543,19 @@ final class BigramLm(
     val cost = open("cost"); val ctx = open("ctx"); val vocab = open("vocab")
     val rows = cost.count(); ctx.count(); vocab.count()
     BigramLmModel(cost, ctx, vocab, rows)
+  }
+
+  /** Re-open a frozen KN model from a [[freezeKn]] snapshot directory —
+    * the KN restart path (see [[loadSnapshot]]).
+    */
+  def loadKnSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): KnBigramLmModel = {
+    def open(name: String) = spark.read.parquet(s"$dir/$name")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cost = open("cost"); val ctx = open("ctx")
+    val cont = open("cont"); val tot = open("tot")
+    val rows = cost.count(); ctx.count(); cont.count(); tot.count()
+    KnBigramLmModel(cost, ctx, cont, tot, rows)
   }
 
   /** Persist a model table; with a snapshot dir, write-then-reread so

@@ -207,11 +207,48 @@ object StreamingCuration {
       modelDir: String,
       textCol: String = "text",
       idCol: String = "doc_id",
-      retrainEvery: Option[Int] = None)
+      retrainEvery: Option[Int] = None,
+      smoothing: String = "addone")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(retrainEvery.forall(_ >= 1),
       s"retrainEvery must be >= 1 when set, got $retrainEvery")
+    require(smoothing == "addone" || smoothing == "kn",
+      s"unsupported smoothing '$smoothing' (addone | kn)")
     val lm = new graft.operators.text.BigramLm(textCol, idCol)
+    // one handle over both model families: freeze/load/score/release —
+    // the foreachBatch body below is smoothing-agnostic
+    trait LmHandle { def score(df: DataFrame): DataFrame; def release(): Unit }
+    def freeze(corpus: DataFrame, dir: String): LmHandle =
+      if (smoothing == "kn") {
+        val m = lm.freezeKn(corpus, Some(dir))
+        new LmHandle {
+          def score(df: DataFrame) = lm.scoreAgainstKn(df, m)
+          def release() = m.release()
+        }
+      } else {
+        val m = lm.freeze(corpus, Some(dir))
+        new LmHandle {
+          def score(df: DataFrame) = lm.scoreAgainst(df, m)
+          def release() = m.release()
+        }
+      }
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): LmHandle =
+      if (smoothing == "kn") {
+        val m = lm.loadKnSnapshot(spark, dir)
+        new LmHandle {
+          def score(df: DataFrame) = lm.scoreAgainstKn(df, m)
+          def release() = m.release()
+        }
+      } else {
+        val m = lm.loadSnapshot(spark, dir)
+        new LmHandle {
+          def score(df: DataFrame) = lm.scoreAgainst(df, m)
+          def release() = m.release()
+        }
+      }
+    val snapshotTables =
+      if (smoothing == "kn") graft.operators.text.BigramLm.KnTables
+      else Seq("cost", "ctx", "vocab")
     // every model SNAPSHOTS to a versioned dir: a cached plan over the
     // live (appended-to) corpusDir is NOT frozen — Spark's append path
     // refreshes-and-recaches plans rooted in the written path, so the
@@ -219,9 +256,9 @@ object StreamingCuration {
     // (see BigramLm.freeze). The snapshot is also the restart artifact.
     val model = new java.util.concurrent.atomic.AtomicReference(
       graft.operators.text.BigramLm
-        .latestSnapshot(trainCorpus.sparkSession, modelDir) match {
-        case Some(dir) => lm.loadSnapshot(trainCorpus.sparkSession, dir)
-        case None      => lm.freeze(trainCorpus, Some(s"$modelDir/v0"))
+        .latestSnapshot(trainCorpus.sparkSession, modelDir, snapshotTables) match {
+        case Some(dir) => load(trainCorpus.sparkSession, dir)
+        case None      => freeze(trainCorpus, s"$modelDir/v0")
       })
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
@@ -230,11 +267,10 @@ object StreamingCuration {
         // epoch-keyed OVERWRITE: a replayed epoch replaces its own
         // partition, so the accumulated corpus never double-counts
         in.write.mode("overwrite").parquet(s"$corpusDir/epoch=$epoch")
-        lm.scoreAgainst(in, model.get()).write.mode("append").parquet(outDir)
+        model.get().score(in).write.mode("append").parquet(outDir)
         retrainEvery.filter(n => (epoch + 1) % n == 0).foreach { _ =>
           val old = model.get()
-          model.set(lm.freeze(spark.read.parquet(corpusDir),
-            Some(s"$modelDir/v${epoch + 1}")))
+          model.set(freeze(spark.read.parquet(corpusDir), s"$modelDir/v${epoch + 1}"))
           old.release()
         }
       } finally in.unpersist()

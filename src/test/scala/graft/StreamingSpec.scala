@@ -311,6 +311,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming KN-smoothed bigram scoring: stream scores equal batch scoreAgainstKn; snapshot is KN-complete") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the lazy dog sleeps while the quick fox runs"),
+      (102L, "a slow green turtle walks under the old bridge")).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the purple fox telephones zebras"),
+      (3L, "completely novel vocabulary everywhere tonight"),
+      (4L, "dog"),
+      (5L, "the lazy dog jumps over a slow green turtle"),
+      (6L, "bridge the gap between corpora"))
+    val base = java.nio.file.Files.createTempDirectory("graft_blmknstream")
+    val outDir = base.resolve("out").toString
+    val modelDir = base.resolve("model").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCuration.bigramLmScoreForeachBatch(
+        mem.toDF().toDF("doc_id", "text"), train, outDir,
+        base.resolve("corpus").toString, modelDir,
+        textCol = "text", idCol = "doc_id", smoothing = "kn")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    val model = lm.freezeKn(train)
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def scoresOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      val streamed = scoresOf(spark.read.parquet(outDir))
+      val batch = scoresOf(lm.scoreAgainstKn(rows.toDF("doc_id", "text"), model))
+      assert(streamed == batch, s"KN stream $streamed must equal batch $batch")
+      assert(streamed(4L)._2.isEmpty)
+      // the v0 snapshot carries all FOUR KN tables (a reboot with
+      // smoothing=kn would adopt it; the 3-table add-one probe must NOT
+      // see a KN snapshot as complete-for-addone-and-missing-cont)
+      assert(graft.operators.text.BigramLm.latestSnapshot(
+        spark, modelDir, graft.operators.text.BigramLm.KnTables)
+        .exists(_.endsWith("v0")))
+    } finally { q.stop(); model.release() }
+  }
+
   test("bigram-LM streaming restart: replayed epoch never duplicates the corpus; a reboot adopts the latest complete snapshot, not v0") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
