@@ -295,6 +295,15 @@ object Bench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bloomBuild.count()
       val nNodes = n
+      // signature-mix cost twin (r17): the shingle-hash arrays staged
+      // ONCE (untimed), so the two legs time ONLY the signature pass —
+      // classic k-min (16 mixes per shingle element) vs OPH (one
+      // binning pass + k-bin densify), the measured form of the
+      // kernel's 1/16-hash-work claim
+      val sigHashes = big.select(
+        graft.plans.kernels.shingle_hashes(col("text"), 3).as("_h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigHashes.count()
 
       // Leg bodies (unchanged semantics from the pre-r17 suite; comments
       // kept with their legs). Each leg swallows its own errors — the
@@ -315,6 +324,15 @@ object Bench {
           textCol = "text", idCol = "doc_id",
           shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
           preCollapseExact = true)(big).count(); () }),
+        // the signature pass ALONE over staged hash arrays (production
+        // splitmix family both sides); bit_xor forces every row without
+        // the ANSI long-overflow a plain sum of 2^63-scale values hits
+        "minhash_mix_kmin" -> (() => { sigHashes
+          .select(graft.plans.kernels.minhash_from_hashes(col("_h"), 16, false).as("_m"))
+          .select(bit_xor(element_at(col("_m"), 1))).head(); () }),
+        "minhash_mix_oph" -> (() => { sigHashes
+          .select(graft.plans.kernels.oph_minhash_from_hashes(col("_h"), 16, false).as("_m"))
+          .select(bit_xor(element_at(col("_m"), 1))).head(); () }),
         // span removal must materialize its OUTPUT columns (count() would
         // prune the coverage-mask projection and measure only the joins)
         "dup_ngram" -> (() => {
@@ -542,6 +560,7 @@ object Bench {
       bloomBuild.unpersist(); bigLi.unpersist(); bigEv.unpersist()
       bigImg.unpersist(); stagedBytes.unpersist(); bigEmb.unpersist()
       big100.unpersist(); big.unpersist(); blmModel.release()
+      sigHashes.unpersist()
 
       def pt(name: String): Double = probeHarness.results.getOrElse(name, -1.0)
       val tFilter = pt("filter_chain"); val tExact = pt("exact_dedup")
@@ -561,6 +580,7 @@ object Bench {
       val tPhashNear = pt("phash_near_capped"); val tAsof = pt("asof_join")
       val tCdc = pt("cdc_merge"); val tProfile = pt("profile")
       val tBloomSemi = pt("bloom_semi"); val tPlainSemi = pt("plain_semi")
+      val tMixKmin = pt("minhash_mix_kmin"); val tMixOph = pt("minhash_mix_oph")
       // the compact line's probe: the BASELINE.md-comparable throughput
       // rows only (~0.6 KB), so the driver's window-parse succeeds again
       def rate(c: Long, t: Double): String =
@@ -579,7 +599,7 @@ object Bench {
       val pf = failedProbeLegs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val evidence = s""""probe_estimator":"warm_min_interleaved_retry","probe_reps":$probeReps,"probe_guarded":$pg,"probe_retried":$pr,"probe_unstable":$pu,"probe_stabilized":$ps,"probe_failed":$pf,"probe_detail":$pd"""
 
-      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"url_filter_sec":$tUrl%.3f,"url_filter_docs_per_sec":${n / tUrl}%.0f,"bm25_sec":$tBm25%.3f,"bm25_docs_per_sec":${n / tBm25}%.0f,"pagerank5_sec":$tPr%.3f,"pagerank_nodes_per_sec":${n / tPr}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"semantic_dedup_probed_sec":$tSemProbed%.3f,"semantic_dedup_probed_vecs_per_sec":${nv / tSemProbed}%.0f,"semantic_dedup_anchored_sec":$tSemAnchored%.3f,"semantic_dedup_anchored_vecs_per_sec":${nv / tSemAnchored}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f,"html_extract_sec":$tHtml%.3f,"html_extract_docs_per_sec":${n / tHtml}%.0f,"novelty_sec":$tNovelty%.3f,"novelty_docs_per_sec":${n / tNovelty}%.0f,"triangle_sec":$tTri%.3f,"triangle_nodes_per_sec":${nNodes / tTri}%.0f,"inverted_index_sec":$tInv%.3f,"inverted_index_docs_per_sec":${n / tInv}%.0f,"ols_fit_sec":$tOls%.3f,"ols_docs_per_sec":${n / tOls}%.0f,"filter_100x_rows":$n100,"filter_100x_sec":$tFilter100%.3f,"filter_100x_docs_per_sec":${n100 / tFilter100}%.0f,"cdc_merge_sec":$tCdc%.3f,"cdc_events_per_sec":${ne / tCdc}%.0f,"lpa4_sec":$tLpa%.3f,"lpa_nodes_per_sec":${nNodes / tLpa}%.0f,"lineitem_rows":$nl,"profile_sec":$tProfile%.3f,"profile_cells_per_sec":${nl * profCols.size / tProfile}%.0f,"bloom_semi_sec":$tBloomSemi%.3f,"plain_semi_sec":$tPlainSemi%.3f,"bigram_lm_sec":$tBigram%.3f,"bigram_lm_docs_per_sec":${n / tBigram}%.0f,"bigram_lm_score_frozen_sec":$tBigramScore%.3f,"bigram_lm_score_frozen_docs_per_sec":${n / tBigramScore}%.0f,"multiprobe_knn_100q_sec":$tMultiProbe%.3f,$evidence}"""
+      f"""{"rows":$n,"replication":10,"filter_chain_sec":$tFilter%.3f,"exact_dedup_sec":$tExact%.3f,"minhash_lsh_capped_sec":$tLsh%.3f,"minhash_precollapse_sec":$tLshPre%.3f,"minhash_precollapse_docs_per_sec":${n / tLshPre}%.0f,"dup_ngram_sec":$tDup%.3f,"curation_stack_sec":$tStack%.3f,"curation_stack_docs_per_sec":${n / tStack}%.0f,"quality_battery_sec":$tQuality%.3f,"quality_battery_docs_per_sec":${n / tQuality}%.0f,"dsir_score_sec":$tDsir%.3f,"dsir_docs_per_sec":${n / tDsir}%.0f,"url_filter_sec":$tUrl%.3f,"url_filter_docs_per_sec":${n / tUrl}%.0f,"bm25_sec":$tBm25%.3f,"bm25_docs_per_sec":${n / tBm25}%.0f,"pagerank5_sec":$tPr%.3f,"pagerank_nodes_per_sec":${n / tPr}%.0f,"filter_docs_per_sec":${n / tFilter}%.0f,"exact_dedup_docs_per_sec":${n / tExact}%.0f,"minhash_lsh_docs_per_sec":${n / tLsh}%.0f,"dup_ngram_docs_per_sec":${n / tDup}%.0f,"vectors":$nv,"semantic_dedup_sec":$tSem%.3f,"semantic_dedup_vecs_per_sec":${nv / tSem}%.0f,"semantic_dedup_probed_sec":$tSemProbed%.3f,"semantic_dedup_probed_vecs_per_sec":${nv / tSemProbed}%.0f,"semantic_dedup_anchored_sec":$tSemAnchored%.3f,"semantic_dedup_anchored_vecs_per_sec":${nv / tSemAnchored}%.0f,"knn_join_100q_sec":$tKnn%.3f,"images":$ni,"phash_hash_sec":$tPhashHash%.3f,"phash_hash_images_per_sec":${ni / tPhashHash}%.0f,"phash_exact_dedup_sec":$tPhashExact%.3f,"phash_exact_images_per_sec":${ni / tPhashExact}%.0f,"phash_near_capped_sec":$tPhashNear%.3f,"phash_near_images_per_sec":${ni / tPhashNear}%.0f,"events":$ne,"asof_join_sec":$tAsof%.3f,"asof_events_per_sec":${ne / tAsof}%.0f,"html_extract_sec":$tHtml%.3f,"html_extract_docs_per_sec":${n / tHtml}%.0f,"novelty_sec":$tNovelty%.3f,"novelty_docs_per_sec":${n / tNovelty}%.0f,"triangle_sec":$tTri%.3f,"triangle_nodes_per_sec":${nNodes / tTri}%.0f,"inverted_index_sec":$tInv%.3f,"inverted_index_docs_per_sec":${n / tInv}%.0f,"ols_fit_sec":$tOls%.3f,"ols_docs_per_sec":${n / tOls}%.0f,"filter_100x_rows":$n100,"filter_100x_sec":$tFilter100%.3f,"filter_100x_docs_per_sec":${n100 / tFilter100}%.0f,"cdc_merge_sec":$tCdc%.3f,"cdc_events_per_sec":${ne / tCdc}%.0f,"lpa4_sec":$tLpa%.3f,"lpa_nodes_per_sec":${nNodes / tLpa}%.0f,"lineitem_rows":$nl,"profile_sec":$tProfile%.3f,"profile_cells_per_sec":${nl * profCols.size / tProfile}%.0f,"bloom_semi_sec":$tBloomSemi%.3f,"plain_semi_sec":$tPlainSemi%.3f,"bigram_lm_sec":$tBigram%.3f,"bigram_lm_docs_per_sec":${n / tBigram}%.0f,"bigram_lm_score_frozen_sec":$tBigramScore%.3f,"bigram_lm_score_frozen_docs_per_sec":${n / tBigramScore}%.0f,"multiprobe_knn_100q_sec":$tMultiProbe%.3f,"minhash_mix_kmin_sec":$tMixKmin%.3f,"minhash_mix_oph_sec":$tMixOph%.3f,$evidence}"""
     }
     probeJson = Some(probe)
 
