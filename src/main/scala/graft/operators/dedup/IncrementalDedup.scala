@@ -131,7 +131,8 @@ final class IncrementalMinHashDedup(
     numBands: Int = 4,
     threshold: Double = 0.8,
     portableHashes: Boolean = false,
-    priorMaxBucketSize: Option[Int] = None) extends RejectingOperator {
+    priorMaxBucketSize: Option[Int] = None,
+    signatureScheme: String = "kmin") extends RejectingOperator {
 
   require(priorPath.isDefined || prior.isDefined,
     "incremental near-dedup needs a prior snapshot (priorPath or prior)")
@@ -143,7 +144,7 @@ final class IncrementalMinHashDedup(
   private[dedup] val lsh = new MinHashLSHDedup(
     textCol = textCol, idCol = idCol, shingleWidth = shingleWidth,
     numHashes = numHashes, numBands = numBands, threshold = threshold,
-    portableHashes = portableHashes)
+    portableHashes = portableHashes, signatureScheme = signatureScheme)
 
   private def priorDf(df: DataFrame): DataFrame =
     prior.getOrElse(df.sparkSession.read.parquet(priorPath.get))

@@ -435,7 +435,8 @@ object OperatorRegistry {
     threshold = p.double("threshold", 0.8),
     // prior-side hot-bucket guard (r17): the accumulated prior's
     // duplicate mass is where a (band, bucket) goes hot at scale
-    priorMaxBucketSize = p.long("prior_max_bucket_size").map(_.toInt)))
+    priorMaxBucketSize = p.long("prior_max_bucket_size").map(_.toInt),
+    signatureScheme = p.str("signature_scheme", "kmin")))
 
   register("quality_classifier", p => new graft.operators.ml.QualityClassifierRefiner(
     textCol = p.str("text_field", "text"),
@@ -524,8 +525,9 @@ object OperatorRegistry {
       countCol = p.str("count_field", "bigram_lm_n"),
       snapshotDir = p.str("snapshot_dir")))
 
-  // smoothing: "addone" (default) or "kn" (interpolated Kneser–Ney —
-  // absolute discount + continuation distribution, the KenLM default)
+  // smoothing: "addone" (default), "kn" (interpolated Kneser–Ney), or
+  // "mkn" (modified KN — three count-dependent discounts, the KenLM
+  // default recipe)
   register("bigram_lm_score", p => new graft.operators.text.BigramLmScoreRefiner(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

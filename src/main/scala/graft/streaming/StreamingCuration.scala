@@ -132,7 +132,8 @@ object StreamingCuration {
       numHashes: Int = 16,
       numBands: Int = 4,
       threshold: Double = 0.8,
-      priorMaxBucketSize: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      priorMaxBucketSize: Option[Int] = None,
+      signatureScheme: String = "kmin"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // priorMaxBucketSize (r17): the per-trigger guard on the
     // accumulated prior's hot (band, bucket) groups — the prior grows
     // without bound across triggers, and its duplicate mass is exactly
@@ -144,7 +145,8 @@ object StreamingCuration {
     // first-cap admission provides.
     val lsh = new graft.operators.dedup.MinHashLSHDedup(
       textCol = textCol, idCol = idCol, shingleWidth = shingleWidth,
-      numHashes = numHashes, numBands = numBands, threshold = threshold)
+      numHashes = numHashes, numBands = numBands, threshold = threshold,
+      signatureScheme = signatureScheme)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       val selfDeduped = lsh(batch)
@@ -155,7 +157,8 @@ object StreamingCuration {
           textCol = textCol, idCol = idCol,
           shingleWidth = shingleWidth, numHashes = numHashes,
           numBands = numBands, threshold = threshold,
-          priorMaxBucketSize = priorMaxBucketSize)(selfDeduped)
+          priorMaxBucketSize = priorMaxBucketSize,
+          signatureScheme = signatureScheme)(selfDeduped)
       }
       val out = kept.persist()
       try {

@@ -75,6 +75,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(noop(vecs).count() == vecs.count())
   }
 
+  test("incremental minhash under the OPH scheme: prior members drop (Jaccard 1.0), registry passes the knob") {
+    val mh = new graft.operators.dedup.IncrementalMinHashDedup(
+      prior = Some(prior), textCol = "text", idCol = "doc_id",
+      signatureScheme = "oph")
+    val kept = mh(inc).select("doc_id").as[Long].collect().toSet
+    val priorIds = prior.select("doc_id").as[Long].collect().toSet
+    // identical texts have identical OPH signatures, so every prior
+    // member's own increment row collides on every band and verifies
+    assert(priorIds.intersect(kept).isEmpty)
+    assert(kept.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("ophprior").toString
+    prior.write.mode("overwrite").parquet(s"$dir/prior")
+    val viaReg = graft.runner.OperatorRegistry.create("incremental_minhash_dedup",
+      graft.runner.Params(Map(
+        "prior_path" -> s"$dir/prior", "text_field" -> "text",
+        "id_field" -> "doc_id", "signature_scheme" -> "oph")))
+    assert(viaReg(inc).count() == kept.size.toLong)
+  }
+
   test("registry builds the operator against a parquet prior snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("incprior").toString
     prior.write.mode("overwrite").parquet(s"$dir/prior")
