@@ -232,6 +232,152 @@ final class BigramLm(
         coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
         col("_blm_bits").as("bits_per_bigram"))
 
+  /** MODIFIED Kneser–Ney scores (Chen & Goodman 1998 — the KenLM
+    * default): like [[knScores]] but with three count-dependent
+    * absolute discounts instead of one. With `Y = n1/(n1 + 2·n2)`,
+    * `D1 = 1 − 2Y·n2/n1`, `D2 = 2 − 3Y·n3/n2`, `D3+ = 3 − 4Y·n4/n3`
+    * (nk = bigram types of count k; a zero denominator takes D = 0 —
+    * that count class is empty or unestimable — and every D clamps at
+    * 0 from below), the discount applied to a bigram is D(c) by its
+    * count class and the interpolation weight is
+    * `λ(w1) = (D1·N1(w1) + D2·N2(w1) + D3+·N3+(w1)) / c(w1,·)` over the
+    * context's per-class continuation counts. p > 0 always: a fully
+    * discounted class contributes its own mass back through λ, and an
+    * undiscounted one keeps `c/c(w1,·)`. Same exact-integer cost
+    * discipline, same one-scan shape (the ctx aggregate just carries
+    * three more bounded counts). Grouped output like [[knScores]];
+    * per-row form [[applyMkn]].
+    */
+  def mknScores(df: DataFrame): DataFrame = {
+    val occs = occurrences(df)
+    val db = graft.core.Staging.stage(
+      occs.groupBy(col(idCol), col("_hb"))
+        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
+          min(col("_h2")).as("_h2")))
+    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
+      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
+        min(col("_h2")).as("_ch2")))
+    val ctx = cb.groupBy(col("_ch1").as("_xh1"))
+      .agg(sum(col("_cb")).as("_cw"),
+        sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_m1c"),
+        sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_m2c"),
+        sum(when(col("_cb") >= 3L, 1L).otherwise(0L)).as("_m3c"))
+    val cont = cb.groupBy(col("_ch2").as("_yh2")).agg(count(lit(1)).as("_pc"))
+    val tot = cb.agg(count(lit(1)).as("_t"),
+      sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"),
+      sum(when(col("_cb") === 3L, 1L).otherwise(0L)).as("_n3"),
+      sum(when(col("_cb") === 4L, 1L).otherwise(0L)).as("_n4"))
+    val y = when(col("_n1") + lit(2L) * col("_n2") > 0L,
+      col("_n1").cast("double") /
+        (col("_n1") + lit(2L) * col("_n2")).cast("double"))
+      .otherwise(lit(0.0))
+    def dk(k: Int, nk: Column, nk1: Column): Column =
+      when(nk > 0L,
+        greatest(lit(k.toDouble) -
+          lit((k + 1).toDouble) * y * nk1.cast("double") / nk.cast("double"),
+          lit(0.0)))
+        .otherwise(lit(0.0))
+    val d1 = dk(1, col("_n1"), col("_n2"))
+    val d2 = dk(2, col("_n2"), col("_n3"))
+    val d3 = dk(3, col("_n3"), col("_n4"))
+    val dOfC = when(col("_cb") === 1L, d1).when(col("_cb") === 2L, d2)
+      .otherwise(d3)
+    val lam = (d1 * col("_m1c").cast("double") +
+      d2 * col("_m2c").cast("double") +
+      d3 * col("_m3c").cast("double")) / col("_cw").cast("double")
+    val p = greatest(col("_cb").cast("double") - dOfC, lit(0.0)) /
+      col("_cw").cast("double") +
+      lam * (col("_pc").cast("double") / col("_t").cast("double"))
+    val cost = cb.join(ctx, col("_ch1") === col("_xh1"))
+      .join(cont, col("_ch2") === col("_yh2"))
+      .crossJoin(broadcast(tot))
+      .select(col("_hb").as("_chb"),
+        floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
+    db.join(cost, col("_hb") === col("_chb"))
+      .groupBy(col(idCol).as("_blm_id"))
+      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9")).as("_s"))
+      .select(col("_blm_id"), col("_nb").as("_blm_n"),
+        when(col("_nb") > 0L,
+          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
+          .as("_blm_bits"))
+  }
+
+  /** Per-row modified-KN scores — [[apply]]'s shape over [[mknScores]]. */
+  def applyMkn(df: DataFrame): DataFrame =
+    df.select(col(idCol))
+      .join(mknScores(df), col(idCol) === col("_blm_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
+        col("_blm_bits").as("bits_per_bigram"))
+
+  /** DuckDB twin of [[mknScores]] — identical count algebra and double
+    * expression trees for Y, the three discounts, λ, and p.
+    */
+  def mknSql(table: String): String = {
+    val toks = TextFunctions.tokensOfSql(textCol)
+    def ph(e: String) = HashFunctions.portableHash64Sql(e)
+    val y = """CASE WHEN _n1 + 2 * _n2 > 0 THEN
+      |          CAST(_n1 AS DOUBLE) / CAST(_n1 + 2 * _n2 AS DOUBLE)
+      |        ELSE CAST(0 AS DOUBLE) END""".stripMargin
+    def dk(k: Int, nk: String, nk1: String): String =
+      s"""CASE WHEN $nk > 0 THEN
+         |          greatest(CAST($k AS DOUBLE) -
+         |            CAST(${k + 1} AS DOUBLE) * _y * CAST($nk1 AS DOUBLE) / CAST($nk AS DOUBLE),
+         |            CAST(0 AS DOUBLE))
+         |        ELSE CAST(0 AS DOUBLE) END""".stripMargin
+    s"""WITH _ht AS (SELECT $idCol,
+       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $table),
+       |_oc AS (SELECT $idCol,
+       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
+       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
+       |  FROM (SELECT $idCol, _hts,
+       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
+       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
+       |    min(_h1) AS _h1, min(_h2) AS _h2
+       |  FROM _oc GROUP BY $idCol, _hb),
+       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
+       |    min(_h1) AS _ch1, min(_h2) AS _ch2
+       |  FROM _db GROUP BY _hb),
+       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw,
+       |    CAST(sum(CASE WHEN _cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _m1c,
+       |    CAST(sum(CASE WHEN _cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _m2c,
+       |    CAST(sum(CASE WHEN _cb >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS _m3c
+       |  FROM _cb GROUP BY 1),
+       |_cont AS (SELECT _ch2 AS _yh2, CAST(count(*) AS BIGINT) AS _pc
+       |  FROM _cb GROUP BY 1),
+       |_tot AS (SELECT CAST(count(*) AS BIGINT) AS _t,
+       |    CAST(sum(CASE WHEN _cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _n1,
+       |    CAST(sum(CASE WHEN _cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _n2,
+       |    CAST(sum(CASE WHEN _cb = 3 THEN 1 ELSE 0 END) AS BIGINT) AS _n3,
+       |    CAST(sum(CASE WHEN _cb = 4 THEN 1 ELSE 0 END) AS BIGINT) AS _n4
+       |  FROM _cb),
+       |_cost AS (SELECT _hb AS _chb,
+       |    CAST(floor(-ln(
+       |      greatest(CAST(_cb AS DOUBLE) -
+       |          (CASE WHEN _cb = 1 THEN _d1 WHEN _cb = 2 THEN _d2 ELSE _d3 END),
+       |        CAST(0 AS DOUBLE)) / CAST(_cw AS DOUBLE)
+       |      + (_d1 * CAST(_m1c AS DOUBLE) + _d2 * CAST(_m2c AS DOUBLE)
+       |          + _d3 * CAST(_m3c AS DOUBLE)) / CAST(_cw AS DOUBLE)
+       |        * (CAST(_pc AS DOUBLE) / CAST(_t AS DOUBLE))
+       |    ) * $CostScale) AS BIGINT) AS _c9
+       |  FROM (SELECT *,
+       |      ${dk(1, "_n1", "_n2")} AS _d1,
+       |      ${dk(2, "_n2", "_n3")} AS _d2,
+       |      ${dk(3, "_n3", "_n4")} AS _d3
+       |    FROM (SELECT *, $y AS _y
+       |      FROM _cb JOIN _ctx ON _ch1 = _xh1
+       |        JOIN _cont ON _ch2 = _yh2 CROSS JOIN _tot))),
+       |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
+       |    CAST(sum(_occ * _c9) AS BIGINT) AS _s
+       |  FROM _db JOIN _cost ON _hb = _chb GROUP BY 1)
+       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
+       |  CASE WHEN _nb > 0
+       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
+       |  END AS bits_per_bigram
+       |FROM $table t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
+  }
+
   /** Train the KN model on `corpus` and FREEZE it — the [[freeze]]
     * counterpart for the Kneser–Ney path. Four tables: per-seen-bigram
     * integer costs, per-context `(total, distinct-continuation)` counts,
@@ -772,8 +918,8 @@ final class BigramLmScoreRefiner(
     outCol: String = "bigram_lm_bits",
     countCol: String = "bigram_lm_n",
     smoothing: String = "addone") extends graft.core.Operator {
-  require(smoothing == "addone" || smoothing == "kn",
-    s"unsupported smoothing '$smoothing' (addone | kn)")
+  require(Seq("addone", "kn", "mkn").contains(smoothing),
+    s"unsupported smoothing '$smoothing' (addone | kn | mkn)")
   val name = "bigram_lm_score"
 
   def apply(df: DataFrame): DataFrame = attach(df, df, None)
@@ -792,7 +938,11 @@ final class BigramLmScoreRefiner(
     val gate: Column => Column =
       c => alive.map(a => when(a, c)).getOrElse(c)
     val lm = new BigramLm(textCol, idCol)
-    val scored = if (smoothing == "kn") lm.knScores(corpus) else lm.scores(corpus)
+    val scored = smoothing match {
+      case "kn"  => lm.knScores(corpus)
+      case "mkn" => lm.mknScores(corpus)
+      case _     => lm.scores(corpus)
+    }
     df.join(scored,
         col(idCol) === col("_blm_id"), "left")
       .withColumn(countCol, gate(coalesce(col("_blm_n"), lit(0L))))

@@ -99,6 +99,14 @@ object CorpusStatsQueries {
         .orderBy(col("doc_id")),
       Some(bigramLmOp.knSql("documents") + "\nORDER BY doc_id")),
 
+    // MODIFIED Kneser–Ney (r17): the Chen & Goodman three-discount
+    // recipe (KenLM's default) — D1/D2/D3+ by count class, λ(w1) from
+    // the context's per-class continuation counts
+    OracleQuery("bigram_lm_mkn",
+      (s, dir) => bigramLmOp.applyMkn(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(bigramLmOp.mknSql("documents") + "\nORDER BY doc_id")),
+
     // FROZEN-model scoring (r15): train on the src0 slice, score the
     // whole corpus — unseen bigrams back off to the add-one floor
     // (seen-context 1/(c(w1)+V), fully-unseen 1/V); the streaming twin

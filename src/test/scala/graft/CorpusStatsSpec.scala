@@ -423,6 +423,46 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(viaReg(1L) == out(1L)._2 && viaReg(3L).isEmpty)
   }
 
+  test("bigram lm MKN: hand-computed three-discount modified Kneser-Ney") {
+    // corpus: "a b a b c", "a b d", "b c a" -> bigram types
+    // (a,b)=3 (b,a)=1 (b,c)=2 (b,d)=1 (c,a)=1: T=5, n1=3, n2=1, n3=1, n4=0
+    // Y = 3/5 = 0.6; D1 = 1-2*0.6*(1/3) = 0.6; D2 = 2-3*0.6*(1/1) = 0.2;
+    // D3 = 3-4*0.6*(0/1) = 3 (count-3 types fully discounted — their
+    // mass all routes through lam on this tiny corpus).
+    // ctx a: cw=3, classes (0,0,1) -> lam = 3/3 = 1; p(b|a) = 0 + 1*(1/5) = 0.2
+    // ctx b: cw=4, classes (2,1,0) -> lam = (0.6*2 + 0.2)/4 = 0.35
+    //   p(a|b) = 0.4/4 + 0.35*(2/5) = 0.24; p(c|b) = 1.8/4 + 0.35*(1/5) = 0.52
+    //   p(d|b) = 0.4/4 + 0.35*(1/5) = 0.17
+    // ctx c: cw=1, classes (1,0,0) -> lam = 0.6;   p(a|c) = 0.4 + 0.6*(2/5) = 0.64
+    val tiny = Seq((1L, "a b a b c"), (2L, "a b d"), (3L, "b c a")).toDF("doc_id", "text")
+    val out = new graft.operators.text.BigramLm("text", "doc_id").applyMkn(tiny)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val scale = 1e9 / math.log(2.0)
+    def cost(p: Double): Long = math.floor(-math.log(p) * scale).toLong
+    // replicate the implementation's double expression trees op-for-op
+    // (a decimal shorthand like 0.6 drifts in the last ulp)
+    val yv = 3.0 / 5.0
+    val d1v = math.max(1.0 - 2.0 * yv * 1.0 / 3.0, 0.0) // ≈ 0.6
+    val d2v = math.max(2.0 - 3.0 * yv * 1.0 / 1.0, 0.0) // ≈ 0.2
+    val d3v = math.max(3.0 - 4.0 * yv * 0.0 / 1.0, 0.0) // = 3
+    def lam(m1: Double, m2: Double, m3: Double, cw: Double) =
+      (d1v * m1 + d2v * m2 + d3v * m3) / cw
+    def p(c: Double, dv: Double, cw: Double, l: Double, pc: Double) =
+      math.max(c - dv, 0.0) / cw + l * (pc / 5.0)
+    val cAB = cost(p(3, d3v, 3, lam(0, 0, 1, 3), 1)) // = 0.2
+    val cBA = cost(p(1, d1v, 4, lam(2, 1, 0, 4), 2)) // ≈ 0.24
+    val cBC = cost(p(2, d2v, 4, lam(2, 1, 0, 4), 1)) // ≈ 0.52
+    val cBD = cost(p(1, d1v, 4, lam(2, 1, 0, 4), 1)) // ≈ 0.17
+    val cCA = cost(p(1, d1v, 1, lam(1, 0, 0, 1), 2)) // ≈ 0.64
+    def bits(s: Long, n: Long): Double =
+      BigDecimal(s.toDouble / n / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d1 "a b a b c": (a,b)x2 + (b,a) + (b,c); d2: (a,b) + (b,d); d3: (b,c) + (c,a)
+    assert(out(1L) == ((4L, Some(bits(2 * cAB + cBA + cBC, 4)))))
+    assert(out(2L) == ((2L, Some(bits(cAB + cBD, 2)))))
+    assert(out(3L) == ((2L, Some(bits(cBC + cCA, 2)))))
+  }
+
   test("bigram lm KN: same transition evidence as add-one on the fixture (n_bigrams identical)") {
     val lm = new graft.operators.text.BigramLm("text", "doc_id")
     val sample = docs.limit(60)
