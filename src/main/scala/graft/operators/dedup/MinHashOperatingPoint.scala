@@ -49,7 +49,8 @@ final class MinHashOperatingPoint(
     numHashes: Int = 16,
     threshold: Double = 0.8,
     targetRecall: Double = 0.9,
-    sampleMod: Int) {
+    sampleMod: Int,
+    signatureScheme: String = "kmin") {
 
   require(sampleMod >= 1, s"sampleMod $sampleMod must be >= 1")
   require(numHashes >= 1, s"numHashes $numHashes must be >= 1")
@@ -61,7 +62,7 @@ final class MinHashOperatingPoint(
     textCol, idCol, shingleWidth, threshold, maxDocFreq = None)
   private val lshOp = new MinHashLSHDedup(
     textCol, idCol, shingleWidth, numHashes, numBands = numHashes, threshold,
-    portableHashes = true)
+    portableHashes = true, signatureScheme = signatureScheme)
 
   /** `m1[i*r..]` agrees with `m2` on ≥ 1 of the b bands. */
   private def agree(b: Int): Column = {

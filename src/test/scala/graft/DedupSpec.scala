@@ -609,6 +609,25 @@ class DedupSpec extends AnyFunSuite {
       s"got ${got.size} want ${want.size}; sym-diff ${(got diff want) union (want diff got)}")
   }
 
+  test("minhash operating point under OPH: every geometry equals an independent OPH LshRecall run") {
+    graft.core.Staging.scoped {
+      val op = new graft.operators.dedup.MinHashOperatingPoint(
+        "text", "doc_id", shingleWidth = 3, numHashes = 16,
+        threshold = 0.8, targetRecall = 0.9, sampleMod = 3,
+        signatureScheme = "oph")
+      val rows = op.report(docs).collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))
+      rows.foreach { r =>
+        val b = r.getInt(0)
+        val ind = new graft.operators.dedup.LshRecall("text", "doc_id", 3, 16,
+          b, 0.8, sampleMod = 3, signatureScheme = "oph").report(docs).head()
+        assert(r.getLong(2) == ind.getLong(0), s"b=$b true pairs")
+        assert(r.getLong(3) == ind.getLong(1), s"b=$b caught pairs")
+      }
+      assert(rows.count(_.getBoolean(6)) == 1, "chosen row must be unique")
+    }
+  }
+
   test("operating points: every level equals an independent per-level run (leveled one-pass == per-level joins)") {
     val emb = table("embeddings")
     graft.core.Staging.scoped {
