@@ -52,14 +52,22 @@ object BigramLm {
 
   /** Highest-versioned COMPLETE snapshot directory under `modelDir`, if
     * any — the restart probe for [[graft.streaming.StreamingCuration
-    * .bigramLmScoreForeachBatch]]. A snapshot is complete when all three
+    * .bigramLmScoreForeachBatch]]. A snapshot is complete when all its
     * table dirs carry a `_SUCCESS` marker ([[BigramLm.freeze]] writes
     * `cost` last, but each is checked so a half-written artifact is
-    * never adopted). Hadoop FS, so the probe works on any store.
+    * never adopted) AND, when `family` is given, its `_FAMILY` marker
+    * matches — a modelDir reused across a `smoothing` change would
+    * otherwise pass the table probe on a MIXED snapshot (per-table
+    * overwrite leaves the other family's stale tables behind, so
+    * cost/_c9 could hold KN costs while backoff reads a stale add-one
+    * vocab: schema-compatible, silently wrong). Markerless snapshots
+    * (pre-marker artifacts) are accepted for back-compat. Hadoop FS,
+    * so the probe works on any store.
     */
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
       modelDir: String,
-      tables: Seq[String] = Seq("cost", "ctx", "vocab")): Option[String] = {
+      tables: Seq[String] = Seq("cost", "ctx", "vocab"),
+      family: Option[String] = None): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(modelDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) None
@@ -72,13 +80,39 @@ object BigramLm {
       }
       .filter { case (_, d) =>
         tables.forall(t =>
-          fs.exists(new org.apache.hadoop.fs.Path(d, s"$t/_SUCCESS")))
+          fs.exists(new org.apache.hadoop.fs.Path(d, s"$t/_SUCCESS"))) &&
+          family.forall(f => readFamily(fs, d).forall(_ == f))
       }
       .sortBy(-_._1).headOption.map(_._2.toString)
   }
 
   /** The KN snapshot's table set, for [[latestSnapshot]]. */
   val KnTables: Seq[String] = Seq("cost", "ctx", "cont", "tot")
+
+  private def readFamily(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_FAMILY")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Stamp a snapshot dir's model family ("addone" | "kn"); written
+    * LAST by the freeze paths, overwriting any prior family's marker,
+    * so a re-frozen dir always reads as its latest family.
+    */
+  private[text] def writeFamily(spark: org.apache.spark.sql.SparkSession,
+      dir: String, family: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_FAMILY")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(family.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }
 
 /** FROZEN bigram-LM model tables (r15): per-seen-bigram integer costs,
@@ -122,15 +156,51 @@ final class BigramLm(
   // the transcendental step is the identical double product everywhere
   private val CostScale = 1e9 / math.log(2.0)
 
-  /** `(idCol, n_bigrams, bits_per_bigram)` for EVERY input row; NULL
-    * score (and 0 bigrams) for docs with < 2 tokens.
+  /** Staged distinct-bigram count tables shared by EVERY trainer
+    * (add-one, KN, MKN, both freezes): per-(doc, bigram) occurrence
+    * counts `db(_hb, idCol, _occ, _h1, _h2)` and corpus type counts
+    * `cb(_hb, _cb, _ch1, _ch2)` — both staged (each has 2+ consumers;
+    * _h1/_h2 are functions of _hb, so min() just picks the one value).
+    * A smoothing that ignores an endpoint column simply never reads it.
     */
-  def apply(df: DataFrame): DataFrame =
+  private def stagedCounts(df: DataFrame): (DataFrame, DataFrame) = {
+    val db = graft.core.Staging.stage(
+      occurrences(df).groupBy(col(idCol), col("_hb"))
+        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
+          min(col("_h2")).as("_h2")))
+    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
+      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
+        min(col("_h2")).as("_ch2")))
+    (db, cb)
+  }
+
+  /** Per-doc grouped `(_blm_id, _blm_n, _blm_bits)` from the per-doc
+    * counts and a per-distinct-bigram integer cost table — the shared
+    * tail of every self-trained scorer.
+    */
+  private def groupedBits(db: DataFrame, cost: DataFrame): DataFrame =
+    db.join(cost, col("_hb") === col("_chb"))
+      .groupBy(col(idCol).as("_blm_id"))
+      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9")).as("_s"))
+      .select(col("_blm_id"), col("_nb").as("_blm_n"),
+        when(col("_nb") > 0L,
+          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
+          .as("_blm_bits"))
+
+  /** The per-row `(idCol, n_bigrams, bits_per_bigram)` shape over any
+    * grouped score table — every apply/scoreAgainst variant's spine.
+    */
+  private def perRow(df: DataFrame, grouped: DataFrame): DataFrame =
     df.select(col(idCol))
-      .join(scores(df), col(idCol) === col("_blm_id"), "left")
+      .join(grouped, col(idCol) === col("_blm_id"), "left")
       .select(col(idCol),
         coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
         col("_blm_bits").as("bits_per_bigram"))
+
+  /** `(idCol, n_bigrams, bits_per_bigram)` for EVERY input row; NULL
+    * score (and 0 bigrams) for docs with < 2 tokens.
+    */
+  def apply(df: DataFrame): DataFrame = perRow(df, scores(df))
 
   /** `(_blm_id, _blm_n, _blm_bits)` — ONE row per corpus doc that has at
     * least one bigram (callers left-join and coalesce). The join-ready
@@ -138,14 +208,7 @@ final class BigramLm(
     * the scored table.
     */
   def scores(df: DataFrame): DataFrame = {
-    val occs = occurrences(df)
-    // _h1/_h2 are functions of _hb; min() just picks the one value
-    val db = graft.core.Staging.stage(
-      occs.groupBy(col(idCol), col("_hb"))
-        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
-          min(col("_h2")).as("_h2")))
-    val cb = db.groupBy(col("_hb"))
-      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"))
+    val (db, cb) = stagedCounts(df)
     val ctx = cb.groupBy(col("_ch1").as("_xh1")).agg(sum(col("_cb")).as("_cw"))
     val vocab = db
       .select(explode(array(col("_h1"), col("_h2"))).as("_th"))
@@ -156,13 +219,7 @@ final class BigramLm(
       .crossJoin(broadcast(vocab))
       .select(col("_hb").as("_chb"),
         floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
-    db.join(cost, col("_hb") === col("_chb"))
-      .groupBy(col(idCol).as("_blm_id"))
-      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9")).as("_s"))
-      .select(col("_blm_id"), col("_nb").as("_blm_n"),
-        when(col("_nb") > 0L,
-          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
-          .as("_blm_bits"))
+    groupedBits(db, cost)
   }
 
   /** Interpolated Kneser–Ney scores (Kneser & Ney 1995; the smoothing
@@ -192,45 +249,33 @@ final class BigramLm(
     * the corpus text still scans exactly once.
     */
   def knScores(df: DataFrame): DataFrame = {
-    val occs = occurrences(df)
-    val db = graft.core.Staging.stage(
-      occs.groupBy(col(idCol), col("_hb"))
-        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
-          min(col("_h2")).as("_h2")))
-    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
-      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
-        min(col("_h2")).as("_ch2")))
-    // context table: total count AND distinct-continuation count per w1
-    val ctx = cb.groupBy(col("_ch1").as("_xh1"))
-      .agg(sum(col("_cb")).as("_cw"), count(lit(1)).as("_nt"))
-    // continuation table: distinct left-context count per w2
-    val cont = cb.groupBy(col("_ch2").as("_yh2")).agg(count(lit(1)).as("_pc"))
-    // one scalar row: total bigram types, count-1 types, count-2 types
-    val tot = cb.agg(count(lit(1)).as("_t"),
-      sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
-      sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"))
+    val (db, cb) = stagedCounts(df)
     val p = knProb(knDiscount)
-    val cost = cb.join(ctx, col("_ch1") === col("_xh1"))
-      .join(cont, col("_ch2") === col("_yh2"))
-      .crossJoin(broadcast(tot))
+    val cost = cb.join(knCtx(cb), col("_ch1") === col("_xh1"))
+      .join(knCont(cb), col("_ch2") === col("_yh2"))
+      .crossJoin(broadcast(knTot(cb)))
       .select(col("_hb").as("_chb"),
         floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
-    db.join(cost, col("_hb") === col("_chb"))
-      .groupBy(col(idCol).as("_blm_id"))
-      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9")).as("_s"))
-      .select(col("_blm_id"), col("_nb").as("_blm_n"),
-        when(col("_nb") > 0L,
-          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
-          .as("_blm_bits"))
+    groupedBits(db, cost)
   }
 
+  // the KN model aggregates over the corpus type counts — shared by
+  // the self-trained scorer and the freeze path
+  // context table: total count AND distinct-continuation count per w1
+  private def knCtx(cb: DataFrame): DataFrame =
+    cb.groupBy(col("_ch1").as("_xh1"))
+      .agg(sum(col("_cb")).as("_cw"), count(lit(1)).as("_nt"))
+  // continuation table: distinct left-context count per w2
+  private def knCont(cb: DataFrame): DataFrame =
+    cb.groupBy(col("_ch2").as("_yh2")).agg(count(lit(1)).as("_pc"))
+  // one scalar row: total bigram types, count-1 types, count-2 types
+  private def knTot(cb: DataFrame): DataFrame =
+    cb.agg(count(lit(1)).as("_t"),
+      sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"))
+
   /** Per-row KN scores — [[apply]]'s shape over [[knScores]]. */
-  def applyKn(df: DataFrame): DataFrame =
-    df.select(col(idCol))
-      .join(knScores(df), col(idCol) === col("_blm_id"), "left")
-      .select(col(idCol),
-        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
-        col("_blm_bits").as("bits_per_bigram"))
+  def applyKn(df: DataFrame): DataFrame = perRow(df, knScores(df))
 
   /** MODIFIED Kneser–Ney scores (Chen & Goodman 1998 — the KenLM
     * default): like [[knScores]] but with three count-dependent
@@ -249,20 +294,13 @@ final class BigramLm(
     * per-row form [[applyMkn]].
     */
   def mknScores(df: DataFrame): DataFrame = {
-    val occs = occurrences(df)
-    val db = graft.core.Staging.stage(
-      occs.groupBy(col(idCol), col("_hb"))
-        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
-          min(col("_h2")).as("_h2")))
-    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
-      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
-        min(col("_h2")).as("_ch2")))
+    val (db, cb) = stagedCounts(df)
     val ctx = cb.groupBy(col("_ch1").as("_xh1"))
       .agg(sum(col("_cb")).as("_cw"),
         sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_m1c"),
         sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_m2c"),
         sum(when(col("_cb") >= 3L, 1L).otherwise(0L)).as("_m3c"))
-    val cont = cb.groupBy(col("_ch2").as("_yh2")).agg(count(lit(1)).as("_pc"))
+    val cont = knCont(cb)
     val tot = cb.agg(count(lit(1)).as("_t"),
       sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
       sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"),
@@ -294,29 +332,16 @@ final class BigramLm(
       .crossJoin(broadcast(tot))
       .select(col("_hb").as("_chb"),
         floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
-    db.join(cost, col("_hb") === col("_chb"))
-      .groupBy(col(idCol).as("_blm_id"))
-      .agg(sum(col("_occ")).as("_nb"), sum(col("_occ") * col("_c9")).as("_s"))
-      .select(col("_blm_id"), col("_nb").as("_blm_n"),
-        when(col("_nb") > 0L,
-          round(col("_s").cast("double") / col("_nb").cast("double") / lit(1e9), 6))
-          .as("_blm_bits"))
+    groupedBits(db, cost)
   }
 
   /** Per-row modified-KN scores — [[apply]]'s shape over [[mknScores]]. */
-  def applyMkn(df: DataFrame): DataFrame =
-    df.select(col(idCol))
-      .join(mknScores(df), col(idCol) === col("_blm_id"), "left")
-      .select(col(idCol),
-        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
-        col("_blm_bits").as("bits_per_bigram"))
+  def applyMkn(df: DataFrame): DataFrame = perRow(df, mknScores(df))
 
   /** DuckDB twin of [[mknScores]] — identical count algebra and double
     * expression trees for Y, the three discounts, λ, and p.
     */
   def mknSql(table: String): String = {
-    val toks = TextFunctions.tokensOfSql(textCol)
-    def ph(e: String) = HashFunctions.portableHash64Sql(e)
     val y = """CASE WHEN _n1 + 2 * _n2 > 0 THEN
       |          CAST(_n1 AS DOUBLE) / CAST(_n1 + 2 * _n2 AS DOUBLE)
       |        ELSE CAST(0 AS DOUBLE) END""".stripMargin
@@ -326,19 +351,8 @@ final class BigramLm(
          |            CAST(${k + 1} AS DOUBLE) * _y * CAST($nk1 AS DOUBLE) / CAST($nk AS DOUBLE),
          |            CAST(0 AS DOUBLE))
          |        ELSE CAST(0 AS DOUBLE) END""".stripMargin
-    s"""WITH _ht AS (SELECT $idCol,
-       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $table),
-       |_oc AS (SELECT $idCol,
-       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
-       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
-       |  FROM (SELECT $idCol, _hts,
-       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
-       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
-       |    min(_h1) AS _h1, min(_h2) AS _h2
-       |  FROM _oc GROUP BY $idCol, _hb),
-       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
-       |    min(_h1) AS _ch1, min(_h2) AS _ch2
-       |  FROM _db GROUP BY _hb),
+    s"""WITH ${docCountCtesSql(table, "_")},
+       |$corpusCbSql,
        |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw,
        |    CAST(sum(CASE WHEN _cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _m1c,
        |    CAST(sum(CASE WHEN _cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _m2c,
@@ -368,14 +382,7 @@ final class BigramLm(
        |    FROM (SELECT *, $y AS _y
        |      FROM _cb JOIN _ctx ON _ch1 = _xh1
        |        JOIN _cont ON _ch2 = _yh2 CROSS JOIN _tot))),
-       |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
-       |    CAST(sum(_occ * _c9) AS BIGINT) AS _s
-       |  FROM _db JOIN _cost ON _hb = _chb GROUP BY 1)
-       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
-       |  CASE WHEN _nb > 0
-       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
-       |  END AS bits_per_bigram
-       |FROM $table t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
+       |${selfScoreTailSql(table)}""".stripMargin
   }
 
   /** Train the KN model on `corpus` and FREEZE it — the [[freeze]]
@@ -389,22 +396,10 @@ final class BigramLm(
     */
   def freezeKn(corpus: DataFrame,
       snapshotDir: Option[String] = None): KnBigramLmModel = graft.core.Staging.scoped {
-    val db = graft.core.Staging.stage(
-      occurrences(corpus).groupBy(col(idCol), col("_hb"))
-        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
-          min(col("_h2")).as("_h2")))
-    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
-      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
-        min(col("_h2")).as("_ch2")))
-    val ctx0 = cb.groupBy(col("_ch1").as("_xh1"))
-      .agg(sum(col("_cb")).as("_cw"), count(lit(1)).as("_nt"))
-    val cont0 = cb.groupBy(col("_ch2").as("_yh2")).agg(count(lit(1)).as("_pc"))
-    val tot0 = cb.agg(count(lit(1)).as("_t"),
-      sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
-      sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"))
-    val ctxS = snapshot(ctx0, snapshotDir, "ctx")
-    val contS = snapshot(cont0, snapshotDir, "cont")
-    val totS = snapshot(tot0, snapshotDir, "tot")
+    val (_, cb) = stagedCounts(corpus)
+    val ctxS = snapshot(knCtx(cb), snapshotDir, "ctx")
+    val contS = snapshot(knCont(cb), snapshotDir, "cont")
+    val totS = snapshot(knTot(cb), snapshotDir, "tot")
     val d = knDiscount
     val p = knProb(d)
     val cost0 = cb.join(ctxS, col("_ch1") === col("_xh1"))
@@ -414,6 +409,7 @@ final class BigramLm(
         floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
     val costS = snapshot(cost0, snapshotDir, "cost")
     val rows = costS.count(); ctxS.count(); contS.count(); totS.count()
+    snapshotDir.foreach(d => BigramLm.writeFamily(corpus.sparkSession, d, "kn"))
     KnBigramLmModel(costS, ctxS, contS, totS, rows)
   }
 
@@ -447,11 +443,7 @@ final class BigramLm(
     * training-corpus scan, no windows.
     */
   def scoreAgainstKn(df: DataFrame, m: KnBigramLmModel): DataFrame =
-    df.select(col(idCol))
-      .join(frozenKnScores(df, m), col(idCol) === col("_blm_id"), "left")
-      .select(col(idCol),
-        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
-        col("_blm_bits").as("bits_per_bigram"))
+    perRow(df, frozenKnScores(df, m))
 
   /** Grouped frozen KN scores `(_blm_id, _blm_n, _blm_bits)`. */
   def frozenKnScores(df: DataFrame, m: KnBigramLmModel): DataFrame = {
@@ -481,51 +473,12 @@ final class BigramLm(
   }
 
   /** DuckDB twin of [[freezeKn]]+[[scoreAgainstKn]]. */
-  def scoreAgainstKnSql(trainTable: String, scoreTable: String): String = {
-    val toks = TextFunctions.tokensOfSql(textCol)
-    def ph(e: String) = HashFunctions.portableHash64Sql(e)
-    s"""WITH _ht AS (SELECT $idCol,
-       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $trainTable),
-       |_oc AS (SELECT $idCol,
-       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
-       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
-       |  FROM (SELECT $idCol, _hts,
-       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
-       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
-       |    min(_h1) AS _h1, min(_h2) AS _h2
-       |  FROM _oc GROUP BY $idCol, _hb),
-       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
-       |    min(_h1) AS _ch1, min(_h2) AS _ch2
-       |  FROM _db GROUP BY _hb),
-       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw,
-       |    CAST(count(*) AS BIGINT) AS _nt
-       |  FROM _cb GROUP BY 1),
-       |_cont AS (SELECT _ch2 AS _yh2, CAST(count(*) AS BIGINT) AS _pc
-       |  FROM _cb GROUP BY 1),
-       |_tot AS (SELECT CAST(count(*) AS BIGINT) AS _t,
-       |    CAST(sum(CASE WHEN _cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _n1,
-       |    CAST(sum(CASE WHEN _cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _n2
-       |  FROM _cb),
-       |_cost AS (SELECT _hb AS _chb,
-       |    CAST(floor(-ln(
-       |      greatest(CAST(_cb AS DOUBLE) - _d, CAST(0 AS DOUBLE))
-       |        / CAST(_cw AS DOUBLE)
-       |      + _d * CAST(_nt AS DOUBLE) / CAST(_cw AS DOUBLE)
-       |        * (CAST(_pc AS DOUBLE) / CAST(_t AS DOUBLE))
-       |    ) * $CostScale) AS BIGINT) AS _c9
-       |  FROM (SELECT *, ${knDiscountSql} AS _d
-       |    FROM _cb JOIN _ctx ON _ch1 = _xh1
-       |      JOIN _cont ON _ch2 = _yh2 CROSS JOIN _tot)),
-       |_sht AS (SELECT $idCol,
-       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $scoreTable),
-       |_soc AS (SELECT $idCol,
-       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
-       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
-       |  FROM (SELECT $idCol, _hts,
-       |        unnest(range(0, len(_hts) - 1)) AS i FROM _sht)),
-       |_sdb AS (SELECT $idCol, _hb, count(*) AS _occ,
-       |    min(_h1) AS _h1, min(_h2) AS _h2
-       |  FROM _soc GROUP BY $idCol, _hb),
+  def scoreAgainstKnSql(trainTable: String, scoreTable: String): String =
+    s"""WITH ${docCountCtesSql(trainTable, "_")},
+       |$corpusCbSql,
+       |$knModelCtesSql,
+       |$knCostCteSql,
+       |${docCountCtesSql(scoreTable, "_s")},
        |_sx AS (SELECT $idCol, _occ,
        |    coalesce(_c9, CASE WHEN _t > 0 THEN
        |      CAST(floor(-ln(
@@ -541,68 +494,92 @@ final class BigramLm(
        |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
        |    CAST(sum(_occ * _c9x) AS BIGINT) AS _s
        |  FROM _sx GROUP BY 1)
-       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
-       |  CASE WHEN _nb > 0 AND _s IS NOT NULL
-       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
-       |  END AS bits_per_bigram
-       |FROM $scoreTable t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
-  }
+       |${finalSelectSql(scoreTable)}""".stripMargin
 
   private def knDiscountSql: String =
     """CASE WHEN _n1 + 2 * _n2 > 0 THEN
       |        CAST(_n1 AS DOUBLE) / CAST(_n1 + 2 * _n2 AS DOUBLE)
       |      ELSE CAST(0 AS DOUBLE) END""".stripMargin
 
-  /** DuckDB twin of [[knScores]] — the same hashed integer counts and
-    * the same double expression tree for D and p.
+  // ---- shared DuckDB-twin CTE builders (one definition per count
+  // table, mirrored from the Scala aggregates above; every twin
+  // composes these instead of re-inlining the chain) ----
+
+  /** `${p}ht/${p}oc/${p}db` — the doc-level bigram-count chain over
+    * `table` (prefix "_" = the training/self side, "_s" = score side).
     */
-  def knSql(table: String): String = {
+  private def docCountCtesSql(table: String, p: String): String = {
     val toks = TextFunctions.tokensOfSql(textCol)
     def ph(e: String) = HashFunctions.portableHash64Sql(e)
-    s"""WITH _ht AS (SELECT $idCol,
+    s"""${p}ht AS (SELECT $idCol,
        |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $table),
-       |_oc AS (SELECT $idCol,
+       |${p}oc AS (SELECT $idCol,
        |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
        |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
        |  FROM (SELECT $idCol, _hts,
-       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
-       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
+       |        unnest(range(0, len(_hts) - 1)) AS i FROM ${p}ht)),
+       |${p}db AS (SELECT $idCol, _hb, count(*) AS _occ,
        |    min(_h1) AS _h1, min(_h2) AS _h2
-       |  FROM _oc GROUP BY $idCol, _hb),
-       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
-       |    min(_h1) AS _ch1, min(_h2) AS _ch2
-       |  FROM _db GROUP BY _hb),
-       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw,
-       |    CAST(count(*) AS BIGINT) AS _nt
-       |  FROM _cb GROUP BY 1),
-       |_cont AS (SELECT _ch2 AS _yh2, CAST(count(*) AS BIGINT) AS _pc
-       |  FROM _cb GROUP BY 1),
-       |_tot AS (SELECT CAST(count(*) AS BIGINT) AS _t,
-       |    CAST(sum(CASE WHEN _cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _n1,
-       |    CAST(sum(CASE WHEN _cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _n2
-       |  FROM _cb),
-       |_cost AS (SELECT _hb AS _chb,
+       |  FROM ${p}oc GROUP BY $idCol, _hb)""".stripMargin
+  }
+
+  /** `_cb` — corpus type counts over `_db` (the [[stagedCounts]] twin). */
+  private def corpusCbSql: String =
+    """_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
+      |    min(_h1) AS _ch1, min(_h2) AS _ch2
+      |  FROM _db GROUP BY _hb)""".stripMargin
+
+  /** `_ctx/_cont/_tot` — the KN model tables over `_cb`. */
+  private def knModelCtesSql: String =
+    """_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw,
+      |    CAST(count(*) AS BIGINT) AS _nt
+      |  FROM _cb GROUP BY 1),
+      |_cont AS (SELECT _ch2 AS _yh2, CAST(count(*) AS BIGINT) AS _pc
+      |  FROM _cb GROUP BY 1),
+      |_tot AS (SELECT CAST(count(*) AS BIGINT) AS _t,
+      |    CAST(sum(CASE WHEN _cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _n1,
+      |    CAST(sum(CASE WHEN _cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _n2
+      |  FROM _cb)""".stripMargin
+
+  /** `_cost` — per-trained-bigram KN integer costs (the [[knProb]] twin). */
+  private def knCostCteSql: String =
+    s"""_cost AS (SELECT _hb AS _chb,
        |    CAST(floor(-ln(
        |      greatest(CAST(_cb AS DOUBLE) - _d, CAST(0 AS DOUBLE))
        |        / CAST(_cw AS DOUBLE)
        |      + _d * CAST(_nt AS DOUBLE) / CAST(_cw AS DOUBLE)
        |        * (CAST(_pc AS DOUBLE) / CAST(_t AS DOUBLE))
        |    ) * $CostScale) AS BIGINT) AS _c9
-       |  FROM (SELECT *,
-       |      CASE WHEN _n1 + 2 * _n2 > 0 THEN
-       |        CAST(_n1 AS DOUBLE) / CAST(_n1 + 2 * _n2 AS DOUBLE)
-       |      ELSE CAST(0 AS DOUBLE) END AS _d
+       |  FROM (SELECT *, ${knDiscountSql} AS _d
        |    FROM _cb JOIN _ctx ON _ch1 = _xh1
-       |      JOIN _cont ON _ch2 = _yh2 CROSS JOIN _tot)),
-       |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
+       |      JOIN _cont ON _ch2 = _yh2 CROSS JOIN _tot))""".stripMargin
+
+  /** `_sc` over the SELF side (`_db ⋈ _cost`) plus the final per-row
+    * SELECT — the tail every self-trained twin shares ([[groupedBits]]
+    * + [[perRow]] in SQL).
+    */
+  private def selfScoreTailSql(table: String): String =
+    s"""_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
        |    CAST(sum(_occ * _c9) AS BIGINT) AS _s
        |  FROM _db JOIN _cost ON _hb = _chb GROUP BY 1)
-       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
-       |  CASE WHEN _nb > 0
+       |${finalSelectSql(table)}""".stripMargin
+
+  private def finalSelectSql(table: String): String =
+    s"""SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
+       |  CASE WHEN _nb > 0 AND _s IS NOT NULL
        |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
        |  END AS bits_per_bigram
        |FROM $table t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
-  }
+
+  /** DuckDB twin of [[knScores]] — the same hashed integer counts and
+    * the same double expression tree for D and p.
+    */
+  def knSql(table: String): String =
+    s"""WITH ${docCountCtesSql(table, "_")},
+       |$corpusCbSql,
+       |$knModelCtesSql,
+       |$knCostCteSql,
+       |${selfScoreTailSql(table)}""".stripMargin
 
   /** `(idCol, _h1, _h2, _hb)` — one row per bigram OCCURRENCE. One
     * corpus text scan: each TOKEN hashes ONCE (one md5 per token — not
@@ -650,12 +627,7 @@ final class BigramLm(
     */
   def freeze(corpus: DataFrame,
       snapshotDir: Option[String] = None): BigramLmModel = graft.core.Staging.scoped {
-    val db = graft.core.Staging.stage(
-      occurrences(corpus).groupBy(col(idCol), col("_hb"))
-        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
-          min(col("_h2")).as("_h2")))
-    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
-      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1")))
+    val (db, cb) = stagedCounts(corpus)
     val ctx0 = cb.groupBy(col("_ch1").as("_xh1")).agg(sum(col("_cb")).as("_cw"))
     val vocab0 = db
       .select(explode(array(col("_h1"), col("_h2"))).as("_th"))
@@ -672,6 +644,7 @@ final class BigramLm(
     // materialize INSIDE the scope (db/cb still cached), then the staged
     // intermediates release at scope exit while the model tables live on
     val rows = costS.count(); ctxS.count(); vocabS.count()
+    snapshotDir.foreach(d => BigramLm.writeFamily(corpus.sparkSession, d, "addone"))
     BigramLmModel(costS, ctxS, vocabS, rows)
   }
 
@@ -730,11 +703,7 @@ final class BigramLm(
     * broadcast scalar — no training-corpus scan, no windows.
     */
   def scoreAgainst(df: DataFrame, m: BigramLmModel): DataFrame =
-    df.select(col(idCol))
-      .join(frozenScores(df, m), col(idCol) === col("_blm_id"), "left")
-      .select(col(idCol),
-        coalesce(col("_blm_n"), lit(0L)).as("n_bigrams"),
-        col("_blm_bits").as("bits_per_bigram"))
+    perRow(df, frozenScores(df, m))
 
   /** Grouped frozen scores `(_blm_id, _blm_n, _blm_bits)` — ONE row per
     * doc with ≥ 1 bigram (the join-ready form, like [[scores]]), so a
@@ -763,39 +732,11 @@ final class BigramLm(
   /** DuckDB twin of freeze+[[scoreAgainst]]: train on `trainTable`,
     * score `scoreTable` — the oracle for the frozen-model gate.
     */
-  def scoreAgainstSql(trainTable: String, scoreTable: String): String = {
-    val toks = TextFunctions.tokensOfSql(textCol)
-    def ph(e: String) = HashFunctions.portableHash64Sql(e)
-    s"""WITH _ht AS (SELECT $idCol,
-       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $trainTable),
-       |_oc AS (SELECT $idCol,
-       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
-       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
-       |  FROM (SELECT $idCol, _hts,
-       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
-       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
-       |    min(_h1) AS _h1, min(_h2) AS _h2
-       |  FROM _oc GROUP BY $idCol, _hb),
-       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
-       |    min(_h1) AS _ch1
-       |  FROM _db GROUP BY _hb),
-       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw
-       |  FROM _cb GROUP BY 1),
-       |_v AS (SELECT count(DISTINCT _th) AS _v
-       |  FROM (SELECT unnest([_h1, _h2]) AS _th FROM _db)),
-       |_cost AS (SELECT _hb AS _chb,
-       |    CAST(floor(-ln((CAST(_cb AS DOUBLE) + 1.0)
-       |      / (CAST(_cw AS DOUBLE) + CAST(_v AS DOUBLE))) * $CostScale) AS BIGINT) AS _c9
-       |  FROM _cb JOIN _ctx ON _ch1 = _xh1 CROSS JOIN _v),
-       |_sht AS (SELECT $idCol,
-       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $scoreTable),
-       |_soc AS (SELECT $idCol,
-       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
-       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
-       |  FROM (SELECT $idCol, _hts,
-       |        unnest(range(0, len(_hts) - 1)) AS i FROM _sht)),
-       |_sdb AS (SELECT $idCol, _hb, count(*) AS _occ, min(_h1) AS _h1
-       |  FROM _soc GROUP BY $idCol, _hb),
+  def scoreAgainstSql(trainTable: String, scoreTable: String): String =
+    s"""WITH ${docCountCtesSql(trainTable, "_")},
+       |$corpusCbSql,
+       |$addoneModelCtesSql,
+       |${docCountCtesSql(scoreTable, "_s")},
        |_sx AS (SELECT $idCol, _occ,
        |    coalesce(_c9, CASE WHEN _v > 0 THEN
        |      CAST(floor(-ln(1.0 / (CAST(coalesce(_cw, 0) AS DOUBLE)
@@ -805,48 +746,26 @@ final class BigramLm(
        |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
        |    CAST(sum(_occ * _c9x) AS BIGINT) AS _s
        |  FROM _sx GROUP BY 1)
-       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
-       |  CASE WHEN _nb > 0 AND _s IS NOT NULL
-       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
-       |  END AS bits_per_bigram
-       |FROM $scoreTable t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
-  }
+       |${finalSelectSql(scoreTable)}""".stripMargin
 
-  // ---- DuckDB twin: the same hashed integer algebra ----
-
-  def sql(table: String): String = {
-    val toks = TextFunctions.tokensOfSql(textCol)
-    def ph(e: String) = HashFunctions.portableHash64Sql(e)
-    s"""WITH _ht AS (SELECT $idCol,
-       |    list_transform($toks, t -> ${ph("t")}) AS _hts FROM $table),
-       |_oc AS (SELECT $idCol,
-       |    _hts[i + 1] AS _h1, _hts[i + 2] AS _h2,
-       |    ${BigramLm.mixPairSql("_hts[i + 1]", "_hts[i + 2]")} AS _hb
-       |  FROM (SELECT $idCol, _hts,
-       |        unnest(range(0, len(_hts) - 1)) AS i FROM _ht)),
-       |_db AS (SELECT $idCol, _hb, count(*) AS _occ,
-       |    min(_h1) AS _h1, min(_h2) AS _h2
-       |  FROM _oc GROUP BY $idCol, _hb),
-       |_cb AS (SELECT _hb, CAST(sum(_occ) AS BIGINT) AS _cb,
-       |    min(_h1) AS _ch1
-       |  FROM _db GROUP BY _hb),
-       |_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw
+  /** `_ctx/_v/_cost` — the add-one model tables and costs over `_cb`/`_db`. */
+  private def addoneModelCtesSql: String =
+    s"""_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw
        |  FROM _cb GROUP BY 1),
        |_v AS (SELECT count(DISTINCT _th) AS _v
        |  FROM (SELECT unnest([_h1, _h2]) AS _th FROM _db)),
        |_cost AS (SELECT _hb AS _chb,
        |    CAST(floor(-ln((CAST(_cb AS DOUBLE) + 1.0)
        |      / (CAST(_cw AS DOUBLE) + CAST(_v AS DOUBLE))) * $CostScale) AS BIGINT) AS _c9
-       |  FROM _cb JOIN _ctx ON _ch1 = _xh1 CROSS JOIN _v),
-       |_sc AS (SELECT $idCol AS _sid, CAST(sum(_occ) AS BIGINT) AS _nb,
-       |    CAST(sum(_occ * _c9) AS BIGINT) AS _s
-       |  FROM _db JOIN _cost ON _hb = _chb GROUP BY 1)
-       |SELECT t.$idCol, coalesce(_nb, 0) AS n_bigrams,
-       |  CASE WHEN _nb > 0
-       |    THEN round(CAST(_s AS DOUBLE) / CAST(_nb AS DOUBLE) / 1e9, 6)
-       |  END AS bits_per_bigram
-       |FROM $table t LEFT JOIN _sc ON t.$idCol = _sid""".stripMargin
-  }
+       |  FROM _cb JOIN _ctx ON _ch1 = _xh1 CROSS JOIN _v)""".stripMargin
+
+  // ---- DuckDB twin: the same hashed integer algebra ----
+
+  def sql(table: String): String =
+    s"""WITH ${docCountCtesSql(table, "_")},
+       |$corpusCbSql,
+       |$addoneModelCtesSql,
+       |${selfScoreTailSql(table)}""".stripMargin
 }
 
 /** Registry/YAML form: attaches `outCol` (bits per bigram, NULL when the

@@ -252,6 +252,10 @@ object StreamingCuration {
     val snapshotTables =
       if (smoothing == "kn") graft.operators.text.BigramLm.KnTables
       else Seq("cost", "ctx", "vocab")
+    // adopt only snapshots of THIS smoothing family: a modelDir reused
+    // across a smoothing change passes the bare table probe on a mixed
+    // per-table-overwritten snapshot (see BigramLm.latestSnapshot)
+    val snapshotFamily = Some(if (smoothing == "kn") "kn" else "addone")
     // every model SNAPSHOTS to a versioned dir: a cached plan over the
     // live (appended-to) corpusDir is NOT frozen — Spark's append path
     // refreshes-and-recaches plans rooted in the written path, so the
@@ -259,7 +263,8 @@ object StreamingCuration {
     // (see BigramLm.freeze). The snapshot is also the restart artifact.
     val model = new java.util.concurrent.atomic.AtomicReference(
       graft.operators.text.BigramLm
-        .latestSnapshot(trainCorpus.sparkSession, modelDir, snapshotTables) match {
+        .latestSnapshot(trainCorpus.sparkSession, modelDir, snapshotTables,
+          snapshotFamily) match {
         case Some(dir) => load(trainCorpus.sparkSession, dir)
         case None      => freeze(trainCorpus, s"$modelDir/v0")
       })

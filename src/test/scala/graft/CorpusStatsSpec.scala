@@ -521,6 +521,38 @@ class CorpusStatsSpec extends AnyFunSuite {
     } finally m.release()
   }
 
+  test("snapshot family marker: a smoothing switch on the same modelDir never adopts the other family's snapshot") {
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val train = Seq((1L, "a b a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_blmfam")
+    val v0 = base.resolve("v0").toString
+    val addoneTables = Seq("cost", "ctx", "vocab")
+    val knTables = graft.operators.text.BigramLm.KnTables
+    // addone freeze first: the addone probe adopts it, the kn probe
+    // must not (kn tables incomplete AND family mismatch)
+    val m1 = lm.freeze(train, Some(v0))
+    try {
+      assert(graft.operators.text.BigramLm.latestSnapshot(
+        spark, base.toString, addoneTables, Some("addone")).exists(_.endsWith("v0")))
+      assert(graft.operators.text.BigramLm.latestSnapshot(
+        spark, base.toString, knTables, Some("kn")).isEmpty)
+    } finally m1.release()
+    // kn re-freeze into the SAME dir: per-table overwrite leaves the
+    // stale vocab/ behind, so WITHOUT the family gate the addone probe
+    // would adopt a mixed snapshot (KN costs + stale add-one vocab)
+    val m2 = lm.freezeKn(train, Some(v0))
+    try {
+      assert(graft.operators.text.BigramLm.latestSnapshot(
+        spark, base.toString, knTables, Some("kn")).exists(_.endsWith("v0")))
+      // the bare table probe WOULD pass (all three addone dirs exist)...
+      assert(graft.operators.text.BigramLm.latestSnapshot(
+        spark, base.toString, addoneTables).exists(_.endsWith("v0")))
+      // ...and the family gate is what refuses it
+      assert(graft.operators.text.BigramLm.latestSnapshot(
+        spark, base.toString, addoneTables, Some("addone")).isEmpty)
+    } finally m2.release()
+  }
+
   test("frozen bigram refiner: external training corpus, backoff arms, registry path, no id multiplication") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft_blmfrz")
