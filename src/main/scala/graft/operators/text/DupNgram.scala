@@ -101,13 +101,18 @@ final class DupNgramRefiner(
       .groupBy("_dn_h").agg(count(lit(1)).as("_dn_tc"))
       .filter(col("_dn_tc") >= minCount)
       .select("_dn_h")
-    val dupInst0 = inst.join(dupHashes, "_dn_h")
     val dupInst =
-      if (!keepFirst) dupInst0
+      if (!keepFirst) inst.join(dupHashes, "_dn_h")
       else {
         // corpus-first instance per duplicated gram: a lexicographic
         // min(struct) aggregate (map-side combining, one row per dup
-        // hash), then an anti-filter — the first copy stays uncovered
+        // hash), then an anti-filter — the first copy stays uncovered.
+        // The dup-instance frame is STAGED: it has two consumers here
+        // (the firsts aggregate and the join), and unstaged each would
+        // re-run the full posexplode + corpus gram-count semi-join —
+        // the r9 multi-consumer recompute amplification this file's
+        // build() comment documents
+        val dupInst0 = graft.core.Staging.stage(inst.join(dupHashes, "_dn_h"))
         val firsts = dupInst0.groupBy("_dn_h")
           .agg(min(struct(col("_dn_id").as("_fi"), col("_dn_pos").as("_fp")))
             .as("_dn_first"))

@@ -334,23 +334,30 @@ object kernels {
     * (at k = 16, that is the signature pass at ~1/16 the hash work,
     * the difference between re-hashing a 100 TB corpus 16× and once).
     * Empty bins densify by circular borrowing: bin j takes the value
-    * of the nearest non-empty bin to its right (distance d). Every bin
-    * value is `d·2^(60−s) + (base >> s)` with `s = ceil(log2(k))`
-    * (d = 0 for bins holding their own minimum): the distance rides
-    * the bits ABOVE the truncated 60-bit base, so the encoding is
-    * injective in `(base >> s, d)` and the whole value stays under
-    * 2^60 — overflow-free in both engines (the naive `base + d·2^60`
-    * overflows INT64 at d ≥ 8; same bounded-arithmetic discipline as
-    * [[graft.functions.HashFunctions.mixConstants]]). The s dropped
-    * low bits cost nothing real: a cross-doc value collision needs the
-    * top 60−s bits of two md5-uniform hashes to agree, and every band
-    * collision is verified on exact shingle Jaccard anyway. Empty
-    * input → null, mirroring [[MinHashFromHashes]].
+    * of the nearest non-empty bin to its right (distance d).
     *
-    * `portable = true` bins and ranks the raw 60-bit base hashes (the
-    * DuckDB-twin form); `portable = false` splitmix64-mixes each
-    * element first (the production diffusion pass — still one mix per
-    * element, preserving the O(n + k) shape).
+    * `portable = true` (the DuckDB-twin form) bins and ranks the raw
+    * 60-bit base hashes; every bin value is `d·2^(60−s) + (base >> s)`
+    * with `s = ceil(log2(k))` (d = 0 for bins holding their own
+    * minimum): the distance rides the bits ABOVE the truncated 60-bit
+    * base, so the encoding is injective in `(base >> s, d)` and the
+    * whole value stays under 2^60 — overflow-free in both engines (the
+    * naive `base + d·2^60` overflows INT64 at d ≥ 8; same
+    * bounded-arithmetic discipline as [[graft.functions.HashFunctions
+    * .mixConstants]]). The s dropped low bits cost nothing real: a
+    * cross-doc value collision needs the top 60−s bits of two
+    * md5-uniform hashes to agree, and every band collision is verified
+    * on exact shingle Jaccard anyway.
+    *
+    * `portable = false` (the production family) splitmix64-mixes each
+    * element first — still one mix per element, preserving the
+    * O(n + k) shape. Mixed values span the full 64 bits, where the
+    * shifted-offset encoding would neither fit nor stay injective, so
+    * borrows re-mix instead: `splitmix64(base ^ d·φ)` (d ≥ 1, golden-
+    * ratio constant) — deterministic per (base, d), collisions at the
+    * 2^-64 scale, and d = 0 bins keep their raw minimum.
+    *
+    * Empty input → null, mirroring [[MinHashFromHashes]].
     */
   case class OphMinHashFromHashes(child: Expression, numHashes: Int, portable: Boolean)
       extends UnaryExpression with UnaryRefCodegen {
@@ -382,7 +389,11 @@ object kernels {
       while (j < k) {
         var d = 0
         while (!filled((j + d) % k)) d += 1
-        out(j) = d.toLong * borrowStep + (raw((j + d) % k) >>> shiftBits)
+        val base = raw((j + d) % k)
+        out(j) =
+          if (portable) d.toLong * borrowStep + (base >>> shiftBits)
+          else if (d == 0) base
+          else splitmix64(base ^ (d.toLong * 0x9E3779B97F4A7C15L))
         j += 1
       }
       new GenericArrayData(out)
