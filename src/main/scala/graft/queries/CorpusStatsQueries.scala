@@ -139,7 +139,34 @@ object CorpusStatsQueries {
       },
       Some(bigramLmOp.scoreAgainstKnSql(
         "(SELECT * FROM documents WHERE source = 'src0')", "documents")
-        + "\nORDER BY doc_id"))
+        + "\nORDER BY doc_id")),
+
+    // The smoothing-ladder corpus report (r17): per source, mean
+    // bits/bigram under add-one | KN | MKN from three self-trained
+    // models — exact integer micro-bit sums, never float accumulation
+    // (the per-doc bits are already 6-dp values, so round(bits·1e6) is
+    // an exact long in both engines). CLI: `graft.Cli report
+    // lm_smoothing <corpus> <outDir>`.
+    OracleQuery("lm_smoothing_report",
+      (s, dir) => graft.runner.CorpusReports.build("lm_smoothing",
+        Tables(s, dir, "documents"),
+        graft.runner.CorpusReports.Cols("text", "source", "doc_id")),
+      Some {
+        def scaled(inner: String, out: String) =
+          s"""(SELECT doc_id, CAST(round(bits_per_bigram * 1e6) AS BIGINT) AS $out
+             |  FROM ($inner) WHERE bits_per_bigram IS NOT NULL)""".stripMargin
+        def mean(s6: String) =
+          s"round(CAST(sum($s6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)"
+        s"""SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+           |  ${mean("_a6")} AS bits_addone,
+           |  ${mean("_k6")} AS bits_kn,
+           |  ${mean("_m6")} AS bits_mkn
+           |FROM documents d
+           |JOIN ${scaled(bigramLmOp.sql("documents"), "_a6")} a ON d.doc_id = a.doc_id
+           |JOIN ${scaled(bigramLmOp.knSql("documents"), "_k6")} k ON d.doc_id = k.doc_id
+           |JOIN ${scaled(bigramLmOp.mknSql("documents"), "_m6")} m ON d.doc_id = m.doc_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 
   private lazy val vocabCovOp = new graft.operators.text.VocabCoverage(

@@ -33,7 +33,7 @@ object CorpusReports {
     "pii_density", "ngram_diversity", "zipf_fit", "heaps_fit",
     "curriculum_buckets", "overlap_matrix", "readability",
     "source_balance", "charclass_profile", "minhash_operating_point",
-    "source_cardinality")
+    "source_cardinality", "lm_smoothing")
 
   /** Reports over the embeddings-table conventions (vec_id, embedding)
     * — the vector-side tuner family, each at its oracle-gate settings.
@@ -94,6 +94,35 @@ object CorpusReports {
           .groupBy(col("source"))
           .agg(round(HllSketch.hllDistinct(col("_h"), p), 2).as("est_vocab"))
         texts.join(vocab, Seq("source"), "left")
+          .orderBy(col("source"))
+      }
+    case "lm_smoothing" =>
+      // the smoothing-ladder readout (r17): per source, mean
+      // bits/bigram under add-one vs interpolated KN vs modified KN —
+      // three self-trained models over the same corpus. The deltas say
+      // whether this corpus's template/duplicate mass rewards the
+      // continuation distribution BEFORE a production scorer commits to
+      // a smoothing. Exactness: each per-doc bits value is already
+      // 6-dp-rounded, so the mean rides exact integer micro-bit sums
+      // (round(bits·1e6) per doc — order-invariant, engine-portable),
+      // never a float accumulation.
+      {
+        import org.apache.spark.sql.functions._
+        val lm = new graft.operators.text.BigramLm(c.text, c.id)
+        def scaled(scored: DataFrame, out: String) =
+          scored.select(col("_blm_id").as(c.id),
+            round(col("_blm_bits") * lit(1e6)).cast("long").as(out))
+        def meanOf(s6: String) =
+          round(sum(col(s6)).cast("double") / count(lit(1)).cast("double") / lit(1e6), 6)
+        df.select(col(c.id), col(c.source).as("source"))
+          .join(scaled(lm.scores(df), "_a6"), Seq(c.id))
+          .join(scaled(lm.knScores(df), "_k6"), Seq(c.id))
+          .join(scaled(lm.mknScores(df), "_m6"), Seq(c.id))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_scored"),
+            meanOf("_a6").as("bits_addone"),
+            meanOf("_k6").as("bits_kn"),
+            meanOf("_m6").as("bits_mkn"))
           .orderBy(col("source"))
       }
     case "multiprobe_operating_point" =>
