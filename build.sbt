@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench/verify record out of the LAST ~2000 chars
+// of output, trying the FINAL line as JSON — and sbt's
+// "[success] Total time: ..." epilogue printed after our compact summary
+// line is why every BENCH_r*.json read "parsed": null (r18 diagnosis:
+// the compact line itself fits the window; the decoration after it is
+// the only obstacle). Suppress it so the last line IS the record.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// ...and the forked run's output must reach stdout RAW, not through
+// sbt's logger ("[info] {json}" is not parseable JSON either).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

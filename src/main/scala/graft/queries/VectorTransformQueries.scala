@@ -56,22 +56,37 @@ object VectorTransformQueries {
               |SELECT i, j, n, sum_i, sum_j, sp FROM _pmout
               |ORDER BY i, j""".stripMargin)),
 
-    // PCA projection (rows-only gate: the eigendecomposition runs on
-    // the driver over the hash-checked moments above, deterministic —
-    // fixed Jacobi sweep order, canonical sign — but not re-derivable
-    // in SQL; PcaSpec pins orthonormality, variance ordering, and the
-    // manual-replay projection)
+    // PCA projection — FULLY oracle-gated (r18): the fit is
+    // deterministic from the data (exact-integer moments hash-checked
+    // by embedding_covariance above + fixed-sweep driver Jacobi with
+    // canonical sign), so the twin re-fits the SAME model at Verify
+    // time and replays the projection arithmetic with the fitted
+    // components as shortest-round-trip literals — the RandomProjection
+    // discipline, via the data-dependent oracleFor hook. PcaSpec pins
+    // orthonormality, variance ordering, covariance reconstruction, and
+    // the manual-replay projection.
     OracleQuery("pca_project",
       (s, dir) => {
         import graft.operators.vector.Pca
         val emb = Tables(s, dir, "embeddings")
         val model = Pca.fit(emb, "embedding", d = 64, q = 8)
-        Pca.project(emb, "embedding", model)
+        // null vectors are droppable rows in BOTH engines (the twin's
+        // _pca CTE filters IS NOT NULL); the fixture has none, but the
+        // gate must not depend on that
+        Pca.project(emb.filter(col("embedding").isNotNull), "embedding", model)
           .select(col("vec_id") +:
             (1 to 8).map(i => element_at(col("embedding_pca"), i).as(s"p$i")): _*)
           .orderBy(col("vec_id"))
       },
-      None),
+      None,
+      oracleFor = Some { (s, dir) =>
+        import graft.operators.vector.Pca
+        val model = Pca.fit(Tables(s, dir, "embeddings"), "embedding", d = 64, q = 8)
+        s"""WITH ${Pca.projectSql("embeddings", "vec_id", "embedding", model)}
+           |SELECT id AS vec_id,
+           |  ${(1 to 8).map(i => s"projected[$i] AS p$i").mkString(", ")}
+           |FROM _pca ORDER BY vec_id""".stripMargin
+      }),
 
     // int codes serialize exactly ("-7" is "-7" in both engines), so the
     // whole 64-wide code vector is hash-checked as one string column

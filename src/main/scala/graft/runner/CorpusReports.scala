@@ -108,16 +108,21 @@ object CorpusReports {
       // never a float accumulation.
       {
         import org.apache.spark.sql.functions._
+        // ONE staged count pass serves all three smoothings
+        // (BigramLm.ladderScores — VERDICT r17 #2: the previous form
+        // trained three independent LMs, re-running the tokenize +
+        // two-level count aggregation per smoothing; the readout values
+        // are bit-identical, the corpus now scans once)
         val lm = new graft.operators.text.BigramLm(c.text, c.id)
-        def scaled(scored: DataFrame, out: String) =
-          scored.select(col("_blm_id").as(c.id),
-            round(col("_blm_bits") * lit(1e6)).cast("long").as(out))
+        def scaled6(bits: String, out: String) =
+          round(col(bits) * lit(1e6)).cast("long").as(out)
         def meanOf(s6: String) =
           round(sum(col(s6)).cast("double") / count(lit(1)).cast("double") / lit(1e6), 6)
         df.select(col(c.id), col(c.source).as("source"))
-          .join(scaled(lm.scores(df), "_a6"), Seq(c.id))
-          .join(scaled(lm.knScores(df), "_k6"), Seq(c.id))
-          .join(scaled(lm.mknScores(df), "_m6"), Seq(c.id))
+          .join(lm.ladderScores(df).select(col("_blm_id").as(c.id),
+              scaled6("_bits_addone", "_a6"), scaled6("_bits_kn", "_k6"),
+              scaled6("_bits_mkn", "_m6")),
+            Seq(c.id))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs_scored"),
             meanOf("_a6").as("bits_addone"),

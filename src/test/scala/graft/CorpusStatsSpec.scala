@@ -553,6 +553,61 @@ class CorpusStatsSpec extends AnyFunSuite {
     } finally m2.release()
   }
 
+  test("ladderScores: one staged pass, bit-identical to the three individual scorers") {
+    // the lm_smoothing report consumes this — the refactor's ONLY
+    // license is value identity, so every doc's (n, bits) triple must
+    // equal the standalone scorers to the bit (same double expression
+    // trees over the same staged counts)
+    val docs = table("documents").select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    def one(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Option[Double])] =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val ladder = lm.ladderScores(docs).collect().map { r =>
+      def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      r.getLong(0) -> (r.getLong(1), d(2), d(3), d(4))
+    }.toMap
+    val a = one(lm.scores(docs)); val k = one(lm.knScores(docs))
+    val m = one(lm.mknScores(docs))
+    assert(ladder.keySet == a.keySet && ladder.keySet == k.keySet &&
+      ladder.keySet == m.keySet)
+    ladder.foreach { case (id, (n, ba, bk, bm)) =>
+      assert((n, ba) == a(id), s"addone mismatch at $id")
+      assert((n, bk) == k(id), s"kn mismatch at $id")
+      assert((n, bm) == m(id), s"mkn mismatch at $id")
+    }
+  }
+
+  test("marker-first freeze: a family-switch crash before any table fails safe (reject-and-retrain, never mixed adoption)") {
+    val lm = new graft.operators.text.BigramLm("text", "doc_id")
+    val train = Seq((1L, "a b a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_blmfam2")
+    val v0 = base.resolve("v0").toString
+    val addoneTables = Seq("cost", "ctx", "vocab")
+    val m1 = lm.freeze(train, Some(v0))
+    m1.release()
+    // simulate the worst crash shape of a kn RE-freeze into the same
+    // dir: the marker lands FIRST (r18 write order), then the process
+    // dies before any kn table is written — complete addone tables
+    // remain under a "kn" marker
+    // via the Hadoop FS (like writeFamily itself) — a raw NIO overwrite
+    // would leave the freeze's ._FAMILY.crc stale and fail on checksum
+    val fam = new org.apache.hadoop.fs.Path(v0, "_FAMILY")
+    val fs = fam.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(fam, true)
+    os.write("kn".getBytes(java.nio.charset.StandardCharsets.UTF_8)); os.close()
+    // the addone probe must refuse the complete-looking addone tables
+    // (family mismatch) and the kn probe must refuse too (tables
+    // missing) — both retrain; neither adopts a mix
+    assert(graft.operators.text.BigramLm.latestSnapshot(
+      spark, base.toString, addoneTables, Some("addone")).isEmpty)
+    assert(graft.operators.text.BigramLm.latestSnapshot(
+      spark, base.toString, graft.operators.text.BigramLm.KnTables,
+      Some("kn")).isEmpty)
+  }
+
   test("frozen bigram refiner: external training corpus, backoff arms, registry path, no id multiplication") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft_blmfrz")

@@ -115,6 +115,48 @@ class PcaSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("fit: full-rank components reconstruct the moment-derived covariance") {
+    // the eigen step's independent cross-check (VERDICT r17 #1): with
+    // q = D the spectral decomposition must reproduce the covariance
+    // the moments define — Σ_k λ_k v_k v_kᵀ == cov entrywise within
+    // Jacobi tolerance. Together with the hash-checked moments
+    // (embedding_covariance) and the oracle-gated projection, this
+    // closes the loop on the driver-side eigendecomposition.
+    val row = Pca.moments(emb, "embedding", D).head()
+    val n = row.getLong(0)
+    val sums = row.getSeq[Long](1); val prods = row.getSeq[Long](2)
+    val sc = Pca.DefaultScale.toDouble
+    val mean = Array.tabulate(D)(i => sums(i) / sc / n)
+    val cov = Array.ofDim[Double](D, D)
+    var p = 0
+    for (i <- 0 until D; j <- i until D) {
+      val e = prods(p) / (sc * sc) / n - mean(i) * mean(j)
+      cov(i)(j) = e; cov(j)(i) = e; p += 1
+    }
+    val model = Pca.fit(emb, "embedding", D, q = D)
+    val maxAbs = cov.map(_.map(math.abs).max).max
+    for (i <- 0 until D; j <- 0 until D) {
+      val r = (0 until D).map(k =>
+        model.eigenvalues(k) * model.components(k)(i) * model.components(k)(j)).sum
+      assert(math.abs(r - cov(i)(j)) < 1e-9 * math.max(1.0, maxAbs),
+        s"cov($i,$j): reconstructed $r vs ${cov(i)(j)}")
+    }
+  }
+
+  test("pca_project oracle: rendered per scale dir with the fitted literals") {
+    // the gate's twin is DATA-DEPENDENT (oracleFor): absent from the
+    // static map, present in the Verify-time rendering, and carrying
+    // the fitted components as shortest-round-trip literals
+    assert(!SparkEntry.oracleSql.contains("pca_project"))
+    val sql = SparkEntry.oracleSqlFor(spark, sfDir)("pca_project")
+    assert(sql.contains("_pca") && sql.contains("ORDER BY vec_id"), sql.take(200))
+    val model = Pca.fit(emb, "embedding", D, q = 8)
+    assert(sql.contains(s"CAST('${model.components(0)(0).toString}' AS DOUBLE)"),
+      "the first fitted component literal must appear verbatim")
+    assert(sql.contains(model.offsets(7).toString),
+      "the last mean offset literal must appear verbatim")
+  }
+
   test("jacobi: recovers a known spectrum") {
     // diag(5, 2, 1) rotated by a fixed orthogonal matrix
     val theta = 0.6

@@ -904,6 +904,31 @@ class PlanSpec extends AnyFunSuite {
       s"no windows anywhere in the LM (cached recipe included):\n$top")
   }
 
+  test("lm_smoothing ladder: ONE staged count pair serves all three smoothings") {
+    // VERDICT r17 #2: the report used to train three independent LMs —
+    // three corpus scans, three staged (db, cb) pairs. The ladder must
+    // show exactly one FileScan (the outer doc_id+source projection)
+    // and at most TWO distinct cached relations (db + cb) feeding every
+    // smoothing's cost/context/vocab consumers.
+    val df = byName("lm_smoothing_report").run(spark, sfDir)
+    val top = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case o => o
+    }
+    val scans = top.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"only the outer (id, source) scan may remain, got ${scans.size}:\n$top")
+    val inMem = top.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+    assert(inMem.nonEmpty, s"the ladder must read the staged counts:\n$top")
+    val distinctCaches = inMem
+      .map(i => System.identityHashCode(i.relation.cacheBuilder)).distinct
+    assert(distinctCaches.size <= 2,
+      s"one db + one cb cache only, got ${distinctCaches.size}:\n$top")
+  }
+
   test("NO gate query plans a CartesianProduct — the whole-surface scale audit") {
     // every crossJoin in the repo is against a broadcast single-row
     // stats frame or a broadcast query set (BroadcastNestedLoopJoin,

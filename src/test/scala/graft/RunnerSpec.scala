@@ -1040,6 +1040,44 @@ class RunnerSpec extends AnyFunSuite {
         s"tuner-chosen nprobe=$nprobe (${want.size})")
   }
 
+  test("config-driven OPH minhash dedup equals the API path (the shipped stack's scheme)") {
+    // the shipped curation stack ships signature_scheme: oph (r18);
+    // this pins the YAML plumbing — a config-driven OPH run keeps
+    // exactly the rows the direct operator keeps
+    val base = java.nio.file.Files.createTempDirectory("graft_oph_cfg").toString
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "/root/testdata/sf0.001/documents.parquet"}
+         |stages:
+         |  - name: dedup
+         |    operators:
+         |      - name: minhash_lsh_deduplicator
+         |        params:
+         |          text_field: "text"
+         |          id_field: "doc_id"
+         |          num_hashes: 16
+         |          num_bands: 4
+         |          threshold: 0.8
+         |          signature_scheme: "oph"
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    assert(res.run.output > 0)
+    val got = spark.read.parquet(s"$base/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = new graft.operators.dedup.MinHashLSHDedup(
+        textCol = "text", idCol = "doc_id",
+        shingleWidth = 3, numHashes = 16, numBands = 4, threshold = 0.8,
+        preCollapseExact = true, signatureScheme = "oph")(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"config-driven OPH kept (${got.size}) must equal the API path (${want.size})")
+  }
+
   test("shipped anchor-mining config: pair table equals a direct mutualKnnLshOr run") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
