@@ -126,7 +126,8 @@ final class PcaProjection(
     dims: Int = 64,
     q: Int = 8,
     scale: Long = Pca.DefaultScale,
-    outputCol: String = "embedding_pca") extends graft.core.Operator {
+    outputCol: String = "embedding_pca",
+    whiten: Boolean = false) extends graft.core.Operator {
 
   require(q >= 1 && q <= dims, s"q must be in [1,$dims], got $q")
   val name = "pca_projection"
@@ -146,8 +147,10 @@ final class PcaProjection(
     }
   }
 
-  def apply(df: DataFrame): DataFrame =
-    Pca.project(df, vecCol, modelFor(df), outputCol)
+  def apply(df: DataFrame): DataFrame = {
+    val m = modelFor(df)
+    Pca.project(df, vecCol, if (whiten) Pca.whitened(m) else m, outputCol)
+  }
 }
 
 /** PCA over an embedding column — the data-adaptive companion to
@@ -219,6 +222,24 @@ object Pca {
         slice(col("_m"), 2 + d, d * (d + 1) / 2).as("prods"))
   }
 
+  /** Per-key exact moment rows `(_mkey, n, sums, prods)` — the epoch
+    * artifact shape for the incremental fit: each key's row is the
+    * complete moment state of its slice (17 KB at d = 64), and
+    * [[mergeMomentRows]] folds any subset into the exact corpus
+    * moments without touching the data again.
+    */
+  def momentsBy(df: DataFrame, vecCol: String, d: Int, key: Column,
+      scale: Long = DefaultScale): DataFrame = {
+    val agg = Shim.column(VectorMomentsAgg(
+      Shim.expression(scaled(col(vecCol), scale)), d).toAggregateExpression())
+    df.filter(col(vecCol).isNotNull)
+      .groupBy(key.as("_mkey"))
+      .agg(agg.as("_m"))
+      .select(col("_mkey"), element_at(col("_m"), 1).as("n"),
+        slice(col("_m"), 2, d).as("sums"),
+        slice(col("_m"), 2 + d, d * (d + 1) / 2).as("prods"))
+  }
+
   /** Upper-triangle index arrays (i-major, 0-based) for exploding the
     * packed `prods` array into (i, j) rows.
     */
@@ -232,12 +253,45 @@ object Pca {
   /** Fit on the driver from one collected moment row. */
   def fit(df: DataFrame, vecCol: String, d: Int, q: Int,
       scale: Long = DefaultScale): PcaModel = {
-    require(q >= 1 && q <= d, s"q must be in [1,$d], got $q")
     val row = moments(df, vecCol, d, scale).head()
-    val n = row.getLong(0)
+    fitFromMoments(row.getLong(0), row.getSeq[Long](1), row.getSeq[Long](2),
+      d, q, scale)
+  }
+
+  /** Merge exact moment rows `(n, sums, prods)` — the INCREMENTAL fit
+    * path: per-epoch moment artifacts (each one `(1 + d + d(d+1)/2)`
+    * longs, written next to the epoch's data) sum element-wise into the
+    * corpus moments, so a PCA refit after epoch N touches N tiny rows
+    * instead of rescanning 100 TB. Integer addition commutes and
+    * associates, so merged == one-pass to the bit ([[VectorMomentsAgg]]
+    * merges its partials with the same adds); `addExact` keeps the
+    * overflow-throws contract.
+    */
+  def mergeMomentRows(rows: Seq[(Long, Seq[Long], Seq[Long])], d: Int):
+      (Long, Array[Long], Array[Long]) = {
+    require(rows.nonEmpty, "no moment rows to merge")
+    var n = 0L
+    val sums = new Array[Long](d)
+    val prods = new Array[Long](d * (d + 1) / 2)
+    rows.foreach { case (rn, rs, rp) =>
+      require(rs.length == d && rp.length == prods.length,
+        s"moment row shaped (${rs.length}, ${rp.length}), expected ($d, ${prods.length})")
+      n = Math.addExact(n, rn)
+      var i = 0
+      while (i < d) { sums(i) = Math.addExact(sums(i), rs(i)); i += 1 }
+      i = 0
+      while (i < prods.length) { prods(i) = Math.addExact(prods(i), rp(i)); i += 1 }
+    }
+    (n, sums, prods)
+  }
+
+  /** The driver half of [[fit]] over an already-collected (or
+    * [[mergeMomentRows]]-merged) moment row.
+    */
+  def fitFromMoments(n: Long, sums: Seq[Long], prods: Seq[Long],
+      d: Int, q: Int, scale: Long = DefaultScale): PcaModel = {
+    require(q >= 1 && q <= d, s"q must be in [1,$d], got $q")
     require(n > 0, "PCA fit over an empty (or all-null) vector column")
-    val sums = row.getSeq[Long](1)
-    val prods = row.getSeq[Long](2)
     val sc = scale.toDouble
     val mean = Array.tabulate(d)(i => sums(i) / sc / n)
     val cov = Array.ofDim[Double](d, d)
@@ -338,6 +392,27 @@ object Pca {
       case (c, j) =>
         VectorFunctions.dot(col(vecCol), typedlit(c.toSeq)) - lit(model.offsets(j))
     }: _*))
+
+  /** The PCA-WHITENING model: each component row scaled by
+    * `1/sqrt(max(λ_k, eps))`, so [[project]] under it emits coordinates
+    * with (sample) unit variance and zero covariance — the standard
+    * embedding preprocessing before cosine thresholds and k-means
+    * (dominant directions stop drowning the tail; distances become
+    * Mahalanobis in the fitted basis). A rank-deficient direction
+    * (λ ≤ eps) keeps the eps floor instead of exploding to 1/0 — a
+    * documented clamp, not a silent NaN. Both the gate and its twin
+    * consume the SAME driver-computed scaled model (components AND the
+    * derived offsets are spliced as literals), so whitening inherits
+    * [[project]]'s bit-exact oracle discipline for free.
+    */
+  def whitened(model: PcaModel, eps: Double = 1e-12): PcaModel =
+    PcaModel(
+      model.mean,
+      model.components.zipWithIndex.map { case (c, k) =>
+        val s = 1.0 / math.sqrt(math.max(model.eigenvalues(k), eps))
+        c.map(_ * s)
+      },
+      model.eigenvalues)
 
   /** DuckDB twin of [[project]]: CTE `_pca(id, projected)`. Component
     * literals ride as `CAST('…' AS DOUBLE)` (shortest-round-trip text —

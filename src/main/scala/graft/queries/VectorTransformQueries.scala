@@ -88,6 +88,59 @@ object VectorTransformQueries {
            |FROM _pca ORDER BY vec_id""".stripMargin
       }),
 
+    // PCA WHITENING (r18): the same fitted model with each component
+    // scaled 1/sqrt(λ) — unit-variance decorrelated output (PcaSpec
+    // pins both properties). Gate and twin consume the SAME
+    // driver-scaled model literals, so the whitening arithmetic
+    // hash-checks exactly like pca_project.
+    OracleQuery("pca_whiten",
+      (s, dir) => {
+        import graft.operators.vector.Pca
+        val emb = Tables(s, dir, "embeddings")
+        val model = Pca.whitened(Pca.fit(emb, "embedding", d = 64, q = 8))
+        Pca.project(emb.filter(col("embedding").isNotNull), "embedding",
+            model, "embedding_white")
+          .select(col("vec_id") +:
+            (1 to 8).map(i => element_at(col("embedding_white"), i).as(s"w$i")): _*)
+          .orderBy(col("vec_id"))
+      },
+      None,
+      oracleFor = Some { (s, dir) =>
+        import graft.operators.vector.Pca
+        val model = Pca.whitened(
+          Pca.fit(Tables(s, dir, "embeddings"), "embedding", d = 64, q = 8))
+        s"""WITH ${Pca.projectSql("embeddings", "vec_id", "embedding", model)}
+           |SELECT id AS vec_id,
+           |  ${(1 to 8).map(i => s"projected[$i] AS w$i").mkString(", ")}
+           |FROM _pca ORDER BY vec_id""".stripMargin
+      }),
+
+    // INCREMENTAL moments (r18): per-epoch exact moment artifacts
+    // (vec_id % 4 — four epoch slices) merged on the driver with exact
+    // integer adds must equal the one-pass corpus moments — the oracle
+    // is embedding_covariance's own SQL, so the epoch-store fit path
+    // (refit after epoch N = fold N 17 KB rows, never a corpus rescan)
+    // is hash-checked end to end.
+    OracleQuery("embedding_covariance_merged",
+      (s, dir) => {
+        import graft.operators.vector.Pca
+        val d = 64
+        val epochRows = Pca.momentsBy(Tables(s, dir, "embeddings"),
+            "embedding", d, col("vec_id") % 4)
+          .collect().map(r => (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+        val (n, sums, prods) = Pca.mergeMomentRows(epochRows.toSeq, d)
+        val (is, js) = Pca.pairIndices(d)
+        import s.implicits._
+        prods.indices.map(p =>
+            (is(p).toLong, js(p).toLong, n, sums(is(p)), sums(js(p)), prods(p)))
+          .toDF("i", "j", "n", "sum_i", "sum_j", "sp")
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""WITH ${graft.operators.vector.Pca.momentsSql(
+                 "embeddings", "vec_id", "embedding")}
+              |SELECT i, j, n, sum_i, sum_j, sp FROM _pmout
+              |ORDER BY i, j""".stripMargin)),
+
     // int codes serialize exactly ("-7" is "-7" in both engines), so the
     // whole 64-wide code vector is hash-checked as one string column
     OracleQuery("embedding_quantize",

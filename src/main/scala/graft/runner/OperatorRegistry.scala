@@ -662,7 +662,11 @@ object OperatorRegistry {
     vecCol = p.str("embedding_field", "embedding"),
     dims = p.int("dims", 64),
     q = p.int("components", 8),
-    outputCol = p.str("output_field", "embedding_pca")))
+    outputCol = p.str("output_field", "embedding_pca"),
+    // whiten: true scales each component by 1/sqrt(λ) — unit-variance
+    // decorrelated output (the preprocessing semantic-dedup recipes
+    // assume before cosine thresholds / k-means)
+    whiten = p.bool("whiten", false)))
 
   register("random_projection", p => new graft.operators.vector.RandomProjection(
     vecCol = p.str("embedding_field", "embedding"),

@@ -157,6 +157,63 @@ class PcaSpec extends AnyFunSuite {
       "the last mean offset literal must appear verbatim")
   }
 
+  test("whitening: unit variance per component, decorrelated, eps floor on degenerate directions") {
+    val model = Pca.whitened(Pca.fit(emb, "embedding", D, q = 4))
+    val w = Pca.project(emb, "embedding", model, "w")
+      .select((1 to 4).map(i => element_at(col("w"), i).as(s"w$i")): _*)
+    val n = w.count().toDouble
+    val stats = w.agg(
+      expr("avg(w1)"), expr("avg(w2)"), expr("avg(w3)"), expr("avg(w4)"),
+      expr("avg(w1*w1)"), expr("avg(w2*w2)"), expr("avg(w3*w3)"), expr("avg(w4*w4)"),
+      expr("avg(w1*w2)"), expr("avg(w1*w3)"), expr("avg(w2*w3)"), expr("avg(w3*w4)"))
+      .head()
+    def g(i: Int) = stats.getDouble(i)
+    // population variance: E[w²] − E[w]² == 1 per component
+    (0 until 4).foreach { k =>
+      val v = g(4 + k) - g(k) * g(k)
+      assert(math.abs(v - 1.0) < 1e-6, s"component $k variance $v")
+    }
+    // covariance between distinct components == 0
+    val covs = Seq((0, 1, 8), (0, 2, 9), (1, 2, 10), (2, 3, 11))
+    covs.foreach { case (a, b, idx) =>
+      val c = g(idx) - g(a) * g(b)
+      assert(math.abs(c) < 1e-6, s"cov($a,$b) = $c")
+    }
+    // degenerate direction: λ = 0 takes the eps floor, never 1/0
+    val degenerate = Pca.PcaModel(Array.fill(2)(0.0),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(4.0, 0.0))
+    val wm = Pca.whitened(degenerate)
+    assert(wm.components(0)(0) == 0.5)
+    assert(wm.components(1)(1) == 1.0 / math.sqrt(1e-12) &&
+      !wm.components(1)(1).isInfinite)
+  }
+
+  test("moment rows merge exactly: per-epoch artifacts fold to the one-pass moments; fit identical") {
+    val direct = Pca.moments(emb, "embedding", D).head()
+    val epochRows = Pca.momentsBy(emb, "embedding", D, col("vec_id") % 3)
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+    assert(epochRows.length == 3)
+    val (n, sums, prods) = Pca.mergeMomentRows(epochRows.toSeq, D)
+    assert(n == direct.getLong(0))
+    assert(sums.toSeq == direct.getSeq[Long](1))
+    assert(prods.toSeq == direct.getSeq[Long](2))
+    val m1 = Pca.fitFromMoments(n, sums, prods, D, q = 4)
+    val m2 = Pca.fit(emb, "embedding", D, q = 4)
+    assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
+    assert(m1.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+  }
+
+  test("registry pca_projection: whiten param scales by the fitted spectrum") {
+    val op = graft.runner.OperatorRegistry.create("pca_projection",
+      graft.runner.Params(Map("components" -> 2, "dims" -> 64, "whiten" -> true)))
+    val got = op(emb).select(col("vec_id"), col("embedding_pca")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val model = Pca.whitened(Pca.fit(emb, "embedding", D, q = 2))
+    val want = Pca.project(emb, "embedding", model).select(col("vec_id"), col("embedding_pca"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == want)
+  }
+
   test("jacobi: recovers a known spectrum") {
     // diag(5, 2, 1) rotated by a fixed orthogonal matrix
     val theta = 0.6
