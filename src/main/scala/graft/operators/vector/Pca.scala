@@ -135,22 +135,47 @@ final class PcaProjection(
   // weak key: the cache must not pin the last frame's plan (and its
   // closure graph) for the operator's lifetime — a dropped frame's
   // model is simply refit on the next distinct input
-  @volatile private var cachedFit: (java.lang.ref.WeakReference[DataFrame], Pca.PcaModel) = null
+  @volatile private var cachedFit: (java.lang.ref.WeakReference[DataFrame], Option[Pca.PcaModel]) = null
 
-  private def modelFor(df: DataFrame): Pca.PcaModel = {
+  // None = no fittable rows (empty or all-null vector column): the
+  // refiner degrades to a NULL output column instead of a loud fit
+  // error — the BigramLm freeze-on-empty discipline (an all-rejected
+  // upstream stage is not exceptional in a disposition pipeline)
+  private def fitOrNone(corpus: DataFrame): Option[Pca.PcaModel] = {
+    val r = Pca.moments(corpus, vecCol, dims, scale).head()
+    if (r.getLong(0) == 0L) None
+    else Some(Pca.fitFromMoments(r.getLong(0), r.getSeq[Long](1),
+      r.getSeq[Long](2), dims, q, scale))
+  }
+
+  private def modelFor(df: DataFrame): Option[Pca.PcaModel] = {
     val c = cachedFit
     if (c != null && (c._1.get eq df)) c._2
     else {
-      val m = Pca.fit(df, vecCol, dims, q, scale)
+      val m = fitOrNone(df)
       cachedFit = (new java.lang.ref.WeakReference(df), m)
       m
     }
   }
 
-  def apply(df: DataFrame): DataFrame = {
-    val m = modelFor(df)
-    Pca.project(df, vecCol, if (whiten) Pca.whitened(m) else m, outputCol)
-  }
+  private def projectWith(df: DataFrame, m: Option[Pca.PcaModel]): DataFrame =
+    m match {
+      case Some(model) =>
+        Pca.project(df, vecCol, if (whiten) Pca.whitened(model) else model, outputCol)
+      case None =>
+        df.withColumn(outputCol, lit(null).cast("array<double>"))
+    }
+
+  def apply(df: DataFrame): DataFrame = projectWith(df, modelFor(df))
+
+  /** Disposition mode: the basis fits on ALIVE rows only — a document
+    * rejected upstream never contributed moments in the sequential
+    * chain, so it must not rotate the basis here either (the
+    * BigramLmScoreRefiner contract). Dead rows keep a NULL projection.
+    */
+  override def applyGated(df: DataFrame, alive: org.apache.spark.sql.Column): DataFrame =
+    projectWith(df, fitOrNone(df.filter(alive)))
+      .withColumn(outputCol, when(alive, col(outputCol)))
 }
 
 /** PCA over an embedding column — the data-adaptive companion to

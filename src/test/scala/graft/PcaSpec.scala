@@ -214,6 +214,36 @@ class PcaSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pca_projection disposition: fits on alive rows only; dead rows NULL; empty input degrades to NULL column") {
+    val op = new graft.operators.vector.PcaProjection(
+      vecCol = "embedding", dims = 64, q = 2)
+    val alive = col("vec_id") % 2 === 0
+    val gated = op.applyGated(emb, alive)
+      .select(col("vec_id"), col("embedding_pca")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // dead rows carry NULL
+    assert(gated.filter(_._1 % 2 == 1).values.forall(_.isEmpty))
+    // alive rows equal a projection under a model fit on the alive
+    // slice alone — NOT the full-frame fit
+    val aliveModel = Pca.fit(emb.filter(alive), "embedding", D, q = 2)
+    val want = Pca.project(emb.filter(alive), "embedding", aliveModel)
+      .select(col("vec_id"), col("embedding_pca")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    gated.filter(_._1 % 2 == 0).foreach { case (id, v) =>
+      assert(v.map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)
+        == Some(want(id).toSeq), s"vec $id")
+    }
+    val fullModel = Pca.fit(emb, "embedding", D, q = 2)
+    assert(aliveModel.components(0).toSeq != fullModel.components(0).toSeq,
+      "the fixture must distinguish the alive-only fit from the full fit")
+    // empty / all-null input: NULL column, never a fit error
+    val none = op(emb.filter(lit(false)))
+    assert(none.count() == 0 && none.columns.contains("embedding_pca"))
+    val allDead = op.applyGated(emb.limit(5), lit(false))
+      .select(col("embedding_pca")).collect()
+    assert(allDead.forall(_.isNullAt(0)))
+  }
+
   test("jacobi: recovers a known spectrum") {
     // diag(5, 2, 1) rotated by a fixed orthogonal matrix
     val theta = 0.6
