@@ -50,10 +50,15 @@ object SparkEntry {
   /** [[oracleSql]] plus the data-dependent twins rendered against the
     * given scale dir (see [[graft.queries.OracleQuery.oracleFor]]) —
     * what Verify dumps as oracle_sql.json, so a gate whose twin embeds
-    * FITTED model literals (pca_project) still hash-checks end to end.
+    * FITTED model literals (pca_project/pca_whiten) still hash-checks
+    * end to end. `names` restricts WHICH dynamic twins render (each one
+    * runs a fit against the scale dir — a targeted SPARK_GRAFT_ONLY
+    * sweep must not pay fits for gates it excluded).
     */
-  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+  def oracleSqlFor(spark: SparkSession, sfDir: String,
+      names: Option[Set[String]] = None): Map[String, String] =
     oracleSql ++ catalog.collect {
-      case q if q.oracleFor.isDefined => q.name -> q.oracleFor.get(spark, sfDir)
+      case q if q.oracleFor.isDefined && names.forall(_(q.name)) =>
+        q.name -> q.oracleFor.get(spark, sfDir)
     }
 }

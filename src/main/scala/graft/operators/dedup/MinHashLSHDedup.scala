@@ -56,7 +56,10 @@ final class MinHashLSHDedup(
     portableHashes: Boolean = false,
     maxBucketSize: Option[Int] = None,
     preCollapseExact: Boolean = false,
-    signatureScheme: String = "kmin") extends graft.core.RejectingOperator {
+    // val: the YAML-plumbing pin reads it back (the two schemes keep
+    // identical rows at the shipped geometry, so output equality alone
+    // cannot detect a dropped signature_scheme param)
+    val signatureScheme: String = "kmin") extends graft.core.RejectingOperator {
 
   require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
   require(signatureScheme == "kmin" || signatureScheme == "oph",

@@ -25,6 +25,20 @@ object VectorTransformQueries {
     vecCol = "embedding", dims = 64, numSubspaces = 8,
     numCentroids = 16, seed = 23L)
 
+  // memo for the ORACLE-RENDER fits only (pca_project + pca_whiten both
+  // render twins from the same fitted model — one moments pass serves
+  // both). Keyed by scale dir: the fixture at a dir is immutable and
+  // the fit deterministic, so the cached model is the value either
+  // session would compute. The gates' own run() paths deliberately do
+  // NOT use this — each gate leg measures its honest per-invocation
+  // cost, fit included.
+  private val oracleFitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.vector.Pca.PcaModel]()
+  private def oracleFit(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.vector.Pca.PcaModel =
+    oracleFitCache.computeIfAbsent(dir, _ =>
+      graft.operators.vector.Pca.fit(Tables(s, dir, "embeddings"), "embedding", d = 64, q = 8))
+
   val queries: Seq[OracleQuery] = Seq(
 
     // Exact integer-scaled second moments (the PCA fit's ONLY corpus
@@ -81,7 +95,7 @@ object VectorTransformQueries {
       None,
       oracleFor = Some { (s, dir) =>
         import graft.operators.vector.Pca
-        val model = Pca.fit(Tables(s, dir, "embeddings"), "embedding", d = 64, q = 8)
+        val model = oracleFit(s, dir)
         s"""WITH ${Pca.projectSql("embeddings", "vec_id", "embedding", model)}
            |SELECT id AS vec_id,
            |  ${(1 to 8).map(i => s"projected[$i] AS p$i").mkString(", ")}
@@ -107,8 +121,7 @@ object VectorTransformQueries {
       None,
       oracleFor = Some { (s, dir) =>
         import graft.operators.vector.Pca
-        val model = Pca.whitened(
-          Pca.fit(Tables(s, dir, "embeddings"), "embedding", d = 64, q = 8))
+        val model = Pca.whitened(oracleFit(s, dir))
         s"""WITH ${Pca.projectSql("embeddings", "vec_id", "embedding", model)}
            |SELECT id AS vec_id,
            |  ${(1 to 8).map(i => s"projected[$i] AS w$i").mkString(", ")}

@@ -161,7 +161,6 @@ class PcaSpec extends AnyFunSuite {
     val model = Pca.whitened(Pca.fit(emb, "embedding", D, q = 4))
     val w = Pca.project(emb, "embedding", model, "w")
       .select((1 to 4).map(i => element_at(col("w"), i).as(s"w$i")): _*)
-    val n = w.count().toDouble
     val stats = w.agg(
       expr("avg(w1)"), expr("avg(w2)"), expr("avg(w3)"), expr("avg(w4)"),
       expr("avg(w1*w1)"), expr("avg(w2*w2)"), expr("avg(w3*w3)"), expr("avg(w4*w4)"),

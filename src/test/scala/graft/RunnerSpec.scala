@@ -1076,6 +1076,14 @@ class RunnerSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == want,
       s"config-driven OPH kept (${got.size}) must equal the API path (${want.size})")
+    // output equality alone can't catch a dropped signature_scheme param
+    // (kmin and oph keep identical rows at this geometry — measured
+    // recall 1.0) — pin the plumbing on the constructed operator itself
+    val built = graft.runner.OperatorRegistry.create("minhash_lsh_deduplicator",
+      graft.runner.Params(Map("text_field" -> "text", "id_field" -> "doc_id",
+        "signature_scheme" -> "oph")))
+    assert(built.asInstanceOf[graft.operators.dedup.MinHashLSHDedup]
+      .signatureScheme == "oph")
   }
 
   test("shipped anchor-mining config: pair table equals a direct mutualKnnLshOr run") {
