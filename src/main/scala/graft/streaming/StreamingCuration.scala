@@ -666,6 +666,72 @@ object StreamingCuration {
     }
   }
 
+  /** Streaming PCA — EXACT moment accumulation across triggers (the
+    * incremental-fit twin of [[graft.operators.vector.Pca]]). Each
+    * trigger runs one distributed moment pass over its OWN batch
+    * ([[graft.operators.vector.VectorMomentsAgg]] — n, per-dim sums,
+    * upper-triangle products, all exact BIGINTs), folds it into the
+    * NEWEST committed cumulative snapshot with `addExact` on the driver
+    * (the snapshot is ONE row of `1 + d + d(d+1)/2` longs — 17 KB at
+    * d = 64, so the fold is O(d²) driver work regardless of stream
+    * age), OVERWRITEs the epoch's snapshot partition, and publishes the
+    * epoch's fitted model (component rows + eigenvalues + offsets) to
+    * `outDir/epoch=N`. Because integer addition commutes and the fit is
+    * deterministic from the moments, the published model after trigger
+    * N equals a batch [[graft.operators.vector.Pca.fit]] over the union
+    * of all batches BIT-FOR-BIT (StreamingSpec pins double equality) —
+    * and a crash-replayed epoch overwrites its own partial partition
+    * and re-folds from the snapshot BELOW it
+    * ([[latestCommittedEpoch]] excludes the epoch's own partition), so
+    * the replay republishes identical state instead of double-counting
+    * the batch. This is the 100 TB PCA run shape: the corpus is never
+    * rescanned — each epoch pays one moment pass over its OWN data and
+    * the refit folds tiny artifacts.
+    */
+  def pcaMomentsForeachBatch(
+      stream: DataFrame,
+      outDir: String,
+      storeDir: String,
+      vecCol: String,
+      d: Int,
+      q: Int = 8,
+      scale: Long = graft.operators.vector.Pca.DefaultScale): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.vector.Pca
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val b = Pca.moments(batch, vecCol, d, scale).head()
+      val batchRow = (b.getLong(0), b.getSeq[Long](1), b.getSeq[Long](2))
+      val prior = latestCommittedEpoch(spark, storeDir, excluding = epoch)
+        .map { e =>
+          val r = spark.read.parquet(s"$storeDir/epoch=$e").head()
+          // getAs returns a mutable ArraySeq at runtime — .toSeq before
+          // it crosses into the immutable-Seq-typed merge
+          (r.getAs[Long]("n"),
+            r.getAs[scala.collection.Seq[Long]]("sums").toSeq,
+            r.getAs[scala.collection.Seq[Long]]("prods").toSeq)
+        }
+      val (n, sums, prods) =
+        Pca.mergeMomentRows(prior.toSeq :+ batchRow, d)
+      Seq((n, sums.toSeq, prods.toSeq)).toDF("n", "sums", "prods")
+        .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/epoch=$epoch")
+      // the epoch's model artifact: q rows (k, eigenvalue, offset,
+      // component). A stream that has seen zero fittable vectors
+      // publishes an EMPTY (schema-complete) model — the no-model
+      // signal, never a fit error
+      val model =
+        if (n == 0L) Seq.empty[(Int, Double, Double, Seq[Double])]
+        else {
+          val m = Pca.fitFromMoments(n, sums, prods, d, q, scale)
+          m.components.indices.map(k =>
+            (k, m.eigenvalues(k), m.offsets(k), m.components(k).toSeq))
+        }
+      model.toDF("k", "eigenvalue", "offset", "component")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+      ()
+    }
+  }
+
   /** Event-time tumbling-window counts with a watermark (late data beyond
     * `watermark` dropped) — the streaming twin of the q6_events_hourly
     * batch query in [[graft.queries.Relational]].

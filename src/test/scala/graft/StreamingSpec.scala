@@ -1019,6 +1019,63 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
   }
 
+  test("streaming pca: epoch-merged exact moments == batch fit bit-for-bit; crash replay republishes identical state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.vector.Pca
+    val base = java.nio.file.Files.createTempDirectory("graft_pca_stream")
+    val outDir = base.resolve("out").toString
+    val storeDir = base.resolve("store").toString
+    val d = 8; val nc = 3
+    def vec(i: Long): Seq[Double] = (0 until d).map(j =>
+      math.sin(i * 0.7 + j * 1.3) + (if (j % 2 == 0) 0.3 else -0.1) * (i % 5).toDouble)
+    val b1 = (0L until 40L).map(i => (i, vec(i)))
+    val b2 = (40L until 90L).map(i => (i, vec(i)))
+    val b3 = (90L until 120L).map(i => (i, vec(i)))
+    def asTuples(m: Pca.PcaModel): Seq[(Int, Double, Double, Seq[Double])] =
+      m.components.indices.map(k =>
+        (k, m.eigenvalues(k), m.offsets(k), m.components(k).toSeq))
+    def batchModel(rows: Seq[(Long, Seq[Double])]) = asTuples(
+      Pca.fit(rows.toDF("vec_id", "embedding"), "embedding", d, nc))
+    def published(epoch: Int): Seq[(Int, Double, Double, Seq[Double])] =
+      spark.read.parquet(s"$outDir/epoch=$epoch").orderBy(col("k")).collect()
+        .toSeq.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+          r.getSeq[Double](3).toSeq))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingCuration.pcaMomentsForeachBatch(
+        mem.toDF().toDF("vec_id", "embedding"), outDir, storeDir,
+        "embedding", d, nc)
+      .option("checkpointLocation", base.resolve("ckpt").toString).start()
+    try { mem.addData(b1: _*); q.processAllAvailable() } finally q.stop()
+    // reboot with a FRESH checkpoint: epoch 0 REPLAYS b1 against the
+    // store already holding its own partial write — the epoch-overwrite
+    // plus own-partition exclusion must republish identical state, not
+    // double-count the batch's moments (integer add is NOT idempotent,
+    // so this pin is load-bearing in a way the HLL max twin's is not)
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = StreamingCuration.pcaMomentsForeachBatch(
+        mem2.toDF().toDF("vec_id", "embedding"), outDir, storeDir,
+        "embedding", d, nc)
+      .option("checkpointLocation", base.resolve("ckpt2").toString).start()
+    try {
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      mem2.addData(b2: _*); q2.processAllAvailable()
+      mem2.addData(b3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    // each epoch's published model equals the batch fit over the union
+    // so far — bit-for-bit (identical integer moments → identical
+    // Jacobi), not approximately
+    assert(published(0) == batchModel(b1),
+      "replayed epoch 0 must republish the prior-free fit")
+    assert(published(1) == batchModel(b1 ++ b2))
+    assert(published(2) == batchModel(b1 ++ b2 ++ b3))
+    // the cumulative snapshot is ONE row per epoch; three epochs live
+    val snaps = spark.read.parquet(storeDir)
+    assert(snaps.select(col("epoch")).distinct().collect()
+      .map(_.getInt(0)).toSet == Set(0, 1, 2))
+    assert(snaps.filter(col("epoch") === 2).count() == 1)
+  }
+
   test("streaming cdc upsert: snapshots fold per trigger, _LATEST pointer wins") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
