@@ -154,6 +154,40 @@ object VectorTransformQueries {
               |SELECT i, j, n, sum_i, sum_j, sp FROM _pmout
               |ORDER BY i, j""".stripMargin)),
 
+    // The COMPOSED reduce-then-dedup recipe (r18) — what the shipped
+    // vectors config runs: project to the fitted 8-dim PCA basis, then
+    // cosine-threshold dedup over the PROJECTED vectors (the
+    // centered basis reshapes the geometry: raw near-dups read ~0.9+
+    // here, and 0.9 visibly binds at every scale). Every stage's
+    // arithmetic is hash-checked end to end: the projection via the
+    // pca_project literals discipline, the pairwise cosine + first-wins
+    // keep rule via the embedding_cosine_dedup twin shape, here over
+    // the _pca CTE. Planted duplicates survive any linear projection at
+    // cosine ≈ 1, so the dedup visibly binds at every scale.
+    OracleQuery("pca_semantic_dedup",
+      (s, dir) => {
+        import graft.operators.vector.{EmbeddingCosineDedup, Pca}
+        val emb = Tables(s, dir, "embeddings")
+        val model = Pca.fit(emb, "embedding", d = 64, q = 8)
+        val proj = Pca.project(
+          emb.filter(col("embedding").isNotNull), "embedding", model)
+        new EmbeddingCosineDedup(
+            vecCol = "embedding_pca", idCol = "vec_id", threshold = 0.9)(proj)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      None,
+      oracleFor = Some { (s, dir) =>
+        import graft.operators.vector.Pca
+        val model = oracleFit(s, dir)
+        s"""WITH ${Pca.projectSql("embeddings", "vec_id", "embedding", model)},
+           |v AS (SELECT id, projected AS e FROM _pca),
+           |ver AS (SELECT a.id AS d1, b.id AS d2
+           |  FROM v a JOIN v b ON a.id < b.id
+           |  WHERE ${graft.functions.VectorFunctions.cosineSql("a.e", "b.e")} >= 0.9)
+           |SELECT id AS vec_id FROM _pca
+           |WHERE id NOT IN (SELECT d2 FROM ver) ORDER BY vec_id""".stripMargin
+      }),
+
     // int codes serialize exactly ("-7" is "-7" in both engines), so the
     // whole 64-wide code vector is hash-checked as one string column
     OracleQuery("embedding_quantize",
