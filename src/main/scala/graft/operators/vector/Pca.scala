@@ -455,6 +455,105 @@ object Pca {
        |  WHERE $vecCol IS NOT NULL)""".stripMargin
   }
 
+  /** The q-selection OPERATING POINT (r18, the tuner-family recipe):
+    * one moments pass fits `maxQ` components, and the report prices
+    * every candidate width — per-component and cumulative explained-
+    * variance ratio against the TOTAL variance (the covariance trace),
+    * with one `chosen` row: the smallest k whose cumulative ratio
+    * reaches `targetVar`, falling back to `maxQ` (keep everything
+    * offered) when no candidate reaches it — the conservative default,
+    * like the recall tuners' cheapest-level fallback but pointing the
+    * safe direction for a LOSSY reduction.
+    *
+    * Exactness: the trace is an ORDER-INVARIANT exact integer — each
+    * dimension's variance floor-scales to 1e12 micro-units on the
+    * driver (one fixed double expression per dimension, replayed
+    * op-for-op by the twin over the hash-checked moment rows) and the
+    * 64 integers sum exactly; eigenvalues ride as shortest-round-trip
+    * literals with their prefix sums as exact integers, so every ratio
+    * is ONE double division in both engines and `chosen` decides on
+    * identical doubles.
+    */
+  def qOperatingPoint(df: DataFrame, vecCol: String, d: Int, maxQ: Int,
+      targetVar: Double, scale: Long = DefaultScale): DataFrame = {
+    val row = moments(df, vecCol, d, scale).head()
+    val n = row.getLong(0)
+    val sums = row.getSeq[Long](1); val prods = row.getSeq[Long](2)
+    val model = fitFromMoments(n, sums, prods, d, maxQ, scale)
+    val trace12 = traceMicro(n, sums, prods, d, scale)
+    val lam12 = model.eigenvalues.map(l => math.floor(l * 1e12).toLong)
+    val cum12 = lam12.scanLeft(0L)(Math.addExact).tail
+    val chosenK = (1 to maxQ).find(k =>
+      cum12(k - 1).toDouble / trace12.toDouble >= targetVar).getOrElse(maxQ)
+    val spark = df.sparkSession
+    import spark.implicits._
+    (1 to maxQ).map { k =>
+      (k.toLong, model.eigenvalues(k - 1),
+        BigDecimal(lam12(k - 1).toDouble / trace12.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(cum12(k - 1).toDouble / trace12.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        k == chosenK)
+    }.toDF("q_components", "eigenvalue", "var_ratio", "cum_var_ratio", "chosen")
+  }
+
+  /** Exact order-invariant trace in 1e12 micro-units: per-dimension
+    * variance as ONE fixed double expression over the exact moments,
+    * floor-scaled and summed as integers (the lm_smoothing micro-bit
+    * discipline — a double SUM would be partition/engine-order
+    * sensitive in the last ulp).
+    */
+  private def traceMicro(n: Long, sums: Seq[Long], prods: Seq[Long],
+      d: Int, scale: Long): Long = {
+    val sc = scale.toDouble
+    var t = 0L
+    var i = 0
+    var p = 0
+    while (i < d) {
+      val mean = sums(i) / sc / n
+      val v = prods(p) / (sc * sc) / n - mean * mean
+      t = Math.addExact(t, math.floor(v * 1e12).toLong)
+      p += d - i // diagonal stride in the i-major upper triangle
+      i += 1
+    }
+    t
+  }
+
+  /** DuckDB twin of [[qOperatingPoint]]: the trace re-derives from the
+    * moment CTEs (`momentsSql`), eigenvalues and their exact prefix
+    * sums ride as literals — the [[projectSql]] discipline.
+    */
+  def qOperatingPointSql(table: String, idExpr: String, vecCol: String,
+      model: PcaModel, targetVar: Double,
+      scale: Long = DefaultScale): String = {
+    val sc = scale.toDouble
+    val lam12 = model.eigenvalues.map(l => math.floor(l * 1e12).toLong)
+    val cum12 = lam12.scanLeft(0L)(Math.addExact).tail
+    val rows = model.eigenvalues.zipWithIndex.map { case (l, i) =>
+      s"(${i + 1}, CAST('${l.toString}' AS DOUBLE), " +
+        s"CAST(${lam12(i)} AS BIGINT), CAST(${cum12(i)} AS BIGINT))"
+    }.mkString(",\n    ")
+    s"""WITH ${momentsSql(table, idExpr, vecCol, scale)},
+       |_tr AS (SELECT CAST(sum(CAST(floor(
+       |      (CAST(sp AS DOUBLE) / (${(sc * sc).toString}) / n
+       |        - (CAST(sum_i AS DOUBLE) / ${sc.toString} / n)
+       |          * (CAST(sum_i AS DOUBLE) / ${sc.toString} / n)) * 1e12)
+       |    AS BIGINT)) AS BIGINT) AS t12
+       |  FROM _pmout WHERE i = j),
+       |_lam(q_components, eigenvalue, lam12, cum12) AS (VALUES
+       |    $rows),
+       |_ch AS (SELECT coalesce(
+       |    (SELECT min(q_components) FROM _lam CROSS JOIN _tr
+       |     WHERE CAST(cum12 AS DOUBLE) / CAST(t12 AS DOUBLE) >= $targetVar),
+       |    ${model.eigenvalues.length}) AS ck)
+       |SELECT CAST(q_components AS BIGINT) AS q_components, eigenvalue,
+       |  round(CAST(lam12 AS DOUBLE) / CAST(t12 AS DOUBLE), 6) AS var_ratio,
+       |  round(CAST(cum12 AS DOUBLE) / CAST(t12 AS DOUBLE), 6) AS cum_var_ratio,
+       |  q_components = ck AS chosen
+       |FROM _lam CROSS JOIN _tr CROSS JOIN _ch
+       |ORDER BY q_components""".stripMargin
+  }
+
   /** DuckDB twin of the exploded moment table: rows
     * `(i, j, n, sum_i, sum_j, sp)` over the 0-based upper triangle —
     * the covariance gate's oracle. Parallel UNNESTs zip in DuckDB, so

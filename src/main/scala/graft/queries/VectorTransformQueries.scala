@@ -154,6 +154,24 @@ object VectorTransformQueries {
               |SELECT i, j, n, sum_i, sum_j, sp FROM _pmout
               |ORDER BY i, j""".stripMargin)),
 
+    // The q-selection tuner (r18, the operating-point family): every
+    // candidate component count priced in one report — per-k and
+    // cumulative explained-variance ratio against the exact
+    // integer-micro-unit trace — with ONE chosen row (smallest k
+    // reaching the variance target; maxQ fallback). The chosen q MOVES
+    // with the corpus: 4 at sf0.001/0.01, 5 at sf0.1.
+    OracleQuery("pca_q_operating_point",
+      (s, dir) => graft.operators.vector.Pca.qOperatingPoint(
+          Tables(s, dir, "embeddings"), "embedding", d = 64, maxQ = 8,
+          targetVar = 0.1)
+        .orderBy(col("q_components")),
+      None,
+      oracleFor = Some { (s, dir) =>
+        graft.operators.vector.Pca.qOperatingPointSql(
+          "embeddings", "vec_id", "embedding", oracleFit(s, dir),
+          targetVar = 0.1)
+      }),
+
     // The COMPOSED reduce-then-dedup recipe (r18) — what the shipped
     // vectors config runs: project to the fitted 8-dim PCA basis, then
     // cosine-threshold dedup over the PROJECTED vectors (the

@@ -40,7 +40,7 @@ object CorpusReports {
     */
   def embeddingNames: Seq[String] = Seq("multiprobe_operating_point",
     "mutual_knn_or_operating_point", "semantic_probe_operating_point",
-    "semantic_cap_operating_point")
+    "semantic_cap_operating_point", "pca_q_operating_point")
 
   def build(name: String, df: DataFrame, c: Cols): DataFrame = name match {
     case "source_drift" =>
@@ -145,6 +145,12 @@ object CorpusReports {
         new graft.operators.ml.KMeansBuckets("embedding", "cluster_id", 8)
           .firstKCentroids(df, "vec_id"),
         maxNprobe = 4, threshold = 0.35, targetRecall = 0.8, sampleMod = 2)
+    case "pca_q_operating_point" =>
+      // how many PCA components does this corpus need — every candidate
+      // width priced from ONE moments pass, chosen = smallest k
+      // reaching 10% explained variance (the gate settings)
+      graft.operators.vector.Pca.qOperatingPoint(df, "embedding",
+        d = 64, maxQ = 8, targetVar = 0.1)
     case "semantic_cap_operating_point" =>
       graft.operators.vector.EmbeddingCosineDedup.anchoredCapOperatingPoint(df,
         "embedding", "vec_id",

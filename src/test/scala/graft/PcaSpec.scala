@@ -243,6 +243,31 @@ class PcaSpec extends AnyFunSuite {
     assert(allDead.forall(_.isNullAt(0)))
   }
 
+  test("q operating point: chosen = smallest k at target, maxQ fallback, full-rank cum ratio reaches 1") {
+    val rep = Pca.qOperatingPoint(emb, "embedding", D, maxQ = 8, targetVar = 0.1)
+      .collect().sortBy(_.getLong(0))
+    assert(rep.length == 8)
+    val chosen = rep.filter(_.getBoolean(4))
+    assert(chosen.length == 1, "exactly one chosen row")
+    val k = chosen.head.getLong(0)
+    assert(rep.filter(_.getLong(0) < k).forall(_.getDouble(3) < 0.1),
+      "every width below chosen misses the target")
+    assert(chosen.head.getDouble(3) >= 0.1, "chosen reaches the target")
+    assert(rep.map(_.getDouble(3)).sliding(2).forall(p => p(0) <= p(1)),
+      "cumulative ratio is monotone")
+    // unreachable target: the conservative fallback keeps all maxQ
+    // (a LOSSY reduction must not silently shrink below the offer)
+    val fb = Pca.qOperatingPoint(emb, "embedding", D, maxQ = 4, targetVar = 0.99)
+      .collect()
+    assert(fb.filter(_.getBoolean(4)).map(_.getLong(0)).toSeq == Seq(4L))
+    // full rank: the spectrum must account for the WHOLE trace — the
+    // eigen-side Σλ and the independent integer-micro-unit trace agree
+    val full = Pca.qOperatingPoint(emb, "embedding", D, maxQ = D, targetVar = 2.0)
+      .collect().sortBy(_.getLong(0))
+    assert(math.abs(full.last.getDouble(3) - 1.0) < 1e-6,
+      s"cum ratio at q=d reads ${full.last.getDouble(3)}")
+  }
+
   test("jacobi: recovers a known spectrum") {
     // diag(5, 2, 1) rotated by a fixed orthogonal matrix
     val theta = 0.6
