@@ -987,6 +987,19 @@ class RunnerSpec extends AnyFunSuite {
       PipelineConf.fromYamlFile("configs/example_vectors.yaml"))
     assert(vec.run.output > 0 && vec.run.output < vec.run.input)
     assert(new java.io.File("/tmp/graft_vec_out/embeddings_curated/manifest.json").exists())
+    // the PCA width came from the q tuner's chosen row (r18): the
+    // report persisted as run evidence, and the written projection is
+    // exactly chosen-q wide — the projector and the downstream dedup
+    // read the SAME row, so they can never disagree
+    val qRep = spark.read.parquet("/tmp/graft_vec_out/_reports/pca_q_operating_point")
+      .filter(col("chosen")).collect()
+    assert(qRep.length == 1)
+    val chosenQ = qRep.head.getAs[Long]("q_components").toInt
+    assert(chosenQ >= 1 && chosenQ <= 8)
+    val curatedVecs = spark.read.json("/tmp/graft_vec_out/embeddings_curated/part-*.json.gz")
+    assert(curatedVecs.select(org.apache.spark.sql.functions.size(col("embedding_pca")))
+      .distinct().collect().map(_.getInt(0)).toSeq == Seq(chosenQ),
+      s"projection width must equal the chosen q=$chosenQ")
     // the r15 frozen-scoring stack: external-reference LM bits attached
     // in disposition mode, then the budget sampler cuts src0
     rm(new java.io.File("/tmp/graft_frozen_out"))
