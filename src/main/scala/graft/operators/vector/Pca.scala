@@ -481,20 +481,36 @@ object Pca {
     val sums = row.getSeq[Long](1); val prods = row.getSeq[Long](2)
     val model = fitFromMoments(n, sums, prods, d, maxQ, scale)
     val trace12 = traceMicro(n, sums, prods, d, scale)
-    val lam12 = model.eigenvalues.map(l => math.floor(l * 1e12).toLong)
+    val lam12 = model.eigenvalues.map(micro12)
     val cum12 = lam12.scanLeft(0L)(Math.addExact).tail
     val chosenK = (1 to maxQ).find(k =>
       cum12(k - 1).toDouble / trace12.toDouble >= targetVar).getOrElse(maxQ)
+    // a zero-variance corpus (every vector identical) has no spectrum
+    // to ratio against: ratios read NULL — matching DuckDB's x/0 —
+    // and chosen keeps the conservative maxQ fallback in both engines
+    // (NULL/NaN >= target is false either way)
+    def ratio(v12: Long): Option[Double] =
+      if (trace12 == 0L) None
+      else Some(BigDecimal(v12.toDouble / trace12.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val spark = df.sparkSession
     import spark.implicits._
     (1 to maxQ).map { k =>
       (k.toLong, model.eigenvalues(k - 1),
-        BigDecimal(lam12(k - 1).toDouble / trace12.toDouble)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(cum12(k - 1).toDouble / trace12.toDouble)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        k == chosenK)
+        ratio(lam12(k - 1)), ratio(cum12(k - 1)), k == chosenK)
     }.toDF("q_components", "eigenvalue", "var_ratio", "cum_var_ratio", "chosen")
+  }
+
+  /** floor(x·1e12) as an exact long — LOUD on overflow (Double.toLong
+    * would silently clamp at Long.MaxValue while the twin's DuckDB CAST
+    * throws: the engine-asymmetry class the OPH borrow encoding hit).
+    */
+  private def micro12(x: Double): Long = {
+    val m = math.floor(x * 1e12)
+    require(math.abs(m) < 9.0e18,
+      s"1e12 micro-unit overflow for $x — lower the variance scale " +
+        "(normalize the vectors or reduce the fixed-point `scale`)")
+    m.toLong
   }
 
   /** Exact order-invariant trace in 1e12 micro-units: per-dimension
@@ -512,7 +528,7 @@ object Pca {
     while (i < d) {
       val mean = sums(i) / sc / n
       val v = prods(p) / (sc * sc) / n - mean * mean
-      t = Math.addExact(t, math.floor(v * 1e12).toLong)
+      t = Math.addExact(t, micro12(v))
       p += d - i // diagonal stride in the i-major upper triangle
       i += 1
     }
@@ -527,7 +543,7 @@ object Pca {
       model: PcaModel, targetVar: Double,
       scale: Long = DefaultScale): String = {
     val sc = scale.toDouble
-    val lam12 = model.eigenvalues.map(l => math.floor(l * 1e12).toLong)
+    val lam12 = model.eigenvalues.map(micro12)
     val cum12 = lam12.scanLeft(0L)(Math.addExact).tail
     val rows = model.eigenvalues.zipWithIndex.map { case (l, i) =>
       s"(${i + 1}, CAST('${l.toString}' AS DOUBLE), " +

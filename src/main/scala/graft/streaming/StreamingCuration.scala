@@ -596,10 +596,38 @@ object StreamingCuration {
     }
   }
 
+  /** Newest committed `epoch=*` partition STRICTLY BELOW `epoch` — the
+    * read side of a cumulative store whose fold is NOT idempotent
+    * (exact integer adds): a sequential stream reads epoch−1 exactly
+    * like [[latestCommittedEpoch]] would, but a fresh-checkpoint
+    * restart that renumbers from 0 over an existing store must NOT
+    * fold its replayed batch into a HIGHER stale snapshot that already
+    * contains it — epochs above the new stream's head are dead
+    * retention, re-accumulated as the new run overtakes and overwrites
+    * them, never read.
+    */
+  private[graft] def latestCommittedEpochBelow(spark: SparkSession,
+      dir: String, epoch: Long): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("epoch=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+        st.getPath.getName.stripPrefix("epoch=").toLong
+    }.filter(_ < epoch) match {
+      case Seq() => None
+      case es    => Some(es.max)
+    }
+  }
+
   /** Newest `epoch=*` partition of `dir` carrying a `_SUCCESS` marker,
     * excluding `excluding` — the read side of a CUMULATIVE
     * epoch-snapshot store (each partition holds fold-up-to-that-epoch
-    * state, so only the latest committed one is ever read).
+    * state, so only the latest committed one is ever read; the fold
+    * must be IDEMPOTENT — HLL register max — for this to be
+    * restart-safe; a non-idempotent fold uses
+    * [[latestCommittedEpochBelow]]).
     */
   private[graft] def latestCommittedEpoch(spark: SparkSession, dir: String,
       excluding: Long): Option[Long] = {
@@ -681,10 +709,13 @@ object StreamingCuration {
     * N equals a batch [[graft.operators.vector.Pca.fit]] over the union
     * of all batches BIT-FOR-BIT (StreamingSpec pins double equality) —
     * and a crash-replayed epoch overwrites its own partial partition
-    * and re-folds from the snapshot BELOW it
-    * ([[latestCommittedEpoch]] excludes the epoch's own partition), so
-    * the replay republishes identical state instead of double-counting
-    * the batch. This is the 100 TB PCA run shape: the corpus is never
+    * and re-folds from the newest snapshot STRICTLY BELOW it
+    * ([[latestCommittedEpochBelow]] — not merely self-excluding: the
+    * additive fold is not idempotent, so a fresh-checkpoint restart
+    * renumbering from 0 must also never fold a replayed batch into a
+    * higher stale snapshot that already contains it), so any replay
+    * republishes identical state instead of double-counting the
+    * batch. This is the 100 TB PCA run shape: the corpus is never
     * rescanned — each epoch pays one moment pass over its OWN data and
     * the refit folds tiny artifacts.
     */
@@ -702,7 +733,11 @@ object StreamingCuration {
       import spark.implicits._
       val b = Pca.moments(batch, vecCol, d, scale).head()
       val batchRow = (b.getLong(0), b.getSeq[Long](1), b.getSeq[Long](2))
-      val prior = latestCommittedEpoch(spark, storeDir, excluding = epoch)
+      // strictly-below, NOT merely self-excluding: the additive fold is
+      // not idempotent, and a fresh-checkpoint restart renumbering from
+      // epoch 0 over an existing store must never fold its replayed
+      // batch into a higher stale snapshot that already contains it
+      val prior = latestCommittedEpochBelow(spark, storeDir, epoch)
         .map { e =>
           val r = spark.read.parquet(s"$storeDir/epoch=$e").head()
           // getAs returns a mutable ArraySeq at runtime — .toSeq before

@@ -1046,12 +1046,17 @@ class StreamingSpec extends AnyFunSuite {
         mem.toDF().toDF("vec_id", "embedding"), outDir, storeDir,
         "embedding", d, nc)
       .option("checkpointLocation", base.resolve("ckpt").toString).start()
-    try { mem.addData(b1: _*); q.processAllAvailable() } finally q.stop()
-    // reboot with a FRESH checkpoint: epoch 0 REPLAYS b1 against the
-    // store already holding its own partial write — the epoch-overwrite
-    // plus own-partition exclusion must republish identical state, not
-    // double-count the batch's moments (integer add is NOT idempotent,
-    // so this pin is load-bearing in a way the HLL max twin's is not)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // reboot with a FRESH checkpoint over the TWO-epoch store: the new
+    // stream renumbers from 0, so its replayed b1 folds against a store
+    // whose STALE epoch=1 snapshot already contains b1+b2 — the fold
+    // must read strictly-below snapshots only (integer add is NOT
+    // idempotent: folding into the stale higher epoch would silently
+    // double-count b1 and corrupt every later model — this pin is
+    // load-bearing in a way the HLL max twin's is not)
     val mem2 = MemoryStream[(Long, Seq[Double])]
     val q2 = StreamingCuration.pcaMomentsForeachBatch(
         mem2.toDF().toDF("vec_id", "embedding"), outDir, storeDir,
