@@ -1,0 +1,248 @@
+package graft.operators.ml
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** One trainer feature: the Spark [[Column]] and the DuckDB SQL text
+  * must compute the SAME double per row (build them from integer counts
+  * with fixed-shape rational arithmetic — IEEE `+ - * /` over exactly
+  * representable operands is bit-identical in any engine; only
+  * transcendentals may differ in the last ulp, and the trainer's
+  * rounding discipline absorbs those).
+  */
+final case class LogregFeature(name: String, expr: Column, sql: String)
+
+/** Distributed logistic-regression TRAINER — the missing half of the
+  * learned-quality-classifier loop (the reference ships fixed
+  * classifier weights and a 547-line map/reduce k-means trainer,
+  * models/kmeans/distributed_trainer.py; training the quality model
+  * itself is the same partial-sums discipline applied to the logistic
+  * loss). Full-batch gradient descent:
+  *
+  *   w ← round₆( w + lr · Σᵢ xᵢ·(yᵢ − σ(w·xᵢ)) / n )
+  *
+  * one aggregate job per iteration over a persisted featurized frame —
+  * at 100 TB each iteration is ONE partial-aggregated scan shipping
+  * d+1 doubles per partition (no row shuffle), and [[fitSampleMod]]
+  * bounds the fit to a deterministic hash-mod sample (the k-means
+  * `train_sample_mod` discipline) while scoring still covers the full
+  * corpus.
+  *
+  * Reproducibility: the model is quantized to the 10⁻⁶ grid after
+  * every iteration — a deterministic-allreduce stand-in that makes the
+  * trajectory bit-identical regardless of partitioning, summation
+  * order, or engine (cross-engine/cross-run float-sum jitter is
+  * ~10⁻¹² absolute against a 10⁻⁶ grid). The DuckDB twin refits the
+  * whole trajectory from scratch as a chained-CTE unroll of the same
+  * update — a fully independent second implementation, not a literal
+  * injection.
+  */
+final class LogisticRegression(
+    features: Seq[LogregFeature],
+    label: Column,
+    labelSql: String,
+    lr: Double = 1.0,
+    iters: Int = 8,
+    idCol: String = "doc_id",
+    fitSampleMod: Option[Int] = None) {
+
+  require(features.nonEmpty, "logreg: at least one feature")
+  require(iters >= 1 && iters <= 64, "logreg: 1..64 iterations")
+  require(lr > 0.0, "logreg: positive learning rate")
+  fitSampleMod.foreach(m => require(m >= 1, "logreg: fit_sample_mod >= 1"))
+
+  val name = "logistic_regression"
+  private val d = features.size
+
+  private def dl(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+
+  /** `idCol, _x1.._xd (double), _y (1.0/0.0)` — null labels count as
+    * negative (CASE ELSE) in both engines.
+    */
+  def featurized(df: DataFrame): DataFrame =
+    df.select(
+      (col(idCol) +:
+        features.zipWithIndex.map { case (f, j) =>
+          f.expr.cast("double").as(s"_x${j + 1}") }) :+
+        when(label, lit(1.0)).otherwise(lit(0.0)).as("_y"): _*)
+
+  private def fitFrame(df: DataFrame): DataFrame = {
+    val fr = featurized(df)
+    fitSampleMod.fold(fr)(m =>
+      fr.filter(HashFunctions.portableHash64(col(idCol)) % lit(m.toLong) === 0L))
+  }
+
+  /** z = b + w₁x₁ + … (left-assoc, the exact shape the SQL twin uses). */
+  private def zOf(w: Array[Double]): Column =
+    features.indices.foldLeft(lit(w(0)): Column) { (acc, j) =>
+      acc + lit(w(j + 1)) * col(s"_x${j + 1}")
+    }
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** The weight trajectory: element t = `(b, w1..wd)` AFTER iteration
+    * t+1 (length [[iters]]). One aggregate job per iteration; the
+    * rounded update itself is computed INSIDE the aggregate (Spark's
+    * `round` = the twin's `round`), the driver only carries the d+1
+    * quantized doubles forward. Empty fit input → weights stay put.
+    */
+  def fit(df: DataFrame): Seq[Array[Double]] = {
+    val fr = fitFrame(df).persist()
+    try {
+      var w = Array.fill(d + 1)(0.0)
+      (1 to iters).map { _ =>
+        val resid = col("_y") - sigmoid(zOf(w))
+        val n = count(lit(1))
+        def upd(old: Double, g: Column): Column =
+          when(n > 0L, round(lit(old) + lit(lr) * g / n.cast("double"), 6))
+            .otherwise(lit(old))
+        val aggs = upd(w(0), sum(resid)).as("b") +:
+          features.indices.map(j =>
+            upd(w(j + 1), sum(col(s"_x${j + 1}") * resid)).as(s"w${j + 1}"))
+        val row = fr.agg(aggs.head, aggs.tail: _*).head()
+        w = Array.tabulate(d + 1)(row.getDouble)
+        w.clone()
+      }
+    } finally { fr.unpersist(); () }
+  }
+
+  /** Trajectory as a tiny driver-built frame:
+    * `(iter, bias, w_<feature>…)` — iters × (d+2) quantized doubles
+    * (the frozen-centroid-literals shape, not a distributed result).
+    */
+  def train(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = fit(df).zipWithIndex.map { case (w, i) =>
+      Row.fromSeq((i + 1).toLong +: w.toSeq)
+    }
+    val schema = StructType(
+      StructField("iter", LongType) +: StructField("bias", DoubleType) +:
+        features.map(f => StructField("w_" + f.name, DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy("iter")
+  }
+
+  /** `(idCol, score, y)` over the FULL frame with the given weights —
+    * scoring is a codegen'd scalar projection (broadcast-free: the
+    * model is d+1 literals). Scores round to 6 (rank-stable across
+    * engines); `y` rides along for the eval loop ([[BinaryAuc]]).
+    */
+  def scoredWith(df: DataFrame, w: Array[Double]): DataFrame = {
+    require(w.length == d + 1, s"logreg: ${d + 1} weights expected")
+    featurized(df).select(col(idCol),
+      round(sigmoid(zOf(w)), 6).as("score"), col("_y").as("y"))
+  }
+
+  /** Fit (on the sample if [[fitSampleMod]]) then score the full frame. */
+  def scored(df: DataFrame): DataFrame = scoredWith(df, fit(df).last)
+
+  /** `(idCol, score)` — the plain scoring surface. */
+  def score(df: DataFrame): DataFrame = scored(df).select(col(idCol), col("score"))
+
+  /** Active-learning batch: the k rows nearest the decision boundary
+    * (smallest |score − 0.5|; ties by id). The labeling loop's next
+    * batch — an argmin-k on the quantized margin, one global sort of
+    * (margin, id) pairs.
+    */
+  def marginSample(df: DataFrame, k: Int): DataFrame = {
+    val s = score(df)
+    s.select(col(idCol),
+        round(abs(col("score") - lit(0.5)), 6).as("margin"))
+      .orderBy(col("margin"), col(idCol))
+      .limit(k)
+  }
+
+  // ---- DuckDB twins: a from-scratch refit as chained-CTE unroll ----
+
+  /** Feature CTE over `fromSql` rows (twin of [[featurized]]);
+    * `sampled` adds the fit-sample predicate.
+    */
+  private def featsCte(cteName: String, fromSql: String, sampled: Boolean): String = {
+    val xs = features.zipWithIndex.map { case (f, j) =>
+      s"CAST(${f.sql} AS DOUBLE) AS x${j + 1}" }.mkString(",\n|    ")
+    val where = if (sampled)
+      fitSampleMod.fold("")(m =>
+        s"\n|  WHERE ${HashFunctions.portableHash64Sql(s"CAST($idCol AS VARCHAR)")} % $m = 0")
+    else ""
+    // MATERIALIZED: the iteration chain references each level several
+    // times (cross join + the empty-input ELSE subqueries) — inlined
+    // CTEs would re-expand the scan/tokenize tree exponentially.
+    s"""$cteName AS MATERIALIZED (SELECT $idCol,
+       |    $xs,
+       |    CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END AS y
+       |  FROM $fromSql$where)""".stripMargin
+  }
+
+  /** z/σ text over a weight row `(b, w1..wd)` cross-joined per feature
+    * row — the same left-assoc shape as [[zOf]].
+    */
+  private val sigSql: String = {
+    val z = features.indices.foldLeft("b") { (acc, j) => s"$acc + w${j + 1} * x${j + 1}" }
+    s"1.0 / (1.0 + exp(-($z)))"
+  }
+
+  /** `_lg_it0.._lg_it{iters}` — the unrolled trajectory over `featsName`. */
+  private def iterCtes(featsName: String): String = {
+    val it0 = s"_lg_it0 AS MATERIALIZED (SELECT ${(0 to d).map(j => s"0.0 AS ${wn(j)}").mkString(", ")})"
+    val steps = (1 to iters).map { t =>
+      val prev = s"_lg_it${t - 1}"
+      val cols = (0 to d).map { j =>
+        val g = if (j == 0) s"sum(y - $sigSql)" else s"sum(x$j * (y - $sigSql))"
+        s"""CASE WHEN count(*) > 0
+           |      THEN round(any_value(${wn(j)}) + ${dl(lr)} * $g / CAST(count(*) AS DOUBLE), 6)
+           |      ELSE (SELECT ${wn(j)} FROM $prev) END AS ${wn(j)}""".stripMargin
+      }.mkString(",\n|    ")
+      s"""_lg_it$t AS MATERIALIZED (SELECT $cols
+         |  FROM $featsName, $prev)""".stripMargin
+    }
+    (it0 +: steps).mkString(",\n")
+  }
+
+  private def wn(j: Int): String = if (j == 0) "b" else s"w$j"
+
+  /** Twin of [[train]]: the full unrolled trajectory. */
+  def trainSql(fromSql: String): String = {
+    val outCols = (s"b AS bias" +:
+      features.zipWithIndex.map { case (f, j) => s"w${j + 1} AS w_${f.name}" })
+      .mkString(", ")
+    val arms = (1 to iters).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS iter, $outCols FROM _lg_it$t").mkString("\nUNION ALL\n")
+    s"""WITH ${featsCte("_lgf", fromSql, sampled = true)},
+       |${iterCtes("_lgf")}
+       |$arms
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** Twin of [[scored]]: refit on the (possibly sampled) fit CTE, score
+    * every row of the full frame. No ORDER BY — composable as a
+    * subquery.
+    */
+  def scoredSql(fromSql: String): String =
+    s"""WITH ${featsCte("_lgf", fromSql, sampled = true)},
+       |${iterCtes("_lgf")},
+       |${featsCte("_lgs", fromSql, sampled = false)}
+       |SELECT $idCol, round($sigSql, 6) AS score, y
+       |FROM _lgs, _lg_it$iters""".stripMargin
+
+  /** Twin of [[score]], id-ordered (the gate shape). */
+  def scoreSql(fromSql: String): String =
+    s"""SELECT $idCol, score FROM (
+       |${scoredSql(fromSql)}
+       |) ORDER BY $idCol""".stripMargin
+
+  /** Twin of the AUC eval over [[scored]] output. */
+  def aucSql(fromSql: String): String =
+    BinaryAuc.sql("score", "y = 1.0", s"(\n${scoredSql(fromSql)}\n)")
+
+  /** Twin of [[marginSample]]. */
+  def marginSampleSql(fromSql: String, k: Int): String =
+    s"""WITH ${featsCte("_lgf", fromSql, sampled = true)},
+       |${iterCtes("_lgf")},
+       |${featsCte("_lgs", fromSql, sampled = false)},
+       |_lgsc AS (SELECT $idCol, round(abs(round($sigSql, 6) - 0.5), 6) AS margin
+       |  FROM _lgs, _lg_it$iters)
+       |SELECT $idCol, margin FROM _lgsc
+       |ORDER BY margin, $idCol LIMIT $k""".stripMargin
+}

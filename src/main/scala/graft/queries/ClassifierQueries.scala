@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.functions.{HashFunctions, TextFunctions}
 import graft.ml.ClassifierWeights
-import graft.operators.ml.{DsirScoreRefiner, QualityClassifierFilter, QualityClassifierRefiner}
+import graft.operators.ml.{DsirScoreRefiner, LogisticRegression, LogregFeature, QualityClassifierFilter, QualityClassifierRefiner}
 import org.apache.spark.sql.functions._
 
 /** Learned-quality-classifier gates: the Spark side scores through the
@@ -42,7 +42,82 @@ object ClassifierQueries {
   private val dsirCte = new DsirScoreRefiner(_ => null, buckets = D)
     .scoreCteSql("documents", "doc_id", "SELECT text FROM documents WHERE source = 'src0'")
 
+  // ---- the TRAINED classifier loop (train → score → eval → label) ----
+  // Features are fixed-shape rational arithmetic over integer counts
+  // (bit-identical per row in any IEEE engine); the label is the weak
+  // lang=='en' signal the fixed-weight gates already evaluate against.
+
+  private val lrFeatures = Seq(
+    LogregFeature("tok",
+      size(col("toks")).cast("double") / lit(64.0),
+      "CAST(len(toks) AS DOUBLE) / 64.0"),
+    LogregFeature("uniq",
+      size(array_distinct(col("toks"))).cast("double") /
+        (size(col("toks")) + 1).cast("double"),
+      "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) + 1 AS DOUBLE)"),
+    LogregFeature("len",
+      col("n_chars").cast("double") /
+        (lit(8.0) * (size(col("toks")) + 1).cast("double")),
+      "CAST(n_chars AS DOUBLE) / (8.0 * CAST(len(toks) + 1 AS DOUBLE))"),
+    // stopword-profile ratio (the language-ID kernel's en score). The
+    // fixture's lang column is independent of its text by construction
+    // (same vocab for every lang), so the GATE pins trainer exactness,
+    // not model quality — LogisticRegressionSpec pins learning (signs,
+    // accuracy, loss descent) on constructed separable data.
+    LogregFeature("ensw",
+      graft.operators.text.TextAnalysis.languageScore(col("toks"), "en"),
+      graft.operators.text.TextAnalysis.languageScoreSql("toks", "en")))
+
+  private def lrInput(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      TextFunctions.tokensOf(col("text")).as("toks"))
+
+  private val lrFromSql =
+    s"(SELECT doc_id, lang, n_chars, ${TextFunctions.tokensOfSql("text")} AS toks FROM documents)"
+
+  private val lrOp = new LogisticRegression(
+    lrFeatures, col("lang") === "en", "lang = 'en'", lr = 1.0, iters = 8)
+
+  private val lrSampledOp = new LogisticRegression(
+    lrFeatures, col("lang") === "en", "lang = 'en'", lr = 1.0, iters = 8,
+    fitSampleMod = Some(4))
+
   val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("logreg_train",
+      // full-batch GD trajectory, model quantized to the 1e-6 grid per
+      // iteration (partition/engine-invariant); the twin REFITS the
+      // whole trajectory as an unrolled CTE chain — an independent
+      // second implementation, not injected literals
+      (s, dir) => lrOp.train(lrInput(s, dir)),
+      Some(lrOp.trainSql(lrFromSql))),
+
+    OracleQuery("logreg_score",
+      (s, dir) => lrOp.score(lrInput(s, dir)).orderBy(col("doc_id")),
+      Some(lrOp.scoreSql(lrFromSql))),
+
+    OracleQuery("logreg_sampled_fit",
+      // the 100 TB shape: fit on the deterministic hash-mod-4 sample
+      // (the k-means train_sample_mod discipline), score the FULL corpus
+      (s, dir) => lrSampledOp.score(lrInput(s, dir)).orderBy(col("doc_id")),
+      Some(lrSampledOp.scoreSql(lrFromSql))),
+
+    OracleQuery("logreg_auc",
+      // eval loop closed: exact rank-sum ROC-AUC of the TRAINED scores
+      // against the training label (one global rank, no pairwise join)
+      (s, dir) => {
+        val sc = lrOp.scored(lrInput(s, dir))
+        graft.operators.ml.BinaryAuc.auc(sc, col("score"), col("y") === 1.0)
+      },
+      Some(lrOp.aucSql(lrFromSql))),
+
+    OracleQuery("logreg_margin_sample",
+      // active-learning batch: the 50 docs nearest the decision
+      // boundary (argmin-k on the quantized margin; ties by doc_id)
+      (s, dir) => lrOp.marginSample(lrInput(s, dir), 50),
+      Some(lrOp.marginSampleSql(lrFromSql, 50))),
+
 
     OracleQuery("classifier_auc",
       // exact rank-sum ROC-AUC of the composite quality score against

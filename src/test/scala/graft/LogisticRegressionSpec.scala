@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.ml.{LogisticRegression, LogregFeature}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The trained-classifier loop: full-batch GD logistic regression with
+  * the 1e-6 model-quantization discipline. The oracle gates pin
+  * cross-engine exactness on the fixture; this spec pins LEARNING —
+  * descent, signs, accuracy — on constructed separable data, plus the
+  * determinism claims the quantization exists for.
+  */
+class LogisticRegressionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def xyFeatures = Seq(
+    LogregFeature("fx", col("fx"), "fx"),
+    LogregFeature("fy", col("fy"), "fy"))
+
+  /** Separable cloud: label = (fx > 0), margin 0.5 around the boundary. */
+  private def separable(n: Int): DataFrame =
+    (0 until n).map { i =>
+      val pos = i % 2 == 0
+      val fx = (if (pos) 1.0 else -1.0) * (0.25 + (i % 7) * 0.25)
+      val fy = ((i * 31) % 11 - 5) / 5.0 // noise dim, label-independent
+      (i.toLong, fx, fy, pos)
+    }.toDF("doc_id", "fx", "fy", "label")
+
+  private def op(lr: Double = 1.0, iters: Int = 8,
+      sampleMod: Option[Int] = None) =
+    new LogisticRegression(xyFeatures, col("label"), "label",
+      lr = lr, iters = iters, fitSampleMod = sampleMod)
+
+  private def logLoss(df: DataFrame, o: LogisticRegression, w: Array[Double]): Double = {
+    val sc = o.scoredWith(df, w)
+    // clamp away the rounded 0/1 endpoints before the log
+    val p = least(greatest(col("score"), lit(1e-9)), lit(1.0 - 1e-9))
+    sc.agg(avg(when(col("y") === 1.0, -log(p)).otherwise(-log(lit(1.0) - p))))
+      .head().getDouble(0)
+  }
+
+  test("separable data: loss descends monotonically and the model separates") {
+    val df = separable(400)
+    val o = op(lr = 2.0, iters = 16)
+    val traj = o.fit(df)
+    val losses = (Array.fill(3)(0.0) +: traj).map(w => logLoss(df, o, w))
+    losses.sliding(2).foreach { case Seq(a, b) => assert(b < a + 1e-12, losses.mkString(",")) }
+    val w = traj.last
+    assert(w(1) > 1.0, s"fx weight should be strongly positive: ${w.mkString(",")}")
+    assert(math.abs(w(2)) < 0.2, s"noise-dim weight should stay small: ${w.mkString(",")}")
+    // every row correctly classified at the 0.5 cut
+    val acc = o.scoredWith(df, w)
+      .agg(avg(when((col("score") > 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc == 1.0)
+  }
+
+  test("trajectory is bit-identical across partitionings (the 1e-6 quantization claim)") {
+    val df = separable(300)
+    val o = op(lr = 1.0, iters = 8)
+    val a = o.fit(df.repartition(1))
+    val b = o.fit(df.repartition(17))
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("sampled fit equals a full fit on the manually filtered frame") {
+    val df = separable(300)
+    val hashed = graft.functions.HashFunctions.portableHash64(col("doc_id"))
+    val manual = op(lr = 1.0, iters = 6).fit(df.filter(hashed % 4 === 0L))
+    val sampled = op(lr = 1.0, iters = 6, sampleMod = Some(4)).fit(df)
+    assert(manual.map(_.toSeq) == sampled.map(_.toSeq))
+    // and the sample is a proper subset (the mod actually binds)
+    assert(df.filter(hashed % 4 === 0L).count() < df.count())
+  }
+
+  test("empty fit input: weights stay at init through every iteration") {
+    val df = separable(10).filter(col("doc_id") < 0)
+    val traj = op(iters = 4).fit(df)
+    assert(traj.forall(_.forall(_ == 0.0)))
+  }
+
+  test("zero-variance feature keeps exactly zero weight") {
+    val feats = Seq(
+      LogregFeature("fx", col("fx"), "fx"),
+      LogregFeature("dead", lit(0.0), "0.0"))
+    val df = separable(100)
+    val o = new LogisticRegression(feats, col("label"), "label", iters = 6)
+    assert(o.fit(df).forall(w => w(2) == 0.0))
+  }
+
+  test("null labels count as negative (CASE ELSE), matching the twin") {
+    val df = separable(100)
+      .withColumn("label", when(col("doc_id") % 10 === 0, lit(null)).otherwise(col("label")))
+    val asFalse = separable(100)
+      .withColumn("label", when(col("doc_id") % 10 === 0, lit(false)).otherwise(col("label")))
+    val o = op(iters = 4)
+    assert(o.fit(df).map(_.toSeq) == o.fit(asFalse).map(_.toSeq))
+  }
+
+  test("train frame carries the trajectory; margin sample sits at the boundary") {
+    val df = separable(200)
+    val o = op(lr = 2.0, iters = 8)
+    val t = o.train(df).collect()
+    assert(t.length == 8 && t.map(_.getLong(0)).toSeq == (1L to 8L))
+    val m = o.marginSample(df, 10).collect()
+    assert(m.length == 10)
+    val margins = m.map(_.getDouble(1))
+    assert(margins.sameElements(margins.sorted))
+    // the selected margins are the global minimum set
+    val all = o.score(df).select(abs(col("score") - 0.5)).as[Double].collect().sorted
+    assert(margins.last <= all(10) + 1e-9)
+  }
+
+  test("fit runs one aggregate job per iteration over a persisted featurized frame") {
+    val df = separable(200)
+    val o = op(iters = 3)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    o.fit(df)
+    // one aggregate QUERY per iteration; AQE materializes each as <=3
+    // jobs (shuffle stage + final stage + persist on the first). The
+    // bound catches a per-iteration re-featurize/re-fit explosion, not
+    // AQE's bookkeeping.
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= 9, s"expected <=9 jobs for 3 iterations, got ${after - before}")
+  }
+}
