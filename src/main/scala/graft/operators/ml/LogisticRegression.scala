@@ -43,10 +43,10 @@ final class LogisticRegression(
     features: Seq[LogregFeature],
     label: Column,
     labelSql: String,
-    lr: Double = 1.0,
-    iters: Int = 8,
-    idCol: String = "doc_id",
-    fitSampleMod: Option[Int] = None) {
+    val lr: Double = 1.0,
+    val iters: Int = 8,
+    val idCol: String = "doc_id",
+    val fitSampleMod: Option[Int] = None) {
 
   require(features.nonEmpty, "logreg: at least one feature")
   require(iters >= 1 && iters <= 64, "logreg: 1..64 iterations")

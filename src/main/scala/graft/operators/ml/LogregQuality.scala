@@ -1,0 +1,157 @@
+package graft.operators.ml
+
+import graft.core.Refiner
+import graft.functions.TextFunctions
+import graft.operators.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The registry/YAML face of [[LogisticRegression]]: a self-contained
+  * trained quality scorer over a raw text column. The reference ships
+  * only fixed classifier weights; this is the production loop above
+  * them — fit the cheap doc-stat model against a weak label ON the
+  * incoming corpus (FastText-distillation style), then score or filter
+  * with the trained weights as plain codegen'd literals.
+  */
+object LogregQuality {
+
+  /** The fixed doc-stat feature basis over a raw text column:
+    * token count / distinct-token ratio / mean token length / en
+    * stopword ratio. All fixed-shape rational arithmetic over integer
+    * counts except the (twin-proven) stopword kernel. SQL twins render
+    * against the same raw column, so registry-built operators stay
+    * oracle-expressible.
+    */
+  def docStatFeatures(textCol: String): Seq[LogregFeature] = {
+    val toks = TextFunctions.tokensOf(col(textCol))
+    val toksSql = TextFunctions.tokensOfSql(textCol)
+    val nch = length(coalesce(col(textCol), lit(""))).cast("double")
+    val nchSql = s"CAST(len(coalesce($textCol, '')) AS DOUBLE)"
+    Seq(
+      LogregFeature("tok",
+        size(toks).cast("double") / lit(64.0),
+        s"CAST(len($toksSql) AS DOUBLE) / 64.0"),
+      LogregFeature("uniq",
+        size(array_distinct(toks)).cast("double") /
+          (size(toks) + 1).cast("double"),
+        s"CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) + 1 AS DOUBLE)"),
+      LogregFeature("len",
+        nch / (lit(8.0) * (size(toks) + 1).cast("double")),
+        s"$nchSql / (8.0 * CAST(len($toksSql) + 1 AS DOUBLE))"),
+      LogregFeature("ensw",
+        TextAnalysis.languageScore(toks, "en"),
+        TextAnalysis.languageScoreSql(toksSql, "en")))
+  }
+}
+
+/** Adds `outputCol` = the TRAINED logistic score of every row. The fit
+  * runs once per input frame (single-slot identity cache — the k-means
+  * auto-bucket discipline) on the weak label `labelCol [== labelValue]`;
+  * scoring is a pure codegen'd projection with the d+1 quantized
+  * weights inlined as literals, so the enrich pass fuses into the
+  * stage's whole-stage codegen like any other refiner.
+  */
+final class LogregQualityRefiner(
+    textCol: String = "text",
+    idCol: String = "id",
+    labelCol: String = "label",
+    labelValue: Option[String] = None,
+    outputCol: String = "logreg_score",
+    lr: Double = 1.0,
+    iters: Int = 8,
+    fitSampleMod: Option[Int] = None) extends Refiner {
+
+  val name = "logreg_quality"
+
+  private val label: Column =
+    labelValue.fold(col(labelCol) === true)(v => col(labelCol) === v)
+
+  private[graft] val trainer = new LogisticRegression(
+    LogregQuality.docStatFeatures(textCol), label,
+    labelValue.fold(s"$labelCol = true")(v => s"$labelCol = '$v'"),
+    lr = lr, iters = iters, idCol = idCol, fitSampleMod = fitSampleMod)
+
+  /** Single-slot fit cache: one operator instance serves one stage,
+    * whose kept/rejected/marked flows all pass the same frame
+    * reference; a genuinely different frame refits. A stage runs in ONE
+    * mode (sequential or disposition), so caching by the outer frame is
+    * safe even though the two modes fit on different row sets.
+    */
+  @volatile private var cachedFit: (DataFrame, Array[Double]) = null
+  /** Test hook: number of fits this instance has run. */
+  private[graft] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def weightsFor(df: DataFrame, fitFrame: DataFrame): Array[Double] =
+    synchronized {
+      val c = cachedFit
+      if (c != null && (c._1 eq df)) c._2
+      else {
+        fitCount.incrementAndGet()
+        val w = trainer.fit(fitFrame).last
+        cachedFit = (df, w)
+        w
+      }
+    }
+
+  private def exprWith(w: Array[Double]): Column = {
+    val feats = LogregQuality.docStatFeatures(textCol)
+    val z = feats.zipWithIndex.foldLeft(lit(w(0)): Column) { case (acc, (f, j)) =>
+      acc + lit(w(j + 1)) * f.expr.cast("double")
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** The trained score as a plain Column over the raw frame (the
+    * filter's `keep` consumes this too — same fit, same expression).
+    */
+  private[graft] def scoreExpr(df: DataFrame): Column =
+    exprWith(weightsFor(df, df))
+
+  /** Disposition variant: the fit sees ALIVE rows only (a row rejected
+    * upstream never reached this operator in the sequential chain, so
+    * letting it into the training set would change the model — the
+    * alive-only fit discipline); scoring stays a total expression over
+    * every row, the chain's alive flag guards consumption.
+    */
+  private[graft] def scoreExprAlive(df: DataFrame, alive: Column): Column =
+    exprWith(weightsFor(df, df.filter(alive)))
+
+  def added(df: DataFrame): Seq[(String, Column)] =
+    Seq(outputCol -> scoreExpr(df))
+
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    df.withColumn(outputCol, scoreExprAlive(df, alive))
+}
+
+/** Keeps rows whose TRAINED score clears `threshold`; the complement
+  * routes through the standard rejected-sample capture. Fit shared
+  * with [[LogregQualityRefiner]] semantics via the same single-slot
+  * cache (apply / rejected / mark on one frame fit once).
+  */
+final class LogregQualityFilter(
+    textCol: String = "text",
+    idCol: String = "id",
+    labelCol: String = "label",
+    labelValue: Option[String] = None,
+    val threshold: Double = 0.5,
+    lr: Double = 1.0,
+    iters: Int = 8,
+    fitSampleMod: Option[Int] = None) extends graft.core.RejectingOperator {
+
+  val name = "logreg_quality_filter"
+
+  private[graft] val refiner = new LogregQualityRefiner(
+    textCol, idCol, labelCol, labelValue, "_lgq_score", lr, iters, fitSampleMod)
+
+  def apply(df: DataFrame): DataFrame =
+    df.filter(refiner.scoreExpr(df) >= threshold)
+
+  def rejected(df: DataFrame): DataFrame =
+    df.filter(!(refiner.scoreExpr(df) >= threshold))
+      .withColumn(graft.core.Rejection.ColName, graft.core.Rejection.filtered(name))
+
+  def mark(df: DataFrame, alive: Column, tag: String): graft.core.Marked = {
+    val k = refiner.scoreExprAlive(df, alive) >= threshold
+    graft.core.Marked(df, k, !k, graft.core.Rejection.filtered(name))
+  }
+}

@@ -458,6 +458,28 @@ object OperatorRegistry {
       .map(graft.ml.ClassifierWeights.fromFile)
       .getOrElse(graft.ml.ClassifierWeights.deterministic(p.int("buckets", 1 << 12)))))
 
+  register("logreg_quality", p => new graft.operators.ml.LogregQualityRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    labelCol = p.str("label_field").getOrElse(
+      throw new IllegalArgumentException("logreg_quality requires label_field")),
+    labelValue = p.str("label_value"),
+    outputCol = p.str("output_field", "logreg_score"),
+    lr = p.double("learning_rate", 1.0),
+    iters = p.int("iterations", 8),
+    fitSampleMod = p.long("fit_sample_mod").map(_.toInt)))
+
+  register("logreg_quality_filter", p => new graft.operators.ml.LogregQualityFilter(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    labelCol = p.str("label_field").getOrElse(
+      throw new IllegalArgumentException("logreg_quality_filter requires label_field")),
+    labelValue = p.str("label_value"),
+    threshold = p.double("threshold", 0.5),
+    lr = p.double("learning_rate", 1.0),
+    iters = p.int("iterations", 8),
+    fitSampleMod = p.long("fit_sample_mod").map(_.toInt)))
+
   register("dsir_score", p => graft.operators.ml.DsirScoreRefiner.fromPath(
     path = p.str("target_path").getOrElse(
       throw new IllegalArgumentException("dsir_score requires target_path")),

@@ -113,6 +113,27 @@ class LogisticRegressionSpec extends AnyFunSuite {
     assert(margins.last <= all(10) + 1e-9)
   }
 
+  test("disposition mark fits on alive rows only — kept set matches the sequential chain") {
+    val docs = table("documents")
+    val alive = col("doc_id") % 3 =!= 0
+    def filter() = new graft.operators.ml.LogregQualityFilter(
+      textCol = "text", idCol = "doc_id", labelCol = "lang",
+      labelValue = Some("en"), threshold = 0.384)
+    // sequential: upstream already dropped the dead rows before the fit
+    val seq = filter()(docs.filter(alive))
+      .select("doc_id").as[Long].collect().toSet
+    // disposition: same frame, dead rows ride along under the alive flag
+    val m = filter().mark(docs, alive, "t")
+    val disp = m.df.filter(alive && m.stillAlive)
+      .select("doc_id").as[Long].collect().toSet
+    assert(seq == disp, s"sequential (${seq.size}) vs disposition (${disp.size})")
+    // negative control: an all-rows fit is a genuinely different model
+    // on this fixture (so the equality above is not vacuous)
+    val t = filter().refiner.trainer
+    assert(t.fit(docs).last.toSeq != t.fit(docs.filter(alive)).last.toSeq,
+      "the dead third must move the model for this pin to bite")
+  }
+
   test("fit runs one aggregate job per iteration over a persisted featurized frame") {
     val df = separable(200)
     val o = op(iters = 3)

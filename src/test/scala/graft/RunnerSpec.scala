@@ -1053,6 +1053,56 @@ class RunnerSpec extends AnyFunSuite {
         s"tuner-chosen nprobe=$nprobe (${want.size})")
   }
 
+  test("config-driven trained-quality filter equals the API path; one fit per stage; params plumb") {
+    val base = java.nio.file.Files.createTempDirectory("graft_logreg_cfg").toString
+    val conf = PipelineConf.fromYaml(
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {format: parquet, path: "/root/testdata/sf0.001/documents.parquet"}
+         |stages:
+         |  - name: quality
+         |    operators:
+         |      - name: logreg_quality_filter
+         |        params:
+         |          text_field: "text"
+         |          id_field: "doc_id"
+         |          label_field: "lang"
+         |          label_value: "en"
+         |          threshold: 0.384
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {output_path: "$base/out", table_name: "docs"}
+         |""".stripMargin)
+    val res = PipelineRunner.run(spark, conf)
+    assert(res.run.output > 0 && res.run.output < res.run.input,
+      "the threshold must split the fixture")
+    val got = spark.read.parquet(s"$base/out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = new graft.operators.ml.LogregQualityFilter(
+        textCol = "text", idCol = "doc_id", labelCol = "lang",
+        labelValue = Some("en"), threshold = 0.384)(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"config-driven kept (${got.size}) must equal the API path (${want.size})")
+    // apply + rejected over ONE frame share one fit (the single-slot cache)
+    val f2 = new graft.operators.ml.LogregQualityFilter(
+      textCol = "text", idCol = "doc_id", labelCol = "lang",
+      labelValue = Some("en"), threshold = 0.384)
+    assert(f2(docs).count() + f2.rejected(docs).count() == docs.count())
+    assert(f2.refiner.fitCount.get() == 1, "apply+rejected must share one fit")
+    // trainer knobs pinned on the registry-built operator — output
+    // equality alone can't catch a dropped learning_rate/fit_sample_mod
+    val built = graft.runner.OperatorRegistry.create("logreg_quality_filter",
+      graft.runner.Params(Map("text_field" -> "text", "id_field" -> "doc_id",
+        "label_field" -> "lang", "label_value" -> "en", "threshold" -> 0.41,
+        "learning_rate" -> 0.5, "iterations" -> 4, "fit_sample_mod" -> 2)))
+      .asInstanceOf[graft.operators.ml.LogregQualityFilter]
+    assert(built.threshold == 0.41)
+    assert(built.refiner.trainer.lr == 0.5 && built.refiner.trainer.iters == 4 &&
+      built.refiner.trainer.fitSampleMod.contains(2))
+  }
+
   test("config-driven OPH minhash dedup equals the API path (the shipped stack's scheme)") {
     // the shipped curation stack ships signature_scheme: oph (r18);
     // this pins the YAML plumbing — a config-driven OPH run keeps
