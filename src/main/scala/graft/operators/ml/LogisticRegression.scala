@@ -156,16 +156,21 @@ final class LogisticRegression(
 
   // ---- DuckDB twins: a from-scratch refit as chained-CTE unroll ----
 
+  private def hashSql: String =
+    HashFunctions.portableHash64Sql(s"CAST($idCol AS VARCHAR)")
+
   /** Feature CTE over `fromSql` rows (twin of [[featurized]]);
-    * `sampled` adds the fit-sample predicate.
+    * `sampled` adds the fit-sample predicate, `extraWhere` an arbitrary
+    * one (the holdout split).
     */
-  private def featsCte(cteName: String, fromSql: String, sampled: Boolean): String = {
+  private def featsCte(cteName: String, fromSql: String, sampled: Boolean,
+      extraWhere: Option[String] = None): String = {
     val xs = features.zipWithIndex.map { case (f, j) =>
       s"CAST(${f.sql} AS DOUBLE) AS x${j + 1}" }.mkString(",\n|    ")
-    val where = if (sampled)
-      fitSampleMod.fold("")(m =>
-        s"\n|  WHERE ${HashFunctions.portableHash64Sql(s"CAST($idCol AS VARCHAR)")} % $m = 0")
-    else ""
+    val preds =
+      (if (sampled) fitSampleMod.map(m => s"$hashSql % $m = 0").toSeq else Nil) ++
+        extraWhere.toSeq
+    val where = if (preds.isEmpty) "" else s"\n|  WHERE ${preds.mkString(" AND ")}"
     // MATERIALIZED: the iteration chain references each level several
     // times (cross join + the empty-input ELSE subqueries) — inlined
     // CTEs would re-expand the scan/tokenize tree exponentially.
@@ -235,6 +240,38 @@ final class LogisticRegression(
   /** Twin of the AUC eval over [[scored]] output. */
   def aucSql(fromSql: String): String =
     BinaryAuc.sql("score", "y = 1.0", s"(\n${scoredSql(fromSql)}\n)")
+
+  // ---- holdout split: fit on hash%mod != 0, evaluate on == 0 ----
+
+  /** `(idCol, score, y)` over the HELD-OUT 1-in-mod slice, scored by a
+    * model fitted on the complement — the honest generalization eval
+    * (the in-sample AUC gate rewards memorization at small n). The
+    * split is the deterministic portable hash, so it is replay-stable
+    * and engine-independent.
+    */
+  def holdoutScored(df: DataFrame, mod: Int): DataFrame = {
+    require(mod >= 2, "holdout: mod >= 2 (1 would leave no training rows)")
+    val h = HashFunctions.portableHash64(col(idCol))
+    val w = fit(df.filter(h % mod =!= 0L)).last
+    scoredWith(df.filter(h % mod === 0L), w)
+  }
+
+  /** Rank-sum AUC of [[holdoutScored]]. */
+  def holdoutAuc(df: DataFrame, mod: Int): DataFrame =
+    BinaryAuc.auc(holdoutScored(df, mod), col("score"), col("y") === 1.0)
+
+  private def holdoutScoredSql(fromSql: String, mod: Int): String =
+    s"""WITH ${featsCte("_lgf", fromSql, sampled = true,
+          extraWhere = Some(s"$hashSql % $mod <> 0"))},
+       |${iterCtes("_lgf")},
+       |${featsCte("_lgs", fromSql, sampled = false,
+          extraWhere = Some(s"$hashSql % $mod = 0"))}
+       |SELECT $idCol, round($sigSql, 6) AS score, y
+       |FROM _lgs, _lg_it$iters""".stripMargin
+
+  /** Twin of [[holdoutAuc]]. */
+  def holdoutAucSql(fromSql: String, mod: Int): String =
+    BinaryAuc.sql("score", "y = 1.0", s"(\n${holdoutScoredSql(fromSql, mod)}\n)")
 
   /** Twin of [[marginSample]]. */
   def marginSampleSql(fromSql: String, k: Int): String =

@@ -112,6 +112,12 @@ object ClassifierQueries {
       },
       Some(lrOp.aucSql(lrFromSql))),
 
+    OracleQuery("logreg_holdout_auc",
+      // the honest eval: fit on hash%4 != 0, rank-sum AUC on the
+      // held-out quarter (in-sample AUC rewards memorization at small n)
+      (s, dir) => lrOp.holdoutAuc(lrInput(s, dir), 4),
+      Some(lrOp.holdoutAucSql(lrFromSql, 4))),
+
     OracleQuery("logreg_margin_sample",
       // active-learning batch: the 50 docs nearest the decision
       // boundary (argmin-k on the quantized margin; ties by doc_id)

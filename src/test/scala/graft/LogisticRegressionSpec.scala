@@ -113,6 +113,23 @@ class LogisticRegressionSpec extends AnyFunSuite {
     assert(margins.last <= all(10) + 1e-9)
   }
 
+  test("holdout eval: scores only the held-out slice with a complement-fitted model") {
+    val df = separable(400)
+    val o = op(lr = 2.0, iters = 12)
+    val h = graft.functions.HashFunctions.portableHash64(col("doc_id"))
+    val scored = o.holdoutScored(df, 4)
+    val heldIds = df.filter(h % 4 === 0L).select("doc_id").as[Long].collect().toSet
+    assert(scored.select("doc_id").as[Long].collect().toSet == heldIds)
+    // the complement-fitted weights are exactly a manual fit on != 0
+    val manual = o.scoredWith(df.filter(h % 4 === 0L),
+      o.fit(df.filter(h % 4 =!= 0L)).last)
+    assert(scored.orderBy("doc_id").collect().toSeq ==
+      manual.orderBy("doc_id").collect().toSeq)
+    // separable data generalizes: held-out AUC is 1
+    val auc = o.holdoutAuc(df, 4).head()
+    assert(auc.getDouble(0) == 1.0, s"held-out AUC: $auc")
+  }
+
   test("disposition mark fits on alive rows only — kept set matches the sequential chain") {
     val docs = table("documents")
     val alive = col("doc_id") % 3 =!= 0
