@@ -112,6 +112,16 @@ object ClassifierQueries {
       },
       Some(lrOp.aucSql(lrFromSql))),
 
+    OracleQuery("logreg_threshold_operating_point",
+      // the decision-threshold tuner: exact-integer confusion counts at
+      // every distinct score level, chosen = max F1 (ties → smallest
+      // threshold); the chosen row MOVES with the corpus like every
+      // other operating-point report
+      (s, dir) => graft.operators.ml.ScoreThresholds.table(
+        lrOp.scored(lrInput(s, dir)), col("score"), col("y") === 1.0),
+      Some(graft.operators.ml.ScoreThresholds.sql(
+        "score", "y = 1.0", s"(\n${lrOp.scoredSql(lrFromSql)}\n)"))),
+
     OracleQuery("logreg_holdout_auc",
       // the honest eval: fit on hash%4 != 0, rank-sum AUC on the
       // held-out quarter (in-sample AUC rewards memorization at small n)
