@@ -83,7 +83,30 @@ object ClassifierQueries {
     lrFeatures, col("lang") === "en", "lang = 'en'", lr = 1.0, iters = 8,
     fitSampleMod = Some(4))
 
+  // the generative counterpart: multinomial NB over hashed token
+  // buckets — training is pure exact-integer counting, so the MODEL
+  // TABLE itself is a hash-exact gate
+  private val nbOp = new graft.operators.ml.NaiveBayes(
+    "text", "doc_id", col("lang") === "en", "lang = 'en'",
+    buckets = 4096, alpha = 1.0)
+
   val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("nb_model_counts",
+      // the fitted model: per-bucket occurrence counts per class,
+      // exact integers end to end (one explode + one bounded-key agg)
+      (s, dir) => nbOp.modelCounts(Tables(s, dir, "documents")),
+      Some(nbOp.modelSql("documents"))),
+
+    OracleQuery("nb_score",
+      // add-α smoothed log-odds per doc, scored by a broadcast join
+      // against the ≤4096-row model
+      (s, dir) => nbOp.score(Tables(s, dir, "documents")),
+      Some(nbOp.scoreSql("documents"))),
+
+    OracleQuery("nb_auc",
+      (s, dir) => nbOp.auc(Tables(s, dir, "documents")),
+      Some(nbOp.aucSql("documents"))),
 
     OracleQuery("logreg_train",
       // full-batch GD trajectory, model quantized to the 1e-6 grid per
