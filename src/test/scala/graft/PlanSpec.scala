@@ -14,6 +14,7 @@ class PlanSpec extends AnyFunSuite {
   private val byName = (Relational.queries ++ NearDup.queries ++
     graft.queries.ModelStatsQueries.queries ++
     graft.queries.DriftQueries.queries ++
+    graft.queries.ClassifierQueries.queries ++
     graft.queries.CorpusStatsQueries.queries).map(q => q.name -> q).toMap
   private def plan(name: String): String = planOf(byName(name).run(spark, sfDir))
   private def fmtPlan(name: String): String = planFormatted(byName(name).run(spark, sfDir))
@@ -927,6 +928,40 @@ class PlanSpec extends AnyFunSuite {
       .map(i => System.identityHashCode(i.relation.cacheBuilder)).distinct
     assert(distinctCaches.size <= 2,
       s"one db + one cb cache only, got ${distinctCaches.size}:\n$top")
+  }
+
+  test("logreg scoring is a pure literal-weight projection — no shuffle, no join, no window") {
+    // the trained model rides as d+1 inlined literals; only the gate's
+    // final orderBy may exchange (range partitioning)
+    val p = plan("logreg_score")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("nb scoring: doc rows meet the model via broadcast — never a sort-merge join") {
+    val p = plan("nb_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    // totals are a one-row identity broadcast, not a collected literal
+    assert(p.contains("IdentityBroadcastMode"), p)
+  }
+
+  test("threshold table: level running sums partition by the range pid, never the level table") {
+    // the ks_statistic discipline: scores are 1e-6-quantized so the
+    // level table is grid-bounded, but the running sums still ride the
+    // two-level decomposition — the only unpartitioned window is the
+    // offsets one (one row per range partition)
+    val p = plan("logreg_threshold_operating_point")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    val levelWindows = windows.filter(w => w.contains("_s#"))
+    assert(levelWindows.nonEmpty, s"expected score-level slice windows:\n$p")
+    levelWindows.foreach(w => assert(w.contains("windowspecdefinition(_pid"),
+      s"level-table window must partition by the range partition id: $w"))
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("NO gate query plans a CartesianProduct — the whole-surface scale audit") {
