@@ -22,6 +22,86 @@ object LogregQuality {
     * against the same raw column, so registry-built operators stay
     * oracle-expressible.
     */
+  /** The trained-score projection over a raw text column with the d+1
+    * quantized weights inlined as literals — the shared scoring shape
+    * of the refiner, the filter, and the frozen streaming scorer.
+    */
+  def scoreExprWith(textCol: String, w: Array[Double]): Column = {
+    val feats = docStatFeatures(textCol)
+    require(w.length == feats.size + 1,
+      s"logreg_quality: ${feats.size + 1} weights expected, got ${w.length}")
+    val z = feats.zipWithIndex.foldLeft(lit(w(0)): Column) { case (acc, (f, j)) =>
+      acc + lit(w(j + 1)) * f.expr.cast("double")
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  // ---- frozen snapshots: train offline, score the stream ----
+
+  /** Write trained weights as versioned snapshot `modelDir/v<version>`:
+    * a `_BASIS` marker (the feature-basis names — written FIRST, the
+    * marker-first discipline: a crash mid-freeze leaves an unadoptable
+    * dir, never a complete-looking one under the wrong basis) then the
+    * one-row-per-slot weights table whose `_SUCCESS` gates adoption.
+    */
+  def freeze(corpus: DataFrame, weights: Array[Double], textCol: String,
+      modelDir: String, version: Long): String = {
+    val spark = corpus.sparkSession
+    val names = "bias" +: docStatFeatures(textCol).map(_.name)
+    require(weights.length == names.length,
+      s"freeze: ${names.length} weights expected, got ${weights.length}")
+    val dir = s"$modelDir/v$version"
+    val marker = new org.apache.hadoop.fs.Path(dir, "_BASIS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write(names.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    import spark.implicits._
+    weights.toSeq.zipWithIndex
+      .map { case (w, slot) => (slot, names(slot), w) }
+      .toDF("slot", "name", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+    dir
+  }
+
+  /** Adopt the highest-versioned COMPLETE snapshot whose basis matches
+    * the current feature set: weights/_SUCCESS present AND the `_BASIS`
+    * marker equals the expected names (markerless dirs are refused —
+    * this surface never shipped without the marker, so there is no
+    * back-compat window to honor). Returns the weight vector,
+    * slot-ordered.
+    */
+  def latestFrozen(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, textCol: String): Option[Array[Double]] = {
+    val expected = ("bias" +: docStatFeatures(textCol).map(_.name)).mkString(",")
+    val root = new org.apache.hadoop.fs.Path(modelDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap { d =>
+        val n = d.getName
+        if (n.length > 1 && n.head == 'v' && n.drop(1).forall(_.isDigit))
+          Some((n.drop(1).toLong, d))
+        else None
+      }
+      .filter { case (_, d) =>
+        fs.exists(new org.apache.hadoop.fs.Path(d, "weights/_SUCCESS")) && {
+          val m = new org.apache.hadoop.fs.Path(d, "_BASIS")
+          fs.exists(m) && {
+            val in = fs.open(m)
+            val got = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+            got == expected
+          }
+        }
+      }
+      .sortBy(-_._1).headOption.map { case (_, d) =>
+        spark.read.parquet(s"$d/weights").orderBy("slot")
+          .select("w").collect().map(_.getDouble(0))
+      }
+  }
+
   def docStatFeatures(textCol: String): Seq[LogregFeature] = {
     val toks = TextFunctions.tokensOf(col(textCol))
     val toksSql = TextFunctions.tokensOfSql(textCol)
@@ -93,13 +173,8 @@ final class LogregQualityRefiner(
       }
     }
 
-  private def exprWith(w: Array[Double]): Column = {
-    val feats = LogregQuality.docStatFeatures(textCol)
-    val z = feats.zipWithIndex.foldLeft(lit(w(0)): Column) { case (acc, (f, j)) =>
-      acc + lit(w(j + 1)) * f.expr.cast("double")
-    }
-    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
-  }
+  private def exprWith(w: Array[Double]): Column =
+    LogregQuality.scoreExprWith(textCol, w)
 
   /** The trained score as a plain Column over the raw frame (the
     * filter's `keep` consumes this too — same fit, same expression).

@@ -151,6 +151,53 @@ class LogisticRegressionSpec extends AnyFunSuite {
       "the dead third must move the model for this pin to bite")
   }
 
+  test("frozen snapshot: train offline, score the stream — stream equals batch; guards bite") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = table("documents")
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_lgq_model").toString
+    val f = new graft.operators.ml.LogregQualityFilter(
+      textCol = "text", idCol = "doc_id", labelCol = "lang",
+      labelValue = Some("en"), threshold = 0.384)
+    val w = f.refiner.trainer.fit(docs).last
+    // an INCOMPLETE snapshot (marker, no committed weights) is refused
+    val half = s"$modelDir/v9"
+    val fs = new org.apache.hadoop.fs.Path(half)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(half))
+    val m = fs.create(new org.apache.hadoop.fs.Path(half, "_BASIS"), true)
+    m.write("bias,tok,uniq,len,ensw".getBytes); m.close()
+    assert(graft.operators.ml.LogregQuality.latestFrozen(spark, modelDir, "text").isEmpty)
+    // freeze v1, then a basis-mismatched v2 — adoption picks v1, not the
+    // higher version under the wrong basis, and not the incomplete v9
+    graft.operators.ml.LogregQuality.freeze(docs, w, "text", modelDir, 1L)
+    val bad = graft.operators.ml.LogregQuality.freeze(docs, w, "text", modelDir, 2L)
+    val bm = fs.create(new org.apache.hadoop.fs.Path(bad, "_BASIS"), true)
+    bm.write("bias,other".getBytes); bm.close()
+    val adopted = graft.operators.ml.LogregQuality.latestFrozen(spark, modelDir, "text")
+    assert(adopted.exists(_.sameElements(w)), s"must adopt v1: $adopted")
+    // stream scoring under the frozen model == batch scoring
+    val mem = MemoryStream[(Long, String)]
+    val scoredStream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("score",
+        graft.operators.ml.LogregQuality.scoreExprWith("text", adopted.get))
+    val q = scoredStream.writeStream.format("memory")
+      .queryName("lgq_stream").outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(rows.take(200).toSeq); q.processAllAvailable()
+      mem.addData(rows.drop(200).toSeq); q.processAllAvailable()
+      val got = spark.table("lgq_stream")
+        .select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // the batch path: the refiner's trainer scores the same raw frame
+      val wantMap = f.refiner.trainer.scoredWith(docs, w)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == rows.length && got == wantMap)
+    } finally q.stop()
+  }
+
   test("fit runs one aggregate job per iteration over a persisted featurized frame") {
     val df = separable(200)
     val o = op(iters = 3)
