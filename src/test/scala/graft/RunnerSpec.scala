@@ -1053,6 +1053,32 @@ class RunnerSpec extends AnyFunSuite {
         s"tuner-chosen nprobe=$nprobe (${want.size})")
   }
 
+  test("shipped trained-quality config: fits on the length-surviving corpus, rejects routed") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    Seq("/tmp/graft_trained_quality_out", "/tmp/graft_trained_quality_out_rejected")
+      .foreach(p => rm(new java.io.File(p)))
+    val res = PipelineRunner.run(spark,
+      PipelineConf.fromYamlFile("configs/example_trained_quality.yaml"))
+    assert(res.run.output > 0 && res.run.output < res.run.input,
+      "the trained threshold must split the fixture")
+    val got = spark.read.parquet("/tmp/graft_trained_quality_out/documents_curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the API path: the filter must FIT on the length-surviving frame
+    // (the stage's sequential semantics), not the raw corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lengthKept = new graft.operators.text.TextLengthFilter(
+      minLength = 100, maxLength = None, textCol = "text",
+      lengthCol = Some("n_chars"))(docs)
+    val want = new graft.operators.ml.LogregQualityFilter(
+        textCol = "text", idCol = "doc_id", labelCol = "lang",
+        labelValue = Some("en"), threshold = 0.384)(lengthKept)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"config-driven kept (${got.size}) must equal the staged API run (${want.size})")
+  }
+
   test("config-driven trained-quality filter equals the API path; one fit per stage; params plumb") {
     val base = java.nio.file.Files.createTempDirectory("graft_logreg_cfg").toString
     val conf = PipelineConf.fromYaml(
