@@ -90,7 +90,23 @@ object ClassifierQueries {
     "text", "doc_id", col("lang") === "en", "lang = 'en'",
     buckets = 4096, alpha = 1.0)
 
+  // prototype-based multiclass: nearest-centroid over embeddings (the
+  // third classifier family — exact scaled-integer fit, exact confusion)
+  private val nccOp = new graft.operators.ml.NearestCentroidClassifier(
+    "embedding", "vec_id", "label", dims = 64, holdoutMod = 4)
+
   val queries: Seq[OracleQuery] = Seq(
+
+    OracleQuery("centroid_classifier_confusion",
+      // fit per-class mean prototypes on hash%4 != 0, classify the
+      // held-out quarter, exact-integer confusion matrix; the twin
+      // refits the prototypes from scratch
+      (s, dir) => nccOp.confusion(Tables(s, dir, "embeddings")),
+      Some(nccOp.confusionSql("embeddings"))),
+
+    OracleQuery("centroid_classifier_accuracy",
+      (s, dir) => nccOp.accuracy(Tables(s, dir, "embeddings")),
+      Some(nccOp.accuracySql("embeddings"))),
 
     OracleQuery("nb_model_counts",
       // the fitted model: per-bucket occurrence counts per class,
