@@ -95,8 +95,15 @@ final class LogisticRegression(
       (1 to iters).map { _ =>
         val resid = col("_y") - sigmoid(zOf(w))
         val n = count(lit(1))
+        // coalesce: a row whose features are all null contributes a null
+        // resid, which sum() skips while count() still sees the row — an
+        // ALL-null corpus would make the sum itself null. Treat it as a
+        // zero gradient (weights stay put) in BOTH engines rather than
+        // letting Row.getDouble silently read null as 0.0 here while the
+        // twin propagates NULL weights.
         def upd(old: Double, g: Column): Column =
-          when(n > 0L, round(lit(old) + lit(lr) * g / n.cast("double"), 6))
+          when(n > 0L,
+            round(lit(old) + lit(lr) * coalesce(g, lit(0.0)) / n.cast("double"), 6))
             .otherwise(lit(old))
         val aggs = upd(w(0), sum(resid)).as("b") +:
           features.indices.map(j =>
@@ -196,7 +203,7 @@ final class LogisticRegression(
       val cols = (0 to d).map { j =>
         val g = if (j == 0) s"sum(y - $sigSql)" else s"sum(x$j * (y - $sigSql))"
         s"""CASE WHEN count(*) > 0
-           |      THEN round(any_value(${wn(j)}) + ${dl(lr)} * $g / CAST(count(*) AS DOUBLE), 6)
+           |      THEN round(any_value(${wn(j)}) + ${dl(lr)} * coalesce($g, 0.0) / CAST(count(*) AS DOUBLE), 6)
            |      ELSE (SELECT ${wn(j)} FROM $prev) END AS ${wn(j)}""".stripMargin
       }.mkString(",\n|    ")
       s"""_lg_it$t AS MATERIALIZED (SELECT $cols

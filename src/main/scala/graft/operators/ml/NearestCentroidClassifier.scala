@@ -56,15 +56,25 @@ final class NearestCentroidClassifier(
     val means = (1 to dims).map(i =>
       round(col(s"_s$i").cast("double") / (col("_n").cast("double") * lit(scale)), 6)
         .as(s"_c$i"))
-    df.filter(hash % holdoutMod =!= 0L)
+    val rows = df.filter(hash % holdoutMod =!= 0L)
       .groupBy(col(labelCol).cast("long").as("_lab"))
       .agg(count(lit(1)).as("_n"), sums: _*)
       .select(col("_lab") +: means: _*)
       .orderBy(col("_lab"))
+      // the collect is bounded by the CLASS count, not the data — but a
+      // misconfigured labelCol (an id column) would make it data-sized;
+      // fail loudly past any plausible class cardinality instead
+      .limit(maxClasses + 1)
       .collect()
-      .map(r => r.getLong(0) -> (1 to dims).map(i => r.getDouble(i)).toSeq)
+    require(rows.length <= maxClasses,
+      s"ncc: more than $maxClasses distinct labels in '$labelCol' — " +
+        "is this really a class column?")
+    rows.map(r => r.getLong(0) -> (1 to dims).map(i => r.getDouble(i)).toSeq)
       .toSeq
   }
+
+  /** Prototype-table bound: the fit collects one row per class. */
+  private val maxClasses = 10000
 
   /** Held-out rows with `(idCol, label, pred_label)` — classification
     * is a pure projection against the fitted prototypes.
