@@ -91,9 +91,15 @@ final class NaiveBayes(
     * priors `ln(d⁺+1) − ln(d⁻+1)` (add-one: a single-class corpus
     * stays finite).
     */
-  def scored(df: DataFrame): DataFrame = {
-    val model = modelCounts(df)
-    val db = docBuckets(df)
+  def scored(df: DataFrame): DataFrame = scoredOn(df, df)
+
+  /** Fit on `fitDf`, score every row of `scoreDf` (the
+    * train-here/score-there split the registry refiner needs for
+    * alive-only disposition fits).
+    */
+  def scoredOn(fitDf: DataFrame, scoreDf: DataFrame): DataFrame = {
+    val model = modelCounts(fitDf)
+    val db = docBuckets(scoreDf)
       .join(broadcast(model), col("_b") === col("bucket"), "left_outer")
     val aD = lit(alpha * buckets)
     val term = col("_n").cast("double") *
@@ -103,7 +109,7 @@ final class NaiveBayes(
         log(col("_tneg").cast("double") + aD)))
     val prior = log(col("_dpos").cast("double") + lit(1.0)) -
       log(col("_dneg").cast("double") + lit(1.0))
-    db.crossJoin(broadcast(totals(df)))
+    db.crossJoin(broadcast(totals(fitDf)))
       .groupBy(col(idCol), col("_y"), col("_dpos"), col("_dneg"))
       .agg(sum(when(col("_b").isNotNull, term).otherwise(lit(0.0))).as("_s"))
       .select(col(idCol),
@@ -183,4 +189,47 @@ final class NaiveBayes(
   /** Twin of [[auc]]. */
   def aucSql(fromSql: String): String =
     BinaryAuc.sql("score", "y = 1.0", s"(\n${scoredSql(fromSql)}\n)")
+}
+
+/** Registry face: adds `outputCol` = the NB log-odds of every row,
+  * fitted on the incoming frame against the weak label (the
+  * [[LogregQualityRefiner]] contract for the generative family). One
+  * fit per frame via the single-slot cache; in disposition mode the fit
+  * sees alive rows only. The fitted model rides as a broadcast join,
+  * so unlike the logreg refiner this enrich is a join + per-doc
+  * aggregate, not a pure projection — [[added]] is therefore not
+  * expressible and the operator implements [[graft.core.Operator]]
+  * directly (the output column joins back on `idCol`).
+  */
+final class NbQualityRefiner(
+    textCol: String = "text",
+    idCol: String = "id",
+    labelCol: String = "label",
+    labelValue: Option[String] = None,
+    outputCol: String = "nb_score",
+    buckets: Int = 4096,
+    alpha: Double = 1.0) extends graft.core.Operator {
+
+  val name = "nb_quality"
+
+  private val label: Column =
+    labelValue.fold(col(labelCol) === true)(v => col(labelCol) === v)
+
+  private[graft] val trainer = new NaiveBayes(
+    textCol, idCol, label,
+    labelValue.fold(s"$labelCol = true")(v => s"$labelCol = '$v'"),
+    buckets = buckets, alpha = alpha)
+
+  private def scoresOf(fitFrame: DataFrame, scoreFrame: DataFrame): DataFrame =
+    // fit on fitFrame, score scoreFrame: NaiveBayes.scored fits and
+    // scores the same frame; split the two by scoring through the
+    // fitted model pieces directly
+    trainer.scoredOn(fitFrame, scoreFrame)
+      .select(col(idCol), col("score").as(outputCol))
+
+  def apply(df: DataFrame): DataFrame =
+    df.join(scoresOf(df, df), Seq(idCol), "left_outer")
+
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    df.join(scoresOf(df.filter(alive), df), Seq(idCol), "left_outer")
 }

@@ -480,6 +480,16 @@ object OperatorRegistry {
     iters = p.int("iterations", 8),
     fitSampleMod = p.long("fit_sample_mod").map(_.toInt)))
 
+  register("nb_quality", p => new graft.operators.ml.NbQualityRefiner(
+    textCol = p.str("text_field", "text"),
+    idCol = p.str("id_field", "id"),
+    labelCol = p.str("label_field").getOrElse(
+      throw new IllegalArgumentException("nb_quality requires label_field")),
+    labelValue = p.str("label_value"),
+    outputCol = p.str("output_field", "nb_score"),
+    buckets = p.int("buckets", 1 << 12),
+    alpha = p.double("alpha", 1.0)))
+
   register("dsir_score", p => graft.operators.ml.DsirScoreRefiner.fromPath(
     path = p.str("target_path").getOrElse(
       throw new IllegalArgumentException("dsir_score requires target_path")),

@@ -66,6 +66,31 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(s.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("registry refiner: config==API scores; disposition fit sees alive rows only") {
+    val docs = table("documents")
+    val built = graft.runner.OperatorRegistry.create("nb_quality",
+      graft.runner.Params(Map("text_field" -> "text", "id_field" -> "doc_id",
+        "label_field" -> "lang", "label_value" -> "en")))
+      .asInstanceOf[graft.operators.ml.NbQualityRefiner]
+    val viaOp = built(docs).select("doc_id", "nb_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = new graft.operators.ml.NaiveBayes(
+        "text", "doc_id", col("lang") === "en", "lang = 'en'")
+      .scored(docs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaOp == direct)
+    // disposition: the gated fit must equal a sequential fit on the
+    // alive subset (scores compared on the alive rows)
+    val alive = col("doc_id") % 3 =!= 0
+    val gated = built.applyGated(docs, alive)
+      .filter(alive).select("doc_id", "nb_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val seq = built(docs.filter(alive)).select("doc_id", "nb_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gated == seq)
+    // negative control: the all-rows fit differs on this fixture
+    assert(gated != viaOp.filter { case (k, _) => k % 3 != 0 })
+  }
+
   test("bucket collisions degrade gracefully (tiny bucket count still scores every doc)") {
     val docs = table("documents").withColumn("label", col("lang") === "en")
     val o = op(buckets = 8)
