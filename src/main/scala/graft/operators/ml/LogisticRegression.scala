@@ -46,12 +46,22 @@ final class LogisticRegression(
     val lr: Double = 1.0,
     val iters: Int = 8,
     val idCol: String = "doc_id",
-    val fitSampleMod: Option[Int] = None) {
+    val fitSampleMod: Option[Int] = None,
+    val posWeight: Double = 1.0,
+    val l2: Double = 0.0) {
 
   require(features.nonEmpty, "logreg: at least one feature")
   require(iters >= 1 && iters <= 64, "logreg: 1..64 iterations")
   require(lr > 0.0, "logreg: positive learning rate")
+  require(posWeight > 0.0, "logreg: positive pos_weight")
+  require(l2 >= 0.0, "logreg: non-negative l2")
   fitSampleMod.foreach(m => require(m >= 1, "logreg: fit_sample_mod >= 1"))
+
+  /** The weighted/regularized paths only engage off their defaults, so
+    * the default trainer's arithmetic (and every existing gate hash)
+    * stays byte-identical.
+    */
+  private val weighted = posWeight != 1.0
 
   val name = "logistic_regression"
   private val d = features.size
@@ -93,21 +103,34 @@ final class LogisticRegression(
     try {
       var w = Array.fill(d + 1)(0.0)
       (1 to iters).map { _ =>
-        val resid = col("_y") - sigmoid(zOf(w))
+        val resid0 = col("_y") - sigmoid(zOf(w))
+        // pos_weight: the standard imbalanced-weak-label lever — each
+        // positive example counts pos_weight times in BOTH the gradient
+        // and the normalizer (sum of example weights)
+        val resid = if (weighted)
+          when(col("_y") === 1.0, lit(posWeight)).otherwise(lit(1.0)) * resid0
+        else resid0
         val n = count(lit(1))
+        val norm: Column = if (weighted)
+          sum(when(col("_y") === 1.0, lit(posWeight)).otherwise(lit(1.0)))
+        else n.cast("double")
         // coalesce: a row whose features are all null contributes a null
         // resid, which sum() skips while count() still sees the row — an
         // ALL-null corpus would make the sum itself null. Treat it as a
         // zero gradient (weights stay put) in BOTH engines rather than
         // letting Row.getDouble silently read null as 0.0 here while the
         // twin propagates NULL weights.
-        def upd(old: Double, g: Column): Column =
-          when(n > 0L,
-            round(lit(old) + lit(lr) * coalesce(g, lit(0.0)) / n.cast("double"), 6))
-            .otherwise(lit(old))
-        val aggs = upd(w(0), sum(resid)).as("b") +:
+        def upd(old: Double, g: Column, reg: Boolean): Column = {
+          val step =
+            if (l2 != 0.0 && reg)
+              lit(lr) * (coalesce(g, lit(0.0)) / norm - lit(l2) * lit(old))
+            else lit(lr) * coalesce(g, lit(0.0)) / norm
+          when(n > 0L, round(lit(old) + step, 6)).otherwise(lit(old))
+        }
+        // bias stays unregularized (standard)
+        val aggs = upd(w(0), sum(resid), reg = false).as("b") +:
           features.indices.map(j =>
-            upd(w(j + 1), sum(col(s"_x${j + 1}") * resid)).as(s"w${j + 1}"))
+            upd(w(j + 1), sum(col(s"_x${j + 1}") * resid), reg = true).as(s"w${j + 1}"))
         val row = fr.agg(aggs.head, aggs.tail: _*).head()
         w = Array.tabulate(d + 1)(row.getDouble)
         w.clone()
@@ -200,10 +223,20 @@ final class LogisticRegression(
     val it0 = s"_lg_it0 AS MATERIALIZED (SELECT ${(0 to d).map(j => s"0.0 AS ${wn(j)}").mkString(", ")})"
     val steps = (1 to iters).map { t =>
       val prev = s"_lg_it${t - 1}"
+      val residSql =
+        if (weighted) s"CASE WHEN y = 1.0 THEN ${dl(posWeight)} ELSE 1.0 END * (y - $sigSql)"
+        else s"y - $sigSql"
+      val normSql =
+        if (weighted) s"sum(CASE WHEN y = 1.0 THEN ${dl(posWeight)} ELSE 1.0 END)"
+        else "CAST(count(*) AS DOUBLE)"
       val cols = (0 to d).map { j =>
-        val g = if (j == 0) s"sum(y - $sigSql)" else s"sum(x$j * (y - $sigSql))"
+        val g = if (j == 0) s"sum($residSql)" else s"sum(x$j * ($residSql))"
+        val step =
+          if (l2 != 0.0 && j > 0)
+            s"${dl(lr)} * (coalesce($g, 0.0) / $normSql - ${dl(l2)} * any_value(${wn(j)}))"
+          else s"${dl(lr)} * coalesce($g, 0.0) / $normSql"
         s"""CASE WHEN count(*) > 0
-           |      THEN round(any_value(${wn(j)}) + ${dl(lr)} * coalesce($g, 0.0) / CAST(count(*) AS DOUBLE), 6)
+           |      THEN round(any_value(${wn(j)}) + $step, 6)
            |      ELSE (SELECT ${wn(j)} FROM $prev) END AS ${wn(j)}""".stripMargin
       }.mkString(",\n|    ")
       s"""_lg_it$t AS MATERIALIZED (SELECT $cols

@@ -15,13 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object LogregQuality {
 
-  /** The fixed doc-stat feature basis over a raw text column:
-    * token count / distinct-token ratio / mean token length / en
-    * stopword ratio. All fixed-shape rational arithmetic over integer
-    * counts except the (twin-proven) stopword kernel. SQL twins render
-    * against the same raw column, so registry-built operators stay
-    * oracle-expressible.
-    */
   /** The trained-score projection over a raw text column with the d+1
     * quantized weights inlined as literals — the shared scoring shape
     * of the refiner, the filter, and the frozen streaming scorer.
@@ -102,6 +95,13 @@ object LogregQuality {
       }
   }
 
+  /** The fixed doc-stat feature basis over a raw text column:
+    * token count / distinct-token ratio / mean token length / en
+    * stopword ratio. All fixed-shape rational arithmetic over integer
+    * counts except the (twin-proven) stopword kernel. SQL twins render
+    * against the same raw column, so registry-built operators stay
+    * oracle-expressible.
+    */
   def docStatFeatures(textCol: String): Seq[LogregFeature] = {
     val toks = TextFunctions.tokensOf(col(textCol))
     val toksSql = TextFunctions.tokensOfSql(textCol)
@@ -139,7 +139,9 @@ final class LogregQualityRefiner(
     outputCol: String = "logreg_score",
     lr: Double = 1.0,
     iters: Int = 8,
-    fitSampleMod: Option[Int] = None) extends Refiner {
+    fitSampleMod: Option[Int] = None,
+    posWeight: Double = 1.0,
+    l2: Double = 0.0) extends Refiner {
 
   val name = "logreg_quality"
 
@@ -149,7 +151,8 @@ final class LogregQualityRefiner(
   private[graft] val trainer = new LogisticRegression(
     LogregQuality.docStatFeatures(textCol), label,
     labelValue.fold(s"$labelCol = true")(v => s"$labelCol = '$v'"),
-    lr = lr, iters = iters, idCol = idCol, fitSampleMod = fitSampleMod)
+    lr = lr, iters = iters, idCol = idCol, fitSampleMod = fitSampleMod,
+    posWeight = posWeight, l2 = l2)
 
   /** Single-slot fit cache: one operator instance serves one stage,
     * whose kept/rejected/marked flows all pass the same frame
@@ -211,12 +214,15 @@ final class LogregQualityFilter(
     val threshold: Double = 0.5,
     lr: Double = 1.0,
     iters: Int = 8,
-    fitSampleMod: Option[Int] = None) extends graft.core.RejectingOperator {
+    fitSampleMod: Option[Int] = None,
+    posWeight: Double = 1.0,
+    l2: Double = 0.0) extends graft.core.RejectingOperator {
 
   val name = "logreg_quality_filter"
 
   private[graft] val refiner = new LogregQualityRefiner(
-    textCol, idCol, labelCol, labelValue, "_lgq_score", lr, iters, fitSampleMod)
+    textCol, idCol, labelCol, labelValue, "_lgq_score", lr, iters,
+    fitSampleMod, posWeight, l2)
 
   def apply(df: DataFrame): DataFrame =
     df.filter(refiner.scoreExpr(df) >= threshold)

@@ -136,6 +136,17 @@ object ClassifierQueries {
       (s, dir) => lrOp.score(lrInput(s, dir)).orderBy(col("doc_id")),
       Some(lrOp.scoreSql(lrFromSql))),
 
+    OracleQuery("logreg_weighted_train",
+      // the imbalanced-weak-label shape: positives count pos_weight=3
+      // in gradient AND normalizer, feature weights ride L2=0.05 decay
+      // (bias unregularized); same unrolled-CTE refit twin
+      (s, dir) => new LogisticRegression(
+        lrFeatures, col("lang") === "en", "lang = 'en'", lr = 1.0,
+        iters = 8, posWeight = 3.0, l2 = 0.05).train(lrInput(s, dir)),
+      Some(new LogisticRegression(
+        lrFeatures, col("lang") === "en", "lang = 'en'", lr = 1.0,
+        iters = 8, posWeight = 3.0, l2 = 0.05).trainSql(lrFromSql))),
+
     OracleQuery("logreg_sampled_fit",
       // the 100 TB shape: fit on the deterministic hash-mod-4 sample
       // (the k-means train_sample_mod discipline), score the FULL corpus

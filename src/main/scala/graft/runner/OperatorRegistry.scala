@@ -467,7 +467,9 @@ object OperatorRegistry {
     outputCol = p.str("output_field", "logreg_score"),
     lr = p.double("learning_rate", 1.0),
     iters = p.int("iterations", 8),
-    fitSampleMod = p.long("fit_sample_mod").map(_.toInt)))
+    fitSampleMod = p.long("fit_sample_mod").map(_.toInt),
+    posWeight = p.double("pos_weight", 1.0),
+    l2 = p.double("l2", 0.0)))
 
   register("logreg_quality_filter", p => new graft.operators.ml.LogregQualityFilter(
     textCol = p.str("text_field", "text"),
@@ -478,7 +480,9 @@ object OperatorRegistry {
     threshold = p.double("threshold", 0.5),
     lr = p.double("learning_rate", 1.0),
     iters = p.int("iterations", 8),
-    fitSampleMod = p.long("fit_sample_mod").map(_.toInt)))
+    fitSampleMod = p.long("fit_sample_mod").map(_.toInt),
+    posWeight = p.double("pos_weight", 1.0),
+    l2 = p.double("l2", 0.0)))
 
   register("nb_quality", p => new graft.operators.ml.NbQualityRefiner(
     textCol = p.str("text_field", "text"),

@@ -113,6 +113,51 @@ class LogisticRegressionSpec extends AnyFunSuite {
     assert(margins.last <= all(10) + 1e-9)
   }
 
+  test("pos_weight pulls the boundary toward the minority positives") {
+    // 10% positives, cleanly separable: the unweighted model underfits
+    // the minority at few iterations; pos_weight=9 balances the classes
+    val df = (0 until 300).map { i =>
+      val pos = i % 10 == 0
+      val fx = (if (pos) 1.0 else -1.0) * (0.3 + (i % 5) * 0.2)
+      (i.toLong, fx, 0.0, pos)
+    }.toDF("doc_id", "fx", "fy", "label")
+    def recallAt(pw: Double): Double = {
+      val o = new LogisticRegression(xyFeatures, col("label"), "label",
+        lr = 1.0, iters = 6, posWeight = pw)
+      val sc = o.scoredWith(df, o.fit(df).last)
+      val tp = sc.filter(col("y") === 1.0 && col("score") > 0.5).count().toDouble
+      tp / sc.filter(col("y") === 1.0).count()
+    }
+    val (r1, r9) = (recallAt(1.0), recallAt(9.0))
+    assert(r9 > r1, s"recall pw=9 ($r9) must beat pw=1 ($r1)")
+    assert(r9 == 1.0, s"balanced weighting must recover the minority: $r9")
+  }
+
+  test("l2 shrinks feature weights; the bias stays unregularized") {
+    val df = separable(300)
+    def wOf(l2: Double) = new LogisticRegression(xyFeatures, col("label"), "label",
+      lr = 2.0, iters = 16, l2 = l2).fit(df).last
+    val (w0, wReg) = (wOf(0.0), wOf(0.5))
+    assert(math.abs(wReg(1)) < math.abs(w0(1)),
+      s"l2 must shrink the fx weight: ${wReg(1)} vs ${w0(1)}")
+    // strong-but-stable regularization (lr·l2 = 1, decay factor 0:
+    // each iteration resets w_j to lr·g/n — GD needs lr·l2 < 2, same
+    // as any ridge step): feature weights pinned near zero while the
+    // UNregularized bias still drifts toward the base rate
+    val wBig = new LogisticRegression(xyFeatures, col("label"), "label",
+      lr = 0.1, iters = 16, l2 = 10.0).fit(df).last
+    assert(math.abs(wBig(1)) < 0.05 && math.abs(wBig(2)) < 0.05, wBig.mkString(","))
+    assert(wBig(0) != 0.0, "bias must stay free under feature-weight decay")
+  }
+
+  test("default knobs reproduce the unweighted trajectory bit-for-bit") {
+    val df = separable(200)
+    val a = op(lr = 1.0, iters = 6).fit(df)
+    val b = new LogisticRegression(xyFeatures, col("label"), "label",
+      lr = 1.0, iters = 6, posWeight = 1.0, l2 = 0.0).fit(df)
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
   test("holdout eval: scores only the held-out slice with a complement-fitted model") {
     val df = separable(400)
     val o = op(lr = 2.0, iters = 12)

@@ -1122,11 +1122,13 @@ class RunnerSpec extends AnyFunSuite {
     val built = graft.runner.OperatorRegistry.create("logreg_quality_filter",
       graft.runner.Params(Map("text_field" -> "text", "id_field" -> "doc_id",
         "label_field" -> "lang", "label_value" -> "en", "threshold" -> 0.41,
-        "learning_rate" -> 0.5, "iterations" -> 4, "fit_sample_mod" -> 2)))
+        "learning_rate" -> 0.5, "iterations" -> 4, "fit_sample_mod" -> 2,
+        "pos_weight" -> 3.0, "l2" -> 0.05)))
       .asInstanceOf[graft.operators.ml.LogregQualityFilter]
     assert(built.threshold == 0.41)
     assert(built.refiner.trainer.lr == 0.5 && built.refiner.trainer.iters == 4 &&
       built.refiner.trainer.fitSampleMod.contains(2))
+    assert(built.refiner.trainer.posWeight == 3.0 && built.refiner.trainer.l2 == 0.05)
   }
 
   test("config-driven OPH minhash dedup equals the API path (the shipped stack's scheme)") {
