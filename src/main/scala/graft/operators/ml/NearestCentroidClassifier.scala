@@ -49,14 +49,20 @@ final class NearestCentroidClassifier(
     * exact scaled-integer sums, means on the 1e-6 grid. Bounded by the
     * class count (the one driver collect).
     */
-  def fitCentroids(df: DataFrame): Seq[(Long, Seq[Double])] = {
+  def fitCentroids(df: DataFrame): Seq[(Long, Seq[Double])] =
+    fitCentroidsOn(df.filter(hash % holdoutMod =!= 0L))
+
+  /** Prototypes over an arbitrary fit frame (the registry's
+    * fit-on-labeled-seeds shape bypasses the hash split).
+    */
+  def fitCentroidsOn(fitDf: DataFrame): Seq[(Long, Seq[Double])] = {
     val v = col(vecCol).cast("array<double>")
     val sums = (1 to dims).map(i =>
       sum(floor(element_at(v, i) * lit(scale)).cast("long")).as(s"_s$i"))
     val means = (1 to dims).map(i =>
       round(col(s"_s$i").cast("double") / (col("_n").cast("double") * lit(scale)), 6)
         .as(s"_c$i"))
-    val rows = df.filter(hash % holdoutMod =!= 0L)
+    val rows = fitDf
       .groupBy(col(labelCol).cast("long").as("_lab"))
       .agg(count(lit(1)).as("_n"), sums: _*)
       .select(col("_lab") +: means: _*)
@@ -82,14 +88,10 @@ final class NearestCentroidClassifier(
   def predictions(df: DataFrame): DataFrame = {
     val cents = fitCentroids(df)
     require(cents.nonEmpty, "ncc: train split is empty")
-    val labels = cents.map(_._1)
-    val vecs = cents.map(_._2)
     df.filter(hash % holdoutMod === 0L)
       .select(col(idCol),
         col(labelCol).cast("long").as("label"),
-        element_at(typedLit(labels),
-          graft.plans.kernels.nearest_centroid(col(vecCol), vecs) + 1)
-          .as("pred_label"))
+        predictExprWith(cents).as("pred_label"))
   }
 
   /** Held-out confusion matrix `(label, pred_label, n)` — exact. */
@@ -146,6 +148,15 @@ final class NearestCentroidClassifier(
        |FROM _ncca GROUP BY label, pred_label
        |ORDER BY label, pred_label""".stripMargin
 
+  /** The prediction expression for arbitrary frames: nearest fitted
+    * prototype, ties → lowest label (the registry refiner's scorer).
+    */
+  def predictExprWith(cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "ncc: no prototypes (empty fit frame)")
+    element_at(typedLit(cents.map(_._1)),
+      graft.plans.kernels.nearest_centroid(col(vecCol), cents.map(_._2)) + 1)
+  }
+
   /** Twin of [[accuracy]]. */
   def accuracySql(table: String): String =
     s"""WITH ${baseCtes(table)}
@@ -155,4 +166,47 @@ final class NearestCentroidClassifier(
        |    round(CAST(sum(CASE WHEN label = pred_label THEN 1 ELSE 0 END) AS DOUBLE)
        |      / CAST(count(*) AS DOUBLE), 6) END AS accuracy
        |FROM _ncca""".stripMargin
+}
+
+/** Registry face: semi-supervised corpus labeling from seeds. Fit
+  * per-class prototypes on the rows whose `labelCol` is NOT NULL (the
+  * labeled seed set), then stamp every row's `outputCol` with the
+  * nearest prototype's label — the standard "propagate a few labels
+  * over an embedding space" baseline. One fit per frame (single-slot
+  * cache); disposition fits on alive seeds only.
+  */
+final class CentroidLabelRefiner(
+    vecCol: String = "embedding",
+    idCol: String = "id",
+    labelCol: String = "label",
+    outputCol: String = "pred_label",
+    dims: Int) extends graft.core.Operator {
+
+  val name = "centroid_label"
+
+  private[graft] val classifier = new NearestCentroidClassifier(
+    vecCol, idCol, labelCol, dims = dims)
+
+  @volatile private var cachedFit: (DataFrame, Seq[(Long, Seq[Double])]) = null
+  /** Test hook: number of fits this instance has run. */
+  private[graft] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def centsFor(df: DataFrame, fitFrame: DataFrame): Seq[(Long, Seq[Double])] =
+    synchronized {
+      val c = cachedFit
+      if (c != null && (c._1 eq df)) c._2
+      else {
+        fitCount.incrementAndGet()
+        val cents = classifier.fitCentroidsOn(fitFrame.filter(col(labelCol).isNotNull))
+        cachedFit = (df, cents)
+        cents
+      }
+    }
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(outputCol, classifier.predictExprWith(centsFor(df, df)))
+
+  override def applyGated(df: DataFrame, alive: Column): DataFrame =
+    df.withColumn(outputCol,
+      classifier.predictExprWith(centsFor(df, df.filter(alive))))
 }

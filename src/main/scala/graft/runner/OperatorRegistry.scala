@@ -484,6 +484,15 @@ object OperatorRegistry {
     posWeight = p.double("pos_weight", 1.0),
     l2 = p.double("l2", 0.0)))
 
+  register("centroid_label", p => new graft.operators.ml.CentroidLabelRefiner(
+    vecCol = p.str("embedding_field", "embedding"),
+    idCol = p.str("id_field", "id"),
+    labelCol = p.str("label_field").getOrElse(
+      throw new IllegalArgumentException("centroid_label requires label_field")),
+    outputCol = p.str("output_field", "pred_label"),
+    dims = p.long("dims").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("centroid_label requires dims"))))
+
   register("nb_quality", p => new graft.operators.ml.NbQualityRefiner(
     textCol = p.str("text_field", "text"),
     idCol = p.str("id_field", "id"),

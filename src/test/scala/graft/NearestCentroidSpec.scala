@@ -60,6 +60,37 @@ class NearestCentroidSpec extends AnyFunSuite {
     assert(got == heldIds)
   }
 
+  test("centroid_label refiner: seeds propagate over the space; alive-only disposition fit") {
+    // a third of rows keep their label (seeds, mod-3 mask — coprime to
+    // the mod-4 class so every class gets seeds); the refiner must
+    // label ALL rows correctly on separable clusters
+    val df = clustered(400).withColumn("label",
+      when(col("vec_id") % 3 === 0, col("label")))
+    val built = graft.runner.OperatorRegistry.create("centroid_label",
+      graft.runner.Params(Map("embedding_field" -> "embedding",
+        "id_field" -> "vec_id", "label_field" -> "label", "dims" -> 8)))
+      .asInstanceOf[graft.operators.ml.CentroidLabelRefiner]
+    val out = built(df).collect()
+    assert(out.length == 400)
+    // true class = vec_id % 4 by construction
+    assert(out.forall(r => r.getAs[Long]("pred_label") ==
+      r.getAs[Long]("vec_id") % 4))
+    assert(built.fitCount.get() == 1)
+    // disposition: the gated fit sees alive seeds only — equal to a
+    // sequential fit on the alive subset
+    val alive = col("vec_id") % 5 =!= 0
+    val f2 = new graft.operators.ml.CentroidLabelRefiner(
+      "embedding", "vec_id", "label", "pred_label", dims = 8)
+    val gated = f2.applyGated(df, alive).filter(alive)
+      .select("vec_id", "pred_label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f3 = new graft.operators.ml.CentroidLabelRefiner(
+      "embedding", "vec_id", "label", "pred_label", dims = 8)
+    val seq = f3(df.filter(alive)).select("vec_id", "pred_label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == seq)
+  }
+
   test("empty train split fails loudly with the operator's name") {
     val df = clustered(40).filter(col("vec_id") < 0)
     val e = intercept[IllegalArgumentException] { op().predictions(df).collect() }
