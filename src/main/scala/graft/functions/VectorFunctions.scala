@@ -51,6 +51,17 @@ object VectorFunctions {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
       s"(acc, x) -> acc + x)"
 
+  /** [[l2sqSql]] with the fold bounded by BOTH list lengths — matching
+    * the kernel's `min(len(a), len(b))` loop exactly even when the two
+    * sides disagree on width (the plain form ranges over `len(a)` and
+    * folds a NULL past the shorter list, poisoning the whole distance).
+    */
+  def l2sqBoundedSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, least(len($a), len($b)) + 1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      s"(acc, x) -> acc + x)"
+
   /** Driver-side twin of [[l2sqSql]] (ascending accumulation). */
   def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
     var acc = 0.0

@@ -101,6 +101,14 @@ object LogregQuality {
     * counts except the (twin-proven) stopword kernel. SQL twins render
     * against the same raw column, so registry-built operators stay
     * oracle-expressible.
+    *
+    * The tokenize subtree repeats once per feature in the composed
+    * score expression — a FIXED 5-6 copies (bounded, unlike the
+    * combinatorial language-ID fold the round-1 trap measured), and at
+    * runtime whole-stage codegen's subexpression elimination evaluates
+    * the shared normalize+split once per row; gate callers that stage a
+    * `toks` column (ClassifierQueries.lrInput) avoid even the tree
+    * duplication.
     */
   def docStatFeatures(textCol: String): Seq[LogregFeature] = {
     val toks = TextFunctions.tokensOf(col(textCol))
@@ -150,28 +158,33 @@ final class LogregQualityRefiner(
 
   private[graft] val trainer = new LogisticRegression(
     LogregQuality.docStatFeatures(textCol), label,
-    labelValue.fold(s"$labelCol = true")(v => s"$labelCol = '$v'"),
+    // single quotes doubled: a label_value like "o'brien" must stay a
+    // legal DuckDB string literal in every twin
+    labelValue.fold(s"$labelCol = true")(v =>
+      s"$labelCol = '${v.replace("'", "''")}'"),
     lr = lr, iters = iters, idCol = idCol, fitSampleMod = fitSampleMod,
     posWeight = posWeight, l2 = l2)
 
-  /** Single-slot fit cache: one operator instance serves one stage,
-    * whose kept/rejected/marked flows all pass the same frame
-    * reference; a genuinely different frame refits. A stage runs in ONE
-    * mode (sequential or disposition), so caching by the outer frame is
-    * safe even though the two modes fit on different row sets.
+  /** Single-slot fit cache keyed by the FIT frame reference: the
+    * sequential flows (apply/rejected on one stage frame) all fit on
+    * that same reference and share one fit, while a disposition
+    * `applyGated` passes a fresh alive-filtered frame and always
+    * refits — mixing the two modes on one frame can never serve
+    * weights fitted on the wrong row set (the mode mix-up a df-keyed
+    * cache allowed).
     */
   @volatile private var cachedFit: (DataFrame, Array[Double]) = null
   /** Test hook: number of fits this instance has run. */
   private[graft] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def weightsFor(df: DataFrame, fitFrame: DataFrame): Array[Double] =
+  private def weightsFor(fitFrame: DataFrame): Array[Double] =
     synchronized {
       val c = cachedFit
-      if (c != null && (c._1 eq df)) c._2
+      if (c != null && (c._1 eq fitFrame)) c._2
       else {
         fitCount.incrementAndGet()
         val w = trainer.fit(fitFrame).last
-        cachedFit = (df, w)
+        cachedFit = (fitFrame, w)
         w
       }
     }
@@ -183,7 +196,7 @@ final class LogregQualityRefiner(
     * filter's `keep` consumes this too — same fit, same expression).
     */
   private[graft] def scoreExpr(df: DataFrame): Column =
-    exprWith(weightsFor(df, df))
+    exprWith(weightsFor(df))
 
   /** Disposition variant: the fit sees ALIVE rows only (a row rejected
     * upstream never reached this operator in the sequential chain, so
@@ -192,7 +205,7 @@ final class LogregQualityRefiner(
     * every row, the chain's alive flag guards consumption.
     */
   private[graft] def scoreExprAlive(df: DataFrame, alive: Column): Column =
-    exprWith(weightsFor(df, df.filter(alive)))
+    exprWith(weightsFor(df.filter(alive)))
 
   def added(df: DataFrame): Seq[(String, Column)] =
     Seq(outputCol -> scoreExpr(df))

@@ -99,7 +99,15 @@ final class NaiveBayes(
     */
   def scoredOn(fitDf: DataFrame, scoreDf: DataFrame): DataFrame = {
     val model = modelCounts(fitDf)
+    // score-side aggregation keys on (id, bucket) ONLY, with the label
+    // merged by max — exactly one output row per id even if the id
+    // repeats (a duplicate id with conflicting labels used to emit two
+    // score rows, which a consumer joining back on the id would fan
+    // out). Identical rows to the (id, y, bucket) grouping whenever ids
+    // are unique (every gate), so the twin keeps its shape.
     val db = docBuckets(scoreDf)
+      .groupBy(col(idCol), col("_b"))
+      .agg(sum(col("_n")).as("_n"), max(col("_y")).as("_y"))
       .join(broadcast(model), col("_b") === col("bucket"), "left_outer")
     val aD = lit(alpha * buckets)
     val term = col("_n").cast("double") *
@@ -110,8 +118,12 @@ final class NaiveBayes(
     val prior = log(col("_dpos").cast("double") + lit(1.0)) -
       log(col("_dneg").cast("double") + lit(1.0))
     db.crossJoin(broadcast(totals(fitDf)))
-      .groupBy(col(idCol), col("_y"), col("_dpos"), col("_dneg"))
-      .agg(sum(when(col("_b").isNotNull, term).otherwise(lit(0.0))).as("_s"))
+      // key on the id ONLY and merge the label by max here too — a
+      // duplicate id whose labels differ across buckets must still
+      // collapse to one output row
+      .groupBy(col(idCol), col("_dpos"), col("_dneg"))
+      .agg(sum(when(col("_b").isNotNull, term).otherwise(lit(0.0))).as("_s"),
+        max(col("_y")).as("_y"))
       .select(col(idCol),
         round(prior + coalesce(col("_s"), lit(0.0)), 6).as("score"),
         col("_y").cast("double").as("y"))
@@ -217,7 +229,9 @@ final class NbQualityRefiner(
 
   private[graft] val trainer = new NaiveBayes(
     textCol, idCol, label,
-    labelValue.fold(s"$labelCol = true")(v => s"$labelCol = '$v'"),
+    // quotes doubled — the twin must stay legal SQL for any label_value
+    labelValue.fold(s"$labelCol = true")(v =>
+      s"$labelCol = '${v.replace("'", "''")}'"),
     buckets = buckets, alpha = alpha)
 
   private def scoresOf(fitFrame: DataFrame, scoreFrame: DataFrame): DataFrame =

@@ -62,7 +62,10 @@ final class NearestCentroidClassifier(
     val means = (1 to dims).map(i =>
       round(col(s"_s$i").cast("double") / (col("_n").cast("double") * lit(scale)), 6)
         .as(s"_c$i"))
-    val rows = fitDf
+    // null labels never fit a prototype (the twin filters identically —
+    // a bare null group used to NPE here while the twin happily fitted
+    // a NULL-label centroid)
+    val rows = fitDf.filter(col(labelCol).isNotNull)
       .groupBy(col(labelCol).cast("long").as("_lab"))
       .agg(count(lit(1)).as("_n"), sums: _*)
       .select(col("_lab") +: means: _*)
@@ -113,23 +116,25 @@ final class NearestCentroidClassifier(
 
   // ---- DuckDB twins (independent refit) ----
 
-  private def l2sq(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      s"list_transform(range(1, len($a) + 1), " +
-      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
-      s"(acc, x) -> acc + x)"
-
   /** Shared CTEs: `_nccm` the refitted prototypes (as a list column),
-    * `_ncca` the held-out argmin assignments.
+    * `_ncca` the held-out argmin assignments. Distances ride the
+    * BOUNDED l2sq twin (fold over `least(len,len)`, the kernel's min
+    * loop — the unbounded form folds a NULL when a vector is wider
+    * than `dims`, which would poison every distance and silently
+    * predict the lowest label). Contract: `idCol` is unique (the
+    * engine-wide dedup-id contract) — the argmin window partitions on
+    * it.
     */
   private def baseCtes(table: String): String = {
+    def l2sq(a: String, b: String): String =
+      graft.functions.VectorFunctions.l2sqBoundedSql(a, b)
     val comps = (1 to dims).map { i =>
       s"""round(CAST(sum(CAST(floor(CAST($vecCol[$i] AS DOUBLE) * ${scale.toString}) AS BIGINT)) AS DOUBLE)
          |      / (CAST(count(*) AS DOUBLE) * ${scale.toString}), 6)""".stripMargin
     }.mkString(",\n|      ")
     s"""_nccm AS MATERIALIZED (SELECT CAST($labelCol AS BIGINT) AS _lab,
        |    [$comps] AS _ce
-       |  FROM $table WHERE $hashSql % $holdoutMod <> 0
+       |  FROM $table WHERE $hashSql % $holdoutMod <> 0 AND $labelCol IS NOT NULL
        |  GROUP BY CAST($labelCol AS BIGINT)),
        |_ncca AS MATERIALIZED (SELECT $idCol, label, pred_label FROM (
        |    SELECT t.$idCol, CAST(t.$labelCol AS BIGINT) AS label,
@@ -187,26 +192,29 @@ final class CentroidLabelRefiner(
   private[graft] val classifier = new NearestCentroidClassifier(
     vecCol, idCol, labelCol, dims = dims)
 
+  // fit cache keyed by the FIT frame (the LogregQualityRefiner
+  // discipline: sequential flows share one fit, a gated call's fresh
+  // alive-filtered frame always refits — no cross-mode mix-up)
   @volatile private var cachedFit: (DataFrame, Seq[(Long, Seq[Double])]) = null
   /** Test hook: number of fits this instance has run. */
   private[graft] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def centsFor(df: DataFrame, fitFrame: DataFrame): Seq[(Long, Seq[Double])] =
+  private def centsFor(fitFrame: DataFrame): Seq[(Long, Seq[Double])] =
     synchronized {
       val c = cachedFit
-      if (c != null && (c._1 eq df)) c._2
+      if (c != null && (c._1 eq fitFrame)) c._2
       else {
         fitCount.incrementAndGet()
-        val cents = classifier.fitCentroidsOn(fitFrame.filter(col(labelCol).isNotNull))
-        cachedFit = (df, cents)
+        val cents = classifier.fitCentroidsOn(fitFrame)
+        cachedFit = (fitFrame, cents)
         cents
       }
     }
 
   def apply(df: DataFrame): DataFrame =
-    df.withColumn(outputCol, classifier.predictExprWith(centsFor(df, df)))
+    df.withColumn(outputCol, classifier.predictExprWith(centsFor(df)))
 
   override def applyGated(df: DataFrame, alive: Column): DataFrame =
     df.withColumn(outputCol,
-      classifier.predictExprWith(centsFor(df, df.filter(alive))))
+      classifier.predictExprWith(centsFor(df.filter(alive))))
 }

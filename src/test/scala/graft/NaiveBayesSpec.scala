@@ -91,6 +91,23 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(gated != viaOp.filter { case (k, _) => k % 3 != 0 })
   }
 
+  test("duplicate ids: one score row per id (merged doc, pos label wins) — no join fan-out") {
+    val df = Seq((1L, "aa bb", true), (1L, "cc dd", false), (2L, "aa", false))
+      .toDF("doc_id", "text", "label")
+    val sc = op().scored(df).collect()
+    assert(sc.length == 2, sc.mkString(","))
+    assert(sc.find(_.getLong(0) == 1L).get.getDouble(2) == 1.0,
+      "conflicting labels merge by max (positive wins)")
+    // the refiner preserves the input row count through its join-back
+    val r = new graft.operators.ml.NbQualityRefiner(
+      "text", "doc_id", "label")
+    assert(r(df).count() == 3)
+    // and the twin stays legal SQL for quoted label values
+    val q = new graft.operators.ml.NbQualityRefiner(
+      "text", "doc_id", "lang", labelValue = Some("o'brien"))
+    assert(q.trainer.aucSql("documents").contains("lang = 'o''brien'"))
+  }
+
   test("bucket collisions degrade gracefully (tiny bucket count still scores every doc)") {
     val docs = table("documents").withColumn("label", col("lang") === "en")
     val o = op(buckets = 8)

@@ -91,6 +91,30 @@ class NearestCentroidSpec extends AnyFunSuite {
     assert(gated == seq)
   }
 
+  test("null labels never fit a prototype (no NPE; predictions cover null-labeled rows)") {
+    val df = clustered(200).withColumn("label",
+      when(col("vec_id") % 3 === 0, col("label")))
+    // fit sees only the labeled two-thirds; held-out eval still covers
+    // every held-out row (null labels surface as null in the output)
+    val preds = op().predictions(df)
+    val h = graft.functions.HashFunctions.portableHash64(col("vec_id"))
+    assert(preds.count() == df.filter(h % 4 === 0L).count())
+    val cents = op().fitCentroids(df)
+    assert(cents.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("mode mix-up guard: applyGated after apply refits on the alive frame") {
+    val df = clustered(300).withColumn("label",
+      when(col("vec_id") % 3 === 0, col("label")))
+    val r = new graft.operators.ml.CentroidLabelRefiner(
+      "embedding", "vec_id", "label", "pred_label", dims = 8)
+    r(df).count()
+    assert(r.fitCount.get() == 1)
+    r.applyGated(df, col("vec_id") % 5 =!= 0).count()
+    // the gated call must NOT reuse the all-rows fit
+    assert(r.fitCount.get() == 2)
+  }
+
   test("empty train split fails loudly with the operator's name") {
     val df = clustered(40).filter(col("vec_id") < 0)
     val e = intercept[IllegalArgumentException] { op().predictions(df).collect() }
