@@ -99,15 +99,19 @@ final class NaiveBayes(
     */
   def scoredOn(fitDf: DataFrame, scoreDf: DataFrame): DataFrame = {
     val model = modelCounts(fitDf)
-    // score-side aggregation keys on (id, bucket) ONLY, with the label
-    // merged by max — exactly one output row per id even if the id
-    // repeats (a duplicate id with conflicting labels used to emit two
-    // score rows, which a consumer joining back on the id would fan
-    // out). Identical rows to the (id, y, bucket) grouping whenever ids
-    // are unique (every gate), so the twin keeps its shape.
-    val db = docBuckets(scoreDf)
+    // score-side aggregation keys on (id, bucket) ONLY — one exchange,
+    // label merged by max in the same pass — so exactly one output row
+    // per id even if the id repeats (a duplicate id with conflicting
+    // labels used to emit two score rows, which a consumer joining back
+    // on the id would fan out). Identical rows to the fit-side
+    // (id, y, bucket) grouping whenever ids are unique (every gate), so
+    // the twin keeps its shape.
+    val db = scoreDf.select(col(idCol),
+        when(label, lit(1L)).otherwise(lit(0L)).as("_y"),
+        explode_outer(TextFunctions.tokensOf(col(textCol))).as("_t"))
+      .withColumn("_b", when(col("_t").isNotNull, bucketOf(col("_t"))))
       .groupBy(col(idCol), col("_b"))
-      .agg(sum(col("_n")).as("_n"), max(col("_y")).as("_y"))
+      .agg(count(col("_t")).as("_n"), max(col("_y")).as("_y"))
       .join(broadcast(model), col("_b") === col("bucket"), "left_outer")
     val aD = lit(alpha * buckets)
     val term = col("_n").cast("double") *
