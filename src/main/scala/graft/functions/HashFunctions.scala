@@ -23,9 +23,15 @@ object HashFunctions {
 
   /** Cross-engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
     * Bit-identical in Spark and DuckDB (`CAST(('0x'||substring(md5(x),1,15)) AS BIGINT)`).
+    * Computed by the codegen'd [[graft.plans.kernels.PortableHash64]]
+    * kernel — one MessageDigest call straight off the digest bytes; the
+    * former declarative `conv(substring(md5(cast(cast))))` chain allocated
+    * 4 intermediate strings per VALUE, which at one hash per token/gram
+    * was the dominant map-side cost of every oracle-parity text operator
+    * (r19 measured: the bigram-LM family −30-40% end to end).
     */
   def portableHash64(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.plans.kernels.portable_hash64(c.cast("string"))
 
   /** DuckDB SQL text computing exactly `portableHash64(expr)`. */
   def portableHash64Sql(expr: String): String =

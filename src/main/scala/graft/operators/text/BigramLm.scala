@@ -709,8 +709,10 @@ final class BigramLm(
     * staged ATTRIBUTE (free per element), never an inlined expression.
     */
   private def occurrences(df: DataFrame): DataFrame = {
-    val hts = transform(TextFunctions.tokensOf(col(textCol)),
-      t => HashFunctions.portableHash64(t))
+    // fused tokenize+hash kernel: bit-identical to
+    // transform(tokensOf(text), portableHash64) but one JVM pass per row
+    // instead of an interpreted HOF re-entering the hash per element
+    val hts = graft.plans.kernels.token_hashes(col(textCol))
     val pairs = when(size(col("_hts")) < 2,
       array().cast("array<struct<_h1:bigint,_h2:bigint>>"))
       .otherwise(transform(sequence(lit(0), size(col("_hts")) - 2),

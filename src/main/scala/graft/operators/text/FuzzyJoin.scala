@@ -73,8 +73,15 @@ final class FuzzyJoin(
 
   /** Verified pairs `(leftKey, rightKey, dist)`. */
   def pairs(left: DataFrame, right: DataFrame): DataFrame = {
-    val lg = grams(left, leftKeyCol, leftStrCol)
-    val rg = grams(right, rightKeyCol, rightStrCol)
+    // each gram table feeds TWO consumers (the hot-gram frequency count
+    // and the candidate join) whose exchange subtrees differ (freq
+    // projects _g only; cand keys the join on _g with key+len riding),
+    // so AQE exchange reuse does NOT deduplicate them — unstaged, the
+    // explode+hash+distinct ran twice per side (r19 measured: staging
+    // cut the gate 3.7 -> 2.9 s). Rows are (key, len, gram-hash) longs:
+    // a few MB per million keys, trivially cacheable at any scale.
+    val lg = graft.core.Staging.stage(grams(left, leftKeyCol, leftStrCol))
+    val rg = graft.core.Staging.stage(grams(right, rightKeyCol, rightStrCol))
     val freq = lg.select(col("_g")).unionByName(rg.select(col("_g")))
       .groupBy(col("_g")).agg(count(lit(1)).as("_f"))
     val hot = freq.where(col("_f") > maxGramKeys).select(col("_g"))

@@ -230,6 +230,23 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Scalar 60-bit portable hash of ONE string — the single-value form of
+    * [[HashArray]], bit-identical to the declarative
+    * `conv(substring(md5(cast(cast)))).cast(long)` chain
+    * (`HashFunctions.portableHash64` routes here) but one MessageDigest
+    * call with no hex-string/substring/conv allocations per value. The
+    * per-token / per-gram hash is the map-side scan cost of every
+    * oracle-parity text operator, so the chain's 4 intermediate strings
+    * per value were pure overhead.
+    */
+  case class PortableHash64(child: Expression)
+      extends UnaryExpression with UnaryRefCodegen {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      portableHashJvm(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
   /** Tokenize exactly like `TextFunctions.tokensOf` (regexp_replace \s+→' ',
@@ -282,6 +299,33 @@ object kernels {
       val it = seen.iterator()
       var k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Fused tokenize → per-TOKEN 60-bit portable hash (with multiplicity,
+    * first-to-last order) — bit-identical to
+    * `transform(TextFunctions.tokensOf(text), t => portableHash64(t))`
+    * but one JVM pass per row instead of an interpreted HOF invoking the
+    * md5 chain per element. Callers coalesce NULL text to '' (tokensOf
+    * maps NULL to an empty array; the wrapper below does it). Unlike
+    * [[ShingleHashes]] this keeps duplicates and order: consumers count
+    * occurrences ([[graft.operators.text.BigramLm]] pairs adjacent
+    * elements, so position matters).
+    */
+  case class TokenHashes(child: Expression)
+      extends UnaryExpression with UnaryRefCodegen {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokenizeJvm(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      val out = new Array[Long](toks.length)
+      var i = 0
+      while (i < out.length) {
+        out(i) = portableHashJvm(
+          org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
+        i += 1
+      }
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -1743,6 +1787,13 @@ object kernels {
       org.apache.spark.sql.functions.coalesce(
         text, org.apache.spark.sql.functions.lit(""))), minRatio, maxRatio))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
+  /** Scalar 60-bit portable hash; caller casts to string first. */
+  def portable_hash64(s: Column): Column = expr2col(PortableHash64(colExpr(s)))
+  /** Per-token portable hashes (multiplicity + order kept); NULL text → []. */
+  def token_hashes(text: Column): Column =
+    expr2col(TokenHashes(colExpr(
+      org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit("")))))
   /** Packed PQ code (radix numCentroids, subspace 0 least significant). */
   def pq_encode_packed(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
     expr2col(PqEncodePacked(colExpr(vec), codebook))

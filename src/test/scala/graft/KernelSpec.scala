@@ -185,6 +185,43 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("portable_hash64 kernel == the declarative conv(substring(md5)) chain") {
+    // r19: HashFunctions.portableHash64 routes through the PortableHash64
+    // kernel; this pin keeps the DuckDB-twin contract honest by checking
+    // the kernel against the ORIGINAL declarative chain (the exact
+    // expression the oracle SQL mirrors), incl. a non-string input whose
+    // cast must match and NULLs.
+    import spark.implicits._
+    val declared = conv(substring(md5(col("v").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val df = docs.limit(200).select(col("text").as("v"))
+      .unionByName(spark.range(50).select(col("id").cast("string").as("v")))
+      .unionByName(Seq[Option[String]](None, Some(""), Some(" a\tB "))
+        .toDF("v"))
+    val rows = df.select(HashFunctions.portableHash64(col("v")).as("k"),
+      declared.as("d")).collect()
+    assert(rows.length > 0)
+    rows.foreach(r => assert(r.get(0) == r.get(1)))
+  }
+
+  test("token_hashes kernel == transform(tokensOf, portableHash64) declarative form") {
+    import spark.implicits._
+    val declared = transform(TextFunctions.tokensOf(col("text")),
+      t => conv(substring(md5(t.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+    val rows = docs.limit(200)
+      .select(col("text"))
+      .unionByName(Seq[Option[String]](None, Some(""), Some("  "), Some("One two TWO"))
+        .toDF("text"))
+      .select(kernels.token_hashes(col("text")).as("k"), declared.as("d"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getSeq[Long](0)
+      val d = Option(r.getSeq[Long](1)).getOrElse(Seq.empty[Long])
+      assert(k == d, s"token_hashes mismatch: $k vs $d")
+    }
+  }
+
   test("kernel codegen COMPILES with fallback disabled — nullable and non-nullable children") {
     // spark.sql.codegen.fallback=true (the default) silently demotes a
     // failed compile to interpreted execution — this pin is what keeps
