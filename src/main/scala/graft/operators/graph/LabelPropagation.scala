@@ -34,8 +34,14 @@ final class LabelPropagation(
     */
   def communities(edges: DataFrame): DataFrame = {
     val fwd = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"), col(weightCol).as("_w"))
+    // hash-partitioned by the loop's join key before the checkpoint —
+    // localCheckpoint captures outputPartitioning, so each round's
+    // edges⋈labels join reuses this distribution instead of
+    // re-shuffling the symmetrized edge table (the graph's dominant
+    // bytes) every round; the FixedPointPageRank discipline
     val sym = fwd.unionAll(fwd.select(col("_d").as("_s"), col("_s").as("_d"), col("_w")))
       .groupBy(col("_s"), col("_d")).agg(sum(col("_w")).as("_w"))
+      .repartition(col("_s"))
       .localCheckpoint(true)
     var labels = sym.select(col("_s").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))

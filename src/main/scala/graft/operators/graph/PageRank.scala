@@ -46,10 +46,22 @@ final class FixedPointPageRank(
     */
   def ranks(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val outdeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("_od"))
-    // (src, dst, od) once — the loop never recomputes degrees
+    // (src, dst, od) once — the loop never recomputes degrees.
+    // HASH-PARTITIONED BY THE LOOP'S JOIN KEY before the checkpoint:
+    // localCheckpoint captures the physical plan's outputPartitioning
+    // into the LogicalRDD, so every iteration's edges⋈ranks join sees
+    // the edge table already distributed by src and exchanges ONLY the
+    // (id, rank) side — without this the FULL edge table (the graph's
+    // dominant bytes) re-shuffled every round (guide §2.4: establish a
+    // partitioning once, reuse it across the loop).
     val edgesOut = edges.select(col(srcCol), col(dstCol))
-      .join(outdeg, srcCol).localCheckpoint(true)
-    var ranks = nodes.select(col("id"), lit(scale).as("rank_scaled"))
+      .join(outdeg, srcCol).repartition(col(srcCol)).localCheckpoint(true)
+    // nodes likewise: partitioned by id once, reused by every round's
+    // left join (and the rank frames inherit hash(id) through the join
+    // output, so the ranks side of BOTH joins stays exchange-free too)
+    val nodesP = nodes.select(col("id")).repartition(col("id"))
+      .localCheckpoint(true)
+    var ranks = nodesP.select(col("id"), lit(scale).as("rank_scaled"))
       .localCheckpoint(true)
     var i = 0
     while (i < iterations) {
@@ -60,8 +72,8 @@ final class FixedPointPageRank(
         // quotients — the determinism this operator exists for
         .select(col(dstCol).as("_to"), expr("rank_scaled DIV _od").as("_c"))
         .groupBy(col("_to")).agg(sum(col("_c")).as("_cs"))
-      val next = nodes.select(col("id"))
-        .join(contrib, nodes("id") === contrib("_to"), "left")
+      val next = nodesP
+        .join(contrib, nodesP("id") === contrib("_to"), "left")
         .select(col("id"),
           (lit(base) + expr(s"($dampNum * coalesce(_cs, CAST(0 AS BIGINT))) DIV $dampDen"))
             .as("rank_scaled"))
@@ -75,6 +87,10 @@ final class FixedPointPageRank(
       ranks = next
       i += 1
     }
+    // the returned ranks are eagerly materialized — the loop inputs'
+    // blocks can release now instead of pinning memory until GC
+    IterativeGraph.releaseCheckpoint(edgesOut)
+    IterativeGraph.releaseCheckpoint(nodesP)
     ranks
   }
 
