@@ -572,7 +572,15 @@ object Bench {
           bigLi.join(bloomBuild.hint("merge"), col("l_orderkey") === col("bk"), "left_semi")
             .count(); () })
       ).map { case (name, fn) =>
-        name -> (() => try fn() catch {
+        // every leg runs in its own staging scope (the gate-leg runOne
+        // contract): operators that stage intermediates (DupNgram,
+        // MinHash*, semantic dedup) release them at leg exit instead of
+        // leaking them into the session-global registry for the rest of
+        // the probe suite — unreleased staged frames from earlier legs
+        // were exactly the cross-leg storage pressure behind the r17/r18
+        // probe instabilities (phash 0.45x, minhash_precollapse 10x run
+        // spread). Staging cost itself stays inside the timed region.
+        name -> (() => try graft.core.Staging.scoped(fn()) catch {
           case e: Throwable =>
             // a throw mid-leg leaves the harness a time-to-exception —
             // a bogus (usually tiny) number the min estimator would

@@ -44,6 +44,20 @@ object GraphProbe {
       new graft.operators.graph.LabelPropagation(iterations = 4)
         .communities(edges).count()
     }
+    leg("triangle") {
+      graft.core.Staging.scoped {
+        val ids = spark.range(n).toDF("id")
+        val tedges = ids.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+          .unionByName(ids.select(col("id").as("src"), ((col("id") + 2) % n).as("dst")))
+        new graft.operators.graph.TriangleCount().counts(tedges).count()
+      }
+    }
+    leg("kcore") {
+      val ids = spark.range(n).toDF("id")
+      val tedges = ids.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        .unionByName(ids.select(col("id").as("src"), ((col("id") + 2) % n).as("dst")))
+      new graft.operators.graph.KCore(k = 3, rounds = 3)(tedges).count()
+    }
     spark.stop()
   }
 }
