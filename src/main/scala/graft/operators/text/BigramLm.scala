@@ -186,6 +186,18 @@ final class BigramLm(
       .agg(sum(col("_occ")).as("_cb"), min(col("_h1")).as("_ch1"),
         min(col("_h2")).as("_ch2"))
 
+  /** The bigram-participating vocab scalar, computed from the CORPUS
+    * type counts rather than the per-doc table (r19): `_hb` determines
+    * its endpoint hashes (the min() in [[corpusCounts]] collapses equal
+    * values), so `distinct(_ch1 ∪ _ch2 over cb)` is the same set as
+    * `distinct(_h1 ∪ _h2 over db)` — and cb is the far smaller frame
+    * (distinct bigrams vs per-doc-distinct rows) at every scale. The
+    * DuckDB twins' `_v` CTE reads `_cb` identically.
+    */
+  private def vocabOf(cb: DataFrame): DataFrame =
+    cb.select(explode(array(col("_ch1"), col("_ch2"))).as("_th"))
+      .agg(countDistinct(col("_th")).as("_v"))
+
   /** Staged corpus type counts ALONE — for consumers that never read
     * the per-doc table ([[freezeKn]] derives only model tables from
     * `cb`): the per-(doc, bigram) frame is the largest intermediate in
@@ -232,9 +244,7 @@ final class BigramLm(
   def scores(df: DataFrame): DataFrame = {
     val (db, cb) = stagedCounts(df)
     val ctx = cb.groupBy(col("_ch1").as("_xh1")).agg(sum(col("_cb")).as("_cw"))
-    val vocab = db
-      .select(explode(array(col("_h1"), col("_h2"))).as("_th"))
-      .agg(countDistinct(col("_th")).as("_v"))
+    val vocab = vocabOf(cb)
     val p = (col("_cb").cast("double") + lit(1.0)) /
       (col("_cw").cast("double") + col("_v").cast("double"))
     val cost = cb.join(ctx, col("_ch1") === col("_xh1"))
@@ -413,9 +423,7 @@ final class BigramLm(
         sum(when(col("_cb") === 1L, 1L).otherwise(0L)).as("_m1c"),
         sum(when(col("_cb") === 2L, 1L).otherwise(0L)).as("_m2c"),
         sum(when(col("_cb") >= 3L, 1L).otherwise(0L)).as("_m3c"))
-    val vocab = db
-      .select(explode(array(col("_h1"), col("_h2"))).as("_th"))
-      .agg(countDistinct(col("_th")).as("_v"))
+    val vocab = vocabOf(cb)
     val pA = (col("_cb").cast("double") + lit(1.0)) /
       (col("_cw").cast("double") + col("_v").cast("double"))
     // mknTot's scalar row carries (_t, _n1, _n2) — exactly what
@@ -747,11 +755,12 @@ final class BigramLm(
     // _FAMILY FIRST — see freezeKn: marker-first turns the mixed-
     // snapshot crash window into a loud reject-and-retrain
     snapshotDir.foreach(d => BigramLm.writeFamily(corpus.sparkSession, d, "addone"))
-    val (db, cb) = stagedCounts(corpus)
+    // cb only (r19): with the vocab scalar now derived from cb, the
+    // freeze never reads the per-doc table — same zero-reader
+    // persist-overhead argument as freezeKn (ADVICE r17)
+    val cb = stagedCbOnly(corpus)
     val ctx0 = cb.groupBy(col("_ch1").as("_xh1")).agg(sum(col("_cb")).as("_cw"))
-    val vocab0 = db
-      .select(explode(array(col("_h1"), col("_h2"))).as("_th"))
-      .agg(countDistinct(col("_th")).as("_v"))
+    val vocab0 = vocabOf(cb)
     val ctxS = snapshot(ctx0, snapshotDir, "ctx")
     val vocabS = snapshot(vocab0, snapshotDir, "vocab")
     val p = (col("_cb").cast("double") + lit(1.0)) /
@@ -872,7 +881,7 @@ final class BigramLm(
     s"""_ctx AS (SELECT _ch1 AS _xh1, CAST(sum(_cb) AS BIGINT) AS _cw
        |  FROM _cb GROUP BY 1),
        |_v AS (SELECT count(DISTINCT _th) AS _v
-       |  FROM (SELECT unnest([_h1, _h2]) AS _th FROM _db)),
+       |  FROM (SELECT unnest([_ch1, _ch2]) AS _th FROM _cb)),
        |_cost AS (SELECT _hb AS _chb,
        |    CAST(floor(-ln((CAST(_cb AS DOUBLE) + 1.0)
        |      / (CAST(_cw AS DOUBLE) + CAST(_v AS DOUBLE))) * $CostScale) AS BIGINT) AS _c9
