@@ -802,7 +802,9 @@ class PlanSpec extends AnyFunSuite {
     // keep the hash below the Generate in the planned tree.
     val p = plan("heaps_fit")
     val gen = p.indexOf("Generate explode")
-    val hash = p.indexOf("md5")
+    // r19: the portable hash prints as the kernel expression
+    // (portablehash64), no longer as the conv(substring(md5)) chain
+    val hash = p.indexOf("portablehash64")
     assert(gen >= 0 && hash >= 0, p)
     assert(gen < hash, // plans print top-down: Generate above = earlier
       s"level hash must sit below the explode (per doc, not per token):\n$p")
