@@ -707,30 +707,25 @@ final class BigramLm(
   /** `(idCol, _h1, _h2, _hb)` — one row per bigram OCCURRENCE. One
     * corpus text scan: each TOKEN hashes ONCE (one md5 per token — not
     * three per bigram occurrence: at 100 TB the map-side hashing IS the
-    * scan cost) into a staged hash ARRAY, and the bigram key is the
-    * overflow-safe constant mix of the adjacent pair (the MinHash
-    * mixConstants discipline — asymmetric, so "a b" never merges with
-    * "b a"; products < 2^60, sum < 2^62 in both engines). Plan-shape
-    * note (the TextRepetition lesson, MEASURED 30x): the hash array is
-    * staged in its own projection and the pair transform is FUSED into
-    * the explode generator — element_at inside the lambda touches the
-    * staged ATTRIBUTE (free per element), never an inlined expression.
+    * scan cost), and the bigram key is the overflow-safe constant mix
+    * of the adjacent pair (the MinHash mixConstants discipline —
+    * asymmetric, so "a b" never merges with "b a"; products < 2^60,
+    * sum < 2^62 in both engines). The whole derivation is ONE codegen'd
+    * kernel ([[graft.plans.kernels.TokenBigrams]]) feeding the explode
+    * directly — no staged hash-array projection, no interpreted pair
+    * HOF (the TextRepetition lesson's successor; see KernelSpec's
+    * bit-identity pin against the declarative chain).
     */
-  private def occurrences(df: DataFrame): DataFrame = {
-    // fused tokenize+hash kernel: bit-identical to
-    // transform(tokensOf(text), portableHash64) but one JVM pass per row
-    // instead of an interpreted HOF re-entering the hash per element
-    val hts = graft.plans.kernels.token_hashes(col(textCol))
-    val pairs = when(size(col("_hts")) < 2,
-      array().cast("array<struct<_h1:bigint,_h2:bigint>>"))
-      .otherwise(transform(sequence(lit(0), size(col("_hts")) - 2),
-        i => struct(element_at(col("_hts"), i + 1).as("_h1"),
-          element_at(col("_hts"), i + 2).as("_h2"))))
-    df.select(col(idCol), hts.as("_hts"))
-      .select(col(idCol), explode(pairs).as("_p"))
-      .select(col(idCol), col("_p._h1").as("_h1"), col("_p._h2").as("_h2"))
-      .withColumn("_hb", BigramLm.mixPair(col("_h1"), col("_h2")))
-  }
+  private def occurrences(df: DataFrame): DataFrame =
+    // fully fused tokenize → hash → adjacent-pair kernel (r19): each
+    // token hashes ONCE and the (h1, h2, mixPair) structs materialize
+    // in the same JVM pass — bit-identical (KernelSpec pin) to the
+    // former staged-hash-array + interpreted pair-transform HOF, which
+    // re-entered element_at per element on the explode's input
+    df.select(col(idCol),
+        explode(graft.plans.kernels.token_bigrams(col(textCol))).as("_p"))
+      .select(col(idCol), col("_p._h1").as("_h1"), col("_p._h2").as("_h2"),
+        col("_p._hb").as("_hb"))
 
   /** Train the LM on `corpus` and FREEZE it: the same single-scan
     * staged pipeline as [[scores]], but the three model tables live

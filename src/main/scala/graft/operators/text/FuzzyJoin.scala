@@ -62,14 +62,20 @@ final class FuzzyJoin(
   // probability (~|grams|²/2⁶⁰ per corpus), and the oracle stays exact
   // because the DuckDB twin hashes with the identical portable family,
   // so both engines see the same merged lists either way.
+  // One (key, gram) row even when a gram repeats in-string: the fused
+  // CharGramHashes kernel emits each row's DISTINCT gram hashes, so the
+  // former post-explode `.distinct()` EXCHANGE is gone — in-row dedup is
+  // global dedup because the key is unique per row (the entity-join
+  // contract both engines already relied on: with duplicate keys the
+  // DuckDB twin dedupes on (key, str, gram) while the old Spark path
+  // deduped on (key, len, gram), so uniqueness was always assumed).
+  // r19 plan diff: the staged gram table materializes as
+  // scan → project → generate, no shuffle.
   private def grams(df: DataFrame, keyCol: String, strCol: String): DataFrame =
     df.where(length(col(strCol)) >= q)
-      .select(col(keyCol), length(col(strCol)).as("_len"), explode(expr(
-        s"transform(sequence(1, length($strCol) - ${q - 1}), i -> substring($strCol, i, $q))"))
-        .as("_gs"))
-      .select(col(keyCol), col("_len"),
-        graft.functions.HashFunctions.hashByName(hashName)(col("_gs")).as("_g"))
-      .distinct() // one (key, gram) row even when a gram repeats in-string
+      .select(col(keyCol), length(col(strCol)).as("_len"),
+        explode(graft.plans.kernels.chargram_hashes(
+          col(strCol), q, hashName == "portable")).as("_g"))
 
   /** Verified pairs `(leftKey, rightKey, dist)`. */
   def pairs(left: DataFrame, right: DataFrame): DataFrame = {

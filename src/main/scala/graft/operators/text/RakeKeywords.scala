@@ -67,21 +67,27 @@ final class RakeKeywords(
         split(col("phrase"), " ").as("_ws"))
       .select(col("id"), col("phrase"), size(col("_ws")).cast("long").as("_len"),
         explode(col("_ws")).as("word"))
-    // fresh aliases on every join column — the score join is a self-join
-    // of the occurrence frame (the EventAnomaly attribute-id lesson)
-    val wstats = occ.groupBy(col("id").as("_wid"), col("word").as("_wword"))
-      .agg(count(lit(1)).as("_freq"), sum(col("_len")).as("_deg"))
-      .selectExpr("_wid", "_wword", s"(${S}L * _deg) div _freq AS _wscore")
-    val pscore = occ.select(col("id").as("_oid"), col("phrase"), col("word").as("_oword"))
-      .join(wstats, col("_oid") === col("_wid") && col("_oword") === col("_wword"))
-      .groupBy(col("_oid"), col("phrase"))
+    // word stats as a WINDOW over (id, word) instead of the former
+    // aggregate + self-join (r19): each occurrence row reads its word's
+    // freq/degree from its own partition frame, so the occurrence
+    // lineage (scan → regex → explode → distinct) is computed ONCE and
+    // one exchange replaces the join's two — the per-row _wscore is the
+    // identical integer rational, summed over the identical occurrence
+    // multiset
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("word"))
+    val pscore = occ
+      .withColumn("_freq", count(lit(1)).over(ww))
+      .withColumn("_deg", sum(col("_len")).over(ww))
+      .withColumn("_wscore", expr(s"(${S}L * _deg) div _freq"))
+      .groupBy(col("id"), col("phrase"))
       .agg(sum(col("_wscore")).as("score_scaled"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_oid"))
+      .partitionBy(col("id"))
       .orderBy(col("score_scaled").desc, col("phrase"))
     pscore.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
-      .select(col("_oid").as("id"), col("rank"), col("phrase"), col("score_scaled"))
+      .select(col("id"), col("rank"), col("phrase"), col("score_scaled"))
       .orderBy(col("id"), col("rank"))
   }
 

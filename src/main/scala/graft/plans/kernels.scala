@@ -331,6 +331,90 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Fused tokenize → per-token portable hash → adjacent-pair bigram
+    * rows: array of `(_h1, _h2, _hb)` structs, one per bigram
+    * OCCURRENCE (multiplicity + order kept) — bit-identical to pairing
+    * [[TokenHashes]]' adjacent elements and mixing with
+    * `BigramLm.mixPair` (`mixed(h1,0) + mixed(h2,1)` — the overflow-safe
+    * 30-bit-split constant mix), but ONE JVM pass per row: each token
+    * hashes once (n md5 calls for n tokens) and the pair structs
+    * materialize straight off the hash array, replacing the interpreted
+    * `transform(sequence(...), i -> struct(element_at...))` HOF that
+    * re-entered per element. < 2 tokens → empty array (no bigrams).
+    */
+  case class TokenBigrams(child: Expression)
+      extends UnaryExpression with UnaryRefCodegen {
+    private val pairType = StructType(Seq(
+      StructField("_h1", LongType, nullable = false),
+      StructField("_h2", LongType, nullable = false),
+      StructField("_hb", LongType, nullable = false)))
+    override def dataType: DataType = ArrayType(pairType, containsNull = false)
+    private val (a1, b1, c1) = HashFunctions.mixConstants(0)
+    private val (a2, b2, c2) = HashFunctions.mixConstants(1)
+    private val Mask30 = (1L << 30) - 1
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokenizeJvm(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      val n = toks.length
+      if (n < 2) return new GenericArrayData(Array.empty[Any])
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        hs(i) = portableHashJvm(
+          org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
+        i += 1
+      }
+      val out = new Array[Any](n - 1)
+      i = 0
+      while (i < n - 1) {
+        val h1 = hs(i); val h2 = hs(i + 1)
+        val hb = a1 * (h1 & Mask30) + b1 * (h1 >> 30) + c1 +
+          a2 * (h2 & Mask30) + b2 * (h2 >> 30) + c2
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(h1, h2, hb)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Distinct hashes of the length-`q` CHARACTER grams of a string
+    * (first-occurrence order) — the [[ShingleHashes]] idiom for q-gram
+    * banding ([[graft.operators.text.FuzzyJoin]]). Bit-identical to
+    * `transform(sequence(1, length(s) - q + 1), i -> hash(substring(s, i, q)))`
+    * followed by a per-key distinct: gram windows are code-point-based
+    * (`UTF8String.substringSQL`, Spark's `substring` semantics) and the
+    * hash family is the oracle-portable 60-bit md5 prefix
+    * (`portable = true`) or Spark's `xxhash64` seed-42 (production).
+    * In-kernel dedup means callers whose per-row key is unique can drop
+    * the post-explode `distinct()` exchange outright. Strings shorter
+    * than `q` → empty array.
+    */
+  case class CharGramHashes(child: Expression, q: Int, portable: Boolean)
+      extends UnaryExpression with UnaryRefCodegen {
+    require(q >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val n = s.numChars()
+      if (n < q) return new GenericArrayData(Array.empty[Long])
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 1
+      while (i <= n - q + 1) {
+        val g = s.substringSQL(i, q)
+        seen.add(if (portable) portableHashJvm(g)
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(g, StringType, 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** MinHash signature from an ALREADY-HASHED shingle array (the output of
     * [[ShingleHashes]]): per seed j, min over elements of the mixed hash.
     * Same hash families as [[MinHashSignature]] (portable: overflow-free
@@ -1794,6 +1878,17 @@ object kernels {
     expr2col(TokenHashes(colExpr(
       org.apache.spark.sql.functions.coalesce(
         text, org.apache.spark.sql.functions.lit("")))))
+  /** Adjacent-token bigram rows `(_h1,_h2,_hb)` (multiplicity + order
+    * kept); NULL text → []. */
+  def token_bigrams(text: Column): Column =
+    expr2col(TokenBigrams(colExpr(
+      org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit("")))))
+  /** Distinct q-char-gram hashes (first-occurrence order); NULL text → []. */
+  def chargram_hashes(text: Column, q: Int, portable: Boolean): Column =
+    expr2col(CharGramHashes(colExpr(
+      org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))), q, portable))
   /** Packed PQ code (radix numCentroids, subspace 0 least significant). */
   def pq_encode_packed(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
     expr2col(PqEncodePacked(colExpr(vec), codebook))

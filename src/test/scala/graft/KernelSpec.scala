@@ -222,6 +222,59 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("token_bigrams kernel == paired token_hashes + mixPair declarative form") {
+    import spark.implicits._
+    // the EXACT pre-r19 BigramLm.occurrences chain: staged hash array,
+    // interpreted pair transform, mixed(h1,0)+mixed(h2,1) bigram key
+    val hts = kernels.token_hashes(col("text"))
+    val declaredPairs = when(size(col("_hts")) < 2,
+      array().cast("array<struct<_h1:bigint,_h2:bigint>>"))
+      .otherwise(transform(sequence(lit(0), size(col("_hts")) - 2),
+        i => struct(element_at(col("_hts"), i + 1).as("_h1"),
+          element_at(col("_hts"), i + 2).as("_h2"))))
+    val declared = transform(col("_dp"), p => struct(
+      p.getField("_h1").as("_h1"), p.getField("_h2").as("_h2"),
+      (HashFunctions.mixed(p.getField("_h1"), 0) +
+        HashFunctions.mixed(p.getField("_h2"), 1)).as("_hb")))
+    val rows = docs.limit(200).select(col("text"))
+      .unionByName(Seq[Option[String]](None, Some(""), Some("solo"),
+        Some("a b"), Some("One two TWO one  two"), Some(" tab\tsep ")).toDF("text"))
+      .select(col("text"), hts.as("_hts"))
+      .select(kernels.token_bigrams(col("text")).as("k"), declaredPairs.as("_dp"))
+      .select(col("k"), declared.as("d"))
+      .filter(not(col("k") <=> col("d")))
+      .count()
+    assert(rows == 0)
+  }
+
+  test("chargram_hashes kernel == distinct transform(sequence→substring→hash) (both families)") {
+    import spark.implicits._
+    val q = 3
+    val sample = docs.limit(200).select(col("text").as("v"))
+      .unionByName(Seq[Option[String]](None, Some(""), Some("ab"), Some("abc"),
+        Some("héllo wörld ♥ab¢ñ"), Some("aaaaaa"), Some("Customer#000000042")).toDF("v"))
+    for (portable <- Seq(true, false)) {
+      val hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (portable) HashFunctions.portableHash64 else (c => xxhash64(c))
+      // the EXACT pre-r19 FuzzyJoin.grams chain (guarded to len >= q the
+      // way the operator's where() did), deduped order-insensitively
+      val declared = array_sort(array_distinct(transform(expr(
+        s"transform(sequence(1, length(v) - ${q - 1}), i -> substring(v, i, $q))"),
+        g => hash(g))))
+      val bad = sample
+        .filter(length(col("v")) >= q)
+        .select(array_sort(kernels.chargram_hashes(col("v"), q, portable)).as("k"),
+          declared.as("d"))
+        .filter(not(col("k") <=> col("d"))).count()
+      assert(bad == 0, s"portable=$portable")
+      // short/NULL strings: empty array, never null
+      val shorts = sample.filter(coalesce(length(col("v")), lit(0)) < q)
+        .select(kernels.chargram_hashes(col("v"), q, portable).as("k"))
+        .collect()
+      shorts.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+    }
+  }
+
   test("kernel codegen COMPILES with fallback disabled — nullable and non-nullable children") {
     // spark.sql.codegen.fallback=true (the default) silently demotes a
     // failed compile to interpreted execution — this pin is what keeps
