@@ -48,14 +48,22 @@ final class NgramContainmentDedup(
     * ≥ threshold` over the stop-shingle-filtered universe.
     */
   def verifiedPairs(df: DataFrame): DataFrame = {
-    val post = shingled(df).select(col("_id"), explode(col("_hs")).as("_g"))
+    // post: (id, hash) longs with TWO consumers whose pruned subtrees
+    // differ (hot projects _g only), so exchange reuse can't dedupe the
+    // scan+kernel+explode — the FuzzyJoin gram-table staging shape (r19)
+    val post = graft.core.Staging.stage(
+      shingled(df).select(col("_id"), explode(col("_hs")).as("_g")))
     val hot = post.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select(col("_g"))
-    val sets = post.join(broadcast(hot), Seq("_g"), "left_anti")
+    // sets: FOUR consumers (B-prefix postings, A-full postings, both
+    // verify joins) — unstaged, each re-ran the anti-join + collect_list
+    // EXCHANGE; unlike the rejected minhash signature-array cache, the
+    // recompute here is exchange-bearing, so the cache wins (measured)
+    val sets = graft.core.Staging.stage(post.join(broadcast(hot), Seq("_g"), "left_anti")
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(col("_g"))).as("_hs"))
       .withColumn("_n", size(col("_hs")))
-      .where(col("_n") > 0)
+      .where(col("_n") > 0))
     val withPrefix = sets.withColumn("_p",
       (col("_n") - ceil(col("_n") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
     // B (the candidate subset, larger id) indexes only its prefix;

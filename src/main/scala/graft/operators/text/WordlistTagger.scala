@@ -36,14 +36,17 @@ final class WordlistTagger(
     "wordlist must be lowercase and distinct (matching is over normalized tokens)")
 
   val name = s"${prefix}_tagger"
-  private val lst = typedLit(words)
 
   /** The single source of truth for matching — the filter reuses these
     * so tag columns and keep predicate can never drift apart.
     */
   private[text] def toksExpr: Column = TextFunctions.tokensOf(col(textCol))
+  // fused hash-set probe (r19): bit-identical to
+  // `size(filter(toks, t => array_contains(lst, t)))` (KernelSpec pin)
+  // — the interpreted ArrayFilter was CodegenFallback, so every column
+  // referencing it re-evaluated the inlined tokenize chain per row
   private[text] def hitsExpr(toks: Column): Column =
-    size(filter(toks, t => array_contains(lst, t))).cast("long")
+    graft.plans.kernels.wordlist_hits(toks, words)
 
   def added(df: DataFrame): Seq[(String, Column)] = {
     val toks = toksExpr
@@ -91,16 +94,15 @@ final class WordlistFilter(
   /** The verdict as a df-free Column (it only reads `textCol`) — for
     * composition, e.g. the [[QualityVote]] ensemble.
     */
-  def keepCol: Column = {
-    // matching expressions come FROM the tagger (one source of truth:
-    // the keep predicate and the audit tag columns cannot drift apart)
-    val toks = tagger.toksExpr
-    val hits = tagger.hitsExpr(toks)
-    val n = size(toks).cast("long")
-    (n === 0L) ||
-      (hits <= maxHits &&
-        hits.cast("double") <= lit(maxHitFrac) * n.cast("double"))
-  }
+  def keepCol: Column =
+    // one fused verdict kernel (r19): the declarative
+    // `(n === 0) || (hits <= maxHits && hits <= maxHitFrac·n)` predicate
+    // inlined the tokenize chain 4× into FilterExec's generated method
+    // (FilterExec has no subexpression elimination — ProjectExec does,
+    // which is why the TAG columns never paid this). KernelSpec pins the
+    // kernel bit-identical to that predicate over the tagger's hitsExpr,
+    // so keep and audit-tag semantics still cannot drift apart.
+    graft.plans.kernels.wordlist_keep(col(textCol), words, maxHitFrac, maxHits)
 
   def keep(df: DataFrame): Column = keepCol
 

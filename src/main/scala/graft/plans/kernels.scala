@@ -791,6 +791,73 @@ object kernels {
     * order; empty token array → all zeros, matching the declarative
     * guard. Bit-identical: hits/size division in the same order.
     */
+  /** Exact wordlist hit COUNT over a token array — the integer twin of
+    * [[StopwordScores]] (which emits fractions): number of tokens (with
+    * multiplicity) that are members of `words`. Bit-identical to
+    * `size(filter(toks, t => array_contains(lit(words), t)))` but a
+    * hash-set probe per token in one codegen'd pass instead of an
+    * interpreted ArrayFilter whose CodegenFallback re-evaluated the
+    * inlined tokenize chain per row ([[graft.operators.text
+    * .WordlistTagger]] — the quality-score r11 lesson's missed sibling).
+    */
+  case class WordlistHits(child: Expression, words: Seq[String])
+      extends UnaryExpression with UnaryRefCodegen {
+    override def dataType: DataType = LongType
+    private val set = {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      var hits = 0L
+      var i = 0
+      while (i < n) {
+        if (set.contains(toks.getUTF8String(i))) hits += 1L
+        i += 1
+      }
+      java.lang.Long.valueOf(hits)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** One-pass wordlist keep VERDICT over the raw text — tokenize +
+    * hit count + both threshold tests in a single kernel call.
+    * Bit-identical to the declarative predicate
+    * `n == 0 || (hits <= maxHits && hits <= maxHitFrac * n)` over
+    * `tokensOf(text)` with [[WordlistHits]]'s count. Exists because
+    * FilterExec does NOT common-subexpression-eliminate (ProjectExec
+    * does): the declarative predicate inlined the tokenize chain four
+    * times into one generated filter method — 4 regex passes per row
+    * and a codegen blob past the JIT's comfort zone.
+    */
+  case class WordlistKeep(child: Expression, words: Seq[String],
+      maxHitFrac: Double, maxHits: Long)
+      extends UnaryExpression with UnaryRefCodegen {
+    override def dataType: DataType = BooleanType
+    private val set = {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokenizeJvm(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      val n = toks.length
+      if (n == 0) return java.lang.Boolean.TRUE
+      var hits = 0L
+      var i = 0
+      while (i < n) {
+        if (set.contains(org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))))
+          hits += 1L
+        i += 1
+      }
+      java.lang.Boolean.valueOf(
+        hits <= maxHits && hits.toDouble <= maxHitFrac * n.toDouble)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   case class StopwordScores(child: Expression, profiles: Seq[Seq[String]])
       extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -1857,6 +1924,16 @@ object kernels {
     expr2col(NearestCentroids(colExpr(vec), centroids, nprobe))
   def stopword_scores(toks: Column, profiles: Seq[Seq[String]]): Column =
     expr2col(StopwordScores(colExpr(toks), profiles))
+  /** Exact wordlist hit count over a token array. */
+  def wordlist_hits(toks: Column, words: Seq[String]): Column =
+    expr2col(WordlistHits(colExpr(toks), words))
+  /** One-pass wordlist keep verdict over raw text; NULL text → keep. */
+  def wordlist_keep(text: Column, words: Seq[String],
+      maxHitFrac: Double, maxHits: Long): Column =
+    expr2col(WordlistKeep(colExpr(
+      org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))),
+      words, maxHitFrac, maxHits))
   /** Unrounded composite quality score (wrap in `round(_, 9)`). */
   def quality_score_raw(text: Column, profiles: Seq[Seq[String]]): Column =
     expr2col(QualityScoreRaw(colExpr(text), profiles))

@@ -275,6 +275,38 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("wordlist_hits kernel == size(filter(toks, array_contains)) declarative form") {
+    import spark.implicits._
+    val words = Seq("the", "dup", "skew", "slow")
+    val lst = typedLit(words)
+    val toks = TextFunctions.tokensOf(col("text"))
+    val declared = size(filter(toks, t => array_contains(lst, t))).cast("long")
+    val bad = docs.limit(200).select(col("text"))
+      .unionByName(Seq[Option[String]](None, Some(""), Some("the THE dup x dup"),
+        Some("nohits at all")).toDF("text"))
+      .select(kernels.wordlist_hits(toks, words).as("k"), declared.as("d"))
+      .filter(not(col("k") <=> col("d"))).count()
+    assert(bad == 0)
+  }
+
+  test("wordlist_keep kernel == the declarative threshold predicate") {
+    import spark.implicits._
+    val words = Seq("the", "dup", "skew", "slow")
+    val (frac, cap) = (0.12, 2L)
+    val toks = TextFunctions.tokensOf(col("text"))
+    val hits = kernels.wordlist_hits(toks, words)
+    val n = size(toks).cast("long")
+    val declared = (n === 0L) ||
+      (hits <= cap && hits.cast("double") <= lit(frac) * n.cast("double"))
+    val bad = docs.limit(200).select(col("text"))
+      .unionByName(Seq[Option[String]](None, Some(""), Some("dup dup dup"),
+        Some("the x y z q w e r t u i o p"), Some("clean words only")).toDF("text"))
+      .select(kernels.wordlist_keep(col("text"), words, frac, cap).as("k"),
+        declared.as("d"))
+      .filter(not(col("k") <=> col("d"))).count()
+    assert(bad == 0)
+  }
+
   test("kernel codegen COMPILES with fallback disabled — nullable and non-nullable children") {
     // spark.sql.codegen.fallback=true (the default) silently demotes a
     // failed compile to interpreted execution — this pin is what keeps
