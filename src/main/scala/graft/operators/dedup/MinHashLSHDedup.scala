@@ -207,9 +207,15 @@ final class MinHashLSHDedup(
         // pressure that skewed full-array exchange spilled pathologically
         // (161× swing in the r9 driver bench). Plan-checked in PlanSpec:
         // no Window, no _h-carrying exchange keyed on the band.
-        val hot = bands0.select(col("_b"), col("_bkey"))
+        // hot-key list STAGED (r19): `bands` feeds both join sides, so
+        // an unstaged hot list re-ran the whole count pass (scan +
+        // shingle/signature kernels) once per side — 4 banded passes per
+        // gate. The list itself is a handful of (_b, _bkey) rows; the
+        // signature-array frame stays deliberately uncached (measured
+        // REJECTED — see OPTIMIZATION_r19.md).
+        val hot = graft.core.Staging.stage(bands0.select(col("_b"), col("_bkey"))
           .groupBy(col("_b"), col("_bkey")).agg(count(lit(1)).as("_bn"))
-          .filter(col("_bn") > cap).select(col("_b"), col("_bkey"))
+          .filter(col("_bn") > cap).select(col("_b"), col("_bkey")))
         bands0.join(broadcast(hot), Seq("_b", "_bkey"), "left_anti")
       case None => bands0
     }

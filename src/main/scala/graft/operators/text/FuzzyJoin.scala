@@ -51,10 +51,10 @@ final class FuzzyJoin(
     s"fuzzy join keys grams on a LONG hash; got '$hashName'")
 
   // bare (key, gram-HASH) rows — the string is functionally dependent
-  // on the key, so keeping it through the distinct exchange only
-  // fattens the shuffle, and the gram itself rides as a fixed-width
-  // long (8 B vs a UTF8String): every distinct / groupBy / join
-  // downstream keys on longs. Collision semantics: a collision merges
+  // on the key, so it never rides past this projection, and the gram
+  // itself rides as a fixed-width long (8 B vs a UTF8String): every
+  // groupBy / join downstream keys on longs. Collision semantics: a
+  // collision merges
   // two grams' posting lists, which ADDS candidates (filtered by the
   // exact levenshtein verify) — except that a merged list can cross
   // `maxGramKeys` and be dropped as hot, losing any pair whose only

@@ -258,7 +258,13 @@ object AnnSearch {
     val base = df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol))
     val sumCols = coords.zipWithIndex.map { case (c, kk) =>
       sum(scaledCoord(col(vecCol), c)).as(s"_ms$kk") }
-    val stats = base.agg(count(lit(1)).as("_mn"), sumCols: _*)
+    // stats (one row) and the hot-key list staged (r19): the kept frame
+    // feeds BOTH self-join sides, so unstaged each side re-ran the full
+    // stats aggregate and the bucket-count pass over the vector scan —
+    // the vector frame itself stays deliberately uncached (measured:
+    // array caches read slower than the pruned re-scan)
+    val stats = graft.core.Staging.stage(
+      base.agg(count(lit(1)).as("_mn"), sumCols: _*))
     val bits = coords.zipWithIndex.map { case (c, kk) =>
       when(scaledCoord(col(vecCol), c) * col("_mn") >= col(s"_ms$kk"),
         lit(1L << kk)).otherwise(lit(0L))
@@ -266,9 +272,9 @@ object AnnSearch {
     val bucketed = base.crossJoin(broadcast(stats))
       .withColumn("_bk", bits)
       .select(col(idCol), col(vecCol), col("_bk"))
-    val hot = bucketed.select(col("_bk"))
+    val hot = graft.core.Staging.stage(bucketed.select(col("_bk"))
       .groupBy(col("_bk")).agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > maxBucketSize).select(col("_bk"))
+      .filter(col("_bn") > maxBucketSize).select(col("_bk")))
     bucketed.join(broadcast(hot), Seq("_bk"), "left_anti")
   }
 
@@ -337,11 +343,20 @@ object AnnSearch {
     * over the (band, bucket) key — the MinHash banding shape.
     */
   private def centeredCappedBandBuckets(df: DataFrame, vecCol: String,
-      idCol: String, bands: Seq[Seq[Int]], maxBucketSize: Int): DataFrame = {
+      idCol: String, bands: Seq[Seq[Int]], maxBucketSize: Int,
+      stageAux: Boolean = true): DataFrame = {
+    // stageAux: callers that consume the result TWICE (the self-join
+    // tiers) stage the one-row stats and the hot-key list so the full
+    // bucket-count pass runs once, not once per side (r19 A/B:
+    // or_operating_point −21 %); single-consumer callers (band_stats)
+    // pass false — for them the eager materialization is pure overhead
+    // (measured +18 % on a 0.5 s gate).
+    def aux(fr: DataFrame): DataFrame =
+      if (stageAux) graft.core.Staging.stage(fr) else fr
     val base = df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol))
     val allCoords = bands.flatten.distinct.sorted
     val sumCols = allCoords.map(c => sum(scaledCoord(col(vecCol), c)).as(s"_ms_c$c"))
-    val stats = base.agg(count(lit(1)).as("_mn"), sumCols: _*)
+    val stats = aux(base.agg(count(lit(1)).as("_mn"), sumCols: _*))
     val bandStructs = bands.zipWithIndex.map { case (coords, bi) =>
       val bits = coords.zipWithIndex.map { case (c, kk) =>
         when(scaledCoord(col(vecCol), c) * col("_mn") >= col(s"_ms_c$c"),
@@ -353,9 +368,9 @@ object AnnSearch {
       .select(col(idCol), col(vecCol), explode(array(bandStructs: _*)).as("_bb"))
       .select(col(idCol), col(vecCol),
         col("_bb._band").as("_band"), col("_bb._bk").as("_bk"))
-    val hot = bucketed.select(col("_band"), col("_bk"))
+    val hot = aux(bucketed.select(col("_band"), col("_bk"))
       .groupBy(col("_band"), col("_bk")).agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > maxBucketSize).select(col("_band"), col("_bk"))
+      .filter(col("_bn") > maxBucketSize).select(col("_band"), col("_bk")))
     bucketed.join(broadcast(hot), Seq("_band", "_bk"), "left_anti")
   }
 
@@ -524,7 +539,9 @@ object AnnSearch {
   def mutualKnnBandStats(df: DataFrame, vecCol: String, idCol: String,
       bands: Seq[Seq[Int]], maxBucketSize: Int): DataFrame = {
     require(maxBucketSize > 0, "maxBucketSize is required")
-    centeredCappedBandBuckets(df, vecCol, idCol, bands, maxBucketSize)
+    // single consumer — the aux staging is net overhead here (r19 A/B)
+    centeredCappedBandBuckets(df, vecCol, idCol, bands, maxBucketSize,
+        stageAux = false)
       .groupBy(col("_band"), col("_bk")).agg(count(lit(1)).as("_c"))
       .groupBy(col("_band"))
       .agg(count(lit(1)).as("buckets"), sum(col("_c")).as("kept_rows"),
