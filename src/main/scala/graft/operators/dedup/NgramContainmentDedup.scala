@@ -48,22 +48,22 @@ final class NgramContainmentDedup(
     * ≥ threshold` over the stop-shingle-filtered universe.
     */
   def verifiedPairs(df: DataFrame): DataFrame = {
-    // post: (id, hash) longs with TWO consumers whose pruned subtrees
-    // differ (hot projects _g only), so exchange reuse can't dedupe the
-    // scan+kernel+explode — the FuzzyJoin gram-table staging shape (r19)
-    val post = graft.core.Staging.stage(
-      shingled(df).select(col("_id"), explode(col("_hs")).as("_g")))
+    // Staging `post` and `sets` was TRIED r19 (the FuzzyJoin gram-table
+    // shape: post's 2 consumers prune differently, sets feeds 4) and
+    // REVERTED on measurement: isolated A/Bs read −16 %…+6 % (noise-
+    // dominated), but in FULL-SUITE context — the configuration the
+    // driver times — the gate read consistently +16 % vs the unstaged
+    // baseline (the eager MEMORY_AND_DISK materialization of a 5 M-row
+    // posting frame + collect_list arrays competes with neighboring
+    // legs' storage; the committed array-cache lesson again).
+    val post = shingled(df).select(col("_id"), explode(col("_hs")).as("_g"))
     val hot = post.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select(col("_g"))
-    // sets: FOUR consumers (B-prefix postings, A-full postings, both
-    // verify joins) — unstaged, each re-ran the anti-join + collect_list
-    // EXCHANGE; unlike the rejected minhash signature-array cache, the
-    // recompute here is exchange-bearing, so the cache wins (measured)
-    val sets = graft.core.Staging.stage(post.join(broadcast(hot), Seq("_g"), "left_anti")
+    val sets = post.join(broadcast(hot), Seq("_g"), "left_anti")
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(col("_g"))).as("_hs"))
       .withColumn("_n", size(col("_hs")))
-      .where(col("_n") > 0))
+      .where(col("_n") > 0)
     val withPrefix = sets.withColumn("_p",
       (col("_n") - ceil(col("_n") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
     // B (the candidate subset, larger id) indexes only its prefix;

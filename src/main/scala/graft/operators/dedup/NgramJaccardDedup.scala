@@ -66,17 +66,16 @@ final class NgramJaccardDedup(
       case Some(cap) =>
         // stop-shingle removal: hot tokens leave the universe (counts
         // only through the aggregation; the few hot keys broadcast back).
-        // post/sets staged (r19): post's two consumers prune differently
-        // (no exchange reuse), and the filtered-set aggregate feeds the
-        // prefix explode plus both verify joins — unstaged, each re-ran
-        // the anti-join + collect_list exchange
-        val post = graft.core.Staging.stage(
-          base.select(col("_id"), explode(col("_hs")).as("_g")))
+        // Staging post/sets here was TRIED r19 and REVERTED: isolated
+        // A/Bs won (−24…−38 %) but the full-suite runs — the driver's
+        // configuration — read +12 % vs unstaged (see
+        // NgramContainmentDedup.verifiedPairs for the mechanism).
+        val post = base.select(col("_id"), explode(col("_hs")).as("_g"))
         val hot = post.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") > cap).select(col("_g"))
-        graft.core.Staging.stage(post.join(broadcast(hot), Seq("_g"), "left_anti")
+        post.join(broadcast(hot), Seq("_g"), "left_anti")
           .groupBy(col("_id"))
-          .agg(sort_array(collect_list(col("_g"))).as("_hs")))
+          .agg(sort_array(collect_list(col("_g"))).as("_hs"))
       case None => base
     }
     val withLen = sets
