@@ -63,6 +63,29 @@ object Bench {
       .filter { case (n, _) => benchOnly.forall(_(n)) }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+    // AMBIENT CONTROL (r20, VERDICT r19 #2): one pinned, deterministic,
+    // NEVER-TO-BE-OPTIMIZED leg interleaved with the gate reps and
+    // emitted as "control_sec" (separate field — NOT a queries entry, so
+    // the total and the per-query list stay round-over-round comparable).
+    // Rationale: the r19 driver window ran ~1.45x slower than r18's on
+    // byte-identical code and 13 of 15 "regressions" were window drift
+    // nothing in the record could prove. The control's round-over-round
+    // ratio IS that proof: normalize per-query speedups by it before
+    // calling anything a regression. The leg body is raw Spark built-ins
+    // only (scan -> split -> explode -> hash -> partial agg -> exchange
+    // -> final agg: the text family's canonical shape); it deliberately
+    // bypasses every graft operator and kernel so no future optimization
+    // can touch it. DO NOT OPTIMIZE, RENAME, OR RESHAPE THIS LEG.
+    val controlName = "__ambient_control"
+    def controlLeg(): Unit = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("_w"))
+        .groupBy(pmod(xxhash64(col("_w")), lit(1024)).as("_k"))
+        .agg(count(lit(1)).as("_n"), bit_xor(xxhash64(col("_w"))).as("_x"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // Results accumulate inside the harness as each query lands so the
     // shutdown hook can emit a parseable partial record even when the
     // driver's timeout kills the JVM mid-run (SIGTERM runs shutdown
@@ -92,8 +115,13 @@ object Bench {
     // runs the end-of-suite stabilization pass for flagged legs)
     def unstableLegs: Seq[String] = harness.unstableLegs
 
+    // the control is read out of the harness results lazily so partial
+    // (shutdown-hook) records also carry whatever was measured
+    def controlSec: Option[Double] = results.get(controlName)
+    def controlJson: String = controlSec.map(sec).getOrElse("null")
+
     def fullJson(partial: Boolean): String = {
-      val rs = results.toSeq
+      val rs = results.toSeq.filter(_._1 != controlName)
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }
         .mkString("{", ",", "}")
       val total = rs.map(_._2).sum
@@ -101,7 +129,8 @@ object Bench {
       val rt = harness.retried.map("\"" + _ + "\"").mkString("[", ",", "]")
       val p = probeJson.getOrElse("null")
       val pf = if (partial) ",\"partial\":true" else ""
-      val med = medians.toSeq.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      val med = medians.toSeq.filter(_._1 != controlName)
+        .map { case (k, v) => "\"" + k + "\":" + sec(v) }
         .mkString("{", ",", "}")
       // legs whose median reads >2x their min are contention-suspect OR
       // genuinely intermittent (memory-pressure-dependent): surface them
@@ -119,7 +148,7 @@ object Bench {
       val detail = harness.detailJson(
         guarded.toSeq ++ unstableLegs ++ harness.stabilized.toSeq)
       val stab = harness.stabilized.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"estimator":"warm_min_interleaved_retry","wall_guarded":$g,"retried":$rt,"unstable_legs":$unstable,"stabilized":$stab,"reps_detail":$detail,"queries":$qs,"queries_median":$med,"sf":"$sfDir","scale_probe":$p$pf}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"estimator":"warm_min_interleaved_retry","control_sec":$controlJson,"wall_guarded":$g,"retried":$rt,"unstable_legs":$unstable,"stabilized":$stab,"reps_detail":$detail,"queries":$qs,"queries_median":$med,"sf":"$sfDir","scale_probe":$p$pf}"""
     }
     // The driver keeps only the LAST 2000 chars of output and parses the
     // final JSON line out of that window (BENCH_r7/r8 both carried
@@ -131,11 +160,11 @@ object Bench {
     // cost until a 1300-char budget (the cheap tail of the distribution
     // is the part that carries no grading signal).
     def compactJson(partial: Boolean): String = {
-      val rs = results.toSeq
+      val rs = results.toSeq.filter(_._1 != controlName)
       val total = rs.map(_._2).sum
       val slow = rs.sortBy(-_._2)
       val pf = if (partial) ",\"partial\":true" else ""
-      val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${rs.size},"queries_file":"$outFile"$pf,"scale_probe":${probeCompactJson.getOrElse("null")},"queries":{"""
+      val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"control_sec":$controlJson,"sf":"$sfDir","n_queries":${rs.size},"queries_file":"$outFile"$pf,"scale_probe":${probeCompactJson.getOrElse("null")},"queries":{"""
       val tailStr = "}}"
       val budget = 1300 - head.length - tailStr.length
       val parts = Seq.newBuilder[String]
@@ -164,7 +193,14 @@ object Bench {
     // wall-guarded leg) — see graft.core.BenchHarness for the protocol
     // and its rationale (r13 interleaving lesson, r15 guard-artifact
     // lesson).
-    harness.run(ordered.map { case (name, fn) =>
+    // the control leg joins the harness list UNCONDITIONALLY (even under
+    // SPARK_GRAFT_BENCH_ONLY) so every A/B run self-reports its window;
+    // it interleaves round-robin with the gate reps like any other leg
+    // and is filtered back out of "queries"/total above.
+    harness.run((controlName -> (() => {
+      try controlLeg()
+      catch { case e: Throwable => System.err.println(s"[bench] control: $e") }
+    })) +: ordered.map { case (name, fn) =>
       name -> (() => runOne(name, fn))
     })
 
@@ -187,7 +223,12 @@ object Bench {
     val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
     val probeHarness = new graft.core.BenchHarness(probeReps, wallLimit)
     val failedProbeLegs = scala.collection.mutable.Set.empty[String]
-    val probe = if (benchOnly.isDefined) "null" else {
+    // SPARK_GRAFT_SKIP_PROBE=1: builder-local iteration aid (like
+    // SPARK_GRAFT_BENCH_ONLY) — run the full GATE suite but skip the
+    // scale probe, for full-suite-context A/B runs where only the gate
+    // legs are under comparison. The official driver run never sets it.
+    val skipProbe = sys.env.get("SPARK_GRAFT_SKIP_PROBE").contains("1")
+    val probe = if (benchOnly.isDefined || skipProbe) "null" else {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("n_chars"))
