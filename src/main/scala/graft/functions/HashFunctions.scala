@@ -63,6 +63,18 @@ object HashFunctions {
     s"($a * ($hExpr & $Mask30) + $b * ($hExpr >> 30) + $c)"
   }
 
+  /** JVM-side twin of [[mixed]]/[[mixedSql]] for kernel inner loops —
+    * the single place the 30-bit-split mix arithmetic lives on the JVM
+    * side (ADVICE r19: TokenBigrams hand-inlined a third copy). Callers
+    * that loop over many seeds should hoist `mixConstants(j)` themselves
+    * ([[graft.plans.kernels.MinHashFromHashes]]' consts array); this
+    * entry point is for the fixed-seed call sites.
+    */
+  def mixedJvm(h: Long, consts: (Long, Long, Long)): Long =
+    consts._1 * (h & Mask30) + consts._2 * (h >> 30) + consts._3
+
+  def mixedJvm(h: Long, j: Int): Long = mixedJvm(h, mixConstants(j))
+
   def hashByName(algorithm: String)(c: Column): Column = algorithm match {
     case "xxhash64" => fastHash64(c)
     case "md5"      => md5(c.cast("string").cast("binary"))

@@ -34,6 +34,19 @@ import org.apache.spark.sql.functions._
   * is ~0.3% of the gate's wall time (measured 4.42 s → 4.43 s with
   * the verify stage added); the remaining cost is the gram-stage
   * exchanges, which AQE stage reuse already deduplicates.
+  *
+  * ==Precondition: join keys are UNIQUE per side==
+  * `leftKeyCol` / `rightKeyCol` must be unique within their table (the
+  * entity-resolution contract: one string per key). The gram stage
+  * dedups grams PER ROW (the fused kernel emits each row's distinct
+  * gram hashes); with duplicate keys the hot-gram frequency count `_f`
+  * counts per duplicate row, shifting the `maxGramKeys` cap and the
+  * candidate set — and the DuckDB twin (which dedups on
+  * (key, str, gram)) diverges silently. This was always assumed (the
+  * pre-r19 Spark path deduped on (key, len, gram) and already
+  * disagreed with the twin under dup keys); it is now the documented
+  * constructor contract: callers with non-unique keys must
+  * `dropDuplicates(keyCol)` first (ADVICE r19).
   */
 final class FuzzyJoin(
     leftKeyCol: String, leftStrCol: String,

@@ -349,9 +349,11 @@ object kernels {
       StructField("_h2", LongType, nullable = false),
       StructField("_hb", LongType, nullable = false)))
     override def dataType: DataType = ArrayType(pairType, containsNull = false)
-    private val (a1, b1, c1) = HashFunctions.mixConstants(0)
-    private val (a2, b2, c2) = HashFunctions.mixConstants(1)
-    private val Mask30 = (1L << 30) - 1
+    // seed constants hoisted once; the mix ARITHMETIC lives in
+    // HashFunctions.mixedJvm (ADVICE r19: this kernel carried a third
+    // hand-inlined copy of the 30-bit-split mix)
+    private val consts0 = HashFunctions.mixConstants(0)
+    private val consts1 = HashFunctions.mixConstants(1)
     override def nullSafeEval(v: Any): Any = {
       val toks = tokenizeJvm(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
       val n = toks.length
@@ -367,8 +369,8 @@ object kernels {
       i = 0
       while (i < n - 1) {
         val h1 = hs(i); val h2 = hs(i + 1)
-        val hb = a1 * (h1 & Mask30) + b1 * (h1 >> 30) + c1 +
-          a2 * (h2 & Mask30) + b2 * (h2 >> 30) + c2
+        val hb = HashFunctions.mixedJvm(h1, consts0) +
+          HashFunctions.mixedJvm(h2, consts1)
         out(i) = org.apache.spark.sql.catalyst.InternalRow(h1, h2, hb)
         i += 1
       }
@@ -413,6 +415,115 @@ object kernels {
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Word w-shingles of a TOKEN ARRAY as strings — shingle i =
+    * `toks[i..i+w-1]` joined by one space, fewer than w tokens → empty
+    * array. Bit-identical to the declarative
+    * `transform(sequence(0, size(toks)-w), i -> concat_ws(" ",
+    * element_at(toks, i+1) .. element_at(toks, i+w)))` chain
+    * ([[graft.functions.TextFunctions.shingles]]' former body, pinned in
+    * KernelSpec incl. null-slot tokens, which concat_ws SKIPS) but ONE
+    * JVM pass per row: the interpreted HOF re-entered the lambda per
+    * shingle with w element_at calls each (r20 — the last interpreted
+    * HOF family in the gate plans: BoilerplateNgrams, TextRepetition,
+    * NgramLm, NgramDiversity all derive word-grams from it).
+    */
+  case class WordShingles(child: Expression, w: Int)
+      extends UnaryExpression with UnaryRefCodegen {
+    require(w >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n < w) return new GenericArrayData(Array.empty[Any])
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val out = new Array[Any](n - w + 1)
+      val window = new Array[org.apache.spark.unsafe.types.UTF8String](w)
+      var i = 0
+      while (i <= n - w) {
+        var j = 0
+        while (j < w) {
+          // concat_ws skips null inputs — preserve that for arbitrary
+          // token columns (tokensOf output never has null slots)
+          window(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Per-band mean-centered sign-bucket keys of a vector in ONE pass —
+    * array of `(_band, _bk)` structs, one per band, feeding the banded
+    * explode directly ([[graft.operators.vector.AnnSearch]]'s
+    * centered-bucket tiers; VERDICT r19 #4). `stats` is the broadcast
+    * one-row aggregate `(count, sum(floor(v[c]*1e6)) per coord)` packed
+    * as `struct(n, array(sums...))` in `allCoords` order. Bit-identical
+    * to the declarative per-band
+    * `sum_kk(when(floor(v[c]*1e6)*n >= sum_c, 1<<kk, 0))` chains: same
+    * floored 1e6 scale, same `scaled*n >= sum` centering test evaluated
+    * in LONG arithmetic, and the declarative NULL semantics (a missing
+    * coordinate — vector shorter than c+1 — or a NULL corpus sum makes
+    * that bit contribute 0, exactly the `when`'s otherwise arm).
+    */
+  case class BandKeys(left: Expression, right: Expression,
+      bands: Seq[Seq[Int]], allCoords: Seq[Int])
+      extends BinaryExpression with BinaryRefCodegen {
+    require(bands.nonEmpty && bands.forall(_.nonEmpty))
+    require(allCoords == bands.flatten.distinct.sorted,
+      "allCoords must be the sorted distinct union of the bands' coords")
+    private val pairType = StructType(Seq(
+      StructField("_band", IntegerType, nullable = false),
+      StructField("_bk", LongType, nullable = false)))
+    override def dataType: DataType = ArrayType(pairType, containsNull = false)
+    private val coordIdx = allCoords.zipWithIndex.toMap
+    // per band: the (sums-array index, bit) pairs its key is built from
+    private val bandPlan: Array[Array[(Int, Long)]] = bands.map(coords =>
+      coords.zipWithIndex.map { case (c, kk) => (coordIdx(c), 1L << kk) }.toArray
+    ).toArray
+    @transient private lazy val et =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    override def nullSafeEval(vecAny: Any, statsAny: Any): Any = {
+      val vec = vecAny.asInstanceOf[ArrayData]
+      val stats = statsAny.asInstanceOf[InternalRow]
+      val n = stats.getLong(0)
+      val sums = stats.getArray(1)
+      val nel = vec.numElements()
+      // scaled*n per allCoords slot; Long.MinValue marks "bit is 0"
+      // (missing coord / NULL sum — the declarative when()'s null arm)
+      val scaledN = new Array[Long](allCoords.length)
+      val defined = new Array[Boolean](allCoords.length)
+      var i = 0
+      while (i < allCoords.length) {
+        val c = allCoords(i)
+        if (c < nel && !vec.isNullAt(c) && !sums.isNullAt(i)) {
+          scaledN(i) = math.floor(arrayDouble(vec, et, c) * 1000000.0).toLong * n
+          defined(i) = true
+        }
+        i += 1
+      }
+      val out = new Array[Any](bandPlan.length)
+      var bi = 0
+      while (bi < bandPlan.length) {
+        var bk = 0L
+        val plan = bandPlan(bi)
+        var j = 0
+        while (j < plan.length) {
+          val (si, bit) = plan(j)
+          if (defined(si) && scaledN(si) >= sums.getLong(si)) bk |= bit
+          j += 1
+        }
+        out(bi) = org.apache.spark.sql.catalyst.InternalRow(bi, bk)
+        bi += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
   }
 
   /** MinHash signature from an ALREADY-HASHED shingle array (the output of
@@ -814,7 +925,11 @@ object kernels {
       var hits = 0L
       var i = 0
       while (i < n) {
-        if (set.contains(toks.getUTF8String(i))) hits += 1L
+        // null elements are non-hits (array_contains(words, null) is
+        // null -> the declarative filter drops it); without the guard
+        // getUTF8String on a null slot reads an undefined offset
+        // (ADVICE r19 — hitsExpr accepts an arbitrary token Column)
+        if (!toks.isNullAt(i) && set.contains(toks.getUTF8String(i))) hits += 1L
         i += 1
       }
       java.lang.Long.valueOf(hits)
@@ -1948,6 +2063,14 @@ object kernels {
       org.apache.spark.sql.functions.coalesce(
         text, org.apache.spark.sql.functions.lit(""))), minRatio, maxRatio))
   def hash_array(ss: Column): Column = expr2col(HashArray(colExpr(ss)))
+  /** Word w-shingle strings of a token array; < w tokens → []. */
+  def word_shingles(toks: Column, w: Int): Column =
+    expr2col(WordShingles(colExpr(toks), w))
+  /** Per-band centered sign-bucket `(_band,_bk)` structs; `stats` is
+    * `struct(n, array(sums in allCoords order))`. */
+  def band_keys(vec: Column, stats: Column,
+      bands: Seq[Seq[Int]], allCoords: Seq[Int]): Column =
+    expr2col(BandKeys(colExpr(vec), colExpr(stats), bands, allCoords))
   /** Scalar 60-bit portable hash; caller casts to string first. */
   def portable_hash64(s: Column): Column = expr2col(PortableHash64(colExpr(s)))
   /** Per-token portable hashes (multiplicity + order kept); NULL text → []. */

@@ -275,6 +275,69 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("word_shingles kernel == transform(sequence, concat_ws(element_at...)) declarative form") {
+    import spark.implicits._
+    // the EXACT pre-r20 TextFunctions.shingles body
+    def declared(toks: org.apache.spark.sql.Column, w: Int) = {
+      val n = size(toks)
+      when(n < w, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), n - w),
+          i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*)))
+    }
+    val toks = TextFunctions.tokensOf(col("text"))
+    for (w <- Seq(1, 2, 3, 8)) {
+      val bad = docs.limit(200).select(col("text"))
+        .unionByName(Seq[Option[String]](None, Some(""), Some("solo"),
+          Some("a b"), Some("One two TWO one  two here"), Some(" tab\tsep "))
+          .toDF("text"))
+        .select(kernels.word_shingles(toks, w).as("k"), declared(toks, w).as("d"))
+        .filter(not(col("k") <=> col("d"))).count()
+      assert(bad == 0, s"w=$w")
+    }
+    // null-slot token arrays: concat_ws SKIPS nulls — the kernel must too
+    val withNulls = Seq(Seq[String]("a", null, "c", "d"), Seq[String](null, null))
+      .toDF("toks")
+    val bad2 = withNulls
+      .select(kernels.word_shingles(col("toks"), 2).as("k"),
+        declared(col("toks"), 2).as("d"))
+      .filter(not(col("k") <=> col("d"))).count()
+    assert(bad2 == 0)
+  }
+
+  test("band_keys kernel == per-band when(scaled*n >= sum) bit chains (banded + single)") {
+    import spark.implicits._
+    val bands = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7), Seq(1, 3, 5, 7))
+    val allCoords = bands.flatten.distinct.sorted
+    def scaled(vec: org.apache.spark.sql.Column, c: Int) =
+      floor(element_at(vec, c + 1).cast("double") * lit(1000000.0d))
+    val emb = TestSpark.table("embeddings")
+      .select(col("vec_id"), col("embedding")).limit(300)
+      // short + null-slot vectors exercise the missing-coord null arm
+      .unionByName(Seq(
+        (9000001L, Seq(0.5, -0.25)),
+        (9000002L, Seq.empty[Double])).toDF("vec_id", "embedding"))
+    val base = emb.filter(col("embedding").isNotNull)
+    val sumCols = allCoords.map(c =>
+      sum(scaled(col("embedding"), c)).as(s"_ms_c$c"))
+    val stats = base.agg(count(lit(1)).as("_mn"), sumCols: _*)
+    // the EXACT pre-r20 centeredCappedBandBuckets arm
+    val bandStructs = bands.zipWithIndex.map { case (coords, bi) =>
+      val bits = coords.zipWithIndex.map { case (c, kk) =>
+        when(scaled(col("embedding"), c) * col("_mn") >= col(s"_ms_c$c"),
+          lit(1L << kk)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(bi).as("_band"), bits.as("_bk"))
+    }
+    val statsStruct = struct(col("_mn"),
+      array(allCoords.map(c => col(s"_ms_c$c")): _*))
+    val bad = base.crossJoin(broadcast(stats))
+      .select(
+        kernels.band_keys(col("embedding"), statsStruct, bands, allCoords).as("k"),
+        array(bandStructs: _*).as("d"))
+      .filter(not(col("k") <=> col("d"))).count()
+    assert(bad == 0)
+  }
+
   test("wordlist_hits kernel == size(filter(toks, array_contains)) declarative form") {
     import spark.implicits._
     val words = Seq("the", "dup", "skew", "slow")
@@ -287,6 +350,17 @@ class KernelSpec extends AnyFunSuite {
       .select(kernels.wordlist_hits(toks, words).as("k"), declared.as("d"))
       .filter(not(col("k") <=> col("d"))).count()
     assert(bad == 0)
+    // arbitrary token columns may carry null slots (hitsExpr takes any
+    // Column): a null element is a NON-hit, same as the declarative
+    // filter dropping the null predicate (ADVICE r19 guard)
+    val withNulls = Seq(Seq[String]("the", null, "dup"), Seq[String](null))
+      .toDF("toks")
+    val declared2 = size(filter(col("toks"),
+      t => array_contains(lst, t))).cast("long")
+    val bad2 = withNulls
+      .select(kernels.wordlist_hits(col("toks"), words).as("k"), declared2.as("d"))
+      .filter(not(col("k") <=> col("d"))).count()
+    assert(bad2 == 0)
   }
 
   test("wordlist_keep kernel == the declarative threshold predicate") {
